@@ -1,0 +1,295 @@
+"""DimFilter JSON tree → Catalyst Column predicates.
+
+Reference: processing/src/main/java/org/apache/druid/query/filter/ (the JSON
+model) and segment/filter/ (evaluation).  Druid evaluates each filter twice —
+a bitmap-index path and a value-matcher path, split by Filters.java/cnf —
+neither exists here: we emit one declarative predicate and Catalyst does CNF
+normalization, predicate pushdown into the Parquet scan (replacing the bitmap
+path with row-group/page skipping) and residual evaluation in codegen
+(replacing the value matcher).
+
+Multi-value-dimension (MVD) semantics — the one genuinely non-standard rule
+(segment/DimensionSelector.java; filters match if ANY value matches): every
+leaf predicate on an ArrayType column is wrapped in ``exists(col, v -> pred)``.
+This is the single chokepoint SURVEY §7 calls for.
+
+String comparator orderings for `bound` (query/ordering/StringComparators.java:
+lexicographic / alphanumeric / numeric / strlen / version) compile to sortable
+expressions — numeric casts where possible, padded keys otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_druid_spark.functions.extraction import compile_extraction
+from incubator_druid_spark.model.columns import qcol
+from incubator_druid_spark.model.intervals import parse_intervals, interval_predicate
+
+
+class FilterContext:
+    """Resolves dimension names to Columns and knows which are multi-value."""
+
+    def __init__(self, df: DataFrame, virtual: dict[str, Column] | None = None):
+        self.df = df
+        self.virtual = virtual or {}
+        self._types = {f.name: f.dataType for f in df.schema.fields}
+
+    def resolve(self, name: str) -> Column:
+        if name in self.virtual:
+            return self.virtual[name]
+        return qcol(name)
+
+    def is_array(self, name: str) -> bool:
+        if name in self.virtual:
+            return False
+        return isinstance(self._types.get(name), T.ArrayType)
+
+
+def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
+    """Compile a DimFilter JSON node; None spec → None (no predicate)."""
+    if spec is None:
+        return None
+    t = spec["type"]
+
+    if t == "and":  # query/filter/AndDimFilter.java
+        preds = [compile_filter(f, ctx) for f in spec["fields"]]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if t == "or":  # OrDimFilter.java
+        preds = [compile_filter(f, ctx) for f in spec["fields"]]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+    if t == "not":  # NotDimFilter.java
+        return ~compile_filter(spec["field"], ctx)
+    if t == "true":  # TrueDimFilter.java
+        return F.lit(True)
+    if t == "false":
+        return F.lit(False)
+    if t == "expression":  # ExpressionDimFilter.java
+        from incubator_druid_spark.functions.druid_expr import compile_expr
+        return compile_expr(spec["expression"], ctx.resolve).cast("boolean")
+    if t == "interval":  # IntervalDimFilter.java — __time ∈ intervals
+        col = _dim_col(spec, ctx)
+        ivs = parse_intervals(spec["intervals"])
+        return interval_predicate(ivs, col)
+    if t == "javascript":
+        raise NotImplementedError("javascript filter: rewrite as `expression` filter")
+
+    # ---- leaf predicates on one dimension: MVD-aware -------------------
+    dim = spec.get("dimension")
+    extraction = spec.get("extractionFn")
+
+    def leaf(value_col: Column) -> Column:
+        c = compile_extraction(extraction, value_col)
+        return _leaf_predicate(spec, t, c, ctx)
+
+    if dim is not None and ctx.is_array(dim) and extraction is None:
+        # MVD rule: ANY element matching satisfies the filter.  A null/empty
+        # array matches nothing (Druid: empty row matches only null filters).
+        arr = ctx.resolve(dim)
+        return F.exists(arr, lambda v: _leaf_predicate(spec, t, v, ctx))
+
+    return leaf(ctx.resolve(dim) if dim is not None else F.lit(None))
+
+
+def _dim_col(spec: dict, ctx: FilterContext) -> Column:
+    return ctx.resolve(spec.get("dimension", "__time"))
+
+
+def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext) -> Column:
+    if t == "selector":
+        # SelectorDimFilter.java — null-aware equality
+        v = spec.get("value")
+        if v is None:
+            return c.isNull()
+        return c.cast("string") == F.lit(str(v))
+    if t == "equals":
+        # (Druid 24+ shape; accept for forward compat)
+        return c == F.lit(spec["matchValue"])
+    if t == "in":
+        # InDimFilter.java
+        values = spec["values"]
+        non_null = [str(v) for v in values if v is not None]
+        pred = c.cast("string").isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in values):
+            pred = pred | c.isNull()
+        return pred
+    if t == "bound":
+        return _bound_predicate(spec, c)
+    if t == "range":
+        return _range_predicate(spec, c)
+    if t == "like":
+        # LikeDimFilter.java — SQL LIKE with optional escape
+        esc = spec.get("escape")
+        s = c.cast("string")
+        if esc:
+            return s.like(spec["pattern"], esc)
+        return s.like(spec["pattern"])
+    if t == "regex":
+        # RegexDimFilter.java — java find() semantics = rlike
+        return c.cast("string").rlike(spec["pattern"])
+    if t == "search":
+        # SearchQueryDimFilter.java
+        return compile_search_spec(spec["query"], c)
+    if t == "columnComparison":
+        # ColumnComparisonDimFilter.java — dimensions list, all equal
+        dims = [ctx.resolve(_dimspec_name(d)) for d in spec["dimensions"]]
+        out = dims[0].cast("string").eqNullSafe(dims[1].cast("string"))
+        for d in dims[2:]:
+            out = out & dims[0].cast("string").eqNullSafe(d.cast("string"))
+        return out
+    if t == "extraction":
+        # ExtractionDimFilter.java (deprecated) — fn(dim) == value
+        v = spec.get("value")
+        if v is None:
+            return c.isNull()
+        return c.cast("string") == F.lit(str(v))
+    if t == "spatial":
+        return _spatial_predicate(spec, c)
+    if t == "bloom":
+        raise NotImplementedError("bloom filter test: supply `in` or join instead (v2)")
+    raise ValueError(f"unknown filter type: {t!r}")
+
+
+def _dimspec_name(d) -> str:
+    return d if isinstance(d, str) else d.get("dimension", d.get("outputName"))
+
+
+# -- bound / range with StringComparators -----------------------------------
+
+def _ordering_key(c: Column, ordering: str) -> Column:
+    """Sortable expression per query/ordering/StringComparators.java."""
+    if ordering in ("lexicographic", None):
+        return c.cast("string")
+    if ordering == "numeric":
+        return c.cast("double")
+    if ordering == "strlen":
+        return F.length(c.cast("string"))
+    if ordering in ("alphanumeric", "version"):
+        return _alphanum_key(c)
+    raise ValueError(f"unknown ordering {ordering!r}")
+
+
+def _alphanum_key(c: Column) -> Column:
+    """Pad every digit run to 20 chars so plain string compare equals the
+    numeric-aware compare (bounded approximation of
+    StringComparators.ALPHANUMERIC / .VERSION).  Spark regexp_replace can't pad
+    in the replacement, so: mark digit-run boundaries, split, pad digit tokens,
+    re-join — all builtin HOFs, stays in codegen."""
+    s = c.cast("string")
+    parts = F.split(F.regexp_replace(s, r"(\d+)", "\x01$1\x01"), "\x01")
+    padded = F.transform(
+        parts,
+        lambda p: F.when(p.rlike(r"^\d+$"), F.lpad(p, 20, "0")).otherwise(p))
+    return F.array_join(padded, "")
+
+
+def _bound_predicate(spec: dict, c: Column) -> Column:
+    # BoundDimFilter.java: lower/upper, lowerStrict/upperStrict, ordering
+    ordering = spec.get("ordering", "lexicographic")
+    key = _ordering_key(c, ordering)
+    preds = []
+    if spec.get("lower") is not None:
+        lo = _bound_literal(spec["lower"], ordering)
+        preds.append(key > lo if spec.get("lowerStrict") else key >= lo)
+    if spec.get("upper") is not None:
+        hi = _bound_literal(spec["upper"], ordering)
+        preds.append(key < hi if spec.get("upperStrict") else key <= hi)
+    if not preds:
+        return c.isNotNull()
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _range_predicate(spec: dict, c: Column) -> Column:
+    # Druid 24+ typed range filter (forward compat)
+    preds = []
+    if spec.get("lower") is not None:
+        lo = F.lit(spec["lower"])
+        preds.append(c > lo if spec.get("lowerOpen") else c >= lo)
+    if spec.get("upper") is not None:
+        hi = F.lit(spec["upper"])
+        preds.append(c < hi if spec.get("upperOpen") else c <= hi)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _bound_literal(v: str, ordering: str):
+    if ordering == "numeric":
+        return F.lit(float(v))
+    if ordering == "strlen":
+        return F.lit(len(str(v)))
+    if ordering in ("alphanumeric", "version"):
+        import re as _re
+        return F.lit(_re.sub(r"\d+", lambda m: m.group().zfill(20), str(v)))
+    return F.lit(str(v))
+
+
+# -- search query specs ------------------------------------------------------
+
+def compile_search_spec(q: dict, c: Column) -> Column:
+    """SearchQuerySpec (query/search/*SearchQuerySpec.java):
+    contains / insensitive_contains / fragment / regex."""
+    t = q["type"]
+    s = c.cast("string")
+    if t == "contains":
+        if q.get("caseSensitive", False):
+            return F.instr(s, q["value"]) > 0
+        return F.instr(F.lower(s), q["value"].lower()) > 0
+    if t == "insensitive_contains":
+        return F.instr(F.lower(s), q["value"].lower()) > 0
+    if t == "fragment":
+        # FragmentSearchQuerySpec.java — ALL fragments must appear
+        cs = q.get("caseSensitive", False)
+        out = None
+        for frag in q["values"]:
+            p = (F.instr(s, frag) > 0) if cs else (F.instr(F.lower(s), frag.lower()) > 0)
+            out = p if out is None else out & p
+        return out if out is not None else F.lit(True)
+    if t == "regex":
+        return s.rlike(q["pattern"])
+    raise ValueError(f"unknown search spec {t!r}")
+
+
+# -- spatial -----------------------------------------------------------------
+
+def _spatial_predicate(spec: dict, c: Column) -> Column:
+    """SpatialDimFilter.java + collections/spatial/search/ bound types.
+    Druid spatial dims are 'lat,lon' strings; bound types: rectangular, radius,
+    polygon.  Compiled to numeric predicates on the split coordinates."""
+    bound = spec["bound"]
+    coords = F.split(c.cast("string"), ",")
+    x = F.get(coords, 0).cast("double")
+    y = F.get(coords, 1).cast("double")
+    bt = bound["type"]
+    if bt == "rectangular":
+        mins, maxs = bound["minCoords"], bound["maxCoords"]
+        return (x >= mins[0]) & (x <= maxs[0]) & (y >= mins[1]) & (y <= maxs[1])
+    if bt == "radius":
+        cx, cy = bound["coords"]
+        r = float(bound["radius"])
+        return ((x - cx) * (x - cx) + (y - cy) * (y - cy)) <= r * r
+    if bt == "polygon":
+        # ray-casting needs iteration — express as a sum over vertex pairs
+        xs, ys = bound["abscissa"], bound["ordinate"]
+        n = len(xs)
+        crossings = None
+        for i in range(n):
+            j = (i + 1) % n
+            cond = ((F.lit(ys[i]) > y) != (F.lit(ys[j]) > y)) & (
+                x < (F.lit(xs[j] - xs[i]) * (y - ys[i]) / F.lit(ys[j] - ys[i]) + xs[i]))
+            ci = F.when(cond, 1).otherwise(0)
+            crossings = ci if crossings is None else crossings + ci
+        return (crossings % 2) == 1
+    raise ValueError(f"unknown spatial bound {bt!r}")

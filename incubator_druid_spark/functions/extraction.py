@@ -1,0 +1,107 @@
+"""Extraction functions — Druid's dimension-transform library.
+
+Reference: processing/src/main/java/org/apache/druid/query/extraction/ — these
+wrap a dimension in filters and dimension specs (DimensionSpec type
+"extraction", query/dimension/ExtractionDimensionSpec.java).
+
+Each compiles to a plain Column expression; Catalyst folds it into the scan
+projection, so an extraction-fn'd group-by key is computed once, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def compile_extraction(spec: dict | None, col: Column) -> Column:
+    if spec is None:
+        return col
+    t = spec["type"]
+    if t == "regex":
+        # query/extraction/RegexDimExtractionFn.java — group 1 (or `index`),
+        # replaceMissingValue semantics
+        idx = spec.get("index", 1)
+        out = F.regexp_extract(col.cast("string"), spec["expr"], idx)
+        out = F.when(out == "", F.lit(None)).otherwise(out)
+        if spec.get("replaceMissingValue"):
+            out = F.coalesce(out, F.lit(spec.get("replaceMissingValueWith")))
+        return out
+    if t == "substring":
+        # query/extraction/SubstringDimExtractionFn.java — 0-based index
+        start = int(spec.get("index", 0))
+        length = spec.get("length")
+        s = col.cast("string")
+        out = F.substring(s, start + 1, int(length) if length is not None else 2**31 - 1)
+        return F.when(F.length(s) > start, out).otherwise(F.lit(None))
+    if t == "strlen":
+        return F.length(col.cast("string")).cast("string")
+    if t == "upper":
+        return F.upper(col.cast("string"))
+    if t == "lower":
+        return F.lower(col.cast("string"))
+    if t == "timeFormat":
+        # query/extraction/TimeFormatExtractionFn.java — joda format + optional
+        # granularity pre-floor + tz
+        from incubator_druid_spark.model.granularity import parse_granularity
+        from incubator_druid_spark.functions.druid_expr import _joda_to_spark
+        c = col
+        if spec.get("granularity"):
+            c = parse_granularity(spec["granularity"]).floor(c)
+        tz = spec.get("timeZone")
+        if tz and tz != "UTC":
+            c = F.from_utc_timestamp(c, tz)
+        fmt = spec.get("format")
+        if fmt is None:
+            return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        return F.date_format(c, _joda_to_spark(fmt))
+    if t == "time":
+        # TimeDimExtractionFn — parse with timeFormat, reformat with resultFormat
+        from incubator_druid_spark.functions.druid_expr import _joda_to_spark
+        parsed = F.to_timestamp(col.cast("string"), _joda_to_spark(spec["timeFormat"]))
+        return F.date_format(parsed, _joda_to_spark(spec["resultFormat"]))
+    if t == "stringFormat":
+        # StringFormatExtractionFn — String.format with the dim as only arg
+        return F.format_string(spec["format"], col)
+    if t == "cascade":
+        # CascadeExtractionFn — apply extractionFns in order
+        out = col
+        for sub in spec["extractionFns"]:
+            out = compile_extraction(sub, out)
+        return out
+    if t == "bucket":
+        # BucketExtractionFn — floor((x - offset)/size)*size + offset
+        size = float(spec.get("size", 1))
+        offset = float(spec.get("offset", 0))
+        x = col.cast("double")
+        return (F.floor((x - offset) / size) * size + offset)
+    if t == "lookup":
+        # query/lookup/LookupExtractionFn.java — inline map
+        m = spec["lookup"].get("map", {})
+        pairs = []
+        for k, v in m.items():
+            pairs.extend([F.lit(str(k)), F.lit(str(v))])
+        out = F.element_at(F.create_map(*pairs), col.cast("string")) if pairs else F.lit(None)
+        if spec.get("retainMissingValue"):
+            out = F.coalesce(out, col.cast("string"))
+        elif spec.get("replaceMissingValueWith") is not None:
+            out = F.coalesce(out, F.lit(spec["replaceMissingValueWith"]))
+        return out
+    if t == "registeredLookup":
+        # query/lookup/RegisteredLookupExtractionFn.java
+        from incubator_druid_spark.functions.lookups import lookup_column
+        out = lookup_column(spec["lookup"], col, spec.get("replaceMissingValueWith"))
+        if spec.get("retainMissingValue"):
+            out = F.coalesce(out, col.cast("string"))
+        return out
+    if t == "searchQuery":
+        # SearchQuerySpecDimExtractionFn — keep value if it matches, else null
+        from incubator_druid_spark.filters.filters import compile_search_spec
+        return F.when(compile_search_spec(spec["query"], col), col).otherwise(F.lit(None))
+    if t == "javascript":
+        raise NotImplementedError(
+            "javascript extractionFn: JS engine not embedded; register a python "
+            "UDF equivalent via functions.lookups or rewrite as an expression")
+    if t == "identity":
+        return col
+    raise ValueError(f"unknown extractionFn type: {t!r}")

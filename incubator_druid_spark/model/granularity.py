@@ -1,0 +1,212 @@
+"""Druid granularity system → Spark time-bucketing expressions.
+
+Reference semantics:
+- GranularityType enumerates SECOND…MINUTE, FIVE/TEN/FIFTEEN/THIRTY_MINUTE, HOUR,
+  SIX_HOUR, EIGHT_HOUR, DAY, WEEK, MONTH, QUARTER, YEAR, ALL, NONE
+  (core/src/main/java/org/apache/druid/java/util/common/granularity/GranularityType.java:34-84).
+- PeriodGranularity: arbitrary ISO-8601 period with timeZone + origin
+  (granularity/PeriodGranularity.java) — flooring happens in the local timezone,
+  relative to the origin.
+- DurationGranularity: fixed millis bucket (granularity/DurationGranularity.java).
+- ALL → single bucket (no time grouping); NONE → identity (group by raw timestamp).
+- Druid weeks are ISO weeks (Monday start) — Spark's date_trunc('week') matches.
+
+Spark-first design: everything compiles to a Column expression over a timestamp
+column so it stays inside whole-stage codegen — no UDFs.  Fixed-width periods
+use millis arithmetic (`floor((t - origin) / width) * width + origin`), which
+Catalyst constant-folds; month-based periods use date_trunc / a months-arithmetic
+expression.  Flooring with a timezone shifts into local wall time, floors, and
+shifts back (matching PeriodGranularity.truncate).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MILLIS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000, "w": 7 * 86_400_000}
+
+# Simple-name → ISO period (GranularityType.java:34-84)
+SIMPLE_PERIODS = {
+    "second": "PT1S", "minute": "PT1M", "five_minute": "PT5M",
+    "ten_minute": "PT10M", "fifteen_minute": "PT15M", "thirty_minute": "PT30M",
+    "hour": "PT1H", "six_hour": "PT6H", "eight_hour": "PT8H",
+    "day": "P1D", "week": "P1W", "month": "P1M", "quarter": "P3M", "year": "P1Y",
+}
+
+_PERIOD_RE = re.compile(
+    r"^P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?$",
+    re.IGNORECASE,
+)
+
+
+@dataclass(frozen=True)
+class Period:
+    months: int  # calendar part (years*12 + months)
+    millis: int  # fixed part (weeks/days/hours/minutes/seconds)
+
+    @property
+    def is_calendar(self) -> bool:
+        return self.months > 0
+
+
+def parse_period(iso: str) -> Period:
+    m = _PERIOD_RE.match(iso.strip())
+    if not m or iso.strip().upper() in ("P", "PT"):
+        raise ValueError(f"bad ISO-8601 period: {iso!r}")
+    g = {k: (float(v) if v else 0) for k, v in m.groupdict().items()}
+    months = int(g["y"]) * 12 + int(g["mo"])
+    millis = int(
+        g["w"] * _MILLIS["w"] + g["d"] * _MILLIS["d"] + g["h"] * _MILLIS["h"]
+        + g["mi"] * _MILLIS["m"] + g["s"] * _MILLIS["s"]
+    )
+    if months and millis:
+        raise ValueError(f"mixed calendar+fixed period not supported: {iso!r}")
+    return Period(months, millis)
+
+
+class Granularity:
+    """Compiled granularity: ``floor(col)`` returns the bucket-start timestamp."""
+
+    def __init__(self, kind: str, period: Period | None = None,
+                 origin_millis: int | None = None, tz: str | None = None):
+        self.kind = kind  # 'all' | 'none' | 'period'
+        self.period = period
+        self.origin_millis = origin_millis
+        self.tz = tz if tz not in (None, "UTC", "Etc/UTC") else None
+
+    # ------------------------------------------------------------------
+    def floor(self, col: Column) -> Column:
+        if self.kind == "all":
+            # Druid ALL: one bucket anchored at the interval start; callers
+            # aggregate without time grouping, so floor is unused in practice.
+            return F.lit(None).cast("timestamp")
+        if self.kind == "none":
+            return col
+        p = self.period
+        local = F.from_utc_timestamp(col, self.tz) if self.tz else col
+        if p.is_calendar:
+            out = self._floor_months(local, p.months)
+        else:
+            out = self._floor_millis(local, p.millis)
+        return F.to_utc_timestamp(out, self.tz) if self.tz else out
+
+    def _floor_millis(self, col: Column, width: int) -> Column:
+        origin = self.origin_millis or 0
+        t = F.unix_millis(col)
+        # floor-div handles pre-origin timestamps correctly (Spark div truncates
+        # toward negative infinity only via `floor`, so use it explicitly).
+        bucket = F.floor((t - F.lit(origin)) / F.lit(width)) * width + origin
+        return F.timestamp_millis(bucket.cast("long"))
+
+    def _floor_months(self, col: Column, months: int) -> Column:
+        if months == 1:
+            return F.date_trunc("month", col)
+        if months == 12 and self.origin_millis is None:
+            return F.date_trunc("year", col)
+        if months == 3 and self.origin_millis is None:
+            return F.date_trunc("quarter", col)
+        # generic: month index since epoch, floored to the period
+        mi = (F.year(col) - 1970) * 12 + F.month(col) - 1
+        floored = F.floor(mi / months) * months
+        return F.make_timestamp(
+            (F.floor(floored / 12) + 1970).cast("int"),
+            (floored % 12 + 1).cast("int"),
+            F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+        )
+
+    # ------------------------------------------------------------------
+    def ceil(self, col: Column) -> Column:
+        """timestamp_ceil semantics: floor, then +1 period if not on boundary
+        (reference: query/expression/TimestampCeilExprMacro.java)."""
+        fl = self.floor(col)
+        nxt = self.shift(fl, 1)
+        return F.when(fl == col, fl).otherwise(nxt)
+
+    def shift(self, col: Column, steps: int) -> Column:
+        p = self.period
+        if p is None:
+            return col
+        if p.is_calendar:
+            return F.add_months(col, p.months * steps).cast("timestamp")
+        return F.timestamp_millis(
+            (F.unix_millis(col) + F.lit(p.millis * steps)).cast("long"))
+
+    def spine(self, start_ms: int, end_ms: int) -> list[int]:
+        """Bucket starts covering [start, end) — the zero-fill time spine for
+        timeseries (driver-side; bucket counts are small by construction)."""
+        if self.kind in ("all", "none") or self.period is None:
+            return []
+        out = []
+        p = self.period
+        if p.is_calendar:
+            # walk months from the floored start
+            from datetime import datetime, timezone
+            dt = datetime.fromtimestamp(start_ms / 1000, tz=timezone.utc)
+            mi = (dt.year - 1970) * 12 + dt.month - 1
+            mi = mi // p.months * p.months
+            while True:
+                y, mo = divmod(mi, 12)
+                t = int(datetime(1970 + y, mo + 1, 1, tzinfo=timezone.utc).timestamp() * 1000)
+                if t >= end_ms:
+                    break
+                if t >= start_ms or True:
+                    out.append(max(t, 0))
+                mi += p.months
+                if len(out) > 100_000:
+                    raise ValueError("time spine too large")
+        else:
+            origin = self.origin_millis or 0
+            t = (start_ms - origin) // p.millis * p.millis + origin
+            while t < end_ms:
+                out.append(t)
+                t += p.millis
+                if len(out) > 1_000_000:
+                    raise ValueError("time spine too large")
+        return out
+
+
+def parse_granularity(spec) -> Granularity:
+    """Accepts the JSON forms Druid accepts: a simple string ("hour", "all",
+    "none"), {"type":"period","period":..,"timeZone":..,"origin":..}, or
+    {"type":"duration","duration":ms,"origin":..}.
+    Reference: granularity/Granularity.java (Jackson polymorphic) + GranularityType.
+    """
+    if isinstance(spec, Granularity):
+        return spec
+    if spec is None:
+        return Granularity("all")
+    if isinstance(spec, str):
+        s = spec.lower()
+        if s == "all":
+            return Granularity("all")
+        if s == "none":
+            return Granularity("none")
+        if s not in SIMPLE_PERIODS:
+            raise ValueError(f"unknown granularity: {spec!r}")
+        return Granularity("period", parse_period(SIMPLE_PERIODS[s]))
+    if isinstance(spec, dict):
+        t = spec.get("type", "period")
+        origin = spec.get("origin")
+        origin_ms = _parse_origin(origin) if origin is not None else None
+        if t == "period":
+            return Granularity("period", parse_period(spec["period"]),
+                               origin_ms, spec.get("timeZone"))
+        if t == "duration":
+            return Granularity("period", Period(0, int(spec["duration"])), origin_ms)
+        if t == "all":
+            return Granularity("all")
+        if t == "none":
+            return Granularity("none")
+    raise ValueError(f"bad granularity spec: {spec!r}")
+
+
+def _parse_origin(origin) -> int:
+    if isinstance(origin, (int, float)):
+        return int(origin)
+    from incubator_druid_spark.model.intervals import parse_iso_millis
+    return parse_iso_millis(str(origin))

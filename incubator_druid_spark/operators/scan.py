@@ -1,0 +1,39 @@
+"""scan query — raw row retrieval ordered only by __time, with offset+limit.
+
+Reference: query/scan/ScanQuery.java:129-141 (columns, filter, resultFormat,
+batchSize, offset, limit, order — Order enum :89 NONE/ASCENDING/DESCENDING);
+ScanQueryEngine.java streams rows per segment.  Spark: select + filter +
+orderBy(__time) + offset + limit; with order NONE no sort is emitted at all
+(no shuffle — straight scan with pushed filters).  batchSize/resultFormat are
+wire-format concerns that don't exist for a DataFrame result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
+from incubator_druid_spark.plans.translator import prepare_frame
+
+
+def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    df = prepare_frame(query, spark, catalog)
+
+    cols = query.get("columns") or []
+    if cols:
+        df = df.select(*cols)
+
+    order = (query.get("order") or "none").lower()
+    if order == "ascending":
+        df = df.orderBy(F.col(TIME_COLUMN).asc())
+    elif order == "descending":
+        df = df.orderBy(F.col(TIME_COLUMN).desc())
+
+    offset = int(query.get("offset") or 0)
+    if offset:
+        df = df.offset(offset)
+    limit = query.get("limit")
+    if limit is not None:
+        df = df.limit(int(limit))
+    return df

@@ -1,0 +1,87 @@
+"""timeseries query — time-bucketed aggregation, no dimension grouping.
+
+Reference: query/timeseries/TimeseriesQuery.java:70-79 (fields) and
+TimeseriesQueryEngine.java (per-segment fold by granular bucket; broker merges
+buckets).  Spark: groupBy(granularity floor) + agg — partial aggregation
+map-side, one shuffle on the bucket key, merge in the same plan.
+
+Zero-filling: Druid emits a row for every granularity bucket in the query
+intervals even when no rows landed there (unless context skipEmptyBuckets).
+Empty buckets hold aggregator identity values (sum/count → 0, min/max → null).
+We generate the bucket spine driver-side from the intervals (bucket count is
+bounded by interval/granularity, not data size — safe at any data scale) and
+left-join the aggregate onto it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
+from incubator_druid_spark.filters.filters import FilterContext
+from incubator_druid_spark.model.granularity import parse_granularity
+from incubator_druid_spark.model.intervals import parse_intervals
+from incubator_druid_spark.operators.aggregations import (compile_aggregations,
+                                                          compile_post_aggregations)
+from incubator_druid_spark.plans.translator import prepare_frame
+
+_ZERO_FILL_AGGS = {"count", "longSum", "doubleSum", "floatSum", "cardinality",
+                   "hyperUnique"}
+
+
+def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    df = prepare_frame(query, spark, catalog)
+    gran = parse_granularity(query.get("granularity", "all"))
+    ctx = FilterContext(df)
+    aggs = compile_aggregations(query.get("aggregations"), ctx)
+    if not aggs:
+        aggs = [F.count(F.lit(1)).alias("count")]
+    post = compile_post_aggregations(query.get("postAggregations"))
+
+    if gran.kind == "all":
+        out = df.agg(*aggs)
+    else:
+        out = (df.groupBy(gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN))
+                 .agg(*aggs))
+        out = _zero_fill(out, query, gran, spark)
+
+    if post:
+        out = out.select("*", *post)
+
+    if gran.kind != "all":
+        out = out.orderBy(F.col(TIME_COLUMN).desc() if query.get("descending")
+                          else F.col(TIME_COLUMN))
+    limit = query.get("limit")
+    if limit:
+        out = out.limit(int(limit))
+    return out
+
+
+def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession) -> DataFrame:
+    if query.get("context", {}).get("skipEmptyBuckets"):
+        return out
+    ivs = parse_intervals(query.get("intervals"))
+    if not ivs:
+        return out  # unbounded → cannot enumerate buckets
+    spine_ms: list[int] = []
+    for start, end in ivs:
+        spine_ms.extend(gran.spine(start, end))
+    if not spine_ms or len(spine_ms) > 500_000:
+        return out
+    spine = spark.createDataFrame([(m,) for m in sorted(set(spine_ms))], "ms long") \
+        .select(F.timestamp_millis(F.col("ms")).alias(TIME_COLUMN))
+    joined = F.broadcast(spine).join(out, on=TIME_COLUMN, how="left")
+    # aggregator identity values for empty buckets
+    fills = []
+    for spec in query.get("aggregations") or []:
+        name = spec.get("name")
+        if spec["type"] in _ZERO_FILL_AGGS:
+            zero = 0 if spec["type"] in ("count", "longSum", "cardinality",
+                                         "hyperUnique") else 0.0
+            fills.append(F.coalesce(F.col(name), F.lit(zero)).alias(name))
+        else:
+            fills.append(F.col(name))
+    if not (query.get("aggregations") or []):
+        fills = [F.coalesce(F.col("count"), F.lit(0)).alias("count")]
+    return joined.select(TIME_COLUMN, *fills)

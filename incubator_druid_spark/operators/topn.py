@@ -1,0 +1,83 @@
+"""topN query — top-K groups of ONE dimension by a metric.
+
+Reference: query/topn/TopNQuery.java:64-74; PooledTopNAlgorithm.java computes
+per-segment top-K then merges (approximate under multi-segment merge,
+minTopNThreshold in TopNQueryConfig.java).  We compute the EXACT answer:
+groupBy(dim).agg(...).orderBy(metric).limit(K) — Catalyst plans the sort+limit
+as TakeOrderedAndProject (per-partition top-K, merge K·partitions rows at the
+driver), which is the same algorithm Druid approximates but with a correct
+global merge.  Documented capability upgrade (SURVEY §2.1): exact ⊇ approximate.
+
+Metric specs (query/topn/metric/): numeric (desc by agg), dimension
+(by dim value with a StringComparator), lexicographic (legacy), inverted
+(reverses the inner ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
+from incubator_druid_spark.filters.filters import FilterContext, _ordering_key
+from incubator_druid_spark.model.granularity import parse_granularity
+from incubator_druid_spark.operators.aggregations import (compile_aggregations,
+                                                          compile_post_aggregations)
+from incubator_druid_spark.model.columns import qcol
+from incubator_druid_spark.operators.dimensions import apply_dimensions
+from incubator_druid_spark.plans.translator import prepare_frame
+
+
+def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    df = prepare_frame(query, spark, catalog)
+    gran = parse_granularity(query.get("granularity", "all"))
+    df, dim_names = apply_dimensions(df, [query["dimension"]])
+    dim = dim_names[0]
+
+    keys = [dim]
+    per_bucket = gran.kind != "all"
+    if per_bucket:
+        df = df.withColumn("__bucket", gran.floor(F.col(TIME_COLUMN)))
+        keys = ["__bucket", dim]
+
+    ctx = FilterContext(df)
+    aggs = compile_aggregations(query.get("aggregations"), ctx)
+    out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)
+
+    post = compile_post_aggregations(query.get("postAggregations"))
+    if post:
+        out = out.select("*", *post)
+
+    order = _metric_order(query["metric"], dim, invert=False)
+    k = int(query["threshold"])
+
+    if per_bucket:
+        # top-K within each time bucket → window rank (single shuffle on the
+        # bucket+dim keys already done by the agg; rank reuses that partitioning)
+        from pyspark.sql import Window
+        w = Window.partitionBy("__bucket").orderBy(*order)
+        out = (out.withColumn("__rank", F.row_number().over(w))
+                  .filter(F.col("__rank") <= k).drop("__rank")
+                  .orderBy("__bucket", *order)
+                  .withColumnRenamed("__bucket", TIME_COLUMN))
+        return out
+    return out.orderBy(*order).limit(k)
+
+
+def _metric_order(metric_spec, dim: str, invert: bool):
+    if isinstance(metric_spec, str):
+        metric_spec = {"type": "numeric", "metric": metric_spec}
+    t = metric_spec["type"]
+    if t == "numeric":
+        col = qcol(metric_spec["metric"])
+        return [col.asc() if invert else col.desc()]
+    if t == "inverted":
+        return _metric_order(metric_spec["metric"], dim, not invert)
+    if t == "dimension":
+        ordering = metric_spec.get("ordering", "lexicographic")
+        col = _ordering_key(qcol(dim), ordering)
+        return [col.desc() if invert else col.asc()]
+    if t == "lexicographic":
+        col = qcol(dim).cast("string")
+        return [col.desc() if invert else col.asc()]
+    raise ValueError(f"unknown topN metric spec {t!r}")
