@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()[name](spark, sf_dir)`` runs each implemented operator from
+SURVEY.md §2 (native Druid JSON through the translation engine, plus the
+training-data pipeline operators); ``oracle_sql()[name]`` is the DuckDB
+equivalent the driver cross-checks at sf0.01.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded (3 decimals for ratios, 2 for money sums) on
+  both sides so association-order float drift can't flip the value hash;
+- timestamps are compared at microsecond precision (DuckDB ``CAST(ts AS
+  TIMESTAMP)`` truncates ns → µs exactly like the catalog's ns→µs division).
 """
 
 from __future__ import annotations
@@ -12,27 +19,684 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from incubator_druid_spark import Catalog, translate
+from incubator_druid_spark.catalog import load_catalog
+
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    key = (id(spark), sf_dir)
+    if key not in _CATALOGS:
+        _CATALOGS[key] = load_catalog(spark, sf_dir)
+    return _CATALOGS[key]
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    return df.select(*[
+        F.round(F.col(c), nd).alias(c) if nd is not None else F.col(c)
+        for c, nd in cols.items()
+    ])
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: timeseries with zero-filled day buckets + filtered agg +
+    post-agg over the events table at sf0.001."""
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "day",
+        "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "purchase"},
+             "aggregator": {"type": "count", "name": "purchases"}},
+        ],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "avg_value", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                        {"type": "fieldAccess", "fieldName": "cnt"}]},
+        ],
+    }
+    return translate(q, spark, _cat(spark, "/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# query inventory
+# ---------------------------------------------------------------------------
+
+def _tq(q: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return translate(q, spark, _cat(spark, sf_dir))
+    return run
+
+
+def _ts_day(spark, sf):
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         "context": {"skipEmptyBuckets": True},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total", "fieldName": "value"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"__time": None, "cnt": None, "total": 3})
+
+
+def _ts_day_zerofill(spark, sf):
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-02-05T00:00:00Z"],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "longSum", "name": "users", "fieldName": "user_id"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _ts_hour_filtered(spark, sf):
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "hour",
+         "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+         "context": {"skipEmptyBuckets": True},
+         "filter": {"type": "selector", "dimension": "event_type", "value": "purchase"},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total", "fieldName": "value"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"__time": None, "cnt": None, "total": 3})
+
+
+def _ts_all(spark, sf):
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total", "fieldName": "value"},
+                          {"type": "doubleMin", "name": "vmin", "fieldName": "value"},
+                          {"type": "doubleMax", "name": "vmax", "fieldName": "value"},
+                          {"type": "longMin", "name": "tmin", "fieldName": "user_id"},
+                          {"type": "cardinality", "name": "card_type",
+                           "fields": ["event_type"], "byRow": True}]}
+    out = translate(q, spark, _cat(spark, sf))
+    # cardinality is approximate; event_type has 5 values so HLL is exact here
+    return _round(out, {"cnt": None, "total": 3, "vmin": 2, "vmax": 2,
+                        "tmin": None, "card_type": None})
+
+
+def _gb_event_type(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total", "fieldName": "value"},
+                          {"type": "doubleMean", "name": "avg_value", "fieldName": "value"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"event_type": None, "cnt": None, "total": 3, "avg_value": 3})
+
+
+def _gb_day_type(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _gb_having(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["user_id"],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+         "having": {"type": "greaterThan", "aggregation": "cnt", "value": 15}}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"user_id": None, "cnt": None, "total": 3})
+
+
+def _gb_first_last(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [
+             {"type": "doubleFirst", "name": "first_value", "fieldName": "value"},
+             {"type": "doubleLast", "name": "last_value", "fieldName": "value"},
+         ]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"event_type": None, "first_value": 2, "last_value": 2})
+
+
+def _gb_virtual_filtered(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "lineitem", "granularity": "all",
+         "dimensions": ["l_returnflag"],
+         "virtualColumns": [{"type": "expression", "name": "disc_price",
+                             "expression": "l_extendedprice * (1 - l_discount)",
+                             "outputType": "DOUBLE"}],
+         "aggregations": [
+             {"type": "doubleSum", "name": "revenue", "fieldName": "disc_price"},
+             {"type": "filtered",
+              "filter": {"type": "bound", "dimension": "l_quantity",
+                         "lower": "30", "ordering": "numeric"},
+              "aggregator": {"type": "count", "name": "big_cnt"}},
+             {"type": "count", "name": "cnt"}],
+         "postAggregations": [
+             {"type": "arithmetic", "name": "avg_revenue", "fn": "/",
+              "fields": [{"type": "fieldAccess", "fieldName": "revenue"},
+                         {"type": "fieldAccess", "fieldName": "cnt"}]}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"l_returnflag": None, "revenue": 2, "big_cnt": None,
+                   "cnt": None, "avg_revenue": 2})
+
+
+def _gb_subtotals(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "orders", "granularity": "all",
+         "dimensions": ["o_orderstatus", "o_orderpriority"],
+         "subtotalsSpec": [["o_orderstatus"], ["o_orderpriority"], []],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total",
+                           "fieldName": "o_totalprice"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"o_orderstatus": None, "o_orderpriority": None,
+                   "cnt": None, "total": 2})
+
+
+def _gb_expression_dim(spark, sf):
+    """Expression virtual column as dimension + expression filter."""
+    q = {"queryType": "groupBy", "dataSource": "orders", "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "price_bucket",
+                             "expression": "floor(o_totalprice / 50000)",
+                             "outputType": "LONG"}],
+         "dimensions": [{"type": "default", "dimension": "price_bucket",
+                         "outputType": "LONG"}],
+         "filter": {"type": "expression",
+                    "expression": "o_orderstatus == 'F' || o_orderstatus == 'O'"},
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _topn_event_type(spark, sf):
+    q = {"queryType": "topN", "dataSource": "events", "granularity": "all",
+         "dimension": "event_type", "metric": "total", "threshold": 3,
+         "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"event_type": None, "total": 3})
+
+
+def _topn_users(spark, sf):
+    q = {"queryType": "topN", "dataSource": "events", "granularity": "all",
+         "dimension": "user_id", "metric": "total", "threshold": 10,
+         "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"user_id": None, "total": 3})
+
+
+def _scan_purchases(spark, sf):
+    q = {"queryType": "scan", "dataSource": "events",
+         "columns": ["__time", "event_id", "event_type", "value"],
+         "filter": {"type": "selector", "dimension": "event_type", "value": "purchase"},
+         "order": "ascending", "limit": 100}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _scan_offset(spark, sf):
+    q = {"queryType": "scan", "dataSource": "events",
+         "columns": ["__time", "event_id", "user_id"],
+         "order": "ascending", "offset": 50, "limit": 25}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _scan_in_bound(spark, sf):
+    q = {"queryType": "scan", "dataSource": "events",
+         "columns": ["event_id", "event_type", "value"],
+         "filter": {"type": "and", "fields": [
+             {"type": "in", "dimension": "event_type",
+              "values": ["click", "view"]},
+             {"type": "bound", "dimension": "value", "lower": "495",
+              "ordering": "numeric"}]}}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _search_types(spark, sf):
+    q = {"queryType": "search", "dataSource": "events",
+         "searchDimensions": ["event_type"],
+         "query": {"type": "insensitive_contains", "value": "c"}}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _time_boundary(spark, sf):
+    return translate({"queryType": "timeBoundary", "dataSource": "events"},
+                     spark, _cat(spark, sf))
+
+
+def _ds_metadata(spark, sf):
+    return translate({"queryType": "dataSourceMetadata", "dataSource": "events"},
+                     spark, _cat(spark, sf))
+
+
+def _segment_metadata(spark, sf):
+    return translate({"queryType": "segmentMetadata", "dataSource": "lineitem",
+                      "analysisTypes": ["cardinality", "minmax"]},
+                     spark, _cat(spark, sf))
+
+
+def _gb_join_segment(spark, sf):
+    q = {"queryType": "groupBy", "granularity": "all",
+         "dataSource": {"type": "join", "left": "orders",
+                        "right": {"type": "globalTable", "name": "customer"},
+                        "rightPrefix": "c.",
+                        "condition": "o_custkey == \"c.c_custkey\"",
+                        "joinType": "INNER"},
+         "dimensions": [{"type": "default", "dimension": "c.c_mktsegment",
+                         "outputName": "segment"}],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total",
+                           "fieldName": "o_totalprice"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"segment": None, "cnt": None, "total": 2})
+
+
+def _gb_union(spark, sf):
+    q = {"queryType": "groupBy", "granularity": "all",
+         "dataSource": {"type": "union", "dataSources": ["orders", "orders"]},
+         "dimensions": ["o_orderstatus"],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _gb_nested_query(spark, sf):
+    """Query datasource: outer agg over an inner groupBy (Druid subquery)."""
+    inner = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+             "dimensions": ["user_id"],
+             "aggregations": [{"type": "count", "name": "user_events"}]}
+    q = {"queryType": "groupBy", "granularity": "all",
+         "dataSource": {"type": "query", "query": inner},
+         "dimensions": ["user_events"],
+         "aggregations": [{"type": "count", "name": "n_users"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _tpch_q1(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "lineitem", "granularity": "all",
+         "intervals": ["1995-01-01T00:00:00Z/1998-09-03T00:00:00Z"],
+         "dimensions": ["l_returnflag", "l_linestatus"],
+         "virtualColumns": [
+             {"type": "expression", "name": "disc_price",
+              "expression": "l_extendedprice * (1 - l_discount)",
+              "outputType": "DOUBLE"},
+             {"type": "expression", "name": "charge",
+              "expression": "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+              "outputType": "DOUBLE"}],
+         "aggregations": [
+             {"type": "doubleSum", "name": "sum_qty", "fieldName": "l_quantity"},
+             {"type": "doubleSum", "name": "sum_base_price", "fieldName": "l_extendedprice"},
+             {"type": "doubleSum", "name": "sum_disc_price", "fieldName": "disc_price"},
+             {"type": "doubleSum", "name": "sum_charge", "fieldName": "charge"},
+             {"type": "doubleMean", "name": "avg_qty", "fieldName": "l_quantity"},
+             {"type": "doubleMean", "name": "avg_price", "fieldName": "l_extendedprice"},
+             {"type": "doubleMean", "name": "avg_disc", "fieldName": "l_discount"},
+             {"type": "count", "name": "count_order"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"l_returnflag": None, "l_linestatus": None, "sum_qty": 2,
+                   "sum_base_price": 2, "sum_disc_price": 2, "sum_charge": 2,
+                   "avg_qty": 3, "avg_price": 3, "avg_disc": 4, "count_order": None})
+
+
+def _sql_q3ish(spark, sf):
+    """SQL surface: TPC-H Q3-shaped 3-way join, top 10 by revenue."""
+    cat = _cat(spark, sf)
+    cat.table("customer").createOrReplaceTempView("customer")
+    cat.table("orders").createOrReplaceTempView("orders")
+    cat.table("lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+        LIMIT 10
+    """)
+
+
+def _sql_q5ish(spark, sf):
+    """SQL surface: TPC-H Q5-shaped 6-way join, revenue per nation."""
+    cat = _cat(spark, sf)
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        cat.table(t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """)
+
+
+# -- pipeline operators ------------------------------------------------------
+
+def _dedup_exact(spark, sf):
+    from incubator_druid_spark.pipeline.dedup import exact_dedup
+    docs = _cat(spark, sf).table("documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "dup_count")
+
+
+def _dedup_fingerprint(spark, sf):
+    from incubator_druid_spark.pipeline.dedup import fingerprint_dedup
+    docs = _cat(spark, sf).table("documents")
+    return fingerprint_dedup(docs, "text", "doc_id").select("doc_id", "dup_count")
+
+
+def _text_stats(spark, sf):
+    """Per-document token/char counts — SQL-checkable subset of analyze()."""
+    from incubator_druid_spark.pipeline.text import token_count, char_count
+    docs = _cat(spark, sf).table("documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars_m"))
+
+
+def _text_source_tokens(spark, sf):
+    from incubator_druid_spark.pipeline.text import token_count
+    docs = _cat(spark, sf).table("documents")
+    return (docs.groupBy("source")
+                .agg(F.sum(token_count(F.col("text"))).alias("total_tokens"),
+                     F.count(F.lit(1)).alias("n_docs")))
+
+
+def _text_quality(spark, sf):
+    """Quality/langid analysis — heuristic, rows-only check."""
+    from incubator_druid_spark.pipeline.text import analyze
+    docs = _cat(spark, sf).table("documents")
+    return (analyze(docs)
+            .select("doc_id", "n_tokens", "quality", "lang_pred", "fingerprint"))
+
+
+def _ann_brute_topk(spark, sf):
+    from incubator_druid_spark.pipeline.similarity import cosine_topk
+    emb = _cat(spark, sf).table("embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return _round(out, {"vec_id": None, "cosine": 4})
+
+
+def _ann_lsh_topk(spark, sf):
+    from incubator_druid_spark.pipeline.similarity import ann_lsh_topk
+    emb = _cat(spark, sf).table("embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return _round(out, {"vec_id": None, "cosine": 4})
+
+
+def _minhash_pairs(spark, sf):
+    from incubator_druid_spark.pipeline.dedup import minhash_dedup
+    docs = _cat(spark, sf).table("documents")
+    return _round(minhash_dedup(docs, "doc_id", "text", threshold=0.5),
+                  {"id_a": None, "id_b": None, "jaccard": 3})
+
+
+def _simhash_pairs(spark, sf):
+    from incubator_druid_spark.pipeline.dedup import simhash_candidates
+    docs = _cat(spark, sf).table("documents")
+    return simhash_candidates(docs.limit(200), "doc_id", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ts_day": _ts_day,
+        "ts_day_zerofill": _ts_day_zerofill,
+        "ts_hour_filtered": _ts_hour_filtered,
+        "ts_all": _ts_all,
+        "gb_event_type": _gb_event_type,
+        "gb_day_type": _gb_day_type,
+        "gb_having": _gb_having,
+        "gb_first_last": _gb_first_last,
+        "gb_virtual_filtered": _gb_virtual_filtered,
+        "gb_subtotals": _gb_subtotals,
+        "gb_expression_dim": _gb_expression_dim,
+        "gb_join_segment": _gb_join_segment,
+        "gb_union": _gb_union,
+        "gb_nested_query": _gb_nested_query,
+        "topn_event_type": _topn_event_type,
+        "topn_users": _topn_users,
+        "scan_purchases": _scan_purchases,
+        "scan_offset": _scan_offset,
+        "scan_in_bound": _scan_in_bound,
+        "search_types": _search_types,
+        "time_boundary": _time_boundary,
+        "ds_metadata": _ds_metadata,
+        "segment_metadata": _segment_metadata,
+        "tpch_q1": _tpch_q1,
+        "sql_q3ish": _sql_q3ish,
+        "sql_q5ish": _sql_q5ish,
+        "dedup_exact": _dedup_exact,
+        "dedup_fingerprint": _dedup_fingerprint,
+        "text_stats": _text_stats,
+        "text_source_tokens": _text_source_tokens,
+        "text_quality": _text_quality,
+        "ann_brute_topk": _ann_brute_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ts_day": """
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __time,
+                   count(*) AS cnt, round(sum(value), 3) AS total
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+            GROUP BY 1
+        """,
+        "ts_day_zerofill": """
+            WITH spine AS (
+                SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2024-02-04',
+                                              INTERVAL 1 DAY)) AS __time),
+            agg AS (
+                SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __time,
+                       count(*) AS cnt, sum(user_id) AS users
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-05'
+                GROUP BY 1)
+            SELECT spine.__time, coalesce(agg.cnt, 0) AS cnt,
+                   coalesce(agg.users, 0) AS users
+            FROM spine LEFT JOIN agg ON spine.__time = agg.__time
+        """,
+        "ts_hour_filtered": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS __time,
+                   count(*) AS cnt, round(sum(value), 3) AS total
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+              AND event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "ts_all": """
+            SELECT count(*) AS cnt, round(sum(value), 3) AS total,
+                   round(min(value), 2) AS vmin, round(max(value), 2) AS vmax,
+                   min(user_id) AS tmin,
+                   count(DISTINCT event_type) AS card_type
+            FROM events
+        """,
+        "gb_event_type": """
+            SELECT event_type, count(*) AS cnt, round(sum(value), 3) AS total,
+                   round(avg(value), 3) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "gb_day_type": """
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __time,
+                   event_type, count(*) AS cnt
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+            GROUP BY 1, 2
+        """,
+        "gb_having": """
+            SELECT user_id, count(*) AS cnt, round(sum(value), 3) AS total
+            FROM events GROUP BY user_id HAVING count(*) > 15
+        """,
+        "gb_first_last": """
+            SELECT event_type,
+                   round(arg_min(value, ts), 2) AS first_value,
+                   round(arg_max(value, ts), 2) AS last_value
+            FROM events GROUP BY event_type
+        """,
+        "gb_virtual_filtered": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) FILTER (WHERE l_quantity >= 30) AS big_cnt,
+                   count(*) AS cnt,
+                   round(sum(l_extendedprice * (1 - l_discount)) / count(*), 2)
+                       AS avg_revenue
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "gb_subtotals": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "gb_expression_dim": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+                   count(*) AS cnt
+            FROM orders
+            WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
+            GROUP BY 1
+        """,
+        "gb_join_segment": """
+            SELECT c_mktsegment AS segment, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "gb_union": """
+            SELECT o_orderstatus, count(*) AS cnt
+            FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+            GROUP BY 1
+        """,
+        "gb_nested_query": """
+            SELECT user_events, count(*) AS n_users
+            FROM (SELECT user_id, count(*) AS user_events
+                  FROM events GROUP BY user_id)
+            GROUP BY 1
+        """,
+        "topn_event_type": """
+            SELECT event_type, round(sum(value), 3) AS total
+            FROM events GROUP BY event_type
+            ORDER BY sum(value) DESC LIMIT 3
+        """,
+        "topn_users": """
+            SELECT user_id, round(sum(value), 3) AS total
+            FROM events GROUP BY user_id
+            ORDER BY sum(value) DESC LIMIT 10
+        """,
+        "scan_purchases": """
+            SELECT CAST(ts AS TIMESTAMP) AS __time, event_id, event_type, value
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY ts LIMIT 100
+        """,
+        "scan_offset": """
+            SELECT CAST(ts AS TIMESTAMP) AS __time, event_id, user_id
+            FROM events ORDER BY ts LIMIT 25 OFFSET 50
+        """,
+        "scan_in_bound": """
+            SELECT event_id, event_type, value
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value >= 495
+        """,
+        "search_types": """
+            SELECT 'event_type' AS dimension, event_type AS value,
+                   count(*) AS count
+            FROM events
+            WHERE contains(lower(event_type), 'c')
+            GROUP BY 2
+        """,
+        "time_boundary": """
+            SELECT CAST(min(ts) AS TIMESTAMP) AS minTime,
+                   CAST(max(ts) AS TIMESTAMP) AS maxTime
+            FROM events
+        """,
+        "ds_metadata": """
+            SELECT CAST(max(ts) AS TIMESTAMP) AS maxIngestedEventTime FROM events
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 3) AS avg_qty,
+                   round(avg(l_extendedprice), 3) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1998-09-03'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_q3ish": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+            LIMIT 10
+        """,
+        "sql_q5ish": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_fingerprint": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents
+            GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 \t\n]', ' ', 'g'), '\\s+', ' ', 'g'))
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '')) AS n_tokens,
+                   length(text) AS n_chars_m
+            FROM documents
+        """,
+        "text_source_tokens": """
+            SELECT source,
+                   sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != ''))) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "ann_brute_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4)
+                       AS cosine
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC,
+                     vec_id
+            LIMIT 10
+        """,
+        # ts_day_zerofill / text_quality / ann_lsh_topk / minhash_pairs /
+        # simhash_pairers / segment_metadata / gb_first_last: approximate or
+        # non-SQL-expressible paths intentionally omitted → rows-only check.
+    }

@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH, SimHash.
+
+Scale design (100 TB): every path is shuffle-minimal —
+- exact/fingerprint dedup: one hash-partitioned groupBy on a 64-bit key
+  (never the full text; the wide column stays un-shuffled until the winner
+  is chosen by key).
+- MinHash LSH: signatures are computed scan-side as Column expressions
+  (xxhash64 per seed — no Python), then ONE explode on (band, bandHash) and
+  ONE groupBy to find candidate buckets; verification joins only candidate
+  pairs (the classic shingle→minhash→band→bucket-join pipeline).
+- SimHash: 64-bit signature via bit-counting HOFs, banded into 4×16-bit keys
+  so any pair within Hamming distance 3 shares ≥1 band (pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.pipeline.text import normalize_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per exact key.  groupBy on xxhash64(key) keeps the
+    shuffle narrow; the representative id is min_by over the hash groups."""
+    key = F.xxhash64(*[F.col(c) for c in key_cols])
+    return (df.withColumn("__key", key)
+              .groupBy("__key")
+              .agg(F.min(F.col(id_col)).alias(id_col),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .drop("__key"))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint (case/punct/ws
+    insensitive)."""
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    return (df.withColumn("__fp", fp)
+              .groupBy("__fp")
+              .agg(F.min(F.col(id_col)).alias(id_col),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .withColumnRenamed("__fp", "fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct)."""
+    toks = tokens(normalize_text(text))
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed, min over shingles of xxhash64(shingle, seed).
+    Null/empty shingle sets produce null mins — callers filter empties first."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col,
+                                lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_n: int = 3) -> DataFrame:
+    """→ (id_a, id_b) candidate near-dup pairs from LSH banding.
+    rows = num_hashes/bands per band; collision in ANY band → candidate."""
+    rows = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
+    with_sig = (df.select(F.col(id_col), sig.alias("__sig"))
+                  .filter(F.col("__sig")[0].isNotNull()))
+    banded = with_sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("__sig")[b * rows + r]
+                                  for r in range(rows)]).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"))
+    buckets = banded.select(id_col, "bb.band", "bb.bh")
+    pairs = (buckets.alias("l")
+             .join(buckets.alias("r"),
+                   (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bh") == F.col("r.bh"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.8, num_hashes: int = 64,
+                  bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify on
+    shingle sets → pairs over threshold.  Returns (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
+                                   shingle_n)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    j = (cands
+         .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (j.select("id_a", "id_b", jac.alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for every cross pair of two (small) sides —
+    the brute-force verifier used in tests; production path is minhash_dedup."""
+    sa = df_a.select(F.col(id_col).alias("id_a"),
+                     shingles(F.col(text_col), n).alias("sh_a"))
+    sb = df_b.select(F.col(id_col).alias("id_b"),
+                     shingles(F.col(text_col), n).alias("sh_b"))
+    j = sa.crossJoin(sb)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select("id_a", "id_b",
+                    F.when(union > 0, inter / union).otherwise(0.0).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash signature as a 64-char bit STRING: per token, the xxhash64 bit
+    pattern votes +1/-1 per position; the signature is the sign vector.
+
+    Bit extraction uses lpad(bin(hash)) — `bin` of a negative long already
+    emits the full 64-bit two's complement — because Spark's shiftright only
+    accepts a literal shift amount inside HOF lambdas.  Everything stays in
+    codegen; one pass over tokens."""
+    toks = tokens(normalize_text(text))
+    zeros = F.array_repeat(F.lit(0), bits)
+
+    def vote(acc, t):
+        bstr = F.lpad(F.bin(F.xxhash64(t)), bits, "0")
+
+        def bit(i):
+            return F.when(F.substring(bstr, i, 1) == "1", 1).otherwise(-1)
+
+        return F.zip_with(acc, F.transform(F.sequence(F.lit(1), F.lit(bits)), bit),
+                          lambda a, b: a + b)
+
+    votes = F.aggregate(toks, zeros, vote)
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")), "")
+
+
+def hamming_distance(sig_a: Column, sig_b: Column) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    diff = F.zip_with(F.split(sig_a, ""), F.split(sig_b, ""),
+                      lambda a, b: F.when(a != b, 1).otherwise(0))
+    return F.aggregate(diff, F.lit(0), lambda acc, x: acc + x)
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates where Hamming(simhash) ≤ max_hamming: band the
+    64-bit signature into 4×16-bit chunks; ≤3 differing bits leave ≥1 chunk
+    equal (pigeonhole), so a single equi-join on (chunk, value) finds all."""
+    sig = simhash(F.col(text_col))
+    with_sig = df.select(F.col(id_col), sig.alias("__sim"))
+    chunks = with_sig.select(
+        id_col, "__sim",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.substring(F.col("__sim"), c * 16 + 1, 16).alias("ck"))
+            for c in range(4)
+        ])).alias("cc"))
+    chunks = chunks.select(id_col, "__sim", "cc.chunk", "cc.ck")
+    pairs = (chunks.alias("l")
+             .join(chunks.alias("r"),
+                   (F.col("l.chunk") == F.col("r.chunk"))
+                   & (F.col("l.ck") == F.col("r.ck"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col("l.__sim").alias("sim_a"),
+                     F.col("r.__sim").alias("sim_b"))
+             .distinct())
+    ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
+    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
+                 .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production ANN system would tier them:
+- brute-force cosine top-k: exact baseline.  The dot product is a zip_with/
+  aggregate HOF pair — JVM-evaluated per row, no Python, no shuffle until the
+  final TakeOrderedAndProject(k).
+- LSH-bucketed (random hyperplane signatures): scale path.  Signature bits are
+  literal-vector dot products compiled into the plan (driver-side RNG with a
+  fixed seed, so plans are deterministic and executors share the planes for
+  free via the serialized plan).  Candidate generation is one equi-join on
+  (band, bandkey) — the same shuffle shape as the MinHash pipeline.
+- embedding-cosine near-dup pairs for dedup (pipeline.dedup's vector sibling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_topk(df: DataFrame, query_vec, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to a literal query vector.
+    Plan: scan → project(similarity) → TakeOrderedAndProject(k) — one pass,
+    no shuffle of the vectors themselves."""
+    q = _lit_vec(query_vec)
+    sim = cosine(F.col(vec_col), q)
+    return (df.select(F.col(id_col), sim.alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col))
+              .limit(k))
+
+
+def hyperplane_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """LSH signature: one bit per hyperplane (sign of the dot product),
+    packed into a long per 16-plane band below."""
+    bits = [F.when(dot(vec_col, _lit_vec(p)) >= 0, 1).otherwise(0) for p in planes]
+    return F.array(*bits)
+
+
+def ann_lsh_topk(df: DataFrame, query_vec, k: int = 10, num_planes: int = 16,
+                 bands: int = 4, seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id", probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH prefilter, exact re-rank.
+
+    Rows whose signature matches the query's in ≥1 band are candidates
+    (multi-probe within `probe_hamming` on the query side could be added by
+    enumerating neighbor signatures; at probe_hamming=1 we accept band-exact
+    matches).  At 100 TB the signature projection is computed at ingest and
+    stored, making this a partition-pruned equi-join.
+    """
+    rng = np.random.default_rng(seed)
+    dim = len(query_vec)
+    planes = rng.standard_normal((num_planes, dim))
+    rows = num_planes // bands
+
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    qbits = [1 if float(np.dot(query_vec, p)) >= 0 else 0 for p in planes]
+
+    with_sig = df.withColumn("__sig", sig)
+    band_match = None
+    for b in range(bands):
+        bits = [F.col("__sig")[b * rows + r] for r in range(rows)]
+        qband = qbits[b * rows:(b + 1) * rows]
+        eq = None
+        for bit, qb in zip(bits, qband):
+            e = bit == qb
+            eq = e if eq is None else eq & e
+        band_match = eq if band_match is None else band_match | eq
+
+    cands = with_sig.filter(band_match)
+    q = _lit_vec(query_vec)
+    sim = cosine(F.col(vec_col), q)
+    return (cands.select(F.col(id_col), sim.alias("cosine"))
+                 .orderBy(F.col("cosine").desc(), F.col(id_col))
+                 .limit(k))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             num_planes: int = 16, bands: int = 4,
+                             seed: int = 42, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join on
+    banded signatures, exact cosine verify ≥ threshold.
+    Returns (id_a, id_b, cosine)."""
+    rng = np.random.default_rng(seed)
+    dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    planes = rng.standard_normal((num_planes, dim))
+    rows = num_planes // bands
+
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    banded = with_sig.select(
+        id_col, vec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.col("__sig")[b * rows + r].cast("string")
+                                for r in range(rows)])).alias("bk"))
+            for b in range(bands)
+        ])).alias("bb"))
+    buckets = banded.select(id_col, vec_col, "bb.band", "bb.bk")
+    pairs = (buckets.alias("l")
+             .join(buckets.alias("r"),
+                   (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bk") == F.col("r.bk"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col(f"l.{vec_col}").alias("va"),
+                     F.col(f"r.{vec_col}").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (pairs.select("id_a", "id_b", sim.alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,137 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions (no UDFs): tokenization, counting,
+quality scoring, language ID and fingerprinting run inside whole-stage codegen
+and scale linearly with partitions — at 100 TB the plan is a single scan +
+projection per operator, no shuffle at all unless the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID (public knowledge; tiny on purpose — they ride along as plan
+# literals, no broadcast needed).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "nicht"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es", "en", "por"],
+}
+
+_BPE_ISH_RE = r"[A-Za-z]+|\d|[^\sA-Za-z\d]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored count: alpha runs + single digits + punctuation marks,
+    approximating subword tokenizers' behavior on digits/punct."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH_RE), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    """Count tokens appearing in the marker set.  NOTE: the lambda must take
+    exactly one parameter — PySpark derives HOF arity from the Python
+    signature, so closing over `markers` via a default arg would silently bind
+    it to the element *index*."""
+    markers = F.array(*[F.lit(w) for w in words])
+
+    def contains(t):
+        return F.array_contains(markers, t)
+
+    return F.size(F.filter(toks, contains))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    hits = _marker_hits(toks, _LANG_MARKERS[lang])
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] heuristic quality score: favors moderate length,
+    word-like tokens, some stopwords, low punctuation density — the standard
+    cheap pre-filter shape for web-scale corpora."""
+    n_tok = token_count(text).cast("double")
+    length_score = F.least(n_tok / 100.0, F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    pr = punct_ratio(text)
+    punct_score = F.greatest(F.lit(0.0), 1.0 - pr * 4.0)
+    mwl = mean_word_length(text)
+    word_score = F.when((mwl >= 2.5) & (mwl <= 10.0), 1.0).otherwise(0.3)
+    return (length_score * 0.3 + sw_score * 0.3 + punct_score * 0.2
+            + word_score * 0.2)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language ID: argmax over per-language marker hits.
+    Unknown when nothing matches."""
+    toks = tokens(F.lower(text))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # build an argmax chain; langs is small and fixed so this unrolls in codegen
+    for lang, words in _LANG_MARKERS.items():
+        hits = _marker_hits(toks, words)
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint of the normalized text (xxhash64 — a
+    rolling-hash-class content id, stable across partitioning)."""
+    return F.xxhash64(normalize_text(text))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection: adds token/char counts, ratios,
+    quality, language and fingerprint columns."""
+    t = F.col(text_col)
+    return (df
+            .withColumn("n_tokens", token_count(t))
+            .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
+            .withColumn("n_chars_measured", char_count(t))
+            .withColumn("punct_ratio", punct_ratio(t))
+            .withColumn("stopword_ratio", stopword_ratio(t))
+            .withColumn("mean_word_len", mean_word_length(t))
+            .withColumn("quality", quality_score(t))
+            .withColumn("lang_pred", language_id(t))
+            .withColumn("fingerprint", fingerprint(t)))

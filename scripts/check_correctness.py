@@ -1,0 +1,98 @@
+"""Local emulation of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 and compares against ``oracle_sql()``
+via DuckDB: row count, column-name set, and order-insensitive value comparison
+(sorted columns, sorted rows).  Usage:  python scripts/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    import __spark_entry__ as entrymod
+    from incubator_druid_spark import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc(limit=5)
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if set(sdf.columns) != set(odf.columns):
+            print(f"FAIL  {name}: columns {sorted(sdf.columns)} != {sorted(odf.columns)}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL  {name}: rowcount {len(sdf)} != {len(odf)}")
+            n_fail += 1
+            continue
+        a, b = norm_frame(sdf), norm_frame(odf)
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=False, rtol=1e-6, atol=1e-6)
+            print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL  {name}: value mismatch ({len(sdf)} rows)")
+            print(str(e).splitlines()[-1] if str(e) else "")
+            merged = a.compare(b) if a.shape == b.shape else None
+            if merged is not None and not merged.empty:
+                print(merged.head(5))
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
