@@ -1,0 +1,96 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., plus scan-rate extras matching BASELINE.md's
+whitepaper metrics (rows/sec/core for count(*) and sum(float) over a time
+interval — druid.tex:880-882)}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from incubator_druid_spark import get_spark
+    from incubator_druid_spark.catalog import load_catalog
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = load_catalog(spark, sf_dir)
+
+    # warm the JVM + parquet footers so per-query numbers measure the engine,
+    # not session bootstrap
+    lineitem = cat.table("lineitem")
+    lineitem_rows = lineitem.count()
+    events_rows = cat.table("events").count()
+
+    queries = entrymod.queries()
+    headline = [
+        "ts_day", "ts_hour_filtered", "gb_event_type", "gb_day_type",
+        "gb_having", "gb_virtual_filtered", "gb_subtotals", "gb_join_segment",
+        "topn_users", "scan_purchases", "search_types", "time_boundary",
+        "tpch_q1", "sql_q3ish", "sql_q5ish",
+        "dedup_fingerprint", "text_source_tokens", "ann_brute_topk",
+        "minhash_pairs",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+
+    # whitepaper scan-rate metrics (BASELINE.md): count(*) and sum(float)
+    # over a time interval, rows/sec/core.  Best-of-3 and normalized by the
+    # scan's actual task parallelism — at sub-million-row scale fixed task
+    # dispatch dominates a single cold run and the file has few splits, so
+    # dividing one cold wall-time by all machine cores would understate the
+    # per-core rate by orders of magnitude.
+    from pyspark.sql import functions as F
+    filtered = cat.table("lineitem").filter(
+        (F.col("__time") >= "1995-01-01") & (F.col("__time") < "2002-01-01"))
+    scan_tasks = max(1, min(cpus, filtered.rdd.getNumPartitions()))
+    count_sec = min(_timed(lambda: filtered.count()) for _ in range(3))
+    sum_sec = min(_timed(
+        lambda: filtered.agg(F.sum("l_extendedprice")).collect())
+        for _ in range(3))
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline-suite total wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cpus,
+        "lineitem_rows": lineitem_rows,
+        "events_rows": events_rows,
+        "scan_tasks": scan_tasks,
+        "scan_count_rows_per_sec_core": int(lineitem_rows / count_sec / scan_tasks),
+        "scan_sum_rows_per_sec_core": int(lineitem_rows / sum_sec / scan_tasks),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,23 +61,54 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: per seed, min over shingles of xxhash64(shingle, seed).
+
+    Single expression — transform over the seed sequence with a nested
+    transform over shingles — so the shingle array is evaluated once per row
+    regardless of num_hashes (building one array-min per seed as separate
+    top-level expressions made Catalyst re-derive the shingle pipeline 64×).
     Null/empty shingle sets produce null mins — callers filter empties first."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_col,
-                                lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
-        for i in range(num_hashes)
-    ])
+
+    def per_seed(seed):
+        def h(s):
+            return F.xxhash64(s, seed)
+        return F.array_min(F.transform(shingle_col, h))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), per_seed)
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str,
+                   shingle_n: int) -> DataFrame:
+    """(id, __sh) with the shingle computation spread across the cluster and
+    persisted: the LSH self-join and the verify join both consume it, and
+    without persistence each join branch would re-derive the whole
+    regexp+HOF pipeline.  Repartitioning by id first matters when the input
+    is a few big files (a 1-file table otherwise serializes the expensive
+    projection onto one task — the single-node testdata hits exactly this)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.repartition(parallelism, F.col(id_col))
+            .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")))
+    return sh.persist()
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3, max_bucket: int = 64,
+                           _sh: DataFrame | None = None) -> DataFrame:
     """→ (id_a, id_b) candidate near-dup pairs from LSH banding.
-    rows = num_hashes/bands per band; collision in ANY band → candidate."""
+    rows = num_hashes/bands per band; collision in ANY band → candidate.
+
+    ``max_bucket`` drops buckets larger than the cap before the self-join —
+    hot min-hash values (stopword-heavy shingles, boilerplate) otherwise
+    produce O(bucket²) pairs; a pair that's a genuine near-dup still collides
+    in a *rarer* band with high probability, so the cap costs little recall
+    while bounding the join quadratically.  This is what makes the operator
+    safe on boilerplate-heavy corpora at 100 TB."""
     rows = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
-    with_sig = (df.select(F.col(id_col), sig.alias("__sig"))
-                  .filter(F.col("__sig")[0].isNotNull()))
+    with_sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_n)
+    sig = minhash_signature(F.col("__sh"), num_hashes)
+    with_sig = (with_sh.select(F.col(id_col), sig.alias("__sig"))
+                       .filter(F.col("__sig")[0].isNotNull())
+                       .persist())
     banded = with_sig.select(
         id_col,
         F.explode(F.array(*[
@@ -87,6 +118,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             for b in range(bands)
         ])).alias("bb"))
     buckets = banded.select(id_col, "bb.band", "bb.bh")
+    if max_bucket:
+        sizes = (buckets.groupBy("band", "bh")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+                 .drop("__n"))
+        buckets = buckets.join(sizes, on=["band", "bh"])
     pairs = (buckets.alias("l")
              .join(buckets.alias("r"),
                    (F.col("l.band") == F.col("r.band"))
@@ -100,15 +137,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.8, num_hashes: int = 64,
-                  bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                  bands: int = 16, shingle_n: int = 3,
+                  max_bucket: int = 64) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify on
-    shingle sets → pairs over threshold.  Returns (id_a, id_b, jaccard)."""
+    shingle sets → pairs over threshold.  Returns (id_a, id_b, jaccard).
+    The shingle frame is computed once and shared by the LSH and verify
+    stages."""
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                   shingle_n)
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+                                   shingle_n, max_bucket, _sh=sh)
     j = (cands
-         .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
+         .join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+         .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
