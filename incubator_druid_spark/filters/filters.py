@@ -91,10 +91,16 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
         return _leaf_predicate(spec, t, c, ctx)
 
     if dim is not None and ctx.is_array(dim) and extraction is None:
-        # MVD rule: ANY element matching satisfies the filter.  A null/empty
-        # array matches nothing (Druid: empty row matches only null filters).
+        # MVD rule: ANY element matching satisfies the filter.  A null or
+        # empty array row carries "no value" and matches only the null
+        # selector (DimensionSelector contract: missing MVD ≡ null).
         arr = ctx.resolve(dim)
-        return F.exists(arr, lambda v: _leaf_predicate(spec, t, v, ctx))
+        if t in ("selector", "equals") and spec.get(
+                "value" if t == "selector" else "matchValue") is None:
+            return arr.isNull() | (F.size(arr) == 0)
+        return F.coalesce(
+            F.exists(arr, lambda v: _leaf_predicate(spec, t, v, ctx)),
+            F.lit(False))
 
     return leaf(ctx.resolve(dim) if dim is not None else F.lit(None))
 
@@ -171,7 +177,10 @@ def _ordering_key(c: Column, ordering: str) -> Column:
     if ordering == "numeric":
         return c.cast("double")
     if ordering == "strlen":
-        return F.length(c.cast("string"))
+        # StringComparators.StrlenComparator: by length, then lexicographic;
+        # struct comparison gives the composite ordering
+        s = c.cast("string")
+        return F.struct(F.length(s).alias("l"), s.alias("s"))
     if ordering in ("alphanumeric", "version"):
         return _alphanum_key(c)
     raise ValueError(f"unknown ordering {ordering!r}")
@@ -229,7 +238,7 @@ def _bound_literal(v: str, ordering: str):
     if ordering == "numeric":
         return F.lit(float(v))
     if ordering == "strlen":
-        return F.lit(len(str(v)))
+        return F.struct(F.lit(len(str(v))).alias("l"), F.lit(str(v)).alias("s"))
     if ordering in ("alphanumeric", "version"):
         import re as _re
         return F.lit(_re.sub(r"\d+", lambda m: m.group().zfill(20), str(v)))

@@ -438,19 +438,35 @@ def _registry() -> dict:
                              lit_str(replace_missing) if replace_missing is not None else None)
 
     def _hof(fname):
+        # PySpark HOFs introspect the Python callable's signature, so wrap the
+        # deferred _Lambda in a plain single-arg lambda
         def apply(p, lam, arr):
             if not isinstance(lam, _Lambda):
                 raise ValueError(f"{fname} expects a lambda")
-            return getattr(F, fname)(_c(arr), lam)
+            return getattr(F, fname)(_c(arr), lambda x: lam(x))
         return apply
 
     def _map(p, lam, arr):
         # ApplyFunction.java:195
-        return F.transform(_c(arr), lam)
+        return F.transform(_c(arr), lambda x: lam(x))
 
     def _fold(p, lam, arr, acc):
-        # ApplyFunction.java:350 — fold((x, acc) -> ..., arr, init)
-        return F.aggregate(_c(arr), _c(acc), lambda a, x: lam(x, a))
+        # ApplyFunction.java:350 — fold((x, acc) -> ..., arr, init).
+        # Spark's aggregate() fixes the accumulator type from the init value;
+        # Druid's is dynamic — type the accumulator from the init literal and
+        # pin the merge result to it.
+        acc_type = None
+        v = lit_val(acc)
+        if isinstance(v, bool):
+            acc_type = "boolean"
+        elif isinstance(v, int):
+            acc_type = "long"
+        elif isinstance(v, float):
+            acc_type = "double"
+        init = _c(acc).cast(acc_type) if acc_type else _c(acc)
+        merge = (lambda a, x: _c(lam(x, a)).cast(acc_type)) if acc_type \
+            else (lambda a, x: _c(lam(x, a)))
+        return F.aggregate(_c(arr), init, merge)
 
     def _concat(p, *args):
         return F.concat(*[_c(a).cast("string") for a in args])
@@ -532,8 +548,14 @@ def _registry() -> dict:
         "bitwiseand": _cols(lambda a, b: a.cast("long").bitwiseAND(b.cast("long"))),
         "bitwiseor": _cols(lambda a, b: a.cast("long").bitwiseOR(b.cast("long"))),
         "bitwisexor": _cols(lambda a, b: a.cast("long").bitwiseXOR(b.cast("long"))),
-        "bitwiseshiftleft": _cols(lambda a, b: F.shiftleft(a.cast("long"), b.cast("int"))),
-        "bitwiseshiftright": _cols(lambda a, b: F.shiftright(a.cast("long"), b.cast("int"))),
+        # shiftleft/right take a literal shift count in Spark; fall back to
+        # arithmetic (×/÷ by 2^b) for column-valued shift amounts
+        "bitwiseshiftleft": lambda p, a, b: (
+            F.shiftleft(_c(a).cast("long"), int(lit_val(b))) if lit_val(b) is not None
+            else (_c(a).cast("long") * F.pow(F.lit(2.0), _c(b)).cast("long")).cast("long")),
+        "bitwiseshiftright": lambda p, a, b: (
+            F.shiftright(_c(a).cast("long"), int(lit_val(b))) if lit_val(b) is not None
+            else F.floor(_c(a).cast("long") / F.pow(F.lit(2.0), _c(b))).cast("long")),
         # -- conditionals / null (Function.java:2056-2247)
         "if": lambda p, c, a, b: F.when(_as_bool(c), _c(a)).otherwise(_c(b)),
         "case_searched": _case_searched, "case_simple": _case_simple,

@@ -95,8 +95,14 @@ class Granularity:
             out = self._floor_millis(local, p.millis)
         return F.to_utc_timestamp(out, self.tz) if self.tz else out
 
+    _EPOCH_MONDAY = -259_200_000  # 1969-12-29T00:00Z; epoch itself is a Thursday
+
     def _floor_millis(self, col: Column, width: int) -> Column:
-        origin = self.origin_millis or 0
+        origin = self.origin_millis
+        if origin is None:
+            # Druid weeks are ISO weeks (Monday start) — anchor week-multiple
+            # periods at the epoch's preceding Monday, not the Thursday epoch
+            origin = self._EPOCH_MONDAY if width % (7 * 86_400_000) == 0 else 0
         t = F.unix_millis(col)
         # floor-div handles pre-origin timestamps correctly (Spark div truncates
         # toward negative infinity only via `floor`, so use it explicitly).
@@ -132,7 +138,8 @@ class Granularity:
         if p is None:
             return col
         if p.is_calendar:
-            return F.add_months(col, p.months * steps).cast("timestamp")
+            # add_months returns a DATE (drops time-of-day); timestamp_add keeps it
+            return F.timestamp_add("MONTH", F.lit(p.months * steps), col)
         return F.timestamp_millis(
             (F.unix_millis(col) + F.lit(p.millis * steps)).cast("long"))
 
@@ -160,7 +167,9 @@ class Granularity:
                 if len(out) > 100_000:
                     raise ValueError("time spine too large")
         else:
-            origin = self.origin_millis or 0
+            origin = self.origin_millis
+            if origin is None:
+                origin = self._EPOCH_MONDAY if p.millis % (7 * 86_400_000) == 0 else 0
             t = (start_ms - origin) // p.millis * p.millis + origin
             while t < end_ms:
                 out.append(t)

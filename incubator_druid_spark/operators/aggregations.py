@@ -188,12 +188,34 @@ def _expression_lambda(spec: dict, ctx) -> Column:
     field = fields[0]
 
     collected = F.collect_list(ctx.resolve(field))
-    init_col = compile_expr(str(init), lambda n: (_ for _ in ()).throw(
-        ValueError(f"initialValue must be constant, saw {n}")))
+
+    def _const_resolver(n):
+        raise ValueError(f"initialValue must be constant, saw {n}")
+
+    # Spark's aggregate() needs the accumulator type fixed up-front; Druid's
+    # expression lambdas are dynamically typed, so type the accumulator from
+    # the initial value (int literal → long, float → double) and pin the fold
+    # result to it.
+    init_col = compile_expr(str(init), _const_resolver)
+    acc_type = "double"
+    try:
+        iv = int(str(init))
+        acc_type = "long"
+    except ValueError:
+        try:
+            float(str(init))
+        except ValueError:
+            acc_type = "string"
+    init_col = init_col.cast(acc_type)
 
     def fold_fn(acc, x):
-        return _c(compile_expr(fold_expr, lambda n, a=acc, xx=x: a if n == acc_id
-                               else (xx if n == field else ctx.resolve(n))))
+        def resolver(n, a=acc, xx=x):
+            if n == acc_id:
+                return a
+            if n == field:
+                return xx
+            return ctx.resolve(n)
+        return _c(compile_expr(fold_expr, resolver)).cast(acc_type)
 
     if finalize:
         def fin_fn(acc):
@@ -253,7 +275,12 @@ def _post_col(spec: dict) -> Column:
             elif fn == "/":
                 out = F.when(x == 0, F.lit(0.0)).otherwise(out / x)
             elif fn == "quotient":
-                out = out / x
+                # Java double division semantics (non-ANSI Spark yields null
+                # on /0, Druid yields ±Inf / NaN)
+                out = (F.when((x == 0) & (out > 0), F.lit(float("inf")))
+                        .when((x == 0) & (out < 0), F.lit(float("-inf")))
+                        .when((x == 0) & (out == 0), F.lit(float("nan")))
+                        .otherwise(out / x))
             else:
                 raise ValueError(f"unknown arithmetic fn {fn!r}")
         return out

@@ -28,6 +28,8 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
         is_arr = isinstance(types.get(spec), T.ArrayType)
         return spec, qcol(spec), is_arr
     t = spec.get("type", "default")
+    if t in ("listFiltered", "regexFiltered", "prefixFiltered"):
+        return _filtered_dimension(spec, t, df)
     dim = spec["dimension"]
     out = spec.get("outputName", dim)
     is_arr = isinstance(types.get(dim), T.ArrayType)
@@ -44,26 +46,24 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
         else:
             col = compile_extraction(spec["extractionFn"], col)
         return out, col, is_arr
+    raise ValueError(f"unknown dimension spec type {t!r}")
+
+
+def _filtered_dimension(spec: dict, t: str, df: DataFrame) -> tuple[str, Column, bool]:
+    """ListFiltered/RegexFiltered/PrefixFilteredDimensionSpec — prune MVD
+    elements before the explode (dimension/ListFilteredDimensionSpec.java)."""
+    inner_name, inner_col, inner_arr = dimension_column(spec["delegate"], df)
+    arr = inner_col if inner_arr else F.array(inner_col)
     if t == "listFiltered":
-        # dimension/ListFilteredDimensionSpec.java — keep (or drop) listed values
         values, allow = spec["values"], spec.get("isWhitelist", True)
-        inner_name, inner_col, _ = dimension_column(spec["delegate"], df)
-        arr = inner_col if is_arr else F.array(inner_col)
         vals = F.array(*[F.lit(v) for v in values])
         kept = F.filter(arr, (lambda v: F.array_contains(vals, v)) if allow
                         else (lambda v: ~F.array_contains(vals, v)))
-        return spec.get("outputName", inner_name), kept, True
-    if t == "regexFiltered":
-        inner_name, inner_col, inner_arr = dimension_column(spec["delegate"], df)
-        arr = inner_col if inner_arr else F.array(inner_col)
+    elif t == "regexFiltered":
         kept = F.filter(arr, lambda v: v.rlike(spec["pattern"]))
-        return spec.get("outputName", inner_name), kept, True
-    if t == "prefixFiltered":
-        inner_name, inner_col, inner_arr = dimension_column(spec["delegate"], df)
-        arr = inner_col if inner_arr else F.array(inner_col)
+    else:
         kept = F.filter(arr, lambda v: v.startswith(spec["prefix"]))
-        return spec.get("outputName", inner_name), kept, True
-    raise ValueError(f"unknown dimension spec type {t!r}")
+    return spec.get("outputName", inner_name), kept, True
 
 
 def apply_dimensions(df: DataFrame, specs: list) -> tuple[DataFrame, list[str]]:

@@ -28,6 +28,9 @@ def get_spark(app_name: str = "incubator-druid-spark", master: str | None = None
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        # Druid's expression engine is non-ANSI (x/0, overflow and bad casts
+        # yield null/identity rather than errors); match it
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,85 @@
+"""Shared fixtures: one SparkSession per test run + the reference's golden
+test datasources (FIXTURES.md / CalciteTests.java:379-428) rebuilt as
+DataFrames — `foo` (with MVD columns), the `lookyloo` lookup, and a catalog
+over the driver-generated sf0.001 parquet."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+SF_DIR = "/root/testdata/sf0.001"
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from incubator_druid_spark import get_spark
+    s = get_spark("tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def catalog(spark):
+    from incubator_druid_spark.catalog import load_catalog
+    return load_catalog(spark, SF_DIR)
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="session")
+def foo(spark):
+    """The reference's primary golden-test datasource
+    (sql/.../util/CalciteTests.java:379-428 via FIXTURES.md)."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("dim1", T.StringType()),
+        T.StructField("dim2", T.ArrayType(T.StringType())),
+        T.StructField("dim3", T.ArrayType(T.StringType())),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("m1", T.FloatType()),
+        T.StructField("m2", T.DoubleType()),
+    ])
+    rows = [
+        (_ts("2000-01-01"), "", ["a"], ["a", "b"], 1, 1.0, 1.0),
+        (_ts("2000-01-02"), "10.1", [], ["b", "c"], 1, 2.0, 2.0),
+        (_ts("2000-01-03"), "2", [""], ["d"], 1, 3.0, 3.0),
+        (_ts("2001-01-01"), "1", ["a"], [""], 1, 4.0, 4.0),
+        (_ts("2001-01-02"), "def", ["abc"], [], 1, 5.0, 5.0),
+        (_ts("2001-01-03"), "abc", None, None, 1, 6.0, 6.0),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="session")
+def foo_catalog(spark, foo, tmp_path_factory):
+    """Catalog with `foo` registered as a parquet datasource + lookyloo."""
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.functions.lookups import register_lookup
+    path = str(tmp_path_factory.mktemp("foo_ds") / "foo.parquet")
+    foo.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("foo", path)
+    # lookyloo lookup (CalciteTests.java:242-252)
+    register_lookup("lookyloo", {"a": "xa", "abc": "xabc",
+                                 "nosuchkey": "mysteryvalue", "6": "x6"})
+    cat.register_lookup("lookyloo", {"a": "xa", "abc": "xabc",
+                                     "nosuchkey": "mysteryvalue", "6": "x6"})
+    return cat
+
+
+def rows(df, *cols):
+    """Collect to a sorted list of tuples for order-insensitive assertion."""
+    data = [tuple(r[c] for c in cols) if cols else tuple(r) for r in df.collect()]
+    return sorted(data, key=lambda t: tuple((x is None, x) for x in t))

@@ -1,0 +1,123 @@
+"""Aggregator + post-aggregator library tests (per-aggregator semantics per
+processing/.../query/aggregation/ unit tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_druid_spark import translate
+from tests.conftest import rows
+
+
+def agg_one(spark, foo_catalog, *specs, post=None):
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "all",
+         "aggregations": list(specs)}
+    if post:
+        q["postAggregations"] = post
+    return translate(q, spark, foo_catalog).first()
+
+
+def test_sums_mins_maxes(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "longSum", "name": "ls", "fieldName": "cnt"},
+                {"type": "doubleSum", "name": "ds", "fieldName": "m2"},
+                {"type": "floatSum", "name": "fs", "fieldName": "m1"},
+                {"type": "longMin", "name": "mn", "fieldName": "cnt"},
+                {"type": "doubleMax", "name": "mx", "fieldName": "m2"},
+                {"type": "doubleMean", "name": "avg", "fieldName": "m2"})
+    assert (r["ls"], r["ds"], r["fs"], r["mn"], r["mx"], r["avg"]) == \
+        (6, 21.0, 21.0, 1, 6.0, 3.5)
+
+
+def test_first_last_any(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "doubleFirst", "name": "f", "fieldName": "m2"},
+                {"type": "doubleLast", "name": "l", "fieldName": "m2"},
+                {"type": "stringFirst", "name": "sf", "fieldName": "dim1"},
+                {"type": "stringLast", "name": "sl", "fieldName": "dim1"},
+                {"type": "longAny", "name": "a", "fieldName": "cnt"})
+    assert r["f"] == 1.0 and r["l"] == 6.0
+    assert r["sf"] == "" and r["sl"] == "abc"
+    assert r["a"] == 1
+
+
+def test_filtered_aggregator(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "filtered",
+                 "filter": {"type": "bound", "dimension": "m2", "lower": "3",
+                            "ordering": "numeric"},
+                 "aggregator": {"type": "doubleSum", "name": "big",
+                                "fieldName": "m2"}},
+                {"type": "filtered",
+                 "filter": {"type": "selector", "dimension": "dim2", "value": "a"},
+                 "aggregator": {"type": "count", "name": "mvd_cnt"}})
+    assert r["big"] == 18.0  # 3+4+5+6
+    assert r["mvd_cnt"] == 2  # MVD any-match inside filtered agg
+
+
+def test_cardinality_and_hyperunique(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "cardinality", "name": "c", "fields": ["dim1"],
+                 "byRow": True},
+                {"type": "hyperUnique", "name": "h", "fieldName": "dim1"})
+    assert r["c"] == 6 and r["h"] == 6
+
+
+def test_variance_stddev(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "variance", "name": "v", "fieldName": "m2"},
+                {"type": "stddev", "name": "s", "fieldName": "m2",
+                 "estimator": "population"})
+    assert abs(r["v"] - 3.5) < 1e-9          # sample variance of 1..6
+    assert abs(r["s"] - 1.707825) < 1e-5     # population stddev
+
+
+def test_histogram_fixed_buckets(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "fixedBucketsHistogram", "name": "h",
+                 "fieldName": "m2", "lowerLimit": 0, "upperLimit": 6,
+                 "numBuckets": 3})
+    assert list(r["h"]) == [1, 2, 2]  # [0,2):1  [2,4):2,3  [4,6):4,5
+
+
+def test_expression_lambda_aggregator(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "expressionLambda", "name": "prod",
+                 "fields": ["cnt"], "accumulatorIdentifier": "acc",
+                 "initialValue": "1", "fold": "acc * (cnt + 1)"})
+    assert r["prod"] == 64  # (1+1)^6
+
+
+def test_grouping_aggregator(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": ["dim1"],
+         "subtotalsSpec": [["dim1"], []],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    out = rows(translate(q, spark, foo_catalog), "dim1", "cnt")
+    assert (None, 6) in out
+
+
+def test_post_agg_division_semantics(spark, foo_catalog):
+    r = agg_one(spark, foo_catalog,
+                {"type": "doubleSum", "name": "sm", "fieldName": "m2"},
+                post=[
+                    {"type": "arithmetic", "name": "div0", "fn": "/",
+                     "fields": [{"type": "fieldAccess", "fieldName": "sm"},
+                                {"type": "constant", "value": 0}]},
+                    {"type": "arithmetic", "name": "quot0", "fn": "quotient",
+                     "fields": [{"type": "fieldAccess", "fieldName": "sm"},
+                                {"type": "constant", "value": 0}]},
+                    {"type": "doubleGreatest", "name": "g",
+                     "fields": [{"type": "fieldAccess", "fieldName": "sm"},
+                                {"type": "constant", "value": 100}]},
+                    {"type": "expression", "name": "e",
+                     "expression": "sm * 2"}])
+    assert r["div0"] == 0.0                   # Druid "/" → x/0 = 0
+    assert r["quot0"] == float("inf")         # quotient → IEEE
+    assert r["g"] == 100.0
+    assert r["e"] == 42.0
+
+
+def test_count_counts_rows_not_values(spark, foo_catalog):
+    # dim2 is null in one row; Druid `count` counts rows
+    r = agg_one(spark, foo_catalog, {"type": "count", "name": "c"})
+    assert r["c"] == 6

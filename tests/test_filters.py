@@ -1,0 +1,122 @@
+"""DimFilter tree tests, incl. the MVD any-match rule and bound orderings.
+Modeled on processing/src/test/.../query/filter tests +
+CalciteMultiValueStringQueryTest behaviors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.filters.filters import FilterContext, compile_filter
+from tests.conftest import rows
+
+
+def apply(df, spec):
+    return df.filter(compile_filter(spec, FilterContext(df)))
+
+
+def test_selector(foo):
+    assert apply(foo, {"type": "selector", "dimension": "dim1", "value": "abc"}).count() == 1
+    # empty string is a real value in SQL-compatible null mode
+    assert apply(foo, {"type": "selector", "dimension": "dim1", "value": ""}).count() == 1
+    # null matches the null row AND the empty-array row (Druid: [] ≡ null)
+    assert apply(foo, {"type": "selector", "dimension": "dim2", "value": None}).count() == 2
+
+
+def test_selector_on_mvd_matches_any(foo):
+    out = apply(foo, {"type": "selector", "dimension": "dim2", "value": "a"})
+    assert rows(out, "dim1") == [("",), ("1",)]
+    # value inside a multi-element array
+    out2 = apply(foo, {"type": "selector", "dimension": "dim3", "value": "b"})
+    assert rows(out2, "dim1") == [("",), ("10.1",)]
+
+
+def test_in_and_bound(foo):
+    assert apply(foo, {"type": "in", "dimension": "dim1",
+                       "values": ["abc", "def", "zzz"]}).count() == 2
+    # numeric ordering: "10.1" > "2" numerically
+    out = apply(foo, {"type": "bound", "dimension": "dim1", "lower": "2",
+                      "ordering": "numeric"})
+    assert rows(out, "dim1") == [("10.1",), ("2",)]
+    # lexicographic: "10.1" < "2"
+    out2 = apply(foo, {"type": "bound", "dimension": "dim1", "lower": "2",
+                       "lowerStrict": False, "ordering": "lexicographic"})
+    assert ("10.1",) not in rows(out2, "dim1")
+    # strlen ordering: by length then lexicographic — 1-char dims "1","2" < "4",
+    # longer dims sort above any 1-char value
+    out3 = apply(foo, {"type": "bound", "dimension": "dim1", "lower": "4",
+                       "ordering": "strlen"})
+    assert rows(out3, "dim1") == [("10.1",), ("abc",), ("def",)]
+
+
+def test_alphanumeric_bound(spark):
+    df = spark.createDataFrame([("x9",), ("x10",), ("x100",)], "v string")
+    ctx = FilterContext(df)
+    pred = compile_filter({"type": "bound", "dimension": "v", "lower": "x10",
+                           "upper": "x100", "ordering": "alphanumeric"}, ctx)
+    assert rows(df.filter(pred), "v") == [("x10",), ("x100",)]
+
+
+def test_like_regex_search(foo):
+    assert apply(foo, {"type": "like", "dimension": "dim1", "pattern": "a%"}).count() == 1
+    assert apply(foo, {"type": "regex", "dimension": "dim1",
+                       "pattern": "^[0-9]+"}).count() == 3
+    assert apply(foo, {"type": "search", "dimension": "dim1",
+                       "query": {"type": "contains", "value": "0."}}).count() == 1
+    assert apply(foo, {"type": "search", "dimension": "dim1",
+                       "query": {"type": "fragment",
+                                 "values": ["a", "c"]}}).count() == 1
+
+
+def test_boolean_algebra(foo):
+    spec = {"type": "and", "fields": [
+        {"type": "not", "field": {"type": "selector", "dimension": "dim1", "value": ""}},
+        {"type": "or", "fields": [
+            {"type": "selector", "dimension": "dim1", "value": "abc"},
+            {"type": "selector", "dimension": "dim1", "value": "def"}]}]}
+    assert apply(foo, spec).count() == 2
+    assert apply(foo, {"type": "true"}).count() == 6
+    assert apply(foo, {"type": "false"}).count() == 0
+
+
+def test_expression_filter(foo):
+    assert apply(foo, {"type": "expression", "expression": "m1 > 3 && m2 < 6"}).count() == 2
+    assert apply(foo, {"type": "expression",
+                       "expression": "strlen(dim1) == 3"}).count() == 2
+
+
+def test_interval_filter(foo):
+    out = apply(foo, {"type": "interval", "dimension": "__time",
+                      "intervals": ["2000-01-01T00:00:00Z/2001-01-01T00:00:00Z"]})
+    assert out.count() == 3
+
+
+def test_column_comparison(spark):
+    df = spark.createDataFrame([("a", "a"), ("a", "b")], "x string, y string")
+    ctx = FilterContext(df)
+    pred = compile_filter({"type": "columnComparison", "dimensions": ["x", "y"]}, ctx)
+    assert df.filter(pred).count() == 1
+
+
+def test_extraction_fn_in_filter(foo):
+    spec = {"type": "selector", "dimension": "dim1", "value": "AB",
+            "extractionFn": {"type": "cascade", "extractionFns": [
+                {"type": "upper"}, {"type": "substring", "index": 0, "length": 2}]}}
+    assert apply(foo, spec).count() == 1  # 'abc' → 'ABC' → 'AB'
+
+
+def test_spatial_filter(spark):
+    df = spark.createDataFrame([("1.0,1.0",), ("5.0,5.0",), ("2.5,2.5",)],
+                               "loc string")
+    ctx = FilterContext(df)
+    rect = compile_filter({"type": "spatial", "dimension": "loc",
+                           "bound": {"type": "rectangular",
+                                     "minCoords": [0, 0], "maxCoords": [3, 3]}}, ctx)
+    assert df.filter(rect).count() == 2
+    radius = compile_filter({"type": "spatial", "dimension": "loc",
+                             "bound": {"type": "radius", "coords": [1, 1],
+                                       "radius": 1.0}}, ctx)
+    assert df.filter(radius).count() == 1
+
+
+def test_unknown_filter_raises(foo):
+    with pytest.raises(ValueError):
+        apply(foo, {"type": "frobnicate", "dimension": "dim1"})

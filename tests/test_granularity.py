@@ -1,0 +1,101 @@
+"""Granularity system tests — floor/ceil/shift/spine semantics per
+core/.../granularity/ (GranularityType, PeriodGranularity, DurationGranularity)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.model.granularity import (Granularity, Period,
+                                                     parse_granularity,
+                                                     parse_period)
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def floor_one(spark, gran, value):
+    df = spark.createDataFrame([(ts(value),)], "t timestamp")
+    return df.select(gran.floor(F.col("t")).alias("f")).first()["f"]
+
+
+def test_parse_period():
+    assert parse_period("PT1H") == Period(0, 3_600_000)
+    assert parse_period("P1D") == Period(0, 86_400_000)
+    assert parse_period("P1W") == Period(0, 7 * 86_400_000)
+    assert parse_period("P1M") == Period(1, 0)
+    assert parse_period("P1Y") == Period(12, 0)
+    assert parse_period("PT15M") == Period(0, 900_000)
+    with pytest.raises(ValueError):
+        parse_period("P1M1D")  # mixed calendar+fixed unsupported
+    with pytest.raises(ValueError):
+        parse_period("nope")
+
+
+def test_simple_granularities(spark):
+    assert floor_one(spark, parse_granularity("hour"),
+                     "2024-03-05 13:47:21") == ts("2024-03-05 13:00:00")
+    assert floor_one(spark, parse_granularity("fifteen_minute"),
+                     "2024-03-05 13:47:21") == ts("2024-03-05 13:45:00")
+    assert floor_one(spark, parse_granularity("day"),
+                     "2024-03-05 13:47:21") == ts("2024-03-05 00:00:00")
+    # ISO week starts Monday (2024-03-05 is a Tuesday)
+    assert floor_one(spark, parse_granularity("week"),
+                     "2024-03-05 13:47:21") == ts("2024-03-04 00:00:00")
+    assert floor_one(spark, parse_granularity("month"),
+                     "2024-03-05 13:47:21") == ts("2024-03-01 00:00:00")
+    assert floor_one(spark, parse_granularity("quarter"),
+                     "2024-05-05 13:47:21") == ts("2024-04-01 00:00:00")
+    assert floor_one(spark, parse_granularity("year"),
+                     "2024-03-05 13:47:21") == ts("2024-01-01 00:00:00")
+
+
+def test_duration_and_origin(spark):
+    g = parse_granularity({"type": "duration", "duration": 7_200_000})  # 2h
+    assert floor_one(spark, g, "2024-03-05 13:47:21") == ts("2024-03-05 12:00:00")
+    # origin shifts bucket boundaries (PeriodGranularity.truncate semantics)
+    g2 = parse_granularity({"type": "period", "period": "P1D",
+                            "origin": "1970-01-01T06:00:00Z"})
+    assert floor_one(spark, g2, "2024-03-05 03:00:00") == ts("2024-03-04 06:00:00")
+    assert floor_one(spark, g2, "2024-03-05 07:00:00") == ts("2024-03-05 06:00:00")
+
+
+def test_timezone_floor(spark):
+    g = parse_granularity({"type": "period", "period": "P1D",
+                           "timeZone": "America/Los_Angeles"})
+    # 2024-03-05 06:00 UTC is 2024-03-04 22:00 PST → LA day starts 08:00 UTC
+    assert floor_one(spark, g, "2024-03-05 06:00:00") == ts("2024-03-04 08:00:00")
+
+
+def test_ceil_and_shift(spark):
+    g = parse_granularity("hour")
+    df = spark.createDataFrame([(ts("2024-03-05 13:47:21"),),
+                                (ts("2024-03-05 13:00:00"),)], "t timestamp")
+    out = df.select(g.ceil(F.col("t")).alias("c")).collect()
+    assert out[0]["c"] == ts("2024-03-05 14:00:00")
+    assert out[1]["c"] == ts("2024-03-05 13:00:00")  # on-boundary: unchanged
+    sh = df.select(g.shift(F.col("t"), 2).alias("s")).first()["s"]
+    assert sh == ts("2024-03-05 15:47:21")
+    gm = parse_granularity("month")
+    sm = df.select(gm.shift(F.col("t"), -1).alias("s")).first()["s"]
+    assert sm == ts("2024-02-05 13:47:21")
+
+
+def test_spine():
+    g = parse_granularity("day")
+    start = int(ts("2024-01-01 00:00:00").replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    end = int(ts("2024-01-04 00:00:00").replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    assert len(g.spine(start, end)) == 3
+    gm = parse_granularity("month")
+    end_m = int(ts("2024-07-01 00:00:00").replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    assert len(gm.spine(start, end_m)) == 6
+
+
+def test_all_none():
+    assert parse_granularity("all").kind == "all"
+    assert parse_granularity(None).kind == "all"
+    assert parse_granularity("none").kind == "none"

@@ -1,0 +1,157 @@
+"""Training-data pipeline operator tests: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, rows
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Synthetic corpus with known near-duplicates."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the tall green tree near the river bank today")
+    rows_ = [
+        (1, base),
+        (2, base.replace("today", "tonight")),          # near-dup of 1
+        (3, base),                                       # exact dup of 1
+        (4, "completely different text about spark sql engines and "
+            "columnar storage formats with vectorized execution plans"),
+        (5, "another unrelated document mentioning minhash signatures "
+            "locality sensitive hashing and jaccard similarity measures"),
+    ]
+    return spark.createDataFrame(rows_, "doc_id long, text string")
+
+
+def test_exact_dedup(near_dup_docs):
+    from incubator_druid_spark.pipeline.dedup import exact_dedup
+    out = exact_dedup(near_dup_docs, ["text"], "doc_id")
+    assert out.count() == 4
+    kept = dict(rows(out, "doc_id", "dup_count"))
+    assert kept[1] == 2  # doc 3 collapsed into doc 1
+
+
+def test_fingerprint_dedup_normalizes(spark):
+    from incubator_druid_spark.pipeline.dedup import fingerprint_dedup
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string")
+    out = fingerprint_dedup(df, "text", "doc_id")
+    assert out.count() == 2
+
+
+def test_minhash_finds_near_dups(near_dup_docs):
+    from incubator_druid_spark.pipeline.dedup import minhash_dedup
+    pairs = rows(minhash_dedup(near_dup_docs, "doc_id", "text",
+                               threshold=0.5), "id_a", "id_b")
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs)
+
+
+def test_simhash_near_dups(near_dup_docs):
+    from incubator_druid_spark.pipeline.dedup import simhash_candidates
+    out = rows(simhash_candidates(near_dup_docs, "doc_id", "text",
+                                  max_hamming=10), "id_a", "id_b", "hamming")
+    pairs = {(a, b): h for a, b, h in out}
+    assert pairs[(1, 3)] == 0          # exact dup → identical signature
+    assert (1, 2) in pairs             # near dup within hamming budget
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard(near_dup_docs):
+    from incubator_druid_spark.pipeline.dedup import ngram_jaccard
+    a = near_dup_docs.filter("doc_id = 1")
+    out = ngram_jaccard(a, near_dup_docs, "doc_id", "text")
+    j = {r[1]: r[2] for r in rows(out)}
+    assert j[3] == 1.0
+    assert 0.5 < j[2] < 1.0
+    assert j[4] < 0.05
+
+
+def test_cosine_topk_exact(spark):
+    from incubator_druid_spark.pipeline.similarity import cosine_topk
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = cosine_topk(df, [1.0, 0.0], k=2)
+    assert [r["vec_id"] for r in out.collect()] == [1, 2]
+
+
+def test_ann_lsh_recall(spark, catalog):
+    """LSH top-k should substantially overlap brute-force top-k."""
+    from incubator_druid_spark.pipeline.similarity import (ann_lsh_topk,
+                                                           cosine_topk)
+    emb = catalog.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in cosine_topk(rest, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ann_lsh_topk(rest, q, k=10).collect()}
+    assert len(exact & approx) >= 5
+
+
+def test_embedding_near_dup_pairs(spark):
+    from incubator_druid_spark.pipeline.similarity import embedding_near_dup_pairs
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = rows(embedding_near_dup_pairs(df, threshold=0.99), "id_a", "id_b")
+    assert out == [(1, 2)]
+
+
+def test_text_analyze(spark):
+    from incubator_druid_spark.pipeline.text import analyze
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox is in the garden with the dog."),
+         (2, "le chat est dans la maison et le chien est dans le jardin")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in analyze(df).collect()}
+    assert out[1]["n_tokens"] == 11
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "fr"
+    assert 0.0 < out[1]["quality"] <= 1.0
+    assert out[1]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_text_fingerprint_stability(spark):
+    from incubator_druid_spark.pipeline.text import fingerprint
+    df = spark.createDataFrame(
+        [("Hello,   WORLD!",), ("hello world",)], "t string")
+    fps = [r["f"] for r in df.select(fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_image_features(spark):
+    from incubator_druid_spark.pipeline.multimodal import (
+        attach_media_metadata, decode_image_features)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff" + b"fakejpegbytes")),
+         (2, bytearray(b"\x89PNG" + b"fakepngbytes"))],
+        "id long, content binary")
+    meta = attach_media_metadata(df)
+    mimes = {r["id"]: r["media"]["mime"] for r in meta.collect()}
+    assert mimes == {1: "image/jpeg", 2: "image/png"}
+    feats = decode_image_features(df, fake=True)
+    out = feats.collect()
+    assert len(out) == 2
+    assert len(out[0]["feat"]) == 8
+    assert out[0]["width"] == 224
+    # deterministic: same bytes → same features
+    again = decode_image_features(df, fake=True).collect()
+    assert out[0]["feat"] == again[0]["feat"]
+
+
+def test_multimodal_real_codec_raises(spark):
+    from incubator_druid_spark.pipeline.multimodal import decode_image_features
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, content binary")
+    with pytest.raises(Exception):
+        decode_image_features(df, fake=False).collect()
+
+
+def test_video_frame_sampling(spark):
+    from incubator_druid_spark.pipeline.multimodal import sample_video_frames
+    df = spark.createDataFrame([(1, bytearray(b"0" * 100))],
+                               "id long, content binary")
+    out = sample_video_frames(df, fake=True).collect()
+    assert len(out) >= 1
+    assert all(len(r["frame_feat"]) == 8 for r in out)

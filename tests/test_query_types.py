@@ -1,0 +1,218 @@
+"""End-to-end native query tests over the `foo` golden fixture and sf0.001
+parquet — the CalciteQueryTest-style layer (SURVEY §5.1)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_druid_spark import translate
+from tests.conftest import rows
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+# -- timeseries --------------------------------------------------------------
+
+def test_timeseries_zero_fill(spark, foo_catalog):
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "day",
+         "intervals": ["2000-01-01T00:00:00Z/2000-01-06T00:00:00Z"],
+         "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"},
+                          {"type": "doubleMax", "name": "m", "fieldName": "m2"}]}
+    out = rows(translate(q, spark, foo_catalog))
+    assert len(out) == 5  # 3 data days + 2 empty buckets
+    by_time = {r[0]: r for r in out}
+    assert by_time[ts("2000-01-04")][1] == 0      # zero-filled sum
+    assert by_time[ts("2000-01-04")][2] is None   # max has no zero identity
+    assert by_time[ts("2000-01-02")][1] == 1
+
+
+def test_timeseries_all_with_post_agg(spark, foo_catalog):
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "all",
+         "aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m2"},
+                          {"type": "count", "name": "cnt"}],
+         "postAggregations": [{"type": "arithmetic", "name": "mean", "fn": "/",
+                               "fields": [{"type": "fieldAccess", "fieldName": "sm"},
+                                          {"type": "fieldAccess", "fieldName": "cnt"}]}]}
+    r = translate(q, spark, foo_catalog).first()
+    assert r["sm"] == 21.0 and r["cnt"] == 6 and r["mean"] == 3.5
+
+
+def test_timeseries_descending_limit(spark, foo_catalog):
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "year",
+         "descending": True, "limit": 1,
+         "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+         "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"}]}
+    r = translate(q, spark, foo_catalog).collect()
+    assert len(r) == 1 and r[0]["__time"] == ts("2001-01-01")
+
+
+# -- groupBy -----------------------------------------------------------------
+
+def test_groupby_mvd_explodes(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": ["dim2"],
+         "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"}]}
+    out = rows(translate(q, spark, foo_catalog), "dim2", "cnt")
+    # 'a' appears in two rows; [] and null both group as null
+    assert (("a", 2)) in out
+    assert (("abc", 1)) in out
+    assert (("", 1)) in out
+    assert ((None, 2)) in out
+
+
+def test_groupby_extraction_dimension(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": [{"type": "extraction", "dimension": "dim1",
+                         "outputName": "d", "extractionFn": {"type": "strlen"}}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    out = dict(rows(translate(q, spark, foo_catalog), "d", "cnt"))
+    assert out == {"0": 1, "1": 2, "3": 2, "4": 1}
+
+
+def test_groupby_filtered_dimension_spec(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": [{"type": "listFiltered",
+                         "delegate": {"type": "default", "dimension": "dim3",
+                                      "outputName": "d3"},
+                         "values": ["b", "d"]}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    out = dict(rows(translate(q, spark, foo_catalog), "d3", "cnt"))
+    assert out["b"] == 2 and out["d"] == 1
+
+
+def test_groupby_having_and_limit(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": ["dim1"],
+         "aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m2"}],
+         "having": {"type": "greaterThan", "aggregation": "sm", "value": 2.0},
+         "limitSpec": {"type": "default",
+                       "columns": [{"dimension": "sm", "direction": "descending"}],
+                       "limit": 2}}
+    out = translate(q, spark, foo_catalog).collect()
+    assert [r["dim1"] for r in out] == ["abc", "def"]
+
+
+def test_groupby_subtotals_grouping_sets(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": ["dim1", "dim2"],
+         "subtotalsSpec": [["dim1"], []],
+         "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"}]}
+    out = rows(translate(q, spark, foo_catalog), "dim1", "dim2", "cnt")
+    assert (None, None, 6) in out       # grand total
+    assert ("abc", None, 1) in out      # per-dim1 subtotal
+
+
+def test_groupby_time_bucket(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "year",
+         "dimensions": [],
+         "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"}]}
+    out = rows(translate(q, spark, foo_catalog), "__time", "cnt")
+    assert out == [(ts("2000-01-01"), 3), (ts("2001-01-01"), 3)]
+
+
+# -- topN --------------------------------------------------------------------
+
+def test_topn_numeric_and_inverted(spark, foo_catalog):
+    base = {"queryType": "topN", "dataSource": "foo", "granularity": "all",
+            "dimension": "dim1", "threshold": 2,
+            "aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m2"}]}
+    out = translate({**base, "metric": "sm"}, spark, foo_catalog).collect()
+    assert [r["dim1"] for r in out] == ["abc", "def"]
+    inv = translate({**base, "metric": {"type": "inverted", "metric": "sm"}},
+                    spark, foo_catalog).collect()
+    assert [r["dim1"] for r in inv] == ["", "10.1"]
+
+
+def test_topn_dimension_ordering(spark, foo_catalog):
+    q = {"queryType": "topN", "dataSource": "foo", "granularity": "all",
+         "dimension": "dim1", "threshold": 3,
+         "metric": {"type": "dimension", "ordering": "lexicographic"},
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    out = translate(q, spark, foo_catalog).collect()
+    assert [r["dim1"] for r in out] == ["", "1", "10.1"]
+
+
+def test_topn_per_time_bucket(spark, foo_catalog):
+    q = {"queryType": "topN", "dataSource": "foo", "granularity": "year",
+         "dimension": "dim1", "threshold": 1, "metric": "sm",
+         "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+         "aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m2"}]}
+    out = rows(translate(q, spark, foo_catalog), "__time", "dim1")
+    assert out == [(ts("2000-01-01"), "2"), (ts("2001-01-01"), "abc")]
+
+
+# -- scan / search / metadata ------------------------------------------------
+
+def test_scan_order_offset_limit(spark, foo_catalog):
+    q = {"queryType": "scan", "dataSource": "foo", "columns": ["__time", "dim1"],
+         "order": "descending", "offset": 1, "limit": 2}
+    out = translate(q, spark, foo_catalog).collect()
+    assert [r["dim1"] for r in out] == ["def", "1"]
+
+
+def test_search_query(spark, foo_catalog):
+    q = {"queryType": "search", "dataSource": "foo",
+         "searchDimensions": ["dim1", "dim2"],
+         "query": {"type": "insensitive_contains", "value": "ab"}}
+    out = rows(translate(q, spark, foo_catalog), "dimension", "value", "count")
+    assert ("dim1", "abc", 1) in out
+    assert ("dim2", "abc", 1) in out  # MVD values searched element-wise
+
+
+def test_time_boundary(spark, foo_catalog):
+    r = translate({"queryType": "timeBoundary", "dataSource": "foo"},
+                  spark, foo_catalog).first()
+    assert r["minTime"] == ts("2000-01-01") and r["maxTime"] == ts("2001-01-03")
+    r2 = translate({"queryType": "timeBoundary", "dataSource": "foo",
+                    "bound": "maxTime"}, spark, foo_catalog).first()
+    assert r2["maxTime"] == ts("2001-01-03")
+
+
+def test_segment_metadata(spark, foo_catalog):
+    out = translate({"queryType": "segmentMetadata", "dataSource": "foo"},
+                    spark, foo_catalog)
+    m = {r["column"]: r for r in out.collect()}
+    assert m["dim2"]["hasMultipleValues"] is True
+    assert m["dim2"]["type"] == "STRING_ARRAY"
+    assert m["m2"]["type"] == "DOUBLE"
+    assert m["dim1"]["cardinality"] == 6
+    assert m["cnt"]["numRows"] == 6
+
+
+# -- datasources -------------------------------------------------------------
+
+def test_join_lookup_datasource(spark, foo_catalog):
+    q = {"queryType": "groupBy", "granularity": "all",
+         "dataSource": {"type": "join", "left": "foo",
+                        "right": {"type": "lookup", "lookup": "lookyloo"},
+                        "rightPrefix": "j0.",
+                        "condition": "dim1 == \"j0.k\"", "joinType": "INNER"},
+         "dimensions": [{"type": "default", "dimension": "j0.v",
+                         "outputName": "v"}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    out = dict(rows(translate(q, spark, foo_catalog), "v", "cnt"))
+    assert out == {"xabc": 1}
+
+
+def test_inline_datasource(spark, foo_catalog):
+    q = {"queryType": "scan",
+         "dataSource": {"type": "inline",
+                        "columnNames": ["k", "n"],
+                        "rows": [["a", 1], ["b", 2]]},
+         "columns": ["k", "n"]}
+    assert translate(q, spark, foo_catalog).count() == 2
+
+
+def test_query_datasource_nesting(spark, foo_catalog):
+    inner = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+             "dimensions": ["dim1"],
+             "aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m2"}]}
+    outer = {"queryType": "timeseries", "granularity": "all",
+             "dataSource": {"type": "query", "query": inner},
+             "aggregations": [{"type": "doubleMax", "name": "mx", "fieldName": "sm"},
+                              {"type": "count", "name": "groups"}]}
+    r = translate(outer, spark, foo_catalog).first()
+    assert r["mx"] == 6.0 and r["groups"] == 6
