@@ -1,0 +1,206 @@
+"""Batch ingestion: Druid task spec → time-partitioned Parquet table.
+
+Reference pipeline being re-expressed (SURVEY §3.3): InputSource/InputFormat
+(core/.../data/input/impl/) → TransformSpec (segment/transform/TransformSpec.java)
+→ GranularitySpec bucketing (server/.../granularity/UniformGranularitySpec.java)
+→ rollup in IncrementalIndex (segment/incremental/IncrementalIndex.java:217,
+1152-1165) → IndexMergerV9 persist → segment publish.
+
+Spark-first: read with the native reader for the format, apply transforms as
+Column expressions, derive `__time` per the timestampSpec, optionally
+pre-aggregate (rollup ≡ ingest-time GROUP BY), and write Parquet partitioned by
+the segment granularity bucket.  Segments = partition directories; Druid's
+version/overshadow model maps to deterministic partition overwrite
+(`spark.sql.sources.partitionOverwriteMode=dynamic` keeps it atomic per
+partition at scale).
+
+Spec shape accepted (the Druid ioConfig/dataSchema fields that matter):
+{
+  "dataSchema": {
+    "dataSource": "name",
+    "timestampSpec": {"column": "ts", "format": "iso"|"millis"|"auto"|<joda>},
+    "dimensionsSpec": {"dimensions": [... names or {"name","type"} ...]},
+    "transformSpec": {"transforms": [{"name","expression"}...],
+                       "filter": <DimFilter>},
+    "metricsSpec": [<AggregatorFactory>...],          # rollup metrics
+    "granularitySpec": {"segmentGranularity": "day",
+                         "queryGranularity": "hour" | "none",
+                         "rollup": true|false}
+  },
+  "ioConfig": {"inputSource": {"type": "local", "files": [...]} ,
+               "inputFormat": {"type": "csv"|"tsv"|"json"|"regex"|"parquet"|
+                                "orc"|"avro", ...}}
+}
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
+from incubator_druid_spark.filters.filters import FilterContext, compile_filter
+from incubator_druid_spark.model.granularity import parse_granularity
+
+
+# ---------------------------------------------------------------------------
+# input formats / sources
+# ---------------------------------------------------------------------------
+
+def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
+    src = io_config.get("inputSource", {})
+    fmt = io_config.get("inputFormat", {"type": "json"})
+    paths = _source_paths(src)
+    t = fmt.get("type", "json")
+
+    if t == "csv" or t == "tsv" or t == "delimited":
+        # core/.../impl/CsvInputFormat.java, DelimitedInputFormat.java
+        sep = fmt.get("delimiter", "\t" if t in ("tsv", "delimited") else ",")
+        reader = (spark.read
+                  .option("sep", sep)
+                  .option("header", str(fmt.get("findColumnsFromHeader", False)).lower())
+                  .option("inferSchema", "true"))
+        df = reader.csv(paths)
+        cols = fmt.get("columns")
+        if cols and not fmt.get("findColumnsFromHeader", False):
+            df = df.toDF(*cols)
+        return df
+    if t == "json":
+        # core/.../impl/JsonInputFormat.java (+flattenSpec handled by Spark's
+        # nested-field access; explicit flatten fields below)
+        df = spark.read.json(paths)
+        flatten = (fmt.get("flattenSpec") or {}).get("fields") or []
+        for f in flatten:
+            # {"type":"path","name":...,"expr":"$.a.b"} — JsonPath subset
+            expr = f.get("expr", "")
+            dotted = expr.lstrip("$.").replace("['", ".").replace("']", "")
+            df = df.withColumn(f["name"], F.col(dotted))
+        return df
+    if t == "regex":
+        # core/.../impl/RegexInputFormat.java — one capture group per column
+        pattern = fmt["pattern"]
+        cols = fmt["columns"]
+        df = spark.read.text(paths)
+        out = df
+        for i, c in enumerate(cols, start=1):
+            out = out.withColumn(c, F.regexp_extract(F.col("value"), pattern, i))
+        return out.drop("value")
+    if t in ("parquet", "orc", "avro"):
+        # extensions-core/{parquet,orc,avro}-extensions → native Spark readers
+        return spark.read.format(t).load(paths)
+    raise ValueError(f"unknown inputFormat type {t!r}")
+
+
+def _source_paths(src: dict):
+    t = src.get("type", "local")
+    if t == "local":
+        # core/.../impl/LocalInputSource.java — baseDir+filter or files
+        if src.get("files"):
+            return src["files"]
+        base = src.get("baseDir", ".")
+        filt = src.get("filter", "*")
+        return os.path.join(base, filt)
+    if t == "inline":
+        raise ValueError("inline input: pass data via InlineDataSource instead")
+    if t in ("s3", "google", "azure", "hdfs", "http"):
+        # cloud connectors ride on Hadoop FS — pass URIs straight through
+        return src.get("uris") or src.get("paths")
+    raise ValueError(f"unknown inputSource type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# dataSchema application
+# ---------------------------------------------------------------------------
+
+def apply_data_schema(df: DataFrame, data_schema: dict) -> DataFrame:
+    """timestampSpec → __time; transformSpec; dimension projection; optional
+    rollup pre-aggregation."""
+    ts_spec = data_schema.get("timestampSpec", {"column": "timestamp",
+                                                "format": "auto"})
+    df = _apply_timestamp(df, ts_spec)
+
+    tf = data_schema.get("transformSpec") or {}
+    for tr in tf.get("transforms") or []:
+        # segment/transform/ExpressionTransform.java
+        from incubator_druid_spark.functions.druid_expr import compile_expr
+        df = df.withColumn(tr["name"], compile_expr(tr["expression"], F.col))
+    if tf.get("filter") is not None:
+        df = df.filter(compile_filter(tf["filter"], FilterContext(df)))
+
+    dims = (data_schema.get("dimensionsSpec") or {}).get("dimensions") or []
+    metrics = data_schema.get("metricsSpec") or []
+    gran_spec = data_schema.get("granularitySpec") or {}
+
+    if gran_spec.get("rollup") and metrics:
+        df = rollup(df, dims, metrics, gran_spec.get("queryGranularity", "none"))
+    elif dims:
+        names = [_dim_name(d) for d in dims]
+        df = df.select(TIME_COLUMN, *[n for n in names if n in df.columns],
+                       *[c for c in df.columns
+                         if c not in names and c != TIME_COLUMN and metrics == []])
+    return df
+
+
+def _dim_name(d) -> str:
+    return d if isinstance(d, str) else d["name"]
+
+
+def _apply_timestamp(df: DataFrame, ts_spec: dict) -> DataFrame:
+    col = ts_spec.get("column", "timestamp")
+    fmt = ts_spec.get("format", "auto")
+    c = F.col(col)
+    if fmt in ("millis",):
+        t = F.timestamp_millis(c.cast("long"))
+    elif fmt in ("posix", "seconds"):
+        t = F.timestamp_seconds(c.cast("long"))
+    elif fmt in ("micro",):
+        t = F.timestamp_micros(c.cast("long"))
+    elif fmt in ("iso", "auto"):
+        t = c.cast("timestamp")
+    else:  # joda pattern
+        from incubator_druid_spark.functions.druid_expr import _joda_to_spark
+        t = F.to_timestamp(c, _joda_to_spark(fmt))
+    return df.withColumn(TIME_COLUMN, t)
+
+
+def rollup(df: DataFrame, dims: list, metrics: list[dict],
+           query_granularity="none") -> DataFrame:
+    """Ingest-time rollup ≡ GROUP BY (time_floor, dims) with metric partials
+    (IncrementalIndex facts-table semantics).  The output stores FINALIZED
+    metric values; re-aggregation of sums/counts/mins/maxes composes exactly,
+    which is why Druid restricts rollup metrics to those shapes."""
+    from incubator_druid_spark.operators.aggregations import compile_aggregations
+    gran = parse_granularity(query_granularity)
+    names = [_dim_name(d) for d in dims]
+    keys = [gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN)] + \
+           [F.col(n) for n in names if n in df.columns]
+    aggs = compile_aggregations(metrics, FilterContext(df))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# sink: time-partitioned parquet "segments"
+# ---------------------------------------------------------------------------
+
+def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
+           base_dir: str) -> str:
+    """Run a batch ingest spec end-to-end; returns the table path and
+    registers the datasource in the catalog."""
+    ds = spec["dataSchema"]
+    name = ds["dataSource"]
+    df = read_input(spark, spec.get("ioConfig", {}))
+    df = apply_data_schema(df, ds)
+
+    seg_gran = (ds.get("granularitySpec") or {}).get("segmentGranularity", "day")
+    gran = parse_granularity(seg_gran)
+    out = df.withColumn("__bucket",
+                        F.date_format(gran.floor(F.col(TIME_COLUMN)),
+                                      "yyyy-MM-dd'T'HH"))
+    path = os.path.join(base_dir, name)
+    (out.write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path))
+    catalog.register(name, path)
+    return path

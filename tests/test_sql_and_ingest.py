@@ -1,0 +1,198 @@
+"""SQL surface, batch ingestion, and streaming ingestion tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+# -- Druid SQL functions -----------------------------------------------------
+
+def test_druid_sql_functions(spark, foo_catalog):
+    from incubator_druid_spark.sql.functions import druid_sql
+    out = druid_sql(spark, """
+        SELECT TIME_FLOOR(__time, 'P1Y') AS y,
+               sum(m2) AS sm,
+               APPROX_COUNT_DISTINCT(dim1) AS card
+        FROM foo GROUP BY 1 ORDER BY 1
+    """, foo_catalog)
+    got = [(str(r["y"]), r["sm"], r["card"]) for r in out.collect()]
+    assert got == [("2000-01-01 00:00:00", 6.0, 3),
+                   ("2001-01-01 00:00:00", 15.0, 3)]
+
+
+def test_sql_mv_functions(spark, foo_catalog):
+    from incubator_druid_spark.sql.functions import druid_sql
+    out = druid_sql(spark, """
+        SELECT dim1, MV_LENGTH(dim3) AS n, MV_CONTAINS(dim2, 'a') AS has_a,
+               MV_TO_STRING(dim3, '|') AS joined
+        FROM foo WHERE dim1 = ''
+    """, foo_catalog).first()
+    assert out["n"] == 2 and out["has_a"] is True and out["joined"] == "a|b"
+
+
+def test_sql_time_functions(spark, foo_catalog):
+    from incubator_druid_spark.sql.functions import druid_sql
+    r = druid_sql(spark, """
+        SELECT TIME_SHIFT(TIME_PARSE('2024-03-05 13:00:00'), 'PT1H', 3) AS t,
+               TIMESTAMP_TO_MILLIS(TIME_PARSE('1970-01-01 00:00:01')) AS ms,
+               TIME_IN_INTERVAL(TIME_PARSE('2024-06-01 00:00:00'),
+                                '2024-01-01/2025-01-01') AS inside,
+               TIME_FLOOR(TIME_PARSE('2024-03-07 10:00:00'), 'P1W') AS wk,
+               STRPOS('abcdef', 'cd') AS p,
+               SAFE_DIVIDE(1.0, 0.0) AS sd,
+               LOOKUP('abc', 'lookyloo') AS lk
+    """).first()
+    assert str(r["t"]) == "2024-03-05 16:00:00"
+    assert r["ms"] == 1000
+    assert r["inside"] is True
+    assert str(r["wk"]) == "2024-03-04 00:00:00"  # ISO Monday
+    assert r["p"] == 3
+    assert r["sd"] is None
+    assert r["lk"] == "xabc"
+
+
+# -- batch ingestion ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ingest_dirs(tmp_path_factory):
+    src = tmp_path_factory.mktemp("ingest_src")
+    sink = tmp_path_factory.mktemp("ingest_sink")
+    lines = [
+        {"t": "2024-01-01T10:00:00Z", "site": "a", "clicks": 3, "skip": False},
+        {"t": "2024-01-01T10:30:00Z", "site": "a", "clicks": 2, "skip": False},
+        {"t": "2024-01-01T11:00:00Z", "site": "b", "clicks": 5, "skip": False},
+        {"t": "2024-01-02T09:00:00Z", "site": "a", "clicks": 7, "skip": True},
+    ]
+    p = src / "data.json"
+    p.write_text("\n".join(json.dumps(l) for l in lines))
+    return str(p), str(sink)
+
+
+def test_batch_ingest_with_rollup(spark, ingest_dirs):
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+    src, sink = ingest_dirs
+    spec = {
+        "dataSchema": {
+            "dataSource": "clicks_rollup",
+            "timestampSpec": {"column": "t", "format": "iso"},
+            "dimensionsSpec": {"dimensions": ["site"]},
+            "transformSpec": {
+                "transforms": [{"name": "site_upper",
+                                "expression": "upper(site)"}],
+                "filter": {"type": "selector", "dimension": "skip",
+                           "value": "false"}},
+            "metricsSpec": [{"type": "longSum", "name": "clicks",
+                             "fieldName": "clicks"},
+                            {"type": "count", "name": "cnt"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "hour", "rollup": True},
+        },
+        "ioConfig": {"inputSource": {"type": "local", "files": [src]},
+                     "inputFormat": {"type": "json"}},
+    }
+    cat = Catalog(spark)
+    path = ingest(spark, spec, cat, sink)
+    out = cat.table("clicks_rollup")
+    got = rows(out, "__time", "site", "clicks", "cnt")
+    # 10:00+10:30 rolled into the 10:00 hour bucket; skip=True row filtered
+    import datetime
+    assert got == [
+        (datetime.datetime(2024, 1, 1, 10), "a", 5, 2),
+        (datetime.datetime(2024, 1, 1, 11), "b", 5, 1),
+    ]
+    # segment layout: day-partition directories
+    assert any("__bucket=2024-01-01" in d for d in os.listdir(path))
+
+
+def test_csv_and_regex_input_formats(spark, tmp_path):
+    from incubator_druid_spark.sources.ingest import read_input
+    csv = tmp_path / "in.csv"
+    csv.write_text("2024-01-01,alpha,10\n2024-01-02,beta,20\n")
+    df = read_input(spark, {
+        "inputSource": {"type": "local", "files": [str(csv)]},
+        "inputFormat": {"type": "csv", "columns": ["d", "name", "v"]}})
+    assert df.count() == 2 and df.columns == ["d", "name", "v"]
+
+    logf = tmp_path / "in.log"
+    logf.write_text("INFO 2024-01-01 start\nWARN 2024-01-02 stop\n")
+    df2 = read_input(spark, {
+        "inputSource": {"type": "local", "files": [str(logf)]},
+        "inputFormat": {"type": "regex",
+                        "pattern": r"(\w+) (\S+) (\w+)",
+                        "columns": ["level", "day", "msg"]}})
+    assert rows(df2, "level", "msg") == [("INFO", "start"), ("WARN", "stop")]
+
+
+# -- streaming ingestion -----------------------------------------------------
+
+def test_streaming_ingest_file_source(spark, tmp_path):
+    """File-source stand-in for Kafka: same plan, testable without a broker."""
+    from incubator_druid_spark.streaming.ingest import (build_streaming_ingest,
+                                                        realtime_view)
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "batch1.json").write_text("\n".join(json.dumps(x) for x in [
+        {"t": "2024-01-01T10:00:00Z", "site": "a", "clicks": 3},
+        {"t": "2024-01-01T10:20:00Z", "site": "a", "clicks": 4},
+        {"t": "2024-01-01T11:00:00Z", "site": "b", "clicks": 1},
+    ]))
+    sink = str(tmp_path / "stream_out")
+    spec = {
+        "dataSchema": {
+            "dataSource": "stream_clicks",
+            "timestampSpec": {"column": "t", "format": "iso"},
+            "dimensionsSpec": {"dimensions": ["site"]},
+            "granularitySpec": {"rollup": False},
+        },
+        "ioConfig": {"type": "file", "path": str(src), "format": "json"},
+        "valueSchema": "t string, site string, clicks long",
+    }
+    stream = (spark.readStream.schema("t string, site string, clicks long")
+              .json(str(src)))
+    out, start, path = build_streaming_ingest(spark, spec, sink,
+                                              source_override=stream)
+    q = start(trigger_once=True)
+    q.awaitTermination(120)
+    live = realtime_view(spark, path, None)
+    assert live.count() == 3
+    assert "__time" in live.columns
+
+
+def test_streaming_rollup_with_watermark(spark, tmp_path):
+    from incubator_druid_spark.streaming.ingest import build_streaming_ingest
+    src = tmp_path / "s2"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(x) for x in [
+        {"t": "2024-01-01T10:00:00Z", "site": "a", "clicks": 3},
+        {"t": "2024-01-01T10:20:00Z", "site": "a", "clicks": 4},
+        {"t": "2024-01-01T12:00:00Z", "site": "a", "clicks": 9},
+    ]))
+    sink = str(tmp_path / "s2_out")
+    spec = {
+        "dataSchema": {
+            "dataSource": "s2",
+            "timestampSpec": {"column": "t", "format": "iso"},
+            "dimensionsSpec": {"dimensions": ["site"]},
+            "metricsSpec": [{"type": "longSum", "name": "clicks",
+                             "fieldName": "clicks"}],
+            "granularitySpec": {"queryGranularity": "hour", "rollup": True},
+        },
+        "ioConfig": {"type": "file", "path": str(src), "format": "json",
+                     "lateMessageRejectionPeriod": "PT1H"},
+    }
+    stream = (spark.readStream.schema("t string, site string, clicks long")
+              .json(str(src)))
+    out, start, path = build_streaming_ingest(spark, spec, sink,
+                                              source_override=stream)
+    q = start(trigger_once=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(path)
+    # append mode emits buckets sealed by the watermark: the 10:00 bucket
+    # (7 clicks) seals once the 12:00 event advances the watermark past 11:00
+    data = {str(r["__time"]): r["clicks"] for r in got.collect()}
+    assert data.get("2024-01-01 10:00:00") == 7
