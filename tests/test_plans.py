@@ -1,0 +1,107 @@
+"""Physical-plan shape assertions — the scale properties the engine's
+translation must preserve (SURVEY §4): predicate pushdown into the parquet
+scan, column pruning, broadcast joins for broadcastable rights, partial
+(map-side) aggregation, and TakeOrderedAndProject for top-K.
+
+These are regression guards: a translation change that silently breaks one of
+these still returns correct rows at test scale but falls over at 100 TB.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_druid_spark import translate
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, catalog):
+    q = {"queryType": "scan", "dataSource": "events",
+         "columns": ["event_id", "value"],
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "click"}}
+    plan = plan_of(translate(q, spark, catalog))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,click\)", plan)
+
+
+def test_column_pruning(spark, catalog):
+    q = {"queryType": "scan", "dataSource": "events",
+         "columns": ["event_id", "value"]}
+    plan = plan_of(translate(q, spark, catalog))
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "props" not in m.group(1), \
+        "scan must not read unprojected columns"
+
+
+def test_interval_pushdown(spark, catalog):
+    q = {"queryType": "timeseries", "dataSource": "lineitem",
+         "granularity": "all",
+         "intervals": ["1996-01-01T00:00:00Z/1997-01-01T00:00:00Z"],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    plan = plan_of(translate(q, spark, catalog))
+    # the __time predicate must land on the physical l_shipdate column
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+
+
+def test_partial_aggregation(spark, catalog):
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "doubleSum", "name": "t", "fieldName": "value"}]}
+    plan = plan_of(translate(q, spark, catalog))
+    # two HashAggregate nodes (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_topn_is_take_ordered(spark, catalog):
+    q = {"queryType": "topN", "dataSource": "events", "granularity": "all",
+         "dimension": "event_type", "metric": "cnt", "threshold": 3,
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    plan = plan_of(translate(q, spark, catalog))
+    assert "TakeOrderedAndProject" in plan, \
+        "topN must plan as per-partition top-K merge, not a global sort"
+
+
+def test_broadcast_join_for_global_table(spark, catalog):
+    q = {"queryType": "groupBy", "granularity": "all",
+         "dataSource": {"type": "join", "left": "lineitem",
+                        "right": {"type": "globalTable", "name": "orders"},
+                        "rightPrefix": "o.",
+                        "condition": "l_orderkey == \"o.o_orderkey\"",
+                        "joinType": "INNER"},
+         "dimensions": [{"type": "default", "dimension": "o.o_orderpriority",
+                         "outputName": "p"}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    plan = plan_of(translate(q, spark, catalog))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark, catalog):
+    """The expression compiler must emit codegen-able builtins — a Python UDF
+    anywhere in the hot path would show as BatchEvalPython."""
+    q = {"queryType": "groupBy", "dataSource": "lineitem", "granularity": "all",
+         "dimensions": ["l_returnflag"],
+         "virtualColumns": [{"type": "expression", "name": "v",
+                             "expression": "l_extendedprice * (1 - l_discount)"}],
+         "filter": {"type": "expression",
+                    "expression": "strlen(l_returnflag) == 1 && l_quantity > 10"},
+         "aggregations": [{"type": "doubleSum", "name": "s", "fieldName": "v"}]}
+    plan = plan_of(translate(q, spark, catalog))
+    assert "BatchEvalPython" not in plan
+    # AQE hides WholeStageCodegen markers pre-execution; HashAggregate over
+    # plain builtin expressions is the codegen path
+    assert "HashAggregate" in plan
+
+
+def test_scan_no_order_no_shuffle(spark, catalog):
+    q = {"queryType": "scan", "dataSource": "events",
+         "columns": ["event_id"], "order": "none"}
+    plan = plan_of(translate(q, spark, catalog))
+    assert "Exchange" not in plan, "orderless scan must not shuffle"
