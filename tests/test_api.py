@@ -1,0 +1,74 @@
+"""API surface tests: native/SQL endpoints, result formats, timewarp."""
+
+import json
+
+import pytest
+
+
+def test_native_timeseries_envelope(spark, foo_catalog):
+    from incubator_druid_spark.api import native_query
+    out = native_query({
+        "queryType": "timeseries", "dataSource": "foo", "granularity": "year",
+        "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+        "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"}],
+    }, spark, foo_catalog)
+    assert len(out) == 2
+    assert out[0]["result"]["cnt"] == 3
+    assert out[0]["timestamp"].startswith("2000-01-01")
+
+
+def test_native_groupby_envelope(spark, foo_catalog):
+    from incubator_druid_spark.api import native_query
+    out = native_query({
+        "queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+        "dimensions": ["dim1"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, spark, foo_catalog)
+    assert len(out) == 6
+    assert all(o["version"] == "v1" and "dim1" in o["event"] for o in out)
+
+
+def test_native_scan_envelope(spark, foo_catalog):
+    from incubator_druid_spark.api import native_query
+    out = native_query({
+        "queryType": "scan", "dataSource": "foo", "columns": ["dim1", "m2"],
+        "limit": 3, "order": "ascending",
+    }, spark, foo_catalog)
+    assert out[0]["columns"] == ["dim1", "m2"]
+    assert len(out[0]["events"]) == 3
+
+
+def test_sql_result_formats(spark, foo_catalog):
+    from incubator_druid_spark.api import sql_query
+    base = {"query": "SELECT dim1, m2 FROM foo WHERE m2 <= 2 ORDER BY m2"}
+    obj = sql_query(base, spark, foo_catalog)
+    assert obj == [{"dim1": "", "m2": 1.0}, {"dim1": "10.1", "m2": 2.0}]
+    arr = sql_query({**base, "resultFormat": "array", "header": True},
+                    spark, foo_catalog)
+    assert arr[0] == ["dim1", "m2"] and arr[1] == ["", 1.0]
+    csv_out = sql_query({**base, "resultFormat": "csv", "header": True},
+                        spark, foo_catalog)
+    assert csv_out.splitlines()[0] == "dim1,m2"
+    lines = sql_query({**base, "resultFormat": "objectLines"},
+                      spark, foo_catalog)
+    assert json.loads(lines.splitlines()[0])["m2"] == 1.0
+
+
+def test_sql_parameters(spark, foo_catalog):
+    from incubator_druid_spark.api import sql_query
+    out = sql_query({"query": "SELECT count(*) AS c FROM foo WHERE dim1 = ?",
+                     "parameters": [{"type": "VARCHAR", "value": "abc"}]},
+                    spark, foo_catalog)
+    assert out == [{"c": 1}]
+
+
+def test_timewarp_shifts_intervals(spark, foo_catalog):
+    from incubator_druid_spark.api import timewarp
+    week = 7 * 86_400_000
+    q = {"queryType": "timeseries", "dataSource": "foo",
+         "intervals": ["2001-01-01T00:00:00Z/2001-01-08T00:00:00Z"]}
+    warped = timewarp(q, week, 0)
+    # with origin=epoch the interval lands in the first week window,
+    # preserving position-within-period (TimewarpOperator.computeOffset)
+    s, _, e = warped["intervals"][0].partition("/")
+    assert s.startswith("1970-01-0") and s < e
