@@ -43,6 +43,22 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
     ivs = parse_intervals(query.get("intervals"))
     if ivs:
         pred = interval_predicate(ivs, F.col(TIME_COLUMN))
+        # Segment-partition pruning: tables written by sources/ingest carry a
+        # `__bucket` partition column (yyyy-MM-dd'THH format — lexicographic
+        # order == chronological).  Adding a redundant range predicate on it
+        # turns the interval into Catalyst PartitionFilters, so at 100 TB the
+        # scan opens only the covered partition directories (the same role as
+        # Druid's segment-timeline pruning in CachingClusteredClient).
+        if "__bucket" in df.columns:
+            import datetime
+            lo = min(s for s, _ in ivs) // 1000
+            hi = max(e for _, e in ivs) // 1000
+            fmt = "%Y-%m-%dT%H"
+            lo_s = datetime.datetime.fromtimestamp(
+                lo, tz=datetime.timezone.utc).strftime(fmt)
+            hi_s = datetime.datetime.fromtimestamp(
+                hi, tz=datetime.timezone.utc).strftime(fmt)
+            pred = pred & (F.col("__bucket") >= lo_s) & (F.col("__bucket") <= hi_s)
         df = df.filter(pred)
 
     flt = query.get("filter")

@@ -105,3 +105,30 @@ def test_scan_no_order_no_shuffle(spark, catalog):
          "columns": ["event_id"], "order": "none"}
     plan = plan_of(translate(q, spark, catalog))
     assert "Exchange" not in plan, "orderless scan must not shuffle"
+
+
+def test_partition_pruning_on_ingested_table(spark, tmp_path):
+    """Ingested tables are partitioned by __bucket; an intervals filter must
+    become PartitionFilters (directory pruning), not just a row predicate."""
+    import json
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    src = tmp_path / "d.json"
+    src.write_text("\n".join(json.dumps(
+        {"t": f"2024-01-{d:02d}T10:00:00Z", "v": d}) for d in range(1, 11)))
+    spec = {"dataSchema": {"dataSource": "pruned",
+                           "timestampSpec": {"column": "t", "format": "iso"},
+                           "granularitySpec": {"segmentGranularity": "day"}},
+            "ioConfig": {"inputSource": {"type": "local", "files": [str(src)]},
+                         "inputFormat": {"type": "json"}}}
+    cat = Catalog(spark)
+    ingest(spark, spec, cat, str(tmp_path / "tbl"))
+
+    q = {"queryType": "timeseries", "dataSource": "pruned", "granularity": "all",
+         "intervals": ["2024-01-03T00:00:00Z/2024-01-05T00:00:00Z"],
+         "aggregations": [{"type": "longSum", "name": "s", "fieldName": "v"}]}
+    df = translate(q, spark, cat)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "__bucket" in plan
+    assert df.first()["s"] == 3 + 4
