@@ -378,6 +378,75 @@ def _sql_q5ish(spark, sf):
 
 # -- pipeline operators ------------------------------------------------------
 
+def _gb_variance(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [
+             {"type": "variance", "name": "var_value", "fieldName": "value"},
+             {"type": "stddev", "name": "sd_value", "fieldName": "value",
+              "estimator": "population"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"event_type": None, "var_value": 3, "sd_value": 3})
+
+
+def _gb_quantile(spark, sf):
+    """percentile over the small-cardinality l_linenumber domain (approx ==
+    exact for tiny distinct sets)."""
+    q = {"queryType": "groupBy", "dataSource": "lineitem", "granularity": "all",
+         "dimensions": ["l_returnflag"],
+         "aggregations": [{"type": "quantilesDoublesSketch", "name": "med_line",
+                           "fieldName": "l_linenumber"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _ts_week(spark, sf):
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "week",
+         "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         "context": {"skipEmptyBuckets": True},
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _scan_lookup(spark, sf):
+    """Lookup extraction over region names (LookupExtractionFn parity)."""
+    from incubator_druid_spark.functions.lookups import register_lookup
+    register_lookup("region_code", {"AFRICA": "AF", "AMERICA": "AM",
+                                    "ASIA": "AS", "EUROPE": "EU"})
+    q = {"queryType": "groupBy", "dataSource": "region", "granularity": "all",
+         "dimensions": [{"type": "extraction", "dimension": "r_name",
+                         "outputName": "code",
+                         "extractionFn": {"type": "registeredLookup",
+                                          "lookup": "region_code",
+                                          "replaceMissingValueWith": "??"}}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _sql_druid_functions(spark, sf):
+    """Druid SQL surface: TIME_FLOOR + MV + STRPOS through spark.sql."""
+    from incubator_druid_spark.sql.functions import druid_sql, register_views
+    register_views(_cat(spark, sf))
+    return druid_sql(spark, """
+        SELECT TIME_FLOOR(__time, 'P1W') AS wk,
+               count(*) AS cnt,
+               sum(CASE WHEN STRPOS(event_type, 'c') > 0 THEN 1 ELSE 0 END) AS with_c
+        FROM events GROUP BY 1
+    """)
+
+
+def _timewarp_ts(spark, sf):
+    """TimewarpOperator: week-over-week — this week's query warped onto the
+    epoch-anchored reference week."""
+    from incubator_druid_spark.api import timewarp
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "day",
+         "intervals": ["2024-01-15T00:00:00Z/2024-01-22T00:00:00Z"],
+         "context": {"skipEmptyBuckets": True},
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    warped = timewarp(q, 7 * 86_400_000,
+                      1704672000000)  # origin: 2024-01-08T00:00Z (a Monday)
+    return translate(warped, spark, _cat(spark, sf))
+
+
 def _dedup_exact(spark, sf):
     from incubator_druid_spark.pipeline.dedup import exact_dedup
     docs = _cat(spark, sf).table("documents")
@@ -461,6 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_join_segment": _gb_join_segment,
         "gb_union": _gb_union,
         "gb_nested_query": _gb_nested_query,
+        "gb_variance": _gb_variance,
+        "gb_quantile": _gb_quantile,
+        "ts_week": _ts_week,
+        "scan_lookup": _scan_lookup,
+        "sql_druid_functions": _sql_druid_functions,
+        "timewarp_ts": _timewarp_ts,
         "topn_event_type": _topn_event_type,
         "topn_users": _topn_users,
         "scan_purchases": _scan_purchases,
@@ -583,6 +658,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_events, count(*) AS n_users
             FROM (SELECT user_id, count(*) AS user_events
                   FROM events GROUP BY user_id)
+            GROUP BY 1
+        """,
+        "gb_variance": """
+            SELECT event_type, round(var_samp(value), 3) AS var_value,
+                   round(stddev_pop(value), 3) AS sd_value
+            FROM events GROUP BY event_type
+        """,
+        "gb_quantile": """
+            SELECT l_returnflag, median(CAST(l_linenumber AS DOUBLE)) AS med_line
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "ts_week": """
+            SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS __time,
+                   count(*) AS cnt
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+            GROUP BY 1
+        """,
+        "scan_lookup": """
+            SELECT CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                               WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+                               ELSE '??' END AS code,
+                   count(*) AS cnt
+            FROM region GROUP BY 1
+        """,
+        "sql_druid_functions": """
+            SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+                   count(*) AS cnt,
+                   sum(CASE WHEN strpos(event_type, 'c') > 0 THEN 1 ELSE 0 END)
+                       AS with_c
+            FROM events GROUP BY 1
+        """,
+        "timewarp_ts": """
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __time,
+                   count(*) AS cnt
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
             GROUP BY 1
         """,
         "topn_event_type": """
