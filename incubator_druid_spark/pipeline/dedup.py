@@ -76,6 +76,55 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), per_seed)
 
 
+def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int, shingle_n: int) -> DataFrame:
+    """(id, __sig) via an Arrow-batched numpy kernel.
+
+    The pure-Column signature path is correct but nested HOF lambdas run in
+    Catalyst's interpreter (no codegen), costing ~100ms/doc at 64 hashes.
+    This kernel computes one 64-bit base hash per shingle (blake2b/8B) and
+    derives the k min-hashes with a vectorized (a_i·h + b_i) mod p sweep —
+    the standard universal-hashing construction — at ~1ms/doc.  Arrow batch
+    in/out, parallelism = input partitions, no shuffle introduced.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(635)
+    mersenne = (1 << 61) - 1
+    a = rng.integers(1, mersenne, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, mersenne, size=num_hashes, dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+        norm = _re.compile(r"[^a-z0-9\s]")
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            ids, sigs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(norm.sub(" ", (text or "").lower()).strip())
+                toks = [t for t in toks if t]
+                grams = {" ".join(toks[i:i + shingle_n])
+                         for i in range(len(toks) - shingle_n + 1)}
+                if not grams:
+                    continue
+                base = np.fromiter(
+                    (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                                    .digest(), "big") >> 3 for g in grams),
+                    dtype=np.int64, count=len(grams))
+                # (n_shingles, k) universal hashes; min along shingles
+                derived = (base[:, None] * a[None, :] + b[None, :]) % mersenne
+                sigs.append(derived.min(axis=0))
+                ids.append(rid)
+            yield pd.DataFrame({id_col: ids, "__sig": [s.tolist() for s in sigs]})
+
+    return (df.select(id_col, text_col)
+              .mapInPandas(kernel, schema=f"{id_col} long, __sig array<long>"))
+
+
 def _shingle_frame(df: DataFrame, id_col: str, text_col: str,
                    shingle_n: int) -> DataFrame:
     """(id, __sh) with the shingle computation spread across the cluster and
@@ -93,7 +142,8 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_n: int = 3, max_bucket: int = 64,
-                           _sh: DataFrame | None = None) -> DataFrame:
+                           _sh: DataFrame | None = None,
+                           use_pandas: bool = True) -> DataFrame:
     """→ (id_a, id_b) candidate near-dup pairs from LSH banding.
     rows = num_hashes/bands per band; collision in ANY band → candidate.
 
@@ -104,11 +154,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     while bounding the join quadratically.  This is what makes the operator
     safe on boilerplate-heavy corpora at 100 TB."""
     rows = num_hashes // bands
-    with_sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_n)
-    sig = minhash_signature(F.col("__sh"), num_hashes)
-    with_sig = (with_sh.select(F.col(id_col), sig.alias("__sig"))
-                       .filter(F.col("__sig")[0].isNotNull())
-                       .persist())
+    if use_pandas and _sh is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        with_sig = _signature_frame_pandas(
+            df.repartition(parallelism, F.col(id_col)), id_col, text_col,
+            num_hashes, shingle_n).persist()
+    else:
+        with_sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_n)
+        sig = minhash_signature(F.col("__sh"), num_hashes)
+        with_sig = (with_sh.select(F.col(id_col), sig.alias("__sig"))
+                           .filter(F.col("__sig")[0].isNotNull())
+                           .persist())
     banded = with_sig.select(
         id_col,
         F.explode(F.array(*[
@@ -138,14 +194,23 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.8, num_hashes: int = 64,
                   bands: int = 16, shingle_n: int = 3,
-                  max_bucket: int = 64) -> DataFrame:
+                  max_bucket: int = 64, use_pandas: bool = True) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify on
     shingle sets → pairs over threshold.  Returns (id_a, id_b, jaccard).
-    The shingle frame is computed once and shared by the LSH and verify
-    stages."""
-    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+
+    The verify stage computes shingle sets ONLY for documents that appear in
+    a candidate pair (usually a tiny fraction of the corpus) — the candidate
+    id set is semi-joined back onto the corpus before the shingle projection.
+    """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                   shingle_n, max_bucket, _sh=sh)
+                                   shingle_n, max_bucket,
+                                   use_pandas=use_pandas).persist()
+    cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                .union(cands.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    subset = df.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
+    sh = subset.select(F.col(id_col),
+                       shingles(F.col(text_col), shingle_n).alias("__sh")).persist()
     j = (cands
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"))
