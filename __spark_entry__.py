@@ -447,6 +447,45 @@ def _timewarp_ts(spark, sf):
     return translate(warped, spark, _cat(spark, sf))
 
 
+def _sessionize_stats(spark, sf):
+    """Gap-based sessionization over the events stream (30-min gap)."""
+    from incubator_druid_spark.pipeline.sessions import session_stats
+    ev = _cat(spark, sf).table("events")
+    out = session_stats(ev, gap_minutes=30)
+    dur_us = (F.unix_micros(F.col("session_end"))
+              - F.unix_micros(F.col("session_start"))).alias("duration_us")
+    return _round(out.select("user_id", "session_id", "n_events",
+                             dur_us, "total_value"),
+                  {"user_id": None, "session_id": None, "n_events": None,
+                   "duration_us": None, "total_value": 3})
+
+
+def _ann_ivf_topk(spark, sf):
+    from incubator_druid_spark.pipeline.similarity import ann_ivf_topk
+    emb = _cat(spark, sf).table("embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann_ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                       n_clusters=8, nprobe=4)
+    return _round(out, {"vec_id": None, "cosine": 4})
+
+
+def _bloom_filtered_count(spark, sf):
+    """Bloom-prefiltered count: users seen in 'error' events, probed over the
+    full stream.  Bloom admits false positives, so the oracle is the
+    no-false-negative LOWER BOUND check expressed as the exact semi-join —
+    rows-only here; exactness is asserted in tests/test_extensions.py."""
+    from incubator_druid_spark.functions.bloom import bloom_build
+    ev = _cat(spark, sf).table("events")
+    positions = bloom_build(
+        ev.filter(F.col("event_type") == "error").select("user_id"), "user_id")
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "filter": {"type": "bloom", "dimension": "user_id",
+                    "bloomKFilter": {"positions": positions}},
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
 def _dedup_exact(spark, sf):
     from incubator_druid_spark.pipeline.dedup import exact_dedup
     docs = _cat(spark, sf).table("documents")
@@ -536,6 +575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_lookup": _scan_lookup,
         "sql_druid_functions": _sql_druid_functions,
         "timewarp_ts": _timewarp_ts,
+        "sessionize_stats": _sessionize_stats,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "bloom_filtered_count": _bloom_filtered_count,
         "topn_event_type": _topn_event_type,
         "topn_users": _topn_users,
         "scan_purchases": _scan_purchases,
@@ -773,6 +815,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "sessionize_stats": """
+            WITH marked AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_ms(CAST(ts AS TIMESTAMP))
+                                    - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP))
+                                    > 1800000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+                SELECT user_id, t, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_us(max(t)) - epoch_us(min(t)) AS duration_us,
+                   round(sum(value), 3) AS total_value
+            FROM sess GROUP BY user_id, session_id
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -160,7 +160,15 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext) -> Column
     if t == "spatial":
         return _spatial_predicate(spec, c)
     if t == "bloom":
-        raise NotImplementedError("bloom filter test: supply `in` or join instead (v2)")
+        # druid-bloom-filter/.../BloomDimFilter.java — membership against a
+        # pre-built filter; our format is the sparse position set
+        # (functions/bloom.py), spec: {"bloomKFilter": {"positions": [...],
+        # "m": ..., "k": ...}}
+        from incubator_druid_spark.functions.bloom import (DEFAULT_K, DEFAULT_M,
+                                                           bloom_might_contain)
+        bf = spec["bloomKFilter"]
+        return bloom_might_contain(bf["positions"], c,
+                                   bf.get("m", DEFAULT_M), bf.get("k", DEFAULT_K))
     raise ValueError(f"unknown filter type: {t!r}")
 
 

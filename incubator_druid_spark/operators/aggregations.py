@@ -156,8 +156,12 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
     if t == "approxHistogramFold" or t == "approxHistogram":
         return F.percentile_approx(_field(spec, ctx).cast("double"), 0.5, 1000)
     if t == "bloom":
-        # druid-bloom-filter/.../BloomFilterAggregatorFactory.java
-        raise NotImplementedError("bloom build aggregator: v2 (bloom_filter_agg)")
+        # druid-bloom-filter/.../BloomFilterAggregatorFactory.java — builds
+        # the engine's sparse-position-set bloom format (functions/bloom.py)
+        from incubator_druid_spark.functions.bloom import (DEFAULT_K, DEFAULT_M,
+                                                           bloom_build_agg)
+        return bloom_build_agg(_field(spec, ctx), spec.get("maxNumEntries", DEFAULT_M),
+                               spec.get("k", DEFAULT_K))
     if t == "grouping":
         # GroupingAggregatorFactory.java — GROUPING() bitmask for subtotals
         fields = [F.col(g) for g in spec["groupings"]]

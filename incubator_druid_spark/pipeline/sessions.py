@@ -1,0 +1,52 @@
+"""Sessionization + window-analytics operators over event streams.
+
+Druid 0.22 has no window functions (SURVEY §2.6) — these are capability
+supersets the reference can't express, built on Spark's native window frames:
+
+- sessionize: gap-based session ids (lag + cumulative sum over the gap
+  indicator — one shuffle on the partition key, no UDFs).
+- session_stats: per-session aggregates.
+- Streaming equivalent: ``F.session_window`` in streaming/ingest-style plans.
+
+Scale: the only shuffle is partitionBy(user) — the same key the session
+belongs to; window functions then run within partitions.  Skewed users are
+handled by AQE skew splitting on the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               time_col: str = "__time",
+               gap_minutes: float = 30.0) -> DataFrame:
+    """Assign ``session_id`` (user-scoped ordinal) to each event: a new
+    session starts when the gap to the previous event exceeds the threshold."""
+    w = Window.partitionBy(user_col).orderBy(time_col)
+    gap_ms = int(gap_minutes * 60_000)
+    prev = F.lag(F.col(time_col)).over(w)
+    new_session = (prev.isNull() |
+                   ((F.unix_millis(F.col(time_col)) - F.unix_millis(prev)) > gap_ms))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id",
+                  time_col: str = "__time",
+                  gap_minutes: float = 30.0) -> DataFrame:
+    """Per-session rollup: event count, duration, value sum (if present)."""
+    s = sessionize(df, user_col, time_col, gap_minutes)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        ((F.unix_millis(F.max(time_col))
+          - F.unix_millis(F.min(time_col))) / 1000.0).alias("duration_sec"),
+    ]
+    if "value" in df.columns:
+        aggs.append(F.sum("value").alias("total_value"))
+    return s.groupBy(user_col, "session_id").agg(*aggs)

@@ -96,6 +96,62 @@ def ann_lsh_topk(df: DataFrame, query_vec, k: int = 10, num_planes: int = 16,
                  .limit(k))
 
 
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product against
+    L2-normalized centroids ≈ max cosine).  The centroid dots are literal-
+    vector expressions, so assignment is a scan-side projection — at ingest
+    time this materializes the IVF cluster id as a partition/bucket column."""
+    dots = [dot(F.col(vec_col), _lit_vec(c)) for c in centroids]
+    scores = F.array(*dots)
+    cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return df.withColumn("__ivf", cluster)
+
+
+def train_ivf_centroids(df: DataFrame, n_clusters: int = 16, sample: int = 2048,
+                        iters: int = 8, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Driver-side mini k-means on a sample — the coarse quantizer.  The
+    sample is bounded (default 2048 vectors) so training cost is independent
+    of table size; at 100 TB you train once and persist the centroids."""
+    rows = (df.select(vec_col).limit(sample).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ann_ivf_topk(df: DataFrame, query_vec, k: int = 10, n_clusters: int = 16,
+                 nprobe: int = 4, seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: probe the `nprobe` centroids nearest the query,
+    exact-rerank within those clusters only.  With the cluster id stored as a
+    partition column the filter becomes partition pruning — the scale path
+    reads nprobe/n_clusters of the data."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_clusters, seed=seed,
+                                        vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    cands = assigned.filter(F.col("__ivf").isin(probe))
+    sim = cosine(F.col(vec_col), _lit_vec(query_vec))
+    return (cands.select(F.col(id_col), sim.alias("cosine"))
+                 .orderBy(F.col("cosine").desc(), F.col(id_col))
+                 .limit(k))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              num_planes: int = 16, bands: int = 4,
                              seed: int = 42, vec_col: str = "embedding",
