@@ -447,6 +447,65 @@ def _timewarp_ts(spark, sf):
     return translate(warped, spark, _cat(spark, sf))
 
 
+def _gb_extraction_substr(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "orders", "granularity": "all",
+         "dimensions": [{"type": "extraction", "dimension": "o_orderpriority",
+                         "outputName": "prio_digit",
+                         "extractionFn": {"type": "substring", "index": 0,
+                                          "length": 1}}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _topn_inverted(spark, sf):
+    q = {"queryType": "topN", "dataSource": "events", "granularity": "all",
+         "dimension": "event_type", "threshold": 2,
+         "metric": {"type": "inverted", "metric": "cnt"},
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _scan_interval(spark, sf):
+    q = {"queryType": "scan", "dataSource": "lineitem",
+         "columns": ["l_orderkey", "l_linenumber", "l_quantity"],
+         "intervals": ["2000-01-01T00:00:00Z/2000-02-01T00:00:00Z"]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _gb_in_not_filter(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "orders", "granularity": "all",
+         "dimensions": ["o_orderstatus"],
+         "filter": {"type": "and", "fields": [
+             {"type": "in", "dimension": "o_orderpriority",
+              "values": ["1-URGENT", "2-HIGH"]},
+             {"type": "not", "field": {"type": "selector",
+                                       "dimension": "o_orderstatus",
+                                       "value": "P"}}]},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total",
+                           "fieldName": "o_totalprice"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"o_orderstatus": None, "cnt": None, "total": 2})
+
+
+def _gb_case_expression(spark, sf):
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "value_band",
+                             "expression": ("case_searched(value < 100, 'low', "
+                                            "value < 300, 'mid', 'high')"),
+                             "outputType": "STRING"}],
+         "dimensions": [{"type": "default", "dimension": "value_band"}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _search_fragment(spark, sf):
+    q = {"queryType": "search", "dataSource": "orders",
+         "searchDimensions": ["o_orderpriority"],
+         "query": {"type": "fragment", "values": ["1", "URGENT"]}}
+    return translate(q, spark, _cat(spark, sf))
+
+
 def _sessionize_stats(spark, sf):
     """Gap-based sessionization over the events stream (30-min gap)."""
     from incubator_druid_spark.pipeline.sessions import session_stats
@@ -575,6 +634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_lookup": _scan_lookup,
         "sql_druid_functions": _sql_druid_functions,
         "timewarp_ts": _timewarp_ts,
+        "gb_extraction_substr": _gb_extraction_substr,
+        "topn_inverted": _topn_inverted,
+        "scan_interval": _scan_interval,
+        "gb_in_not_filter": _gb_in_not_filter,
+        "gb_case_expression": _gb_case_expression,
+        "search_fragment": _search_fragment,
         "sessionize_stats": _sessionize_stats,
         "ann_ivf_topk": _ann_ivf_topk,
         "bloom_filtered_count": _bloom_filtered_count,
@@ -815,6 +880,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "gb_extraction_substr": """
+            SELECT substr(o_orderpriority, 1, 1) AS prio_digit,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1
+        """,
+        "topn_inverted": """
+            SELECT event_type, count(*) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt ASC LIMIT 2
+        """,
+        "scan_interval": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+              AND l_shipdate < TIMESTAMP '2000-02-01'
+        """,
+        "gb_in_not_filter": """
+            SELECT o_orderstatus, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              AND o_orderstatus != 'P'
+            GROUP BY 1
+        """,
+        "gb_case_expression": """
+            SELECT CASE WHEN value < 100 THEN 'low'
+                        WHEN value < 300 THEN 'mid' ELSE 'high' END AS value_band,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "search_fragment": """
+            SELECT 'o_orderpriority' AS dimension, o_orderpriority AS value,
+                   count(*) AS count
+            FROM orders
+            WHERE contains(lower(o_orderpriority), '1')
+              AND contains(lower(o_orderpriority), 'urgent')
+            GROUP BY 2
         """,
         "sessionize_stats": """
             WITH marked AS (

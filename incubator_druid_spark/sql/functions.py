@@ -78,6 +78,19 @@ _FUNCTIONS: list[str] = [
        RETURNS TIMESTAMP RETURN timestamp_millis(ms)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIMESTAMP_TO_MILLIS(ts TIMESTAMP)
        RETURNS BIGINT RETURN unix_millis(ts)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_EXTRACT(ts TIMESTAMP, unit STRING)
+       RETURNS BIGINT RETURN
+       CASE upper(unit)
+           WHEN 'EPOCH' THEN unix_seconds(ts)
+           WHEN 'MILLIS' THEN unix_millis(ts)
+           WHEN 'SECOND' THEN second(ts) WHEN 'MINUTE' THEN minute(ts)
+           WHEN 'HOUR' THEN hour(ts) WHEN 'DAY' THEN day(ts)
+           WHEN 'DOW' THEN dayofweek(ts) - 1
+           WHEN 'ISODOW' THEN weekday(ts) + 1
+           WHEN 'DOY' THEN dayofyear(ts) WHEN 'WEEK' THEN weekofyear(ts)
+           WHEN 'MONTH' THEN month(ts) WHEN 'QUARTER' THEN quarter(ts)
+           WHEN 'YEAR' THEN year(ts)
+       END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_IN_INTERVAL(ts TIMESTAMP, iv STRING)
        RETURNS BOOLEAN RETURN
        ts >= cast(split(iv, '/')[0] AS TIMESTAMP)
