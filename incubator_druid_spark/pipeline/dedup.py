@@ -103,7 +103,7 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
         norm = _re.compile(r"[^a-z0-9\s]")
         ws = _re.compile(r"\s+")
         for pdf in batches:
-            ids, sigs = [], []
+            ids, offsets, bases = [], [0], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 toks = ws.split(norm.sub(" ", (text or "").lower()).strip())
                 toks = [t for t in toks if t]
@@ -111,18 +111,31 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
                          for i in range(len(toks) - shingle_n + 1)}
                 if not grams:
                     continue
-                base = np.fromiter(
+                # base hash doubles as the shingle-set representation for the
+                # exact-Jaccard verify stage (set equality on 61-bit hashes ≡
+                # set equality on shingles, collision odds ~n²/2^61)
+                bases.append(np.fromiter(
                     (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
                                     .digest(), "big") >> 3 for g in grams),
-                    dtype=np.int64, count=len(grams))
-                # (n_shingles, k) universal hashes; min along shingles
-                derived = (base[:, None] * a[None, :] + b[None, :]) % mersenne
-                sigs.append(derived.min(axis=0))
+                    dtype=np.int64, count=len(grams)))
+                offsets.append(offsets[-1] + len(grams))
                 ids.append(rid)
-            yield pd.DataFrame({id_col: ids, "__sig": [s.tolist() for s in sigs]})
+            if not ids:
+                yield pd.DataFrame({id_col: [], "__sig": [], "__sh": []})
+                continue
+            # one (total_shingles × k) universal-hash sweep for the whole
+            # Arrow batch, then per-doc segment minima via minimum.reduceat —
+            # amortizes numpy dispatch across documents
+            all_base = np.concatenate(bases)
+            derived = (all_base[:, None] * a[None, :] + b[None, :]) % mersenne
+            mins = np.minimum.reduceat(derived, np.array(offsets[:-1]), axis=0)
+            yield pd.DataFrame({id_col: ids,
+                                "__sig": [m.tolist() for m in mins],
+                                "__sh": [s.tolist() for s in bases]})
 
     return (df.select(id_col, text_col)
-              .mapInPandas(kernel, schema=f"{id_col} long, __sig array<long>"))
+              .mapInPandas(kernel,
+                           schema=f"{id_col} long, __sig array<long>, __sh array<long>"))
 
 
 def _shingle_frame(df: DataFrame, id_col: str, text_col: str,
@@ -154,17 +167,19 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     while bounding the join quadratically.  This is what makes the operator
     safe on boilerplate-heavy corpora at 100 TB."""
     rows = num_hashes // bands
-    if use_pandas and _sh is None:
+    if _sh is not None:
+        with_sig = _sh
+    elif use_pandas:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
         with_sig = _signature_frame_pandas(
             df.repartition(parallelism, F.col(id_col)), id_col, text_col,
             num_hashes, shingle_n).persist()
     else:
-        with_sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_n)
+        sh_frame = _shingle_frame(df, id_col, text_col, shingle_n)
         sig = minhash_signature(F.col("__sh"), num_hashes)
-        with_sig = (with_sh.select(F.col(id_col), sig.alias("__sig"))
-                           .filter(F.col("__sig")[0].isNotNull())
-                           .persist())
+        with_sig = (sh_frame.select(F.col(id_col), sig.alias("__sig"))
+                            .filter(F.col("__sig")[0].isNotNull())
+                            .persist())
     banded = with_sig.select(
         id_col,
         F.explode(F.array(*[
@@ -198,19 +213,24 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify on
     shingle sets → pairs over threshold.  Returns (id_a, id_b, jaccard).
 
-    The verify stage computes shingle sets ONLY for documents that appear in
-    a candidate pair (usually a tiny fraction of the corpus) — the candidate
-    id set is semi-joined back onto the corpus before the shingle projection.
+    The verify stage reuses the persisted signature frame's shingle-hash sets
+    (computed in the same Arrow kernel pass as the signatures), so the corpus
+    text is read exactly once end-to-end.
     """
+    if use_pandas:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        frame = _signature_frame_pandas(
+            df.repartition(parallelism, F.col(id_col)), id_col, text_col,
+            num_hashes, shingle_n).persist()
+    else:
+        sh_frame = _shingle_frame(df, id_col, text_col, shingle_n)
+        frame = (sh_frame.select(
+            F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig"),
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__sh"))
+            .filter(F.col("__sig")[0].isNotNull()).persist())
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                   shingle_n, max_bucket,
-                                   use_pandas=use_pandas).persist()
-    cand_ids = (cands.select(F.col("id_a").alias(id_col))
-                .union(cands.select(F.col("id_b").alias(id_col)))
-                .distinct())
-    subset = df.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
-    sh = subset.select(F.col(id_col),
-                       shingles(F.col(text_col), shingle_n).alias("__sh")).persist()
+                                   shingle_n, max_bucket, _sh=frame)
+    sh = frame.select(F.col(id_col), F.col("__sh"))
     j = (cands
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"))
