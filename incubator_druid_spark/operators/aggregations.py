@@ -122,6 +122,14 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
     if t in ("thetaSketch", "sketchMerge"):
         # datasketches theta/SketchMergeAggregatorFactory.java (estimate path)
         return F.approx_count_distinct(f())
+    if t == "__percentile":
+        # synthesized by rewrite_sketch_query from sketch-quantile post-aggs
+        fracs = spec["fractions"]
+        acc = min(int(spec.get("k", 10000)), 10000)
+        if len(fracs) == 1:
+            return F.percentile_approx(f().cast("double"), float(fracs[0]), acc)
+        return F.percentile_approx(f().cast("double"),
+                                   F.array(*[F.lit(float(x)) for x in fracs]), acc)
     if t == "quantilesDoublesSketch":
         # Stored sketch column → keep values for percentile post-aggs; the
         # common finalized read is handled by the post-aggregator layer which
@@ -237,6 +245,50 @@ def _num(t: str) -> str:
 
 def _df_name(d) -> str:
     return d if isinstance(d, str) else d.get("dimension")
+
+
+def rewrite_sketch_query(query: dict) -> dict:
+    """Pre-translation rewrite for sketch post-aggregators.
+
+    Druid stores COMPLEX sketch objects in the agg row and finalizes them in
+    post-aggs (quantiles/DoublesSketchToQuantilePostAggregator.java etc.).
+    This engine computes finalized values directly, so a quantile post-agg
+    over a quantilesDoublesSketch agg is rewritten into a percentile
+    aggregation at the agg stage: the sketch never materializes, the math is
+    one percentile_approx (partial/final split handled by Tungsten).
+    """
+    posts = query.get("postAggregations") or []
+    aggs = list(query.get("aggregations") or [])
+    if not posts:
+        return query
+    by_name = {a.get("name"): a for a in aggs}
+    new_posts, extra_aggs, consumed = [], [], set()
+    for p in posts:
+        t = p.get("type")
+        if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles"):
+            ref = p.get("field", {}).get("fieldName")
+            base = by_name.get(ref)
+            if base and base.get("type") == "quantilesDoublesSketch":
+                fracs = [p["fraction"]] if t.endswith("ToQuantile") else p["fractions"]
+                extra_aggs.append({"type": "__percentile", "name": p["name"],
+                                   "fieldName": base.get("fieldName"),
+                                   "expression": base.get("expression"),
+                                   "fractions": fracs,
+                                   "k": base.get("k", 10000)})
+                consumed.add(ref)
+                continue
+        new_posts.append(p)
+    if not extra_aggs:
+        return query
+    # drop sketch aggs only used as post-agg inputs
+    still_needed = {p.get("field", {}).get("fieldName") for p in new_posts
+                    if isinstance(p.get("field"), dict)}
+    aggs = [a for a in aggs
+            if a.get("name") not in consumed or a.get("name") in still_needed]
+    out = dict(query)
+    out["aggregations"] = aggs + extra_aggs
+    out["postAggregations"] = new_posts
+    return out
 
 
 def compile_aggregations(specs: list[dict] | None, ctx: FilterContext) -> list[Column]:

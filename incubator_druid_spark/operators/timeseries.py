@@ -31,6 +31,8 @@ _ZERO_FILL_AGGS = {"count", "longSum", "doubleSum", "floatSum", "cardinality",
 
 
 def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    from incubator_druid_spark.operators.aggregations import rewrite_sketch_query
+    query = rewrite_sketch_query(query)
     df = prepare_frame(query, spark, catalog)
     gran = parse_granularity(query.get("granularity", "all"))
     ctx = FilterContext(df)

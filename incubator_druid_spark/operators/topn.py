@@ -29,6 +29,8 @@ from incubator_druid_spark.plans.translator import prepare_frame
 
 
 def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
+    from incubator_druid_spark.operators.aggregations import rewrite_sketch_query
+    query = rewrite_sketch_query(query)
     df = prepare_frame(query, spark, catalog)
     gran = parse_granularity(query.get("granularity", "all"))
     df, dim_names = apply_dimensions(df, [query["dimension"]])

@@ -80,3 +80,88 @@ def test_ivf_topk_recall(spark, catalog):
     ivf = {r["vec_id"] for r in ann_ivf_topk(rest, q, k=10, n_clusters=8,
                                              nprobe=4).collect()}
     assert len(exact & ivf) >= 5
+
+
+def test_sketch_quantile_postagg_rewrite(spark, catalog):
+    from incubator_druid_spark import translate
+    q = {"queryType": "groupBy", "dataSource": "lineitem", "granularity": "all",
+         "dimensions": ["l_returnflag"],
+         "aggregations": [{"type": "quantilesDoublesSketch", "name": "sk",
+                           "fieldName": "l_quantity", "k": 128}],
+         "postAggregations": [
+             {"type": "quantilesDoublesSketchToQuantile", "name": "p90",
+              "field": {"type": "fieldAccess", "fieldName": "sk"},
+              "fraction": 0.9}]}
+    out = translate(q, spark, catalog)
+    assert "p90" in out.columns
+    r = {x["l_returnflag"]: x["p90"] for x in out.collect()}
+    # l_quantity uniform on [1,50] → p90 ≈ 45
+    assert all(40 <= v <= 50 for v in r.values())
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    import json as _json
+    from incubator_druid_spark.streaming.stateful import streaming_sessionize
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(x) for x in [
+        {"t": "2024-01-01T10:00:00Z", "user_id": 1, "value": 1.0},
+        {"t": "2024-01-01T10:05:00Z", "user_id": 1, "value": 2.0},
+        {"t": "2024-01-01T11:30:00Z", "user_id": 1, "value": 9.0},  # new session
+        {"t": "2024-01-01T10:00:00Z", "user_id": 2, "value": 4.0},
+    ]))
+    stream = (spark.readStream.schema("t string, user_id long, value double")
+              .json(str(src))
+              .selectExpr("cast(t as timestamp) as __time", "user_id", "value"))
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sessions_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out").collect()
+    # user 1's first session (2 events, 5-min span) closes when the 11:30
+    # event arrives past the 30-min gap
+    sessions = {(r["user_id"], r["n_events"]): r for r in got}
+    assert (1, 2) in sessions
+    assert sessions[(1, 2)]["total_value"] == 3.0
+
+
+def test_http_server_endpoints(spark, tmp_path):
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from incubator_druid_spark.catalog import load_catalog
+    from incubator_druid_spark.server import make_handler
+    from tests.conftest import SF_DIR
+
+    catalog = load_catalog(spark, SF_DIR)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(spark, catalog))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/status") as r:
+            st = _json.loads(r.read())
+        assert "events" in st["datasources"]
+
+        body = _json.dumps({
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "cnt"}]}).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/druid/v2/",
+                                     data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = _json.loads(r.read())
+        assert out[0]["result"]["cnt"] == 1000
+
+        sql_body = _json.dumps({"query": "SELECT count(*) AS c FROM events",
+                                "resultFormat": "object"}).encode()
+        req2 = urllib.request.Request(f"http://127.0.0.1:{port}/druid/v2/sql/",
+                                      data=sql_body,
+                                      headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2) as r:
+            out2 = _json.loads(r.read())
+        assert out2 == [{"c": 1000}]
+    finally:
+        httpd.shutdown()
