@@ -1,0 +1,145 @@
+"""Golden SQL tests over the `foo` fixture — ports of representative
+CalciteQueryTest behaviors (sql/src/test/.../CalciteQueryTest.java asserts
+exact rows for each SQL statement against the same six-row datasource;
+FIXTURES.md reproduces the rows).  SQL-compatible null mode throughout.
+
+MVD note: Druid SQL implicitly explodes multi-value dims on GROUP BY; in this
+engine that semantics lives in the native groupBy path (tested in
+test_query_types) while the SQL surface exposes arrays honestly — golden
+cases touching MVDs go through the native API here.
+"""
+
+import pytest
+
+from incubator_druid_spark import translate
+from incubator_druid_spark.sql.functions import druid_sql
+from tests.conftest import rows
+
+
+def q(spark, foo_catalog, sql):
+    return druid_sql(spark, sql, foo_catalog)
+
+
+def test_select_count_star(spark, foo_catalog):
+    assert q(spark, foo_catalog, "SELECT COUNT(*) AS c FROM foo").first()["c"] == 6
+
+
+def test_aggregates(spark, foo_catalog):
+    r = q(spark, foo_catalog, """
+        SELECT SUM(m2) AS s, MIN(m1) AS mn, MAX(m1) AS mx, AVG(m2) AS a,
+               COUNT(DISTINCT dim1) AS d
+        FROM foo""").first()
+    assert (r["s"], r["mn"], r["mx"], r["a"], r["d"]) == (21.0, 1.0, 6.0, 3.5, 6)
+
+
+def test_filtered_aggregates(spark, foo_catalog):
+    r = q(spark, foo_catalog, """
+        SELECT COUNT(*) FILTER (WHERE dim1 <> '') AS nonempty,
+               SUM(m2) FILTER (WHERE m1 > 3) AS big
+        FROM foo""").first()
+    assert r["nonempty"] == 5 and r["big"] == 15.0
+
+
+def test_group_by_having_order(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT dim1, SUM(m2) AS s FROM foo
+        GROUP BY dim1 HAVING SUM(m2) > 3 ORDER BY s DESC LIMIT 2""").collect()
+    assert [(r["dim1"], r["s"]) for r in out] == [("abc", 6.0), ("def", 5.0)]
+
+
+def test_case_and_coalesce(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT dim1,
+               CASE WHEN m1 <= 2 THEN 'small' WHEN m1 <= 4 THEN 'mid'
+                    ELSE 'big' END AS band,
+               COALESCE(NULLIF(dim1, ''), 'EMPTY') AS d
+        FROM foo WHERE m1 IN (1, 3, 6)""").collect()
+    got = {(r["dim1"], r["band"], r["d"]) for r in out}
+    assert got == {("", "small", "EMPTY"), ("2", "mid", "2"),
+                   ("abc", "big", "abc")}
+
+
+def test_time_floor_group(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT TIME_FLOOR(__time, 'P1Y') AS y, COUNT(*) AS c, SUM(cnt) AS sc
+        FROM foo GROUP BY 1 ORDER BY 1""").collect()
+    assert [(str(r["y"])[:4], r["c"], r["sc"]) for r in out] == \
+        [("2000", 3, 3), ("2001", 3, 3)]
+
+
+def test_extract_and_time_predicates(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE __time >= TIMESTAMP '2000-01-02 00:00:00'
+          AND __time < TIMESTAMP '2001-01-02 00:00:00'""").first()
+    assert out["c"] == 3
+    r = q(spark, foo_catalog, """
+        SELECT EXTRACT(YEAR FROM __time) AS y, COUNT(*) AS c
+        FROM foo GROUP BY 1 ORDER BY 1""").collect()
+    assert [(x["y"], x["c"]) for x in r] == [(2000, 3), (2001, 3)]
+
+
+def test_lookup_function(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT dim1, LOOKUP(dim1, 'lookyloo') AS v FROM foo
+        WHERE LOOKUP(dim1, 'lookyloo') IS NOT NULL""").collect()
+    assert {(r["dim1"], r["v"]) for r in out} == {("abc", "xabc")}
+
+
+def test_string_functions(spark, foo_catalog):
+    r = q(spark, foo_catalog, """
+        SELECT TEXTCAT(dim1, 'x') AS t, STRPOS(dim1, 'b') AS p,
+               UPPER(dim1) AS u, SUBSTRING(dim1, 1, 2) AS s
+        FROM foo WHERE dim1 = 'abc'""").first()
+    assert (r["t"], r["p"], r["u"], r["s"]) == ("abcx", 2, "ABC", "ab")
+
+
+def test_numeric_string_casts(spark, foo_catalog):
+    # '10.1', '2', '1' cast to DOUBLE; 'abc'/'def'/'' → NULL (non-ANSI mode)
+    out = q(spark, foo_catalog, """
+        SELECT SUM(CAST(dim1 AS DOUBLE)) AS s FROM foo""").first()
+    assert out["s"] == pytest.approx(13.1)
+
+
+def test_self_join(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT a.dim1, b.m2 FROM foo a JOIN foo b ON a.m1 = b.m2
+        WHERE a.dim1 = 'abc'""").collect()
+    assert [(r["dim1"], r["m2"]) for r in out] == [("abc", 6.0)]
+
+
+def test_union_all_and_distinct(spark, foo_catalog):
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM
+        (SELECT dim1 FROM foo UNION ALL SELECT dim1 FROM foo)""").first()["c"] == 12
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM
+        (SELECT dim1 FROM foo UNION SELECT dim1 FROM foo)""").first()["c"] == 6
+
+
+def test_subquery_in_filter(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT dim1 FROM foo
+        WHERE m2 IN (SELECT MAX(m2) FROM foo)""").collect()
+    assert [r["dim1"] for r in out] == ["abc"]
+
+
+def test_window_function_superset(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT dim1, m2,
+               ROW_NUMBER() OVER (ORDER BY m2 DESC) AS rn,
+               LAG(dim1) OVER (ORDER BY m2) AS prev
+        FROM foo ORDER BY m2 DESC LIMIT 2""").collect()
+    assert [(r["dim1"], r["rn"]) for r in out] == [("abc", 1), ("def", 2)]
+    assert out[0]["prev"] == "def"
+
+
+def test_mvd_group_by_native(spark, foo_catalog):
+    """Druid SQL GROUP BY dim3 (MVD) explodes — native path equivalence."""
+    out = translate({
+        "queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+        "dimensions": ["dim3"],
+        "aggregations": [{"type": "longSum", "name": "c", "fieldName": "cnt"}],
+    }, spark, foo_catalog)
+    got = dict(rows(out, "dim3", "c"))
+    assert got["b"] == 2 and got[""] == 1 and got[None] == 2
