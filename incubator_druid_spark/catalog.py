@@ -67,10 +67,18 @@ class Catalog:
                 self.register(t, p, time_column=_DEFAULT_TIME_COLUMNS.get(t))
         return self
 
+    def register_managed(self, name: str) -> None:
+        """Datasource backed by a session-catalog table (saveAsTable) — the
+        path for bucketed layouts, whose bucketing metadata only survives
+        through spark.table()."""
+        self._specs[name] = DatasourceSpec(name, path="", fmt="managed")
+
     def table(self, name: str) -> DataFrame:
         if name not in self._specs:
             raise KeyError(f"unknown datasource: {name!r} (registered: {sorted(self._specs)})")
         spec = self._specs[name]
+        if spec.fmt == "managed":
+            return self.spark.table(name)
         reader = self.spark.read.format(spec.fmt)
         for k, v in spec.options.items():
             reader = reader.option(k, v)

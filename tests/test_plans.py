@@ -132,3 +132,31 @@ def test_partition_pruning_on_ingested_table(spark, tmp_path):
     plan = plan_of(df)
     assert "PartitionFilters" in plan and "__bucket" in plan
     assert df.first()["s"] == 3 + 4
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """hashed partitionsSpec → bucketBy layout; a self-join on the shard key
+    must plan with NO Exchange on either side (co-located join)."""
+    import json
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    src = tmp_path / "b.json"
+    src.write_text("\n".join(json.dumps(
+        {"t": "2024-01-01T10:00:00Z", "k": i % 50, "v": i}) for i in range(1000)))
+    spec = {"dataSchema": {"dataSource": "bucketed_t",
+                           "timestampSpec": {"column": "t", "format": "iso"},
+                           "granularitySpec": {"segmentGranularity": "day"}},
+            "ioConfig": {"inputSource": {"type": "local", "files": [str(src)]},
+                         "inputFormat": {"type": "json"}},
+            "tuningConfig": {"partitionsSpec": {"type": "hashed",
+                                                "partitionDimensions": ["k"],
+                                                "numShards": 4}}}
+    cat = Catalog(spark)
+    ingest(spark, spec, cat, str(tmp_path / "wh"))
+    t = cat.table("bucketed_t")
+    joined = t.alias("a").join(t.alias("b"), "k")
+    plan = plan_of(joined)
+    assert "Exchange" not in plan, "bucketed equi-join must not shuffle"
+    agg = t.groupBy("k").count()
+    assert "Exchange" not in plan_of(agg), "bucketed groupBy must not shuffle"
