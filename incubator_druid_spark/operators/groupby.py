@@ -47,12 +47,13 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         keys = ["__bucket"] + keys
 
     ctx = FilterContext(df)
-    aggs = compile_aggregations(query.get("aggregations"), ctx)
+    agg_specs = query.get("aggregations") or []
 
     subtotals = query.get("subtotalsSpec")
     if subtotals:
-        out = _subtotals(df, keys, dim_names, subtotals, aggs)
+        out = _subtotals(df, keys, dim_names, subtotals, agg_specs, ctx)
     else:
+        aggs = compile_aggregations(agg_specs, ctx)
         out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
 
     post = compile_post_aggregations(query.get("postAggregations"))
@@ -70,14 +71,27 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     return out
 
 
-def _subtotals(df: DataFrame, keys, dim_names, subtotals, aggs) -> DataFrame:
+def _subtotals(df: DataFrame, keys, dim_names, subtotals, agg_specs,
+               ctx) -> DataFrame:
     """Union of grouped aggregates, missing dims as NULL (matches Druid's
-    subtotal output; GROUPING() via the `grouping` aggregator is computed as a
-    constant per branch)."""
+    subtotal output).  GROUPING() (the `grouping` aggregator,
+    GroupingAggregatorFactory.java) is a per-branch CONSTANT — Spark's
+    grouping_id only exists inside native grouping-sets plans, but in the
+    unioned form each branch knows its own included-dimension bitmask."""
+    from incubator_druid_spark.operators.aggregations import compile_aggregator
     outs = []
     time_keys = [k for k in keys if k not in dim_names]
     for subset in subtotals:
         gkeys = time_keys + [d for d in dim_names if d in subset]
+        aggs = []
+        for spec in agg_specs:
+            if spec.get("type") == "grouping":
+                mask = 0
+                for g in spec["groupings"]:
+                    mask = (mask << 1) | (0 if g in subset else 1)
+                aggs.append(F.max(F.lit(mask)).alias(spec.get("name", "grouping")))
+            else:
+                aggs.append(compile_aggregator(spec, ctx))
         agg_df = df.groupBy(*[qcol(k) for k in gkeys]).agg(*aggs) if gkeys else df.agg(*aggs)
         missing = [d for d in dim_names if d not in subset]
         for m in missing:

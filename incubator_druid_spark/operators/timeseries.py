@@ -54,6 +54,16 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     if gran.kind != "all":
         out = out.orderBy(F.col(TIME_COLUMN).desc() if query.get("descending")
                           else F.col(TIME_COLUMN))
+        if query.get("context", {}).get("grandTotal"):
+            # TimeseriesQueryQueryToolChest grand-total row: overall aggregate
+            # appended with a null timestamp
+            total = df.agg(*compile_aggregations(query.get("aggregations"), ctx)
+                           or [F.count(F.lit(1)).alias("count")])
+            if post:
+                total = total.select("*", *compile_post_aggregations(
+                    query.get("postAggregations")))
+            total = total.withColumn(TIME_COLUMN, F.lit(None).cast("timestamp"))
+            out = out.unionByName(total)
     limit = query.get("limit")
     if limit:
         out = out.limit(int(limit))

@@ -216,3 +216,26 @@ def test_query_datasource_nesting(spark, foo_catalog):
                               {"type": "count", "name": "groups"}]}
     r = translate(outer, spark, foo_catalog).first()
     assert r["mx"] == 6.0 and r["groups"] == 6
+
+
+def test_subtotals_with_grouping_aggregator(spark, foo_catalog):
+    q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": ["dim1"],
+         "subtotalsSpec": [["dim1"], []],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "grouping", "name": "g",
+                           "groupings": ["dim1"]}]}
+    out = rows(translate(q, spark, foo_catalog), "dim1", "cnt", "g")
+    assert (None, 6, 1) in out          # grand-total branch: dim1 missing → bit set
+    assert ("abc", 1, 0) in out         # per-dim branch
+
+
+def test_timeseries_grand_total(spark, foo_catalog):
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "year",
+         "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+         "context": {"grandTotal": True},
+         "aggregations": [{"type": "doubleSum", "name": "s", "fieldName": "m2"}]}
+    out = translate(q, spark, foo_catalog).collect()
+    totals = [r for r in out if r["__time"] is None]
+    assert len(totals) == 1 and totals[0]["s"] == 21.0
+    assert len(out) == 3
