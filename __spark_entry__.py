@@ -612,6 +612,22 @@ def _simhash_pairs(spark, sf):
     return simhash_candidates(docs.limit(200), "doc_id", "text")
 
 
+def _multimodal_features(spark, sf):
+    """Multimodal plumbing over binary content: documents' text bytes stand in
+    for encoded media; decode/resize runs through the real mapInPandas path
+    with the deterministic fake kernel (codecs stubbed — none in container)."""
+    from incubator_druid_spark.pipeline.multimodal import (
+        attach_media_metadata, decode_image_features)
+    docs = _cat(spark, sf).table("documents").limit(200)
+    binary = docs.select(F.col("doc_id").alias("id"),
+                         F.encode(F.col("text"), "utf-8").alias("content"))
+    meta = attach_media_metadata(binary)
+    feats = decode_image_features(binary, fake=True)
+    return (feats.join(meta.select("id", F.col("media.mime").alias("sniffed")), "id")
+                 .select("id", "mime", "width", "height",
+                         F.round(F.element_at("feat", 1), 4).alias("f0")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_day": _ts_day,
@@ -663,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _ann_brute_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "minhash_pairs": _minhash_pairs,
+        "multimodal_features": _multimodal_features,
         "simhash_pairs": _simhash_pairs,
     }
 

@@ -11,9 +11,10 @@ the request body dict and return the serialized response, so any HTTP server
 (stdlib http.server, flask, etc.) can mount them with a two-line handler.  No
 server dependency is baked in.
 
-Query context options honored (query/QueryContexts.java): `timeout` (ms) is
-mapped to a spark job-group cancel; `useApproximateCountDistinct=false` is
-default (exact where the translation is exact).
+Query context options (query/QueryContexts.java): `skipEmptyBuckets` and
+`grandTotal` are honored in the timeseries translation; `timeout`/laning are
+deferred to Spark's own job cancellation and scheduler pools (orthogonal to
+translation — see SURVEY §2.12).
 """
 
 from __future__ import annotations

@@ -152,6 +152,32 @@ def ann_ivf_topk(df: DataFrame, query_vec, k: int = 10, n_clusters: int = 16,
                  .limit(k))
 
 
+def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Materialize the IVF layout: one partition directory per cluster.
+    At 100 TB this is the index build — done once, queries then touch only
+    nprobe/n_clusters of the files."""
+    (ivf_assign(df, centroids, vec_col)
+     .write.mode("overwrite").partitionBy("__ivf").parquet(path))
+
+
+def ann_ivf_topk_indexed(spark, path: str, query_vec, centroids: np.ndarray,
+                         k: int = 10, nprobe: int = 4,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Query a written IVF index: the cluster filter is a PARTITION filter —
+    Spark opens only the probed directories (verified in tests via the
+    physical plan)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = [int(c) for c in np.argsort(-(centroids @ qn))[:nprobe]]
+    df = spark.read.parquet(path).filter(F.col("__ivf").isin(probe))
+    sim = cosine(F.col(vec_col), _lit_vec(query_vec))
+    return (df.select(F.col(id_col), sim.alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col))
+              .limit(k))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              num_planes: int = 16, bands: int = 4,
                              seed: int = 42, vec_col: str = "embedding",

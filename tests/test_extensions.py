@@ -165,3 +165,24 @@ def test_http_server_endpoints(spark, tmp_path):
         assert out2 == [{"c": 1000}]
     finally:
         httpd.shutdown()
+
+
+def test_ivf_index_partition_pruning(spark, catalog, tmp_path):
+    from incubator_druid_spark.pipeline.similarity import (
+        ann_ivf_topk_indexed, cosine_topk, train_ivf_centroids, write_ivf_index)
+    from tests.test_plans import plan_of
+    from pyspark.sql import functions as F
+
+    emb = catalog.table("embeddings")
+    cent = train_ivf_centroids(emb, n_clusters=8)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, cent)
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = ann_ivf_topk_indexed(spark, path, q, cent, k=10, nprobe=4)
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan and "__ivf" in plan
+    exact = {r["vec_id"] for r in
+             cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10).collect()}
+    approx = {r["vec_id"] for r in out.collect()}
+    assert len(exact & approx) >= 5
