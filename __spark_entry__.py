@@ -612,6 +612,16 @@ def _simhash_pairs(spark, sf):
     return simhash_candidates(docs.limit(200), "doc_id", "text")
 
 
+def _json_props(spark, sf):
+    """Query-time JSON (superset — Druid 0.22 flattens JSON only at ingest,
+    JSONParseSpec; Spark's get_json_object covers it at query time)."""
+    ev = _cat(spark, sf).table("events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+              .agg(F.sum(k).alias("k_sum"), F.max(k).alias("k_max"),
+                   F.count(F.when(k > 50, 1)).alias("k_big")))
+
+
 def _multimodal_features(spark, sf):
     """Multimodal plumbing over binary content: documents' text bytes stand in
     for encoded media; decode/resize runs through the real mapInPandas path
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "minhash_pairs": _minhash_pairs,
         "multimodal_features": _multimodal_features,
+        "json_props": _json_props,
         "simhash_pairs": _simhash_pairs,
     }
 
@@ -955,6 +966,14 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(t)) - epoch_us(min(t)) AS duration_us,
                    round(sum(value), 3) AS total_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "json_props": """
+            SELECT event_type,
+                   sum(json_extract(props, '$.k')::BIGINT) AS k_sum,
+                   max(json_extract(props, '$.k')::BIGINT) AS k_max,
+                   count(*) FILTER (WHERE json_extract(props, '$.k')::BIGINT > 50)
+                       AS k_big
+            FROM events GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -87,10 +87,16 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession) -> DataFr
     # aggregator identity values for empty buckets
     fills = []
     for spec in query.get("aggregations") or []:
-        name = spec.get("name")
-        if spec["type"] in _ZERO_FILL_AGGS:
-            zero = 0 if spec["type"] in ("count", "longSum", "cardinality",
-                                         "hyperUnique") else 0.0
+        if spec["type"] == "filtered":
+            # FilteredAggregatorFactory carries name/type on the inner agg
+            name = spec["aggregator"].get("name")
+            atype = spec["aggregator"]["type"]
+        else:
+            name = spec.get("name")
+            atype = spec["type"]
+        if atype in _ZERO_FILL_AGGS:
+            zero = 0 if atype in ("count", "longSum", "cardinality",
+                                  "hyperUnique") else 0.0
             fills.append(F.coalesce(F.col(name), F.lit(zero)).alias(name))
         else:
             fills.append(F.col(name))
