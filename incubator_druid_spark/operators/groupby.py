@@ -73,36 +73,26 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
 def _subtotals(df: DataFrame, keys, dim_names, subtotals, agg_specs,
                ctx) -> DataFrame:
-    """Union of grouped aggregates, missing dims as NULL (matches Druid's
-    subtotal output).  GROUPING() (the `grouping` aggregator,
-    GroupingAggregatorFactory.java) is a per-branch CONSTANT — Spark's
-    grouping_id only exists inside native grouping-sets plans, but in the
-    unioned form each branch knows its own included-dimension bitmask."""
+    """subtotalsSpec via NATIVE grouping sets — one scan + one shuffle for
+    all subtotal lists (Druid re-processes the base result per list,
+    GroupByStrategyV2.processSubtotalsSpec:465; Catalyst's Expand operator
+    does the same replication pipeline-side, which is what survives a 100×
+    scale-up).  The `grouping` aggregator (GroupingAggregatorFactory.java)
+    maps onto the native GROUPING() bitmask."""
     from incubator_druid_spark.operators.aggregations import compile_aggregator
-    outs = []
     time_keys = [k for k in keys if k not in dim_names]
-    for subset in subtotals:
-        gkeys = time_keys + [d for d in dim_names if d in subset]
-        aggs = []
-        for spec in agg_specs:
-            if spec.get("type") == "grouping":
-                mask = 0
-                for g in spec["groupings"]:
-                    mask = (mask << 1) | (0 if g in subset else 1)
-                aggs.append(F.max(F.lit(mask)).alias(spec.get("name", "grouping")))
-            else:
-                aggs.append(compile_aggregator(spec, ctx))
-        agg_df = df.groupBy(*[qcol(k) for k in gkeys]).agg(*aggs) if gkeys else df.agg(*aggs)
-        missing = [d for d in dim_names if d not in subset]
-        for m in missing:
-            agg_df = agg_df.withColumn(m, F.lit(None).cast(dict(df.dtypes)[m]))
-        outs.append(agg_df.select(*(time_keys + dim_names),
-                                  *[a for a in agg_df.columns
-                                    if a not in time_keys + dim_names]))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    sets = [[qcol(d) for d in dim_names if d in subset] for subset in subtotals]
+    if time_keys:
+        sets = [[qcol(t) for t in time_keys] + s for s in sets]
+    aggs = []
+    for spec in agg_specs:
+        if spec.get("type") == "grouping":
+            aggs.append(F.grouping_id(*[qcol(g) for g in spec["groupings"]])
+                        .alias(spec.get("name", "grouping")))
+        else:
+            aggs.append(compile_aggregator(spec, ctx))
+    grouped = df.groupingSets(sets, *[qcol(k) for k in keys])
+    return grouped.agg(*aggs)
 
 
 # -- having ------------------------------------------------------------------
