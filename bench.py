@@ -47,8 +47,10 @@ def main() -> int:
         "topn_users", "scan_purchases", "search_types", "time_boundary",
         "tpch_q1", "sql_q3ish", "sql_q5ish",
         "dedup_fingerprint", "text_source_tokens", "ann_brute_topk",
-        "minhash_pairs",
+        "minhash_pairs", "sessionize_stats", "ann_ivf_topk", "json_props",
+        "gb_subtotals", "tpch_q1",
     ]
+    headline = list(dict.fromkeys(headline))
 
     timings: dict[str, float] = {}
     for name in headline:
