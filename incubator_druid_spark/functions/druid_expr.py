@@ -354,12 +354,19 @@ def _registry() -> dict:
         return _gran(period, None, tz).shift(_c(ts), int(lit_val(step)))
 
     _EXTRACT = {
-        "EPOCH": F.unix_timestamp, "MILLIS": F.unix_millis,
+        # TimestampExtractExprMacro.java:113-154 — EPOCH is seconds;
+        # MILLISECOND is millis-of-second
+        "EPOCH": F.unix_timestamp,
+        "MILLISECOND": lambda c: (F.unix_millis(c) % 1000),
         "SECOND": F.second, "MINUTE": F.minute, "HOUR": F.hour,
-        "DAY": F.dayofmonth, "DOW": lambda c: F.dayofweek(c) - 1,
+        # DOW and ISODOW both return joda dayOfWeek (Mon=1..Sun=7):
+        # TimestampExtractExprMacro.java:130-133
+        "DAY": F.dayofmonth, "DOW": lambda c: F.weekday(c) + 1,
         "ISODOW": lambda c: F.weekday(c) + 1, "DOY": F.dayofyear,
         "WEEK": F.weekofyear, "MONTH": F.month, "QUARTER": F.quarter,
-        "YEAR": F.year, "ISOYEAR": lambda c: F.year(F.date_trunc("week", c)),
+        # reference quirk: ISOYEAR returns the plain year
+        # (TimestampExtractExprMacro.java:144-145)
+        "YEAR": F.year, "ISOYEAR": F.year,
         "DECADE": lambda c: F.floor(F.year(c) / 10),
         "CENTURY": lambda c: F.ceil(F.year(c) / 100),
         "MILLENNIUM": lambda c: F.ceil(F.year(c) / 1000),

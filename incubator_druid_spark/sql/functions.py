@@ -85,7 +85,7 @@ _FUNCTIONS: list[str] = [
            WHEN 'MILLIS' THEN unix_millis(ts)
            WHEN 'SECOND' THEN second(ts) WHEN 'MINUTE' THEN minute(ts)
            WHEN 'HOUR' THEN hour(ts) WHEN 'DAY' THEN day(ts)
-           WHEN 'DOW' THEN dayofweek(ts) - 1
+           WHEN 'DOW' THEN weekday(ts) + 1
            WHEN 'ISODOW' THEN weekday(ts) + 1
            WHEN 'DOY' THEN dayofyear(ts) WHEN 'WEEK' THEN weekofyear(ts)
            WHEN 'MONTH' THEN month(ts) WHEN 'QUARTER' THEN quarter(ts)

@@ -122,3 +122,22 @@ def test_lookup_expr(spark, foo_catalog):
 def test_unknown_function_raises(spark):
     with pytest.raises(ValueError, match="unknown druid function"):
         ev(spark, "frobnicate(x)")
+
+
+def test_extract_reference_quirks(spark):
+    """DOW==ISODOW==joda dayOfWeek (Mon=1..Sun=7); EPOCH in seconds;
+    MILLISECOND = millis-of-second (TimestampExtractExprMacro.java:113-154)."""
+    import datetime
+    t = datetime.datetime(2024, 3, 10, 6, 30, 15, 250000)  # a Sunday
+    df = spark.createDataFrame([(t,)], "t timestamp")
+
+    def evt(e):
+        return df.select(compile_expr(e, F.col).alias("r")).first()["r"]
+
+    assert evt("timestamp_extract(t, 'DOW')") == 7
+    assert evt("timestamp_extract(t, 'ISODOW')") == 7
+    assert evt("timestamp_extract(t, 'MILLISECOND')") == 250
+    assert evt("timestamp_extract(t, 'EPOCH')") == int(t.replace(
+        tzinfo=datetime.timezone.utc).timestamp())
+    assert evt("timestamp_extract(t, 'DECADE')") == 202
+    assert evt("timestamp_extract(t, 'CENTURY')") == 21
