@@ -61,7 +61,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     out = out.orderBy(_ordering_key(F.col("value"), sort).asc(),
                       F.col("dimension").asc())
 
-    limit = query.get("limit")
+    # SearchQuery default limit is 1000 (query/search/SearchQuery.java)
+    limit = query.get("limit", 1000)
     if limit is not None:
         out = out.limit(int(limit))
     return out

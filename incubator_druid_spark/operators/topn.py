@@ -42,6 +42,16 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         df = df.withColumn("__bucket", gran.floor(F.col(TIME_COLUMN)))
         keys = ["__bucket", dim]
 
+    # DimensionTopNMetricSpec.previousStop: pagination — only dimension
+    # values strictly after the stop (query/topn/DimensionTopNMetricSpec.java)
+    metric_spec = query["metric"]
+    if isinstance(metric_spec, dict) and metric_spec.get("previousStop") is not None:
+        from incubator_druid_spark.filters.filters import _ordering_key
+        ordering = metric_spec.get("ordering", "lexicographic")
+        stop = metric_spec["previousStop"]
+        df = df.filter(_ordering_key(qcol(dim), ordering)
+                       > _ordering_key(F.lit(str(stop)), ordering))
+
     ctx = FilterContext(df)
     aggs = compile_aggregations(query.get("aggregations"), ctx)
     out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)

@@ -239,3 +239,13 @@ def test_timeseries_grand_total(spark, foo_catalog):
     totals = [r for r in out if r["__time"] is None]
     assert len(totals) == 1 and totals[0]["s"] == 21.0
     assert len(out) == 3
+
+
+def test_topn_previous_stop_pagination(spark, foo_catalog):
+    q = {"queryType": "topN", "dataSource": "foo", "granularity": "all",
+         "dimension": "dim1", "threshold": 2,
+         "metric": {"type": "dimension", "ordering": "lexicographic",
+                    "previousStop": "1"},
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    out = translate(q, spark, foo_catalog).collect()
+    assert [r["dim1"] for r in out] == ["10.1", "2"]

@@ -196,3 +196,32 @@ def test_streaming_rollup_with_watermark(spark, tmp_path):
     # (7 clicks) seals once the 12:00 event advances the watermark past 11:00
     data = {str(r["__time"]): r["clicks"] for r in got.collect()}
     assert data.get("2024-01-01 10:00:00") == 7
+
+
+def test_compaction_and_realtime_view(spark, tmp_path):
+    import json as _json
+    from incubator_druid_spark.streaming.ingest import (build_streaming_ingest,
+                                                        compact, realtime_view)
+    src = tmp_path / "c_in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(_json.dumps(
+        {"t": f"2024-01-{d:02d}T08:00:00Z", "site": "s", "v": d})
+        for d in range(1, 5)))
+    sink = str(tmp_path / "c_out")
+    spec = {"dataSchema": {"dataSource": "c1",
+                           "timestampSpec": {"column": "t", "format": "iso"},
+                           "granularitySpec": {"rollup": False}},
+            "ioConfig": {"type": "file", "path": str(src), "format": "json"}}
+    stream = (spark.readStream.schema("t string, site string, v long")
+              .json(str(src)))
+    _, start, path = build_streaming_ingest(spark, spec, sink,
+                                            source_override=stream)
+    start(trigger_once=True).awaitTermination(120)
+
+    table_path = str(tmp_path / "c_hist")
+    compact(spark, path, table_path, segment_granularity="day")
+    hist = spark.read.parquet(table_path)
+    assert hist.count() == 4
+    assert "__bucket" in hist.columns  # time-partitioned layout
+    view = realtime_view(spark, path, hist)
+    assert view.count() == 8  # stream ∪ historical (pre-dedup union semantics)
