@@ -74,12 +74,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # query inventory
 # ---------------------------------------------------------------------------
 
-def _tq(q: dict) -> Callable[[SparkSession, str], DataFrame]:
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return translate(q, spark, _cat(spark, sf_dir))
-    return run
-
-
 def _ts_day(spark, sf):
     q = {"queryType": "timeseries", "dataSource": "events", "granularity": "day",
          "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
