@@ -110,8 +110,12 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.approx_count_distinct(F.struct(*fields))
         if len(fields) == 1:
             return F.approx_count_distinct(fields[0])
-        return F.approx_count_distinct(F.explode_outer(F.array(*fields)) if False
-                                       else F.concat_ws("", *fields))
+        # byValue over multiple fields counts distinct values in the UNION of
+        # the dimensions' value sets -- needs a pre-agg explode that a single
+        # agg Column can't express; refuse rather than silently mis-count
+        raise NotImplementedError(
+            "cardinality byRow=false over multiple fields: explode the "
+            "fields into one column first (groupBy over explode(array(dims)))")
     if t == "hyperUnique":
         # hyperloglog/HyperUniquesAggregatorFactory.java — over a pre-built HLL
         # column; our storage keeps raw values, so same as approx distinct.
