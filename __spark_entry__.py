@@ -500,6 +500,33 @@ def _search_fragment(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _theta_intersect(spark, sf):
+    """Theta-sketch set ops (SketchSetPostAggregator parity): users who both
+    purchased AND hit errors, via the inclusion–exclusion rewrite."""
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+         "aggregations": [
+             {"type": "filtered",
+              "filter": {"type": "selector", "dimension": "event_type",
+                         "value": "purchase"},
+              "aggregator": {"type": "thetaSketch", "name": "buyers",
+                             "fieldName": "user_id"}},
+             {"type": "filtered",
+              "filter": {"type": "selector", "dimension": "event_type",
+                         "value": "error"},
+              "aggregator": {"type": "thetaSketch", "name": "errorers",
+                             "fieldName": "user_id"}}],
+         "postAggregations": [
+             {"type": "thetaSketchEstimate", "name": "both",
+              "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                        "fields": [
+                            {"type": "fieldAccess", "fieldName": "buyers"},
+                            {"type": "fieldAccess", "fieldName": "errorers"}]}}]}
+    out = translate(q, spark, _cat(spark, sf))
+    return out.select(F.col("buyers").cast("long").alias("buyers"),
+                      F.col("errorers").cast("long").alias("errorers"),
+                      F.col("both").cast("long").alias("both"))
+
+
 def _sessionize_stats(spark, sf):
     """Gap-based sessionization over the events stream (30-min gap)."""
     from incubator_druid_spark.pipeline.sessions import session_stats
@@ -660,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_in_not_filter": _gb_in_not_filter,
         "gb_case_expression": _gb_case_expression,
         "search_fragment": _search_fragment,
+        "theta_intersect": _theta_intersect,
         "sessionize_stats": _sessionize_stats,
         "ann_ivf_topk": _ann_ivf_topk,
         "bloom_filtered_count": _bloom_filtered_count,
@@ -940,6 +968,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE contains(lower(o_orderpriority), '1')
               AND contains(lower(o_orderpriority), 'urgent')
             GROUP BY 2
+        """,
+        "theta_intersect": """
+            SELECT count(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
+                       AS buyers,
+                   count(DISTINCT user_id) FILTER (WHERE event_type = 'error')
+                       AS errorers,
+                   count(DISTINCT CASE WHEN user_id IN
+                       (SELECT user_id FROM events WHERE event_type = 'purchase')
+                       AND event_type = 'error' THEN user_id END) AS both
+            FROM events
         """,
         "sessionize_stats": """
             WITH marked AS (

@@ -124,8 +124,13 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # datasketches hll/HllSketch*AggregatorFactory.java
         return F.approx_count_distinct(f())
     if t in ("thetaSketch", "sketchMerge"):
-        # datasketches theta/SketchMergeAggregatorFactory.java (estimate path)
-        return F.approx_count_distinct(f())
+        # datasketches theta/SketchMergeAggregatorFactory.java — computed
+        # EXACT (count_distinct; Tungsten expands + partial-aggregates it).
+        # Deliberate approximate→exact upgrade, mirroring Druid's own
+        # useApproximateCountDistinct=false mode; set-op post-aggs rewrite to
+        # inclusion–exclusion over these (see _theta_setop), so exactness
+        # carries through UNION/INTERSECT/NOT estimates.
+        return F.count_distinct(f())
     if t == "__percentile":
         # synthesized by rewrite_sketch_query from sketch-quantile post-aggs
         fracs = spec["fractions"]
@@ -265,10 +270,22 @@ def rewrite_sketch_query(query: dict) -> dict:
     aggs = list(query.get("aggregations") or [])
     if not posts:
         return query
-    by_name = {a.get("name"): a for a in aggs}
+    by_name = {}
+    for a in aggs:
+        if a.get("type") == "filtered":
+            by_name[a["aggregator"].get("name")] = a
+        else:
+            by_name[a.get("name")] = a
     new_posts, extra_aggs, consumed = [], [], set()
     for p in posts:
         t = p.get("type")
+        if t == "thetaSketchEstimate" and \
+                p.get("field", {}).get("type") == "thetaSketchSetOp":
+            rewritten = _theta_setop(p, by_name, extra_aggs)
+            if rewritten is not None:
+                new_posts.append(rewritten)
+                consumed.update(_setop_refs(p["field"]))
+                continue
         if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles"):
             ref = p.get("field", {}).get("fieldName")
             base = by_name.get(ref)
@@ -284,15 +301,100 @@ def rewrite_sketch_query(query: dict) -> dict:
         new_posts.append(p)
     if not extra_aggs:
         return query
-    # drop sketch aggs only used as post-agg inputs
-    still_needed = {p.get("field", {}).get("fieldName") for p in new_posts
-                    if isinstance(p.get("field"), dict)}
+
+    # drop sketch aggs only used as (now-rewritten) post-agg inputs; keep any
+    # still referenced by surviving post-aggs (walk fieldAccess refs)
+    def _refs(node, acc):
+        if isinstance(node, dict):
+            if node.get("type") in ("fieldAccess", "finalizingFieldAccess"):
+                acc.add(node.get("fieldName"))
+            for v in node.values():
+                _refs(v, acc)
+        elif isinstance(node, list):
+            for v in node:
+                _refs(v, acc)
+        return acc
+
+    still_needed = set()
+    for p in new_posts:
+        _refs(p, still_needed)
     aggs = [a for a in aggs
-            if a.get("name") not in consumed or a.get("name") in still_needed]
+            if _agg_name(a) not in consumed or _agg_name(a) in still_needed]
     out = dict(query)
     out["aggregations"] = aggs + extra_aggs
     out["postAggregations"] = new_posts
     return out
+
+
+def _agg_name(spec: dict):
+    if spec.get("type") == "filtered":
+        return spec["aggregator"].get("name")
+    return spec.get("name")
+
+
+def _setop_refs(setop: dict) -> set:
+    return {f.get("fieldName") for f in setop.get("fields", [])
+            if isinstance(f, dict)}
+
+
+def _theta_setop(post: dict, by_name: dict, extra_aggs: list) -> dict | None:
+    """theta/SketchSetPostAggregator.java (UNION/INTERSECT/NOT of theta
+    sketches) via inclusion–exclusion over filtered distinct counts —
+    sketches never materialize:
+        |A ∪ B| = distinct(fa ∨ fb)
+        |A ∩ B| = |A| + |B| − |A ∪ B|
+        |A \\ B| = |A| − |A ∩ B|
+    Requires both operands to be (possibly filtered) thetaSketch aggs over
+    the SAME column; returns the replacement arithmetic post-agg, emitting
+    helper aggs into ``extra_aggs``."""
+    setop = post["field"]
+    func = setop.get("func", "UNION").upper()
+    fields = setop.get("fields", [])
+    if len(fields) != 2 or func not in ("UNION", "INTERSECT", "NOT"):
+        return None
+    ops = []
+    for fr in fields:
+        base = by_name.get(fr.get("fieldName"))
+        if base is None:
+            return None
+        if base.get("type") == "filtered":
+            inner = base["aggregator"]
+            flt = base["filter"]
+        else:
+            inner = base
+            flt = None
+        if inner.get("type") not in ("thetaSketch", "sketchMerge", "HLLSketchBuild",
+                                     "HLLSketchMerge", "cardinality", "hyperUnique"):
+            return None
+        col = inner.get("fieldName")
+        ops.append((inner.get("name"), col, flt))
+    (name_a, col_a, fa), (name_b, col_b, fb) = ops
+    if col_a != col_b:
+        return None
+    union_name = f"__theta_union_{name_a}_{name_b}"
+    union_filter = ({"type": "or", "fields": [x for x in (fa, fb) if x]}
+                    if fa and fb else None)
+    union_inner = {"type": "thetaSketch", "name": union_name, "fieldName": col_a}
+    extra_aggs.append({"type": "filtered", "filter": union_filter,
+                       "aggregator": union_inner}
+                      if union_filter else union_inner)
+
+    def fa_(n):
+        return {"type": "fieldAccess", "fieldName": n}
+
+    out_name = post.get("name", "thetaSetOp")
+    if func == "UNION":
+        return {"type": "arithmetic", "name": out_name, "fn": "+",
+                "fields": [fa_(union_name), {"type": "constant", "value": 0}]}
+    intersect = {"type": "arithmetic", "name": out_name, "fn": "-",
+                 "fields": [{"type": "arithmetic", "fn": "+",
+                             "fields": [fa_(name_a), fa_(name_b)]},
+                            fa_(union_name)]}
+    if func == "INTERSECT":
+        return intersect
+    # NOT: |A \ B| = |A| - |A ∩ B| = |A| - (|A|+|B|-|A∪B|) = |A∪B| - |B|
+    return {"type": "arithmetic", "name": out_name, "fn": "-",
+            "fields": [fa_(union_name), fa_(name_b)]}
 
 
 def compile_aggregations(specs: list[dict] | None, ctx: FilterContext) -> list[Column]:

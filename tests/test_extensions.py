@@ -186,3 +186,42 @@ def test_ivf_index_partition_pruning(spark, catalog, tmp_path):
              cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10).collect()}
     approx = {r["vec_id"] for r in out.collect()}
     assert len(exact & approx) >= 5
+
+
+def test_theta_sketch_set_operations(spark, catalog):
+    """thetaSketchEstimate over thetaSketchSetOp via inclusion–exclusion."""
+    from incubator_druid_spark import translate
+
+    def mk(func):
+        return {"queryType": "timeseries", "dataSource": "events",
+                "granularity": "all",
+                "aggregations": [
+                    {"type": "filtered",
+                     "filter": {"type": "selector", "dimension": "event_type",
+                                "value": "purchase"},
+                     "aggregator": {"type": "thetaSketch", "name": "buyers",
+                                    "fieldName": "user_id"}},
+                    {"type": "filtered",
+                     "filter": {"type": "selector", "dimension": "event_type",
+                                "value": "error"},
+                     "aggregator": {"type": "thetaSketch", "name": "errorers",
+                                    "fieldName": "user_id"}}],
+                "postAggregations": [
+                    {"type": "thetaSketchEstimate", "name": "est",
+                     "field": {"type": "thetaSketchSetOp", "func": func,
+                               "fields": [
+                                   {"type": "fieldAccess", "fieldName": "buyers"},
+                                   {"type": "fieldAccess", "fieldName": "errorers"}]}}]}
+
+    events = catalog.table("events")
+    buyers = {r["user_id"] for r in events.filter(
+        F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    errorers = {r["user_id"] for r in events.filter(
+        F.col("event_type") == "error").select("user_id").distinct().collect()}
+
+    got_i = translate(mk("INTERSECT"), spark, catalog).first()["est"]
+    got_u = translate(mk("UNION"), spark, catalog).first()["est"]
+    got_n = translate(mk("NOT"), spark, catalog).first()["est"]
+    assert got_i == len(buyers & errorers)
+    assert got_u == len(buyers | errorers)
+    assert got_n == len(buyers - errorers)
