@@ -118,6 +118,20 @@ def _ts_all(spark, sf):
                         "tmin": None, "card_type": None})
 
 
+def _card_by_value(spark, sf):
+    """cardinality byRow=false over multiple fields: distinct count of the
+    UNION of the dimensions' value sets — one HLL per field merged via
+    hll_union (CardinalityAggregatorFactory.java byValue path).  Small
+    domains (5 event types + 7 user tags) keep the sparse HLL exact."""
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "utag",
+                             "expression": "cast(user_id % 7, 'STRING')",
+                             "outputType": "STRING"}],
+         "aggregations": [{"type": "cardinality", "name": "card_union",
+                           "fields": ["event_type", "utag"], "byRow": False}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
 def _gb_event_type(spark, sf):
     q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
          "dimensions": ["event_type"],
@@ -665,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_day_zerofill": _ts_day_zerofill,
         "ts_hour_filtered": _ts_hour_filtered,
         "ts_all": _ts_all,
+        "card_by_value": _card_by_value,
         "gb_event_type": _gb_event_type,
         "gb_day_type": _gb_day_type,
         "gb_having": _gb_having,
@@ -755,6 +770,12 @@ def oracle_sql() -> dict[str, str]:
                    min(user_id) AS tmin,
                    count(DISTINCT event_type) AS card_type
             FROM events
+        """,
+        "card_by_value": """
+            SELECT count(DISTINCT v) AS card_union FROM (
+                SELECT event_type AS v FROM events
+                UNION
+                SELECT cast(user_id % 7 AS VARCHAR) FROM events)
         """,
         "gb_event_type": """
             SELECT event_type, count(*) AS cnt, round(sum(value), 3) AS total,

@@ -111,11 +111,20 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         if len(fields) == 1:
             return F.approx_count_distinct(fields[0])
         # byValue over multiple fields counts distinct values in the UNION of
-        # the dimensions' value sets -- needs a pre-agg explode that a single
-        # agg Column can't express; refuse rather than silently mis-count
-        raise NotImplementedError(
-            "cardinality byRow=false over multiple fields: explode the "
-            "fields into one column first (groupBy over explode(array(dims)))")
+        # the dimensions' value sets (CardinalityByValueAggregatorColumnSelectorStrategy
+        # hashes each value independently into ONE shared HLL).  Same shape in
+        # Spark: one HLL sketch per field, merged with hll_union — a single
+        # agg pass, partial/final merge handled by Tungsten, no explode needed.
+        # Druid dimension values are strings, so cast before sketching.  The
+        # datasketches HllSketch skips empty-string updates, but Druid's HLL
+        # counts '' as a real value in SQL-null mode — prefix a marker char
+        # (injective, so distinct counts are preserved) to keep '' countable.
+        sketches = [F.hll_sketch_agg(F.concat(F.lit("v"), fld.cast("string")))
+                    for fld in fields]
+        union = sketches[0]
+        for s in sketches[1:]:
+            union = F.hll_union(union, s)
+        return F.hll_sketch_estimate(union)
     if t == "hyperUnique":
         # hyperloglog/HyperUniquesAggregatorFactory.java — over a pre-built HLL
         # column; our storage keeps raw values, so same as approx distinct.

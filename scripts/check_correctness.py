@@ -2,7 +2,8 @@
 
 Runs every ``queries()`` entry at sf0.01 and compares against ``oracle_sql()``
 via DuckDB: row count, column-name set, and order-insensitive value comparison
-(sorted columns, sorted rows).  Usage:  python scripts/check_correctness.py [sf_dir]
+(sorted columns, sorted rows).
+Usage:  python scripts/check_correctness.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -34,7 +35,13 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     import __spark_entry__ as entrymod
     from incubator_druid_spark import get_spark
@@ -51,6 +58,8 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()

@@ -62,6 +62,16 @@ def test_cardinality_and_hyperunique(spark, foo_catalog):
     assert r["c"] == 6 and r["h"] == 6
 
 
+def test_cardinality_by_value_multi_field(spark, foo_catalog):
+    # byRow=false over several fields = distinct count of the UNION of the
+    # dimensions' value sets (one shared HLL in the reference); dim1 has 6
+    # distinct strings, m1-as-string 6 more, no overlap -> 12
+    r = agg_one(spark, foo_catalog,
+                {"type": "cardinality", "name": "c",
+                 "fields": ["dim1", "m1"], "byRow": False})
+    assert r["c"] == 12
+
+
 def test_variance_stddev(spark, foo_catalog):
     r = agg_one(spark, foo_catalog,
                 {"type": "variance", "name": "v", "fieldName": "m2"},
