@@ -132,6 +132,25 @@ def _card_by_value(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _approx_histogram(spark, sf):
+    """approxHistogram finalized to Druid's Histogram{breaks, counts}
+    (ApproximateHistogramAggregatorFactory.java:258-263, toHistogram
+    ApproximateHistogram.java:1628-1640).  Oracle checks the exact parts:
+    equal-width breaks derived from min/max, and the counts telescoping to
+    the group row count (cdf(max) - cdf(breaks[0]))."""
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "approxHistogram", "name": "hist",
+                           "fieldName": "value", "numBuckets": 5}]}
+    out = translate(q, spark, _cat(spark, sf))
+    out = out.select(
+        "event_type",
+        F.explode("hist.breaks").alias("b"),
+        F.aggregate("hist.counts", F.lit(0.0), lambda a, x: a + x).alias("tot"))
+    return out.select("event_type", F.round("b", 3).alias("brk"),
+                      F.round("tot", 1).alias("total_cnt"))
+
+
 def _gb_event_type(spark, sf):
     q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
          "dimensions": ["event_type"],
@@ -680,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_hour_filtered": _ts_hour_filtered,
         "ts_all": _ts_all,
         "card_by_value": _card_by_value,
+        "approx_histogram": _approx_histogram,
         "gb_event_type": _gb_event_type,
         "gb_day_type": _gb_day_type,
         "gb_having": _gb_having,
@@ -776,6 +796,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type AS v FROM events
                 UNION
                 SELECT cast(user_id % 7 AS VARCHAR) FROM events)
+        """,
+        "approx_histogram": """
+            WITH g AS (
+                SELECT event_type, min(value) AS mn, max(value) AS mx,
+                       (max(value) - min(value)) / 4 AS d,
+                       round(cast(count(*) AS DOUBLE), 1) AS total_cnt
+                FROM events GROUP BY event_type)
+            SELECT event_type, round(mn - d + i * d, 3) AS brk, total_cnt
+            FROM g, (SELECT unnest(range(5)) AS i)
+            UNION ALL
+            SELECT event_type, round(mx, 3) AS brk, total_cnt FROM g
         """,
         "gb_event_type": """
             SELECT event_type, count(*) AS cnt, round(sum(value), 3) AS total,

@@ -78,6 +78,60 @@ class _WhenContext:
         return self._ctx.is_array(name)
 
 
+def _approx_histogram_finalize(num_buckets: int):
+    """ApproximateHistogram.toHistogram(int) over histogram_numeric centroids.
+
+    Mirrors ApproximateHistogram.java:1628-1640 (equal-width breaks:
+    breaks[0]=min-delta, delta=(max-min)/(size-1), last break=max) and the
+    trapezoid CDF interpolation of sum() (:1460-1514) with every centroid
+    treated as approximate (the merged-sketch case — histogram_numeric keeps
+    no exact-count flags).  Runs on one aggregated struct per group.
+    """
+    import bisect
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("breaks", T.ArrayType(T.DoubleType())),
+        T.StructField("counts", T.ArrayType(T.DoubleType())),
+    ])
+
+    def fin(raw):
+        if raw is None or raw["mn"] is None:
+            return None
+        mn, mx = float(raw["mn"]), float(raw["mx"])
+        cents = sorted((float(b["x"]), float(b["y"])) for b in (raw["bins"] or []))
+        positions = [p for p, _ in cents]
+        weights = [w for _, w in cents]
+        total = sum(weights)
+
+        def cdf(b: float) -> float:
+            if b < mn:
+                return 0.0
+            if b >= mx:
+                return total
+            idx = bisect.bisect_right(positions, b) - 1
+            outer_left = idx < 0
+            outer_right = idx >= len(positions) - 1
+            m0 = 0.0 if outer_left else weights[idx]
+            m1 = 0.0 if outer_right else weights[idx + 1]
+            p0 = mn if outer_left else positions[idx]
+            p1 = mx if outer_right else positions[idx + 1]
+            frac = 0.0 if p1 == p0 else (b - p0) / (p1 - p0)
+            mb = m0 + (m1 - m0) * frac
+            s = 0.5 * (m0 + mb) * frac
+            s += sum(weights[:idx]) if idx > 0 else 0.0
+            return s + 0.5 * m0
+
+        size = max(num_buckets, 2)
+        delta = (mx - mn) / (size - 1)
+        breaks = [mn - delta + i * delta for i in range(size)] + [mx]
+        sums = [cdf(b) for b in breaks]
+        return (breaks, [sums[i + 1] - sums[i] for i in range(size)])
+
+    return F.udf(fin, schema)
+
+
 def _agg_column(t: str, spec: dict, ctx) -> Column:
     f = lambda: _field(spec, ctx)  # noqa: E731
     time_col = F.col(TIME_COLUMN)
@@ -180,7 +234,20 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                  for i in range(n)]
         return F.array(*conds)
     if t == "approxHistogramFold" or t == "approxHistogram":
-        return F.percentile_approx(_field(spec, ctx).cast("double"), 0.5, 1000)
+        # histogram/ApproximateHistogramAggregatorFactory.java:258-263 —
+        # finalize = toHistogram(numBuckets): equal-width breaks over
+        # [min-delta .. max], counts read off the centroid sketch's
+        # interpolated CDF (ApproximateHistogram.java:1460-1514,1628-1640).
+        # Spark's histogram_numeric is the same Ben-Haim/Tom-Tov centroid
+        # sketch, so the whole distributed pass stays JVM-side:
+        # one agg over (min, max, centroids), then a finalize UDF applied to
+        # the single aggregated struct per group (not the row hot path).
+        res = int(spec.get("resolution", 50))       # DEFAULT_HISTOGRAM_SIZE
+        nb = int(spec.get("numBuckets", 7))         # DEFAULT_BUCKET_SIZE
+        x = f().cast("double")
+        raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                       F.histogram_numeric(x, F.lit(res)).alias("bins"))
+        return _approx_histogram_finalize(nb)(raw)
     if t == "bloom":
         # druid-bloom-filter/.../BloomFilterAggregatorFactory.java — builds
         # the engine's sparse-position-set bloom format (functions/bloom.py)

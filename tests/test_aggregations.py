@@ -89,6 +89,21 @@ def test_histogram_fixed_buckets(spark, foo_catalog):
     assert list(r["h"]) == [1, 2, 2]  # [0,2):1  [2,4):2,3  [4,6):4,5
 
 
+def test_approx_histogram_breaks_counts(spark, foo_catalog):
+    # ApproximateHistogram.toHistogram(numBuckets): equal-width breaks
+    # [min-delta .. max] with delta=(max-min)/(size-1); counts from the
+    # centroid CDF and summing to the row count (cdf(max)-cdf(breaks[0]))
+    r = agg_one(spark, foo_catalog,
+                {"type": "approxHistogram", "name": "h", "fieldName": "m2",
+                 "numBuckets": 5})
+    h = r["h"]
+    delta = (6.0 - 1.0) / 4
+    assert h["breaks"][0] == pytest.approx(1.0 - delta)
+    assert h["breaks"][-1] == pytest.approx(6.0)
+    assert len(h["breaks"]) == 6 and len(h["counts"]) == 5
+    assert sum(h["counts"]) == pytest.approx(6.0)  # 6 rows in foo
+
+
 def test_expression_lambda_aggregator(spark, foo_catalog):
     r = agg_one(spark, foo_catalog,
                 {"type": "expressionLambda", "name": "prod",
