@@ -90,6 +90,12 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
     if t in ("parquet", "orc", "avro"):
         # extensions-core/{parquet,orc,avro}-extensions → native Spark readers
         return spark.read.format(t).load(paths)
+    if t == "protobuf":
+        # extensions-core/protobuf-extensions (ProtobufInputFormat.java) —
+        # pure-Python wire decoder against a compiled descriptor set,
+        # distributed via mapInPandas (sources/protobuf.py)
+        from incubator_druid_spark.sources.protobuf import read_protobuf
+        return read_protobuf(spark, paths, fmt)
     raise ValueError(f"unknown inputFormat type {t!r}")
 
 
@@ -104,10 +110,34 @@ def _source_paths(src: dict):
         return os.path.join(base, filt)
     if t == "inline":
         raise ValueError("inline input: pass data via InlineDataSource instead")
-    if t in ("s3", "google", "azure", "hdfs", "http"):
+    if t == "http":
+        # core/.../impl/HttpInputSource.java — the reference streams each URI
+        # inside the ingest task.  Spark's FS readers don't speak http, so
+        # stage the URIs to local files first (driver-side; fine for the
+        # task-spec sizes this source is for — at bulk scale data should land
+        # on an object store the executors read directly, same advice as the
+        # reference gives for large batch ingest).
+        return [_stage_http(u) for u in (src.get("uris") or [])]
+    if t in ("s3", "google", "azure", "hdfs"):
         # cloud connectors ride on Hadoop FS — pass URIs straight through
         return src.get("uris") or src.get("paths")
     raise ValueError(f"unknown inputSource type {t!r}")
+
+
+def _stage_http(uri: str) -> str:
+    import hashlib
+    import tempfile
+    import urllib.request
+
+    dst = os.path.join(tempfile.gettempdir(), "druid_spark_http",
+                       hashlib.sha1(uri.encode()).hexdigest()[:16]
+                       + "_" + os.path.basename(uri.split("?")[0]))
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if not os.path.exists(dst):
+        with urllib.request.urlopen(uri) as resp, open(dst, "wb") as out:
+            while chunk := resp.read(1 << 20):
+                out.write(chunk)
+    return dst
 
 
 # ---------------------------------------------------------------------------
