@@ -132,6 +132,27 @@ def _card_by_value(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _legacy_null_mode(spark, sf):
+    """Legacy null handling (NullHandling.java replaceWithDefault): the inner
+    query yields NULL filtered-sums; the outer query runs with
+    context.useDefaultValueForNull=true so those nulls read as 0."""
+    inner = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+             "dimensions": ["event_type"],
+             "aggregations": [
+                 {"type": "filtered",
+                  "filter": {"type": "selector", "dimension": "event_type",
+                             "value": "__no_such_type__"},
+                  "aggregator": {"type": "doubleSum", "name": "maybe_null",
+                                 "fieldName": "value"}}]}
+    q = {"queryType": "groupBy", "granularity": "all",
+         "dataSource": {"type": "query", "query": inner},
+         "dimensions": ["event_type"],
+         "context": {"useDefaultValueForNull": True},
+         "aggregations": [{"type": "doubleSum", "name": "legacy_sum",
+                           "fieldName": "maybe_null"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
 def _approx_histogram(spark, sf):
     """approxHistogram finalized to Druid's Histogram{breaks, counts}
     (ApproximateHistogramAggregatorFactory.java:258-263, toHistogram
@@ -700,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_all": _ts_all,
         "card_by_value": _card_by_value,
         "approx_histogram": _approx_histogram,
+        "legacy_null_mode": _legacy_null_mode,
         "gb_event_type": _gb_event_type,
         "gb_day_type": _gb_day_type,
         "gb_having": _gb_having,
@@ -796,6 +818,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type AS v FROM events
                 UNION
                 SELECT cast(user_id % 7 AS VARCHAR) FROM events)
+        """,
+        "legacy_null_mode": """
+            SELECT event_type, sum(coalesce(maybe_null, 0)) AS legacy_sum
+            FROM (SELECT event_type,
+                         sum(value) FILTER (WHERE event_type = '__no_such_type__')
+                             AS maybe_null
+                  FROM events GROUP BY event_type)
+            GROUP BY event_type
         """,
         "approx_histogram": """
             WITH g AS (

@@ -25,9 +25,39 @@ from incubator_druid_spark.model.intervals import (interval_predicate, parse_int
 from incubator_druid_spark.plans.datasource import resolve_datasource
 
 
+def _legacy_null_frame(df: DataFrame) -> DataFrame:
+    """Druid legacy null mode (NullHandling.java:67-118 replaceWithDefault):
+    null strings read as '' and null numerics as 0.  Druid implements this at
+    the segment layer — a null cell IS ''/0 on disk — so the faithful Spark
+    chokepoint is one projection over the source frame before any operator
+    logic; every filter/agg/dimension then behaves legacy-mode for free.
+    Catalyst collapses the coalesce into the scan projection."""
+    from pyspark.sql import types as T
+    cols = []
+    for f in df.schema.fields:
+        if f.name == TIME_COLUMN or f.name == "__bucket":
+            cols.append(F.col(f.name))
+        elif isinstance(f.dataType, T.StringType):
+            cols.append(F.coalesce(F.col(f.name), F.lit("")).alias(f.name))
+        elif isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType,
+                                     T.ByteType, T.DoubleType, T.FloatType)):
+            cols.append(F.coalesce(F.col(f.name),
+                                   F.lit(0).cast(f.dataType)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     """dataSource → virtualColumns → intervals → filter, shared by all types."""
     df = resolve_datasource(query["dataSource"], spark, catalog)
+
+    ctx_opts = query.get("context") or {}
+    # druid.generic.useDefaultValueForNull — legacy mode replaces null with
+    # ''/0; exposed per-query here (the reference makes it a process-wide
+    # config; a per-query context flag is a strict superset)
+    if ctx_opts.get("useDefaultValueForNull"):
+        df = _legacy_null_frame(df)
 
     for vc in query.get("virtualColumns") or []:
         # segment/virtual/ExpressionVirtualColumn.java — scan-time projection

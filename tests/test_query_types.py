@@ -206,6 +206,21 @@ def test_inline_datasource(spark, foo_catalog):
     assert translate(q, spark, foo_catalog).count() == 2
 
 
+def test_legacy_null_mode(spark, foo_catalog):
+    """NullHandling.java:67-118 — context.useDefaultValueForNull=true reads
+    null strings as '' and null numerics as 0 (replaceWithDefault)."""
+    ds = {"type": "inline", "columnNames": ["k", "n"],
+          "rows": [["a", 1.0], [None, None], ["b", 3.0]]}
+    base = {"queryType": "groupBy", "dataSource": ds, "granularity": "all",
+            "dimensions": ["k"],
+            "aggregations": [{"type": "doubleSum", "name": "s", "fieldName": "n"}]}
+    got = dict(rows(translate(base, spark, foo_catalog), "k", "s"))
+    assert None in got and got[None] is None      # SQL-compatible default
+    legacy = {**base, "context": {"useDefaultValueForNull": True}}
+    got2 = dict(rows(translate(legacy, spark, foo_catalog), "k", "s"))
+    assert got2[""] == 0.0 and None not in got2   # '' group, 0-sum
+
+
 def test_query_datasource_nesting(spark, foo_catalog):
     inner = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
              "dimensions": ["dim1"],
