@@ -40,6 +40,15 @@ def main() -> int:
     lineitem_rows = lineitem.count()
     events_rows = cat.table("events").count()
 
+    # warm the Python workers + Arrow serialization path: the first pandas-UDF
+    # stage otherwise pays ~2s of worker fork/import that belongs to session
+    # bootstrap, not to whichever UDF query happens to run first
+    def _noop(batches):
+        for b in batches:
+            yield b
+    spark.range(0, cpus, 1, cpus).selectExpr("id * 2 as id") \
+        .mapInPandas(_noop, "id long").count()
+
     queries = entrymod.queries()
     headline = [
         "ts_day", "ts_hour_filtered", "gb_event_type", "gb_day_type",
