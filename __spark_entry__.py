@@ -308,6 +308,16 @@ def _search_types(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _search_daily(spark, sf):
+    """search with day granularity — per-time-bucket value counts (the
+    reference merges per-segment hits per bucket; one grouped pass here)."""
+    q = {"queryType": "search", "dataSource": "events", "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+         "searchDimensions": ["event_type"],
+         "query": {"type": "fragment", "values": ["i"]}}
+    return translate(q, spark, _cat(spark, sf))
+
+
 def _time_boundary(spark, sf):
     return translate({"queryType": "timeBoundary", "dataSource": "events"},
                      spark, _cat(spark, sf))
@@ -666,6 +676,15 @@ def _ann_brute_topk(spark, sf):
     return _round(out, {"vec_id": None, "cosine": 4})
 
 
+def _cosine_near_dup(spark, sf):
+    """Exact embedding-cosine near-dup pairs (the verifier for the LSH
+    variant) — all (a<b) pairs with cosine >= 0.47."""
+    from incubator_druid_spark.pipeline.similarity import cosine_near_dup_exact
+    emb = _cat(spark, sf).table("embeddings")
+    out = cosine_near_dup_exact(emb, threshold=0.47)
+    return _round(out, {"id_a": None, "id_b": None, "cosine": 4})
+
+
 def _ann_lsh_topk(spark, sf):
     from incubator_druid_spark.pipeline.similarity import ann_lsh_topk
     emb = _cat(spark, sf).table("embeddings")
@@ -754,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_offset": _scan_offset,
         "scan_in_bound": _scan_in_bound,
         "search_types": _search_types,
+        "search_daily": _search_daily,
         "time_boundary": _time_boundary,
         "ds_metadata": _ds_metadata,
         "segment_metadata": _segment_metadata,
@@ -766,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_tokens": _text_source_tokens,
         "text_quality": _text_quality,
         "ann_brute_topk": _ann_brute_topk,
+        "cosine_near_dup": _cosine_near_dup,
         "ann_lsh_topk": _ann_lsh_topk,
         "minhash_pairs": _minhash_pairs,
         "multimodal_features": _multimodal_features,
@@ -960,6 +981,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'view') AND value >= 495
         """,
+        "search_daily": """
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __time,
+                   'event_type' AS dimension, event_type AS value,
+                   count(*) AS count
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+              AND lower(event_type) LIKE '%i%'
+            GROUP BY 1, 3
+        """,
         "search_types": """
             SELECT 'event_type' AS dimension, event_type AS value,
                    count(*) AS count
@@ -1112,6 +1142,13 @@ def oracle_sql() -> dict[str, str]:
                                        x -> x != ''))) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        "cosine_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47
         """,
         "ann_brute_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -47,6 +47,12 @@ class FilterContext:
             return False
         return isinstance(self._types.get(name), T.ArrayType)
 
+    def is_binary(self, name: str) -> bool:
+        """True for COMPLEX (pre-built sketch) columns stored as binary."""
+        if name in self.virtual:
+            return False
+        return isinstance(self._types.get(name), T.BinaryType)
+
 
 def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
     """Compile a DimFilter JSON node; None spec → None (no predicate)."""

@@ -77,6 +77,17 @@ class _WhenContext:
     def is_array(self, name: str) -> bool:
         return self._ctx.is_array(name)
 
+    def is_binary(self, name: str) -> bool:
+        return self._ctx.is_binary(name)
+
+
+def _hll_input(col: Column) -> Column:
+    """String-normalize a value for the datasketches HLL: the sketch skips
+    empty-string updates, but Druid's HLL counts '' as a real value in
+    SQL-null mode — an injective marker prefix keeps '' countable while
+    preserving distinct counts."""
+    return F.concat(F.lit("v"), col.cast("string"))
+
 
 def _approx_histogram_finalize(num_buckets: int):
     """ApproximateHistogram.toHistogram(int) over histogram_numeric centroids.
@@ -169,22 +180,22 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # hashes each value independently into ONE shared HLL).  Same shape in
         # Spark: one HLL sketch per field, merged with hll_union — a single
         # agg pass, partial/final merge handled by Tungsten, no explode needed.
-        # Druid dimension values are strings, so cast before sketching.  The
-        # datasketches HllSketch skips empty-string updates, but Druid's HLL
-        # counts '' as a real value in SQL-null mode — prefix a marker char
-        # (injective, so distinct counts are preserved) to keep '' countable.
-        sketches = [F.hll_sketch_agg(F.concat(F.lit("v"), fld.cast("string")))
-                    for fld in fields]
+        # Druid dimension values are strings, so cast before sketching.
+        sketches = [F.hll_sketch_agg(_hll_input(fld)) for fld in fields]
         union = sketches[0]
         for s in sketches[1:]:
             union = F.hll_union(union, s)
         return F.hll_sketch_estimate(union)
-    if t == "hyperUnique":
-        # hyperloglog/HyperUniquesAggregatorFactory.java — over a pre-built HLL
-        # column; our storage keeps raw values, so same as approx distinct.
-        return F.approx_count_distinct(f())
-    if t in ("HLLSketchBuild", "HLLSketchMerge"):
-        # datasketches hll/HllSketch*AggregatorFactory.java
+    if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge"):
+        # hyperloglog/HyperUniquesAggregatorFactory.java + datasketches
+        # hll/HllSketch*AggregatorFactory.java.  Two storage shapes, same as
+        # the reference: a COMPLEX column (pre-built sketch written by rollup
+        # ingest — BinaryType here) merges sketch objects; a raw-value column
+        # estimates directly.  Both stay JVM-side (datasketches-java backs
+        # hll_* in Spark).
+        fname = spec.get("fieldName")
+        if fname and ctx.is_binary(fname):
+            return F.hll_sketch_estimate(F.hll_union_agg(f()))
         return F.approx_count_distinct(f())
     if t in ("thetaSketch", "sketchMerge"):
         # datasketches theta/SketchMergeAggregatorFactory.java — computed
@@ -477,6 +488,43 @@ def compile_aggregations(specs: list[dict] | None, ctx: FilterContext) -> list[C
     if not specs:
         return []
     return [compile_aggregator(s, ctx) for s in specs]
+
+
+def compile_rollup_aggregations(specs: list[dict] | None,
+                                ctx: FilterContext) -> list[Column]:
+    """Ingest-time (partial) variant — the AggregatorFactory /
+    getCombiningFactory contract: rollup stores PARTIAL state, queries
+    combine it.  Sums/counts/mins/maxes finalize to values that re-aggregate
+    exactly, so they compile unchanged; distinct-count aggregators instead
+    STORE the HLL sketch object as a binary COMPLEX column
+    (hyperloglog/HyperUniquesAggregatorFactory.java serde) so rolled-up
+    tables keep mergeable distinct-count state.  Query-side hyperUnique /
+    HLLSketchMerge detects the BinaryType column and runs
+    hll_union_agg → estimate."""
+    out = []
+    for spec in specs or []:
+        t = spec["type"]
+        name = spec.get("name", t)
+        if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge",
+                 "cardinality"):
+            fields = ([_df_name(d) for d in spec["fields"]]
+                      if t == "cardinality" else [spec["fieldName"]])
+            if t == "cardinality" and spec.get("byRow") and len(fields) > 1:
+                # byRow sketches the dimension TUPLE, not the value union
+                tup = F.to_json(F.struct(*[ctx.resolve(fn) for fn in fields]))
+                out.append(F.hll_sketch_agg(tup).alias(name))
+                continue
+            sketches = [
+                F.hll_union_agg(ctx.resolve(fn)) if ctx.is_binary(fn)
+                else F.hll_sketch_agg(_hll_input(ctx.resolve(fn)))
+                for fn in fields]
+            col = sketches[0]
+            for s in sketches[1:]:
+                col = F.hll_union(col, s)
+            out.append(col.alias(name))
+        else:
+            out.append(compile_aggregator(spec, ctx))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -178,6 +178,22 @@ def ann_ivf_topk_indexed(spark, path: str, query_vec, centroids: np.ndarray,
               .limit(k))
 
 
+def cosine_near_dup_exact(df: DataFrame, threshold: float = 0.95,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Exact all-pairs near-dup: every (id_a < id_b) pair with cosine ≥
+    threshold.  O(n²) dot products — this is the oracle/verifier for the
+    LSH path (embedding_near_dup_pairs), and the right tool only for small
+    or pre-bucketed slices; at corpus scale use the LSH variant whose
+    bucket join prunes the pair space."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (j.select("id_a", "id_b", sim.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              num_planes: int = 16, bands: int = 4,
                              seed: int = 42, vec_col: str = "embedding",

@@ -201,12 +201,13 @@ def rollup(df: DataFrame, dims: list, metrics: list[dict],
     (IncrementalIndex facts-table semantics).  The output stores FINALIZED
     metric values; re-aggregation of sums/counts/mins/maxes composes exactly,
     which is why Druid restricts rollup metrics to those shapes."""
-    from incubator_druid_spark.operators.aggregations import compile_aggregations
+    from incubator_druid_spark.operators.aggregations import \
+        compile_rollup_aggregations
     gran = parse_granularity(query_granularity)
     names = [_dim_name(d) for d in dims]
     keys = [gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN)] + \
            [F.col(n) for n in names if n in df.columns]
-    aggs = compile_aggregations(metrics, FilterContext(df))
+    aggs = compile_rollup_aggregations(metrics, FilterContext(df))
     return df.groupBy(*keys).agg(*aggs)
 
 

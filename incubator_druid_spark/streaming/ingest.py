@@ -89,7 +89,8 @@ def build_streaming_ingest(spark: SparkSession, spec: dict, sink_dir: str,
 
     if rollup_requested:
         from incubator_druid_spark.filters.filters import FilterContext
-        from incubator_druid_spark.operators.aggregations import compile_aggregations
+        from incubator_druid_spark.operators.aggregations import \
+            compile_rollup_aggregations
         from incubator_druid_spark.sources.ingest import _apply_timestamp, _dim_name
         ts_spec = ds.get("timestampSpec", {"column": "timestamp", "format": "auto"})
         out = _apply_timestamp(stream, ts_spec)
@@ -104,7 +105,7 @@ def build_streaming_ingest(spark: SparkSession, spec: dict, sink_dir: str,
         # key hides the event-time column and defeats watermark propagation
         keys = [F.window(F.col(TIME_COLUMN), f"{width // 1000} seconds")] + \
                [F.col(d) for d in dims if d in out.columns]
-        aggs = compile_aggregations(ds["metricsSpec"], FilterContext(out))
+        aggs = compile_rollup_aggregations(ds["metricsSpec"], FilterContext(out))
         out = (out.groupBy(*keys).agg(*aggs)
                   .withColumn(TIME_COLUMN, F.col("window.start"))
                   .drop("window"))

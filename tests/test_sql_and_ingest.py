@@ -128,6 +128,52 @@ def test_csv_and_regex_input_formats(spark, tmp_path):
     assert rows(df2, "level", "msg") == [("INFO", "start"), ("WARN", "stop")]
 
 
+def test_rollup_sketch_column_roundtrip(spark, tmp_path):
+    """COMPLEX sketch columns: rollup ingest stores a mergeable HLL binary
+    per (bucket, dims) row; query-time hyperUnique detects the BinaryType
+    column and merges across rows (AggregatorFactory partial/combine
+    contract — HyperUniquesAggregatorFactory serde in the reference)."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    src = tmp_path / "visits.csv"
+    src.write_text("".join(
+        f"2024-01-0{d},s{s},u{u}\n"
+        for d, s, u in [(1, 1, 1), (1, 1, 2), (1, 2, 3),
+                        (2, 1, 2), (2, 2, 3), (2, 2, 4), (2, 2, 5)]))
+    cat = Catalog(spark)
+    ingest(spark, {
+        "dataSchema": {
+            "dataSource": "visits",
+            "timestampSpec": {"column": "d", "format": "auto"},
+            "dimensionsSpec": {"dimensions": ["site"]},
+            "metricsSpec": [
+                {"type": "count", "name": "cnt"},
+                {"type": "hyperUnique", "name": "uniq_users",
+                 "fieldName": "user"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "day", "rollup": True}},
+        "ioConfig": {"inputSource": {"type": "local", "files": [str(src)]},
+                     "inputFormat": {"type": "csv",
+                                     "columns": ["d", "site", "user"]}}},
+        cat, str(tmp_path / "seg"))
+
+    stored = cat.table("visits")
+    assert dict(stored.dtypes)["uniq_users"] == "binary"  # sketch, not number
+    assert stored.count() == 4                            # (2 days × 2 sites)
+
+    r = translate({"queryType": "timeseries", "dataSource": "visits",
+                   "granularity": "all",
+                   "aggregations": [
+                       {"type": "longSum", "name": "rows", "fieldName": "cnt"},
+                       {"type": "hyperUnique", "name": "uniq",
+                        "fieldName": "uniq_users"}]},
+                  spark, cat).first()
+    assert r["rows"] == 7
+    assert r["uniq"] == 5  # users u1..u5, merged across day/site partials
+
+
 def _pb_varint(n: int) -> bytes:
     n &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
