@@ -215,9 +215,90 @@ def register_views(catalog: Catalog) -> None:
         catalog.table(name).createOrReplaceTempView(name)
 
 
+def _druid_type(dt) -> str:
+    """Spark type → Druid SQL DATA_TYPE name (RowSignatures.java mapping)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "BIGINT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{_druid_type(dt.elementType)}>"
+    return "OTHER"
+
+
+def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
+    """Druid's SQL metadata surface (sql/.../schema/InformationSchema.java,
+    SystemSchema.java): INFORMATION_SCHEMA.TABLES / .COLUMNS and
+    sys.segments.  Spark temp views can't be namespaced with a dot, so the
+    views register under information_schema_* / sys_* and ``druid_sql``
+    rewrites the dotted names — client SQL runs verbatim."""
+    import os as _os
+
+    tables = [("druid", "druid", n, "TABLE") for n in catalog.names()]
+    spark.createDataFrame(
+        tables or [("druid", "druid", "", "TABLE")],
+        "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+        "TABLE_TYPE string") \
+        .filter("TABLE_NAME != ''") \
+        .createOrReplaceTempView("information_schema_tables")
+
+    cols, segs = [], []
+    for name in catalog.names():
+        df = catalog.table(name)
+        for i, f in enumerate(df.schema.fields, start=1):
+            cols.append(("druid", "druid", name, f.name, i,
+                         _druid_type(f.dataType),
+                         "YES" if f.nullable else "NO"))
+        # sys.segments: one row per time-partition directory ("segment") for
+        # ingested tables, one per file for plain parquet sources; sizes from
+        # the filesystem listing (the analogue of the coordinator's segment
+        # metadata — no data read)
+        spec = catalog._specs[name]
+        path = spec.path
+        if path and _os.path.isdir(path):
+            buckets = [d for d in sorted(_os.listdir(path))
+                       if d.startswith("__bucket=")]
+            for b in buckets or [""]:
+                full = _os.path.join(path, b) if b else path
+                size = sum(_os.path.getsize(_os.path.join(r, f))
+                           for r, _, fs in _os.walk(full) for f in fs)
+                seg_id = f"{name}_{b.removeprefix('__bucket=')}" if b else name
+                segs.append((seg_id, name, b.removeprefix("__bucket="),
+                             size, 1, 1))
+        elif path:
+            segs.append((name, name, "", _os.path.getsize(path), 1, 1))
+    spark.createDataFrame(
+        cols or [("", "", "", "", 0, "", "")],
+        "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+        "COLUMN_NAME string, ORDINAL_POSITION int, DATA_TYPE string, "
+        "IS_NULLABLE string") \
+        .filter("TABLE_NAME != ''") \
+        .createOrReplaceTempView("information_schema_columns")
+    spark.createDataFrame(
+        segs or [("", "", "", 0, 0, 0)],
+        "segment_id string, datasource string, start string, "
+        "size long, is_published int, is_available int") \
+        .filter("segment_id != ''") \
+        .createOrReplaceTempView("sys_segments")
+
+
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     """One-call Druid-flavored SQL entry: functions + views + execute."""
+    import re
     register_druid_sql(spark)
     if catalog is not None:
         register_views(catalog)
+        if re.search(r"(?i)\bINFORMATION_SCHEMA\s*\.|\bsys\s*\.", sql):
+            register_metadata_views(spark, catalog)
+    sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
+    sql = re.sub(r"(?i)\bsys\s*\.\s*(segments)", r"sys_\1", sql)
     return spark.sql(sql)

@@ -128,6 +128,25 @@ def test_csv_and_regex_input_formats(spark, tmp_path):
     assert rows(df2, "level", "msg") == [("INFO", "start"), ("WARN", "stop")]
 
 
+def test_information_schema_and_sys_tables(spark, foo_catalog):
+    """Druid SQL metadata surface (InformationSchema.java / SystemSchema.java):
+    dotted INFORMATION_SCHEMA.* / sys.segments names run verbatim."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    t = druid_sql(spark, "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES "
+                         "ORDER BY TABLE_NAME", foo_catalog)
+    assert "foo" in [r[0] for r in t.collect()]
+    c = druid_sql(spark, "SELECT COLUMN_NAME, DATA_TYPE FROM "
+                         "INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'foo'",
+                  foo_catalog)
+    types = {r[0]: r[1] for r in c.collect()}
+    assert types["__time"] == "TIMESTAMP"
+    assert types["m2"] == "DOUBLE"
+    assert types["dim1"] == "VARCHAR"
+    assert types["dim2"] == "ARRAY<VARCHAR>"
+    s = druid_sql(spark, "SELECT datasource, size FROM sys.segments", foo_catalog)
+    assert any(r["datasource"] == "foo" and r["size"] > 0 for r in s.collect())
+
+
 def test_rollup_sketch_column_roundtrip(spark, tmp_path):
     """COMPLEX sketch columns: rollup ingest stores a mergeable HLL binary
     per (bucket, dims) row; query-time hyperUnique detects the BinaryType
