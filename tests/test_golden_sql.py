@@ -134,6 +134,78 @@ def test_window_function_superset(spark, foo_catalog):
     assert out[0]["prev"] == "def"
 
 
+def test_grouping_sets_sql(spark, foo_catalog):
+    """CalciteQueryTest GROUP BY GROUPING SETS — maps to Druid subtotalsSpec;
+    Spark native grouping sets + GROUPING()."""
+    out = q(spark, foo_catalog, """
+        SELECT dim2[0] AS d, GROUPING(dim2[0]) AS g, SUM(m2) AS s
+        FROM foo GROUP BY GROUPING SETS ((dim2[0]), ())""").collect()
+    got = {(r["d"], r["g"]): r["s"] for r in out}
+    assert got[(None, 1)] == 21.0          # grand total row, GROUPING()=1
+    assert got[("a", 0)] == 5.0            # rows 1+4
+
+
+def test_correlated_exists(spark, foo_catalog):
+    """CalciteCorrelatedQueryTest — correlated EXISTS decorrelates to a
+    semi-join."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1 FROM foo a
+        WHERE EXISTS (SELECT 1 FROM foo b WHERE b.m1 = a.m2 + 1)
+          AND dim1 <> '' ORDER BY dim1""").collect()
+    # rows whose m2+1 appears as another row's m1 (m1 runs 1..6, m2==m1):
+    # m2 in 1..5 qualifies; 'abc' (m2=6) has no m1=7 partner
+    assert [r["dim1"] for r in out] == ["1", "10.1", "2", "def"]
+
+
+def test_intersect_except(spark, foo_catalog):
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM
+        (SELECT dim1 FROM foo WHERE m2 <= 4
+         INTERSECT SELECT dim1 FROM foo WHERE m2 >= 4)""").first()["c"] == 1
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM
+        (SELECT dim1 FROM foo EXCEPT SELECT dim1 FROM foo WHERE m2 > 2)
+        """).first()["c"] == 2
+
+
+def test_approx_count_distinct_sql(spark, foo_catalog):
+    r = q(spark, foo_catalog, """
+        SELECT APPROX_COUNT_DISTINCT(dim1) AS a, COUNT(DISTINCT dim1) AS e,
+               COUNT(DISTINCT dim1) + COUNT(DISTINCT m1) AS multi
+        FROM foo""").first()
+    assert r["a"] == 6 and r["e"] == 6 and r["multi"] == 12
+
+
+def test_group_by_expression(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT SUBSTRING(dim1, 1, 1) AS c1, COUNT(*) AS n
+        FROM foo WHERE dim1 <> '' GROUP BY 1 ORDER BY n DESC, c1""").collect()
+    assert [(r["c1"], r["n"]) for r in out] == \
+        [("1", 2), ("2", 1), ("a", 1), ("d", 1)]
+
+
+def test_nested_aggregation_query(spark, foo_catalog):
+    """Stacked aggregation (DruidOuterQueryRel): avg of per-group sums."""
+    r = q(spark, foo_catalog, """
+        SELECT AVG(s) AS a, COUNT(*) AS groups FROM
+        (SELECT dim2[0] AS d, SUM(m2) AS s FROM foo GROUP BY dim2[0])""").first()
+    assert r["groups"] == 4 and r["a"] == pytest.approx(21.0 / 4)
+
+
+def test_order_by_limit_offset(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT dim1, m2 FROM foo ORDER BY m2 DESC LIMIT 2 OFFSET 1""").collect()
+    assert [(r["dim1"], r["m2"]) for r in out] == [("def", 5.0), ("1", 4.0)]
+
+
+def test_safe_divide_and_div_zero(spark, foo_catalog):
+    """Druid non-ANSI division: x/0 → NULL in SQL mode; SAFE_DIVIDE alias."""
+    r = q(spark, foo_catalog, """
+        SELECT SAFE_DIVIDE(m2, m2 - m2) AS sd, m2 / (m2 - m2) AS dz
+        FROM foo WHERE m2 = 1.0""").first()
+    assert r["sd"] is None and r["dz"] is None
+
+
 def test_mvd_group_by_native(spark, foo_catalog):
     """Druid SQL GROUP BY dim3 (MVD) explodes — native path equivalence."""
     out = translate({
