@@ -308,6 +308,16 @@ def _search_types(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _sql_earliest_latest(spark, sf):
+    """Druid SQL EARLIEST/LATEST aggregates (EarliestLatestAnySqlAggregator)
+    via the druid_sql surface — rewritten to min_by/max_by on __time."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    return druid_sql(spark,
+                     "SELECT event_type, EARLIEST(user_id) AS first_user, "
+                     "LATEST(user_id) AS last_user FROM events "
+                     "GROUP BY event_type", _cat(spark, sf))
+
+
 def _search_daily(spark, sf):
     """search with day granularity — per-time-bucket value counts (the
     reference merges per-segment hits per bucket; one grouped pass here)."""
@@ -774,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_in_bound": _scan_in_bound,
         "search_types": _search_types,
         "search_daily": _search_daily,
+        "sql_earliest_latest": _sql_earliest_latest,
         "time_boundary": _time_boundary,
         "ds_metadata": _ds_metadata,
         "segment_metadata": _segment_metadata,
@@ -980,6 +991,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value
             FROM events
             WHERE event_type IN ('click', 'view') AND value >= 495
+        """,
+        "sql_earliest_latest": """
+            SELECT event_type, arg_min(user_id, ts) AS first_user,
+                   arg_max(user_id, ts) AS last_user
+            FROM events GROUP BY event_type
         """,
         "search_daily": """
             SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __time,

@@ -291,6 +291,39 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
         .createOrReplaceTempView("sys_segments")
 
 
+def _rewrite_aggregate_names(sql: str) -> str:
+    """Druid SQL aggregate names that can't be SQL-UDF-registered (they are
+    aggregates, not scalars) → Spark builtins with identical semantics:
+
+      EARLIEST(x) / LATEST(x)          → min_by/max_by(x, __time)
+        (sql/.../aggregation/builtin/EarliestLatestAnySqlAggregator.java —
+         value at min/max __time)
+      EARLIEST_BY(x, t) / LATEST_BY(x, t) → min_by/max_by(x, t)
+      ANY_VALUE(x)                      → any_value(x)   (Spark builtin)
+      APPROX_QUANTILE[_DS](x, p[, k])   → percentile_approx(x, p, 10000)
+
+    Textual rewrite on word boundaries; EARLIEST/LATEST take the argument
+    list verbatim so nested expressions pass through.  Single-argument
+    EARLIEST/LATEST append the __time column the same way the reference's
+    SQL layer injects it."""
+    import re
+
+    def one_arg_time(m):
+        fn = "min_by" if m.group(1).upper() == "EARLIEST" else "max_by"
+        return f"{fn}({m.group(2)}, __time)"
+
+    # EARLIEST(x) / LATEST(x) — single argument (no top-level comma)
+    sql = re.sub(r"(?i)\b(EARLIEST|LATEST)\s*\(([^(),]+)\)", one_arg_time, sql)
+    sql = re.sub(r"(?i)\bEARLIEST_BY\s*\(", "min_by(", sql)
+    sql = re.sub(r"(?i)\bLATEST_BY\s*\(", "max_by(", sql)
+    sql = re.sub(r"(?i)\bAPPROX_QUANTILE(_DS)?\s*\(([^()]+)\)",
+                 lambda m: "percentile_approx("
+                           + ", ".join(m.group(2).split(",")[:2])
+                           + ", 10000)",
+                 sql)
+    return sql
+
+
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     """One-call Druid-flavored SQL entry: functions + views + execute."""
     import re
@@ -301,4 +334,5 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             register_metadata_views(spark, catalog)
     sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
     sql = re.sub(r"(?i)\bsys\s*\.\s*(segments)", r"sys_\1", sql)
+    sql = _rewrite_aggregate_names(sql)
     return spark.sql(sql)

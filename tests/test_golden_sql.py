@@ -206,6 +206,20 @@ def test_safe_divide_and_div_zero(spark, foo_catalog):
     assert r["sd"] is None and r["dz"] is None
 
 
+def test_earliest_latest_quantile_sql(spark, foo_catalog):
+    """Druid SQL aggregate names (EarliestLatestAnySqlAggregator /
+    QuantileSqlAggregator) rewritten to min_by/max_by/percentile_approx."""
+    r = q(spark, foo_catalog, """
+        SELECT EARLIEST(dim1) AS e, LATEST(dim1) AS l,
+               LATEST_BY(dim1, m2) AS lb,
+               APPROX_QUANTILE_DS(m2, 0.5) AS med,
+               ANY_VALUE(cnt) AS av
+        FROM foo""").first()
+    assert r["e"] == "" and r["l"] == "abc" and r["lb"] == "abc"
+    assert r["med"] in (3.0, 4.0)     # median of 1..6, either midpoint ok
+    assert r["av"] == 1
+
+
 def test_mvd_group_by_native(spark, foo_catalog):
     """Druid SQL GROUP BY dim3 (MVD) explodes — native path equivalence."""
     out = translate({
