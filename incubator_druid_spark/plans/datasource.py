@@ -58,6 +58,14 @@ def _join(spec, spark, catalog: Catalog) -> DataFrame:
     """JoinDataSource.java:94-99 — left, right, rightPrefix, condition
     (equi-only, AND of `leftExpr == "prefix.rightCol"`), joinType."""
     left = resolve_datasource(spec["left"], spark, catalog)
+    if spec.get("leftFilter") is not None:
+        # JoinDataSource.java:97 leftFilter — pre-join pushdown on the left
+        # base table (the broker applies it before fanning out); filtering
+        # before the join keeps the predicate eligible for parquet pushdown
+        from incubator_druid_spark.filters.filters import (FilterContext,
+                                                           compile_filter)
+        left = left.filter(compile_filter(spec["leftFilter"],
+                                          FilterContext(left)))
     right = resolve_datasource(spec["right"], spark, catalog)
     prefix = spec.get("rightPrefix", "j0.")
 

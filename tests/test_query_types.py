@@ -197,6 +197,22 @@ def test_join_lookup_datasource(spark, foo_catalog):
     assert out == {"xabc": 1}
 
 
+def test_join_left_filter(spark, foo_catalog):
+    """JoinDataSource.leftFilter — applied to the left base table BEFORE the
+    join (broker-side pushdown in the reference)."""
+    q = {"queryType": "groupBy", "granularity": "all",
+         "dataSource": {"type": "join", "left": "foo",
+                        "right": {"type": "lookup", "lookup": "lookyloo"},
+                        "rightPrefix": "j0.",
+                        "condition": "dim1 == \"j0.k\"", "joinType": "LEFT",
+                        "leftFilter": {"type": "bound", "dimension": "m2",
+                                       "lower": "5", "ordering": "numeric"}},
+         "dimensions": ["dim1"],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    out = dict(rows(translate(q, spark, foo_catalog), "dim1", "cnt"))
+    assert out == {"def": 1, "abc": 1}  # m2 >= 5 rows only, left-join kept
+
+
 def test_inline_datasource(spark, foo_catalog):
     q = {"queryType": "scan",
          "dataSource": {"type": "inline",

@@ -286,6 +286,21 @@ def test_protobuf_input_format(spark, tmp_path):
     assert sorted(r["name"] for r in df2.collect()) == ["s1", "s2"]
 
 
+def test_protobuf_decode_column(spark, tmp_path):
+    """Streaming path: per-record protobuf decode of a binary column (the
+    Kafka `value` shape) via pandas_udf."""
+    from incubator_druid_spark.sources.protobuf import decode_column
+    desc = _pb_descriptor_set(tmp_path)
+    msgs = [_pb_event(1, "a", 1.0, [1], "x"), _pb_event(2, "b", 2.0, [2], "y")]
+    df = spark.createDataFrame([(m,) for m in msgs], "value binary")
+    out = decode_column(df, "value", {
+        "protoBytesDecoder": {"descriptor": desc,
+                              "protoMessageType": "t.Event"}})
+    got = sorted((r["decoded"]["name"], r["decoded"]["ts"])
+                 for r in out.collect())
+    assert got == [("a", 1), ("b", 2)]
+
+
 def test_http_input_source(spark, tmp_path):
     """HttpInputSource.java — URIs staged to local files, then format-read."""
     import http.server
