@@ -50,6 +50,12 @@ def build_stream_source(spark: SparkSession, io_config: dict,
                           "earliest" if io_config.get("useEarliestOffset")
                           else "latest"))
         raw = reader.load()
+        fmt = io_config.get("inputFormat") or {}
+        if fmt.get("type") == "protobuf":
+            # protobuf-extensions Kafka path: per-record bytes decode against
+            # the descriptor set (FileBasedProtobufBytesDecoder.java)
+            from incubator_druid_spark.sources.protobuf import decode_column
+            return decode_column(raw, "value", fmt).select("decoded.*")
         if value_schema:
             return raw.select(
                 F.from_json(F.col("value").cast("string"), value_schema).alias("v")

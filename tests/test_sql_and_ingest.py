@@ -301,6 +301,32 @@ def test_protobuf_decode_column(spark, tmp_path):
     assert got == [("a", 1), ("b", 2)]
 
 
+def test_protobuf_streaming_decode(spark, tmp_path):
+    """Kafka-shaped streaming decode: binary `value` column decoded per
+    micro-batch (the path build_stream_source takes for
+    inputFormat=protobuf; file-backed stream stands in for the broker)."""
+    from incubator_druid_spark.sources.protobuf import decode_column
+    desc = _pb_descriptor_set(tmp_path)
+    msgs = [_pb_event(i, f"n{i}", float(i), [i], "s") for i in range(4)]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame([(m,) for m in msgs], "value binary") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("value binary").parquet(src)
+    decoded = decode_column(stream, "value", {
+        "protoBytesDecoder": {"descriptor": desc,
+                              "protoMessageType": "t.Event"}}) \
+        .select("decoded.*")
+    q = (decoded.writeStream.format("memory")
+         .queryName("pb_stream").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT ts, name FROM pb_stream ORDER BY ts").collect()
+        assert [(r["ts"], r["name"]) for r in got] == \
+            [(0, "n0"), (1, "n1"), (2, "n2"), (3, "n3")]
+    finally:
+        q.stop()
+
+
 def test_http_input_source(spark, tmp_path):
     """HttpInputSource.java — URIs staged to local files, then format-read."""
     import http.server
