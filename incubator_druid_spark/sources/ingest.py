@@ -87,9 +87,17 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
         for i, c in enumerate(cols, start=1):
             out = out.withColumn(c, F.regexp_extract(F.col("value"), pattern, i))
         return out.drop("value")
-    if t in ("parquet", "orc", "avro"):
-        # extensions-core/{parquet,orc,avro}-extensions → native Spark readers
+    if t in ("parquet", "orc"):
+        # extensions-core/{parquet,orc}-extensions → native Spark readers
         return spark.read.format(t).load(paths)
+    if t == "avro":
+        # extensions-core/avro-extensions — native spark-avro when the jar is
+        # deployed (real clusters), else the pure-Python OCF reader
+        try:
+            return spark.read.format("avro").load(paths)
+        except Exception:
+            from incubator_druid_spark.sources.avro import read_avro
+            return read_avro(spark, paths)
     if t == "protobuf":
         # extensions-core/protobuf-extensions (ProtobufInputFormat.java) —
         # pure-Python wire decoder against a compiled descriptor set,

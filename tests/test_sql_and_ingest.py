@@ -286,6 +286,78 @@ def test_protobuf_input_format(spark, tmp_path):
     assert sorted(r["name"] for r in df2.collect()) == ["s1", "s2"]
 
 
+def _avro_long(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        out.append(b | 0x80 if z else b)
+        if not z:
+            return bytes(out)
+
+
+def _avro_str(s: str) -> bytes:
+    b = s.encode()
+    return _avro_long(len(b)) + b
+
+
+def _avro_ocf(tmp_path, fname, rows, codec="null"):
+    """Independent Avro Object Container File writer for the round-trip test:
+    record{id long, name string, v double, tag union[null,string],
+    xs array<long>}."""
+    import json as J
+    import struct as S
+    import zlib
+    schema = {"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "v", "type": "double"},
+        {"name": "tag", "type": ["null", "string"]},
+        {"name": "xs", "type": {"type": "array", "items": "long"}}]}
+    body = b""
+    for rid, name, v, tag, xs in rows:
+        body += _avro_long(rid) + _avro_str(name) + S.pack("<d", v)
+        body += (_avro_long(0) if tag is None
+                 else _avro_long(1) + _avro_str(tag))
+        if xs:
+            body += _avro_long(len(xs)) + b"".join(_avro_long(x) for x in xs)
+        body += _avro_long(0)
+    if codec == "deflate":
+        body = zlib.compress(body)[2:-4]  # raw deflate, no zlib header/crc
+    meta_pairs = {"avro.schema": J.dumps(schema).encode(),
+                  "avro.codec": codec.encode()}
+    meta = _avro_long(len(meta_pairs))
+    for k, val in meta_pairs.items():
+        meta += _avro_str(k) + _avro_long(len(val)) + val
+    meta += _avro_long(0)
+    sync = bytes(range(16))
+    blob = (b"Obj\x01" + meta + sync
+            + _avro_long(len(rows)) + _avro_long(len(body)) + body + sync)
+    p = tmp_path / fname
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_avro_input_format(spark, tmp_path):
+    """avro-extensions OCF read — pure-Python fallback (no spark-avro jar in
+    this container); covers zigzag longs, strings, doubles, null unions,
+    arrays, and the deflate codec."""
+    from incubator_druid_spark.sources.ingest import read_input
+    f1 = _avro_ocf(tmp_path, "a.avro",
+                   [(1, "alpha", 1.5, "x", [1, -2]),
+                    (2, "beta", -2.25, None, [])])
+    f2 = _avro_ocf(tmp_path, "b.avro",
+                   [(3, "gamma", 0.5, "y", [7])], codec="deflate")
+    df = read_input(spark, {
+        "inputSource": {"type": "local", "files": [f1, f2]},
+        "inputFormat": {"type": "avro"}})
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["name"] == "alpha" and got[1]["xs"] == [1, -2]
+    assert got[2]["tag"] is None and got[2]["v"] == -2.25
+    assert got[3]["tag"] == "y" and got[3]["xs"] == [7]
+
+
 def test_protobuf_decode_column(spark, tmp_path):
     """Streaming path: per-record protobuf decode of a binary column (the
     Kafka `value` shape) via pandas_udf."""
