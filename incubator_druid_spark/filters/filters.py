@@ -53,6 +53,12 @@ class FilterContext:
             return False
         return isinstance(self._types.get(name), T.BinaryType)
 
+    def data_type(self, name: str):
+        """Spark DataType of a physical column (None for virtual/unknown)."""
+        if name in self.virtual:
+            return None
+        return self._types.get(name)
+
 
 def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
     """Compile a DimFilter JSON node; None spec → None (no predicate)."""

@@ -80,6 +80,9 @@ class _WhenContext:
     def is_binary(self, name: str) -> bool:
         return self._ctx.is_binary(name)
 
+    def data_type(self, name: str):
+        return self._ctx.data_type(name)
+
 
 def _hll_input(col: Column) -> Column:
     """String-normalize a value for the datasketches HLL: the sketch skips
@@ -87,6 +90,74 @@ def _hll_input(col: Column) -> Column:
     SQL-null mode — an injective marker prefix keeps '' countable while
     preserving distinct counts."""
     return F.concat(F.lit("v"), col.cast("string"))
+
+
+def _is_quantile_state(ctx, name: str | None) -> bool:
+    """True when the column holds rollup-stored centroid-sketch state:
+    struct<mn double, mx double, bins array<struct<x,y>>> (the COMPLEX
+    quantiles column written by compile_rollup_aggregations)."""
+    from pyspark.sql import types as T
+    if not name or not hasattr(ctx, "data_type"):
+        return False
+    dt = ctx.data_type(name)
+    return (isinstance(dt, T.StructType)
+            and [f.name for f in dt.fields] == ["mn", "mx", "bins"])
+
+
+def _merged_quantile_state(col: Column) -> Column:
+    """Merge stored centroid states across rows: min/max fold plus centroid
+    union — the getCombiningFactory step for the quantiles COMPLEX column.
+    (Re-clustering to bounded size happens in the finalize UDF; per query
+    group the union is at most rows×resolution centroids.)"""
+    return F.struct(F.min(col["mn"]).alias("mn"),
+                    F.max(col["mx"]).alias("mx"),
+                    F.flatten(F.collect_list(col["bins"])).alias("bins"))
+
+
+def _centroid_quantile_finalize(fractions: list[float]):
+    """Quantiles from merged centroids — the Ben-Haim/Tom-Tov quantile read:
+    centroids sorted by position, half-weight cumulative ranks, linear
+    interpolation, clamped to the exact [min, max]."""
+    from pyspark.sql import types as T
+
+    single = len(fractions) == 1
+    rt = T.DoubleType() if single else T.ArrayType(T.DoubleType())
+
+    def fin(raw):
+        if raw is None or raw["mn"] is None:
+            return None
+        mn, mx = float(raw["mn"]), float(raw["mx"])
+        cents: dict[float, float] = {}
+        for b in raw["bins"] or []:
+            x = float(b["x"])
+            cents[x] = cents.get(x, 0.0) + float(b["y"])
+        pos = sorted(cents)
+        w = [cents[p] for p in pos]
+        total = sum(w)
+        if total <= 0:
+            return None if single else [None] * len(fractions)
+        # cumulative rank at each centroid = weight below + half its own
+        ranks, acc = [], 0.0
+        for wi in w:
+            ranks.append(acc + wi / 2.0)
+            acc += wi
+
+        def one(q):
+            target = q * total
+            if target <= ranks[0]:
+                return mn
+            if target >= ranks[-1]:
+                return mx
+            import bisect
+            i = bisect.bisect_right(ranks, target) - 1
+            span = ranks[i + 1] - ranks[i]
+            frac = 0.0 if span == 0 else (target - ranks[i]) / span
+            return min(max(pos[i] + (pos[i + 1] - pos[i]) * frac, mn), mx)
+
+        vals = [one(float(q)) for q in fractions]
+        return vals[0] if single else vals
+
+    return F.udf(fin, rt)
 
 
 def _approx_histogram_finalize(num_buckets: int):
@@ -208,15 +279,23 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
     if t == "__percentile":
         # synthesized by rewrite_sketch_query from sketch-quantile post-aggs
         fracs = spec["fractions"]
+        if _is_quantile_state(ctx, spec.get("fieldName")):
+            merged = _merged_quantile_state(ctx.resolve(spec["fieldName"]))
+            return _centroid_quantile_finalize([float(x) for x in fracs])(merged)
         acc = min(int(spec.get("k", 10000)), 10000)
         if len(fracs) == 1:
             return F.percentile_approx(f().cast("double"), float(fracs[0]), acc)
         return F.percentile_approx(f().cast("double"),
                                    F.array(*[F.lit(float(x)) for x in fracs]), acc)
     if t == "quantilesDoublesSketch":
-        # Stored sketch column → keep values for percentile post-aggs; the
-        # common finalized read is handled by the post-aggregator layer which
-        # rewrites quantile post-aggs over this name to percentile_approx.
+        # Over a COMPLEX centroid-state column (rollup-stored) merge the
+        # sketches and read the quantile; over raw values the percentile
+        # post-agg layer rewrites to percentile_approx — default read is the
+        # median, matching DoublesSketchToQuantile's common use.
+        fname = spec.get("fieldName")
+        if _is_quantile_state(ctx, fname):
+            merged = _merged_quantile_state(ctx.resolve(fname))
+            return _centroid_quantile_finalize([0.5])(merged)
         return F.percentile_approx(f().cast("double"), 0.5, 10000)
     if t in ("variance", "varianceFold"):
         # stats/variance/VarianceAggregatorFactory.java (population by default
@@ -255,9 +334,13 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # the single aggregated struct per group (not the row hot path).
         res = int(spec.get("resolution", 50))       # DEFAULT_HISTOGRAM_SIZE
         nb = int(spec.get("numBuckets", 7))         # DEFAULT_BUCKET_SIZE
-        x = f().cast("double")
-        raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
-                       F.histogram_numeric(x, F.lit(res)).alias("bins"))
+        fname = spec.get("fieldName")
+        if _is_quantile_state(ctx, fname):          # approxHistogramFold over
+            raw = _merged_quantile_state(ctx.resolve(fname))   # stored state
+        else:
+            x = f().cast("double")
+            raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                           F.histogram_numeric(x, F.lit(res)).alias("bins"))
         return _approx_histogram_finalize(nb)(raw)
     if t == "bloom":
         # druid-bloom-filter/.../BloomFilterAggregatorFactory.java — builds
@@ -522,6 +605,21 @@ def compile_rollup_aggregations(specs: list[dict] | None,
             for s in sketches[1:]:
                 col = F.hll_union(col, s)
             out.append(col.alias(name))
+        elif t in ("quantilesDoublesSketch", "approxHistogram",
+                   "approxHistogramFold"):
+            # COMPLEX quantiles column: store mergeable centroid state
+            # (min/max + histogram_numeric centroids) instead of a finalized
+            # number — query-time quantile/histogram reads merge it
+            fn = spec["fieldName"]
+            if _is_quantile_state(ctx, fn):           # compaction re-merge
+                out.append(_merged_quantile_state(ctx.resolve(fn)).alias(name))
+            else:
+                x = ctx.resolve(fn).cast("double")
+                res = int(spec.get("resolution", spec.get("k", 128)))
+                out.append(F.struct(
+                    F.min(x).alias("mn"), F.max(x).alias("mx"),
+                    F.histogram_numeric(x, F.lit(res)).alias("bins"))
+                    .alias(name))
         else:
             out.append(compile_aggregator(spec, ctx))
     return out

@@ -286,6 +286,47 @@ def test_protobuf_input_format(spark, tmp_path):
     assert sorted(r["name"] for r in df2.collect()) == ["s1", "s2"]
 
 
+def test_rollup_quantile_state_roundtrip(spark, tmp_path):
+    """COMPLEX quantiles column: rollup stores mergeable centroid state
+    (min/max + histogram_numeric bins); query-time quantilesDoublesSketch
+    merges states across buckets and interpolates the quantile."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    src = tmp_path / "lat.csv"
+    src.write_text("".join(
+        f"2024-01-0{1 + i % 3},s{i % 2},{i + 1}\n" for i in range(100)))
+    cat = Catalog(spark)
+    ingest(spark, {
+        "dataSchema": {
+            "dataSource": "latencies",
+            "timestampSpec": {"column": "d", "format": "auto"},
+            "dimensionsSpec": {"dimensions": ["site"]},
+            "metricsSpec": [
+                {"type": "count", "name": "cnt"},
+                {"type": "quantilesDoublesSketch", "name": "lat_sketch",
+                 "fieldName": "ms", "k": 128}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "day", "rollup": True}},
+        "ioConfig": {"inputSource": {"type": "local", "files": [str(src)]},
+                     "inputFormat": {"type": "csv",
+                                     "columns": ["d", "site", "ms"]}}},
+        cat, str(tmp_path / "seg"))
+
+    stored = cat.table("latencies")
+    assert dict(stored.dtypes)["lat_sketch"].startswith("struct<mn:")
+    assert stored.count() == 6                       # 3 days × 2 sites
+
+    r = translate({"queryType": "timeseries", "dataSource": "latencies",
+                   "granularity": "all",
+                   "aggregations": [
+                       {"type": "quantilesDoublesSketch", "name": "med",
+                        "fieldName": "lat_sketch"}]},
+                  spark, cat).first()
+    assert abs(r["med"] - 50.5) < 2.0               # true median of 1..100
+
+
 def _avro_long(n: int) -> bytes:
     z = (n << 1) ^ (n >> 63)
     out = bytearray()
