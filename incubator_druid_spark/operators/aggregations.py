@@ -92,6 +92,17 @@ def _hll_input(col: Column) -> Column:
     return F.concat(F.lit("v"), col.cast("string"))
 
 
+def _is_firstlast_state(ctx, name: str | None) -> bool:
+    """True when the column holds rollup-stored first/last pair state:
+    struct<t timestamp, v ...> (SerializablePair in the reference)."""
+    from pyspark.sql import types as T
+    if not name or not hasattr(ctx, "data_type"):
+        return False
+    dt = ctx.data_type(name)
+    return (isinstance(dt, T.StructType)
+            and [f.name for f in dt.fields] == ["t", "v"])
+
+
 def _is_quantile_state(ctx, name: str | None) -> bool:
     """True when the column holds rollup-stored centroid-sketch state:
     struct<mn double, mx double, bins array<struct<x,y>>> (the COMPLEX
@@ -231,9 +242,18 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # mean/DoubleMeanAggregatorFactory.java
         return F.avg(f().cast("double"))
     if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
-        # first/*AggregatorFactory.java — value at min __time
+        # first/*AggregatorFactory.java — value at min __time; over a
+        # rollup-stored pair column, at min ORIGINAL timestamp (the pair's t)
+        fname = spec.get("fieldName")
+        if _is_firstlast_state(ctx, fname):
+            col = ctx.resolve(fname)
+            return F.min_by(col["v"], col["t"])
         return F.min_by(f(), ctx.resolve(TIME_COLUMN))
     if t in ("longLast", "doubleLast", "floatLast", "stringLast"):
+        fname = spec.get("fieldName")
+        if _is_firstlast_state(ctx, fname):
+            col = ctx.resolve(fname)
+            return F.max_by(col["v"], col["t"])
         return F.max_by(f(), ctx.resolve(TIME_COLUMN))
     if t in ("longAny", "doubleAny", "floatAny", "stringAny"):
         # any/*AggregatorFactory.java — any value, nulls allowed
@@ -605,6 +625,24 @@ def compile_rollup_aggregations(specs: list[dict] | None,
             for s in sketches[1:]:
                 col = F.hll_union(col, s)
             out.append(col.alias(name))
+        elif t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst",
+                   "longLast", "doubleLast", "floatLast", "stringLast"):
+            # first/last COMPLEX state: the reference stores
+            # SerializablePair<originalTimestamp, value> in rolled-up
+            # segments (first/LongFirstAggregatorFactory serde) so merges
+            # pick the TRUE earliest/latest, not the bucket boundary
+            first = "First" in t
+            fn = spec["fieldName"]
+            if _is_firstlast_state(ctx, fn):          # compaction re-merge
+                col = ctx.resolve(fn)
+                pick = F.min_by(col, col["t"]) if first \
+                    else F.max_by(col, col["t"])
+            else:
+                pair = F.struct(F.col(TIME_COLUMN).alias("t"),
+                                ctx.resolve(fn).alias("v"))
+                pick = F.min_by(pair, F.col(TIME_COLUMN)) if first \
+                    else F.max_by(pair, F.col(TIME_COLUMN))
+            out.append(pick.alias(name))
         elif t in ("quantilesDoublesSketch", "approxHistogram",
                    "approxHistogramFold"):
             # COMPLEX quantiles column: store mergeable centroid state

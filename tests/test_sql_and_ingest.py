@@ -286,6 +286,51 @@ def test_protobuf_input_format(spark, tmp_path):
     assert sorted(r["name"] for r in df2.collect()) == ["s1", "s2"]
 
 
+def test_rollup_first_last_pair_state(spark, tmp_path):
+    """first/last COMPLEX state: rollup stores (original timestamp, value)
+    pairs (SerializablePair serde in the reference) so a query over the
+    rolled table returns the TRUE first/last value, not a bucket-boundary
+    artifact."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    src = tmp_path / "seq.csv"
+    # day 1 holds the global first (09:00 "early"); day 2 the last (17:00)
+    src.write_text(
+        "2024-01-01T10:00:00,a,mid1\n2024-01-01T09:00:00,a,early\n"
+        "2024-01-02T08:00:00,a,mid2\n2024-01-02T17:00:00,a,late\n")
+    cat = Catalog(spark)
+    ingest(spark, {
+        "dataSchema": {
+            "dataSource": "seq",
+            "timestampSpec": {"column": "ts", "format": "auto"},
+            "dimensionsSpec": {"dimensions": ["site"]},
+            "metricsSpec": [
+                {"type": "stringFirst", "name": "first_tag", "fieldName": "tag"},
+                {"type": "stringLast", "name": "last_tag", "fieldName": "tag"}],
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "day", "rollup": True}},
+        "ioConfig": {"inputSource": {"type": "local", "files": [str(src)]},
+                     "inputFormat": {"type": "csv",
+                                     "columns": ["ts", "site", "tag"]}}},
+        cat, str(tmp_path / "seg"))
+
+    stored = cat.table("seq")
+    assert stored.count() == 2                       # one row per day bucket
+    assert dict(stored.dtypes)["first_tag"].startswith("struct<t:")
+
+    r = translate({"queryType": "timeseries", "dataSource": "seq",
+                   "granularity": "all",
+                   "aggregations": [
+                       {"type": "stringFirst", "name": "f",
+                        "fieldName": "first_tag"},
+                       {"type": "stringLast", "name": "l",
+                        "fieldName": "last_tag"}]},
+                  spark, cat).first()
+    assert r["f"] == "early" and r["l"] == "late"
+
+
 def test_rollup_quantile_state_roundtrip(spark, tmp_path):
     """COMPLEX quantiles column: rollup stores mergeable centroid state
     (min/max + histogram_numeric bins); query-time quantilesDoublesSketch
