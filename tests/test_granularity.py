@@ -95,6 +95,46 @@ def test_spine():
     assert len(gm.spine(start, end_m)) == 6
 
 
+def test_floor_matches_duckdb_bulk(spark):
+    """Cross-engine property check: granularity floors over 2000 random
+    timestamps (1971–2029) must equal DuckDB's date_trunc for every calendar
+    unit — one Spark job + one DuckDB query, not per-example overhead.
+    Druid weeks anchor to Monday (epoch's preceding Monday), same as ISO
+    date_trunc('week')."""
+    import datetime
+
+    import duckdb
+    import numpy as np
+
+    from incubator_druid_spark.model.granularity import parse_granularity
+
+    rng = np.random.default_rng(7)
+    millis = rng.integers(31_536_000_000, 1_893_456_000_000, size=2000)
+    rows = [(datetime.datetime.utcfromtimestamp(int(m) // 1000)
+             .replace(microsecond=(int(m) % 1000) * 1000),) for m in millis]
+    df = spark.createDataFrame(rows, "ts timestamp")
+
+    units = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+    sel = [F.col("ts")] + [
+        parse_granularity(u).floor(F.col("ts")).alias(u) for u in units]
+    got = {r["ts"]: r for r in df.select(*sel).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    q = "SELECT ts, " + ", ".join(
+        f"date_trunc('{u}', ts) AS {u}" for u in units) + " FROM t"
+    def norm(v):
+        if isinstance(v, datetime.datetime):
+            return v
+        return datetime.datetime(v.year, v.month, v.day)  # duckdb DATE
+
+    for row in con.execute(q).fetchall():
+        ts, *floors = row
+        for u, expected in zip(units, floors):
+            assert got[ts][u] == norm(expected), (u, ts, got[ts][u], expected)
+
+
 def test_all_none():
     assert parse_granularity("all").kind == "all"
     assert parse_granularity(None).kind == "all"
