@@ -1,0 +1,95 @@
+"""Bulk cross-engine check for the Druid expression compiler: a curated set
+of (druid expr, equivalent DuckDB SQL) pairs evaluated over 1000 seeded
+random rows in ONE Spark pass + ONE DuckDB query.  Complements the
+per-function unit tests in test_expressions with randomized inputs — the
+same oracle strategy the driver applies to whole queries, pushed down to
+scalar-function granularity."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.functions.druid_expr import compile_expr
+
+# (druid expression, duckdb equivalent) — 0-based vs 1-based offsets and
+# name differences encoded in the duckdb side
+PAIRS = [
+    ("abs(x)", "abs(x)"),
+    ("floor(x)", "floor(x)"),
+    ("ceil(x)", "ceil(x)"),
+    ("sqrt(abs(x))", "sqrt(abs(x))"),
+    ("pow(abs(x), 0.5)", "pow(abs(x), 0.5)"),
+    ("exp(x / 1000000)", "exp(x / 1000000)"),
+    ("log(abs(x) + 1)", "ln(abs(x) + 1)"),
+    ("x + y * 2 - x / 8", "x + y * 2 - x / 8"),
+    ("min(x, y)", "least(x, y)"),
+    ("max(x, y)", "greatest(x, y)"),
+    ("signum(x)", "sign(x)"),
+    ("hypot(x / 1000, y / 1000)", "sqrt((x/1000)*(x/1000) + (y/1000)*(y/1000))"),
+    ("bitwiseAnd(n, 255)", "n & 255"),
+    ("bitwiseXor(n, 9)", "xor(n, 9)"),
+    ("if(x > 0, 'p', 'n')", "CASE WHEN x > 0 THEN 'p' ELSE 'n' END"),
+    ("nvl(null, s)", "coalesce(NULL, s)"),
+    ("concat(s, '-', s)", "concat(s, '-', s)"),
+    ("upper(s)", "upper(s)"),
+    ("lower(upper(s))", "lower(upper(s))"),
+    ("strlen(s)", "length(s)"),
+    ("substring(s, 1, 3)", "substr(s, 2, 3)"),          # druid start is 0-based
+    ("left(s, 2)", "left(s, 2)"),
+    ("right(s, 2)", "right(s, 2)"),
+    ("replace(s, 'a', 'z')", "replace(s, 'a', 'z')"),
+    ("repeat(s, 2)", "repeat(s, 2)"),
+    ("lpad(s, 8, '*')", "lpad(s, 8, '*')"),
+    ("reverse(s)", "reverse(s)"),
+    ("strpos(s, 'b')", "strpos(s, 'b') - 1"),           # druid is 0-based, -1 miss
+    ("timestamp_floor(t, 'PT1H')", "date_trunc('hour', t)"),
+    ("timestamp_floor(t, 'P1D')", "date_trunc('day', t)"),
+    ("timestamp_extract(t, 'HOUR')", "extract(hour FROM t)"),
+    ("timestamp_extract(t, 'DOW')", "isodow(t)"),       # druid DOW == joda Mon=1
+]
+
+
+def test_expr_compiler_matches_duckdb(spark):
+    import datetime
+
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    pdf = pd.DataFrame({
+        "x": np.round(rng.uniform(-1e6, 1e6, n), 3),
+        "y": np.round(rng.uniform(1.0, 1e3, n), 3),
+        "n": rng.integers(-(1 << 40), 1 << 40, n),
+        "s": ["".join(rng.choice(list("abcxyz "), size=rng.integers(0, 12)))
+              for _ in range(n)],
+        "t": [datetime.datetime(2020, 1, 1)
+              + datetime.timedelta(seconds=int(v))
+              for v in rng.integers(0, 3 * 365 * 86400, n)],
+    })
+    pdf["row_id"] = range(n)
+
+    df = spark.createDataFrame(pdf)
+    sel = [F.col("row_id")] + [
+        compile_expr(e, F.col).alias(f"e{i}") for i, (e, _) in enumerate(PAIRS)]
+    got = df.select(*sel).toPandas().set_index("row_id").sort_index()
+
+    con = duckdb.connect()
+    con.register("t_in", pdf)
+    q = "SELECT row_id, " + ", ".join(
+        f"({d}) AS e{i}" for i, (_, d) in enumerate(PAIRS)) + \
+        " FROM t_in ORDER BY row_id"
+    want = con.execute(q).df().set_index("row_id").sort_index()
+
+    for i, (druid_e, duck_e) in enumerate(PAIRS):
+        g, w = got[f"e{i}"], want[f"e{i}"]
+        if g.dtype.kind in "fc" or w.dtype.kind in "fc":
+            ok = np.allclose(g.astype(float), w.astype(float),
+                             rtol=1e-9, atol=1e-9, equal_nan=True)
+        else:
+            ok = (g.astype(object).where(pd.notna(g), None)
+                  == w.astype(object).where(pd.notna(w), None)).all()
+        assert ok, f"mismatch for {druid_e!r} vs {duck_e!r}: " \
+                   f"{g.head(3).tolist()} != {w.head(3).tolist()}"
