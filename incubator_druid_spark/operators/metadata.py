@@ -86,4 +86,35 @@ def segment_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> Data
     schema = ("column string, type string, hasMultipleValues boolean, "
               "cardinality long, minValue string, maxValue string, "
               "nullCount long, numRows long")
-    return spark.createDataFrame(rows, schema=schema)
+    out = spark.createDataFrame(rows, schema=schema)
+
+    if analysis & {"rollup", "aggregators", "queryGranularity"}:
+        # SegmentMetadataQuery.java:58-67 AnalysisTypes ROLLUP / AGGREGATORS /
+        # QUERYGRANULARITY — served from the ingest-spec sidecar the way the
+        # reference reads them from per-segment metadata
+        meta = _read_table_meta(catalog, query["dataSource"]) or {}
+        if "rollup" in analysis:
+            out = out.withColumn("rollup", F.lit(meta.get("rollup")))
+        if "queryGranularity" in analysis:
+            out = out.withColumn("queryGranularity",
+                                 F.lit(meta.get("queryGranularity")))
+        if "aggregators" in analysis:
+            import json as _json
+            aggs_json = _json.dumps(meta.get("aggregators")) \
+                if meta.get("aggregators") is not None else None
+            out = out.withColumn("aggregators", F.lit(aggs_json))
+    return out
+
+
+def _read_table_meta(catalog: Catalog, name) -> dict | None:
+    """Read the `_druid_meta.json` sidecar written by sources/ingest."""
+    import json as _json
+    import os as _os
+    if not isinstance(name, str) or name not in catalog:
+        return None
+    spec = catalog._specs[name]
+    p = _os.path.join(spec.path, "_druid_meta.json") if spec.path else None
+    if p and _os.path.exists(p):
+        with open(p) as fh:
+            return _json.load(fh)
+    return None

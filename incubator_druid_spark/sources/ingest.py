@@ -250,11 +250,15 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
                                       "yyyy-MM-dd'T'HH"))
     pspec = (spec.get("tuningConfig") or {}).get("partitionsSpec") or {}
     path = os.path.join(base_dir, name)
+    # ioConfig.appendToExisting (AbstractBatchIndexTask) — append new
+    # segments instead of replacing the datasource version
+    mode = "append" if (spec.get("ioConfig") or {}).get("appendToExisting") \
+        else "overwrite"
     if pspec.get("type") == "hashed" and pspec.get("partitionDimensions"):
         dims = pspec["partitionDimensions"]
         shards = int(pspec.get("numShards", 8))
         spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-        (out.write.mode("overwrite")
+        (out.write.mode(mode)
             .partitionBy("__bucket")
             .bucketBy(shards, *dims)
             .sortBy(*dims)
@@ -262,8 +266,31 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
             .saveAsTable(name))
         catalog.register_managed(name)
     else:
-        (out.write.mode("overwrite")
+        (out.write.mode(mode)
             .partitionBy("__bucket")
             .parquet(path))
         catalog.register(name, path)
+    _write_table_meta(path, ds)
     return path
+
+
+def _write_table_meta(path: str, data_schema: dict) -> None:
+    """`_druid_meta.json` sidecar: the ingest-spec facts segmentMetadata
+    reports (rollup / queryGranularity / aggregators / dimensions) — the
+    analogue of the reference's per-segment metadata.drd."""
+    import json
+    gran = data_schema.get("granularitySpec") or {}
+    meta = {
+        "rollup": bool(gran.get("rollup")),
+        "queryGranularity": gran.get("queryGranularity"),
+        "segmentGranularity": gran.get("segmentGranularity"),
+        "aggregators": data_schema.get("metricsSpec") or [],
+        "dimensions": [_dim_name(d) for d in
+                       (data_schema.get("dimensionsSpec") or {})
+                       .get("dimensions") or []],
+    }
+    try:
+        with open(os.path.join(path, "_druid_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+    except OSError:
+        pass  # non-local FS (s3/hdfs) — sidecar is best-effort

@@ -286,6 +286,48 @@ def test_protobuf_input_format(spark, tmp_path):
     assert sorted(r["name"] for r in df2.collect()) == ["s1", "s2"]
 
 
+def test_append_mode_and_segment_metadata_analysis(spark, tmp_path):
+    """ioConfig.appendToExisting adds segments instead of replacing; the
+    segmentMetadata rollup/aggregators/queryGranularity analyses read the
+    ingest-spec sidecar (per-segment metadata in the reference)."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    (tmp_path / "a.csv").write_text("2024-01-01,x,1\n")
+    (tmp_path / "b.csv").write_text("2024-01-01,y,2\n")
+    cat = Catalog(spark)
+
+    def spec(f, append=False):
+        return {"dataSchema": {
+                    "dataSource": "appendable",
+                    "timestampSpec": {"column": "d", "format": "auto"},
+                    "dimensionsSpec": {"dimensions": ["site"]},
+                    "metricsSpec": [{"type": "longSum", "name": "v_sum",
+                                     "fieldName": "v"}],
+                    "granularitySpec": {"segmentGranularity": "day",
+                                        "queryGranularity": "day",
+                                        "rollup": True}},
+                "ioConfig": {"inputSource": {"type": "local", "files": [f]},
+                             "inputFormat": {"type": "csv",
+                                             "columns": ["d", "site", "v"]},
+                             "appendToExisting": append}}
+
+    ingest(spark, spec(str(tmp_path / "a.csv")), cat, str(tmp_path / "seg"))
+    ingest(spark, spec(str(tmp_path / "b.csv"), append=True), cat,
+           str(tmp_path / "seg"))
+    assert cat.table("appendable").count() == 2     # appended, not replaced
+
+    md = translate({"queryType": "segmentMetadata", "dataSource": "appendable",
+                    "analysisTypes": ["minmax", "rollup", "aggregators",
+                                      "queryGranularity"]},
+                   spark, cat)
+    r = md.first()
+    assert r["rollup"] is True
+    assert r["queryGranularity"] == "day"
+    assert "longSum" in r["aggregators"]
+
+
 def test_rollup_first_last_pair_state(spark, tmp_path):
     """first/last COMPLEX state: rollup stores (original timestamp, value)
     pairs (SerializablePair serde in the reference) so a query over the
