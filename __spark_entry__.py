@@ -308,6 +308,22 @@ def _search_types(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _spatial_rect(spark, sf):
+    """spatial filter, rectangular bound (SpatialDimFilter.java) over a
+    derived 'lat,lon' coordinate string — inclusive range on both axes."""
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "coord",
+                             "expression": "concat(cast(user_id % 10, 'STRING'),"
+                                           " ',', cast(event_id % 10, 'STRING'))"}],
+         "filter": {"type": "spatial", "dimension": "coord",
+                    "bound": {"type": "rectangular", "minCoords": [2, 3],
+                              "maxCoords": [5, 7]}},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total",
+                           "fieldName": "value"}]}
+    return _round(translate(q, spark, _cat(spark, sf)), {"cnt": None, "total": 2})
+
+
 def _sql_earliest_latest(spark, sf):
     """Druid SQL EARLIEST/LATEST aggregates (EarliestLatestAnySqlAggregator)
     via the druid_sql surface — rewritten to min_by/max_by on __time."""
@@ -785,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_types": _search_types,
         "search_daily": _search_daily,
         "sql_earliest_latest": _sql_earliest_latest,
+        "spatial_rect": _spatial_rect,
         "time_boundary": _time_boundary,
         "ds_metadata": _ds_metadata,
         "segment_metadata": _segment_metadata,
@@ -991,6 +1008,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value
             FROM events
             WHERE event_type IN ('click', 'view') AND value >= 495
+        """,
+        "spatial_rect": """
+            SELECT count(*) AS cnt, round(sum(value), 2) AS total
+            FROM events
+            WHERE (user_id % 10) BETWEEN 2 AND 5
+              AND (event_id % 10) BETWEEN 3 AND 7
         """,
         "sql_earliest_latest": """
             SELECT event_type, arg_min(user_id, ts) AS first_user,

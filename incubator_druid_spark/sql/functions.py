@@ -290,6 +290,23 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
         .filter("segment_id != ''") \
         .createOrReplaceTempView("sys_segments")
 
+    # sys.servers / sys.tasks (SystemSchema.java): in this engine the whole
+    # process topology is one Spark application — one server row (the
+    # driver), and batch ingests run synchronously so the task table drains
+    # to empty.  Shapes match the reference so client dashboards parse.
+    sc = spark.sparkContext
+    spark.createDataFrame(
+        [(f"{sc.master}", "historical", sc.master.split("[")[0],
+          int(sc.defaultParallelism), 0)],
+        "server string, server_type string, tier string, "
+        "curr_size long, max_size long") \
+        .createOrReplaceTempView("sys_servers")
+    spark.createDataFrame(
+        [("", "", "", "")],
+        "task_id string, type string, datasource string, status string") \
+        .filter("task_id != ''") \
+        .createOrReplaceTempView("sys_tasks")
+
 
 def _rewrite_aggregate_names(sql: str) -> str:
     """Druid SQL aggregate names that can't be SQL-UDF-registered (they are
@@ -333,6 +350,6 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         if re.search(r"(?i)\bINFORMATION_SCHEMA\s*\.|\bsys\s*\.", sql):
             register_metadata_views(spark, catalog)
     sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
-    sql = re.sub(r"(?i)\bsys\s*\.\s*(segments)", r"sys_\1", sql)
+    sql = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)", r"sys_\1", sql)
     sql = _rewrite_aggregate_names(sql)
     return spark.sql(sql)

@@ -145,6 +145,10 @@ def test_information_schema_and_sys_tables(spark, foo_catalog):
     assert types["dim2"] == "ARRAY<VARCHAR>"
     s = druid_sql(spark, "SELECT datasource, size FROM sys.segments", foo_catalog)
     assert any(r["datasource"] == "foo" and r["size"] > 0 for r in s.collect())
+    srv = druid_sql(spark, "SELECT server, server_type FROM sys.servers",
+                    foo_catalog).collect()
+    assert len(srv) == 1 and srv[0]["server_type"] == "historical"
+    assert druid_sql(spark, "SELECT * FROM sys.tasks", foo_catalog).count() == 0
 
 
 def test_rollup_sketch_column_roundtrip(spark, tmp_path):
