@@ -70,11 +70,14 @@ def native_query(body: dict, spark: SparkSession, catalog: Catalog) -> list[dict
 
     if qt == "timeseries":
         return [{"timestamp": r.pop(TIME_COLUMN, None), "result": r} for r in rows]
-    if qt == "topN":
-        ts = rows[0].get(TIME_COLUMN) if rows and TIME_COLUMN in rows[0] else None
+    if qt in ("topN", "search"):
+        # one envelope per time bucket ({timestamp, result: [entries]}) —
+        # TopNResultValue / SearchResultValue shape
+        buckets: dict = {}
         for r in rows:
-            r.pop(TIME_COLUMN, None)
-        return [{"timestamp": ts, "result": rows}]
+            ts = r.pop(TIME_COLUMN, None)
+            buckets.setdefault(ts, []).append(r)
+        return [{"timestamp": ts, "result": rs} for ts, rs in buckets.items()]
     if qt == "groupBy":
         return [{"version": "v1", "timestamp": r.pop(TIME_COLUMN, None),
                  "event": r} for r in rows]

@@ -28,6 +28,29 @@ def test_native_groupby_envelope(spark, foo_catalog):
     assert all(o["version"] == "v1" and "dim1" in o["event"] for o in out)
 
 
+def test_native_search_topn_bucket_envelopes(spark, foo_catalog):
+    """TopNResultValue / SearchResultValue: one {timestamp, result:[...]}
+    envelope PER time bucket."""
+    from incubator_druid_spark.api import native_query
+    out = native_query({
+        "queryType": "topN", "dataSource": "foo", "granularity": "year",
+        "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+        "dimension": "dim1", "metric": "cnt", "threshold": 2,
+        "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"}],
+    }, spark, foo_catalog)
+    assert len(out) == 2                       # one envelope per year bucket
+    assert all(len(o["result"]) == 2 for o in out)
+    assert out[0]["timestamp"] != out[1]["timestamp"]
+
+    s = native_query({
+        "queryType": "search", "dataSource": "foo",
+        "searchDimensions": ["dim1"],
+        "query": {"type": "insensitive_contains", "value": "b"},
+    }, spark, foo_catalog)
+    assert len(s) == 1 and {"dimension": "dim1", "value": "abc", "count": 1} \
+        in s[0]["result"]
+
+
 def test_native_scan_envelope(spark, foo_catalog):
     from incubator_druid_spark.api import native_query
     out = native_query({
