@@ -84,6 +84,25 @@ def main() -> int:
         lambda: filtered.agg(F.sum("l_extendedprice")).collect())
         for _ in range(3))
 
+    # steady-state in-memory rate: the whitepaper's scan numbers are over
+    # mmap'd (page-resident) segments, so the comparable here is Spark's
+    # in-memory columnar cache with every core busy — replicate the scan to
+    # ~20M rows so fixed task dispatch stops dominating the measurement
+    slim = cat.table("lineitem").select("__time", "l_extendedprice")
+    rep = max(1, (20_000_000 // max(lineitem_rows, 1)))
+    big = slim
+    for _ in range(rep - 1):
+        big = big.union(slim)
+    big = big.repartition(cpus).persist()
+    big_rows = big.count()
+    big_f = big.filter((F.col("__time") >= "1995-01-01")
+                       & (F.col("__time") < "2002-01-01"))
+    mem_count_sec = min(_timed(lambda: big_f.count()) for _ in range(5))
+    mem_sum_sec = min(_timed(
+        lambda: big_f.agg(F.sum("l_extendedprice")).collect())
+        for _ in range(5))
+    big.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -98,6 +117,9 @@ def main() -> int:
         "scan_tasks": scan_tasks,
         "scan_count_rows_per_sec_core": int(lineitem_rows / count_sec / scan_tasks),
         "scan_sum_rows_per_sec_core": int(lineitem_rows / sum_sec / scan_tasks),
+        "mem_scan_rows": big_rows,
+        "mem_count_rows_per_sec_core": int(big_rows / mem_count_sec / cpus),
+        "mem_sum_rows_per_sec_core": int(big_rows / mem_sum_sec / cpus),
     }
     print(json.dumps(out))
     return 0
