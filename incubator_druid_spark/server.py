@@ -2,9 +2,12 @@
 
     python -m incubator_druid_spark.server --data-dir /root/testdata/sf0.01
 
-POST /druid/v2/        → native JSON queries (api.native_query)
-POST /druid/v2/sql/    → SQL (api.sql_query, Druid result formats)
-GET  /status           → health + datasource list
+POST /druid/v2/           → native JSON queries (api.native_query)
+POST /druid/v2/sql/       → SQL (api.sql_query, Druid result formats)
+GET  /druid/v1/lookups    → registered lookup names
+GET  /druid/v1/lookups/X  → one lookup's key→value map
+POST /druid/v1/lookups/X  → register/replace a lookup (body = the map)
+GET  /status              → health + datasource list
 
 One SparkSession serves all requests (Spark is internally concurrent; the
 scheduler fair-shares jobs).  This is the transport shim over api.py — the
@@ -37,9 +40,20 @@ def make_handler(spark, catalog):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.rstrip("/") == "/status":
+            from incubator_druid_spark.functions.lookups import (get_lookup,
+                                                                 lookup_names)
+            path = self.path.rstrip("/")
+            if path == "/status":
                 self._send(200, {"status": "ok",
                                  "datasources": catalog.names()})
+            elif path == "/druid/v1/lookups":
+                # LookupCoordinatorResource — list registered lookup names
+                self._send(200, lookup_names())
+            elif path.startswith("/druid/v1/lookups/"):
+                try:
+                    self._send(200, get_lookup(path.rsplit("/", 1)[1]))
+                except KeyError as e:
+                    self._send(404, {"error": str(e)})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -52,7 +66,15 @@ def make_handler(spark, catalog):
                 return
             try:
                 path = self.path.rstrip("/")
-                if path == "/druid/v2":
+                if path.startswith("/druid/v1/lookups/"):
+                    # register/replace a lookup: body is the key→value map
+                    from incubator_druid_spark.functions.lookups import \
+                        register_lookup
+                    name = path.rsplit("/", 1)[1]
+                    register_lookup(name, body)
+                    catalog.register_lookup(name, body)
+                    self._send(202, {"status": "accepted", "lookup": name})
+                elif path == "/druid/v2":
                     self._send(200, native_query(body, spark, catalog))
                 elif path == "/druid/v2/sql":
                     out = sql_query(body, spark, catalog)

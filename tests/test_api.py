@@ -61,6 +61,49 @@ def test_native_scan_envelope(spark, foo_catalog):
     assert len(out[0]["events"]) == 3
 
 
+def test_lookup_admin_api(spark, foo_catalog):
+    """/druid/v1/lookups admin surface: register over HTTP, list, fetch,
+    then use the lookup from a native query (LookupCoordinatorResource)."""
+    import http.server
+    import threading
+    import urllib.request
+
+    from incubator_druid_spark.server import make_handler
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(spark, foo_catalog))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/druid/v1/lookups/country_map",
+            data=json.dumps({"abc": "Abyssinia", "def": "Denmark"}).encode(),
+            headers={"Content-Type": "application/json"})
+        assert urllib.request.urlopen(req).status == 202
+        names = json.loads(urllib.request.urlopen(
+            f"{base}/druid/v1/lookups").read())
+        assert "country_map" in names
+        m = json.loads(urllib.request.urlopen(
+            f"{base}/druid/v1/lookups/country_map").read())
+        assert m["def"] == "Denmark"
+
+        q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+             "dimensions": [{"type": "extraction", "dimension": "dim1",
+                             "outputName": "country",
+                             "extractionFn": {"type": "registeredLookup",
+                                              "lookup": "country_map"}}],
+             "filter": {"type": "in", "dimension": "dim1",
+                        "values": ["abc", "def"]},
+             "aggregations": [{"type": "count", "name": "cnt"}]}
+        req2 = urllib.request.Request(
+            f"{base}/druid/v2", data=json.dumps(q).encode(),
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req2).read())
+        got = {o["event"]["country"] for o in out}
+        assert got == {"Abyssinia", "Denmark"}
+    finally:
+        srv.shutdown()
+
+
 def test_sql_result_formats(spark, foo_catalog):
     from incubator_druid_spark.api import sql_query
     base = {"query": "SELECT dim1, m2 FROM foo WHERE m2 <= 2 ORDER BY m2"}
