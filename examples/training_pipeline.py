@@ -1,0 +1,75 @@
+"""Training-data pipeline end-to-end: the operators a 100 TB corpus curation
+job runs, on the synthetic documents/embeddings tables.
+
+    python examples/training_pipeline.py [sf_dir]
+
+Stages (each one scan/shuffle-disciplined — see module docstrings):
+  1. text analysis: token counts, quality score, language ID, fingerprint
+  2. quality + language filter (the cheap pre-filter pass)
+  3. exact + fingerprint dedup
+  4. MinHash-LSH near-dup pairs with exact-Jaccard verification
+  5. embedding ANN: brute-force top-k baseline vs IVF (partition-pruned)
+  6. near-dup pairs in embedding space (hyperplane LSH + cosine verify)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from incubator_druid_spark import Catalog, get_spark  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = Catalog(spark).register_dir(sf_dir)
+    docs = cat.table("documents")
+    emb = cat.table("embeddings")
+
+    print("== 1. text analysis (single pass, all JVM-side expressions)")
+    from incubator_druid_spark.pipeline.text import analyze
+    analyzed = analyze(docs).cache()
+    analyzed.select("doc_id", "n_tokens", "quality", "lang_pred").show(5)
+
+    print("== 2. quality/language filter")
+    kept = analyzed.filter((F.col("quality") > 0.5)
+                           & (F.col("lang_pred") == "en"))
+    print(f"kept {kept.count()} / {analyzed.count()} docs")
+
+    print("== 3. exact + fingerprint dedup")
+    from incubator_druid_spark.pipeline.dedup import (exact_dedup,
+                                                      fingerprint_dedup)
+    print("exact-unique:", exact_dedup(docs, ["text"], "doc_id").count())
+    print("fingerprint-unique:",
+          fingerprint_dedup(docs, "text", "doc_id").count())
+
+    print("== 4. MinHash-LSH near-dups (bucket-capped, Jaccard-verified)")
+    from incubator_druid_spark.pipeline.dedup import minhash_dedup
+    pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.7)
+    pairs.orderBy(F.col("jaccard").desc()).show(5)
+
+    print("== 5. ANN: brute-force vs IVF top-10 for one query vector")
+    from incubator_druid_spark.pipeline.similarity import (ann_ivf_topk,
+                                                           cosine_topk)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(rest, qvec, k=10)
+    approx = ann_ivf_topk(rest, qvec, k=10, n_clusters=8, nprobe=3)
+    hits = (exact.select("vec_id")
+            .intersect(approx.select("vec_id")).count())
+    print(f"IVF recall@10 vs exact: {hits}/10")
+
+    print("== 6. embedding-space near-dup pairs (hyperplane LSH)")
+    from incubator_druid_spark.pipeline.similarity import \
+        embedding_near_dup_pairs
+    embedding_near_dup_pairs(emb, threshold=0.4).show(5)
+
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()
