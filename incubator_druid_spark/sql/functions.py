@@ -331,6 +331,10 @@ def _rewrite_aggregate_names(sql: str) -> str:
 
     # EARLIEST(x) / LATEST(x) — single argument (no top-level comma)
     sql = re.sub(r"(?i)\b(EARLIEST|LATEST)\s*\(([^(),]+)\)", one_arg_time, sql)
+    # datasketches SQL names (ApproxCountDistinctSqlAggregator + DS variants)
+    sql = re.sub(r"(?i)\bAPPROX_COUNT_DISTINCT_DS_(HLL|THETA)\s*\(([^(),]+)"
+                 r"(,[^()]*)?\)",
+                 lambda m: f"approx_count_distinct({m.group(2)})", sql)
     sql = re.sub(r"(?i)\bEARLIEST_BY\s*\(", "min_by(", sql)
     sql = re.sub(r"(?i)\bLATEST_BY\s*\(", "max_by(", sql)
     sql = re.sub(r"(?i)\bAPPROX_QUANTILE(_DS)?\s*\(([^()]+)\)",

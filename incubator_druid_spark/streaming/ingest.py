@@ -160,12 +160,25 @@ def realtime_view(spark: SparkSession, streaming_path: str,
 
 
 def compact(spark: SparkSession, streaming_path: str, table_path: str,
-            segment_granularity="day") -> None:
+            segment_granularity="day", query_granularity=None,
+            dimensions=None, metrics=None) -> None:
     """Compaction job: rewrite small streaming files into the historical
     table's time-partitioned layout (Druid compaction task ≡ partition
-    rewrite; IndexMergerV9 merge ≡ parquet file coalescing)."""
+    rewrite; IndexMergerV9 merge ≡ parquet file coalescing).
+
+    With ``query_granularity`` + ``metrics`` the compaction also RE-ROLLS to
+    the coarser granularity (CompactionTask's granularitySpec override):
+    plain metrics re-aggregate, and COMPLEX state columns (HLL binaries,
+    quantile centroid structs, first/last pairs) are re-MERGED, not
+    re-finalized — compile_rollup_aggregations detects the stored state
+    types and emits the combining form."""
     gran = parse_granularity(segment_granularity)
     df = spark.read.parquet(streaming_path)
+    if "__bucket" in df.columns:
+        df = df.drop("__bucket")
+    if query_granularity and metrics:
+        from incubator_druid_spark.sources.ingest import rollup
+        df = rollup(df, dimensions or [], metrics, query_granularity)
     (df.withColumn("__bucket",
                    F.date_format(gran.floor(F.col(TIME_COLUMN)), "yyyy-MM-dd'T'HH"))
        .repartition(F.col("__bucket"))

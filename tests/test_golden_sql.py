@@ -218,6 +218,10 @@ def test_earliest_latest_quantile_sql(spark, foo_catalog):
     assert r["e"] == "" and r["l"] == "abc" and r["lb"] == "abc"
     assert r["med"] in (3.0, 4.0)     # median of 1..6, either midpoint ok
     assert r["av"] == 1
+    r2 = q(spark, foo_catalog, """
+        SELECT APPROX_COUNT_DISTINCT_DS_HLL(dim1) AS h,
+               APPROX_COUNT_DISTINCT_DS_THETA(dim1, 4096) AS t FROM foo""").first()
+    assert r2["h"] == 6 and r2["t"] == 6
 
 
 def test_mvd_group_by_native(spark, foo_catalog):

@@ -290,6 +290,55 @@ def test_protobuf_input_format(spark, tmp_path):
     assert sorted(r["name"] for r in df2.collect()) == ["s1", "s2"]
 
 
+def test_compaction_rerollup_merges_sketch_state(spark, tmp_path):
+    """CompactionTask with a granularitySpec override: hour-grain rollup
+    re-rolled to day-grain must MERGE the stored HLL state, keeping the
+    distinct count correct across the collapsed buckets."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+    from incubator_druid_spark.streaming.ingest import compact
+
+    src = tmp_path / "v.csv"
+    src.write_text("".join(
+        f"2024-01-01T{h:02d}:00:00,s,u{u}\n"
+        for h, u in [(1, 1), (2, 2), (3, 1), (4, 3), (5, 4), (6, 2)]))
+    cat = Catalog(spark)
+    metrics = [{"type": "count", "name": "cnt"},
+               {"type": "hyperUnique", "name": "uniq", "fieldName": "user"}]
+    ingest(spark, {
+        "dataSchema": {
+            "dataSource": "hourly",
+            "timestampSpec": {"column": "ts", "format": "auto"},
+            "dimensionsSpec": {"dimensions": ["site"]},
+            "metricsSpec": metrics,
+            "granularitySpec": {"segmentGranularity": "day",
+                                "queryGranularity": "hour", "rollup": True}},
+        "ioConfig": {"inputSource": {"type": "local", "files": [str(src)]},
+                     "inputFormat": {"type": "csv",
+                                     "columns": ["ts", "site", "user"]}}},
+        cat, str(tmp_path / "seg"))
+    assert cat.table("hourly").count() == 6          # six hour buckets
+
+    compact(spark, str(tmp_path / "seg" / "hourly"),
+            str(tmp_path / "seg" / "daily"), segment_granularity="day",
+            query_granularity="day", dimensions=["site"],
+            metrics=[{"type": "longSum", "name": "cnt", "fieldName": "cnt"},
+                     {"type": "hyperUnique", "name": "uniq",
+                      "fieldName": "uniq"}])
+    cat.register("daily", str(tmp_path / "seg" / "daily"))
+    assert cat.table("daily").count() == 1           # one day bucket
+
+    r = translate({"queryType": "timeseries", "dataSource": "daily",
+                   "granularity": "all",
+                   "aggregations": [
+                       {"type": "longSum", "name": "rows", "fieldName": "cnt"},
+                       {"type": "hyperUnique", "name": "u",
+                        "fieldName": "uniq"}]},
+                  spark, cat).first()
+    assert r["rows"] == 6 and r["u"] == 4            # users u1..u4 merged
+
+
 def test_append_mode_and_segment_metadata_analysis(spark, tmp_path):
     """ioConfig.appendToExisting adds segments instead of replacing; the
     segmentMetadata rollup/aggregators/queryGranularity analyses read the
