@@ -222,6 +222,28 @@ def test_inline_datasource(spark, foo_catalog):
     assert translate(q, spark, foo_catalog).count() == 2
 
 
+def test_error_surfaces_are_clean(spark, foo_catalog):
+    """Malformed queries raise ValueError/KeyError with a pointed message,
+    never a raw Spark stack — the QueryResource 400-vs-500 contract."""
+    cases = [
+        {"queryType": "nope", "dataSource": "foo"},
+        {"queryType": "select", "dataSource": "foo"},
+        {"queryType": "scan", "dataSource": "no_such_table"},
+        {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+         "dimensions": [], "aggregations": [{"type": "mystery", "name": "x"}]},
+        {"queryType": "timeseries", "dataSource": "foo", "granularity": "all",
+         "filter": {"type": "wat", "dimension": "dim1"},
+         "aggregations": [{"type": "count", "name": "c"}]},
+        {"queryType": "timeseries", "dataSource": {"type": "bogus"},
+         "granularity": "all",
+         "aggregations": [{"type": "count", "name": "c"}]},
+    ]
+    for q in cases:
+        with pytest.raises((ValueError, KeyError)) as ei:
+            translate(q, spark, foo_catalog)
+        assert len(str(ei.value)) < 500  # a message, not a stack dump
+
+
 def test_legacy_null_mode(spark, foo_catalog):
     """NullHandling.java:67-118 — context.useDefaultValueForNull=true reads
     null strings as '' and null numerics as 0 (replaceWithDefault)."""
