@@ -132,6 +132,64 @@ def _card_by_value(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _sketch_rank_cdf_hist(spark, sf):
+    """DoublesSketchToRank/ToCDF/ToHistogram post-aggs
+    (quantiles/DoublesSketchToRankPostAggregator.java:82-86,
+    DoublesSketchToCDFPostAggregator.java:57-66,
+    DoublesSketchToHistogramPostAggregator.java:66-95) rewritten to one exact
+    aggregation pass; array results unpacked to scalar cells for the oracle."""
+    fa = {"type": "fieldAccess", "fieldName": "sk"}
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "quantilesDoublesSketch", "name": "sk",
+                           "fieldName": "value"}],
+         "postAggregations": [
+             {"type": "quantilesDoublesSketchToRank", "name": "rank50",
+              "field": fa, "value": 50.0},
+             {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+              "field": fa, "splitPoints": [10.0, 100.0]},
+             {"type": "quantilesDoublesSketchToHistogram", "name": "hist",
+              "field": fa, "splitPoints": [10.0, 100.0]}]}
+    out = translate(q, spark, _cat(spark, sf))
+    return out.select(
+        "event_type",
+        F.round("rank50", 6).alias("rank50"),
+        F.round(F.element_at("cdf", 1), 6).alias("cdf_10"),
+        F.round(F.element_at("cdf", 2), 6).alias("cdf_100"),
+        F.element_at("cdf", 3).alias("cdf_end"),
+        F.element_at("hist", 1).alias("hist_lo"),
+        F.element_at("hist", 2).alias("hist_mid"),
+        F.element_at("hist", 3).alias("hist_hi"))
+
+
+def _hll_union_estimate_q(spark, sf):
+    """HLLSketchEstimate over HLLSketchUnion of two filtered HLLSketchBuild
+    aggs (hll/HllSketchUnionPostAggregator.java) — rewritten to one distinct
+    count under the OR of the filters.  The 97-value domain keeps the HLL++
+    estimate exact (linear-counting range)."""
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "ubucket",
+                             "expression": "user_id % 97",
+                             "outputType": "LONG"}],
+         "aggregations": [
+             {"type": "filtered",
+              "filter": {"type": "selector", "dimension": "event_type",
+                         "value": "purchase"},
+              "aggregator": {"type": "HLLSketchBuild", "name": "buyers",
+                             "fieldName": "ubucket"}},
+             {"type": "filtered",
+              "filter": {"type": "selector", "dimension": "event_type",
+                         "value": "error"},
+              "aggregator": {"type": "HLLSketchBuild", "name": "errorers",
+                             "fieldName": "ubucket"}}],
+         "postAggregations": [
+             {"type": "HLLSketchEstimate", "name": "union_est",
+              "field": {"type": "HLLSketchUnion", "fields": [
+                  {"type": "fieldAccess", "fieldName": "buyers"},
+                  {"type": "fieldAccess", "fieldName": "errorers"}]}}]}
+    return translate(q, spark, _cat(spark, sf)).select("union_est")
+
+
 def _legacy_null_mode(spark, sf):
     """Legacy null handling (NullHandling.java replaceWithDefault): the inner
     query yields NULL filtered-sums; the outer query runs with
@@ -766,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_all": _ts_all,
         "card_by_value": _card_by_value,
         "approx_histogram": _approx_histogram,
+        "sketch_rank_cdf_hist": _sketch_rank_cdf_hist,
+        "hll_union_estimate": _hll_union_estimate_q,
         "legacy_null_mode": _legacy_null_mode,
         "gb_event_type": _gb_event_type,
         "gb_day_type": _gb_day_type,
@@ -861,6 +921,24 @@ def oracle_sql() -> dict[str, str]:
                    min(user_id) AS tmin,
                    count(DISTINCT event_type) AS card_type
             FROM events
+        """,
+        "sketch_rank_cdf_hist": """
+            SELECT event_type,
+                   round(avg(CASE WHEN value < 50.0 THEN 1.0
+                                  WHEN value IS NOT NULL THEN 0.0 END), 6) AS rank50,
+                   round(avg(CASE WHEN value < 10.0 THEN 1.0
+                                  WHEN value IS NOT NULL THEN 0.0 END), 6) AS cdf_10,
+                   round(avg(CASE WHEN value < 100.0 THEN 1.0
+                                  WHEN value IS NOT NULL THEN 0.0 END), 6) AS cdf_100,
+                   max(CASE WHEN value IS NOT NULL THEN 1.0 END) AS cdf_end,
+                   CAST(count(CASE WHEN value < 10.0 THEN 1 END) AS DOUBLE) AS hist_lo,
+                   CAST(count(CASE WHEN value >= 10.0 AND value < 100.0 THEN 1 END) AS DOUBLE) AS hist_mid,
+                   CAST(count(CASE WHEN value >= 100.0 THEN 1 END) AS DOUBLE) AS hist_hi
+            FROM events GROUP BY event_type
+        """,
+        "hll_union_estimate": """
+            SELECT count(DISTINCT user_id % 97) AS union_est
+            FROM events WHERE event_type IN ('purchase', 'error')
         """,
         "card_by_value": """
             SELECT count(DISTINCT v) AS card_union FROM (

@@ -171,6 +171,48 @@ def _centroid_quantile_finalize(fractions: list[float]):
     return F.udf(fin, rt)
 
 
+def _trapezoid_cdf(mn: float, mx: float, positions: list, weights: list):
+    """Interpolated cumulative-sum reader over centroid-sketch state — the
+    ApproximateHistogram.sum() trapezoid interpolation
+    (histogram/ApproximateHistogram.java:1460-1514), shared by the
+    toHistogram finalizer and the ToCDF/ToRank/ToHistogram post-agg reads.
+    Returns cdf(b) = estimated COUNT of values <= b."""
+    import bisect
+
+    total = sum(weights)
+
+    def cdf(b: float) -> float:
+        if b < mn:
+            return 0.0
+        if b >= mx:
+            return total
+        idx = bisect.bisect_right(positions, b) - 1
+        outer_left = idx < 0
+        outer_right = idx >= len(positions) - 1
+        m0 = 0.0 if outer_left else weights[idx]
+        m1 = 0.0 if outer_right else weights[idx + 1]
+        p0 = mn if outer_left else positions[idx]
+        p1 = mx if outer_right else positions[idx + 1]
+        frac = 0.0 if p1 == p0 else (b - p0) / (p1 - p0)
+        mb = m0 + (m1 - m0) * frac
+        s = 0.5 * (m0 + mb) * frac
+        s += sum(weights[:idx]) if idx > 0 else 0.0
+        return s + 0.5 * m0
+
+    return cdf, total
+
+
+def _state_centroids(raw):
+    """(mn, mx, positions, weights) from a merged COMPLEX quantiles state."""
+    mn, mx = float(raw["mn"]), float(raw["mx"])
+    cents: dict[float, float] = {}
+    for b in raw["bins"] or []:
+        x = float(b["x"])
+        cents[x] = cents.get(x, 0.0) + float(b["y"])
+    pos = sorted(cents)
+    return mn, mx, pos, [cents[p] for p in pos]
+
+
 def _approx_histogram_finalize(num_buckets: int):
     """ApproximateHistogram.toHistogram(int) over histogram_numeric centroids.
 
@@ -180,8 +222,6 @@ def _approx_histogram_finalize(num_buckets: int):
     treated as approximate (the merged-sketch case — histogram_numeric keeps
     no exact-count flags).  Runs on one aggregated struct per group.
     """
-    import bisect
-
     from pyspark.sql import types as T
 
     schema = T.StructType([
@@ -192,30 +232,8 @@ def _approx_histogram_finalize(num_buckets: int):
     def fin(raw):
         if raw is None or raw["mn"] is None:
             return None
-        mn, mx = float(raw["mn"]), float(raw["mx"])
-        cents = sorted((float(b["x"]), float(b["y"])) for b in (raw["bins"] or []))
-        positions = [p for p, _ in cents]
-        weights = [w for _, w in cents]
-        total = sum(weights)
-
-        def cdf(b: float) -> float:
-            if b < mn:
-                return 0.0
-            if b >= mx:
-                return total
-            idx = bisect.bisect_right(positions, b) - 1
-            outer_left = idx < 0
-            outer_right = idx >= len(positions) - 1
-            m0 = 0.0 if outer_left else weights[idx]
-            m1 = 0.0 if outer_right else weights[idx + 1]
-            p0 = mn if outer_left else positions[idx]
-            p1 = mx if outer_right else positions[idx + 1]
-            frac = 0.0 if p1 == p0 else (b - p0) / (p1 - p0)
-            mb = m0 + (m1 - m0) * frac
-            s = 0.5 * (m0 + mb) * frac
-            s += sum(weights[:idx]) if idx > 0 else 0.0
-            return s + 0.5 * m0
-
+        mn, mx, positions, weights = _state_centroids(raw)
+        cdf, _total = _trapezoid_cdf(mn, mx, positions, weights)
         size = max(num_buckets, 2)
         delta = (mx - mn) / (size - 1)
         breaks = [mn - delta + i * delta for i in range(size)] + [mx]
@@ -223,6 +241,64 @@ def _approx_histogram_finalize(num_buckets: int):
         return (breaks, [sums[i + 1] - sums[i] for i in range(size)])
 
     return F.udf(fin, schema)
+
+
+def _centroid_rank_finalize(value: float):
+    """DoublesSketch.getRank(value) over merged centroid state: interpolated
+    count below `value` / total (quantiles/DoublesSketchToRankPostAggregator
+    .java:82-86)."""
+    from pyspark.sql import types as T
+
+    def fin(raw):
+        if raw is None or raw["mn"] is None:
+            return None
+        mn, mx, positions, weights = _state_centroids(raw)
+        cdf, total = _trapezoid_cdf(mn, mx, positions, weights)
+        return cdf(float(value)) / total if total > 0 else None
+
+    return F.udf(fin, T.DoubleType())
+
+
+def _centroid_cdf_finalize(split_points: list[float]):
+    """DoublesSketch.getCDF(splitPoints) over merged centroid state
+    (quantiles/DoublesSketchToCDFPostAggregator.java:57-66): cumulative
+    fractions at each split point plus a trailing 1.0."""
+    from pyspark.sql import types as T
+
+    def fin(raw):
+        if raw is None or raw["mn"] is None:
+            return None
+        mn, mx, positions, weights = _state_centroids(raw)
+        cdf, total = _trapezoid_cdf(mn, mx, positions, weights)
+        if total <= 0:
+            return None
+        return [cdf(float(s)) / total for s in split_points] + [1.0]
+
+    return F.udf(fin, T.ArrayType(T.DoubleType()))
+
+
+def _centroid_pmf_finalize(split_points: list[float] | None, num_bins: int | None):
+    """DoublesSketch.getPMF scaled to counts
+    (quantiles/DoublesSketchToHistogramPostAggregator.java:66-95): per-bin
+    estimated counts, bins bounded by splitPoints or by numBins equally
+    spaced points between min and max."""
+    from pyspark.sql import types as T
+
+    def fin(raw):
+        if raw is None or raw["mn"] is None:
+            return None
+        mn, mx, positions, weights = _state_centroids(raw)
+        cdf, total = _trapezoid_cdf(mn, mx, positions, weights)
+        if split_points is not None:
+            pts = [float(s) for s in split_points]
+        else:
+            n = max(int(num_bins or 10), 2)
+            delta = (mx - mn) / n
+            pts = [mn + delta * (i + 1) for i in range(n - 1)]
+        sums = [0.0] + [cdf(p) for p in pts] + [total]
+        return [sums[i + 1] - sums[i] for i in range(len(sums) - 1)]
+
+    return F.udf(fin, T.ArrayType(T.DoubleType()))
 
 
 def _agg_column(t: str, spec: dict, ctx) -> Column:
@@ -263,9 +339,12 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # byRow=true counts distinct tuples; false counts union of value sets.
         fields = [ctx.resolve(_df_name(d)) for d in spec["fields"]]
         if spec.get("byRow"):
-            return F.approx_count_distinct(F.struct(*fields))
+            if len(fields) == 1:
+                return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(fields[0])))
+            return F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.to_json(F.struct(*fields))))
         if len(fields) == 1:
-            return F.approx_count_distinct(fields[0])
+            return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(fields[0])))
         # byValue over multiple fields counts distinct values in the UNION of
         # the dimensions' value sets (CardinalityByValueAggregatorColumnSelectorStrategy
         # hashes each value independently into ONE shared HLL).  Same shape in
@@ -282,12 +361,15 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # hll/HllSketch*AggregatorFactory.java.  Two storage shapes, same as
         # the reference: a COMPLEX column (pre-built sketch written by rollup
         # ingest — BinaryType here) merges sketch objects; a raw-value column
-        # estimates directly.  Both stay JVM-side (datasketches-java backs
-        # hll_* in Spark).
+        # builds the SAME datasketches HLL the reference builds (exact in the
+        # sparse/coupon range, ~1.6% rank error beyond — vs approx_count_
+        # distinct's HLL++ which drifts even at tiny cardinalities).  Both
+        # stay JVM-side (datasketches-java backs hll_* in Spark).
         fname = spec.get("fieldName")
         if fname and ctx.is_binary(fname):
             return F.hll_sketch_estimate(F.hll_union_agg(f()))
-        return F.approx_count_distinct(f())
+        lgk = int(spec.get("lgK", 12))
+        return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(f()), F.lit(lgk)))
     if t in ("thetaSketch", "sketchMerge"):
         # datasketches theta/SketchMergeAggregatorFactory.java — computed
         # EXACT (count_distinct; Tungsten expands + partial-aggregates it).
@@ -307,6 +389,49 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.percentile_approx(f().cast("double"), float(fracs[0]), acc)
         return F.percentile_approx(f().cast("double"),
                                    F.array(*[F.lit(float(x)) for x in fracs]), acc)
+    if t == "__rank":
+        # synthesized from quantilesDoublesSketchToRank — getRank(value) =
+        # fraction of values < value; exact over raw columns, interpolated
+        # over COMPLEX centroid state.
+        v = float(spec["value"])
+        if _is_quantile_state(ctx, spec.get("fieldName")):
+            merged = _merged_quantile_state(ctx.resolve(spec["fieldName"]))
+            return _centroid_rank_finalize(v)(merged)
+        x = f().cast("double")
+        return F.avg(F.when(x < v, 1.0).when(x.isNotNull(), 0.0))
+    if t == "__cdf":
+        # synthesized from quantilesDoublesSketchToCDF — cumulative fraction
+        # at each split point, trailing 1.0 (DoublesSketch.getCDF shape).
+        splits = [float(s) for s in spec["splitPoints"]]
+        if _is_quantile_state(ctx, spec.get("fieldName")):
+            merged = _merged_quantile_state(ctx.resolve(spec["fieldName"]))
+            return _centroid_cdf_finalize(splits)(merged)
+        x = f().cast("double")
+        cells = [F.avg(F.when(x < s, 1.0).when(x.isNotNull(), 0.0))
+                 for s in splits]
+        return F.array(*cells, F.max(F.when(x.isNotNull(), F.lit(1.0))))
+    if t == "__pmf_histogram":
+        # synthesized from quantilesDoublesSketchToHistogram — per-bin counts
+        # (PMF × N).  splitPoints → exact bin counts in one pass; numBins →
+        # equally-spaced bins between group min/max, read off the centroid
+        # sketch (min/max aren't known until aggregation time).
+        splits = spec.get("splitPoints")
+        fname = spec.get("fieldName")
+        if splits is not None and not _is_quantile_state(ctx, fname):
+            ss = [float(s) for s in splits]
+            x = f().cast("double")
+            cells = [F.count(F.when(x < ss[0], 1)).cast("double")]
+            for lo, hi in zip(ss, ss[1:]):
+                cells.append(F.count(F.when((x >= lo) & (x < hi), 1)).cast("double"))
+            cells.append(F.count(F.when(x >= ss[-1], 1)).cast("double"))
+            return F.array(*cells)
+        if _is_quantile_state(ctx, fname):
+            raw = _merged_quantile_state(ctx.resolve(fname))
+        else:
+            x = f().cast("double")
+            raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                           F.histogram_numeric(x, F.lit(128)).alias("bins"))
+        return _centroid_pmf_finalize(splits, spec.get("numBins"))(raw)
     if t == "quantilesDoublesSketch":
         # Over a COMPLEX centroid-state column (rollup-stored) merge the
         # sketches and read the quantile; over raw values the percentile
@@ -467,6 +592,7 @@ def rewrite_sketch_query(query: dict) -> dict:
         else:
             by_name[a.get("name")] = a
     new_posts, extra_aggs, consumed = [], [], set()
+    changed = False
     for p in posts:
         t = p.get("type")
         if t == "thetaSketchEstimate" and \
@@ -475,6 +601,7 @@ def rewrite_sketch_query(query: dict) -> dict:
             if rewritten is not None:
                 new_posts.append(rewritten)
                 consumed.update(_setop_refs(p["field"]))
+                changed = True
                 continue
         if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles"):
             ref = p.get("field", {}).get("fieldName")
@@ -487,16 +614,64 @@ def rewrite_sketch_query(query: dict) -> dict:
                                    "fractions": fracs,
                                    "k": base.get("k", 10000)})
                 consumed.add(ref)
+                changed = True
+                continue
+        if t in ("quantilesDoublesSketchToRank", "quantilesDoublesSketchToCDF",
+                 "quantilesDoublesSketchToHistogram"):
+            ref = p.get("field", {}).get("fieldName")
+            base = by_name.get(ref)
+            if base and base.get("type") == "quantilesDoublesSketch":
+                extra = {"name": p["name"], "fieldName": base.get("fieldName"),
+                         "expression": base.get("expression")}
+                if t.endswith("ToRank"):
+                    extra.update(type="__rank", value=p["value"])
+                elif t.endswith("ToCDF"):
+                    extra.update(type="__cdf", splitPoints=p["splitPoints"])
+                else:
+                    if p.get("splitPoints") is not None and p.get("numBins") is not None:
+                        raise ValueError(
+                            "quantilesDoublesSketchToHistogram: cannot accept "
+                            "both 'splitPoints' and 'numBins'")
+                    extra.update(type="__pmf_histogram",
+                                 splitPoints=p.get("splitPoints"),
+                                 numBins=p.get("numBins"))
+                extra_aggs.append(extra)
+                consumed.add(ref)
+                changed = True
+                continue
+        if t == "HLLSketchEstimate" and \
+                p.get("field", {}).get("type") == "HLLSketchUnion":
+            rewritten = _hll_union_estimate(p, by_name, extra_aggs)
+            if rewritten is not None:
+                new_posts.append(rewritten)
+                consumed.update(_setop_refs(p["field"]))
+                changed = True
+                continue
+        if t == "HLLSketchEstimateWithBounds":
+            ref = p.get("field", {}).get("fieldName")
+            base = by_name.get(ref)
+            if base is not None:
+                inner = base["aggregator"] if base.get("type") == "filtered" else base
+                new_posts.append({"type": "__hll_bounds", "name": p["name"],
+                                  "fieldName": ref,
+                                  "lgK": inner.get("lgK", 12),
+                                  "numStdDev": p.get("numStdDev", 1)})
+                changed = True
                 continue
         new_posts.append(p)
-    if not extra_aggs:
+    if not changed:
         return query
+    if not extra_aggs:
+        out = dict(query)
+        out["postAggregations"] = new_posts
+        return out
 
     # drop sketch aggs only used as (now-rewritten) post-agg inputs; keep any
     # still referenced by surviving post-aggs (walk fieldAccess refs)
     def _refs(node, acc):
         if isinstance(node, dict):
-            if node.get("type") in ("fieldAccess", "finalizingFieldAccess"):
+            if node.get("type") in ("fieldAccess", "finalizingFieldAccess",
+                                    "hyperUniqueCardinality", "__hll_bounds"):
                 acc.add(node.get("fieldName"))
             for v in node.values():
                 _refs(v, acc)
@@ -585,6 +760,43 @@ def _theta_setop(post: dict, by_name: dict, extra_aggs: list) -> dict | None:
     # NOT: |A \ B| = |A| - |A ∩ B| = |A| - (|A|+|B|-|A∪B|) = |A∪B| - |B|
     return {"type": "arithmetic", "name": out_name, "fn": "-",
             "fields": [fa_(union_name), fa_(name_b)]}
+
+
+def _hll_union_estimate(post: dict, by_name: dict, extra_aggs: list) -> dict | None:
+    """hll/HllSketchUnionPostAggregator.java wrapped in HllSketchToEstimate —
+    the union of (possibly filtered) HLL sketches over the SAME column is the
+    distinct count under the OR of the filters, so the estimate rewrites to
+    one extra sketch agg and the union never materializes post-agg-side."""
+    fields = post["field"].get("fields", [])
+    if not fields:
+        return None
+    ops = []
+    for fr in fields:
+        base = by_name.get(fr.get("fieldName"))
+        if base is None:
+            return None
+        if base.get("type") == "filtered":
+            inner, flt = base["aggregator"], base["filter"]
+        else:
+            inner, flt = base, None
+        if inner.get("type") not in ("HLLSketchBuild", "HLLSketchMerge",
+                                     "hyperUnique", "thetaSketch", "sketchMerge"):
+            return None
+        ops.append((inner.get("name"), inner.get("fieldName"), flt))
+    if len({col for _, col, _ in ops}) != 1:
+        return None
+    filters = [flt for _, _, flt in ops]
+    union_name = "__hll_union_" + "_".join(n for n, _, _ in ops)
+    inner = {"type": "HLLSketchBuild", "name": union_name,
+             "fieldName": ops[0][1]}
+    if all(f is not None for f in filters):
+        extra_aggs.append({"type": "filtered",
+                           "filter": {"type": "or", "fields": filters},
+                           "aggregator": inner})
+    else:  # any unfiltered operand makes the union an unfiltered count
+        extra_aggs.append(inner)
+    return {"type": "fieldAccess", "name": post.get("name", "hllUnion"),
+            "fieldName": union_name}
 
 
 def compile_aggregations(specs: list[dict] | None, ctx: FilterContext) -> list[Column]:
@@ -722,12 +934,51 @@ def _post_col(spec: dict) -> Column:
         # hyperloglog/HyperUniqueFinalizingPostAggregator.java — our hyperUnique
         # agg already finalizes to a count.
         return F.col(spec["fieldName"])
-    if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles"):
+    if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles",
+             "quantilesDoublesSketchToRank", "quantilesDoublesSketchToCDF",
+             "quantilesDoublesSketchToHistogram"):
         # handled upstream by rewriting against raw columns; at post-agg time the
         # base agg already produced the estimate.
         return F.col(spec["field"]["fieldName"])
     if t == "thetaSketchEstimate":
-        return _post_col(spec["field"])
+        est = _post_col(spec["field"])
+        if spec.get("errorBoundsStdDev") is not None:
+            # theta/SketchEstimatePostAggregator.java:90-91 — COMPLEX
+            # SketchEstimateWithErrorBounds{estimate, highBound, lowBound,
+            # numStdDev}.  Our theta sketches are computed exact
+            # (count_distinct), so the bounds collapse onto the estimate.
+            e = est.cast("double")
+            return F.struct(e.alias("estimate"), e.alias("highBound"),
+                            e.alias("lowBound"),
+                            F.lit(int(spec["errorBoundsStdDev"])).alias("numStdDev"))
+        return est
+    if t == "HLLSketchEstimate":
+        # hll/HllSketchToEstimatePostAggregator.java — finalization is
+        # implicit (the agg already emitted the estimate); `round` truncates.
+        est = _post_col(spec["field"])
+        return F.round(est.cast("double"), 0) if spec.get("round") else est
+    if t == "__hll_bounds":
+        # hll/HllSketchToEstimateWithBoundsPostAggregator.java:103-107 —
+        # double[]{estimate, lowerBound, upperBound}.  Bounds from the HLL
+        # relative-error model err = 1.04/sqrt(2^lgK) per numStdDev (the
+        # sketch object isn't materialized here, so bounds are analytic
+        # rather than read off the sketch registers).
+        import math as _math
+        est = F.col(spec["fieldName"]).cast("double")
+        err = 1.04 / _math.sqrt(2.0 ** int(spec.get("lgK", 12))) \
+            * int(spec.get("numStdDev", 1))
+        return F.array(est, est / (1.0 + err), est * (1.0 + err))
+    if t in ("HLLSketchToString", "quantilesDoublesSketchToString",
+             "thetaSketchToString"):
+        # debug-surface post-aggs — the reference prints sketch internals; we
+        # print the finalized value (no sketch object exists to dump).
+        return F.format_string("### Summary%s Estimate: %s", F.lit(":"),
+                               _post_col(spec["field"]).cast("string"))
+    if t == "thetaSketchConstant":
+        raise NotImplementedError(
+            "thetaSketchConstant holds a serialized DataSketches theta sketch; "
+            "this engine computes theta estimates exactly and has no sketch "
+            "deserializer — use a `constant` post-agg with the estimate instead")
     if t == "javascript":
         raise NotImplementedError("javascript post-agg: use `expression`")
     raise ValueError(f"unknown post-aggregator {t!r}")

@@ -225,3 +225,84 @@ def test_theta_sketch_set_operations(spark, catalog):
     assert got_i == len(buyers & errorers)
     assert got_u == len(buyers | errorers)
     assert got_n == len(buyers - errorers)
+
+
+def test_quantiles_sketch_rank_cdf_histogram_post_aggs(spark, catalog):
+    """DoublesSketchToRank/ToCDF/ToHistogram post-aggs rewrite to exact
+    single-pass aggregations over raw columns (quantiles/DoublesSketchTo*
+    PostAggregator.java semantics: rank = fraction < value, CDF = cumulative
+    fractions at split points + trailing 1.0, histogram = PMF x N)."""
+    from incubator_druid_spark import translate
+
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [{"type": "quantilesDoublesSketch", "name": "sk",
+                           "fieldName": "value"}],
+         "postAggregations": [
+             {"type": "quantilesDoublesSketchToRank", "name": "rank",
+              "field": {"type": "fieldAccess", "fieldName": "sk"}, "value": 50.0},
+             {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+              "field": {"type": "fieldAccess", "fieldName": "sk"},
+              "splitPoints": [10.0, 50.0, 200.0]},
+             {"type": "quantilesDoublesSketchToHistogram", "name": "hist",
+              "field": {"type": "fieldAccess", "fieldName": "sk"},
+              "splitPoints": [10.0, 50.0, 200.0]}]}
+    row = translate(q, spark, catalog).first()
+
+    vals = [r["value"] for r in
+            catalog.table("events").select("value").collect()
+            if r["value"] is not None]
+    n = len(vals)
+    want_rank = sum(1 for v in vals if v < 50.0) / n
+    assert abs(row["rank"] - want_rank) < 1e-9
+    want_cdf = [sum(1 for v in vals if v < s) / n for s in (10.0, 50.0, 200.0)] + [1.0]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(row["cdf"], want_cdf))
+    splits = [10.0, 50.0, 200.0]
+    want_hist = [float(sum(1 for v in vals if v < splits[0]))]
+    want_hist += [float(sum(1 for v in vals if lo <= v < hi))
+                  for lo, hi in zip(splits, splits[1:])]
+    want_hist.append(float(sum(1 for v in vals if v >= splits[-1])))
+    assert row["hist"] == want_hist
+
+    # numBins path: equally-spaced bins between min/max off the centroid
+    # sketch — counts must sum to ~N
+    q2 = {**q, "postAggregations": [
+        {"type": "quantilesDoublesSketchToHistogram", "name": "hist",
+         "field": {"type": "fieldAccess", "fieldName": "sk"}, "numBins": 5}]}
+    h = translate(q2, spark, catalog).first()["hist"]
+    assert len(h) == 5 and abs(sum(h) - n) / n < 0.02
+
+
+def test_hll_union_and_bounds_post_aggs(spark, catalog):
+    """HLLSketchEstimate(HLLSketchUnion(a,b)) = distinct under OR of the
+    operand filters (one extra agg, no sketch materialization);
+    HLLSketchEstimateWithBounds returns [estimate, lo, hi]."""
+    from incubator_druid_spark import translate
+
+    def agg(name, etype):
+        return {"type": "filtered",
+                "filter": {"type": "selector", "dimension": "event_type",
+                           "value": etype},
+                "aggregator": {"type": "HLLSketchBuild", "name": name,
+                               "fieldName": "user_id"}}
+
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [agg("buyers", "purchase"), agg("errorers", "error")],
+         "postAggregations": [
+             {"type": "HLLSketchEstimate", "name": "union_est",
+              "field": {"type": "HLLSketchUnion", "fields": [
+                  {"type": "fieldAccess", "fieldName": "buyers"},
+                  {"type": "fieldAccess", "fieldName": "errorers"}]}},
+             {"type": "HLLSketchEstimateWithBounds", "name": "bounds",
+              "field": {"type": "fieldAccess", "fieldName": "buyers"},
+              "numStdDev": 2}]}
+    row = translate(q, spark, catalog).first()
+
+    ev = catalog.table("events")
+    either = ev.filter(F.col("event_type").isin("purchase", "error")) \
+        .select("user_id").distinct().count()
+    # approx_count_distinct backs the estimate — allow its rank error
+    assert abs(row["union_est"] - either) / either < 0.05
+    est, lo, hi = row["bounds"]
+    assert lo <= est <= hi and lo > 0
