@@ -34,25 +34,35 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     types = {f.name: f.dataType for f in df.schema.fields}
     per_bucket = gran.kind != "all"
 
-    # one pass: project (bucket?, dim-name, value) per search dimension and
-    # union — Catalyst merges these into a single scan via column pruning when
-    # possible; each branch filters early so the shuffle carries matches only.
-    branches = []
+    # ONE scan: unpivot every search dimension into an array of
+    # (dimension, value) structs and explode — a union of per-dimension
+    # branches would scan the source once per dimension (no exchange reuse
+    # across differing branches), which is N full scans at scale.  MVD
+    # columns contribute one entry per element; null arrays become empty so
+    # a row's other dimensions survive the concat.
+    def _tagger(dname):
+        # single-arg lambda: pyspark reads a 2-arg lambda as (value, index)
+        return lambda v: F.struct(F.lit(dname).alias("dimension"),
+                                  v.cast("string").alias("value"))
+
+    entries = []
     for d in dims:
         col = F.col(d)
         if isinstance(types.get(d), T.ArrayType):
-            value = F.explode(col)
+            entries.append(F.coalesce(F.transform(col, _tagger(d)), F.array()))
         else:
-            value = col.cast("string")
-        sel = [F.lit(d).alias("dimension"), value.alias("value")]
-        if per_bucket:
-            sel = [gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN)] + sel
-        b = df.select(*sel)
-        b = b.filter(compile_search_spec(query["query"], F.col("value")))
-        branches.append(b)
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
+            entries.append(F.array(F.struct(
+                F.lit(d).alias("dimension"), col.cast("string").alias("value"))))
+    arr = F.concat(*entries) if len(entries) > 1 else entries[0]
+    sel = [F.explode(arr).alias("dv")]
+    if per_bucket:
+        sel = [gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN)] + sel
+    out = df.select(*sel).select(
+        *([TIME_COLUMN] if per_bucket else []),
+        F.col("dv.dimension").alias("dimension"),
+        F.col("dv.value").alias("value"))
+    # filter before the groupBy so the shuffle carries matches only
+    out = out.filter(compile_search_spec(query["query"], F.col("value")))
 
     keys = ([TIME_COLUMN] if per_bucket else []) + ["dimension", "value"]
     out = out.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
