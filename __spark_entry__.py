@@ -392,6 +392,17 @@ def _sql_earliest_latest(spark, sf):
                      "GROUP BY event_type", _cat(spark, sf))
 
 
+def _sql_floor_to_day(spark, sf):
+    """Calcite FLOOR(ts TO unit) bucket idiom (FloorOperatorConversion.java)
+    through the druid_sql surface — rewritten to date_trunc."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    return druid_sql(spark,
+                     "SELECT FLOOR(__time TO DAY) AS d, COUNT(*) AS cnt, "
+                     "ROUND(SUM(value), 3) AS total FROM events "
+                     "WHERE __time < TIMESTAMP '2024-01-08' GROUP BY 1",
+                     _cat(spark, sf))
+
+
 def _search_daily(spark, sf):
     """search with day granularity — per-time-bucket value counts (the
     reference merges per-segment hits per bucket; one grouped pass here)."""
@@ -861,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_types": _search_types,
         "search_daily": _search_daily,
         "sql_earliest_latest": _sql_earliest_latest,
+        "sql_floor_to_day": _sql_floor_to_day,
         "spatial_rect": _spatial_rect,
         "time_boundary": _time_boundary,
         "ds_metadata": _ds_metadata,
@@ -1092,6 +1104,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE (user_id % 10) BETWEEN 2 AND 5
               AND (event_id % 10) BETWEEN 3 AND 7
+        """,
+        "sql_floor_to_day": """
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   count(*) AS cnt, round(sum(value), 3) AS total
+            FROM events WHERE ts < TIMESTAMP '2024-01-08'
+            GROUP BY 1
         """,
         "sql_earliest_latest": """
             SELECT event_type, arg_min(user_id, ts) AS first_user,

@@ -167,6 +167,11 @@ _FUNCTIONS: list[str] = [
        cast(cast(n / 65536 AS BIGINT) % 256 AS STRING),
        cast(cast(n / 256 AS BIGINT) % 256 AS STRING),
        cast(n % 256 AS STRING))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT)
+       RETURNS DOUBLE RETURN
+       CAST(CAST(x * power(10, d) AS BIGINT) AS DOUBLE) / power(10, d)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION PARSE_LONG(s STRING)
+       RETURNS BIGINT RETURN CAST(s AS BIGINT)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION HUMAN_READABLE_BINARY_BYTE_FORMAT(n BIGINT)
        RETURNS STRING RETURN
        CASE WHEN abs(n) >= 1073741824 THEN concat(format_number(n / 1073741824, 2), ' GiB')
@@ -345,6 +350,29 @@ def _rewrite_aggregate_names(sql: str) -> str:
     return sql
 
 
+# Calcite FLOOR(ts TO unit) / CEIL(ts TO unit) — the idiom in every Druid
+# SQL tutorial query (sql/.../expression/builtin/FloorOperatorConversion.java,
+# CeilOperatorConversion.java); Spark's FLOOR/CEIL have no TO-unit form.
+_UNIT_PERIOD = {"SECOND": "PT1S", "MINUTE": "PT1M", "HOUR": "PT1H",
+                "DAY": "P1D", "WEEK": "P1W", "MONTH": "P1M",
+                "QUARTER": "P3M", "YEAR": "P1Y"}
+
+
+def _rewrite_floor_ceil_to(sql: str) -> str:
+    import re
+    # operand may carry one nesting level: FLOOR(CAST(x AS TIMESTAMP) TO DAY)
+    operand = r"((?:[^()]|\([^()]*\))+?)"
+    sql = re.sub(rf"(?i)\bFLOOR\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)",
+                 lambda m: f"date_trunc('{m.group(2).lower()}', {m.group(1)})",
+                 sql)
+    def cei(m):
+        period = _UNIT_PERIOD.get(m.group(2).upper())
+        if period is None:
+            raise ValueError(f"CEIL … TO {m.group(2)}: unknown time unit")
+        return f"TIME_CEIL({m.group(1)}, '{period}')"
+    return re.sub(rf"(?i)\bCEIL\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)", cei, sql)
+
+
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     """One-call Druid-flavored SQL entry: functions + views + execute."""
     import re
@@ -355,5 +383,9 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             register_metadata_views(spark, catalog)
     sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
     sql = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)", r"sys_\1", sql)
+    sql = _rewrite_floor_ceil_to(sql)
+    # STRING_FORMAT is variadic (StringFormatOperatorConversion.java) — SQL
+    # UDFs have fixed arity, so map the name to Spark's format_string
+    sql = re.sub(r"(?i)\bSTRING_FORMAT\s*\(", "format_string(", sql)
     sql = _rewrite_aggregate_names(sql)
     return spark.sql(sql)

@@ -233,3 +233,30 @@ def test_mvd_group_by_native(spark, foo_catalog):
     }, spark, foo_catalog)
     got = dict(rows(out, "dim3", "c"))
     assert got["b"] == 2 and got[""] == 1 and got[None] == 2
+
+
+def test_floor_ceil_to_unit(spark, foo_catalog):
+    """Calcite FLOOR(ts TO unit)/CEIL(ts TO unit) (FloorOperatorConversion /
+    CeilOperatorConversion) — the canonical Druid SQL time-bucket idiom."""
+    out = q(spark, foo_catalog, """
+        SELECT FLOOR(__time TO YEAR) AS y, COUNT(*) AS c
+        FROM foo GROUP BY FLOOR(__time TO YEAR) ORDER BY 1""").collect()
+    assert [(str(r["y"])[:4], r["c"]) for r in out] == [("2000", 3), ("2001", 3)]
+    one = q(spark, foo_catalog, """
+        SELECT CEIL(__time TO MONTH) AS m FROM foo
+        WHERE dim1 = 'abc'""").first()
+    # 2001-01-01T00 ceils to the next month boundary only if not aligned;
+    # foo's 'abc' row is at 2001-01-03 → ceil = 2001-02-01
+    assert str(one["m"])[:10] == "2001-02-01"
+
+
+def test_truncate_parse_long_string_format(spark, foo_catalog):
+    row = q(spark, foo_catalog, """
+        SELECT TRUNCATE(m2 * 1.117, 1) AS t, TRUNCATE(-2.79, 1) AS tn,
+               PARSE_LONG('42') AS pl,
+               STRING_FORMAT('%s-%d', dim1, 7) AS sf
+        FROM foo WHERE dim1 = 'abc'""").first()
+    assert abs(row["t"] - 6.7) < 1e-9      # 6.0 * 1.117 = 6.702 → 6.7
+    assert row["tn"] == -2.7               # truncate toward zero, not floor
+    assert row["pl"] == 42
+    assert row["sf"] == "abc-7"
