@@ -392,6 +392,22 @@ def _sql_earliest_latest(spark, sf):
                      "GROUP BY event_type", _cat(spark, sf))
 
 
+def _ts_day_tz(spark, sf):
+    """PeriodGranularity with timeZone (granularity/PeriodGranularity.java):
+    day buckets at America/Los_Angeles local midnight, returned as UTC bucket
+    starts.  January-only data pins PST (UTC-8), so the oracle can state the
+    offset exactly."""
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": {"type": "period", "period": "P1D",
+                         "timeZone": "America/Los_Angeles"},
+         "intervals": ["2024-01-02T08:00:00Z/2024-01-09T08:00:00Z"],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "total",
+                           "fieldName": "value"}]}
+    return _round(translate(q, spark, _cat(spark, sf)),
+                  {"__time": None, "cnt": None, "total": 3})
+
+
 def _sql_floor_to_day(spark, sf):
     """Calcite FLOOR(ts TO unit) bucket idiom (FloorOperatorConversion.java)
     through the druid_sql surface — rewritten to date_trunc."""
@@ -873,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_daily": _search_daily,
         "sql_earliest_latest": _sql_earliest_latest,
         "sql_floor_to_day": _sql_floor_to_day,
+        "ts_day_tz": _ts_day_tz,
         "spatial_rect": _spatial_rect,
         "time_boundary": _time_boundary,
         "ds_metadata": _ds_metadata,
@@ -1104,6 +1121,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE (user_id % 10) BETWEEN 2 AND 5
               AND (event_id % 10) BETWEEN 3 AND 7
+        """,
+        "ts_day_tz": """
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP) - INTERVAL 8 HOUR)
+                     + INTERVAL 8 HOUR AS __time,
+                   count(*) AS cnt, round(sum(value), 3) AS total
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-02 08:00:00'
+              AND ts < TIMESTAMP '2024-01-09 08:00:00'
+            GROUP BY 1
         """,
         "sql_floor_to_day": """
             SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,

@@ -145,9 +145,31 @@ class Granularity:
 
     def spine(self, start_ms: int, end_ms: int) -> list[int]:
         """Bucket starts covering [start, end) — the zero-fill time spine for
-        timeseries (driver-side; bucket counts are small by construction)."""
+        timeseries (driver-side; bucket counts are small by construction).
+
+        With a timeZone the enumeration happens in local wall-clock time and
+        each bucket start maps back to UTC, mirroring floor()'s
+        from_utc_timestamp → trunc → to_utc_timestamp chain so spine and agg
+        bucket keys agree exactly."""
         if self.kind in ("all", "none") or self.period is None:
             return []
+        if self.tz:
+            from datetime import datetime, timezone
+            from zoneinfo import ZoneInfo
+            z = ZoneInfo(self.tz)
+
+            def to_local(ms: int) -> int:  # from_utc_timestamp: wall shift
+                dt = datetime.fromtimestamp(ms / 1000, tz=timezone.utc) \
+                    .astimezone(z).replace(tzinfo=timezone.utc)
+                return int(dt.timestamp() * 1000)
+
+            def to_utc(ms: int) -> int:    # to_utc_timestamp: inverse shift
+                naive = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+                return int(naive.replace(tzinfo=z).timestamp() * 1000)
+
+            plain = Granularity(self.kind, self.period, self.origin_millis)
+            return [to_utc(t) for t in
+                    plain.spine(to_local(start_ms), to_local(end_ms))]
         out = []
         p = self.period
         if p.is_calendar:

@@ -139,3 +139,24 @@ def test_all_none():
     assert parse_granularity("all").kind == "all"
     assert parse_granularity(None).kind == "all"
     assert parse_granularity("none").kind == "none"
+
+
+def test_tz_spine_matches_floor(spark):
+    """Zero-fill spine for PeriodGranularity with timeZone must produce the
+    same bucket keys floor() produces (regression: the spine enumerated UTC
+    days while floor bucketed at local midnight, so every tz timeseries
+    zero-filled to all-zero rows)."""
+    from pyspark.sql import functions as F
+    from incubator_druid_spark.model.granularity import parse_granularity
+
+    g = parse_granularity({"type": "period", "period": "P1D",
+                           "timeZone": "America/Los_Angeles"})
+    start = 1704182400000   # 2024-01-02T08:00:00Z == LA midnight
+    end = start + 3 * 86_400_000
+    spine = g.spine(start, end)
+    assert len(spine) == 3
+    df = spark.createDataFrame([(ms,) for ms in spine], "ms long") \
+        .select(F.timestamp_millis(F.col("ms")).alias("t"))
+    floored = [r["f"] for r in df.select(g.floor(F.col("t")).alias("f")).collect()]
+    keys = [r["t"] for r in df.collect()]
+    assert floored == keys  # every spine point is its own bucket start
