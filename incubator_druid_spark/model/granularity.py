@@ -137,11 +137,21 @@ class Granularity:
         p = self.period
         if p is None:
             return col
+        day = 86_400_000
+        if not p.is_calendar and (self.tz is None or p.millis % day != 0):
+            # sub-day fixed periods are physical durations in any chronology
+            return F.timestamp_millis(
+                (F.unix_millis(col) + F.lit(p.millis * steps)).cast("long"))
+        # calendar months and day-multiple periods advance in LOCAL wall time
+        # (joda Period.plus semantics — a tz day across a DST switch is
+        # 23/25 physical hours; TimestampShiftExprMacro.java chronology)
+        local = F.from_utc_timestamp(col, self.tz) if self.tz else col
         if p.is_calendar:
             # add_months returns a DATE (drops time-of-day); timestamp_add keeps it
-            return F.timestamp_add("MONTH", F.lit(p.months * steps), col)
-        return F.timestamp_millis(
-            (F.unix_millis(col) + F.lit(p.millis * steps)).cast("long"))
+            out = F.timestamp_add("MONTH", F.lit(p.months * steps), local)
+        else:
+            out = F.timestamp_add("DAY", F.lit(p.millis // day * steps), local)
+        return F.to_utc_timestamp(out, self.tz) if self.tz else out
 
     def spine(self, start_ms: int, end_ms: int) -> list[int]:
         """Bucket starts covering [start, end) — the zero-fill time spine for

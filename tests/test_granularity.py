@@ -160,3 +160,20 @@ def test_tz_spine_matches_floor(spark):
     floored = [r["f"] for r in df.select(g.floor(F.col("t")).alias("f")).collect()]
     keys = [r["t"] for r in df.collect()]
     assert floored == keys  # every spine point is its own bucket start
+
+
+def test_dst_aware_day_shift(spark):
+    """timestamp_shift with tz advances in local chronology: one 'day' across
+    the US spring-forward (2024-03-10) is 23 physical hours
+    (TimestampShiftExprMacro.java joda-period semantics)."""
+    from pyspark.sql import functions as F
+    from incubator_druid_spark.model.granularity import parse_granularity
+
+    g = parse_granularity({"type": "period", "period": "P1D",
+                           "timeZone": "America/Los_Angeles"})
+    df = spark.createDataFrame([("2024-03-10 08:00:00",)], "s string") \
+        .select(F.to_timestamp("s").alias("t"))  # LA midnight, Mar 10
+    out = df.select(g.shift(F.col("t"), 1).alias("next"),
+                    g.ceil(F.col("t")).alias("c")).first()
+    assert str(out["next"]) == "2024-03-11 07:00:00"  # 23h later in UTC
+    assert str(out["c"]) == "2024-03-10 08:00:00"     # on-boundary ceil fixes
