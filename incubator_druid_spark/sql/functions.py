@@ -384,6 +384,14 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
     sql = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)", r"sys_\1", sql)
     sql = _rewrite_floor_ceil_to(sql)
+    # Calcite dialect forms Spark's parser rejects:
+    #   CAST(x AS VARCHAR) with no length  → STRING
+    #   GROUP BY ()                        → global aggregate (drop clause)
+    #   ESCAPE '\'                         → backslash needs doubling in
+    #                                        Spark string literals
+    sql = re.sub(r"(?i)\bAS\s+VARCHAR\s*\)", "AS STRING)", sql)
+    sql = re.sub(r"(?i)\bGROUP\s+BY\s*\(\s*\)", "", sql)
+    sql = sql.replace(r"ESCAPE '\'", r"ESCAPE '\\'")
     # STRING_FORMAT is variadic (StringFormatOperatorConversion.java) — SQL
     # UDFs have fixed arity, so map the name to Spark's format_string
     sql = re.sub(r"(?i)\bSTRING_FORMAT\s*\(", "format_string(", sql)

@@ -260,3 +260,68 @@ def test_truncate_parse_long_string_format(spark, foo_catalog):
     assert row["tn"] == -2.7               # truncate toward zero, not floor
     assert row["pl"] == 42
     assert row["sf"] == "abc-7"
+
+
+def test_non_ansi_cast_and_concat_nulls(spark, foo_catalog):
+    """CalciteQueryTest cast/null behaviors: bad string→number casts yield
+    NULL (Druid expr non-ANSI), CONCAT propagates NULL in SQL-null mode."""
+    row = q(spark, foo_catalog, """
+        SELECT CAST('abc' AS BIGINT) AS bad_cast,
+               CAST(dim1 AS DOUBLE) AS num_cast,
+               CONCAT(CAST(NULL AS VARCHAR), dim1) AS cat_null
+        FROM foo WHERE dim1 = '10.1'""").first()
+    assert row["bad_cast"] is None
+    assert row["num_cast"] == 10.1
+    assert row["cat_null"] is None
+
+
+def test_like_escape_between_position(spark, foo_catalog):
+    rows_ = q(spark, foo_catalog, r"""
+        SELECT dim1 FROM foo
+        WHERE dim1 LIKE '10\_1' ESCAPE '\'
+           OR (dim1 LIKE 'a%' AND __time BETWEEN TIMESTAMP '2001-01-01'
+                                             AND TIMESTAMP '2001-12-31')
+        ORDER BY dim1""").collect()
+    assert [r["dim1"] for r in rows_] == ["abc"]  # '10_1' literal matches none
+    row = q(spark, foo_catalog, """
+        SELECT POSITION('b' IN dim1) AS p,
+               SUBSTRING(dim1 FROM 2 FOR 1) AS s
+        FROM foo WHERE dim1 = 'abc'""").first()
+    assert row["p"] == 2 and row["s"] == "b"
+
+
+def test_group_by_empty_and_count_distinct_exact(spark, foo_catalog):
+    """GROUP BY () global aggregate + exact COUNT(DISTINCT) expansion
+    (Rules.java:274 AggregateExpandDistinctAggregatesRule)."""
+    row = q(spark, foo_catalog, """
+        SELECT COUNT(DISTINCT dim1) AS cd, SUM(m1) AS s
+        FROM foo GROUP BY ()""").first()
+    assert row["cd"] == 6 and row["s"] == 21.0
+
+
+def test_order_by_null_position(spark, foo_catalog):
+    """Null ordering control — NULLS FIRST/LAST explicit (Druid SQL exposes
+    Calcite's null direction syntax)."""
+    vals = [r["l"] for r in q(spark, foo_catalog, """
+        SELECT CASE WHEN m1 > 4 THEN m1 END AS l FROM foo
+        ORDER BY l DESC NULLS LAST""").collect()]
+    assert vals == [6.0, 5.0, None, None, None, None]
+    vals = [r["l"] for r in q(spark, foo_catalog, """
+        SELECT CASE WHEN m1 > 4 THEN m1 END AS l FROM foo
+        ORDER BY l ASC NULLS FIRST LIMIT 3""").collect()]
+    assert vals == [None, None, None]
+
+
+def test_nested_groupby_on_subquery_agg(spark, foo_catalog):
+    """Stacked aggregation: outer GROUP BY over an inner aggregate — the
+    DruidOuterQueryRel shape (DruidRules.java:145-244)."""
+    out = q(spark, foo_catalog, """
+        SELECT cnt_bucket, COUNT(*) AS n FROM (
+            SELECT dim2_first, COUNT(*) AS cnt_bucket FROM (
+                SELECT dim1, element_at(dim2, 1) AS dim2_first FROM foo
+                WHERE dim2 IS NOT NULL) t
+            GROUP BY dim2_first) tt
+        GROUP BY cnt_bucket ORDER BY cnt_bucket""").collect()
+    # dim2 firsts: 'a'(×2), null(from []), ''(from ['']), 'abc' → buckets
+    got = [(r["cnt_bucket"], r["n"]) for r in out]
+    assert got == [(1, 3), (2, 1)]
