@@ -160,3 +160,18 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     assert "Exchange" not in plan, "bucketed equi-join must not shuffle"
     agg = t.groupBy("k").count()
     assert "Exchange" not in plan_of(agg), "bucketed groupBy must not shuffle"
+
+
+def test_search_single_scan(spark, catalog):
+    """search over N dimensions must stay ONE FileScan — the unpivot form;
+    a per-dimension union re-scans the source N times at scale."""
+    from incubator_druid_spark import translate
+
+    q = {"queryType": "search", "dataSource": "events",
+         "searchDimensions": ["event_type", "props"],
+         "query": {"type": "insensitive_contains", "value": "c"}}
+    # executedPlan (not formatted explain, which repeats each node in the
+    # detail section) — one scan node exactly
+    plan = translate(q, spark, catalog)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
