@@ -408,6 +408,23 @@ def _ts_day_tz(spark, sf):
                   {"__time": None, "cnt": None, "total": 3})
 
 
+def _tuple_sketch(spark, sf):
+    """arrayOfDoublesSketch (tuple/ArrayOfDoublesSketchAggregatorFactory.java)
+    exact: estimate = distinct keys, ToMeans = telescoped metric sum /
+    distinct keys."""
+    fa = {"type": "fieldAccess", "fieldName": "sk"}
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "arrayOfDoublesSketch", "name": "sk",
+                           "fieldName": "user_id", "metricColumns": ["value"]}],
+         "postAggregations": [
+             {"type": "arrayOfDoublesSketchToEstimate", "name": "est", "field": fa},
+             {"type": "arrayOfDoublesSketchToMeans", "name": "means", "field": fa}]}
+    out = translate(q, spark, _cat(spark, sf))
+    return out.select("event_type", "est",
+                      F.round(F.element_at("means", 1), 6).alias("mean_value"))
+
+
 def _sql_floor_to_day(spark, sf):
     """Calcite FLOOR(ts TO unit) bucket idiom (FloorOperatorConversion.java)
     through the druid_sql surface — rewritten to date_trunc."""
@@ -889,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_daily": _search_daily,
         "sql_earliest_latest": _sql_earliest_latest,
         "sql_floor_to_day": _sql_floor_to_day,
+        "tuple_sketch": _tuple_sketch,
         "ts_day_tz": _ts_day_tz,
         "spatial_rect": _spatial_rect,
         "time_boundary": _time_boundary,
@@ -1130,6 +1148,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-02 08:00:00'
               AND ts < TIMESTAMP '2024-01-09 08:00:00'
             GROUP BY 1
+        """,
+        "tuple_sketch": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS DOUBLE) AS est,
+                   round(sum(CASE WHEN user_id IS NOT NULL THEN value END)
+                         / count(DISTINCT user_id), 6) AS mean_value
+            FROM events GROUP BY event_type
         """,
         "sql_floor_to_day": """
             SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,

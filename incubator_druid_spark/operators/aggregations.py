@@ -370,6 +370,28 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.hll_sketch_estimate(F.hll_union_agg(f()))
         lgk = int(spec.get("lgK", 12))
         return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(f()), F.lit(lgk)))
+    if t == "arrayOfDoublesSketch":
+        # datasketches tuple/ArrayOfDoublesSketchAggregatorFactory.java —
+        # distinct keys with per-key SUMMED metric vectors.  Computed exact:
+        # the estimate is count_distinct(key); the metric sums telescope
+        # (Σ over keys of per-key sums ≡ Σ over rows), so the full state is
+        # one struct from a single pass.  Null keys never update the sketch,
+        # so metric sums are filtered to non-null keys.
+        key = ctx.resolve(spec["fieldName"])
+        metrics = spec.get("metricColumns") or []
+        sums = [F.sum(F.when(key.isNotNull(), ctx.resolve(m).cast("double")))
+                .alias(f"s{i}") for i, m in enumerate(metrics)]
+        return F.struct(F.count_distinct(key).alias("estimate"),
+                        F.array(*sums).alias("sums") if sums
+                        else F.array().cast("array<double>").alias("sums"))
+    if t == "__aods_means":
+        # synthesized from arrayOfDoublesSketchToMeans — per-key-sum mean =
+        # Σ(metric) / distinct keys, exact in one pass
+        key = ctx.resolve(spec["fieldName"])
+        cd = F.count_distinct(key).cast("double")
+        return F.array(*[
+            F.sum(F.when(key.isNotNull(), ctx.resolve(m).cast("double"))) / cd
+            for m in spec["metricColumns"]])
     if t in ("thetaSketch", "sketchMerge"):
         # datasketches theta/SketchMergeAggregatorFactory.java — computed
         # EXACT (count_distinct; Tungsten expands + partial-aggregates it).
@@ -639,6 +661,28 @@ def rewrite_sketch_query(query: dict) -> dict:
                 consumed.add(ref)
                 changed = True
                 continue
+        if t in ("arrayOfDoublesSketchToEstimate",
+                 "arrayOfDoublesSketchToNumEntries",
+                 "arrayOfDoublesSketchToEstimateAndBounds",
+                 "arrayOfDoublesSketchToMeans"):
+            ref = p.get("field", {}).get("fieldName")
+            base = by_name.get(ref)
+            if base and base.get("type") == "arrayOfDoublesSketch":
+                # exact tuple sketch: estimate == numEntries, bounds collapse
+                if t.endswith("ToMeans"):
+                    extra_aggs.append({"type": "__aods_means", "name": p["name"],
+                                       "fieldName": base["fieldName"],
+                                       "metricColumns":
+                                           base.get("metricColumns") or []})
+                    consumed.add(ref)
+                else:
+                    kind = ("bounds" if t.endswith("AndBounds")
+                            else "entries" if t.endswith("ToNumEntries")
+                            else "estimate")
+                    new_posts.append({"type": "__aods_read", "name": p["name"],
+                                      "fieldName": ref, "kind": kind})
+                changed = True
+                continue
         if t == "HLLSketchEstimate" and \
                 p.get("field", {}).get("type") == "HLLSketchUnion":
             rewritten = _hll_union_estimate(p, by_name, extra_aggs)
@@ -671,7 +715,8 @@ def rewrite_sketch_query(query: dict) -> dict:
     def _refs(node, acc):
         if isinstance(node, dict):
             if node.get("type") in ("fieldAccess", "finalizingFieldAccess",
-                                    "hyperUniqueCardinality", "__hll_bounds"):
+                                    "hyperUniqueCardinality", "__hll_bounds",
+                                    "__aods_read"):
                 acc.add(node.get("fieldName"))
             for v in node.values():
                 _refs(v, acc)
@@ -968,8 +1013,24 @@ def _post_col(spec: dict) -> Column:
         err = 1.04 / _math.sqrt(2.0 ** int(spec.get("lgK", 12))) \
             * int(spec.get("numStdDev", 1))
         return F.array(est, est / (1.0 + err), est * (1.0 + err))
+    if t == "__aods_read":
+        # tuple/ArrayOfDoublesSketchToEstimate|ToNumEntries|ToEstimateAndBounds
+        # over the exact struct state — estimate == numEntries, bounds collapse
+        # onto the estimate (no sampling happened)
+        st = F.col(spec["fieldName"])
+        if spec["kind"] == "bounds":
+            e = st["estimate"].cast("double")
+            return F.array(e, e, e)
+        if spec["kind"] == "entries":
+            return st["estimate"]
+        return st["estimate"].cast("double")
+    if t in ("arrayOfDoublesSketchToVariances", "arrayOfDoublesSketchSetOp",
+             "arrayOfDoublesSketchTTest", "arrayOfDoublesSketchToQuantilesSketch"):
+        raise NotImplementedError(
+            f"{t}: needs per-key grouped state (nested aggregation); rewrite "
+            "as an explicit subquery grouping by the sketch key")
     if t in ("HLLSketchToString", "quantilesDoublesSketchToString",
-             "thetaSketchToString"):
+             "thetaSketchToString", "arrayOfDoublesSketchToString"):
         # debug-surface post-aggs — the reference prints sketch internals; we
         # print the finalized value (no sketch object exists to dump).
         return F.format_string("### Summary%s Estimate: %s", F.lit(":"),

@@ -306,3 +306,34 @@ def test_hll_union_and_bounds_post_aggs(spark, catalog):
     assert abs(row["union_est"] - either) / either < 0.05
     est, lo, hi = row["bounds"]
     assert lo <= est <= hi and lo > 0
+
+
+def test_array_of_doubles_tuple_sketch(spark, catalog):
+    """tuple/ArrayOfDoublesSketchAggregatorFactory — distinct keys with
+    per-key summed metric vectors, computed exact: estimate==numEntries==
+    count_distinct(key); metric sums telescope so ToMeans = sum/distinct."""
+    from incubator_druid_spark import translate
+
+    fa = {"type": "fieldAccess", "fieldName": "sk"}
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "arrayOfDoublesSketch", "name": "sk",
+                           "fieldName": "user_id", "metricColumns": ["value"]}],
+         "postAggregations": [
+             {"type": "arrayOfDoublesSketchToEstimate", "name": "est", "field": fa},
+             {"type": "arrayOfDoublesSketchToNumEntries", "name": "n", "field": fa},
+             {"type": "arrayOfDoublesSketchToEstimateAndBounds", "name": "b",
+              "field": fa, "numStdDevs": 2},
+             {"type": "arrayOfDoublesSketchToMeans", "name": "means", "field": fa}]}
+    out = {r["event_type"]: r for r in translate(q, spark, catalog).collect()}
+
+    ev = catalog.table("events")
+    want = {r["event_type"]: r for r in
+            ev.groupBy("event_type")
+              .agg(F.count_distinct("user_id").alias("cd"),
+                   F.sum("value").alias("sv")).collect()}
+    for et, w in want.items():
+        r = out[et]
+        assert r["est"] == float(w["cd"]) and r["n"] == w["cd"]
+        assert r["b"] == [float(w["cd"])] * 3
+        assert abs(r["means"][0] - w["sv"] / w["cd"]) < 1e-6
