@@ -237,6 +237,12 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
       at 100 TB that's the difference between a network-bound and a
       local-only join (the analogue of Druid's secondary partitioning +
       broker shard pruning, DimFilterUtils.filterShards).
+    - {"type": "single_dim"/"range", "partitionDimension(s)": ...}:
+      range-partition + sort on the dimension inside each time chunk
+      (SingleDimensionPartitionsSpec / DimensionRangePartitionsSpec) — each
+      parquet file then covers a tight dimension range, so min/max row-group
+      stats prune scans on that dimension the way Druid's broker prunes
+      range shard specs.
     """
     ds = spec["dataSchema"]
     name = ds["dataSource"]
@@ -265,6 +271,22 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
             .option("path", path)
             .saveAsTable(name))
         catalog.register_managed(name)
+    elif pspec.get("type") in ("single_dim", "range"):
+        dims = ([pspec["partitionDimension"]]
+                if pspec.get("partitionDimension")
+                else list(pspec.get("partitionDimensions") or []))
+        if not dims:
+            raise ValueError(f"{pspec['type']} partitionsSpec needs "
+                             "partitionDimension(s)")
+        shards = int(pspec.get("numShards")
+                     or spark.sparkContext.defaultParallelism)
+        (out.repartitionByRange(shards, F.col("__bucket"),
+                                *[F.col(d) for d in dims])
+            .sortWithinPartitions("__bucket", *dims)
+            .write.mode(mode)
+            .partitionBy("__bucket")
+            .parquet(path))
+        catalog.register(name, path)
     else:
         (out.write.mode(mode)
             .partitionBy("__bucket")

@@ -698,3 +698,45 @@ def test_compaction_and_realtime_view(spark, tmp_path):
     assert "__bucket" in hist.columns  # time-partitioned layout
     view = realtime_view(spark, path, hist)
     assert view.count() == 8  # stream ∪ historical (pre-dedup union semantics)
+
+
+def test_single_dim_range_partitioning(spark, tmp_path):
+    """single_dim partitionsSpec (SingleDimensionPartitionsSpec) →
+    range-repartition + sort: parquet files carry disjoint tight min/max
+    ranges on the dimension, so row-group stats prune dim-range scans (the
+    range-shard-spec pruning analogue)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    src = str(tmp_path / "src.json")
+    with open(src, "w") as fh:
+        for i in range(4000):
+            fh.write('{"t": "2024-01-01T00:%02d:00Z", "u": %d, "v": 1}\n'
+                     % (i % 60, i * 7919 % 1000))
+    cat = Catalog(spark)
+    spec = {"dataSchema": {
+                "dataSource": "ranged",
+                "timestampSpec": {"column": "t"},
+                "dimensionsSpec": {"dimensions": ["u"]},
+                "granularitySpec": {"segmentGranularity": "day"}},
+            "ioConfig": {"inputSource": {"type": "local", "files": [src]},
+                         "inputFormat": {"type": "json"}},
+            "tuningConfig": {"partitionsSpec": {
+                "type": "single_dim", "partitionDimension": "u",
+                "numShards": 4}}}
+    path = ingest(spark, spec, cat, str(tmp_path))
+
+    ranges = []
+    for f in glob.glob(f"{path}/__bucket=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}["u"]
+        st = md.row_group(0).column(col).statistics
+        ranges.append((st.min, st.max))
+    assert len(ranges) >= 3
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, tight ranges per file
