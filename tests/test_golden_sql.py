@@ -325,3 +325,25 @@ def test_nested_groupby_on_subquery_agg(spark, foo_catalog):
     # dim2 firsts: 'a'(×2), null(from []), ''(from ['']), 'abc' → buckets
     got = [(r["cnt_bucket"], r["n"]) for r in out]
     assert got == [(1, 3), (2, 1)]
+
+
+def test_select_distinct_and_limit_zero(spark, foo_catalog):
+    """SELECT DISTINCT plans as groupBy (DruidQuery.toQuery); LIMIT 0 returns
+    an empty result that still carries the schema."""
+    vals = sorted(r["dim1"] for r in q(spark, foo_catalog,
+        "SELECT DISTINCT dim1 FROM foo").collect())
+    assert vals == ["", "1", "10.1", "2", "abc", "def"]
+    empty = q(spark, foo_catalog, "SELECT dim1, m1 FROM foo LIMIT 0")
+    assert empty.columns == ["dim1", "m1"] and empty.count() == 0
+
+
+def test_having_on_aliased_aggregate(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT SUBSTRING(dim1, 1, 1) AS pfx, SUM(m1) AS s FROM foo
+        WHERE dim1 <> ''
+        GROUP BY SUBSTRING(dim1, 1, 1) HAVING SUM(m1) > 4
+        ORDER BY s DESC""").collect()
+    # prefixes: '1' ← {'10.1','1'} = 6.0, 'a' ← {'abc'} = 6.0, 'd' ← {'def'} = 5.0
+    assert {(r["pfx"], r["s"]) for r in out} == \
+        {("1", 6.0), ("a", 6.0), ("d", 5.0)}
+    assert [r["s"] for r in out] == [6.0, 6.0, 5.0]
