@@ -117,9 +117,16 @@ def translate(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         raise ValueError("'select' query was removed in Druid 0.17; use 'scan'")
     if qt not in dispatch:
         raise ValueError(f"unknown queryType {qt!r}")
+    from incubator_druid_spark.plans import cache
+    cache.apply_scheduling(query, spark)
+    hit = cache.lookup(query)
+    if hit is not None:
+        return hit
     out = dispatch[qt](query, spark, catalog)
     # helper aggregates synthesized by rewrite_sketch_query (theta/HLL set-op
     # rewrites) are internal — Druid never surfaces them in the result row
     helpers = [c for c in out.columns
                if c.startswith("__theta_union_") or c.startswith("__hll_union_")]
-    return out.drop(*helpers) if helpers else out
+    if helpers:
+        out = out.drop(*helpers)
+    return cache.populate(query, out)

