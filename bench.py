@@ -87,13 +87,13 @@ def main() -> int:
     # steady-state in-memory rate: the whitepaper's scan numbers are over
     # mmap'd (page-resident) segments, so the comparable here is Spark's
     # in-memory columnar cache with every core busy — replicate the scan to
-    # ~20M rows so fixed task dispatch stops dominating the measurement
+    # ~200M rows (one explode(sequence) operator, not an N-branch union) so
+    # each core has ~0.5s+ of work and fixed task dispatch stops dominating
+    from pyspark.sql import functions as FF
     slim = cat.table("lineitem").select("__time", "l_extendedprice")
-    rep = max(1, (20_000_000 // max(lineitem_rows, 1)))
-    big = slim
-    for _ in range(rep - 1):
-        big = big.union(slim)
-    big = big.repartition(cpus).persist()
+    rep = max(1, (200_000_000 // max(lineitem_rows, 1)))
+    big = (slim.withColumn("__r", FF.explode(FF.sequence(FF.lit(1), FF.lit(rep))))
+               .drop("__r").repartition(cpus).persist())
     big_rows = big.count()
     big_f = big.filter((F.col("__time") >= "1995-01-01")
                        & (F.col("__time") < "2002-01-01"))
