@@ -84,24 +84,38 @@ def main() -> int:
         lambda: filtered.agg(F.sum("l_extendedprice")).collect())
         for _ in range(3))
 
-    # steady-state in-memory rate: the whitepaper's scan numbers are over
-    # mmap'd (page-resident) segments, so the comparable here is Spark's
-    # in-memory columnar cache with every core busy — replicate the scan to
-    # ~200M rows (one explode(sequence) operator, not an N-branch union) so
-    # each core has ~0.5s+ of work and fixed task dispatch stops dominating
+    # steady-state segment-scan rate: the whitepaper's scan numbers are over
+    # mmap'd LZ4 float segments (druid.tex:880-882), so the comparable here
+    # is this engine's own storage layout — a time-partitioned parquet table
+    # (year buckets, the ingest sink's format) resident in the OS page cache,
+    # scanned by the vectorized parquet reader with every core busy.  The
+    # table is lineitem replicated to ~200M rows with the metric jittered to
+    # distinct float32 values (PLAIN-encoded — replication would otherwise
+    # leave an RLE/dictionary column that scans unrealistically fast).  The
+    # interval predicate lands on the partition column, so pruning replaces
+    # per-row time comparisons — exactly how the engine executes interval
+    # scans at 100 TB.  Built once and reused across bench runs.
     from pyspark.sql import functions as FF
-    slim = cat.table("lineitem").select("__time", "l_extendedprice")
     rep = max(1, (200_000_000 // max(lineitem_rows, 1)))
-    big = (slim.withColumn("__r", FF.explode(FF.sequence(FF.lit(1), FF.lit(rep))))
-               .drop("__r").repartition(cpus).persist())
-    big_rows = big.count()
-    big_f = big.filter((F.col("__time") >= "1995-01-01")
-                       & (F.col("__time") < "2002-01-01"))
-    mem_count_sec = min(_timed(lambda: big_f.count()) for _ in range(5))
+    seg_path = f"/tmp/spark_graft_bench_segments_sf{sf_dir.rstrip('/').split('sf')[-1]}_{rep}"
+    if not os.path.exists(os.path.join(seg_path, "_SUCCESS")):
+        slim = cat.table("lineitem").select(
+            "__time", F.col("l_extendedprice").cast("float").alias("m"))
+        (slim.repartition(cpus)
+             .withColumn("__r", FF.explode(FF.sequence(FF.lit(1), FF.lit(rep))))
+             .withColumn("m", (F.col("m") + F.col("__r") * F.lit(0.0017)).cast("float"))
+             .drop("__r")
+             .withColumn("__bucket", F.date_trunc("year", F.col("__time")))
+             .write.mode("overwrite").option("compression", "uncompressed")
+             .partitionBy("__bucket").parquet(seg_path))
+    seg = spark.read.parquet(seg_path)
+    seg_f = seg.filter((F.col("__bucket") >= "1995-01-01")
+                       & (F.col("__bucket") < "2002-01-01"))
+    big_rows = seg_f.count()
+    mem_count_sec = min(_timed(lambda: seg_f.count()) for _ in range(5))
     mem_sum_sec = min(_timed(
-        lambda: big_f.agg(F.sum("l_extendedprice")).collect())
+        lambda: seg_f.agg(F.sum("m")).collect())
         for _ in range(5))
-    big.unpersist()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -117,9 +131,9 @@ def main() -> int:
         "scan_tasks": scan_tasks,
         "scan_count_rows_per_sec_core": int(lineitem_rows / count_sec / scan_tasks),
         "scan_sum_rows_per_sec_core": int(lineitem_rows / sum_sec / scan_tasks),
-        "mem_scan_rows": big_rows,
-        "mem_count_rows_per_sec_core": int(big_rows / mem_count_sec / cpus),
-        "mem_sum_rows_per_sec_core": int(big_rows / mem_sum_sec / cpus),
+        "seg_scan_rows": big_rows,
+        "seg_count_rows_per_sec_core": int(big_rows / mem_count_sec / cpus),
+        "seg_sum_rows_per_sec_core": int(big_rows / mem_sum_sec / cpus),
     }
     print(json.dumps(out))
     return 0
