@@ -860,6 +860,31 @@ def _multimodal_features(spark, sf):
                          F.round(F.element_at("feat", 1), 4).alias("f0")))
 
 
+def _tuple_keyed_stats(spark, sf):
+    """Keyed tuple-sketch post-aggs (ArrayOfDoublesSketchToVariancesPost
+    Aggregator.java, ArrayOfDoublesSketchToQuantilesSketchPostAggregator.java)
+    — statistics across the sketch's PER-KEY metric sums via the two-level
+    aggregation in operators/tuple_keyed.py."""
+    fa = {"type": "fieldAccess", "fieldName": "sk"}
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "arrayOfDoublesSketch", "name": "sk",
+                           "fieldName": "user_id", "metricColumns": ["value"]}],
+         "postAggregations": [
+             {"type": "arrayOfDoublesSketchToVariances", "name": "vars",
+              "field": fa},
+             {"type": "quantilesDoublesSketchToQuantile", "name": "med",
+              "fraction": 0.5,
+              "field": {"type": "arrayOfDoublesSketchToQuantilesSketch",
+                        "name": "qs", "column": 1, "field": fa}},
+             {"type": "arrayOfDoublesSketchToEstimate", "name": "est",
+              "field": fa}]}
+    out = translate(q, spark, _cat(spark, sf))
+    return out.select("event_type",
+                      F.round(F.element_at("vars", 1), 6).alias("var_value"),
+                      F.round("med", 6).alias("med_value"), "est")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_day": _ts_day,
@@ -907,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_earliest_latest": _sql_earliest_latest,
         "sql_floor_to_day": _sql_floor_to_day,
         "tuple_sketch": _tuple_sketch,
+        "tuple_keyed_stats": _tuple_keyed_stats,
         "ts_day_tz": _ts_day_tz,
         "spatial_rect": _spatial_rect,
         "time_boundary": _time_boundary,
@@ -1148,6 +1174,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-02 08:00:00'
               AND ts < TIMESTAMP '2024-01-09 08:00:00'
             GROUP BY 1
+        """,
+        "tuple_keyed_stats": """
+            SELECT event_type,
+                   round(var_samp(s), 6) AS var_value,
+                   round(quantile_cont(s, 0.5), 6) AS med_value,
+                   CAST(count(*) AS DOUBLE) AS est
+            FROM (SELECT event_type, user_id,
+                         coalesce(sum(CAST(value AS DOUBLE)), 0.0) AS s
+                  FROM events WHERE user_id IS NOT NULL
+                  GROUP BY event_type, user_id) t
+            GROUP BY event_type
         """,
         "tuple_sketch": """
             SELECT event_type,

@@ -1027,8 +1027,9 @@ def _post_col(spec: dict) -> Column:
     if t in ("arrayOfDoublesSketchToVariances", "arrayOfDoublesSketchSetOp",
              "arrayOfDoublesSketchTTest", "arrayOfDoublesSketchToQuantilesSketch"):
         raise NotImplementedError(
-            f"{t}: needs per-key grouped state (nested aggregation); rewrite "
-            "as an explicit subquery grouping by the sketch key")
+            f"{t}: needs per-key grouped state — supported in groupBy queries "
+            "(operators/tuple_keyed.py two-level aggregation); express this "
+            "query as groupBy (timeseries ≡ groupBy with no dimensions)")
     if t in ("HLLSketchToString", "quantilesDoublesSketchToString",
              "thetaSketchToString", "arrayOfDoublesSketchToString"):
         # debug-surface post-aggs — the reference prints sketch internals; we

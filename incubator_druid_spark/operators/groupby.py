@@ -35,7 +35,10 @@ from incubator_druid_spark.plans.translator import prepare_frame
 
 def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     from incubator_druid_spark.operators.aggregations import rewrite_sketch_query
-    query = rewrite_sketch_query(query)
+    from incubator_druid_spark.operators.tuple_keyed import analyze_keyed_aods
+    keyed = analyze_keyed_aods(query)
+    if keyed is None:
+        query = rewrite_sketch_query(query)
     df = prepare_frame(query, spark, catalog)
     gran = parse_granularity(query.get("granularity", "all"))
 
@@ -51,12 +54,22 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
     subtotals = query.get("subtotalsSpec")
     if subtotals:
+        if keyed is not None:
+            raise NotImplementedError(
+                "keyed tuple-sketch post-aggs cannot combine with "
+                "subtotalsSpec; run subtotal lists as separate queries")
         out = _subtotals(df, keys, dim_names, subtotals, agg_specs, ctx)
+    elif keyed is not None:
+        from incubator_druid_spark.operators.tuple_keyed import run_keyed_aods
+        out = run_keyed_aods(df, keys, keyed, ctx)
+
     else:
         aggs = compile_aggregations(agg_specs, ctx)
         out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
 
-    post = compile_post_aggregations(query.get("postAggregations"))
+    post = compile_post_aggregations(
+        keyed["remaining_posts"] if keyed is not None
+        else query.get("postAggregations"))
     if post:
         out = out.select("*", *post)
 

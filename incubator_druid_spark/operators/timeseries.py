@@ -32,10 +32,34 @@ _ZERO_FILL_AGGS = {"count", "longSum", "doubleSum", "floatSum", "cardinality",
 
 def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     from incubator_druid_spark.operators.aggregations import rewrite_sketch_query
-    query = rewrite_sketch_query(query)
+    from incubator_druid_spark.operators.tuple_keyed import analyze_keyed_aods
+    keyed = analyze_keyed_aods(query)
+    if keyed is None:
+        query = rewrite_sketch_query(query)
     df = prepare_frame(query, spark, catalog)
     gran = parse_granularity(query.get("granularity", "all"))
     ctx = FilterContext(df)
+    if keyed is not None:
+        # keyed tuple-sketch post-aggs (ToVariances/TTest/SetOp/Quantiles):
+        # two-level aggregation, time bucket as the grouping key.  Empty
+        # buckets are not zero-filled on this path (sketch statistics over an
+        # empty population are NaN anyway).
+        from incubator_druid_spark.operators.tuple_keyed import run_keyed_aods
+        post = compile_post_aggregations(keyed["remaining_posts"])
+        if gran.kind == "all":
+            out = run_keyed_aods(df, [], keyed, ctx)
+        else:
+            bucketed = df.withColumn(TIME_COLUMN,
+                                     gran.floor(F.col(TIME_COLUMN)))
+            out = run_keyed_aods(bucketed, [TIME_COLUMN], keyed, ctx)
+        if post:
+            out = out.select("*", *post)
+        if gran.kind != "all":
+            out = out.orderBy(F.col(TIME_COLUMN).desc()
+                              if query.get("descending")
+                              else F.col(TIME_COLUMN))
+        limit = query.get("limit")
+        return out.limit(int(limit)) if limit else out
     aggs = compile_aggregations(query.get("aggregations"), ctx)
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("count")]

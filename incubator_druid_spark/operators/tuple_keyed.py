@@ -1,0 +1,453 @@
+"""Keyed tuple-sketch (arrayOfDoublesSketch) post-aggregators.
+
+ToVariances / TTest / SetOp / ToQuantilesSketch need statistics over the
+sketch's PER-KEY summed value vectors — state a single groupBy pass cannot
+produce (per-key sums do not telescope into cross-key variance).
+
+Reference semantics (extensions-core/datasketches/src/main/java/org/apache/
+druid/query/aggregation/datasketches/tuple/):
+- ArrayOfDoublesSketchToVariancesPostAggregator.java — SAMPLE variance
+  (commons-math SummaryStatistics.getVariance: NaN for an empty sketch, 0.0
+  for a single entry) per value column, across the per-key sums.
+- ArrayOfDoublesSketchTTestPostAggregator.java:78-86 — Welch's t-test
+  p-values (commons-math TTest.tTest(stats, stats)) per value column between
+  two sketches' per-key sum populations.
+- ArrayOfDoublesSketchSetOpPostAggregator.java + ArrayOfDoublesSketchOperations.java
+  — UNION and INTERSECT combine value vectors by element-wise SUM (the
+  module-private COMBINER), NOT (A-not-B) keeps A's values.
+- ArrayOfDoublesSketchToQuantilesSketchPostAggregator.java — a quantiles
+  sketch over ONE 1-based value column of the per-key sums; read by the
+  quantilesDoublesSketchToQuantile[s] post-aggs.
+
+Idiomatic Spark shape: a TWO-LEVEL aggregation.  Level 1 groups by
+(query keys + sketch key) producing per-key filtered metric sums and a
+presence flag per sketch side; level 2 groups by the query keys computing the
+cross-key statistic.  Both levels are hash aggregations with map-side partial
+combine — the same plan Catalyst builds for
+``SELECT dims, var_samp(s) FROM (SELECT dims, key, sum(m) AS s ... GROUP BY
+dims, key) GROUP BY dims`` — so the shape survives a 100× scale-up (the
+shuffle key of level 1 is strictly finer than level 2's, and AQE coalesces
+the second, much smaller, exchange).  Exact: the reference samples keys
+beyond nominalEntries; we never sample (the engine's documented
+approximate→exact upgrade).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from incubator_druid_spark.filters.filters import FilterContext, compile_filter
+from incubator_druid_spark.model.columns import qcol
+
+_HARD = ("arrayOfDoublesSketchToVariances", "arrayOfDoublesSketchTTest",
+         "arrayOfDoublesSketchSetOp", "arrayOfDoublesSketchToQuantilesSketch")
+
+_SIMPLE_READS = {"arrayOfDoublesSketchToEstimate": "estimate",
+                 "arrayOfDoublesSketchToNumEntries": "entries",
+                 "arrayOfDoublesSketchToEstimateAndBounds": "bounds",
+                 "arrayOfDoublesSketchToMeans": "means"}
+
+_NAN = float("nan")
+
+
+# ---------------------------------------------------------------------------
+# analysis — does this query need the keyed path, and what does it compute?
+# ---------------------------------------------------------------------------
+
+def analyze_keyed_aods(query: dict) -> dict | None:
+    """Return a keyed-execution plan if the query uses a hard tuple-sketch
+    post-agg (ToVariances/TTest/SetOp/ToQuantilesSketch), else None.
+
+    Plan: {"key": keyColumn, "sides": [{name, metrics, filter}],
+           "side_index": {aggName: idx}, "outputs": [...],
+           "remaining_posts": [...], "other_aggs": [...]}.
+    """
+    posts = query.get("postAggregations") or []
+    if not any(_contains_hard(p) for p in posts):
+        return None
+
+    aggs = list(query.get("aggregations") or [])
+    by_name = {}
+    for a in aggs:
+        by_name[_agg_name(a)] = a
+
+    sides: list[dict] = []
+    side_index: dict[str, int] = {}
+
+    def side_of(ref) -> int | None:
+        if not isinstance(ref, dict):
+            return None
+        if ref.get("type") not in ("fieldAccess", "finalizingFieldAccess"):
+            return None
+        base = by_name.get(ref.get("fieldName"))
+        if base is None:
+            return None
+        flt, inner = None, base
+        if base.get("type") == "filtered":
+            inner, flt = base["aggregator"], base["filter"]
+        if inner.get("type") != "arrayOfDoublesSketch":
+            return None
+        nm = inner.get("name")
+        if nm not in side_index:
+            side_index[nm] = len(sides)
+            sides.append({"name": nm, "key": inner["fieldName"],
+                          "metrics": inner.get("metricColumns") or [],
+                          "filter": flt})
+        return side_index[nm]
+
+    def src_of(node) -> dict | None:
+        """A 'source' is either one sketch side or a set-op over sides."""
+        j = side_of(node)
+        if j is not None:
+            return {"side": j}
+        if isinstance(node, dict) and \
+                node.get("type") == "arrayOfDoublesSketchSetOp":
+            op = str(node.get("operation", node.get("func", "UNION"))).upper()
+            if op not in ("UNION", "INTERSECT", "NOT"):
+                raise ValueError(f"arrayOfDoublesSketchSetOp: unknown "
+                                 f"operation {op!r}")
+            operands = [src_of(fnode) for fnode in node.get("fields", [])]
+            if len(operands) < 2 or any(o is None for o in operands):
+                return None
+            return {"op": op, "operands": operands}
+        return None
+
+    outputs, remaining = [], []
+    for p in posts:
+        t = p.get("type")
+        name = p.get("name", t)
+        if t == "arrayOfDoublesSketchToVariances":
+            src = src_of(p.get("field"))
+            if src is None:
+                raise ValueError("arrayOfDoublesSketchToVariances must read "
+                                 "an arrayOfDoublesSketch aggregator")
+            outputs.append({"name": name, "kind": "variances", "src": src})
+            continue
+        if t == "arrayOfDoublesSketchTTest":
+            fields = p.get("fields") or []
+            srcs = [src_of(fx) for fx in fields]
+            if len(srcs) != 2 or any(s is None for s in srcs):
+                raise ValueError("arrayOfDoublesSketchTTest needs exactly two "
+                                 "arrayOfDoublesSketch operands")
+            outputs.append({"name": name, "kind": "ttest",
+                            "a": srcs[0], "b": srcs[1]})
+            continue
+        if t in ("quantilesDoublesSketchToQuantile",
+                 "quantilesDoublesSketchToQuantiles"):
+            inner = p.get("field") or {}
+            if inner.get("type") == "arrayOfDoublesSketchToQuantilesSketch":
+                src = src_of(inner.get("field"))
+                if src is None:
+                    raise ValueError("arrayOfDoublesSketchToQuantilesSketch "
+                                     "must read an arrayOfDoublesSketch "
+                                     "aggregator")
+                single = t.endswith("ToQuantile")
+                fracs = [p["fraction"]] if single else list(p["fractions"])
+                outputs.append({"name": name, "kind": "quantile", "src": src,
+                                "column": int(inner.get("column") or 1),
+                                "fractions": [float(x) for x in fracs],
+                                "single": single})
+                continue
+        if t in _SIMPLE_READS:
+            src = src_of(p.get("field"))
+            if src is not None:
+                outputs.append({"name": name, "kind": _SIMPLE_READS[t],
+                                "src": src})
+                continue
+        if t == "arrayOfDoublesSketchSetOp" or \
+                t == "arrayOfDoublesSketchToQuantilesSketch":
+            raise ValueError(
+                f"{t} produces a sketch object; wrap it in ToEstimate/ToMeans/"
+                "ToVariances/ToQuantile to read a value")
+        remaining.append(p)
+
+    if not sides:
+        return None
+    keycols = {s["key"] for s in sides}
+    if len(keycols) > 1:
+        raise NotImplementedError(
+            "keyed tuple-sketch post-aggs require all arrayOfDoublesSketch "
+            f"aggregators to share one key column; got {sorted(keycols)}")
+    side_names = set(side_index)
+    other_aggs = [a for a in aggs if _agg_name(a) not in side_names]
+    return {"key": next(iter(keycols)), "sides": sides,
+            "side_index": side_index, "outputs": outputs,
+            "remaining_posts": remaining, "other_aggs": other_aggs}
+
+
+def _contains_hard(node) -> bool:
+    if isinstance(node, dict):
+        if node.get("type") in _HARD:
+            return True
+        return any(_contains_hard(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_hard(v) for v in node)
+    return False
+
+
+def _agg_name(spec: dict):
+    if spec.get("type") == "filtered":
+        return spec["aggregator"].get("name")
+    return spec.get("name")
+
+
+# ---------------------------------------------------------------------------
+# execution — the two-level aggregation
+# ---------------------------------------------------------------------------
+
+def run_keyed_aods(df: DataFrame, keys: list[str], plan: dict,
+                   ctx: FilterContext) -> DataFrame:
+    """Execute the keyed plan: level 1 per-(keys, sketch-key) sums, level 2
+    per-keys statistics.  Returns the aggregated frame with the sketch aggs'
+    struct state, telescoped plain aggs, and all keyed post-agg outputs as
+    named columns (plan['remaining_posts'] still to be applied by the
+    caller)."""
+    from incubator_druid_spark.operators.aggregations import (
+        compile_aggregator, _num)
+
+    key_col = ctx.resolve(plan["key"])
+
+    # ---- level 1: group by query keys + sketch key --------------------------
+    l1_aggs: list[Column] = []
+    for j, side in enumerate(plan["sides"]):
+        cond = (compile_filter(side["filter"], ctx) if side["filter"]
+                else F.lit(True))
+        l1_aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"__ks{j}_p"))
+        for i, m in enumerate(side["metrics"]):
+            l1_aggs.append(F.sum(F.when(cond, ctx.resolve(m).cast("double")))
+                           .alias(f"__ks{j}_m{i}"))
+
+    # telescope the query's other aggregators through level 1
+    l2_other: list[Column] = []
+    other_names: list[str] = []
+    for spec in plan["other_aggs"]:
+        inner = spec["aggregator"] if spec.get("type") == "filtered" else spec
+        it = inner["type"]
+        name = inner.get("name", it)
+        other_names.append(name)
+        if it == "count":
+            l1_aggs.append(compile_aggregator(spec, ctx))
+            l2_other.append(F.sum(qcol(name)).cast("long").alias(name))
+        elif it in ("longSum", "doubleSum", "floatSum"):
+            l1_aggs.append(compile_aggregator(spec, ctx))
+            l2_other.append(F.sum(qcol(name)).cast(_num(it)).alias(name))
+        elif it in ("longMin", "doubleMin", "floatMin"):
+            l1_aggs.append(compile_aggregator(spec, ctx))
+            l2_other.append(F.min(qcol(name)).alias(name))
+        elif it in ("longMax", "doubleMax", "floatMax"):
+            l1_aggs.append(compile_aggregator(spec, ctx))
+            l2_other.append(F.max(qcol(name)).alias(name))
+        elif it == "doubleMean":
+            cond = (compile_filter(spec["filter"], ctx)
+                    if spec.get("type") == "filtered" else F.lit(True))
+            x = F.when(cond, ctx.resolve(inner["fieldName"]).cast("double"))
+            l1_aggs.append(F.sum(x).alias(f"__mean_{name}_s"))
+            l1_aggs.append(F.count(x).alias(f"__mean_{name}_c"))
+            l2_other.append(
+                (F.sum(qcol(f"__mean_{name}_s"))
+                 / F.sum(qcol(f"__mean_{name}_c"))).alias(name))
+        else:
+            raise NotImplementedError(
+                f"aggregator {it!r} cannot run alongside keyed tuple-sketch "
+                "post-aggs (it does not telescope through the per-key "
+                "pre-aggregation); run it in a separate query")
+
+    group_cols = [qcol(k) for k in keys] + [key_col.alias("__aods_key")]
+    l1 = df.groupBy(*group_cols).agg(*l1_aggs)
+
+    # ---- level 2: group by query keys, statistics across sketch keys -------
+    knn = F.col("__aods_key").isNotNull()
+
+    def member(src) -> Column:
+        if "side" in src:
+            return (F.col(f"__ks{src['side']}_p") == 1) & knn
+        mems = [member(o) for o in src["operands"]]
+        if src["op"] == "UNION":
+            out = mems[0]
+            for m in mems[1:]:
+                out = out | m
+            return out
+        if src["op"] == "INTERSECT":
+            out = mems[0]
+            for m in mems[1:]:
+                out = out & m
+            return out
+        rest = mems[1]                              # NOT: A \ (B ∪ C ∪ …)
+        for m in mems[2:]:
+            rest = rest | m
+        return mems[0] & ~rest
+
+    def value(src, i: int) -> Column:
+        """Per-key combined value for metric column i (0-based)."""
+        if "side" in src:
+            return F.coalesce(F.col(f"__ks{src['side']}_m{i}"), F.lit(0.0))
+        if src["op"] == "NOT":                      # A-not-B keeps A's values
+            return value(src["operands"][0], i)
+        out = value(src["operands"][0], i)          # UNION/INTERSECT sum them
+        for o in src["operands"][1:]:
+            out = out + value(o, i)
+        return out
+
+    def nmetrics(src) -> int:
+        if "side" in src:
+            return len(plan["sides"][src["side"]]["metrics"])
+        return max(nmetrics(o) for o in src["operands"])
+
+    inter: list[Column] = []                        # level-2 aggregate cols
+    finals: list[tuple[str, callable]] = []         # name -> builder(Column*)
+
+    def add(col: Column, alias: str) -> str:
+        inter.append(col.alias(alias))
+        return alias
+
+    # sketch aggs keep their struct-state output columns (parity with the
+    # one-pass arrayOfDoublesSketch shape: estimate + metric sums)
+    for j, side in enumerate(plan["sides"]):
+        m = {"side": j}
+        cname = add(F.count(F.when(member(m), F.lit(1))), f"__sd{j}_n")
+        snames = [add(F.sum(F.when(member(m), value(m, i))), f"__sd{j}_s{i}")
+                  for i in range(len(side["metrics"]))]
+        finals.append((side["name"], lambda c=cname, s=snames: F.struct(
+            F.col(c).alias("estimate"),
+            (F.array(*[F.coalesce(F.col(x), F.lit(0.0)) for x in s]) if s
+             else F.array().cast("array<double>")).alias("sums"))))
+
+    for oidx, out in enumerate(plan["outputs"]):
+        kind, name = out["kind"], out["name"]
+        if kind in ("estimate", "entries", "bounds", "means", "variances"):
+            src = out["src"]
+            n = add(F.count(F.when(member(src), F.lit(1))), f"__o{oidx}_n")
+            if kind == "estimate":
+                finals.append((name, lambda n=n: F.col(n).cast("double")))
+            elif kind == "entries":
+                finals.append((name, lambda n=n: F.col(n).cast("long")))
+            elif kind == "bounds":
+                finals.append((name, lambda n=n: F.array(
+                    *([F.col(n).cast("double")] * 3))))
+            elif kind == "means":
+                ms = [add(F.avg(F.when(member(src), value(src, i))),
+                          f"__o{oidx}_m{i}") for i in range(nmetrics(src))]
+                finals.append((name, lambda n=n, ms=ms: F.array(
+                    *[F.when(F.col(n) == 0, F.lit(_NAN))
+                      .otherwise(F.col(x)) for x in ms])))
+            else:                                   # variances (sample)
+                vs = [add(F.var_samp(F.when(member(src), value(src, i))),
+                          f"__o{oidx}_v{i}") for i in range(nmetrics(src))]
+                finals.append((name, lambda n=n, vs=vs: F.array(
+                    *[F.when(F.col(n) == 0, F.lit(_NAN))
+                      .when(F.col(n) == 1, F.lit(0.0))
+                      .otherwise(F.coalesce(F.col(x), F.lit(0.0)))
+                      for x in vs])))
+        elif kind == "quantile":
+            src, i = out["src"], out["column"] - 1
+            fr = out["fractions"]
+            pct = (F.lit(fr[0]) if out["single"]
+                   else F.array(*[F.lit(x) for x in fr]))
+            q = add(F.percentile(F.when(member(src), value(src, i)), pct),
+                    f"__o{oidx}_q")
+            finals.append((name, lambda q=q: F.col(q)))
+        elif kind == "ttest":
+            a, b = out["a"], out["b"]
+            cells = []
+            for i in range(max(nmetrics(a), nmetrics(b))):
+                stats = []
+                for tag, src in (("a", a), ("b", b)):
+                    stats.append(add(F.avg(F.when(member(src), value(src, i))),
+                                     f"__o{oidx}_{tag}m{i}"))
+                    stats.append(add(
+                        F.var_samp(F.when(member(src), value(src, i))),
+                        f"__o{oidx}_{tag}v{i}"))
+                    stats.append(add(
+                        F.count(F.when(member(src), value(src, i))),
+                        f"__o{oidx}_{tag}n{i}"))
+                cells.append(stats)
+            finals.append((name, lambda cells=cells: F.array(
+                *[_WELCH_UDF(*[F.col(x).cast("double") for x in st])
+                  for st in cells])))
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+
+    l2 = (l1.groupBy(*[qcol(k) for k in keys]).agg(*l2_other, *inter)
+          if keys else l1.agg(*l2_other, *inter))
+    select_cols = [qcol(k) for k in keys]
+    select_cols += [qcol(n) for n in other_names]
+    select_cols += [builder().alias(name) for name, builder in finals]
+    return l2.select(*select_cols)
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test p-value (commons-math TTest.tTest equivalent)
+# ---------------------------------------------------------------------------
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta (Lentz)."""
+    tiny, eps = 1e-300, 1e-14
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def _betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lfront = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+              + a * math.log(x) + b * math.log1p(-x))
+    front = math.exp(lfront)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def _welch_p(m1, v1, n1, m2, v2, n2):
+    """Two-sided Welch t-test p-value — the commons-math
+    TTest.tTest(SummaryStatistics, SummaryStatistics) the reference calls
+    (ArrayOfDoublesSketchTTestPostAggregator.java:85).  p = I_x(df/2, 1/2)
+    with x = df/(df + t²) — the survival-function identity for Student's t."""
+    if m1 is None or m2 is None or n1 is None or n2 is None \
+            or n1 < 2 or n2 < 2:
+        return _NAN
+    v1 = v1 or 0.0
+    v2 = v2 or 0.0
+    se2 = v1 / n1 + v2 / n2
+    if se2 == 0.0:
+        return _NAN if m1 == m2 else 0.0
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return _betainc(df / 2.0, 0.5, df / (df + t * t))
+
+
+_WELCH_UDF = F.udf(_welch_p, DoubleType())

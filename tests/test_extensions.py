@@ -337,3 +337,104 @@ def test_array_of_doubles_tuple_sketch(spark, catalog):
         assert r["est"] == float(w["cd"]) and r["n"] == w["cd"]
         assert r["b"] == [float(w["cd"])] * 3
         assert abs(r["means"][0] - w["sv"] / w["cd"]) < 1e-6
+
+
+def test_tuple_sketch_keyed_variances_and_quantile(spark, catalog):
+    """tuple/ArrayOfDoublesSketchToVariancesPostAggregator.java — SAMPLE
+    variance per value column across the sketch's PER-KEY sums (needs the
+    two-level aggregation in operators/tuple_keyed.py), and
+    ToQuantilesSketch→ToQuantile over the same per-key sum population."""
+    from incubator_druid_spark import translate
+
+    fa = {"type": "fieldAccess", "fieldName": "sk"}
+    q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [
+             {"type": "arrayOfDoublesSketch", "name": "sk",
+              "fieldName": "user_id", "metricColumns": ["value"]},
+             {"type": "count", "name": "rows"}],
+         "postAggregations": [
+             {"type": "arrayOfDoublesSketchToVariances", "name": "vars",
+              "field": fa},
+             {"type": "quantilesDoublesSketchToQuantile", "name": "med",
+              "fraction": 0.5,
+              "field": {"type": "arrayOfDoublesSketchToQuantilesSketch",
+                        "name": "qs", "column": 1, "field": fa}},
+             {"type": "arrayOfDoublesSketchToEstimate", "name": "est",
+              "field": fa}]}
+    out = {r["event_type"]: r for r in translate(q, spark, catalog).collect()}
+
+    ev = catalog.table("events")
+    per_key = ev.groupBy("event_type", "user_id") \
+        .agg(F.sum(F.col("value").cast("double")).alias("s"))
+    want = {r["event_type"]: r for r in
+            per_key.groupBy("event_type")
+            .agg(F.var_samp("s").alias("v"),
+                 F.percentile("s", F.lit(0.5)).alias("med"),
+                 F.count_distinct("user_id").alias("cd")).collect()}
+    rows = {r["event_type"]: r["c"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for et, w in want.items():
+        r = out[et]
+        assert abs(r["vars"][0] - w["v"]) < 1e-6 * max(1.0, abs(w["v"]))
+        assert abs(r["med"] - w["med"]) < 1e-9
+        assert r["est"] == float(w["cd"])
+        assert r["rows"] == rows[et]
+
+
+def test_tuple_sketch_ttest_and_setop(spark, catalog):
+    """tuple/ArrayOfDoublesSketchTTestPostAggregator.java:78-86 — Welch's
+    t-test p-value between two sketches' per-key sum populations, and
+    SetOp UNION/INTERSECT membership estimates."""
+    from incubator_druid_spark import translate
+
+    def side(name, etype):
+        return {"type": "filtered",
+                "filter": {"type": "selector", "dimension": "event_type",
+                           "value": etype},
+                "aggregator": {"type": "arrayOfDoublesSketch", "name": name,
+                               "fieldName": "user_id",
+                               "metricColumns": ["value"]}}
+
+    fa = lambda n: {"type": "fieldAccess", "fieldName": n}
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [side("a", "click"), side("b", "purchase")],
+         "postAggregations": [
+             {"type": "arrayOfDoublesSketchTTest", "name": "p",
+              "fields": [fa("a"), fa("b")]},
+             {"type": "arrayOfDoublesSketchToEstimate", "name": "u_est",
+              "field": {"type": "arrayOfDoublesSketchSetOp",
+                        "operation": "UNION", "name": "u",
+                        "fields": [fa("a"), fa("b")]}},
+             {"type": "arrayOfDoublesSketchToEstimate", "name": "i_est",
+              "field": {"type": "arrayOfDoublesSketchSetOp",
+                        "operation": "INTERSECT", "name": "i",
+                        "fields": [fa("a"), fa("b")]}}]}
+    row = translate(q, spark, catalog).first()
+
+    ev = catalog.table("events")
+    a_keys = {r[0] for r in ev.filter(F.col("event_type") == "click")
+              .select("user_id").distinct().collect()}
+    b_keys = {r[0] for r in ev.filter(F.col("event_type") == "purchase")
+              .select("user_id").distinct().collect()}
+    assert row["u_est"] == float(len(a_keys | b_keys))
+    assert row["i_est"] == float(len(a_keys & b_keys))
+
+    import numpy as np
+    pk = ev.filter(F.col("event_type").isin("click", "purchase")) \
+        .groupBy("event_type", "user_id") \
+        .agg(F.sum(F.col("value").cast("double")).alias("s")).collect()
+    xs = np.array([r["s"] for r in pk if r["event_type"] == "click"])
+    ys = np.array([r["s"] for r in pk if r["event_type"] == "purchase"])
+    m1, v1, n1 = xs.mean(), xs.var(ddof=1), len(xs)
+    m2, v2, n2 = ys.mean(), ys.var(ddof=1), len(ys)
+    from incubator_druid_spark.operators.tuple_keyed import _welch_p
+    want_p = _welch_p(m1, v1, n1, m2, v2, n2)
+    try:
+        from scipy import stats as sstats  # cross-check when available
+        sp = sstats.ttest_ind(xs, ys, equal_var=False).pvalue
+        assert abs(want_p - sp) < 1e-8
+    except ImportError:
+        pass
+    assert abs(row["p"][0] - want_p) < 1e-9
