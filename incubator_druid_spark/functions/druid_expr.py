@@ -583,8 +583,12 @@ def _registry() -> dict:
         "trim": _cols(F.trim), "ltrim": _cols(F.ltrim), "rtrim": _cols(F.rtrim),
         "btrim": _cols(F.trim),
         "like": lambda p, s, pat, esc=None: _c(s).like(lit_str(pat)),
-        "regexp_extract": lambda p, s, pat, idx=None: F.regexp_extract(
-            _c(s), lit_str(pat), int(lit_val(idx)) if idx is not None else 0),
+        # RegexpExtractExprMacro.java: matcher.find() ? group(idx) : NULL —
+        # Spark's regexp_extract returns '' on no-match, so guard with rlike
+        "regexp_extract": lambda p, s, pat, idx=None: F.when(
+            _c(s).rlike(lit_str(pat)),
+            F.regexp_extract(_c(s), lit_str(pat),
+                             int(lit_val(idx)) if idx is not None else 0)),
         "regexp_like": lambda p, s, pat: _c(s).rlike(lit_str(pat)),
         "regexp_replace": lambda p, s, pat, rep: F.regexp_replace(
             _c(s), lit_str(pat), lit_str(rep)),

@@ -350,6 +350,123 @@ def _rewrite_aggregate_names(sql: str) -> str:
     return sql
 
 
+def _rewrite_calls(sql: str, name: str, repl) -> str:
+    """Rewrite every call of ``name(...)`` in ``sql`` via ``repl(args) ->
+    str | None`` (None leaves the call untouched).  Argument splitting is
+    paren- and quote-aware so nested calls and string literals pass through;
+    replacement text is not re-scanned."""
+    import re
+    pat = re.compile(rf"(?i)\b{name}\s*\(")
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        i, depth, inq = m.end(), 1, False
+        args, cur = [], []
+        while i < len(sql) and depth:
+            c = sql[i]
+            if inq:
+                cur.append(c)
+                if c == "'":
+                    inq = False
+            elif c == "'":
+                inq = True
+                cur.append(c)
+            elif c == "(":
+                depth += 1
+                cur.append(c)
+            elif c == ")":
+                depth -= 1
+                if depth:
+                    cur.append(c)
+            elif c == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        tail = "".join(cur).strip()
+        if tail or args:
+            args.append(tail)
+        rep = repl(args)
+        out.append(sql[pos:m.start()])
+        out.append(rep if rep is not None else sql[m.start():i])
+        pos = i
+
+
+def _null_arg(a: str | None) -> bool:
+    return a is None or a.strip().upper() == "NULL"
+
+
+def _rewrite_time_tz(sql: str) -> str:
+    """3/4-arg TIME_FLOOR/TIME_CEIL(ts, period, origin, tz), 4-arg
+    TIME_SHIFT(ts, period, step, tz), 3-arg TIME_EXTRACT/TIME_FORMAT(.., tz)
+    — TimeFloorOperatorConversion.java etc. accept origin + timezone.
+    Timezone: evaluate in local wall-clock via from_utc_timestamp, convert
+    back (TIME_EXTRACT/TIME_FORMAT read local fields, no back-conversion).
+    Origin: fixed-period buckets anchored at the origin instant."""
+    def wrap(ts, tz):
+        return f"from_utc_timestamp({ts}, {tz})" if tz else ts
+
+    def floor_ceil(fname):
+        def repl(args):
+            if len(args) <= 2:
+                return None
+            ts, p = args[0], args[1]
+            origin = None if _null_arg(args[2]) else args[2]
+            tz = None if len(args) < 4 or _null_arg(args[3]) else args[3]
+            if origin is None:
+                inner = f"{fname}({wrap(ts, tz)}, {p})"
+                return (f"to_utc_timestamp({inner}, {tz})" if tz else inner)
+            pl = p.strip().upper().strip("'")
+            if pl in _CAL:
+                raise ValueError(
+                    f"{fname} with origin needs a fixed-length period "
+                    f"(got {pl}); use the native API's PeriodGranularity "
+                    "for calendar periods with origin")
+            ms = _period_millis_case(p)
+            tl, ol = wrap(ts, tz), wrap(origin, tz)
+            bucket = (f"floor((unix_millis({tl}) - unix_millis({ol})) / {ms})"
+                      if fname == "TIME_FLOOR" else
+                      f"ceil((unix_millis({tl}) - unix_millis({ol})) / {ms})")
+            flo = (f"timestamp_millis(cast(unix_millis({ol}) + "
+                   f"{bucket} * {ms} AS BIGINT))")
+            return f"to_utc_timestamp({flo}, {tz})" if tz else flo
+        return repl
+
+    sql = _rewrite_calls(sql, "TIME_FLOOR", floor_ceil("TIME_FLOOR"))
+    sql = _rewrite_calls(sql, "TIME_CEIL", floor_ceil("TIME_CEIL"))
+    sql = _rewrite_calls(
+        sql, "TIME_SHIFT",
+        lambda a: None if len(a) <= 3 or _null_arg(a[3]) else
+        f"to_utc_timestamp(TIME_SHIFT({wrap(a[0], a[3])}, {a[1]}, {a[2]}), "
+        f"{a[3]})")
+    for fn in ("TIME_EXTRACT", "TIME_FORMAT"):
+        sql = _rewrite_calls(
+            sql, fn,
+            lambda a, fn=fn: None if len(a) <= 2 or _null_arg(a[2]) else
+            f"{fn}({wrap(a[0], a[2])}, {a[1]})")
+    return sql
+
+
+def _rewrite_regexp_extract(sql: str) -> str:
+    """REGEXP_EXTRACT(s, p[, idx]) — RegexpExtractExprMacro.java returns NULL
+    when the pattern does not match (matcher.find() fails); Spark's builtin
+    returns ''.  Also: Druid's default group is 0, Spark's is 1."""
+    def repl(args):
+        if len(args) == 2:
+            s, p, i = args[0], args[1], "0"
+        elif len(args) == 3:
+            s, p, i = args
+        else:
+            return None
+        return (f"(CASE WHEN {s} RLIKE {p} "
+                f"THEN regexp_extract({s}, {p}, {i}) END)")
+    return _rewrite_calls(sql, "REGEXP_EXTRACT", repl)
+
+
 # Calcite FLOOR(ts TO unit) / CEIL(ts TO unit) — the idiom in every Druid
 # SQL tutorial query (sql/.../expression/builtin/FloorOperatorConversion.java,
 # CeilOperatorConversion.java); Spark's FLOOR/CEIL have no TO-unit form.
@@ -384,6 +501,8 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
     sql = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)", r"sys_\1", sql)
     sql = _rewrite_floor_ceil_to(sql)
+    sql = _rewrite_time_tz(sql)
+    sql = _rewrite_regexp_extract(sql)
     # Calcite dialect forms Spark's parser rejects:
     #   CAST(x AS VARCHAR) with no length  → STRING
     #   GROUP BY ()                        → global aggregate (drop clause)

@@ -347,3 +347,54 @@ def test_having_on_aliased_aggregate(spark, foo_catalog):
     assert {(r["pfx"], r["s"]) for r in out} == \
         {("1", 6.0), ("a", 6.0), ("d", 5.0)}
     assert [r["s"] for r in out] == [6.0, 6.0, 5.0]
+
+
+def test_time_floor_timezone_and_origin(spark, foo_catalog):
+    """TimeFloorOperatorConversion.java — TIME_FLOOR(ts, period, origin, tz).
+    tz: floor in local wall-clock; origin: buckets anchored at the origin."""
+    r = q(spark, foo_catalog, """
+        SELECT TIME_FLOOR(__time, 'P1D', NULL, 'America/Los_Angeles') AS d
+        FROM foo WHERE dim1 = ''""").first()
+    # 2000-01-01T00:00 UTC = 1999-12-31T16:00 LA → LA midnight = 08:00 UTC
+    assert str(r["d"]) == "1999-12-31 08:00:00"
+    r = q(spark, foo_catalog, """
+        SELECT TIME_FLOOR(__time, 'PT1H',
+                          TIMESTAMP '2000-01-01 00:30:00') AS h
+        FROM foo WHERE dim1 = ''""").first()
+    assert str(r["h"]) == "1999-12-31 23:30:00"
+    grouped = q(spark, foo_catalog, """
+        SELECT TIME_FLOOR(__time, 'P1Y', NULL, 'America/Los_Angeles') AS y,
+               COUNT(*) AS c
+        FROM foo GROUP BY 1 ORDER BY 1""").collect()
+    # LA-local years (UTC-midnight rows land at 16:00 LA the prior day):
+    # 2000-01-01 → LA 1999; 2000-01-02/03 + 2001-01-01 → LA 2000;
+    # 2001-01-02/03 → LA 2001; year boundaries at 08:00 UTC
+    assert [(str(r["y"]), r["c"]) for r in grouped] == \
+        [("1999-01-01 08:00:00", 1), ("2000-01-01 08:00:00", 3),
+         ("2001-01-01 08:00:00", 2)]
+
+
+def test_time_shift_extract_timezone(spark, foo_catalog):
+    r = q(spark, foo_catalog, """
+        SELECT TIME_SHIFT(__time, 'P1M', 1, 'America/Los_Angeles') AS m,
+               TIME_EXTRACT(__time, 'DAY', 'America/Los_Angeles') AS d,
+               TIME_FORMAT(__time, 'yyyy-MM-dd HH', 'America/Los_Angeles') AS f
+        FROM foo WHERE dim1 = ''""").first()
+    # 2000-01-01T00 UTC = 1999-12-31T16 LA; +1 month LA = 2000-01-31T16 LA
+    # = 2000-02-01T00 UTC
+    assert str(r["m"]) == "2000-02-01 00:00:00"
+    assert r["d"] == 31
+    assert r["f"] == "1999-12-31 16"
+
+
+def test_regexp_extract_null_on_no_match(spark, foo_catalog):
+    """RegexpExtractExprMacro.java: no match → NULL (Spark builtin: '');
+    default group is 0 (whole match)."""
+    out = q(spark, foo_catalog, r"""
+        SELECT dim1, REGEXP_EXTRACT(dim1, '^(\\d+)', 1) AS num,
+               REGEXP_EXTRACT(dim1, 'b') AS whole
+        FROM foo""").collect()
+    got = {(r["dim1"], r["num"], r["whole"]) for r in out}
+    assert got == {("", None, None), ("10.1", "10", None), ("2", "2", None),
+                   ("1", "1", None), ("def", None, None),
+                   ("abc", None, "b")}
