@@ -532,7 +532,13 @@ def _registry() -> dict:
         "atan": _cols(F.atan), "atan2": _cols(F.atan2), "cbrt": _cols(F.cbrt),
         "ceil": _cols(F.ceil), "cos": _cols(F.cos), "cosh": _cols(F.cosh),
         "cot": _cols(lambda x: F.cos(x) / F.sin(x)),
-        "div": _cols(lambda a, b: F.floor(a / b).cast("long")),
+        # Function.java Div: Java long division — truncates toward zero
+        # (floor() would be off by one for negative quotients); Spark's div
+        # function has the same semantics, exact on longs.  Non-integral
+        # double operands are truncated first (Druid's double overload does
+        # (long)(x/y) — differs only when operands are fractional).
+        "div": _cols(lambda a, b: F.call_function(
+            "div", a.cast("long"), b.cast("long"))),
         "exp": _cols(F.exp), "expm1": _cols(F.expm1), "floor": _cols(F.floor),
         "log": _cols(F.log), "log10": _cols(F.log10), "log1p": _cols(F.log1p),
         "log2": _cols(F.log2),

@@ -140,8 +140,10 @@ _FUNCTIONS: list[str] = [
     # -- math / misc
     """CREATE OR REPLACE TEMPORARY FUNCTION SAFE_DIVIDE(a DOUBLE, b DOUBLE)
        RETURNS DOUBLE RETURN CASE WHEN b = 0 THEN NULL ELSE a / b END""",
+    # DivOperatorConversion → Function.java Div: Java long division,
+    # truncation toward zero (floor is wrong for negative quotients)
     """CREATE OR REPLACE TEMPORARY FUNCTION DIV(a BIGINT, b BIGINT)
-       RETURNS BIGINT RETURN CAST(floor(a / b) AS BIGINT)""",
+       RETURNS BIGINT RETURN a div b""",
     """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_AND(a BIGINT, b BIGINT)
        RETURNS BIGINT RETURN a & b""",
     """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_OR(a BIGINT, b BIGINT)

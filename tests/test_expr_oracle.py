@@ -49,6 +49,50 @@ PAIRS = [
     ("timestamp_floor(t, 'P1D')", "date_trunc('day', t)"),
     ("timestamp_extract(t, 'HOUR')", "extract(hour FROM t)"),
     ("timestamp_extract(t, 'DOW')", "isodow(t)"),       # druid DOW == joda Mon=1
+    # -- trig / rounding
+    ("sin(x / 1e6)", "sin(x / 1e6)"),
+    ("cos(x / 1e6)", "cos(x / 1e6)"),
+    ("atan2(y, abs(x) + 1)", "atan2(y, abs(x) + 1)"),
+    # round-to-integer only: fractional scales hit engine-specific handling
+    # of .xx5 doubles (not exactly representable) — Druid itself documents
+    # BigDecimal-vs-double drift for ROUND
+    ("round(x)", "round(x)"),
+    ("cbrt(abs(x))", "cbrt(abs(x))"),
+    ("div(n, 7)", "n // 7"),                            # integer floor division
+    ("n % 7", "n % 7"),
+    # -- conditionals
+    ("case_searched(x > 0, 'p', x < 0, 'n', 'z')",
+     "CASE WHEN x > 0 THEN 'p' WHEN x < 0 THEN 'n' ELSE 'z' END"),
+    ("case_simple(substring(s, 0, 1), 'a', 'A', 'b', 'B', '?')",
+     "CASE substr(s, 1, 1) WHEN 'a' THEN 'A' WHEN 'b' THEN 'B' ELSE '?' END"),
+    ("isnull(if(s == '', null, s))", "nullif(s, '') IS NULL"),
+    # -- strings
+    ("trim(s)", "trim(s)"),
+    ("regexp_extract(s, '([ab]+)', 1)",                 # druid: NULL on no-
+     "nullif(regexp_extract(s, '([ab]+)', 1), '')"),    # match; duckdb: ''
+    ("regexp_like(s, '^a')", "regexp_matches(s, '^a')"),
+    ("contains_string(s, 'ab')", "contains(s, 'ab')"),
+    ("parse_long(format('%d', n))", "CAST(format('{:d}', n) AS BIGINT)"),
+    # -- time
+    ("timestamp_ceil(t, 'PT1H')",
+     "CASE WHEN date_trunc('hour', t) = t THEN t "
+     "ELSE date_trunc('hour', t) + INTERVAL 1 HOUR END"),
+    ("timestamp_shift(t, 'P1D', 3)", "t + INTERVAL 3 DAY"),
+    ("timestamp_shift(t, 'P1M', 2)", "t + INTERVAL 2 MONTH"),
+    ("timestamp_format(t, 'yyyy-MM-dd')", "strftime(t, '%Y-%m-%d')"),
+    ("timestamp_extract(t, 'QUARTER')", "extract(quarter FROM t)"),
+    ("timestamp_extract(t, 'EPOCH')", "epoch(t)"),
+    # -- arrays (druid offsets 0-based, duckdb list indexes 1-based)
+    ("array_length(string_to_array(s, ' '))",
+     "len(string_split(s, ' '))"),
+    ("array_offset(string_to_array(s, ' '), 0)",
+     "string_split(s, ' ')[1]"),
+    ("array_contains(string_to_array(s, ' '), 'ab')",
+     "list_contains(string_split(s, ' '), 'ab')"),
+    ("array_to_string(string_to_array(s, ' '), '|')",
+     "list_aggregate(string_split(s, ' '), 'string_agg', '|')"),
+    ("fold((v, acc) -> acc + strlen(v), string_to_array(s, ' '), 0)",
+     "list_sum(list_transform(string_split(s, ' '), v -> length(v)))"),
 ]
 
 
@@ -89,7 +133,9 @@ def test_expr_compiler_matches_duckdb(spark):
             ok = np.allclose(g.astype(float), w.astype(float),
                              rtol=1e-9, atol=1e-9, equal_nan=True)
         else:
-            ok = (g.astype(object).where(pd.notna(g), None)
-                  == w.astype(object).where(pd.notna(w), None)).all()
+            ga = g.astype(object).where(pd.notna(g), None).tolist()
+            wa = w.astype(object).where(pd.notna(w), None).tolist()
+            ok = all(a == b or (a is None and b is None)
+                     for a, b in zip(ga, wa))
         assert ok, f"mismatch for {druid_e!r} vs {duck_e!r}: " \
                    f"{g.head(3).tolist()} != {w.head(3).tolist()}"
