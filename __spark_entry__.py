@@ -789,11 +789,22 @@ def _text_source_tokens(spark, sf):
 
 
 def _text_quality(spark, sf):
-    """Quality/langid analysis — heuristic, rows-only check."""
+    """Quality/langid heuristics (token count, composite quality score,
+    stopword-marker language ID) — oracle-checked against a DuckDB port of
+    the same formulas.  The xxhash64 fingerprint column is exercised by
+    dedup_fingerprint instead (its oracle groups on normalized text, which
+    is hash-independent)."""
     from incubator_druid_spark.pipeline.text import analyze
     docs = _cat(spark, sf).table("documents")
+    # floor(x*1e4+0.5)/1e4 instead of round(): Spark's round is string-
+    # mediated (BigDecimal.valueOf) while DuckDB rounds the binary double —
+    # they disagree one ulp below a .5 boundary; this form is pure IEEE
+    # arithmetic, identical in both engines.
     return (analyze(docs)
-            .select("doc_id", "n_tokens", "quality", "lang_pred", "fingerprint"))
+            .select("doc_id", "n_tokens",
+                    (F.floor(F.col("quality") * 10000 + 0.5) / 10000)
+                    .alias("quality"),
+                    "lang_pred"))
 
 
 def _ann_brute_topk(spark, sf):
@@ -1383,7 +1394,61 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
-        # ts_day_zerofill / text_quality / ann_lsh_topk / minhash_pairs /
+        # pipeline/text.py quality_score + language_id ported formula-for-
+        # formula to DuckDB list/regexp functions: whitespace tokens, en
+        # stopword ratio, punctuation density, mean word length; language =
+        # first-in-order argmax of per-language marker hits (strict > chain).
+        "text_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '') AS ltoks,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text,
+                              '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct
+                FROM documents),
+            h AS (
+                SELECT doc_id, toks, n_chars, n_punct,
+                       len(toks) AS n_tok,
+                       len(list_filter(ltoks, x -> list_contains(
+                           ['the','and','of','to','is','in','that','with','for','was'], x))) AS h_en,
+                       len(list_filter(ltoks, x -> list_contains(
+                           ['le','la','les','et','de','un','une','est','dans','pour'], x))) AS h_fr,
+                       len(list_filter(ltoks, x -> list_contains(
+                           ['der','die','das','und','ist','ein','eine','mit','von','nicht'], x))) AS h_de,
+                       len(list_filter(ltoks, x -> list_contains(
+                           ['el','la','los','las','y','de','que','es','en','por'], x))) AS h_es
+                FROM t),
+            s AS (
+                SELECT doc_id, n_tok, h_en, h_fr, h_de, h_es,
+                       least(n_tok / 100.0, 1.0) AS length_score,
+                       least(CASE WHEN n_tok > 0
+                                  THEN (h_en / n_tok) * 5.0 ELSE 0.0 END, 1.0)
+                           AS sw_score,
+                       greatest(0.0, 1.0 - 4.0 * CASE WHEN n_chars > 0
+                           THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+                           AS punct_score,
+                       CASE WHEN n_tok > 0
+                            THEN list_sum(list_transform(toks,
+                                     x -> length(x)))::DOUBLE / n_tok
+                            ELSE 0.0 END AS mwl
+                FROM h)
+            SELECT doc_id, n_tok AS n_tokens,
+                   floor((length_score * 0.3 + sw_score * 0.3
+                          + punct_score * 0.2
+                          + CASE WHEN mwl >= 2.5 AND mwl <= 10.0
+                                 THEN 1.0 ELSE 0.3 END * 0.2) * 10000 + 0.5)
+                       / 10000 AS quality,
+                   CASE WHEN h_es > greatest(h_en, h_fr, h_de) THEN 'es'
+                        WHEN h_de > greatest(h_en, h_fr) THEN 'de'
+                        WHEN h_fr > h_en THEN 'fr'
+                        WHEN h_en > 0 THEN 'en'
+                        ELSE 'und' END AS lang_pred
+            FROM s
+        """,
+        # ts_day_zerofill / ann_lsh_topk / minhash_pairs /
         # simhash_pairers / segment_metadata / gb_first_last: approximate or
         # non-SQL-expressible paths intentionally omitted → rows-only check.
     }

@@ -97,25 +97,41 @@ def main() -> int:
     # scans at 100 TB.  Built once and reused across bench runs.
     from pyspark.sql import functions as FF
     rep = max(1, (200_000_000 // max(lineitem_rows, 1)))
-    seg_path = f"/tmp/spark_graft_bench_segments_sf{sf_dir.rstrip('/').split('sf')[-1]}_{rep}"
+    seg_path = (f"/tmp/spark_graft_bench_segments_v2_sf"
+                f"{sf_dir.rstrip('/').split('sf')[-1]}_{rep}")
     if not os.path.exists(os.path.join(seg_path, "_SUCCESS")):
         slim = cat.table("lineitem").select(
             "__time", F.col("l_extendedprice").cast("float").alias("m"))
+        # range-partition on (bucket, time) so each writer task lands in one
+        # year dir → ~cpus files of ~30 MB: one scan wave with every core on
+        # its own file (tiny files pay per-file open cost; one big file per
+        # bucket serializes on 128 MB row-group granularity)
         (slim.repartition(cpus)
              .withColumn("__r", FF.explode(FF.sequence(FF.lit(1), FF.lit(rep))))
              .withColumn("m", (F.col("m") + F.col("__r") * F.lit(0.0017)).cast("float"))
              .drop("__r")
              .withColumn("__bucket", F.date_trunc("year", F.col("__time")))
+             .repartitionByRange(cpus, F.col("__bucket"), F.col("__time"))
              .write.mode("overwrite").option("compression", "uncompressed")
              .partitionBy("__bucket").parquet(seg_path))
+    # drop persisted frames left by the headline queries (minhash/IVF persist
+    # intermediates; the query cache pins frames) — executor-memory pressure
+    # and the GC churn it causes otherwise pollute the steady-state scan metric
+    spark.catalog.clearCache()
     seg = spark.read.parquet(seg_path)
     seg_f = seg.filter((F.col("__bucket") >= "1995-01-01")
                        & (F.col("__bucket") < "2002-01-01"))
     big_rows = seg_f.count()
-    mem_count_sec = min(_timed(lambda: seg_f.count()) for _ in range(5))
+    # steady-state: untimed warmup rounds first (JIT-compile the codegen'd
+    # scan→agg loop + fault the files into page cache), then best-of-7 —
+    # the whitepaper numbers are likewise hot-tier mmap'd steady state
+    for _ in range(3):
+        seg_f.count()
+        seg_f.agg(F.sum("m")).collect()
+    mem_count_sec = min(_timed(lambda: seg_f.count()) for _ in range(7))
     mem_sum_sec = min(_timed(
         lambda: seg_f.agg(F.sum("m")).collect())
-        for _ in range(5))
+        for _ in range(7))
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

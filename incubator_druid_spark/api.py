@@ -101,16 +101,78 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
 
     sql = body["query"]
     params = body.get("parameters") or []
-    for p in params:  # positional '?' substitution (SqlParameter)
-        v = p["value"] if isinstance(p, dict) else p
-        lit = f"'{v}'" if isinstance(v, str) else str(v)
-        sql = sql.replace("?", lit, 1)
+    if params:
+        sql = _bind_parameters(sql, params)
+
+    ctx = body.get("context") or {}
+    tz = ctx.get("sqlTimeZone")
+    if tz:
+        # sqlTimeZone (PlannerContext.CTX_SQL_TIME_ZONE): FLOOR-to-unit /
+        # EXTRACT / result rendering interpret timestamps in this zone —
+        # Spark's session timezone is the same knob.
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            df = druid_sql(spark, sql, catalog)
+            rows_early = _rows(df)  # materialize under the tz
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        return _format_sql_rows(rows_early, df.columns, body)
 
     df = druid_sql(spark, sql, catalog)
+    return _format_sql_rows(_rows(df), df.columns, body)
+
+
+def _bind_parameters(sql: str, params: list) -> str:
+    """Positional '?' binding (SqlParameter / SqlQuery.getParameterList) —
+    quote- and comment-aware so a '?' inside a string literal is data, not a
+    placeholder; string values have embedded quotes doubled."""
+    out: list[str] = []
+    it = iter(params)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal ('' is the escape)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1]); i = j + 1
+        elif c == '"':  # quoted identifier
+            j = sql.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(sql[i:j + 1]); i = j + 1
+        elif c == "-" and sql.startswith("--", i):  # line comment
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(sql[i:j]); i = j
+        elif c == "?":
+            try:
+                p = next(it)
+            except StopIteration:
+                raise ValueError("too few parameters for '?' placeholders")
+            v = p.get("value") if isinstance(p, dict) else p
+            if v is None:
+                out.append("NULL")
+            elif isinstance(v, bool):
+                out.append("TRUE" if v else "FALSE")
+            elif isinstance(v, str):
+                out.append("'" + v.replace("'", "''") + "'")
+            else:
+                out.append(str(v))
+            i += 1
+        else:
+            out.append(c); i += 1
+    return "".join(out)
+
+
+def _format_sql_rows(rows: list[dict], cols: list[str], body: dict):
     fmt = body.get("resultFormat", "object")
     header = bool(body.get("header"))
-    rows = _rows(df)
-    cols = df.columns
 
     if fmt == "object":
         return rows

@@ -126,6 +126,31 @@ def test_sql_parameters(spark, foo_catalog):
                      "parameters": [{"type": "VARCHAR", "value": "abc"}]},
                     spark, foo_catalog)
     assert out == [{"c": 1}]
+    # quote-awareness: '?' inside a string literal is data, not a placeholder;
+    # embedded quotes in a bound string are doubled, NULL binds as NULL
+    out = sql_query({"query": "SELECT count(*) AS c FROM foo "
+                              "WHERE dim1 <> '?' AND dim1 = ? AND ? IS NULL",
+                     "parameters": [{"type": "VARCHAR", "value": "abc"},
+                                    {"type": "VARCHAR", "value": None}]},
+                    spark, foo_catalog)
+    assert out == [{"c": 1}]
+
+
+def test_sql_time_zone_context(spark, foo_catalog):
+    """context.sqlTimeZone (PlannerContext CTX_SQL_TIME_ZONE): FLOOR-to-day
+    buckets in the given zone. foo rows are at 2000-01-01..03 00:00 UTC, so
+    in Asia/Tokyo (UTC+9) they stay on the same dates, but in
+    America/Los_Angeles (UTC-8) they land on the previous day."""
+    from incubator_druid_spark.api import sql_query
+    q = {"query": "SELECT FLOOR(__time TO DAY) AS d, count(*) AS c FROM foo "
+                  "GROUP BY 1 ORDER BY 1 LIMIT 1"}
+    la = sql_query({**q, "context": {"sqlTimeZone": "America/Los_Angeles"}},
+                   spark, foo_catalog)
+    assert la[0]["d"].startswith("1999-12-31")
+    utc = sql_query(q, spark, foo_catalog)
+    assert utc[0]["d"].startswith("2000-01-01")
+    # session timezone restored after the contextual query
+    assert spark.conf.get("spark.sql.session.timeZone") != "America/Los_Angeles"
 
 
 def test_timewarp_shifts_intervals(spark, foo_catalog):
