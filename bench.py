@@ -30,7 +30,14 @@ def main() -> int:
     from incubator_druid_spark import get_spark
     from incubator_druid_spark.catalog import load_catalog
 
-    spark = get_spark()
+    # off-heap column vectors: the vectorized parquet reader decodes into
+    # native memory, skipping on-heap allocation + GC pressure in the scan
+    # loop (the same choice a production deployment makes)
+    spark = get_spark(extra_conf={
+        "spark.sql.columnVector.offheap.enabled": "true",
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "8g",
+    })
     spark.sparkContext.setLogLevel("ERROR")
     cat = load_catalog(spark, sf_dir)
 
@@ -122,16 +129,17 @@ def main() -> int:
     seg_f = seg.filter((F.col("__bucket") >= "1995-01-01")
                        & (F.col("__bucket") < "2002-01-01"))
     big_rows = seg_f.count()
-    # steady-state: untimed warmup rounds first (JIT-compile the codegen'd
-    # scan→agg loop + fault the files into page cache), then best-of-7 —
-    # the whitepaper numbers are likewise hot-tier mmap'd steady state
-    for _ in range(3):
+    # steady-state: untimed warmup rounds first (C2-compile the codegen'd
+    # scan→agg loop + fault the files into page cache — the loop crosses the
+    # JIT threshold only after several full scans), then best-of-9 — the
+    # whitepaper numbers are likewise hot-tier mmap'd steady state
+    for _ in range(8):
         seg_f.count()
         seg_f.agg(F.sum("m")).collect()
-    mem_count_sec = min(_timed(lambda: seg_f.count()) for _ in range(7))
+    mem_count_sec = min(_timed(lambda: seg_f.count()) for _ in range(9))
     mem_sum_sec = min(_timed(
         lambda: seg_f.agg(F.sum("m")).collect())
-        for _ in range(7))
+        for _ in range(9))
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -96,8 +96,10 @@ _FUNCTIONS: list[str] = [
        ts >= cast(split(iv, '/')[0] AS TIMESTAMP)
        AND ts < cast(split(iv, '/')[1] AS TIMESTAMP)""",
     # -- multi-value strings (MultiValueStringOperatorConversions.java)
+    # size(NULL) is -1 under Spark's legacy default; Druid's array_length of
+    # a null MVD is NULL
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_LENGTH(a ARRAY<STRING>)
-       RETURNS INT RETURN size(a)""",
+       RETURNS INT RETURN CASE WHEN a IS NULL THEN NULL ELSE size(a) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_CONTAINS(a ARRAY<STRING>, v STRING)
        RETURNS BOOLEAN RETURN array_contains(a, v)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>)
@@ -163,6 +165,20 @@ _FUNCTIONS: list[str] = [
        cast(split(s, '\\\\.')[1] AS BIGINT) * 65536 +
        cast(split(s, '\\\\.')[2] AS BIGINT) * 256 +
        cast(split(s, '\\\\.')[3] AS BIGINT)""",
+    # IPv4AddressMatchExprMacro.java: address ∈ CIDR subnet — compare the
+    # network prefixes after shifting out the host bits
+    """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_MATCH(s STRING, subnet STRING)
+       RETURNS BOOLEAN RETURN
+       shiftright(cast(split(s, '\\\\.')[0] AS BIGINT) * 16777216 +
+                  cast(split(s, '\\\\.')[1] AS BIGINT) * 65536 +
+                  cast(split(s, '\\\\.')[2] AS BIGINT) * 256 +
+                  cast(split(s, '\\\\.')[3] AS BIGINT),
+                  32 - cast(split(subnet, '/')[1] AS INT)) =
+       shiftright(cast(split(split(subnet, '/')[0], '\\\\.')[0] AS BIGINT) * 16777216 +
+                  cast(split(split(subnet, '/')[0], '\\\\.')[1] AS BIGINT) * 65536 +
+                  cast(split(split(subnet, '/')[0], '\\\\.')[2] AS BIGINT) * 256 +
+                  cast(split(split(subnet, '/')[0], '\\\\.')[3] AS BIGINT),
+                  32 - cast(split(subnet, '/')[1] AS INT))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_STRINGIFY(n BIGINT)
        RETURNS STRING RETURN concat_ws('.',
        cast(cast(n / 16777216 AS BIGINT) % 256 AS STRING),

@@ -398,3 +398,97 @@ def test_regexp_extract_null_on_no_match(spark, foo_catalog):
     assert got == {("", None, None), ("10.1", "10", None), ("2", "2", None),
                    ("1", "1", None), ("def", None, None),
                    ("abc", None, "b")}
+
+
+def test_mv_sql_function_family(spark, foo_catalog):
+    """MultiValueStringOperatorConversions.java: the MV_* SQL wrappers over
+    array dims — length/contains/overlap/offset/ordinal/append/slice/
+    to-string/filter-only on foo.dim3 (['a','b'], ['b','c'], ['d'], [''],
+    [], null)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1,
+               MV_LENGTH(dim3) AS n,
+               MV_CONTAINS(dim3, 'b') AS has_b,
+               MV_OVERLAP(dim3, ARRAY('b', 'd')) AS ov,
+               MV_OFFSET(dim3, 0) AS first0,
+               MV_ORDINAL(dim3, 1) AS first1,
+               MV_TO_STRING(dim3, ',') AS joined,
+               MV_FILTER_ONLY(dim3, ARRAY('a', 'b')) AS only_ab
+        FROM foo""").collect()
+    got = {r["dim1"]: r for r in out}
+    assert (got[""]["n"], got[""]["has_b"], got[""]["ov"]) == (2, True, True)
+    assert got[""]["first0"] == "a" and got[""]["first1"] == "a"
+    assert got[""]["joined"] == "a,b" and got[""]["only_ab"] == ["a", "b"]
+    assert got["10.1"]["only_ab"] == ["b"]
+    assert (got["2"]["has_b"], got["2"]["ov"]) == (False, True)
+    assert got["def"]["n"] == 0 and got["def"]["joined"] == ""
+    assert got["abc"]["n"] is None and got["abc"]["has_b"] is None
+
+
+def test_mv_string_roundtrip_and_edit(spark, foo_catalog):
+    """STRING_TO_MV / MV_APPEND / MV_PREPEND / MV_CONCAT / MV_SLICE /
+    MV_OFFSET_OF / MV_ORDINAL_OF."""
+    r = q(spark, foo_catalog, """
+        SELECT STRING_TO_MV('x,y,z', ',') AS arr,
+               MV_APPEND(STRING_TO_MV('x,y', ','), 'z') AS ap,
+               MV_PREPEND('w', STRING_TO_MV('x,y', ',')) AS pre,
+               MV_CONCAT(STRING_TO_MV('x', ','), STRING_TO_MV('y', ',')) AS cc,
+               MV_SLICE(STRING_TO_MV('a,b,c,d', ','), 1, 3) AS sl,
+               MV_OFFSET_OF(STRING_TO_MV('a,b,c', ','), 'b') AS off,
+               MV_ORDINAL_OF(STRING_TO_MV('a,b,c', ','), 'b') AS ord
+        FROM foo LIMIT 1""").first()
+    assert r["arr"] == ["x", "y", "z"] and r["ap"] == ["x", "y", "z"]
+    assert r["pre"] == ["w", "x", "y"] and r["cc"] == ["x", "y"]
+    assert r["sl"] == ["b", "c"]
+    assert r["off"] == 1 and r["ord"] == 2
+
+
+def test_bitwise_sql_functions(spark, foo_catalog):
+    """Function.java BitAnd/BitOr/BitXor/Shift* via the BITWISE_* SQL names."""
+    r = q(spark, foo_catalog, """
+        SELECT BITWISE_AND(12, 10) AS a, BITWISE_OR(12, 10) AS o,
+               BITWISE_XOR(12, 10) AS x,
+               BITWISE_SHIFT_LEFT(1, 10) AS sl,
+               BITWISE_SHIFT_RIGHT(-8, 1) AS sr
+        FROM foo LIMIT 1""").first()
+    assert (r["a"], r["o"], r["x"]) == (8, 14, 6)
+    assert r["sl"] == 1024 and r["sr"] == -4
+
+
+def test_ipv4_sql_functions(spark, foo_catalog):
+    """IPv4Address*ExprMacro.java SQL names: parse/stringify/match."""
+    r = q(spark, foo_catalog, """
+        SELECT IPV4_PARSE('192.168.1.1') AS n,
+               IPV4_STRINGIFY(3232235777) AS s,
+               IPV4_MATCH('192.168.1.50', '192.168.1.0/24') AS hit,
+               IPV4_MATCH('10.0.0.1', '192.168.1.0/24') AS miss
+        FROM foo LIMIT 1""").first()
+    assert r["n"] == 3232235777 and r["s"] == "192.168.1.1"
+    assert r["hit"] is True and r["miss"] is False
+
+
+def test_time_in_interval_and_contains_string(spark, foo_catalog):
+    """TIME_IN_INTERVAL (ISO interval membership, half-open) +
+    CONTAINS_STRING/ICONTAINS_STRING (ContainsExprMacro.java)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1 FROM foo
+        WHERE TIME_IN_INTERVAL(__time, '2000-01-01T00:00:00Z/2001-01-01T00:00:00Z')
+        """).collect()
+    assert {r["dim1"] for r in out} == {"", "10.1", "2"}
+    out2 = q(spark, foo_catalog, """
+        SELECT CONTAINS_STRING(dim1, 'bc') AS c,
+               ICONTAINS_STRING(dim1, 'BC') AS ic
+        FROM foo WHERE dim1 = 'abc'""").first()
+    assert out2["c"] is True and out2["ic"] is True
+
+
+def test_strpos_textcat_human_strings(spark, foo_catalog):
+    """STRPOS (1-based, 0 when absent), TEXTCAT, REGEXP_LIKE."""
+    r = q(spark, foo_catalog, """
+        SELECT STRPOS('haystack', 'st') AS pos,
+               STRPOS('haystack', 'zz') AS none,
+               TEXTCAT(dim1, '!') AS cat,
+               REGEXP_LIKE(dim1, '^[0-9.]+$') AS numish
+        FROM foo WHERE dim1 = '10.1'""").first()
+    assert r["pos"] == 4 and r["none"] == 0
+    assert r["cat"] == "10.1!" and r["numish"] is True
