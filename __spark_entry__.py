@@ -967,6 +967,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _segmeta_oracle() -> str:
+    """DuckDB oracle for segmentMetadata over lineitem: one UNION ALL branch
+    per column computing exact cardinality / min / max / null count — an
+    independent re-derivation of the single-pass Spark analysis."""
+    cols = [  # (name, druid_type, source expr in DuckDB)
+        ("l_orderkey", "LONG", "l_orderkey"),
+        ("l_partkey", "LONG", "l_partkey"),
+        ("l_suppkey", "LONG", "l_suppkey"),
+        ("l_linenumber", "LONG", "l_linenumber"),
+        ("l_quantity", "DOUBLE", "l_quantity"),
+        ("l_extendedprice", "DOUBLE", "l_extendedprice"),
+        ("l_discount", "DOUBLE", "l_discount"),
+        ("l_tax", "DOUBLE", "l_tax"),
+        ("l_returnflag", "STRING", "l_returnflag"),
+        ("l_linestatus", "STRING", "l_linestatus"),
+        ("l_shipdate", "LONG", "l_shipdate"),
+        ("__time", "LONG", "l_shipdate"),
+    ]
+    branches = []
+    for name, dtype, src in cols:
+        branches.append(f"""
+            SELECT '{name}' AS column, '{dtype}' AS type,
+                   false AS hasMultipleValues,
+                   count(DISTINCT {src}) AS cardinality,
+                   cast(min({src}) AS VARCHAR) AS minValue,
+                   cast(max({src}) AS VARCHAR) AS maxValue,
+                   count(*) FILTER (WHERE {src} IS NULL) AS nullCount,
+                   count(*) AS numRows
+            FROM lineitem""")
+    return " UNION ALL ".join(branches)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ts_day": """
@@ -1394,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
+        "segment_metadata": _segmeta_oracle(),
         # pipeline/text.py quality_score + language_id ported formula-for-
         # formula to DuckDB list/regexp functions: whitespace tokens, en
         # stopword ratio, punctuation density, mean word length; language =

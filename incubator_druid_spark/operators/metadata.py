@@ -41,7 +41,8 @@ def datasource_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> D
 _DRUID_TYPES = {
     T.LongType: "LONG", T.IntegerType: "LONG", T.ShortType: "LONG",
     T.FloatType: "FLOAT", T.DoubleType: "DOUBLE", T.StringType: "STRING",
-    T.TimestampType: "LONG", T.BooleanType: "LONG", T.BinaryType: "COMPLEX",
+    T.TimestampType: "LONG", T.TimestampNTZType: "LONG",
+    T.DateType: "STRING", T.BooleanType: "LONG", T.BinaryType: "COMPLEX",
 }
 
 
@@ -59,10 +60,20 @@ def segment_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> Data
         c = F.col(f.name)
         safe = f.name.replace(".", "_")
         if "cardinality" in analysis and not isinstance(f.dataType, (T.ArrayType, T.BinaryType)):
-            aggs.append(F.approx_count_distinct(c).alias(f"__card__{safe}"))
+            # exact by default: Druid's per-segment cardinality is the exact
+            # string-dictionary size (SegmentMetadataQuery CARDINALITY).  The
+            # multi-column exact-distinct pass is Spark's expand-based
+            # RewriteDistinctAggregates — fine for a metadata query; at very
+            # large scale context.useApproximateCardinality=true switches to
+            # one-pass HLL.
+            card = (F.approx_count_distinct(c)
+                    if (query.get("context") or {}).get("useApproximateCardinality")
+                    else F.count_distinct(c))
+            aggs.append(card.alias(f"__card__{safe}"))
         if "minmax" in analysis and isinstance(f.dataType, (T.StringType, T.LongType,
                                                             T.IntegerType, T.DoubleType,
-                                                            T.FloatType, T.TimestampType)):
+                                                            T.FloatType, T.TimestampType,
+                                                            T.TimestampNTZType, T.DateType)):
             aggs.append(F.min(c).cast("string").alias(f"__min__{safe}"))
             aggs.append(F.max(c).cast("string").alias(f"__max__{safe}"))
         aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__nulls__{safe}"))
