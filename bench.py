@@ -56,6 +56,14 @@ def main() -> int:
     spark.range(0, cpus, 1, cpus).selectExpr("id * 2 as id") \
         .mapInPandas(_noop, "id long").count()
 
+    # warm the aggregate/sort/AQE code paths once (codegen compilation +
+    # shuffle machinery init otherwise lands on whichever query runs first)
+    from pyspark.sql import functions as _F
+    (cat.table("events")
+        .groupBy(_F.date_trunc("day", _F.col("__time")).alias("d"))
+        .agg(_F.count(_F.lit(1)).alias("c"), _F.sum("value").alias("s"))
+        .orderBy("d").count())
+
     queries = entrymod.queries()
     headline = [
         "ts_day", "ts_hour_filtered", "gb_event_type", "gb_day_type",
