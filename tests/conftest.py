@@ -63,6 +63,57 @@ def foo(spark):
 
 
 @pytest.fixture(scope="session")
+def numfoo(spark):
+    """`numfoo` — foo plus typed numeric dimensions with nulls in the last
+    three rows (CalciteTests.java:492-566 RAW_ROWS1_WITH_NUMERIC_DIMS via
+    FIXTURES.md §2); exercises SQL-compatible null-vs-0 semantics."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("dim1", T.StringType()),
+        T.StructField("dim2", T.ArrayType(T.StringType())),
+        T.StructField("dim3", T.ArrayType(T.StringType())),
+        T.StructField("dim4", T.StringType()),
+        T.StructField("dim5", T.StringType()),
+        T.StructField("d1", T.DoubleType()),
+        T.StructField("d2", T.DoubleType()),
+        T.StructField("f1", T.FloatType()),
+        T.StructField("f2", T.FloatType()),
+        T.StructField("l1", T.LongType()),
+        T.StructField("l2", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("m1", T.FloatType()),
+        T.StructField("m2", T.DoubleType()),
+    ])
+    rows_ = [
+        (_ts("2000-01-01"), "", ["a"], ["a", "b"], "a", "aa",
+         1.0, None, 1.0, None, 7, None, 1, 1.0, 1.0),
+        (_ts("2000-01-02"), "10.1", [], ["b", "c"], "a", "ab",
+         1.7, 1.7, 0.1, 0.1, 325323, 325323, 1, 2.0, 2.0),
+        (_ts("2000-01-03"), "2", [""], ["d"], "a", "ba",
+         0.0, 0.0, 0.0, 0.0, 0, 0, 1, 3.0, 3.0),
+        (_ts("2001-01-01"), "1", ["a"], [""], "b", "ad",
+         None, None, None, None, None, None, 1, 4.0, 4.0),
+        (_ts("2001-01-02"), "def", ["abc"], [], "b", "aa",
+         None, None, None, None, None, None, 1, 5.0, 5.0),
+        (_ts("2001-01-03"), "abc", None, None, "b", "ab",
+         None, None, None, None, None, None, 1, 6.0, 6.0),
+    ]
+    return spark.createDataFrame(rows_, schema)
+
+
+@pytest.fixture(scope="session")
+def numfoo_catalog(spark, numfoo, tmp_path_factory):
+    """Catalog with `numfoo` registered as a parquet datasource."""
+    from incubator_druid_spark.catalog import Catalog
+    path = str(tmp_path_factory.mktemp("numfoo_ds") / "numfoo.parquet")
+    numfoo.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("numfoo", path)
+    return cat
+
+
+@pytest.fixture(scope="session")
 def foo_catalog(spark, foo, tmp_path_factory):
     """Catalog with `foo` registered as a parquet datasource + lookyloo."""
     from incubator_druid_spark.catalog import Catalog

@@ -492,3 +492,62 @@ def test_strpos_textcat_human_strings(spark, foo_catalog):
         FROM foo WHERE dim1 = '10.1'""").first()
     assert r["pos"] == 4 and r["none"] == 0
     assert r["cat"] == "10.1!" and r["numish"] is True
+
+
+# ---------------------------------------------------------------------------
+# numfoo — typed numeric dimensions with nulls (CalciteTests.java:492-566);
+# SQL-compatible null mode: null is absent from aggregates and never equal
+# to 0 in predicates (NullHandling.java sqlCompatible)
+# ---------------------------------------------------------------------------
+
+def test_numfoo_null_aggregates(spark, numfoo_catalog):
+    r = q(spark, numfoo_catalog, """
+        SELECT count(*) AS n, count(d1) AS nd, sum(d1) AS sd, avg(d1) AS ad,
+               min(l1) AS mn, max(l1) AS mx, sum(l2) AS sl2
+        FROM numfoo""").first()
+    assert r["n"] == 6 and r["nd"] == 3
+    assert abs(r["sd"] - 2.7) < 1e-12 and abs(r["ad"] - 0.9) < 1e-12
+    assert r["mn"] == 0 and r["mx"] == 325323
+    assert r["sl2"] == 325323  # nulls absent, not zero
+
+
+def test_numfoo_null_predicates(spark, numfoo_catalog):
+    # l1 = 0 matches only the true-zero row, not the null rows
+    out = q(spark, numfoo_catalog,
+            "SELECT dim1 FROM numfoo WHERE l1 = 0").collect()
+    assert [r["dim1"] for r in out] == ["2"]
+    out = q(spark, numfoo_catalog,
+            "SELECT count(*) AS c FROM numfoo WHERE d1 IS NULL").first()
+    assert out["c"] == 3
+    # null never satisfies an inequality either
+    out = q(spark, numfoo_catalog,
+            "SELECT count(*) AS c FROM numfoo WHERE f1 > -1").first()
+    assert out["c"] == 3
+
+
+def test_numfoo_group_by_null_sums(spark, numfoo_catalog):
+    """GROUP BY dim4: the 'b' group is all-null in l1 → SUM is NULL (not 0)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim4, sum(l1) AS s, count(l1) AS c
+        FROM numfoo GROUP BY dim4 ORDER BY dim4""").collect()
+    assert [(r["dim4"], r["s"], r["c"]) for r in out] == [
+        ("a", 325330, 3), ("b", None, 0)]
+
+
+def test_numfoo_coalesce_and_float_sum(spark, numfoo_catalog):
+    r = q(spark, numfoo_catalog, """
+        SELECT sum(coalesce(l1, 0)) AS s0,
+               round(sum(f1), 3) AS sf,
+               count(DISTINCT dim5) AS dc
+        FROM numfoo""").first()
+    assert r["s0"] == 325330
+    assert abs(r["sf"] - 1.1) < 1e-6
+    assert r["dc"] == 4  # aa, ab, ba, ad
+
+
+def test_numfoo_group_by_numeric_dim(spark, numfoo_catalog):
+    """Grouping on a nullable numeric dimension keeps a NULL group."""
+    out = q(spark, numfoo_catalog, """
+        SELECT d1, count(*) AS c FROM numfoo GROUP BY d1""").collect()
+    got = {(r["d1"], r["c"]) for r in out}
+    assert got == {(1.0, 1), (1.7, 1), (0.0, 1), (None, 3)}
