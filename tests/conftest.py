@@ -103,6 +103,40 @@ def numfoo(spark):
 
 
 @pytest.fixture(scope="session")
+def foo2(spark):
+    """`foo2` — the reference's second datasource for join/union tests
+    (CalciteTests.java:569-592 RAW_ROWS2: unicode dim1 values, language
+    dim2, long dim3)."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("dim1", T.StringType()),
+        T.StructField("dim2", T.StringType()),
+        T.StructField("dim3", T.LongType()),
+        T.StructField("m1", T.DoubleType()),
+    ])
+    rows_ = [
+        (_ts("2000-01-01"), "דרואיד", "he", 10, 1.0),
+        (_ts("2000-01-01"), "druid", "en", 11, 1.0),
+        (_ts("2000-01-01"), "друид", "ru", 12, 1.0),
+    ]
+    return spark.createDataFrame(rows_, schema)
+
+
+@pytest.fixture(scope="session")
+def two_table_catalog(spark, foo, foo2, tmp_path_factory):
+    """Catalog with both foo and foo2 for cross-datasource join/union tests."""
+    from incubator_druid_spark.catalog import Catalog
+    base = tmp_path_factory.mktemp("two_ds")
+    foo.write.mode("overwrite").parquet(str(base / "foo.parquet"))
+    foo2.write.mode("overwrite").parquet(str(base / "foo2.parquet"))
+    cat = Catalog(spark)
+    cat.register("foo", str(base / "foo.parquet"))
+    cat.register("foo2", str(base / "foo2.parquet"))
+    return cat
+
+
+@pytest.fixture(scope="session")
 def numfoo_catalog(spark, numfoo, tmp_path_factory):
     """Catalog with `numfoo` registered as a parquet datasource."""
     from incubator_druid_spark.catalog import Catalog

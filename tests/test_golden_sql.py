@@ -551,3 +551,44 @@ def test_numfoo_group_by_numeric_dim(spark, numfoo_catalog):
         SELECT d1, count(*) AS c FROM numfoo GROUP BY d1""").collect()
     got = {(r["d1"], r["c"]) for r in out}
     assert got == {(1.0, 1), (1.7, 1), (0.0, 1), (None, 3)}
+
+
+# ---------------------------------------------------------------------------
+# foo ⋈ foo2 — cross-datasource joins/unions (CalciteTests RAW_ROWS2;
+# CalciteQueryTest join coverage: Druid executes these as broadcast hash
+# joins with an inner-join-only large side — Spark is a strict superset)
+# ---------------------------------------------------------------------------
+
+def test_cross_datasource_join(spark, two_table_catalog):
+    out = q(spark, two_table_catalog, """
+        SELECT f.dim1, f2.dim2 AS lang, f2.dim3
+        FROM foo f JOIN foo2 f2 ON f.dim1 = f2.dim1""").collect()
+    # only 'druid' has no partner in foo; foo has none of the unicode values
+    assert out == [] or all(r["dim1"] == "druid" for r in out)
+    out2 = q(spark, two_table_catalog, """
+        SELECT f2.dim2 AS lang, COUNT(f.dim1) AS matched
+        FROM foo2 f2 LEFT JOIN foo f ON f.m1 = f2.m1
+        GROUP BY f2.dim2 ORDER BY lang""").collect()
+    # every foo2 row has m1=1.0 which matches exactly one foo row
+    assert [(r["lang"], r["matched"]) for r in out2] == \
+        [("en", 1), ("he", 1), ("ru", 1)]
+
+
+def test_union_all_mismatched_tables(spark, two_table_catalog):
+    """UnionDataSource semantics: UNION ALL by column name over tables with
+    different column sets (UnionDataSource.java:34-58 unions shared columns)."""
+    out = q(spark, two_table_catalog, """
+        SELECT dim1 FROM
+        (SELECT dim1, m1 FROM foo UNION ALL SELECT dim1, m1 FROM foo2)
+        WHERE m1 = 1.0 ORDER BY dim1""").collect()
+    # UTF-8 binary collation: Cyrillic (U+04xx) sorts before Hebrew (U+05xx)
+    assert [r["dim1"] for r in out] == ["", "druid", "друид", "דרואיד"]
+
+
+def test_unicode_strings_roundtrip(spark, two_table_catalog):
+    """Unicode dim values survive scan/filter/group (CalciteQueryTest
+    testUnicodeFilterAndGroupBy)."""
+    out = q(spark, two_table_catalog, """
+        SELECT dim1, COUNT(*) AS c FROM foo2
+        WHERE dim1 IN ('דרואיד', 'друид') GROUP BY dim1""").collect()
+    assert {(r["dim1"], r["c"]) for r in out} == {("דרואיד", 1), ("друид", 1)}
