@@ -1037,10 +1037,32 @@ def _post_col(spec: dict) -> Column:
         return F.format_string("### Summary%s Estimate: %s", F.lit(":"),
                                _post_col(spec["field"]).cast("string"))
     if t == "thetaSketchConstant":
+        # theta/SketchConstantPostAggregator.java — a base64 compact theta
+        # sketch literal.  Parsed driver-side (functions/theta_sketch.py);
+        # surfaces as its estimate, matching this engine's finalized-value
+        # model for theta aggregations.
+        from incubator_druid_spark.functions.theta_sketch import \
+            parse_compact_theta
+        return F.lit(parse_compact_theta(spec["value"]).estimate)
+    if t == "thetaSketchSetOp":
+        # set op over constant sketches only: hash-set math driver-side.
+        # (Set ops over column aggregations are rewritten upstream by
+        # rewrite_sketch_query into inclusion–exclusion counts; a mix of
+        # constant and column operands has no common domain — the constant
+        # holds murmur hashes, the exact path holds raw values.)
+        fields = spec.get("fields") or []
+        if fields and all(f.get("type") == "thetaSketchConstant" for f in fields):
+            from incubator_druid_spark.functions.theta_sketch import (
+                parse_compact_theta, theta_set_op)
+            out = theta_set_op(spec.get("func", "UNION"),
+                               [parse_compact_theta(f["value"]) for f in fields])
+            return F.lit(out.estimate)
         raise NotImplementedError(
-            "thetaSketchConstant holds a serialized DataSketches theta sketch; "
-            "this engine computes theta estimates exactly and has no sketch "
-            "deserializer — use a `constant` post-agg with the estimate instead")
+            "thetaSketchSetOp mixing constant sketches with column "
+            "aggregations: the constant holds murmur hashes while this "
+            "engine's theta aggs are exact over raw values — no common "
+            "domain.  Filter-based set ops (OR/AND of the underlying "
+            "filters) express the same result exactly.")
     if t == "javascript":
         raise NotImplementedError("javascript post-agg: use `expression`")
     raise ValueError(f"unknown post-aggregator {t!r}")

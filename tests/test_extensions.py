@@ -438,3 +438,50 @@ def test_tuple_sketch_ttest_and_setop(spark, catalog):
     except ImportError:
         pass
     assert abs(row["p"][0] - want_p) < 1e-9
+
+
+def test_theta_sketch_constant_roundtrip_and_setops(spark, catalog):
+    """thetaSketchConstant (SketchConstantPostAggregator.java): base64
+    compact theta sketches parsed from the public DataSketches serVer-3
+    layout — estimate, single-item and empty forms, estimation-mode theta,
+    and UNION/INTERSECT/NOT among constants."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.functions.theta_sketch import (
+        parse_compact_theta, serialize_compact_theta, theta_set_op)
+    import base64
+
+    # round-trip: exact mode
+    a = serialize_compact_theta([100, 200, 300])
+    b = serialize_compact_theta([200, 300, 400, 500])
+    sa, sb = parse_compact_theta(a), parse_compact_theta(b)
+    assert sa.estimate == 3.0 and sb.estimate == 4.0
+    # single item + empty
+    assert parse_compact_theta(serialize_compact_theta([42])).estimate == 1.0
+    assert parse_compact_theta(serialize_compact_theta([])).estimate == 0.0
+    # estimation mode: 100 hashes under theta=0.5 → estimate 200
+    est = parse_compact_theta(serialize_compact_theta(range(100), theta=0.5))
+    assert abs(est.estimate - 200.0) < 1e-6
+    # set ops among constants
+    assert theta_set_op("INTERSECT", [sa, sb]).estimate == 2.0
+    assert theta_set_op("UNION", [sa, sb]).estimate == 5.0
+    assert theta_set_op("NOT", [sa, sb]).estimate == 1.0
+
+    # through the query surface: constants in post-aggregations
+    b64a = base64.b64encode(a).decode()
+    b64b = base64.b64encode(b).decode()
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [{"type": "count", "name": "rows"}],
+         "postAggregations": [
+             {"type": "thetaSketchEstimate", "name": "const_est",
+              "field": {"type": "thetaSketchConstant", "name": "c",
+                        "value": b64a}},
+             {"type": "thetaSketchEstimate", "name": "inter",
+              "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                        "fields": [
+                            {"type": "thetaSketchConstant", "name": "x",
+                             "value": b64a},
+                            {"type": "thetaSketchConstant", "name": "y",
+                             "value": b64b}]}}]}
+    r = translate(q, spark, catalog).first()
+    assert r["const_est"] == 3.0 and r["inter"] == 2.0
