@@ -254,7 +254,15 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
     out = df.withColumn("__bucket",
                         F.date_format(gran.floor(F.col(TIME_COLUMN)),
                                       "yyyy-MM-dd'T'HH"))
-    pspec = (spec.get("tuningConfig") or {}).get("partitionsSpec") or {}
+    tuning = spec.get("tuningConfig") or {}
+    pspec = tuning.get("partitionsSpec") or {}
+    # DynamicPartitionsSpec (Druid's default): segments roll over at
+    # maxRowsPerSegment.  Spark's maxRecordsPerFile is the same contract —
+    # each writer task rolls a new file at the limit, no extra count pass or
+    # shuffle needed; bounds both segment size and the memory any one
+    # downstream scan task needs.
+    max_rows = int(pspec.get("maxRowsPerSegment")
+                   or tuning.get("maxRowsPerSegment") or 0)
     path = os.path.join(base_dir, name)
     # ioConfig.appendToExisting (AbstractBatchIndexTask) — append new
     # segments instead of replacing the datasource version
@@ -265,6 +273,7 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
         shards = int(pspec.get("numShards", 8))
         spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
         (out.write.mode(mode)
+            .option("maxRecordsPerFile", max_rows)
             .partitionBy("__bucket")
             .bucketBy(shards, *dims)
             .sortBy(*dims)
@@ -284,11 +293,13 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
                                 *[F.col(d) for d in dims])
             .sortWithinPartitions("__bucket", *dims)
             .write.mode(mode)
+            .option("maxRecordsPerFile", max_rows)
             .partitionBy("__bucket")
             .parquet(path))
         catalog.register(name, path)
     else:
         (out.write.mode(mode)
+            .option("maxRecordsPerFile", max_rows)
             .partitionBy("__bucket")
             .parquet(path))
         catalog.register(name, path)

@@ -740,3 +740,39 @@ def test_single_dim_range_partitioning(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint, tight ranges per file
+
+
+def test_dynamic_partitions_max_rows_per_segment(spark, tmp_path):
+    """DynamicPartitionsSpec (Druid's default): segments roll over at
+    maxRowsPerSegment — mapped to Spark's maxRecordsPerFile, so every
+    parquet file in every time bucket stays under the cap (bounds segment
+    size and downstream per-task memory without an extra shuffle)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    src = str(tmp_path / "src.json")
+    with open(src, "w") as fh:
+        for i in range(3000):
+            fh.write('{"t": "2024-01-%02dT00:00:00Z", "u": %d}\n'
+                     % (1 + i % 2, i))
+    cat = Catalog(spark)
+    spec = {"dataSchema": {
+                "dataSource": "rolled",
+                "timestampSpec": {"column": "t"},
+                "dimensionsSpec": {"dimensions": ["u"]},
+                "granularitySpec": {"segmentGranularity": "day"}},
+            "ioConfig": {"inputSource": {"type": "local", "files": [src]},
+                         "inputFormat": {"type": "json"}},
+            "tuningConfig": {"partitionsSpec": {
+                "type": "dynamic", "maxRowsPerSegment": 400}}}
+    path = ingest(spark, spec, cat, str(tmp_path))
+
+    files = glob.glob(f"{path}/__bucket=*/*.parquet")
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert sum(counts) == 3000
+    assert max(counts) <= 400       # every segment respects the cap
+    assert len(counts) >= 8         # 1500 rows/bucket / 400 → ≥4 per bucket
