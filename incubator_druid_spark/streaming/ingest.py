@@ -161,7 +161,8 @@ def realtime_view(spark: SparkSession, streaming_path: str,
 
 def compact(spark: SparkSession, streaming_path: str, table_path: str,
             segment_granularity="day", query_granularity=None,
-            dimensions=None, metrics=None) -> None:
+            dimensions=None, metrics=None,
+            max_rows_per_segment: int = 5_000_000) -> None:
     """Compaction job: rewrite small streaming files into the historical
     table's time-partitioned layout (Druid compaction task ≡ partition
     rewrite; IndexMergerV9 merge ≡ parquet file coalescing).
@@ -179,7 +180,16 @@ def compact(spark: SparkSession, streaming_path: str, table_path: str,
     if query_granularity and metrics:
         from incubator_druid_spark.sources.ingest import rollup
         df = rollup(df, dimensions or [], metrics, query_granularity)
+    # range-repartition on (bucket, time), not hash on bucket alone: hashing
+    # by bucket puts an entire time chunk on ONE task — a 100 GB day would
+    # serialize through a single writer.  Ranges keep bucket locality while
+    # spreading a big chunk across tasks; maxRecordsPerFile rolls segments at
+    # the Druid-default 5M rows (DynamicPartitionsSpec), and the within-file
+    # time sort keeps parquet min/max stats tight for interval pruning.
+    n = spark.sparkContext.defaultParallelism
     (df.withColumn("__bucket",
                    F.date_format(gran.floor(F.col(TIME_COLUMN)), "yyyy-MM-dd'T'HH"))
-       .repartition(F.col("__bucket"))
-       .write.mode("overwrite").partitionBy("__bucket").parquet(table_path))
+       .repartitionByRange(n, F.col("__bucket"), F.col(TIME_COLUMN))
+       .sortWithinPartitions("__bucket", TIME_COLUMN)
+       .write.mode("overwrite").option("maxRecordsPerFile", max_rows_per_segment)
+       .partitionBy("__bucket").parquet(table_path))
