@@ -93,6 +93,33 @@ PAIRS = [
      "list_aggregate(string_split(s, ' '), 'string_agg', '|')"),
     ("fold((v, acc) -> acc + strlen(v), string_to_array(s, ' '), 0)",
      "list_sum(list_transform(string_split(s, ' '), v -> length(v)))"),
+    ("map((v) -> upper(v), string_to_array(s, ' '))",
+     "list_transform(string_split(s, ' '), v -> upper(v))"),
+    ("filter((v) -> strlen(v) > 1, string_to_array(s, ' '))",
+     "list_filter(string_split(s, ' '), v -> length(v) > 1)"),
+    ("any((v) -> v == 'ab', string_to_array(s, ' '))",
+     "len(list_filter(string_split(s, ' '), v -> v = 'ab')) > 0"),
+    ("all((v) -> strlen(v) < 5, string_to_array(s, ' '))",
+     "len(list_filter(string_split(s, ' '), v -> length(v) >= 5)) = 0"),
+    ("array_ordinal(string_to_array(s, ' '), 1)", "string_split(s, ' ')[1]"),
+    ("array_overlap(string_to_array(s, ' '), array('ab', 'xy'))",
+     "len(list_intersect(string_split(s, ' '), ['ab', 'xy'])) > 0"),
+    # -- more math / string parity
+    ("greatest(x, y, 0)", "greatest(x, y, 0)"),
+    ("least(x, y, 0)", "least(x, y, 0)"),
+    ("copySign(x, 0 - y)", "-abs(x)"),                   # y > 0 always
+    ("scalb(y, 3)", "y * 8"),
+    ("toDegrees(x / 1e6)", "degrees(x / 1e6)"),
+    ("toRadians(y)", "radians(y)"),
+    ("log10(y)", "log10(y)"),
+    ("log2(y)", "log2(y)"),
+    ("rpad(s, 8, '*')", "rpad(s, 8, '*')"),
+    ("btrim(concat('  ', s, '  '))", "trim(concat('  ', s, '  '))"),
+    # ipv4_stringify of a masked long — byte extraction parity
+    ("ipv4_stringify(bitwiseAnd(n, 4294967295))",
+     "concat(((n & 4294967295) // 16777216) % 256, '.', "
+     "((n & 4294967295) // 65536) % 256, '.', "
+     "((n & 4294967295) // 256) % 256, '.', (n & 4294967295) % 256)"),
 ]
 
 
@@ -133,9 +160,18 @@ def test_expr_compiler_matches_duckdb(spark):
             ok = np.allclose(g.astype(float), w.astype(float),
                              rtol=1e-9, atol=1e-9, equal_nan=True)
         else:
-            ga = g.astype(object).where(pd.notna(g), None).tolist()
-            wa = w.astype(object).where(pd.notna(w), None).tolist()
-            ok = all(a == b or (a is None and b is None)
-                     for a, b in zip(ga, wa))
+            ga = [None if (not isinstance(v, (list, np.ndarray)) and pd.isna(v))
+                  else v for v in g.tolist()]
+            wa = [None if (not isinstance(v, (list, np.ndarray)) and pd.isna(v))
+                  else v for v in w.tolist()]
+
+            def _eq(a, b):
+                if isinstance(a, (list, np.ndarray)) or \
+                        isinstance(b, (list, np.ndarray)):
+                    return a is not None and b is not None \
+                        and list(a) == list(b)
+                return a == b or (a is None and b is None)
+
+            ok = all(_eq(a, b) for a, b in zip(ga, wa))
         assert ok, f"mismatch for {druid_e!r} vs {duck_e!r}: " \
                    f"{g.head(3).tolist()} != {w.head(3).tolist()}"
