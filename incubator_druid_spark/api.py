@@ -55,6 +55,49 @@ def _rows(df: DataFrame, limit: int | None = None) -> list[dict]:
     return out
 
 
+class QueryTimeoutError(TimeoutError):
+    """context.timeout exceeded (QueryContexts.java `timeout`; the reference
+    raises QueryTimeoutException and frees the query's resources — here the
+    Spark job group is cancelled, interrupting running tasks)."""
+
+
+def _rows_timed(df: DataFrame, timeout_ms) -> list[dict]:
+    """Collect with an optional wall-clock budget.  The collect runs in a
+    worker thread under a dedicated Spark job group (a thread-local property,
+    so it must be set inside that thread); on expiry the group is cancelled —
+    executors interrupt the tasks — and QueryTimeoutError surfaces."""
+    if not timeout_ms:
+        return _rows(df)
+    import threading
+    import uuid
+
+    sc = df.sparkSession.sparkContext
+    group = f"druid-query-{uuid.uuid4().hex[:12]}"
+    result: list = []
+    error: list = []
+
+    def run():
+        sc.setJobGroup(group, "query with context.timeout",
+                       interruptOnCancel=True)
+        try:
+            result.append(_rows(df))
+        except Exception as ex:  # noqa: BLE001 — re-raised on the caller thread
+            error.append(ex)
+        finally:
+            sc.setJobGroup(None, None)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(float(timeout_ms) / 1000.0)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        raise QueryTimeoutError(
+            f"Query timeout of {timeout_ms} ms exceeded (context.timeout)")
+    if error:
+        raise error[0]
+    return result[0]
+
+
 # ---------------------------------------------------------------------------
 # native endpoint
 # ---------------------------------------------------------------------------
@@ -66,7 +109,7 @@ def native_query(body: dict, spark: SparkSession, catalog: Catalog) -> list[dict
     others → plain row objects."""
     qt = body["queryType"]
     df = translate(body, spark, catalog)
-    rows = _rows(df)
+    rows = _rows_timed(df, (body.get("context") or {}).get("timeout"))
 
     if qt == "timeseries":
         return [{"timestamp": r.pop(TIME_COLUMN, None), "result": r} for r in rows]
@@ -82,7 +125,13 @@ def native_query(body: dict, spark: SparkSession, catalog: Catalog) -> list[dict
         return [{"version": "v1", "timestamp": r.pop(TIME_COLUMN, None),
                  "event": r} for r in rows]
     if qt == "scan":
+        # ScanQuery.ResultFormat (ScanQuery.java:53-55): RESULT_FORMAT_LIST
+        # (event maps, default) vs RESULT_FORMAT_COMPACTED_LIST (value arrays
+        # in column order — the wire-efficient form)
         cols = df.columns
+        if body.get("resultFormat") == "compactedList":
+            return [{"columns": cols,
+                     "events": [[r.get(c) for c in cols] for r in rows]}]
         return [{"columns": cols, "events": rows}]
     if qt == "timeBoundary":
         return [{"timestamp": rows[0].get("minTime"), "result": rows[0]}] if rows else []
@@ -114,13 +163,14 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
         spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             df = druid_sql(spark, sql, catalog)
-            rows_early = _rows(df)  # materialize under the tz
+            rows_early = _rows_timed(df, ctx.get("timeout"))  # under the tz
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev)
         return _format_sql_rows(rows_early, df.columns, body)
 
     df = druid_sql(spark, sql, catalog)
-    return _format_sql_rows(_rows(df), df.columns, body)
+    return _format_sql_rows(_rows_timed(df, ctx.get("timeout")),
+                            df.columns, body)
 
 
 def _bind_parameters(sql: str, params: list) -> str:

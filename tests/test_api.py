@@ -191,3 +191,41 @@ def test_result_cache_and_scheduling_context(spark, catalog):
     assert miss is not first
     qcache.clear()
     assert not first.storageLevel.useMemory or True  # unpersisted on clear
+
+
+def test_scan_compacted_list_format(spark, foo_catalog):
+    """ScanQuery RESULT_FORMAT_COMPACTED_LIST (ScanQuery.java:53-55): events
+    as value arrays in column order instead of maps."""
+    from incubator_druid_spark.api import native_query
+    q = {"queryType": "scan", "dataSource": "foo", "columns": ["dim1", "m2"],
+         "resultFormat": "compactedList", "limit": 2, "order": "ascending"}
+    out = native_query(q, spark, foo_catalog)
+    assert out[0]["columns"] == ["dim1", "m2"]
+    assert out[0]["events"] == [["", 1.0], ["10.1", 2.0]]
+
+
+def test_query_timeout_cancels_job(spark, foo_catalog):
+    """context.timeout (QueryContexts.java): a query over its budget raises
+    QueryTimeoutError and the Spark job group is cancelled."""
+    import time
+
+    import pytest
+
+    from incubator_druid_spark.api import QueryTimeoutError, sql_query
+
+    # a cartesian blow-up that would take far longer than the budget
+    slow = {"query": """
+        SELECT count(*) AS c FROM foo a, foo b, foo c, foo d, foo e, foo f,
+             foo g, foo h, foo i, foo j, foo k, foo l
+        WHERE a.m1 + b.m1 + c.m1 + d.m1 + e.m1 + f.m1
+            + g.m1 + h.m1 + i.m1 + j.m1 + k.m1 + l.m1 > 0""",
+            "context": {"timeout": 1500}}
+    t0 = time.time()
+    with pytest.raises(QueryTimeoutError):
+        sql_query(slow, spark, foo_catalog)
+    assert time.time() - t0 < 30  # cancelled, not run to completion
+
+    # fast query under the same budget still succeeds
+    ok = sql_query({"query": "SELECT count(*) AS c FROM foo",
+                    "context": {"timeout": 60000}}, spark, foo_catalog)
+    assert ok == [{"c": 6}]
