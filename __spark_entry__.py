@@ -855,6 +855,34 @@ def _json_props(spark, sf):
                    F.count(F.when(k > 50, 1)).alias("k_big")))
 
 
+def _sql_window_rank(spark, sf):
+    """Window functions over a grouped aggregate (capability superset —
+    SURVEY §2.6: Druid 0.22 has no window functions; Spark's full
+    Window.partitionBy().orderBy() surface costs nothing)."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    return druid_sql(spark, """
+        SELECT event_type, user_id, total, rnk FROM (
+            SELECT event_type, user_id,
+                   round(sum(value), 3) AS total,
+                   RANK() OVER (PARTITION BY event_type
+                                ORDER BY sum(value) DESC, user_id) AS rnk
+            FROM events GROUP BY event_type, user_id)
+        WHERE rnk <= 3
+    """, _cat(spark, sf))
+
+
+def _sql_grouping_sets(spark, sf):
+    """GROUP BY ROLLUP with GROUPING() — Druid subtotalsSpec ≡ Spark native
+    grouping sets (GroupByQuery.java:115,148 subtotalsSpec;
+    GroupingAggregatorFactory)."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    return druid_sql(spark, """
+        SELECT event_type, GROUPING(event_type) AS g,
+               count(*) AS cnt, round(sum(value), 3) AS total
+        FROM events GROUP BY ROLLUP (event_type)
+    """, _cat(spark, sf))
+
+
 def _multimodal_features(spark, sf):
     """Multimodal plumbing over binary content: documents' text bytes stand in
     for encoded media; decode/resize runs through the real mapInPandas path
@@ -961,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": _cosine_near_dup,
         "ann_lsh_topk": _ann_lsh_topk,
         "minhash_pairs": _minhash_pairs,
+        "sql_window_rank": _sql_window_rank,
+        "sql_grouping_sets": _sql_grouping_sets,
         "multimodal_features": _multimodal_features,
         "json_props": _json_props,
         "simhash_pairs": _simhash_pairs,
@@ -1427,6 +1457,21 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "segment_metadata": _segmeta_oracle(),
+        "sql_window_rank": """
+            SELECT event_type, user_id, total, rnk FROM (
+                SELECT event_type, user_id,
+                       round(sum(value), 3) AS total,
+                       RANK() OVER (PARTITION BY event_type
+                                    ORDER BY sum(value) DESC, user_id) AS rnk
+                FROM events GROUP BY event_type, user_id)
+            WHERE rnk <= 3
+        """,
+        "sql_grouping_sets": """
+            SELECT event_type,
+                   CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS g,
+                   count(*) AS cnt, round(sum(value), 3) AS total
+            FROM events GROUP BY ROLLUP (event_type)
+        """,
         # pipeline/text.py quality_score + language_id ported formula-for-
         # formula to DuckDB list/regexp functions: whitespace tokens, en
         # stopword ratio, punctuation density, mean word length; language =
