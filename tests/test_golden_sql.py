@@ -592,3 +592,62 @@ def test_unicode_strings_roundtrip(spark, two_table_catalog):
         SELECT dim1, COUNT(*) AS c FROM foo2
         WHERE dim1 IN ('דרואיד', 'друид') GROUP BY dim1""").collect()
     assert {(r["dim1"], r["c"]) for r in out} == {("דרואיד", 1), ("друид", 1)}
+
+
+def test_case_aggregates_to_filter(spark, foo_catalog):
+    """AggregateCaseToFilterRule (Rules.java:120): SUM(CASE WHEN p THEN x
+    END) ≡ filtered aggregation."""
+    r = q(spark, foo_catalog, """
+        SELECT SUM(CASE WHEN dim1 <> '' THEN m2 END) AS s,
+               COUNT(CASE WHEN m1 > 3 THEN 1 END) AS c,
+               AVG(CASE WHEN m1 <= 3 THEN m2 ELSE NULL END) AS a
+        FROM foo""").first()
+    assert r["s"] == 20.0 and r["c"] == 3 and r["a"] == 2.0
+
+
+def test_having_count_distinct(spark, foo_catalog):
+    out = q(spark, foo_catalog, """
+        SELECT EXTRACT(YEAR FROM __time) AS y, COUNT(DISTINCT dim1) AS d
+        FROM foo GROUP BY 1 HAVING COUNT(DISTINCT dim1) >= 3
+        ORDER BY y""").collect()
+    assert [(r["y"], r["d"]) for r in out] == [(2000, 3), (2001, 3)]
+
+
+def test_order_by_unselected_aggregate(spark, foo_catalog):
+    """ORDER BY an aggregate that isn't in the SELECT list (SORT slot over
+    AGGREGATE in PartialDruidQuery)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1 FROM foo WHERE dim1 <> ''
+        GROUP BY dim1 ORDER BY SUM(m2) DESC LIMIT 3""").collect()
+    assert [r["dim1"] for r in out] == ["abc", "def", "1"]
+
+
+def test_time_shift_negative_and_millis_roundtrip(spark, foo_catalog):
+    r = q(spark, foo_catalog, """
+        SELECT TIME_SHIFT(__time, 'P1M', -2) AS back,
+               MILLIS_TO_TIMESTAMP(TIMESTAMP_TO_MILLIS(__time)) AS rt,
+               TIME_EXTRACT(__time, 'DOY') AS doy
+        FROM foo WHERE dim1 = 'abc'""").first()
+    # 2001-01-03 - 2 months = 2000-11-03; DOY of Jan 3 = 3
+    assert str(r["back"]).startswith("2000-11-03")
+    assert str(r["rt"]).startswith("2001-01-03")
+    assert r["doy"] == 3
+
+
+def test_lookup_miss_coalesce_chain(spark, foo_catalog):
+    """LOOKUP misses yield NULL; COALESCE builds Druid's
+    replaceMissingValueWith behavior (RegisteredLookupExtractionFn)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1, COALESCE(LOOKUP(dim1, 'lookyloo'), 'MISSING') AS v
+        FROM foo WHERE dim1 IN ('abc', 'def') ORDER BY dim1""").collect()
+    assert [(r["dim1"], r["v"]) for r in out] == \
+        [("abc", "xabc"), ("def", "MISSING")]
+
+
+def test_safe_divide_null_and_nvl(spark, foo_catalog):
+    r = q(spark, foo_catalog, """
+        SELECT SAFE_DIVIDE(m2, m1 - m1) AS z,
+               SAFE_DIVIDE(m2, 2.0) AS h,
+               NVL(NULLIF(dim1, ''), 'E') AS n
+        FROM foo WHERE dim1 = ''""").first()
+    assert r["z"] is None and r["h"] == 0.5 and r["n"] == "E"
