@@ -518,6 +518,17 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             register_metadata_views(spark, catalog)
     sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
     sql = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)", r"sys_\1", sql)
+    # lookup schema (sql/.../schema/LookupSchema.java): every registered
+    # lookup is a two-column (k, v) STRING table named lookup.<name> —
+    # registered here as a broadcast-size temp view, dotted name rewritten
+    for lk in set(re.findall(r"(?i)\blookup\s*\.\s*(\w+)", sql)):
+        from incubator_druid_spark.functions.lookups import get_lookup
+        mapping = get_lookup(lk)  # KeyError on unknown lookup = clear error
+        spark.createDataFrame(list(mapping.items()) or [("", "")],
+                              "k string, v string") \
+            .filter("k != '' OR v != ''") \
+            .createOrReplaceTempView(f"lookup_{lk}")
+    sql = re.sub(r"(?i)\blookup\s*\.\s*(\w+)", r"lookup_\1", sql)
     sql = _rewrite_floor_ceil_to(sql)
     sql = _rewrite_time_tz(sql)
     sql = _rewrite_regexp_extract(sql)

@@ -651,3 +651,17 @@ def test_safe_divide_null_and_nvl(spark, foo_catalog):
                NVL(NULLIF(dim1, ''), 'E') AS n
         FROM foo WHERE dim1 = ''""").first()
     assert r["z"] is None and r["h"] == 0.5 and r["n"] == "E"
+
+
+def test_lookup_schema_table(spark, foo_catalog):
+    """lookup.<name> tables (LookupSchema.java: two STRING columns k, v) —
+    registered lookups queryable and joinable as first-class tables."""
+    out = q(spark, foo_catalog, """
+        SELECT k, v FROM lookup.lookyloo ORDER BY k""").collect()
+    assert [(r["k"], r["v"]) for r in out] == \
+        [("6", "x6"), ("a", "xa"), ("abc", "xabc"),
+         ("nosuchkey", "mysteryvalue")]
+    out2 = q(spark, foo_catalog, """
+        SELECT f.dim1, l.v FROM foo f JOIN lookup.lookyloo l ON f.dim1 = l.k
+        ORDER BY f.dim1""").collect()
+    assert [(r["dim1"], r["v"]) for r in out2] == [("abc", "xabc")]
