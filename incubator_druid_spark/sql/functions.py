@@ -511,6 +511,21 @@ def _rewrite_floor_ceil_to(sql: str) -> str:
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     """One-call Druid-flavored SQL entry: functions + views + execute."""
     import re
+    m = re.match(r"(?is)\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)", sql)
+    if m:
+        # SqlExplain handling (DruidPlanner plans the inner query and returns
+        # one row: PLAN = the native plan, RESOURCES = touched datasources).
+        # Here PLAN is the Catalyst physical plan — this engine's "native"
+        # representation — so EXPLAIN-driven tooling keeps working.
+        import json as _json
+        inner = druid_sql(spark, m.group(1), catalog)
+        plan = inner._jdf.queryExecution().explainString(
+            inner._sc._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        tables = sorted({t for t in (catalog.names() if catalog else [])
+                         if re.search(rf"(?i)\b{re.escape(t)}\b", m.group(1))})
+        res = _json.dumps([{"name": t, "type": "DATASOURCE"} for t in tables])
+        return spark.createDataFrame([(plan, res)], "PLAN string, RESOURCES string")
     register_druid_sql(spark)
     if catalog is not None:
         register_views(catalog)

@@ -665,3 +665,15 @@ def test_lookup_schema_table(spark, foo_catalog):
         SELECT f.dim1, l.v FROM foo f JOIN lookup.lookyloo l ON f.dim1 = l.k
         ORDER BY f.dim1""").collect()
     assert [(r["dim1"], r["v"]) for r in out2] == [("abc", "xabc")]
+
+
+def test_explain_plan_for(spark, foo_catalog):
+    """EXPLAIN PLAN FOR (SqlExplain via DruidPlanner): one row with PLAN
+    (this engine's physical plan) and RESOURCES (touched datasources)."""
+    import json as _json
+    r = q(spark, foo_catalog, """
+        EXPLAIN PLAN FOR SELECT dim1, SUM(m2) FROM foo
+        WHERE m1 > 2 GROUP BY dim1""").first()
+    assert "HashAggregate" in r["PLAN"] and "Scan parquet" in r["PLAN"]
+    assert _json.loads(r["RESOURCES"]) == [{"name": "foo",
+                                            "type": "DATASOURCE"}]
