@@ -331,6 +331,30 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
         .createOrReplaceTempView("sys_tasks")
 
 
+def _outside_literals(sql: str, fn):
+    """Apply ``fn`` to the segments of ``sql`` outside single-quoted string
+    literals ('' escapes) — regex-based name rewrites must never touch data."""
+    out, i, n = [], 0, len(sql)
+    seg_start = 0
+    while i < n:
+        if sql[i] == "'":
+            out.append(fn(sql[seg_start:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = seg_start = j + 1
+        else:
+            i += 1
+    out.append(fn(sql[seg_start:]))
+    return "".join(out)
+
+
 def _rewrite_aggregate_names(sql: str) -> str:
     """Druid SQL aggregate names that can't be SQL-UDF-registered (they are
     aggregates, not scalars) → Spark builtins with identical semantics:
@@ -531,19 +555,28 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         register_views(catalog)
         if re.search(r"(?i)\bINFORMATION_SCHEMA\s*\.|\bsys\s*\.", sql):
             register_metadata_views(spark, catalog)
-    sql = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*", "information_schema_", sql)
-    sql = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)", r"sys_\1", sql)
+    def _dotted_names(seg: str) -> str:
+        seg = re.sub(r"(?i)\bINFORMATION_SCHEMA\s*\.\s*",
+                     "information_schema_", seg)
+        seg = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)",
+                     r"sys_\1", seg)
+        return re.sub(r"(?i)\blookup\s*\.\s*(\w+)", r"lookup_\1", seg)
+
     # lookup schema (sql/.../schema/LookupSchema.java): every registered
     # lookup is a two-column (k, v) STRING table named lookup.<name> —
-    # registered here as a broadcast-size temp view, dotted name rewritten
-    for lk in set(re.findall(r"(?i)\blookup\s*\.\s*(\w+)", sql)):
+    # registered here as a broadcast-size temp view, dotted name rewritten.
+    # All dotted-name rewrites run OUTSIDE string literals only.
+    outside_segments: list[str] = []
+    _outside_literals(sql, lambda s: (outside_segments.append(s), s)[1])
+    for lk in set(re.findall(r"(?i)\blookup\s*\.\s*(\w+)",
+                             " ".join(outside_segments))):
         from incubator_druid_spark.functions.lookups import get_lookup
         mapping = get_lookup(lk)  # KeyError on unknown lookup = clear error
         spark.createDataFrame(list(mapping.items()) or [("", "")],
                               "k string, v string") \
             .filter("k != '' OR v != ''") \
             .createOrReplaceTempView(f"lookup_{lk}")
-    sql = re.sub(r"(?i)\blookup\s*\.\s*(\w+)", r"lookup_\1", sql)
+    sql = _outside_literals(sql, _dotted_names)
     sql = _rewrite_floor_ceil_to(sql)
     sql = _rewrite_time_tz(sql)
     sql = _rewrite_regexp_extract(sql)

@@ -677,3 +677,14 @@ def test_explain_plan_for(spark, foo_catalog):
     assert "HashAggregate" in r["PLAN"] and "Scan parquet" in r["PLAN"]
     assert _json.loads(r["RESOURCES"]) == [{"name": "foo",
                                             "type": "DATASOURCE"}]
+
+
+def test_dotted_name_rewrites_skip_string_literals(spark, foo_catalog):
+    """The INFORMATION_SCHEMA./sys./lookup. table-name rewrites must never
+    rewrite matching text inside string literals (data stays data)."""
+    r = q(spark, foo_catalog, """
+        SELECT 'lookup.lookyloo' AS a, 'sys.segments x' AS b,
+               'INFORMATION_SCHEMA.TABLES' AS c FROM foo LIMIT 1""").first()
+    assert r["a"] == "lookup.lookyloo"
+    assert r["b"] == "sys.segments x"
+    assert r["c"] == "INFORMATION_SCHEMA.TABLES"
