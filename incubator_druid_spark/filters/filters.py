@@ -173,12 +173,19 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext) -> Column
         return _spatial_predicate(spec, c)
     if t == "bloom":
         # druid-bloom-filter/.../BloomDimFilter.java — membership against a
-        # pre-built filter; our format is the sparse position set
-        # (functions/bloom.py), spec: {"bloomKFilter": {"positions": [...],
-        # "m": ..., "k": ...}}
+        # pre-built filter.  Two accepted forms:
+        # - base64 string: Druid's own serialized BloomKFilter (Hive
+        #   murmur3-64 block format) — the interop path, probed by an
+        #   Arrow-batched pandas UDF (functions/bloomk.py);
+        # - {"positions": [...], "m":…, "k":…}: the engine-native sparse
+        #   position set over xxhash64 — stays fully JVM-side in codegen.
+        bf = spec["bloomKFilter"]
+        if isinstance(bf, (str, bytes)):
+            from incubator_druid_spark.functions.bloomk import \
+                bloomk_might_contain
+            return bloomk_might_contain(bf)(c.cast("string"))
         from incubator_druid_spark.functions.bloom import (DEFAULT_K, DEFAULT_M,
                                                            bloom_might_contain)
-        bf = spec["bloomKFilter"]
         return bloom_might_contain(bf["positions"], c,
                                    bf.get("m", DEFAULT_M), bf.get("k", DEFAULT_K))
     raise ValueError(f"unknown filter type: {t!r}")
