@@ -72,6 +72,7 @@ def main() -> int:
         "tpch_q1", "sql_q3ish", "sql_q5ish",
         "dedup_fingerprint", "text_source_tokens", "ann_brute_topk",
         "minhash_pairs", "sessionize_stats", "ann_ivf_topk", "json_props",
+        "sql_window_rank",
         "gb_subtotals", "tpch_q1",
     ]
     headline = list(dict.fromkeys(headline))
