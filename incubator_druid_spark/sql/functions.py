@@ -211,6 +211,28 @@ def register_druid_sql(spark: SparkSession) -> None:
             if "CANNOT_REPLACE_NON_SQL_UDF" not in str(e):
                 raise
     _register_lookup_fn(spark)
+    _register_bloom_test_fn(spark)
+
+
+def _register_bloom_test_fn(spark: SparkSession) -> None:
+    """BLOOM_FILTER_TEST(expr, base64) (druid-bloom-filter
+    sql/BloomFilterOperatorConversion): membership in a serialized
+    BloomKFilter.  Python UDF with the parsed filter memoized per base64
+    string — the deserialization cost is paid once per executor, the per-row
+    work is the murmur3 probe.  Interop surface; the engine-native bloom
+    path stays JVM-side."""
+    _cache: dict = {}
+
+    def test(v, b64):
+        if v is None or b64 is None:
+            return None
+        from incubator_druid_spark.functions.bloomk import BloomKFilter
+        bf = _cache.get(b64)
+        if bf is None:
+            bf = _cache[b64] = BloomKFilter.deserialize(b64)
+        return bf.test_string(v)
+
+    spark.udf.register("BLOOM_FILTER_TEST", test, "boolean")
 
 
 def _register_lookup_fn(spark: SparkSession) -> None:

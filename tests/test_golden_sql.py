@@ -688,3 +688,19 @@ def test_dotted_name_rewrites_skip_string_literals(spark, foo_catalog):
     assert r["a"] == "lookup.lookyloo"
     assert r["b"] == "sys.segments x"
     assert r["c"] == "INFORMATION_SCHEMA.TABLES"
+
+
+def test_bloom_filter_test_sql(spark, foo_catalog):
+    """BLOOM_FILTER_TEST(expr, base64) — SQL membership against a
+    Druid-serialized BloomKFilter (BloomDimFilterSqlTest surface)."""
+    import base64
+
+    from incubator_druid_spark.functions.bloomk import BloomKFilter
+    bf = BloomKFilter.for_entries(50)
+    bf.add_string("abc")
+    bf.add_string("def")
+    b64 = base64.b64encode(bf.serialize()).decode()
+    out = q(spark, foo_catalog, f"""
+        SELECT dim1 FROM foo
+        WHERE BLOOM_FILTER_TEST(dim1, '{b64}') ORDER BY dim1""").collect()
+    assert [r["dim1"] for r in out] == ["abc", "def"]
