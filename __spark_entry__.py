@@ -723,7 +723,8 @@ def _sessionize_stats(spark, sf):
     """Gap-based sessionization over the events stream (30-min gap)."""
     from incubator_druid_spark.pipeline.sessions import session_stats
     ev = _cat(spark, sf).table("events")
-    out = session_stats(ev, gap_minutes=30)
+    # event_id tiebreak: same-timestamp events must attribute deterministically
+    out = session_stats(ev, gap_minutes=30, tiebreak_cols=["event_id"])
     dur_us = (F.unix_micros(F.col("session_end"))
               - F.unix_micros(F.col("session_start"))).alias("duration_us")
     return _round(out.select("user_id", "session_id", "n_events",
@@ -1049,9 +1050,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-05'
                 GROUP BY 1)
-            SELECT spine.__time, coalesce(agg.cnt, 0) AS cnt,
-                   coalesce(agg.users, 0) AS users
+            SELECT spine.__time,
+                   CAST(coalesce(agg.cnt, 0) AS BIGINT) AS cnt,
+                   CAST(coalesce(agg.users, 0) AS BIGINT) AS users
             FROM spine LEFT JOIN agg ON spine.__time = agg.__time
+            ORDER BY spine.__time
         """,
         "ts_hour_filtered": """
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS __time,
@@ -1198,9 +1201,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_druid_functions": """
             SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
                    count(*) AS cnt,
-                   sum(CASE WHEN strpos(event_type, 'c') > 0 THEN 1 ELSE 0 END)
-                       AS with_c
-            FROM events GROUP BY 1
+                   CAST(sum(CASE WHEN strpos(event_type, 'c') > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS with_c
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "timewarp_ts": """
             SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __time,
@@ -1389,18 +1392,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_stats": """
             WITH marked AS (
-                SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR epoch_ms(CAST(ts AS TIMESTAMP))
                                     - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP))
                                     > 1800000
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
                 SELECT user_id, t, value,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY t
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                       CAST(sum(new_s) OVER (
+                            PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM marked)
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(max(t)) - epoch_us(min(t)) AS duration_us,

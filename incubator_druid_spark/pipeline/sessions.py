@@ -21,10 +21,16 @@ from pyspark.sql import functions as F
 
 def sessionize(df: DataFrame, user_col: str = "user_id",
                time_col: str = "__time",
-               gap_minutes: float = 30.0) -> DataFrame:
+               gap_minutes: float = 30.0,
+               tiebreak_cols: list[str] | None = None) -> DataFrame:
     """Assign ``session_id`` (user-scoped ordinal) to each event: a new
-    session starts when the gap to the previous event exceeds the threshold."""
-    w = Window.partitionBy(user_col).orderBy(time_col)
+    session starts when the gap to the previous event exceeds the threshold.
+
+    ``tiebreak_cols`` makes the within-user ordering TOTAL: same-timestamp
+    events are otherwise ordered arbitrarily per engine/run, which can move a
+    tie across a session boundary and shuffle per-session aggregates.  Pass a
+    unique id column for deterministic attribution."""
+    w = Window.partitionBy(user_col).orderBy(time_col, *(tiebreak_cols or []))
     gap_ms = int(gap_minutes * 60_000)
     prev = F.lag(F.col(time_col)).over(w)
     new_session = (prev.isNull() |
@@ -37,9 +43,10 @@ def sessionize(df: DataFrame, user_col: str = "user_id",
 
 def session_stats(df: DataFrame, user_col: str = "user_id",
                   time_col: str = "__time",
-                  gap_minutes: float = 30.0) -> DataFrame:
+                  gap_minutes: float = 30.0,
+                  tiebreak_cols: list[str] | None = None) -> DataFrame:
     """Per-session rollup: event count, duration, value sum (if present)."""
-    s = sessionize(df, user_col, time_col, gap_minutes)
+    s = sessionize(df, user_col, time_col, gap_minutes, tiebreak_cols)
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.min(time_col).alias("session_start"),
