@@ -734,23 +734,44 @@ def _sessionize_stats(spark, sf):
 
 
 def _ann_ivf_topk(spark, sf):
-    from incubator_druid_spark.pipeline.similarity import ann_ivf_topk
-    emb = _cat(spark, sf).table("embeddings")
+    """IVF ANN with a containment oracle (VERDICT r1).  The IVF result set
+    itself can't be replayed in SQL (k-means on a seeded sample), so the
+    entry emits the EXACT brute-force top-k — DuckDB-checkable end-to-end
+    via list_cosine_similarity — plus a verdict column ``ivf_in_top20``:
+    how many of the IVF top-k (nprobe=4 of 8 clusters, i.e. genuinely
+    pruned) land inside the exact top-(k+m).  The oracle expects all k:
+    a recall regression in the IVF path breaks the value hash."""
+    from incubator_druid_spark.pipeline.similarity import (ann_ivf_topk,
+                                                           cosine_topk)
+    from pyspark.sql import Window
+    emb = (_cat(spark, sf).table("embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = ann_ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10,
-                       n_clusters=8, nprobe=4)
-    return _round(out, {"vec_id": None, "cosine": 4})
+    base = emb.filter(F.col("vec_id") != 0)
+    k, m = 10, 10
+    ivf_ids = {r["vec_id"] for r in
+               ann_ivf_topk(base, qvec, k=k, n_clusters=8, nprobe=4).collect()}
+    top_km = [r["vec_id"] for r in cosine_topk(base, qvec, k=k + m).collect()]
+    contained = sum(1 for i in ivf_ids if i in set(top_km))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (cosine_topk(base, qvec, k=k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "vec_id", F.round("cosine", 4).alias("cosine"),
+                    F.lit(contained).cast("long").alias("ivf_in_top20")))
 
 
 def _bloom_filtered_count(spark, sf):
-    """Bloom-prefiltered count: users seen in 'error' events, probed over the
-    full stream.  Bloom admits false positives, so the oracle is the
-    no-false-negative LOWER BOUND check expressed as the exact semi-join —
-    rows-only here; exactness is asserted in tests/test_extensions.py."""
+    """Bloom-prefiltered count with an exact-equality oracle (VERDICT r1).
+    The member set is SELECTIVE (error-event users with id % 7 == 0, ~1/7 of
+    the user domain) so the probe genuinely rejects most rows — no false
+    negatives is Bloom's contract, and at this load factor (n≈m/400, k=6 →
+    per-probe FP ≈ 1e-11) false positives are impossible in practice, so the
+    counts must EQUAL the exact semi-join the DuckDB oracle runs."""
     from incubator_druid_spark.functions.bloom import bloom_build
     ev = _cat(spark, sf).table("events")
-    positions = bloom_build(
-        ev.filter(F.col("event_type") == "error").select("user_id"), "user_id")
+    members = ev.filter((F.col("event_type") == "error")
+                        & (F.col("user_id") % 7 == 0)).select("user_id")
+    positions = bloom_build(members, "user_id")
     q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
          "dimensions": ["event_type"],
          "filter": {"type": "bloom", "dimension": "user_id",
@@ -1410,6 +1431,31 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(t)) - epoch_us(min(t)) AS duration_us,
                    round(sum(value), 3) AS total_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        # exact brute-force top-k via DuckDB list ops; the ivf_in_top20
+        # column asserts the IVF containment verdict (all k inside top-(k+m))
+        "ann_ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding::DOUBLE[],
+                                              (SELECT qv FROM q)) AS c
+                FROM embeddings WHERE vec_id <> 0)
+            SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT)
+                       AS rank,
+                   vec_id, round(c, 4) AS cosine,
+                   CAST(10 AS BIGINT) AS ivf_in_top20
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        # Bloom contract: no false negatives, and at this load factor no
+        # observable false positives -> counts equal the exact semi-join
+        "bloom_filtered_count": """
+            SELECT event_type, count(*) AS cnt
+            FROM events
+            WHERE user_id IN (SELECT user_id FROM events
+                              WHERE event_type = 'error' AND user_id % 7 = 0)
+            GROUP BY event_type
         """,
         "json_props": """
             SELECT event_type,

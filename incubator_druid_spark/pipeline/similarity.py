@@ -110,11 +110,25 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
 
 def train_ivf_centroids(df: DataFrame, n_clusters: int = 16, sample: int = 2048,
                         iters: int = 8, seed: int = 42,
-                        vec_col: str = "embedding") -> np.ndarray:
+                        vec_col: str = "embedding",
+                        sample_fraction: float = 0.05) -> np.ndarray:
     """Driver-side mini k-means on a sample — the coarse quantizer.  The
     sample is bounded (default 2048 vectors) so training cost is independent
-    of table size; at 100 TB you train once and persist the centroids."""
-    rows = (df.select(vec_col).limit(sample).collect())
+    of table size; at 100 TB you train once and persist the centroids.
+
+    Sampling is a seeded Bernoulli ``df.sample`` (per-row coin flips inside
+    each scanned partition) followed by ``limit``: a bare ``limit(sample)``
+    would take the head of the first partition — one time/source slice, so
+    centroids would be trained on a single skewed region of the corpus.  The
+    sample+limit read touches ~sample/fraction rows spread across partitions;
+    on clustered/sorted tables lower ``sample_fraction`` (or pass a
+    pre-sampled frame) to widen the spread further."""
+    rows = (df.select(vec_col)
+              .sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+              .limit(sample).collect())
+    if len(rows) < max(n_clusters, 64):
+        # tiny table (or fraction too small): the plain head is the whole set
+        rows = df.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -197,19 +211,32 @@ def cosine_near_dup_exact(df: DataFrame, threshold: float = 0.95,
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              num_planes: int = 16, bands: int = 4,
                              seed: int = 42, vec_col: str = "embedding",
-                             id_col: str = "vec_id") -> DataFrame:
+                             id_col: str = "vec_id",
+                             max_bucket: int = 256) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join on
     banded signatures, exact cosine verify ≥ threshold.
-    Returns (id_a, id_b, cosine)."""
+    Returns (id_a, id_b, cosine).
+
+    Scale shape (the two things that matter at 100 TB):
+    - the banded self-join carries only ``(id, band, key)`` — the embedding
+      vectors (by far the heaviest column) are joined back BY ID only for the
+      surviving candidate pairs, so the bands× shuffle amplification applies
+      to 24 bytes/row, not the vector payload;
+    - ``max_bucket`` drops buckets larger than the cap before the self-join
+      (same rationale as minhash_lsh_candidates): a hot bucket — zero/dead
+      embeddings, a degenerate cluster all on one side of every plane —
+      otherwise emits O(bucket²) pairs.  A genuine near-dup pair still
+      collides in a rarer band with high probability.
+    """
     rng = np.random.default_rng(seed)
     dim = int(df.select(F.size(F.col(vec_col))).first()[0])
     planes = rng.standard_normal((num_planes, dim))
     rows = num_planes // bands
 
     sig = hyperplane_signature(F.col(vec_col), planes)
-    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
     banded = with_sig.select(
-        id_col, vec_col,
+        id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(F.concat_ws(
@@ -217,17 +244,27 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                                 for r in range(rows)])).alias("bk"))
             for b in range(bands)
         ])).alias("bb"))
-    buckets = banded.select(id_col, vec_col, "bb.band", "bb.bk")
+    buckets = banded.select(id_col, "bb.band", "bb.bk")
+    if max_bucket:
+        sizes = (buckets.groupBy("band", "bk")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+                 .drop("__n"))
+        buckets = buckets.join(sizes, on=["band", "bk"])
     pairs = (buckets.alias("l")
              .join(buckets.alias("r"),
                    (F.col("l.band") == F.col("r.band"))
                    & (F.col("l.bk") == F.col("r.bk"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"),
-                     F.col(f"l.{vec_col}").alias("va"),
-                     F.col(f"r.{vec_col}").alias("vb"))
-             .dropDuplicates(["id_a", "id_b"]))
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .distinct())
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    withv = (pairs
+             .join(vecs.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).alias("va")), "id_a")
+             .join(vecs.select(F.col(id_col).alias("id_b"),
+                               F.col(vec_col).alias("vb")), "id_b"))
     sim = cosine(F.col("va"), F.col("vb"))
-    return (pairs.select("id_a", "id_b", sim.alias("cosine"))
+    return (withv.select("id_a", "id_b", sim.alias("cosine"))
                  .filter(F.col("cosine") >= threshold))
