@@ -200,6 +200,10 @@ def _bind_parameters(sql: str, params: list) -> str:
             j = sql.find("\n", i)
             j = n if j < 0 else j
             out.append(sql[i:j]); i = j
+        elif c == "/" and sql.startswith("/*", i):  # block comment
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(sql[i:j]); i = j
         elif c == "?":
             try:
                 p = next(it)
@@ -211,7 +215,11 @@ def _bind_parameters(sql: str, params: list) -> str:
             elif isinstance(v, bool):
                 out.append("TRUE" if v else "FALSE")
             elif isinstance(v, str):
-                out.append("'" + v.replace("'", "''") + "'")
+                # Spark's parser interprets backslash escapes inside string
+                # literals, so a trailing '\' would escape the closing quote —
+                # double backslashes as well as quotes
+                out.append("'" + v.replace("\\", "\\\\").replace("'", "''")
+                           + "'")
             else:
                 out.append(str(v))
             i += 1

@@ -181,9 +181,23 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext) -> Column
         #   position set over xxhash64 — stays fully JVM-side in codegen.
         bf = spec["bloomKFilter"]
         if isinstance(bf, (str, bytes)):
+            # Druid builds filters over numeric columns via addLong/addFloat/
+            # addDouble (numeric-representation hashing, not string bytes) —
+            # dispatch the probe on the physical column type.  Extraction fns
+            # yield strings, so only bare dimensions dispatch numerically.
             from incubator_druid_spark.functions.bloomk import \
                 bloomk_might_contain
-            return bloomk_might_contain(bf)(c.cast("string"))
+            kind = "string"
+            if spec.get("extractionFn") is None and spec.get("dimension"):
+                dt = ctx.data_type(spec["dimension"])
+                if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                                   T.ByteType)):
+                    kind = "long"
+                elif isinstance(dt, T.FloatType):
+                    kind = "float"
+                elif isinstance(dt, T.DoubleType):
+                    kind = "double"
+            return bloomk_might_contain(bf, kind)(c.cast("string"))
         from incubator_druid_spark.functions.bloom import (DEFAULT_K, DEFAULT_M,
                                                            bloom_might_contain)
         return bloom_might_contain(bf["positions"], c,

@@ -137,19 +137,82 @@ class BloomKFilter:
     def test_string(self, s: str | None) -> bool:
         return self.test_bytes(None if s is None else s.encode("utf-8"))
 
+    # -- numeric paths (BloomKFilter.addLong/addFloat/addDouble) -----------
+    # Hive's Murmur3.hash64(long) equals hash64 of the value's BIG-endian 8
+    # bytes (verified against hive-storage-api ground truth); addInt goes
+    # through the byte path with LITTLE-endian 4 bytes.
+    def _long_hash(self, v: int) -> int:
+        import struct
+        return murmur3_64(struct.pack(">q", v))
 
-def bloomk_might_contain(serialized: str | bytes):
-    """→ pandas UDF Column factory: membership of a string column in a
-    serialized BloomKFilter.  Arrow-batched; the parsed filter is built once
-    per executor (closure capture), rows test in a tight loop."""
+    def add_long(self, v: int) -> None:
+        for off, bit in self._probes(self._long_hash(v)):
+            self.bits[off] |= (1 << bit)
+
+    def test_long(self, v: int) -> bool:
+        return all(self.bits[off] & (1 << bit)
+                   for off, bit in self._probes(self._long_hash(v)))
+
+    @staticmethod
+    def _float_bits(v: float) -> int:
+        import math
+        import struct
+        if math.isnan(v):
+            return 0x7FC00000  # Float.floatToIntBits canonical NaN
+        return struct.unpack(">i", struct.pack(">f", v))[0]
+
+    @staticmethod
+    def _double_bits(v: float) -> int:
+        import math
+        import struct
+        if math.isnan(v):
+            return 0x7FF8000000000000  # Double.doubleToLongBits canonical NaN
+        return struct.unpack(">q", struct.pack(">d", v))[0]
+
+    def add_float(self, v: float) -> None:
+        import struct
+        self.add_bytes(struct.pack("<i", self._float_bits(v)))
+
+    def test_float(self, v: float) -> bool:
+        import struct
+        return self.test_bytes(struct.pack("<i", self._float_bits(v)))
+
+    def add_double(self, v: float) -> None:
+        self.add_long(self._double_bits(v))
+
+    def test_double(self, v: float) -> bool:
+        return self.test_long(self._double_bits(v))
+
+
+def bloomk_might_contain(serialized: str | bytes, kind: str = "string"):
+    """→ pandas UDF Column factory: membership of a column in a serialized
+    BloomKFilter.  Arrow-batched; the parsed filter is built once per
+    executor (closure capture), rows test in a tight loop.
+
+    ``kind`` selects the Druid add-path the filter was built with —
+    BloomKFilter.addLong/addFloat/addDouble hash the NUMERIC representation
+    (Hive hash64(long) / floatToIntBits LE bytes), not the decimal string,
+    so a Druid filter over a LONG/FLOAT/DOUBLE column needs the matching
+    probe.  Feed the udf the column CAST TO STRING (exact for all types —
+    Java to-string round-trips, and it keeps nullable longs out of pandas'
+    lossy float64 fallback); values are re-parsed per kind here.  A null
+    value probes the NULL_HASHCODE slot, matching addBytes(null)."""
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
 
     bf = BloomKFilter.deserialize(serialized)
+    tester = {
+        "string": bf.test_string,
+        "long": lambda v: bf.test_long(int(v)),
+        "float": lambda v: bf.test_float(float(v)),
+        "double": lambda v: bf.test_double(float(v)),
+    }[kind]
 
     def probe(col):
-        return col.map(lambda v: bf.test_string(v), na_action=None)
+        return col.map(
+            lambda v: bf.test_bytes(None) if v is None else tester(v),
+            na_action=None)
 
     # annotations set explicitly: this module uses postponed annotation
     # evaluation, which pandas_udf's hint inspection can't resolve

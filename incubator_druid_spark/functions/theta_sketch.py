@@ -86,19 +86,27 @@ def parse_compact_theta(value: str | bytes) -> ConstantThetaSketch:
     return ConstantThetaSketch(hashes, theta_long / _MAX_LONG)
 
 
+# DataSketches ThetaUtil.computeSeedHash(DEFAULT_UPDATE_SEED=9001) — the
+# murmur-derived short written at bytes 6-7.  Sketch.wrap validates the
+# stored seed hash against this (and rejects a zero seed hash outright), so
+# exported sketches must carry it to load in Druid/datasketches-java.
+_DEFAULT_SEED_HASH = 37836  # == (short) -27700 as unsigned
+
+
 def serialize_compact_theta(hashes, theta: float = 1.0) -> bytes:
     """Serialize a hash set as a compact ordered theta sketch (serVer 3) —
     the inverse of parse_compact_theta, used by tests and by exporters."""
     hs = sorted(set(hashes))
+    sh = _DEFAULT_SEED_HASH
     flags = 0x02 | 0x08 | 0x10  # READ_ONLY | COMPACT | ORDERED
     if not hs:
-        return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, flags | 0x04, 0)
+        return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, flags | 0x04, sh)
     if theta >= 1.0 and len(hs) == 1:
-        return struct.pack("<BBBBBBHq", 1, 3, 3, 0, 0, flags, 0, hs[0])
+        return struct.pack("<BBBBBBHq", 1, 3, 3, 0, 0, flags, sh, hs[0])
     if theta >= 1.0:
-        head = struct.pack("<BBBBBBHif", 2, 3, 3, 0, 0, flags, 0, len(hs), 1.0)
+        head = struct.pack("<BBBBBBHif", 2, 3, 3, 0, 0, flags, sh, len(hs), 1.0)
     else:
-        head = struct.pack("<BBBBBBHifq", 3, 3, 3, 0, 0, flags, 0, len(hs),
+        head = struct.pack("<BBBBBBHifq", 3, 3, 3, 0, 0, flags, sh, len(hs),
                            1.0, int(theta * _MAX_LONG))
     return head + struct.pack(f"<{len(hs)}q", *hs)
 

@@ -12,9 +12,13 @@ After ``register_druid_sql(spark)`` + ``register_views(catalog)``, Druid SQL
 like ``SELECT TIME_FLOOR(__time, 'PT1H'), MV_CONTAINS(dim2, 'a') …`` runs
 directly through ``spark.sql``.
 
-Period-string functions (TIME_FLOOR/CEIL/SHIFT) accept the common ISO periods
-via an inlined millis lookup; arbitrary periods go through the native JSON API
-or the DataFrame layer (model/granularity.py) which parse any period.
+Period-string functions (TIME_FLOOR/CEIL/SHIFT) accept ANY literal ISO
+period — TimeFloorOperatorConversion.java:40-75 delegates to
+PeriodGranularity, so Druid accepts arbitrary periods: the common ones run
+through an inlined millis lookup in the SQL UDF, every other literal is
+rewritten call-site by ``_rewrite_time_periods`` through the native parser
+(model/granularity.py).  A NON-literal unknown period (a period read from a
+column) raises at evaluation time via raise_error — never a silent NULL.
 """
 
 from __future__ import annotations
@@ -38,10 +42,21 @@ def _period_millis_case(arg: str) -> str:
     return f"(CASE {arg} {branches} END)"
 
 
-def _time_floor_expr(ts: str, period: str) -> str:
+def _period_millis_strict(arg: str, fname: str) -> str:
+    """Common-period millis lookup that RAISES on an unknown period instead
+    of yielding NULL — literal non-common periods never reach this (the
+    call rewriter inlines them); only a non-literal period column can."""
+    case = _period_millis_case(arg)
+    return (f"(CASE WHEN {case} IS NOT NULL THEN {case} ELSE "
+            f"cast(raise_error(concat('{fname}: unsupported non-literal "
+            f"period ', {arg}, '; pass the period as a string literal or "
+            f"use the native API')) AS BIGINT) END)")
+
+
+def _time_floor_expr(ts: str, period: str, fname: str = "TIME_FLOOR") -> str:
     cal = " ".join(f"WHEN '{p}' THEN date_trunc('{u}', {ts})"
                    for p, u in _CAL.items())
-    ms = _period_millis_case(period)
+    ms = _period_millis_strict(period, fname)
     origin = f"(CASE WHEN {period} = 'P1W' THEN {_WEEK_ORIGIN}L ELSE 0L END)"
     fixed = (f"timestamp_millis(cast(floor((unix_millis({ts}) - {origin}) / {ms})"
              f" * {ms} + {origin} AS BIGINT))")
@@ -59,8 +74,8 @@ _FUNCTIONS: list[str] = [
                 WHEN 'P1M' THEN timestampadd(MONTH, 1, {_time_floor_expr('ts', 'period')})
                 WHEN 'P3M' THEN timestampadd(MONTH, 3, {_time_floor_expr('ts', 'period')})
                 WHEN 'P1Y' THEN timestampadd(YEAR, 1, {_time_floor_expr('ts', 'period')})
-                ELSE timestamp_millis(unix_millis({_time_floor_expr('ts', 'period')})
-                     + {_period_millis_case('period')}) END
+                ELSE timestamp_millis(unix_millis({_time_floor_expr('ts', 'period', 'TIME_CEIL')})
+                     + {_period_millis_strict('period', 'TIME_CEIL')}) END
         END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION TIME_SHIFT(ts TIMESTAMP, period STRING, step INT)
         RETURNS TIMESTAMP RETURN
@@ -68,7 +83,7 @@ _FUNCTIONS: list[str] = [
             WHEN 'P1M' THEN timestampadd(MONTH, step, ts)
             WHEN 'P3M' THEN timestampadd(MONTH, 3 * step, ts)
             WHEN 'P1Y' THEN timestampadd(YEAR, step, ts)
-            ELSE timestamp_millis(unix_millis(ts) + step * {_period_millis_case('period')})
+            ELSE timestamp_millis(unix_millis(ts) + step * {_period_millis_strict('period', 'TIME_SHIFT')})
         END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_PARSE(s STRING)
        RETURNS TIMESTAMP RETURN cast(s AS TIMESTAMP)""",
@@ -224,12 +239,16 @@ def _register_bloom_test_fn(spark: SparkSession) -> None:
     _cache: dict = {}
 
     def test(v, b64):
-        if v is None or b64 is None:
+        if b64 is None:
             return None
         from incubator_druid_spark.functions.bloomk import BloomKFilter
         bf = _cache.get(b64)
         if bf is None:
             bf = _cache[b64] = BloomKFilter.deserialize(b64)
+        # BloomFilterExprMacro: a NULL input evaluates nullMatch() =
+        # testBytes(null) — a filter that had null added matches null rows
+        if v is None:
+            return bf.test_bytes(None)
         return bf.test_string(v)
 
     spark.udf.register("BLOOM_FILTER_TEST", test, "boolean")
@@ -464,6 +483,88 @@ def _null_arg(a: str | None) -> bool:
     return a is None or a.strip().upper() == "NULL"
 
 
+def _lit_period(arg: str) -> str | None:
+    """The ISO-period string if ``arg`` is a plain quoted literal."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'" and "'" not in a[1:-1]:
+        return a[1:-1].strip()
+    return None
+
+
+def _period_ms_sql(p: str, fname: str) -> str:
+    """SQL text for the millis of period-argument ``p``: a literal fixed
+    period inlines its exact width via the native parser (any ISO period);
+    non-literals fall back to the strict common-period lookup."""
+    lit = _lit_period(p)
+    if lit is not None:
+        from incubator_druid_spark.model.granularity import parse_period
+        per = parse_period(lit)  # raises on malformed period = loud error
+        if per.is_calendar:
+            raise ValueError(
+                f"{fname}: calendar period {lit!r} has no fixed millis here; "
+                "use the 2-arg form or the native API's PeriodGranularity")
+        return f"{per.millis}L"
+    return _period_millis_strict(p, fname)
+
+
+def _rewrite_time_periods(sql: str) -> str:
+    """TIME_FLOOR/TIME_CEIL/TIME_SHIFT with ANY literal ISO period
+    (TimeFloorOperatorConversion.java:40-75 → PeriodGranularity accepts
+    arbitrary periods).  Common periods keep the registered SQL UDF; every
+    other literal — 'PT2H', 'P2W', 'P6M', 'PT90S' … — is inlined here via
+    the native parser, matching model/granularity.py's floor/ceil/shift
+    semantics (week-multiple periods anchor at the epoch's preceding Monday,
+    calendar periods floor on the month index).  Runs AFTER _rewrite_time_tz
+    so tz/origin forms have already been reduced to 2-/3-arg calls."""
+    from incubator_druid_spark.model.granularity import parse_period
+
+    def fixed_floor(ts, ms):
+        origin = _WEEK_ORIGIN if ms and ms % 604_800_000 == 0 else 0
+        return (f"timestamp_millis(cast(floor((unix_millis({ts}) - {origin}) "
+                f"/ {ms}) * {ms} + {origin} AS BIGINT))")
+
+    def months_floor(ts, n):
+        mi = f"((year({ts}) - 1970) * 12 + month({ts}) - 1)"
+        fl = f"cast(floor({mi} / {n}) * {n} AS INT)"
+        return (f"make_timestamp(1970 + cast(floor(({fl}) / 12) AS INT), "
+                f"pmod({fl}, 12) + 1, 1, 0, 0, 0)")
+
+    def mk_repl(kind):
+        def repl(args):
+            n_expected = 3 if kind == "shift" else 2
+            if len(args) != n_expected:
+                return None  # origin/tz forms: handled by _rewrite_time_tz
+            lit = _lit_period(args[1])
+            if lit is None:
+                return None  # non-literal: strict UDF raises if unknown
+            norm = lit.upper()
+            if norm in _FIXED or norm in _CAL:
+                return None  # common period: the registered UDF handles it
+            per = parse_period(lit)  # malformed period raises loudly here
+            ts = args[0]
+            if kind == "floor":
+                return (months_floor(ts, per.months) if per.is_calendar
+                        else fixed_floor(ts, per.millis))
+            if kind == "ceil":
+                f = (months_floor(ts, per.months) if per.is_calendar
+                     else fixed_floor(ts, per.millis))
+                nxt = (f"timestampadd(MONTH, {per.months}, {f})"
+                       if per.is_calendar else
+                       f"timestamp_millis(unix_millis({f}) + {per.millis})")
+                return f"(CASE WHEN {f} = {ts} THEN {ts} ELSE {nxt} END)"
+            step = args[2]
+            return (f"timestampadd(MONTH, ({step}) * {per.months}, {ts})"
+                    if per.is_calendar else
+                    f"timestamp_millis(unix_millis({ts}) + ({step}) "
+                    f"* {per.millis})")
+        return repl
+
+    sql = _rewrite_calls(sql, "TIME_FLOOR", mk_repl("floor"))
+    sql = _rewrite_calls(sql, "TIME_CEIL", mk_repl("ceil"))
+    sql = _rewrite_calls(sql, "TIME_SHIFT", mk_repl("shift"))
+    return sql
+
+
 def _rewrite_time_tz(sql: str) -> str:
     """3/4-arg TIME_FLOOR/TIME_CEIL(ts, period, origin, tz), 4-arg
     TIME_SHIFT(ts, period, step, tz), 3-arg TIME_EXTRACT/TIME_FORMAT(.., tz)
@@ -490,7 +591,7 @@ def _rewrite_time_tz(sql: str) -> str:
                     f"{fname} with origin needs a fixed-length period "
                     f"(got {pl}); use the native API's PeriodGranularity "
                     "for calendar periods with origin")
-            ms = _period_millis_case(p)
+            ms = _period_ms_sql(p, fname)
             tl, ol = wrap(ts, tz), wrap(origin, tz)
             bucket = (f"floor((unix_millis({tl}) - unix_millis({ol})) / {ms})"
                       if fname == "TIME_FLOOR" else
@@ -568,8 +669,15 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         plan = inner._jdf.queryExecution().explainString(
             inner._sc._jvm.org.apache.spark.sql.execution
             .ExplainMode.fromString("formatted"))
+        # RESOURCES from the ANALYZED plan's relations (view resolution
+        # inserts `SubqueryAlias <view>` per referenced datasource) — a
+        # word-search over the raw SQL would also hit names inside string
+        # literals, comments, or aliases (ADVICE r1)
+        analyzed = str(inner._jdf.queryExecution().analyzed())
+        referenced = set(re.findall(r"SubqueryAlias\s+([\w.]+)", analyzed))
+        referenced |= {r.split(".")[-1] for r in referenced}
         tables = sorted({t for t in (catalog.names() if catalog else [])
-                         if re.search(rf"(?i)\b{re.escape(t)}\b", m.group(1))})
+                         if t in referenced})
         res = _json.dumps([{"name": t, "type": "DATASOURCE"} for t in tables])
         return spark.createDataFrame([(plan, res)], "PLAN string, RESOURCES string")
     register_druid_sql(spark)
@@ -601,6 +709,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = _outside_literals(sql, _dotted_names)
     sql = _rewrite_floor_ceil_to(sql)
     sql = _rewrite_time_tz(sql)
+    sql = _rewrite_time_periods(sql)
     sql = _rewrite_regexp_extract(sql)
     # Calcite dialect forms Spark's parser rejects:
     #   CAST(x AS VARCHAR) with no length  → STRING

@@ -466,6 +466,29 @@ def test_theta_sketch_constant_roundtrip_and_setops(spark, catalog):
     assert theta_set_op("UNION", [sa, sb]).estimate == 5.0
     assert theta_set_op("NOT", [sa, sb]).estimate == 1.0
 
+    # exporter writes the DEFAULT_UPDATE_SEED(9001) seed hash at bytes 6-7 —
+    # datasketches-java Sketch.wrap validates it (and rejects 0), verified
+    # against the real library; ADVICE r1
+    import struct
+    assert struct.unpack_from("<H", a, 6)[0] == 37836
+
+    # golden interop: sketches produced by datasketches-java 6.2.0
+    # (UpdateSketch.update("user0".."user4").compact(true)) parse exactly
+    golden = ("AgMDAAAazJMFAAAAAACAP3ATtMxZL8AOhJk/IQvAUiBPYwqhnGdgOvnpUueu"
+              "UnhZ9tl6KPi9Nmg=")
+    assert parse_compact_theta(golden).estimate == 5.0
+    # estimation-mode golden (nominal 16, 1000 distinct ints):
+    # java getEstimate() == 829.7403132548839, 24 retained entries
+    golden_est = ("AwMDAAAazJMYAAAAAACAPzk+6xYTzrMD1Ynt8rp0KgDerGvh4dllAPp0"
+                  "s0wWsW4Ax8SBhRN/cwD/PttJMfqWAFFnAT7v4t0AS79+7n5A9QDkx1gS"
+                  "msQGAa9fFaZJkk4BCiLbtxyHXwGIZVc30Qp0AXt/7GbteH8B+zh5iRMk"
+                  "jwG5v5/q+p6qAXg9RuN9fNMB76+uz1vd9AGU3tbIoHUqAtHutbEZtJMC"
+                  "bfP7iFWNlgJzR6JuOU2ZAq6a0RmkcCcDpZB75TT5bQO4M7Uaw25yAw9d"
+                  "EZDciLED")
+    ge = parse_compact_theta(golden_est)
+    assert ge.hashes and len(ge.hashes) == 24
+    assert abs(ge.estimate - 829.7403132548839) < 1e-9
+
     # through the query surface: constants in post-aggregations
     b64a = base64.b64encode(a).decode()
     b64b = base64.b64encode(b).decode()

@@ -153,3 +153,37 @@ def test_bloomk_filter_binary_interop(spark, catalog):
          "aggregations": [{"type": "count", "name": "cnt"}]}
     out = translate(q, spark, catalog).collect()
     assert {r["event_type"] for r in out} == {"purchase", "error"}
+
+
+def test_bloomk_numeric_interop_golden(spark, catalog):
+    """Druid builds filters over numeric columns via addLong/addFloat/
+    addDouble (BloomKFilter.java:544-557 — Hive hash64(long) and
+    floatToIntBits LE-byte hashing, NOT string hashing; ADVICE r1).  Golden
+    filter generated by the real hive-storage-api BloomKFilter with
+    addLong(42), addLong(-7), addFloat(1.5f), addDouble(2.75)."""
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.filters.filters import (FilterContext,
+                                                       compile_filter)
+    from incubator_druid_spark.functions.bloomk import BloomKFilter
+
+    # note: hive-storage-api >= 2.8 changed addInt to hash the int directly;
+    # Druid's vendored copy keeps the LE-byte path (the comment at :544), so
+    # the float golden emulates Druid via addBytes(intToByteArrayLE(bits))
+    golden = ("BAAAABAAAEAAAAAAAAAAAAAAAgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+              "AAAAAAAACAAAAAAAAAAAAAAAAAAAAAQAAAAAAAAAAAAAAAAAACABAAAAAAFA"
+              "AgAAAAAkAAAAAAAAAAAAAAAAAAAABAAAQAAAAACAAAAAAAAAAAAABAgAAA==")
+    bf = BloomKFilter.deserialize(golden)
+    assert bf.test_long(42) and bf.test_long(-7) and not bf.test_long(43)
+    assert bf.test_float(1.5) and not bf.test_float(1.6)
+    assert bf.test_double(2.75) and not bf.test_double(2.76)
+    # float/double paths hash DIFFERENT representations of the same number
+    assert not bf.test_double(1.5) and not bf.test_float(2.75)
+
+    # through the filter surface on a LONG column: the probe must dispatch
+    # on the column type (string hashing would match nothing)
+    df = spark.createDataFrame([(42,), (43,), (-7,)], "user_id long")
+    ctx = FilterContext(df)
+    pred = compile_filter({"type": "bloom", "dimension": "user_id",
+                           "bloomKFilter": golden}, ctx)
+    got = {r["user_id"] for r in df.filter(pred).collect()}
+    assert got == {42, -7}
