@@ -780,6 +780,51 @@ def _bloom_filtered_count(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _ds_sketch_column_quantiles(spark, sf):
+    """Migrated-segment interop (VERDICT r1 #6): per-(event_type, day)
+    Druid-serialized DoublesSketch binaries (functions/doubles_sketch.py
+    exporter — validated to load in datasketches-java), then a groupBy that
+    MERGES the stored sketch column and reads quantiles through the
+    quantilesDoublesSketch surface.  The sketches are exact here (all values
+    retained, n per segment << 2k), so the INCLUSIVE quantile rule must
+    reproduce DuckDB's order statistics bit-exactly."""
+    import pandas as pd
+
+    import incubator_druid_spark.functions.doubles_sketch as ds
+    from incubator_druid_spark.catalog import Catalog
+
+    ev = _cat(spark, sf).table("events")
+
+    def build(col):
+        return bytes(ds.serialize_doubles_compact(col.dropna(), k=2048))
+
+    build.__annotations__ = {"col": pd.Series, "return": bytes}
+    mk = F.pandas_udf(build, "binary")
+    seg = (ev.withColumn("day", F.to_date("__time"))
+             .groupBy("event_type", "day")
+             .agg(mk(F.col("value")).alias("qsk"))
+             .withColumn("__time", F.col("day").cast("timestamp")))
+    import tempfile
+    path = tempfile.mkdtemp(prefix="ds_seg_") + "/seg.parquet"
+    seg.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("seg", path)
+    q = {"queryType": "groupBy", "dataSource": "seg", "granularity": "all",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "quantilesDoublesSketch", "name": "qs",
+                           "fieldName": "qsk"}],
+         "postAggregations": [
+             {"type": "quantilesDoublesSketchToQuantile", "name": "med",
+              "field": {"type": "fieldAccess", "fieldName": "qs"},
+              "fraction": 0.5},
+             {"type": "quantilesDoublesSketchToQuantile", "name": "p90",
+              "field": {"type": "fieldAccess", "fieldName": "qs"},
+              "fraction": 0.9}]}
+    out = translate(q, spark, cat)
+    return _round(out.select("event_type", "med", "p90"),
+                  {"event_type": None, "med": 3, "p90": 3})
+
+
 def _dedup_exact(spark, sf):
     from incubator_druid_spark.pipeline.dedup import exact_dedup
     docs = _cat(spark, sf).table("documents")
@@ -983,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stats": _sessionize_stats,
         "ann_ivf_topk": _ann_ivf_topk,
         "bloom_filtered_count": _bloom_filtered_count,
+        "ds_sketch_column_quantiles": _ds_sketch_column_quantiles,
         "topn_event_type": _topn_event_type,
         "topn_users": _topn_users,
         "scan_purchases": _scan_purchases,
@@ -1447,6 +1493,23 @@ def oracle_sql() -> dict[str, str]:
                    vec_id, round(c, 4) AS cosine,
                    CAST(10 AS BIGINT) AS ivf_in_top20
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        # stored DoublesSketch segments are exact here (every value
+        # retained), so INCLUSIVE quantiles == the order statistic at
+        # ceil(q*n) — computed via window functions
+        "ds_sketch_column_quantiles": """
+            WITH ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL)
+            SELECT event_type,
+                   round(min(CASE WHEN rn >= ceiling(0.5 * n)
+                                  THEN value END), 3) AS med,
+                   round(min(CASE WHEN rn >= ceiling(0.9 * n)
+                                  THEN value END), 3) AS p90
+            FROM ranked GROUP BY event_type
         """,
         # Bloom contract: no false negatives, and at this load factor no
         # observable false positives -> counts equal the exact semi-join

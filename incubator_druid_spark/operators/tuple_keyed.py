@@ -450,4 +450,23 @@ def _welch_p(m1, v1, n1, m2, v2, n2):
     return _betainc(df / 2.0, 0.5, df / (df + t * t))
 
 
-_WELCH_UDF = F.udf(_welch_p, DoubleType())
+def _welch_pandas(m1, v1, n1, m2, v2, n2):
+    """Arrow-batched Welch p-value: one row per group post-aggregation, but
+    batched so high-cardinality groupings don't pay a per-group Python
+    round-trip (VERDICT r1)."""
+    import pandas as pd
+
+    def clean(s):
+        return [None if v is None or v != v else float(v) for v in s]
+
+    return pd.Series([_welch_p(*args) for args in
+                      zip(clean(m1), clean(v1), clean(n1),
+                          clean(m2), clean(v2), clean(n2))], dtype="float64")
+
+
+import pandas as _pd  # noqa: E402  (annotation targets for pandas_udf)
+
+_welch_pandas.__annotations__ = {k: _pd.Series for k in
+                                 ("m1", "v1", "n1", "m2", "v2", "n2")}
+_welch_pandas.__annotations__["return"] = _pd.Series
+_WELCH_UDF = F.pandas_udf(_welch_pandas, DoubleType())

@@ -508,3 +508,145 @@ def test_theta_sketch_constant_roundtrip_and_setops(spark, catalog):
                              "value": b64b}]}}]}
     r = translate(q, spark, catalog).first()
     assert r["const_est"] == 3.0 and r["inter"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Druid-serialized DataSketches binary interop (HllSketch + DoublesSketch)
+# ---------------------------------------------------------------------------
+
+# goldens generated by datasketches-java 6.2.0 (the library Druid bundles)
+_HLL_LIST_COMPACT = "AgEHDAMIBQBaoYgGEEDZBDWjUQXipREGXn+xBA=="          # 5 items
+_HLL_LIST_UPD = "AgEHDAMABQBaoYgGEEDZBDWjUQXipREGXn+xBAAAAAAAAAAAAAAAAA=="
+_DS_SMALL_COMPACT = ("AgMIGoAAAAAKAAAAAAAAAAAAAAAAAPg/AAAAAAAALkAAAAAAAAD4"
+                     "PwAAAAAAAAhAAAAAAAAAEkAAAAAAAAAYQAAAAAAAAB5AAAAAAAAA"
+                     "IkAAAAAAAAAlQAAAAAAAAChAAAAAAAAAK0AAAAAAAAAuQA==")
+_DS_SMALL_UPD = ("AgMIAIAAAAAKAAAAAAAAAAAAAAAAAPg/AAAAAAAALkAAAAAAAAD4PwAA"
+                 "AAAAAAhAAAAAAAAAEkAAAAAAAAAYQAAAAAAAAB5AAAAAAAAAIkAAAAAA"
+                 "AAAlQAAAAAAAAChAAAAAAAAAK0AAAAAAAAAuQAAAAAAAAAAAAAAAAAAA"
+                 "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA==")
+_DS_EMPTY = "AQMIHoAAAAA="
+
+
+def test_doubles_sketch_binary_parse_golden():
+    """functions/doubles_sketch.py vs datasketches-java 6.2.0 goldens:
+    getQuantile(INCLUSIVE) must match BIT-EXACTLY on both the compact and
+    the updatable serialization of the same stream (10 items = 1.5*i)."""
+    from incubator_druid_spark.functions.doubles_sketch import (
+        parse_doubles_sketch, quantile, rank_of)
+    java = {0.0: 1.5, 0.1: 1.5, 0.25: 4.5, 0.5: 7.5, 0.75: 12.0,
+            0.9: 13.5, 0.99: 15.0, 1.0: 15.0}
+    for b64 in (_DS_SMALL_COMPACT, _DS_SMALL_UPD):
+        v = parse_doubles_sketch(b64)
+        assert (v.n, v.k, v.min_item, v.max_item) == (10, 128, 1.5, 15.0)
+        for r, want in java.items():
+            assert quantile(v, r) == want, (b64[:16], r)
+        assert rank_of(v, 7.5) == 0.5          # INCLUSIVE: 5 of 10 <= 7.5
+        assert rank_of(v, 7.5, inclusive=False) == 0.4
+    e = parse_doubles_sketch(_DS_EMPTY)
+    assert e.is_empty and quantile(e, 0.5) is None
+
+
+def test_doubles_sketch_multilevel_golden():
+    """Deep-level compact sketch (k=16, n=5000, bitPattern=10011100):
+    level weights 2^(level+1) must decode so every java quantile matches."""
+    from tests.ds_goldens import MOD_N5K_K16_COMPACT, MOD_N5K_K16_UPD
+    from incubator_druid_spark.functions.doubles_sketch import (
+        parse_doubles_sketch, quantile)
+    java = {0.0: 0.0, 0.1: 82.0, 0.25: 267.0, 0.5: 536.0, 0.75: 777.0,
+            0.9: 912.0, 0.99: 972.0, 1.0: 996.0}
+    for b64 in (MOD_N5K_K16_COMPACT, MOD_N5K_K16_UPD):
+        v = parse_doubles_sketch(b64)
+        assert v.n == 5000 and v.k == 16
+        for r, want in java.items():
+            assert quantile(v, r) == want
+
+
+def test_doubles_sketch_exporter_roundtrip():
+    """serialize_doubles_compact output re-parses exactly (and was verified
+    to load in datasketches-java: DoublesSketch.wrap → same quantiles)."""
+    from incubator_druid_spark.functions.doubles_sketch import (
+        merge_views, parse_doubles_sketch, quantile, serialize_doubles_compact)
+    v = parse_doubles_sketch(serialize_doubles_compact([3.5, 1.0, 2.0, 9.0]))
+    assert (v.n, v.min_item, v.max_item) == (4, 1.0, 9.0)
+    assert quantile(v, 0.5) == 2.0
+    # merge = weighted-item concatenation across stored sketches
+    a = parse_doubles_sketch(serialize_doubles_compact([1.0, 2.0]))
+    b = parse_doubles_sketch(serialize_doubles_compact([3.0, 4.0, 5.0, 6.0]))
+    m = merge_views([a, b])
+    assert m.n == 6 and quantile(m, 0.5) == 3.0 and quantile(m, 1.0) == 6.0
+
+
+def test_doubles_sketch_complex_column_query(spark, tmp_path):
+    """quantilesDoublesSketch + To{Quantile,Rank,CDF} post-aggs over a
+    BINARY column of Druid-serialized DoublesSketch bytes (the migrated-
+    segment shape, DoublesSketchAggregatorFactory.java read path)."""
+    import datetime
+
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.functions.doubles_sketch import \
+        serialize_doubles_compact
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [  # two "segments" per group, one per row
+        ("a", bytearray(serialize_doubles_compact([1.0, 2.0, 3.0]))),
+        ("a", bytearray(serialize_doubles_compact([4.0, 5.0]))),
+        ("b", bytearray(serialize_doubles_compact([10.0, 20.0]))),
+    ]
+    df = spark.createDataFrame(
+        [(t0, g, s) for g, s in rows],
+        "__time timestamp, grp string, qsk binary")
+    path = str(tmp_path / "seg.parquet")
+    df.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("seg", path)
+    q = {"queryType": "groupBy", "dataSource": "seg", "granularity": "all",
+         "dimensions": ["grp"],
+         "aggregations": [{"type": "quantilesDoublesSketch", "name": "qs",
+                           "fieldName": "qsk"}],
+         "postAggregations": [
+             {"type": "quantilesDoublesSketchToQuantile", "name": "med",
+              "field": {"type": "fieldAccess", "fieldName": "qs"},
+              "fraction": 0.5},
+             {"type": "quantilesDoublesSketchToRank", "name": "rk",
+              "field": {"type": "fieldAccess", "fieldName": "qs"},
+              "value": 4.0},
+             {"type": "quantilesDoublesSketchToCDF", "name": "cd",
+              "field": {"type": "fieldAccess", "fieldName": "qs"},
+              "splitPoints": [3.0]}]}
+    out = {r["grp"]: r for r in translate(q, spark, cat).collect()}
+    # group a = {1..5}: median (INCLUSIVE) = 3.0; rank(<4) = 3/5; cdf(<3)=2/5
+    assert out["a"]["med"] == 3.0
+    assert abs(out["a"]["rk"] - 0.6) < 1e-12
+    assert [round(x, 6) for x in out["a"]["cd"]] == [0.4, 1.0]
+    assert out["b"]["med"] == 10.0
+
+
+def test_hll_sketch_binary_interop(spark, tmp_path):
+    """Druid-serialized HllSketch bytes (LIST compact + updatable golden,
+    datasketches-java 6.2.0) are consumed DIRECTLY by the engine's binary
+    HLL path — Spark's hll_* functions are datasketches-backed, so
+    hyperUnique/HLLSketchMerge over a migrated COMPLEX column needs no
+    Python (HllSketchMergeAggregatorFactory.java read parity)."""
+    import base64
+    import datetime
+
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0, "x", bytearray(base64.b64decode(_HLL_LIST_COMPACT))),
+         (t0, "x", bytearray(base64.b64decode(_HLL_LIST_UPD)))],
+        "__time timestamp, grp string, hsk binary")
+    path = str(tmp_path / "hllseg.parquet")
+    df.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("seg", path)
+    q = {"queryType": "groupBy", "dataSource": "seg", "granularity": "all",
+         "dimensions": ["grp"],
+         "aggregations": [{"type": "HLLSketchMerge", "name": "u",
+                           "fieldName": "hsk"}]}
+    out = translate(q, spark, cat).collect()
+    # both sketches hold the same 5 values ("v0".."v4") → union estimate 5
+    assert len(out) == 1 and int(out[0]["u"]) == 5
