@@ -690,8 +690,37 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                      "information_schema_", seg)
         seg = re.sub(r"(?i)\bsys\s*\.\s*(segments|servers|tasks)",
                      r"sys_\1", seg)
-        return re.sub(r"(?i)\blookup\s*\.\s*(\w+)", r"lookup_\1", seg)
+        # Calcite exposes an unaliased `lookup.<name>` under its last name
+        # component (`lookyloo.k` resolves) — inject `AS <name>` unless the
+        # query supplies its own alias right after the table reference.
+        _kw = {"on", "where", "group", "order", "limit", "union", "intersect",
+               "except", "inner", "left", "right", "full", "cross", "join",
+               "having", "natural", "using"}
 
+        def _lookup_repl(m):
+            name = m.group(1)
+            nxt = re.match(r"\s*(\w+)", seg[m.end():])
+            if nxt and nxt.group(1).lower() not in _kw:
+                return f"lookup_{name}"  # AS or a user alias follows
+            return f"lookup_{name} AS {name}"
+
+        seg = re.sub(r"(?i)\blookup\s*\.\s*(\w+)", _lookup_repl, seg)
+        # `druid` is the default datasource schema (DruidSchema) — strip the
+        # qualifier so `druid.foo` resolves to the registered view `foo`.
+        return re.sub(r"(?i)\bdruid\s*\.\s*(\w+)", r"\1", seg)
+
+    # Calcite identifier quoting (sql/.../planner/DruidPlanner — Calcite's
+    # default DOUBLE_QUOTE quoting, "" escapes): convert to Spark backticks.
+    # Runs outside single-quoted string literals only, so a literal like
+    # 'say "hi"' stays data.
+    def _quoted_idents(seg: str) -> str:
+        return re.sub(
+            r'"((?:[^"]|"")*)"',
+            lambda m: "`" + m.group(1).replace('""', '"').replace("`", "``")
+            + "`",
+            seg)
+
+    sql = _outside_literals(sql, _quoted_idents)
     # lookup schema (sql/.../schema/LookupSchema.java): every registered
     # lookup is a two-column (k, v) STRING table named lookup.<name> —
     # registered here as a broadcast-size temp view, dotted name rewritten.

@@ -148,6 +148,58 @@ def numfoo_catalog(spark, numfoo, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def visits(spark):
+    """`visits` — the reference's user-visit datasource for correlated
+    subquery tests (CalciteTests.java:661-687 USER_VISIT_ROWS)."""
+    rows_ = [
+        ("2021-01-01T01:00:00", "alice", "canada", "A"),
+        ("2021-01-01T02:00:00", "alice", "canada", "B"),
+        ("2021-01-01T03:00:00", "bob", "canada", "A"),
+        ("2021-01-01T04:00:00", "alice", "India", "Y"),
+        ("2021-01-02T01:00:00", "alice", "canada", "A"),
+        ("2021-01-02T02:00:00", "bob", "canada", "A"),
+        ("2021-01-02T03:00:00", "foo", "canada", "B"),
+        ("2021-01-02T04:00:00", "bar", "canada", "B"),
+        ("2021-01-02T05:00:00", "alice", "India", "X"),
+        ("2021-01-02T06:00:00", "bob", "India", "X"),
+        ("2021-01-02T07:00:00", "foo", "India", "X"),
+        ("2021-01-03T01:00:00", "foo", "USA", "M"),
+    ]
+    return spark.createDataFrame(
+        [(_ts(t), u, co, ci) for t, u, co, ci in rows_],
+        "`__time` timestamp, user string, country string, city string")
+
+
+@pytest.fixture(scope="session")
+def visits_catalog(spark, visits, tmp_path_factory):
+    from incubator_druid_spark.catalog import Catalog
+    path = str(tmp_path_factory.mktemp("visits_ds") / "visits.parquet")
+    visits.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("visits", path)
+    return cat
+
+
+@pytest.fixture(scope="session")
+def full_catalog(spark, foo, numfoo, tmp_path_factory):
+    """foo + numfoo + the lookyloo lookup in one catalog — the join golden
+    cases reference all three (CalciteQueryTest join tranche)."""
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.functions.lookups import register_lookup
+    base = tmp_path_factory.mktemp("full_ds")
+    foo.write.mode("overwrite").parquet(str(base / "foo.parquet"))
+    numfoo.write.mode("overwrite").parquet(str(base / "numfoo.parquet"))
+    cat = Catalog(spark)
+    cat.register("foo", str(base / "foo.parquet"))
+    cat.register("numfoo", str(base / "numfoo.parquet"))
+    register_lookup("lookyloo", {"a": "xa", "abc": "xabc",
+                                 "nosuchkey": "mysteryvalue", "6": "x6"})
+    cat.register_lookup("lookyloo", {"a": "xa", "abc": "xabc",
+                                     "nosuchkey": "mysteryvalue", "6": "x6"})
+    return cat
+
+
+@pytest.fixture(scope="session")
 def foo_catalog(spark, foo, tmp_path_factory):
     """Catalog with `foo` registered as a parquet datasource + lookyloo."""
     from incubator_druid_spark.catalog import Catalog
