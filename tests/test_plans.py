@@ -175,3 +175,42 @@ def test_search_single_scan(spark, catalog):
     plan = translate(q, spark, catalog)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
+
+
+def test_aqe_skew_join_split(spark):
+    """Skew resilience (VERDICT r1 #9): a sort-merge join on a Zipf-skewed
+    key must have its hot partition SPLIT by AQE's OptimizeSkewedJoin
+    (`AQEShuffleRead ... skewed` in the final plan) instead of serializing
+    the hot key through one straggler task.  Thresholds are scaled to test
+    data size — at 100 TB the production defaults (256 MB skewed-partition
+    threshold, 64 MB advisory target) trigger the same split."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of left rows share one key — the canonical Zipf hot key
+        left = (spark.range(0, 400_000, 1, 8)
+                .withColumn("k", F.when(F.col("id") % 10 < 9, F.lit(0))
+                            .otherwise(F.col("id") % 1000))
+                .withColumn("pay", F.concat(F.lit("x" * 60), F.col("id"))))
+        right = (spark.range(0, 1000, 1, 4).withColumnRenamed("id", "k2")
+                 .withColumn("rpay", F.concat(F.lit("y" * 20), F.col("k2"))))
+        # hint("merge"): at bench/test scale the right side is broadcastable,
+        # which sidesteps skew entirely; the 100 TB shape is large-large SMJ
+        j = (left.hint("merge").join(right, left["k"] == right["k2"])
+             .select("k", "pay", "rpay"))
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan, \
+            "AQE must split the skewed partition:\n" + plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
