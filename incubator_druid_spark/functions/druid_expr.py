@@ -611,18 +611,34 @@ def _registry() -> dict:
         # -- arrays (Function.java:2918-3457)
         "array": _cols(F.array), "array_length": _cols(F.size),
         "string_to_array": _string_to_array,
-        "array_to_string": lambda p, a, sep: F.array_join(_c(a), lit_str(sep)),
+        # null elements print as 'null' (ArrayToStringFunction joins with
+        # String.valueOf)
+        "array_to_string": lambda p, a, sep: F.array_join(
+            _c(a), lit_str(sep), "null"),
         "array_offset": lambda p, a, i: F.get(_c(a), i if isinstance(i, Column) else int(i)),
         "array_ordinal": lambda p, a, i: F.element_at(
             _c(a), i if isinstance(i, Column) else int(i)),
-        "array_offset_of": _cols(lambda a, v: (F.array_position(a, v) - 1).cast("long")),
-        "array_ordinal_of": _cols(lambda a, v: F.array_position(a, v).cast("long")),
+        # miss → NULL (ArrayOffsetOfFunction:3258 — -1/0 only under
+        # replaceWithDefault; Spark's array_position returns 0 on miss)
+        "array_offset_of": _cols(lambda a, v: (
+            F.nullif(F.array_position(a, v), F.lit(0)) - 1).cast("long")),
+        "array_ordinal_of": _cols(lambda a, v: F.nullif(
+            F.array_position(a, v), F.lit(0)).cast("long")),
         "array_append": _cols(F.array_append),
         "array_prepend": _cols(lambda v, a: F.array_prepend(a, v)),
         "array_concat": _cols(lambda a, b: F.concat(a, b)),
         "array_set_add": _cols(lambda a, v: F.array_sort(F.array_distinct(F.array_append(a, v)))),
         "array_set_add_all": _cols(lambda a, b: F.array_sort(F.array_union(a, b))),
-        "array_contains": _cols(F.array_contains),
+        # ArrayContainsFunction: array 2nd argument = contains-all, scalar =
+        # membership.  The compiled Column loses the source AST, so detect
+        # the array case from the Catalyst expression text (array literals
+        # `[..]` / array(..) / string_to_array(..) compile to these shapes);
+        # a column-reference of array type as the 2nd argument is rare and
+        # surfaces as an analysis-time type error rather than a wrong answer.
+        "array_contains": _cols(lambda a, v: (
+            F.forall(v, lambda x: F.array_contains(a, x))
+            if str(v._jc).lstrip("(").startswith(("array(", "split("))
+            else F.array_contains(a, v))),
         "array_overlap": _cols(F.arrays_overlap),
         "array_slice": _array_slice,
         # -- higher-order fns (ApplyFunction.java: map:195, filter:471, any:609, all:632, fold:350)

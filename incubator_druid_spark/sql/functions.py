@@ -123,10 +123,13 @@ _FUNCTIONS: list[str] = [
        RETURNS STRING RETURN get(a, i)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_ORDINAL(a ARRAY<STRING>, i INT)
        RETURNS STRING RETURN element_at(a, i)""",
+    # miss → NULL in SQL-compatible mode (Function.java ArrayOffsetOfFunction
+    # :3258 — -1/0 only under replaceWithDefault); Spark's array_position
+    # returns 0 on miss, so nullif first
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_OFFSET_OF(a ARRAY<STRING>, v STRING)
-       RETURNS BIGINT RETURN array_position(a, v) - 1""",
+       RETURNS BIGINT RETURN nullif(array_position(a, v), 0) - 1""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_ORDINAL_OF(a ARRAY<STRING>, v STRING)
-       RETURNS BIGINT RETURN array_position(a, v)""",
+       RETURNS BIGINT RETURN nullif(array_position(a, v), 0)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_PREPEND(v STRING, a ARRAY<STRING>)
        RETURNS ARRAY<STRING> RETURN array_prepend(a, v)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_APPEND(a ARRAY<STRING>, v STRING)
@@ -479,6 +482,196 @@ def _rewrite_calls(sql: str, name: str, repl) -> str:
         pos = i
 
 
+def _rewrite_array_literals(sql: str) -> str:
+    """Calcite's ``ARRAY[...]`` constructor → Spark ``array(...)``
+    (ArrayConstructorOperatorConversion.java).  Quote- and nesting-aware;
+    nested ``ARRAY[ARRAY[..]]`` recurses."""
+    import re
+    pat = re.compile(r"(?i)\bARRAY\s*\[")
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:m.start()])
+        out.append("array(")
+        j, depth, inq = m.end(), 1, False
+        seg_start = j
+        while j < n and depth:
+            c = sql[j]
+            if inq:
+                if c == "'":
+                    inq = False
+            elif c == "'":
+                inq = True
+            elif c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            j += 1
+        out.append(_rewrite_array_literals(sql[seg_start:j - 1]))
+        out.append(")")
+        i = j
+    return "".join(out)
+
+
+def _rewrite_array_agg(sql: str) -> str:
+    """``ARRAY_AGG([DISTINCT] x[, maxBytes])[ FILTER (WHERE ..)]`` →
+    a null-keeping Spark form (ArraySqlAggregator.java appends nulls;
+    Spark's array_agg drops them, so the value rides inside a struct):
+
+        transform(array_agg([DISTINCT] named_struct('__v', x)) [FILTER ..],
+                  __s -> __s.__v)
+
+    The maxBytes argument (a sizing hint for Druid's buffer aggregator)
+    is dropped — Spark grows aggregation buffers dynamically."""
+    import re
+    pat = re.compile(r"(?i)\bARRAY_AGG\s*\(")
+    out, pos, n = [], 0, len(sql)
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos:m.start()])
+        i, depth, inq = m.end(), 1, False
+        args, cur = [], []
+        while i < n and depth:
+            c = sql[i]
+            if inq:
+                cur.append(c)
+                if c == "'":
+                    inq = False
+            elif c == "'":
+                inq = True
+                cur.append(c)
+            elif c == "(":
+                depth += 1
+                cur.append(c)
+            elif c == ")":
+                depth -= 1
+                if depth:
+                    cur.append(c)
+            elif c == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        tail = "".join(cur).strip()
+        if tail or args:
+            args.append(tail)
+        expr = args[0] if args else ""
+        distinct = ""
+        dm = re.match(r"(?is)^DISTINCT\s+(.*)$", expr)
+        if dm:
+            distinct, expr = "DISTINCT ", dm.group(1)
+        filt = ""
+        fm = re.match(r"(?is)\s*FILTER\s*\(", sql[i:])
+        if fm:
+            j, d2, q2 = i + fm.end(), 1, False
+            while j < n and d2:
+                c = sql[j]
+                if q2:
+                    if c == "'":
+                        q2 = False
+                elif c == "'":
+                    q2 = True
+                elif c == "(":
+                    d2 += 1
+                elif c == ")":
+                    d2 -= 1
+                j += 1
+            filt = " " + sql[i:j].strip()
+            i = j
+        # zero aggregated rows → NULL like the reference (Spark's array_agg
+        # yields an empty array there); the duplicated aggregate is
+        # deduplicated by the planner's common-aggregate elimination
+        agg = (f"transform(array_agg({distinct}named_struct('__v', {expr}))"
+               f"{filt}, __s -> __s.__v)")
+        out.append(f"CASE WHEN size({agg}) > 0 THEN {agg} ELSE NULL END")
+        pos = i
+
+
+def _is_array_text(arg: str) -> bool:
+    import re
+    return re.match(r"(?i)\s*array\s*[(\[]", arg) is not None
+
+
+def _rewrite_array_functions(sql: str) -> str:
+    """The ARRAY_* scalar family (sql/.../expression/builtin/Array*OperatorConversion.java)
+    as type-preserving rewrites to Spark builtins.  Semantics follow
+    core/.../math/expr/Function.java (SQL-compatible null mode):
+
+      * ARRAY_OFFSET/ORDINAL out-of-range → NULL (ArrayOffsetFunction:3209)
+      * ARRAY_OFFSET_OF/ORDINAL_OF miss → NULL (ArrayOffsetOfFunction:3258)
+      * ARRAY_TO_STRING prints null elements as 'null' (String.valueOf join)
+      * ARRAY_CONTAINS with an array second argument = contains-all
+        (ArrayContainsFunction); scalar second argument = membership
+      * ARRAY_SLICE is 0-based half-open; 2-arg form runs to the end
+      * ARRAY_PREPEND takes (value, array) — Druid's order, not Spark's
+    """
+    sql = _rewrite_array_literals(sql)
+    sql = _rewrite_array_agg(sql)
+
+    def only(nargs, fmt):
+        def repl(a):
+            if len(a) != nargs:
+                return None
+            return fmt(*a)
+        return repl
+
+    sql = _rewrite_calls(sql, "ARRAY_LENGTH", only(1, lambda a:
+        f"CASE WHEN ({a}) IS NULL THEN NULL ELSE size({a}) END"))
+    sql = _rewrite_calls(sql, "ARRAY_OFFSET_OF", only(2, lambda a, v:
+        f"(nullif(array_position({a}, {v}), 0) - 1)"))
+    sql = _rewrite_calls(sql, "ARRAY_ORDINAL_OF", only(2, lambda a, v:
+        f"nullif(array_position({a}, {v}), 0)"))
+    sql = _rewrite_calls(sql, "ARRAY_OFFSET", only(2, lambda a, i:
+        f"get({a}, {i})"))
+    sql = _rewrite_calls(sql, "ARRAY_ORDINAL", only(2, lambda a, i:
+        f"get({a}, ({i}) - 1)"))
+    sql = _rewrite_calls(sql, "ARRAY_PREPEND", only(2, lambda v, a:
+        f"array_prepend({a}, {v})"))
+    sql = _rewrite_calls(sql, "ARRAY_APPEND", only(2, lambda a, v:
+        f"array_append({a}, {v})"))
+    sql = _rewrite_calls(sql, "ARRAY_CONCAT", only(2, lambda a, b:
+        f"concat({a}, {b})"))
+    sql = _rewrite_calls(sql, "ARRAY_TO_STRING", only(2, lambda a, s:
+        f"array_join({a}, {s}, 'null')"))
+    sql = _rewrite_calls(sql, "STRING_TO_ARRAY", only(2, lambda s, sep:
+        f"split({s}, {sep})"))
+
+    def slice_repl(a):
+        if len(a) == 2:
+            arr, s = a
+            return f"slice({arr}, ({s}) + 1, greatest(size({arr}) - ({s}), 0))"
+        if len(a) == 3:
+            arr, s, e = a
+            return f"slice({arr}, ({s}) + 1, ({e}) - ({s}))"
+        return None
+    sql = _rewrite_calls(sql, "ARRAY_SLICE", slice_repl)
+
+    def contains_repl(a):
+        if len(a) != 2:
+            return None
+        arr, v = a
+        if _is_array_text(v):
+            return f"forall({v}, __x -> array_contains({arr}, __x))"
+        return f"array_contains({arr}, {v})"
+    sql = _rewrite_calls(sql, "ARRAY_CONTAINS", contains_repl)
+
+    def overlap_repl(a):
+        if len(a) != 2:
+            return None
+        arr, v = a
+        rhs = v if _is_array_text(v) else f"array({v})"
+        return f"arrays_overlap({arr}, {rhs})"
+    sql = _rewrite_calls(sql, "ARRAY_OVERLAP", overlap_repl)
+    return sql
+
+
 def _null_arg(a: str | None) -> bool:
     return a is None or a.strip().upper() == "NULL"
 
@@ -740,6 +933,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = _rewrite_time_tz(sql)
     sql = _rewrite_time_periods(sql)
     sql = _rewrite_regexp_extract(sql)
+    sql = _rewrite_array_functions(sql)
     # Calcite dialect forms Spark's parser rejects:
     #   CAST(x AS VARCHAR) with no length  → STRING
     #   GROUP BY ()                        → global aggregate (drop clause)
