@@ -950,6 +950,54 @@ def _sql_grouping_sets(spark, sf):
     """, _cat(spark, sf))
 
 
+def _sql_correlated_dau(spark, sf):
+    """Correlated scalar subquery under ANY_VALUE — the
+    CalciteCorrelatedQueryTest.java:62 shape: per event type, the average
+    number of daily events, computed by a subquery correlated on the outer
+    grouping column."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    return druid_sql(spark, """
+        SELECT event_type, round(ANY_VALUE(
+            (SELECT avg("daily") FROM (
+                SELECT floor(__time to day), count(*) "daily"
+                FROM events f WHERE f.event_type = events.event_type
+                GROUP BY 1))), 6) AS avg_daily
+        FROM events GROUP BY 1
+    """, _cat(spark, sf))
+
+
+def _sql_array_functions(spark, sf):
+    """ARRAY_* scalar family (Array*OperatorConversion surface): constructor
+    literals, OFFSET_OF miss→NULL, contains, append, slice, STRING_TO_ARRAY."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    return druid_sql(spark, """
+        SELECT event_type,
+               ARRAY_OFFSET_OF(ARRAY['click','view','purchase','signup'],
+                               event_type) AS off,
+               ARRAY_CONTAINS(ARRAY['click','view'], event_type) AS is_cv,
+               ARRAY_TO_STRING(ARRAY_APPEND(ARRAY['x'], event_type), '-') AS app,
+               ARRAY_TO_STRING(ARRAY_SLICE(STRING_TO_ARRAY('a,b,c,d', ','),
+                                           1, 3), '|') AS sl,
+               count(*) AS cnt
+        FROM events GROUP BY event_type
+    """, _cat(spark, sf))
+
+
+def _sql_array_agg_stats(spark, sf):
+    """ARRAY_AGG plumbing (ArraySqlAggregator) checked order-insensitively
+    via lengths: DISTINCT collect and a FILTERed collect (empty → NULL)."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    return druid_sql(spark, """
+        SELECT l_returnflag,
+               CAST(ARRAY_LENGTH(ARRAY_AGG(DISTINCT l_linestatus)) AS BIGINT)
+                   AS n_status,
+               CAST(ARRAY_LENGTH(ARRAY_AGG(l_linenumber)
+                   FILTER (WHERE l_quantity < 2)) AS BIGINT) AS n_small,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1
+    """, _cat(spark, sf))
+
+
 def _multimodal_features(spark, sf):
     """Multimodal plumbing over binary content: documents' text bytes stand in
     for encoded media; decode/resize runs through the real mapInPandas path
@@ -1059,6 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _minhash_pairs,
         "sql_window_rank": _sql_window_rank,
         "sql_grouping_sets": _sql_grouping_sets,
+        "sql_correlated_dau": _sql_correlated_dau,
+        "sql_array_functions": _sql_array_functions,
+        "sql_array_agg_stats": _sql_array_agg_stats,
         "multimodal_features": _multimodal_features,
         "json_props": _json_props,
         "simhash_pairs": _simhash_pairs,
@@ -1578,6 +1629,34 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sum(value) DESC, user_id) AS rnk
                 FROM events GROUP BY event_type, user_id)
             WHERE rnk <= 3
+        """,
+        "sql_correlated_dau": """
+            SELECT event_type, round(ANY_VALUE((
+                SELECT avg(daily) FROM (
+                    SELECT date_trunc('day', CAST(f.ts AS TIMESTAMP)) AS d,
+                           count(*) AS daily
+                    FROM events f WHERE f.event_type = events.event_type
+                    GROUP BY 1) t)), 6) AS avg_daily
+            FROM events GROUP BY event_type
+        """,
+        "sql_array_functions": """
+            SELECT event_type,
+                   CAST(nullif(list_position(['click','view','purchase','signup'],
+                                             event_type), 0) - 1 AS BIGINT) AS off,
+                   list_contains(['click','view'], event_type) AS is_cv,
+                   array_to_string(list_append(['x'], event_type), '-') AS app,
+                   array_to_string(list_slice(string_split('a,b,c,d', ','),
+                                              2, 3), '|') AS sl,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "sql_array_agg_stats": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+                   CAST(nullif(count(l_linenumber)
+                       FILTER (WHERE l_quantity < 2), 0) AS BIGINT) AS n_small,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1
         """,
         "sql_grouping_sets": """
             SELECT event_type,
