@@ -652,6 +652,10 @@ def _rewrite_array_functions(sql: str) -> str:
             return f"slice({arr}, ({s}) + 1, ({e}) - ({s}))"
         return None
     sql = _rewrite_calls(sql, "ARRAY_SLICE", slice_repl)
+    # MV_SLICE also has the 2-arg run-to-end form
+    # (MultiValueStringOperatorConversions.java) — the fixed-arity macro
+    # can't express it, so route through the same rewrite
+    sql = _rewrite_calls(sql, "MV_SLICE", slice_repl)
 
     def contains_repl(a):
         if len(a) != 2:
@@ -661,6 +665,9 @@ def _rewrite_array_functions(sql: str) -> str:
             return f"forall({v}, __x -> array_contains({arr}, __x))"
         return f"array_contains({arr}, {v})"
     sql = _rewrite_calls(sql, "ARRAY_CONTAINS", contains_repl)
+    # MV_CONTAINS / MV_OVERLAP accept scalar OR array second arguments in
+    # Druid — same dispatch as the ARRAY_ forms
+    sql = _rewrite_calls(sql, "MV_CONTAINS", contains_repl)
 
     def overlap_repl(a):
         if len(a) != 2:
@@ -669,6 +676,7 @@ def _rewrite_array_functions(sql: str) -> str:
         rhs = v if _is_array_text(v) else f"array({v})"
         return f"arrays_overlap({arr}, {rhs})"
     sql = _rewrite_calls(sql, "ARRAY_OVERLAP", overlap_repl)
+    sql = _rewrite_calls(sql, "MV_OVERLAP", overlap_repl)
     return sql
 
 

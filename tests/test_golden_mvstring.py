@@ -1,0 +1,146 @@
+"""Golden SQL tests — CalciteMultiValueStringQueryTest.java tranche
+(MultiValueStringOperatorConversions surface), SQL-compatible null mode.
+
+Druid's "MVD works like a string" implicit per-element mapping of scalar
+functions (``concat(dim3, 'foo')`` mapping over elements) is the documented
+deviation here (README compat table): arrays are honest, so scalar-over-MVD
+golden cases are excluded; the MV_* function family itself is covered in
+full, including the scalar-or-array dispatch forms and the 2-arg MV_SLICE.
+
+numfoo dim3 per row: ["a","b"], ["b","c"], ["d"], [""], [], null
+numfoo dim4 per row: a, a, a, b, b, b
+"""
+
+import pytest
+
+from incubator_druid_spark.sql.functions import druid_sql
+from tests.conftest import rows
+
+
+def q(spark, cat, sql):
+    return druid_sql(spark, sql, cat)
+
+
+def test_mv_overlap_filter(spark, numfoo_catalog):
+    """CalciteMultiValueStringQueryTest.java testMultiValueStringOverlapFilter."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE MV_OVERLAP(dim3, ARRAY['a','b']) LIMIT 5""").collect()
+    assert sorted(tuple(r[0]) for r in out) == [("a", "b"), ("b", "c")]
+
+
+def test_mv_overlap_filter_non_literal(spark, numfoo_catalog):
+    """testMultiValueStringOverlapFilterNonLiteral (scalar column dim4
+    standing in for the reference's scalar dim2)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE MV_OVERLAP(dim3, ARRAY[dim4]) LIMIT 5""").collect()
+    assert [tuple(r[0]) for r in out] == [("a", "b")]
+
+
+def test_mv_overlap_scalar_rhs(spark, numfoo_catalog):
+    """MV_OVERLAP with a bare scalar second argument (Druid coerces)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim1 FROM druid.numfoo WHERE MV_OVERLAP(dim3, 'd')""")
+    assert rows(out, "dim1") == [("2",)]
+
+
+def test_mv_contains_filter(spark, numfoo_catalog):
+    """testMultiValueStringContainsFilter — array arg = contains-all."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE MV_CONTAINS(dim3, ARRAY['a','b']) LIMIT 5""").collect()
+    assert [tuple(r[0]) for r in out] == [("a", "b")]
+
+
+def test_mv_contains_array_of_one_element(spark, numfoo_catalog):
+    """testMultiValueStringContainsArrayOfOneElement."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE MV_CONTAINS(dim3, ARRAY['a']) LIMIT 5""").collect()
+    assert [tuple(r[0]) for r in out] == [("a", "b")]
+
+
+def test_mv_contains_array_of_non_literal(spark, numfoo_catalog):
+    """testMultiValueStringContainsArrayOfNonLiteral (dim4 for dim2)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE MV_CONTAINS(dim3, ARRAY[dim4]) LIMIT 5""").collect()
+    assert [tuple(r[0]) for r in out] == [("a", "b")]
+
+
+def test_mv_slice_two_arg(spark, numfoo_catalog):
+    """testMultiValueStringSlice — 2-arg form runs to the end."""
+    out = q(spark, numfoo_catalog,
+            "SELECT MV_SLICE(dim3, 1) AS s FROM druid.numfoo").collect()
+    got = sorted(((tuple(r["s"]) if r["s"] is not None else None)
+                  for r in out), key=lambda x: (x is None, x))
+    assert got == [(), (), (), ("b",), ("c",), None]
+
+
+def test_mv_length_group(spark, numfoo_catalog):
+    """testMultiValueStringLength ([]→0 / null→NULL distinct here)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim1, MV_LENGTH(dim3) AS l, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1, 2 ORDER BY 2 DESC""")
+    assert rows(out, "dim1", "l", "s") == [
+        ("", 2, 1), ("1", 1, 1), ("10.1", 2, 1), ("2", 1, 1),
+        ("abc", None, 1), ("def", 0, 1)]
+
+
+def test_mv_offset_ordinal_group(spark, numfoo_catalog):
+    """testMultiValueStringOffset / Ordinal — out-of-range → NULL."""
+    out = q(spark, numfoo_catalog, """
+        SELECT MV_OFFSET(dim3, 1) AS o, MV_ORDINAL(dim3, 2) AS d,
+               SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1, 2 ORDER BY 3 DESC""")
+    assert rows(out, "o", "d", "s") == [
+        ("b", "b", 1), ("c", "c", 1), (None, None, 4)]
+
+
+def test_mv_offset_of_ordinal_of_group(spark, numfoo_catalog):
+    """testMultiValueStringOffsetOf / OrdinalOf — miss → NULL (sql mode)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT MV_OFFSET_OF(dim3, 'b') AS o, MV_ORDINAL_OF(dim3, 'b') AS d,
+               SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1, 2 ORDER BY 3 DESC""")
+    assert rows(out, "o", "d", "s") == [(0, 1, 1), (1, 2, 1), (None, None, 4)]
+
+
+def test_mv_prepend_append_roundtrip(spark, numfoo_catalog):
+    """testMultiValueStringPrependAppend over the non-empty rows (the
+    reference's null-MVD-as-[null] prepend rows are the documented
+    honest-array deviation)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT MV_TO_STRING(MV_PREPEND('foo', dim3), ',') AS p,
+               MV_TO_STRING(MV_APPEND(dim3, 'foo'), ',') AS a,
+               SUM(cnt) AS s
+        FROM druid.numfoo WHERE MV_LENGTH(dim3) > 0
+        GROUP BY 1, 2 ORDER BY 3 DESC""")
+    assert rows(out, "p", "a", "s") == [
+        ("foo,", ",foo", 1), ("foo,a,b", "a,b,foo", 1),
+        ("foo,b,c", "b,c,foo", 1), ("foo,d", "d,foo", 1)]
+
+
+def test_mv_to_string_to_mv_roundtrip(spark, numfoo_catalog):
+    """testMultiValueStringToStringToMultiValueString (non-empty rows;
+    honest-array grouping keeps whole arrays)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT STRING_TO_MV(CONCAT(MV_TO_STRING(dim3, ','), ',d'), ',') AS m,
+               SUM(cnt) AS s
+        FROM druid.numfoo WHERE MV_LENGTH(dim3) > 0
+        GROUP BY 1 ORDER BY 2 DESC""").collect()
+    got = sorted((tuple(r["m"]), r["s"]) for r in out)
+    assert got == [(("", "d"), 1), (("a", "b", "d"), 1),
+                   (("b", "c", "d"), 1), (("d", "d"), 1)]
+
+
+def test_mv_filter_only_none(spark, numfoo_catalog):
+    """MultiValueStringOperatorConversions.MultiValueStringFilterOnly /
+    FilterNone (MV_FILTER_ONLY / MV_FILTER_NONE)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim1, MV_TO_STRING(MV_FILTER_ONLY(dim3, ARRAY['a','b']), ',') AS k,
+               MV_TO_STRING(MV_FILTER_NONE(dim3, ARRAY['b']), ',') AS d
+        FROM druid.numfoo WHERE dim1 IN ('', '10.1')""")
+    assert rows(out, "dim1", "k", "d") == [
+        ("", "a,b", "a"), ("10.1", "b", "c")]
