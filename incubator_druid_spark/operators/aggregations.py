@@ -610,11 +610,17 @@ def _expression_lambda(spec: dict, ctx) -> Column:
     fold_expr = spec["fold"]
     finalize = spec.get("finalize")
 
-    if len(fields) != 1:
-        raise NotImplementedError("expressionLambda with !=1 field")
-    field = fields[0]
-
-    collected = F.collect_list(ctx.resolve(field))
+    # 1 field collects the raw column; N fields collect a struct row image
+    # (safe positional aliases — field names may carry join prefixes); 0
+    # fields (pure-accumulator folds like __acc + 1) collect a 1 marker
+    aliases = {fld: f"f{i}" for i, fld in enumerate(fields)}
+    if len(fields) == 1:
+        collected = F.collect_list(ctx.resolve(fields[0]))
+    elif fields:
+        collected = F.collect_list(F.struct(
+            *[ctx.resolve(fld).alias(aliases[fld]) for fld in fields]))
+    else:
+        collected = F.collect_list(F.lit(1))
 
     def _const_resolver(n):
         raise ValueError(f"initialValue must be constant, saw {n}")
@@ -639,8 +645,10 @@ def _expression_lambda(spec: dict, ctx) -> Column:
         def resolver(n, a=acc, xx=x):
             if n == acc_id:
                 return a
-            if n == field:
+            if len(fields) == 1 and n == fields[0]:
                 return xx
+            if n in aliases:
+                return xx[aliases[n]]
             return ctx.resolve(n)
         return _c(compile_expr(fold_expr, resolver)).cast(acc_type)
 

@@ -112,6 +112,27 @@ def test_expression_lambda_aggregator(spark, foo_catalog):
     assert r["prod"] == 64  # (1+1)^6
 
 
+def test_expression_lambda_multi_field(spark, foo_catalog):
+    """ExpressionLambdaAggregatorFactory with several input columns — the
+    fold sees the whole row image (weighted sum m1*m2 + a guard on cnt)."""
+    r = agg_one(spark, foo_catalog,
+                {"type": "expressionLambda", "name": "wsum",
+                 "fields": ["m1", "m2", "cnt"],
+                 "accumulatorIdentifier": "acc", "initialValue": "0.0",
+                 "fold": "acc + if(cnt > 0, m1 * m2, 0.0)"})
+    assert r["wsum"] == pytest.approx(sum(v * v for v in
+                                          [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]))
+
+
+def test_expression_lambda_zero_fields(spark, foo_catalog):
+    """Pure-accumulator fold (fields=[]) — a hand-rolled row count."""
+    r = agg_one(spark, foo_catalog,
+                {"type": "expressionLambda", "name": "n",
+                 "fields": [], "accumulatorIdentifier": "acc",
+                 "initialValue": "0", "fold": "acc + 1"})
+    assert r["n"] == 6
+
+
 def test_grouping_aggregator(spark, foo_catalog):
     q = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
          "dimensions": ["dim1"],
