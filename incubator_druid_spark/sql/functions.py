@@ -174,6 +174,16 @@ _FUNCTIONS: list[str] = [
        RETURNS BIGINT RETURN shiftleft(a, b)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_SHIFT_RIGHT(a BIGINT, b INT)
        RETURNS BIGINT RETURN shiftright(a, b)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_COMPLEMENT(a BIGINT)
+       RETURNS BIGINT RETURN ~a""",
+    # IEEE-754 bit reinterpretation (BitwiseOperatorConversions) — no Spark
+    # builtin bit-casts a double; reflect() calls the JDK statics JVM-side
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(d DOUBLE)
+       RETURNS BIGINT RETURN CASE WHEN d IS NULL THEN NULL ELSE
+       CAST(reflect('java.lang.Double', 'doubleToLongBits', d) AS BIGINT) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(l BIGINT)
+       RETURNS DOUBLE RETURN CASE WHEN l IS NULL THEN NULL ELSE
+       CAST(reflect('java.lang.Double', 'longBitsToDouble', l) AS DOUBLE) END""",
     # -- approx aggregates: Druid names → Spark natives (registered as
     #    aliases via SELECT rewrite would hide FILTER clauses; instead the
     #    name-compatible ones below suffice for scalar call sites)
@@ -420,8 +430,14 @@ def _rewrite_aggregate_names(sql: str) -> str:
         fn = "min_by" if m.group(1).upper() == "EARLIEST" else "max_by"
         return f"{fn}({m.group(2)}, __time)"
 
-    # EARLIEST(x) / LATEST(x) — single argument (no top-level comma)
+    # EARLIEST(x) / LATEST(x) — single argument (no top-level comma) — and
+    # the string form EARLIEST(x, maxBytes): the integer is a buffer-sizing
+    # hint for Druid's byte-bounded aggregator, meaningless here, dropped
     sql = re.sub(r"(?i)\b(EARLIEST|LATEST)\s*\(([^(),]+)\)", one_arg_time, sql)
+    sql = re.sub(r"(?i)\b(EARLIEST|LATEST)\s*\(([^(),]+),\s*\d+\s*\)",
+                 one_arg_time, sql)
+    sql = re.sub(r"(?i)\bANY_VALUE\s*\(([^(),]+),\s*\d+\s*\)",
+                 r"any_value(\1)", sql)
     # datasketches SQL names (ApproxCountDistinctSqlAggregator + DS variants)
     sql = re.sub(r"(?i)\bAPPROX_COUNT_DISTINCT_DS_(HLL|THETA)\s*\(([^(),]+)"
                  r"(,[^()]*)?\)",
@@ -942,6 +958,17 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = _rewrite_time_periods(sql)
     sql = _rewrite_regexp_extract(sql)
     sql = _rewrite_array_functions(sql)
+
+    # TIME_PARSE(s, pattern[, tz]) (TimeParseOperatorConversion) — the 1-arg
+    # ISO form stays on the SQL macro; patterned forms parse via
+    # to_timestamp (these Joda pattern letters coincide with java.time's)
+    def _time_parse_repl(a):
+        if len(a) == 2:
+            return f"to_timestamp({a[0]}, {a[1]})"
+        if len(a) == 3:
+            return f"to_utc_timestamp(to_timestamp({a[0]}, {a[1]}), {a[2]})"
+        return None
+    sql = _rewrite_calls(sql, "TIME_PARSE", _time_parse_repl)
     # Calcite dialect forms Spark's parser rejects:
     #   CAST(x AS VARCHAR) with no length  → STRING
     #   GROUP BY ()                        → global aggregate (drop clause)

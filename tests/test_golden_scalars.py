@@ -1,0 +1,216 @@
+"""Golden SQL tests — scalar-function / null-numeric / HAVING / CASE tranche
+of CalciteQueryTest.java, SQL-compatible null mode, over foo/numfoo.
+
+numfoo nullable numerics (rows 4-6 null): l1 = 7, 325323, 0;
+d1 = 1.0, 1.7, 0.0; f1 = 1.0, 0.1, 0.0.  dim2 scalar view = dim2[0]
+(per the MVD note in test_golden_sql.py).
+"""
+
+import pytest
+
+from incubator_druid_spark.sql.functions import druid_sql
+from tests.conftest import rows
+
+
+def q(spark, cat, sql):
+    return druid_sql(spark, sql, cat)
+
+
+def test_bitwise_expressions(spark, numfoo_catalog):
+    """CalciteQueryTest.java:903 testBitwiseExpressions — incl. the IEEE-754
+    bit reinterpretation pair (BitwiseOperatorConversions)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT
+        BITWISE_AND(l1, l2) AS a, BITWISE_OR(l1, l2) AS o,
+        BITWISE_XOR(l1, l2) AS x, BITWISE_COMPLEMENT(l1) AS c,
+        BITWISE_SHIFT_LEFT(l1, 2) AS sl, BITWISE_SHIFT_RIGHT(l1, 2) AS sr,
+        BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(d1) AS d2l,
+        BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(l1) AS l2d
+        FROM numfoo ORDER BY __time""").collect()
+    got = [tuple(r) for r in out]
+    assert got[0] == (None, None, None, -8, 28, 1, 4607182418800017408,
+                      3.5e-323)
+    assert got[1] == (325323, 325323, 0, -325324, 1301292, 81330,
+                      4610334938539176755, 1.60731e-318)
+    assert got[2] == (0, 0, 0, -1, 0, 0, 0, 0.0)
+    assert got[3] == got[4] == got[5] == (None,) * 8
+
+
+def test_earliest_aggregators_numeric_nulls(spark, numfoo_catalog):
+    """CalciteQueryTest.java:2607 testEarliestAggregatorsNumericNulls."""
+    r = q(spark, numfoo_catalog, """
+        SELECT EARLIEST(l1) AS l, EARLIEST(d1) AS d, EARLIEST(f1) AS f
+        FROM druid.numfoo""").first()
+    assert (r["l"], r["d"], r["f"]) == (7, 1.0, 1.0)
+
+
+def test_latest_aggregators_numeric_null(spark, numfoo_catalog):
+    """CalciteQueryTest.java:2636 testLatestAggregatorsNumericNull — the last
+    row's numerics are null; LATEST returns them (no null-skipping)."""
+    r = q(spark, numfoo_catalog, """
+        SELECT LATEST(l1) AS l, LATEST(d1) AS d, LATEST(f1) AS f
+        FROM druid.numfoo""").first()
+    assert (r["l"], r["d"], r["f"]) == (None, None, None)
+
+
+def test_first_latest_aggregators_skip_nulls(spark, numfoo_catalog):
+    """CalciteQueryTest.java:2665 testFirstLatestAggregatorsSkipNulls —
+    EARLIEST(dim1, maxBytes): the sizing hint is dropped."""
+    r = q(spark, numfoo_catalog, """
+        SELECT EARLIEST(dim1, 32) AS e, LATEST(l1) AS l, LATEST(d1) AS d,
+               LATEST(f1) AS f
+        FROM druid.numfoo
+        WHERE dim1 IS NOT NULL AND l1 IS NOT NULL AND d1 IS NOT NULL
+          AND f1 is NOT NULL""").first()
+    assert (r["e"], r["l"], r["d"], r["f"]) == ("", 0, 0.0, 0.0)
+
+
+def test_having_on_grand_total(spark, foo_catalog):
+    """CalciteQueryTest.java:3450 testHavingOnGrandTotal."""
+    out = q(spark, foo_catalog,
+            "SELECT SUM(m1) AS m1_sum FROM foo HAVING m1_sum = 21").collect()
+    assert [r["m1_sum"] for r in out] == [21.0]
+
+
+def test_having_on_double_sum(spark, foo_catalog):
+    """CalciteQueryTest.java:3471 testHavingOnDoubleSum."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1, SUM(m1) AS m1_sum FROM druid.foo
+        GROUP BY dim1 HAVING SUM(m1) > 1""")
+    assert rows(out, "dim1", "m1_sum") == [
+        ("1", 4.0), ("10.1", 2.0), ("2", 3.0), ("abc", 6.0), ("def", 5.0)]
+
+
+def test_having_on_ratio(spark, foo_catalog):
+    """CalciteQueryTest.java:3697 testHavingOnRatio (dim2[0]; SQL null mode:
+    a NULL dim2 fails the <> filter, so only '2' and 'def' survive — the
+    reference's 4-row expected is its replaceWithDefault branch)."""
+    out = q(spark, foo_catalog, """
+        SELECT
+          dim1,
+          COUNT(*) FILTER(WHERE dim2[0] <> 'a')/COUNT(*) as ratio
+        FROM druid.foo
+        GROUP BY dim1
+        HAVING COUNT(*) FILTER(WHERE dim2[0] <> 'a')/COUNT(*) = 1""")
+    assert rows(out, "dim1", "ratio") == [("2", 1.0), ("def", 1.0)]
+
+
+def test_group_by_case_when(spark, foo_catalog):
+    """CalciteQueryTest.java:4613 testGroupByCaseWhen."""
+    out = q(spark, foo_catalog, """
+        SELECT
+          CASE EXTRACT(DAY FROM __time)
+            WHEN m1 THEN 'match-m1'
+            WHEN cnt THEN 'match-cnt'
+            WHEN 0 THEN 'zero'    END AS c,  COUNT(*) AS n
+        FROM druid.foo
+        GROUP BY  CASE EXTRACT(DAY FROM __time)
+            WHEN m1 THEN 'match-m1'
+            WHEN cnt THEN 'match-cnt'
+            WHEN 0 THEN 'zero'    END""")
+    assert rows(out, "c", "n") == [
+        ("match-cnt", 1), ("match-m1", 3), (None, 2)]
+
+
+def test_null_empty_string_equality(spark, foo_catalog):
+    """CalciteQueryTest.java:4702 testNullEmptyStringEquality (sql branch)."""
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE NULLIF(dim2[0], 'a') IS NULL""").first()["c"] == 4
+
+
+def test_null_numeric_filters(spark, numfoo_catalog):
+    """CalciteQueryTest.java:4739/4777/4816 testNull{Long,Double,Float}Filter."""
+    for col in ("l1", "d1", "f1"):
+        assert q(spark, numfoo_catalog,
+                 f"SELECT COUNT(*) AS c FROM druid.numfoo WHERE {col} IS NULL"
+                 ).first()["c"] == 3
+
+
+def test_null_double_topn(spark, numfoo_catalog):
+    """CalciteQueryTest.java:4854 testNullDoubleTopN — DESC puts nulls last
+    (sql branch)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT d1, COUNT(*) AS c FROM druid.numfoo
+        GROUP BY d1 ORDER BY d1 DESC LIMIT 10""").collect()
+    assert [(r["d1"], r["c"]) for r in out] == [
+        (1.7, 1), (1.0, 1), (0.0, 1), (None, 3)]
+
+
+def test_long_predicate_is_null(spark, numfoo_catalog):
+    """CalciteQueryTest.java:4974 testLongPredicateIsNull."""
+    out = q(spark, numfoo_catalog,
+            "SELECT l1 is null AS n FROM druid.numfoo").collect()
+    assert sorted(r["n"] for r in out) == [False] * 3 + [True] * 3
+
+
+def test_coalesce_columns(spark, foo_catalog):
+    """CalciteQueryTest.java:5144 testCoalesceColumns (sql branch)."""
+    out = q(spark, foo_catalog, """
+        SELECT COALESCE(dim2[0], dim1) AS c, COUNT(*) AS n
+        FROM druid.foo GROUP BY COALESCE(dim2[0], dim1)""")
+    assert rows(out, "c", "n") == [
+        ("", 1), ("10.1", 1), ("a", 2), ("abc", 2)]
+
+
+def test_column_is_null(spark, foo_catalog):
+    """CalciteQueryTest.java:5188 testColumnIsNull (sql branch: 2)."""
+    assert q(spark, foo_catalog,
+             "SELECT COUNT(*) AS c FROM druid.foo WHERE dim2[0] IS NULL"
+             ).first()["c"] == 2
+
+
+def test_count_nullable_columns(spark, foo_catalog):
+    """CalciteQueryTest.java:5615/5644/5673 testCount{NonNull,Nullable}Column
+    + NullableExpression."""
+    r = q(spark, foo_catalog, """
+        SELECT COUNT(cnt) AS a, COUNT(dim2[0]) AS b,
+               COUNT(CASE WHEN dim2[0] = 'abc' THEN 'yes'
+                          WHEN dim2[0] = 'def' THEN 'yes' END) AS c
+        FROM druid.foo""").first()
+    assert (r["a"], r["b"], r["c"]) == (6, 4, 1)
+
+
+def test_case_filtered_aggregation_with_group_by(spark, foo_catalog):
+    """CalciteQueryTest.java:6456 testCaseFilteredAggregationWithGroupBy."""
+    out = q(spark, foo_catalog, """
+        SELECT
+          cnt,
+          SUM(CASE WHEN dim1 <> '1' THEN 1 ELSE 0 END) + SUM(cnt) AS s
+        FROM druid.foo
+        GROUP BY cnt""").collect()
+    assert [(r["cnt"], r["s"]) for r in out] == [(1, 11)]
+
+
+def test_remove_useless_case_when(spark, foo_catalog):
+    """CalciteQueryTest.java:6943 testRemoveUselessCaseWhen — patterned
+    TIME_PARSE inside a constant-foldable CASE."""
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE
+          CASE
+            WHEN __time >= TIME_PARSE('2000-01-01 00:00:00', 'yyyy-MM-dd HH:mm:ss')
+                 AND __time < TIMESTAMP '2001-01-01 00:00:00'
+            THEN true
+            ELSE false
+          END
+        OR
+          __time >= TIMESTAMP '2010-01-01 00:00:00'
+          AND __time < TIMESTAMP '2011-01-01 00:00:00'""").first()["c"] == 3
+
+
+def test_filter_on_string_as_number(spark, foo_catalog):
+    """CalciteQueryTest.java:6027 testFilterOnStringAsNumber."""
+    out = q(spark, foo_catalog, """
+        SELECT distinct dim1 FROM druid.foo
+        WHERE dim1 = 10 OR (floor(CAST(dim1 AS float)) = 10.00
+              and CAST(dim1 AS float) > 9 and CAST(dim1 AS float) <= 10.5)""")
+    assert rows(out, "dim1") == [("10.1",)]
+
+
+def test_expression_containing_null(spark, foo_catalog):
+    """CalciteQueryTest.java:189 testExpressionContainingNull — array
+    constructor keeps the null element."""
+    r = q(spark, foo_catalog,
+          "SELECT ARRAY['Hello', NULL] AS a FROM foo LIMIT 1").first()
+    assert list(r["a"]) == ["Hello", None]
