@@ -998,6 +998,30 @@ def _sql_array_agg_stats(spark, sf):
     """, _cat(spark, sf))
 
 
+def _dedup_groups(spark, sf):
+    """Near-dup grouping: connected components over a deterministic edge
+    list (consecutive doc_ids chained in runs of ≤4 — includes multi-hop
+    chains, the hard case for label propagation), oracle-checked against a
+    DuckDB recursive CTE computing min-reachable-id."""
+    from incubator_druid_spark.pipeline.dedup import connected_components
+    docs = _cat(spark, sf).table("documents")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = (a.withColumn("id_b", F.col("id_a") + 1)
+              .filter(F.col("id_a") % 10 < 3)
+              .join(docs.select(F.col("doc_id").alias("id_b")), "id_b"))
+    out = connected_components(pairs.select("id_a", "id_b"))
+    return out.orderBy("id")
+
+
+def _stratified_sample_docs(spark, sf):
+    """Deterministic stratified sample: exactly 20 docs per source, chosen
+    by md5(doc_id) order — the same rows any engine with md5 picks."""
+    from incubator_druid_spark.pipeline.sampling import stratified_sample
+    docs = _cat(spark, sf).table("documents")
+    out = stratified_sample(docs, "source", "doc_id", 20)
+    return out.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
 def _multimodal_features(spark, sf):
     """Multimodal plumbing over binary content: documents' text bytes stand in
     for encoded media; decode/resize runs through the real mapInPandas path
@@ -1108,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window_rank": _sql_window_rank,
         "sql_grouping_sets": _sql_grouping_sets,
         "sql_correlated_dau": _sql_correlated_dau,
+        "dedup_groups": _dedup_groups,
+        "stratified_sample_docs": _stratified_sample_docs,
         "sql_array_functions": _sql_array_functions,
         "sql_array_agg_stats": _sql_array_agg_stats,
         "multimodal_features": _multimodal_features,
@@ -1629,6 +1655,34 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sum(value) DESC, user_id) AS rnk
                 FROM events GROUP BY event_type, user_id)
             WHERE rnk <= 3
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE pairs AS (
+                SELECT d1.doc_id AS id_a, d1.doc_id + 1 AS id_b
+                FROM documents d1
+                JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+                WHERE d1.doc_id % 10 < 3
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+            )
+            SELECT id, min(comp) AS group_id FROM reach
+            GROUP BY id ORDER BY id
+        """,
+        "stratified_sample_docs": """
+            SELECT source, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents) t
+            WHERE rk <= 20 ORDER BY source, doc_id
         """,
         "sql_correlated_dau": """
             SELECT event_type, round(ANY_VALUE((

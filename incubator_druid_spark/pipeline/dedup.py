@@ -320,3 +320,59 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
                  .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# near-dup grouping: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Group near-duplicate pairs into components: (id, group_id) where
+    group_id = the minimum member id of the component.
+
+    Min-label propagation, DataFrame-only: each round joins the current
+    labels across the (symmetrized) edge list and takes the elementwise min.
+    Converges in O(component diameter) rounds — near-dup components from
+    LSH banding are near-cliques (every member shares a bucket with most
+    others), so 2-4 rounds is typical regardless of corpus size; the cap is
+    a safety net for adversarial chain topologies.
+
+    Scale notes (100 TB): per round = one shuffle join on the 64-bit id +
+    one groupBy min — both narrow.  Labels are localCheckpoint()ed every
+    round so the lineage (and thus task-retry cost + plan size) stays O(1)
+    in the round count rather than compounding; the convergence test is a
+    count() on the changed set, one action per round.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_iterations):
+        nbr_min = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                   .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
+                   .withColumnRenamed("src", "id"))
+        new_labels = (labels.join(nbr_min, "id", "left")
+                      .select("id", F.least(
+                          F.col("comp"),
+                          F.coalesce("nbr_comp", "comp")).alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("group_id"))
+
+
+def dedup_by_groups(df: DataFrame, groups: DataFrame, id_col: str) -> DataFrame:
+    """Keep one representative row per near-dup group (the min-id member);
+    rows that appear in no group (singletons) are kept as-is.  The wide
+    text column never shuffles: the anti-join and semi-join carry only ids."""
+    losers = groups.filter(F.col("id") != F.col("group_id")).select("id")
+    return df.join(losers.withColumnRenamed("id", id_col), id_col, "anti")

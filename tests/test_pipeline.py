@@ -221,3 +221,49 @@ def test_video_frame_sampling(spark):
     out = sample_video_frames(df, fake=True).collect()
     assert len(out) >= 1
     assert all(len(r["frame_feat"]) == 8 for r in out)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """CC over a chain (worst case for label propagation), a clique, and an
+    isolated pair — group_id is the min member everywhere."""
+    from incubator_druid_spark.pipeline.dedup import (connected_components,
+                                                      dedup_by_groups)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain 1-5
+         (10, 11), (10, 12), (11, 12),          # clique 10-12
+         (20, 21)],                             # pair
+        "id_a long, id_b long")
+    got = {(r["id"], r["group_id"])
+           for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    docs = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    kept = dedup_by_groups(docs, connected_components(pairs), "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # losers removed, winners + untouched ids kept
+    assert kept_ids == set(range(25)) - {2, 3, 4, 5, 11, 12, 21}
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    from incubator_druid_spark.pipeline.sampling import (proportional_sample,
+                                                         stratified_sample)
+    import pyspark.sql.functions as F
+    df = (spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+          .withColumn("src", (F.col("doc_id") % 3).cast("string")))
+    # tiny stratum: 4 rows only
+    df = df.union(spark.createDataFrame(
+        [(10_000 + i, "tiny") for i in range(4)], "doc_id long, src string"))
+    s = stratified_sample(df, "src", "doc_id", 50)
+    counts = {r["src"]: r["c"] for r in
+              s.groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == {"0": 50, "1": 50, "2": 50, "tiny": 4}
+    # deterministic: two runs pick identical rows
+    ids1 = sorted(r["doc_id"] for r in s.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  stratified_sample(df, "src", "doc_id", 50).collect())
+    assert ids1 == ids2
+    p = proportional_sample(df, "src", "doc_id", 0.1)
+    pc = {r["src"]: r["c"] for r in
+          p.groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # ceil(334*0.1)=34, ceil(333*0.1)=34, ceil(4*0.1)=1
+    assert pc == {"0": 34, "1": 34, "2": 34, "tiny": 1}
