@@ -214,3 +214,58 @@ def test_expression_containing_null(spark, foo_catalog):
     r = q(spark, foo_catalog,
           "SELECT ARRAY['Hello', NULL] AS a FROM foo LIMIT 1").first()
     assert list(r["a"]) == ["Hello", None]
+
+
+# ---------------------------------------------------------------------------
+# parameterized queries (CalciteParameterQueryTest.java) through sql_query
+# ---------------------------------------------------------------------------
+
+def _pq(spark, cat, sql, params):
+    from incubator_druid_spark.api import sql_query
+    return sql_query({"query": sql, "parameters": params}, spark, cat)
+
+
+def test_params_in_select_expression_and_limit(spark, foo_catalog):
+    """CalciteParameterQueryTest.java testParamsInSelectExpressionAndLimit
+    (dim2[0] scalar view)."""
+    out = _pq(spark, foo_catalog,
+              "SELECT SUBSTRING(dim2[0], ?, ?) AS s FROM druid.foo "
+              "ORDER BY __time LIMIT ?",
+              [{"type": "INTEGER", "value": 1},
+               {"type": "INTEGER", "value": 1},
+               {"type": "INTEGER", "value": 2}])
+    assert [r["s"] for r in out] == ["a", None]
+
+
+def test_params_tucked_in_a_cast(spark, foo_catalog):
+    """testParamsTuckedInACast — m1 - CAST(? AS INT) = dim1."""
+    out = _pq(spark, foo_catalog, """
+        SELECT dim1, m1, COUNT(*) AS c FROM druid.foo
+        WHERE m1 - CAST(? as INT) = dim1 GROUP BY dim1, m1""",
+              [{"type": "INTEGER", "value": 1}])
+    got = sorted((r["dim1"], r["m1"], r["c"]) for r in out)
+    # sql null mode: '' casts to NULL, so only the genuinely numeric dim1
+    # matches (the reference's "" row is its replaceWithDefault branch)
+    assert got == [("2", 3.0, 1)]
+
+
+def test_wrong_type_parameter_matches_nothing(spark, numfoo_catalog):
+    """testWrongTypeParameter — a fractional double against a long column:
+    zero matches, no error."""
+    out = _pq(spark, numfoo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.numfoo WHERE l1 > ? AND f1 = ?""",
+              [{"type": "DOUBLE", "value": 3.0},
+               {"type": "DOUBLE", "value": 3.25}])
+    assert out == [{"c": 0}]
+
+
+def test_null_parameter_in_coalesce(spark, foo_catalog):
+    """testNullParameter — NULL first parameter falls through to the second
+    (sql branch: '' groups separately from the parameter default)."""
+    out = _pq(spark, foo_catalog, """
+        SELECT COALESCE(dim2[0], ?, ?) AS c, COUNT(*) AS n
+        FROM druid.foo GROUP BY 1""",
+              [{"type": "VARCHAR", "value": None},
+               {"type": "VARCHAR", "value": "parameter"}])
+    got = sorted((r["c"], r["n"]) for r in out)
+    assert got == [("", 1), ("a", 2), ("abc", 1), ("parameter", 2)]
