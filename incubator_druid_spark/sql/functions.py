@@ -420,35 +420,47 @@ def _rewrite_aggregate_names(sql: str) -> str:
       ANY_VALUE(x)                      → any_value(x)   (Spark builtin)
       APPROX_QUANTILE[_DS](x, p[, k])   → percentile_approx(x, p, 10000)
 
-    Textual rewrite on word boundaries; EARLIEST/LATEST take the argument
-    list verbatim so nested expressions pass through.  Single-argument
+    Rewrites are paren- and quote-aware (_rewrite_calls) so nested call
+    arguments like EARLIEST(LOWER(dim1)) pass through.  Single-argument
     EARLIEST/LATEST append the __time column the same way the reference's
-    SQL layer injects it."""
+    SQL layer injects it; the 2-arg string forms drop the maxBytes
+    buffer-sizing hint (meaningless here)."""
     import re
 
-    def one_arg_time(m):
-        fn = "min_by" if m.group(1).upper() == "EARLIEST" else "max_by"
-        return f"{fn}({m.group(2)}, __time)"
+    def first_last(fn):
+        def repl(a):
+            if len(a) == 1:
+                return f"{fn}({a[0]}, __time)"
+            if len(a) == 2 and re.fullmatch(r"\d+", a[1].strip()):
+                return f"{fn}({a[0]}, __time)"
+            return None
+        return repl
 
-    # EARLIEST(x) / LATEST(x) — single argument (no top-level comma) — and
-    # the string form EARLIEST(x, maxBytes): the integer is a buffer-sizing
-    # hint for Druid's byte-bounded aggregator, meaningless here, dropped
-    sql = re.sub(r"(?i)\b(EARLIEST|LATEST)\s*\(([^(),]+)\)", one_arg_time, sql)
-    sql = re.sub(r"(?i)\b(EARLIEST|LATEST)\s*\(([^(),]+),\s*\d+\s*\)",
-                 one_arg_time, sql)
-    sql = re.sub(r"(?i)\bANY_VALUE\s*\(([^(),]+),\s*\d+\s*\)",
-                 r"any_value(\1)", sql)
-    # datasketches SQL names (ApproxCountDistinctSqlAggregator + DS variants)
-    sql = re.sub(r"(?i)\bAPPROX_COUNT_DISTINCT_DS_(HLL|THETA)\s*\(([^(),]+)"
-                 r"(,[^()]*)?\)",
-                 lambda m: f"approx_count_distinct({m.group(2)})", sql)
+    sql = _rewrite_calls(sql, "EARLIEST", first_last("min_by"))
+    sql = _rewrite_calls(sql, "LATEST", first_last("max_by"))
+
+    def any_value_repl(a):
+        if len(a) == 2 and re.fullmatch(r"\d+", a[1].strip()):
+            return f"any_value({a[0]})"
+        return None
+    sql = _rewrite_calls(sql, "ANY_VALUE", any_value_repl)
+
+    # datasketches SQL names (ApproxCountDistinctSqlAggregator + DS variants
+    # — the lgK / tgtHllType / size tuning args don't apply)
+    for ds_name in ("APPROX_COUNT_DISTINCT_DS_HLL",
+                    "APPROX_COUNT_DISTINCT_DS_THETA"):
+        sql = _rewrite_calls(sql, ds_name,
+                             lambda a: f"approx_count_distinct({a[0]})"
+                             if a else None)
     sql = re.sub(r"(?i)\bEARLIEST_BY\s*\(", "min_by(", sql)
     sql = re.sub(r"(?i)\bLATEST_BY\s*\(", "max_by(", sql)
-    sql = re.sub(r"(?i)\bAPPROX_QUANTILE(_DS)?\s*\(([^()]+)\)",
-                 lambda m: "percentile_approx("
-                           + ", ".join(m.group(2).split(",")[:2])
-                           + ", 10000)",
-                 sql)
+
+    def approx_quantile_repl(a):
+        if len(a) >= 2:
+            return f"percentile_approx({a[0]}, {a[1]}, 10000)"
+        return None
+    sql = _rewrite_calls(sql, "APPROX_QUANTILE_DS", approx_quantile_repl)
+    sql = _rewrite_calls(sql, "APPROX_QUANTILE", approx_quantile_repl)
     return sql
 
 

@@ -269,3 +269,14 @@ def test_null_parameter_in_coalesce(spark, foo_catalog):
                {"type": "VARCHAR", "value": "parameter"}])
     got = sorted((r["c"], r["n"]) for r in out)
     assert got == [("", 1), ("a", 2), ("abc", 1), ("parameter", 2)]
+
+
+def test_earliest_latest_nested_call_args(spark, foo_catalog):
+    """EARLIEST/LATEST/APPROX_QUANTILE with nested call arguments — the
+    rewrites are paren-aware, not word-regexes."""
+    r = q(spark, foo_catalog, """
+        SELECT EARLIEST(LOWER(SUBSTRING(dim1, 1, 2))) AS e,
+               LATEST(CONCAT(dim1, '!'), 64) AS l,
+               APPROX_QUANTILE(m1 + LEAST(m2, 100), 0.5) AS m
+        FROM druid.foo""").first()
+    assert r["e"] == "" and r["l"] == "abc!" and r["m"] == pytest.approx(6.0)
