@@ -875,11 +875,15 @@ def _text_quality(spark, sf):
 
 
 def _ann_brute_topk(spark, sf):
+    """Exact brute-force cosine top-10 — fully DuckDB-checkable (double
+    math on both sides, deterministic cosine-then-id ordering)."""
     from incubator_druid_spark.pipeline.similarity import cosine_topk
-    emb = _cat(spark, sf).table("embeddings")
+    emb = (_cat(spark, sf).table("embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
-    return _round(out, {"vec_id": None, "cosine": 4})
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine")) \
+              .orderBy(F.col("cosine").desc(), "vec_id")
 
 
 def _cosine_near_dup(spark, sf):
@@ -1028,14 +1032,16 @@ def _multimodal_features(spark, sf):
     with the deterministic fake kernel (codecs stubbed — none in container)."""
     from incubator_druid_spark.pipeline.multimodal import (
         attach_media_metadata, decode_image_features)
-    docs = _cat(spark, sf).table("documents").limit(200)
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 200)
     binary = docs.select(F.col("doc_id").alias("id"),
                          F.encode(F.col("text"), "utf-8").alias("content"))
     meta = attach_media_metadata(binary)
     feats = decode_image_features(binary, fake=True)
     return (feats.join(meta.select("id", F.col("media.mime").alias("sniffed")), "id")
                  .select("id", "mime", "width", "height",
-                         F.round(F.element_at("feat", 1), 4).alias("f0")))
+                         F.round(F.element_at("feat", 1), 4).alias("f0"),
+                         "sniffed")
+                 .orderBy("id"))
 
 
 def _tuple_keyed_stats(spark, sf):
@@ -1557,6 +1563,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact brute-force top-k via DuckDB list ops; the ivf_in_top20
         # column asserts the IVF containment verdict (all k inside top-(k+m))
+        "ann_brute_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT qv FROM q)), 4)
+                       AS cosine
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT qv FROM q)) DESC, vec_id
+            LIMIT 10
+        """,
+        # the deterministic fake decode kernel is sha256(bytes)[0]/255 —
+        # replayable in SQL, so the whole mapInPandas plumbing is
+        # value-checked end to end
+        "multimodal_features": """
+            SELECT doc_id AS id, 'image/fake' AS mime,
+                   224 AS width, 224 AS height,
+                   round(CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER)
+                         / 255.0, 4) AS f0,
+                   CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+                        ELSE 'application/octet-stream' END AS sniffed
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
         "ann_ivf_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id = 0),
