@@ -1002,6 +1002,14 @@ def _sql_array_agg_stats(spark, sf):
     """, _cat(spark, sf))
 
 
+def _text_top_terms(spark, sf):
+    """Top-10 terms per source (tokenize → explode → count → ranked top-k),
+    deterministic tie-break, oracle = the same pipeline in DuckDB SQL."""
+    from incubator_druid_spark.pipeline.text import top_terms
+    docs = _cat(spark, sf).table("documents")
+    return top_terms(docs, "source", k=10).orderBy("source", "rank")
+
+
 def _dedup_groups(spark, sf):
     """Near-dup grouping: connected components over a deterministic edge
     list (consecutive doc_ids chained in runs of ≤4 — includes multi-hop
@@ -1139,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_grouping_sets": _sql_grouping_sets,
         "sql_correlated_dau": _sql_correlated_dau,
         "dedup_groups": _dedup_groups,
+        "text_top_terms": _text_top_terms,
         "stratified_sample_docs": _stratified_sample_docs,
         "sql_array_functions": _sql_array_functions,
         "sql_array_agg_stats": _sql_array_agg_stats,
@@ -1685,6 +1694,24 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sum(value) DESC, user_id) AS rnk
                 FROM events GROUP BY event_type, user_id)
             WHERE rnk <= 3
+        """,
+        "text_top_terms": """
+            WITH toks AS (
+                SELECT source, regexp_replace(u.t, '[^a-z0-9]', '', 'g') AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS u(t)
+                WHERE u.t <> ''
+            ), counts AS (
+                SELECT source, term, count(*) AS term_count FROM toks
+                WHERE length(term) >= 3 GROUP BY source, term
+            )
+            SELECT * FROM (
+                SELECT source, term, term_count,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY term_count DESC, term) AS BIGINT) AS rank
+                FROM counts) t
+            WHERE rank <= 10 ORDER BY source, rank
         """,
         "dedup_groups": """
             WITH RECURSIVE pairs AS (

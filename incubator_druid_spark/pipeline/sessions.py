@@ -57,3 +57,37 @@ def session_stats(df: DataFrame, user_col: str = "user_id",
     if "value" in df.columns:
         aggs.append(F.sum("value").alias("total_value"))
     return s.groupBy(user_col, "session_id").agg(*aggs)
+
+
+def session_window_stats(df: DataFrame, user_col: str = "user_id",
+                         time_col: str = "__time",
+                         gap_minutes: float = 30.0,
+                         watermark_minutes: float | None = None) -> DataFrame:
+    """Gap-session rollup via Spark's native ``session_window`` — the
+    STREAMING-capable form of ``session_stats``: the same call works on a
+    ``readStream`` DataFrame (append mode once a watermark is set), where
+    the window-function path above is batch-only.
+
+    Semantics vs session_stats: identical session boundaries (an event
+    extends its session while within ``gap`` of the previous event); output
+    carries the window's [start, end) envelope (end = last event + gap, the
+    session_window contract) rather than first/last event times.
+
+    Scale: one shuffle on (user, session-window); in streaming, state is
+    per-open-session and evicted at the watermark — bounded by concurrently
+    active sessions, not history."""
+    sw = F.session_window(F.col(time_col), f"{int(gap_minutes * 60)} seconds")
+    src = df
+    if watermark_minutes is not None:
+        src = df.withWatermark(time_col, f"{int(watermark_minutes * 60)} seconds")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if "value" in df.columns:
+        aggs.append(F.sum("value").alias("total_value"))
+    return (src.groupBy(F.col(user_col), sw)
+               .agg(*aggs)
+               .select(user_col,
+                       F.col("session_window.start").alias("w_start"),
+                       F.col("session_window.end").alias("w_end"),
+                       *[F.col(c) for c in
+                         (["n_events", "total_value"] if "value" in df.columns
+                          else ["n_events"])]))

@@ -135,3 +135,25 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", quality_score(t))
             .withColumn("lang_pred", language_id(t))
             .withColumn("fingerprint", fingerprint(t)))
+
+
+def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
+              k: int = 10, min_len: int = 3) -> DataFrame:
+    """Top-k terms per group by document frequency-weighted count.
+
+    Shape: tokenize scan-side (Column expressions, no UDF) → one explode →
+    partial-aggregated (group, term) counts → per-group top-k via a rank
+    window over the already-aggregated (small) frame.  The explode output
+    carries only (group, term) — the document text never shuffles.  Ties
+    break lexicographically so results are deterministic cross-engine."""
+    toks = F.transform(tokens(F.lower(F.col(text_col))),
+                       lambda t: F.regexp_replace(t, r"[^a-z0-9]", ""))
+    terms = (df.select(F.col(group_col), F.explode(toks).alias("term"))
+               .filter(F.length("term") >= min_len)
+               .groupBy(group_col, "term")
+               .agg(F.count(F.lit(1)).alias("term_count")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("term_count").desc(), F.col("term")))
+    return (terms.withColumn("rank", F.row_number().over(w).cast("long"))
+                 .filter(F.col("rank") <= k))

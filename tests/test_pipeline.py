@@ -267,3 +267,53 @@ def test_stratified_sample_exact_and_deterministic(spark):
           p.groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()}
     # ceil(334*0.1)=34, ceil(333*0.1)=34, ceil(4*0.1)=1
     assert pc == {"0": 34, "1": 34, "2": 34, "tiny": 1}
+
+
+def test_session_window_stats_matches_sessionize(spark):
+    """session_window (the streaming-capable path) draws the same session
+    boundaries as the window-function sessionizer."""
+    import datetime
+    import pyspark.sql.functions as F
+    from incubator_druid_spark.pipeline.sessions import (session_stats,
+                                                         session_window_stats)
+    base = datetime.datetime(2024, 1, 1)
+    rows_ = []
+    for u in (1, 2):
+        for off_min in (0, 5, 10, 120, 125, 300):  # 3 sessions per user
+            rows_.append((u, base + datetime.timedelta(minutes=off_min + u)))
+    df = spark.createDataFrame(rows_, "user_id long, `__time` timestamp")
+    a = session_stats(df, gap_minutes=30).collect()
+    b = session_window_stats(df, gap_minutes=30).collect()
+    assert len(a) == len(b) == 6
+    # same (user, n_events) multiset and same session start instants
+    sa = sorted((r["user_id"], r["n_events"], r["session_start"]) for r in a)
+    sb = sorted((r["user_id"], r["n_events"], r["w_start"]) for r in b)
+    assert sa == sb
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """The same operator over readStream: watermarked append-mode sessions
+    land in the sink once closed."""
+    import datetime
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [(1, base), (1, base + datetime.timedelta(minutes=5)),
+         (1, base + datetime.timedelta(minutes=120)),
+         (2, base + datetime.timedelta(minutes=1)),
+         # late-edge event far ahead moves the watermark past the others
+         (9, base + datetime.timedelta(hours=12))],
+        "user_id long, `__time` timestamp")
+    batch.write.mode("overwrite").parquet(str(src))
+    from incubator_druid_spark.pipeline.sessions import session_window_stats
+    stream = spark.readStream.schema("user_id long, `__time` timestamp") \
+        .parquet(str(src))
+    out = session_window_stats(stream, gap_minutes=30, watermark_minutes=60)
+    q = (out.writeStream.format("memory").queryName("sess_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_mem").collect()}
+    # sessions closed before the 12h watermark: user1 x2, user2 x1
+    assert got >= {(1, 2), (1, 1), (2, 1)}
