@@ -419,7 +419,14 @@ def _registry() -> dict:
 
     def _cast(p, e, t):
         tt = lit_str(t).upper()
-        return _c(e).cast(_CAST_MAP.get(tt, tt.lower()))
+        spark_t = _CAST_MAP.get(tt, tt.lower())
+        c = _c(e)
+        if spark_t in ("long", "int"):
+            # ExprEval.computeNumber:565-580 — tryParseLong, else parse as
+            # double and truncate ('10.1' → 10, not NULL)
+            return F.coalesce(c.try_cast(spark_t),
+                              c.try_cast("double").cast(spark_t))
+        return c.cast(spark_t)
 
     def _substring(p, s, start, length):
         # Function.java:2460 — 0-based start; negative length = to end

@@ -814,14 +814,36 @@ def _rewrite_time_tz(sql: str) -> str:
             if origin is None:
                 inner = f"{fname}({wrap(ts, tz)}, {p})"
                 return (f"to_utc_timestamp({inner}, {tz})" if tz else inner)
-            pl = p.strip().upper().strip("'")
-            if pl in _CAL:
-                raise ValueError(
-                    f"{fname} with origin needs a fixed-length period "
-                    f"(got {pl}); use the native API's PeriodGranularity "
-                    "for calendar periods with origin")
-            ms = _period_ms_sql(p, fname)
             tl, ol = wrap(ts, tz), wrap(origin, tz)
+            lit = _lit_period(p)
+            months = 0
+            if lit is not None:
+                from incubator_druid_spark.model.granularity import \
+                    parse_period
+                per = parse_period(lit)
+                if per.is_calendar:
+                    months = per.months
+            if months:
+                # calendar period anchored at origin (PeriodGranularity
+                # .truncate month path): exact complete-period count with
+                # Joda-style month-end clamping — Spark's timestampadd
+                # clamps day-of-month the same way, so the candidate
+                # month-difference is adjusted down when origin+cand > ts
+                cand = (f"((year({tl}) * 12 + month({tl})) - "
+                        f"(year({ol}) * 12 + month({ol})))")
+                whole = (f"({cand} - (CASE WHEN timestampadd(MONTH, {cand}, "
+                         f"{ol}) > {tl} THEN 1 ELSE 0 END))")
+                idx = f"CAST(floor(({whole}) / {months}.0) AS INT)"
+                if fname == "TIME_CEIL":
+                    flo = f"timestampadd(MONTH, {idx} * {months}, {ol})"
+                    nxt = (f"timestampadd(MONTH, ({idx} + 1) * {months}, "
+                           f"{ol})")
+                    flo = (f"(CASE WHEN {flo} = {tl} THEN {tl} "
+                           f"ELSE {nxt} END)")
+                else:
+                    flo = f"timestampadd(MONTH, {idx} * {months}, {ol})"
+                return f"to_utc_timestamp({flo}, {tz})" if tz else flo
+            ms = _period_ms_sql(p, fname)
             bucket = (f"floor((unix_millis({tl}) - unix_millis({ol})) / {ms})"
                       if fname == "TIME_FLOOR" else
                       f"ceil((unix_millis({tl}) - unix_millis({ol})) / {ms})")
@@ -970,6 +992,24 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = _rewrite_time_periods(sql)
     sql = _rewrite_regexp_extract(sql)
     sql = _rewrite_array_functions(sql)
+
+    # Integer-target CAST follows the reference's string coercion
+    # (ExprEval.computeNumber:565-580 — tryParseLong, else parse double and
+    # truncate): CAST('10.1' AS INTEGER) is 10 in Druid, NULL in plain
+    # Spark.  Exact longs stay exact (first branch), decimals truncate via
+    # the double branch.
+    def _int_cast_repl(a):
+        if len(a) != 1:
+            return None
+        m = re.match(r"(?is)^(.*)\s+AS\s+"
+                     r"(INTEGER|INT|BIGINT|SMALLINT|TINYINT|LONG)\s*$", a[0])
+        if not m:
+            return None
+        expr, t = m.group(1), m.group(2).upper()
+        t = "BIGINT" if t == "LONG" else t
+        return (f"COALESCE(TRY_CAST({expr} AS {t}), "
+                f"CAST(TRY_CAST({expr} AS DOUBLE) AS {t}))")
+    sql = _rewrite_calls(sql, "CAST", _int_cast_repl)
 
     # TIME_PARSE(s, pattern[, tz]) (TimeParseOperatorConversion) — the 1-arg
     # ISO form stays on the SQL macro; patterned forms parse via
