@@ -280,3 +280,62 @@ def test_earliest_latest_nested_call_args(spark, foo_catalog):
                APPROX_QUANTILE(m1 + LEAST(m2, 100), 0.5) AS m
         FROM druid.foo""").first()
     assert r["e"] == "" and r["l"] == "abc!" and r["m"] == pytest.approx(6.0)
+
+
+def test_select_pad_family(spark, foo_catalog):
+    """CalciteQueryTest.java:867 testSelectPadFamily (2-arg pad = spaces)."""
+    r = q(spark, foo_catalog, """
+        SELECT
+        LPAD('foo', 5, 'x') AS a, LPAD('foo', 2, 'x') AS b,
+        LPAD('foo', 5) AS c,
+        RPAD('foo', 5, 'x') AS d, RPAD('foo', 2, 'x') AS e,
+        RPAD('foo', 5) AS f,
+        COUNT(*) AS n
+        FROM foo""").first()
+    assert tuple(r) == ("xxfoo", "fo", "  foo", "fooxx", "fo", "foo  ", 6)
+
+
+def test_sum_and_filter_on_casted_string(spark, foo_catalog):
+    """CalciteQueryTest.java:7367 testSumOfString + :6901
+    testCountStarWithFilterOnCastedString — string CAST coercion."""
+    assert q(spark, foo_catalog,
+             "SELECT SUM(CAST(dim1 AS INTEGER)) AS s FROM druid.foo"
+             ).first()["s"] == 13
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE CAST(dim1 AS bigint) = 2""").first()["c"] == 1
+
+
+def test_expression_filter_group_on_string_cast(spark, foo_catalog):
+    """CalciteQueryTest.java:6664
+    testExpressionFilteringAndGroupingOnStringCastToNumber (sql branch:
+    unparseable dim1 → NULL, excluded by > -1)."""
+    out = q(spark, foo_catalog, """
+        SELECT
+          FLOOR(CAST(dim1 AS FLOAT) / 2) * 2 AS g,
+          COUNT(*) AS c
+        FROM druid.foo
+        WHERE FLOOR(CAST(dim1 AS FLOAT) / 2) * 2 > -1
+        GROUP BY FLOOR(CAST(dim1 AS FLOAT) / 2) * 2
+        ORDER BY 1 DESC""").collect()
+    assert [(r["g"], r["c"]) for r in out] == [(10.0, 1), (2.0, 1), (0.0, 1)]
+
+
+def test_string_latest_in_subquery(spark, foo_catalog):
+    """CalciteQueryTest.java:2437 testStringLatestInSubquery (sql branch:
+    non-numeric latest values coerce to NULL under SUM → 3)."""
+    assert q(spark, foo_catalog, """
+        SELECT SUM(CAST(val AS BIGINT)) AS s FROM (
+            SELECT dim2[0] AS d2, LATEST(dim1, 10) AS val
+            FROM foo GROUP BY dim2[0])""").first()["s"] == 3
+
+
+def test_empty_and_null_string_equality(spark, foo_catalog):
+    """CalciteQueryTest.java:5073/5119 — NULLIF(dim2,'a') = '' matches only
+    the real empty string (sql branch); = null matches nothing."""
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE NULLIF(dim2[0], 'a') = ''""").first()["c"] == 1
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE NULLIF(dim2[0], 'a') = null""").first()["c"] == 0
