@@ -209,6 +209,111 @@ def main() -> int:
         for k, v in skew_saved.items():
             spark.conf.set(k, v)
 
+    # ------------------------------------------------------------------
+    # the reference's OWN benchmark suite: SqlBenchmark.java:85-260 run
+    # verbatim through the Druid SQL surface over a 5M-row realization of
+    # the generator "basic" schema (GeneratorBasicSchemas.java:49-88 —
+    # the same rowsPerSegment=5_000_000 the reference benchmarks with).
+    # Deterministic generation: hash-uniforms, log-uniform ≈ zipf(s=1),
+    # Box-Muller normal; built once and cached as parquet.
+    # ------------------------------------------------------------------
+    sqlbench_path = "/tmp/spark_graft_sqlbench_basic_5m_v1"
+    if not os.path.exists(os.path.join(sqlbench_path, "_SUCCESS")):
+        ident = F.col("id")
+        u1 = (F.abs(F.xxhash64(ident, F.lit(1))) % 1_000_000) / 1_000_000.0
+        u2 = (F.abs(F.xxhash64(ident, F.lit(2))) % 1_000_000) / 1_000_000.0
+        gen = spark.range(0, 5_000_000, 1, cpus).select(
+            F.timestamp_millis(F.lit(946_684_800_000)
+                               + (ident % 1440) * 60_000).alias("__time"),
+            (ident % 1000).cast("string").alias("dimSequential"),
+            F.floor(F.pow(F.lit(101.0), u1)).cast("int").cast("string")
+             .alias("dimZipf"),
+            (F.abs(F.xxhash64(ident, F.lit(3))) % 1000).cast("string")
+             .alias("dimUniform"),
+            (ident % 10_000).alias("sumLongSequential"),
+            (F.abs(F.xxhash64(ident, F.lit(4))) % 500).alias("maxLongUniform"),
+            (F.sqrt(-2.0 * F.log(u1 + 1e-9))
+             * F.cos(2.0 * 3.141592653589793 * u2)).cast("float")
+             .alias("sumFloatNormal"),
+            (ident % 100_000).cast("string").alias("hyper"),
+        )
+        gen.write.mode("overwrite").parquet(sqlbench_path)
+
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sql.functions import druid_sql
+    sqlbench_cat = Catalog(spark)
+    sqlbench_cat.register("foo", sqlbench_path)
+    union_matrix = "WITH matrix (dimZipf, dimSequential) AS (\n" + \
+        "\nUNION ALL\n".join(
+            f"  (SELECT '{z}', dimSequential\n"
+            f"   FROM (SELECT * FROM foo WHERE dimUniform != 1)\n"
+            f"   WHERE dimZipf = '{z}' GROUP BY dimSequential)"
+            for z in range(10, 101, 10)) + \
+        "\n) SELECT * FROM matrix"
+    sqlbench_queries = [
+        "SELECT COUNT(*) FROM foo",
+        "SELECT COUNT(DISTINCT hyper) FROM foo",
+        "SELECT SUM(sumLongSequential), SUM(sumFloatNormal) FROM foo",
+        "SELECT FLOOR(__time TO MINUTE), SUM(sumLongSequential), "
+        "SUM(sumFloatNormal) FROM foo GROUP BY 1",
+        "SELECT SUM(sumLongSequential), SUM(sumFloatNormal) FROM foo "
+        "WHERE dimSequential NOT LIKE '%3'",
+        "SELECT SUM(sumLongSequential), SUM(sumFloatNormal) FROM foo "
+        "WHERE dimSequential = '311'",
+        "SELECT SUM(sumLongSequential), SUM(sumFloatNormal) FROM foo\n"
+        "WHERE dimSequential NOT LIKE '%3' AND maxLongUniform > 10",
+        "SELECT\n"
+        "  SUM(sumLongSequential) FILTER(WHERE dimSequential = '311'),\n"
+        "  SUM(sumFloatNormal)\n"
+        "FROM foo\nWHERE dimSequential NOT LIKE '%3'",
+        "SELECT\n"
+        "  SUM(sumLongSequential) FILTER(WHERE dimSequential = '311'),\n"
+        "  SUM(sumLongSequential) FILTER(WHERE dimSequential <> '311'),\n"
+        "  SUM(sumLongSequential) FILTER(WHERE dimSequential LIKE '%3'),\n"
+        "  SUM(sumLongSequential) FILTER(WHERE dimSequential NOT LIKE '%3'),\n"
+        "  SUM(sumLongSequential),\n"
+        "  SUM(sumFloatNormal) FILTER(WHERE dimSequential = '311'),\n"
+        "  SUM(sumFloatNormal) FILTER(WHERE dimSequential <> '311'),\n"
+        "  SUM(sumFloatNormal) FILTER(WHERE dimSequential LIKE '%3'),\n"
+        "  SUM(sumFloatNormal) FILTER(WHERE dimSequential NOT LIKE '%3'),\n"
+        "  SUM(sumFloatNormal),\n"
+        "  COUNT(*) FILTER(WHERE dimSequential = '311'),\n"
+        "  COUNT(*) FILTER(WHERE dimSequential <> '311'),\n"
+        "  COUNT(*) FILTER(WHERE dimSequential LIKE '%3'),\n"
+        "  COUNT(*) FILTER(WHERE dimSequential NOT LIKE '%3'),\n"
+        "  COUNT(*)\nFROM foo",
+        "SELECT\n"
+        "  SUM(sumLongSequential)\n"
+        "    FILTER(WHERE __time >= TIMESTAMP '2000-01-01 00:00:00' "
+        "AND __time < TIMESTAMP '2000-01-01 12:00:00'),\n"
+        "  SUM(sumLongSequential)\n"
+        "    FILTER(WHERE __time >= TIMESTAMP '2000-01-01 12:00:00' "
+        "AND __time < TIMESTAMP '2000-01-02 00:00:00')\n"
+        "FROM foo\n"
+        "WHERE __time >= TIMESTAMP '2000-01-01 00:00:00' "
+        "AND __time < TIMESTAMP '2000-01-02 00:00:00'",
+        "SELECT dimSequential, dimZipf, SUM(sumLongSequential) FROM foo "
+        "GROUP BY 1, 2",
+        "SELECT dimSequential, dimZipf, SUM(sumLongSequential), COUNT(*) "
+        "FROM foo GROUP BY 1, 2",
+        "SELECT dimZipf FROM foo GROUP BY 1",
+        "SELECT dimZipf, COUNT(*) FROM foo GROUP BY 1 ORDER BY COUNT(*) DESC",
+        "SELECT dimZipf, SUM(sumLongSequential), COUNT(*) FROM foo "
+        "GROUP BY 1 ORDER BY COUNT(*) DESC",
+        "SELECT maxLongUniform FROM foo GROUP BY 1",
+        "SELECT maxLongUniform, SUM(sumLongSequential), COUNT(*) FROM foo "
+        "GROUP BY 1",
+        "SELECT maxLongUniform FROM foo WHERE maxLongUniform > 10 GROUP BY 1",
+        "SELECT maxLongUniform, SUM(sumLongSequential), COUNT(*) FROM foo "
+        "WHERE maxLongUniform > 10 GROUP BY 1",
+        union_matrix,
+    ]
+    druid_sql(spark, sqlbench_queries[0], sqlbench_cat).collect()  # warm
+    sqlbench_timings: dict[str, float] = {}
+    for qi, qsql in enumerate(sqlbench_queries):
+        sqlbench_timings[f"q{qi}"] = round(
+            _timed(lambda: druid_sql(spark, qsql, sqlbench_cat).collect()), 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -229,6 +334,9 @@ def main() -> int:
         "skew_join_sec": round(skew_sec, 3),
         "skew_join_no_aqe_sec": round(skew_off_sec, 3),
         "skew_join_aqe_split": skew_split,
+        "sqlbench_rows": 5_000_000,
+        "sqlbench_total_sec": round(sum(sqlbench_timings.values()), 3),
+        "sqlbench": sqlbench_timings,
     }
     print(json.dumps(out))
     return 0
