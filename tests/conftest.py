@@ -216,6 +216,41 @@ def foo_catalog(spark, foo, tmp_path_factory):
     return cat
 
 
+@pytest.fixture(scope="session")
+def wiki_catalog(spark, tmp_path_factory):
+    """Fixture 5: the reference's Wikipedia-like native-query dataset
+    (processing/src/test/resources/druid.sample.numeric.tsv, schema per
+    TestIndex.java:71-135; \\x01 is the MVD list delimiter) — the input to
+    every *QueryRunnerTest golden expectation."""
+    from pyspark.sql import functions as F
+    from incubator_druid_spark.catalog import Catalog
+    tsv = ("/root/reference/processing/src/test/resources/"
+           "druid.sample.numeric.tsv")
+    cols = ["ts", "market", "quality", "qualityLong", "qualityFloat",
+            "qualityDouble", "qualityNumericString", "longNumericNull",
+            "floatNumericNull", "doubleNumericNull", "placement",
+            "placementish", "index"]
+    raw = spark.read.option("sep", "\t").csv(tsv).toDF(*cols)
+    df = raw.select(
+        F.to_timestamp("ts").alias("__time"),
+        "market", "quality",
+        F.col("qualityLong").cast("long").alias("qualityLong"),
+        F.col("qualityFloat").cast("float").alias("qualityFloat"),
+        F.col("qualityDouble").cast("double").alias("qualityDouble"),
+        "qualityNumericString",
+        F.col("longNumericNull").cast("long").alias("longNumericNull"),
+        F.col("floatNumericNull").cast("float").alias("floatNumericNull"),
+        F.col("doubleNumericNull").cast("double").alias("doubleNumericNull"),
+        "placement",
+        F.split("placementish", "\x01").alias("placementish"),
+        F.col("index").cast("double").alias("index"))
+    path = str(tmp_path_factory.mktemp("wiki_ds") / "wiki.parquet")
+    df.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("wiki", path)
+    return cat
+
+
 def rows(df, *cols):
     """Collect to a sorted list of tuples for order-insensitive assertion."""
     data = [tuple(r[c] for c in cols) if cols else tuple(r) for r in df.collect()]

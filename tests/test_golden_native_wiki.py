@@ -1,0 +1,150 @@
+"""Native-query golden tests over the reference's Wikipedia-like fixture —
+ports of *QueryRunnerTest expectations (processing/src/test/java/org/apache/
+druid/query/...), run through the native JSON translator against the raw
+druid.sample.numeric.tsv rows.
+
+The reference compares numeric results at 1e-6 RELATIVE tolerance
+(TestHelper.assertRow), so its double literals are approximate — asserts
+here use the same tolerance.  The reference queries its ROLLED-UP test
+index; with queryGranularity NONE
+and every dimension in the key no rows combine, so query-time aggregation
+over the raw rows produces identical values (TestIndex.java:145-151).
+`uniques` is the one approximation: the reference asserts its HyperLogLog
+ESTIMATES (9.0198…, 2.0009…), this engine's hyperUnique is exact at these
+cardinalities — asserted within the sketch's error instead.
+"""
+
+import pytest
+
+from incubator_druid_spark import translate
+
+
+def test_group_by_quality_day(spark, wiki_catalog):
+    """GroupByQueryRunnerTest.java:465 testGroupBy — the canonical 18-row
+    expected list (9 qualities × 2 days; longSum truncates per row)."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"},
+             {"type": "floatSum", "name": "idxFloat", "fieldName": "index"},
+             {"type": "doubleSum", "name": "idxDouble", "fieldName": "index"}]}
+    out = {(str(r["__time"])[:10], r["alias"]):
+           (r["rows"], r["idx"], r["idxFloat"], r["idxDouble"])
+           for r in translate(q, spark, wiki_catalog).collect()}
+    expected = {
+        ("2011-04-01", "automotive"): (1, 135, 135.88510131835938),
+        ("2011-04-01", "business"): (1, 118, 118.57034),
+        ("2011-04-01", "entertainment"): (1, 158, 158.747224),
+        ("2011-04-01", "health"): (1, 120, 120.134704),
+        ("2011-04-01", "mezzanine"): (3, 2870, 2871.8866900000003),
+        ("2011-04-01", "news"): (1, 121, 121.58358),
+        ("2011-04-01", "premium"): (3, 2900, 2900.798647),
+        ("2011-04-01", "technology"): (1, 78, 78.622547),
+        ("2011-04-01", "travel"): (1, 119, 119.922742),
+        ("2011-04-02", "automotive"): (1, 147, 147.42593),
+        ("2011-04-02", "business"): (1, 112, 112.987027),
+        ("2011-04-02", "entertainment"): (1, 166, 166.016049),
+        ("2011-04-02", "health"): (1, 113, 113.446008),
+        ("2011-04-02", "mezzanine"): (3, 2447, 2448.830613),
+        ("2011-04-02", "news"): (1, 114, 114.290141),
+        ("2011-04-02", "premium"): (3, 2505, 2506.415148),
+        ("2011-04-02", "technology"): (1, 97, 97.387433),
+        ("2011-04-02", "travel"): (1, 126, 126.411364),
+    }
+    assert set(out) == set(expected)
+    for k, (rows_, idx, idx_d) in expected.items():
+        got = out[k]
+        assert got[0] == rows_ and got[1] == idx, (k, got)
+        assert got[2] == pytest.approx(idx_d, rel=2e-6)
+        assert got[3] == pytest.approx(idx_d, rel=2e-6)
+
+
+def test_full_on_topn_market(spark, wiki_catalog):
+    """TopNQueryRunnerTest.java testFullOnTopN — market top-4 by summed
+    index with max/min + addRowsIndexConstant post-agg."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "dimension": "market", "metric": "index", "threshold": 4,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"},
+             {"type": "hyperUnique", "name": "uniques",
+              "fieldName": "quality"},
+             {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+             {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}],
+         "postAggregations": [
+             {"type": "arithmetic", "name": "addRowsIndexConstant",
+              "fn": "+",
+              "fields": [{"type": "fieldAccess", "fieldName": "rows"},
+                         {"type": "fieldAccess", "fieldName": "index"},
+                         {"type": "constant", "value": 1}]}]}
+    out = [tuple(r) for r in
+           translate(q, spark, wiki_catalog)
+           .select("market", "rows", "index", "addRowsIndexConstant",
+                   "uniques", "maxIndex", "minIndex").collect()]
+    exp = [
+        ("total_market", 186, 215679.82879638672, 215866.82879638672,
+         2, 1743.92175, 792.3260498046875),
+        ("upfront", 186, 192046.1060180664, 192233.1060180664,
+         2, 1870.061029, 545.9906005859375),
+        ("spot", 837, 95606.57232284546, 96444.57232284546,
+         9, 277.273533, 59.02102279663086),
+    ]
+    assert len(out) == 3
+    for got, (mk, rows_, idx, aric, uq, mx, mn) in zip(out, exp):
+        assert got[0] == mk and got[1] == rows_
+        assert got[2] == pytest.approx(idx, rel=2e-6)
+        assert got[3] == pytest.approx(aric, rel=2e-6)
+        assert got[4] == pytest.approx(uq, abs=0.25)  # ref asserts HLL est
+        assert got[5] == pytest.approx(mx, rel=2e-6)
+        assert got[6] == pytest.approx(mn, rel=2e-6)
+
+
+def test_full_on_timeseries_max_min(spark, wiki_catalog):
+    """TimeseriesQueryRunnerTest testFullOnTimeseriesMaxMin — global
+    doubleMax/doubleMin over the whole dataset."""
+    q = {"queryType": "timeseries", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "aggregations": [
+             {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+             {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}]}
+    r = translate(q, spark, wiki_catalog).first()
+    assert r["maxIndex"] == pytest.approx(1870.061029, rel=2e-6)
+    assert r["minIndex"] == pytest.approx(59.02102279663086, rel=2e-6)
+
+
+def test_time_boundary_wiki(spark, wiki_catalog):
+    """TimeBoundaryQueryRunnerTest — min/max timestamps of the fixture."""
+    q = {"queryType": "timeBoundary", "dataSource": "wiki"}
+    r = translate(q, spark, wiki_catalog).first()
+    assert str(r["minTime"])[:10] == "2011-01-12"
+    assert str(r["maxTime"])[:10] == "2011-04-15"
+
+
+def test_search_quality_fragment(spark, wiki_catalog):
+    """SearchQueryRunnerTest shape — insensitive contains over quality +
+    market; counts are input-row counts (93 days per quality value in spot,
+    …)."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["quality", "market"],
+         "query": {"type": "insensitive_contains", "value": "mezz"}}
+    out = {(r["dimension"], r["value"]): r["count"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out == {("quality", "mezzanine"): 279}
+
+
+def test_group_by_mvd_placementish(spark, wiki_catalog):
+    """MVD groupBy over placementish (explode semantics): 'preferred'
+    appears in every row; single-letter values count their quality rows."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimensions": ["placementish"],
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    out = {r["placementish"]: r["rows"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out["preferred"] == 26            # all rows of the 2 days
+    assert out["a"] == 2 and out["m"] == 6   # automotive / mezzanine rows
