@@ -148,3 +148,67 @@ def test_group_by_mvd_placementish(spark, wiki_catalog):
            for r in translate(q, spark, wiki_catalog).collect()}
     assert out["preferred"] == 26            # all rows of the 2 days
     assert out["a"] == 2 and out["m"] == 6   # automotive / mezzanine rows
+
+
+def test_topn_lexicographic(spark, wiki_catalog):
+    """TopNQueryRunnerTest testTopNLexicographic — dimension metric spec,
+    lexicographic order, previousStop ''."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimension": "market", "threshold": 4,
+         "metric": {"type": "dimension", "previousStop": "",
+                    "ordering": "lexicographic"},
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"}],
+         "postAggregations": [
+             {"type": "arithmetic", "name": "addRowsIndexConstant",
+              "fn": "+",
+              "fields": [{"type": "fieldAccess", "fieldName": "rows"},
+                         {"type": "fieldAccess", "fieldName": "index"},
+                         {"type": "constant", "value": 1}]}]}
+    out = [(r["market"], r["rows"], r["index"], r["addRowsIndexConstant"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    exp = [("spot", 18, 2231.876812, 2250.876812),
+           ("total_market", 4, 5351.814783, 5356.814783),
+           ("upfront", 4, 4875.669692, 4880.669692)]
+    assert [o[0] for o in out] == [e[0] for e in exp]
+    for o, e in zip(out, exp):
+        assert o[1] == e[1]
+        assert o[2] == pytest.approx(e[2], rel=2e-6)
+        assert o[3] == pytest.approx(e[3], rel=2e-6)
+
+
+def test_timeseries_with_timezone(spark, wiki_catalog):
+    """TimeseriesQueryRunnerTest testTimeseriesWithTimeZone — LA-day
+    granularity buckets (rows=13 each, idx 6619/5827)."""
+    q = {"queryType": "timeseries", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1D",
+                         "timeZone": "America/Los_Angeles"},
+         "intervals": ["2011-03-31T00:00:00-07:00/2011-04-02T00:00:00-07:00"],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}],
+         "context": {"skipEmptyBuckets": True}}
+    out = [(str(r["__time"]), r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    # bucket instants: LA midnights = 07:00 UTC
+    assert out == [("2011-03-31 07:00:00", 13, 6619),
+                   ("2011-04-01 07:00:00", 13, 5827)]
+
+
+def test_timeseries_grand_total(spark, wiki_catalog):
+    """TimeseriesQueryRunnerTest testTimeseriesGrandTotal — per-day rows
+    plus the grandTotal row (rows=26, index=12446)."""
+    q = {"queryType": "timeseries", "dataSource": "wiki", "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "index", "fieldName": "index"}],
+         "context": {"grandTotal": True}}
+    out = [(None if r["__time"] is None else str(r["__time"])[:10],
+            r["rows"], r["index"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert ("2011-04-01", 13, 6619) in out
+    assert ("2011-04-02", 13, 5827) in out
+    assert (None, 26, 12446) in out
