@@ -66,6 +66,16 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
         cols = fmt.get("columns")
         if cols and not fmt.get("findColumnsFromHeader", False):
             df = df.toDF(*cols)
+        # listDelimiter (DelimitedInputFormat.java — default \x01): Druid
+        # decides multi-valuedness per ROW at parse time; a columnar schema
+        # needs it declared, so the columns that carry MVD values are named
+        # in multiValueColumns and become ARRAY<STRING>
+        ld = fmt.get("listDelimiter")
+        if ld is not None:
+            import re as _re
+            for c in fmt.get("multiValueColumns", []):
+                df = df.withColumn(
+                    c, F.split(F.col(c).cast("string"), _re.escape(ld)))
         return df
     if t == "json":
         # core/.../impl/JsonInputFormat.java (+flattenSpec handled by Spark's

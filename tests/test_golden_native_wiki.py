@@ -212,3 +212,65 @@ def test_timeseries_grand_total(spark, wiki_catalog):
     assert ("2011-04-01", 13, 6619) in out
     assert ("2011-04-02", 13, 5827) in out
     assert (None, 26, 12446) in out
+
+
+def test_ingest_wiki_tsv_rollup_then_query(spark, tmp_path):
+    """End-to-end ingest parity: the reference's TSV ingested through the
+    engine's own ingest() with the TestIndex-style spec (delimited format,
+    \\x01 listDelimiter MVD, rollup with doubleSum index at queryGranularity
+    none) — then the canonical GroupByQueryRunnerTest.testGroupBy expected
+    values must come back from the ROLLED table."""
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.sources.ingest import ingest
+
+    spec = {
+        "dataSchema": {
+            "dataSource": "wiki_ingested",
+            "timestampSpec": {"column": "ts", "format": "iso"},
+            "granularitySpec": {"segmentGranularity": "month",
+                                "queryGranularity": "none", "rollup": True},
+            "dimensionsSpec": {"dimensions": [
+                "market", "quality", "placement", "placementish"]},
+            "metricsSpec": [
+                {"type": "count", "name": "cnt"},
+                {"type": "doubleSum", "name": "index", "fieldName": "index"}],
+        },
+        "ioConfig": {
+            "inputSource": {
+                "type": "local",
+                "files": ["/root/reference/processing/src/test/resources/"
+                          "druid.sample.numeric.tsv"]},
+            "inputFormat": {
+                "type": "tsv",
+                "columns": ["ts", "market", "quality", "qualityLong",
+                            "qualityFloat", "qualityDouble",
+                            "qualityNumericString", "longNumericNull",
+                            "floatNumericNull", "doubleNumericNull",
+                            "placement", "placementish", "index"],
+                "listDelimiter": "\x01",
+                "multiValueColumns": ["placementish"]},
+        },
+    }
+    cat = Catalog(spark)
+    ingest(spark, spec, cat, str(tmp_path / "wh"))
+    q = {"queryType": "groupBy", "dataSource": "wiki_ingested",
+         "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "longSum", "name": "rows", "fieldName": "cnt"},
+             {"type": "doubleSum", "name": "idxDouble", "fieldName": "index"}]}
+    out = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idxDouble"])
+           for r in translate(q, spark, cat).collect()}
+    assert out[("2011-04-01", "automotive")] == (
+        1, pytest.approx(135.88510131835938, rel=2e-6))
+    assert out[("2011-04-01", "mezzanine")] == (
+        3, pytest.approx(2871.8866900000003, rel=2e-6))
+    assert out[("2011-04-02", "premium")] == (
+        3, pytest.approx(2506.415148, rel=2e-6))
+    assert len(out) == 18
+    # the rolled table's MVD column survived the ingest as an array
+    mvd = {tuple(r["placementish"]) for r in
+           cat.table("wiki_ingested").select("placementish").limit(5).collect()}
+    assert all(len(t) == 2 and t[1] == "preferred" for t in mvd)
