@@ -274,3 +274,33 @@ def test_ingest_wiki_tsv_rollup_then_query(spark, tmp_path):
     mvd = {tuple(r["placementish"]) for r in
            cat.table("wiki_ingested").select("placementish").limit(5).collect()}
     assert all(len(t) == 2 and t[1] == "preferred" for t in mvd)
+
+
+def test_merge_results_with_limit_and_offset(spark, wiki_catalog):
+    """GroupByQueryRunnerTest doTestMergeResultsWithValidLimit — the 9
+    known month-bucket rows sliced by every (limit, offset) combination
+    (trimmed sweep of the reference's 19x21 grid; default limitSpec order
+    = dimension lexicographic)."""
+    base = [("automotive", 2, 269), ("business", 2, 217),
+            ("entertainment", 2, 319), ("health", 2, 216),
+            ("mezzanine", 6, 4420), ("news", 2, 221),
+            ("premium", 6, 4416), ("technology", 2, 177),
+            ("travel", 2, 243)]
+    for limit in (1, 3, 5, 9, 12):
+        for offset in (0, 1, 4, 8, 10):
+            q = {"queryType": "groupBy", "dataSource": "wiki",
+                 "granularity": {"type": "period", "period": "P1M"},
+                 "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+                 "dimensions": [{"type": "default", "dimension": "quality",
+                                 "outputName": "alias"}],
+                 "aggregations": [
+                     {"type": "count", "name": "rows"},
+                     {"type": "longSum", "name": "idx",
+                      "fieldName": "index"}],
+                 "limitSpec": {"type": "default", "limit": limit,
+                               "offset": offset,
+                               "columns": [{"dimension": "alias",
+                                            "direction": "ascending"}]}}
+            out = [(r["alias"], r["rows"], r["idx"]) for r in
+                   translate(q, spark, wiki_catalog).collect()]
+            assert out == base[offset:offset + limit], (limit, offset)
