@@ -452,8 +452,10 @@ def _rewrite_aggregate_names(sql: str) -> str:
         sql = _rewrite_calls(sql, ds_name,
                              lambda a: f"approx_count_distinct({a[0]})"
                              if a else None)
-    sql = re.sub(r"(?i)\bEARLIEST_BY\s*\(", "min_by(", sql)
-    sql = re.sub(r"(?i)\bLATEST_BY\s*\(", "max_by(", sql)
+    sql = _outside_literals(sql, lambda seg: re.sub(
+        r"(?i)\bEARLIEST_BY\s*\(", "min_by(", seg))
+    sql = _outside_literals(sql, lambda seg: re.sub(
+        r"(?i)\bLATEST_BY\s*\(", "max_by(", seg))
 
     def approx_quantile_repl(a):
         if len(a) >= 2:
@@ -464,19 +466,49 @@ def _rewrite_aggregate_names(sql: str) -> str:
     return sql
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted string literals ('' escapes)."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _in_spans(pos: int, spans) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
 def _rewrite_calls(sql: str, name: str, repl) -> str:
     """Rewrite every call of ``name(...)`` in ``sql`` via ``repl(args) ->
     str | None`` (None leaves the call untouched).  Argument splitting is
     paren- and quote-aware so nested calls and string literals pass through;
-    replacement text is not re-scanned."""
+    matches that START inside a string literal are data, not calls, and are
+    left alone; replacement text is not re-scanned."""
     import re
     pat = re.compile(rf"(?i)\b{name}\s*\(")
+    spans = _literal_spans(sql)
     out, pos = [], 0
     while True:
         m = pat.search(sql, pos)
         if not m:
             out.append(sql[pos:])
             return "".join(out)
+        if _in_spans(m.start(), spans):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
         i, depth, inq = m.end(), 1, False
         args, cur = [], []
         while i < len(sql) and depth:
@@ -516,12 +548,17 @@ def _rewrite_array_literals(sql: str) -> str:
     nested ``ARRAY[ARRAY[..]]`` recurses."""
     import re
     pat = re.compile(r"(?i)\bARRAY\s*\[")
+    spans = _literal_spans(sql)
     out, i, n = [], 0, len(sql)
     while i < n:
         m = pat.search(sql, i)
         if not m:
             out.append(sql[i:])
             break
+        if _in_spans(m.start(), spans):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
         out.append(sql[i:m.start()])
         out.append("array(")
         j, depth, inq = m.end(), 1, False
@@ -556,12 +593,17 @@ def _rewrite_array_agg(sql: str) -> str:
     is dropped — Spark grows aggregation buffers dynamically."""
     import re
     pat = re.compile(r"(?i)\bARRAY_AGG\s*\(")
+    spans = _literal_spans(sql)
     out, pos, n = [], 0, len(sql)
     while True:
         m = pat.search(sql, pos)
         if not m:
             out.append(sql[pos:])
             return "".join(out)
+        if _in_spans(m.start(), spans):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
         out.append(sql[pos:m.start()])
         i, depth, inq = m.end(), 1, False
         args, cur = [], []
@@ -895,15 +937,24 @@ def _rewrite_floor_ceil_to(sql: str) -> str:
     import re
     # operand may carry one nesting level: FLOOR(CAST(x AS TIMESTAMP) TO DAY)
     operand = r"((?:[^()]|\([^()]*\))+?)"
-    sql = re.sub(rf"(?i)\bFLOOR\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)",
-                 lambda m: f"date_trunc('{m.group(2).lower()}', {m.group(1)})",
-                 sql)
+
     def cei(m):
         period = _UNIT_PERIOD.get(m.group(2).upper())
         if period is None:
             raise ValueError(f"CEIL … TO {m.group(2)}: unknown time unit")
         return f"TIME_CEIL({m.group(1)}, '{period}')"
-    return re.sub(rf"(?i)\bCEIL\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)", cei, sql)
+
+    # guard by match START position: a FLOOR( inside a string literal is
+    # data; an operand that merely CONTAINS a literal still rewrites
+    spans = _literal_spans(sql)
+    sql = re.sub(rf"(?i)\bFLOOR\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)",
+                 lambda m: m.group(0) if _in_spans(m.start(), spans) else
+                 f"date_trunc('{m.group(2).lower()}', {m.group(1)})",
+                 sql)
+    spans = _literal_spans(sql)
+    return re.sub(rf"(?i)\bCEIL\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)",
+                  lambda m: m.group(0) if _in_spans(m.start(), spans)
+                  else cei(m), sql)
 
 
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
@@ -1026,11 +1077,14 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     #   GROUP BY ()                        → global aggregate (drop clause)
     #   ESCAPE '\'                         → backslash needs doubling in
     #                                        Spark string literals
-    sql = re.sub(r"(?i)\bAS\s+VARCHAR\s*\)", "AS STRING)", sql)
-    sql = re.sub(r"(?i)\bGROUP\s+BY\s*\(\s*\)", "", sql)
+    sql = _outside_literals(sql, lambda seg: re.sub(
+        r"(?i)\bAS\s+VARCHAR\s*\)", "AS STRING)", seg))
+    sql = _outside_literals(sql, lambda seg: re.sub(
+        r"(?i)\bGROUP\s+BY\s*\(\s*\)", "", seg))
     sql = sql.replace(r"ESCAPE '\'", r"ESCAPE '\\'")
     # STRING_FORMAT is variadic (StringFormatOperatorConversion.java) — SQL
     # UDFs have fixed arity, so map the name to Spark's format_string
-    sql = re.sub(r"(?i)\bSTRING_FORMAT\s*\(", "format_string(", sql)
+    sql = _outside_literals(sql, lambda seg: re.sub(
+        r"(?i)\bSTRING_FORMAT\s*\(", "format_string(", seg))
     sql = _rewrite_aggregate_names(sql)
     return spark.sql(sql)

@@ -339,3 +339,22 @@ def test_empty_and_null_string_equality(spark, foo_catalog):
     assert q(spark, foo_catalog, """
         SELECT COUNT(*) AS c FROM druid.foo
         WHERE NULLIF(dim2[0], 'a') = null""").first()["c"] == 0
+
+
+def test_function_names_inside_string_literals_are_data(spark, foo_catalog):
+    """Rewriter literal-safety: function-like text inside string literals
+    must pass through verbatim (every rewriter skips matches that start
+    inside a quoted literal)."""
+    r = q(spark, foo_catalog, """
+        SELECT 'CAST(1 AS INT)' AS a, 'ARRAY_AGG(x)' AS b,
+               'TIME_FLOOR(t, ''P1D'')' AS c, 'ARRAY[1,2]' AS d,
+               'FLOOR(__time TO DAY)' AS e, 'EARLIEST_BY(x, t)' AS f,
+               'STRING_FORMAT(%s)' AS g,
+               FLOOR(TIME_PARSE('2000-01-05 00:00:00', 'yyyy-MM-dd HH:mm:ss')
+                     TO MONTH) AS real_floor
+        FROM foo LIMIT 1""").first()
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"], r["g"]) == (
+        "CAST(1 AS INT)", "ARRAY_AGG(x)", "TIME_FLOOR(t, 'P1D')",
+        "ARRAY[1,2]", "FLOOR(__time TO DAY)", "EARLIEST_BY(x, t)",
+        "STRING_FORMAT(%s)")
+    assert str(r["real_floor"])[:10] == "2000-01-01"
