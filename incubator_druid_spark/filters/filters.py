@@ -40,6 +40,13 @@ class FilterContext:
     def resolve(self, name: str) -> Column:
         if name in self.virtual:
             return self.virtual[name]
+        if name not in self._types:
+            # a nonexistent column reads as NULL (string-typed), not an
+            # error — Druid's missing-column semantics (e.g.
+            # GroupByQueryRunnerTest.testGroupByWithNonexistentDimension;
+            # segments are schema-free, so queries over columns absent from
+            # some/all segments must still run)
+            return F.lit(None).cast("string")
         return qcol(name)
 
     def is_array(self, name: str) -> bool:

@@ -24,16 +24,25 @@ _OUT_TYPES = {"STRING": "string", "LONG": "long", "FLOAT": "float", "DOUBLE": "d
 def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
     """→ (outputName, column expression, needs_explode)."""
     types = {f.name: f.dataType for f in df.schema.fields}
+
+    def _col(name):
+        # a nonexistent column reads as NULL string, not an error — Druid's
+        # schema-free-segment semantics (GroupByQueryRunnerTest
+        # .testGroupByWithNonexistentDimension)
+        if name not in types:
+            return F.lit(None).cast("string")
+        return qcol(name)
+
     if isinstance(spec, str):
         is_arr = isinstance(types.get(spec), T.ArrayType)
-        return spec, qcol(spec), is_arr
+        return spec, _col(spec), is_arr
     t = spec.get("type", "default")
     if t in ("listFiltered", "regexFiltered", "prefixFiltered"):
         return _filtered_dimension(spec, t, df)
     dim = spec["dimension"]
     out = spec.get("outputName", dim)
     is_arr = isinstance(types.get(dim), T.ArrayType)
-    col = qcol(dim)
+    col = _col(dim)
     if t == "default":
         ot = spec.get("outputType")
         if ot and ot.upper() in _OUT_TYPES and not is_arr:

@@ -304,3 +304,53 @@ def test_merge_results_with_limit_and_offset(spark, wiki_catalog):
             out = [(r["alias"], r["rows"], r["idx"]) for r in
                    translate(q, spark, wiki_catalog).collect()]
             assert out == base[offset:offset + limit], (limit, offset)
+
+
+def test_group_by_with_regex_filter(spark, wiki_catalog):
+    """GroupByQueryRunnerTest.java:4618 testGroupByWithRegEx."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "filter": {"type": "regex", "dimension": "quality",
+                    "pattern": "auto.*"},
+         "dimensions": ["quality"],
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    out = [(r["quality"], r["rows"]) for r in
+           translate(q, spark, wiki_catalog).collect()]
+    assert out == [("automotive", 2)]
+
+
+def test_group_by_regex_extraction_dim(spark, wiki_catalog):
+    """GroupByQueryRunnerTest regex-extraction dimension ('(\\w{1})' — the
+    quality first letter), day granularity over the canonical 2 days."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimensions": [{"type": "extraction", "dimension": "quality",
+                         "outputName": "alias",
+                         "extractionFn": {"type": "regex",
+                                          "expr": "(\\w{1})"}}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    out = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out[("2011-04-01", "m")] == (3, 2870)
+    assert out[("2011-04-01", "p")] == (3, 2900)
+    assert out[("2011-04-01", "t")] == (2, 197)   # technology + travel
+    assert out[("2011-04-02", "t")] == (2, 223)
+    assert len(out) == 16                          # 8 letters × 2 days
+
+
+def test_group_by_nonexistent_dimension(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByWithNonexistentDimension — a
+    missing column reads as NULL, not an error."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "dimensions": ["billy", "quality"],
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    out = {(r["billy"], r["quality"]): r["rows"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out[(None, "automotive")] == 2
+    assert out[(None, "mezzanine")] == 6
+    assert len(out) == 9
