@@ -1062,6 +1062,21 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                 f"CAST(TRY_CAST({expr} AS DOUBLE) AS {t}))")
     sql = _rewrite_calls(sql, "CAST", _int_cast_repl)
 
+    # TRUNCATE/TRUNC numeric truncation (TruncateOperatorConversion —
+    # digits defaults to 0; TRUNC is the alias) and PARSE_LONG with a radix
+    # (ParseLongOperatorConversion) — fixed-arity macros cover the common
+    # forms, these rewrites cover the optional-arg ones
+    sql = _rewrite_calls(sql, "TRUNCATE",
+                         lambda a: f"TRUNCATE({a[0]}, 0)"
+                         if len(a) == 1 else None)
+    sql = _rewrite_calls(sql, "TRUNC",
+                         lambda a: f"TRUNCATE({a[0]}, 0)" if len(a) == 1
+                         else (f"TRUNCATE({a[0]}, {a[1]})"
+                               if len(a) == 2 else None))
+    sql = _rewrite_calls(sql, "PARSE_LONG",
+                         lambda a: f"CAST(conv({a[0]}, {a[1]}, 10) AS BIGINT)"
+                         if len(a) == 2 else None)
+
     # TIME_PARSE(s, pattern[, tz]) (TimeParseOperatorConversion) — the 1-arg
     # ISO form stays on the SQL macro; patterned forms parse via
     # to_timestamp (these Joda pattern letters coincide with java.time's)

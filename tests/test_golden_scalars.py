@@ -358,3 +358,30 @@ def test_function_names_inside_string_literals_are_data(spark, foo_catalog):
         "ARRAY[1,2]", "FLOOR(__time TO DAY)", "EARLIEST_BY(x, t)",
         "STRING_FORMAT(%s)")
     assert str(r["real_floor"])[:10] == "2000-01-01"
+
+
+def test_operator_table_sweep(spark, foo_catalog):
+    """DruidOperatorTable completeness sweep — one probe per operator family
+    not covered elsewhere: TRUNCATE/TRUNC (default digits), PARSE_LONG with
+    radix, DATE_TRUNC, POSITION..IN, BIT_AND/OR/XOR aggregates, REPEAT/
+    REVERSE/LEFT/RIGHT/BTRIM, time arithmetic with intervals."""
+    r = q(spark, foo_catalog, """
+        SELECT TRUNCATE(3.79) AS t0, TRUNC(-3.79) AS t1,
+               TRUNCATE(3.14159, 2) AS t2,
+               PARSE_LONG('ff', 16) AS pl,
+               DATE_TRUNC('day', TIMESTAMP '2000-01-05 10:20:30') AS dt,
+               POSITION('c' IN 'abcd') AS pos,
+               REPEAT('ab', 2) AS rep, REVERSE('abc') AS rev,
+               LEFT('abcd', 2) AS l2, RIGHT('abcd', 2) AS r2,
+               BTRIM('xxabxx', 'x') AS bt,
+               TIMESTAMP '2000-01-01 00:00:00' + INTERVAL '2' DAY AS plus2,
+               BIT_AND(cnt) AS ba, BIT_OR(m1_int) AS bo
+        FROM (SELECT cnt, CAST(m1 AS BIGINT) AS m1_int FROM druid.foo)""").first()
+    assert (r["t0"], r["t1"], r["t2"]) == (3.0, -3.0, 3.14)
+    assert r["pl"] == 255
+    assert str(r["dt"]) == "2000-01-05 00:00:00"
+    assert r["pos"] == 3
+    assert (r["rep"], r["rev"], r["l2"], r["r2"], r["bt"]) == (
+        "abab", "cba", "ab", "cd", "ab")
+    assert str(r["plus2"])[:10] == "2000-01-03"
+    assert r["ba"] == 1 and r["bo"] == 7  # 1..6 OR-folded
