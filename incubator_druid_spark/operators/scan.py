@@ -22,7 +22,12 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
     cols = query.get("columns") or []
     if cols:
-        df = df.select(*cols)
+        # absent columns read as NULL string (Druid's schema-free segments;
+        # ScanQueryRunnerTest testFullSelectNoDimensionAndMetric)
+        present = set(df.columns)
+        df = df.select(*[
+            F.col(c) if c in present else F.lit(None).cast("string").alias(c)
+            for c in cols])
 
     order = (query.get("order") or "none").lower()
     if order == "ascending":

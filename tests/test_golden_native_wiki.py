@@ -354,3 +354,35 @@ def test_group_by_nonexistent_dimension(spark, wiki_catalog):
     assert out[(None, "automotive")] == 2
     assert out[(None, "mezzanine")] == 6
     assert len(out) == 9
+
+
+def test_scan_with_filter_limit_time_ordering(spark, wiki_catalog):
+    """ScanQueryRunnerTest testFullOnSelectWithFilterLimitAnd*TimeOrdering —
+    spot-filtered scans, ascending and descending time order, limit 3."""
+    base = {"queryType": "scan", "dataSource": "wiki",
+            "intervals": ["2011-01-12T00:00:00.000Z/2011-01-14T00:00:00.000Z"],
+            "filter": {"type": "selector", "dimension": "market",
+                       "value": "spot"},
+            "columns": ["__time", "quality", "index"], "limit": 3}
+    asc = translate({**base, "order": "ascending"},
+                    spark, wiki_catalog).collect()
+    assert [str(r["__time"])[:10] for r in asc] == ["2011-01-12"] * 3
+    desc = translate({**base, "order": "descending"},
+                     spark, wiki_catalog).collect()
+    assert [str(r["__time"])[:10] for r in desc] == ["2011-01-13"] * 3
+    # all spot rows of the 2 days, no limit
+    full = translate({k: v for k, v in base.items() if k != "limit"},
+                     spark, wiki_catalog)
+    assert full.count() == 18
+    assert set(full.columns) == {"__time", "quality", "index"}
+
+
+def test_scan_nonexistent_column_is_null(spark, wiki_catalog):
+    """ScanQueryRunnerTest testFullSelectNoDimensionAndMetric shape — scans
+    naming absent columns return null columns, not errors."""
+    q = {"queryType": "scan", "dataSource": "wiki",
+         "intervals": ["2011-01-12T00:00:00.000Z/2011-01-13T00:00:00.000Z"],
+         "columns": ["__time", "nosuchdim", "nosuchmet"], "limit": 3}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert len(out) == 3
+    assert all(r["nosuchdim"] is None and r["nosuchmet"] is None for r in out)
