@@ -91,6 +91,23 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
         return F.lit(True)
     if t == "false":
         return F.lit(False)
+    if t == "expression" and isinstance(ctx, FilterContext):
+        # ExpressionDimFilter over a single MVD reference: the scalar
+        # expression maps across the elements and the filter matches when
+        # ANY mapped element is truthy (ExpressionFilter.java makeMatcher's
+        # array branch)
+        from incubator_druid_spark.functions.druid_expr import (
+            compile_expr, mvd_map_target)
+        arr_cols = {n for n, ty in ctx._types.items()
+                    if isinstance(ty, T.ArrayType)}
+        target = mvd_map_target(spec["expression"], arr_cols)
+        if target is not None:
+            return F.exists(
+                ctx.resolve(target),
+                lambda x: compile_expr(
+                    spec["expression"],
+                    lambda n, _x=x: _x if n == target
+                    else ctx.resolve(n)).cast("boolean"))
     if t == "expression":  # ExpressionDimFilter.java
         from incubator_druid_spark.functions.druid_expr import compile_expr
         return compile_expr(spec["expression"], ctx.resolve).cast("boolean")

@@ -688,3 +688,52 @@ def compile_expr(expression: str, resolver) -> Column:
     """
     out = _Parser(_lex(expression), resolver, registry()).parse()
     return _c(out)
+
+
+def mvd_map_target(expression: str, array_cols: set[str]) -> str | None:
+    """The single multi-value column a scalar expression should MAP over,
+    or None when no mapping applies (ExpressionPlan's NEEDS_APPLIED trait —
+    segment/virtual/ExpressionVirtualColumn.java + ExpressionPlan.java:
+    a scalar-typed expression referencing one MVD input maps across its
+    elements and yields an MVD).
+
+    Conservative detection from the token stream: exactly one array-typed
+    identifier referenced, the expression is not just the bare identifier,
+    and no array-aware function (array_*/mv_*/HOFs, which take the whole
+    array) appears — those expressions already handle the array explicitly.
+    Two distinct MVD references raise in Druid too (no implicit zip)."""
+    _ARRAY_AWARE = {"map", "filter", "fold", "any", "all", "cartesian_map",
+                    "cartesian_fold", "array", "string_to_array"}
+    toks = _lex(expression)
+    refs, fns = set(), set()
+    for i, (kind, val) in enumerate(toks):
+        if kind != "ident":
+            continue
+        if i + 1 < len(toks) and toks[i + 1][1] == "(":
+            fns.add(val.lower())
+            continue
+        if val in array_cols:
+            refs.add(val)
+    if len(refs) != 1:
+        return None
+    if any(f in _ARRAY_AWARE or f.startswith(("array_", "mv_"))
+           for f in fns):
+        return None
+    target = next(iter(refs))
+    if expression.strip() == target:
+        return None
+    return target
+
+
+def compile_expr_mvd(expression: str, resolver, array_cols: set[str]):
+    """compile_expr + Druid's single-MVD scalar mapping: when
+    ``mvd_map_target`` finds a mapped column, the expression compiles inside
+    ``transform(mvd, x -> expr[mvd := x])`` and the result is an MVD."""
+    target = mvd_map_target(expression, array_cols)
+    if target is None:
+        return compile_expr(expression, resolver)
+    return F.transform(
+        resolver(target),
+        lambda x: _c(compile_expr(
+            expression,
+            lambda n, _x=x: _x if n == target else resolver(n))))

@@ -63,10 +63,17 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
         # segment/virtual/ExpressionVirtualColumn.java — scan-time projection
         if vc.get("type", "expression") != "expression":
             raise ValueError(f"unsupported virtualColumn type {vc.get('type')!r}")
-        from incubator_druid_spark.functions.druid_expr import compile_expr
-        col = compile_expr(vc["expression"], F.col)
+        from pyspark.sql import types as T
+        from incubator_druid_spark.functions.druid_expr import (
+            compile_expr_mvd, mvd_map_target)
+        arr_cols = {f.name for f in df.schema.fields
+                    if isinstance(f.dataType, T.ArrayType)}
+        col = compile_expr_mvd(vc["expression"], F.col, arr_cols)
         ot = vc.get("outputType")
-        if ot and ot.upper() in ("LONG", "FLOAT", "DOUBLE", "STRING"):
+        # an auto-mapped expression yields an MVD — Druid types it STRING
+        # (multi-value); don't stringify the array
+        if (ot and ot.upper() in ("LONG", "FLOAT", "DOUBLE", "STRING")
+                and mvd_map_target(vc["expression"], arr_cols) is None):
             col = col.cast(ot.lower())
         df = df.withColumn(vc["name"], col)
 

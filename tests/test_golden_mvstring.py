@@ -2,10 +2,11 @@
 (MultiValueStringOperatorConversions surface), SQL-compatible null mode.
 
 Druid's "MVD works like a string" implicit per-element mapping of scalar
-functions (``concat(dim3, 'foo')`` mapping over elements) is the documented
-deviation here (README compat table): arrays are honest, so scalar-over-MVD
-golden cases are excluded; the MV_* function family itself is covered in
-full, including the scalar-or-array dispatch forms and the 2-arg MV_SLICE.
+functions (``concat(dim3, 'foo')`` mapping over elements) lives in the
+NATIVE expression layer here (ExpressionPlan NEEDS_APPLIED — see the last
+section), matching where the reference implements it; the SQL surface keeps
+honest arrays (README compat table).  The MV_* function family is covered
+in full, including the scalar-or-array dispatch forms and 2-arg MV_SLICE.
 
 numfoo dim3 per row: ["a","b"], ["b","c"], ["d"], [""], [], null
 numfoo dim4 per row: a, a, a, b, b, b
@@ -144,3 +145,46 @@ def test_mv_filter_only_none(spark, numfoo_catalog):
         FROM druid.numfoo WHERE dim1 IN ('', '10.1')""")
     assert rows(out, "dim1", "k", "d") == [
         ("", "a,b", "a"), ("10.1", "b", "c")]
+
+
+# ---------------------------------------------------------------------------
+# "MVD works like a string" — the implicit scalar-over-MVD mapping, via the
+# NATIVE path (ExpressionPlan NEEDS_APPLIED trait)
+# ---------------------------------------------------------------------------
+
+def test_mvd_scalar_expression_maps_native(spark, numfoo_catalog):
+    """CalciteMultiValueStringQueryTest
+    testMultiValueStringWorksLikeStringGroupByWithFilter, through the native
+    groupBy: concat(dim3, 'foo') maps over the MVD's elements, the filter
+    matches when ANY mapped element equals 'bfoo', and the grouped MVD
+    explodes — sql-mode expected rows (bfoo 2, afoo 1, cfoo 1)."""
+    from incubator_druid_spark import translate
+    q = {"queryType": "groupBy", "dataSource": "numfoo", "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "concat(dim3, 'foo')",
+                             "outputType": "STRING"}],
+         "filter": {"type": "expression",
+                    "expression": "concat(dim3, 'foo') == 'bfoo'"},
+         "dimensions": ["v0"],
+         "aggregations": [{"type": "longSum", "name": "s",
+                           "fieldName": "cnt"}]}
+    out = {r["v0"]: r["s"] for r in
+           translate(q, spark, numfoo_catalog).collect()}
+    assert out == {"afoo": 1, "bfoo": 2, "cfoo": 1}
+
+
+def test_mvd_self_concat_scan_native(spark, numfoo_catalog):
+    """testMultiValueStringWorksLikeStringSelfConcatScan — a single MVD
+    referenced twice still maps element-wise (same input, no zip needed)."""
+    from incubator_druid_spark import translate
+    q = {"queryType": "scan", "dataSource": "numfoo",
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "concat(dim3, '-lol-', dim3)",
+                             "outputType": "STRING"}],
+         "columns": ["dim1", "v0"]}
+    out = {r["dim1"]: (tuple(r["v0"]) if r["v0"] is not None else None)
+           for r in translate(q, spark, numfoo_catalog).collect()}
+    assert out[""] == ("a-lol-a", "b-lol-b")
+    assert out["10.1"] == ("b-lol-b", "c-lol-c")
+    assert out["2"] == ("d-lol-d",)
+    assert out["abc"] is None
