@@ -45,12 +45,18 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     # DimensionTopNMetricSpec.previousStop: pagination — only dimension
     # values strictly after the stop (query/topn/DimensionTopNMetricSpec.java)
     metric_spec = query["metric"]
-    if isinstance(metric_spec, dict) and metric_spec.get("previousStop") is not None:
+    inner, stop_inverted = metric_spec, False
+    while isinstance(inner, dict) and inner.get("type") == "inverted":
+        # InvertedTopNMetricSpec reverses the comparator, so "after the
+        # previousStop" in the reversed order = strictly BEFORE it naturally
+        inner = inner["metric"]
+        stop_inverted = not stop_inverted
+    if isinstance(inner, dict) and inner.get("previousStop") is not None:
         from incubator_druid_spark.filters.filters import _ordering_key
-        ordering = metric_spec.get("ordering", "lexicographic")
-        stop = metric_spec["previousStop"]
-        df = df.filter(_ordering_key(qcol(dim), ordering)
-                       > _ordering_key(F.lit(str(stop)), ordering))
+        ordering = inner.get("ordering", "lexicographic")
+        key = _ordering_key(qcol(dim), ordering)
+        skey = _ordering_key(F.lit(str(inner["previousStop"])), ordering)
+        df = df.filter(key < skey if stop_inverted else key > skey)
 
     ctx = FilterContext(df)
     aggs = compile_aggregations(query.get("aggregations"), ctx)

@@ -386,3 +386,62 @@ def test_scan_nonexistent_column_is_null(spark, wiki_catalog):
     out = translate(q, spark, wiki_catalog).collect()
     assert len(out) == 3
     assert all(r["nosuchdim"] is None and r["nosuchmet"] is None for r in out)
+
+
+def _topn_base(metric, extra=None):
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimension": "market", "metric": metric, "threshold": 4,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"}]}
+    if extra:
+        q.update(extra)
+    return q
+
+
+_TOPN_ROWS = {"total_market": (4, 5351.814783), "upfront": (4, 4875.669692),
+              "spot": (18, 2231.876812)}
+
+
+def _assert_topn(out, expected_order):
+    assert [r["market"] for r in out] == expected_order
+    for r in out:
+        rows_, idx = _TOPN_ROWS[r["market"]]
+        assert r["rows"] == rows_
+        assert r["index"] == pytest.approx(idx, rel=2e-6)
+
+
+def test_topn_numeric_metric(spark, wiki_catalog):
+    """TopNQueryRunnerTest testTopN — numeric metric ordering."""
+    out = translate(_topn_base("index"), spark, wiki_catalog).collect()
+    _assert_topn(out, ["total_market", "upfront", "spot"])
+
+
+def test_topn_with_or_filter(spark, wiki_catalog):
+    """testTopNWithOrFilter1 — an `in`-style OR over the dimension leaves
+    the result unchanged."""
+    q = _topn_base("index", {"filter": {
+        "type": "or", "fields": [
+            {"type": "selector", "dimension": "market", "value": v}
+            for v in ("total_market", "upfront", "spot")]}})
+    out = translate(q, spark, wiki_catalog).collect()
+    _assert_topn(out, ["total_market", "upfront", "spot"])
+
+
+def test_topn_lexicographic_previous_stop(spark, wiki_catalog):
+    """testTopNLexicographicWithPreviousStop — values after 'spot'."""
+    q = _topn_base({"type": "dimension", "previousStop": "spot",
+                    "ordering": "lexicographic"})
+    out = translate(q, spark, wiki_catalog).collect()
+    _assert_topn(out, ["total_market", "upfront"])
+
+
+def test_topn_inverted_lexicographic_previous_stop(spark, wiki_catalog):
+    """testTopNInvertedLexicographicWithPreviousStop — inverted order,
+    values before 'upfront'."""
+    q = _topn_base({"type": "inverted",
+                    "metric": {"type": "dimension", "previousStop": "upfront",
+                               "ordering": "lexicographic"}})
+    out = translate(q, spark, wiki_catalog).collect()
+    _assert_topn(out, ["total_market", "spot"])
