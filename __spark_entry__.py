@@ -1211,7 +1211,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT spine.__time,
                    CAST(coalesce(agg.cnt, 0) AS BIGINT) AS cnt,
-                   CAST(coalesce(agg.users, 0) AS BIGINT) AS users
+                   CAST(agg.users AS BIGINT) AS users
             FROM spine LEFT JOIN agg ON spine.__time = agg.__time
             ORDER BY spine.__time
         """,

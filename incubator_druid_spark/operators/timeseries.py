@@ -118,10 +118,20 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession) -> DataFr
         else:
             name = spec.get("name")
             atype = spec["type"]
-        if atype in _ZERO_FILL_AGGS:
-            zero = 0 if atype in ("count", "longSum", "cardinality",
-                                  "hyperUnique") else 0.0
-            fills.append(F.coalesce(F.col(name), F.lit(zero)).alias(name))
+        legacy = bool(query.get("context", {}).get("useDefaultValueForNull"))
+        if atype in ("count", "cardinality", "hyperUnique"):
+            # counting aggregators are 0 over an empty bucket in both modes
+            fills.append(F.coalesce(F.col(name), F.lit(0)).alias(name))
+        elif atype in ("longSum", "doubleSum", "floatSum"):
+            # sums over zero rows are NULL in SQL-compatible mode (the
+            # aggregator's initial value — TimeseriesQueryRunnerTest
+            # testTimeseriesWithNonExistentFilter asserts
+            # NullHandling.defaultDoubleValue()); 0 only in legacy mode
+            if legacy:
+                zero = 0 if atype == "longSum" else 0.0
+                fills.append(F.coalesce(F.col(name), F.lit(zero)).alias(name))
+            else:
+                fills.append(F.col(name))
         else:
             fills.append(F.col(name))
     if not (query.get("aggregations") or []):

@@ -445,3 +445,38 @@ def test_topn_inverted_lexicographic_previous_stop(spark, wiki_catalog):
                                "ordering": "lexicographic"}})
     out = translate(q, spark, wiki_catalog).collect()
     _assert_topn(out, ["total_market", "spot"])
+
+
+def test_timeseries_unmatched_filters_zero_fill(spark, wiki_catalog):
+    """TimeseriesQueryRunnerTest testTimeseriesWithNonExistentFilter +
+    testTimeseriesWithFilterOnNonExistentDimension — filters matching
+    nothing (unknown value, or a filter on an absent column) still emit the
+    zero-filled day buckets: rows=0, summed index NULL (sql mode)."""
+    for flt in ({"type": "selector", "dimension": "market", "value": "billy"},
+                {"type": "selector", "dimension": "bobby", "value": "billy"}):
+        q = {"queryType": "timeseries", "dataSource": "wiki",
+             "granularity": "day",
+             "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+             "filter": flt,
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "doubleSum", "name": "index",
+                  "fieldName": "index"}]}
+        out = translate(q, spark, wiki_catalog).collect()
+        assert [(str(r["__time"])[:10], r["rows"], r["index"])
+                for r in out] == [("2011-04-01", 0, None),
+                                  ("2011-04-02", 0, None)], flt
+
+
+def test_timeseries_null_filter_on_nonexistent_dim_matches_all(spark, wiki_catalog):
+    """testTimeseriesWithNullFilterOnNonExistentDimension — selector(bobby,
+    null) matches every row (the absent column reads as null)."""
+    q = {"queryType": "timeseries", "dataSource": "wiki", "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "filter": {"type": "selector", "dimension": "bobby", "value": None},
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert [(str(r["__time"])[:10], r["rows"], r["idx"]) for r in out] == [
+        ("2011-04-01", 13, 6619), ("2011-04-02", 13, 5827)]

@@ -24,9 +24,16 @@ def test_timeseries_zero_fill(spark, foo_catalog):
     out = rows(translate(q, spark, foo_catalog))
     assert len(out) == 5  # 3 data days + 2 empty buckets
     by_time = {r[0]: r for r in out}
-    assert by_time[ts("2000-01-04")][1] == 0      # zero-filled sum
+    # sums over an empty bucket are NULL in SQL-compatible mode
+    # (TimeseriesQueryRunnerTest testTimeseriesWithNonExistentFilter —
+    # defaultDoubleValue); legacy mode fills 0 (tested below)
+    assert by_time[ts("2000-01-04")][1] is None
     assert by_time[ts("2000-01-04")][2] is None   # max has no zero identity
     assert by_time[ts("2000-01-02")][1] == 1
+    legacy = translate({**q, "context": {"useDefaultValueForNull": True}},
+                       spark, foo_catalog)
+    by_time_l = {r[0]: r for r in rows(legacy)}
+    assert by_time_l[ts("2000-01-04")][1] == 0
 
 
 def test_timeseries_all_with_post_agg(spark, foo_catalog):
