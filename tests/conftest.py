@@ -229,8 +229,9 @@ def wiki_catalog(spark, tmp_path_factory):
     cols = ["ts", "market", "quality", "qualityLong", "qualityFloat",
             "qualityDouble", "qualityNumericString", "longNumericNull",
             "floatNumericNull", "doubleNumericNull", "placement",
-            "placementish", "index"]
-    raw = spark.read.option("sep", "\t").csv(tsv).toDF(*cols)
+            "placementish", "index", "partial_null_column"]
+    raw = spark.read.option("sep", "\t") \
+        .schema(", ".join(f"`{c}` string" for c in cols)).csv(tsv)
     df = raw.select(
         F.to_timestamp("ts").alias("__time"),
         "market", "quality",
@@ -243,7 +244,8 @@ def wiki_catalog(spark, tmp_path_factory):
         F.col("doubleNumericNull").cast("double").alias("doubleNumericNull"),
         "placement",
         F.split("placementish", "\x01").alias("placementish"),
-        F.col("index").cast("double").alias("index"))
+        F.col("index").cast("double").alias("index"),
+        "partial_null_column")
     path = str(tmp_path_factory.mktemp("wiki_ds") / "wiki.parquet")
     df.write.mode("overwrite").parquet(path)
     cat = Catalog(spark)

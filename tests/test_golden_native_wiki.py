@@ -480,3 +480,40 @@ def test_timeseries_null_filter_on_nonexistent_dim_matches_all(spark, wiki_catal
     out = translate(q, spark, wiki_catalog).collect()
     assert [(str(r["__time"])[:10], r["rows"], r["idx"]) for r in out] == [
         ("2011-04-01", 13, 6619), ("2011-04-02", 13, 5827)]
+
+
+def test_search_default_all_dimensions(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearch — query 'a' over every dimension,
+    incl. the MVD placementish (per-element hits) and the 186-row
+    partial_null_column."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["market", "quality", "placement",
+                              "placementish", "partial_null_column"],
+         "query": {"type": "insensitive_contains", "value": "a"}}
+    out = {(r["dimension"], r["value"]): r["count"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out == {
+        ("quality", "automotive"): 93, ("quality", "mezzanine"): 279,
+        ("quality", "travel"): 93, ("quality", "health"): 93,
+        ("quality", "entertainment"): 93,
+        ("market", "total_market"): 186,
+        ("placementish", "a"): 93,
+        ("partial_null_column", "value"): 186,
+    }
+
+
+def test_search_same_value_in_multi_dims(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchSameValueInMultiDims — the same hit
+    value reported per dimension, incl. the MVD's 'preferred' element."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["placement", "placementish"],
+         "query": {"type": "insensitive_contains", "value": "e"}}
+    out = {(r["dimension"], r["value"]): r["count"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out == {
+        ("placement", "preferred"): 1209,
+        ("placementish", "e"): 93,
+        ("placementish", "preferred"): 1209,
+    }
