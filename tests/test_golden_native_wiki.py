@@ -517,3 +517,79 @@ def test_search_same_value_in_multi_dims(spark, wiki_catalog):
         ("placementish", "e"): 93,
         ("placementish", "preferred"): 1209,
     }
+
+
+def test_group_by_long_and_float_typed_dims(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByLongColumn / testGroupByFloatColumn
+    — typed (LONG/FLOAT outputType) dimension specs with numeric-comparator
+    ordering."""
+    base = {"queryType": "groupBy", "dataSource": "wiki",
+            "granularity": "day",
+            "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+            "filter": {"type": "selector", "dimension": "quality",
+                       "value": "entertainment"},
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    ql = translate({**base, "dimensions": [
+        {"type": "default", "dimension": "qualityLong",
+         "outputName": "ql_alias", "outputType": "LONG"}],
+        "limitSpec": {"type": "default", "columns": [
+            {"dimension": "ql_alias", "direction": "ascending",
+             "dimensionOrder": "numeric"}]}}, spark, wiki_catalog).collect()
+    assert [(str(r["__time"])[:10], r["ql_alias"], r["rows"], r["idx"])
+            for r in ql] == [("2011-04-01", 1200, 1, 158),
+                             ("2011-04-02", 1200, 1, 166)]
+    fl = translate({**base, "dimensions": [
+        {"type": "default", "dimension": "index",
+         "outputName": "index_alias", "outputType": "FLOAT"}]},
+        spark, wiki_catalog).collect()
+    got = sorted((str(r["__time"])[:10], r["index_alias"], r["idx"])
+                 for r in fl)
+    assert got[0][0] == "2011-04-01" and got[0][1] == pytest.approx(
+        158.747224, rel=1e-6) and got[0][2] == 158
+    assert got[1][0] == "2011-04-02" and got[1][1] == pytest.approx(
+        166.016049, rel=1e-6) and got[1][2] == 166
+
+
+def test_merged_having_spec(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testMergedHavingSpec — OR of greaterThan and
+    equalTo having specs over the month bucket."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}],
+         "having": {"type": "or", "havingSpecs": [
+             {"type": "greaterThan", "aggregation": "rows", "value": 2},
+             {"type": "equalTo", "aggregation": "idx", "value": 217}]}}
+    out = sorted((r["alias"], r["rows"], r["idx"]) for r in
+                 translate(q, spark, wiki_catalog).collect())
+    assert out == [("business", 2, 217), ("mezzanine", 6, 4420),
+                   ("premium", 6, 4416)]
+
+
+def test_group_by_having_on_hyper_unique(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByWithHavingOnHyperUnique — having
+    over the approximate-distinct metric with a finalizing post-agg."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "dimensions": ["market"],
+         "aggregations": [{"type": "hyperUnique", "name": "uniques",
+                           "fieldName": "quality"}],
+         "postAggregations": [
+             {"type": "hyperUniqueCardinality", "name": "auto_finalized",
+              "fieldName": "uniques"}],
+         "having": {"type": "greaterThan", "aggregation": "uniques",
+                    "value": 8},
+         "limitSpec": {"type": "default", "limit": 3, "columns": [
+             {"dimension": "uniques", "direction": "descending"}]}}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["market"] == "spot"
+    assert r["uniques"] == pytest.approx(9.0198, abs=0.25)
+    assert r["auto_finalized"] == pytest.approx(9.0198, abs=0.25)
