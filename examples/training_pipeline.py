@@ -68,6 +68,24 @@ def main():
         embedding_near_dup_pairs
     embedding_near_dup_pairs(emb, threshold=0.4).show(5)
 
+    print("== 7. near-dup GROUPS (connected components) → keep one per group")
+    from incubator_druid_spark.pipeline.dedup import (connected_components,
+                                                      dedup_by_groups)
+    groups = connected_components(pairs.select("id_a", "id_b"))
+    n_groups = groups.select("group_id").distinct().count()
+    print(f"{groups.count()} near-dup docs in {n_groups} groups")
+    deduped = dedup_by_groups(kept, groups, "doc_id")
+    print(f"after group-dedup: {deduped.count()} docs")
+
+    print("== 8. stratified sample (20/source, deterministic md5 order)")
+    from incubator_druid_spark.pipeline.sampling import stratified_sample
+    sample = stratified_sample(deduped, "source", "doc_id", 20)
+    sample.groupBy("source").count().orderBy("source").show()
+
+    print("== 9. per-source top terms")
+    from incubator_druid_spark.pipeline.text import top_terms
+    top_terms(docs, "source", k=3).orderBy("source", "rank").show(9)
+
     print("done.")
 
 
