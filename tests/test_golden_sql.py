@@ -751,3 +751,123 @@ def test_time_floor_bad_periods_raise_not_null(spark, foo_catalog):
     with pytest.raises(Exception, match="unsupported non-literal period"):
         q(spark, foo_catalog,
           "SELECT TIME_FLOOR(__time, dim1) AS x FROM foo").collect()
+
+
+# ---------------------------------------------------------------------------
+# distinct-count / nested-subquery / filter-simplification tranche
+# ---------------------------------------------------------------------------
+
+def test_nested_group_by(spark, foo_catalog):
+    """CalciteQueryTest testNestedGroupBy — aggregate of an aggregate with a
+    MAX(__time) carried through."""
+    out = q(spark, foo_catalog, """
+        SELECT
+            FLOOR(__time to hour) AS t,
+            dim1,
+            COUNT(m2) AS c
+        FROM (
+            SELECT
+                MAX(__time) AS __time,
+                m2,
+                dim1
+            FROM druid.foo
+            WHERE 1=1
+                AND m1 = '5.0'
+            GROUP BY m2, dim1
+        )
+        GROUP BY FLOOR(__time to hour), dim1""").collect()
+    assert [(str(r["t"])[:10], r["dim1"], r["c"]) for r in out] == [
+        ("2001-01-02", "def", 1)]
+
+
+def test_double_nested_group_by(spark, foo_catalog):
+    """testDoubleNestedGroupBy (sql branch: 4 dim2[0] groups)."""
+    r = q(spark, foo_catalog, """
+        SELECT SUM(cnt) AS s, COUNT(*) AS c FROM (
+          SELECT d2, SUM(t1.cnt) cnt FROM (
+            SELECT
+              dim1,
+              dim2[0] AS d2,
+              COUNT(*) cnt
+            FROM druid.foo
+            GROUP BY dim1, dim2[0]
+          ) t1
+          GROUP BY d2
+        ) t2""").first()
+    assert (r["s"], r["c"]) == (6, 4)
+
+
+def test_union_all_same_table_three_times(spark, foo_catalog):
+    """testUnionAllSameTableThreeTimes (dim2[0])."""
+    out = q(spark, foo_catalog, """
+        SELECT
+        dim1, dim2[0] AS d2, SUM(m1) AS s, COUNT(*) AS c
+        FROM (SELECT * FROM foo UNION ALL SELECT * FROM foo
+              UNION ALL SELECT * FROM foo)
+        WHERE dim2[0] = 'a' OR dim2[0] = 'def'
+        GROUP BY 1, 2""")
+    assert rows(out, "dim1", "d2", "s", "c") == [
+        ("", "a", 3.0, 3), ("1", "a", 12.0, 3)]
+
+
+def test_in_filters(spark, foo_catalog):
+    """testInFilter + testInFilterWith23Elements."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1, COUNT(*) AS c FROM druid.foo
+        WHERE dim1 IN ('abc', 'def', 'ghi') GROUP BY dim1""")
+    assert rows(out, "dim1", "c") == [("abc", 1), ("def", 1)]
+    many = ", ".join(f"'v{i}'" for i in range(21)) + ", 'abc', 'def'"
+    out = q(spark, foo_catalog, f"""
+        SELECT dim1, COUNT(*) AS c FROM druid.foo
+        WHERE dim1 IN ({many}) GROUP BY dim1""")
+    assert rows(out, "dim1", "c") == [("abc", 1), ("def", 1)]
+
+
+def test_bound_filter_simplification(spark, foo_catalog):
+    """testCountStarWithDegenerateFilter + testCountStarWithBoundFilterSimplifyOr
+    (dim2[0] scalar view)."""
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE dim2[0] = 'a' and (dim1 > 'a' OR dim1 < 'b')""").first()["c"] == 2
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE (dim1 >= 'a' and dim1 < 'b') OR dim1 = 'ab'""").first()["c"] == 1
+
+
+def test_group_by_literal_in_subquery_grouping(spark, numfoo_catalog):
+    """testGroupByWithLiteralInSubqueryGrouping."""
+    out = q(spark, numfoo_catalog, """
+        SELECT
+           t1, t2
+          FROM
+           ( SELECT
+             'dummy' as t1,
+             CASE
+               WHEN
+                 dim4 = 'b'
+               THEN dim4
+               ELSE NULL
+             END AS t2
+             FROM
+               numfoo
+             GROUP BY
+               dim4
+           )
+         GROUP BY
+           t1,t2""")
+    assert rows(out, "t1", "t2") == [("dummy", "b"), ("dummy", None)]
+
+
+def test_approx_count_distinct_family(spark, foo_catalog):
+    """testApproxCountDistinct shape (sql branch) — APPROX_COUNT_DISTINCT
+    over dim2[0] and expressions; exact at these cardinalities."""
+    r = q(spark, foo_catalog, """
+        SELECT
+          SUM(cnt) AS a,
+          APPROX_COUNT_DISTINCT(dim2[0]) AS b,
+          APPROX_COUNT_DISTINCT_DS_HLL(dim2[0]) AS c,
+          APPROX_COUNT_DISTINCT_DS_THETA(dim2[0]) AS d,
+          COUNT(DISTINCT SUBSTRING(dim2[0], 1, 1)) AS e
+        FROM druid.foo""").first()
+    # sql branch: dim2[0] distinct non-null = {a, '', abc} = 3
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (6, 3, 3, 3, 2)
