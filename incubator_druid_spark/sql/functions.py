@@ -1062,6 +1062,29 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                 f"CAST(TRY_CAST({expr} AS DOUBLE) AS {t}))")
     sql = _rewrite_calls(sql, "CAST", _int_cast_repl)
 
+    # LIKE ... ESCAPE 'c': Calcite lets the escape char precede ANY
+    # character (it reads as that literal char); Spark only allows it
+    # before %, _ or itself (INVALID_FORMAT.ESC_IN_THE_MIDDLE) — so
+    # unescape the non-wildcard uses inside the pattern literal
+    def _like_escape_fix(m):
+        pat, esc = m.group(1), m.group(2)
+        out_p, i = [], 0
+        while i < len(pat):
+            c = pat[i]
+            if c == esc and i + 1 < len(pat):
+                nxt = pat[i + 1]
+                if nxt in ("%", "_", esc):
+                    out_p.append(c + nxt)
+                else:
+                    out_p.append(nxt)
+                i += 2
+            else:
+                out_p.append(c)
+                i += 1
+        return f"LIKE '{''.join(out_p)}' ESCAPE '{esc}'"
+    sql = re.sub(r"(?is)\bLIKE\s+'((?:[^']|'')*)'\s+ESCAPE\s+'(.)'",
+                 _like_escape_fix, sql)
+
     # TRUNCATE/TRUNC numeric truncation (TruncateOperatorConversion —
     # digits defaults to 0; TRUNC is the alias) and PARSE_LONG with a radix
     # (ParseLongOperatorConversion) — fixed-arity macros cover the common

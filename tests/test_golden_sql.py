@@ -871,3 +871,65 @@ def test_approx_count_distinct_family(spark, foo_catalog):
         FROM druid.foo""").first()
     # sql branch: dim2[0] distinct non-null = {a, '', abc} = 3
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (6, 3, 3, 3, 2)
+
+
+def test_count_star_with_like_filter(spark, foo_catalog):
+    """testCountStarWithLikeFilter — LIKE with a custom escape char
+    escaping a NON-wildcard (Calcite reads 'xb' escape 'x' as literal 'b';
+    Spark rejects that form, so the rewriter unescapes it).  dim1 'a%' →
+    'abc'; dim2[0] contains 'b' → row5's 'abc' → 2 (the reference's 2L)."""
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE dim1 like 'a%' OR dim2[0] like '%xb%' escape 'x'
+        """).first()["c"] == 2
+
+
+def test_group_by_sort_on_post_aggregation(spark, foo_catalog):
+    """testGroupByWithSortOnPostAggregationDefault — order by a computed
+    MIN+MAX expression with limit."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1, MIN(m1) + MAX(m1) AS x FROM druid.foo
+        GROUP BY dim1 ORDER BY x LIMIT 3""").collect()
+    assert [(r["dim1"], r["x"]) for r in out] == [
+        ("", 2.0), ("10.1", 4.0), ("2", 6.0)]
+
+
+def test_group_by_sort_push_down(spark, foo_catalog):
+    """testGroupBySortPushDown (dim2[0]; sql branch nulls)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim2[0] AS d2, dim1, SUM(cnt) AS s FROM druid.foo
+        GROUP BY dim2[0], dim1 ORDER BY dim1 LIMIT 4""").collect()
+    assert [(r["d2"], r["dim1"], r["s"]) for r in out] == [
+        ("a", "", 1), ("a", "1", 1), (None, "10.1", 1), ("", "2", 1)]
+
+
+def test_group_by_limit_push_down_with_having(spark, foo_catalog):
+    """testGroupByLimitPushDownWithHavingOnLong (sql branch: NULL dim2
+    sorts FIRST ascending in Druid; Spark default is also nulls-first asc)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1, dim2[0] AS d2, SUM(cnt) AS thecnt FROM druid.foo
+        group by dim1, dim2[0] having SUM(cnt) = 1
+        order by dim2[0], dim1 limit 4""").collect()
+    assert [(r["dim1"], r["d2"], r["thecnt"]) for r in out] == [
+        ("10.1", None, 1), ("abc", None, 1), ("2", "", 1), ("", "a", 1)]
+
+
+def test_textcat_and_concat(spark, foo_catalog):
+    """testTextcat + testConcat — multi-arg CONCAT is null-propagating in
+    sql mode."""
+    out = q(spark, foo_catalog,
+            "SELECT textcat(dim1, dim1) as dimX FROM foo")
+    assert rows(out, "dimX") == [
+        ("",), ("10.110.1",), ("11",), ("22",), ("abcabc",), ("defdef",)]
+    out = q(spark, foo_catalog, """
+        SELECT CONCAT(dim1, '-', dim1, '_', dim1) as dimX FROM foo""")
+    assert rows(out, "dimX") == [
+        ("-_",), ("1-1_1",), ("10.1-10.1_10.1",), ("2-2_2",),
+        ("abc-abc_abc",), ("def-def_def",)]
+
+
+def test_select_single_column_twice(spark, foo_catalog):
+    """testSelectSingleColumnTwice."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1 x, dim1 y FROM druid.foo ORDER BY __time LIMIT 2""").collect()
+    assert [(r["x"], r["y"]) for r in out] == [("", ""), ("10.1", "10.1")]
