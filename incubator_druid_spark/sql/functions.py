@@ -104,7 +104,12 @@ _FUNCTIONS: list[str] = [
            WHEN 'ISODOW' THEN weekday(ts) + 1
            WHEN 'DOY' THEN dayofyear(ts) WHEN 'WEEK' THEN weekofyear(ts)
            WHEN 'MONTH' THEN month(ts) WHEN 'QUARTER' THEN quarter(ts)
-           WHEN 'YEAR' THEN year(ts)
+           WHEN 'YEAR' THEN year(ts) WHEN 'ISOYEAR' THEN year(ts)
+           WHEN 'MICROSECOND' THEN unix_seconds(ts) DIV 1000
+           WHEN 'MILLISECOND' THEN unix_millis(ts) % 1000
+           WHEN 'DECADE' THEN year(ts) DIV 10
+           WHEN 'CENTURY' THEN CAST(ceil(year(ts) / 100.0) AS BIGINT)
+           WHEN 'MILLENNIUM' THEN CAST(ceil(year(ts) / 1000.0) AS BIGINT)
        END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_IN_INTERVAL(ts TIMESTAMP, iv STRING)
        RETURNS BOOLEAN RETURN

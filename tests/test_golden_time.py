@@ -180,3 +180,24 @@ def test_sum_of_extraction_fn_cast(spark, foo_catalog):
     assert q(spark, foo_catalog, """
         SELECT SUM(CAST(SUBSTRING(dim1, 1, 10) AS INTEGER)) AS s
         FROM druid.foo""").first()["s"] == 13
+
+
+def test_time_extract_all_units(spark, foo_catalog):
+    """TimestampExtractExprMacro.java:116-155 — the full unit set, incl.
+    the reference's faithful oddities (MICROSECOND = epoch/1000, CENTURY/
+    MILLENNIUM ceil per the PostgreSQL definitions)."""
+    r = q(spark, foo_catalog, """
+        SELECT TIME_EXTRACT(__time, 'EPOCH') AS epoch,
+               TIME_EXTRACT(__time, 'MILLISECOND') AS ms,
+               TIME_EXTRACT(__time, 'DOW') AS dow,
+               TIME_EXTRACT(__time, 'ISODOW') AS isodow,
+               TIME_EXTRACT(__time, 'ISOYEAR') AS isoyear,
+               TIME_EXTRACT(__time, 'DECADE') AS dec,
+               TIME_EXTRACT(__time, 'CENTURY') AS cent,
+               TIME_EXTRACT(__time, 'MILLENNIUM') AS mil
+        FROM foo ORDER BY __time LIMIT 1""").first()
+    # 2000-01-01 00:00:00 UTC is a Saturday
+    assert r["epoch"] == 946684800 and r["ms"] == 0
+    assert r["dow"] == 6 and r["isodow"] == 6
+    assert (r["isoyear"], r["dec"], r["cent"], r["mil"]) == (
+        2000, 200, 20, 2)
