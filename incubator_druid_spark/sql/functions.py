@@ -471,6 +471,19 @@ def _rewrite_aggregate_names(sql: str) -> str:
     return sql
 
 
+_SQL_VIEWS: dict[str, str] = {}
+
+
+def register_sql_view(name: str, sql: str) -> None:
+    """ViewManager.createView (sql/.../calcite/view/ViewManager.java): a
+    view is a named Druid SQL macro queryable as ``view.<name>``."""
+    _SQL_VIEWS[name] = sql
+
+
+def drop_sql_view(name: str) -> None:
+    _SQL_VIEWS.pop(name, None)
+
+
 def _literal_spans(sql: str) -> list[tuple[int, int]]:
     """[start, end) spans of single-quoted string literals ('' escapes)."""
     spans, i, n = [], 0, len(sql)
@@ -1012,6 +1025,15 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             return f"lookup_{name} AS {name}"
 
         seg = re.sub(r"(?i)\blookup\s*\.\s*(\w+)", _lookup_repl, seg)
+
+        def _view_repl(m):
+            name = m.group(1)
+            nxt = re.match(r"\s*(\w+)", seg[m.end():])
+            if nxt and nxt.group(1).lower() not in _kw:
+                return f"view_{name}"
+            return f"view_{name} AS {name}"
+
+        seg = re.sub(r"(?i)\bview\s*\.\s*(\w+)", _view_repl, seg)
         # `druid` is the default datasource schema (DruidSchema) — strip the
         # qualifier so `druid.foo` resolves to the registered view `foo`.
         return re.sub(r"(?i)\bdruid\s*\.\s*(\w+)", r"\1", seg)
@@ -1042,6 +1064,14 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                               "k string, v string") \
             .filter("k != '' OR v != ''") \
             .createOrReplaceTempView(f"lookup_{lk}")
+    # view schema (sql/.../calcite/view/ViewManager + ViewSchema): a view is
+    # a registered SQL macro exposed as table view.<name>; planned here
+    # through the same druid_sql pipeline (views can reference lookups,
+    # druid.<table>, even other views) and registered as a temp view
+    for vw in set(re.findall(r"(?i)\bview\s*\.\s*(\w+)",
+                             " ".join(outside_segments))):
+        vsql = _SQL_VIEWS[vw]  # KeyError on unknown view = clear error
+        druid_sql(spark, vsql, catalog).createOrReplaceTempView(f"view_{vw}")
     sql = _outside_literals(sql, _dotted_names)
     sql = _rewrite_floor_ceil_to(sql)
     sql = _rewrite_time_tz(sql)

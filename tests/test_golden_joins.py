@@ -396,3 +396,38 @@ def test_join_union_all_different_tables_with_mapping(spark, full_catalog):
         GROUP BY 1, 2''')
     assert rows(out, "dim1", "d2", "s", "c") == [
         ("", "a", 2.0, 2), ("1", "a", 8.0, 2)]
+
+
+# ---------------------------------------------------------------------------
+# SQL views (ViewManager / ViewSchema)
+# ---------------------------------------------------------------------------
+
+def test_view_select_and_join(spark, full_catalog):
+    """BaseCalciteQueryTest.java:833-857 view registry + CalciteQueryTest
+    testViewAndJoin — aview select and the cview join counted against foo
+    (dim2[0] scalar view per the MVD note): 2 foo×2 numfoo cview rows × 2
+    matching foo rows = 8, the reference's 8L."""
+    from incubator_druid_spark.sql.functions import (drop_sql_view,
+                                                     register_sql_view)
+    register_sql_view(
+        "aview",
+        "SELECT SUBSTRING(dim1, 1, 1) AS dim1_firstchar FROM foo "
+        "WHERE dim2[0] = 'a'")
+    register_sql_view(
+        "cview",
+        "SELECT SUBSTRING(bar.dim1, 1, 1) AS dim1_firstchar, "
+        "bar.dim2[0] as dim2, dnf.l2 as l2\n"
+        "FROM (SELECT * from foo WHERE dim2[0] = 'a') as bar "
+        "INNER JOIN druid.numfoo dnf ON bar.dim2[0] = dnf.dim2[0]")
+    try:
+        out = q(spark, full_catalog,
+                "SELECT dim1_firstchar, COUNT(*) AS c FROM view.aview "
+                "GROUP BY 1")
+        assert rows(out, "dim1_firstchar", "c") == [("", 1), ("1", 1)]
+        assert q(spark, full_catalog, """
+            SELECT COUNT(*) AS c FROM view.cview as a
+            INNER JOIN druid.foo d on d.dim2[0] = a.dim2
+            WHERE a.dim1_firstchar <> 'z'""").first()["c"] == 8
+    finally:
+        drop_sql_view("aview")
+        drop_sql_view("cview")
