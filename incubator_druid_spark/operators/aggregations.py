@@ -921,9 +921,16 @@ def _hll_union_estimate(post: dict, by_name: dict, extra_aggs: list) -> dict | N
             "fieldName": union_name}
 
 
-def compile_aggregations(specs: list[dict] | None, ctx: FilterContext) -> list[Column]:
+def compile_aggregations(specs: list[dict] | None, ctx: FilterContext,
+                         query: dict | None = None) -> list[Column]:
     if not specs:
         return []
+    # context.finalize=false (QueryContexts.isFinalize — the broker↔data-node
+    # protocol knob, also how clients pull mergeable sketch STATE instead of
+    # estimates): partial-state compilation is exactly the rollup contract
+    if query is not None and (query.get("context") or {}) \
+            .get("finalize") is False:
+        return compile_rollup_aggregations(specs, ctx)
     return [compile_aggregator(s, ctx) for s in specs]
 
 

@@ -64,7 +64,7 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         out = run_keyed_aods(df, keys, keyed, ctx)
 
     else:
-        aggs = compile_aggregations(agg_specs, ctx)
+        aggs = compile_aggregations(agg_specs, ctx, query)
         out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
 
     post = compile_post_aggregations(

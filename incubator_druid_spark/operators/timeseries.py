@@ -60,7 +60,7 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
                               else F.col(TIME_COLUMN))
         limit = query.get("limit")
         return out.limit(int(limit)) if limit else out
-    aggs = compile_aggregations(query.get("aggregations"), ctx)
+    aggs = compile_aggregations(query.get("aggregations"), ctx, query)
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("count")]
     post = compile_post_aggregations(query.get("postAggregations"))
@@ -81,7 +81,7 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         if query.get("context", {}).get("grandTotal"):
             # TimeseriesQueryQueryToolChest grand-total row: overall aggregate
             # appended with a null timestamp
-            total = df.agg(*compile_aggregations(query.get("aggregations"), ctx)
+            total = df.agg(*compile_aggregations(query.get("aggregations"), ctx, query)
                            or [F.count(F.lit(1)).alias("count")])
             if post:
                 total = total.select("*", *compile_post_aggregations(

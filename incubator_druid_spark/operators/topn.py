@@ -59,7 +59,7 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         df = df.filter(key < skey if stop_inverted else key > skey)
 
     ctx = FilterContext(df)
-    aggs = compile_aggregations(query.get("aggregations"), ctx)
+    aggs = compile_aggregations(query.get("aggregations"), ctx, query)
     out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)
 
     post = compile_post_aggregations(query.get("postAggregations"))

@@ -167,3 +167,25 @@ def test_count_counts_rows_not_values(spark, foo_catalog):
     # dim2 is null in one row; Druid `count` counts rows
     r = agg_one(spark, foo_catalog, {"type": "count", "name": "c"})
     assert r["c"] == 6
+
+
+def test_context_finalize_false_returns_state(spark, foo_catalog):
+    """QueryContexts.isFinalize — context.finalize=false returns MERGEABLE
+    sketch state (the AggregatorFactory partial/combine contract) instead of
+    estimates: the hyperUnique column comes back as the HLL sketch binary,
+    which re-queries as a COMPLEX column to the same estimate."""
+    import pyspark.sql.functions as F
+    from incubator_druid_spark import translate
+    q_state = {"queryType": "groupBy", "dataSource": "foo",
+               "granularity": "all", "dimensions": ["dim1"],
+               "context": {"finalize": False},
+               "aggregations": [{"type": "hyperUnique", "name": "uq",
+                                 "fieldName": "dim2"}]}
+    state = translate(q_state, spark, foo_catalog)
+    assert dict(state.dtypes)["uq"] == "binary"
+    # merge the per-dim1 states back down to one estimate == direct query
+    merged = state.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("uq")).alias("est")).first()
+    direct = translate({**q_state, "dimensions": [],
+                        "context": {}}, spark, foo_catalog).first()
+    assert merged["est"] == direct["uq"]
