@@ -1034,6 +1034,25 @@ def _stratified_sample_docs(spark, sf):
     return out.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
 
 
+def _sql_view_datasource(spark, sf):
+    """SQL view (ViewManager/ViewSchema): a registered revenue-per-nation
+    macro queried as view.revenue with an outer filter + order."""
+    from incubator_druid_spark.sql.functions import druid_sql, register_sql_view
+    register_sql_view("revenue", """
+        SELECT n.n_name AS nation,
+               round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""")
+    return druid_sql(spark, """
+        SELECT nation, rev, n_items FROM view.revenue
+        WHERE n_items > 100 ORDER BY rev DESC LIMIT 10
+    """, _cat(spark, sf))
+
+
 def _multimodal_features(spark, sf):
     """Multimodal plumbing over binary content: documents' text bytes stand in
     for encoded media; decode/resize runs through the real mapInPandas path
@@ -1148,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_correlated_dau": _sql_correlated_dau,
         "dedup_groups": _dedup_groups,
         "text_top_terms": _text_top_terms,
+        "sql_view_datasource": _sql_view_datasource,
         "stratified_sample_docs": _stratified_sample_docs,
         "sql_array_functions": _sql_array_functions,
         "sql_array_agg_stats": _sql_array_agg_stats,
@@ -1694,6 +1714,20 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sum(value) DESC, user_id) AS rnk
                 FROM events GROUP BY event_type, user_id)
             WHERE rnk <= 3
+        """,
+        "sql_view_datasource": """
+            WITH revenue AS (
+                SELECT n.n_name AS nation,
+                       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                           AS rev,
+                       count(*) AS n_items
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY n.n_name)
+            SELECT nation, rev, n_items FROM revenue
+            WHERE n_items > 100 ORDER BY rev DESC LIMIT 10
         """,
         "text_top_terms": """
             WITH toks AS (
