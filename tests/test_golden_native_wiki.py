@@ -593,3 +593,57 @@ def test_group_by_having_on_hyper_unique(spark, wiki_catalog):
     assert r["market"] == "spot"
     assert r["uniques"] == pytest.approx(9.0198, abs=0.25)
     assert r["auto_finalized"] == pytest.approx(9.0198, abs=0.25)
+
+
+def test_group_by_with_cardinality_and_subquery(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByWithCardinality (26 rows,
+    cardinality ≈ UNIQUES_9) + testSubqueryWithOuterCardinalityAggregator
+    (cardinality over a nested groupBy's quality output = 9)."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimensions": [],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "cardinality", "name": "cardinality",
+              "fields": ["quality"], "byRow": False}]}
+    r = translate(q, spark, wiki_catalog).first()
+    assert r["rows"] == 26
+    assert r["cardinality"] == pytest.approx(9.0198, abs=0.25)
+    nested = {"queryType": "groupBy",
+              "dataSource": {"type": "query", "query": {
+                  "queryType": "groupBy", "dataSource": "wiki",
+                  "granularity": "all",
+                  "dimensions": ["market", "quality"],
+                  "aggregations": [
+                      {"type": "count", "name": "rows"},
+                      {"type": "longSum", "name": "index",
+                       "fieldName": "index"}]}},
+              "granularity": "all", "dimensions": [],
+              "aggregations": [{"type": "cardinality", "name": "car",
+                                "fields": ["quality"], "byRow": False}]}
+    assert translate(nested, spark, wiki_catalog).first()["car"] == \
+        pytest.approx(9.0198, abs=0.25)
+
+
+def test_group_by_expression_aggregator_native(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByWithExpressionAggregator — the
+    expressionLambda pair (hand-rolled row count + double sum) matches the
+    canonical rows/idx values."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "expressionLambda", "name": "rows", "fields": [],
+              "initialValue": "0", "fold": "__acc + 1"},
+             {"type": "expressionLambda", "name": "idx",
+              "fields": ["index"], "initialValue": "0.0",
+              "fold": "__acc + index"}]}
+    out = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out[("2011-04-01", "mezzanine")][0] == 3
+    assert out[("2011-04-01", "mezzanine")][1] == pytest.approx(
+        2871.8866900000003, rel=2e-6)
+    assert out[("2011-04-02", "premium")][0] == 3
+    assert out[("2011-04-02", "premium")][1] == pytest.approx(
+        2506.415148, rel=2e-6)
