@@ -647,3 +647,52 @@ def test_group_by_expression_aggregator_native(spark, wiki_catalog):
     assert out[("2011-04-02", "premium")][0] == 3
     assert out[("2011-04-02", "premium")][1] == pytest.approx(
         2506.415148, rel=2e-6)
+
+
+def test_timeseries_hour_zero_filling(spark, wiki_catalog):
+    """TimeseriesQueryRunnerTest testTimeseriesQueryZeroFilling — hour
+    buckets across a 17-day interval: data rows at day boundaries, 23
+    zero-filled hours between them (rows=0, longSum NULL), truncated here
+    to the first two data days (the reference iterates to 2011-05-01)."""
+    q = {"queryType": "timeseries", "dataSource": "wiki",
+         "granularity": "hour",
+         "intervals": ["2011-04-14T00:00:00.000Z/2011-04-16T00:00:00.000Z"],
+         "filter": {"type": "in", "dimension": "market",
+                    "values": ["spot", "upfront", "total_market"]},
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    out = [(str(r["__time"]), r["rows"], r["idx"]) for r in
+           translate(q, spark, wiki_catalog).collect()]
+    assert len(out) == 48
+    assert out[0] == ("2011-04-14 00:00:00", 13, 4907)
+    assert out[24] == ("2011-04-15 00:00:00", 13, 4717)
+    for t, rows_, idx in out[1:24] + out[25:]:
+        assert rows_ == 0 and idx is None, t
+
+
+def test_information_schema_columns(spark, wiki_catalog, foo_catalog):
+    """CalciteQueryTest testInformationSchemaColumnsOnTable shape — the
+    column catalog reports Druid type names for foo's scalar columns."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    out = {r["COLUMN_NAME"]: r["DATA_TYPE"] for r in druid_sql(
+        spark, """
+        SELECT COLUMN_NAME, DATA_TYPE FROM INFORMATION_SCHEMA.COLUMNS
+        WHERE TABLE_NAME = 'foo'""", foo_catalog).collect()}
+    assert out["__time"] == "TIMESTAMP"
+    assert out["cnt"] == "BIGINT"
+    assert out["dim1"] == "VARCHAR"
+    assert out["m1"] == "FLOAT" and out["m2"] == "DOUBLE"
+
+
+def test_filter_on_current_timestamp(spark, foo_catalog):
+    """CalciteQueryTest testFilterOnCurrentTimestampWithIntervalArithmetic
+    shape — all foo rows precede now; none follow."""
+    from incubator_druid_spark.sql.functions import druid_sql
+    assert druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE __time <= CURRENT_TIMESTAMP + INTERVAL '1' DAY""",
+        foo_catalog).first()["c"] == 6
+    assert druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE __time >= CURRENT_TIMESTAMP""", foo_catalog).first()["c"] == 0
