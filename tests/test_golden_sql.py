@@ -933,3 +933,74 @@ def test_select_single_column_twice(spark, foo_catalog):
     out = q(spark, foo_catalog, """
         SELECT dim1 x, dim1 y FROM druid.foo ORDER BY __time LIMIT 2""").collect()
     assert [(r["x"], r["y"]) for r in out] == [("", ""), ("10.1", "10.1")]
+
+
+def test_timeseries_descending_sql(spark, foo_catalog):
+    """testTimeseriesDescending — month buckets ordered DESC."""
+    out = q(spark, foo_catalog, """
+        SELECT gran, SUM(cnt) AS s FROM (
+          SELECT floor(__time TO month) AS gran,
+          cnt FROM druid.foo
+        ) AS x
+        GROUP BY gran
+        ORDER BY gran DESC""").collect()
+    assert [(str(r["gran"])[:10], r["s"]) for r in out] == [
+        ("2001-01-01", 3), ("2000-01-01", 3)]
+
+
+def test_group_by_aggregator_default_values(spark, numfoo_catalog):
+    """testGroupByAggregatorDefaultValues (sql branch) — aggregators over a
+    filter matching NOTHING: counts are 0, everything else NULL."""
+    r = q(spark, numfoo_catalog, """
+        SELECT
+         dim5,
+         count(*) FILTER(WHERE dim1 = 'nonexistent') AS c,
+         COUNT(DISTINCT dim1) FILTER(WHERE dim1 = 'nonexistent') AS cd,
+         sum(d1) FILTER(WHERE dim1 = 'nonexistent') AS s,
+         max(d1) FILTER(WHERE dim1 = 'nonexistent') AS mx,
+         min(d1) FILTER(WHERE dim1 = 'nonexistent') AS mn,
+         sum(l1) FILTER(WHERE dim1 = 'nonexistent') AS ls,
+         max(l1) FILTER(WHERE dim1 = 'nonexistent') AS lmx,
+         avg(d1) FILTER(WHERE dim1 = 'nonexistent') AS a
+        FROM numfoo WHERE dim5 = 'aa' GROUP BY dim5""").first()
+    assert (r["dim5"], r["c"], r["cd"]) == ("aa", 0, 0)
+    assert all(r[k] is None for k in ("s", "mx", "mn", "ls", "lmx", "a"))
+
+
+def test_group_by_ordinal(spark, foo_catalog):
+    """testGroupByOrdinal — GROUP BY 1."""
+    out = q(spark, foo_catalog,
+            "SELECT cnt, COUNT(*) AS c FROM druid.foo GROUP BY 1").collect()
+    assert [(r["cnt"], r["c"]) for r in out] == [(1, 6)]
+
+
+def test_using_subquery_as_filter_on_two_columns(spark, foo_catalog):
+    """testUsingSubqueryAsFilterOnTwoColumns — tuple-IN against a
+    having-filtered grouped subquery (dim2[0])."""
+    out = q(spark, foo_catalog, """
+        SELECT __time, cnt, dim1, dim2[0] AS d2 FROM druid.foo
+        WHERE (dim1, dim2[0]) IN (
+           SELECT dim1, d2 FROM (
+             SELECT dim1, dim2[0] AS d2, COUNT(*)
+             FROM druid.foo
+             WHERE dim2[0] = 'abc'
+             GROUP BY dim1, dim2[0]
+             HAVING COUNT(*) = 1
+           )
+        )""").collect()
+    assert [(str(r["__time"])[:10], r["cnt"], r["dim1"], r["d2"])
+            for r in out] == [("2001-01-02", 1, "def", "abc")]
+
+
+def test_using_subquery_as_filter_with_inner_sort(spark, foo_catalog):
+    """testUsingSubqueryAsFilterWithInnerSort (sql branch — 4 rows)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1, dim2[0] AS d2 FROM druid.foo
+        WHERE dim2[0] IN (
+           SELECT dim2[0]
+           FROM druid.foo
+           GROUP BY dim2[0]
+           ORDER BY dim2[0] DESC
+        )""")
+    assert rows(out, "dim1", "d2") == [
+        ("", "a"), ("1", "a"), ("2", ""), ("def", "abc")]
