@@ -119,7 +119,12 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession) -> DataFr
             name = spec.get("name")
             atype = spec["type"]
         legacy = bool(query.get("context", {}).get("useDefaultValueForNull"))
-        if atype in ("count", "cardinality", "hyperUnique"):
+        state_mode = query.get("context", {}).get("finalize") is False
+        if atype in ("cardinality", "hyperUnique") and state_mode:
+            # finalize=false: the column is sketch STATE (binary) — an
+            # empty bucket's state is NULL, not 0
+            fills.append(F.col(name))
+        elif atype in ("count", "cardinality", "hyperUnique"):
             # counting aggregators are 0 over an empty bucket in both modes
             fills.append(F.coalesce(F.col(name), F.lit(0)).alias(name))
         elif atype in ("longSum", "doubleSum", "floatSum"):
