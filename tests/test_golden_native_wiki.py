@@ -696,3 +696,23 @@ def test_filter_on_current_timestamp(spark, foo_catalog):
     assert druid_sql(spark, """
         SELECT COUNT(*) AS c FROM druid.foo
         WHERE __time >= CURRENT_TIMESTAMP""", foo_catalog).first()["c"] == 0
+
+
+def test_timeseries_origin_offset_granularity(spark, wiki_catalog):
+    """TimeseriesQueryRunnerTest
+    testTimeseriesQueryGranularityNotAlignedWithRollupGranularity — PT1H
+    buckets anchored at origin epoch+60000ms: the 2011-04-15 00:00 rows land
+    in the bucket starting 2011-04-14T23:01Z."""
+    q = {"queryType": "timeseries", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "PT1H",
+                         "origin": "1970-01-01T00:01:00Z"},
+         "intervals": ["2011-04-15T00:00:00.000Z/2012-01-01T00:00:00Z"],
+         "filter": {"type": "in", "dimension": "market",
+                    "values": ["spot", "upfront", "total_market"]},
+         "context": {"skipEmptyBuckets": True},
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    out = [(str(r["__time"]), r["rows"], r["idx"]) for r in
+           translate(q, spark, wiki_catalog).collect()]
+    assert out == [("2011-04-14 23:01:00", 13, 4717)]
