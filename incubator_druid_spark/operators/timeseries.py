@@ -7,10 +7,15 @@ map-side, one shuffle on the bucket key, merge in the same plan.
 
 Zero-filling: Druid emits a row for every granularity bucket in the query
 intervals even when no rows landed there (unless context skipEmptyBuckets).
-Empty buckets hold aggregator identity values (sum/count → 0, min/max → null).
-We generate the bucket spine driver-side from the intervals (bucket count is
-bounded by interval/granularity, not data size — safe at any data scale) and
-left-join the aggregate onto it.
+Empty buckets hold aggregator identity values (count → 0, sums → NULL in
+SQL-compatible mode).  We generate the bucket spine driver-side from the
+intervals (bucket count is bounded by interval/granularity, not data size —
+safe at any data scale) and left-join the aggregate onto it.  One nuance vs
+the reference: Druid additionally clips the spine to the datasource's
+EXISTING segment range (its timeline metadata is free; equivalent range
+discovery here would cost a scan), so an interval reaching past the data
+yields extra — individually correct — empty buckets; skipEmptyBuckets
+restores exact parity for such queries.
 """
 
 from __future__ import annotations
