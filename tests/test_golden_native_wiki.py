@@ -716,3 +716,33 @@ def test_timeseries_origin_offset_granularity(spark, wiki_catalog):
     out = [(str(r["__time"]), r["rows"], r["idx"]) for r in
            translate(q, spark, wiki_catalog).collect()]
     assert out == [("2011-04-14 23:01:00", 13, 4717)]
+
+
+def test_topn_dim_extraction_to_one(spark, wiki_catalog):
+    """TopNQueryRunnerTest testTopNDimExtractionToOne — an extractionFn
+    collapsing every dimension value to one group (stringFormat constant
+    standing in for the reference's JS fn): full-dataset totals 1209 rows /
+    503332.5071372986 summed index."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "dimension": {"type": "extraction", "dimension": "market",
+                       "outputName": "market",
+                       "extractionFn": {"type": "stringFormat",
+                                        "format": "POTATO"}},
+         "metric": "rows", "threshold": 10,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"}],
+         "postAggregations": [
+             {"type": "arithmetic", "name": "addRowsIndexConstant",
+              "fn": "+",
+              "fields": [{"type": "fieldAccess", "fieldName": "rows"},
+                         {"type": "fieldAccess", "fieldName": "index"},
+                         {"type": "constant", "value": 1}]}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["market"] == "POTATO" and r["rows"] == 1209
+    assert r["index"] == pytest.approx(503332.5071372986, rel=2e-6)
+    assert r["addRowsIndexConstant"] == pytest.approx(504542.5071372986,
+                                                      rel=2e-6)
