@@ -46,7 +46,13 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
     if t == "default":
         ot = spec.get("outputType")
         if ot and ot.upper() in _OUT_TYPES and not is_arr:
-            col = col.cast(_OUT_TYPES[ot.upper()])
+            if (ot.upper() == "LONG"
+                    and isinstance(types.get(dim), T.TimestampType)):
+                # a timestamp read as LONG is epoch MILLIS in Druid (__time's
+                # storage type), not Spark's cast-to-seconds
+                col = F.unix_millis(col)
+            else:
+                col = col.cast(_OUT_TYPES[ot.upper()])
         return out, col, is_arr
     if t == "extraction":
         # extraction applies per-value for MVDs

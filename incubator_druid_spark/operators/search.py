@@ -25,13 +25,22 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     df = prepare_frame(query, spark, catalog)
     gran = parse_granularity(query.get("granularity", "all"))
 
-    dims = [d if isinstance(d, str) else d["dimension"]
-            for d in (query.get("searchDimensions") or [])]
-    if not dims:
-        dims = [f.name for f in df.schema.fields
-                if isinstance(f.dataType, T.StringType) and f.name != TIME_COLUMN]
-
     types = {f.name: f.dataType for f in df.schema.fields}
+    # dimension SPECS (outputType / extractionFn) compile through the shared
+    # dimension layer; bare names search the raw column
+    from incubator_druid_spark.operators.dimensions import dimension_column
+    dim_cols: list[tuple] = []
+    for d in (query.get("searchDimensions") or []):
+        if isinstance(d, str):
+            dim_cols.append((d, F.col(d),
+                             isinstance(types.get(d), T.ArrayType)))
+        else:
+            dim_cols.append(dimension_column(d, df))
+    if not dim_cols:
+        dim_cols = [(f.name, F.col(f.name), False)
+                    for f in df.schema.fields
+                    if isinstance(f.dataType, T.StringType)
+                    and f.name != TIME_COLUMN]
     per_bucket = gran.kind != "all"
 
     # ONE scan: unpivot every search dimension into an array of
@@ -46,9 +55,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
                                   v.cast("string").alias("value"))
 
     entries = []
-    for d in dims:
-        col = F.col(d)
-        if isinstance(types.get(d), T.ArrayType):
+    for d, col, is_arr in dim_cols:
+        if is_arr:
             entries.append(F.coalesce(F.transform(col, _tagger(d)), F.array()))
         else:
             entries.append(F.array(F.struct(

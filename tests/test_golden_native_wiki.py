@@ -746,3 +746,31 @@ def test_topn_dim_extraction_to_one(spark, wiki_catalog):
     assert r["index"] == pytest.approx(503332.5071372986, rel=2e-6)
     assert r["addRowsIndexConstant"] == pytest.approx(504542.5071372986,
                                                       rel=2e-6)
+
+
+def test_search_on_time_column_as_long(spark, wiki_catalog):
+    """SearchQueryRunnerTest testSearchOnLongColumn — search matches the
+    millis rendering of __time (1297123200000 = 2011-02-08, 13 rows)."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": [{"type": "default", "dimension": "__time",
+                               "outputName": "__time", "outputType": "LONG"}],
+         "query": {"type": "contains", "value": "1297123200000"}}
+    out = {(r["dimension"], r["value"]): r["count"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out == {("__time", "1297123200000"): 13}
+
+
+def test_search_on_time_extraction(spark, wiki_catalog):
+    """testSearchOnTime — timeFormat extraction (day name) searched for
+    'Friday': 169 rows."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": [{"type": "extraction", "dimension": "__time",
+                               "outputName": "__time2",
+                               "extractionFn": {"type": "timeFormat",
+                                                "format": "EEEE"}}],
+         "query": {"type": "contains", "value": "Friday"}}
+    out = {(r["dimension"], r["value"]): r["count"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert out == {("__time2", "Friday"): 169}
