@@ -251,6 +251,23 @@ def _ordering_key(c: Column, ordering: str) -> Column:
     raise ValueError(f"unknown ordering {ordering!r}")
 
 
+def _ordering_sort_key(c: Column, ordering: str) -> Column:
+    """Ordering key for SORT contexts (search sort, topN dimension specs,
+    limitSpec dimensionOrder) — differs from the comparison key only for
+    ``numeric``: StringComparators.NumericComparator sorts null first, then
+    UNPARSEABLE strings lexicographically among themselves, then numbers;
+    the struct compares (parseable-flag, number, string).  Comparison
+    contexts (bound filters) keep the plain double key: an unparseable
+    operand makes the predicate null → non-matching, same as the
+    reference's failed parse."""
+    if ordering == "numeric":
+        s = c.cast("string")
+        num = s.cast("double")
+        return F.struct(num.isNotNull().cast("int").alias("p"),
+                        num.alias("n"), s.alias("s"))
+    return _ordering_key(c, ordering)
+
+
 def _alphanum_key(c: Column) -> Column:
     """Pad every digit run to 20 chars so plain string compare equals the
     numeric-aware compare (bounded approximation of

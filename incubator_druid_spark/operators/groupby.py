@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
-from incubator_druid_spark.filters.filters import (FilterContext, _ordering_key,
+from incubator_druid_spark.filters.filters import (FilterContext,
+                                                    _ordering_sort_key,
                                                    compile_filter)
 from incubator_druid_spark.model.granularity import parse_granularity
 from incubator_druid_spark.operators.aggregations import (compile_aggregations,
@@ -161,7 +162,7 @@ def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names) -> DataFrame
         col = qcol(name)
         # comparator applies to string dims; numeric agg columns sort natively
         if comparator != "lexicographic" and name in dim_names:
-            col = _ordering_key(col, comparator)
+            col = _ordering_sort_key(col, comparator)
         elif comparator == "numeric" and name in dim_names:
             col = col.cast("double")
         order_exprs.append(col.desc() if str(direction).lower().startswith("desc")

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
-from incubator_druid_spark.filters.filters import _ordering_key, compile_search_spec
+from incubator_druid_spark.filters.filters import (_ordering_sort_key,
+                                                    compile_search_spec)
 from incubator_druid_spark.model.granularity import parse_granularity
 from incubator_druid_spark.plans.translator import prepare_frame
 
@@ -76,7 +77,7 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     out = out.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
 
     sort = (query.get("sort") or {}).get("type", "lexicographic")
-    out = out.orderBy(_ordering_key(F.col("value"), sort).asc(),
+    out = out.orderBy(_ordering_sort_key(F.col("value"), sort).asc(),
                       F.col("dimension").asc())
 
     # SearchQuery default limit is 1000 (query/search/SearchQuery.java)

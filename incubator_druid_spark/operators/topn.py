@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
-from incubator_druid_spark.filters.filters import FilterContext, _ordering_key
+from incubator_druid_spark.filters.filters import (FilterContext,
+                                                   _ordering_key,
+                                                   _ordering_sort_key)
 from incubator_druid_spark.model.granularity import parse_granularity
 from incubator_druid_spark.operators.aggregations import (compile_aggregations,
                                                           compile_post_aggregations)
@@ -93,7 +95,7 @@ def _metric_order(metric_spec, dim: str, invert: bool):
         return _metric_order(metric_spec["metric"], dim, not invert)
     if t == "dimension":
         ordering = metric_spec.get("ordering", "lexicographic")
-        col = _ordering_key(qcol(dim), ordering)
+        col = _ordering_sort_key(qcol(dim), ordering)
         return [col.desc() if invert else col.asc()]
     if t == "lexicographic":
         col = qcol(dim).cast("string")

@@ -774,3 +774,27 @@ def test_search_on_time_extraction(spark, wiki_catalog):
     out = {(r["dimension"], r["value"]): r["count"]
            for r in translate(q, spark, wiki_catalog).collect()}
     assert out == {("__time2", "Friday"): 169}
+
+
+def test_search_with_numeric_sort(spark, wiki_catalog):
+    """SearchQueryRunnerTest testSearchWithNumericSort — non-numeric values
+    under the numeric comparator order lexicographically (StringComparators
+    .NUMERIC falls back for unparseable strings); same 8 hits as testSearch."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["market", "quality", "placement",
+                              "placementish", "partial_null_column"],
+         "query": {"type": "insensitive_contains", "value": "a"},
+         "sort": {"type": "numeric"}}
+    out = [(r["dimension"], r["value"], r["count"]) for r in
+           translate(q, spark, wiki_catalog).collect()]
+    assert out == [
+        ("placementish", "a", 93),
+        ("quality", "automotive", 93),
+        ("quality", "entertainment", 93),
+        ("quality", "health", 93),
+        ("quality", "mezzanine", 279),
+        ("market", "total_market", 186),
+        ("quality", "travel", 93),
+        ("partial_null_column", "value", 186),
+    ]
