@@ -1120,6 +1120,13 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = re.sub(r"(?is)\bLIKE\s+'((?:[^']|'')*)'\s+ESCAPE\s+'(.)'",
                  _like_escape_fix, sql)
 
+    # LTRIM/RTRIM(expr, chars) (LTrimOperatorConversion — the Postgres
+    # argument order) vs Spark's 2-arg (trimStr, str): swap
+    for _nm, _fn in (("LTRIM", "ltrim"), ("RTRIM", "rtrim")):
+        sql = _rewrite_calls(sql, _nm,
+                             lambda a, fn=_fn: f"{fn}({a[1]}, {a[0]})"
+                             if len(a) == 2 else None)
+
     # TRUNCATE/TRUNC numeric truncation (TruncateOperatorConversion —
     # digits defaults to 0; TRUNC is the alias) and PARSE_LONG with a radix
     # (ParseLongOperatorConversion) — fixed-arity macros cover the common

@@ -385,3 +385,56 @@ def test_operator_table_sweep(spark, foo_catalog):
         "abab", "cba", "ab", "cd", "ab")
     assert str(r["plus2"])[:10] == "2000-01-03"
     assert r["ba"] == 1 and r["bo"] == 7  # 1..6 OR-folded
+
+
+def test_bound_filter_simplify_and_not(spark, foo_catalog):
+    """testCountStarWithBoundFilterSimplifyAnd + NotOfDegenerateFilter
+    (dim2[0] scalar view)."""
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE (dim1 >= 'a' and dim1 < 'b') and dim1 = 'abc'""").first()["c"] == 1
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE dim2[0] = 'a' and not (dim1 > 'a' OR dim1 < 'b')
+        """).first()["c"] == 0
+
+
+def test_group_by_limit_pushdown_extraction(spark, numfoo_catalog):
+    """testGroupByLimitPushdownExtraction — substring dim + limit."""
+    out = q(spark, numfoo_catalog, """
+        SELECT dim4, substring(dim5, 1, 1) AS s, count(*) AS c
+        FROM druid.numfoo WHERE dim4 = 'a'
+        GROUP BY 1,2 ORDER BY 1,2 LIMIT 2""").collect()
+    assert [(r["dim4"], r["s"], r["c"]) for r in out] == [
+        ("a", "a", 2), ("a", "b", 1)]
+
+
+def test_filter_time_floor_comparison_misaligned_lt(spark, foo_catalog):
+    """testFilterOnTimeFloorComparisonMisaligned — < against a misaligned
+    literal still catches the whole earlier month."""
+    assert q(spark, foo_catalog, """
+        SELECT COUNT(*) AS c FROM druid.foo
+        WHERE FLOOR(__time TO MONTH) < TIMESTAMP '2000-02-01 00:00:01'
+        """).first()["c"] == 3
+
+
+def test_select_trim_family(spark, foo_catalog):
+    """CalciteQueryTest testSelectTrimFamily — every TRIM/BTRIM/LTRIM/RTRIM
+    form."""
+    r = q(spark, foo_catalog, """
+        SELECT
+        TRIM(BOTH 'x' FROM 'xfoox') AS a,
+        TRIM(TRAILING 'x' FROM 'xfoox') AS b,
+        TRIM(' ' FROM ' foo ') AS c,
+        TRIM(TRAILING FROM ' foo ') AS d,
+        TRIM(' foo ') AS e,
+        BTRIM(' foo ') AS f,
+        BTRIM('xfoox', 'x') AS g,
+        LTRIM(' foo ') AS h,
+        LTRIM('xfoox', 'x') AS i,
+        RTRIM(' foo ') AS j,
+        RTRIM('xfoox', 'x') AS k,
+        COUNT(*) AS n
+        FROM foo""").first()
+    assert tuple(r) == ("foo", "xfoo", "foo", " foo", "foo", "foo", "foo",
+                        "foo ", "foox", " foo", "xfoo", 6)
