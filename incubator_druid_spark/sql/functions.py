@@ -1120,6 +1120,17 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = re.sub(r"(?is)\bLIKE\s+'((?:[^']|'')*)'\s+ESCAPE\s+'(.)'",
                  _like_escape_fix, sql)
 
+    # POSITION(needle IN haystack FROM start) — Spark's parser accepts only
+    # the 2-operand IN form; the FROM variant maps to the 3-arg function
+    # (PositionOperatorConversion.java)
+    sql = re.sub(
+        r"(?is)\bPOSITION\s*\(\s*((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)"
+        r"\s+IN\s+((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)"
+        r"\s+FROM\s+((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)\s*\)",
+        lambda m: (m.group(0) if _in_spans(m.start(), _literal_spans(sql))
+                   else f"position({m.group(1)}, {m.group(2)}, {m.group(3)})"),
+        sql)
+
     # LTRIM/RTRIM(expr, chars) (LTrimOperatorConversion — the Postgres
     # argument order) vs Spark's 2-arg (trimStr, str): swap
     for _nm, _fn in (("LTRIM", "ltrim"), ("RTRIM", "rtrim")):

@@ -438,3 +438,14 @@ def test_select_trim_family(spark, foo_catalog):
         FROM foo""").first()
     assert tuple(r) == ("foo", "xfoo", "foo", " foo", "foo", "foo", "foo",
                         "foo ", "foox", " foo", "xfoo", 6)
+
+
+def test_position_with_from(spark, foo_catalog):
+    """PositionOperatorConversion — POSITION(needle IN haystack FROM start),
+    a Calcite form Spark's parser lacks; a string literal containing the
+    same text stays data."""
+    r = q(spark, foo_catalog, """
+        SELECT POSITION('b' IN 'abcb' FROM 3) AS p,
+               'POSITION(x IN y FROM 1)' AS lit
+        FROM foo LIMIT 1""").first()
+    assert r["p"] == 4 and r["lit"] == "POSITION(x IN y FROM 1)"
