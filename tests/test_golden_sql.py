@@ -1004,3 +1004,21 @@ def test_using_subquery_as_filter_with_inner_sort(spark, foo_catalog):
         )""")
     assert rows(out, "dim1", "d2") == [
         ("", "a"), ("1", "a"), ("2", ""), ("def", "abc")]
+
+
+def test_select_star_time_descending(spark, foo_catalog):
+    """testSelectStarWithLimitTimeDescending — full-row scan ordered by time
+    DESC with limit."""
+    out = q(spark, foo_catalog,
+            "SELECT * FROM druid.foo ORDER BY __time DESC LIMIT 2").collect()
+    assert [r["dim1"] for r in out] == ["abc", "def"]
+    assert [str(r["__time"])[:10] for r in out] == ["2001-01-03", "2001-01-02"]
+
+
+def test_information_schema_tables(spark, foo_catalog):
+    """testInformationSchemaTables shape — the datasource catalog lists foo
+    as a TABLE."""
+    out = {(r["TABLE_NAME"], r["TABLE_TYPE"]) for r in q(spark, foo_catalog, """
+        SELECT TABLE_NAME, TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES
+        """).collect()}
+    assert ("foo", "TABLE") in out
