@@ -217,3 +217,45 @@ def test_mv_offset_of_miss_is_null(spark, foo_catalog):
                MV_ORDINAL_OF(STRING_TO_MV('a,b,c', ','), 'z') AS d
         FROM foo LIMIT 1""").first()
     assert r["o"] is None and r["d"] is None
+
+
+def test_array_agg_as_array_from_join(spark, numfoo_catalog):
+    """CalciteArraysQueryTest.java:1530 testArrayAggAsArrayFromJoin —
+    grouped ARRAY_AGG joined back to the fact rows (element order is
+    collection-order; compared as sets)."""
+    out = q(spark, numfoo_catalog, """
+        SELECT numfoo.dim4, j.arr, ARRAY_TO_STRING(j.arr, ',') AS s
+        FROM numfoo INNER JOIN
+        (SELECT dim4, ARRAY_AGG(DISTINCT dim1) as arr FROM numfoo
+         WHERE dim1 is not null GROUP BY 1) as j
+        ON numfoo.dim4 = j.dim4""").collect()
+    assert len(out) == 6
+    for r in out:
+        if r["dim4"] == "a":
+            assert sorted(r["arr"]) == ["", "10.1", "2"]
+            assert sorted(r["s"].split(",")) == ["", "10.1", "2"]
+        else:
+            assert sorted(r["arr"]) == ["1", "abc", "def"]
+
+
+def test_array_agg_array_contains_subquery(spark, foo_catalog):
+    """CalciteArraysQueryTest.java:1624 testArrayAggArrayContainsSubquery —
+    membership against a scalar-subquery ARRAY_AGG (sql branch: every row's
+    dim1, incl. '', is in the aggregated set)."""
+    out = q(spark, foo_catalog, """
+        SELECT dim1, dim2[0] AS d2 FROM foo
+        WHERE ARRAY_CONTAINS(
+            (SELECT ARRAY_AGG(DISTINCT dim1) FROM foo
+             WHERE dim1 is not null), dim1)""")
+    assert rows(out, "dim1", "d2") == [
+        ("", "a"), ("1", "a"), ("10.1", None), ("2", ""),
+        ("abc", None), ("def", "abc")]
+
+
+def test_array_agg_to_string_distinct(spark, foo_catalog):
+    """CalciteArraysQueryTest.java:1394 testArrayAggToString (sql branch
+    includes the empty string; pieces compared as a set)."""
+    r = q(spark, foo_catalog, """
+        SELECT ARRAY_TO_STRING(ARRAY_AGG(DISTINCT dim1), ',') AS s
+        FROM foo WHERE dim1 is not null""").first()
+    assert sorted(r["s"].split(",")) == ["", "1", "10.1", "2", "abc", "def"]
