@@ -149,6 +149,11 @@ class _Parser:
             right = self.parse_mul()
             if not isinstance(left, Column) and not isinstance(right, Column):
                 left = left + right if op == "+" else left - right
+            elif op == "+" and (isinstance(left, str) or isinstance(right, str)):
+                # BinPlusExpr.evalString: `+` with a STRING operand
+                # concatenates (`quality + 'x'` → 'automotivex')
+                left = F.concat(_c(left).cast("string"),
+                                _c(right).cast("string"))
             else:
                 left = _c(left) + right if op == "+" else _c(left) - right
         return left

@@ -798,3 +798,26 @@ def test_search_with_numeric_sort(spark, wiki_catalog):
         ("quality", "travel", 93),
         ("partial_null_column", "value", 186),
     ]
+
+
+def test_group_by_string_virtual_column(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByWithStringVirtualColumn —
+    expression virtual column `quality + 'x'` (string `+` concatenates,
+    BinPlusExpr.evalString) grouped per day, canonical 18-row values."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "virtualColumns": [{"type": "expression", "name": "vc",
+                             "expression": "quality + 'x'",
+                             "outputType": "STRING"}],
+         "dimensions": [{"type": "default", "dimension": "vc",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    out = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert len(out) == 18
+    assert out[("2011-04-01", "mezzaninex")] == (3, 2870)
+    assert out[("2011-04-01", "technologyx")] == (1, 78)
+    assert out[("2011-04-02", "premiumx")] == (3, 2505)
+    assert out[("2011-04-02", "travelx")] == (1, 126)
