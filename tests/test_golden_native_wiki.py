@@ -821,3 +821,41 @@ def test_group_by_string_virtual_column(spark, wiki_catalog):
     assert out[("2011-04-01", "technologyx")] == (1, 78)
     assert out[("2011-04-02", "premiumx")] == (3, 2505)
     assert out[("2011-04-02", "travelx")] == (1, 126)
+
+
+def test_group_by_numeric_strings_as_numeric(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByNumericStringsAsNumeric — a nested
+    groupBy whose outer dims retype the inner outputs (time as LONG millis,
+    long re-read as FLOAT)."""
+    sub = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+           "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+           "filter": {"type": "selector", "dimension": "quality",
+                      "value": "entertainment"},
+           "dimensions": [
+               {"type": "default", "dimension": "qualityLong",
+                "outputName": "ql_alias"},
+               {"type": "default", "dimension": "qualityFloat",
+                "outputName": "qf_alias"},
+               {"type": "default", "dimension": "__time",
+                "outputName": "time_alias"}],
+           "aggregations": [
+               {"type": "count", "name": "rows"},
+               {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": sub},
+             "granularity": "all",
+             "dimensions": [
+                 {"type": "default", "dimension": "time_alias",
+                  "outputName": "time_alias2", "outputType": "LONG"},
+                 {"type": "default", "dimension": "ql_alias",
+                  "outputName": "ql_alias_long", "outputType": "LONG"},
+                 {"type": "default", "dimension": "qf_alias",
+                  "outputName": "qf_alias_float", "outputType": "FLOAT"},
+                 {"type": "default", "dimension": "ql_alias",
+                  "outputName": "ql_alias_float", "outputType": "FLOAT"}],
+             "aggregations": [{"type": "count", "name": "count"}]}
+    out = sorted(tuple(r) for r in
+                 translate(outer, spark, wiki_catalog).collect())
+    assert out == [
+        (1301616000000, 1200, 12000.0, 1200.0, 1),
+        (1301702400000, 1200, 12000.0, 1200.0, 1)]
