@@ -70,15 +70,20 @@ def _filtered_dimension(spec: dict, t: str, df: DataFrame) -> tuple[str, Column,
     inner_name, inner_col, inner_arr = dimension_column(spec["delegate"], df)
     arr = inner_col if inner_arr else F.array(inner_col)
     if t == "listFiltered":
+        # whitelist values are STRINGS even over a typed delegate
+        # (ListFilteredDimensionSpec matches on the string rendering)
         values, allow = spec["values"], spec.get("isWhitelist", True)
-        vals = F.array(*[F.lit(v) for v in values])
-        kept = F.filter(arr, (lambda v: F.array_contains(vals, v)) if allow
-                        else (lambda v: ~F.array_contains(vals, v)))
+        vals = F.array(*[F.lit(str(v)) for v in values])
+        kept = F.filter(
+            arr,
+            (lambda v: F.array_contains(vals, v.cast("string"))) if allow
+            else (lambda v: ~F.array_contains(vals, v.cast("string"))))
     elif t == "regexFiltered":
-        kept = F.filter(arr, lambda v: v.rlike(spec["pattern"]))
+        kept = F.filter(arr, lambda v: v.cast("string").rlike(spec["pattern"]))
     else:
-        kept = F.filter(arr, lambda v: v.startswith(spec["prefix"]))
-    return spec.get("outputName", inner_name), kept, True
+        kept = F.filter(arr,
+                        lambda v: v.cast("string").startswith(spec["prefix"]))
+    return spec.get("outputName", inner_name), kept, "explode"
 
 
 def apply_dimensions(df: DataFrame, specs: list) -> tuple[DataFrame, list[str]]:
@@ -87,7 +92,13 @@ def apply_dimensions(df: DataFrame, specs: list) -> tuple[DataFrame, list[str]]:
     names: list[str] = []
     for spec in specs or []:
         name, col, needs_explode = dimension_column(spec, df)
-        if needs_explode:
+        if needs_explode == "explode":
+            # filtered dimension specs: a row whose elements are ALL pruned
+            # has zero selector values and contributes nothing (inner
+            # explode) — unlike a source-null MVD, which reads as one null
+            # value (ListFilteredDimensionSpec decorated selectors)
+            df = df.withColumn(name, F.explode(col))
+        elif needs_explode:
             # one output row per element; empty array → null group (Druid keeps
             # the row with a null dimension value)
             df = df.withColumn(name, F.explode_outer(col))

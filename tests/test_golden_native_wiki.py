@@ -859,3 +859,35 @@ def test_group_by_numeric_strings_as_numeric(spark, wiki_catalog):
     assert out == [
         (1301616000000, 1200, 12000.0, 1200.0, 1),
         (1301702400000, 1200, 12000.0, 1200.0, 1)]
+
+
+def test_topn_list_filtered_numeric_string(spark, wiki_catalog):
+    """TopNQueryRunnerTest testFullOnTopNNumericStringColumnWithDecoration —
+    listFiltered whitelist over the LONG-typed numeric-string dim, top-3 by
+    maxIndex."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "dimension": {"type": "listFiltered",
+                       "delegate": {"type": "default",
+                                    "dimension": "qualityNumericString",
+                                    "outputName": "qns_alias",
+                                    "outputType": "LONG"},
+                       "values": ["120000", "140000", "160000"],
+                       "isWhitelist": True},
+         "metric": "maxIndex", "threshold": 4,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"},
+             {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+             {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}]}
+    out = [(r["qns_alias"], r["rows"], r["index"], r["maxIndex"],
+            r["minIndex"]) for r in translate(q, spark, wiki_catalog).collect()]
+    exp = [(140000, 279, 217725.41940800005, 1870.061029, 91.270553),
+           (160000, 279, 210865.67977600006, 1862.737933, 99.284525),
+           (120000, 93, 12086.472791, 193.787574, 84.710523)]
+    assert len(out) == 3
+    for got, (qns, rows_, idx, mx, mn) in zip(out, exp):
+        assert got[0] == qns and got[1] == rows_
+        assert got[2] == pytest.approx(idx, rel=2e-6)
+        assert got[3] == pytest.approx(mx, rel=2e-6)
+        assert got[4] == pytest.approx(mn, rel=2e-6)
