@@ -66,8 +66,23 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
 
 def _filtered_dimension(spec: dict, t: str, df: DataFrame) -> tuple[str, Column, bool]:
     """ListFiltered/RegexFiltered/PrefixFilteredDimensionSpec — prune MVD
-    elements before the explode (dimension/ListFilteredDimensionSpec.java)."""
-    inner_name, inner_col, inner_arr = dimension_column(spec["delegate"], df)
+    elements before the explode (dimension/ListFilteredDimensionSpec.java).
+
+    The decoration wraps the delegate's DimensionSelector, which serves the
+    SOURCE values — the outputType conversion happens downstream in the
+    groupBy/topN engine.  So matching is on the string rendering of the
+    PRE-cast value ('170000' for a numeric-string column even when the
+    delegate retypes it FLOAT —
+    GroupByQueryRunnerTest.testGroupByNumericStringsAsNumericWithDecoration),
+    and the outputType cast is applied to the surviving elements after."""
+    delegate = spec["delegate"]
+    out_type = None
+    if isinstance(delegate, dict) and delegate.get("type", "default") == "default":
+        ot = delegate.get("outputType")
+        if ot and ot.upper() in _OUT_TYPES:
+            out_type = ot.upper()
+            delegate = {k: v for k, v in delegate.items() if k != "outputType"}
+    inner_name, inner_col, inner_arr = dimension_column(delegate, df)
     arr = inner_col if inner_arr else F.array(inner_col)
     if t == "listFiltered":
         # whitelist values are STRINGS even over a typed delegate
@@ -79,25 +94,47 @@ def _filtered_dimension(spec: dict, t: str, df: DataFrame) -> tuple[str, Column,
             (lambda v: F.array_contains(vals, v.cast("string"))) if allow
             else (lambda v: ~F.array_contains(vals, v.cast("string"))))
     elif t == "regexFiltered":
-        kept = F.filter(arr, lambda v: v.cast("string").rlike(spec["pattern"]))
+        # RegexFilteredDimensionSpec.java:81 uses Matcher.matches() — a FULL
+        # match, unlike the regex DimFilter's find() — so anchor the pattern
+        pat = "^(?:" + spec["pattern"] + ")$"
+        kept = F.filter(arr, lambda v: v.cast("string").rlike(pat))
     else:
         kept = F.filter(arr,
                         lambda v: v.cast("string").startswith(spec["prefix"]))
+    if out_type:
+        kept = F.transform(kept, lambda v: v.cast(_OUT_TYPES[out_type]))
     return spec.get("outputName", inner_name), kept, "explode"
 
 
-def apply_dimensions(df: DataFrame, specs: list) -> tuple[DataFrame, list[str]]:
+def apply_dimensions(
+    df: DataFrame, specs: list, query_type: str = "groupBy"
+) -> tuple[DataFrame, list[str]]:
     """Materialize dimension output columns, exploding MVDs.  Returns the
-    projected frame and the list of group-key column names."""
+    projected frame and the list of group-key column names.
+
+    `query_type` picks the all-pruned-row semantics for FILTERED dimension
+    specs: topN's selector skips rows with zero selector values (inner
+    explode), but groupBy's engine aggregates them under
+    GROUP_BY_MISSING_VALUE, i.e. a null group
+    (GroupByQueryEngineV2.java:864-867;
+    GroupByQueryRunnerTest.testGroupByNumericStringsAsNumericWithDecoration
+    expects the all-pruned 'entertainment' rows as a ql=null,qf=null group).
+    """
     names: list[str] = []
     for spec in specs or []:
         name, col, needs_explode = dimension_column(spec, df)
         if needs_explode == "explode":
-            # filtered dimension specs: a row whose elements are ALL pruned
-            # has zero selector values and contributes nothing (inner
-            # explode) — unlike a source-null MVD, which reads as one null
-            # value (ListFilteredDimensionSpec decorated selectors)
-            df = df.withColumn(name, F.explode(col))
+            if query_type == "topN":
+                # topN: a row whose elements are ALL pruned has zero selector
+                # values and contributes nothing (inner explode) — unlike a
+                # source-null MVD, which reads as one null value
+                df = df.withColumn(name, F.explode(col))
+            else:
+                # groupBy: empty filtered array → one null-group row
+                # (GROUP_BY_MISSING_VALUE).  explode_outer over a
+                # NULL-when-empty array emits exactly one null value.
+                df = df.withColumn(
+                    name, F.explode_outer(F.when(F.size(col) > 0, col)))
         elif needs_explode:
             # one output row per element; empty array → null group (Druid keeps
             # the row with a null dimension value)

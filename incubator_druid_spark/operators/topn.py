@@ -35,7 +35,7 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     query = rewrite_sketch_query(query)
     df = prepare_frame(query, spark, catalog)
     gran = parse_granularity(query.get("granularity", "all"))
-    df, dim_names = apply_dimensions(df, [query["dimension"]])
+    df, dim_names = apply_dimensions(df, [query["dimension"]], query_type="topN")
     dim = dim_names[0]
 
     keys = [dim]

@@ -891,3 +891,58 @@ def test_topn_list_filtered_numeric_string(spark, wiki_catalog):
         assert got[2] == pytest.approx(idx, rel=2e-6)
         assert got[3] == pytest.approx(mx, rel=2e-6)
         assert got[4] == pytest.approx(mn, rel=2e-6)
+
+
+def test_group_by_numeric_strings_as_numeric_with_decoration(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByNumericStringsAsNumericWithDecoration
+    — filtered dimension specs over a typed dim in GROUPBY: the all-pruned
+    'entertainment' rows aggregate under a NULL group
+    (GroupByQueryEngineV2.java:864-867 GROUP_BY_MISSING_VALUE), unlike topN
+    where empty selector rows are skipped."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "filter": {"type": "in", "dimension": "quality",
+                    "values": ["entertainment", "technology"]},
+         "dimensions": [
+             {"type": "regexFiltered",
+              "delegate": {"type": "default",
+                           "dimension": "qualityNumericString",
+                           "outputName": "ql", "outputType": "LONG"},
+              "pattern": "170000"},
+             {"type": "listFiltered",
+              "delegate": {"type": "default",
+                           "dimension": "qualityNumericString",
+                           "outputName": "qf", "outputType": "FLOAT"},
+              "values": ["170000"], "isWhitelist": True}],
+         "aggregations": [{"type": "count", "name": "count"}],
+         "limitSpec": {"type": "default",
+                       "columns": [{"dimension": "ql"}]}}
+    out = [(r["ql"], r["qf"], r["count"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out == [(None, None, 2), (170000, 170000.0, 2)]
+
+
+def test_group_by_decoration_on_numerics(spark, wiki_catalog):
+    """GroupByQueryRunnerTest testGroupByDecorationOnNumerics — regexFiltered
+    over a native LONG dim (full-match semantics of
+    RegexFilteredDimensionSpec.java:81 Matcher.matches()) + listFiltered over
+    a native FLOAT dim whose whitelist matches the STRING rendering
+    '17000.0'; all-pruned rows → null group."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "filter": {"type": "in", "dimension": "quality",
+                    "values": ["entertainment", "technology"]},
+         "dimensions": [
+             {"type": "regexFiltered",
+              "delegate": {"type": "default", "dimension": "qualityLong",
+                           "outputName": "ql", "outputType": "LONG"},
+              "pattern": "1700"},
+             {"type": "listFiltered",
+              "delegate": {"type": "default", "dimension": "qualityFloat",
+                           "outputName": "qf", "outputType": "FLOAT"},
+              "values": ["17000.0"], "isWhitelist": True}],
+         "aggregations": [{"type": "count", "name": "count"}]}
+    out = sorted(((r["ql"], r["qf"], r["count"])
+                  for r in translate(q, spark, wiki_catalog).collect()),
+                 key=lambda t: (t[0] is not None, t[0] or 0))
+    assert out == [(None, None, 2), (1700, 17000.0, 2)]
