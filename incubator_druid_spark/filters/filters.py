@@ -350,6 +350,9 @@ def compile_search_spec(q: dict, c: Column) -> Column:
         return out if out is not None else F.lit(True)
     if t == "regex":
         return s.rlike(q["pattern"])
+    if t == "all":
+        # AllSearchQuerySpec.java — accepts every non-null value
+        return s.isNotNull()
     raise ValueError(f"unknown search spec {t!r}")
 
 

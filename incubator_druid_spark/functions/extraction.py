@@ -94,6 +94,11 @@ def compile_extraction(spec: dict | None, col: Column) -> Column:
         if spec.get("retainMissingValue"):
             out = F.coalesce(out, col.cast("string"))
         return out
+    if t == "partial":
+        # MatchingDimExtractionFn.java:62-72 — keep the value if the regex
+        # FINDS a match (partial, unlike regexFiltered's matches()), else null
+        s = col.cast("string")
+        return F.when(s.isNotNull() & s.rlike(spec["expr"]), s)
     if t == "searchQuery":
         # SearchQuerySpecDimExtractionFn — keep value if it matches, else null
         from incubator_druid_spark.filters.filters import compile_search_spec

@@ -61,6 +61,28 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
         else:
             col = compile_extraction(spec["extractionFn"], col)
         return out, col, is_arr
+    if t == "lookup":
+        # LookupDimensionSpec.java:140-159 — sugar for an extraction spec
+        # whose fn is a LookupExtractionFn over either an inline LookupExtractor
+        # (`lookup`) or a registered lookup (`name`); the two are mutually
+        # exclusive.  Output type is always STRING.
+        name, lk = spec.get("name"), spec.get("lookup")
+        if bool(name) == (lk is not None):
+            raise ValueError(
+                "lookup dimension spec: provide exactly one of 'name' "
+                "(registered) or 'lookup' (inline)")
+        if name:
+            fn = {"type": "registeredLookup", "lookup": name}
+        else:
+            fn = {"type": "lookup", "lookup": lk}
+        fn["retainMissingValue"] = spec.get("retainMissingValue", False)
+        if spec.get("replaceMissingValueWith") is not None:
+            fn["replaceMissingValueWith"] = spec["replaceMissingValueWith"]
+        if is_arr:
+            col = F.transform(col, lambda v: compile_extraction(fn, v))
+        else:
+            col = compile_extraction(fn, col)
+        return out, col, is_arr
     raise ValueError(f"unknown dimension spec type {t!r}")
 
 

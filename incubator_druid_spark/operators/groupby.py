@@ -141,6 +141,9 @@ def _having_predicate(spec: dict, out: DataFrame):
         return ~_having_predicate(spec["havingSpec"], out)
     if t == "always":
         return F.lit(True)
+    if t == "never":
+        # query/groupby/having/NeverHavingSpec.java — eval() is always false
+        return F.lit(False)
     raise ValueError(f"unknown having spec {t!r}")
 
 

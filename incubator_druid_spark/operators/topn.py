@@ -100,4 +100,9 @@ def _metric_order(metric_spec, dim: str, invert: bool):
     if t == "lexicographic":
         col = qcol(dim).cast("string")
         return [col.desc() if invert else col.asc()]
+    if t == "alphaNumeric":
+        # AlphaNumericTopNMetricSpec.java — legacy dimension sort with the
+        # alphanumeric StringComparator
+        col = _ordering_sort_key(qcol(dim), "alphanumeric")
+        return [col.desc() if invert else col.asc()]
     raise ValueError(f"unknown topN metric spec {t!r}")

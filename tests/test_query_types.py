@@ -309,3 +309,69 @@ def test_topn_previous_stop_pagination(spark, foo_catalog):
          "aggregations": [{"type": "count", "name": "cnt"}]}
     out = translate(q, spark, foo_catalog).collect()
     assert [r["dim1"] for r in out] == ["10.1", "2"]
+
+
+# -- lookup dimension spec ---------------------------------------------------
+
+def test_lookup_dimension_spec_inline(spark, foo_catalog):
+    """LookupDimensionSpec.java:140-159 — inline LookupExtractor, the three
+    missing-value modes (drop → null group, retain, replace)."""
+    base = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+            "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+            "aggregations": [{"type": "longSum", "name": "cnt",
+                              "fieldName": "cnt"}]}
+    lk = {"type": "map", "map": {"abc": "xabc", "def": "xdef"}}
+    # drop: misses → null
+    q = {**base, "dimensions": [{"type": "lookup", "dimension": "dim1",
+                                 "outputName": "v", "lookup": lk}]}
+    out = {r["v"]: r["cnt"] for r in translate(q, spark, foo_catalog).collect()}
+    assert out == {None: 4, "xabc": 1, "xdef": 1}
+    # retainMissingValue: misses keep the source value
+    q = {**base, "dimensions": [{"type": "lookup", "dimension": "dim1",
+                                 "outputName": "v", "lookup": lk,
+                                 "retainMissingValue": True}]}
+    out = {r["v"]: r["cnt"] for r in translate(q, spark, foo_catalog).collect()}
+    assert out == {"": 1, "10.1": 1, "2": 1, "1": 1, "xabc": 1, "xdef": 1}
+    # replaceMissingValueWith
+    q = {**base, "dimensions": [{"type": "lookup", "dimension": "dim1",
+                                 "outputName": "v", "lookup": lk,
+                                 "replaceMissingValueWith": "MISSING"}]}
+    out = {r["v"]: r["cnt"] for r in translate(q, spark, foo_catalog).collect()}
+    assert out == {"MISSING": 4, "xabc": 1, "xdef": 1}
+
+
+def test_lookup_dimension_spec_registered_and_mvd(spark, foo_catalog):
+    """Registered-name form (`name` ↔ `lookup` mutually exclusive,
+    LookupDimensionSpec.java:90-93) + per-element application over an MVD."""
+    base = {"queryType": "groupBy", "dataSource": "foo", "granularity": "all",
+            "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+            "aggregations": [{"type": "count", "name": "rows"}]}
+    q = {**base, "dimensions": [{"type": "lookup", "dimension": "dim1",
+                                 "outputName": "v", "name": "lookyloo"}]}
+    out = {r["v"]: r["rows"] for r in translate(q, spark, foo_catalog).collect()}
+    assert out == {None: 5, "xabc": 1}
+    # MVD: dim2 explodes, lookup applied per element with retain
+    q = {**base, "dimensions": [{"type": "lookup", "dimension": "dim2",
+                                 "outputName": "v", "name": "lookyloo",
+                                 "retainMissingValue": True}]}
+    out = {r["v"]: r["rows"] for r in translate(q, spark, foo_catalog).collect()}
+    # dim2 rows: [a], [], [''], [a], [abc], NULL → xa×2, ''×1, xabc×1,
+    # empty-array row → null group, source-NULL row → null group
+    assert out == {"xa": 2, "": 1, "xabc": 1, None: 2}
+    # topN through the same spec type
+    q2 = {"queryType": "topN", "dataSource": "foo", "granularity": "all",
+          "intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+          "dimension": {"type": "lookup", "dimension": "dim1",
+                        "outputName": "v", "name": "lookyloo",
+                        "replaceMissingValueWith": "other"},
+          "metric": "rows", "threshold": 2,
+          "aggregations": [{"type": "count", "name": "rows"}]}
+    out2 = [(r["v"], r["rows"])
+            for r in translate(q2, spark, foo_catalog).collect()]
+    assert out2 == [("other", 5), ("xabc", 1)]
+    # name and lookup are mutually exclusive
+    bad = {**base, "dimensions": [{"type": "lookup", "dimension": "dim1",
+                                   "outputName": "v", "name": "lookyloo",
+                                   "lookup": {"type": "map", "map": {}}}]}
+    with pytest.raises(ValueError, match="mutually exclusive|exactly one"):
+        translate(bad, spark, foo_catalog)
