@@ -399,7 +399,10 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # stay JVM-side (datasketches-java backs hll_* in Spark).
         fname = spec.get("fieldName")
         if fname and ctx.is_binary(fname):
-            return F.hll_sketch_estimate(F.hll_union_agg(f()))
+            # allowDifferentLgConfigK: Druid's Union(lgMaxK) downsamples
+            # mixed-lgK input sketches (HllSketchMergeAggregatorFactory), so
+            # segments written with different lgK configs must still merge
+            return F.hll_sketch_estimate(F.hll_union_agg(f(), F.lit(True)))
         lgk = int(spec.get("lgK", 12))
         return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(f()), F.lit(lgk)))
     if t == "arrayOfDoublesSketch":

@@ -650,3 +650,55 @@ def test_hll_sketch_binary_interop(spark, tmp_path):
     out = translate(q, spark, cat).collect()
     # both sketches hold the same 5 values ("v0".."v4") → union estimate 5
     assert len(out) == 1 and int(out[0]["u"]) == 5
+
+
+def test_hll_sketch_column_all_layouts(spark, tmp_path):
+    """Druid-written HllSketch COMPLEX columns in every layout Druid can
+    store — HLL_4/HLL_6/HLL_8 targets, compact and updatable serialization,
+    coupon (LIST/SET) and dense HLL modes, mixed lgK — generated live via
+    the SAME datasketches-java calls Druid's build/merge aggregators make
+    (HllSketchObjectStrategy.java:49 wraps these bytes; serialization by
+    toCompactByteArray/toUpdatableByteArray).  Merged through both the
+    HLLSketchMerge and hyperUnique COMPLEX paths."""
+    import datetime
+
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+
+    jvm = spark.sparkContext._jvm
+    HllSketch = jvm.org.apache.datasketches.hll.HllSketch
+    TgtHllType = jvm.org.apache.datasketches.hll.TgtHllType
+
+    def sk_bytes(values, lgk=12, tgt="HLL_4", compact=True):
+        sk = HllSketch(lgk, TgtHllType.valueOf(tgt))
+        for v in values:
+            sk.update(v)
+        b = sk.toCompactByteArray() if compact else sk.toUpdatableByteArray()
+        return bytearray(b)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # coupon-range group: 3 overlapping sketches over 80 keys → exact 80
+        (t0, "small", sk_bytes([f"k{i}" for i in range(0, 80, 2)])),
+        (t0, "small", sk_bytes([f"k{i}" for i in range(1, 80, 2)], tgt="HLL_6")),
+        (t0, "small", sk_bytes([f"k{i}" for i in range(30, 60)], tgt="HLL_8",
+                               compact=False)),
+        # dense-HLL group: 20k distinct across two sketches w/ different lgK
+        (t0, "big", sk_bytes([f"u{i}" for i in range(12000)], lgk=11)),
+        (t0, "big", sk_bytes([f"u{i}" for i in range(8000, 20000)], lgk=13,
+                             tgt="HLL_8", compact=False)),
+    ]
+    df = spark.createDataFrame(rows, "__time timestamp, grp string, hsk binary")
+    path = str(tmp_path / "hll_layouts.parquet")
+    df.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("seg", path)
+    for agg_type in ("HLLSketchMerge", "hyperUnique"):
+        q = {"queryType": "groupBy", "dataSource": "seg",
+             "granularity": "all", "dimensions": ["grp"],
+             "aggregations": [{"type": agg_type, "name": "u",
+                               "fieldName": "hsk"}]}
+        out = {r["grp"]: int(r["u"]) for r in translate(q, spark, cat).collect()}
+        assert out["small"] == 80, (agg_type, out)
+        # dense mode: HLL relative standard error at lgK=11 is ~2.3%; allow 3σ
+        assert abs(out["big"] - 20000) < 20000 * 0.07, (agg_type, out)
