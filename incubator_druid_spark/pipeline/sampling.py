@@ -8,10 +8,15 @@ Scale design (100 TB):
   engine that implements md5).
 - proportional_sample: fraction per stratum from the same ordering, sized
   by a window count — still one shuffle.
-- A skewed stratum (one giant source) concentrates its rank window in one
-  task; for pathological strata pre-split by a salt on the md5 prefix and
-  take the per-salt quota n/salts (documented escape hatch — the plain
-  window is correct and fine up to ~100M rows per stratum).
+- ``salts``: a skewed stratum (one giant source — at web-crawl scale the
+  COMMON case, not the pathological one) concentrates its rank window in
+  one task.  ``salts=s`` splits every stratum into s deterministic
+  sub-partitions (pmod(xxhash64(id), s)) and takes a per-salt quota that
+  sums to n — the sort/rank parallelizes s-ways and no single task sees
+  more than ~|stratum|/s rows.  Trade-off: with salts>1 the selected SET
+  differs from salts=1 (still deterministic for fixed s), and a stratum
+  smaller than ~n rows may return slightly fewer than n (a salt bucket can
+  run dry); use salts>1 for strata ≫ n where neither matters.
 """
 
 from __future__ import annotations
@@ -27,25 +32,55 @@ def _rand_order(id_col: str):
 
 
 def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
-                      n_per_stratum: int) -> DataFrame:
+                      n_per_stratum: int, salts: int = 1) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen by deterministic
-    hash order (uniform, reproducible)."""
-    w = (Window.partitionBy(strata_col)
+    hash order (uniform, reproducible).
+
+    ``salts>1`` is the hot-stratum path: the window partitions by
+    (stratum, salt) so a giant stratum's top-n is computed by ``salts``
+    parallel rank tasks instead of one; per-salt quotas are
+    n//salts (+1 for the first n%salts salts), summing to n."""
+    if salts <= 1:
+        w = (Window.partitionBy(strata_col)
+             .orderBy(_rand_order(id_col), F.col(id_col)))
+        return (df.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") <= n_per_stratum)
+                  .drop("__rk"))
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salts))
+    base, extra = divmod(int(n_per_stratum), int(salts))
+    quota = F.lit(base) + F.when(F.col("__salt") < extra, 1).otherwise(0)
+    w = (Window.partitionBy(strata_col, "__salt")
          .orderBy(_rand_order(id_col), F.col(id_col)))
-    return (df.withColumn("__rk", F.row_number().over(w))
-              .filter(F.col("__rk") <= n_per_stratum)
-              .drop("__rk"))
+    return (df.withColumn("__salt", salt)
+              .withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") <= quota)
+              .drop("__rk", "__salt"))
 
 
 def proportional_sample(df: DataFrame, strata_col: str, id_col: str,
-                        fraction: float) -> DataFrame:
+                        fraction: float, salts: int = 1) -> DataFrame:
     """ceil(fraction × |stratum|) rows per stratum, same ordering — every
     stratum is represented (unlike a Bernoulli sample, which loses small
-    strata entirely at small fractions)."""
-    w = (Window.partitionBy(strata_col)
+    strata entirely at small fractions).
+
+    ``salts>1``: per-salt window + per-salt proportional quota
+    (ceil(fraction × |salt slice|)), so a hot stratum's rank never lands in
+    a single task; the realized fraction is within salts rows of exact."""
+    if salts <= 1:
+        w = (Window.partitionBy(strata_col)
+             .orderBy(_rand_order(id_col), F.col(id_col)))
+        cnt = Window.partitionBy(strata_col)
+        return (df.withColumn("__rk", F.row_number().over(w))
+                  .withColumn("__n", F.count(F.lit(1)).over(cnt))
+                  .filter(F.col("__rk")
+                          <= F.ceil(F.col("__n") * F.lit(fraction)))
+                  .drop("__rk", "__n"))
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salts))
+    w = (Window.partitionBy(strata_col, "__salt")
          .orderBy(_rand_order(id_col), F.col(id_col)))
-    cnt = Window.partitionBy(strata_col)
-    return (df.withColumn("__rk", F.row_number().over(w))
+    cnt = Window.partitionBy(strata_col, "__salt")
+    return (df.withColumn("__salt", salt)
+              .withColumn("__rk", F.row_number().over(w))
               .withColumn("__n", F.count(F.lit(1)).over(cnt))
               .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
-              .drop("__rk", "__n"))
+              .drop("__rk", "__n", "__salt"))
