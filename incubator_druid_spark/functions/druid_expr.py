@@ -95,6 +95,11 @@ class _Parser:
         self.resolver = resolver
         self.registry = reg
         self.lambda_params: dict[str, Column] = {}
+        # ids of Columns produced by array-returning constructs (array
+        # literals, array()/string_to_array()/map()/… calls) — the AST
+        # knowledge array-vs-scalar dispatchers (array_contains) need,
+        # threaded here because a compiled Column loses its source shape
+        self.array_ids: set[int] = set()
 
     def peek(self):
         return self.toks[self.i]
@@ -222,7 +227,9 @@ class _Parser:
                     self.next()
                     items.append(self.parse_or())
             self.expect("]")
-            return F.array(*[_c(x) for x in items])
+            arr = F.array(*[_c(x) for x in items])
+            self.array_ids.add(id(arr))
+            return arr
         if k == "ident":
             if self.peek()[1] == "(":
                 return self._call(v)
@@ -242,12 +249,20 @@ class _Parser:
             return self.lambda_params[name]
         return self.resolver(name)
 
+    _ARRAY_RETURNING = frozenset({
+        "array", "string_to_array", "array_append", "array_prepend",
+        "array_concat", "array_set_add", "array_set_add_all", "array_slice",
+        "map", "filter", "cartesian_map"})
+
     def _call(self, name):
         args = self.parse_args()
         fn = self.registry.get(name.lower())
         if fn is None:
             raise ValueError(f"unknown druid function: {name!r}")
-        return fn(self, *args)
+        out = fn(self, *args)
+        if name.lower() in self._ARRAY_RETURNING and isinstance(out, Column):
+            self.array_ids.add(id(out))
+        return out
 
     def parse_args(self):
         self.expect("(")
@@ -362,7 +377,9 @@ def _registry() -> dict:
         # TimestampExtractExprMacro.java:113-154 — EPOCH is seconds;
         # MILLISECOND is millis-of-second
         "EPOCH": F.unix_timestamp,
-        "MILLISECOND": lambda c: (F.unix_millis(c) % 1000),
+        # pmod, not %: Joda millisOfSecond().get() is always 0..999, but
+        # Spark's % keeps the sign for pre-1970 timestamps
+        "MILLISECOND": lambda c: F.pmod(F.unix_millis(c), F.lit(1000)),
         "SECOND": F.second, "MINUTE": F.minute, "HOUR": F.hour,
         # DOW and ISODOW both return joda dayOfWeek (Mon=1..Sun=7):
         # TimestampExtractExprMacro.java:130-133
@@ -431,7 +448,12 @@ def _registry() -> dict:
             # double and truncate ('10.1' → 10, not NULL)
             return F.coalesce(c.try_cast(spark_t),
                               c.try_cast("double").cast(spark_t))
-        return c.cast(spark_t)
+        out = c.cast(spark_t)
+        if tt.endswith("_ARRAY"):
+            # a cast to an array type is an array-returning construct for
+            # downstream array-vs-scalar dispatch (array_contains)
+            p.array_ids.add(id(out))
+        return out
 
     def _substring(p, s, start, length):
         # Function.java:2460 — 0-based start; negative length = to end
@@ -642,15 +664,18 @@ def _registry() -> dict:
         "array_set_add": _cols(lambda a, v: F.array_sort(F.array_distinct(F.array_append(a, v)))),
         "array_set_add_all": _cols(lambda a, b: F.array_sort(F.array_union(a, b))),
         # ArrayContainsFunction: array 2nd argument = contains-all, scalar =
-        # membership.  The compiled Column loses the source AST, so detect
-        # the array case from the Catalyst expression text (array literals
-        # `[..]` / array(..) / string_to_array(..) compile to these shapes);
-        # a column-reference of array type as the 2nd argument is rare and
-        # surfaces as an analysis-time type error rather than a wrong answer.
-        "array_contains": _cols(lambda a, v: (
-            F.forall(v, lambda x: F.array_contains(a, x))
-            if str(v._jc).lstrip("(").startswith(("array(", "split("))
-            else F.array_contains(a, v))),
+        # membership.  Dispatch uses the PARSER's tags (p.array_ids — set for
+        # array literals and array-returning calls as they are parsed), not
+        # Catalyst text inspection, so any tagged construct — nested parens,
+        # casts around it, concat results — dispatches correctly and the
+        # implementation doesn't touch private _jc (Connect-safe).  A bare
+        # column REFERENCE of array type as the 2nd argument still falls to
+        # the membership branch and surfaces as an analysis-time type error,
+        # never a wrong answer.
+        "array_contains": lambda p, a, v: (
+            F.forall(_c(v), lambda x: F.array_contains(_c(a), x))
+            if isinstance(v, Column) and id(v) in p.array_ids
+            else F.array_contains(_c(a), _c(v))),
         "array_overlap": _cols(F.arrays_overlap),
         "array_slice": _array_slice,
         # -- higher-order fns (ApplyFunction.java: map:195, filter:471, any:609, all:632, fold:350)

@@ -106,7 +106,7 @@ _FUNCTIONS: list[str] = [
            WHEN 'MONTH' THEN month(ts) WHEN 'QUARTER' THEN quarter(ts)
            WHEN 'YEAR' THEN year(ts) WHEN 'ISOYEAR' THEN year(ts)
            WHEN 'MICROSECOND' THEN unix_seconds(ts) DIV 1000
-           WHEN 'MILLISECOND' THEN unix_millis(ts) % 1000
+           WHEN 'MILLISECOND' THEN pmod(unix_millis(ts), 1000)
            WHEN 'DECADE' THEN year(ts) DIV 10
            WHEN 'CENTURY' THEN CAST(ceil(year(ts) / 100.0) AS BIGINT)
            WHEN 'MILLENNIUM' THEN CAST(ceil(year(ts) / 1000.0) AS BIGINT)
@@ -457,10 +457,19 @@ def _rewrite_aggregate_names(sql: str) -> str:
         sql = _rewrite_calls(sql, ds_name,
                              lambda a: f"approx_count_distinct({a[0]})"
                              if a else None)
-    sql = _outside_literals(sql, lambda seg: re.sub(
-        r"(?i)\bEARLIEST_BY\s*\(", "min_by(", seg))
-    sql = _outside_literals(sql, lambda seg: re.sub(
-        r"(?i)\bLATEST_BY\s*\(", "max_by(", seg))
+    # EARLIEST_BY/LATEST_BY(expr, ts[, maxBytesPerValue]) — the string form
+    # takes a third buffer-sizing hint (EarliestLatestBySqlAggregator);
+    # drop it like the EARLIEST/LATEST 2-arg forms above
+    def by_repl(fn):
+        def repl(a):
+            if len(a) == 3 and re.fullmatch(r"\d+", a[2].strip()):
+                return f"{fn}({a[0]}, {a[1]})"
+            if len(a) == 2:
+                return f"{fn}({a[0]}, {a[1]})"
+            return None
+        return repl
+    sql = _rewrite_calls(sql, "EARLIEST_BY", by_repl("min_by"))
+    sql = _rewrite_calls(sql, "LATEST_BY", by_repl("max_by"))
 
     def approx_quantile_repl(a):
         if len(a) >= 2:
@@ -554,9 +563,19 @@ def _rewrite_calls(sql: str, name: str, repl) -> str:
         tail = "".join(cur).strip()
         if tail or args:
             args.append(tail)
+        # rewrite nested same-name calls inside the extracted args FIRST, so
+        # an unmatched outer call (repl → None) doesn't shadow a rewritable
+        # inner one — e.g. CAST(CAST('10.1' AS INTEGER) AS VARCHAR), where
+        # only the inner cast needs the Druid truncating-cast rewrite
+        args = [_rewrite_calls(a, name, repl) for a in args]
         rep = repl(args)
         out.append(sql[pos:m.start()])
-        out.append(rep if rep is not None else sql[m.start():i])
+        if rep is not None:
+            out.append(rep)
+        else:
+            # reconstruct from the (possibly arg-rewritten) pieces instead of
+            # emitting the original text verbatim
+            out.append(sql[m.start():m.end()] + ", ".join(args) + ")")
         pos = i
 
 
@@ -1096,6 +1115,24 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         return (f"COALESCE(TRY_CAST({expr} AS {t}), "
                 f"CAST(TRY_CAST({expr} AS DOUBLE) AS {t}))")
     sql = _rewrite_calls(sql, "CAST", _int_cast_repl)
+
+    # EXTRACT(unit FROM ts): route the units Spark's EXTRACT rejects
+    # (MILLISECOND/MICROSECOND/ISOYEAR/DECADE/CENTURY/MILLENNIUM/EPOCH/
+    # ISODOW) or computes differently (SECOND → decimal with fraction,
+    # DOW → Sun=1..Sat=7 instead of joda Mon=1..Sun=7) through the
+    # TIME_EXTRACT udf, which implements TimestampExtractExprMacro.java
+    # semantics for every unit
+    _TE_UNITS = {"MILLISECOND", "MICROSECOND", "ISOYEAR", "DECADE",
+                 "CENTURY", "MILLENNIUM", "EPOCH", "ISODOW", "DOW", "SECOND"}
+
+    def _extract_repl(a):
+        if len(a) != 1:
+            return None
+        m = re.match(r"(?is)^(\w+)\s+FROM\s+(.*)$", a[0].strip())
+        if not m or m.group(1).upper() not in _TE_UNITS:
+            return None
+        return f"TIME_EXTRACT({m.group(2)}, '{m.group(1).upper()}')"
+    sql = _rewrite_calls(sql, "EXTRACT", _extract_repl)
 
     # LIKE ... ESCAPE 'c': Calcite lets the escape char precede ANY
     # character (it reads as that literal char); Spark only allows it

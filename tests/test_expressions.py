@@ -141,3 +141,34 @@ def test_extract_reference_quirks(spark):
         tzinfo=datetime.timezone.utc).timestamp())
     assert evt("timestamp_extract(t, 'DECADE')") == 202
     assert evt("timestamp_extract(t, 'CENTURY')") == 21
+
+
+def test_array_contains_dispatch(spark):
+    """ArrayContainsFunction: array 2nd arg = contains-ALL, scalar =
+    membership.  Dispatch comes from parser tags, so parenthesized /
+    cast-produced / concat-produced array operands all take the
+    contains-all branch."""
+    e = lambda x: ev(spark, x)
+    assert e("array_contains(['a','b','c'], ['a','c'])") is True
+    assert e("array_contains(['a','b','c'], ['a','z'])") is False
+    assert e("array_contains(['a','b','c'], 'b')") is True
+    assert e("array_contains(['a','b','c'], 'z')") is False
+    # parenthesized beyond one level, array(), concat, cast
+    assert e("array_contains(['a','b'], ((array('a'))))") is True
+    assert e("array_contains([1,2,3], array_concat([1],[3]))") is True
+    assert e("array_contains([1,2,3], array_concat([1],[4]))") is False
+    assert e("array_contains(['1','2'], cast([1,2], 'STRING_ARRAY'))") is True
+    assert e("array_contains(string_to_array('a,b,c', ','), "
+             "string_to_array('a,c', ','))") is True
+    # scalar produced by a function still routes to membership
+    assert e("array_contains(['ab'], concat('a','b'))") is True
+
+
+def test_millisecond_pmod_pre_1970(spark):
+    """Joda millisOfSecond().get() is 0..999 always — pre-1970 timestamps
+    must not return signed remainders."""
+    t = datetime.datetime(1969, 12, 31, 23, 59, 59, 250000)
+    df = spark.createDataFrame([(t,)], "t timestamp")
+    r = df.select(compile_expr("timestamp_extract(t, 'MILLISECOND')",
+                               F.col).alias("r")).first()["r"]
+    assert r == 250

@@ -1022,3 +1022,51 @@ def test_information_schema_tables(spark, foo_catalog):
         SELECT TABLE_NAME, TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES
         """).collect()}
     assert ("foo", "TABLE") in out
+
+
+def test_extract_druid_units(spark, foo_catalog):
+    """EXTRACT maps straight to TimestampExtractExprMacro for EVERY unit
+    (ExtractOperatorConversion.java:40-57): SECOND is an integer, DOW is joda
+    Mon=1..Sun=7 (2000-01-01 was a Saturday → 6), MILLISECOND is 0..999 even
+    pre-1970 (pmod, not signed %), EPOCH is seconds, plus the units Spark's
+    EXTRACT rejects outright."""
+    r = q(spark, foo_catalog, """
+        SELECT EXTRACT(SECOND FROM TIMESTAMP '2000-01-01 01:02:03.456') AS s,
+               EXTRACT(DOW FROM TIMESTAMP '2000-01-01 00:00') AS dow,
+               EXTRACT(ISODOW FROM TIMESTAMP '2000-01-02 00:00') AS isodow,
+               EXTRACT(MILLISECOND FROM TIMESTAMP '2000-01-01 01:02:03.456') AS ms,
+               EXTRACT(MILLISECOND FROM TIMESTAMP '1969-12-31 23:59:59.250') AS ms_neg,
+               EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:01:00') AS ep,
+               EXTRACT(ISOYEAR FROM TIMESTAMP '2000-06-01 00:00') AS iy,
+               EXTRACT(DECADE FROM TIMESTAMP '2000-06-01 00:00') AS dec,
+               EXTRACT(CENTURY FROM TIMESTAMP '2000-06-01 00:00') AS cen,
+               EXTRACT(MILLENNIUM FROM TIMESTAMP '2000-06-01 00:00') AS mil
+    """).first()
+    assert (r["s"], r["dow"], r["isodow"], r["ms"], r["ms_neg"], r["ep"],
+            r["iy"], r["dec"], r["cen"], r["mil"]) == (
+        3, 6, 7, 456, 250, 60, 2000, 200, 20, 2)
+
+
+def test_earliest_latest_by_maxbytes(spark, foo_catalog):
+    """EARLIEST_BY/LATEST_BY(expr, ts, maxBytesPerValue) — the string form's
+    third buffer-sizing arg is dropped like EARLIEST/LATEST's
+    (EarliestLatestBySqlAggregator)."""
+    r = q(spark, foo_catalog, """
+        SELECT EARLIEST_BY(dim1, __time, 1024) AS e,
+               LATEST_BY(dim1, __time, 1024) AS l,
+               EARLIEST_BY(m1, __time) AS e2
+        FROM foo""").first()
+    assert (r["e"], r["l"], r["e2"]) == ("", "abc", 1.0)
+
+
+def test_nested_integer_cast(spark, foo_catalog):
+    """Druid's truncating string→int cast applies to casts NESTED inside
+    other calls — CAST(CAST('10.1' AS INTEGER) AS VARCHAR) is '10', and an
+    int cast inside a rewritten call's arguments still truncates
+    (_rewrite_calls rewrites args before emitting unmatched outer calls)."""
+    r = q(spark, foo_catalog, """
+        SELECT CAST(CAST('10.1' AS INTEGER) AS VARCHAR) AS v,
+               STRPOS(CAST(CAST('10.1' AS BIGINT) AS VARCHAR), '0') AS p,
+               CAST('10.1' AS INTEGER) AS i
+    """).first()
+    assert (r["v"], r["p"], r["i"]) == ("10", 2, 10)
