@@ -100,6 +100,8 @@ class _Parser:
         # knowledge array-vs-scalar dispatchers (array_contains) need,
         # threaded here because a compiled Column loses its source shape
         self.array_ids: set[int] = set()
+        # ids of Columns known string-typed (concat chains via binary `+`)
+        self.string_ids: set[int] = set()
 
     def peek(self):
         return self.toks[self.i]
@@ -154,14 +156,22 @@ class _Parser:
             right = self.parse_mul()
             if not isinstance(left, Column) and not isinstance(right, Column):
                 left = left + right if op == "+" else left - right
-            elif op == "+" and (isinstance(left, str) or isinstance(right, str)):
+            elif op == "+" and (isinstance(left, str) or isinstance(right, str)
+                                or self._is_string_col(left)
+                                or self._is_string_col(right)):
                 # BinPlusExpr.evalString: `+` with a STRING operand
-                # concatenates (`quality + 'x'` → 'automotivex')
+                # concatenates (`quality + 'x'` → 'automotivex').  A concat
+                # RESULT is itself string-typed, so the chain
+                # `market + ' ' + market` keeps concatenating (tag below).
                 left = F.concat(_c(left).cast("string"),
                                 _c(right).cast("string"))
+                self.string_ids.add(id(left))
             else:
                 left = _c(left) + right if op == "+" else _c(left) - right
         return left
+
+    def _is_string_col(self, x) -> bool:
+        return isinstance(x, Column) and id(x) in self.string_ids
 
     def parse_mul(self):
         left = self.parse_pow()
@@ -253,6 +263,11 @@ class _Parser:
         "array", "string_to_array", "array_append", "array_prepend",
         "array_concat", "array_set_add", "array_set_add_all", "array_slice",
         "map", "filter", "cartesian_map"})
+    _STRING_RETURNING = frozenset({
+        "concat", "upper", "lower", "substring", "substr", "trim", "ltrim",
+        "rtrim", "replace", "format", "repeat", "reverse", "right", "left",
+        "lpad", "rpad", "array_to_string", "timestamp_format", "lookup",
+        "regexp_extract", "regexp_replace"})
 
     def _call(self, name):
         args = self.parse_args()
@@ -260,8 +275,11 @@ class _Parser:
         if fn is None:
             raise ValueError(f"unknown druid function: {name!r}")
         out = fn(self, *args)
-        if name.lower() in self._ARRAY_RETURNING and isinstance(out, Column):
-            self.array_ids.add(id(out))
+        if isinstance(out, Column):
+            if name.lower() in self._ARRAY_RETURNING:
+                self.array_ids.add(id(out))
+            elif name.lower() in self._STRING_RETURNING:
+                self.string_ids.add(id(out))
         return out
 
     def parse_args(self):

@@ -337,18 +337,30 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
     f = lambda: _field(spec, ctx)  # noqa: E731
     time_col = F.col(TIME_COLUMN)
 
+    def fnum():
+        # numeric aggs over a timestamp-typed column read its LONG storage,
+        # which is epoch MILLIS (TimeseriesQueryRunnerTest
+        # testTimeseriesWithTimeColumn: longSum over __time) — Spark's
+        # timestamp→long cast would give seconds
+        from pyspark.sql import types as T
+        fname = spec.get("fieldName")
+        if (fname is not None and hasattr(ctx, "data_type")
+                and isinstance(ctx.data_type(fname), T.TimestampType)):
+            return F.unix_millis(ctx.resolve(fname))
+        return f()
+
     if t == "count":
         # CountAggregatorFactory.java — counts ROWS (not non-null values)
         return F.count(F.lit(1))
     if t in ("longSum", "doubleSum", "floatSum"):
-        return F.sum(f().cast(_num(t)))
+        return F.sum(fnum().cast(_num(t)))
     if t in ("longMin", "doubleMin", "floatMin"):
-        return F.min(f().cast(_num(t)))
+        return F.min(fnum().cast(_num(t)))
     if t in ("longMax", "doubleMax", "floatMax"):
-        return F.max(f().cast(_num(t)))
+        return F.max(fnum().cast(_num(t)))
     if t == "doubleMean":
         # mean/DoubleMeanAggregatorFactory.java
-        return F.avg(f().cast("double"))
+        return F.avg(fnum().cast("double"))
     if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
         # first/*AggregatorFactory.java — value at min __time; over a
         # rollup-stored pair column, at min ORIGINAL timestamp (the pair's t)
@@ -592,7 +604,10 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # GroupingAggregatorFactory.java — GROUPING() bitmask for subtotals
         fields = [F.col(g) for g in spec["groupings"]]
         return F.grouping_id(*fields)
-    if t == "expressionLambda":
+    if t in ("expressionLambda", "expression"):
+        # AggregatorsModule.java:125 registers ExpressionLambdaAggregatorFactory
+        # under the JSON name "expression" (the Druid docs call it the
+        # "expression lambda" aggregator); accept both spellings
         return _expression_lambda(spec, ctx)
     if t == "javascript":
         raise NotImplementedError("javascript aggregator: rewrite as expressionLambda")
@@ -628,21 +643,35 @@ def _expression_lambda(spec: dict, ctx) -> Column:
     def _const_resolver(n):
         raise ValueError(f"initialValue must be constant, saw {n}")
 
-    # Spark's aggregate() needs the accumulator type fixed up-front; Druid's
-    # expression lambdas are dynamically typed, so type the accumulator from
-    # the initial value (int literal → long, float → double) and pin the fold
-    # result to it.
-    init_col = compile_expr(str(init), _const_resolver)
-    acc_type = "double"
-    try:
-        iv = int(str(init))
-        acc_type = "long"
-    except ValueError:
+    def _acc_type(lit: str) -> str:
+        """Spark's aggregate() needs the accumulator type fixed up-front;
+        Druid's expression lambdas are dynamically typed, so type it from
+        the initial-value literal (int → long, float → double, typed empty
+        array `<DOUBLE>[]` → array, bare `[]` → array<string>)."""
+        import re as _re
+        m = _re.fullmatch(r"<(DOUBLE|LONG|STRING)>\s*\[\s*\]", lit.strip())
+        if m:
+            return {"DOUBLE": "array<double>", "LONG": "array<long>",
+                    "STRING": "array<string>"}[m.group(1)]
+        if lit.strip() == "[]":
+            return "array<string>"
         try:
-            float(str(init))
+            int(lit)
+            return "long"
         except ValueError:
-            acc_type = "string"
-    init_col = init_col.cast(acc_type)
+            try:
+                float(lit)
+                return "double"
+            except ValueError:
+                return "string"
+
+    def _init_col(lit: str, typ: str):
+        if typ.startswith("array<"):
+            return F.array().cast(typ)
+        return compile_expr(lit, _const_resolver).cast(typ)
+
+    acc_type = _acc_type(str(init))
+    init_col = _init_col(str(init), acc_type)
 
     def fold_fn(acc, x):
         def resolver(n, a=acc, xx=x):
@@ -655,12 +684,38 @@ def _expression_lambda(spec: dict, ctx) -> Column:
             return ctx.resolve(n)
         return _c(compile_expr(fold_expr, resolver)).cast(acc_type)
 
+    state = F.aggregate(collected, init_col, fold_fn)
+
+    # two-phase state: when initialCombineValue RETYPES the accumulator
+    # (ExpressionLambdaAggregatorFactory's combine stage, e.g. per-partial
+    # scalar sums combined into a DOUBLE_ARRAY before a fold finalizer),
+    # emulate the query-time merge with one partial: combine(initCombine,
+    # partial), coercing the scalar partial to a 1-element array the way
+    # Druid's array functions coerce scalars.
+    name = spec.get("name")
+    init_combine = spec.get("initialCombineValue")
+    combine_expr = spec.get("combine")
+    if combine_expr and init_combine is not None:
+        comb_type = _acc_type(str(init_combine))
+        if comb_type != acc_type:
+            partial = state
+            if comb_type.startswith("array<") and not acc_type.startswith("array<"):
+                partial = F.array(state)
+
+            def cresolver(n, p=partial):
+                if n == acc_id:
+                    return _init_col(str(init_combine), comb_type)
+                if n == name:
+                    return p
+                return ctx.resolve(n)
+            state = _c(compile_expr(combine_expr, cresolver)).cast(comb_type)
+
     if finalize:
-        def fin_fn(acc):
-            return _c(compile_expr(finalize, lambda n, a=acc: a if n == "o" or n == acc_id
-                                   else ctx.resolve(n)))
-        return F.aggregate(collected, init_col, fold_fn, fin_fn)
-    return F.aggregate(collected, init_col, fold_fn)
+        return _c(compile_expr(
+            finalize,
+            lambda n, a=state: a if n in ("o", acc_id, name)
+            else ctx.resolve(n)))
+    return state
 
 
 def _num(t: str) -> str:

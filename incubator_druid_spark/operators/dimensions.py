@@ -53,6 +53,14 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
                 col = F.unix_millis(col)
             else:
                 col = col.cast(_OUT_TYPES[ot.upper()])
+        elif not ot and isinstance(types.get(dim), T.NumericType):
+            # DefaultDimensionSpec.getOutputType defaults to STRING: a dict-
+            # form spec with no outputType renders a NUMERIC column as its
+            # Java string form ('14000.0' for a float —
+            # TopNQueryRunnerTest.testFullOnTopNFloatColumnAsString).  The
+            # bare-string dimension shorthand keeps the native type (engine
+            # convenience, README compat table); __time stays a timestamp.
+            col = col.cast("string")
         return out, col, is_arr
     if t == "extraction":
         # extraction applies per-value for MVDs
@@ -60,6 +68,12 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
             col = F.transform(col, lambda v: compile_extraction(spec["extractionFn"], v))
         else:
             col = compile_extraction(spec["extractionFn"], col)
+        ot = spec.get("outputType")
+        if ot and ot.upper() in _OUT_TYPES:
+            # ExtractionDimensionSpec honors outputType too (STRING default;
+            # e.g. strlen + LONG in testFullOnTopNStringOutputAsLong)
+            cast = lambda v: v.cast(_OUT_TYPES[ot.upper()])  # noqa: E731
+            col = F.transform(col, cast) if is_arr else cast(col)
         return out, col, is_arr
     if t == "lookup":
         # LookupDimensionSpec.java:140-159 — sugar for an extraction spec

@@ -62,7 +62,13 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
     ctx = FilterContext(df)
     aggs = compile_aggregations(query.get("aggregations"), ctx, query)
-    out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)
+    if aggs:
+        out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)
+    else:
+        # no aggregators (TopNQueryRunnerTest.testSortOnDoubleAsLong /
+        # testTopNLexicographicNoAggregators): distinct dimension values,
+        # ordered by the metric spec only
+        out = df.select(*[qcol(k) for k in keys]).distinct()
 
     post = compile_post_aggregations(query.get("postAggregations"))
     if post:

@@ -1,0 +1,667 @@
+"""Round-3 native-runner tranche: TopNQueryRunnerTest +
+TimeseriesQueryRunnerTest ports over the reference's numeric-TSV wiki fixture
+(processing/src/test/java/org/apache/druid/query/{topn,timeseries}/...),
+prioritizing extractionFn-on-numeric-dims, dimension-ordering sorts, typed
+dimension casts, and null-column semantics (VERDICT r2 #7).
+
+The reference compares doubles at 1e-6 relative tolerance and stores `index`
+as FLOAT (its expected sums carry float-read noise like 59.02102279663086);
+this engine reads the TSV as DOUBLE, so doubles assert at 2e-6 relative.
+The reference's JavaScript extraction fns ('super-'+str) are ported through
+the equivalent stringFormat extraction fn — the javascript surface is a
+deliberate raise (README compat table).
+"""
+
+import pytest
+
+from incubator_druid_spark import translate
+
+FULL = ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"]
+F2T = ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"]
+SECOND = ["2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"]
+
+COMMON_MAXMIN = [
+    {"type": "count", "name": "rows"},
+    {"type": "doubleSum", "name": "index", "fieldName": "index"},
+    {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+    {"type": "doubleMin", "name": "minIndex", "fieldName": "index"},
+]
+ARIC = [{"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+         "fields": [{"type": "fieldAccess", "fieldName": "rows"},
+                    {"type": "fieldAccess", "fieldName": "index"},
+                    {"type": "constant", "value": 1}]}]
+
+
+def topn(spark, cat, dim, metric, aggs=None, post=None, threshold=4,
+         intervals=None, granularity="all", **extra):
+    q = {"queryType": "topN", "dataSource": "wiki",
+         "granularity": granularity, "intervals": intervals or FULL,
+         "dimension": dim, "metric": metric, "threshold": threshold,
+         "aggregations": COMMON_MAXMIN if aggs is None else aggs}
+    if post is not None:
+        q["postAggregations"] = post
+    q.update(extra)
+    return translate(q, spark, cat).collect()
+
+
+def check(out, expected, rel=2e-6):
+    """expected: ordered list of dicts; floats compared approximately."""
+    assert len(out) == len(expected), [tuple(r) for r in out]
+    for got, exp in zip(out, expected):
+        for k, v in exp.items():
+            g = got[k]
+            if isinstance(v, float):
+                assert g == pytest.approx(v, rel=rel), (k, g, v)
+            else:
+                assert g == v, (k, g, v)
+
+
+# the 4 standard expected rows for "metric maxIndex over a retyped
+# qualityLong-family dimension" — shared by 5 reference tests that differ
+# only in how the dimension is produced
+def _ql_family_rows(alias, vals):
+    idx = [217725.41940800005, 210865.67977600006, 12270.807093,
+           12086.472791]
+    rows_ = [279, 279, 93, 93]
+    mx = [1870.061029, 1862.737933, 277.273533, 193.787574]
+    mn = [91.270553, 99.284525, 71.315931, 84.710523]
+    return [{alias: v, "rows": r, "index": i,
+             "addRowsIndexConstant": i + r + 1, "maxIndex": a, "minIndex": b}
+            for v, r, i, a, b in zip(vals, rows_, idx, mx, mn)]
+
+
+def test_full_on_topn_float_column(spark, wiki_catalog):
+    """testFullOnTopNFloatColumn — the double `index` column grouped as a
+    FLOAT-typed dimension, top-4 by summed index."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "index",
+                "outputName": "index_alias", "outputType": "FLOAT"},
+               "index", post=ARIC)
+    check(out, [
+        {"index_alias": pytest.approx(1000.0), "rows": 2, "index": 2000.0,
+         "addRowsIndexConstant": 2003.0, "maxIndex": 1000.0,
+         "minIndex": 1000.0},
+        {"index_alias": pytest.approx(1870.061029, rel=1e-6), "rows": 1,
+         "index": 1870.061029, "addRowsIndexConstant": 1872.06103515625,
+         "maxIndex": 1870.061029, "minIndex": 1870.061029},
+        {"index_alias": pytest.approx(1862.737933, rel=1e-6), "rows": 1,
+         "index": 1862.737933, "addRowsIndexConstant": 1864.7379150390625,
+         "maxIndex": 1862.737933, "minIndex": 1862.737933},
+        {"index_alias": pytest.approx(1743.92175, rel=1e-6), "rows": 1,
+         "index": 1743.92175, "addRowsIndexConstant": 1745.9217529296875,
+         "maxIndex": 1743.92175, "minIndex": 1743.92175},
+    ])
+
+
+def test_full_on_topn_float_column_as_string(spark, wiki_catalog):
+    """testFullOnTopNFloatColumnAsString — a native FLOAT column grouped
+    with default (STRING) output renders Java-style ('14000.0')."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "qualityFloat",
+                "outputName": "qf_alias"},
+               "maxIndex", post=ARIC)
+    check(out, _ql_family_rows(
+        "qf_alias", ["14000.0", "16000.0", "10000.0", "12000.0"]))
+
+
+def test_full_on_topn_long_column(spark, wiki_catalog):
+    """testFullOnTopNLongColumn — native LONG dimension, top-4 by
+    maxIndex."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "qualityLong",
+                "outputName": "ql_alias", "outputType": "LONG"},
+               "maxIndex", post=ARIC)
+    check(out, _ql_family_rows("ql_alias", [1400, 1600, 1000, 1200]))
+
+
+def test_full_on_topn_long_virtual_column(spark, wiki_catalog):
+    """testFullOnTopNLongVirtualColumn — same rows through an expression
+    virtual column."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "ql_expr",
+                "outputName": "ql_alias", "outputType": "LONG"},
+               "maxIndex", post=ARIC,
+               virtualColumns=[{"type": "expression", "name": "ql_expr",
+                                "expression": "qualityLong",
+                                "outputType": "LONG"}])
+    check(out, _ql_family_rows("ql_alias", [1400, 1600, 1000, 1200]))
+
+
+def test_topn_string_virtual_column(spark, wiki_catalog):
+    """testTopNStringVirtualColumn — string-concat virtual column dimension
+    (market + ' ' + market), top by rows."""
+    out = topn(spark, wiki_catalog, "vc", "rows", intervals=F2T,
+               aggs=[{"type": "count", "name": "rows"},
+                     {"type": "doubleSum", "name": "index",
+                      "fieldName": "index"}],
+               post=ARIC,
+               virtualColumns=[{"type": "expression", "name": "vc",
+                                "expression": "market + ' ' + market",
+                                "outputType": "STRING"}])
+    check(out, [
+        {"vc": "spot spot", "rows": 18, "index": 2231.876812,
+         "addRowsIndexConstant": 2250.876812},
+        {"vc": "total_market total_market", "rows": 4, "index": 5351.814783,
+         "addRowsIndexConstant": 5356.814783},
+        {"vc": "upfront upfront", "rows": 4, "index": 4875.669692,
+         "addRowsIndexConstant": 4880.669692},
+    ])
+
+
+def test_full_on_topn_numeric_string_as_long(spark, wiki_catalog):
+    """testFullOnTopNNumericStringColumnAsLong."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "qualityNumericString",
+                "outputName": "qns_alias", "outputType": "LONG"},
+               "maxIndex", post=ARIC)
+    check(out, _ql_family_rows(
+        "qns_alias", [140000, 160000, 100000, 120000]))
+
+
+def test_full_on_topn_numeric_string_as_float(spark, wiki_catalog):
+    """testFullOnTopNNumericStringColumnAsFloat."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "qualityNumericString",
+                "outputName": "qns_alias", "outputType": "FLOAT"},
+               "maxIndex", post=ARIC)
+    check(out, _ql_family_rows(
+        "qns_alias", [140000.0, 160000.0, 100000.0, 120000.0]))
+
+
+def test_full_on_topn_long_time_column(spark, wiki_catalog):
+    """testFullOnTopNLongTimeColumn — __time retyped LONG groups by epoch
+    millis; top-4 days by maxIndex."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "__time",
+                "outputName": "time_alias", "outputType": "LONG"},
+               "maxIndex", post=ARIC)
+    check(out, [
+        {"time_alias": 1296345600000, "rows": 13, "index": 5497.331253051758,
+         "maxIndex": 1870.061029, "minIndex": 97.02391052246094},
+        {"time_alias": 1298678400000, "rows": 13, "index": 6541.463027954102,
+         "maxIndex": 1862.737933, "minIndex": 83.099365234375},
+        {"time_alias": 1301529600000, "rows": 13, "index": 6814.467971801758,
+         "maxIndex": 1734.27490234375, "minIndex": 93.39083862304688},
+        {"time_alias": 1294876800000, "rows": 13, "index": 6077.949111938477,
+         "maxIndex": 1689.0128173828125, "minIndex": 94.87471008300781},
+    ], rel=2e-5)
+
+
+def test_sort_on_double_as_long(spark, wiki_catalog):
+    """testSortOnDoubleAsLong — the double index column retyped LONG
+    (truncation collapses 59.021022/59.266595 into one 59 group), dimension
+    NUMERIC ascending sort, no aggregators."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "index",
+                "outputName": "index_alias", "outputType": "LONG"},
+               {"type": "dimension", "ordering": "numeric"}, aggs=[])
+    assert [r["index_alias"] for r in out] == [59, 67, 68, 69]
+
+
+def test_sort_on_time_as_long(spark, wiki_catalog):
+    """testSortOnTimeAsLong — __time as LONG, numeric dimension sort."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "__time",
+                "outputName": "__time_alias", "outputType": "LONG"},
+               {"type": "dimension", "ordering": "numeric"}, aggs=[])
+    assert [r["__time_alias"] for r in out] == [
+        1294790400000, 1294876800000, 1294963200000, 1295049600000]
+
+
+def test_sort_on_string_as_double(spark, wiki_catalog):
+    """testSortOnStringAsDouble — a non-numeric string dim cast DOUBLE is
+    all-null → a single null row survives the dimension sort."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "market",
+                "outputName": "alias", "outputType": "DOUBLE"},
+               {"type": "dimension", "ordering": "numeric"}, aggs=[])
+    assert len(out) == 1 and out[0]["alias"] is None
+
+
+def test_sort_on_double_as_double(spark, wiki_catalog):
+    """testSortOnDoubleAsDouble — no truncation: 59.021022 and 59.266595
+    stay distinct groups."""
+    out = topn(spark, wiki_catalog,
+               {"type": "default", "dimension": "index",
+                "outputName": "index_alias", "outputType": "DOUBLE"},
+               {"type": "dimension", "ordering": "numeric"}, aggs=[])
+    assert [r["index_alias"] for r in out] == pytest.approx(
+        [59.021022, 59.266595, 67.73117, 68.573162], rel=1e-6)
+
+
+def test_full_on_topn_string_output_as_long(spark, wiki_catalog):
+    """testFullOnTopNStringOutputAsLong — strlen extraction fn with LONG
+    outputType over `quality` ('mezzanine'→9, 'premium'→7, ...)."""
+    out = topn(spark, wiki_catalog,
+               {"type": "extraction", "dimension": "quality",
+                "outputName": "alias", "outputType": "LONG",
+                "extractionFn": {"type": "strlen"}},
+               "maxIndex", post=ARIC)
+    check(out, [
+        {"alias": 9, "rows": 279, "index": 217725.41940800005,
+         "maxIndex": 1870.061029, "minIndex": 91.270553},
+        {"alias": 7, "rows": 279, "index": 210865.67977600006,
+         "maxIndex": 1862.737933, "minIndex": 99.284525},
+        {"alias": 10, "rows": 186, "index": 20479.497562408447,
+         "maxIndex": 277.273533, "minIndex": 59.02102279663086},
+        {"alias": 13, "rows": 93, "index": 12086.472791,
+         "maxIndex": 193.787574, "minIndex": 84.710523},
+    ])
+
+
+def test_full_on_topn_string_format_extraction(spark, wiki_catalog):
+    """testFullOnTopNFloatColumnWithExFn's shape via stringFormat (the
+    reference uses a JavaScript 'super-'+str fn; stringFormat produces the
+    same rendering for the non-float rows asserted here)."""
+    out = topn(spark, wiki_catalog,
+               {"type": "extraction", "dimension": "qualityLong",
+                "outputName": "ql_alias",
+                "extractionFn": {"type": "stringFormat",
+                                 "format": "super-%s"}},
+               "maxIndex", post=ARIC)
+    check(out, _ql_family_rows(
+        "ql_alias",
+        ["super-1400", "super-1600", "super-1000", "super-1200"]))
+
+
+def test_full_on_topn_decoration_on_numeric(spark, wiki_catalog):
+    """testFullOnTopNDecorationOnNumeric — listFiltered whitelist over the
+    native LONG column; in topN the pruned rows are SKIPPED (3 rows out,
+    no null group — unlike groupBy)."""
+    out = topn(spark, wiki_catalog,
+               {"type": "listFiltered",
+                "delegate": {"type": "default", "dimension": "qualityLong",
+                             "outputName": "ql_alias", "outputType": "LONG"},
+                "values": ["1200", "1400", "1600"], "isWhitelist": True},
+               "maxIndex", post=ARIC)
+    exp = _ql_family_rows("ql_alias", [1400, 1600, 1000, 1200])
+    check(out, [exp[0], exp[1], exp[3]])
+
+
+def test_full_on_topn_with_aggs_on_numeric_dims(spark, wiki_catalog):
+    """testFullOnTopNWithAggsOnNumericDims (full combination) — longSum and
+    doubleSum over the native numeric dimension columns, top by index."""
+    out = topn(spark, wiki_catalog, "market", "index", post=ARIC,
+               aggs=COMMON_MAXMIN + [
+                   {"type": "longSum", "name": "qlLong",
+                    "fieldName": "qualityLong"},
+                   {"type": "doubleSum", "name": "qlFloat",
+                    "fieldName": "qualityLong"},
+                   {"type": "doubleSum", "name": "qfFloat",
+                    "fieldName": "qualityFloat"},
+                   {"type": "longSum", "name": "qfLong",
+                    "fieldName": "qualityFloat"}])
+    check(out, [
+        {"market": "total_market", "rows": 186, "index": 215679.82879638672,
+         "addRowsIndexConstant": 215866.82879638672, "maxIndex": 1743.92175,
+         "minIndex": 792.3260498046875, "qlLong": 279000,
+         "qlFloat": 279000.0, "qfFloat": 2790000.0, "qfLong": 2790000},
+        {"market": "upfront", "rows": 186, "index": 192046.1060180664,
+         "addRowsIndexConstant": 192233.1060180664, "maxIndex": 1870.061029,
+         "minIndex": 545.9906005859375, "qlLong": 279000,
+         "qlFloat": 279000.0, "qfFloat": 2790000.0, "qfLong": 2790000},
+        {"market": "spot", "rows": 837, "index": 95606.57232284546,
+         "addRowsIndexConstant": 96444.57232284546, "maxIndex": 277.273533,
+         "minIndex": 59.02102279663086, "qlLong": 1171800,
+         "qlFloat": 1171800.0, "qfFloat": 11718000.0, "qfLong": 11718000},
+    ])
+
+
+def test_full_on_topn_bound_filter_empty(spark, wiki_catalog):
+    """testFullOnTopNBoundFilterAndLongSumMetric — an impossible numeric
+    bound (0 < index < 46.6, both exclusive, below the min) returns an
+    EMPTY result, not an error (apache/druid#4628 regression)."""
+    out = topn(spark, wiki_catalog, {"type": "default",
+                                     "dimension": "market",
+                                     "outputName": "Market"},
+               "Count",
+               aggs=[{"type": "longSum", "name": "Count",
+                      "fieldName": "qualityLong"}],
+               threshold=5,
+               filter={"type": "bound", "dimension": "index",
+                       "lower": "0", "upper": "46.64980229268867",
+                       "lowerStrict": True, "upperStrict": True,
+                       "ordering": "numeric"})
+    assert out == []
+
+
+def test_topn_with_non_bitmap_filter(spark, wiki_catalog):
+    """testTopNWithNonBitmapFilter — numeric bound on __time completes
+    (apache/druid#5132 regression)."""
+    out = topn(spark, wiki_catalog, "market", "count", intervals=F2T,
+               aggs=[{"type": "doubleSum", "name": "count",
+                      "fieldName": "qualityDouble"}],
+               filter={"type": "bound", "dimension": "__time",
+                       "lower": "0", "upper": str(2**63 - 1),
+                       "lowerStrict": True, "upperStrict": True,
+                       "ordering": "numeric"})
+    assert len(out) == 3
+
+
+def test_topn_order_by_long_numeric_column_with_nulls(spark, wiki_catalog):
+    """test_topN_orderByLongNumericColumnWithNulls_returnsDescendingResults
+    — numeric metric desc puts null aggregates LAST; ties keep dimension
+    order."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": SECOND,
+         "dimension": {"type": "default", "dimension": "index",
+                       "outputName": "index_alias", "outputType": "LONG"},
+         "metric": "longNumericNull", "threshold": 10000,
+         "aggregations": [{"type": "longSum", "name": "longNumericNull",
+                           "fieldName": "longNumericNull"}]}
+    out = [(r["index_alias"], r["longNumericNull"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    exp = [(97, 80), (135, 70), (1049, 70), (1321, 70), (110, 50),
+           (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10),
+           (114, None), (126, None), (166, None)]
+    assert sorted(out[:10]) == sorted(exp[:10])
+    assert out[0] == (97, 80)
+    assert sorted(x[0] for x in out[10:]) == [114, 126, 166]
+    assert all(x[1] is None for x in out[10:])
+
+
+def test_topn_aggregate_on_numeric_null_columns(spark, wiki_catalog):
+    """testAggregateOnLongNumericNull / Double / Float — grouping on a
+    nullable numeric column keeps the null group; numeric dimension sort
+    puts null FIRST."""
+    for col, typ in [("longNumericNull", "LONG"),
+                     ("doubleNumericNull", "DOUBLE"),
+                     ("floatNumericNull", "FLOAT")]:
+        out = topn(spark, wiki_catalog,
+                   {"type": "default", "dimension": col,
+                    "outputName": "dim", "outputType": typ},
+                   {"type": "dimension", "ordering": "numeric"},
+                   aggs=[{"type": "count", "name": "count"}],
+                   threshold=10000)
+        got = [(r["dim"], r["count"]) for r in out]
+        vals = [None, 10, 20, 40, 50, 70, 80]
+        counts = [279, 93, 93, 93, 279, 279, 93]
+        exp = [(None if v is None else (float(v) if typ != "LONG" else v), c)
+               for v, c in zip(vals, counts)]
+        assert got == exp, (col, got)
+
+
+def test_topn_expression_aggregator(spark, wiki_catalog):
+    """testExpressionAggregator — expressionLambda aggregators: a zero-field
+    count, a sum, a decomposed sum (array combine + fold finalize), and a
+    distinct-set array agg."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL, "dimension": "market",
+         "metric": "diy_count", "threshold": 4,
+         "aggregations": [
+             {"type": "expression", "name": "diy_count", "fields": [],
+              "initialValue": "0", "fold": "__acc + 1",
+              "combine": "__acc + diy_count"},
+             {"type": "expression", "name": "diy_sum", "fields": ["index"],
+              "initialValue": "0.0", "fold": "__acc + index"},
+             {"type": "expression", "name": "diy_decomposed_sum",
+              "fields": ["index"], "initialValue": "0.0",
+              "initialCombineValue": "<DOUBLE>[]",
+              "fold": "__acc + index",
+              "combine": "array_concat(__acc, diy_decomposed_sum)",
+              "finalize": "fold((x, acc) -> x + acc, o, 0.0)"},
+             {"type": "expression", "name": "array_agg_distinct",
+              "fields": ["quality"], "accumulatorIdentifier": "acc",
+              "initialValue": "[]",
+              "fold": "array_set_add(acc, quality)",
+              "combine": "array_set_add_all(acc, array_agg_distinct)"}]}
+    out = {r["market"]: r for r in translate(q, spark, wiki_catalog).collect()}
+    assert set(out) == {"spot", "total_market", "upfront"}
+    assert out["spot"]["diy_count"] == 837
+    assert out["spot"]["diy_sum"] == pytest.approx(95606.57232284546,
+                                                   rel=2e-6)
+    assert out["spot"]["diy_decomposed_sum"] == pytest.approx(
+        95606.57232284546, rel=2e-6)
+    assert sorted(out["spot"]["array_agg_distinct"]) == [
+        "automotive", "business", "entertainment", "health", "mezzanine",
+        "news", "premium", "technology", "travel"]
+    for mk, cnt, s in [("total_market", 186, 215679.82879638672),
+                       ("upfront", 186, 192046.1060180664)]:
+        assert out[mk]["diy_count"] == cnt
+        assert out[mk]["diy_sum"] == pytest.approx(s, rel=2e-6)
+        assert sorted(out[mk]["array_agg_distinct"]) == ["mezzanine",
+                                                         "premium"]
+
+
+def test_alphanumeric_topn_with_null_previous_stop(spark, wiki_catalog):
+    """testAlphaNumericTopNWithNullPreviousStop — dimension spec with the
+    ALPHANUMERIC comparator and no previousStop."""
+    out = topn(spark, wiki_catalog, "market",
+               {"type": "dimension", "ordering": "alphanumeric"},
+               aggs=[{"type": "count", "name": "rows"}],
+               threshold=2, intervals=SECOND)
+    assert [(r["market"], r["rows"]) for r in out] == [
+        ("spot", 9), ("total_market", 2)]
+
+
+def test_numeric_dimension_topn_with_null_previous_stop(spark, wiki_catalog):
+    """testNumericDimensionTopNWithNullPreviousStop — NUMERIC comparator
+    over non-numeric strings: all parse to null → sort-key ties, stable
+    outcome matches the reference (spot, total_market)."""
+    out = topn(spark, wiki_catalog, "market",
+               {"type": "dimension", "ordering": "numeric"},
+               aggs=[{"type": "count", "name": "rows"}],
+               threshold=2, intervals=SECOND)
+    assert [(r["market"], r["rows"]) for r in out] == [
+        ("spot", 9), ("total_market", 2)]
+
+
+def test_topn_over_null_dimension(spark, wiki_catalog):
+    """testTopNOverNullDimension — a nonexistent dimension reads as one
+    all-null group over every row."""
+    out = topn(spark, wiki_catalog, "null_column", "index", post=ARIC)
+    check(out, [{"null_column": None, "rows": 1209,
+                 "index": 503332.5071372986,
+                 "addRowsIndexConstant": 504542.5071372986,
+                 "maxIndex": 1870.061029,
+                 "minIndex": 59.02102279663086}])
+
+
+def test_topn_over_null_dimension_with_filter(spark, wiki_catalog):
+    """testTopNOverNullDimensionWithFilter — selector(null) on the
+    nonexistent column matches everything."""
+    out = topn(spark, wiki_catalog, "null_column", "index", post=ARIC,
+               filter={"type": "selector", "dimension": "null_column",
+                       "value": None})
+    check(out, [{"null_column": None, "rows": 1209,
+                 "index": 503332.5071372986,
+                 "maxIndex": 1870.061029, "minIndex": 59.02102279663086}])
+
+
+def test_topn_over_partial_null_dimension(spark, wiki_catalog):
+    """testTopNOverPartialNullDimension (+ the two filtered variants) —
+    a column null for most rows groups into (null, 'value')."""
+    base = dict(aggs=[{"type": "count", "name": "rows"},
+                      {"type": "doubleSum", "name": "index",
+                       "fieldName": "index"}],
+                threshold=1000, intervals=F2T)
+    out = topn(spark, wiki_catalog, "partial_null_column", "rows", **base)
+    got = {r["partial_null_column"]: (r["rows"], r["index"]) for r in out}
+    assert got[None][0] == 22
+    assert got[None][1] == pytest.approx(7583.691513061523, rel=2e-5)
+    assert got["value"][0] == 4
+    assert got["value"][1] == pytest.approx(4875.669692, rel=2e-6)
+    # filter on the null value keeps only the null group
+    out = topn(spark, wiki_catalog, "partial_null_column", "rows",
+               filter={"type": "selector",
+                       "dimension": "partial_null_column", "value": None},
+               **base)
+    assert len(out) == 1 and out[0]["partial_null_column"] is None
+    assert out[0]["rows"] == 22
+    # filter on the not-null value keeps only 'value'
+    out = topn(spark, wiki_catalog, "partial_null_column", "rows",
+               filter={"type": "selector",
+                       "dimension": "partial_null_column",
+                       "value": "value"},
+               **base)
+    assert len(out) == 1 and out[0]["partial_null_column"] == "value"
+    assert out[0]["rows"] == 4
+
+
+# --------------------------------------------------------------------------
+# TimeseriesQueryRunnerTest tranche
+# --------------------------------------------------------------------------
+
+TS_COMMON = [
+    {"type": "count", "name": "rows"},
+    {"type": "doubleSum", "name": "index", "fieldName": "index"},
+]
+
+
+def ts(spark, cat, aggs, intervals=None, granularity="all", post=None,
+       **extra):
+    q = {"queryType": "timeseries", "dataSource": "wiki",
+         "granularity": granularity, "intervals": intervals or F2T,
+         "aggregations": aggs}
+    if post is not None:
+        q["postAggregations"] = post
+    q.update(extra)
+    return translate(q, spark, cat).collect()
+
+
+def test_ts_filtered_agg(spark, wiki_catalog):
+    """testTimeSeriesWithFilteredAgg — filtered count vs unfiltered sums in
+    one pass."""
+    out = ts(spark, wiki_catalog,
+             TS_COMMON + [{"type": "filtered",
+                           "filter": {"type": "selector",
+                                      "dimension": "market",
+                                      "value": "spot"},
+                           "aggregator": {"type": "count",
+                                          "name": "filteredAgg"}}],
+             post=ARIC)
+    assert len(out) == 1
+    r = out[0]
+    assert r["filteredAgg"] == 18 and r["rows"] == 26
+    assert r["index"] == pytest.approx(12459.361190795898, rel=2e-6)
+    assert r["addRowsIndexConstant"] == pytest.approx(12486.361190795898,
+                                                      rel=2e-6)
+
+
+def test_ts_filtered_and_expression_filtered_agg(spark, wiki_catalog):
+    """testTimeSeriesWithFilteredAggAndExpressionFilteredAgg — the same
+    count expressed as long/double/float sums over an if() expression."""
+    out = ts(spark, wiki_catalog,
+             TS_COMMON + [
+                 {"type": "filtered",
+                  "filter": {"type": "selector", "dimension": "market",
+                             "value": "spot"},
+                  "aggregator": {"type": "count", "name": "filteredAgg"}},
+                 {"type": "longSum", "name": "altLongCount",
+                  "expression": "if (market == 'spot', 1, 0)"},
+                 {"type": "doubleSum", "name": "altDoubleCount",
+                  "expression": "if (market == 'spot', 1, 0)"},
+                 {"type": "floatSum", "name": "altFloatCount",
+                  "expression": "if (market == 'spot', 1, 0)"}])
+    r = out[0]
+    assert (r["filteredAgg"], r["altLongCount"], r["altDoubleCount"],
+            r["altFloatCount"]) == (18, 18, 18.0, 18.0)
+
+
+def test_ts_filtered_agg_nonexistent_dimension(spark, wiki_catalog):
+    """testTimeSeriesWithFilteredAggDimensionNotPresent{Not,}NullValue —
+    a filter on a nonexistent column matches nothing for a value, and
+    everything for null."""
+    out = ts(spark, wiki_catalog,
+             TS_COMMON + [{"type": "filtered",
+                           "filter": {"type": "selector",
+                                      "dimension": "abraKaDabra",
+                                      "value": "Lol"},
+                           "aggregator": {"type": "count",
+                                          "name": "filteredAgg"}}])
+    assert out[0]["filteredAgg"] == 0
+    out = ts(spark, wiki_catalog,
+             TS_COMMON + [{"type": "filtered",
+                           "filter": {"type": "selector",
+                                      "dimension": "abraKaDabra",
+                                      "value": None},
+                           "aggregator": {"type": "count",
+                                          "name": "filteredAgg"}}])
+    assert out[0]["filteredAgg"] == 26
+
+
+def test_ts_filtered_agg_not_filters(spark, wiki_catalog):
+    """testTimeSeriesWithFilteredAggValueNotPresent +
+    InvertedNullValue — NOT of a never-matching selector counts all rows;
+    NOT null on a never-null column too."""
+    for val in ("LolLol", None):
+        out = ts(spark, wiki_catalog,
+                 TS_COMMON + [{"type": "filtered",
+                               "filter": {"type": "not",
+                                          "field": {"type": "selector",
+                                                    "dimension": "market",
+                                                    "value": val}},
+                               "aggregator": {"type": "count",
+                                              "name": "filteredAgg"}}])
+        assert out[0]["filteredAgg"] == 26, val
+
+
+def test_ts_time_column_long_sum(spark, wiki_catalog):
+    """testTimeseriesWithTimeColumn — longSum over __time sums epoch
+    millis (the JS aggregator branch is the deliberate raise)."""
+    out = ts(spark, wiki_catalog,
+             [{"type": "count", "name": "rows"},
+              {"type": "longSum", "name": "sumtime",
+               "fieldName": "__time"}])
+    assert out[0]["rows"] == 26 and out[0]["sumtime"] == 33843139200000
+
+
+def test_ts_bound_filter_and(spark, wiki_catalog):
+    """testTimeseriesWithBoundFilter1 — three ANDed lexicographic bounds
+    pin market == 'spot' exactly."""
+    out = ts(spark, wiki_catalog,
+             [{"type": "count", "name": "rows"},
+              {"type": "longSum", "name": "index", "fieldName": "index"}],
+             granularity="day",
+             filter={"type": "and", "fields": [
+                 {"type": "bound", "dimension": "market", "lower": "spa",
+                  "upper": "spot", "lowerStrict": True},
+                 {"type": "bound", "dimension": "market", "lower": "spot",
+                  "upper": "spotify", "upperStrict": True},
+                 {"type": "bound", "dimension": "market", "lower": "SPOT",
+                  "upper": "spot"}]})
+    got = [(str(r["__time"])[:10], r["rows"], r["index"]) for r in out]
+    assert got == [("2011-04-01", 9, 1102), ("2011-04-02", 9, 1120)]
+
+
+def test_ts_selector_with_lookup_extraction_fn(spark, wiki_catalog):
+    """testTimeSeriesWithSelectionFilterLookupExtractionFn — selector
+    value 'upfront' matched AFTER a lookup maps spot→upfront with
+    retainMissingValue, so spot+upfront rows both match."""
+    out = ts(spark, wiki_catalog,
+             [{"type": "count", "name": "rows"},
+              {"type": "longSum", "name": "index", "fieldName": "index"}],
+             granularity="day",
+             filter={"type": "selector", "dimension": "market",
+                     "value": "upfront",
+                     "extractionFn": {
+                         "type": "lookup",
+                         "lookup": {"type": "map",
+                                    "map": {"spot": "upfront"}},
+                         "retainMissingValue": True}})
+    got = [(str(r["__time"])[:10], r["rows"], r["index"]) for r in out]
+    assert got == [("2011-04-01", 11, 3783), ("2011-04-02", 11, 3313)]
+
+
+def test_ts_with_limit(spark, wiki_catalog):
+    """testTimeseriesWithLimit — day series over the full interval capped
+    at 10 buckets."""
+    out = ts(spark, wiki_catalog,
+             [{"type": "count", "name": "rows"}],
+             intervals=FULL, granularity="day", limit=10)
+    assert len(out) == 10
+
+
+def test_ts_cardinality_on_expression_virtual_column(spark, wiki_catalog):
+    """testTimeseriesCardinalityAggOnMultiStringExpression — cardinality
+    over a concat virtual column; 13 distinct (quality,market) combos (the
+    reference asserts its HLL estimate 13.04; this engine is exact)."""
+    out = ts(spark, wiki_catalog,
+             [{"type": "count", "name": "rows"},
+              {"type": "cardinality", "name": "numVals",
+               "fields": ["v0"], "byRow": False}],
+             virtualColumns=[{"type": "expression", "name": "v0",
+                              "expression": "concat(quality,market)",
+                              "outputType": "STRING"}])
+    assert out[0]["rows"] == 26
+    assert round(float(out[0]["numVals"])) == 13
