@@ -361,15 +361,19 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
     if t == "doubleMean":
         # mean/DoubleMeanAggregatorFactory.java
         return F.avg(fnum().cast("double"))
-    if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
+    if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst",
+             "stringFirstFold"):
         # first/*AggregatorFactory.java — value at min __time; over a
-        # rollup-stored pair column, at min ORIGINAL timestamp (the pair's t)
+        # rollup-stored pair column, at min ORIGINAL timestamp (the pair's t).
+        # stringFirstFold/stringLastFold are the explicit folding factories
+        # for stored pairs — same path (_is_firstlast_state detects pairs).
         fname = spec.get("fieldName")
         if _is_firstlast_state(ctx, fname):
             col = ctx.resolve(fname)
             return F.min_by(col["v"], col["t"])
         return F.min_by(f(), ctx.resolve(TIME_COLUMN))
-    if t in ("longLast", "doubleLast", "floatLast", "stringLast"):
+    if t in ("longLast", "doubleLast", "floatLast", "stringLast",
+             "stringLastFold"):
         fname = spec.get("fieldName")
         if _is_firstlast_state(ctx, fname):
             col = ctx.resolve(fname)

@@ -219,3 +219,161 @@ def test_search_all_spec_matches_every_value(spark, foo_catalog):
          "query": {"type": "all"}}
     out = translate(q, spark, foo_catalog).collect()
     assert {r["value"] for r in out} == {"", "10.1", "2", "1", "def", "abc"}
+
+
+AGGREGATORS = {
+    # AggregatorsModule.java:94-125 — every registered aggregator type name
+    "count": {"type": "count", "name": "a"},
+    "longSum": {"type": "longSum", "name": "a", "fieldName": "cnt"},
+    "doubleSum": {"type": "doubleSum", "name": "a", "fieldName": "m2"},
+    "floatSum": {"type": "floatSum", "name": "a", "fieldName": "m1"},
+    "doubleMax": {"type": "doubleMax", "name": "a", "fieldName": "m2"},
+    "floatMin": {"type": "floatMin", "name": "a", "fieldName": "m1"},
+    "floatMax": {"type": "floatMax", "name": "a", "fieldName": "m1"},
+    "doubleMin": {"type": "doubleMin", "name": "a", "fieldName": "m2"},
+    "longMax": {"type": "longMax", "name": "a", "fieldName": "cnt"},
+    "longMin": {"type": "longMin", "name": "a", "fieldName": "cnt"},
+    "javascript": None,
+    "histogram": {"type": "histogram", "name": "a", "fieldName": "m2",
+                  "breaks": [0.0, 3.0, 7.0]},
+    "hyperUnique": {"type": "hyperUnique", "name": "a", "fieldName": "dim1"},
+    "cardinality": {"type": "cardinality", "name": "a", "fields": ["dim1"]},
+    "filtered": {"type": "filtered", "filter": {"type": "true"},
+                 "aggregator": {"type": "count", "name": "a"}},
+    "longFirst": {"type": "longFirst", "name": "a", "fieldName": "cnt"},
+    "doubleFirst": {"type": "doubleFirst", "name": "a", "fieldName": "m2"},
+    "floatFirst": {"type": "floatFirst", "name": "a", "fieldName": "m1"},
+    "stringFirst": {"type": "stringFirst", "name": "a", "fieldName": "dim1"},
+    "stringFirstFold": {"type": "stringFirstFold", "name": "a",
+                        "fieldName": "dim1"},
+    "longLast": {"type": "longLast", "name": "a", "fieldName": "cnt"},
+    "doubleLast": {"type": "doubleLast", "name": "a", "fieldName": "m2"},
+    "doubleMean": {"type": "doubleMean", "name": "a", "fieldName": "m2"},
+    "floatLast": {"type": "floatLast", "name": "a", "fieldName": "m1"},
+    "stringLast": {"type": "stringLast", "name": "a", "fieldName": "dim1"},
+    "stringLastFold": {"type": "stringLastFold", "name": "a",
+                       "fieldName": "dim1"},
+    "longAny": {"type": "longAny", "name": "a", "fieldName": "cnt"},
+    "floatAny": {"type": "floatAny", "name": "a", "fieldName": "m1"},
+    "doubleAny": {"type": "doubleAny", "name": "a", "fieldName": "m2"},
+    "stringAny": {"type": "stringAny", "name": "a", "fieldName": "dim1"},
+    # "grouping" needs subtotals context — covered by gb_subtotals
+    "expression": {"type": "expression", "name": "a", "fields": ["m2"],
+                   "initialValue": "0.0", "fold": "__acc + m2"},
+}
+
+POST_AGGS = {
+    # AggregatorsModule.java:133-143
+    "expression": {"type": "expression", "name": "p", "expression": "a + 1"},
+    "arithmetic": {"type": "arithmetic", "name": "p", "fn": "+",
+                   "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                              {"type": "constant", "value": 1}]},
+    "fieldAccess": {"type": "arithmetic", "name": "p", "fn": "*",
+                    "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                               {"type": "fieldAccess", "fieldName": "a"}]},
+    "finalizingFieldAccess": {"type": "arithmetic", "name": "p", "fn": "+",
+                              "fields": [{"type": "finalizingFieldAccess",
+                                          "fieldName": "a"},
+                                         {"type": "constant", "value": 0}]},
+    "constant": {"type": "constant", "name": "p", "value": 42},
+    "javascript": None,
+    "doubleGreatest": {"type": "doubleGreatest", "name": "p",
+                       "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                  {"type": "constant", "value": 1}]},
+    "doubleLeast": {"type": "doubleLeast", "name": "p",
+                    "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                               {"type": "constant", "value": 1}]},
+    "longGreatest": {"type": "longGreatest", "name": "p",
+                     "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                {"type": "constant", "value": 1}]},
+    "longLeast": {"type": "longLeast", "name": "p",
+                  "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                             {"type": "constant", "value": 1}]},
+}
+
+
+@pytest.mark.parametrize("name", sorted(AGGREGATORS))
+def test_aggregator_types(name, spark, foo_catalog):
+    spec = AGGREGATORS[name]
+    if spec is None:
+        q = {"queryType": "timeseries", "dataSource": "foo",
+             "granularity": "all", "intervals": INTERVAL,
+             "aggregations": [{"type": "javascript", "name": "a",
+                               "fieldNames": ["m1"], "fnAggregate": "f",
+                               "fnCombine": "f", "fnReset": "f"}]}
+        with pytest.raises(NotImplementedError):
+            _run(q, spark, foo_catalog)
+        return
+    q = {"queryType": "timeseries", "dataSource": "foo",
+         "granularity": "all", "intervals": INTERVAL,
+         "aggregations": [spec]}
+    _run(q, spark, foo_catalog)
+
+
+@pytest.mark.parametrize("name", sorted(POST_AGGS))
+def test_post_aggregator_types(name, spark, foo_catalog):
+    spec = POST_AGGS[name]
+    q = {"queryType": "timeseries", "dataSource": "foo",
+         "granularity": "all", "intervals": INTERVAL,
+         "aggregations": [{"type": "doubleSum", "name": "a",
+                           "fieldName": "m2"}]}
+    if spec is None:
+        q["postAggregations"] = [{"type": "javascript", "name": "p",
+                                  "fieldNames": ["a"], "function": "f"}]
+        with pytest.raises(NotImplementedError):
+            _run(q, spark, foo_catalog)
+        return
+    q["postAggregations"] = [spec]
+    _run(q, spark, foo_catalog)
+
+
+DATASOURCES = {
+    # DataSource.java:33-39
+    "table": {"type": "table", "name": "foo"},
+    "query": {"type": "query",
+              "query": {"queryType": "scan", "dataSource": "foo",
+                        "intervals": INTERVAL, "columns": ["dim1", "cnt"]}},
+    "union": {"type": "union", "dataSources": ["foo", "foo"]},
+    "join": {"type": "join", "left": "foo",
+             "right": {"type": "lookup", "lookup": "lookyloo"},
+             "rightPrefix": "j0.", "condition": "dim1 == \"j0.k\"",
+             "joinType": "INNER"},
+    "lookup": {"type": "lookup", "lookup": "lookyloo"},
+    "inline": {"type": "inline", "columnNames": ["dim1", "cnt"],
+               "rows": [["a", 1], ["b", 2]]},
+    "globalTable": {"type": "globalTable", "name": "foo"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(DATASOURCES))
+def test_datasource_types(name, spark, foo_catalog):
+    ds = DATASOURCES[name]
+    q = {"queryType": "scan", "dataSource": ds, "intervals": INTERVAL,
+         "limit": 3}
+    if name in ("lookup", "inline"):
+        q.pop("intervals")  # lookup/inline tables have no __time
+        q["intervals"] = None
+    df = __import__("incubator_druid_spark").translate(
+        {k: v for k, v in q.items() if v is not None}, spark, foo_catalog)
+    assert df.count() >= 0
+
+
+GRANULARITIES = [
+    "all", "none", "second", "minute", "five_minute", "ten_minute",
+    "fifteen_minute", "thirty_minute", "hour", "six_hour", "eight_hour",
+    "day", "week", "month", "quarter", "year",
+    {"type": "duration", "duration": 3600000},
+    {"type": "period", "period": "PT2H"},
+    {"type": "period", "period": "P1M", "timeZone": "America/Los_Angeles",
+     "origin": "2000-01-03T00:00:00Z"},
+]
+
+
+@pytest.mark.parametrize("gran", [str(g) for g in GRANULARITIES])
+def test_granularity_types(gran, spark, foo_catalog):
+    g = next(x for x in GRANULARITIES if str(x) == gran)
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": g,
+         "intervals": ["2000-01-01T00:00:00Z/2000-01-04T00:00:00Z"],
+         "aggregations": [{"type": "count", "name": "rows"}],
+         "context": {"skipEmptyBuckets": True}}
+    _run(q, spark, foo_catalog)
