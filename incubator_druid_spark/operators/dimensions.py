@@ -63,7 +63,14 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
             col = col.cast("string")
         return out, col, is_arr
     if t == "extraction":
-        # extraction applies per-value for MVDs
+        # extraction applies per-value for MVDs.  __time's selector serves
+        # its LONG storage (epoch millis), so a string-shaped extraction fn
+        # over __time sees '1301616000000', not a rendered datetime
+        # (GroupByQueryRunnerTest.testGroupByLongTimeColumnWithExFn);
+        # timeFormat is the one fn that interprets the value AS a time.
+        if (isinstance(types.get(dim), T.TimestampType)
+                and spec["extractionFn"].get("type") != "timeFormat"):
+            col = F.unix_millis(col)
         if is_arr:
             col = F.transform(col, lambda v: compile_extraction(spec["extractionFn"], v))
         else:

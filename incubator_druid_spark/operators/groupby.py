@@ -53,6 +53,20 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     ctx = FilterContext(df)
     agg_specs = query.get("aggregations") or []
 
+    # GroupByQuery.java verifyOutputNames — dimension / aggregator /
+    # post-aggregator output names must be unique
+    seen: set[str] = set()
+    for n in (list(dim_names)
+              + [a.get("aggregator", {}).get("name")
+                 if a.get("type") == "filtered" else a.get("name")
+                 for a in agg_specs]
+              + [p.get("name") for p in query.get("postAggregations") or []]):
+        if n is None:
+            continue
+        if n in seen:
+            raise ValueError(f"[{n}] already defined")
+        seen.add(n)
+
     subtotals = query.get("subtotalsSpec")
     if subtotals:
         if keyed is not None:
@@ -66,7 +80,12 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
     else:
         aggs = compile_aggregations(agg_specs, ctx, query)
-        out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
+        if not aggs and keys:
+            # no aggregators (GroupByQueryRunnerTest.testGroupByNoAggregators)
+            # — the result is the distinct group keys
+            out = df.select(*[qcol(k) for k in keys]).distinct()
+        else:
+            out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
 
     post = compile_post_aggregations(
         keyed["remaining_posts"] if keyed is not None

@@ -1,0 +1,300 @@
+"""Round-3 GroupByQueryRunnerTest tranche — typed numeric dimension columns,
+__time-as-LONG extraction inputs, string-default rendering, dim-filter having
+over typed aliases, duration granularity, and no-aggregator grouping
+(processing/src/test/java/org/apache/druid/query/groupby/
+GroupByQueryRunnerTest.java).  Reference doubles compare at 1e-6 relative;
+the reference's JavaScript 'super-'+str extraction fns port through the
+equivalent stringFormat fn (javascript is a deliberate raise)."""
+
+import pytest
+
+from incubator_druid_spark import translate
+
+F2T = ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"]
+
+
+def gb(spark, cat, dims, aggs=None, granularity="day", intervals=None,
+       **extra):
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": granularity, "intervals": intervals or F2T,
+         "dimensions": dims,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"},
+         ] if aggs is None else aggs}
+    q.update(extra)
+    return translate(q, spark, cat)
+
+
+ENT = {"type": "selector", "dimension": "quality", "value": "entertainment"}
+ENT_TECH = {"type": "in", "dimension": "quality",
+            "values": ["entertainment", "technology"]}
+
+
+def test_group_by_long_column(spark, wiki_catalog):
+    """testGroupByLongColumn — LONG-typed dim, numeric asc order."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "qualityLong",
+               "outputName": "ql_alias", "outputType": "LONG"}],
+             filter=ENT,
+             limitSpec={"type": "default", "columns": [
+                 {"dimension": "ql_alias", "direction": "ascending",
+                  "dimensionOrder": "numeric"}]}).collect()
+    got = sorted((str(r["__time"])[:10], r["ql_alias"], r["rows"], r["idx"])
+                 for r in out)
+    assert got == [("2011-04-01", 1200, 1, 158),
+                   ("2011-04-02", 1200, 1, 166)]
+
+
+def test_group_by_long_column_descending(spark, wiki_catalog):
+    """testGroupByLongColumnDescending — numeric DESC limit ordering."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "qualityLong",
+               "outputName": "ql_alias", "outputType": "LONG"}],
+             granularity="all", filter=ENT_TECH,
+             limitSpec={"type": "default", "columns": [
+                 {"dimension": "ql_alias", "direction": "descending",
+                  "dimensionOrder": "numeric"}]}).collect()
+    assert [(r["ql_alias"], r["rows"], r["idx"]) for r in out] == [
+        (1700, 2, 175), (1200, 2, 324)]
+
+
+def test_group_by_long_column_with_ex_fn(spark, wiki_catalog):
+    """testGroupByLongColumnWithExFn's shape via stringFormat."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "extraction", "dimension": "qualityLong",
+               "outputName": "ql_alias",
+               "extractionFn": {"type": "stringFormat",
+                                "format": "super-%s"}}],
+             filter=ENT).collect()
+    got = sorted((str(r["__time"])[:10], r["ql_alias"], r["rows"], r["idx"])
+                 for r in out)
+    assert got == [("2011-04-01", "super-1200", 1, 158),
+                   ("2011-04-02", "super-1200", 1, 166)]
+
+
+def test_group_by_long_time_column(spark, wiki_catalog):
+    """testGroupByLongTimeColumn — __time as LONG groups by epoch millis."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "__time",
+               "outputName": "time_alias", "outputType": "LONG"}],
+             filter=ENT).collect()
+    got = sorted((r["time_alias"], r["rows"], r["idx"]) for r in out)
+    assert got == [(1301616000000, 1, 158), (1301702400000, 1, 166)]
+
+
+def test_group_by_long_time_column_with_ex_fn(spark, wiki_catalog):
+    """testGroupByLongTimeColumnWithExFn — a string extraction fn over
+    __time sees the MILLIS rendering ('super-1301616000000'), not a
+    formatted datetime."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "extraction", "dimension": "__time",
+               "outputName": "time_alias",
+               "extractionFn": {"type": "stringFormat",
+                                "format": "super-%s"}}],
+             filter=ENT).collect()
+    got = sorted((r["time_alias"], r["rows"], r["idx"]) for r in out)
+    assert got == [("super-1301616000000", 1, 158),
+                   ("super-1301702400000", 1, 166)]
+
+
+def test_group_by_float_column(spark, wiki_catalog):
+    """testGroupByFloatColumn — the double index column as a FLOAT dim."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "index",
+               "outputName": "index_alias", "outputType": "FLOAT"}],
+             filter=ENT,
+             limitSpec={"type": "default", "columns": [
+                 {"dimension": "index_alias", "direction": "ascending",
+                  "dimensionOrder": "numeric"}]}).collect()
+    got = sorted((str(r["__time"])[:10], r["index_alias"], r["rows"],
+                  r["idx"]) for r in out)
+    assert got[0][0] == "2011-04-01"
+    assert got[0][1] == pytest.approx(158.747224, rel=1e-6)
+    assert got[0][2:] == (1, 158)
+    assert got[1][0] == "2011-04-02"
+    assert got[1][1] == pytest.approx(166.016049, rel=1e-6)
+    assert got[1][2:] == (1, 166)
+
+
+def test_group_by_float_column_descending(spark, wiki_catalog):
+    """testGroupByFloatColumnDescending."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "qualityFloat",
+               "outputName": "qf_alias", "outputType": "FLOAT"}],
+             granularity="all", filter=ENT_TECH,
+             limitSpec={"type": "default", "columns": [
+                 {"dimension": "qf_alias", "direction": "descending",
+                  "dimensionOrder": "numeric"}]}).collect()
+    assert [(r["qf_alias"], r["rows"], r["idx"]) for r in out] == [
+        (17000.0, 2, 175), (12000.0, 2, 324)]
+
+
+def test_group_by_double_column_descending(spark, wiki_catalog):
+    """testGroupByDoubleColumnDescending."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "qualityDouble",
+               "outputName": "alias", "outputType": "DOUBLE"}],
+             granularity="all", filter=ENT_TECH,
+             limitSpec={"type": "default", "columns": [
+                 {"dimension": "alias", "direction": "descending",
+                  "dimensionOrder": "numeric"}]}).collect()
+    assert [(r["alias"], r["rows"], r["idx"]) for r in out] == [
+        (17000.0, 2, 175), (12000.0, 2, 324)]
+
+
+def test_group_by_float_column_with_ex_fn(spark, wiki_catalog):
+    """testGroupByFloatColumnWithExFn — stringFormat over the double index
+    renders the Java double string."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "extraction", "dimension": "index",
+               "outputName": "index_alias",
+               "extractionFn": {"type": "stringFormat",
+                                "format": "super-%s"}}],
+             filter=ENT).collect()
+    got = sorted((str(r["__time"])[:10], r["index_alias"], r["rows"],
+                  r["idx"]) for r in out)
+    assert got == [("2011-04-01", "super-158.747224", 1, 158),
+                   ("2011-04-02", "super-166.016049", 1, 166)]
+
+
+def test_group_by_having_on_long_and_float(spark, wiki_catalog):
+    """testGroupByWithHavingSpecOnLongAndFloat — dim-filter having over
+    typed output aliases: string selector matches the LONG rendering,
+    numeric bound brackets the FLOAT alias."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T,
+         "dimensions": [
+             {"type": "default", "dimension": "market",
+              "outputName": "alias"},
+             {"type": "default", "dimension": "qualityLong",
+              "outputName": "ql_alias", "outputType": "LONG"},
+             {"type": "default", "dimension": "__time",
+              "outputName": "time_alias", "outputType": "LONG"},
+             {"type": "default", "dimension": "index",
+              "outputName": "index_alias", "outputType": "FLOAT"}],
+         "aggregations": [{"type": "count", "name": "rows"}],
+         "having": {"type": "filter", "filter": {"type": "and", "fields": [
+             {"type": "selector", "dimension": "ql_alias", "value": "1400"},
+             {"type": "selector", "dimension": "time_alias",
+              "value": "1301616000000"},
+             {"type": "bound", "dimension": "index_alias",
+              "lower": "1310.0", "upper": "1320.0", "lowerStrict": True,
+              "upperStrict": True, "ordering": "numeric"}]}}}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["alias"], r["time_alias"], r["ql_alias"], r["rows"]) == (
+        "total_market", 1301616000000, 1400, 1)
+    assert r["index_alias"] == pytest.approx(1314.8397, rel=1e-6)
+
+
+def test_group_by_long_and_float_output_as_string(spark, wiki_catalog):
+    """testGroupByLongAndFloatOutputAsString — dict-form default specs with
+    no outputType render numeric columns as STRINGS ('1200', '12000.0')."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "qualityLong",
+               "outputName": "ql_alias"},
+              {"type": "default", "dimension": "qualityFloat",
+               "outputName": "qf_alias"}],
+             filter=ENT).collect()
+    got = sorted((str(r["__time"])[:10], r["ql_alias"], r["qf_alias"],
+                  r["rows"], r["idx"]) for r in out)
+    assert got == [("2011-04-01", "1200", "12000.0", 1, 158),
+                   ("2011-04-02", "1200", "12000.0", 1, 166)]
+
+
+def test_group_by_string_output_as_long(spark, wiki_catalog):
+    """testGroupByStringOutputAsLong — strlen extraction + LONG outputType
+    ('entertainment' → 13)."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "extraction", "dimension": "quality",
+               "outputName": "alias", "outputType": "LONG",
+               "extractionFn": {"type": "strlen"}}],
+             filter=ENT).collect()
+    got = sorted((str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+                 for r in out)
+    assert got == [("2011-04-01", 13, 1, 158), ("2011-04-02", 13, 1, 166)]
+
+
+def test_group_by_no_aggregators(spark, wiki_catalog):
+    """testGroupByNoAggregators — distinct (day, quality) pairs."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             aggs=[]).collect()
+    got = sorted((str(r["__time"])[:10], r["alias"]) for r in out)
+    qualities = ["automotive", "business", "entertainment", "health",
+                 "mezzanine", "news", "premium", "technology", "travel"]
+    assert got == ([("2011-04-01", q) for q in qualities]
+                   + [("2011-04-02", q) for q in qualities])
+
+
+def test_group_by_duration_granularity(spark, wiki_catalog):
+    """testGroupByWithDurationGranularity — an 86400 MILLIS duration; the
+    fixture's rows sit exactly on midnights, which are multiples of 86.4 s
+    from the epoch, so buckets land on the same day boundaries."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             granularity={"type": "duration", "duration": 86400}).collect()
+    got = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in out}
+    assert len(got) == 18
+    assert got[("2011-04-01", "mezzanine")] == (3, 2870)
+    assert got[("2011-04-02", "premium")] == (3, 2505)
+    assert got[("2011-04-01", "technology")] == (1, 78)
+    assert got[("2011-04-02", "travel")] == (1, 126)
+
+
+def test_group_by_output_name_collisions(spark, wiki_catalog):
+    """testGroupByWithOutputNameCollisions — '[alias] already defined'."""
+    with pytest.raises(ValueError, match=r"\[alias\] already defined"):
+        gb(spark, wiki_catalog,
+           [{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           aggs=[{"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "alias",
+                  "fieldName": "index"}]).collect()
+
+
+def test_group_by_alphanumeric_dimension_order(spark, wiki_catalog):
+    """testGroupByWithAlphaNumericDimensionOrder — lookup extraction fn
+    remaps qualities, limitSpec sorts ALPHANUMERIC (number chunks compare
+    numerically: health09 < health20 < health105 < health999)."""
+    mapping = {"automotive": "health105", "business": "health20",
+               "entertainment": "travel47", "health": "health55",
+               "mezzanine": "health09", "news": "health0000",
+               "premium": "health999", "technology": "travel123",
+               "travel": "travel555"}
+    out = gb(spark, wiki_catalog,
+             [{"type": "extraction", "dimension": "quality",
+               "outputName": "alias",
+               "extractionFn": {"type": "lookup",
+                                "lookup": {"type": "map", "map": mapping}}}],
+             limitSpec={"type": "default", "columns": [
+                 {"dimension": "alias",
+                  "dimensionOrder": "alphanumeric"}]}).collect()
+    per_day = {}
+    for r in out:
+        per_day.setdefault(str(r["__time"])[:10], []).append(
+            (r["alias"], r["rows"], r["idx"]))
+    assert per_day["2011-04-01"] == [
+        ("health0000", 1, 121), ("health09", 3, 2870), ("health20", 1, 118),
+        ("health55", 1, 120), ("health105", 1, 135), ("health999", 3, 2900),
+        ("travel47", 1, 158), ("travel123", 1, 78), ("travel555", 1, 119)]
+    assert per_day["2011-04-02"] == [
+        ("health0000", 1, 114), ("health09", 3, 2447), ("health20", 1, 112),
+        ("health55", 1, 113), ("health105", 1, 147), ("health999", 3, 2505),
+        ("travel47", 1, 166), ("travel123", 1, 97), ("travel555", 1, 126)]
+
+
+def test_group_by_time_column_long_sum(spark, wiki_catalog):
+    """testGroupByWithTimeColumn — longSum over __time is millis."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "sumtime", "fieldName": "__time"}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert out[0]["rows"] == 26 and out[0]["sumtime"] == 33843139200000
