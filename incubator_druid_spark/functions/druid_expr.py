@@ -728,13 +728,27 @@ def registry() -> dict:
     return _REGISTRY
 
 
-def compile_expr(expression: str, resolver) -> Column:
+def compile_expr(expression: str, resolver,
+                 string_cols: set[str] | None = None) -> Column:
     """Compile a Druid native expression string to a Spark Column.
 
     ``resolver(name)`` maps identifiers to Columns (typically ``F.col``; the
-    caller decides how ``__time`` resolves).
+    caller decides how ``__time`` resolves).  ``string_cols`` tags the named
+    identifiers string-typed, so `col_a + col_b` concatenates when either
+    side is a known string column (BinPlusExpr.evalString) — without it only
+    literal-involving `+` chains concatenate.
     """
-    out = _Parser(_lex(expression), resolver, registry()).parse()
+    p = _Parser(_lex(expression), resolver, registry())
+    if string_cols:
+        orig_ident = p._ident
+
+        def tagged_ident(name, _orig=orig_ident, _p=p, _sc=string_cols):
+            col = _orig(name)
+            if name in _sc and isinstance(col, Column):
+                _p.string_ids.add(id(col))
+            return col
+        p._ident = tagged_ident
+    out = p.parse()
     return _c(out)
 
 
@@ -773,15 +787,18 @@ def mvd_map_target(expression: str, array_cols: set[str]) -> str | None:
     return target
 
 
-def compile_expr_mvd(expression: str, resolver, array_cols: set[str]):
+def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
+                     string_cols: set[str] | None = None):
     """compile_expr + Druid's single-MVD scalar mapping: when
     ``mvd_map_target`` finds a mapped column, the expression compiles inside
     ``transform(mvd, x -> expr[mvd := x])`` and the result is an MVD."""
     target = mvd_map_target(expression, array_cols)
     if target is None:
-        return compile_expr(expression, resolver)
+        return compile_expr(expression, resolver, string_cols)
+    # MVD elements are strings — the mapped lambda variable is string-typed
+    sc = (string_cols or set()) | {target}
     return F.transform(
         resolver(target),
         lambda x: _c(compile_expr(
             expression,
-            lambda n, _x=x: _x if n == target else resolver(n))))
+            lambda n, _x=x: _x if n == target else resolver(n), sc)))

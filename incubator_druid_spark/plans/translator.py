@@ -68,7 +68,9 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
             compile_expr_mvd, mvd_map_target)
         arr_cols = {f.name for f in df.schema.fields
                     if isinstance(f.dataType, T.ArrayType)}
-        col = compile_expr_mvd(vc["expression"], F.col, arr_cols)
+        str_cols = {f.name for f in df.schema.fields
+                    if isinstance(f.dataType, T.StringType)}
+        col = compile_expr_mvd(vc["expression"], F.col, arr_cols, str_cols)
         ot = vc.get("outputType")
         # an auto-mapped expression yields an MVD — Druid types it STRING
         # (multi-value); don't stringify the array

@@ -298,3 +298,20 @@ def test_group_by_time_column_long_sum(spark, wiki_catalog):
              {"type": "longSum", "name": "sumtime", "fieldName": "__time"}]}
     out = translate(q, spark, wiki_catalog).collect()
     assert out[0]["rows"] == 26 and out[0]["sumtime"] == 33843139200000
+
+
+def test_string_virtual_column_no_literal_concat(spark, wiki_catalog):
+    """`market + market` — binary + with TWO string COLUMN operands (no
+    literal) still concatenates: the virtual-column compiler tags
+    string-typed schema columns for BinPlusExpr.evalString dispatch."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T,
+         "virtualColumns": [{"type": "expression", "name": "vc",
+                             "expression": "market + market",
+                             "outputType": "STRING"}],
+         "dimensions": [{"type": "default", "dimension": "vc",
+                         "outputName": "vc"}],
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    out = {r["vc"]: r["rows"] for r in translate(q, spark, wiki_catalog).collect()}
+    assert out == {"spotspot": 18, "total_markettotal_market": 4,
+                   "upfrontupfront": 4}
