@@ -123,7 +123,15 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
     extraction = spec.get("extractionFn")
 
     def leaf(value_col: Column) -> Column:
-        c = compile_extraction(extraction, value_col)
+        c = value_col
+        if (extraction is not None and dim is not None
+                and isinstance(ctx.data_type(dim), T.TimestampType)
+                and extraction.get("type") != "timeFormat"):
+            # __time's selector serves epoch millis — string-shaped
+            # extraction fns in filters see '1301616000000', same rule as
+            # dimension specs (operators/dimensions.py)
+            c = F.unix_millis(c)
+        c = compile_extraction(extraction, c)
         return _leaf_predicate(spec, t, c, ctx)
 
     if dim is not None and ctx.is_array(dim) and extraction is None:

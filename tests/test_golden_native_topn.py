@@ -338,18 +338,20 @@ def test_topn_with_non_bitmap_filter(spark, wiki_catalog):
     assert len(out) == 3
 
 
-def test_topn_order_by_long_numeric_column_with_nulls(spark, wiki_catalog):
-    """test_topN_orderByLongNumericColumnWithNulls_returnsDescendingResults
-    — numeric metric desc puts null aggregates LAST; ties keep dimension
-    order."""
+@pytest.mark.parametrize("col", ["longNumericNull", "floatNumericNull",
+                                 "doubleNumericNull"])
+def test_topn_order_by_numeric_column_with_nulls(col, spark, wiki_catalog):
+    """test_topN_orderBy{Long,Float,Double}NumericColumnWithNulls_returns-
+    DescendingResults — numeric metric desc puts null aggregates LAST; ties
+    keep dimension order."""
     q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
          "intervals": SECOND,
          "dimension": {"type": "default", "dimension": "index",
                        "outputName": "index_alias", "outputType": "LONG"},
-         "metric": "longNumericNull", "threshold": 10000,
-         "aggregations": [{"type": "longSum", "name": "longNumericNull",
-                           "fieldName": "longNumericNull"}]}
-    out = [(r["index_alias"], r["longNumericNull"])
+         "metric": col, "threshold": 10000,
+         "aggregations": [{"type": "longSum", "name": col,
+                           "fieldName": col}]}
+    out = [(r["index_alias"], r[col])
            for r in translate(q, spark, wiki_catalog).collect()]
     exp = [(97, 80), (135, 70), (1049, 70), (1321, 70), (110, 50),
            (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10),
@@ -665,3 +667,18 @@ def test_ts_cardinality_on_expression_virtual_column(spark, wiki_catalog):
                               "outputType": "STRING"}])
     assert out[0]["rows"] == 26
     assert round(float(out[0]["numVals"])) == 13
+
+
+def test_filter_extraction_fn_over_time_sees_millis(spark, wiki_catalog):
+    """A string-shaped extraction fn inside a FILTER over __time sees the
+    millis rendering — selector on substring(0,13) of '1301616000000'
+    matches exactly the 2011-04-01 rows (same rule as dimension specs)."""
+    q = {"queryType": "timeseries", "dataSource": "wiki",
+         "granularity": "all", "intervals": F2T,
+         "filter": {"type": "selector", "dimension": "__time",
+                    "value": "1301616000000",
+                    "extractionFn": {"type": "substring", "index": 0,
+                                     "length": 13}},
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert out[0]["rows"] == 13
