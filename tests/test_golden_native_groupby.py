@@ -315,3 +315,209 @@ def test_string_virtual_column_no_literal_concat(spark, wiki_catalog):
     out = {r["vc"]: r["rows"] for r in translate(q, spark, wiki_catalog).collect()}
     assert out == {"spotspot": 18, "total_markettotal_market": 4,
                    "upfrontupfront": 4}
+
+
+CANON_18 = {
+    ("2011-04-01", "automotive"): (1, 135),
+    ("2011-04-01", "business"): (1, 118),
+    ("2011-04-01", "entertainment"): (1, 158),
+    ("2011-04-01", "health"): (1, 120),
+    ("2011-04-01", "mezzanine"): (3, 2870),
+    ("2011-04-01", "news"): (1, 121),
+    ("2011-04-01", "premium"): (3, 2900),
+    ("2011-04-01", "technology"): (1, 78),
+    ("2011-04-01", "travel"): (1, 119),
+    ("2011-04-02", "automotive"): (1, 147),
+    ("2011-04-02", "business"): (1, 112),
+    ("2011-04-02", "entertainment"): (1, 166),
+    ("2011-04-02", "health"): (1, 113),
+    ("2011-04-02", "mezzanine"): (3, 2447),
+    ("2011-04-02", "news"): (1, 114),
+    ("2011-04-02", "premium"): (3, 2505),
+    ("2011-04-02", "technology"): (1, 97),
+    ("2011-04-02", "travel"): (1, 126),
+}
+
+RENAME_MAP = {q: q + "0" for q in
+              ["automotive", "business", "entertainment", "health",
+               "mezzanine", "news", "premium", "technology", "travel"]}
+
+
+@pytest.mark.parametrize("retain,injective", [
+    (False, False), (True, False), (True, True), (False, True)])
+def test_group_by_rename_lookup_variants(retain, injective, spark,
+                                         wiki_catalog):
+    """testGroupByWithRebucketRename / SimpleRename{RetainMissing,
+    RetainMissingNonInjective,AndMissingString,} — a total rename map gives
+    identical results across retainMissingValue/injective flags."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "extraction", "dimension": "quality",
+               "outputName": "alias",
+               "extractionFn": {"type": "lookup",
+                                "lookup": {"type": "map",
+                                           "map": RENAME_MAP},
+                                "retainMissingValue": retain,
+                                "injective": injective}}]).collect()
+    got = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in out}
+    assert got == {(d, q + "0"): v for (d, q), v in CANON_18.items()}
+
+
+def test_group_by_extraction_dim_filter_or(spark, wiki_catalog):
+    """testGroupByWithExtractionDimFilter — deprecated `extraction` filter
+    matching the lookup-mapped value, OR'ed with plain selectors; covers
+    every quality → the canonical 18 rows."""
+    lk = {"type": "lookup",
+          "lookup": {"type": "map", "map": {
+              "automotive": "automotiveAndBusinessAndNewsAndMezzanine",
+              "business": "automotiveAndBusinessAndNewsAndMezzanine",
+              "mezzanine": "automotiveAndBusinessAndNewsAndMezzanine",
+              "news": "automotiveAndBusinessAndNewsAndMezzanine"}},
+          "retainMissingValue": False, "injective": False}
+    filt = {"type": "or", "fields": [
+        {"type": "extraction", "dimension": "quality",
+         "value": "automotiveAndBusinessAndNewsAndMezzanine",
+         "extractionFn": lk}] + [
+        {"type": "selector", "dimension": "quality", "value": v}
+        for v in ["entertainment", "health", "premium", "technology",
+                  "travel"]]}
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}], filter=filt).collect()
+    got = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in out}
+    assert got == CANON_18
+
+
+def test_group_by_extraction_dim_filter_null_or_empty_mapping(
+        spark, wiki_catalog):
+    """testGroupByWithExtractionDimFilterCaseMappingValueIsNullOrEmpty
+    (SQL-null mode): searching '' matches only the key mapped to '' (news);
+    a null mapping does NOT match ''."""
+    lk = {"type": "lookup",
+          "lookup": {"type": "map", "map": {
+              "automotive": "automotive0", "business": "business0",
+              "entertainment": "entertainment0", "health": "health0",
+              "mezzanine": None, "news": "", "premium": "premium0",
+              "technology": "technology0", "travel": "travel0"}}}
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             filter={"type": "extraction", "dimension": "quality",
+                     "value": "", "extractionFn": lk}).collect()
+    got = sorted((str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+                 for r in out)
+    assert got == [("2011-04-01", "news", 1, 121),
+                   ("2011-04-02", "news", 1, 114)]
+
+
+def test_group_by_extraction_dim_filter_value_not_in_map(spark,
+                                                         wiki_catalog):
+    """testGroupByWithExtractionDimFilterWhenSearchValueNotInTheMap —
+    empty lookup map, search value unmapped → zero rows."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             filter={"type": "extraction", "dimension": "quality",
+                     "value": "NOT_THERE",
+                     "extractionFn": {"type": "lookup",
+                                      "lookup": {"type": "map",
+                                                 "map": {}}}}).collect()
+    assert out == []
+
+
+def test_group_by_extraction_dim_filter_key_is_null(spark, wiki_catalog):
+    """testGroupByWithExtractionDimFilterKeyisNull (SQL-null mode) — a
+    lookup with replaceMissingValueWith over a NONEXISTENT column maps every
+    (null) value to REPLACED_VALUE → all rows match, grouped under null."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "null_column",
+               "outputName": "alias"}],
+             filter={"type": "extraction", "dimension": "null_column",
+                     "value": "REPLACED_VALUE",
+                     "extractionFn": {
+                         "type": "lookup",
+                         "lookup": {"type": "map", "map": {"": "NOT_USED"}},
+                         "replaceMissingValueWith": "REPLACED_VALUE"}}
+             ).collect()
+    got = sorted((str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+                 for r in out)
+    assert got == [("2011-04-01", None, 13, 6619),
+                   ("2011-04-02", None, 13, 5827)]
+
+
+def test_group_by_aggregator_filter_with_extraction_fn(spark, wiki_catalog):
+    """testGroupByWithAggregatorFilterAndExtractionFunction — FILTERED aggs
+    whose filter uses a lookup extraction (mezzanine+news → one value,
+    misses → 'missing'): non-matching groups keep rows=0 and a NULL sum."""
+    lk = {"type": "lookup",
+          "lookup": {"type": "map", "map": {
+              "automotive": "automotive0", "business": "business0",
+              "entertainment": "entertainment0", "health": "health0",
+              "mezzanine": "mezzanineANDnews", "news": "mezzanineANDnews",
+              "premium": "premium0", "technology": "technology0",
+              "travel": "travel0"}},
+          "replaceMissingValueWith": "missing"}
+    filt = {"type": "extraction", "dimension": "quality",
+            "value": "mezzanineANDnews", "extractionFn": lk}
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             aggs=[{"type": "filtered", "filter": filt,
+                    "aggregator": {"type": "count", "name": "rows"}},
+                   {"type": "filtered", "filter": filt,
+                    "aggregator": {"type": "longSum", "name": "idx",
+                                   "fieldName": "index"}}]).collect()
+    got = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in out}
+    assert len(got) == 18
+    assert got[("2011-04-01", "mezzanine")] == (3, 2870)
+    assert got[("2011-04-01", "news")] == (1, 121)
+    assert got[("2011-04-02", "mezzanine")] == (3, 2447)
+    assert got[("2011-04-02", "news")] == (1, 114)
+    for (d, q), (r_, i_) in got.items():
+        if q not in ("mezzanine", "news"):
+            assert (r_, i_) == (0, None), (d, q)
+
+
+def test_group_by_extraction_dim_filter_many_to_one(spark, wiki_catalog):
+    """testGroupByWithExtractionDimFilterOptimazitionManyToOne — injective
+    flag set, two keys map to the search value."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             filter={"type": "extraction", "dimension": "quality",
+                     "value": "newsANDmezzanine",
+                     "extractionFn": {
+                         "type": "lookup",
+                         "lookup": {"type": "map", "map": {
+                             "mezzanine": "newsANDmezzanine",
+                             "news": "newsANDmezzanine"}},
+                         "injective": True}}).collect()
+    got = sorted((str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+                 for r in out)
+    assert got == [("2011-04-01", "mezzanine", 3, 2870),
+                   ("2011-04-01", "news", 1, 121),
+                   ("2011-04-02", "mezzanine", 3, 2447),
+                   ("2011-04-02", "news", 1, 114)]
+
+
+def test_group_by_extraction_dim_filter_null_dims(spark, wiki_catalog):
+    """testGroupByWithExtractionDimFilterNullDims (SQL-null mode) — the
+    nonexistent column's nulls hit replaceMissingValueWith('EMPTY') and the
+    filter value 'EMPTY' matches every row."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "null_column",
+               "outputName": "alias"}],
+             filter={"type": "extraction", "dimension": "null_column",
+                     "value": "EMPTY",
+                     "extractionFn": {
+                         "type": "lookup",
+                         "lookup": {"type": "map",
+                                    "map": {"": "SHOULD_NOT_BE_USED"}},
+                         "replaceMissingValueWith": "EMPTY",
+                         "injective": True}}).collect()
+    got = sorted((str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+                 for r in out)
+    assert got == [("2011-04-01", None, 13, 6619),
+                   ("2011-04-02", None, 13, 5827)]
