@@ -63,6 +63,11 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
               + [p.get("name") for p in query.get("postAggregations") or []]):
         if n is None:
             continue
+        if n == TIME_COLUMN:
+            # GroupByQuery.java — reserved output name
+            raise ValueError(
+                "'__time' cannot be used as an output name for dimensions, "
+                "aggregators, or post-aggregators.")
         if n in seen:
             raise ValueError(f"[{n}] already defined")
         seen.add(n)

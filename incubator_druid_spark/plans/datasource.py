@@ -30,7 +30,17 @@ def resolve_datasource(spec, spark, catalog: Catalog) -> DataFrame:
     if t == "query":
         # query/QueryDataSource.java — subquery as input
         from incubator_druid_spark.plans.translator import translate
-        return translate(spec["query"], spark, catalog)
+        inner = translate(spec["query"], spark, catalog)
+        if "__time" not in inner.columns:
+            # an ALL-granularity inner result still carries a row timestamp
+            # in Druid (AllGranularity buckets to the query interval start),
+            # which outer interval filters / day buckets read
+            from incubator_druid_spark.model.intervals import parse_intervals
+            ivs = parse_intervals(spec["query"].get("intervals"))
+            start = ivs[0][0] if ivs else 0
+            inner = inner.withColumn(
+                "__time", F.timestamp_millis(F.lit(int(start))))
+        return inner
     if t == "union":
         # query/UnionDataSource.java:34-58 — union of TABLES, matched by name
         dfs = [catalog.table(n) for n in spec["dataSources"]]

@@ -521,3 +521,288 @@ def test_group_by_extraction_dim_filter_null_dims(spark, wiki_catalog):
                  for r in out)
     assert got == [("2011-04-01", None, 13, 6619),
                    ("2011-04-02", None, 13, 5827)]
+
+
+# --------------------------------------------------------------------------
+# Subquery (query datasource) family
+# --------------------------------------------------------------------------
+
+FULL = ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"]
+SECOND = ["2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"]
+
+
+def _inner_quality_day(aggs=None, intervals=None, virtual=None, **extra):
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": intervals or F2T,
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": aggs if aggs is not None else [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    if virtual:
+        q["virtualColumns"] = virtual
+    q.update(extra)
+    return q
+
+
+def test_identical_subquery(spark, wiki_catalog):
+    """testIdenticalSubquery — outer re-groups the inner result on the same
+    key, summing the inner partials (the reference's no-op JS filter is the
+    javascript raise here; `true` filter is the equivalent)."""
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query",
+                            "query": _inner_quality_day(
+                                filter={"type": "true"})},
+             "granularity": "day", "intervals": F2T,
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "longSum", "name": "rows", "fieldName": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "idx"}]}
+    got = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in translate(outer, spark, wiki_catalog).collect()}
+    assert got == CANON_18
+
+
+def test_subquery_with_multiple_intervals_in_outer_query(spark,
+                                                         wiki_catalog):
+    """testSubqueryWithMultipleIntervalsInOuterQuery — the outer interval
+    list re-filters the inner result's day buckets."""
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": _inner_quality_day()},
+             "granularity": "day",
+             "intervals": ["2011-04-01T00:00:00.000Z/2011-04-01T23:58:00.000Z",
+                           "2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "longSum", "name": "rows", "fieldName": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "idx"}]}
+    got = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in translate(outer, spark, wiki_catalog).collect()}
+    assert got == CANON_18
+
+
+def test_subquery_with_extraction_fn_in_outer_query(spark, wiki_catalog):
+    """testSubqueryWithExtractionFnInOuterQuery (apache/druid#2556) — regex
+    extraction with replaceMissingValue collapses every inner group to
+    'a'."""
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": _inner_quality_day()},
+             "granularity": "day", "intervals": F2T,
+             "dimensions": [{"type": "extraction", "dimension": "alias",
+                             "outputName": "alias",
+                             "extractionFn": {
+                                 "type": "regex", "expr": "(a).*",
+                                 "replaceMissingValue": True,
+                                 "replaceMissingValueWith": "a"}}],
+             "aggregations": [
+                 {"type": "longSum", "name": "rows", "fieldName": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "idx"}]}
+    got = sorted((str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+                 for r in translate(outer, spark, wiki_catalog).collect())
+    assert got == [("2011-04-01", "a", 13, 6619),
+                   ("2011-04-02", "a", 13, 5827)]
+
+
+def test_different_grouping_subquery(spark, wiki_catalog):
+    """testDifferentGroupingSubquery — outer aggregates WITHOUT dimensions
+    over inner per-quality sums (doubleMax), incl. the virtual-column
+    phase: longSum over float(-index + 100) truncates per row."""
+    inner = _inner_quality_day(aggs=[
+        {"type": "count", "name": "rows"},
+        {"type": "longSum", "name": "idx", "fieldName": "index"},
+        {"type": "longSum", "name": "indexMaxPlusTen",
+         "fieldName": "imp10"}],
+        virtual=[{"type": "expression", "name": "imp10",
+                  "expression": "index + 10", "outputType": "DOUBLE"}])
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": F2T,
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "doubleMax", "name": "idx", "fieldName": "idx"},
+                 {"type": "doubleMax", "name": "indexMaxPlusTen",
+                  "fieldName": "indexMaxPlusTen"}]}
+    got = sorted((str(r["__time"])[:10], r["rows"], r["idx"],
+                  r["indexMaxPlusTen"])
+                 for r in translate(outer, spark, wiki_catalog).collect())
+    assert got == [("2011-04-01", 9, 2900.0, 2930.0),
+                   ("2011-04-02", 9, 2505.0, 2535.0)]
+    # phase 2: inner idx becomes longSum over the float expr -index + 100
+    inner2 = _inner_quality_day(aggs=[
+        {"type": "count", "name": "rows"},
+        {"type": "longSum", "name": "idx", "fieldName": "expr"},
+        {"type": "longSum", "name": "indexMaxPlusTen",
+         "fieldName": "imp10"}],
+        virtual=[{"type": "expression", "name": "expr",
+                  "expression": "-index + 100", "outputType": "FLOAT"},
+                 {"type": "expression", "name": "imp10",
+                  "expression": "index + 10", "outputType": "DOUBLE"}])
+    outer2 = dict(outer, dataSource={"type": "query", "query": inner2})
+    got2 = sorted((str(r["__time"])[:10], r["rows"], r["idx"],
+                   r["indexMaxPlusTen"])
+                  for r in translate(outer2, spark, wiki_catalog).collect())
+    assert got2 == [("2011-04-01", 9, 21.0, 2930.0),
+                    ("2011-04-02", 9, 2.0, 2535.0)]
+
+
+def test_different_interval_subquery(spark, wiki_catalog):
+    """testDifferentIntervalSubquery — outer SECOND_ONLY interval over an
+    inner FIRST_TO_THIRD result."""
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": _inner_quality_day()},
+             "granularity": "day", "intervals": SECOND,
+             "aggregations": [{"type": "doubleMax", "name": "idx",
+                               "fieldName": "idx"}]}
+    got = [(str(r["__time"])[:10], r["idx"])
+           for r in translate(outer, spark, wiki_catalog).collect()]
+    assert got == [("2011-04-02", 2505.0)]
+
+
+def test_empty_subquery(spark, wiki_catalog):
+    """testEmptySubquery — inner over an empty interval → outer empty."""
+    inner = _inner_quality_day(
+        intervals=["2020-04-02T00:00:00.000Z/2020-04-03T00:00:00.000Z"])
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": F2T,
+             "aggregations": [{"type": "doubleMax", "name": "idx",
+                               "fieldName": "idx"}]}
+    assert translate(outer, spark, wiki_catalog).count() == 0
+
+
+def test_time_as_output_name_raises(spark, wiki_catalog):
+    """testGroupByTimeExtractionNamedUnderUnderTime +
+    testGroupByWithUnderUnderTimeAsDimensionNameWithHavingAndLimit —
+    '__time' is a reserved output name."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T,
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "__time"}],
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    with pytest.raises(ValueError, match="'__time' cannot be used"):
+        translate(q, spark, wiki_catalog)
+    q2 = {"queryType": "groupBy", "dataSource": "wiki",
+          "granularity": "all", "intervals": F2T,
+          "dimensions": [{"type": "default", "dimension": "market",
+                          "outputName": "market"}],
+          "aggregations": [{"type": "longSum", "name": "__time",
+                            "fieldName": "index"}]}
+    with pytest.raises(ValueError, match="'__time' cannot be used"):
+        translate(q2, spark, wiki_catalog)
+
+
+def test_subquery_with_outer_filter_aggregator(spark, wiki_catalog):
+    """testSubqueryWithOuterFilterAggregator — filtered count over the
+    inner (market, quality, day) result: 837 spot rows."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": FULL,
+             "dimensions": [
+                 {"type": "default", "dimension": "market",
+                  "outputName": "market"},
+                 {"type": "default", "dimension": "quality",
+                  "outputName": "quality"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "index",
+                  "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": FULL,
+             "aggregations": [
+                 {"type": "filtered",
+                  "filter": {"type": "selector", "dimension": "market",
+                             "value": "spot"},
+                  "aggregator": {"type": "count", "name": "rows"}}]}
+    out = translate(outer, spark, wiki_catalog).collect()
+    assert len(out) == 1 and out[0]["rows"] == 837
+
+
+def test_subquery_with_outer_time_filter(spark, wiki_catalog):
+    """testSubqueryWithOuterTimeFilter — timeFormat extraction filters over
+    the INNER result's __time: day-of-month in (1,2,3), filtered-count of
+    Fridays (only 2011-04-01 is one)."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": FULL,
+             "dimensions": [
+                 {"type": "default", "dimension": "market",
+                  "outputName": "market"},
+                 {"type": "default", "dimension": "quality",
+                  "outputName": "quality"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "index",
+                  "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": FULL,
+             "filter": {"type": "in", "dimension": "__time",
+                        "values": ["1", "2", "3"],
+                        "extractionFn": {"type": "timeFormat",
+                                         "format": "d"}},
+             "aggregations": [
+                 {"type": "filtered",
+                  "filter": {"type": "selector", "dimension": "__time",
+                             "value": "Friday",
+                             "extractionFn": {"type": "timeFormat",
+                                              "format": "EEEE"}},
+                  "aggregator": {"type": "count", "name": "rows"}}]}
+    got = sorted((str(r["__time"])[:10], r["rows"])
+                 for r in translate(outer, spark, wiki_catalog).collect())
+    assert got == [("2011-02-01", 0), ("2011-02-02", 0), ("2011-02-03", 0),
+                   ("2011-03-01", 0), ("2011-03-02", 0), ("2011-03-03", 0),
+                   ("2011-04-01", 13), ("2011-04-02", 0),
+                   ("2011-04-03", 0)]
+
+
+def test_subquery_no_agg_inner_with_outer_count(spark, wiki_catalog):
+    """testSubqueryWithContextTimeout / testSubqueryWithOuterCountAggregator
+    — an inner groupBy with NO aggregators feeding an outer count (18
+    distinct (day, quality) groups); plus OuterVirtualColumns: longSum over
+    a constant-1 expression."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": FULL,
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "alias"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": F2T,
+             "aggregations": [{"type": "count", "name": "count"}],
+             "context": {"timeout": 10000}}
+    out = translate(outer, spark, wiki_catalog).collect()
+    assert len(out) == 1 and out[0]["count"] == 18
+    outer_vc = {"queryType": "groupBy",
+                "dataSource": {"type": "query", "query": inner},
+                "granularity": "all", "intervals": F2T,
+                "virtualColumns": [{"type": "expression", "name": "expr",
+                                    "expression": "1",
+                                    "outputType": "FLOAT"}],
+                "aggregations": [{"type": "longSum", "name": "count",
+                                  "fieldName": "expr"}]}
+    out = translate(outer_vc, spark, wiki_catalog).collect()
+    assert len(out) == 1 and out[0]["count"] == 18
+
+
+def test_subquery_with_outer_cardinality_aggregator(spark, wiki_catalog):
+    """testSubqueryWithOuterCardinalityAggregator — 9 distinct qualities
+    through the inner (market, quality) grouping (exact here; the reference
+    asserts its HLL estimate)."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "all", "intervals": FULL,
+             "dimensions": [
+                 {"type": "default", "dimension": "market",
+                  "outputName": "market"},
+                 {"type": "default", "dimension": "quality",
+                  "outputName": "quality"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "index",
+                  "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": FULL,
+             "aggregations": [{"type": "cardinality", "name": "car",
+                               "fields": ["quality"], "byRow": False}]}
+    out = translate(outer, spark, wiki_catalog).collect()
+    assert len(out) == 1 and round(float(out[0]["car"])) == 9
