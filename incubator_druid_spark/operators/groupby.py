@@ -102,7 +102,10 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     if having is not None:
         out = out.filter(_having_predicate(having, out))
 
-    out = _apply_limit_spec(out, query.get("limitSpec"), dim_names)
+    out = _apply_limit_spec(
+        out, query.get("limitSpec"), dim_names,
+        sort_dims_first=bool(
+            (query.get("context") or {}).get("sortByDimsFirst")))
 
     if "__bucket" in out.columns:
         out = out.withColumnRenamed("__bucket", TIME_COLUMN)
@@ -173,7 +176,8 @@ def _having_predicate(spec: dict, out: DataFrame):
 
 # -- limitSpec ---------------------------------------------------------------
 
-def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names) -> DataFrame:
+def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names,
+                      sort_dims_first: bool = False) -> DataFrame:
     if not spec:
         return out
     if spec.get("type", "default") != "default":
@@ -195,10 +199,20 @@ def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names) -> DataFrame
         order_exprs.append(col.desc() if str(direction).lower().startswith("desc")
                            else col.asc())
     if order_exprs:
+        # DefaultLimitSpec.makeComparator:393-396 — for granular queries the
+        # row timestamp orders FIRST (then the limit columns); with
+        # sortByDimsFirst the columns order first and time breaks ties
+        if "__bucket" in out.columns:
+            order_exprs = (order_exprs + [F.col("__bucket").asc()]
+                           if sort_dims_first
+                           else [F.col("__bucket").asc()] + order_exprs)
         out = out.orderBy(*order_exprs)
     offset = int(spec.get("offset") or 0)
     if offset:
         out = out.offset(offset)
     if spec.get("limit") is not None:
+        if int(spec["limit"]) < 0:
+            # DefaultLimitSpec.java — "limit[%s] must be >= 0"
+            raise ValueError(f"limit[{spec['limit']}] must be >= 0")
         out = out.limit(int(spec["limit"]))
     return out

@@ -806,3 +806,91 @@ def test_subquery_with_outer_cardinality_aggregator(spark, wiki_catalog):
                                "fields": ["quality"], "byRow": False}]}
     out = translate(outer, spark, wiki_catalog).collect()
     assert len(out) == 1 and round(float(out[0]["car"])) == 9
+
+
+def test_merge_results_with_order_by_variants(spark, wiki_catalog):
+    """testMergeResultsWithOrderBy — a P1M bucket over two days, the four
+    limitSpec orderings (idx asc, rows+idx asc, idx desc, rows+idx desc)."""
+    base_rows = [("automotive", 2, 269), ("business", 2, 217),
+                 ("entertainment", 2, 319), ("health", 2, 216),
+                 ("mezzanine", 6, 4420), ("news", 2, 221),
+                 ("premium", 6, 4416), ("technology", 2, 177),
+                 ("travel", 2, 243)]
+    cases = [
+        ([{"dimension": "idx"}],
+         sorted(base_rows, key=lambda t: t[2])),
+        ([{"dimension": "rows"}, {"dimension": "idx"}],
+         sorted(base_rows, key=lambda t: (t[1], t[2]))),
+        ([{"dimension": "idx", "direction": "descending"}],
+         sorted(base_rows, key=lambda t: -t[2])),
+        ([{"dimension": "rows", "direction": "descending"},
+          {"dimension": "idx", "direction": "descending"}],
+         sorted(base_rows, key=lambda t: (-t[1], -t[2]))),
+    ]
+    for columns, exp in cases:
+        q = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": {"type": "period", "period": "P1M"},
+             "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "index"}],
+             "limitSpec": {"type": "default", "columns": columns}}
+        got = [(r["alias"], r["rows"], r["idx"])
+               for r in translate(q, spark, wiki_catalog).collect()]
+        assert got == exp, columns
+
+
+def test_merge_results_with_negative_limit(spark, wiki_catalog):
+    """testMergeResultsWithNegativeLimit — limit must be >= 0."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [{"type": "count", "name": "rows"}],
+         "limitSpec": {"type": "default", "limit": -1}}
+    with pytest.raises(ValueError, match="must be >= 0"):
+        translate(q, spark, wiki_catalog).collect()
+
+
+def test_merge_results_limit_order_by_math_expression(spark, wiki_catalog):
+    """testMergeResultsAcrossMultipleDaysWithLimitAndOrderByUsingMath-
+    Expressions — longSum over a float virtual column (index*2 +
+    float(index)/10; the reference's indexMin metric is the float read of
+    index), desc by idx with limit 14 across day buckets."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "virtualColumns": [{"type": "expression", "name": "expr",
+                             "expression":
+                                 "index * 2 + cast(index, 'FLOAT') / 10",
+                             "outputType": "FLOAT"}],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "expr"}],
+         "limitSpec": {"type": "default", "limit": 14, "columns": [
+             {"dimension": "idx", "direction": "descending"}]}}
+    got = [(str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    # DefaultLimitSpec.makeComparator: time orders FIRST, idx desc within
+    # each day, limit over the flattened sequence — day1's technology(165)
+    # makes the cut while day2's larger values past the 14th row do not
+    exp = [("2011-04-01", "premium", 3, 6090),
+           ("2011-04-01", "mezzanine", 3, 6030),
+           ("2011-04-01", "entertainment", 1, 333),
+           ("2011-04-01", "automotive", 1, 285),
+           ("2011-04-01", "news", 1, 255),
+           ("2011-04-01", "health", 1, 252),
+           ("2011-04-01", "travel", 1, 251),
+           ("2011-04-01", "business", 1, 248),
+           ("2011-04-01", "technology", 1, 165),
+           ("2011-04-02", "premium", 3, 5262),
+           ("2011-04-02", "mezzanine", 3, 5141),
+           ("2011-04-02", "entertainment", 1, 348),
+           ("2011-04-02", "automotive", 1, 309),
+           ("2011-04-02", "travel", 1, 265)]
+    assert len(got) == 14
+    assert got == exp
