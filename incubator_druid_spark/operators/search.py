@@ -33,14 +33,24 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     dim_cols: list[tuple] = []
     for d in (query.get("searchDimensions") or []):
         if isinstance(d, str):
-            dim_cols.append((d, F.col(d),
+            # a nonexistent dimension reads as NULL (no values → no hits),
+            # same schema-free semantics as groupBy
+            col = F.col(d) if d in types else F.lit(None).cast("string")
+            dim_cols.append((d, col,
                              isinstance(types.get(d), T.ArrayType)))
         else:
             dim_cols.append(dimension_column(d, df))
     if not dim_cols:
-        dim_cols = [(f.name, F.col(f.name), False)
+        # no searchDimensions → every string dimension, INCLUDING
+        # multi-value ones (SearchQueryRunnerTest.testSearch expects hits
+        # from the MVD placementish)
+        dim_cols = [(f.name, F.col(f.name),
+                     isinstance(f.dataType, T.ArrayType))
                     for f in df.schema.fields
-                    if isinstance(f.dataType, T.StringType)
+                    if (isinstance(f.dataType, T.StringType)
+                        or (isinstance(f.dataType, T.ArrayType)
+                            and isinstance(f.dataType.elementType,
+                                           T.StringType)))
                     and f.name != TIME_COLUMN]
     per_bucket = gran.kind != "all"
 
@@ -70,8 +80,18 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         *([TIME_COLUMN] if per_bucket else []),
         F.col("dv.dimension").alias("dimension"),
         F.col("dv.value").alias("value"))
-    # filter before the groupBy so the shuffle carries matches only
-    out = out.filter(compile_search_spec(query["query"], F.col("value")))
+    # filter before the groupBy so the shuffle carries matches only.
+    # A missing query spec matches every value (SearchQuery.java defaults
+    # to an all-match InsensitiveContainsSearchQuerySpec(""))
+    spec = query.get("query")
+    if spec is None or spec == "":
+        out = out.filter(F.col("value").isNotNull())
+    elif isinstance(spec, str):
+        # convenience: bare string = insensitive contains
+        out = out.filter(compile_search_spec(
+            {"type": "insensitive_contains", "value": spec}, F.col("value")))
+    else:
+        out = out.filter(compile_search_spec(spec, F.col("value")))
 
     keys = ([TIME_COLUMN] if per_bucket else []) + ["dimension", "value"]
     out = out.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))

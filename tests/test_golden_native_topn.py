@@ -682,3 +682,138 @@ def test_filter_extraction_fn_over_time_sees_millis(spark, wiki_catalog):
          "aggregations": [{"type": "count", "name": "rows"}]}
     out = translate(q, spark, wiki_catalog).collect()
     assert out[0]["rows"] == 13
+
+
+# --------------------------------------------------------------------------
+# SearchQueryRunnerTest tranche
+# --------------------------------------------------------------------------
+
+def search(spark, cat, q=None, dims=None, intervals=None, sort=None,
+           **extra):
+    qry = {"queryType": "search", "dataSource": "wiki",
+           "granularity": "all", "intervals": intervals or FULL}
+    if q is not None:
+        qry["query"] = q
+    if dims is not None:
+        qry["searchDimensions"] = dims
+    if sort is not None:
+        qry["sort"] = {"type": sort}
+    qry.update(extra)
+    return [(r["dimension"], r["value"], r["count"])
+            for r in translate(qry, spark, wiki_cat_holder[0]).collect()]
+
+
+wiki_cat_holder = [None]
+
+
+@pytest.fixture(autouse=True)
+def _hold_wiki(wiki_catalog):
+    wiki_cat_holder[0] = wiki_catalog
+
+
+def test_search_default_dimensions_include_mvd(spark, wiki_catalog):
+    """testSearch — no searchDimensions searches every string dim INCLUDING
+    the multi-value placementish and the partial-null column."""
+    got = set(search(spark, wiki_catalog,
+                     q={"type": "insensitive_contains", "value": "a"}))
+    assert got == {
+        ("quality", "automotive", 93), ("quality", "mezzanine", 279),
+        ("quality", "travel", 93), ("quality", "health", 93),
+        ("quality", "entertainment", 93),
+        ("market", "total_market", 186),
+        ("placementish", "a", 93),
+        ("partial_null_column", "value", 186)}
+
+
+def test_search_same_value_in_multi_dims(spark, wiki_catalog):
+    """testSearchSameValueInMultiDims(+2) — 'preferred' appears in both
+    placement and placementish; strlen sort puts 'e' first."""
+    got = set(search(spark, wiki_catalog,
+                     q={"type": "insensitive_contains", "value": "e"},
+                     dims=["placement", "placementish"]))
+    assert got == {("placement", "preferred", 1209),
+                   ("placementish", "e", 93),
+                   ("placementish", "preferred", 1209)}
+    ordered = search(spark, wiki_catalog,
+                     q={"type": "insensitive_contains", "value": "e"},
+                     dims=["placement", "placementish"], sort="strlen")
+    assert ordered == [("placementish", "e", 93),
+                       ("placement", "preferred", 1209),
+                       ("placementish", "preferred", 1209)]
+
+
+def test_search_with_filters(spark, wiki_catalog):
+    """testSearchWithSingleFilter1/2 + MultiAndFilter + WithMultiOrFilter +
+    WithFilterEmptyResults."""
+    and_f = {"type": "and", "fields": [
+        {"type": "selector", "dimension": "market",
+         "value": "total_market"},
+        {"type": "selector", "dimension": "quality", "value": "mezzanine"}]}
+    assert search(spark, wiki_catalog,
+                  q={"type": "insensitive_contains", "value": "a"},
+                  dims=["quality"], filter=and_f) == [
+        ("quality", "mezzanine", 93)]
+    assert search(spark, wiki_catalog,
+                  q={"type": "insensitive_contains", "value": "a"},
+                  dims=["market"],
+                  filter={"type": "selector", "dimension": "market",
+                          "value": "total_market"}) == [
+        ("market", "total_market", 186)]
+    spot_auto = {"type": "and", "fields": [
+        {"type": "selector", "dimension": "market", "value": "spot"},
+        {"type": "selector", "dimension": "quality",
+         "value": "automotive"}]}
+    assert search(spark, wiki_catalog,
+                  q={"type": "insensitive_contains", "value": "a"},
+                  dims=["quality"], filter=spot_auto) == [
+        ("quality", "automotive", 93)]
+    or_f = {"type": "or", "fields": [
+        {"type": "selector", "dimension": "quality",
+         "value": "total_market"},
+        {"type": "selector", "dimension": "quality",
+         "value": "automotive"}]}
+    assert search(spark, wiki_catalog,
+                  q={"type": "insensitive_contains", "value": "a"},
+                  dims=["quality"], filter=or_f) == [
+        ("quality", "automotive", 93)]
+    # total_market + automotive can't coexist → empty
+    tm_auto = {"type": "and", "fields": [
+        {"type": "selector", "dimension": "market",
+         "value": "total_market"},
+        {"type": "selector", "dimension": "quality",
+         "value": "automotive"}]}
+    assert search(spark, wiki_catalog,
+                  q={"type": "insensitive_contains", "value": "a"},
+                  filter=tm_auto) == []
+
+
+def test_search_empty_and_nonexistent(spark, wiki_catalog):
+    """testSearchWithEmptyResults + testSearchNonExistingDimension."""
+    assert search(spark, wiki_catalog,
+                  q={"type": "insensitive_contains",
+                     "value": "abcd123"}) == []
+    assert search(spark, wiki_catalog,
+                  q={"type": "insensitive_contains", "value": "a"},
+                  dims=["does_not_exist"]) == []
+
+
+def test_search_all_values(spark, wiki_catalog):
+    """testSearchAll — an empty query string AND a missing query both match
+    every value."""
+    exp = [("market", "spot", 837), ("market", "total_market", 186),
+           ("market", "upfront", 186)]
+    assert search(spark, wiki_catalog, q="", dims=["market"]) == exp
+    assert search(spark, wiki_catalog, dims=["market"]) == exp
+
+
+def test_search_with_numeric_sort(spark, wiki_catalog):
+    """testSearchWithNumericSort — non-numeric values tie under the NUMERIC
+    comparator and fall back to lexicographic."""
+    got = search(spark, wiki_catalog,
+                 q={"type": "insensitive_contains", "value": "a"},
+                 sort="numeric")
+    assert got == [
+        ("placementish", "a", 93), ("quality", "automotive", 93),
+        ("quality", "entertainment", 93), ("quality", "health", 93),
+        ("quality", "mezzanine", 279), ("market", "total_market", 186),
+        ("quality", "travel", 93), ("partial_null_column", "value", 186)]
