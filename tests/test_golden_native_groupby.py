@@ -894,3 +894,53 @@ def test_merge_results_limit_order_by_math_expression(spark, wiki_catalog):
            ("2011-04-02", "travel", 1, 265)]
     assert len(got) == 14
     assert got == exp
+
+
+def test_multi_value_dimension(spark, wiki_catalog):
+    """testMultiValueDimension — grouping on an MVD explodes one row per
+    element."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "placementish",
+               "outputName": "alias"}],
+             granularity="all").collect()
+    got = {r["alias"]: (r["rows"], r["idx"]) for r in out}
+    assert got == {"a": (2, 282), "b": (2, 230), "e": (2, 324),
+                   "h": (2, 233), "m": (6, 5317), "n": (2, 235),
+                   "p": (6, 5405), "preferred": (26, 12446), "t": (4, 420)}
+
+
+def test_two_multi_value_dimensions(spark, wiki_catalog):
+    """testTwoMultiValueDimensions — the SAME MVD grouped twice explodes the
+    cartesian product of its elements (a/preferred × a/preferred)."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "placementish",
+               "outputName": "alias"},
+              {"type": "default", "dimension": "placementish",
+               "outputName": "alias2"}],
+             granularity="all",
+             filter={"type": "selector", "dimension": "placementish",
+                     "value": "a"}).collect()
+    got = sorted((r["alias"], r["alias2"], r["rows"], r["idx"]) for r in out)
+    assert got == [("a", "a", 2, 282), ("a", "preferred", 2, 282),
+                   ("preferred", "a", 2, 282),
+                   ("preferred", "preferred", 2, 282)]
+
+
+def test_multiple_dimensions_one_multi_value(spark, wiki_catalog):
+    """testMultipleDimensionsOneOfWhichIsMultiValue1 — MVD × scalar dim:
+    each quality pairs with its letter and with 'preferred'."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "placementish",
+               "outputName": "alias"},
+              {"type": "default", "dimension": "quality",
+               "outputName": "quality"}],
+             granularity="all").collect()
+    got = {(r["quality"], r["alias"]): (r["rows"], r["idx"]) for r in out}
+    assert got[("automotive", "a")] == (2, 282)
+    assert got[("automotive", "preferred")] == (2, 282)
+    assert got[("business", "b")] == (2, 230)
+    assert got[("mezzanine", "m")] == (6, 5317)
+    assert got[("mezzanine", "preferred")] == (6, 5317)
+    assert got[("premium", "p")] == (6, 5405)
+    # every (quality, letter) + (quality, preferred) pair → 18 groups
+    assert len(got) == 18
