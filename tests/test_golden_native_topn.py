@@ -817,3 +817,63 @@ def test_search_with_numeric_sort(spark, wiki_catalog):
         ("quality", "entertainment", 93), ("quality", "health", 93),
         ("quality", "mezzanine", 279), ("market", "total_market", 186),
         ("quality", "travel", 93), ("partial_null_column", "value", 186)]
+
+
+# --------------------------------------------------------------------------
+# ScanQueryRunnerTest tranche
+# --------------------------------------------------------------------------
+
+I2D = ["2011-01-12T00:00:00.000Z/2011-01-14T00:00:00.000Z"]
+
+
+def test_scan_with_filter_lookup_extraction_fn(spark, wiki_catalog):
+    """testSelectWithFilterLookupExtractionFn — scan filtered through a
+    lookup extraction (total_market→replaced), two columns projected."""
+    q = {"queryType": "scan", "dataSource": "wiki", "intervals": I2D,
+         "filter": {"type": "selector", "dimension": "market",
+                    "value": "replaced",
+                    "extractionFn": {
+                        "type": "lookup",
+                        "lookup": {"type": "map",
+                                   "map": {"total_market": "replaced"}},
+                        "injective": True}},
+         "columns": ["quality", "index"]}
+    out = sorted((r["quality"], r["index"])
+                 for r in translate(q, spark, wiki_catalog).collect())
+    assert out == [("mezzanine", 1000.0),
+                   ("mezzanine", pytest.approx(1040.945505, rel=1e-6)),
+                   ("premium", 1000.0),
+                   ("premium", pytest.approx(1689.012875, rel=1e-6))]
+
+
+def test_scan_no_results_and_unknown_columns(spark, wiki_catalog):
+    """testFullSelectNoResults (contradictory AND → empty) +
+    testFullSelectNoDimensionAndMetric (unknown columns project as NULL for
+    every interval row)."""
+    q = {"queryType": "scan", "dataSource": "wiki", "intervals": I2D,
+         "filter": {"type": "and", "fields": [
+             {"type": "selector", "dimension": "market", "value": "spot"},
+             {"type": "selector", "dimension": "market", "value": "foo"}]}}
+    assert translate(q, spark, wiki_catalog).count() == 0
+    q2 = {"queryType": "scan", "dataSource": "wiki", "intervals": I2D,
+          "columns": ["foo", "foo2"]}
+    out = translate(q2, spark, wiki_catalog).collect()
+    assert len(out) == 26
+    assert all(r["foo"] is None and r["foo2"] is None for r in out)
+
+
+def test_scan_time_ordering_with_limit(spark, wiki_catalog):
+    """testFullOnSelectWithFilterLimitAnd{Asc,Desc}endingTimeOrdering — the
+    spot rows ordered by __time asc/desc under varying limits."""
+    for order, cmp_key in [("ascending", lambda ts: ts),
+                          ("descending", lambda ts: -ts)]:
+        for limit in (3, 1, 5, 7):
+            q = {"queryType": "scan", "dataSource": "wiki",
+                 "intervals": I2D, "order": order, "limit": limit,
+                 "filter": {"type": "selector", "dimension": "market",
+                            "value": "spot"},
+                 "columns": ["__time", "quality", "index"]}
+            out = translate(q, spark, wiki_catalog).collect()
+            assert len(out) == min(limit, 18)
+            stamps = [r["__time"].timestamp() for r in out]
+            assert stamps == sorted(stamps, reverse=(order == "descending"))
