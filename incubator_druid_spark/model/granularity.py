@@ -48,6 +48,10 @@ _PERIOD_RE = re.compile(
 class Period:
     months: int  # calendar part (years*12 + months)
     millis: int  # fixed part (weeks/days/hours/minutes/seconds)
+    # True iff the period was SPECIFIED in weeks (P1W): only that form gets
+    # the Monday anchor — P7D is day-arithmetic from the epoch (a Thursday),
+    # PeriodGranularity.java:281-300 weeks-vs-days branches
+    weeks: bool = False
 
     @property
     def is_calendar(self) -> bool:
@@ -66,7 +70,9 @@ def parse_period(iso: str) -> Period:
     )
     if months and millis:
         raise ValueError(f"mixed calendar+fixed period not supported: {iso!r}")
-    return Period(months, millis)
+    return Period(months, millis,
+                  weeks=bool(g["w"]) and not any(
+                      g[k] for k in ("d", "h", "mi", "s")))
 
 
 class Granularity:
@@ -100,9 +106,12 @@ class Granularity:
     def _floor_millis(self, col: Column, width: int) -> Column:
         origin = self.origin_millis
         if origin is None:
-            # Druid weeks are ISO weeks (Monday start) — anchor week-multiple
-            # periods at the epoch's preceding Monday, not the Thursday epoch
-            origin = self._EPOCH_MONDAY if width % (7 * 86_400_000) == 0 else 0
+            # Druid weeks are ISO weeks (Monday start) — but ONLY the P*W
+            # spelling; P7D counts days from the Thursday epoch
+            # (PeriodGranularity.java:281-300, 302-318)
+            origin = (self._EPOCH_MONDAY
+                      if self.period is not None and self.period.weeks
+                      else 0)
         t = F.unix_millis(col)
         # floor-div handles pre-origin timestamps correctly (Spark div truncates
         # toward negative infinity only via `floor`, so use it explicitly).
@@ -201,7 +210,9 @@ class Granularity:
         else:
             origin = self.origin_millis
             if origin is None:
-                origin = self._EPOCH_MONDAY if p.millis % (7 * 86_400_000) == 0 else 0
+                # Monday anchor only for the P*W spelling (same rule as
+                # _floor_millis); P7D counts days from the Thursday epoch
+                origin = self._EPOCH_MONDAY if p.weeks else 0
             t = (start_ms - origin) // p.millis * p.millis + origin
             while t < end_ms:
                 out.append(t)

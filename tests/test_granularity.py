@@ -23,7 +23,10 @@ def floor_one(spark, gran, value):
 def test_parse_period():
     assert parse_period("PT1H") == Period(0, 3_600_000)
     assert parse_period("P1D") == Period(0, 86_400_000)
-    assert parse_period("P1W") == Period(0, 7 * 86_400_000)
+    # only the P*W spelling carries the weeks flag (Monday anchor);
+    # P7D is day arithmetic from the epoch (PeriodGranularity.java:281-318)
+    assert parse_period("P1W") == Period(0, 7 * 86_400_000, weeks=True)
+    assert parse_period("P7D") == Period(0, 7 * 86_400_000, weeks=False)
     assert parse_period("P1M") == Period(1, 0)
     assert parse_period("P1Y") == Period(12, 0)
     assert parse_period("PT15M") == Period(0, 900_000)
