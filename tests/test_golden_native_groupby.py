@@ -944,3 +944,78 @@ def test_multiple_dimensions_one_multi_value(spark, wiki_catalog):
     assert got[("premium", "p")] == (6, 5405)
     # every (quality, letter) + (quality, preferred) pair → 18 groups
     assert len(got) == 18
+
+
+def test_group_by_order_limit(spark, wiki_catalog):
+    """testGroupByOrderLimit — orderBy (rows asc, alias desc) over a P1M
+    bucket, with and without limit, in three aggregator spellings (plain
+    longSum, expression-based doubleSum, FLOAT virtual column)."""
+    base = {"queryType": "groupBy", "dataSource": "wiki",
+            "granularity": {"type": "period", "period": "P1M"},
+            "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+            "dimensions": [{"type": "default", "dimension": "quality",
+                            "outputName": "alias"}],
+            "limitSpec": {"type": "default", "columns": [
+                {"dimension": "rows"},
+                {"dimension": "alias", "direction": "descending"}]}}
+    exp_names = ["travel", "technology", "news", "health", "entertainment",
+                 "business", "automotive", "premium", "mezzanine"]
+    q = dict(base, aggregations=[
+        {"type": "count", "name": "rows"},
+        {"type": "longSum", "name": "idx", "fieldName": "index"}])
+    got = [(r["alias"], r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert got == [("travel", 2, 243), ("technology", 2, 177),
+                   ("news", 2, 221), ("health", 2, 216),
+                   ("entertainment", 2, 319), ("business", 2, 217),
+                   ("automotive", 2, 269), ("premium", 6, 4416),
+                   ("mezzanine", 6, 4420)]
+    q_lim = dict(q, limitSpec=dict(q["limitSpec"], limit=5))
+    got5 = [r["alias"] for r in translate(q_lim, spark, wiki_catalog).collect()]
+    assert got5 == exp_names[:5]
+    # expression-based doubleSum (indexMin = the reference's float read)
+    exp_idx = {"travel": 365.4876403808594, "technology": 267.3737487792969,
+               "news": 333.3147277832031, "health": 325.467529296875,
+               "entertainment": 479.916015625, "business": 328.083740234375,
+               "automotive": 405.5966796875, "premium": 6627.927734375,
+               "mezzanine": 6635.47998046875}
+    q2 = dict(base, aggregations=[
+        {"type": "count", "name": "rows"},
+        {"type": "doubleSum", "name": "idx",
+         "expression": "index / 2 + cast(index, 'FLOAT')"}])
+    got2 = [(r["alias"], r["idx"])
+            for r in translate(q2, spark, wiki_catalog).collect()]
+    assert [a for a, _ in got2] == exp_names
+    for a, v in got2:
+        assert v == pytest.approx(exp_idx[a], rel=2e-6), a
+    # FLOAT virtual column spelling
+    q3 = dict(base,
+              virtualColumns=[{"type": "expression", "name": "expr",
+                               "expression":
+                                   "index / 2 + cast(index, 'FLOAT')",
+                               "outputType": "FLOAT"}],
+              aggregations=[{"type": "count", "name": "rows"},
+                            {"type": "doubleSum", "name": "idx",
+                             "fieldName": "expr"}])
+    got3 = [(r["alias"], r["idx"])
+            for r in translate(q3, spark, wiki_catalog).collect()]
+    assert [a for a, _ in got3] == exp_names
+    for a, v in got3:
+        assert v == pytest.approx(exp_idx[a], rel=2e-6), a
+
+
+def test_group_by_order_limit_desc_dim(spark, wiki_catalog):
+    """testGroupByWithSameCaseOrdering + testGroupByWithOrderLimit4 — dim
+    desc ordering with limit 3 over the full interval."""
+    for alias in ("marketalias", "market"):
+        q = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "all", "intervals": FULL,
+             "dimensions": [{"type": "default", "dimension": "market",
+                             "outputName": alias}],
+             "aggregations": [{"type": "count", "name": "rows"}],
+             "limitSpec": {"type": "default", "limit": 3, "columns": [
+                 {"dimension": alias, "direction": "descending"}]}}
+        got = [(r[alias], r["rows"])
+               for r in translate(q, spark, wiki_catalog).collect()]
+        assert got == [("upfront", 186), ("total_market", 186),
+                       ("spot", 837)], alias
