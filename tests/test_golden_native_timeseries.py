@@ -140,3 +140,39 @@ def test_ts_interval_out_of_range(spark, wiki_catalog):
              intervals=["2015-01-01T00:00:00Z/2015-01-02T00:00:00Z"],
              context={"skipEmptyBuckets": True})
     assert out == []
+
+
+# --------------------------------------------------------------------------
+# TimeBoundaryQueryRunnerTest tranche (over the wiki fixture)
+# --------------------------------------------------------------------------
+
+def test_time_boundary_full_and_bounds(spark, wiki_catalog):
+    """testTimeBoundary / Max / Min — min 2011-01-12, max 2011-04-15."""
+    both = translate({"queryType": "timeBoundary", "dataSource": "wiki"},
+                     spark, wiki_catalog).collect()[0]
+    assert str(both["minTime"])[:10] == "2011-01-12"
+    assert str(both["maxTime"])[:10] == "2011-04-15"
+    mx = translate({"queryType": "timeBoundary", "dataSource": "wiki",
+                    "bound": "maxTime"}, spark, wiki_catalog).collect()[0]
+    assert str(mx["maxTime"])[:10] == "2011-04-15"
+    assert "minTime" not in mx.asDict()
+    mn = translate({"queryType": "timeBoundary", "dataSource": "wiki",
+                    "bound": "minTime"}, spark, wiki_catalog).collect()[0]
+    assert str(mn["minTime"])[:10] == "2011-01-12"
+    assert "maxTime" not in mn.asDict()
+
+
+def test_filtered_time_boundary(spark, wiki_catalog):
+    """testFilteredTimeBoundaryQuery (+NoMatches) — the filter narrows the
+    bounds; an unmatched filter yields no row."""
+    r = translate({"queryType": "timeBoundary", "dataSource": "wiki",
+                   "filter": {"type": "selector", "dimension": "market",
+                              "value": "spot"}},
+                  spark, wiki_catalog).collect()
+    assert len(r) == 1
+    assert str(r[0]["minTime"])[:10] == "2011-01-12"
+    r2 = translate({"queryType": "timeBoundary", "dataSource": "wiki",
+                    "filter": {"type": "selector", "dimension": "market",
+                               "value": "nonexistent"}},
+                   spark, wiki_catalog).collect()
+    assert r2 == [] or all(v is None for v in r2[0].asDict().values())
