@@ -1019,3 +1019,36 @@ def test_group_by_order_limit_desc_dim(spark, wiki_catalog):
                for r in translate(q, spark, wiki_catalog).collect()]
         assert got == [("upfront", 186), ("total_market", 186),
                        ("spot", 837)], alias
+
+
+def test_group_by_time_extraction_day_of_week(spark, wiki_catalog):
+    """testGroupByTimeExtraction — timeFormat('EEEE') dimension over __time
+    crossed with market; spot-Friday/Monday exact sums."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL,
+         "dimensions": [
+             {"type": "default", "dimension": "market",
+              "outputName": "market"},
+             {"type": "extraction", "dimension": "__time",
+              "outputName": "dayOfWeek",
+              "extractionFn": {"type": "timeFormat", "format": "EEEE"}}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"}],
+         "filter": {"type": "or", "fields": [
+             {"type": "selector", "dimension": "market", "value": "spot"},
+             {"type": "selector", "dimension": "market",
+              "value": "upfront"}]}}
+    got = {(r["market"], r["dayOfWeek"]): (r["rows"], r["index"])
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert len(got) == 14  # 2 markets × 7 day names
+    assert got[("spot", "Friday")][0] == 117
+    assert got[("spot", "Friday")][1] == pytest.approx(13219.574157714844,
+                                                       rel=2e-6)
+    assert got[("spot", "Monday")][0] == 117
+    assert got[("spot", "Monday")][1] == pytest.approx(13557.738830566406,
+                                                       rel=2e-6)
+    assert got[("spot", "Saturday")][1] == pytest.approx(13493.751281738281,
+                                                         rel=2e-6)
+    assert got[("spot", "Sunday")][1] == pytest.approx(13585.541015625,
+                                                       rel=2e-6)
