@@ -1052,3 +1052,31 @@ def test_group_by_time_extraction_day_of_week(spark, wiki_catalog):
                                                          rel=2e-6)
     assert got[("spot", "Sunday")][1] == pytest.approx(13585.541015625,
                                                        rel=2e-6)
+
+
+def test_group_by_with_uniques_and_cardinality(spark, wiki_catalog):
+    """testGroupByWithUniques + testGroupByWithCardinality — 9 distinct
+    qualities (the reference asserts its HLL estimate 9.0198; this engine's
+    sketch is exact at this cardinality) + the same-name post-agg error."""
+    for agg in ({"type": "hyperUnique", "name": "uniques",
+                 "fieldName": "quality"},
+                {"type": "cardinality", "name": "uniques",
+                 "fields": ["quality"], "byRow": False}):
+        q = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "all", "intervals": F2T,
+             "aggregations": [{"type": "count", "name": "rows"}, agg]}
+        out = translate(q, spark, wiki_catalog).collect()
+        assert out[0]["rows"] == 26
+        assert round(float(out[0]["uniques"])) == 9
+    # testGroupByWithUniquesAndPostAggWithSameName — name collision raises
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "hyperUnique", "name": "quality_uniques",
+              "fieldName": "quality"}],
+         "postAggregations": [
+             {"type": "hyperUniqueCardinality", "name": "quality_uniques",
+              "fieldName": "quality_uniques"}]}
+    with pytest.raises(ValueError, match="already defined"):
+        translate(q, spark, wiki_catalog)
