@@ -1080,3 +1080,71 @@ def test_group_by_with_uniques_and_cardinality(spark, wiki_catalog):
               "fieldName": "quality_uniques"}]}
     with pytest.raises(ValueError, match="already defined"):
         translate(q, spark, wiki_catalog)
+
+
+def test_post_agg_having_spec(spark, wiki_catalog):
+    """testPostAggMergedHavingSpec/testPostAggHavingSpec — a greaterThan
+    having over the POST-AGGREGATED column."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "index", "fieldName": "index"}],
+         "postAggregations": [
+             {"type": "arithmetic", "name": "addRowsIndexConstant",
+              "fn": "+",
+              "fields": [{"type": "fieldAccess", "fieldName": "rows"},
+                         {"type": "fieldAccess", "fieldName": "index"},
+                         {"type": "constant", "value": 1}]}],
+         "having": {"type": "or", "havingSpecs": [
+             {"type": "greaterThan", "aggregation": "addRowsIndexConstant",
+              "value": 1000}]}}
+    got = sorted((r["alias"], r["rows"], r["index"],
+                  r["addRowsIndexConstant"])
+                 for r in translate(q, spark, wiki_catalog).collect())
+    assert got == [("mezzanine", 6, 4420, 4427.0),
+                   ("premium", 6, 4416, 4423.0)]
+
+
+def test_group_by_order_limit_having_spec(spark, wiki_catalog):
+    """testGroupByWithOrderLimitHavingSpec — having(index > 310) + index asc
+    limit 5, with long/double/float min/max over the index column."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["2011-01-25T00:00:00Z/2011-01-28T00:00:00Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"},
+             {"type": "longMin", "name": "lmin", "fieldName": "index"},
+             {"type": "longMax", "name": "lmax", "fieldName": "index"},
+             {"type": "doubleMin", "name": "dmin", "fieldName": "index"},
+             {"type": "doubleMax", "name": "dmax", "fieldName": "index"},
+             {"type": "floatMin", "name": "fmin", "fieldName": "index"},
+             {"type": "floatMax", "name": "fmax", "fieldName": "index"}],
+         "having": {"type": "greaterThan", "aggregation": "index",
+                    "value": 310},
+         "limitSpec": {"type": "default", "limit": 5, "columns": [
+             {"dimension": "index", "direction": "ascending"}]}}
+    out = translate(q, spark, wiki_catalog).collect()
+    exp = [("business", 3, 312.38165283203125, 101, 105, 101.624789,
+            105.873942),
+           ("news", 3, 312.7834167480469, 102, 105, 102.907866, 105.266058),
+           ("technology", 3, 324.6412353515625, 102, 116, 102.044542,
+            116.979005),
+           ("travel", 3, 393.36322021484375, 122, 149, 122.077247,
+            149.125271),
+           ("health", 3, 511.2996826171875, 159, 180, 159.988606,
+            180.575246)]
+    assert len(out) == 5
+    for r, (alias, rows_, idx, lmin, lmax, dmin, dmax) in zip(out, exp):
+        assert r["alias"] == alias and r["rows"] == rows_
+        assert r["index"] == pytest.approx(idx, rel=2e-6)
+        assert (r["lmin"], r["lmax"]) == (lmin, lmax)
+        assert r["dmin"] == pytest.approx(dmin, rel=2e-6)
+        assert r["dmax"] == pytest.approx(dmax, rel=2e-6)
+        assert r["fmin"] == pytest.approx(dmin, rel=2e-5)
+        assert r["fmax"] == pytest.approx(dmax, rel=2e-5)
