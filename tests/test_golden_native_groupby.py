@@ -1148,3 +1148,34 @@ def test_group_by_order_limit_having_spec(spark, wiki_catalog):
         assert r["dmax"] == pytest.approx(dmax, rel=2e-6)
         assert r["fmin"] == pytest.approx(dmin, rel=2e-5)
         assert r["fmax"] == pytest.approx(dmax, rel=2e-5)
+
+
+def test_group_by_lookup_limit_sort_by_dims_first(spark, wiki_catalog):
+    """testGroupByWithLookupAndLimitAndSortByDimsFirst — sortByDimsFirst
+    context: the alias orders BEFORE the day bucket (1,1,2,2,...), limit 11
+    cuts mid-pair."""
+    mapping = {"automotive": "9", "business": "8", "entertainment": "7",
+               "health": "6", "mezzanine": "5", "news": "4", "premium": "3",
+               "technology": "2", "travel": "1"}
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "dimensions": [{"type": "extraction", "dimension": "quality",
+                         "outputName": "alias",
+                         "extractionFn": {"type": "lookup",
+                                          "lookup": {"type": "map",
+                                                     "map": mapping}}}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}],
+         "limitSpec": {"type": "default", "limit": 11, "columns": [
+             {"dimension": "alias", "dimensionOrder": "alphanumeric"}]},
+         "context": {"sortByDimsFirst": True}}
+    got = [(str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert got == [
+        ("2011-04-01", "1", 1, 119), ("2011-04-02", "1", 1, 126),
+        ("2011-04-01", "2", 1, 78), ("2011-04-02", "2", 1, 97),
+        ("2011-04-01", "3", 3, 2900), ("2011-04-02", "3", 3, 2505),
+        ("2011-04-01", "4", 1, 121), ("2011-04-02", "4", 1, 114),
+        ("2011-04-01", "5", 3, 2870), ("2011-04-02", "5", 3, 2447),
+        ("2011-04-01", "6", 1, 120)]
