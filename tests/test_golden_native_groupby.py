@@ -1179,3 +1179,99 @@ def test_group_by_lookup_limit_sort_by_dims_first(spark, wiki_catalog):
         ("2011-04-01", "4", 1, 121), ("2011-04-02", "4", 1, 114),
         ("2011-04-01", "5", 3, 2870), ("2011-04-02", "5", 3, 2447),
         ("2011-04-01", "6", 1, 120)]
+
+
+def test_nested_inner_query_numerics(spark, wiki_catalog):
+    """testGroupByNestedWithInnerQueryNumerics — outer string-selector over
+    a LONG alias ('1200'), numeric bound over a FLOAT alias, outer sums of
+    the inner keys."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": F2T,
+             "filter": {"type": "in", "dimension": "quality",
+                        "values": ["entertainment"]},
+             "dimensions": [
+                 {"type": "default", "dimension": "quality",
+                  "outputName": "alias"},
+                 {"type": "default", "dimension": "qualityLong",
+                  "outputName": "ql_alias", "outputType": "LONG"},
+                 {"type": "default", "dimension": "qualityFloat",
+                  "outputName": "qf_alias", "outputType": "FLOAT"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": F2T,
+             "dimensions": [
+                 {"type": "default", "dimension": "ql_alias",
+                  "outputName": "quallong", "outputType": "LONG"},
+                 {"type": "default", "dimension": "qf_alias",
+                  "outputName": "qualfloat", "outputType": "FLOAT"}],
+             "filter": {"type": "and", "fields": [
+                 {"type": "selector", "dimension": "ql_alias",
+                  "value": "1200"},
+                 {"type": "bound", "dimension": "qf_alias",
+                  "lower": "11095.0", "upper": "12005.0",
+                  "lowerStrict": True, "upperStrict": True,
+                  "ordering": "numeric"}]},
+             "aggregations": [
+                 {"type": "longSum", "name": "ql_alias_sum",
+                  "fieldName": "ql_alias"},
+                 {"type": "doubleSum", "name": "qf_alias_sum",
+                  "fieldName": "qf_alias"}]}
+    out = translate(outer, spark, wiki_catalog).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["quallong"], r["qualfloat"], r["ql_alias_sum"],
+            r["qf_alias_sum"]) == (1200, 12000.0, 2400, 24000.0)
+
+
+def test_nested_inner_query_output_null_numerics(spark, wiki_catalog):
+    """testGroupByNestedWithInnerQueryOutputNullNumerics — a searchQuery
+    extraction fn nulls the non-matching quality's numeric aliases; the
+    outer groups and sums keep the null group with NULL sums."""
+    exfn = {"type": "searchQuery",
+            "query": {"type": "contains", "value": "1200"}}
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": F2T,
+             "filter": {"type": "in", "dimension": "quality",
+                        "values": ["entertainment", "business"]},
+             "dimensions": [
+                 {"type": "default", "dimension": "quality",
+                  "outputName": "alias"},
+                 {"type": "extraction", "dimension": "qualityLong",
+                  "outputName": "ql_alias", "outputType": "LONG",
+                  "extractionFn": exfn},
+                 {"type": "extraction", "dimension": "qualityFloat",
+                  "outputName": "qf_alias", "outputType": "FLOAT",
+                  "extractionFn": exfn},
+                 {"type": "extraction", "dimension": "qualityDouble",
+                  "outputName": "qd_alias", "outputType": "DOUBLE",
+                  "extractionFn": exfn}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": F2T,
+             "dimensions": [
+                 {"type": "default", "dimension": "ql_alias",
+                  "outputName": "quallong", "outputType": "LONG"},
+                 {"type": "default", "dimension": "qf_alias",
+                  "outputName": "qualfloat", "outputType": "FLOAT"},
+                 {"type": "default", "dimension": "qd_alias",
+                  "outputName": "qualdouble", "outputType": "DOUBLE"}],
+             "aggregations": [
+                 {"type": "longSum", "name": "ql_alias_sum",
+                  "fieldName": "ql_alias"},
+                 {"type": "doubleSum", "name": "qf_alias_sum",
+                  "fieldName": "qf_alias"},
+                 {"type": "doubleSum", "name": "qd_alias_sum",
+                  "fieldName": "qd_alias"}]}
+    out = sorted(
+        ((r["quallong"], r["qualfloat"], r["qualdouble"],
+          r["ql_alias_sum"], r["qf_alias_sum"], r["qd_alias_sum"])
+         for r in translate(outer, spark, wiki_catalog).collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0))
+    assert out == [(None, None, None, None, None, None),
+                   (1200, 12000.0, 12000.0, 2400, 24000.0, 24000.0)]
