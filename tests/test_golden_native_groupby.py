@@ -1275,3 +1275,76 @@ def test_nested_inner_query_output_null_numerics(spark, wiki_catalog):
         key=lambda t: (t[0] is not None, t[0] or 0))
     assert out == [(None, None, None, None, None, None),
                    (1200, 12000.0, 12000.0, 2400, 24000.0, 24000.0)]
+
+
+def test_group_by_with_string_post_aggregator(spark, wiki_catalog):
+    """testGroupByWithStringPostAggregator — an expression post-agg builds a
+    STRING (alias + 'x'); ordering by it desc within each day bucket."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}],
+         "postAggregations": [{"type": "expression", "name": "post",
+                               "expression": "alias + 'x'"}],
+         "limitSpec": {"type": "default", "columns": [
+             {"dimension": "post", "direction": "descending"}]}}
+    got = [(str(r["__time"])[:10], r["post"], r["rows"], r["idx"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    day1 = [g for g in got if g[0] == "2011-04-01"]
+    names_desc = ["travelx", "technologyx", "premiumx", "newsx",
+                  "mezzaninex", "healthx", "entertainmentx", "businessx",
+                  "automotivex"]
+    assert [g[1] for g in day1] == names_desc
+    assert got[:9] == day1  # time-first ordering
+    assert day1[0][2:] == (1, 119) and day1[2][2:] == (3, 2900)
+
+
+def test_group_by_regex_filter_and_missing_columns(spark, wiki_catalog):
+    """testGroupByWithRegEx (find()-style regex filter) +
+    testGroupByOnMissingColumn (nonexistent dims: plain → null group,
+    StringFormatExtractionFn('foo') → constant 'foo')."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "filter": {"type": "regex", "dimension": "quality",
+                    "pattern": "auto.*"},
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "quality"}],
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    got = [(r["quality"], r["rows"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert got == [("automotive", 2)]
+    q2 = {"queryType": "groupBy", "dataSource": "wiki",
+          "granularity": "all", "intervals": F2T,
+          "dimensions": [
+              {"type": "default", "dimension": "nonexistent0",
+               "outputName": "alias0"},
+              {"type": "extraction", "dimension": "nonexistent1",
+               "outputName": "alias1",
+               "extractionFn": {"type": "stringFormat", "format": "foo"}}],
+          "aggregations": [{"type": "count", "name": "rows"}]}
+    out = translate(q2, spark, wiki_catalog).collect()
+    assert len(out) == 1
+    assert (out[0]["alias0"], out[0]["alias1"], out[0]["rows"]) == (
+        None, "foo", 26)
+
+
+def test_group_by_nonexistent_plus_real_dimension(spark, wiki_catalog):
+    """testGroupByWithNonexistentDimension — a missing dim groups as one
+    null value next to the real dim."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "dimensions": [
+             {"type": "default", "dimension": "billy",
+              "outputName": "billy"},
+             {"type": "default", "dimension": "quality",
+              "outputName": "quality"}],
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert len(out) == 9
+    assert all(r["billy"] is None for r in out)
+    assert {r["quality"]: r["rows"] for r in out}["mezzanine"] == 6
