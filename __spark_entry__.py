@@ -884,6 +884,20 @@ def _hll_sketch_column_estimate(spark, sf):
     return translate(q, spark, cat)
 
 
+def _ngram_jaccard_pairs(spark, sf):
+    """Exact word-3-gram Jaccard for every pair of the first 12 documents —
+    the brute-force verifier behind the MinHash pipeline, fully replayable in
+    SQL (the DuckDB oracle rebuilds the same normalized shingle sets with
+    regexp_replace + unnest(range)).  Bounded input (12 docs → 66 pairs);
+    the production path is minhash_dedup's banded join."""
+    from incubator_druid_spark.pipeline.dedup import ngram_jaccard
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 12)
+    out = ngram_jaccard(docs, docs, "doc_id", "text", n=3)
+    return (out.filter(F.col("id_a") < F.col("id_b"))
+               .select("id_a", "id_b",
+                       F.round("jaccard", 4).alias("jaccard")))
+
+
 def _dedup_exact(spark, sf):
     from incubator_druid_spark.pipeline.dedup import exact_dedup
     docs = _cat(spark, sf).table("documents")
@@ -1246,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
     }
 
 
@@ -1705,6 +1720,32 @@ def oracle_sql() -> dict[str, str]:
         # stored DoublesSketch segments are exact here (every value
         # retained), so INCLUSIVE quantiles == the order statistic at
         # ceil(q*n) — computed via window functions
+        "ngram_jaccard_pairs": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id < 12),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs),
+            idx AS (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 1, 1))) AS i
+                    FROM toks),
+            grams AS (SELECT DISTINCT doc_id,
+                             array_to_string(w[i:i+2], ' ') AS g FROM idx),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            pairs AS (SELECT ga.doc_id AS id_a, gb.doc_id AS id_b,
+                             count(*) AS inter
+                      FROM grams ga JOIN grams gb
+                        ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+                      GROUP BY 1, 2)
+            SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+                   round(CAST(COALESCE(p.inter, 0) AS DOUBLE)
+                         / (sa.n + sb.n - COALESCE(p.inter, 0)), 4)
+                       AS jaccard
+            FROM sizes sa JOIN sizes sb ON sa.doc_id < sb.doc_id
+            LEFT JOIN pairs p
+              ON p.id_a = sa.doc_id AND p.id_b = sb.doc_id
+        """,
         "hll_sketch_column_estimate": """
             SELECT event_type,
                    count(DISTINCT user_id % 97) AS users_mod97
