@@ -70,6 +70,19 @@ def main() -> int:
         .groupBy(_F.date_trunc("day", _F.col("__time")).alias("d"))
         .agg(_F.count(_F.lit(1)).alias("c"), _F.sum("value").alias("s"))
         .orderBy("d").count())
+    # ... and the search unpivot shape (explode-of-struct-array codegen —
+    # its first compilation otherwise lands entirely on search_types).
+    # Data size is irrelevant to compile cost, so warm on a 1k-row slice.
+    from incubator_druid_spark import translate as _translate
+    from incubator_druid_spark.catalog import Catalog as _Cat
+    _warm_cat = _Cat(spark)
+    cat.table("events").limit(1000).write.mode("overwrite") \
+        .parquet("/tmp/spark_graft_search_warm")
+    _warm_cat.register("warmup", "/tmp/spark_graft_search_warm")
+    _translate({"queryType": "search", "dataSource": "warmup",
+                "granularity": "all",
+                "query": {"type": "contains", "value": "x"}},
+               spark, _warm_cat).collect()
 
     queries = entrymod.queries()
     headline = [
