@@ -877,3 +877,58 @@ def test_scan_time_ordering_with_limit(spark, wiki_catalog):
             assert len(out) == min(limit, 18)
             stamps = [r["__time"].timestamp() for r in out]
             assert stamps == sorted(stamps, reverse=(order == "descending"))
+
+
+def test_topn_collapsing_dim_extraction(spark, wiki_catalog):
+    """testTopNCollapsingDimExtraction — regex '.(.)' (second character)
+    collapses the 9 qualities into letter groups; both the doubleSum and the
+    negative-expression aggregator phases."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL,
+         "dimension": {"type": "extraction", "dimension": "quality",
+                       "outputName": "quality",
+                       "extractionFn": {"type": "regex", "expr": ".(.)"}},
+         "metric": "index", "threshold": 2,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"}],
+         "postAggregations": ARIC}
+    out = [(r["quality"], r["rows"], r["index"], r["addRowsIndexConstant"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert len(out) == 2
+    assert out[0][0] == "e" and out[0][1] == 558
+    assert out[0][2] == pytest.approx(246645.1204032898, rel=2e-6)
+    assert out[1][0] == "r" and out[1][1] == 372
+    assert out[1][2] == pytest.approx(222051.08961486816, rel=2e-6)
+    q2 = dict(q, aggregations=[
+        {"type": "count", "name": "rows"},
+        {"type": "doubleSum", "name": "index",
+         "expression": "-index + 100"}])
+    out2 = [(r["quality"], r["rows"], r["index"])
+            for r in translate(q2, spark, wiki_catalog).collect()]
+    assert out2[0][0] == "n" and out2[0][1] == 93
+    assert out2[0][2] == pytest.approx(-2786.4727909999997, rel=2e-6)
+    assert out2[1][0] == "u" and out2[1][1] == 186
+    assert out2[1][2] == pytest.approx(-3949.824348000002, rel=2e-6)
+
+
+def test_topn_dim_extraction_first_char(spark, wiki_catalog):
+    """testTopNDimExtraction — regex '(.)' first character of market; tie
+    at 4 rows breaks by dimension ascending (t before u)."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T,
+         "dimension": {"type": "extraction", "dimension": "market",
+                       "outputName": "market",
+                       "extractionFn": {"type": "regex", "expr": "(.)"}},
+         "metric": "rows", "threshold": 4,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"}],
+         "postAggregations": ARIC}
+    out = [(r["market"], r["rows"], r["index"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out[0][0] == "s" and out[0][1] == 18
+    assert out[0][2] == pytest.approx(2231.876812, rel=2e-6)
+    assert {(o[0], o[1]) for o in out[1:]} == {("t", 4), ("u", 4)}
+    assert out[1][2] + out[2][2] == pytest.approx(5351.814783 + 4875.669692,
+                                                  rel=2e-6)
