@@ -385,7 +385,19 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
     if t == "cardinality":
         # cardinality/CardinalityAggregatorFactory.java — HLL over dims.
         # byRow=true counts distinct tuples; false counts union of value sets.
-        fields = [ctx.resolve(_df_name(d)) for d in spec["fields"]]
+        # fields are DIMENSION SPECS: extraction fns apply before hashing
+        # (GroupByQueryRunnerTest.testGroupByCardinalityAggWithExtractionFn)
+        def _spec_col(d):
+            if isinstance(d, str):
+                return ctx.resolve(d)
+            col = ctx.resolve(d["dimension"])
+            fn = d.get("extractionFn")
+            if fn is not None:
+                from incubator_druid_spark.functions.extraction import (
+                    compile_extraction)
+                col = compile_extraction(fn, col)
+            return col
+        fields = [_spec_col(d) for d in spec["fields"]]
         if spec.get("byRow"):
             if len(fields) == 1:
                 return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(fields[0])))

@@ -1348,3 +1348,29 @@ def test_group_by_nonexistent_plus_real_dimension(spark, wiki_catalog):
     assert len(out) == 9
     assert all(r["billy"] is None for r in out)
     assert {r["quality"]: r["rows"] for r in out}["mezzanine"] == 6
+
+
+def test_group_by_cardinality_agg_with_extraction_fn(spark, wiki_catalog):
+    """testGroupByCardinalityAggWithExtractionFn — the cardinality agg's
+    fields are DIMENSION SPECS: a constant-producing extraction fn collapses
+    every quality to one value (exact 1 here; the reference asserts its HLL
+    estimate 1.00024)."""
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "dimensions": [{"type": "default", "dimension": "market",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "cardinality", "name": "numVals", "byRow": False,
+              "fields": [{"type": "extraction", "dimension": "quality",
+                          "outputName": "quality",
+                          "extractionFn": {"type": "stringFormat",
+                                           "format": "hello"}}]}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    assert len(out) == 6  # 3 markets × 2 days
+    by_key = {(str(r["__time"])[:10], r["alias"]): (r["rows"],
+                                                    round(float(r["numVals"])))
+              for r in out}
+    assert by_key[("2011-04-01", "spot")] == (9, 1)
+    assert by_key[("2011-04-01", "total_market")] == (2, 1)
+    assert all(v[1] == 1 for v in by_key.values())
