@@ -1374,3 +1374,40 @@ def test_group_by_cardinality_agg_with_extraction_fn(spark, wiki_catalog):
     assert by_key[("2011-04-01", "spot")] == (9, 1)
     assert by_key[("2011-04-01", "total_market")] == (2, 1)
     assert all(v[1] == 1 for v in by_key.values())
+
+
+def test_group_by_all_filters_on_null_dims_with_extraction_fns(
+        spark, wiki_catalog):
+    """testGroupByWithAllFiltersOnNullDimsWithExtractionFns — selector, in,
+    bound, regex and search filters ANDed, each matching the
+    replaceMissingValueWith('EMPTY') rendering of a NONEXISTENT column (the
+    JS filter is the deliberate raise)."""
+    exfn = {"type": "lookup",
+            "lookup": {"type": "map", "map": {"": "EMPTY"}},
+            "replaceMissingValueWith": "EMPTY", "injective": True}
+    superfilter = {"type": "and", "fields": [
+        {"type": "selector", "dimension": "null_column", "value": "EMPTY",
+         "extractionFn": exfn},
+        {"type": "in", "dimension": "null_column",
+         "values": ["NOT-EMPTY", "FOOBAR", "EMPTY"], "extractionFn": exfn},
+        {"type": "bound", "dimension": "null_column", "lower": "EMPTY",
+         "upper": "EMPTY", "ordering": "alphanumeric",
+         "extractionFn": exfn},
+        {"type": "regex", "dimension": "null_column", "pattern": "EMPTY",
+         "extractionFn": exfn},
+        {"type": "search", "dimension": "null_column",
+         "query": {"type": "contains", "value": "EMPTY",
+                   "caseSensitive": True},
+         "extractionFn": exfn}]}
+    q = {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "dimensions": [{"type": "default", "dimension": "null_column",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}],
+         "filter": superfilter}
+    got = sorted((str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+                 for r in translate(q, spark, wiki_catalog).collect())
+    assert got == [("2011-04-01", None, 13, 6619),
+                   ("2011-04-02", None, 13, 5827)]
