@@ -1411,3 +1411,29 @@ def test_group_by_all_filters_on_null_dims_with_extraction_fns(
                  for r in translate(q, spark, wiki_catalog).collect())
     assert got == [("2011-04-01", None, 13, 6619),
                    ("2011-04-02", None, 13, 5827)]
+
+
+def test_dim_filter_having_spec_with_extraction_fns(spark, wiki_catalog):
+    """testDimFilterHavingSpecWithExtractionFns — a dim-filter having whose
+    leaves apply extraction fns to AGGREGATE columns (the reference's JS
+    'super-'+str ports as stringFormat; the numeric +10 bound reduces to a
+    plain numeric bound)."""
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": {"type": "period", "period": "P1M"},
+         "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}],
+         "having": {"type": "filter", "filter": {"type": "or", "fields": [
+             {"type": "bound", "dimension": "rows", "lower": "2",
+              "lowerStrict": True, "ordering": "numeric"},
+             {"type": "selector", "dimension": "idx",
+              "value": "super-217",
+              "extractionFn": {"type": "stringFormat",
+                               "format": "super-%s"}}]}}}
+    got = sorted((r["alias"], r["rows"], r["idx"])
+                 for r in translate(q, spark, wiki_catalog).collect())
+    assert got == [("business", 2, 217), ("mezzanine", 6, 4420),
+                   ("premium", 6, 4416)]
