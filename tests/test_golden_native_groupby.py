@@ -1437,3 +1437,41 @@ def test_dim_filter_having_spec_with_extraction_fns(spark, wiki_catalog):
                  for r in translate(q, spark, wiki_catalog).collect())
     assert got == [("business", 2, 217), ("mezzanine", 6, 4420),
                    ("premium", 6, 4416)]
+
+
+def test_subquery_with_post_aggregators(spark, wiki_catalog):
+    """testSubqueryWithPostAggregators — the outer longSum consumes the
+    INNER's post-aggregated column (idx + 1000), and the outer adds its own
+    post-agg (+10000)."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": F2T,
+             "filter": {"type": "true"},
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "idx_subagg",
+                  "fieldName": "index"}],
+             "postAggregations": [
+                 {"type": "arithmetic", "name": "idx_subpostagg", "fn": "+",
+                  "fields": [{"type": "fieldAccess",
+                              "fieldName": "idx_subagg"},
+                             {"type": "constant", "value": 1000}]}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": F2T,
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "longSum", "name": "rows", "fieldName": "rows"},
+                 {"type": "longSum", "name": "idx",
+                  "fieldName": "idx_subpostagg"}],
+             "postAggregations": [
+                 {"type": "arithmetic", "name": "idx_post", "fn": "+",
+                  "fields": [{"type": "fieldAccess", "fieldName": "idx"},
+                             {"type": "constant", "value": 10000}]}]}
+    got = {(str(r["__time"])[:10], r["alias"]):
+           (r["rows"], r["idx"], r["idx_post"])
+           for r in translate(outer, spark, wiki_catalog).collect()}
+    assert got == {k: (v[0], v[1] + 1000, float(v[1] + 11000))
+                   for k, v in CANON_18.items()}
