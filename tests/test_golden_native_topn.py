@@ -932,3 +932,25 @@ def test_topn_dim_extraction_first_char(spark, wiki_catalog):
     assert {(o[0], o[1]) for o in out[1:]} == {("t", 4), ("u", 4)}
     assert out[1][2] + out[2][2] == pytest.approx(5351.814783 + 4875.669692,
                                                   rel=2e-6)
+
+
+def test_topn_with_extraction_filter(spark, wiki_catalog):
+    """testTopNWithExtractionFilter — extraction filter (spot→spot0) keeps
+    only spot rows; top by rows."""
+    out = topn(spark, wiki_catalog, "market", "rows", threshold=3,
+               intervals=F2T,
+               aggs=[{"type": "count", "name": "rows"},
+                     {"type": "doubleSum", "name": "index",
+                      "fieldName": "index"}],
+               post=ARIC,
+               filter={"type": "extraction", "dimension": "market",
+                       "value": "spot0",
+                       "extractionFn": {
+                           "type": "lookup",
+                           "lookup": {"type": "map",
+                                      "map": {"spot": "spot0"}}}})
+    assert len(out) == 1
+    r = out[0]
+    assert (r["market"], r["rows"]) == ("spot", 18)
+    assert r["index"] == pytest.approx(2231.876812, rel=2e-6)
+    assert r["addRowsIndexConstant"] == pytest.approx(2250.876812, rel=2e-6)
