@@ -954,3 +954,44 @@ def test_topn_with_extraction_filter(spark, wiki_catalog):
     assert (r["market"], r["rows"]) == ("spot", 18)
     assert r["index"] == pytest.approx(2231.876812, rel=2e-6)
     assert r["addRowsIndexConstant"] == pytest.approx(2250.876812, rel=2e-6)
+
+
+def test_topn_with_null_producing_dim_extraction_fn(spark, wiki_catalog):
+    """testTopNWithNullProducingDimExtractionFn — an extraction that nulls
+    one value (lookup miss) keeps the NULL group as a regular topN row
+    (unlike filtered dimension specs, which skip)."""
+    out = topn(spark, wiki_catalog,
+               {"type": "extraction", "dimension": "market",
+                "outputName": "market",
+                "extractionFn": {"type": "lookup",
+                                 "lookup": {"type": "map",
+                                            "map": {"spot": "spot",
+                                                    "upfront": "upfront"}}}},
+               "rows", threshold=4, intervals=F2T,
+               aggs=[{"type": "count", "name": "rows"},
+                     {"type": "doubleSum", "name": "index",
+                      "fieldName": "index"}],
+               post=ARIC)
+    assert len(out) == 3
+    assert (out[0]["market"], out[0]["rows"]) == ("spot", 18)
+    tail = {r["market"]: (r["rows"], round(r["index"], 4)) for r in out[1:]}
+    assert tail == {None: (4, 5351.8148), "upfront": (4, 4875.6697)}
+
+
+def test_full_on_topn_over_post_aggs(spark, wiki_catalog):
+    """testFullOnTopNOverPostAggs — the topN METRIC is a post-aggregated
+    column (addRowsIndexConstant)."""
+    out = topn(spark, wiki_catalog, "market", "addRowsIndexConstant",
+               post=ARIC)
+    check(out, [
+        {"market": "total_market", "rows": 186,
+         "index": 215679.82879638672,
+         "addRowsIndexConstant": 215866.82879638672,
+         "maxIndex": 1743.92175, "minIndex": 792.3260498046875},
+        {"market": "upfront", "rows": 186, "index": 192046.1060180664,
+         "addRowsIndexConstant": 192233.1060180664,
+         "maxIndex": 1870.061029, "minIndex": 545.9906005859375},
+        {"market": "spot", "rows": 837, "index": 95606.57232284546,
+         "addRowsIndexConstant": 96444.57232284546,
+         "maxIndex": 277.273533, "minIndex": 59.02102279663086},
+    ])
