@@ -96,7 +96,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         keyed["remaining_posts"] if keyed is not None
         else query.get("postAggregations"))
     if post:
-        out = out.select("*", *post)
+        for _p in post:
+            out = out.select("*", _p)
 
     having = query.get("having")
     if having is not None:

@@ -58,7 +58,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
                                      gran.floor(F.col(TIME_COLUMN)))
             out = run_keyed_aods(bucketed, [TIME_COLUMN], keyed, ctx)
         if post:
-            out = out.select("*", *post)
+            for _p in post:
+                out = out.select("*", _p)
         if gran.kind != "all":
             out = out.orderBy(F.col(TIME_COLUMN).desc()
                               if query.get("descending")
@@ -78,7 +79,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         out = _zero_fill(out, query, gran, spark)
 
     if post:
-        out = out.select("*", *post)
+        for _p in post:
+            out = out.select("*", _p)
 
     if gran.kind != "all":
         out = out.orderBy(F.col(TIME_COLUMN).desc() if query.get("descending")

@@ -72,7 +72,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
     post = compile_post_aggregations(query.get("postAggregations"))
     if post:
-        out = out.select("*", *post)
+        for _p in post:
+            out = out.select("*", _p)
 
     order = _metric_order(query["metric"], dim, invert=False)
     k = int(query["threshold"])

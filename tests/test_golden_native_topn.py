@@ -995,3 +995,75 @@ def test_full_on_topn_over_post_aggs(spark, wiki_catalog):
          "addRowsIndexConstant": 96444.57232284546,
          "maxIndex": 277.273533, "minIndex": 59.02102279663086},
     ])
+
+
+def test_topn_dependent_post_agg(spark, wiki_catalog):
+    """testTopNDependentPostAgg — a post-agg REFERENCING another post-agg
+    (dependent = addRowsIndexConstant + rows + 1) used as the topN metric,
+    plus a hyperUniqueCardinality-based post-agg (+1)."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL, "dimension": "market",
+         "metric": "dependentPostAgg", "threshold": 4,
+         "aggregations": COMMON_MAXMIN + [
+             {"type": "hyperUnique", "name": "uniques",
+              "fieldName": "quality"}],
+         "postAggregations": ARIC + [
+             {"type": "arithmetic", "name": "dependentPostAgg", "fn": "+",
+              "fields": [{"type": "fieldAccess",
+                          "fieldName": "addRowsIndexConstant"},
+                         {"type": "fieldAccess", "fieldName": "rows"},
+                         {"type": "constant", "value": 1}]},
+             {"type": "arithmetic", "name": "hyperUniqueFinalizingPostAggMetric",
+              "fn": "+",
+              "fields": [{"type": "hyperUniqueCardinality",
+                          "fieldName": "uniques"},
+                         {"type": "constant", "value": 1}]}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    exp = [("total_market", 186, 215679.82879638672, 216053.82879638672, 2),
+           ("upfront", 186, 192046.1060180664, 192420.1060180664, 2),
+           ("spot", 837, 95606.57232284546, 97282.57232284546, 9)]
+    assert len(out) == 3
+    for r, (mk, rows_, idx, dep, uq) in zip(out, exp):
+        assert r["market"] == mk and r["rows"] == rows_
+        assert r["index"] == pytest.approx(idx, rel=2e-6)
+        assert r["dependentPostAgg"] == pytest.approx(dep, rel=2e-6)
+        assert r["hyperUniqueFinalizingPostAggMetric"] == pytest.approx(
+            uq + 1, abs=0.25)
+
+
+def test_topn_with_time_column_sum(spark, wiki_catalog):
+    """testTopNWithTimeColumn's shape — longSum over __time as a topN
+    metric column sums epoch millis per market."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T, "dimension": "market",
+         "metric": "rows", "threshold": 3,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "longSum", "name": "sumtime", "fieldName": "__time"}]}
+    out = [(r["market"], r["rows"], r["sumtime"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out[0] == ("spot", 18, 23429865600000)
+    assert {(o[0], o[1], o[2]) for o in out[1:]} == {
+        ("total_market", 4, 5206636800000), ("upfront", 4, 5206636800000)}
+
+
+def test_topn_time_extraction_day_name(spark, wiki_catalog):
+    """testTopNTimeExtraction — timeFormat('EEEE') day-name dimension, top-2
+    by summed index."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL,
+         "dimension": {"type": "extraction", "dimension": "__time",
+                       "outputName": "dayOfWeek",
+                       "extractionFn": {"type": "timeFormat",
+                                        "format": "EEEE"}},
+         "metric": "index", "threshold": 2,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"}],
+         "postAggregations": ARIC}
+    out = [(r["dayOfWeek"], r["rows"], r["index"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out[0][0] == "Wednesday" and out[0][1] == 182
+    assert out[0][2] == pytest.approx(76010.28100585938, rel=2e-6)
+    assert out[1][0] == "Thursday" and out[1][1] == 182
+    assert out[1][2] == pytest.approx(75203.26300811768, rel=2e-6)
