@@ -1067,3 +1067,38 @@ def test_topn_time_extraction_day_name(spark, wiki_catalog):
     assert out[0][2] == pytest.approx(76010.28100585938, rel=2e-6)
     assert out[1][0] == "Thursday" and out[1][1] == 182
     assert out[1][2] == pytest.approx(75203.26300811768, rel=2e-6)
+
+
+def test_topn_query_by_complex_metric(spark, wiki_catalog):
+    """testTopNQueryByComplexMetric — the topN METRIC is a cardinality
+    aggregate (exact here; ordering matches the reference's estimates)."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T, "dimension": "market",
+         "metric": {"type": "numeric", "metric": "numVals"},
+         "threshold": 10,
+         "aggregations": [{"type": "cardinality", "name": "numVals",
+                           "fields": ["quality"], "byRow": False}]}
+    out = [(r["market"], round(float(r["numVals"])))
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out[0] == ("spot", 9)
+    assert {o for o in out[1:]} == {("total_market", 2), ("upfront", 2)}
+
+
+def test_topn_over_hyper_unique_finalizing_post_aggregator(spark,
+                                                           wiki_catalog):
+    """testTopNOverHyperUniqueFinalizingPostAggregator — the metric is a
+    hyperUniqueCardinality POST-AGG over the uniques aggregate."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL, "dimension": "market",
+         "metric": "hyperUniqueFinalizingPostAggMetric", "threshold": 3,
+         "aggregations": [{"type": "hyperUnique", "name": "uniques",
+                           "fieldName": "quality"}],
+         "postAggregations": [
+             {"type": "hyperUniqueCardinality",
+              "name": "hyperUniqueFinalizingPostAggMetric",
+              "fieldName": "uniques"}]}
+    out = [(r["market"],
+            round(float(r["hyperUniqueFinalizingPostAggMetric"])))
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out[0] == ("spot", 9)
+    assert {o for o in out[1:]} == {("total_market", 2), ("upfront", 2)}
