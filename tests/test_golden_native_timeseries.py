@@ -176,3 +176,22 @@ def test_filtered_time_boundary(spark, wiki_catalog):
                                "value": "nonexistent"}},
                    spark, wiki_catalog).collect()
     assert r2 == [] or all(v is None for v in r2[0].asDict().values())
+
+
+def test_ts_with_varying_gran(spark, wiki_catalog):
+    """testTimeseriesWithVaryingGran — the same single-day interval bucketed
+    at P1M (bucket start BEFORE the interval: 2011-04-01) vs DAY
+    (2011-04-02)."""
+    aggs = [{"type": "count", "name": "rows"},
+            {"type": "longSum", "name": "idx", "fieldName": "index"}]
+    out1 = ts(spark, wiki_catalog,
+              granularity={"type": "period", "period": "P1M"},
+              intervals=["2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+              aggregations=aggs)
+    assert [(str(r["__time"])[:10], r["rows"], r["idx"]) for r in out1] == [
+        ("2011-04-01", 13, 5827)]
+    out2 = ts(spark, wiki_catalog, granularity="day",
+              intervals=["2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+              aggregations=aggs)
+    assert [(str(r["__time"])[:10], r["rows"], r["idx"]) for r in out2] == [
+        ("2011-04-02", 13, 5827)]
