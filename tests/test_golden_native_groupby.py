@@ -1475,3 +1475,59 @@ def test_subquery_with_post_aggregators(spark, wiki_catalog):
            for r in translate(outer, spark, wiki_catalog).collect()}
     assert got == {k: (v[0], v[1] + 1000, float(v[1] + 11000))
                    for k, v in CANON_18.items()}
+
+
+def test_subquery_with_multi_column_aggregators(spark, wiki_catalog):
+    """testSubqueryWithMultiColumnAggregators — the inner query carries a
+    multi-input aggregator (the reference's JS 'current + index + dim.length'
+    ports as an expressionLambda fold over two fields), a post-agg, a having
+    on the post-agg, and the outer re-aggregates everything under a desc
+    alias limit."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": F2T,
+             "filter": {"type": "true"},
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "doubleSum", "name": "idx_subagg",
+                  "fieldName": "index"},
+                 {"type": "expression", "name": "js_agg",
+                  "fields": ["index", "market"], "initialValue": "0.0",
+                  "fold": "__acc + index + strlen(market)"}],
+             "postAggregations": [
+                 {"type": "arithmetic", "name": "idx_subpostagg", "fn": "+",
+                  "fields": [{"type": "fieldAccess",
+                              "fieldName": "idx_subagg"},
+                             {"type": "constant", "value": 1000}]}],
+             "having": {"type": "lessThan", "aggregation": "idx_subpostagg",
+                        "value": 3800}}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": F2T,
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "longSum", "name": "rows", "fieldName": "rows"},
+                 {"type": "longSum", "name": "idx",
+                  "fieldName": "idx_subpostagg"},
+                 {"type": "doubleSum", "name": "js_outer_agg",
+                  "fieldName": "js_agg"}],
+             "postAggregations": [
+                 {"type": "arithmetic", "name": "idx_post", "fn": "+",
+                  "fields": [{"type": "fieldAccess", "fieldName": "idx"},
+                             {"type": "constant", "value": 10000}]}],
+             "limitSpec": {"type": "default", "limit": 5, "columns": [
+                 {"dimension": "alias", "direction": "descending"}]}}
+    out = translate(outer, spark, wiki_catalog).collect()
+    exp = [("travel", 1, 1119, 11119.0, 123.92274475097656),
+           ("technology", 1, 1078, 11078.0, 82.62254333496094),
+           ("news", 1, 1121, 11121.0, 125.58358001708984),
+           ("health", 1, 1120, 11120.0, 124.13470458984375),
+           ("entertainment", 1, 1158, 11158.0, 162.74722290039062)]
+    assert len(out) == 5
+    for r, (alias, rows_, idx, idx_post, js) in zip(out, exp):
+        assert str(r["__time"])[:10] == "2011-04-01"
+        assert (r["alias"], r["rows"], r["idx"]) == (alias, rows_, idx)
+        assert r["idx_post"] == pytest.approx(idx_post, rel=2e-6)
+        assert r["js_outer_agg"] == pytest.approx(js, rel=2e-6)
