@@ -1531,3 +1531,37 @@ def test_subquery_with_multi_column_aggregators(spark, wiki_catalog):
         assert (r["alias"], r["rows"], r["idx"]) == (alias, rows_, idx)
         assert r["idx_post"] == pytest.approx(idx_post, rel=2e-6)
         assert r["js_outer_agg"] == pytest.approx(js, rel=2e-6)
+
+
+def test_subquery_with_hyper_uniques(spark, wiki_catalog):
+    """testSubqueryWithHyperUniques — a hyperUnique re-aggregated through a
+    subquery (each inner group carries one distinct quality → outer uniq 1;
+    the reference asserts its estimate 1.00024)."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": F2T,
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "index"},
+                 {"type": "hyperUnique", "name": "qu",
+                  "fieldName": "quality"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": F2T,
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "longSum", "name": "rows", "fieldName": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "idx"},
+                 {"type": "hyperUnique", "name": "uniq",
+                  "fieldName": "qu"}]}
+    out = translate(outer, spark, wiki_catalog).collect()
+    assert len(out) == 9
+    got = {r["alias"]: (r["rows"], r["idx"], round(float(r["uniq"])))
+           for r in out}
+    day_sums = {}
+    for (d, q), (rw, ix) in CANON_18.items():
+        day_sums[q] = (day_sums.get(q, (0, 0))[0] + rw,
+                       day_sums.get(q, (0, 0))[1] + ix)
+    assert got == {q: (v[0], v[1], 1) for q, v in day_sums.items()}
