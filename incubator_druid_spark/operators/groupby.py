@@ -199,6 +199,12 @@ def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names,
             col = col.cast("double")
         order_exprs.append(col.desc() if str(direction).lower().startswith("desc")
                            else col.asc())
+    if not order_exprs and (spec.get("limit") is not None
+                            or spec.get("offset")):
+        # a limit/offset with no ordering columns still pages over Druid's
+        # DEFAULT result ordering — (time, dims) ascending
+        # (GroupByQuery.getRowOrdering; the merge always emits that order)
+        order_exprs = [qcol(d).asc() for d in dim_names]
     if order_exprs:
         # DefaultLimitSpec.makeComparator:393-396 — for granular queries the
         # row timestamp orders FIRST (then the limit columns); with

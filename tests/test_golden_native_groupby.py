@@ -1565,3 +1565,27 @@ def test_subquery_with_hyper_uniques(spark, wiki_catalog):
         day_sums[q] = (day_sums.get(q, (0, 0))[0] + rw,
                        day_sums.get(q, (0, 0))[1] + ix)
     assert got == {q: (v[0], v[1], 1) for q, v in day_sums.items()}
+
+
+def test_merge_results_limit_offset_default_ordering(spark, wiki_catalog):
+    """doTestMergeResultsWithValidLimit with NO ordering columns — paging
+    applies over Druid's default (time, dims) result ordering."""
+    base = [("automotive", 2, 269), ("business", 2, 217),
+            ("entertainment", 2, 319), ("health", 2, 216),
+            ("mezzanine", 6, 4420), ("news", 2, 221),
+            ("premium", 6, 4416), ("technology", 2, 177),
+            ("travel", 2, 243)]
+    for limit, offset in [(1, 0), (3, 2), (5, 4), (9, 0), (4, 7), (6, 10)]:
+        q = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": {"type": "period", "period": "P1M"},
+             "intervals": ["2011-04-02T00:00:00Z/2011-04-04T00:00:00Z"],
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "alias"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "index"}],
+             "limitSpec": {"type": "default", "limit": limit,
+                           "offset": offset}}
+        out = [(r["alias"], r["rows"], r["idx"])
+               for r in translate(q, spark, wiki_catalog).collect()]
+        assert out == base[offset:offset + limit], (limit, offset)
