@@ -1589,3 +1589,57 @@ def test_merge_results_limit_offset_default_ordering(spark, wiki_catalog):
         out = [(r["alias"], r["rows"], r["idx"])
                for r in translate(q, spark, wiki_catalog).collect()]
         assert out == base[offset:offset + limit], (limit, offset)
+
+
+def test_different_grouping_subquery_multiple_aggs_same_field(
+        spark, wiki_catalog):
+    """testDifferentGroupingSubqueryMultipleAggregatorsOnSameField — two
+    outer aggs over the same inner column plus two over the inner post-agg
+    (idx + idx)."""
+    inner = _inner_quality_day(aggs=[
+        {"type": "count", "name": "rows"},
+        {"type": "longSum", "name": "idx", "fieldName": "index"}])
+    inner["postAggregations"] = [
+        {"type": "arithmetic", "name": "post_agg", "fn": "+",
+         "fields": [{"type": "fieldAccess", "fieldName": "idx"},
+                    {"type": "fieldAccess", "fieldName": "idx"}]}]
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": F2T,
+             "aggregations": [
+                 {"type": "doubleMax", "name": "idx1", "fieldName": "idx"},
+                 {"type": "doubleMax", "name": "idx2", "fieldName": "idx"},
+                 {"type": "doubleMax", "name": "idx3",
+                  "fieldName": "post_agg"},
+                 {"type": "doubleMax", "name": "idx4",
+                  "fieldName": "post_agg"}]}
+    got = sorted((str(r["__time"])[:10], r["idx1"], r["idx2"], r["idx3"],
+                  r["idx4"])
+                 for r in translate(outer, spark, wiki_catalog).collect())
+    assert got == [("2011-04-01", 2900.0, 2900.0, 5800.0, 5800.0),
+                   ("2011-04-02", 2505.0, 2505.0, 5010.0, 5010.0)]
+
+
+def test_different_grouping_subquery_with_filter(spark, wiki_catalog):
+    """testDifferentGroupingSubqueryWithFilter — the outer filter (an OR of
+    every quality) applies to the INNER result's dimension column."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "day", "intervals": F2T,
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "quality"}],
+             "aggregations": [
+                 {"type": "count", "name": "rows"},
+                 {"type": "longSum", "name": "idx", "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": F2T,
+             "filter": {"type": "or", "fields": [
+                 {"type": "selector", "dimension": "quality", "value": v}
+                 for v in ["automotive", "premium", "mezzanine", "business",
+                           "entertainment", "health", "news", "technology",
+                           "travel"]]},
+             "aggregations": [{"type": "doubleMax", "name": "idx",
+                               "fieldName": "idx"}]}
+    got = sorted((str(r["__time"])[:10], r["idx"])
+                 for r in translate(outer, spark, wiki_catalog).collect())
+    assert got == [("2011-04-01", 2900.0), ("2011-04-02", 2505.0)]
