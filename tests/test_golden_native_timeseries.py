@@ -195,3 +195,22 @@ def test_ts_with_varying_gran(spark, wiki_catalog):
               aggregations=aggs)
     assert [(str(r["__time"])[:10], r["rows"], r["idx"]) for r in out2] == [
         ("2011-04-02", 13, 5827)]
+
+
+def test_ts_hour_granularity_with_origin(spark, wiki_catalog):
+    """testTimeseriesQueryGranularityNotAlignedWithRollupGranularity — PT1H
+    buckets with origin 1970-01-01T00:01Z: the 2011-04-15 rows land in the
+    bucket starting 2011-04-14T23:01Z."""
+    out = ts(spark, wiki_catalog,
+             granularity={"type": "period", "period": "PT1H",
+                          "origin": "1970-01-01T00:01:00Z",
+                          "timeZone": "UTC"},
+             intervals=["2011-04-15T00:00:00.000Z/2012-01-01T00:00:00Z"],
+             filter={"type": "in", "dimension": "market",
+                     "values": ["spot", "upfront", "total_market"]},
+             aggregations=[{"type": "count", "name": "rows"},
+                           {"type": "longSum", "name": "idx",
+                            "fieldName": "index"}],
+             context={"skipEmptyBuckets": True})
+    got = [(str(r["__time"]), r["rows"], r["idx"]) for r in out]
+    assert got == [("2011-04-14 23:01:00", 13, 4717)]
