@@ -1102,3 +1102,17 @@ def test_topn_over_hyper_unique_finalizing_post_aggregator(spark,
            for r in translate(q, spark, wiki_catalog).collect()]
     assert out[0] == ("spot", 9)
     assert {o for o in out[1:]} == {("total_market", 2), ("upfront", 2)}
+
+
+def test_topn_over_missing_uniques(spark, wiki_catalog):
+    """testTopNOverMissingUniques — hyperUnique over a NONEXISTENT column
+    gives 0 for every group (and all three markets survive)."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL, "dimension": "market",
+         "metric": "uniques", "threshold": 3,
+         "aggregations": [{"type": "hyperUnique", "name": "uniques",
+                           "fieldName": "missingUniques"}]}
+    out = [(r["market"], int(r["uniques"]))
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert sorted(out) == [("spot", 0), ("total_market", 0),
+                           ("upfront", 0)]
