@@ -214,3 +214,24 @@ def test_ts_hour_granularity_with_origin(spark, wiki_catalog):
              context={"skipEmptyBuckets": True})
     got = [(str(r["__time"]), r["rows"], r["idx"]) for r in out]
     assert got == [("2011-04-14 23:01:00", 13, 4717)]
+
+
+def test_ts_nonexistent_value_in_or_filter(spark, wiki_catalog):
+    """testTimeseriesWithNonExistentFilterAndMultiDimAndOr — an OR listing
+    an unmatched value ('billyblank') under AND spot."""
+    out = ts(spark, wiki_catalog,
+             filter={"type": "and", "fields": [
+                 {"type": "selector", "dimension": "market",
+                  "value": "spot"},
+                 {"type": "or", "fields": [
+                     {"type": "selector", "dimension": "quality",
+                      "value": v}
+                     for v in ["automotive", "business", "billyblank"]]}]},
+             postAggregations=ARIC)
+    got = sorted((str(r["__time"])[:10], r["rows"], r["index"],
+                  r["addRowsIndexConstant"]) for r in out)
+    assert got[0][0] == "2011-04-01" and got[0][1] == 2
+    assert got[0][2] == pytest.approx(254.4554443359375, rel=2e-6)
+    assert got[0][3] == pytest.approx(257.4554443359375, rel=2e-6)
+    assert got[1][0] == "2011-04-02" and got[1][1] == 2
+    assert got[1][2] == pytest.approx(260.4129638671875, rel=2e-6)
