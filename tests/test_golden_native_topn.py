@@ -1116,3 +1116,15 @@ def test_topn_over_missing_uniques(spark, wiki_catalog):
            for r in translate(q, spark, wiki_catalog).collect()]
     assert sorted(out) == [("spot", 0), ("total_market", 0),
                            ("upfront", 0)]
+
+
+def test_topn_lexicographic_no_aggregators(spark, wiki_catalog):
+    """testTopNLexicographicNoAggregators — a dimension metric spec with an
+    empty previousStop and no aggregators lists the distinct values."""
+    q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "intervals": F2T, "dimension": "market",
+         "metric": {"type": "dimension", "previousStop": "",
+                    "ordering": "lexicographic"},
+         "threshold": 4, "aggregations": []}
+    out = [r["market"] for r in translate(q, spark, wiki_catalog).collect()]
+    assert out == ["spot", "total_market", "upfront"]
