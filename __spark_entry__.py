@@ -1776,7 +1776,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type,
-                   sum(json_extract(props, '$.k')::BIGINT) AS k_sum,
+                   CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT)
+                       AS k_sum,
                    max(json_extract(props, '$.k')::BIGINT) AS k_max,
                    count(*) FILTER (WHERE json_extract(props, '$.k')::BIGINT > 50)
                        AS k_big
@@ -1801,8 +1802,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_source_tokens": """
             SELECT source,
-                   sum(len(list_filter(string_split_regex(text, '\\s+'),
-                                       x -> x != ''))) AS total_tokens,
+                   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x != ''))) AS BIGINT)
+                       AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source
         """,

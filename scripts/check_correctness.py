@@ -86,6 +86,28 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount {len(sdf)} != {len(odf)}")
             n_fail += 1
             continue
+        # Dtype stability check emulating the driver's EXACT value hash:
+        # an int64 engine column vs a float64 oracle column (DuckDB HUGEINT
+        # widening, typically sum(BIGINT)) hashes differently even when every
+        # value is numerically identical.  Flag it locally before the driver
+        # does — only when the float side is null-free (a nullable int column
+        # legitimately lands as float64 in pandas on BOTH sides).
+        dtype_bad = []
+        for c in sdf.columns:
+            sa, ob = sdf[c], odf[c]
+            int_vs_float = (
+                (pd.api.types.is_integer_dtype(sa) and pd.api.types.is_float_dtype(ob)
+                 and not ob.isna().any())
+                or (pd.api.types.is_float_dtype(sa) and pd.api.types.is_integer_dtype(ob)
+                    and not sa.isna().any())
+            )
+            if int_vs_float:
+                dtype_bad.append((c, str(sa.dtype), str(ob.dtype)))
+        if dtype_bad:
+            print(f"FAIL  {name}: dtype drift (driver hash would mismatch): "
+                  + ", ".join(f"{c} spark={s} oracle={o}" for c, s, o in dtype_bad))
+            n_fail += 1
+            continue
         a, b = norm_frame(sdf), norm_frame(odf)
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
