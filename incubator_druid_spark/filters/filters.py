@@ -359,8 +359,10 @@ def compile_search_spec(q: dict, c: Column) -> Column:
     if t == "regex":
         return s.rlike(q["pattern"])
     if t == "all":
-        # AllSearchQuerySpec.java — accepts every non-null value
-        return s.isNotNull()
+        # AllSearchQuerySpec.accept(@Nullable dimVal) returns true
+        # unconditionally — even for null values; the caller decides null
+        # handling, so do not filter them here
+        return F.lit(True)
     raise ValueError(f"unknown search spec {t!r}")
 
 

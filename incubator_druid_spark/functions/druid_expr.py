@@ -102,6 +102,22 @@ class _Parser:
         self.array_ids: set[int] = set()
         # ids of Columns known string-typed (concat chains via binary `+`)
         self.string_ids: set[int] = set()
+        # Strong references to every tagged Column: id() is only unique among
+        # LIVE objects, and CPython recycles a freed Column's id for the next
+        # same-type allocation — an untagged Column could alias a freed tagged
+        # id and silently mis-dispatch (arith `+` → concat).  Pinning keeps
+        # tagged ids unique for the parser's lifetime.
+        self._pinned: list[Column] = []
+
+    def tag_array(self, col: Column) -> Column:
+        self.array_ids.add(id(col))
+        self._pinned.append(col)
+        return col
+
+    def tag_string(self, col: Column) -> Column:
+        self.string_ids.add(id(col))
+        self._pinned.append(col)
+        return col
 
     def peek(self):
         return self.toks[self.i]
@@ -163,9 +179,8 @@ class _Parser:
                 # concatenates (`quality + 'x'` → 'automotivex').  A concat
                 # RESULT is itself string-typed, so the chain
                 # `market + ' ' + market` keeps concatenating (tag below).
-                left = F.concat(_c(left).cast("string"),
-                                _c(right).cast("string"))
-                self.string_ids.add(id(left))
+                left = self.tag_string(F.concat(_c(left).cast("string"),
+                                                _c(right).cast("string")))
             else:
                 left = _c(left) + right if op == "+" else _c(left) - right
         return left
@@ -237,9 +252,7 @@ class _Parser:
                     self.next()
                     items.append(self.parse_or())
             self.expect("]")
-            arr = F.array(*[_c(x) for x in items])
-            self.array_ids.add(id(arr))
-            return arr
+            return self.tag_array(F.array(*[_c(x) for x in items]))
         if k == "ident":
             if self.peek()[1] == "(":
                 return self._call(v)
@@ -277,9 +290,9 @@ class _Parser:
         out = fn(self, *args)
         if isinstance(out, Column):
             if name.lower() in self._ARRAY_RETURNING:
-                self.array_ids.add(id(out))
+                self.tag_array(out)
             elif name.lower() in self._STRING_RETURNING:
-                self.string_ids.add(id(out))
+                self.tag_string(out)
         return out
 
     def parse_args(self):
@@ -470,7 +483,7 @@ def _registry() -> dict:
         if tt.endswith("_ARRAY"):
             # a cast to an array type is an array-returning construct for
             # downstream array-vs-scalar dispatch (array_contains)
-            p.array_ids.add(id(out))
+            p.tag_array(out)
         return out
 
     def _substring(p, s, start, length):
@@ -745,7 +758,7 @@ def compile_expr(expression: str, resolver,
         def tagged_ident(name, _orig=orig_ident, _p=p, _sc=string_cols):
             col = _orig(name)
             if name in _sc and isinstance(col, Column):
-                _p.string_ids.add(id(col))
+                _p.tag_string(col)
             return col
         p._ident = tagged_ident
     out = p.parse()

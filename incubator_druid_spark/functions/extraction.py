@@ -78,6 +78,19 @@ def compile_extraction(spec: dict | None, col: Column) -> Column:
     if t == "lookup":
         # query/lookup/LookupExtractionFn.java — inline map
         m = spec["lookup"].get("map", {})
+        from incubator_druid_spark.functions import lookups as _lk
+        if len(m) > _lk.LOOKUP_JOIN_THRESHOLD:
+            # big inline map: register under a content-derived name and take
+            # the broadcast-join path (see lookups.py module docstring)
+            syn = "__inline_%x" % (hash(tuple(sorted(m.items()))) & 0xFFFFFFFF)
+            if syn not in _lk._LOOKUPS:
+                _lk.register_lookup(syn, {str(k): str(v) for k, v in m.items()})
+            out = _lk.lookup_column(syn, col)
+            if spec.get("retainMissingValue"):
+                out = F.coalesce(out, col.cast("string"))
+            elif spec.get("replaceMissingValueWith") is not None:
+                out = F.coalesce(out, F.lit(spec["replaceMissingValueWith"]))
+            return out
         pairs = []
         for k, v in m.items():
             pairs.extend([F.lit(str(k)), F.lit(str(v))])

@@ -106,11 +106,14 @@ class Granularity:
     def _floor_millis(self, col: Column, width: int) -> Column:
         origin = self.origin_millis
         if origin is None:
-            # Druid weeks are ISO weeks (Monday start) — but ONLY the P*W
-            # spelling; P7D counts days from the Thursday epoch
-            # (PeriodGranularity.java:281-300, 302-318)
+            # Druid weeks are ISO weeks (Monday start) — but ONLY the exact
+            # P1W spelling with no origin (PeriodGranularity.java:295-298
+            # weeks==1 branch); P2W/P3W align week MULTIPLES from the default
+            # epoch origin (:283-293), and P7D counts days from the Thursday
+            # epoch (:302-318)
             origin = (self._EPOCH_MONDAY
                       if self.period is not None and self.period.weeks
+                      and self.period.millis == 7 * 86_400_000
                       else 0)
         t = F.unix_millis(col)
         # floor-div handles pre-origin timestamps correctly (Spark div truncates
@@ -210,9 +213,11 @@ class Granularity:
         else:
             origin = self.origin_millis
             if origin is None:
-                # Monday anchor only for the P*W spelling (same rule as
-                # _floor_millis); P7D counts days from the Thursday epoch
-                origin = self._EPOCH_MONDAY if p.weeks else 0
+                # Monday anchor only for exactly P1W (same rule as
+                # _floor_millis); P2W+ aligns multiples from epoch, P7D
+                # counts days from the Thursday epoch
+                origin = (self._EPOCH_MONDAY
+                          if p.weeks and p.millis == 7 * 86_400_000 else 0)
             t = (start_ms - origin) // p.millis * p.millis + origin
             while t < end_ms:
                 out.append(t)

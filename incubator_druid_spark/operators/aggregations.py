@@ -371,17 +371,30 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         if _is_firstlast_state(ctx, fname):
             col = ctx.resolve(fname)
             return F.min_by(col["v"], col["t"])
-        return F.min_by(f(), ctx.resolve(TIME_COLUMN))
+        # value arg goes through fnum(): first/last over a timestamp-typed
+        # field reads its LONG storage (epoch millis), same rationale as
+        # longSum-over-__time; string* renders that long as a string
+        val = fnum()
+        if t.startswith("string"):
+            val = val.cast("string")
+        return F.min_by(val, ctx.resolve(TIME_COLUMN))
     if t in ("longLast", "doubleLast", "floatLast", "stringLast",
              "stringLastFold"):
         fname = spec.get("fieldName")
         if _is_firstlast_state(ctx, fname):
             col = ctx.resolve(fname)
             return F.max_by(col["v"], col["t"])
-        return F.max_by(f(), ctx.resolve(TIME_COLUMN))
+        val = fnum()
+        if t.startswith("string"):
+            val = val.cast("string")
+        return F.max_by(val, ctx.resolve(TIME_COLUMN))
     if t in ("longAny", "doubleAny", "floatAny", "stringAny"):
-        # any/*AggregatorFactory.java — any value, nulls allowed
-        return F.any_value(f(), ignoreNulls=True)
+        # any/*AggregatorFactory.java — any value, nulls allowed; timestamp
+        # fields read as epoch-millis longs (fnum), like first/last above
+        val = fnum()
+        if t == "stringAny":
+            val = val.cast("string")
+        return F.any_value(val, ignoreNulls=True)
     if t == "cardinality":
         # cardinality/CardinalityAggregatorFactory.java — HLL over dims.
         # byRow=true counts distinct tuples; false counts union of value sets.

@@ -163,9 +163,11 @@ def apply_dimensions(
     GroupByQueryRunnerTest.testGroupByNumericStringsAsNumericWithDecoration
     expects the all-pruned 'entertainment' rows as a ql=null,qf=null group).
     """
+    from incubator_druid_spark.functions.lookups import flush_lookup_joins
     names: list[str] = []
     for spec in specs or []:
         name, col, needs_explode = dimension_column(spec, df)
+        df = flush_lookup_joins(df)  # large-lookup dimension/extraction refs
         if needs_explode == "explode":
             if query_type == "topN":
                 # topN: a row whose elements are ALL pruned has zero selector

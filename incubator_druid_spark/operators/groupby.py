@@ -85,6 +85,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
     else:
         aggs = compile_aggregations(agg_specs, ctx, query)
+        from incubator_druid_spark.functions.lookups import flush_lookup_joins
+        df = flush_lookup_joins(df)  # large-lookup refs inside expr aggs
         if not aggs and keys:
             # no aggregators (GroupByQueryRunnerTest.testGroupByNoAggregators)
             # — the result is the distinct group keys

@@ -40,6 +40,9 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
                              isinstance(types.get(d), T.ArrayType)))
         else:
             dim_cols.append(dimension_column(d, df))
+            from incubator_druid_spark.functions.lookups import (
+                flush_lookup_joins)
+            df = flush_lookup_joins(df)  # large-lookup extraction refs
     if not dim_cols:
         # no searchDimensions → every string dimension, INCLUDING
         # multi-value ones (SearchQueryRunnerTest.testSearch expects hits

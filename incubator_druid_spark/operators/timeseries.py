@@ -67,6 +67,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         limit = query.get("limit")
         return out.limit(int(limit)) if limit else out
     aggs = compile_aggregations(query.get("aggregations"), ctx, query)
+    from incubator_druid_spark.functions.lookups import flush_lookup_joins
+    df = flush_lookup_joins(df)  # large-lookup refs inside expression aggs
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("count")]
     post = compile_post_aggregations(query.get("postAggregations"))

@@ -62,6 +62,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
 
     ctx = FilterContext(df)
     aggs = compile_aggregations(query.get("aggregations"), ctx, query)
+    from incubator_druid_spark.functions.lookups import flush_lookup_joins
+    df = flush_lookup_joins(df)  # large-lookup refs inside expression aggs
     if aggs:
         out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)
     else:

@@ -71,6 +71,8 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
         str_cols = {f.name for f in df.schema.fields
                     if isinstance(f.dataType, T.StringType)}
         col = compile_expr_mvd(vc["expression"], F.col, arr_cols, str_cols)
+        from incubator_druid_spark.functions.lookups import flush_lookup_joins
+        df = flush_lookup_joins(df)  # large-lookup refs inside the expr
         ot = vc.get("outputType")
         # an auto-mapped expression yields an MVD — Druid types it STRING
         # (multi-value); don't stringify the array
@@ -103,7 +105,10 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
     flt = query.get("filter")
     if flt is not None:
         ctx = FilterContext(df)
-        df = df.filter(compile_filter(flt, ctx))
+        pred = compile_filter(flt, ctx)
+        from incubator_druid_spark.functions.lookups import flush_lookup_joins
+        df = flush_lookup_joins(df)  # large-lookup refs inside the predicate
+        df = df.filter(pred)
     return df
 
 
@@ -126,6 +131,8 @@ def translate(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         raise ValueError("'select' query was removed in Druid 0.17; use 'scan'")
     if qt not in dispatch:
         raise ValueError(f"unknown queryType {qt!r}")
+    from incubator_druid_spark.functions.lookups import clear_lookup_joins
+    clear_lookup_joins()  # drop leftovers from any abandoned prior compile
     from incubator_druid_spark.plans import cache
     cache.apply_scheduling(query, spark)
     hit = cache.lookup(query)

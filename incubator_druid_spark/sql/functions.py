@@ -276,13 +276,27 @@ def _register_lookup_fn(spark: SparkSession) -> None:
     """LOOKUP(expr, name) over the registered lookup maps, inlined as a CASE
     over map literals (QueryLookupOperatorConversion.java).  Re-run after
     registering new lookups."""
-    from incubator_druid_spark.functions.lookups import _LOOKUPS
+    from incubator_druid_spark.functions.lookups import (_LOOKUPS,
+                                                         LOOKUP_JOIN_THRESHOLD,
+                                                         _lookup_frame)
     if not _LOOKUPS:
         body = "CAST(NULL AS STRING)"
     else:
         branches = []
         for name, m in _LOOKUPS.items():
-            if m:
+            if not m:
+                continue
+            if len(m) > LOOKUP_JOIN_THRESHOLD:
+                # large lookup: a map literal would put every pair in the UDF
+                # body; expose the cached lookup frame as a temp view and
+                # probe via a correlated scalar subquery — Catalyst rewrites
+                # it into a (broadcastable) LeftSingle join, O(1) SQL size
+                view = f"__lookup_{name}"
+                _lookup_frame(spark, name).createOrReplaceTempView(view)
+                branches.append(
+                    f"WHEN '{name}' THEN (SELECT v FROM {view} "
+                    f"WHERE {view}.k = LOOKUP.k)")
+            else:
                 kv = ", ".join(f"'{k}', '{v}'" for k, v in m.items())
                 branches.append(f"WHEN '{name}' THEN element_at(map({kv}), k)")
         body = f"CASE name {' '.join(branches)} ELSE CAST(NULL AS STRING) END" \
@@ -560,6 +574,13 @@ def _rewrite_calls(sql: str, name: str, repl) -> str:
             else:
                 cur.append(c)
             i += 1
+        if depth:
+            # unterminated call (scan hit end-of-string before the closing
+            # paren) — emit the original slice verbatim rather than invent a
+            # ')' that was never in the source
+            out.append(sql[pos:i])
+            pos = i
+            continue
         tail = "".join(cur).strip()
         if tail or args:
             args.append(tail)
@@ -826,8 +847,14 @@ def _rewrite_time_periods(sql: str) -> str:
     so tz/origin forms have already been reduced to 2-/3-arg calls."""
     from incubator_druid_spark.model.granularity import parse_period
 
-    def fixed_floor(ts, ms):
-        origin = _WEEK_ORIGIN if ms and ms % 604_800_000 == 0 else 0
+    def fixed_floor(ts, per):
+        # Monday anchor ONLY for the exact P1W spelling with no origin
+        # (PeriodGranularity.truncate:295-298); P2W+ aligns week multiples
+        # from the default epoch origin, and P7D/P14D are day arithmetic
+        # from the (Thursday) epoch — same rule as model/granularity.py
+        ms = per.millis
+        origin = (_WEEK_ORIGIN
+                  if per.weeks and ms == 604_800_000 else 0)
         return (f"timestamp_millis(cast(floor((unix_millis({ts}) - {origin}) "
                 f"/ {ms}) * {ms} + {origin} AS BIGINT))")
 
@@ -852,10 +879,10 @@ def _rewrite_time_periods(sql: str) -> str:
             ts = args[0]
             if kind == "floor":
                 return (months_floor(ts, per.months) if per.is_calendar
-                        else fixed_floor(ts, per.millis))
+                        else fixed_floor(ts, per))
             if kind == "ceil":
                 f = (months_floor(ts, per.months) if per.is_calendar
-                     else fixed_floor(ts, per.millis))
+                     else fixed_floor(ts, per))
                 nxt = (f"timestampadd(MONTH, {per.months}, {f})"
                        if per.is_calendar else
                        f"timestamp_millis(unix_millis({f}) + {per.millis})")

@@ -40,6 +40,24 @@ def test_first_last_any(spark, foo_catalog):
     assert r["a"] == 1
 
 
+def test_first_last_any_over_time_column(spark, foo_catalog):
+    """first/last/any over a timestamp-typed field read its LONG storage —
+    epoch MILLIS — same rationale as longSum-over-__time (first/
+    LongFirstAggregatorFactory reads the long column); stringFirst renders
+    that long as a string."""
+    r = agg_one(spark, foo_catalog,
+                {"type": "longFirst", "name": "lf", "fieldName": "__time"},
+                {"type": "longLast", "name": "ll", "fieldName": "__time"},
+                {"type": "longAny", "name": "la", "fieldName": "__time"},
+                {"type": "stringFirst", "name": "sf", "fieldName": "__time"})
+    t0 = 946_684_800_000      # 2000-01-01T00:00:00Z
+    t1 = 978_480_000_000      # 2001-01-03T00:00:00Z
+    assert r["lf"] == t0 and isinstance(r["lf"], int)
+    assert r["ll"] == t1
+    assert isinstance(r["la"], int)
+    assert r["sf"] == str(t0)
+
+
 def test_filtered_aggregator(spark, foo_catalog):
     r = agg_one(spark, foo_catalog,
                 {"type": "filtered",

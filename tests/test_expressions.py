@@ -172,3 +172,23 @@ def test_millisecond_pmod_pre_1970(spark):
     r = df.select(compile_expr("timestamp_extract(t, 'MILLISECOND')",
                                F.col).alias("r")).first()["r"]
     assert r == 250
+
+
+def test_parser_pins_tagged_columns(spark):
+    """string_ids/array_ids tag Columns by id(); id() is only unique among
+    LIVE objects, so every tagged Column must be kept alive by the parser
+    (_pinned) — otherwise CPython recycles a freed tagged id for a later
+    unrelated Column and `+` silently turns into concat (or array dispatch
+    misfires)."""
+    from pyspark.sql import functions as F
+
+    from incubator_druid_spark.functions.druid_expr import (_Parser, _lex,
+                                                            registry)
+
+    expr = "concat(s, 'x') + s + array(1,2) + upper(s)"
+    p = _Parser(_lex(expr), lambda n: F.col(n), registry())
+    p.parse()
+    tagged = p.string_ids | p.array_ids
+    pinned_ids = {id(c) for c in p._pinned}
+    assert tagged, "expression should have produced tagged columns"
+    assert tagged <= pinned_ids

@@ -66,6 +66,17 @@ def test_like_regex_search(foo):
                                  "values": ["a", "c"]}}).count() == 1
 
 
+def test_search_all_spec_accepts_null(spark):
+    """AllSearchQuerySpec.accept(@Nullable dimVal) returns true even for
+    null — rows whose dimension is null must survive a search filter with
+    the 'all' spec."""
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+    ctx = FilterContext(df)
+    pred = compile_filter({"type": "search", "dimension": "v",
+                           "query": {"type": "all"}}, ctx)
+    assert df.filter(pred).count() == 3
+
+
 def test_boolean_algebra(foo):
     spec = {"type": "and", "fields": [
         {"type": "not", "field": {"type": "selector", "dimension": "dim1", "value": ""}},

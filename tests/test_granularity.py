@@ -54,6 +54,25 @@ def test_simple_granularities(spark):
                      "2024-03-05 13:47:21") == ts("2024-01-01 00:00:00")
 
 
+def test_multi_week_epoch_anchoring(spark):
+    """PeriodGranularity.truncate week branch (:281-299): ONLY weeks==1 with
+    no origin Monday-floors; P2W/P3W align week MULTIPLES from the DEFAULT
+    origin = epoch (1970-01-01, a Thursday)."""
+    # 2024-01-10 is a Wednesday; epoch-aligned 14-day buckets put it in the
+    # bucket starting Thursday 2024-01-04 (19732 // 14 * 14 = 19726 days)
+    g2w = parse_granularity({"type": "period", "period": "P2W"})
+    assert floor_one(spark, g2w, "2024-01-10 12:00:00") == ts("2024-01-04 00:00:00")
+    g3w = parse_granularity({"type": "period", "period": "P3W"})
+    assert floor_one(spark, g3w, "2024-01-10 12:00:00") == ts("2023-12-28 00:00:00")
+    # P1W still Monday-floors (2024-01-08)
+    g1w = parse_granularity({"type": "period", "period": "P1W"})
+    assert floor_one(spark, g1w, "2024-01-10 12:00:00") == ts("2024-01-08 00:00:00")
+    # an explicit origin overrides the default for multi-week too
+    g2wo = parse_granularity({"type": "period", "period": "P2W",
+                              "origin": "2024-01-01T00:00:00Z"})
+    assert floor_one(spark, g2wo, "2024-01-10 12:00:00") == ts("2024-01-01 00:00:00")
+
+
 def test_duration_and_origin(spark):
     g = parse_granularity({"type": "duration", "duration": 7_200_000})  # 2h
     assert floor_one(spark, g, "2024-03-05 13:47:21") == ts("2024-03-05 12:00:00")
