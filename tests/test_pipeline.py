@@ -354,3 +354,28 @@ def test_stratified_sample_salted_hot_stratum(spark):
     pc = {r["src"]: r["c"] for r in
           p.groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert 1940 <= pc["hot"] <= 1940 + 8
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """write_ivf_index partitions by __ivf; a query through
+    ann_ivf_topk_indexed must prune to the probed clusters via Catalyst
+    PartitionFilters (directory pruning) — the on-disk 100 TB layout where
+    a probe reads nprobe/n_clusters of the bytes."""
+    import numpy as np
+
+    from incubator_druid_spark.pipeline.similarity import (
+        ann_ivf_topk_indexed, train_ivf_centroids, write_ivf_index)
+    rng = np.random.default_rng(3)
+    vecs = [(i, (rng.standard_normal(8)
+                 + np.eye(8)[i % 4] * 4).tolist()) for i in range(400)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cent = train_ivf_centroids(df, n_clusters=4, seed=7)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(df, path, cent)
+    qvec = vecs[0][1]
+    out = ann_ivf_topk_indexed(spark, path, qvec, cent, k=5, nprobe=1)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "__ivf" in plan
+    got = [r["vec_id"] for r in out.collect()]
+    assert got[0] == 0 and len(got) == 5  # query vector finds itself first
