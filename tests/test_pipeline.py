@@ -379,3 +379,94 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "__ivf" in plan
     got = [r["vec_id"] for r in out.collect()]
     assert got[0] == 0 and len(got) == 5  # query vector finds itself first
+
+
+def _make_ppm(w, h, rgb):
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + bytes(rgb) * (w * h))
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal 24-bit bottom-up BI_RGB BMP, solid fill."""
+    row = (w * 3 + 3) // 4 * 4
+    pix = (bytes(rgb[::-1]) * w + b"\x00" * (row - w * 3)) * h
+    size = 54 + len(pix)
+    header = (b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + pix
+
+
+def _make_wav(n, sr, amp_i16):
+    import struct
+    import wave
+    import io
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(struct.pack(f"<{n}h", *([amp_i16] * n)))
+    return buf.getvalue()
+
+
+def test_ppm_bmp_decode_end_to_end(spark):
+    """fake=False decodes real P6 PPM and 24-bit BMP bytes: header dims,
+    exact solid-fill channel means, zero stds."""
+    from incubator_druid_spark.pipeline.multimodal import decode_image_features
+    ppm = _make_ppm(6, 4, (255, 0, 128))
+    bmp = _make_bmp(5, 3, (0, 255, 64))
+    df = spark.createDataFrame([(1, bytearray(ppm)), (2, bytearray(bmp))],
+                               "id long, content binary")
+    out = {r["id"]: r for r in
+           decode_image_features(df, fake=False).collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1["width"], r1["height"]) == (6, 4)
+    assert (r2["width"], r2["height"]) == (5, 3)
+    assert r1["mime"] == "image/x-portable-pixmap" and r2["mime"] == "image/bmp"
+    assert r1["feat"][:3] == [1.0, 0.0, 128 / 255]
+    assert r2["feat"][:3] == [0.0, 1.0, 64 / 255]
+    assert r1["feat"][3:6] == [0.0, 0.0, 0.0]  # solid fill → zero std
+
+
+def test_wav_pcm_decode_end_to_end(spark):
+    """fake=False decodes real RIFF/WAV PCM16: exact duration, rate, RMS."""
+    from incubator_druid_spark.pipeline.multimodal import extract_audio_features
+    wav = _make_wav(1600, 16000, 8192)  # 100 ms, amp 0.25
+    df = spark.createDataFrame([(1, bytearray(wav))], "id long, content binary")
+    r = extract_audio_features(df, fake=False).collect()[0]
+    assert r["duration_ms"] == 100
+    assert r["sample_rate"] == 16000
+    assert abs(r["loudness"] - 0.25) < 1e-12
+
+
+def test_video_concatenated_ppm_decode(spark):
+    """fake=False samples frames from a concatenated-PPM stream: every_n
+    stride, max_frames cap, per-frame solid-fill features."""
+    from incubator_druid_spark.pipeline.multimodal import sample_video_frames
+    frames = b"".join(_make_ppm(4, 4, (i * 20, 0, 0)) for i in range(10))
+    df = spark.createDataFrame([(7, bytearray(frames))], "id long, content binary")
+    out = sample_video_frames(df, every_n=3, max_frames=3, fake=False).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    got_r = [round(r["frame_feat"][0] * 255) for r in out]
+    assert got_r == [0, 60, 120]
+
+
+def test_real_codec_formats_still_raise(spark):
+    """JPEG magic under fake=False raises a NotImplementedError naming the
+    format (codec library absent), not a silent fake result."""
+    import pytest as _pytest
+    from incubator_druid_spark.pipeline.multimodal import (
+        decode_image_features, extract_audio_features)
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xffjpegish"))],
+                               "id long, content binary")
+    with _pytest.raises(Exception, match="image codec"):
+        decode_image_features(df, fake=False).collect()
+    df2 = spark.createDataFrame([(1, bytearray(b"ID3mp3ish"))],
+                                "id long, content binary")
+    with _pytest.raises(Exception, match="audio codec"):
+        extract_audio_features(df2, fake=False).collect()
