@@ -333,6 +333,32 @@ def _centroid_pmf_finalize(split_points: list[float] | None, num_bins: int | Non
     return _state_pandas_udf(fin, T.ArrayType(T.DoubleType()))
 
 
+def _firstlast_order(ctx) -> Column:
+    """first/last order by __time with SEGMENT ROW ORDER breaking ties
+    (Druid scans segment rows in stored order, so the first of several
+    equal-timestamp rows is the one stored first).  Tables ingested with a
+    ``__rowid`` column (sources/ingest preserves input order) get the exact
+    tie-break; without it ties are arbitrary, same as a Druid segment
+    written from unordered input."""
+    tcol = F.col(TIME_COLUMN)
+    if hasattr(ctx, "data_type") and ctx.data_type("__rowid") is not None:
+        return F.struct(tcol.alias("t"), ctx.resolve("__rowid").alias("r"))
+    return tcol
+
+
+def _firstlast_cast(t: str, val: Column) -> Column:
+    """first/last/any factories read the column AT THEIR OWN TYPE: longFirst
+    over a double column truncates (ColumnValueSelector.getLong), stringFirst
+    renders the value as a string (first/*AggregatorFactory.java)."""
+    if t.startswith("long"):
+        return val.cast("long")
+    if t.startswith("double"):
+        return val.cast("double")
+    if t.startswith("float"):
+        return val.cast("float")
+    return val.cast("string")
+
+
 def _agg_column(t: str, spec: dict, ctx) -> Column:
     f = lambda: _field(spec, ctx)  # noqa: E731
     time_col = F.col(TIME_COLUMN)
@@ -373,28 +399,22 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.min_by(col["v"], col["t"])
         # value arg goes through fnum(): first/last over a timestamp-typed
         # field reads its LONG storage (epoch millis), same rationale as
-        # longSum-over-__time; string* renders that long as a string
-        val = fnum()
-        if t.startswith("string"):
-            val = val.cast("string")
-        return F.min_by(val, ctx.resolve(TIME_COLUMN))
+        # longSum-over-__time; then the factory's own type applies — a
+        # longFirst over a DOUBLE column truncates to long
+        # (first/LongFirstAggregator reads getLong()), stringFirst renders
+        # the value as a string
+        return F.min_by(_firstlast_cast(t, fnum()), _firstlast_order(ctx))
     if t in ("longLast", "doubleLast", "floatLast", "stringLast",
              "stringLastFold"):
         fname = spec.get("fieldName")
         if _is_firstlast_state(ctx, fname):
             col = ctx.resolve(fname)
             return F.max_by(col["v"], col["t"])
-        val = fnum()
-        if t.startswith("string"):
-            val = val.cast("string")
-        return F.max_by(val, ctx.resolve(TIME_COLUMN))
+        return F.max_by(_firstlast_cast(t, fnum()), _firstlast_order(ctx))
     if t in ("longAny", "doubleAny", "floatAny", "stringAny"):
         # any/*AggregatorFactory.java — any value, nulls allowed; timestamp
         # fields read as epoch-millis longs (fnum), like first/last above
-        val = fnum()
-        if t == "stringAny":
-            val = val.cast("string")
-        return F.any_value(val, ignoreNulls=True)
+        return F.any_value(_firstlast_cast(t, fnum()), ignoreNulls=True)
     if t == "cardinality":
         # cardinality/CardinalityAggregatorFactory.java — HLL over dims.
         # byRow=true counts distinct tuples; false counts union of value sets.

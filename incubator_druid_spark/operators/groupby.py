@@ -141,12 +141,26 @@ def _subtotals(df: DataFrame, keys, dim_names, subtotals, agg_specs,
 
 # -- having ------------------------------------------------------------------
 
+def _having_ctx(out: DataFrame) -> FilterContext:
+    """Having filters run over RESULT rows, where the reference renders
+    __time as epoch MILLIS (ResultRow position 0 is a long;
+    DimFilterHavingSpec.eval feeds it to the filter as a long) — expose the
+    bucket timestamp as a millis virtual so selector/bound specs on __time
+    compare numerically.  At having time the bucket column is still named
+    __bucket (renamed on return)."""
+    tcol = "__bucket" if "__bucket" in out.columns else TIME_COLUMN
+    if tcol in out.columns:
+        return FilterContext(
+            out, virtual={TIME_COLUMN: F.unix_millis(qcol(tcol))})
+    return FilterContext(out)
+
+
 def _having_predicate(spec: dict, out: DataFrame):
     """query/groupby/having/: filter | equalTo | greaterThan | lessThan |
     dimSelector | and | or | not | always."""
     t = spec["type"]
     if t == "filter":
-        return compile_filter(spec["filter"], FilterContext(out))
+        return compile_filter(spec["filter"], _having_ctx(out))
     if t == "equalTo":
         return F.col(spec["aggregation"]) == F.lit(spec["value"])
     if t == "greaterThan":
@@ -182,7 +196,15 @@ def _having_predicate(spec: dict, out: DataFrame):
 def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names,
                       sort_dims_first: bool = False) -> DataFrame:
     if not spec:
-        return out
+        # even with no limitSpec the merge emits Druid's DEFAULT row
+        # ordering — (time, dims) ascending, or (dims, time) under
+        # sortByDimsFirst (GroupByQuery.getRowOrdering).  The sort runs over
+        # the aggregated result, not the input, so it stays cheap at scale.
+        order = [qcol(d).asc() for d in dim_names]
+        if "__bucket" in out.columns:
+            order = (order + [F.col("__bucket").asc()] if sort_dims_first
+                     else [F.col("__bucket").asc()] + order)
+        return out.orderBy(*order) if order else out
     if spec.get("type", "default") != "default":
         raise ValueError(f"unknown limitSpec type {spec.get('type')!r}")
     cols = spec.get("columns") or []

@@ -230,9 +230,13 @@ def wiki_catalog(spark, tmp_path_factory):
             "qualityDouble", "qualityNumericString", "longNumericNull",
             "floatNumericNull", "doubleNumericNull", "placement",
             "placementish", "index", "partial_null_column"]
-    raw = spark.read.option("sep", "\t") \
-        .schema(", ".join(f"`{c}` string" for c in cols)).csv(tsv)
+    # single-partition read keeps file order; __rowid materializes Druid's
+    # segment row order so first/last tie-breaks match the reference
+    raw = (spark.read.option("sep", "\t")
+           .schema(", ".join(f"`{c}` string" for c in cols)).csv(tsv)
+           .coalesce(1).withColumn("__rowid", F.monotonically_increasing_id()))
     df = raw.select(
+        "__rowid",
         F.to_timestamp("ts").alias("__time"),
         "market", "quality",
         F.col("qualityLong").cast("long").alias("qualityLong"),
