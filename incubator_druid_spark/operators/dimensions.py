@@ -69,7 +69,7 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
         # (GroupByQueryRunnerTest.testGroupByLongTimeColumnWithExFn);
         # timeFormat is the one fn that interprets the value AS a time.
         if (isinstance(types.get(dim), T.TimestampType)
-                and spec["extractionFn"].get("type") != "timeFormat"):
+                and not _interprets_as_time(spec["extractionFn"])):
             col = F.unix_millis(col)
         if is_arr:
             col = F.transform(col, lambda v: compile_extraction(spec["extractionFn"], v))
@@ -147,6 +147,18 @@ def _filtered_dimension(spec: dict, t: str, df: DataFrame) -> tuple[str, Column,
     if out_type:
         kept = F.transform(kept, lambda v: v.cast(_OUT_TYPES[out_type]))
     return spec.get("outputName", inner_name), kept, "explode"
+
+
+def _interprets_as_time(fn: dict) -> bool:
+    """True when the extraction fn (or the FIRST fn of a cascade — it
+    receives the raw value, CascadeExtractionFn applies in array order)
+    interprets its input AS a timestamp rather than as the long millis
+    rendering."""
+    t = fn.get("type")
+    if t == "cascade":
+        fns = fn.get("extractionFns") or []
+        return bool(fns) and _interprets_as_time(fns[0])
+    return t == "timeFormat"
 
 
 def apply_dimensions(
