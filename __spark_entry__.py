@@ -1423,7 +1423,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ts_day_zerofill": """
-            WITH spine AS (
+            WITH bounds AS (
+                -- zero-fill clips to SEGMENT coverage (broker prunes
+                -- intervals to existing segments before filling)
+                SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS lo,
+                       date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS hi
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-01'
+                  AND ts < TIMESTAMP '2024-02-05'),
+            spine AS (
                 SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
                                               TIMESTAMP '2024-02-04',
                                               INTERVAL 1 DAY)) AS __time),
@@ -1436,7 +1444,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT spine.__time,
                    CAST(coalesce(agg.cnt, 0) AS BIGINT) AS cnt,
                    CAST(agg.users AS BIGINT) AS users
-            FROM spine LEFT JOIN agg ON spine.__time = agg.__time
+            FROM spine CROSS JOIN bounds
+                 LEFT JOIN agg ON spine.__time = agg.__time
+            WHERE spine.__time BETWEEN bounds.lo AND bounds.hi
             ORDER BY spine.__time
         """,
         "ts_hour_filtered": """

@@ -80,6 +80,13 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
                  .agg(*aggs))
         out = _zero_fill(out, query, gran, spark)
 
+    # TimeseriesQuery.CTX_TIMESTAMP_RESULT_FIELD — materialize the bucket
+    # timestamp as a LONG millis result column (post-aggs may reference it;
+    # Druid's SQL layer uses this for GROUP BY TIME_FLOOR rewrites)
+    ts_field = (query.get("context") or {}).get("timestampResultField")
+    if ts_field and gran.kind != "all":
+        out = out.withColumn(ts_field, F.unix_millis(F.col(TIME_COLUMN)))
+
     if post:
         for _p in post:
             out = out.select("*", _p)
@@ -116,6 +123,20 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession) -> DataFr
         return out
     spine = spark.createDataFrame([(m,) for m in sorted(set(spine_ms))], "ms long") \
         .select(F.timestamp_millis(F.col("ms")).alias(TIME_COLUMN))
+    # Druid only produces buckets where SEGMENTS exist: the broker prunes
+    # query intervals to segment coverage before zero-filling, so a
+    # 1970-2020 query over 2011 data returns only 2011 buckets
+    # (TimeseriesQueryRunnerTest.testTimeseriesWithFirstLastAggregator runs
+    # FULL_ON and expects 4 months, not 600).  Clip the spine to the data's
+    # bucket range — lazily, via a broadcast single-row bounds join, so
+    # translate() stays action-free; an empty result yields null bounds and
+    # an empty spine, matching "no segments → no buckets".
+    bounds = out.agg(F.min(TIME_COLUMN).alias("__zf_lo"),
+                     F.max(TIME_COLUMN).alias("__zf_hi"))
+    spine = (spine.crossJoin(F.broadcast(bounds))
+             .filter((F.col(TIME_COLUMN) >= F.col("__zf_lo"))
+                     & (F.col(TIME_COLUMN) <= F.col("__zf_hi")))
+             .drop("__zf_lo", "__zf_hi"))
     joined = F.broadcast(spine).join(out, on=TIME_COLUMN, how="left")
     # aggregator identity values for empty buckets
     fills = []
