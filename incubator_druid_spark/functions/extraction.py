@@ -14,7 +14,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def compile_extraction(spec: dict | None, col: Column) -> Column:
+def compile_extraction(spec: dict | None, col: Column,
+                       input_type=None) -> Column:
+    """``input_type`` (a Spark DataType, optional) lets time-interpreting
+    fns coerce a LONG millis input back to a timestamp — e.g. a nested
+    groupBy whose inner query emitted a timeFormat-asMillis LONG dimension
+    that the outer timeFormat refloors."""
     if spec is None:
         return col
     t = spec["type"]
@@ -45,13 +50,23 @@ def compile_extraction(spec: dict | None, col: Column) -> Column:
         # granularity pre-floor + tz
         from incubator_druid_spark.model.granularity import parse_granularity
         from incubator_druid_spark.functions.druid_expr import _joda_to_spark
+        from pyspark.sql import types as T
         c = col
+        if input_type is not None and not isinstance(input_type,
+                                                     T.TimestampType):
+            # a LONG (epoch millis) input — e.g. the inner query's
+            # asMillis output refloored by the outer query
+            c = F.timestamp_millis(c.cast("long"))
         if spec.get("granularity"):
             c = parse_granularity(spec["granularity"]).floor(c)
+        fmt = spec.get("format")
+        if fmt is None and spec.get("asMillis"):
+            # TimeFormatExtractionFn.java asMillis: format==null renders the
+            # (granularity-truncated) instant's millis
+            return F.unix_millis(c).cast("string")
         tz = spec.get("timeZone")
         if tz and tz != "UTC":
             c = F.from_utc_timestamp(c, tz)
-        fmt = spec.get("format")
         if fmt is None:
             return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
         return F.date_format(c, _joda_to_spark(fmt))

@@ -74,7 +74,8 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
         if is_arr:
             col = F.transform(col, lambda v: compile_extraction(spec["extractionFn"], v))
         else:
-            col = compile_extraction(spec["extractionFn"], col)
+            col = compile_extraction(spec["extractionFn"], col,
+                                     input_type=types.get(dim))
         ot = spec.get("outputType")
         if ot and ot.upper() in _OUT_TYPES:
             # ExtractionDimensionSpec honors outputType too (STRING default;

@@ -229,6 +229,14 @@ def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names,
         # DEFAULT result ordering — (time, dims) ascending
         # (GroupByQuery.getRowOrdering; the merge always emits that order)
         order_exprs = [qcol(d).asc() for d in dim_names]
+    elif order_exprs:
+        # the limitSpec sort is STABLE over the merge's (time, dims) base
+        # ordering (LimitedBufferHashGrouper keeps insertion order on ties),
+        # so dimensions not named in the spec break ties ascending — e.g.
+        # ordering by a hyperUnique metric with equal estimates returns the
+        # tied groups in dimension order
+        listed = {(c if isinstance(c, str) else c["dimension"]) for c in cols}
+        order_exprs += [qcol(d).asc() for d in dim_names if d not in listed]
     if order_exprs:
         # DefaultLimitSpec.makeComparator:393-396 — for granular queries the
         # row timestamp orders FIRST (then the limit columns); with
