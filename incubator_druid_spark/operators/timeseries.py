@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
 from incubator_druid_spark.filters.filters import FilterContext
 from incubator_druid_spark.model.granularity import parse_granularity
-from incubator_druid_spark.model.intervals import parse_intervals
+from incubator_druid_spark.model.intervals import (interval_predicate,
+                                                   parse_intervals)
 from incubator_druid_spark.operators.aggregations import (compile_aggregations,
                                                           compile_post_aggregations)
 from incubator_druid_spark.plans.translator import prepare_frame
@@ -78,7 +79,7 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     else:
         out = (df.groupBy(gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN))
                  .agg(*aggs))
-        out = _zero_fill(out, query, gran, spark)
+        out = _zero_fill(out, query, gran, spark, catalog)
 
     # TimeseriesQuery.CTX_TIMESTAMP_RESULT_FIELD — materialize the bucket
     # timestamp as a LONG millis result column (post-aggs may reference it;
@@ -110,7 +111,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     return out
 
 
-def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession) -> DataFrame:
+def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession,
+               catalog) -> DataFrame:
     if query.get("context", {}).get("skipEmptyBuckets"):
         return out
     ivs = parse_intervals(query.get("intervals"))
@@ -123,20 +125,36 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession) -> DataFr
         return out
     spine = spark.createDataFrame([(m,) for m in sorted(set(spine_ms))], "ms long") \
         .select(F.timestamp_millis(F.col("ms")).alias(TIME_COLUMN))
-    # Druid only produces buckets where SEGMENTS exist: the broker prunes
-    # query intervals to segment coverage before zero-filling, so a
+    # Druid only produces buckets where SEGMENTS exist: the broker condenses
+    # query intervals to the segment timeline before zero-filling, so a
     # 1970-2020 query over 2011 data returns only 2011 buckets
-    # (TimeseriesQueryRunnerTest.testTimeseriesWithFirstLastAggregator runs
-    # FULL_ON and expects 4 months, not 600).  Clip the spine to the data's
-    # bucket range — lazily, via a broadcast single-row bounds join, so
-    # translate() stays action-free; an empty result yields null bounds and
-    # an empty spine, matching "no segments → no buckets".
-    bounds = out.agg(F.min(TIME_COLUMN).alias("__zf_lo"),
-                     F.max(TIME_COLUMN).alias("__zf_hi"))
-    spine = (spine.crossJoin(F.broadcast(bounds))
-             .filter((F.col(TIME_COLUMN) >= F.col("__zf_lo"))
-                     & (F.col(TIME_COLUMN) <= F.col("__zf_hi")))
-             .drop("__zf_lo", "__zf_hi"))
+    # (testTimeseriesWithFirstLastAggregator runs FULL_ON and expects 4
+    # months, not 600), an INTERIOR day with no segment produces no bucket,
+    # and an hour inside a day segment zero-fills even when no row matches
+    # (testTimeseriesQueryZeroFilling fills all 24 hours of a day whose only
+    # row is at 00:00).  Coverage is a property of the DATASOURCE, not the
+    # filtered rows — a filter matching nothing still fills every covered
+    # bucket (testTimeseriesWithNonExistentFilter) — so the segment-day set
+    # (default segmentGranularity = DAY) comes from the UNFILTERED source,
+    # interval-pruned only.  Lazy broadcast semi-join keeps translate()
+    # action-free; the distinct-days set is #days-sized, the analogue of
+    # Druid's in-memory segment timeline.
+    from incubator_druid_spark.plans.datasource import resolve_datasource
+    src = resolve_datasource(query["dataSource"], spark, catalog)
+    src = src.filter(interval_predicate(ivs, F.col(TIME_COLUMN)))
+    seg_days = src.select(F.date_trunc("day", F.col(TIME_COLUMN))
+                          .alias("__seg_day")).distinct()
+    p = gran.period
+    day_or_coarser = p is not None and (p.is_calendar
+                                        or p.millis >= 86_400_000)
+    if day_or_coarser:
+        # bucket >= a day: keep buckets holding at least one segment day
+        cond = gran.floor(F.col("__seg_day")) == F.col(TIME_COLUMN)
+    else:
+        # sub-day buckets: keep those inside a segment day
+        cond = (F.date_trunc("day", F.col(TIME_COLUMN))
+                == F.col("__seg_day"))
+    spine = spine.join(F.broadcast(seg_days), cond, "left_semi")
     joined = F.broadcast(spine).join(out, on=TIME_COLUMN, how="left")
     # aggregator identity values for empty buckets
     fills = []

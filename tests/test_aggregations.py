@@ -213,13 +213,13 @@ def test_finalize_false_with_zero_filled_timeseries(spark, foo_catalog):
     """finalize=false over a zero-filled timeseries: empty buckets carry
     NULL sketch state (not a 0 coalesced into a binary column)."""
     from incubator_druid_spark import translate
-    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "day",
-         "intervals": ["2000-01-01T00:00:00Z/2000-01-06T00:00:00Z"],
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "hour",
+         "intervals": ["2000-01-02T00:00:00Z/2000-01-03T00:00:00Z"],
          "context": {"finalize": False},
          "aggregations": [{"type": "hyperUnique", "name": "uq",
                            "fieldName": "dim1"}]}
     out = translate(q, spark, foo_catalog).collect()
-    assert len(out) == 5
-    by_day = {str(r["__time"])[:10]: r["uq"] for r in out}
-    assert by_day["2000-01-04"] is None
-    assert isinstance(by_day["2000-01-02"], (bytes, bytearray))
+    assert len(out) == 24  # hour buckets inside the day segment zero-fill
+    by_hour = {str(r["__time"])[11:13]: r["uq"] for r in out}
+    assert by_hour["03"] is None
+    assert isinstance(by_hour["00"], (bytes, bytearray))

@@ -17,23 +17,31 @@ def ts(s):
 # -- timeseries --------------------------------------------------------------
 
 def test_timeseries_zero_fill(spark, foo_catalog):
-    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "day",
-         "intervals": ["2000-01-01T00:00:00Z/2000-01-06T00:00:00Z"],
+    """Zero-fill follows the SEGMENT timeline: hours inside a covered day
+    fill (rows at 00:00 only → 23 empty hour buckets), but days with no
+    segment at all — 2000-01-04/05 here — produce NO buckets, matching the
+    broker's interval-to-timeline condensation."""
+    q = {"queryType": "timeseries", "dataSource": "foo", "granularity": "hour",
+         "intervals": ["2000-01-02T00:00:00Z/2000-01-03T00:00:00Z"],
          "aggregations": [{"type": "longSum", "name": "cnt", "fieldName": "cnt"},
                           {"type": "doubleMax", "name": "m", "fieldName": "m2"}]}
     out = rows(translate(q, spark, foo_catalog))
-    assert len(out) == 5  # 3 data days + 2 empty buckets
+    assert len(out) == 24  # 1 data hour + 23 empty buckets in the day segment
     by_time = {r[0]: r for r in out}
     # sums over an empty bucket are NULL in SQL-compatible mode
     # (TimeseriesQueryRunnerTest testTimeseriesWithNonExistentFilter —
     # defaultDoubleValue); legacy mode fills 0 (tested below)
-    assert by_time[ts("2000-01-04")][1] is None
-    assert by_time[ts("2000-01-04")][2] is None   # max has no zero identity
+    assert by_time[ts("2000-01-02 03:00:00")][1] is None
+    assert by_time[ts("2000-01-02 03:00:00")][2] is None  # max: no identity
     assert by_time[ts("2000-01-02")][1] == 1
     legacy = translate({**q, "context": {"useDefaultValueForNull": True}},
                        spark, foo_catalog)
     by_time_l = {r[0]: r for r in rows(legacy)}
-    assert by_time_l[ts("2000-01-04")][1] == 0
+    assert by_time_l[ts("2000-01-02 03:00:00")][1] == 0
+    # no-segment days yield no buckets
+    day_q = {**q, "granularity": "day",
+             "intervals": ["2000-01-01T00:00:00Z/2000-01-06T00:00:00Z"]}
+    assert len(rows(translate(day_q, spark, foo_catalog))) == 3
 
 
 def test_timeseries_all_with_post_agg(spark, foo_catalog):
