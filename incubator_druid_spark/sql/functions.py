@@ -1125,6 +1125,36 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = _rewrite_regexp_extract(sql)
     sql = _rewrite_array_functions(sql)
 
+    # MVD-aware COUNT(DISTINCT col): Calcite exposes an MVD as VARCHAR and
+    # plans a cardinality agg over its VALUES (CalciteQueryTest
+    # testExactCountDistinct expects 3 for dim2's {'a','','abc'}), while a
+    # bare Spark count-distinct over the array column would count distinct
+    # ARRAYS.  collect_set bounds state by distinct arrays, then
+    # flatten+distinct counts the value universe; null elements drop.
+    if catalog is not None:
+        from pyspark.sql import types as _T
+        mvd_cols: set[str] = set()
+        for _t in catalog.names():
+            try:
+                for _f in catalog.table(_t).schema.fields:
+                    if (isinstance(_f.dataType, _T.ArrayType)
+                            and isinstance(_f.dataType.elementType,
+                                           _T.StringType)):
+                        mvd_cols.add(_f.name)
+            except Exception:  # pragma: no cover - unreadable table
+                pass
+
+        def _cd_mvd_repl(a):
+            if len(a) != 1:
+                return None
+            m = re.match(r"(?is)^\s*DISTINCT\s+([A-Za-z_]\w*)\s*$", a[0])
+            if not m or m.group(1) not in mvd_cols:
+                return None
+            c = m.group(1)
+            return (f"CAST(size(filter(array_distinct(flatten("
+                    f"collect_set({c}))), x -> x IS NOT NULL)) AS BIGINT)")
+        sql = _rewrite_calls(sql, "COUNT", _cd_mvd_repl)
+
     # Integer-target CAST follows the reference's string coercion
     # (ExprEval.computeNumber:565-580 — tryParseLong, else parse double and
     # truncate): CAST('10.1' AS INTEGER) is 10 in Druid, NULL in plain
