@@ -1148,11 +1148,18 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             if len(a) != 1:
                 return None
             m = re.match(r"(?is)^\s*DISTINCT\s+([A-Za-z_]\w*)\s*$", a[0])
-            if not m or m.group(1) not in mvd_cols:
-                return None
-            c = m.group(1)
-            return (f"CAST(size(filter(array_distinct(flatten("
-                    f"collect_set({c}))), x -> x IS NOT NULL)) AS BIGINT)")
+            if m and m.group(1) in mvd_cols:
+                c = m.group(1)
+                return (f"CAST(size(filter(array_distinct(flatten("
+                        f"collect_set({c}))), x -> x IS NOT NULL)) AS BIGINT)")
+            # COUNT(<mvd>): Druid counts rows with at least one value — []
+            # and null both read as "no values" (testCountNullableColumn,
+            # testFilteredAggregations expect 4 / 3 in sql mode), while
+            # Spark's COUNT(array) would count [] as a non-null array.
+            m2 = re.match(r"(?is)^\s*([A-Za-z_]\w*)\s*$", a[0])
+            if m2 and m2.group(1) in mvd_cols:
+                return f"COUNT(CASE WHEN size({m2.group(1)}) > 0 THEN 1 END)"
+            return None
         sql = _rewrite_calls(sql, "COUNT", _cd_mvd_repl)
 
     # Integer-target CAST follows the reference's string coercion

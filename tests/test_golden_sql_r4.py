@@ -177,3 +177,115 @@ def test_bitwise_aggregators(spark, numfoo_catalog):
         SELECT BIT_AND(l1) AS a, BIT_OR(l1) AS o, BIT_XOR(l1) AS x
         FROM numfoo""", numfoo_catalog).first()
     assert (r["a"], r["o"], r["x"]) == (0, 325327, 325324)
+
+
+def test_filtered_aggregations(spark, foo_catalog):
+    """testFilteredAggregations — the full FILTER/CASE aggregation matrix;
+    SQL-compatible expectations (COUNT(dim2) over the MVD counts rows with
+    at least one value; the last filtered sum with no matching rows is
+    null)."""
+    r = q(spark, foo_catalog, """
+        SELECT
+          SUM(CASE dim1 WHEN 'abc' THEN cnt END) AS a,
+          SUM(CASE dim1 WHEN 'abc' THEN NULL ELSE cnt END) AS b,
+          SUM(CASE SUBSTRING(dim1, 1, 1) WHEN 'a' THEN cnt END) AS c,
+          COUNT(dim2) FILTER(WHERE dim1 <> '1') AS d,
+          COUNT(CASE WHEN dim1 <> '1' THEN 'dummy' END) AS e,
+          SUM(CASE WHEN dim1 <> '1' THEN 1 ELSE 0 END) AS f,
+          SUM(cnt) FILTER(WHERE MV_CONTAINS(dim2, 'a')) AS g,
+          SUM(CASE WHEN dim1 <> '1' THEN cnt END)
+              FILTER(WHERE MV_CONTAINS(dim2, 'a')) AS h,
+          SUM(CASE WHEN dim1 <> '1' THEN cnt ELSE 0 END) AS i,
+          MAX(CASE WHEN dim1 <> '1' THEN cnt END) AS j,
+          COUNT(DISTINCT CASE WHEN dim1 <> '1' THEN m1 END) AS k
+        FROM foo""").first()
+    assert tuple(r) == (1, 5, 1, 3, 5, 5, 2, 1, 5, 1, 5)
+
+
+def test_filtered_time_aggregators(spark, foo_catalog):
+    """testFilteredTimeAggregators — FILTER clauses over __time ranges."""
+    r = q(spark, foo_catalog, """
+        SELECT
+          SUM(cnt) FILTER(WHERE __time >= TIMESTAMP '2000-01-01 00:00:00'
+                            AND __time <  TIMESTAMP '2000-02-01 00:00:00') AS a,
+          SUM(cnt) FILTER(WHERE __time >= TIMESTAMP '2000-01-01 00:00:01'
+                            AND __time <  TIMESTAMP '2000-02-01 00:00:00') AS b,
+          SUM(cnt) FILTER(WHERE __time >= TIMESTAMP '2001-01-01 00:00:00'
+                            AND __time <  TIMESTAMP '2001-02-01 00:00:00') AS c
+        FROM foo
+        WHERE __time >= TIMESTAMP '2000-01-01 00:00:00'
+          AND __time < TIMESTAMP '2001-02-01 00:00:00'""").first()
+    assert tuple(r) == (3, 2, 3)
+
+
+def test_avg_daily_count_distinct(spark, foo_catalog):
+    """testAvgDailyCountDistinct — outer AVG over an inner per-day
+    APPROX_COUNT_DISTINCT."""
+    assert one(spark, foo_catalog, """
+        SELECT CAST(AVG(u) AS BIGINT) AS a
+        FROM (SELECT FLOOR(__time TO DAY) AS d,
+                     APPROX_COUNT_DISTINCT(cnt) AS u
+              FROM foo GROUP BY 1)""") == (1,)
+
+
+def test_double_nested_group_by2(spark, foo_catalog):
+    """testDoubleNestedGroupBy2 — three levels of grouping."""
+    assert one(spark, foo_catalog, """
+        SELECT MAX(cnt) AS m FROM (
+          SELECT dim1, MAX(t1.cnt) AS cnt FROM (
+            SELECT dim1, COUNT(*) AS cnt FROM foo GROUP BY dim1
+          ) t1 GROUP BY dim1
+        ) t2""") == (1,)
+
+
+def test_count_star_on_common_table_expression(spark, foo_catalog):
+    """testCountStarOnCommonTableExpression — CTE with an MVD scalar
+    filter."""
+    assert one(spark, foo_catalog, """
+        WITH beep (dim1_firstchar) AS
+          (SELECT SUBSTRING(dim1, 1, 1) FROM foo WHERE MV_CONTAINS(dim2, 'a'))
+        SELECT COUNT(*) AS c FROM beep WHERE dim1_firstchar <> 'z'""") == (2,)
+
+
+def test_count_star_on_view(spark, foo_catalog):
+    """testCountStarOnView — a registered view with the same shape."""
+    from incubator_druid_spark.sql.functions import (drop_sql_view,
+                                                     register_sql_view)
+    register_sql_view("aview", """
+        SELECT SUBSTRING(dim1, 1, 1) AS dim1_firstchar FROM foo
+        WHERE MV_CONTAINS(dim2, 'a')""")
+    try:
+        assert one(spark, foo_catalog, """
+            SELECT COUNT(*) AS c FROM view.aview
+            WHERE dim1_firstchar <> 'z'""") == (2,)
+    finally:
+        drop_sql_view("aview")
+
+
+def test_group_by_case_when_of_triple_and(spark, foo_catalog):
+    """testGroupByCaseWhenOfTripleAnd."""
+    out = q(spark, foo_catalog, """
+        SELECT CASE WHEN m1 > 1 AND m1 < 5 AND cnt = 1 THEN 'x' END AS v,
+               COUNT(*) AS c
+        FROM foo GROUP BY 1 ORDER BY 1""").collect()
+    got = sorted(((r["v"], r["c"]) for r in out),
+                 key=lambda t: (t[0] is None, t))
+    assert got == [("x", 3), (None, 3)]
+
+
+def test_group_by_cube(spark, foo_catalog):
+    """testGroupByCube — CUBE over (dim2, month) with COALESCE'd MVD
+    flattening; the MVD explodes one row per value first."""
+    out = q(spark, foo_catalog, """
+        SELECT dim2, gran, SUM(cnt) AS s
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran,
+                     COALESCE(element_at(dim2, 1), '@null') AS dim2, cnt
+              FROM foo) AS x
+        GROUP BY CUBE (dim2, gran)""").collect()
+    # spot-check the full-rollup and per-dim2 totals
+    got = {(r["dim2"], str(r["gran"])[:10] if r["gran"] else None): r["s"]
+           for r in out}
+    assert got[("@null", None)] == 2      # [] and null rows
+    assert got[("a", None)] == 2
+    assert got[("abc", None)] == 1
+    assert got[(None, None)] == 6         # grand total
