@@ -946,3 +946,76 @@ def test_group_by_decoration_on_numerics(spark, wiki_catalog):
                   for r in translate(q, spark, wiki_catalog).collect()),
                  key=lambda t: (t[0] is not None, t[0] or 0))
     assert out == [(None, None, 2), (1700, 17000.0, 2)]
+
+
+def test_search_on_float_column(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchOnFloatColumn — searching a DOUBLE
+    dimension spec matches against the numeric rendering."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": [{"type": "default", "dimension": "index",
+                               "outputName": "index",
+                               "outputType": "DOUBLE"}],
+         "query": {"type": "contains", "value": "100.7"}}
+    out = {r["value"]: r["count"]
+           for r in translate(q, spark, wiki_catalog).collect()}
+    assert len(out) == 2
+    assert all(v.startswith("100.7") for v in out)
+    assert all(c == 1 for c in out.values())
+
+
+def test_search_multi_and_filter(spark, wiki_catalog):
+    """testSearchMultiAndFilter — AND filter narrows hits to one value."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["quality"],
+         "filter": {"type": "and", "fields": [
+             {"type": "selector", "dimension": "market", "value": "spot"},
+             {"type": "selector", "dimension": "quality",
+              "value": "automotive"}]},
+         "query": {"type": "insensitive_contains", "value": "a"}}
+    out = [(r["dimension"], r["value"], r["count"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out == [("quality", "automotive", 93)]
+
+
+def test_search_with_multi_or_filter(spark, wiki_catalog):
+    """testSearchWithMultiOrFilter — OR of two quality selectors; only
+    automotive contains 'a'."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["quality"],
+         "filter": {"type": "or", "fields": [
+             {"type": "selector", "dimension": "quality",
+              "value": "total_market"},
+             {"type": "selector", "dimension": "quality",
+              "value": "automotive"}]},
+         "query": {"type": "insensitive_contains", "value": "a"}}
+    out = [(r["value"], r["count"])
+           for r in translate(q, spark, wiki_catalog).collect()]
+    assert out == [("automotive", 93)]
+
+
+def test_search_with_filter_empty_results(spark, wiki_catalog):
+    """testSearchWithFilterEmptyResults — contradictory AND yields zero
+    hits."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["quality"],
+         "filter": {"type": "and", "fields": [
+             {"type": "selector", "dimension": "market",
+              "value": "total_market"},
+             {"type": "selector", "dimension": "quality",
+              "value": "automotive"}]},
+         "query": {"type": "insensitive_contains", "value": "a"}}
+    assert translate(q, spark, wiki_catalog).collect() == []
+
+
+def test_search_with_not_existed_dimension(spark, wiki_catalog):
+    """testSearchWithNotExistedDimension — a nonexistent search dimension
+    yields no hits (reads as null, null is never a search hit)."""
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": ["asdf"],
+         "query": {"type": "insensitive_contains", "value": "a"}}
+    assert translate(q, spark, wiki_catalog).collect() == []
