@@ -239,3 +239,68 @@ def test_timeseries_with_timestamp_result_field(spark, wiki_catalog):
     april1, april2 = 1301616000000, 1301702400000
     assert got == [("2011-04-01", april1, april1),
                    ("2011-04-02", april2, april2)]
+
+
+def test_timeseries_with_varying_gran_with_filter(spark, wiki_catalog):
+    """testTimeseriesWithVaryingGranWithFilter — P1M over one filtered day
+    buckets to the month start; DAY over the same day buckets to the day."""
+    flt = {"type": "in", "dimension": "market",
+           "values": ["spot", "upfront", "total_market"]}
+    day2 = ["2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"]
+    out1 = ts(spark, wiki_catalog,
+              granularity={"type": "period", "period": "P1M"},
+              intervals=day2, filter=flt,
+              aggregations=[{"type": "count", "name": "rows"},
+                            {"type": "longSum", "name": "idx",
+                             "fieldName": "index"}])
+    assert [(str(r["__time"])[:10], r["rows"], r["idx"]) for r in out1] == [
+        ("2011-04-01", 13, 5827)]
+    out2 = ts(spark, wiki_catalog, granularity="day", intervals=day2,
+              filter=flt,
+              aggregations=[{"type": "count", "name": "rows"},
+                            {"type": "longSum", "name": "idx",
+                             "fieldName": "index"}])
+    assert [(str(r["__time"])[:10], r["rows"], r["idx"]) for r in out2] == [
+        ("2011-04-02", 13, 5827)]
+
+
+def test_timeseries_with_time_zone(spark, wiki_catalog):
+    """testTimeseriesWithTimeZone — LA-day buckets; starts land at 07:00
+    UTC."""
+    out = ts(spark, wiki_catalog,
+             granularity={"type": "period", "period": "P1D",
+                          "timeZone": "America/Los_Angeles"},
+             intervals=["2011-03-31T07:00:00.000Z/2011-04-02T07:00:00.000Z"],
+             aggregations=[{"type": "count", "name": "rows"},
+                           {"type": "longSum", "name": "idx",
+                            "fieldName": "index"}])
+    assert [(str(r["__time"]), r["rows"], r["idx"]) for r in out] == [
+        ("2011-03-31 07:00:00", 13, 6619),
+        ("2011-04-01 07:00:00", 13, 5827)]
+
+
+def test_timeseries_no_aggregators(spark, wiki_catalog):
+    """testTimeseriesNoAggregators — day buckets with NO aggregators: one
+    empty-payload row per covered day, first = 2011-01-12, last =
+    2011-04-15, and descending reverses."""
+    out = ts(spark, wiki_catalog, intervals=FULL, aggregations=[])
+    assert str(out[0]["__time"])[:10] == "2011-01-12"
+    assert str(out[-1]["__time"])[:10] == "2011-04-15"
+    out_desc = ts(spark, wiki_catalog, intervals=FULL, aggregations=[],
+                  descending=True)
+    assert str(out_desc[0]["__time"])[:10] == "2011-04-15"
+    assert [r["__time"] for r in out_desc] == \
+        [r["__time"] for r in reversed(out)]
+
+
+def test_full_on_timeseries_with_filter(spark, wiki_catalog):
+    """testFullOnTimeseriesWithFilter — upfront-only day series: 2 rows per
+    covered day, zero-filled gaps stay inside segment coverage."""
+    out = ts(spark, wiki_catalog, intervals=FULL,
+             filter={"type": "selector", "dimension": "market",
+                     "value": "upfront"},
+             aggregations=[{"type": "count", "name": "rows"}])
+    assert str(out[0]["__time"])[:10] == "2011-01-12"
+    assert str(out[-1]["__time"])[:10] == "2011-04-15"
+    assert {r["rows"] for r in out} <= {0, 2}
+    assert sum(r["rows"] for r in out) == 186
