@@ -289,3 +289,53 @@ def test_group_by_cube(spark, foo_catalog):
     assert got[("a", None)] == 2
     assert got[("abc", None)] == 1
     assert got[(None, None)] == 6         # grand total
+
+
+def test_numeric_predicate_filter_nulls(spark, numfoo_catalog):
+    """testDoublePredicateFilterNulls / testFloatPredicateFilterNulls —
+    null numeric rows never match a > predicate (sql mode)."""
+    assert druid_sql(spark, "SELECT COUNT(*) AS c FROM numfoo WHERE d1 > 0",
+                     numfoo_catalog).first()["c"] == 2
+    assert druid_sql(spark, "SELECT COUNT(*) AS c FROM numfoo WHERE f1 > 0",
+                     numfoo_catalog).first()["c"] == 2
+
+
+def test_filter_on_metric_equality(spark, foo_catalog):
+    """testFilterOnDouble / testFilterOnFloat."""
+    assert one(spark, foo_catalog,
+               "SELECT COUNT(*) AS c FROM foo WHERE m2 = 1.0") == (1,)
+    assert one(spark, foo_catalog,
+               "SELECT COUNT(*) AS c FROM foo WHERE m1 = 1.0") == (1,)
+
+
+def test_filter_typed_dimensions(spark, numfoo_catalog):
+    """testFilterLongDimension / DoubleDimension / FloatDimension."""
+    assert druid_sql(spark, "SELECT dim1 FROM numfoo WHERE l1 = 7 LIMIT 1",
+                     numfoo_catalog).first()["dim1"] == ""
+    assert druid_sql(spark, "SELECT dim1 FROM numfoo WHERE d1 = 1.7 LIMIT 1",
+                     numfoo_catalog).first()["dim1"] == "10.1"
+    assert druid_sql(spark,
+                     "SELECT dim1 FROM numfoo WHERE f1 = CAST(0.1 AS FLOAT) "
+                     "LIMIT 1",
+                     numfoo_catalog).first()["dim1"] == "10.1"
+
+
+def test_group_by_aggregator_default_values(spark, numfoo_catalog):
+    """testGroupByAggregatorDefaultValuesNonVectorized — every FILTER
+    matches nothing: string/numeric first/last/any/bitwise all come back
+    NULL in sql mode (the reference's ''/0 row is its legacy-mode
+    expectation)."""
+    r = druid_sql(spark, """
+        SELECT dim4,
+               EARLIEST(dim1, 1024) FILTER(WHERE dim1 = 'nonexistent') AS e1,
+               EARLIEST(l1) FILTER(WHERE dim1 = 'nonexistent') AS e2,
+               LATEST(dim1, 1024) FILTER(WHERE dim1 = 'nonexistent') AS l1_,
+               LATEST(l1) FILTER(WHERE dim1 = 'nonexistent') AS l2_,
+               BIT_AND(l1) FILTER(WHERE dim1 = 'nonexistent') AS b1,
+               BIT_OR(l1) FILTER(WHERE dim1 = 'nonexistent') AS b2,
+               BIT_XOR(l1) FILTER(WHERE dim1 = 'nonexistent') AS b3
+        FROM numfoo WHERE dim4 = 'a' GROUP BY dim4""",
+        numfoo_catalog).first()
+    assert r["dim4"] == "a"
+    for c in ("e1", "e2", "l1_", "l2_", "b1", "b2", "b3"):
+        assert r[c] is None, c
