@@ -683,6 +683,12 @@ def _expression_lambda(spec: dict, ctx) -> Column:
     aliases = {fld: f"f{i}" for i, fld in enumerate(fields)}
     if len(fields) == 1:
         collected = F.collect_list(ctx.resolve(fields[0]))
+        if hasattr(ctx, "is_array") and ctx.is_array(fields[0]):
+            # an MVD input folds PER ELEMENT (ExpressionLambdaAggregator
+            # applies the fold for each value of a multi-value row —
+            # GroupByQueryRunnerTest.testGroupByExpressionAggregatorArray
+            # MultiValue collects placementish ELEMENTS, not arrays)
+            collected = F.flatten(collected)
     elif fields:
         collected = F.collect_list(F.struct(
             *[ctx.resolve(fld).alias(aliases[fld]) for fld in fields]))

@@ -275,3 +275,57 @@ def test_subquery_with_outer_virtual_columns(spark, wiki_catalog):
                            "fieldName": "expr"}]}
     out = translate(q, spark, wiki_catalog).collect()
     assert [(r["count"],) for r in out] == [(18,)]
+
+
+def test_group_by_with_expression_aggregator_with_arrays(spark, wiki_catalog):
+    """testGroupByWithExpressionAggregatorWithArrays — expressionLambda
+    count/sum folds plus an array_set_add distinct-collect accumulator."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             aggs=[
+                 {"type": "expressionLambda", "name": "rows",
+                  "fields": [], "initialValue": "0",
+                  "fold": "__acc + 1", "combine": "__acc + rows"},
+                 {"type": "expressionLambda", "name": "idx",
+                  "fields": ["index"], "initialValue": "0.0",
+                  "fold": "__acc + index"},
+                 {"type": "expressionLambda", "name": "array_agg_distinct",
+                  "fields": ["market"], "accumulatorIdentifier": "acc",
+                  "initialValue": "[]",
+                  "fold": "array_set_add(acc, market)",
+                  "combine": "array_set_add_all(acc, array_agg_distinct)"}],
+             ).collect()
+    got = {(str(r["__time"])[:10], r["alias"]):
+           (r["rows"], r["idx"], sorted(r["array_agg_distinct"]))
+           for r in out}
+    assert got[("2011-04-01", "automotive")] == (
+        1, pytest.approx(135.88510131835938, rel=1e-6), ["spot"])
+    assert got[("2011-04-01", "mezzanine")][0] == 3
+    assert got[("2011-04-01", "mezzanine")][2] == [
+        "spot", "total_market", "upfront"]
+    assert got[("2011-04-02", "premium")][2] == [
+        "spot", "total_market", "upfront"]
+    assert got[("2011-04-02", "travel")][2] == ["spot"]
+
+
+def test_group_by_expression_aggregator_array_multi_value(spark,
+                                                          wiki_catalog):
+    """testGroupByExpressionAggregatorArrayMultiValue — array_set_add over
+    an MVD input collects the distinct ELEMENT set."""
+    out = gb(spark, wiki_catalog,
+             [{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             aggs=[
+                 {"type": "expressionLambda", "name": "array_agg_distinct",
+                  "fields": ["placementish"], "accumulatorIdentifier": "acc",
+                  "initialValue": "[]",
+                  "fold": "array_set_add(acc, placementish)",
+                  "combine": "array_set_add_all(acc, array_agg_distinct)"}],
+             ).collect()
+    got = {(str(r["__time"])[:10], r["alias"]): sorted(r["array_agg_distinct"])
+           for r in out}
+    assert got[("2011-04-01", "automotive")] == ["a", "preferred"]
+    assert got[("2011-04-01", "business")] == ["b", "preferred"]
+    assert got[("2011-04-02", "mezzanine")] == ["m", "preferred"]
+    assert got[("2011-04-02", "travel")] == ["preferred", "t"]
