@@ -98,8 +98,11 @@ def _metric_order(metric_spec, dim: str, invert: bool):
         metric_spec = {"type": "numeric", "metric": metric_spec}
     t = metric_spec["type"]
     if t == "numeric":
+        # TopNNumericResultBuilder:96-99 — metric first, DIM_VALUE_COMPARATOR
+        # ascending on ties (testTopNDimExtractionFastTopN* bakes the
+        # tie-break into its ordering-prefixed rename map)
         col = qcol(metric_spec["metric"])
-        return [col.asc() if invert else col.desc()]
+        return [col.asc() if invert else col.desc(), qcol(dim).asc()]
     if t == "inverted":
         return _metric_order(metric_spec["metric"], dim, not invert)
     if t == "dimension":

@@ -167,3 +167,73 @@ def test_topn_with_extraction_filter_no_existing_value(spark, wiki_catalog):
     assert r["null_column"] is None and r["rows"] == 1209
     assert r["maxIndex"] == pytest.approx(1870.061029, rel=1e-6)
     assert r["minIndex"] == pytest.approx(59.021022, rel=1e-6)
+
+
+def test_full_on_topn_dim_extraction_all_nulls(spark, wiki_catalog):
+    """testFullOnTopNDimExtractionAllNulls — an extraction producing null
+    for EVERY value (null-match partial regex) yields one null group with
+    full-table aggregates."""
+    out = topn(spark, wiki_catalog,
+               dimension={"type": "extraction", "dimension": "market",
+                          "outputName": "market",
+                          "extractionFn": {"type": "partial",
+                                           "expr": "^\\u0000never$"}},
+               metric="index", intervals=FULL,
+               aggregations=COMMON + [
+                   {"type": "doubleMax", "name": "maxIndex",
+                    "fieldName": "index"},
+                   {"type": "doubleMin", "name": "minIndex",
+                    "fieldName": "index"}])
+    assert len(out) == 1
+    r = out[0]
+    assert r["market"] is None and r["rows"] == 1209
+    assert r["index"] == pytest.approx(503332.5071372986, rel=1e-6)
+    assert r["maxIndex"] == pytest.approx(1870.061029, rel=1e-6)
+    assert r["minIndex"] == pytest.approx(59.02102279663086, rel=1e-6)
+
+
+FAST_LOOKUP = {"spot": "2spot0", "total_market": "1total_market0",
+               "upfront": "3upfront0"}
+FAST_EXPECT = [("2spot0", 18), ("1total_market0", 4), ("3upfront0", 4)]
+
+
+@pytest.mark.parametrize("retain,injective,replace", [
+    (True, True, None),     # FastTopNOptimal
+    (True, False, None),    # FastTopNUnOptimal
+    (False, True, "MISSING"),   # FastTopNOptimalWithReplaceMissing
+    (False, False, "MISSING"),  # FastTopNUnOptimalWithReplaceMissing
+])
+def test_topn_dim_extraction_fast_topn_variants(spark, wiki_catalog, retain,
+                                                injective, replace):
+    """testTopNDimExtractionFastTopN{Optimal,UnOptimal}[WithReplaceMissing]
+    — the injective/retain/replace flags pick different execution paths in
+    the reference; the OUTPUT contract is identical (full rename map)."""
+    fn = {"type": "lookup",
+          "lookup": {"type": "map", "map": FAST_LOOKUP,
+                     "isOneToOne": injective},
+          "retainMissingValue": retain}
+    if replace is not None:
+        fn["replaceMissingValueWith"] = replace
+    out = topn(spark, wiki_catalog,
+               dimension={"type": "extraction", "dimension": "market",
+                          "outputName": "market", "extractionFn": fn},
+               metric={"type": "numeric", "metric": "rows"},
+               aggregations=[{"type": "count", "name": "rows"}])
+    assert [(r["market"], r["rows"]) for r in out] == FAST_EXPECT
+
+
+def test_topn_with_multi_value_dim_filter_equivalences(spark, wiki_catalog):
+    """testTopNWithMultiValueDimFilter1/5 — a selector over the MVD equals
+    the scalar-quality filter; 'preferred' covers every row."""
+    def run(flt):
+        return [(r["market"], r["rows"], round(r["index"], 4)) for r in
+                topn(spark, wiki_catalog, dimension="market", metric="index",
+                     filter=flt)]
+
+    assert run({"type": "selector", "dimension": "placementish",
+                "value": "m"}) == \
+        run({"type": "selector", "dimension": "quality",
+             "value": "mezzanine"})
+    all_rows = run({"type": "selector", "dimension": "placementish",
+                    "value": "preferred"})
+    assert sum(r[1] for r in all_rows) == 26  # every row matches
