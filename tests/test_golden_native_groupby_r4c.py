@@ -281,3 +281,43 @@ def test_type_conversion_with_merging(spark, wiki_catalog):
             r["idx"]) for r in out]
     assert got == [("2011-04-01", "technology", 10, 1, 78),
                    ("2011-04-02", "technology", 10, 1, 97)]
+
+
+def test_group_by_nested_inner_numerics_with_long_time(spark, wiki_catalog):
+    """testGroupByNestedWithInnerQueryNumericsWithLongTime — inner query
+    emits __time as a LONG dim plus a FLOAT dim; the outer groups on the
+    LONG millis and maxes both."""
+    inner = {"queryType": "groupBy", "dataSource": "wiki",
+             "granularity": "all", "intervals": F2T,
+             "dimensions": [
+                 {"type": "default", "dimension": "market",
+                  "outputName": "alias"},
+                 {"type": "default", "dimension": "__time",
+                  "outputName": "time_alias", "outputType": "LONG"},
+                 {"type": "default", "dimension": "index",
+                  "outputName": "index_alias", "outputType": "FLOAT"}],
+             "aggregations": [{"type": "count", "name": "rows"}]}
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": inner},
+         "granularity": "all", "intervals": F2T,
+         "dimensions": [
+             {"type": "default", "dimension": "alias",
+              "outputName": "market"},
+             {"type": "default", "dimension": "time_alias",
+              "outputName": "time_alias2", "outputType": "LONG"}],
+         "aggregations": [
+             {"type": "longMax", "name": "time_alias_max",
+              "fieldName": "time_alias"},
+             {"type": "doubleMax", "name": "index_alias_max",
+              "fieldName": "index_alias"}]}
+    out = translate(q, spark, wiki_catalog).collect()
+    d1, d2 = 1301616000000, 1301702400000
+    got = [(r["market"], r["time_alias2"], r["time_alias_max"],
+            round(r["index_alias_max"], 3)) for r in out]
+    assert got == [
+        ("spot", d1, d1, round(158.74722290039062, 3)),
+        ("spot", d2, d2, round(166.01605224609375, 3)),
+        ("total_market", d1, d1, round(1522.043701171875, 3)),
+        ("total_market", d2, d2, round(1321.375, 3)),
+        ("upfront", d1, d1, round(1447.3411865234375, 3)),
+        ("upfront", d2, d2, round(1144.3424072265625, 3))]
