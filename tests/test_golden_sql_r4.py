@@ -339,3 +339,64 @@ def test_group_by_aggregator_default_values(spark, numfoo_catalog):
     assert r["dim4"] == "a"
     for c in ("e1", "e2", "l1_", "l2_", "b1", "b2", "b3"):
         assert r[c] is None, c
+
+
+def test_filter_and_group_by_lookup(spark, foo_catalog):
+    """testFilterAndGroupByLookup — LOOKUP in the filter, GROUP BY, and
+    projection; misses group under null (sql mode)."""
+    out = q(spark, foo_catalog, """
+        SELECT LOOKUP(dim1, 'lookyloo') AS lk, COUNT(*) AS c FROM foo
+        WHERE LOOKUP(dim1, 'lookyloo') <> 'xxx'
+           OR LOOKUP(dim1, 'lookyloo') IS NULL
+        GROUP BY LOOKUP(dim1, 'lookyloo')""").collect()
+    got = sorted(((r["lk"], r["c"]) for r in out),
+                 key=lambda t: (t[0] is None, t))
+    assert got == [("xabc", 1), (None, 5)]
+
+
+def test_count_distinct_of_lookup(spark, foo_catalog):
+    """testCountDistinctOfLookup — only 'abc' hits the lookyloo map among
+    foo's dim1 values (sql mode → 1 distinct non-null)."""
+    assert one(spark, foo_catalog, """
+        SELECT COUNT(DISTINCT LOOKUP(dim1, 'lookyloo')) AS c FROM foo
+        """) == (1,)
+
+
+def test_group_by_with_literal_in_subquery_grouping(spark, numfoo_catalog):
+    """testGroupByWithLiteralInSubqueryGrouping — a constant and a CASE'd
+    dim through a nested grouping."""
+    out = druid_sql(spark, """
+        SELECT t1, t2 FROM
+          (SELECT 'dummy' AS t1,
+                  CASE WHEN dim4 = 'b' THEN dim4 END AS t2
+           FROM numfoo GROUP BY dim4)
+        GROUP BY t1, t2""", numfoo_catalog).collect()
+    got = sorted(((r["t1"], r["t2"]) for r in out),
+                 key=lambda t: (t[1] is None, t))
+    assert got == [("dummy", "b"), ("dummy", None)]
+
+
+def test_timeseries_with_limit_no_topn(spark, foo_catalog):
+    """testTimeseriesWithLimitNoTopN — ordered month buckets, LIMIT 1."""
+    out = q(spark, foo_catalog, """
+        SELECT gran, SUM(cnt) AS s
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran, cnt FROM foo) AS x
+        GROUP BY gran ORDER BY gran LIMIT 1""").collect()
+    assert [(str(r["gran"])[:10], r["s"]) for r in out] == [
+        ("2000-01-01", 3)]
+
+
+def test_timeseries_los_angeles_time_floor(spark, foo_catalog):
+    """testTimeseriesLosAngelesViaQueryContext — month buckets in LA wall
+    time via the 4-arg TIME_FLOOR (the context-flag spelling routes to the
+    same granularity); UTC-midnight rows land in the PREVIOUS LA month."""
+    out = q(spark, foo_catalog, """
+        SELECT SUM(cnt) AS s, gran FROM (
+          SELECT TIME_FLOOR(__time, 'P1M', NULL, 'America/Los_Angeles')
+                   AS gran, cnt
+          FROM foo) AS x
+        GROUP BY gran ORDER BY gran""").collect()
+    got = [(r["s"], str(r["gran"])) for r in out]
+    # bucket STARTS rendered as UTC instants: LA months begin at 08:00 UTC
+    assert got == [(1, "1999-12-01 08:00:00"), (2, "2000-01-01 08:00:00"),
+                   (1, "2000-12-01 08:00:00"), (2, "2001-01-01 08:00:00")]
