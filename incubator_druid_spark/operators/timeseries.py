@@ -139,14 +139,25 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession,
     # interval-pruned only.  Lazy broadcast semi-join keeps translate()
     # action-free; the distinct-days set is #days-sized, the analogue of
     # Druid's in-memory segment timeline.
-    from incubator_druid_spark.plans.datasource import resolve_datasource
-    src = resolve_datasource(query["dataSource"], spark, catalog)
-    src = src.filter(interval_predicate(ivs, F.col(TIME_COLUMN)))
-    seg_days = src.select(F.date_trunc("day", F.col(TIME_COLUMN))
-                          .alias("__seg_day")).distinct()
     p = gran.period
     day_or_coarser = p is not None and (p.is_calendar
                                         or p.millis >= 86_400_000)
+    if query.get("filter") is None:
+        # no dim filter → the aggregated buckets and the segment timeline
+        # see the SAME rows, so coverage derives from `out` without a second
+        # source scan: at day-or-coarser granularity every covered bucket is
+        # already present (zero-fill is a no-op), and for sub-day buckets
+        # the day set is the distinct days of the present buckets.
+        if day_or_coarser:
+            return out
+        seg_days = out.select(F.date_trunc("day", F.col(TIME_COLUMN))
+                              .alias("__seg_day")).distinct()
+    else:
+        from incubator_druid_spark.plans.datasource import resolve_datasource
+        src = resolve_datasource(query["dataSource"], spark, catalog)
+        src = src.filter(interval_predicate(ivs, F.col(TIME_COLUMN)))
+        seg_days = src.select(F.date_trunc("day", F.col(TIME_COLUMN))
+                              .alias("__seg_day")).distinct()
     if day_or_coarser:
         # bucket >= a day: keep buckets holding at least one segment day
         cond = gran.floor(F.col("__seg_day")) == F.col(TIME_COLUMN)
