@@ -400,3 +400,42 @@ def test_timeseries_los_angeles_time_floor(spark, foo_catalog):
     # bucket STARTS rendered as UTC instants: LA months begin at 08:00 UTC
     assert got == [(1, "1999-12-01 08:00:00"), (2, "2000-01-01 08:00:00"),
                    (1, "2000-12-01 08:00:00"), (2, "2001-01-01 08:00:00")]
+
+
+def test_concat_group(spark, foo_catalog):
+    """testConcatGroup — grouping by a multi-reference CONCAT."""
+    out = q(spark, foo_catalog, """
+        SELECT CONCAT(dim1, '-', dim1, '_', dim1) AS dimX
+        FROM foo GROUP BY 1 ORDER BY 1""").collect()
+    assert [r["dimX"] for r in out] == [
+        "-_", "1-1_1", "10.1-10.1_10.1", "2-2_2", "abc-abc_abc",
+        "def-def_def"]
+
+
+def test_count_distinct_arithmetic(spark, foo_catalog):
+    """testCountDistinctArithmetic — distinct counts inside arithmetic;
+    integer division floors."""
+    r = q(spark, foo_catalog, """
+        SELECT SUM(cnt) AS a, COUNT(DISTINCT dim2) AS b,
+               CAST(COUNT(DISTINCT dim2) AS FLOAT) AS c,
+               SUM(cnt) / COUNT(DISTINCT dim2) AS d,
+               SUM(cnt) / COUNT(DISTINCT dim2) + 3 AS e,
+               CAST(SUM(cnt) AS FLOAT) / CAST(COUNT(DISTINCT dim2) AS FLOAT)
+                 + 3 AS f
+        FROM foo""").first()
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == \
+        (6, 3, 3.0, 2, 5, 5.0)
+
+
+def test_compare_exact_and_approx_count_distinct_subquery(spark,
+                                                          foo_catalog):
+    """testCompareExactAndApproximateCountDistinctUsingSubquery — both
+    counts agree over a DISTINCT subquery."""
+    r = q(spark, foo_catalog, """
+        SELECT COUNT(*) AS exact_count,
+               COUNT(DISTINCT dim1) AS approx_count,
+               (CAST(1 AS FLOAT) - COUNT(DISTINCT dim1) / COUNT(*)) * 100
+                 AS error_pct
+        FROM (SELECT DISTINCT dim1 FROM foo WHERE dim1 <> '')""").first()
+    assert (r["exact_count"], r["approx_count"], r["error_pct"]) == \
+        (5, 5, 0.0)
