@@ -214,3 +214,23 @@ def test_aqe_skew_join_split(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_timeseries_zero_fill_no_filter_single_scan(spark, catalog):
+    """Unfiltered timeseries zero-fill derives segment coverage from the
+    aggregated buckets — the physical plan must scan the events table
+    exactly once (a second scan would double the 100 TB read)."""
+    from incubator_druid_spark import translate
+    q = {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-02-05T00:00:00Z"],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    plan = translate(q, spark, catalog)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("events.parquet") <= 1, plan
+    # a FILTERED query pays the (column-pruned) coverage scan - that one
+    # may read the source twice, but the coverage subtree prunes to __time
+    q2 = {**q, "filter": {"type": "selector", "dimension": "event_type",
+                          "value": "click"}}
+    df2 = translate(q2, spark, catalog)
+    assert df2.count() > 0
