@@ -86,7 +86,11 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
             out = out | p
         return out
     if t == "not":  # NotDimFilter.java
-        return ~compile_filter(spec["field"], ctx)
+        # Druid filters are two-valued ValueMatchers: a comparison over a
+        # missing/null value matches FALSE, so its negation matches TRUE —
+        # not SQL's three-valued NULL (testTimeseriesWithInvertedFilterOn-
+        # NonExistentDimension keeps all rows under NOT(absent='sally'))
+        return ~F.coalesce(compile_filter(spec["field"], ctx), F.lit(False))
     if t == "true":  # TrueDimFilter.java
         return F.lit(True)
     if t == "false":

@@ -86,7 +86,12 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     # Druid's SQL layer uses this for GROUP BY TIME_FLOOR rewrites)
     ts_field = (query.get("context") or {}).get("timestampResultField")
     if ts_field and gran.kind != "all":
-        out = out.withColumn(ts_field, F.unix_millis(F.col(TIME_COLUMN)))
+        # resultArraySignature places the field right after __time
+        # (TimeseriesQueryQueryToolChest.resultArraySignature)
+        rest = [c for c in out.columns if c != TIME_COLUMN]
+        out = out.select(TIME_COLUMN,
+                         F.unix_millis(F.col(TIME_COLUMN)).alias(ts_field),
+                         *rest)
 
     if post:
         for _p in post:
