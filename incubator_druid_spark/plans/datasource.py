@@ -40,6 +40,26 @@ def resolve_datasource(spec, spark, catalog: Catalog) -> DataFrame:
             start = ivs[0][0] if ivs else 0
             inner = inner.withColumn(
                 "__time", F.timestamp_millis(F.lit(int(start))))
+        iq = spec["query"]
+        if iq.get("queryType") == "groupBy" and "__rowid" not in inner.columns:
+            # Druid materializes subquery results in the groupBy's default
+            # row order — (time, dims) per GroupByQuery.getRowOrdering — and
+            # outer first/last aggregators tie-break equal timestamps by
+            # that order (testSubqueryWithFirstLast: the month's `first` is
+            # the alphabetically-first market of the first day).  Encode the
+            # dim ordering as a sortable struct so min_by/max_by see the
+            # exact sequence without a global sort.  A limitSpec with its
+            # own ordering replaces the default order; ties stay arbitrary
+            # there, same as a Druid segment from unordered input.
+            dims = [d.get("outputName", d.get("dimension"))
+                    if isinstance(d, dict) else d
+                    for d in iq.get("dimensions") or []]
+            lim_cols = (iq.get("limitSpec") or {}).get("columns") or []
+            if dims and not lim_cols:
+                inner = inner.withColumn(
+                    "__rowid",
+                    F.struct(*[F.col(f"`{n}`").alias(f"d{i}")
+                               for i, n in enumerate(dims)]))
         return inner
     if t == "union":
         # query/UnionDataSource.java:34-58 — union of TABLES, matched by name
