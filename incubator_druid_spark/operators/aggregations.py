@@ -412,9 +412,12 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.max_by(col["v"], col["t"])
         return F.max_by(_firstlast_cast(t, fnum()), _firstlast_order(ctx))
     if t in ("longAny", "doubleAny", "floatAny", "stringAny"):
-        # any/*AggregatorFactory.java — any value, nulls allowed; timestamp
-        # fields read as epoch-millis longs (fnum), like first/last above
-        return F.any_value(_firstlast_cast(t, fnum()), ignoreNulls=True)
+        # any/*AggregatorFactory.java — the FIRST value seen, nulls
+        # included (CalciteQueryTest.testAnyAggregatorsDoesNotSkipNulls:
+        # ANY_VALUE over a column whose first row is null returns null);
+        # timestamp fields read as epoch-millis longs (fnum), like
+        # first/last above
+        return F.any_value(_firstlast_cast(t, fnum()), ignoreNulls=False)
     if t == "cardinality":
         # cardinality/CardinalityAggregatorFactory.java — HLL over dims.
         # byRow=true counts distinct tuples; false counts union of value sets.

@@ -1162,6 +1162,26 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             return None
         sql = _rewrite_calls(sql, "COUNT", _cd_mvd_repl)
 
+        # Scalar =/<> comparisons over an MVD: Calcite types the column
+        # VARCHAR and the native selector ANY-matches elements; <> is the
+        # boolean matcher's negation, so null/[] rows match it
+        # (testCountStarWithTimeAndDimFilter: dim2 <> 'a' keeps the
+        # empty-array and null rows).  Comparisons become two-valued via
+        # coalesce — Druid ValueMatchers have no three-valued NULL.
+        def _mvd_cmp_repl(m):
+            col, op, lit = m.group("col"), m.group("op"), m.group("lit")
+            base = f"coalesce(array_contains({col}, {lit}), false)"
+            return base if op == "=" else f"(NOT {base})"
+        for _c in mvd_cols:
+            sql = re.sub(
+                rf"(?P<col>\b(?:\w+\.)?{_c})\s*(?P<op>=|<>|!=)\s*"
+                rf"(?P<lit>'(?:[^']|'')*')",
+                _mvd_cmp_repl, sql)
+            sql = re.sub(
+                rf"(?P<lit>'(?:[^']|'')*')\s*(?P<op>=|<>|!=)\s*"
+                rf"(?P<col>\b(?:\w+\.)?{_c})\b",
+                _mvd_cmp_repl, sql)
+
     # Integer-target CAST follows the reference's string coercion
     # (ExprEval.computeNumber:565-580 — tryParseLong, else parse double and
     # truncate): CAST('10.1' AS INTEGER) is 10 in Druid, NULL in plain
