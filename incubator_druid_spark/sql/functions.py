@@ -1298,5 +1298,24 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # UDFs have fixed arity, so map the name to Spark's format_string
     sql = _outside_literals(sql, lambda seg: re.sub(
         r"(?i)\bSTRING_FORMAT\s*\(", "format_string(", seg))
+    # Druid FILTERS are two-valued matchers even from SQL: `x <> 'z'` plans
+    # as not(selector(x, 'z')) which MATCHES null values
+    # (testCountStarOnView counts the substring-null row under
+    # dim1_firstchar <> 'z').  Rewrite identifier-vs-string-literal
+    # inequality into its matcher form; expression contexts where Druid's
+    # own != would yield null are not identifier-vs-literal shapes.
+    sql = re.sub(
+        r"(?P<id>\b[A-Za-z_]\w*)\s*(?:<>|!=)\s*(?P<lit>'(?:[^']|'')*')",
+        r"(NOT coalesce(\g<id> = \g<lit>, false))", sql)
+    sql = re.sub(
+        r"(?P<lit>'(?:[^']|'')*')\s*(?:<>|!=)\s*(?P<id>\b[A-Za-z_]\w*)\b",
+        r"(NOT coalesce(\g<id> = \g<lit>, false))", sql)
+    # Druid SUBSTRING (SubstringOperatorConversion → substring extraction)
+    # returns NULL — not '' — when the result is empty (out-of-range start,
+    # empty input): CalciteQueryTest testGroupByWithSelectProjections
+    # expects SUBSTRING('1', 2) = null in sql mode.  LEFT/RIGHT keep ''.
+    sql = _rewrite_calls(sql, "SUBSTRING",
+                         lambda a: "NULLIF(substring("
+                                   + ", ".join(a) + "), '')")
     sql = _rewrite_aggregate_names(sql)
     return spark.sql(sql)

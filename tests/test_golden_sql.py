@@ -869,8 +869,10 @@ def test_approx_count_distinct_family(spark, foo_catalog):
           APPROX_COUNT_DISTINCT_DS_THETA(dim2[0]) AS d,
           COUNT(DISTINCT SUBSTRING(dim2[0], 1, 1)) AS e
         FROM druid.foo""").first()
-    # sql branch: dim2[0] distinct non-null = {a, '', abc} = 3
-    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (6, 3, 3, 3, 2)
+    # sql branch: dim2[0] distinct non-null = {a, '', abc} = 3; SUBSTRING
+    # of '' is NULL in sql mode so e counts only {'a'} — the reference's
+    # sql-branch expectation is exactly {6, 3, …, 1} (testApproxCountDistinct)
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (6, 3, 3, 3, 1)
 
 
 def test_count_star_with_like_filter(spark, foo_catalog):
