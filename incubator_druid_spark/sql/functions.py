@@ -1305,10 +1305,12 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # inequality into its matcher form; expression contexts where Druid's
     # own != would yield null are not identifier-vs-literal shapes.
     sql = re.sub(
-        r"(?P<id>\b[A-Za-z_]\w*)\s*(?:<>|!=)\s*(?P<lit>'(?:[^']|'')*')",
+        r"(?P<id>\b[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*(?:<>|!=)\s*"
+        r"(?P<lit>'(?:[^']|'')*')",
         r"(NOT coalesce(\g<id> = \g<lit>, false))", sql)
     sql = re.sub(
-        r"(?P<lit>'(?:[^']|'')*')\s*(?:<>|!=)\s*(?P<id>\b[A-Za-z_]\w*)\b",
+        r"(?P<lit>'(?:[^']|'')*')\s*(?:<>|!=)\s*"
+        r"(?P<id>\b[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\b",
         r"(NOT coalesce(\g<id> = \g<lit>, false))", sql)
     # Druid SUBSTRING (SubstringOperatorConversion → substring extraction)
     # returns NULL — not '' — when the result is empty (out-of-range start,

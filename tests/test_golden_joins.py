@@ -423,7 +423,9 @@ def test_view_select_and_join(spark, full_catalog):
         out = q(spark, full_catalog,
                 "SELECT dim1_firstchar, COUNT(*) AS c FROM view.aview "
                 "GROUP BY 1")
-        assert rows(out, "dim1_firstchar", "c") == [("", 1), ("1", 1)]
+        # SQL-compatible mode: SUBSTRING('', 1, 1) is null, not '' —
+        # SubstringDimExtractionFn.apply returns null when index >= length
+        assert rows(out, "dim1_firstchar", "c") == [("1", 1), (None, 1)]
         assert q(spark, full_catalog, """
             SELECT COUNT(*) AS c FROM view.cview as a
             INNER JOIN druid.foo d on d.dim2[0] = a.dim2
