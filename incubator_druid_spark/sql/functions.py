@@ -1172,6 +1172,14 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             col, op, lit = m.group("col"), m.group("op"), m.group("lit")
             base = f"coalesce(array_contains({col}, {lit}), false)"
             return base if op == "=" else f"(NOT {base})"
+        # A projection alias that shadows the MVD name (`dim2[0] AS dim2`)
+        # binds the comparison to a SCALAR in its scope — rewriting it to
+        # array_contains would be a type error (testExactCountDistinct-
+        # UsingSubqueryWithWherePushDown's outer WHERE).  Regex rewriting
+        # is scope-blind, so skip shadowed names entirely: the aliased
+        # scalar already carries plain SQL semantics.
+        mvd_cols = {c for c in mvd_cols
+                    if not re.search(rf"(?is)\bAS\s+{c}\b", sql)}
         for _c in mvd_cols:
             sql = re.sub(
                 rf"(?P<col>\b(?:\w+\.)?{_c})\s*(?P<op>=|<>|!=)\s*"
