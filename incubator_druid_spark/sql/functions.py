@@ -464,6 +464,15 @@ def _rewrite_aggregate_names(sql: str) -> str:
         return None
     sql = _rewrite_calls(sql, "ANY_VALUE", any_value_repl)
 
+    # Calcite's GROUPING(a, b, ...) returns the multi-column bitmask;
+    # Spark splits that surface into grouping(col) and grouping_id(cols...)
+    # (GroupingSqlAggregator accepts varargs)
+    def grouping_repl(a):
+        if len(a) > 1:
+            return f"grouping_id({', '.join(a)})"
+        return None
+    sql = _rewrite_calls(sql, "GROUPING", grouping_repl)
+
     # datasketches SQL names (ApproxCountDistinctSqlAggregator + DS variants
     # — the lgK / tgtHllType / size tuning args don't apply)
     for ds_name in ("APPROX_COUNT_DISTINCT_DS_HLL",
