@@ -97,7 +97,13 @@ def compile_extraction(spec: dict | None, col: Column,
         if len(m) > _lk.LOOKUP_JOIN_THRESHOLD:
             # big inline map: register under a content-derived name and take
             # the broadcast-join path (see lookups.py module docstring)
-            syn = "__inline_%x" % (hash(tuple(sorted(m.items()))) & 0xFFFFFFFF)
+            # full-width content digest: a truncated hash could collide two
+            # distinct maps and silently reuse the first one's contents
+            import hashlib
+            digest = hashlib.sha1(
+                repr(sorted((str(k), str(v)) for k, v in m.items()))
+                .encode()).hexdigest()[:16]
+            syn = f"__inline_{digest}"
             if syn not in _lk._LOOKUPS:
                 _lk.register_lookup(syn, {str(k): str(v) for k, v in m.items()})
             out = _lk.lookup_column(syn, col)

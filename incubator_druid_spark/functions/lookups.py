@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -37,9 +38,20 @@ _LOOKUPS: dict[str, dict[str, str]] = {}
 LOOKUP_JOIN_THRESHOLD = int(
     os.environ.get("SPARK_GRAFT_LOOKUP_JOIN_THRESHOLD", "10000"))
 
-# pending deferred joins: out_col -> (lookup_name, key Column); insertion
+# pending deferred joins, scoped per THREAD so concurrent translate() calls
+# can't cross-contaminate (one thread's clear/flush must not touch another
+# compile's pending joins): out_col -> (lookup_name, key Column); insertion
 # order preserved so joins apply in compile order
-_PENDING: dict[str, tuple[str, Column]] = {}
+_TLS = threading.local()
+
+
+def _pending() -> dict[str, tuple[str, Column]]:
+    d = getattr(_TLS, "pending", None)
+    if d is None:
+        d = _TLS.pending = {}
+    return d
+
+
 _SEQ = itertools.count()
 # lookup-name -> cached (k, v) DataFrame (localCheckpoint'd so the 1M-row
 # driver-side upload happens once per process, not once per query)
@@ -69,7 +81,7 @@ def lookup_column(name: str, col: Column, replace_missing: str | None = None) ->
         return F.lit(replace_missing)
     if len(m) > LOOKUP_JOIN_THRESHOLD:
         out_name = f"__lkp{next(_SEQ)}"
-        _PENDING[out_name] = (name, col.cast("string"))
+        _pending()[out_name] = (name, col.cast("string"))
         out = F.col(out_name)
     else:
         pairs = []
@@ -98,12 +110,12 @@ def _lookup_frame(spark, name: str) -> DataFrame:
 
 
 def pending_lookup_joins() -> bool:
-    return bool(_PENDING)
+    return bool(_pending())
 
 
 def clear_lookup_joins() -> None:
     """Drop leftovers from an abandoned compile (called at translate start)."""
-    _PENDING.clear()
+    _pending().clear()
 
 
 def flush_lookup_joins(df: DataFrame) -> DataFrame:
@@ -113,10 +125,11 @@ def flush_lookup_joins(df: DataFrame) -> DataFrame:
     consumed (filter/groupBy/select), so the deferred ``__lkpN`` references
     resolve.  Each join is a broadcast left join on the key expression; map
     keys are unique, so row multiplicity is preserved."""
-    if not _PENDING:
+    pend = _pending()
+    if not pend:
         return df
-    items = list(_PENDING.items())
-    _PENDING.clear()
+    items = list(pend.items())
+    pend.clear()
     spark = df.sparkSession
     for out_name, (lk_name, key) in items:
         lk = _lookup_frame(spark, lk_name).select(

@@ -653,9 +653,19 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         return bloom_build_agg(_field(spec, ctx), spec.get("maxNumEntries", DEFAULT_M),
                                spec.get("k", DEFAULT_K))
     if t == "grouping":
-        # GroupingAggregatorFactory.java — GROUPING() bitmask for subtotals
-        fields = [F.col(g) for g in spec["groupings"]]
-        return F.grouping_id(*fields)
+        # GroupingAggregatorFactory.java — GROUPING() bitmask for subtotals.
+        # Druid honors the aggregator's own `groupings` order even when it
+        # differs from the query's dimension order; Spark's grouping_id()
+        # insists on GROUP BY order, so compose order-independent
+        # single-column grouping() bits instead.
+        gs = spec["groupings"]
+        n = len(gs)
+        if n == 1:
+            return F.grouping(F.col(gs[0])).cast("long")
+        out = F.lit(0).cast("long")
+        for i, g in enumerate(gs):
+            out = out + F.grouping(F.col(g)).cast("long") * F.lit(1 << (n - 1 - i))
+        return out
     if t in ("expressionLambda", "expression"):
         # AggregatorsModule.java:125 registers ExpressionLambdaAggregatorFactory
         # under the JSON name "expression" (the Druid docs call it the

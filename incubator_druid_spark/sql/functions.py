@@ -23,6 +23,8 @@ column) raises at evaluation time via raise_error — never a silent NULL.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 from incubator_druid_spark.catalog import Catalog
@@ -404,6 +406,65 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
         .createOrReplaceTempView("sys_tasks")
 
 
+def _literal_spans(sql: str):
+    """[(start, end)) spans of single-quoted string literals ('' escapes)."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j, n - 1) + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+# Nearest-preceding-keyword context classes for boolean matcher rewrites:
+# after one of _EXPR_KW the comparison is a projected EXPRESSION (Druid's
+# sql-compatible != yields NULL there); after the filter keywords it is a
+# two-valued ValueMatcher.  ',' covers select-list / function-arg positions.
+_CTX_KW = re.compile(r"(?i)\b(WHERE|HAVING|WHEN|THEN|ELSE|SELECT|AND|OR|NOT"
+                     r"|ON|BY|FROM|RETURNING)\b|,")
+_EXPR_KW = {"SELECT", "THEN", "ELSE", ",", "BY", "FROM", "RETURNING"}
+
+
+def _matcher_sub(sql: str, pattern: str, repl, *, filter_ctx_only: bool = False):
+    """re.sub whose matches must START outside string literals (patterns here
+    embed a quoted literal, so plain _outside_literals segmenting can't be
+    used).  With filter_ctx_only, additionally skip matches whose nearest
+    preceding keyword puts them in an expression (projection) context."""
+    spans = _literal_spans(sql)
+
+    def in_literal(pos, strict=False):
+        # strict: a match may legitimately START at a literal's opening
+        # quote (the reversed 'lit' <> id form); only positions past the
+        # quote are "inside".
+        return any((s < pos if strict else s <= pos) and pos < e
+                   for s, e in spans)
+
+    out = sql
+    for m in reversed(list(re.finditer(pattern, sql))):
+        if in_literal(m.start(), strict=True):
+            continue
+        if filter_ctx_only:
+            kw = None
+            for km in _CTX_KW.finditer(sql, 0, m.start()):
+                if not in_literal(km.start()):
+                    kw = km.group(0).upper()
+            if kw in _EXPR_KW:
+                continue
+        rep = repl(m) if callable(repl) else m.expand(repl)
+        out = out[:m.start()] + rep + out[m.end():]
+    return out
+
+
 def _outside_literals(sql: str, fn):
     """Apply ``fn`` to the segments of ``sql`` outside single-quoted string
     literals ('' escapes) — regex-based name rewrites must never touch data."""
@@ -464,12 +525,19 @@ def _rewrite_aggregate_names(sql: str) -> str:
         return None
     sql = _rewrite_calls(sql, "ANY_VALUE", any_value_repl)
 
-    # Calcite's GROUPING(a, b, ...) returns the multi-column bitmask;
-    # Spark splits that surface into grouping(col) and grouping_id(cols...)
-    # (GroupingSqlAggregator accepts varargs)
+    # Calcite's GROUPING(a, b, ...) returns the multi-column bitmask in the
+    # ARGUMENT order (GroupingSqlAggregator accepts varargs in any order);
+    # Spark's grouping_id(cols...) demands GROUP BY order
+    # (GROUPING_ID_COLUMN_MISMATCH).  Expand to an order-independent bit
+    # composition of single-arg grouping() calls, which Spark accepts for
+    # any grouped column regardless of position.
     def grouping_repl(a):
         if len(a) > 1:
-            return f"grouping_id({', '.join(a)})"
+            n = len(a)
+            terms = [f"grouping({arg.strip()}) * {1 << (n - 1 - i)}"
+                     if n - 1 - i else f"grouping({arg.strip()})"
+                     for i, arg in enumerate(a)]
+            return "(" + " + ".join(terms) + ")"
         return None
     sql = _rewrite_calls(sql, "GROUPING", grouping_repl)
 
@@ -1143,7 +1211,15 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     if catalog is not None:
         from pyspark.sql import types as _T
         mvd_cols: set[str] = set()
+        # Only tables the query references: a scalar string column in
+        # table A sharing a name with an MVD column in unreferenced table
+        # B must not pick up array rewrites.
+        _nonlit = []
+        _outside_literals(sql, lambda s: (_nonlit.append(s), s)[1])
+        _nonlit_sql = " ".join(_nonlit)
         for _t in catalog.names():
+            if not re.search(rf"(?i)\b{re.escape(_t)}\b", _nonlit_sql):
+                continue
             try:
                 for _f in catalog.table(_t).schema.fields:
                     if (isinstance(_f.dataType, _T.ArrayType)
@@ -1190,14 +1266,16 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         mvd_cols = {c for c in mvd_cols
                     if not re.search(rf"(?is)\bAS\s+{c}\b", sql)}
         for _c in mvd_cols:
-            sql = re.sub(
+            sql = _matcher_sub(
+                sql,
                 rf"(?P<col>\b(?:\w+\.)?{_c})\s*(?P<op>=|<>|!=)\s*"
                 rf"(?P<lit>'(?:[^']|'')*')",
-                _mvd_cmp_repl, sql)
-            sql = re.sub(
+                _mvd_cmp_repl)
+            sql = _matcher_sub(
+                sql,
                 rf"(?P<lit>'(?:[^']|'')*')\s*(?P<op>=|<>|!=)\s*"
                 rf"(?P<col>\b(?:\w+\.)?{_c})\b",
-                _mvd_cmp_repl, sql)
+                _mvd_cmp_repl)
 
     # Integer-target CAST follows the reference's string coercion
     # (ExprEval.computeNumber:565-580 — tryParseLong, else parse double and
@@ -1321,14 +1399,16 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # dim1_firstchar <> 'z').  Rewrite identifier-vs-string-literal
     # inequality into its matcher form; expression contexts where Druid's
     # own != would yield null are not identifier-vs-literal shapes.
-    sql = re.sub(
+    sql = _matcher_sub(
+        sql,
         r"(?P<id>\b[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*(?:<>|!=)\s*"
         r"(?P<lit>'(?:[^']|'')*')",
-        r"(NOT coalesce(\g<id> = \g<lit>, false))", sql)
-    sql = re.sub(
+        r"(NOT coalesce(\g<id> = \g<lit>, false))", filter_ctx_only=True)
+    sql = _matcher_sub(
+        sql,
         r"(?P<lit>'(?:[^']|'')*')\s*(?:<>|!=)\s*"
         r"(?P<id>\b[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\b",
-        r"(NOT coalesce(\g<id> = \g<lit>, false))", sql)
+        r"(NOT coalesce(\g<id> = \g<lit>, false))", filter_ctx_only=True)
     # Druid SUBSTRING (SubstringOperatorConversion → substring extraction)
     # returns NULL — not '' — when the result is empty (out-of-range start,
     # empty input): CalciteQueryTest testGroupByWithSelectProjections
