@@ -111,6 +111,34 @@ def serialize_compact_theta(hashes, theta: float = 1.0) -> bytes:
     return head + struct.pack(f"<{len(hs)}q", *hs)
 
 
+def theta_merge_udf(read, return_type):
+    """pandas UDF factory over a ``collect_list(<binary col>)`` aggregate:
+    parse + UNION the group's stored compact theta sketches
+    (SketchHolder.java union path: cut at min theta, union hash sets), then
+    apply ``read(sketch)``.  Arrow-batched — one merged read per GROUP,
+    never per input row; sketch bytes are bounded (k-capped), so the
+    collected list is small regardless of raw-row scale."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def run(col):
+        out = []
+        for lst in col:
+            if lst is None or len(lst) == 0:
+                out.append(None)
+                continue
+            views = [parse_compact_theta(b) for b in lst if b is not None]
+            if not views:
+                out.append(None)
+                continue
+            out.append(read(theta_set_op("UNION", views)))
+        return pd.Series(out, dtype=object)
+
+    run.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(run, return_type)
+
+
 def theta_set_op(func: str, operands: list[ConstantThetaSketch]) -> ConstantThetaSketch:
     """UNION / INTERSECT / NOT over constant sketches (SketchSetPostAggregator
     semantics): cut every operand at the minimum theta, then set-combine."""

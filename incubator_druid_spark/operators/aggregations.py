@@ -492,12 +492,24 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             F.sum(F.when(key.isNotNull(), ctx.resolve(m).cast("double"))) / cd
             for m in spec["metricColumns"]])
     if t in ("thetaSketch", "sketchMerge"):
-        # datasketches theta/SketchMergeAggregatorFactory.java — computed
-        # EXACT (count_distinct; Tungsten expands + partial-aggregates it).
-        # Deliberate approximate→exact upgrade, mirroring Druid's own
-        # useApproximateCountDistinct=false mode; set-op post-aggs rewrite to
-        # inclusion–exclusion over these (see _theta_setop), so exactness
-        # carries through UNION/INTERSECT/NOT estimates.
+        # datasketches theta/SketchMergeAggregatorFactory.java.  Two storage
+        # shapes, like the HLL/quantiles families: a COMPLEX BinaryType
+        # column (serialized compact theta sketches written at rollup /
+        # migrated from Druid segments) parses + UNIONs the stored sketches
+        # (SketchHolder.java union path) via an Arrow-batched merge and
+        # finalizes to the estimate; a raw-value column is computed EXACT
+        # (count_distinct; Tungsten expands + partial-aggregates it) — a
+        # deliberate approximate→exact upgrade, mirroring Druid's own
+        # useApproximateCountDistinct=false mode.  Set-op post-aggs rewrite
+        # to inclusion–exclusion over these (see _theta_setop), which holds
+        # for both shapes (binary unions stay exact while theta == 1.0).
+        fname = spec.get("fieldName")
+        if fname and ctx.is_binary(fname):
+            from pyspark.sql import types as T
+
+            from incubator_druid_spark.functions import theta_sketch as th
+            return th.theta_merge_udf(lambda s: s.estimate, T.DoubleType())(
+                F.collect_list(ctx.resolve(fname)))
         return F.count_distinct(f())
     if t == "__percentile":
         # synthesized by rewrite_sketch_query from sketch-quantile post-aggs

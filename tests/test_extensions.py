@@ -702,3 +702,94 @@ def test_hll_sketch_column_all_layouts(spark, tmp_path):
         assert out["small"] == 80, (agg_type, out)
         # dense mode: HLL relative standard error at lgK=11 is ~2.3%; allow 3σ
         assert abs(out["big"] - 20000) < 20000 * 0.07, (agg_type, out)
+
+
+def test_theta_sketch_binary_column_merge(spark, tmp_path):
+    """thetaSketch/sketchMerge over a COMPLEX BinaryType column of
+    serialized compact theta sketches parses + UNIONs the stored sketches
+    (datasketches theta/SketchMergeAggregatorFactory.java, SketchHolder.java
+    union path) instead of silently count-distincting blobs.  Sketches are
+    generated live via the SAME datasketches-java calls Druid's aggregators
+    make (UpdateSketch.builder().build().update(v) → compact().toByteArray(),
+    SketchHolder wraps exactly these bytes)."""
+    import datetime
+
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+
+    jvm = spark.sparkContext._jvm
+    US = jvm.org.apache.datasketches.theta.UpdateSketch
+
+    def sk_bytes(values):
+        b = US.builder().build()
+        for v in values:
+            b.update(v)
+        return bytearray(b.compact().toByteArray())
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # overlapping exact-mode sketches: {0..39} ∪ {20..59} → 60 distinct
+        (t0, "x", sk_bytes([f"k{i}" for i in range(40)])),
+        (t0, "x", sk_bytes([f"k{i}" for i in range(20, 60)])),
+        # empty + single-item serial forms
+        (t0, "y", sk_bytes([])),
+        (t0, "y", sk_bytes(["only"])),
+        # a null sketch cell must be ignored, not crash the merge
+        (t0, "y", None),
+    ]
+    df = spark.createDataFrame(rows, "__time timestamp, grp string, tsk binary")
+    path = str(tmp_path / "theta_seg.parquet")
+    df.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("seg", path)
+    for agg_type in ("thetaSketch", "sketchMerge"):
+        q = {"queryType": "groupBy", "dataSource": "seg", "granularity": "all",
+             "dimensions": ["grp"],
+             "aggregations": [{"type": agg_type, "name": "u",
+                               "fieldName": "tsk"}]}
+        out = {r["grp"]: r["u"] for r in translate(q, spark, cat).collect()}
+        assert out["x"] == 60.0, (agg_type, out)
+        assert out["y"] == 1.0, (agg_type, out)
+
+
+def test_theta_sketch_binary_estimation_mode_union(spark, tmp_path):
+    """Mixed exact/estimation-mode sketches union at the MINIMUM theta
+    (SketchHolder union semantics): a downsampled (small-k) sketch over many
+    values merges with an exact one and the estimate stays within the theta
+    sketch's relative-error bounds (~1/sqrt(k))."""
+    import datetime
+
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.functions.theta_sketch import \
+        parse_compact_theta
+
+    jvm = spark.sparkContext._jvm
+    US = jvm.org.apache.datasketches.theta.UpdateSketch
+
+    def sk_bytes(values, k=None):
+        bld = US.builder()
+        if k is not None:
+            bld = bld.setNominalEntries(k)
+        b = bld.build()
+        for v in values:
+            b.update(v)
+        return bytearray(b.compact().toByteArray())
+
+    small_k = sk_bytes([f"v{i}" for i in range(50000)], k=1024)
+    assert parse_compact_theta(bytes(small_k)).theta < 1.0  # really sampling
+    exact = sk_bytes([f"v{i}" for i in range(40000, 60000)])
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(t0, small_k), (t0, exact)],
+                               "__time timestamp, tsk binary")
+    path = str(tmp_path / "theta_est.parquet")
+    df.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("seg", path)
+    q = {"queryType": "timeseries", "dataSource": "seg", "granularity": "all",
+         "aggregations": [{"type": "thetaSketch", "name": "u",
+                           "fieldName": "tsk"}]}
+    got = translate(q, spark, cat).first()["u"]
+    # true distinct = 60000; rse at k=1024 is ~3.1%, allow 4 sigma
+    assert abs(got - 60000) < 60000 * 0.125, got
