@@ -688,6 +688,22 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
     raise ValueError(f"unknown aggregator type {t!r}")
 
 
+def _human_bytes(v) -> int:
+    """Druid HumanReadableBytes JSON forms: plain number, or a string with
+    a binary (KiB/MiB/GiB) or decimal (K/M/G) suffix."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    import re as _re
+    m = _re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([KMGTP]i?|)B?\s*", str(v),
+                      _re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse maxSizeBytes {v!r}")
+    mult = {"": 1, "k": 10 ** 3, "m": 10 ** 6, "g": 10 ** 9, "t": 10 ** 12,
+            "p": 10 ** 15, "ki": 2 ** 10, "mi": 2 ** 20, "gi": 2 ** 30,
+            "ti": 2 ** 40, "pi": 2 ** 50}[m.group(2).lower()]
+    return int(float(m.group(1)) * mult)
+
+
 def _expression_lambda(spec: dict, ctx) -> Column:
     """ExpressionLambdaAggregatorFactory.java:59,105-115 — generic UDAF in the
     native expression language: fields/accumulatorId/initialValue/fold/combine/
@@ -753,6 +769,45 @@ def _expression_lambda(spec: dict, ctx) -> Column:
     acc_type = _acc_type(str(init))
     init_col = _init_col(str(init), acc_type)
 
+    # --- associative fast paths -------------------------------------------
+    # ExpressionLambdaAggregator streams rows through the fold with O(1)
+    # state; aggregate(collect_list(...)) materializes the whole group.  For
+    # the hot scalar shapes (sum / min / max / count folds) compile straight
+    # to the built-in partial-aggregating functions instead — no per-group
+    # row materialization at any scale.  Null inputs are SKIPPED on both
+    # paths (collect_list drops nulls; F.sum/F.max/F.min do too), so the
+    # fast path is value-identical to the fold.
+    import re as _re
+    if (not spec.get("combine") and not finalize and len(fields) <= 1
+            and acc_type in ("long", "double")
+            and not (fields and hasattr(ctx, "is_array")
+                     and ctx.is_array(fields[0]))):
+        fe = fold_expr.strip()
+        ident = _re.escape(acc_id)
+        if fields:
+            fld = _re.escape(fields[0])
+            x = ctx.resolve(fields[0]).cast(acc_type)
+            if _re.fullmatch(rf"{ident}\s*\+\s*{fld}|{fld}\s*\+\s*{ident}", fe):
+                return (init_col
+                        + F.coalesce(F.sum(x), F.lit(0).cast(acc_type))) \
+                    .cast(acc_type)
+            if _re.fullmatch(rf"max\(\s*{ident}\s*,\s*{fld}\s*\)"
+                             rf"|max\(\s*{fld}\s*,\s*{ident}\s*\)", fe):
+                return F.when(F.max(x).isNull(), init_col) \
+                        .otherwise(F.greatest(init_col, F.max(x))) \
+                        .cast(acc_type)
+            if _re.fullmatch(rf"min\(\s*{ident}\s*,\s*{fld}\s*\)"
+                             rf"|min\(\s*{fld}\s*,\s*{ident}\s*\)", fe):
+                return F.when(F.min(x).isNull(), init_col) \
+                        .otherwise(F.least(init_col, F.min(x))) \
+                        .cast(acc_type)
+        elif _re.fullmatch(rf"{ident}\s*\+\s*(\d+)", fe):
+            step = int(_re.fullmatch(rf"{ident}\s*\+\s*(\d+)", fe).group(1))
+            return (init_col
+                    + F.count(F.lit(1)).cast(acc_type) * F.lit(step)) \
+                .cast(acc_type)
+    # ----------------------------------------------------------------------
+
     def fold_fn(acc, x):
         def resolver(n, a=acc, xx=x):
             if n == acc_id:
@@ -765,6 +820,28 @@ def _expression_lambda(spec: dict, ctx) -> Column:
         return _c(compile_expr(fold_expr, resolver)).cast(acc_type)
 
     state = F.aggregate(collected, init_col, fold_fn)
+
+    # maxSizeBytes contract (ExpressionLambdaAggregatorFactory.java:105-115
+    # + ExprEval.estimateAndCheckMaxBytes): a GROWING accumulator (array /
+    # string state) is bounded — exceeding the limit errors cleanly instead
+    # of ballooning executor memory.  Scalar accumulators are fixed-size and
+    # need no check (factory enforces maxSizeBytes >= MIN_SIZE_BYTES=10).
+    max_bytes = _human_bytes(spec.get("maxSizeBytes", 1 << 10))
+    if acc_type.startswith("array<") or acc_type == "string":
+        if acc_type == "array<string>":
+            est = F.aggregate(
+                state, F.lit(0),
+                lambda a, s: a + F.coalesce(F.length(s), F.lit(0)) * 2 + 8)
+        elif acc_type.startswith("array<"):
+            est = F.size(state) * 8
+        else:
+            est = F.length(state) * 2
+        state = F.when(
+            est > F.lit(max_bytes),
+            F.raise_error(F.lit(
+                f"expressionLambda accumulator exceeded maxSizeBytes "
+                f"[{max_bytes}]; raise maxSizeBytes on the aggregator"))
+            .cast(acc_type)).otherwise(state)
 
     # two-phase state: when initialCombineValue RETYPES the accumulator
     # (ExpressionLambdaAggregatorFactory's combine stage, e.g. per-partial
