@@ -160,9 +160,13 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession,
     else:
         from incubator_druid_spark.plans.datasource import resolve_datasource
         src = resolve_datasource(query["dataSource"], spark, catalog)
-        src = src.filter(interval_predicate(ivs, F.col(TIME_COLUMN)))
-        seg_days = src.select(F.date_trunc("day", F.col(TIME_COLUMN))
-                              .alias("__seg_day")).distinct()
+        seg_days = _bucket_partition_days(src, ivs, spark)
+        if seg_days is None:
+            # non-bucketed source: fall back to a distinct-days scan of the
+            # interval-pruned source (reads only the __time column)
+            src = src.filter(interval_predicate(ivs, F.col(TIME_COLUMN)))
+            seg_days = src.select(F.date_trunc("day", F.col(TIME_COLUMN))
+                                  .alias("__seg_day")).distinct()
     if day_or_coarser:
         # bucket >= a day: keep buckets holding at least one segment day
         cond = gran.floor(F.col("__seg_day")) == F.col(TIME_COLUMN)
@@ -206,3 +210,50 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession,
     if not (query.get("aggregations") or []):
         fills = [F.coalesce(F.col("count"), F.lit(0)).alias("count")]
     return joined.select(TIME_COLUMN, *fills)
+
+
+def _bucket_partition_days(src: DataFrame, ivs, spark) -> DataFrame | None:
+    """Segment-day coverage from the `__bucket` PARTITION LISTING — file
+    metadata only, zero data read (the 100-TB analogue of Druid's in-memory
+    segment timeline in CachingClusteredClient).  Tables written by
+    sources/ingest partition by __bucket (yyyy-MM-dd'T'HH of the floored
+    segment granularity), so the directory names enumerate exactly the
+    segments that exist.  Returns a tiny driver-built (__seg_day) frame, or
+    None when the source isn't __bucket-partitioned / isn't file-backed
+    (caller falls back to a distinct-days scan)."""
+    import datetime
+    import re
+
+    if "__bucket" not in src.columns:
+        return None
+    try:
+        files = src.inputFiles()
+    except Exception:
+        return None
+    vals = set()
+    for f in files:
+        m = re.search(r"__bucket=([^/]+)/", f)
+        if m:
+            vals.add(m.group(1))
+    if not vals:
+        return None
+    utc = datetime.timezone.utc
+    days = set()
+    for v in vals:
+        try:
+            ts = datetime.datetime.strptime(v, "%Y-%m-%dT%H") \
+                .replace(tzinfo=utc)
+        except ValueError:
+            return None  # unexpected layout — let the scan path decide
+        days.add(datetime.datetime(ts.year, ts.month, ts.day, tzinfo=utc))
+    # keep only days overlapping the query intervals (same pruning the
+    # scan path gets from interval_predicate)
+    day_ms = 86_400_000
+    pruned = []
+    for d in sorted(days):
+        ms = int(d.timestamp() * 1000)
+        if any(s < ms + day_ms and ms < e for s, e in ivs):
+            pruned.append((d.replace(tzinfo=None),))
+    if not pruned:
+        pruned = []
+    return spark.createDataFrame(pruned, "__seg_day timestamp")
