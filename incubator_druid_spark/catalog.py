@@ -49,15 +49,28 @@ class DatasourceSpec:
 class Catalog:
     """Registry of named datasources, resolved lazily to DataFrames."""
 
+    _SERIAL = iter(range(1, 1 << 62))
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._specs: dict[str, DatasourceSpec] = {}
         self._lookups: dict[str, dict[str, str]] = {}
+        # identity + mutation counter so per-session caches (temp-view
+        # registration, schema lookups) can detect "same catalog, unchanged"
+        self._serial = next(Catalog._SERIAL)
+        self._version = 0
+        self._schema_cache: dict[str, object] = {}
+
+    def version(self) -> tuple[int, int]:
+        """(identity, mutation-count) — changes whenever datasources do."""
+        return (self._serial, self._version)
 
     # -- datasources -------------------------------------------------------
     def register(self, name: str, path: str, fmt: str = "parquet",
                  time_column: str | None = None, **options: str) -> None:
         self._specs[name] = DatasourceSpec(name, path, fmt, time_column, options)
+        self._version += 1
+        self._schema_cache.pop(name, None)
 
     def register_dir(self, sf_dir: str) -> "Catalog":
         """Register every ``<table>.parquet`` under a testdata dir."""
@@ -72,6 +85,8 @@ class Catalog:
         path for bucketed layouts, whose bucketing metadata only survives
         through spark.table()."""
         self._specs[name] = DatasourceSpec(name, path="", fmt="managed")
+        self._version += 1
+        self._schema_cache.pop(name, None)
 
     def table(self, name: str) -> DataFrame:
         if name not in self._specs:
@@ -95,6 +110,15 @@ class Catalog:
                 tc = tc.cast("timestamp")
             df = df.withColumn(TIME_COLUMN, tc)
         return df
+
+    def schema(self, name: str):
+        """Cached schema of a datasource — metadata-only callers (SQL
+        rewriters scanning for MVD columns) must not pay a reader-resolution
+        JVM roundtrip per query.  Invalidated on (re-)register."""
+        s = self._schema_cache.get(name)
+        if s is None:
+            s = self._schema_cache[name] = self.table(name).schema
+        return s
 
     def __contains__(self, name: str) -> bool:
         return name in self._specs

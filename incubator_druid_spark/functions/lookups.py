@@ -58,9 +58,20 @@ _SEQ = itertools.count()
 _LOOKUP_DFS: dict[str, DataFrame] = {}
 
 
+_VERSION = 0
+
+
+def lookup_version() -> int:
+    """Bumped on every register_lookup — lets per-session caches (the SQL
+    LOOKUP temp function) skip re-registration when nothing changed."""
+    return _VERSION
+
+
 def register_lookup(name: str, mapping: dict[str, str]) -> None:
+    global _VERSION
     _LOOKUPS[name] = dict(mapping)
     _LOOKUP_DFS.pop(name, None)
+    _VERSION += 1
 
 
 def get_lookup(name: str) -> dict[str, str]:
