@@ -972,7 +972,8 @@ def _theta_sketch_column_estimate(spark, sf):
          "granularity": "all", "dimensions": ["day"],
          "aggregations": [{"type": "sketchMerge", "name": "users",
                            "fieldName": "tsk"}]}
-    return translate(q, spark, cat)
+    out = translate(q, spark, cat)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
 
 
 def _ngram_jaccard_pairs(spark, sf):
@@ -1060,8 +1061,12 @@ def _cosine_near_dup(spark, sf):
 
 
 def _ann_lsh_topk(spark, sf):
+    """Hyperplane-LSH prefiltered top-10 — the seeded planes are inlined as
+    literals into the DuckDB oracle, which replays signature banding and
+    re-rank off the SAME double math (oracle: _ann_lsh_oracle_sql)."""
     from incubator_druid_spark.pipeline.similarity import ann_lsh_topk
-    emb = _cat(spark, sf).table("embeddings")
+    emb = (_cat(spark, sf).table("embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
     return _round(out, {"vec_id": None, "cosine": 4})
@@ -1075,9 +1080,13 @@ def _minhash_pairs(spark, sf):
 
 
 def _simhash_pairs(spark, sf):
+    """SimHash near-dup candidates: md5-derived bit votes, 4×16-bit
+    pigeonhole bands, Hamming ≤ 3 — every step replayable in the DuckDB
+    oracle off the same md5 bit patterns (doc_id bound, not LIMIT, so both
+    engines see the identical subset)."""
     from incubator_druid_spark.pipeline.dedup import simhash_candidates
-    docs = _cat(spark, sf).table("documents")
-    return simhash_candidates(docs.limit(200), "doc_id", "text")
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 200)
+    return simhash_candidates(docs, "doc_id", "text")
 
 
 def _json_props(spark, sf):
@@ -1281,8 +1290,35 @@ def _multimodal_decode(spark, sf):
                 content.append(buf.getvalue())
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
+    def gen_jpegs(batches):
+        # solid GRAY fills round-trip the full baseline-JPEG pipeline
+        # EXACTLY (gray → YCbCr (v,128,128); DC-only blocks at quant=1), so
+        # Huffman coding, byte stuffing, zigzag, dequant, IDCT and the
+        # inverse color transform are all on the integer-exact hash path
+        import numpy as np
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline.jpeg import encode_baseline_jpeg
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                v, w, h = (d * 17 + 11) % 256, 8 + d % 9, 8 + d % 7
+                arr = np.full((h, w, 3), v, np.uint8)
+                content.append(encode_baseline_jpeg(arr, quant=1))
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
     img_src = ids.mapInPandas(gen_images, schema="id long, content binary")
     wav_src = ids.mapInPandas(gen_wavs, schema="id long, content binary")
+    jpg_src = ids.mapInPandas(gen_jpegs, schema="id long, content binary")
+    jpg = (decode_image_features(jpg_src, fake=False)
+           .select("id",
+                   F.col("width").cast("long").alias("jpeg_w"),
+                   F.col("height").cast("long").alias("jpeg_h"),
+                   F.round(F.element_at("feat", 1) * 255).cast("long")
+                    .alias("jpeg_gray"),
+                   F.round(F.element_at("feat", 4) * 1000).cast("long")
+                    .alias("jpeg_std_x1000")))
     img = (decode_image_features(img_src, fake=False)
            .select("id",
                    F.col("width").cast("long").alias("width"),
@@ -1296,7 +1332,8 @@ def _multimodal_decode(spark, sf):
            .select("id", F.col("duration_ms").cast("long").alias("duration_ms"),
                    F.col("sample_rate").cast("long").alias("sample_rate"),
                    F.round(F.col("loudness") * 32768).cast("long").alias("amp")))
-    return (img.join(wav, "id").withColumnRenamed("id", "doc_id")
+    return (img.join(wav, "id").join(jpg, "id")
+               .withColumnRenamed("id", "doc_id")
                .orderBy("doc_id"))
 
 
@@ -1458,6 +1495,143 @@ def _segmeta_oracle() -> str:
                    count(*) AS numRows
             FROM lineitem""")
     return " UNION ALL ".join(branches)
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.5, max_bucket: int = 64) -> str:
+    """Full DuckDB replay of minhash_dedup: the md5-based universal-hash
+    family (pipeline/dedup.py MINHASH_P + minhash_constants) is computable
+    identically in ANSI SQL, so the banded-LSH candidate generation, the
+    bucket-size cap, and the exact-Jaccard verify all replay off the SAME
+    hashes — no rows-only carve-out."""
+    from incubator_druid_spark.pipeline.dedup import (MINHASH_P,
+                                                      minhash_constants)
+    a, b = minhash_constants(num_hashes)
+    rows = num_hashes // bands
+    ab = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                   for i in range(num_hashes))
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id, trim(regexp_replace(regexp_replace(
+                 lower(COALESCE(text, '')),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+          FROM documents),
+        toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs),
+        idx AS (SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w) - 1, 1))) AS i
+                FROM toks),
+        grams AS (SELECT DISTINCT doc_id,
+                         array_to_string(w[i:i+2], ' ') AS g FROM idx),
+        base AS (SELECT doc_id,
+                        CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS h60
+                 FROM grams),
+        consts(i, a, b) AS (VALUES {ab}),
+        sig AS (SELECT doc_id, i,
+                       min((a * (h60 % {MINHASH_P}) + b) % {MINHASH_P}) AS m
+                FROM base CROSS JOIN consts GROUP BY 1, 2),
+        bnd AS (SELECT doc_id, i // {rows} AS band,
+                       string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bh
+                FROM sig GROUP BY 1, 2),
+        ok AS (SELECT band, bh FROM bnd GROUP BY 1, 2
+               HAVING count(*) >= 2 AND count(*) <= {max_bucket}),
+        kept AS (SELECT bnd.* FROM bnd JOIN ok USING (band, bh)),
+        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                 FROM kept l JOIN kept r
+                   ON l.band = r.band AND l.bh = r.bh
+                  AND l.doc_id < r.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM base GROUP BY 1),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS x
+                  FROM cand c
+                  JOIN base ba ON ba.doc_id = c.id_a
+                  JOIN base bb ON bb.doc_id = c.id_b AND bb.h60 = ba.h60
+                  GROUP BY 1, 2)
+        SELECT c.id_a, c.id_b,
+               round(CAST(COALESCE(x, 0) AS DOUBLE)
+                     / (sa.n + sb.n - COALESCE(x, 0)), 3) AS jaccard
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        LEFT JOIN inter USING (id_a, id_b)
+        WHERE CAST(COALESCE(x, 0) AS DOUBLE)
+              / (sa.n + sb.n - COALESCE(x, 0)) >= {threshold}
+    """
+
+
+def _ann_lsh_oracle_sql(num_planes: int = 16, bands: int = 4, k: int = 10,
+                        seed: int = 42, dim: int = 64) -> str:
+    """DuckDB replay of ann_lsh_topk: the seeded Gaussian hyperplanes are
+    literal double lists (both engines evaluate dot products over the same
+    element order in double precision, so the sign bits agree), band-exact
+    match against the query signature, exact cosine re-rank."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    rows = num_planes // bands
+    pl = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(num_planes))
+    band_match = " OR ".join(
+        f"sig[{b * rows + 1}:{(b + 1) * rows}] = qs[{b * rows + 1}:{(b + 1) * rows}]"
+        for b in range(bands))
+    return f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        planes(i, p) AS (VALUES {pl}),
+        sigs AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                        list(CASE WHEN list_dot_product(
+                                     CAST(e.embedding AS DOUBLE[]), pl.p) >= 0
+                                  THEN 1 ELSE 0 END ORDER BY pl.i) AS sig
+                 FROM embeddings e CROSS JOIN planes pl
+                 WHERE e.vec_id != 0
+                 GROUP BY e.vec_id, CAST(e.embedding AS DOUBLE[])),
+        qsig AS (SELECT list(CASE WHEN list_dot_product(
+                                     (SELECT qv FROM q), p) >= 0
+                                  THEN 1 ELSE 0 END ORDER BY i) AS qs
+                 FROM planes),
+        cand AS (SELECT vec_id, v FROM sigs, qsig WHERE {band_match})
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 4)
+                   AS cosine
+        FROM cand
+        ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
+        LIMIT {k}
+    """
+
+
+_SIMHASH_ORACLE_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(COALESCE(text, '')),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 200),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM docs),
+    bitsv AS (SELECT doc_id, tk, unnest(range(0, 64)) AS i
+              FROM toks WHERE tk <> ''),
+    vote AS (SELECT doc_id, i,
+                    sum(CASE WHEN ((CAST(('0x' || substr(md5(tk),
+                                          i // 4 + 1, 1)) AS INTEGER)
+                                   >> (3 - (i % 4))) & 1) = 1
+                             THEN 1 ELSE -1 END) AS v
+             FROM bitsv GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+                   string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                              ORDER BY i) AS s
+            FROM vote GROUP BY 1),
+    chunks AS (SELECT doc_id, s, unnest(range(0, 4)) AS c FROM sig),
+    keyed AS (SELECT doc_id, s, c, substr(s, c * 16 + 1, 16) AS ck
+              FROM chunks),
+    cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                    l.s AS sa, r.s AS sb
+             FROM keyed l JOIN keyed r
+               ON l.c = r.c AND l.ck = r.ck AND l.doc_id < r.doc_id),
+    ham AS (SELECT id_a, id_b,
+                   (SELECT count(*) FROM range(1, 65) AS z(i)
+                    WHERE substr(sa, CAST(i AS INTEGER), 1)
+                          <> substr(sb, CAST(i AS INTEGER), 1)) AS hamming
+            FROM cand)
+    SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+    FROM ham WHERE hamming <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1904,7 +2078,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST((800 + 160 * (doc_id % 10)) // 16 AS BIGINT)
                        AS duration_ms,
                    CAST(16000 AS BIGINT) AS sample_rate,
-                   CAST((doc_id * 331) % 32768 AS BIGINT) AS amp
+                   CAST((doc_id * 331) % 32768 AS BIGINT) AS amp,
+                   CAST(8 + doc_id % 9 AS BIGINT) AS jpeg_w,
+                   CAST(8 + doc_id % 7 AS BIGINT) AS jpeg_h,
+                   CAST((doc_id * 17 + 11) % 256 AS BIGINT) AS jpeg_gray,
+                   CAST(0 AS BIGINT) AS jpeg_std_x1000
             FROM documents WHERE doc_id < 48 ORDER BY doc_id
         """,
         # same containment-oracle shape as ann_ivf_topk: the emitted frame
@@ -1961,7 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         # Theta exact-mode contract: every per-segment sketch and the union
         # stay below nominal entries, so estimate == exact count(distinct)
         "theta_sketch_column_estimate": """
-            SELECT CAST(ts AS DATE) AS day,
+            SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
                    CAST(count(DISTINCT user_id) AS DOUBLE) AS users
             FROM events GROUP BY 1
         """,
@@ -2197,7 +2375,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS lang_pred
             FROM s
         """,
-        # ts_day_zerofill / ann_lsh_topk / minhash_pairs /
-        # simhash_pairers / segment_metadata / gb_first_last: approximate or
-        # non-SQL-expressible paths intentionally omitted → rows-only check.
+        # minhash_pairs / simhash_pairs: full DuckDB replays of the banded
+        # candidate pipelines off the shared md5-derived hash families
+        "minhash_pairs": _minhash_oracle_sql(),
+        "simhash_pairs": _SIMHASH_ORACLE_SQL,
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
     }

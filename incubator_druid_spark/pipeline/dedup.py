@@ -59,19 +59,48 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+#: Universal-hash family shared by BOTH minhash paths (pandas kernel and
+#: Column expression) and REPLAYABLE in any ANSI-SQL oracle: the per-shingle
+#: base hash is the first 15 hex digits of md5 (a 60-bit int every engine
+#: derives identically), reduced mod the Mersenne prime 2^31-1; the k
+#: derived hashes are (a_i*base + b_i) mod p with fixed seeded constants.
+#: p, a_i, b_i < 2^31 keeps every product within int64 — no overflow
+#: divergence between engines.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_constants(num_hashes: int = 64):
+    """The fixed (a, b) universal-hash constants (deterministic seed)."""
+    import numpy as np
+    rng = np.random.default_rng(635)
+    a = rng.integers(1, MINHASH_P, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_P, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def shingle_hash64(shingle: Column) -> Column:
+    """60-bit base hash of a shingle: int of md5's first 15 hex digits —
+    the SQL-replayable shingle-set representation."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed, min over shingles of xxhash64(shingle, seed).
+    """MinHash signature: per seed i, min over shingles of
+    (a_i * (md5base % p) + b_i) % p — same family as the pandas kernel.
 
     Single expression — transform over the seed sequence with a nested
     transform over shingles — so the shingle array is evaluated once per row
     regardless of num_hashes (building one array-min per seed as separate
     top-level expressions made Catalyst re-derive the shingle pipeline 64×).
     Null/empty shingle sets produce null mins — callers filter empties first."""
+    a, b = minhash_constants(num_hashes)
+    a_arr = F.array(*[F.lit(int(x)) for x in a])
+    b_arr = F.array(*[F.lit(int(x)) for x in b])
+    base = F.transform(shingle_col, lambda s: shingle_hash64(s) % MINHASH_P)
 
-    def per_seed(seed):
-        def h(s):
-            return F.xxhash64(s, seed)
-        return F.array_min(F.transform(shingle_col, h))
+    def per_seed(i):
+        return F.array_min(F.transform(
+            base, lambda h: (a_arr[i] * h + b_arr[i]) % MINHASH_P))
 
     return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), per_seed)
 
@@ -82,10 +111,13 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
 
     The pure-Column signature path is correct but nested HOF lambdas run in
     Catalyst's interpreter (no codegen), costing ~100ms/doc at 64 hashes.
-    This kernel computes one 64-bit base hash per shingle (blake2b/8B) and
-    derives the k min-hashes with a vectorized (a_i·h + b_i) mod p sweep —
-    the standard universal-hashing construction — at ~1ms/doc.  Arrow batch
-    in/out, parallelism = input partitions, no shuffle introduced.
+    This kernel computes one 60-bit base hash per shingle (md5 hex prefix —
+    the same SQL-replayable base as shingle_hash64) and derives the k
+    min-hashes with a vectorized (a_i·h + b_i) mod p sweep — the standard
+    universal-hashing construction — at ~1ms/doc.  Arrow batch in/out,
+    parallelism = input partitions, no shuffle introduced.  Identical
+    output to the minhash_signature Column path, so a DuckDB oracle can
+    replay the full band/bucket pipeline from the same hashes.
     """
     import hashlib
     from collections.abc import Iterator
@@ -93,10 +125,8 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
     import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(635)
-    mersenne = (1 << 61) - 1
-    a = rng.integers(1, mersenne, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, mersenne, size=num_hashes, dtype=np.int64)
+    mersenne = MINHASH_P
+    a, b = minhash_constants(num_hashes)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re as _re
@@ -112,11 +142,11 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
                 if not grams:
                     continue
                 # base hash doubles as the shingle-set representation for the
-                # exact-Jaccard verify stage (set equality on 61-bit hashes ≡
-                # set equality on shingles, collision odds ~n²/2^61)
+                # exact-Jaccard verify stage (set equality on 60-bit hashes ≡
+                # set equality on shingles, collision odds ~n²/2^60)
                 bases.append(np.fromiter(
-                    (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
-                                    .digest(), "big") >> 3 for g in grams),
+                    (int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                     for g in grams),
                     dtype=np.int64, count=len(grams)))
                 offsets.append(offsets[-1] + len(grams))
                 ids.append(rid)
@@ -127,7 +157,8 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
             # Arrow batch, then per-doc segment minima via minimum.reduceat —
             # amortizes numpy dispatch across documents
             all_base = np.concatenate(bases)
-            derived = (all_base[:, None] * a[None, :] + b[None, :]) % mersenne
+            derived = ((all_base % mersenne)[:, None] * a[None, :]
+                       + b[None, :]) % mersenne
             mins = np.minimum.reduceat(derived, np.array(offsets[:-1]), axis=0)
             yield pd.DataFrame({id_col: ids,
                                 "__sig": [m.tolist() for m in mins],
@@ -184,8 +215,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("__sig")[b * rows + r]
-                                  for r in range(rows)]).alias("bh"))
+                     # band key = the band's signature slice joined as a
+                     # string — equality-equivalent to hashing it, and
+                     # replayable in any SQL oracle
+                     F.concat_ws(",", *[F.col("__sig")[b * rows + r]
+                                        .cast("string")
+                                        for r in range(rows)]).alias("bh"))
             for b in range(bands)
         ])).alias("bb"))
     buckets = banded.select(id_col, "bb.band", "bb.bh")
@@ -226,7 +261,7 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
         sh_frame = _shingle_frame(df, id_col, text_col, shingle_n)
         frame = (sh_frame.select(
             F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig"),
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__sh"))
+            F.transform(F.col("__sh"), shingle_hash64).alias("__sh"))
             .filter(F.col("__sig")[0].isNotNull()).persist())
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
                                    shingle_n, max_bucket, _sh=frame)
@@ -261,18 +296,20 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash signature as a 64-char bit STRING: per token, the xxhash64 bit
-    pattern votes +1/-1 per position; the signature is the sign vector.
+    """SimHash signature as a 64-char bit STRING: per token, the 64-bit
+    pattern of md5's first 16 hex digits votes +1/-1 per position; the
+    signature is the sign vector.  md5 (not xxhash64) so any ANSI-SQL
+    oracle can replay the identical bit patterns (hex digit → 4 bits).
 
-    Bit extraction uses lpad(bin(hash)) — `bin` of a negative long already
-    emits the full 64-bit two's complement — because Spark's shiftright only
-    accepts a literal shift amount inside HOF lambdas.  Everything stays in
-    codegen; one pass over tokens."""
+    Bit extraction uses lpad(conv(hex, 16, 2)) because Spark's shiftright
+    only accepts a literal shift amount inside HOF lambdas.  Everything
+    stays in codegen; one pass over tokens."""
     toks = tokens(normalize_text(text))
     zeros = F.array_repeat(F.lit(0), bits)
 
     def vote(acc, t):
-        bstr = F.lpad(F.bin(F.xxhash64(t)), bits, "0")
+        bstr = F.lpad(F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 2),
+                      bits, "0")
 
         def bit(i):
             return F.when(F.substring(bstr, i, 1) == "1", 1).otherwise(-1)

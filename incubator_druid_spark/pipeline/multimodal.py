@@ -132,11 +132,16 @@ def _decode_image(data: bytes):
         return arr
     if data[:2] == b"BM":
         return _parse_bmp(data)
+    if data[:2] == b"\xFF\xD8":
+        # baseline sequential JPEG — pure-Python Huffman+IDCT decoder
+        # (pipeline/jpeg.py); progressive/arithmetic raise there by name
+        from incubator_druid_spark.pipeline.jpeg import decode_baseline_jpeg
+        return decode_baseline_jpeg(data)
     head = bytes(data[:4])
     raise NotImplementedError(
         f"image codec for magic {head!r} not available in this environment "
-        "(pure-Python decoders cover P6 PPM and 24-bit BMP; JPEG/PNG need "
-        "PIL — plug it in at this line)")
+        "(pure-Python decoders cover P6 PPM, 24-bit BMP and baseline JPEG; "
+        "PNG/progressive-JPEG need PIL — plug it in at this line)")
 
 
 def _image_feature(arr, target: tuple[int, int]) -> tuple[list[float], int, int]:
