@@ -154,6 +154,7 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
         sql = _bind_parameters(sql, params)
 
     ctx = body.get("context") or {}
+    outer_limit = ctx.get("sqlOuterLimit")
     tz = ctx.get("sqlTimeZone")
     if tz:
         # sqlTimeZone (PlannerContext.CTX_SQL_TIME_ZONE): FLOOR-to-unit /
@@ -163,12 +164,18 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
         spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             df = druid_sql(spark, sql, catalog)
+            if outer_limit is not None:
+                df = df.limit(int(outer_limit))
             rows_early = _rows_timed(df, ctx.get("timeout"))  # under the tz
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev)
         return _format_sql_rows(rows_early, df.columns, body)
 
     df = druid_sql(spark, sql, catalog)
+    if outer_limit is not None:
+        # PlannerContext.CTX_SQL_OUTER_LIMIT — wrap the whole result in a
+        # limit (the broker applies it outside any query-level LIMIT)
+        df = df.limit(int(outer_limit))
     return _format_sql_rows(_rows_timed(df, ctx.get("timeout")),
                             df.columns, body)
 

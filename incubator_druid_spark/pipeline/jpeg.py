@@ -139,6 +139,13 @@ def _extend(v: int, s: int) -> int:
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → (h, w, 3) uint8 RGB (grayscale replicates)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -1211,10 +1211,29 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                              " ".join(outside_segments))):
         from incubator_druid_spark.functions.lookups import get_lookup
         mapping = get_lookup(lk)  # KeyError on unknown lookup = clear error
-        spark.createDataFrame(list(mapping.items()) or [("", "")],
-                              "k string, v string") \
-            .filter("k != '' OR v != ''") \
-            .createOrReplaceTempView(f"lookup_{lk}")
+        if re.search(r"(?i)\b(?:EARLIEST|LATEST)(?:_BY)?\s*\(",
+                     " ".join(outside_segments)):
+            # EARLIEST/LATEST read __time, which a lookup table lacks; the
+            # reference's lookup segments read the missing column as a
+            # constant, so first/last degrade to map ITERATION order
+            # (LookupSegmentWrangler scan).  A synthetic insertion-order
+            # __time reproduces that deterministically; it is only added
+            # when the query can reference it (star expansion over
+            # lookup.<name> must stay the two-column (k, v) schema).
+            import datetime as _dt
+            rows3 = [(k, v,
+                      _dt.datetime(1970, 1, 1)
+                      + _dt.timedelta(milliseconds=i))
+                     for i, (k, v) in enumerate(mapping.items())]
+            spark.createDataFrame(rows3 or [("", "", None)],
+                                  "k string, v string, __time timestamp") \
+                .filter("k != '' OR v != ''") \
+                .createOrReplaceTempView(f"lookup_{lk}")
+        else:
+            spark.createDataFrame(list(mapping.items()) or [("", "")],
+                                  "k string, v string") \
+                .filter("k != '' OR v != ''") \
+                .createOrReplaceTempView(f"lookup_{lk}")
     # view schema (sql/.../calcite/view/ViewManager + ViewSchema): a view is
     # a registered SQL macro exposed as table view.<name>; planned here
     # through the same druid_sql pipeline (views can reference lookups,
@@ -1416,6 +1435,14 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         r"(?i)\bAS\s+VARCHAR\s*\)", "AS STRING)", seg))
     sql = _outside_literals(sql, lambda seg: re.sub(
         r"(?i)\bGROUP\s+BY\s*\(\s*\)", "", seg))
+    # GROUP BY <string literal> — Druid plans this as a granularity-ALL
+    # timeseries, which emits its single bucket even when no rows match
+    # (testGroupByWithFilterMatchingNothingWithGroupByLiteral expects one
+    # (0, null) row); Spark's literal grouping yields zero groups on empty
+    # input.  Dropping the clause turns it into the same global aggregate.
+    # Integer "literals" are ordinals in this dialect — never touched.
+    sql = re.sub(r"(?i)\bGROUP\s+BY\s+'(?:[^']|'')*'(?=\s*(?:HAVING|ORDER"
+                 r"|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|\)|$))", "", sql)
     sql = sql.replace(r"ESCAPE '\'", r"ESCAPE '\\'")
     # STRING_FORMAT is variadic (StringFormatOperatorConversion.java) — SQL
     # UDFs have fixed arity, so map the name to Spark's format_string

@@ -457,15 +457,21 @@ def test_video_concatenated_ppm_decode(spark):
 
 
 def test_real_codec_formats_still_raise(spark):
-    """JPEG magic under fake=False raises a NotImplementedError naming the
-    format (codec library absent), not a silent fake result."""
+    """Formats without a pure-Python decoder (PNG) raise a
+    NotImplementedError naming the format under fake=False, not a silent
+    fake result; truncated JPEG raises a clear parse error (JPEG itself
+    now decodes via pipeline/jpeg.py)."""
     import pytest as _pytest
     from incubator_druid_spark.pipeline.multimodal import (
         decode_image_features, extract_audio_features)
-    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xffjpegish"))],
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\npngish"))],
                                "id long, content binary")
     with _pytest.raises(Exception, match="image codec"):
         decode_image_features(df, fake=False).collect()
+    dfj = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xffjpegish"))],
+                                "id long, content binary")
+    with _pytest.raises(Exception, match="truncated"):
+        decode_image_features(dfj, fake=False).collect()
     df2 = spark.createDataFrame([(1, bytearray(b"ID3mp3ish"))],
                                 "id long, content binary")
     with _pytest.raises(Exception, match="audio codec"):
