@@ -155,6 +155,17 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
 
     ctx = body.get("context") or {}
     outer_limit = ctx.get("sqlOuterLimit")
+    if ctx.get("sqlCurrentTimestamp"):
+        from incubator_druid_spark.sql.functions import \
+            set_sql_current_timestamp
+        set_sql_current_timestamp(ctx["sqlCurrentTimestamp"])
+        try:
+            body2 = dict(body)
+            body2["context"] = {k: v for k, v in ctx.items()
+                                if k != "sqlCurrentTimestamp"}
+            return sql_query(body2, spark, catalog)
+        finally:
+            set_sql_current_timestamp(None)
     tz = ctx.get("sqlTimeZone")
     if tz:
         # sqlTimeZone (PlannerContext.CTX_SQL_TIME_ZONE): FLOOR-to-unit /

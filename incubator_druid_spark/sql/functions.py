@@ -361,6 +361,15 @@ def _druid_type(dt) -> str:
     return "OTHER"
 
 
+def _jdbc_type(druid_t: str) -> int:
+    """Druid DATA_TYPE name -> java.sql.Types code (RowSignatures.java
+    toSqlTypeName + Calcite's JDBC mapping; ARRAY = 2003, OTHER = 1111)."""
+    if druid_t.startswith("ARRAY<"):
+        return 2003
+    return {"TIMESTAMP": 93, "BIGINT": -5, "VARCHAR": 12, "FLOAT": 6,
+            "DOUBLE": 8, "BOOLEAN": 16}.get(druid_t, 1111)
+
+
 def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
     """Druid's SQL metadata surface (sql/.../schema/InformationSchema.java,
     SystemSchema.java): INFORMATION_SCHEMA.TABLES / .COLUMNS and
@@ -370,6 +379,7 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
     import os as _os
 
     tables = [("druid", "druid", n, "TABLE") for n in catalog.names()]
+    tables += [("druid", "view", v, "VIEW") for v in sorted(_SQL_VIEWS)]
     spark.createDataFrame(
         tables or [("druid", "druid", "", "TABLE")],
         "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
@@ -377,13 +387,20 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
         .filter("TABLE_NAME != ''") \
         .createOrReplaceTempView("information_schema_tables")
 
+    # INFORMATION_SCHEMA.SCHEMATA (InformationSchema.java SCHEMATA_SIGNATURE)
+    spark.createDataFrame(
+        [("druid", s) for s in
+         ("lookup", "view", "druid", "sys", "INFORMATION_SCHEMA")],
+        "CATALOG_NAME string, SCHEMA_NAME string") \
+        .createOrReplaceTempView("information_schema_schemata")
+
     cols, segs = [], []
     for name in catalog.names():
         df = catalog.table(name)
         for i, f in enumerate(df.schema.fields, start=1):
-            cols.append(("druid", "druid", name, f.name, i,
-                         _druid_type(f.dataType),
-                         "YES" if f.nullable else "NO"))
+            dt = _druid_type(f.dataType)
+            cols.append(("druid", "druid", name, f.name, i, dt,
+                         "YES" if f.nullable else "NO", _jdbc_type(dt)))
         # sys.segments: one row per time-partition directory ("segment") for
         # ingested tables, one per file for plain parquet sources; sizes from
         # the filesystem listing (the analogue of the coordinator's segment
@@ -402,11 +419,22 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
                              size, 1, 1))
         elif path:
             segs.append((name, name, "", _os.path.getsize(path), 1, 1))
+    # registered SQL views surface their resolved schemas under the `view`
+    # schema (InformationSchema resolves view row types the same way)
+    for vname in sorted(_SQL_VIEWS):
+        try:
+            vdf = druid_sql(spark, _SQL_VIEWS[vname], catalog)
+        except Exception:  # pragma: no cover - broken view definition
+            continue
+        for i, f in enumerate(vdf.schema.fields, start=1):
+            dt = _druid_type(f.dataType)
+            cols.append(("druid", "view", vname, f.name, i, dt,
+                         "YES" if f.nullable else "NO", _jdbc_type(dt)))
     spark.createDataFrame(
-        cols or [("", "", "", "", 0, "", "")],
+        cols or [("", "", "", "", 0, "", "", 0)],
         "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
         "COLUMN_NAME string, ORDINAL_POSITION int, DATA_TYPE string, "
-        "IS_NULLABLE string") \
+        "IS_NULLABLE string, JDBC_TYPE int") \
         .filter("TABLE_NAME != ''") \
         .createOrReplaceTempView("information_schema_columns")
     spark.createDataFrame(
@@ -600,6 +628,33 @@ def _rewrite_aggregate_names(sql: str) -> str:
 
 
 _SQL_VIEWS: dict[str, str] = {}
+
+# sqlCurrentTimestamp (PlannerContext.CTX_SQL_CURRENT_TIMESTAMP): the
+# reference pins CURRENT_TIMESTAMP/CURRENT_DATE to a context-supplied
+# instant for reproducible plans; thread-local so view expansion (which
+# re-enters druid_sql) sees the same pin.
+_SQL_CTX = __import__("threading").local()
+
+
+def set_sql_current_timestamp(iso: str | None) -> None:
+    """Pin (or clear, with None) CURRENT_TIMESTAMP/CURRENT_DATE for this
+    thread's druid_sql calls."""
+    _SQL_CTX.current_ts = iso
+
+
+def _apply_current_timestamp(sql: str) -> str:
+    iso = getattr(_SQL_CTX, "current_ts", None)
+    if not iso:
+        return sql
+    import datetime as _dt
+    ts = _dt.datetime.fromisoformat(str(iso).replace("Z", "+00:00"))
+    ts_lit = ts.strftime("%Y-%m-%d %H:%M:%S")
+    d_lit = ts.strftime("%Y-%m-%d")
+    sql = _outside_literals(sql, lambda seg: re.sub(
+        r"(?i)\bCURRENT_TIMESTAMP\b", f"TIMESTAMP '{ts_lit}'", seg))
+    sql = _outside_literals(sql, lambda seg: re.sub(
+        r"(?i)\bCURRENT_DATE\b", f"DATE '{d_lit}'", seg))
+    return sql
 
 
 def register_sql_view(name: str, sql: str) -> None:
@@ -1151,6 +1206,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                          if t in referenced})
         res = _json.dumps([{"name": t, "type": "DATASOURCE"} for t in tables])
         return spark.createDataFrame([(plan, res)], "PLAN string, RESOURCES string")
+    sql = _apply_current_timestamp(sql)
     register_druid_sql(spark)
     if catalog is not None:
         register_views(catalog)
@@ -1293,6 +1349,24 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                 return f"COUNT(CASE WHEN size({m2.group(1)}) > 0 THEN 1 END)"
             return None
         sql = _rewrite_calls(sql, "COUNT", _cd_mvd_repl)
+
+        # APPROX_COUNT_DISTINCT(<mvd>) — the cardinality aggregator counts
+        # the VALUE universe of the multi-value dimension, not distinct
+        # arrays (testApproxCountDistinctWhenHllDisabled expects 3 for
+        # dim2's {a, '', abc}); computed exact like the COUNT(DISTINCT)
+        # rewrite above.  Runs before the generic aggregate-name rewrite,
+        # which keeps scalar inputs on approx_count_distinct.
+        def _acd_mvd_repl(a):
+            if len(a) != 1:
+                return None
+            m = re.match(r"(?is)^\s*(?:DISTINCT\s+)?([A-Za-z_]\w*)\s*$",
+                         a[0])
+            if m and m.group(1) in mvd_cols:
+                c = m.group(1)
+                return (f"CAST(size(filter(array_distinct(flatten("
+                        f"collect_set({c}))), x -> x IS NOT NULL)) AS BIGINT)")
+            return None
+        sql = _rewrite_calls(sql, "APPROX_COUNT_DISTINCT", _acd_mvd_repl)
 
         # Scalar =/<> comparisons over an MVD: Calcite types the column
         # VARCHAR and the native selector ANY-matches elements; <> is the
