@@ -158,7 +158,12 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
     if ctx.get("sqlCurrentTimestamp"):
         from incubator_druid_spark.sql.functions import \
             set_sql_current_timestamp
-        set_sql_current_timestamp(ctx["sqlCurrentTimestamp"])
+        # render the pinned instant in the zone the query will execute
+        # under (sqlTimeZone, else the session zone) so the naive literal
+        # re-reads as the same instant — PlannerContext.java localNow
+        eff_tz = ctx.get("sqlTimeZone") or \
+            spark.conf.get("spark.sql.session.timeZone")
+        set_sql_current_timestamp(ctx["sqlCurrentTimestamp"], eff_tz)
         try:
             body2 = dict(body)
             body2["context"] = {k: v for k, v in ctx.items()

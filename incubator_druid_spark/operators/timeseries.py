@@ -227,6 +227,12 @@ def _bucket_partition_days(src: DataFrame, ivs, spark) -> DataFrame | None:
     if "__bucket" not in src.columns:
         return None
     try:
+        # a join/union-derived frame's inputFiles() mixes every input's
+        # files — coverage would be mis-attributed; only a single-relation
+        # frame's partition listing IS its segment timeline
+        plan = src._jdf.queryExecution().analyzed().toString()
+        if re.search(r"(?m)^\s*[:+-]*\s*(?:Join|Union)\b", plan):
+            return None
         files = src.inputFiles()
     except Exception:
         return None
@@ -238,22 +244,27 @@ def _bucket_partition_days(src: DataFrame, ivs, spark) -> DataFrame | None:
     if not vals:
         return None
     utc = datetime.timezone.utc
-    days = set()
+    hours = set()
     for v in vals:
         try:
-            ts = datetime.datetime.strptime(v, "%Y-%m-%dT%H") \
-                .replace(tzinfo=utc)
+            hours.add(datetime.datetime.strptime(v, "%Y-%m-%dT%H")
+                      .replace(tzinfo=utc))
         except ValueError:
             return None  # unexpected layout — let the scan path decide
-        days.add(datetime.datetime(ts.year, ts.month, ts.day, tzinfo=utc))
-    # keep only days overlapping the query intervals (same pruning the
-    # scan path gets from interval_predicate)
-    day_ms = 86_400_000
-    pruned = []
-    for d in sorted(days):
-        ms = int(d.timestamp() * 1000)
-        if any(s < ms + day_ms and ms < e for s, e in ivs):
-            pruned.append((d.replace(tzinfo=None),))
-    if not pruned:
-        pruned = []
+    # segment span: hour-partitioned tables (any nonzero hour component)
+    # cover [hour, hour+1h) per value; all-midnight listings are read as
+    # DAY segments (Druid's default segmentGranularity — a day segment
+    # covers the whole day, testTimeseriesQueryZeroFilling).  Prune at the
+    # SEGMENT span against the query intervals BEFORE collapsing to days,
+    # so a sub-day interval over hour segments doesn't zero-fill a day none
+    # of whose segment hours overlap (timeline condensation,
+    # CachingClusteredClient).
+    hour_ms, day_ms = 3_600_000, 86_400_000
+    span_ms = hour_ms if any(h.hour for h in hours) else day_ms
+    days = set()
+    for h in sorted(hours):
+        ms = int(h.timestamp() * 1000)
+        if any(s < ms + span_ms and ms < e for s, e in ivs):
+            days.add(datetime.datetime(h.year, h.month, h.day))
+    pruned = [(d,) for d in sorted(days)]
     return spark.createDataFrame(pruned, "__seg_day timestamp")

@@ -341,6 +341,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # stuffing
+        # keep only the undrained low bits — an ever-growing accumulator
+        # makes each shift O(total bits written) (quadratic encode)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self):
         if self.n:

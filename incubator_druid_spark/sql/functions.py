@@ -636,10 +636,32 @@ _SQL_VIEWS: dict[str, str] = {}
 _SQL_CTX = __import__("threading").local()
 
 
-def set_sql_current_timestamp(iso: str | None) -> None:
+def set_sql_current_timestamp(iso: str | None, tz: str | None = None) -> None:
     """Pin (or clear, with None) CURRENT_TIMESTAMP/CURRENT_DATE for this
-    thread's druid_sql calls."""
+    thread's druid_sql calls.  ``tz`` is the effective sqlTimeZone the query
+    will execute under (PlannerContext converts now into the sql timezone,
+    PlannerContext.java localNow) — the instant is rendered in that zone's
+    wall clock so the naive literal re-reads as the same instant under the
+    matching Spark session timezone."""
     _SQL_CTX.current_ts = iso
+    _SQL_CTX.current_ts_tz = tz
+
+
+def _resolve_tz(name: str):
+    """tz name ('UTC', 'America/Los_Angeles') or fixed offset ('+05:30')
+    -> tzinfo, None if unresolvable."""
+    import datetime as _dt
+    import re as _re
+    m = _re.fullmatch(r"([+-])(\d{2}):?(\d{2})", name.strip())
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return _dt.timezone(sign * _dt.timedelta(hours=int(m.group(2)),
+                                                 minutes=int(m.group(3))))
+    try:
+        from zoneinfo import ZoneInfo
+        return ZoneInfo(name)
+    except Exception:
+        return None
 
 
 def _apply_current_timestamp(sql: str) -> str:
@@ -648,7 +670,14 @@ def _apply_current_timestamp(sql: str) -> str:
         return sql
     import datetime as _dt
     ts = _dt.datetime.fromisoformat(str(iso).replace("Z", "+00:00"))
+    tz_name = getattr(_SQL_CTX, "current_ts_tz", None)
+    if tz_name and ts.tzinfo is not None:
+        tzinfo = _resolve_tz(str(tz_name))
+        if tzinfo is not None:
+            ts = ts.astimezone(tzinfo)
     ts_lit = ts.strftime("%Y-%m-%d %H:%M:%S")
+    if ts.microsecond:  # keep milliseconds (reference localNow has millis)
+        ts_lit += ".%03d" % (ts.microsecond // 1000)
     d_lit = ts.strftime("%Y-%m-%d")
     sql = _outside_literals(sql, lambda seg: re.sub(
         r"(?i)\bCURRENT_TIMESTAMP\b", f"TIMESTAMP '{ts_lit}'", seg))
@@ -1263,12 +1292,18 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # All dotted-name rewrites run OUTSIDE string literals only.
     outside_segments: list[str] = []
     _outside_literals(sql, lambda s: (outside_segments.append(s), s)[1])
+    # lookups that can actually be an EARLIEST/LATEST target — those read as
+    # a FROM datasource, not join-side references (whose star-expansion
+    # schema must stay the two-column (k, v) contract)
+    _from_lookups = set(re.findall(r"(?i)\bFROM\s+lookup\s*\.\s*(\w+)",
+                                   " ".join(outside_segments)))
     for lk in set(re.findall(r"(?i)\blookup\s*\.\s*(\w+)",
                              " ".join(outside_segments))):
         from incubator_druid_spark.functions.lookups import get_lookup
         mapping = get_lookup(lk)  # KeyError on unknown lookup = clear error
-        if re.search(r"(?i)\b(?:EARLIEST|LATEST)(?:_BY)?\s*\(",
-                     " ".join(outside_segments)):
+        if lk in _from_lookups and re.search(
+                r"(?i)\b(?:EARLIEST|LATEST)(?:_BY)?\s*\(",
+                " ".join(outside_segments)):
             # EARLIEST/LATEST read __time, which a lookup table lacks; the
             # reference's lookup segments read the missing column as a
             # constant, so first/last degrade to map ITERATION order
@@ -1515,8 +1550,14 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # (0, null) row); Spark's literal grouping yields zero groups on empty
     # input.  Dropping the clause turns it into the same global aggregate.
     # Integer "literals" are ordinals in this dialect — never touched.
+    # (the pattern itself spans a string literal, so _outside_literals can't
+    # host it — instead require the MATCH START to sit outside literal spans,
+    # protecting literals whose contents happen to contain "GROUP BY '...'")
+    _gb_spans = _literal_spans(sql)
     sql = re.sub(r"(?i)\bGROUP\s+BY\s+'(?:[^']|'')*'(?=\s*(?:HAVING|ORDER"
-                 r"|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|\)|$))", "", sql)
+                 r"|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|\)|$))",
+                 lambda m: m.group(0) if _in_spans(m.start(), _gb_spans)
+                 else "", sql)
     sql = sql.replace(r"ESCAPE '\'", r"ESCAPE '\\'")
     # STRING_FORMAT is variadic (StringFormatOperatorConversion.java) — SQL
     # UDFs have fixed arity, so map the name to Spark's format_string
