@@ -10,8 +10,11 @@ runtime join filters), so this engine defines its own filter format: the
 ``xxhash64(seed_i, cast(value as string)) mod m``.  Both build and probe use
 the same JVM-side expression, so the whole thing lives in codegen:
 
-- build: explode the k probe positions per row → collect_set (one shuffle of
-  ≤ m ints per group);
+- build: k per-probe collect_sets of ints, unioned post-agg — per-group
+  aggregation STATE is bounded by k·m ints no matter how many distinct
+  input values a group holds (Druid's analogue: a fixed-size ByteBuffer
+  bitset in BloomFilterAggregatorFactory), and collect_set partials dedup
+  map-side so the shuffle carries ≤ k·m ints per group;
 - probe: k array_contains checks against the (broadcast-literal or column)
   position set.
 
@@ -37,13 +40,17 @@ def _probe_positions(col: Column, m: int, k: int) -> list[Column]:
 
 def bloom_build_agg(col: Column, m: int = DEFAULT_M, k: int = DEFAULT_K) -> Column:
     """Aggregate expression: bloom position-set of a column within each group
-    (BloomFilterAggregatorFactory).  Use inside .agg(); pair with explode:
-    the positions array is exploded pre-agg by ``bloom_build_df``."""
-    # positions per row as array, flattened through collect_set of explode is
-    # not expressible inside .agg alone; aggregate the per-row arrays then
-    # flatten+dedup
-    arr = F.array(*_probe_positions(col, m, k))
-    return F.array_sort(F.array_distinct(F.flatten(F.collect_set(arr))))
+    (BloomFilterAggregatorFactory — fixed-size ByteBuffer bitset in the
+    reference).  Use inside .agg().
+
+    One ``collect_set`` PER PROBE keeps the aggregation state bounded: each
+    set holds distinct ints in [0, m), so per-group state is ≤ k·m ints even
+    for a group with millions of distinct input values (a ``collect_set`` of
+    per-row position ARRAYS would grow with input cardinality instead —
+    the OOM shape this replaces).  The k sets are unioned post-agg."""
+    sets = [F.collect_set(p) for p in _probe_positions(col, m, k)]
+    merged = sets[0] if k == 1 else F.concat(*sets)
+    return F.array_sort(F.array_distinct(merged))
 
 
 def bloom_build(df: DataFrame, col: str, m: int = DEFAULT_M,
