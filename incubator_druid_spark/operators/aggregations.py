@@ -18,11 +18,44 @@ division — both preserved.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from incubator_druid_spark.catalog import TIME_COLUMN
 from incubator_druid_spark.filters.filters import FilterContext, compile_filter
+
+# Active bounded-fold registry (functions/sketch_fold.py): when an operator
+# passes `folds` to compile_aggregations, binary theta/doubles merges route
+# through a partition-local prefold instead of collect_list over raw rows,
+# so no group materializes its full sketch list (round-5 verdict watch item).
+# Thread-local like the lookup pending-join registry in functions/lookups.py.
+_FOLD_TL = threading.local()
+
+
+def _binary_merge_agg(expr: Column, kind: str, read, return_type) -> Column:
+    """Merge a group's stored binary sketches and apply ``read``.  With an
+    active fold registry this registers a SketchFold (the operator prefolds
+    per partition, bounding state — see functions/sketch_fold.py) and
+    aggregates the bounded partials; otherwise it collects the raw column
+    (legacy shape, kept for subtotals/rollup paths that manage their own
+    frames)."""
+    if kind == "theta":
+        from incubator_druid_spark.functions import theta_sketch as th
+        def make(partial):
+            return th.theta_merge_udf(read, return_type)
+    else:
+        import incubator_druid_spark.functions.doubles_sketch as ds
+        def make(partial):
+            return ds.doubles_merge_udf(read, return_type, partial=partial)
+    folds = getattr(_FOLD_TL, "folds", None)
+    if folds is None:
+        return make(False)(F.collect_list(expr))
+    from incubator_druid_spark.functions.sketch_fold import SketchFold
+    fold = SketchFold(f"__sfold{len(folds)}", expr, kind)
+    folds.append(fold)
+    return make(True)(F.collect_list(F.col(fold.src)))
 
 
 # ---------------------------------------------------------------------------
@@ -506,10 +539,8 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         fname = spec.get("fieldName")
         if fname and ctx.is_binary(fname):
             from pyspark.sql import types as T
-
-            from incubator_druid_spark.functions import theta_sketch as th
-            return th.theta_merge_udf(lambda s: s.estimate, T.DoubleType())(
-                F.collect_list(ctx.resolve(fname)))
+            return _binary_merge_agg(ctx.resolve(fname), "theta",
+                                     lambda s: s.estimate, T.DoubleType())
         return F.count_distinct(f())
     if t == "__percentile":
         # synthesized by rewrite_sketch_query from sketch-quantile post-aggs
@@ -524,8 +555,8 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             read = ((lambda v: ds.quantile(v, fr[0])) if len(fr) == 1 else
                     (lambda v: [ds.quantile(v, x) for x in fr]))
             rt = T.DoubleType() if len(fr) == 1 else T.ArrayType(T.DoubleType())
-            return ds.doubles_merge_udf(read, rt)(
-                F.collect_list(ctx.resolve(spec["fieldName"])))
+            return _binary_merge_agg(ctx.resolve(spec["fieldName"]),
+                                     "doubles", read, rt)
         acc = min(int(spec.get("k", 10000)), 10000)
         if len(fracs) == 1:
             return F.percentile_approx(f().cast("double"), float(fracs[0]), acc)
@@ -542,9 +573,10 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         if _is_ds_binary(ctx, spec.get("fieldName")):
             from pyspark.sql import types as T
             import incubator_druid_spark.functions.doubles_sketch as ds
-            return ds.doubles_merge_udf(
+            return _binary_merge_agg(
+                ctx.resolve(spec["fieldName"]), "doubles",
                 lambda view: ds.rank_of(view, v, inclusive=False),
-                T.DoubleType())(F.collect_list(ctx.resolve(spec["fieldName"])))
+                T.DoubleType())
         x = f().cast("double")
         return F.avg(F.when(x < v, 1.0).when(x.isNotNull(), 0.0))
     if t == "__cdf":
@@ -557,10 +589,10 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         if _is_ds_binary(ctx, spec.get("fieldName")):
             from pyspark.sql import types as T
             import incubator_druid_spark.functions.doubles_sketch as ds
-            return ds.doubles_merge_udf(
+            return _binary_merge_agg(
+                ctx.resolve(spec["fieldName"]), "doubles",
                 lambda view: ds.cdf(view, splits, inclusive=False),
-                T.ArrayType(T.DoubleType()))(
-                F.collect_list(ctx.resolve(spec["fieldName"])))
+                T.ArrayType(T.DoubleType()))
         x = f().cast("double")
         cells = [F.avg(F.when(x < s, 1.0).when(x.isNotNull(), 0.0))
                  for s in splits]
@@ -576,9 +608,10 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             from pyspark.sql import types as T
             import incubator_druid_spark.functions.doubles_sketch as ds
             nb = spec.get("numBins")
-            return ds.doubles_merge_udf(
+            return _binary_merge_agg(
+                ctx.resolve(fname), "doubles",
                 lambda view: ds.pmf_counts(view, splits, nb, inclusive=False),
-                T.ArrayType(T.DoubleType()))(F.collect_list(ctx.resolve(fname)))
+                T.ArrayType(T.DoubleType()))
         if splits is not None and not _is_quantile_state(ctx, fname):
             ss = [float(s) for s in splits]
             x = f().cast("double")
@@ -608,9 +641,9 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             # segments): parse + merge the stored sketches, read the median
             from pyspark.sql import types as T
             import incubator_druid_spark.functions.doubles_sketch as ds
-            return ds.doubles_merge_udf(lambda view: ds.quantile(view, 0.5),
-                                        T.DoubleType())(
-                F.collect_list(ctx.resolve(fname)))
+            return _binary_merge_agg(ctx.resolve(fname), "doubles",
+                                     lambda view: ds.quantile(view, 0.5),
+                                     T.DoubleType())
         return F.percentile_approx(f().cast("double"), 0.5, 10000)
     if t in ("variance", "varianceFold"):
         # stats/variance/VarianceAggregatorFactory.java (population by default
@@ -1137,7 +1170,13 @@ def _hll_union_estimate(post: dict, by_name: dict, extra_aggs: list) -> dict | N
 
 
 def compile_aggregations(specs: list[dict] | None, ctx: FilterContext,
-                         query: dict | None = None) -> list[Column]:
+                         query: dict | None = None,
+                         folds: list | None = None) -> list[Column]:
+    """``folds``: pass a list to opt into bounded binary-sketch merging —
+    theta/doubles COMPLEX merges are appended to it as SketchFold entries
+    (excluded from the returned columns) for the operator to run through
+    ``sketch_fold.grouped_agg``.  Without it the merges compile to the
+    legacy collect_list shape."""
     if not specs:
         return []
     # context.finalize=false (QueryContexts.isFinalize — the broker↔data-node
@@ -1146,7 +1185,25 @@ def compile_aggregations(specs: list[dict] | None, ctx: FilterContext,
     if query is not None and (query.get("context") or {}) \
             .get("finalize") is False:
         return compile_rollup_aggregations(specs, ctx)
-    return [compile_aggregator(s, ctx) for s in specs]
+    prev = getattr(_FOLD_TL, "folds", None)
+    _FOLD_TL.folds = folds
+    try:
+        if folds is None:
+            return [compile_aggregator(s, ctx) for s in specs]
+        out = []
+        for i, s in enumerate(specs):
+            n0 = len(folds)
+            col = compile_aggregator(s, ctx)
+            if len(folds) > n0:
+                fold = folds[-1]
+                fold.agg = col
+                fold.out_name = _agg_name(s) or s.get("name", s["type"])
+                fold.pos = i
+            else:
+                out.append(col)
+        return out
+    finally:
+        _FOLD_TL.folds = prev
 
 
 def compile_rollup_aggregations(specs: list[dict] | None,

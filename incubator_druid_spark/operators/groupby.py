@@ -84,15 +84,17 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         out = run_keyed_aods(df, keys, keyed, ctx)
 
     else:
-        aggs = compile_aggregations(agg_specs, ctx, query)
+        from incubator_druid_spark.functions.sketch_fold import grouped_agg
+        folds = []
+        aggs = compile_aggregations(agg_specs, ctx, query, folds=folds)
         from incubator_druid_spark.functions.lookups import flush_lookup_joins
         df = flush_lookup_joins(df)  # large-lookup refs inside expr aggs
-        if not aggs and keys:
+        if not aggs and not folds and keys:
             # no aggregators (GroupByQueryRunnerTest.testGroupByNoAggregators)
             # — the result is the distinct group keys
             out = df.select(*[qcol(k) for k in keys]).distinct()
         else:
-            out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs) if keys else df.agg(*aggs)
+            out = grouped_agg(df, [qcol(k) for k in keys], aggs, folds)
 
     post = compile_post_aggregations(
         keyed["remaining_posts"] if keyed is not None

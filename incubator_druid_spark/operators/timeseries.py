@@ -67,18 +67,22 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
                               else F.col(TIME_COLUMN))
         limit = query.get("limit")
         return out.limit(int(limit)) if limit else out
-    aggs = compile_aggregations(query.get("aggregations"), ctx, query)
+    from incubator_druid_spark.functions.sketch_fold import grouped_agg
+    folds = []
+    aggs = compile_aggregations(query.get("aggregations"), ctx, query,
+                                folds=folds)
     from incubator_druid_spark.functions.lookups import flush_lookup_joins
     df = flush_lookup_joins(df)  # large-lookup refs inside expression aggs
-    if not aggs:
+    if not aggs and not folds:
         aggs = [F.count(F.lit(1)).alias("count")]
     post = compile_post_aggregations(query.get("postAggregations"))
 
     if gran.kind == "all":
-        out = df.agg(*aggs)
+        out = grouped_agg(df, [], aggs, folds)
     else:
-        out = (df.groupBy(gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN))
-                 .agg(*aggs))
+        out = grouped_agg(
+            df, [gran.floor(F.col(TIME_COLUMN)).alias(TIME_COLUMN)],
+            aggs, folds)
         out = _zero_fill(out, query, gran, spark, catalog)
 
     # TimeseriesQuery.CTX_TIMESTAMP_RESULT_FIELD — materialize the bucket
@@ -103,8 +107,12 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         if query.get("context", {}).get("grandTotal"):
             # TimeseriesQueryQueryToolChest grand-total row: overall aggregate
             # appended with a null timestamp
-            total = df.agg(*compile_aggregations(query.get("aggregations"), ctx, query)
-                           or [F.count(F.lit(1)).alias("count")])
+            tfolds = []
+            taggs = compile_aggregations(query.get("aggregations"), ctx,
+                                         query, folds=tfolds)
+            if not taggs and not tfolds:
+                taggs = [F.count(F.lit(1)).alias("count")]
+            total = grouped_agg(df, [], taggs, tfolds)
             if post:
                 total = total.select("*", *compile_post_aggregations(
                     query.get("postAggregations")))

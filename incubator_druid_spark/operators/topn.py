@@ -61,11 +61,14 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         df = df.filter(key < skey if stop_inverted else key > skey)
 
     ctx = FilterContext(df)
-    aggs = compile_aggregations(query.get("aggregations"), ctx, query)
+    from incubator_druid_spark.functions.sketch_fold import grouped_agg
+    folds = []
+    aggs = compile_aggregations(query.get("aggregations"), ctx, query,
+                                folds=folds)
     from incubator_druid_spark.functions.lookups import flush_lookup_joins
     df = flush_lookup_joins(df)  # large-lookup refs inside expression aggs
-    if aggs:
-        out = df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)
+    if aggs or folds:
+        out = grouped_agg(df, [qcol(k) for k in keys], aggs, folds)
     else:
         # no aggregators (TopNQueryRunnerTest.testSortOnDoubleAsLong /
         # testTopNLexicographicNoAggregators): distinct dimension values,
