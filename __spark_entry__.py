@@ -1308,9 +1308,45 @@ def _multimodal_decode(spark, sf):
                 content.append(encode_baseline_jpeg(arr, quant=1))
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
+    def gen_pngs(batches):
+        # solid fills again, but PNG-encoded: the per-row filter heuristic
+        # picks Sub on constant rows, so zlib inflate, unfiltering and (for
+        # odd ids) RGBA→RGB normalization are all on the exact hash path
+        # (pipeline/png.py)
+        import numpy as np
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline.png import encode_png
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 5 + d % 6, 4 + d % 4
+                rgb = [(d * 19) % 256, (d * 23) % 256, (d * 31) % 256]
+                if d % 2:  # alpha channel must drop without touching RGB
+                    arr = np.full((h, w, 4), 255, np.uint8)
+                    arr[..., :3] = rgb
+                else:
+                    arr = np.tile(np.array(rgb, np.uint8), (h, w, 1))
+                content.append(encode_png(arr))
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
     img_src = ids.mapInPandas(gen_images, schema="id long, content binary")
     wav_src = ids.mapInPandas(gen_wavs, schema="id long, content binary")
     jpg_src = ids.mapInPandas(gen_jpegs, schema="id long, content binary")
+    png_src = ids.mapInPandas(gen_pngs, schema="id long, content binary")
+    png = (decode_image_features(png_src, fake=False)
+           .select("id",
+                   F.col("width").cast("long").alias("png_w"),
+                   F.col("height").cast("long").alias("png_h"),
+                   F.round(F.element_at("feat", 1) * 255).cast("long")
+                    .alias("png_r"),
+                   F.round(F.element_at("feat", 2) * 255).cast("long")
+                    .alias("png_g"),
+                   F.round(F.element_at("feat", 3) * 255).cast("long")
+                    .alias("png_b"),
+                   F.round(F.element_at("feat", 4) * 1000).cast("long")
+                    .alias("png_std_x1000")))
     jpg = (decode_image_features(jpg_src, fake=False)
            .select("id",
                    F.col("width").cast("long").alias("jpeg_w"),
@@ -1332,7 +1368,7 @@ def _multimodal_decode(spark, sf):
            .select("id", F.col("duration_ms").cast("long").alias("duration_ms"),
                    F.col("sample_rate").cast("long").alias("sample_rate"),
                    F.round(F.col("loudness") * 32768).cast("long").alias("amp")))
-    return (img.join(wav, "id").join(jpg, "id")
+    return (img.join(wav, "id").join(jpg, "id").join(png, "id")
                .withColumnRenamed("id", "doc_id")
                .orderBy("doc_id"))
 
@@ -2082,7 +2118,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + doc_id % 9 AS BIGINT) AS jpeg_w,
                    CAST(8 + doc_id % 7 AS BIGINT) AS jpeg_h,
                    CAST((doc_id * 17 + 11) % 256 AS BIGINT) AS jpeg_gray,
-                   CAST(0 AS BIGINT) AS jpeg_std_x1000
+                   CAST(0 AS BIGINT) AS jpeg_std_x1000,
+                   CAST(5 + doc_id % 6 AS BIGINT) AS png_w,
+                   CAST(4 + doc_id % 4 AS BIGINT) AS png_h,
+                   CAST((doc_id * 19) % 256 AS BIGINT) AS png_r,
+                   CAST((doc_id * 23) % 256 AS BIGINT) AS png_g,
+                   CAST((doc_id * 31) % 256 AS BIGINT) AS png_b,
+                   CAST(0 AS BIGINT) AS png_std_x1000
             FROM documents WHERE doc_id < 48 ORDER BY doc_id
         """,
         # same containment-oracle shape as ann_ivf_topk: the emitted frame

@@ -137,11 +137,16 @@ def _decode_image(data: bytes):
         # (pipeline/jpeg.py); progressive/arithmetic raise there by name
         from incubator_druid_spark.pipeline.jpeg import decode_baseline_jpeg
         return decode_baseline_jpeg(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        # pure-Python zlib-inflate + unfilter decoder (pipeline/png.py):
+        # 8-bit grey/RGB/GA/RGBA + 1/2/4/8-bit palette, Adam7 included
+        from incubator_druid_spark.pipeline.png import decode_png_rgb
+        return decode_png_rgb(data)
     head = bytes(data[:4])
     raise NotImplementedError(
         f"image codec for magic {head!r} not available in this environment "
-        "(pure-Python decoders cover P6 PPM, 24-bit BMP and baseline JPEG; "
-        "PNG/progressive-JPEG need PIL — plug it in at this line)")
+        "(pure-Python decoders cover P6 PPM, 24-bit BMP, baseline JPEG and "
+        "PNG; progressive-JPEG/WEBP/GIF need PIL — plug it in at this line)")
 
 
 def _image_feature(arr, target: tuple[int, int]) -> tuple[list[float], int, int]:
@@ -218,8 +223,11 @@ def decode_image_features(df: DataFrame, id_col: str = "id",
                     feats.append(f)
                     ws.append(w)
                     hs.append(h)
-                    mimes.append("image/x-portable-pixmap"
-                                 if b[:2] == b"P6" else "image/bmp")
+                    mimes.append(
+                        "image/x-portable-pixmap" if b[:2] == b"P6"
+                        else "image/jpeg" if b[:2] == b"\xFF\xD8"
+                        else "image/png" if b[:4] == b"\x89PNG"
+                        else "image/bmp")
                 yield pd.DataFrame({"id": pdf[id_col], "mime": mimes,
                                     "feat": feats, "width": ws, "height": hs})
                 continue
