@@ -1400,13 +1400,12 @@ def _tuple_keyed_stats(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver hard-gates the FIRST 50 entries
-    # (rows + schema + value hash vs the DuckDB oracle).  Round 4 rotates in
-    # the last never-driver-gated oracle entries (text_source_tokens,
-    # ann_brute_topk, ngram_jaccard_pairs — VERDICT r3 ask #2) plus the new
-    # ann_ivf_topk_indexed entry (ask #5), rotating out four triple-green
-    # single-feature entries (legacy_null_mode, gb_extraction_substr,
-    # gb_in_not_filter, search_fragment) — those stay verified by
-    # scripts/check_correctness.py, which runs the FULL board.
+    # (rows + schema + value hash vs the DuckDB oracle).  Round 6 rotates in
+    # the four entries no driver window had gated yet
+    # (theta_sketch_column_estimate + the three signature families that
+    # turned hash-exact in round 5) — with them, the union of the r1–r6
+    # windows covers ALL 81 oracle entries.  Rotated-out entries stay
+    # verified by scripts/check_correctness.py, which runs the FULL board.
     return {
         # --- window slots 1-24: long-green entries kept under the gate
         "ts_day_zerofill": _ts_day_zerofill,
@@ -1421,17 +1420,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gb_nested_query": _gb_nested_query,
         "scan_lookup": _scan_lookup,
         "sql_druid_functions": _sql_druid_functions,
-        "timewarp_ts": _timewarp_ts,
         "topn_inverted": _topn_inverted,
         "scan_interval": _scan_interval,
         "theta_intersect": _theta_intersect,
-        "sessionize_stats": _sessionize_stats,
         "ann_ivf_topk": _ann_ivf_topk,
         "bloom_filtered_count": _bloom_filtered_count,
         "ds_sketch_column_quantiles": _ds_sketch_column_quantiles,
         "sql_earliest_latest": _sql_earliest_latest,
-        "tuple_keyed_stats": _tuple_keyed_stats,
-        "ts_day_tz": _ts_day_tz,
+        # --- round-6 rotations: the four entries never driver-gated —
+        # theta_sketch_column_estimate (new in r5; exercises the new bounded
+        # prefold) and the three signature families that turned hash-exact
+        # in r5 (were rows-only before).  Rotated out for them: four
+        # 5×-green single-feature entries (tuple_keyed_stats,
+        # sessionize_stats, timewarp_ts, ts_day_tz), still on the full
+        # local board.
+        "theta_sketch_column_estimate": _theta_sketch_column_estimate,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "ann_lsh_topk": _ann_lsh_topk,
         # --- window slots 25-28: rotated in for the round-4 hard gate
         # (the last oracle-backed entries never driver-checked, + the new
         # persisted-IVF-index entry)
@@ -1463,7 +1469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _json_props,
         "cosine_near_dup": _cosine_near_dup,
         "hll_sketch_column_estimate": _hll_sketch_column_estimate,
-        "theta_sketch_column_estimate": _theta_sketch_column_estimate,
         # --- below the 50-entry window: long-green earlier-round entries
         # (every oracle-backed entry has now passed the driver gate in at
         # least one round; scripts/check_correctness.py keeps them green)
@@ -1495,9 +1500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_sketch": _tuple_sketch,
         "spatial_rect": _spatial_rect,
         "time_boundary": _time_boundary,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "minhash_pairs": _minhash_pairs,
-        "simhash_pairs": _simhash_pairs,
+        "tuple_keyed_stats": _tuple_keyed_stats,
+        "sessionize_stats": _sessionize_stats,
+        "timewarp_ts": _timewarp_ts,
+        "ts_day_tz": _ts_day_tz,
     }
 
 
