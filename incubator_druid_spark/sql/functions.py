@@ -822,7 +822,16 @@ def _rewrite_array_literals(sql: str) -> str:
             elif c == "]":
                 depth -= 1
             j += 1
-        out.append(_rewrite_array_literals(sql[seg_start:j - 1]))
+        inner = _rewrite_array_literals(sql[seg_start:j - 1])
+        # Druid's array constructor makes DOUBLE elements from decimal
+        # literals (ExprEval — there is no DECIMAL type); Spark would infer
+        # DECIMAL(p,s), which then refuses to mix with double columns
+        # (ARRAY_APPEND(ARRAY[1.2,2.2], d1)).  Cast in place, outside
+        # string literals.
+        inner = _outside_literals(inner, lambda seg: re.sub(
+            r"(?<![\w.])(\d+\.\d+(?:[eE][+-]?\d+)?)(?![\w.])",
+            r"CAST(\1 AS DOUBLE)", seg))
+        out.append(inner)
         out.append(")")
         i = j
     return "".join(out)
@@ -911,12 +920,26 @@ def _rewrite_array_agg(sql: str) -> str:
         pos = i
 
 
-def _is_array_text(arg: str) -> bool:
+def _is_array_text(arg: str, array_cols: frozenset = frozenset()) -> bool:
+    """Does this argument TEXT denote an array value?  Literal constructors
+    and array-returning function calls are syntactic; bare identifiers
+    consult ``array_cols`` (array-typed column names collected from the
+    catalog schemas) so non-literal second arguments dispatch like Druid's
+    type-driven ArrayContains/ArrayOverlap (Function.java) — e.g.
+    ARRAY_CONTAINS(dim3, dim2) with dim2 an MVD means contains-ALL."""
     import re
-    return re.match(r"(?i)\s*array\s*[(\[]", arg) is not None
+    if re.match(r"(?i)\s*(array\s*[(\[]|mv_to_array\s*\(|string_to_array\s*\(|"
+                r"array_(append|prepend|concat|slice|distinct)\s*\()", arg):
+        return True
+    m = re.match(r"\s*`?([A-Za-z_]\w*)`?\s*$|\s*\w+\s*\.\s*`?([A-Za-z_]\w*)`?\s*$",
+                 arg)
+    if m:
+        return (m.group(1) or m.group(2)) in array_cols
+    return False
 
 
-def _rewrite_array_functions(sql: str) -> str:
+def _rewrite_array_functions(sql: str,
+                             array_cols: frozenset = frozenset()) -> str:
     """The ARRAY_* scalar family (sql/.../expression/builtin/Array*OperatorConversion.java)
     as type-preserving rewrites to Spark builtins.  Semantics follow
     core/.../math/expr/Function.java (SQL-compatible null mode):
@@ -978,7 +1001,7 @@ def _rewrite_array_functions(sql: str) -> str:
         if len(a) != 2:
             return None
         arr, v = a
-        if _is_array_text(v):
+        if _is_array_text(v, array_cols):
             return f"forall({v}, __x -> array_contains({arr}, __x))"
         return f"array_contains({arr}, {v})"
     sql = _rewrite_calls(sql, "ARRAY_CONTAINS", contains_repl)
@@ -990,7 +1013,7 @@ def _rewrite_array_functions(sql: str) -> str:
         if len(a) != 2:
             return None
         arr, v = a
-        rhs = v if _is_array_text(v) else f"array({v})"
+        rhs = v if _is_array_text(v, array_cols) else f"array({v})"
         return f"arrays_overlap({arr}, {rhs})"
     sql = _rewrite_calls(sql, "ARRAY_OVERLAP", overlap_repl)
     sql = _rewrite_calls(sql, "MV_OVERLAP", overlap_repl)
@@ -1210,6 +1233,35 @@ def _rewrite_floor_ceil_to(sql: str) -> str:
                   else cei(m), sql)
 
 
+_ARRAY_COLS_CACHE: dict[int, frozenset] = {}
+
+
+def _catalog_array_cols(catalog) -> frozenset:
+    """Array-typed column names across the catalog's tables — lets the
+    string-level ARRAY_CONTAINS/ARRAY_OVERLAP rewrites dispatch non-literal
+    second arguments by TYPE like Druid's runtime does.  Memoized per
+    catalog instance (schemas are immutable once registered)."""
+    if catalog is None:
+        return frozenset()
+    key = id(catalog)
+    cached = _ARRAY_COLS_CACHE.get(key)
+    names = catalog.names()
+    if cached is not None and cached[0] == names:
+        return cached[1]
+    from pyspark.sql import types as _T
+    cols = set()
+    for t in names:
+        try:
+            for f in catalog.schema(t).fields:
+                if isinstance(f.dataType, _T.ArrayType):
+                    cols.add(f.name)
+        except Exception:  # pragma: no cover — unreadable source
+            continue
+    out = frozenset(cols)
+    _ARRAY_COLS_CACHE[key] = (names, out)
+    return out
+
+
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     """One-call Druid-flavored SQL entry: functions + views + execute."""
     import re
@@ -1338,7 +1390,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = _rewrite_time_tz(sql)
     sql = _rewrite_time_periods(sql)
     sql = _rewrite_regexp_extract(sql)
-    sql = _rewrite_array_functions(sql)
+    sql = _rewrite_array_functions(sql, _catalog_array_cols(catalog))
 
     # MVD-aware COUNT(DISTINCT col): Calcite exposes an MVD as VARCHAR and
     # plans a cardinality agg over its VALUES (CalciteQueryTest
