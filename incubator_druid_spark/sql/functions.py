@@ -1021,7 +1021,14 @@ def _rewrite_array_functions(sql: str,
 
 
 def _null_arg(a: str | None) -> bool:
-    return a is None or a.strip().upper() == "NULL"
+    if a is None:
+        return True
+    s = a.strip().upper()
+    # a typed null literal (`CAST(NULL AS TIMESTAMP)`) is how Calcite spells
+    # an omitted origin (testTimeseriesLosAngelesUsingTimeFloorConnectionUtc)
+    import re
+    return s == "NULL" or \
+        re.fullmatch(r"CAST\s*\(\s*NULL\s+AS\s+\w+\s*\)", s) is not None
 
 
 def _lit_period(arg: str) -> str | None:
@@ -1085,8 +1092,26 @@ def _rewrite_time_periods(sql: str) -> str:
             if lit is None:
                 return None  # non-literal: strict UDF raises if unknown
             norm = lit.upper()
+            if norm in _CAL and kind in ("floor", "ceil"):
+                # calendar periods floor in the SESSION time zone
+                # (TimeFloorOperatorConversion defaults to the planner tz).
+                # Inline date_trunc instead of the registered UDF: Spark
+                # resolves a SQL temp function's body ONCE and caches it
+                # with the first session's zone baked into DateTrunc, so a
+                # later sqlTimeZone query would floor in the wrong zone
+                # (testTimeseriesLosAngelesUsingTimeFloorConnection*).
+                unit = _CAL[norm]
+                fl = f"date_trunc('{unit}', {args[0]})"
+                if kind == "floor":
+                    return fl
+                add = {"month": ("MONTH", 1), "quarter": ("MONTH", 3),
+                       "year": ("YEAR", 1)}[unit]
+                return (f"(CASE WHEN {fl} = {args[0]} THEN {args[0]} ELSE "
+                        f"timestampadd({add[0]}, {add[1]}, {fl}) END)")
             if norm in _FIXED or norm in _CAL:
-                return None  # common period: the registered UDF handles it
+                # fixed periods are pure epoch-millis arithmetic (no tz
+                # sensitivity) — the registered UDF handles them
+                return None
             per = parse_period(lit)  # malformed period raises loudly here
             ts = args[0]
             if kind == "floor":
@@ -1407,6 +1432,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         _nonlit = []
         _outside_literals(sql, lambda s: (_nonlit.append(s), s)[1])
         _nonlit_sql = " ".join(_nonlit)
+        bin_cols: set[str] = set()
         for _t in catalog.names():
             if not re.search(rf"(?i)\b{re.escape(_t)}\b", _nonlit_sql):
                 continue
@@ -1416,6 +1442,8 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                             and isinstance(_f.dataType.elementType,
                                            _T.StringType)):
                         mvd_cols.add(_f.name)
+                    elif isinstance(_f.dataType, _T.BinaryType):
+                        bin_cols.add(_f.name)
             except Exception:  # pragma: no cover - unreadable table
                 pass
 
@@ -1423,6 +1451,16 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             if len(a) != 1:
                 return None
             m = re.match(r"(?is)^\s*DISTINCT\s+([A-Za-z_]\w*)\s*$", a[0])
+            if m and m.group(1) in bin_cols:
+                # exact COUNT(DISTINCT) over a COMPLEX sketch column would
+                # silently count distinct serialized blobs; Druid refuses
+                # ("Unable to plan", CalciteQueryTest
+                # testUnplannableExactCountDistinctOnSketch) — match that.
+                raise ValueError(
+                    f"COUNT(DISTINCT {m.group(1)}) over a COMPLEX sketch "
+                    "column cannot be planned exactly; use "
+                    f"APPROX_COUNT_DISTINCT({m.group(1)}) to merge the "
+                    "stored sketch state")
             if m and m.group(1) in mvd_cols:
                 c = m.group(1)
                 return (f"CAST(size(filter(array_distinct(flatten("
@@ -1452,6 +1490,12 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                 c = m.group(1)
                 return (f"CAST(size(filter(array_distinct(flatten("
                         f"collect_set({c}))), x -> x IS NOT NULL)) AS BIGINT)")
+            if m and m.group(1) in bin_cols:
+                # COMPLEX hyperUnique column (rollup-stored HLL state):
+                # union the stored sketches like the native hyperUnique
+                # binary path (operators/aggregations.py)
+                return ("CAST(round(hll_sketch_estimate("
+                        f"hll_union_agg({m.group(1)}))) AS BIGINT)")
             return None
         sql = _rewrite_calls(sql, "APPROX_COUNT_DISTINCT", _acd_mvd_repl)
 
@@ -1581,11 +1625,15 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # ISO form stays on the SQL macro; patterned forms parse via
     # to_timestamp (these Joda pattern letters coincide with java.time's)
     def _time_parse_repl(a):
+        if len(a) not in (2, 3):
+            return None
+        # a NULL pattern means default ISO parsing
+        # (testGroupAndFilterOnTimeFloorWithTimeZone passes NULL + tz)
+        parsed = (f"CAST({a[0]} AS TIMESTAMP)" if _null_arg(a[1])
+                  else f"to_timestamp({a[0]}, {a[1]})")
         if len(a) == 2:
-            return f"to_timestamp({a[0]}, {a[1]})"
-        if len(a) == 3:
-            return f"to_utc_timestamp(to_timestamp({a[0]}, {a[1]}), {a[2]})"
-        return None
+            return parsed
+        return f"to_utc_timestamp({parsed}, {a[2]})"
     sql = _rewrite_calls(sql, "TIME_PARSE", _time_parse_repl)
     # Calcite dialect forms Spark's parser rejects:
     #   CAST(x AS VARCHAR) with no length  → STRING
