@@ -466,7 +466,17 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                     compile_extraction)
                 col = compile_extraction(fn, col)
             return col
-        fields = [_spec_col(d) for d in spec["fields"]]
+        # a COMPLEX (binary sketch) column has no dimension selector — the
+        # reference's CardinalityAggregator sees a nil selector and counts
+        # nothing (TimeseriesQueryRunnerTest
+        # testTimeseriesCardinalityAggOnHyperUnique expects 0.0)
+        def _is_complex(d):
+            name = d if isinstance(d, str) else d.get("dimension")
+            return name is not None and ctx.is_binary(name)
+        specs_in = [d for d in spec["fields"] if not _is_complex(d)]
+        if not specs_in:
+            return F.lit(0.0)
+        fields = [_spec_col(d) for d in specs_in]
         if spec.get("byRow"):
             if len(fields) == 1:
                 return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(fields[0])))
