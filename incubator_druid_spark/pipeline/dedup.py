@@ -111,28 +111,29 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
 def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int, shingle_n: int) -> DataFrame:
-    """(id, __sig, __sh) — base hashes JVM-side, min-hash sweep in numpy.
+    """(id, __sig) via an Arrow-batched numpy kernel.
 
-    The pure-Column signature path is correct but its nested HOF lambdas run
-    in Catalyst's interpreter (no codegen), costing ~100ms/doc at 64 hashes.
-    Split the work where each engine is fastest instead:
-
-    - shingling + the 60-bit md5-prefix base hash (``shingle_hash64`` — the
-      SQL-replayable shingle-set representation, identical in any oracle)
-      are a flat codegen'd Column projection (lower/regexp/split/slice/md5);
-      no interpreter-mode nesting, no Python string hashing (per-shingle
-      ``hashlib.md5`` in the old kernel was ~16% of the sf1 line);
-    - the k derived min-hashes are ONE (total_shingles × k) vectorized
-      (a_i·h + b_i) mod p sweep per Arrow batch with per-doc segment minima
-      via ``minimum.reduceat`` — numpy's sweet spot.
-
-    Arrow batch in/out, parallelism = input partitions, no shuffle
-    introduced.  Output identical to the minhash_signature Column path, so
-    a DuckDB oracle replays the full band/bucket pipeline from the same
-    hashes; __sh doubles as the shingle-set representation for the exact
-    Jaccard verify stage (set equality on 60-bit hashes ≡ set equality on
+    The pure-Column signature path is correct, but Catalyst higher-order
+    functions are CodegenFallback — every nested transform() runs in the
+    expression INTERPRETER, costing ~100ms/doc at 64 hashes.  (A round-6
+    attempt to move the base hashing "JVM-side" as
+    transform(shingles(text), shingle_hash64) hit exactly that wall: 10×
+    slower than this kernel at sf0.1 — shingling must stay OUT of HOF
+    space on the hot path.)  This kernel tokenizes + shingles in flat
+    Python/C (regex, set, hashlib), computes one 60-bit base hash per
+    shingle (md5 hex prefix — the same SQL-replayable base as
+    shingle_hash64), and derives the k min-hashes with a vectorized
+    (a_i·h + b_i) mod p sweep — the standard universal-hashing
+    construction — at ~1ms/doc.  A per-partition memo reuses digests of
+    repeated shingles (boilerplate phrases recur across documents).  Arrow
+    batch in/out, parallelism = input partitions, no shuffle introduced.
+    Identical output to the minhash_signature Column path, so a DuckDB
+    oracle can replay the full band/bucket pipeline from the same hashes;
+    __sh doubles as the shingle-set representation for the exact Jaccard
+    verify stage (set equality on 60-bit hashes ≡ set equality on
     shingles, collision odds ~n²/2^60).
     """
+    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -142,28 +143,50 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
     a, b = minhash_constants(num_hashes)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+        norm = _re.compile(r"[^a-z0-9\s]")
+        ws = _re.compile(r"\s+")
+        md5 = hashlib.md5
+        memo: dict[str, int] = {}
+
+        def hash_one(g: str) -> int:
+            h = memo.get(g)
+            if h is None:
+                h = int(md5(g.encode()).hexdigest()[:15], 16)
+                if len(memo) < 1_000_000:  # bounded per-partition cache
+                    memo[g] = h
+            return h
+
         for pdf in batches:
-            if not len(pdf):
+            ids, offsets, bases = [], [0], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(norm.sub(" ", (text or "").lower()).strip())
+                toks = [t for t in toks if t]
+                grams = {" ".join(toks[i:i + shingle_n])
+                         for i in range(len(toks) - shingle_n + 1)}
+                if not grams:
+                    continue
+                bases.append(np.fromiter((hash_one(g) for g in grams),
+                                         dtype=np.int64, count=len(grams)))
+                offsets.append(offsets[-1] + len(grams))
+                ids.append(rid)
+            if not ids:
                 yield pd.DataFrame({id_col: [], "__sig": [], "__sh": []})
                 continue
-            bases = [np.asarray(sh, dtype=np.int64) for sh in pdf["__sh"]]
-            lens = np.fromiter((len(x) for x in bases), dtype=np.int64,
-                               count=len(bases))
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # one (total_shingles × k) universal-hash sweep for the whole
+            # Arrow batch, then per-doc segment minima via minimum.reduceat —
+            # amortizes numpy dispatch across documents
             all_base = np.concatenate(bases)
             derived = ((all_base % mersenne)[:, None] * a[None, :]
                        + b[None, :]) % mersenne
-            mins = np.minimum.reduceat(derived, offsets, axis=0)
-            yield pd.DataFrame({id_col: pdf[id_col].tolist(),
+            mins = np.minimum.reduceat(derived, np.array(offsets[:-1]), axis=0)
+            yield pd.DataFrame({id_col: ids,
                                 "__sig": [m.tolist() for m in mins],
-                                "__sh": pdf["__sh"]})
+                                "__sh": [s.tolist() for s in bases]})
 
-    base = (df.select(F.col(id_col),
-                      F.transform(shingles(F.col(text_col), shingle_n),
-                                  shingle_hash64).alias("__sh"))
-              .filter(F.size("__sh") > 0))
-    return base.mapInPandas(
-        kernel, schema=f"{id_col} long, __sig array<long>, __sh array<long>")
+    return (df.select(id_col, text_col)
+              .mapInPandas(kernel,
+                           schema=f"{id_col} long, __sig array<long>, __sh array<long>"))
 
 
 def _shingle_frame(df: DataFrame, id_col: str, text_col: str,
