@@ -44,7 +44,17 @@ def get_spark(app_name: str = "incubator-druid-spark", master: str | None = None
         # reader rejects; read as long and convert in the catalog layer
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast decisions: static estimates come from COMPRESSED parquet
+        # bytes scaled by column pruning, which underestimates wide fact
+        # tables enough to broadcast them (a 6M-row lineitem planned as the
+        # build side of a 3-way join — backwards at any scale, fatal at
+        # 100 TB).  Disable the static threshold and let AQE convert
+        # sort-merge joins to broadcasts from EXACT post-shuffle sizes;
+        # engine-chosen broadcasts (lookups, inline/global datasources) use
+        # explicit broadcast() hints and are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
