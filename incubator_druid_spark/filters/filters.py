@@ -150,6 +150,11 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
             F.exists(arr, lambda v: _leaf_predicate(spec, t, v, ctx)),
             F.lit(False))
 
+    if dim is not None and ctx.is_binary(dim) and extraction is None:
+        # COMPLEX (binary sketch) columns have no dimension selector —
+        # DimFilters over them read null (testGroupByComplexColumn filters
+        # quality_uniques = null and matches every row)
+        return leaf(F.lit(None).cast("string"))
     return leaf(ctx.resolve(dim) if dim is not None else F.lit(None))
 
 

@@ -28,8 +28,10 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
     def _col(name):
         # a nonexistent column reads as NULL string, not an error — Druid's
         # schema-free-segment semantics (GroupByQueryRunnerTest
-        # .testGroupByWithNonexistentDimension)
-        if name not in types:
+        # .testGroupByWithNonexistentDimension); a COMPLEX (binary sketch)
+        # column has no dimension selector and also reads as the null group
+        # (testGroupByComplexColumn groups 26 rows under null)
+        if name not in types or isinstance(types[name], T.BinaryType):
             return F.lit(None).cast("string")
         return qcol(name)
 

@@ -257,6 +257,32 @@ def wiki_catalog(spark, tmp_path_factory):
     return cat
 
 
+@pytest.fixture(scope="session")
+def wiki_rollup_catalog(spark, wiki_catalog, tmp_path_factory):
+    """wiki rolled up to (day, market) grain with a quality_uniques
+    hyperUnique COMPLEX column — TestIndex.java's ingest-rollup metric;
+    used by the cardinality/hyperUnique-over-complex goldens."""
+    from pyspark.sql import functions as F
+
+    from incubator_druid_spark.catalog import Catalog
+    from incubator_druid_spark.operators.aggregations import _hll_input
+    wiki = wiki_catalog.table("wiki")
+    rolled = (wiki.groupBy(F.date_trunc("DAY", "__time").alias("__time"),
+                           "market")
+                  .agg(F.hll_sketch_agg(_hll_input(F.col("quality")))
+                        .alias("quality_uniques"),
+                       # longSum-at-ingest truncates each ROW's float to long
+                       # (LongSumAggregator reads getLong()) — matches the
+                       # goldens' idx values (12446, not the double-sum 12456)
+                       F.sum(F.col("index").cast("long")).alias("index"),
+                       F.count(F.lit(1)).alias("rows_rolled")))
+    path = str(tmp_path_factory.mktemp("wiki_rollup") / "wiki_rollup.parquet")
+    rolled.write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("wiki_rollup", path)
+    return cat
+
+
 def rows(df, *cols):
     """Collect to a sorted list of tuples for order-insensitive assertion."""
     data = [tuple(r[c] for c in cols) if cols else tuple(r) for r in df.collect()]

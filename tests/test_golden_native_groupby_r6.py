@@ -1,0 +1,218 @@
+"""Round-6 GroupByQueryRunnerTest tranche — grouping/filtering COMPLEX
+columns, overall-limit semantics, the limit-pushdown sort families, and
+hyperUnique re-aggregation through a subquery
+(processing/src/test/java/org/apache/druid/query/groupby/
+GroupByQueryRunnerTest.java).
+
+Not ported, with reasons:
+  * testBySegmentResults* (4) — the per-segment response envelope is a
+    broker↔historical protocol detail (see the topN tranche note).
+  * testGroupByMaxOnDiskStorage/MaxRows/Timeout/NotEnoughDictionarySpace/
+    NotEnoughDiskSpace ContextOverride (6) — spill/dictionary budget knobs
+    of the reference's off-heap engine; Tungsten manages its own spill and
+    has no equivalent ceiling to trip.
+  * testSubqueryWithOuter(Dim)JavascriptAggregators — the engine's
+    documented javascript refusal (expressionLambda hint).
+"""
+
+import pytest
+
+from incubator_druid_spark import translate
+
+F2T = ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"]
+FULL = ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"]
+
+
+def gb(spark, cat, **extra):
+    q = {"queryType": "groupBy", "dataSource": "wiki",
+         "granularity": "all", "intervals": F2T,
+         "aggregations": [{"type": "count", "name": "rows"},
+                          {"type": "longSum", "name": "idx",
+                           "fieldName": "index"}]}
+    q.update(extra)
+    return translate(q, spark, cat).collect()
+
+
+def test_group_by_complex_column(spark, wiki_rollup_catalog):
+    """testGroupByComplexColumn — grouping AND filtering on a COMPLEX
+    column both read the null selector: one null group holding every row."""
+    out = translate(
+        {"queryType": "groupBy", "dataSource": "wiki_rollup",
+         "granularity": "all", "intervals": F2T,
+         "dimensions": ["quality_uniques"],
+         "filter": {"type": "selector", "dimension": "quality_uniques",
+                    "value": None},
+         "aggregations": [
+             {"type": "longSum", "name": "rows", "fieldName": "rows_rolled"},
+             {"type": "longSum", "name": "idx", "fieldName": "index"}]},
+        spark, wiki_rollup_catalog).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["quality_uniques"], r["rows"], r["idx"]) == (None, 26, 12446)
+
+
+def test_group_by_cardinality_agg_on_hyper_unique(spark, wiki_rollup_catalog):
+    """testGroupByCardinalityAggOnHyperUnique — cardinality over the
+    COMPLEX column is 0.0; hyperUnique merges the stored state (exact
+    upgrade vs the 9.0198 estimate)."""
+    out = translate(
+        {"queryType": "groupBy", "dataSource": "wiki_rollup",
+         "granularity": "all", "intervals": F2T,
+         "aggregations": [
+             {"type": "longSum", "name": "rows", "fieldName": "rows_rolled"},
+             {"type": "cardinality", "name": "cardinality",
+              "fields": ["quality_uniques"], "byRow": False},
+             {"type": "hyperUnique", "name": "hyperUnique",
+              "fieldName": "quality_uniques"}]},
+        spark, wiki_rollup_catalog).collect()
+    r = out[0]
+    assert (r["rows"], r["cardinality"], round(r["hyperUnique"])) \
+        == (26, 0.0, 9)
+
+
+def test_limit_per_grouping_is_overall(spark, wiki_catalog):
+    """testLimitPerGrouping — a limitSpec limit applies to the OVERALL
+    result, not per granularity bucket: the reference asserts row 1 is
+    (day1, spot, 9) and row 2 is NOT (day2, spot, 9) — with a granular
+    query the row timestamp orders first (DefaultLimitSpec.makeComparator
+    timeOrdering.compound), so day1's total_market follows."""
+    out = gb(spark, wiki_catalog, granularity="day",
+             dimensions=["market"],
+             aggregations=[{"type": "count", "name": "rows"}],
+             limitSpec={"type": "default", "limit": 2,
+                        "columns": [{"dimension": "rows",
+                                     "direction": "descending"}]})
+    got = [(str(r["__time"])[:10], r["market"], r["rows"]) for r in out]
+    assert got[0] == ("2011-04-01", "spot", 9)
+    assert got[1] != ("2011-04-02", "spot", 9)
+    assert got[1] == ("2011-04-01", "total_market", 2)
+
+
+def test_force_limit_push_down_with_having_superset(spark, wiki_catalog):
+    """testRejectForceLimitPushDownWithHaving — the reference REFUSES
+    (cannot force limit push down with a having spec); Catalyst plans the
+    having filter before TakeOrderedAndProject, so the combination just
+    works (documented superset)."""
+    out = gb(spark, wiki_catalog, intervals=FULL,
+             dimensions=[{"type": "default", "dimension": "market",
+                          "outputName": "marketalias"}],
+             aggregations=[{"type": "count", "name": "rows"}],
+             having={"type": "greaterThan", "aggregation": "rows",
+                     "value": 10},
+             context={"forceLimitPushDown": True},
+             limitSpec={"type": "default", "limit": 2,
+                        "columns": [{"dimension": "marketalias",
+                                     "direction": "descending"}]})
+    assert [(r["marketalias"], r["rows"]) for r in out] == [
+        ("upfront", 186), ("total_market", 186)]
+
+
+def test_limit_push_down_sort_by_post_agg_superset(spark, wiki_catalog):
+    """testGroupByLimitPushDownPostAggNotSupported — the reference REFUSES
+    limit pushdown when sorting by a post-aggregator; sorting by a
+    post-agg column is a plain orderBy here (documented superset)."""
+    out = gb(spark, wiki_catalog, intervals=FULL,
+             dimensions=[{"type": "default", "dimension": "market",
+                          "outputName": "marketalias"}],
+             aggregations=[{"type": "count", "name": "rows"}],
+             postAggregations=[{"type": "arithmetic", "name": "rows x 2",
+                                "fn": "*",
+                                "fields": [
+                                    {"type": "fieldAccess",
+                                     "fieldName": "rows"},
+                                    {"type": "constant", "value": 2}]}],
+             context={"forceLimitPushDown": True},
+             limitSpec={"type": "default", "limit": 1,
+                        "columns": [{"dimension": "rows x 2",
+                                     "direction": "descending"}]})
+    assert [(r["marketalias"], r["rows"], r["rows x 2"]) for r in out] == [
+        ("spot", 837, 1674)]
+
+
+def test_merge_results_limit_push_down_sort_by_dim_dim(spark, wiki_catalog):
+    """testMergeResultsWithLimitPushDownSortByDimDim — two descending
+    dimension sorts, limit 5."""
+    out = gb(spark, wiki_catalog,
+             intervals=["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+             dimensions=[{"type": "default", "dimension": "quality",
+                          "outputName": "alias"}, "market"],
+             limitSpec={"type": "default", "limit": 5,
+                        "columns": [
+                            {"dimension": "alias",
+                             "direction": "descending"},
+                            {"dimension": "market",
+                             "direction": "descending"}]})
+    got = [(r["alias"], r["market"], r["rows"], r["idx"]) for r in out]
+    assert got == [("travel", "spot", 2, 243),
+                   ("technology", "spot", 2, 177),
+                   ("premium", "upfront", 2, 1817),
+                   ("premium", "total_market", 2, 2342),
+                   ("premium", "spot", 2, 257)]
+
+
+def test_merge_results_limit_push_down_sort_by_dim_agg_dim(spark, wiki_catalog):
+    """testMergeResultsWithLimitPushDownSortByDimAggDim — dim desc, agg
+    desc, dim desc, limit 5."""
+    out = gb(spark, wiki_catalog,
+             intervals=["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+             dimensions=[{"type": "default", "dimension": "quality",
+                          "outputName": "alias"}, "market"],
+             limitSpec={"type": "default", "limit": 5,
+                        "columns": [
+                            {"dimension": "alias",
+                             "direction": "descending"},
+                            {"dimension": "idx",
+                             "direction": "descending"},
+                            {"dimension": "market",
+                             "direction": "descending"}]})
+    got = [(r["alias"], r["market"], r["rows"], r["idx"]) for r in out]
+    assert got == [("travel", "spot", 2, 243),
+                   ("technology", "spot", 2, 177),
+                   ("premium", "total_market", 2, 2342),
+                   ("premium", "upfront", 2, 1817),
+                   ("premium", "spot", 2, 257)]
+
+
+def test_merge_results_limit_push_down_sort_by_agg_with_offset(spark,
+                                                               wiki_catalog):
+    """testMergeResultsWithLimitPushDownSortByAggWithOffset — idx desc,
+    offset 2 limit 3, merged across the two days."""
+    out = gb(spark, wiki_catalog,
+             intervals=["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+             dimensions=[{"type": "default", "dimension": "quality",
+                          "outputName": "alias"}],
+             limitSpec={"type": "default", "limit": 3, "offset": 2,
+                        "columns": [{"dimension": "idx",
+                                     "direction": "descending"}]})
+    got = [(r["alias"], r["rows"], r["idx"]) for r in out]
+    assert got == [("entertainment", 2, 319), ("automotive", 2, 269),
+                   ("travel", 2, 243)]
+
+
+def test_subquery_with_hyper_uniques_post_aggregator(spark,
+                                                     wiki_rollup_catalog):
+    """testSubqueryWithHyperUniquesPostAggregator — an inner global
+    aggregate emits hyperUnique STATE through a fieldAccess post-agg
+    (finalize=false storage contract); the outer query re-aggregates it
+    and finalizes (exact upgrade: 9 vs 9.0198)."""
+    out = translate(
+        {"queryType": "groupBy", "granularity": "all", "intervals": F2T,
+         "dataSource": {"type": "query", "query": {
+             "queryType": "groupBy", "dataSource": "wiki_rollup",
+             "granularity": "all", "intervals": F2T,
+             "context": {"finalize": False},
+             "aggregations": [
+                 {"type": "longSum", "name": "rows",
+                  "fieldName": "rows_rolled"},
+                 {"type": "longSum", "name": "idx", "fieldName": "index"},
+                 {"type": "hyperUnique", "name": "quality_uniques_inner",
+                  "fieldName": "quality_uniques"}]}},
+         "aggregations": [
+             {"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "idx"},
+             {"type": "hyperUnique", "name": "quality_uniques_outer",
+              "fieldName": "quality_uniques_inner"}]},
+        spark, wiki_rollup_catalog).collect()
+    r = out[0]
+    assert (r["rows"], r["idx"], round(r["quality_uniques_outer"])) \
+        == (26, 12446, 9)

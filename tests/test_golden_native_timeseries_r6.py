@@ -201,12 +201,12 @@ def test_ts_selection_filter_lookup_extraction_fn(spark, wiki_catalog):
     assert got == [(11, 3783), (11, 3313)]
 
 
-def test_ts_cardinality_agg_on_complex_column(spark, spark_tmp_wiki_rollup):
+def test_ts_cardinality_agg_on_complex_column(spark, wiki_rollup_catalog):
     """testTimeseriesCardinalityAggOnHyperUnique — cardinality over a
     COMPLEX (binary sketch) column returns 0.0 (no dimension selector);
     hyperUnique over the same column merges the stored state (exact
     upgrade: 9 distinct qualities vs the reference's 9.0198 estimate)."""
-    spark_, cat = spark_tmp_wiki_rollup
+    spark_, cat = spark, wiki_rollup_catalog
     out = translate(
         {"queryType": "timeseries", "dataSource": "wiki_rollup",
          "granularity": "all", "intervals": F2T,
@@ -220,27 +220,6 @@ def test_ts_cardinality_agg_on_complex_column(spark, spark_tmp_wiki_rollup):
     r = out[0]
     assert r["cardinality"] == 0.0
     assert round(r["hyperUnique"]) == 9
-
-
-@pytest.fixture()
-def spark_tmp_wiki_rollup(spark, wiki_catalog, tmp_path):
-    """wiki rolled up to (day, market) grain with a quality_uniques
-    hyperUnique COMPLEX column — TestIndex.java's ingest-rollup metric."""
-    from pyspark.sql import functions as F
-
-    from incubator_druid_spark.catalog import Catalog
-    from incubator_druid_spark.operators.aggregations import _hll_input
-    wiki = wiki_catalog.table("wiki")
-    rolled = (wiki.groupBy(F.date_trunc("DAY", "__time").alias("__time"),
-                           "market")
-                  .agg(F.hll_sketch_agg(_hll_input(F.col("quality")))
-                        .alias("quality_uniques"),
-                       F.sum("index").alias("index")))
-    path = str(tmp_path / "wiki_rollup.parquet")
-    rolled.write.mode("overwrite").parquet(path)
-    cat = Catalog(spark)
-    cat.register("wiki_rollup", path)
-    return spark, cat
 
 
 def test_ts_cardinality_agg_on_multi_string_expression(spark, wiki_catalog):
