@@ -136,7 +136,29 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession,
         spine_ms.extend(gran.spine(start, end))
     if not spine_ms or len(spine_ms) > 500_000:
         return out
-    spine = spark.createDataFrame([(m,) for m in sorted(set(spine_ms))], "ms long") \
+    spine_ms = sorted(set(spine_ms))
+    # exact timeline condensation at the OUTER edges: Druid's last segment
+    # carries the data's true extent, so hour buckets of a partially-filled
+    # final day don't zero-fill past maxTime (testTimeseriesQueryZeroFilling
+    # ends at 2011-04-15T00, not T23).  Parquet row-group footer statistics
+    # give the same [minTime, maxTime] driver-side with zero data read;
+    # unavailable footers (remote store, stats missing) keep the coarser
+    # partition/day coverage.
+    from incubator_druid_spark.plans.datasource import resolve_datasource
+    src0 = resolve_datasource(query["dataSource"], spark, catalog)
+    extent = _footer_time_extent(src0)
+    if extent is not None:
+        mn, mx = extent
+        lo = 0
+        for i, m in enumerate(spine_ms):  # bucket containing minTime stays
+            if m <= mn:
+                lo = i
+            else:
+                break
+        spine_ms = [m for m in spine_ms[lo:] if m <= mx]
+        if not spine_ms:
+            return out
+    spine = spark.createDataFrame([(m,) for m in spine_ms], "ms long") \
         .select(F.timestamp_millis(F.col("ms")).alias(TIME_COLUMN))
     # Druid only produces buckets where SEGMENTS exist: the broker condenses
     # query intervals to the segment timeline before zero-filling, so a
@@ -218,6 +240,60 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession,
     if not (query.get("aggregations") or []):
         fills = [F.coalesce(F.col("count"), F.lit(0)).alias("count")]
     return joined.select(TIME_COLUMN, *fills)
+
+
+def _footer_time_extent(src: DataFrame) -> tuple[int, int] | None:
+    """[min, max] of __time in epoch millis from parquet FOOTER row-group
+    statistics — driver-side metadata only, the analogue of reading segment
+    descriptors off Druid's timeline (DataSegment interval bounds).  Returns
+    None (caller keeps day-grain coverage) for join/union frames, non-local
+    or non-parquet storage, too many files, or absent/odd-typed stats."""
+    import datetime
+    import re
+
+    try:
+        plan = src._jdf.queryExecution().analyzed().toString()
+        if re.search(r"(?m)^\s*[:+-]*\s*(?:Join|Union)\b", plan):
+            return None
+        files = src.inputFiles()
+    except Exception:  # pragma: no cover - non-file-backed frame
+        return None
+    if not files or len(files) > 4096 or "__time" not in src.columns:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    utc = datetime.timezone.utc
+    mn = mx = None
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        path = uri[5:]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        idx = next((i for i in range(md.num_columns)
+                    if md.schema.column(i).name == "__time"), None)
+        if idx is None:
+            return None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo, hi = st.min, st.max
+            if not isinstance(lo, datetime.datetime):
+                return None  # e.g. raw TIMESTAMP(NANOS)-as-long storage
+            lo = lo.replace(tzinfo=lo.tzinfo or utc).timestamp() * 1000
+            hi = hi.replace(tzinfo=hi.tzinfo or utc).timestamp() * 1000
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    if mn is None:
+        return None
+    return int(mn), int(mx)
 
 
 def _bucket_partition_days(src: DataFrame, ivs, spark) -> DataFrame | None:

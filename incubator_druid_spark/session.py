@@ -44,6 +44,11 @@ def get_spark(app_name: str = "incubator-druid-spark", master: str | None = None
         # reader rejects; read as long and convert in the catalog layer
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # default INT96 timestamps carry NO parquet min/max statistics —
+        # killing __time predicate pushdown AND the footer-based timeline
+        # condensation (operators/timeseries.py _footer_time_extent); micros
+        # is the modern spec type every reader (incl. DuckDB) understands
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Broadcast decisions: static estimates come from COMPRESSED parquet
         # bytes scaled by column pruning, which underestimates wide fact
         # tables enough to broadcast them (a 6M-row lineitem planned as the

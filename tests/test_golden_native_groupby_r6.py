@@ -216,3 +216,68 @@ def test_subquery_with_hyper_uniques_post_aggregator(spark,
     r = out[0]
     assert (r["rows"], r["idx"], round(r["quality_uniques_outer"])) \
         == (26, 12446, 9)
+
+
+def test_group_by_subtotals_prefixes_with_virtual_dim(spark, wiki_catalog):
+    """testGroupByWithSubtotalsSpecOfDimensionsPrefixes — subtotal lists
+    that are prefixes of the dimension list, one dimension being a virtual
+    column, day granularity."""
+    out = translate(
+        {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "virtualColumns": [{"type": "expression", "name": "alias",
+                             "expression": "quality",
+                             "outputType": "STRING"}],
+         "dimensions": [
+             {"type": "default", "dimension": "market",
+              "outputName": "market2"},
+             {"type": "default", "dimension": "alias",
+              "outputName": "alias2"}],
+         "subtotalsSpec": [["market2"], []],
+         "aggregations": [{"type": "count", "name": "rows"},
+                          {"type": "longSum", "name": "idx",
+                           "fieldName": "index"}]},
+        spark, wiki_catalog).collect()
+    got = {(str(r["__time"])[:10], r["market2"], r["alias2"],
+            r["rows"], r["idx"]) for r in out}
+    assert got == {
+        ("2011-04-01", "spot", None, 9, 1102),
+        ("2011-04-01", "total_market", None, 2, 2836),
+        ("2011-04-01", "upfront", None, 2, 2681),
+        ("2011-04-02", "spot", None, 9, 1120),
+        ("2011-04-02", "total_market", None, 2, 2514),
+        ("2011-04-02", "upfront", None, 2, 2193),
+        ("2011-04-01", None, None, 13, 6619),
+        ("2011-04-02", None, None, 13, 5827)}
+
+
+def test_group_by_subtotals_with_order_limit_force_pushdown(spark,
+                                                            wiki_catalog):
+    """testGroupByWithSubtotalsSpecWithOrderLimitForcePushdown — subtotal
+    lists under an ordered limit; the empty list contributes the per-day
+    grand totals."""
+    out = translate(
+        {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "dimensions": ["placement", "market"],
+         "subtotalsSpec": [["placement"], ["market"], []],
+         "aggregations": [{"type": "count", "name": "rows"},
+                          {"type": "longSum", "name": "idx",
+                           "fieldName": "index"}],
+         "context": {"forceLimitPushDown": True},
+         "limitSpec": {"type": "default", "limit": 25,
+                       "columns": ["placement", "market"]}},
+        spark, wiki_catalog).collect()
+    got = {(str(r["__time"])[:10], r["placement"], r["market"],
+            r["rows"], r["idx"]) for r in out}
+    assert got == {
+        ("2011-04-01", "preferred", None, 13, 6619),
+        ("2011-04-02", "preferred", None, 13, 5827),
+        ("2011-04-01", None, "spot", 9, 1102),
+        ("2011-04-01", None, "total_market", 2, 2836),
+        ("2011-04-01", None, "upfront", 2, 2681),
+        ("2011-04-02", None, "spot", 9, 1120),
+        ("2011-04-02", None, "total_market", 2, 2514),
+        ("2011-04-02", None, "upfront", 2, 2193),
+        ("2011-04-01", None, None, 13, 6619),
+        ("2011-04-02", None, None, 13, 5827)}

@@ -30,9 +30,10 @@ def ts(spark, cat, **extra):
 
 def test_ts_query_zero_filling(spark, wiki_catalog):
     """testTimeseriesQueryZeroFilling — hour granularity over a 17-day
-    interval zero-fills every empty hour between the two data days; only
-    the hours on the segment timeline materialize (the reference condenses
-    to the segment's extent, so the last bucket is 2011-04-15T00)."""
+    interval zero-fills every empty hour between the two data days and
+    condenses to the segment's exact extent (parquet footer statistics —
+    operators/timeseries.py _footer_time_extent), so the final bucket is
+    2011-04-15T00 like the reference, 25 rows total."""
     out = ts(spark, wiki_catalog,
              granularity="hour",
              intervals=["2011-04-14T00:00:00.000Z/2011-05-01T00:00:00.000Z"],
@@ -43,17 +44,9 @@ def test_ts_query_zero_filling(spark, wiki_catalog):
                             "fieldName": "index"}])
     got = [(str(r["__time"]), r["rows"], r["idx"]) for r in out]
     assert got[0] == ("2011-04-14 00:00:00", 13, 4907)
-    data = {g: (r, i) for g, r, i in got if r}
-    # documented divergence: the reference condenses the timeline to the
-    # segment's exact data extent (last fill = 2011-04-15T00, 25 rows);
-    # this engine derives coverage from the day-grain PARTITION listing
-    # (operators/timeseries.py __bucket path), so the final covered day
-    # zero-fills through hour 23 (48 rows).  Day-granularity results are
-    # identical (the oracle-gated ts_day_zerofill entry).
-    assert data == {"2011-04-14 00:00:00": (13, 4907),
-                    "2011-04-15 00:00:00": (13, 4717)}
-    assert len(got) == 48
-    assert all(r == 0 and i is None for g, r, i in got if g not in data)
+    assert got[-1] == ("2011-04-15 00:00:00", 13, 4717)
+    assert len(got) == 25
+    assert all(r == 0 and i is None for _, r, i in got[1:-1])
 
 
 def test_ts_with_limit(spark, wiki_catalog):
