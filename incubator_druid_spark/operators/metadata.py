@@ -25,12 +25,17 @@ from incubator_druid_spark.plans.translator import prepare_frame
 def time_boundary(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     df = prepare_frame(query, spark, catalog)
     bound = query.get("bound")
+    # no matching rows → EMPTY result, not a null-bounds row
+    # (TimeBoundaryQueryRunnerTest testFilteredTimeBoundaryQueryNoMatches)
     if bound == "minTime":
-        return df.agg(F.min(TIME_COLUMN).alias("minTime"))
+        out = df.agg(F.min(TIME_COLUMN).alias("minTime"))
+        return out.filter(F.col("minTime").isNotNull())
     if bound == "maxTime":
-        return df.agg(F.max(TIME_COLUMN).alias("maxTime"))
-    return df.agg(F.min(TIME_COLUMN).alias("minTime"),
-                  F.max(TIME_COLUMN).alias("maxTime"))
+        out = df.agg(F.max(TIME_COLUMN).alias("maxTime"))
+        return out.filter(F.col("maxTime").isNotNull())
+    out = df.agg(F.min(TIME_COLUMN).alias("minTime"),
+                 F.max(TIME_COLUMN).alias("maxTime"))
+    return out.filter(F.col("minTime").isNotNull())
 
 
 def datasource_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:

@@ -84,11 +84,12 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         F.col("dv.dimension").alias("dimension"),
         F.col("dv.value").alias("value"))
     # filter before the groupBy so the shuffle carries matches only.
-    # A missing query spec matches every value (SearchQuery.java defaults
-    # to an all-match InsensitiveContainsSearchQuerySpec(""))
+    # A missing query spec is the ALL spec (Druids.SearchQueryBuilder
+    # defaults to AllSearchQuerySpec), which accepts null values too —
+    # testSearchWithNullValueInDimension reports (dim, null) hits
     spec = query.get("query")
     if spec is None or spec == "":
-        out = out.filter(F.col("value").isNotNull())
+        pass  # every value, nulls included
     elif isinstance(spec, str):
         # convenience: bare string = insensitive contains
         out = out.filter(compile_search_spec(

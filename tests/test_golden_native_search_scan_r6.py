@@ -1,0 +1,231 @@
+"""Round-6 Search/Scan/TimeBoundary runner tranche — the remaining
+portable methods of SearchQueryRunnerTest, ScanQueryRunnerTest and
+TimeBoundaryQueryRunnerTest (processing/src/test/java/org/apache/druid/
+query/{search,scan,timeboundary}/).
+
+Not ported, with reasons:
+  * testSearchHitSerDe — Jackson serde of the wire object, no analogue.
+  * testSearchWithCardinality — exercises the broker's partial-segment
+    merge with fractional-segment counts (91/273), a merge-infrastructure
+    shape; full-segment counts are covered by the dimension tests here.
+  * testScanQueryTimeout — the engine's timeout lives at the API layer
+    (laning/priority pools), covered by tests/test_api.py.
+  * testMergeResultsEmptyResults (timeboundary) — broker merge plumbing.
+"""
+
+import pytest
+
+from incubator_druid_spark import translate
+
+FULL = ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"]
+
+
+def search(spark, cat, **extra):
+    q = {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL}
+    q.update(extra)
+    out = translate(q, spark, cat).collect()
+    return {(r["dimension"], r["value"]): r["count"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+def test_search_fragment(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testFragmentSearch — all fragments must
+    match ('auto' AND 've' → automotive only)."""
+    assert search(spark, wiki_catalog,
+                  searchDimensions=["quality", "market"],
+                  query={"type": "fragment",
+                         "values": ["auto", "ve"]}) == {
+        ("quality", "automotive"): 93}
+
+
+def test_search_with_dimension_quality(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchWithDimensionQuality."""
+    assert search(spark, wiki_catalog, searchDimensions=["quality"],
+                  query={"type": "insensitive_contains", "value": "a"}) == {
+        ("quality", "automotive"): 93, ("quality", "mezzanine"): 279,
+        ("quality", "travel"): 93, ("quality", "health"): 93,
+        ("quality", "entertainment"): 93}
+
+
+def test_search_with_dimension_provider(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchWithDimensionProvider."""
+    assert search(spark, wiki_catalog, searchDimensions=["market"],
+                  query={"type": "insensitive_contains", "value": "a"}) == {
+        ("market", "total_market"): 186}
+
+
+def test_search_with_dimensions_quality_and_provider(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchWithDimensionsQualityAndProvider."""
+    assert search(spark, wiki_catalog,
+                  searchDimensions=["quality", "market"],
+                  query={"type": "insensitive_contains", "value": "a"}) == {
+        ("quality", "automotive"): 93, ("quality", "mezzanine"): 279,
+        ("quality", "travel"): 93, ("quality", "health"): 93,
+        ("quality", "entertainment"): 93,
+        ("market", "total_market"): 186}
+
+
+def test_search_with_dimensions_placement_and_provider(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchWithDimensionsPlacementAndProvider —
+    'mark' hits only the market dimension."""
+    assert search(spark, wiki_catalog,
+                  searchDimensions=["placementish", "market"],
+                  query={"type": "insensitive_contains",
+                         "value": "mark"}) == {
+        ("market", "total_market"): 186}
+
+
+def test_search_with_single_filter2(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchWithSingleFilter2."""
+    assert search(spark, wiki_catalog,
+                  searchDimensions=["market"],
+                  filter={"type": "selector", "dimension": "market",
+                          "value": "total_market"},
+                  query={"type": "insensitive_contains", "value": "a"}) == {
+        ("market", "total_market"): 186}
+
+
+def test_search_with_extraction_filter(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchWithExtractionFilter1 — a lookup
+    extraction fn ({automotive → automotive☃}, retainMissingValue) applied
+    in both the filter and the searched dimension."""
+    exfn = {"type": "lookup",
+            "lookup": {"type": "map", "map": {"automotive": "automotive☃"}},
+            "retainMissingValue": True}
+    assert search(spark, wiki_catalog,
+                  searchDimensions=[{"type": "extraction",
+                                     "dimension": "quality",
+                                     "outputName": "quality",
+                                     "extractionFn": exfn}],
+                  filter={"type": "selector", "dimension": "quality",
+                          "value": "automotive☃", "extractionFn": exfn},
+                  query={"type": "insensitive_contains",
+                         "value": "☃"}) == {
+        ("quality", "automotive☃"): 93}
+
+
+def test_search_on_numeric_column_with_js_exfn_refuses(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchOn{Float,Long}ColumnWithExFn —
+    javascript extraction fns raise (the engine's documented refusal)."""
+    with pytest.raises(Exception, match="(?i)javascript"):
+        search(spark, wiki_catalog,
+               searchDimensions=[{"type": "extraction",
+                                  "dimension": "index",
+                                  "outputName": "index",
+                                  "extractionFn": {
+                                      "type": "javascript",
+                                      "function":
+                                          "function(n){return 'super-'+n;}"}}],
+               query={"type": "contains", "value": "100.7"})
+
+
+def test_search_with_null_value_in_dimension(spark, tmp_path):
+    """SearchQueryRunnerTest.testSearchWithNullValueInDimension — an all
+    search over a dimension that is null on some rows reports the null
+    value as a hit."""
+    import datetime
+
+    from incubator_druid_spark.catalog import Catalog
+    df = spark.createDataFrame(
+        [(datetime.datetime(2016, 12, 16, 7, 0, 0), "name1", "host", None),
+         (datetime.datetime(2016, 12, 16, 7, 1, 10), "name2", None, "table")],
+        "__time timestamp, name string, host string, table string")
+    p = str(tmp_path / "nulldim.parquet")
+    df.write.mode("overwrite").parquet(p)
+    cat = Catalog(spark)
+    cat.register("nulldim", p)
+    out = translate(
+        {"queryType": "search", "dataSource": "nulldim",
+         "granularity": "all", "intervals": FULL,
+         "searchDimensions": ["table"]},
+        spark, cat).collect()
+    got = {(r["dimension"], r["value"]): r["count"] for r in out}
+    assert got == {("table", "table"): 1, ("table", None): 1}
+
+
+# ---------------------------------------------------------------------------
+# scan (the select-shaped family)
+# ---------------------------------------------------------------------------
+
+# day-1 spot rows appear in the TSV's file order per day
+_SPOT_QUALITY_ORDER = ["automotive", "business", "entertainment", "health",
+                       "mezzanine", "news", "premium", "technology",
+                       "travel"]
+
+
+def test_full_on_select_with_filter_and_limit(spark, wiki_catalog):
+    """ScanQueryRunnerTest.testFullOnSelectWithFilterAndLimit — spot rows
+    in time order under each limit; the reference sweeps limits the same
+    way."""
+    for limit in (3, 1, 5, 7):
+        out = translate(
+            {"queryType": "scan", "dataSource": "wiki", "limit": limit,
+             "intervals": FULL, "order": "ascending",
+             "filter": {"type": "selector", "dimension": "market",
+                        "value": "spot"},
+             "columns": ["__time", "quality", "index"]},
+            spark, wiki_catalog).collect()
+        assert len(out) == limit
+        assert [r["quality"] for r in out] == _SPOT_QUALITY_ORDER[:limit]
+        assert all(str(r["__time"])[:10] == "2011-01-12" for r in out)
+
+
+def test_select_with_dims_and_mets(spark, wiki_catalog):
+    """ScanQueryRunnerTest.testSelectWithDimsAndMets(AsCompactedList) —
+    projected dimension + metric columns only."""
+    out = translate(
+        {"queryType": "scan", "dataSource": "wiki", "limit": 3,
+         "intervals": ["2011-01-12T00:00:00.000Z/2011-01-14T00:00:00.000Z"],
+         "order": "ascending",
+         "columns": ["market", "index"]},
+        spark, wiki_catalog)
+    assert out.columns == ["market", "index"]
+    rows_ = out.collect()
+    assert len(rows_) == 3
+    assert all(r["market"] in ("spot", "total_market", "upfront")
+               for r in rows_)
+
+
+def test_select_with_underscore_underscore_time(spark, wiki_catalog):
+    """ScanQueryRunnerTest.testSelectWithUnderscoreUnderscoreTime — __time
+    is an explicitly selectable column."""
+    out = translate(
+        {"queryType": "scan", "dataSource": "wiki", "limit": 4,
+         "intervals": ["2011-01-12T00:00:00.000Z/2011-01-14T00:00:00.000Z"],
+         "order": "ascending",
+         "columns": ["__time", "market"]},
+        spark, wiki_catalog).collect()
+    assert [str(r["__time"])[:10] for r in out] == ["2011-01-12"] * 4
+
+
+def test_full_on_select_descending_time_order(spark, wiki_catalog):
+    """ScanQueryRunnerTest.testFullOnSelectWithFilterLimitAndDescending-
+    TimeOrdering{List,CompactedList}Format — last day first."""
+    out = translate(
+        {"queryType": "scan", "dataSource": "wiki", "limit": 3,
+         "intervals": FULL, "order": "descending",
+         "filter": {"type": "selector", "dimension": "market",
+                    "value": "spot"},
+         "columns": ["__time", "quality"]},
+        spark, wiki_catalog).collect()
+    assert len(out) == 3
+    assert all(str(r["__time"])[:10] == "2011-04-15" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# timeBoundary
+# ---------------------------------------------------------------------------
+
+def test_filtered_time_boundary_no_matches(spark, wiki_catalog):
+    """TimeBoundaryQueryRunnerTest.testFilteredTimeBoundaryQueryNoMatches —
+    a filter matching nothing yields an empty result, not null bounds."""
+    out = translate(
+        {"queryType": "timeBoundary", "dataSource": "wiki",
+         "filter": {"type": "selector", "dimension": "quality",
+                    "value": "foobar"}},
+        spark, wiki_catalog).collect()
+    assert out == []
