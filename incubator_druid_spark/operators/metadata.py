@@ -56,8 +56,11 @@ def segment_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> Data
     (approx), minValue, maxValue, nullCount, numRows.  All analyses computed in
     ONE aggregate pass (partial aggregates per column), then unpivoted."""
     df = prepare_frame(query, spark, catalog)
-    analysis = set(query.get("analysisTypes")
-                   or ["cardinality", "minmax", "size"])
+    # an EXPLICIT empty analysisTypes list means "types only"
+    # (testSegmentMetadataQueryWithNoAnalysisTypesMerge); absent → defaults
+    requested = query.get("analysisTypes")
+    analysis = set(["cardinality", "minmax", "size"]
+                   if requested is None else requested)
 
     fields = df.schema.fields
     aggs = [F.count(F.lit(1)).alias("__numRows")]

@@ -229,3 +229,62 @@ def test_filtered_time_boundary_no_matches(spark, wiki_catalog):
                     "value": "foobar"}},
         spark, wiki_catalog).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# segmentMetadata (SegmentMetadataQueryTest — the analysis-shape family;
+# serde/cache-key/broker-merge methods have no analogue here)
+# ---------------------------------------------------------------------------
+
+def test_segment_metadata_nullable_numeric_columns(spark, wiki_catalog):
+    """SegmentMetadataQueryTest.testLong/Float/DoubleNullableColumn — typed
+    numeric columns report their Druid type and non-zero null counts in
+    SQL-compatible mode."""
+    out = translate(
+        {"queryType": "segmentMetadata", "dataSource": "wiki",
+         "analysisTypes": ["cardinality", "minmax"]},
+        spark, wiki_catalog).collect()
+    cols = {r["column"]: r for r in out}
+    for name, typ in [("longNumericNull", "LONG"),
+                      ("floatNumericNull", "FLOAT"),
+                      ("doubleNumericNull", "DOUBLE")]:
+        r = cols[name]
+        assert r["type"] == typ
+        assert r["nullCount"] > 0
+        assert r["numRows"] == 1209
+
+
+def test_segment_metadata_basic_shape(spark, wiki_catalog):
+    """SegmentMetadataQueryTest.testSegmentMetadataQuery(+DefaultAnalysis
+    Merge) — the standard column analyses: STRING dims with exact
+    cardinality, the MVD flagged hasMultipleValues, __time/metrics typed."""
+    out = translate(
+        {"queryType": "segmentMetadata", "dataSource": "wiki",
+         "analysisTypes": ["cardinality", "minmax"]},
+        spark, wiki_catalog).collect()
+    cols = {r["column"]: r for r in out}
+    assert cols["__time"]["type"] == "LONG"
+    # the TSV fixture stores index as DOUBLE (the reference's segment keeps
+    # the ingest FLOAT type; the analysis contract — typed numerics with
+    # exact min/max — is what this asserts)
+    assert cols["index"]["type"] == "DOUBLE"
+    assert cols["market"]["type"] == "STRING"
+    assert cols["market"]["cardinality"] == 3
+    assert cols["quality"]["cardinality"] == 9
+    assert cols["placementish"]["hasMultipleValues"] is True
+    assert cols["market"]["minValue"] == "spot"
+    assert cols["market"]["maxValue"] == "upfront"
+
+
+def test_segment_metadata_no_analysis_types(spark, wiki_catalog):
+    """SegmentMetadataQueryTest.testSegmentMetadataQueryWithNoAnalysisTypes
+    Merge — an empty analysisTypes list still reports column types, with
+    the per-analysis fields absent (null)."""
+    out = translate(
+        {"queryType": "segmentMetadata", "dataSource": "wiki",
+         "analysisTypes": []},
+        spark, wiki_catalog).collect()
+    cols = {r["column"]: r for r in out}
+    assert cols["placement"]["type"] == "STRING"
+    assert cols["placement"]["cardinality"] is None
+    assert cols["placement"]["minValue"] is None
