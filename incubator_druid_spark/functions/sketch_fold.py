@@ -182,7 +182,112 @@ def parse_doubles_partial(data: bytes):
                                 [(v, int(w)) for v, w in items])
 
 
-_STATES = {"theta": _ThetaState, "doubles": _DoublesState}
+# Centroid (Ben-Haim/Tom-Tov) rollup state — the engine's own quantile
+# COMPLEX column (struct<mn,mx,bins:array<struct<x,w>>>).  Same unbounded-
+# group hazard as the binary paths: flatten(collect_list(bins)) grows with
+# input rows.  The fold caps retained centroids via vectorized adjacent-
+# pair halving (sorted by position, weighted means) — coarser than the
+# library's closest-pair merge but bounded, deterministic and O(n log n).
+CENTROID_BIN_CAP = 16384
+
+
+class _CentroidState:
+    __slots__ = ("mn", "mx", "xs", "ws")
+
+    def __init__(self):
+        self.mn = self.mx = None
+        self.xs: list = []
+        self.ws: list = []
+
+    def update(self, rows) -> None:
+        import numpy as np
+        for raw in rows:
+            mn = raw["mn"]
+            if mn is None or (isinstance(mn, float) and mn != mn):
+                continue
+            self.mn = mn if self.mn is None else min(self.mn, mn)
+            mx = raw["mx"]
+            self.mx = mx if self.mx is None else max(self.mx, mx)
+            for b in (raw["bins"] or []):
+                # histogram_numeric state: struct<x position, y weight>
+                self.xs.append(float(b["x"]))
+                self.ws.append(float(b["y"]))
+        if len(self.xs) > CENTROID_BIN_CAP:
+            xs = np.asarray(self.xs)
+            ws = np.asarray(self.ws)
+            order = np.argsort(xs, kind="stable")
+            xs, ws = xs[order], ws[order]
+            if len(xs) % 2:  # hold the last centroid out of the pairing
+                tail_x, tail_w = [xs[-1]], [ws[-1]]
+                xs, ws = xs[:-1], ws[:-1]
+            else:
+                tail_x, tail_w = [], []
+            w2 = ws[0::2] + ws[1::2]
+            x2 = (xs[0::2] * ws[0::2] + xs[1::2] * ws[1::2]) / w2
+            self.xs = x2.tolist() + tail_x
+            self.ws = w2.tolist() + tail_w
+
+    def serialize(self) -> bytes:
+        if self.mn is None:
+            return _CENTROID_MAGIC + struct.pack("<I", 0)
+        body = struct.pack(f"<ddI{2 * len(self.xs)}d", self.mn, self.mx,
+                           len(self.xs),
+                           *[v for p in zip(self.xs, self.ws) for v in p])
+        return _CENTROID_MAGIC + body
+
+
+_CENTROID_MAGIC = b"IDCP"
+
+
+def parse_centroid_partial(data: bytes) -> dict | None:
+    data = bytes(data)
+    if data[:4] != _CENTROID_MAGIC:
+        raise ValueError("not a centroid partial")
+    if len(data) == 8:  # empty marker (count-only frame)
+        return None
+    mn, mx, cnt = struct.unpack_from("<ddI", data, 4)
+    pairs = struct.unpack_from(f"<{2 * cnt}d", data, 24)
+    return {"mn": mn, "mx": mx,
+            "bins": [{"x": pairs[2 * i], "y": pairs[2 * i + 1]}
+                     for i in range(cnt)]}
+
+
+def centroid_merge_udf(fin, return_type, struct_fields=None):
+    """Stage-B twin of _state_pandas_udf: merge a group's centroid PARTIALS
+    (one bounded blob per input partition) and apply the finalizer's raw
+    ``fin`` on the combined {'mn','mx','bins'} state."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def run(col):
+        out = []
+        for lst in col:
+            views = [] if lst is None else \
+                [v for v in (parse_centroid_partial(b) for b in lst
+                             if b is not None) if v is not None]
+            if not views:
+                out.append(None)
+                continue
+            merged = {"mn": min(v["mn"] for v in views),
+                      "mx": max(v["mx"] for v in views),
+                      "bins": [b for v in views for b in v["bins"]]}
+            out.append(fin(merged))
+        if struct_fields:
+            return pd.DataFrame(
+                [((None,) * len(struct_fields)) if v is None else v
+                 for v in out],
+                columns=list(struct_fields))
+        return pd.Series(out, dtype=object)
+
+    run.__annotations__ = {"col": pd.Series,
+                           "return": pd.DataFrame if struct_fields
+                           else pd.Series}
+    return pandas_udf(run, return_type)
+
+
+_STATES = {"theta": _ThetaState, "doubles": _DoublesState,
+           "centroid": _CentroidState}
 
 
 # ---------------------------------------------------------------------------

@@ -195,7 +195,30 @@ def _state_pandas_udf(fin, return_type, struct_fields=None):
     run.__annotations__ = {"state": pd.DataFrame,
                            "return": pd.DataFrame if struct_fields
                            else pd.Series}
-    return pandas_udf(run, return_type)
+    udf = pandas_udf(run, return_type)
+    # let _centroid_state_agg reuse the raw finalizer through the bounded
+    # prefold path (functions/sketch_fold.py centroid_merge_udf)
+    udf._centroid_fin = (fin, return_type, struct_fields)
+    return udf
+
+
+def _centroid_state_agg(ctx, fname: str, finalizer) -> Column:
+    """Aggregate a stored centroid-state column and finalize.  With an
+    active fold registry the state routes through the partition-local
+    prefold (bounded centroids per partial — the struct twin of the binary
+    theta/doubles paths); otherwise the legacy flatten(collect_list)
+    merge."""
+    expr = ctx.resolve(fname)
+    folds = getattr(_FOLD_TL, "folds", None)
+    meta = getattr(finalizer, "_centroid_fin", None)
+    if folds is None or meta is None:
+        return finalizer(_merged_quantile_state(expr))
+    from incubator_druid_spark.functions import sketch_fold as sf
+    fold = sf.SketchFold(f"__sfold{len(folds)}", expr, "centroid")
+    folds.append(fold)
+    fin, rt, sfields = meta
+    return sf.centroid_merge_udf(fin, rt, sfields)(
+        F.collect_list(F.col(fold.src)))
 
 
 def _centroid_quantile_finalize(fractions: list[float]):
@@ -556,8 +579,9 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # synthesized by rewrite_sketch_query from sketch-quantile post-aggs
         fracs = spec["fractions"]
         if _is_quantile_state(ctx, spec.get("fieldName")):
-            merged = _merged_quantile_state(ctx.resolve(spec["fieldName"]))
-            return _centroid_quantile_finalize([float(x) for x in fracs])(merged)
+            return _centroid_state_agg(
+                ctx, spec["fieldName"],
+                _centroid_quantile_finalize([float(x) for x in fracs]))
         if _is_ds_binary(ctx, spec.get("fieldName")):
             from pyspark.sql import types as T
             import incubator_druid_spark.functions.doubles_sketch as ds
@@ -578,8 +602,8 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # over COMPLEX centroid state.
         v = float(spec["value"])
         if _is_quantile_state(ctx, spec.get("fieldName")):
-            merged = _merged_quantile_state(ctx.resolve(spec["fieldName"]))
-            return _centroid_rank_finalize(v)(merged)
+            return _centroid_state_agg(ctx, spec["fieldName"],
+                                       _centroid_rank_finalize(v))
         if _is_ds_binary(ctx, spec.get("fieldName")):
             from pyspark.sql import types as T
             import incubator_druid_spark.functions.doubles_sketch as ds
@@ -594,8 +618,8 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # at each split point, trailing 1.0 (DoublesSketch.getCDF shape).
         splits = [float(s) for s in spec["splitPoints"]]
         if _is_quantile_state(ctx, spec.get("fieldName")):
-            merged = _merged_quantile_state(ctx.resolve(spec["fieldName"]))
-            return _centroid_cdf_finalize(splits)(merged)
+            return _centroid_state_agg(ctx, spec["fieldName"],
+                                       _centroid_cdf_finalize(splits))
         if _is_ds_binary(ctx, spec.get("fieldName")):
             from pyspark.sql import types as T
             import incubator_druid_spark.functions.doubles_sketch as ds
@@ -631,11 +655,12 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             cells.append(F.count(F.when(x >= ss[-1], 1)).cast("double"))
             return F.array(*cells)
         if _is_quantile_state(ctx, fname):
-            raw = _merged_quantile_state(ctx.resolve(fname))
-        else:
-            x = f().cast("double")
-            raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
-                           F.histogram_numeric(x, F.lit(128)).alias("bins"))
+            return _centroid_state_agg(
+                ctx, fname, _centroid_pmf_finalize(splits,
+                                                   spec.get("numBins")))
+        x = f().cast("double")
+        raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                       F.histogram_numeric(x, F.lit(128)).alias("bins"))
         return _centroid_pmf_finalize(splits, spec.get("numBins"))(raw)
     if t == "quantilesDoublesSketch":
         # Over a COMPLEX centroid-state column (rollup-stored) merge the
@@ -644,8 +669,8 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # median, matching DoublesSketchToQuantile's common use.
         fname = spec.get("fieldName")
         if _is_quantile_state(ctx, fname):
-            merged = _merged_quantile_state(ctx.resolve(fname))
-            return _centroid_quantile_finalize([0.5])(merged)
+            return _centroid_state_agg(ctx, fname,
+                                       _centroid_quantile_finalize([0.5]))
         if _is_ds_binary(ctx, fname):
             # Druid-serialized DoublesSketch COMPLEX column (migrated
             # segments): parse + merge the stored sketches, read the median
@@ -694,11 +719,11 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         nb = int(spec.get("numBuckets", 7))         # DEFAULT_BUCKET_SIZE
         fname = spec.get("fieldName")
         if _is_quantile_state(ctx, fname):          # approxHistogramFold over
-            raw = _merged_quantile_state(ctx.resolve(fname))   # stored state
-        else:
-            x = f().cast("double")
-            raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
-                           F.histogram_numeric(x, F.lit(res)).alias("bins"))
+            return _centroid_state_agg(ctx, fname,  # stored state
+                                       _approx_histogram_finalize(nb))
+        x = f().cast("double")
+        raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                       F.histogram_numeric(x, F.lit(res)).alias("bins"))
         return _approx_histogram_finalize(nb)(raw)
     if t == "bloom":
         # druid-bloom-filter/.../BloomFilterAggregatorFactory.java — builds

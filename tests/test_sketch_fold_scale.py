@@ -149,3 +149,47 @@ def test_timeseries_all_gran_sketch_only(spark, tmp_path):
          "aggregations": [{"type": "thetaSketch", "name": "uniq",
                            "fieldName": "sk"}]}
     assert translate(q, spark, cat).first()["uniq"] == 50.0
+
+
+def test_centroid_state_degenerate_group_bounded(spark, tmp_path):
+    """150k stored centroid-state rows -> one group: the fold caps retained
+    centroids (adjacent-pair halving) instead of flattening every bin into
+    one in-memory list; the median stays within sketch error."""
+    from pyspark.sql import functions as F
+    n = 150_000
+    # one exact centroid per row (value i, weight 1) — rollup-grain state
+    src = (spark.range(1, n + 1)
+           .select(F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    .alias("__time"),
+                   F.lit("g").alias("grp"),
+                   F.struct(
+                       F.col("id").cast("double").alias("mn"),
+                       F.col("id").cast("double").alias("mx"),
+                       F.array(F.struct(
+                           F.col("id").cast("double").alias("x"),
+                           F.lit(1.0).alias("y"))).alias("bins"))
+                   .alias("qs")))
+    path = str(tmp_path / "cent.parquet")
+    src.repartition(8).write.mode("overwrite").parquet(path)
+    cat = Catalog(spark)
+    cat.register("cent", path)
+    q = {"queryType": "groupBy", "dataSource": "cent", "granularity": "all",
+         "dimensions": ["grp"],
+         "aggregations": [{"type": "quantilesDoublesSketch", "name": "med",
+                           "fieldName": "qs"}]}
+    out = translate(q, spark, cat).first()
+    assert out["med"] == pytest.approx(n / 2, rel=0.02)
+
+
+def test_centroid_state_cap_preserves_weight():
+    st = sf._CentroidState()
+    n = 3 * sf.CENTROID_BIN_CAP
+    rows = [{"mn": float(i), "mx": float(i),
+             "bins": [{"x": float(i), "y": 1.0}]} for i in range(n)]
+    for i in range(0, n, 4096):
+        st.update(rows[i:i + 4096])
+    assert len(st.xs) <= sf.CENTROID_BIN_CAP
+    assert sum(st.ws) == pytest.approx(n)
+    assert (st.mn, st.mx) == (0.0, float(n - 1))
+    back = sf.parse_centroid_partial(st.serialize())
+    assert back["mn"] == 0.0 and len(back["bins"]) == len(st.xs)
