@@ -281,3 +281,80 @@ def test_group_by_subtotals_with_order_limit_force_pushdown(spark,
         ("2011-04-02", None, "upfront", 2, 2193),
         ("2011-04-01", None, None, 13, 6619),
         ("2011-04-02", None, None, 13, 5827)}
+
+
+def test_limit_push_down_long_dimension_not_in_limit_spec(spark,
+                                                          wiki_catalog):
+    """testGroupByLimitPushDownWithLongDimensionNotInLimitSpec — a LONG
+    strlen-extraction dimension, empty ordering columns, limit 6: default
+    ordering is the dimension ascending."""
+    out = translate(
+        {"queryType": "groupBy", "dataSource": "wiki", "granularity": "all",
+         "intervals": FULL,
+         "dimensions": [{"type": "extraction", "dimension": "quality",
+                         "outputName": "qualityLen", "outputType": "LONG",
+                         "extractionFn": {"type": "strlen"}}],
+         "aggregations": [{"type": "count", "name": "rows"}],
+         "context": {"forceLimitPushDown": True},
+         "limitSpec": {"type": "default", "limit": 6, "columns": []}},
+        spark, wiki_catalog).collect()
+    got = [(r["qualityLen"], r["rows"]) for r in out]
+    assert got == [(4, 93), (6, 186), (7, 279), (8, 93), (9, 279),
+                   (10, 186)]
+
+
+def test_merge_results_with_limit_push_down(spark, wiki_catalog):
+    """testMergeResultsWithLimitPushDown — alias descending, limit 5,
+    merged across two days at ALL granularity."""
+    out = gb(spark, wiki_catalog,
+             intervals=["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+             dimensions=[{"type": "default", "dimension": "quality",
+                          "outputName": "alias"}],
+             limitSpec={"type": "default", "limit": 5,
+                        "columns": [{"dimension": "alias",
+                                     "direction": "descending"}]})
+    got = [(r["alias"], r["rows"], r["idx"]) for r in out]
+    assert got == [("travel", 2, 243), ("technology", 2, 177),
+                   ("premium", 6, 4416), ("news", 2, 221),
+                   ("mezzanine", 6, 4420)]
+
+
+def test_merge_results_across_days_order_by_math_expression(spark,
+                                                            wiki_catalog):
+    """testMergeResultsAcrossMultipleDaysWithLimitAndOrderByUsingMath
+    Expressions — longSum over an expression virtual column, idx desc with
+    the granular time-first ordering, limit 14.  The reference's
+    expression reads indexMin, which equals index in its non-rolled test
+    segment, so index substitutes here."""
+    out = translate(
+        {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "virtualColumns": [{"type": "expression", "name": "expr",
+                             "expression": "index * 2 + index / 10",
+                             "outputType": "FLOAT"}],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [{"type": "count", "name": "rows"},
+                          {"type": "longSum", "name": "idx",
+                           "fieldName": "expr"}],
+         "limitSpec": {"type": "default", "limit": 14,
+                       "columns": [{"dimension": "idx",
+                                    "direction": "descending"}]}},
+        spark, wiki_catalog).collect()
+    got = [(str(r["__time"])[:10], r["alias"], r["rows"], r["idx"])
+           for r in out]
+    assert got == [
+        ("2011-04-01", "premium", 3, 6090),
+        ("2011-04-01", "mezzanine", 3, 6030),
+        ("2011-04-01", "entertainment", 1, 333),
+        ("2011-04-01", "automotive", 1, 285),
+        ("2011-04-01", "news", 1, 255),
+        ("2011-04-01", "health", 1, 252),
+        ("2011-04-01", "travel", 1, 251),
+        ("2011-04-01", "business", 1, 248),
+        ("2011-04-01", "technology", 1, 165),
+        ("2011-04-02", "premium", 3, 5262),
+        ("2011-04-02", "mezzanine", 3, 5141),
+        ("2011-04-02", "entertainment", 1, 348),
+        ("2011-04-02", "automotive", 1, 309),
+        ("2011-04-02", "travel", 1, 265)]
