@@ -369,6 +369,43 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - fail-soft by design
             sf1_queries["__error__"] = str(e)[:200]
 
+    # --- sf10 sweep (VERDICT r5 #8): 100× rows (~60M lineitem), to expose
+    # driver-side constants the sf1 sweep is too small to show (spine
+    # builds, per-query planning, Python kernel launch).  Same perturbation
+    # scheme as sf1, built once into /tmp, reused across rounds; a
+    # cumulative wall cap keeps a pathological regression from eating the
+    # whole round (partial results + note instead).
+    sf10_queries: dict[str, float] = {}
+    sf10_rows = 0
+    if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        try:
+            sf10_dir = "/tmp/spark_graft_x100_v1_" + \
+                os.path.basename(sf_dir.rstrip("/"))
+            _build_replica(spark, sf_dir, sf10_dir, factor=100)
+            entrymod._CATALOGS.clear()
+            sf10_rows = spark.read.parquet(
+                os.path.join(sf10_dir, "lineitem.parquet")).count()
+            from incubator_druid_spark.pipeline.similarity import (
+                train_ivf_centroids as _tic10)
+            _emb10 = (load_catalog(spark, sf10_dir).table("embeddings")
+                      .withColumn("embedding",
+                                  _F.col("embedding").cast("array<double>")))
+            entrymod._IVF_CENTROIDS[(sf10_dir, 8, 42)] = _tic10(
+                _emb10.filter(_F.col("vec_id") != 0), n_clusters=8, seed=42)
+            cap = float(os.environ.get("SPARK_GRAFT_SF10_CAP_SEC", "900"))
+            spent = 0.0
+            for name in headline:
+                if spent > cap:
+                    sf10_queries["__capped_after__"] = name
+                    break
+                t0 = time.time()
+                sf10_queries[name] = -1.0
+                entrymod.queries()[name](spark, sf10_dir).count()
+                sf10_queries[name] = round(time.time() - t0, 3)
+                spent += sf10_queries[name]
+        except Exception as e:  # pragma: no cover - fail-soft by design
+            sf10_queries["__error__"] = str(e)[:200]
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
@@ -397,6 +434,11 @@ def main() -> int:
             v for v in sf1_queries.values()
             if isinstance(v, float) and v >= 0), 3),
         "sf1_queries": sf1_queries,
+        "sf10_rows": sf10_rows,
+        "sf10_total_sec": round(sum(
+            v for v in sf10_queries.values()
+            if isinstance(v, float) and v >= 0), 3),
+        "sf10_queries": sf10_queries,
         "notes": {
             "sqlbench_q19": (
                 "q19 (union matrix) is the reference SqlBenchmark's own "
@@ -409,6 +451,14 @@ def main() -> int:
                 "sf1_* keys run the same headline suite on sf0.1 replicated "
                 "x10 (shifted keys, per-copy text/vector perturbation) to "
                 "verify driver-side constants do not dominate at scale."),
+            "sf10": (
+                "sf10_* keys run the headline suite on sf0.1 replicated "
+                "x100 (~60M lineitem rows, same perturbation scheme): "
+                "near-linear sf1->sf10 per-query growth (~10x on "
+                "data-bound lines, flat on limit/boundary lines) is the "
+                "scaling check; SPARK_GRAFT_SF10=0 skips, "
+                "SPARK_GRAFT_SF10_CAP_SEC bounds total wall (default "
+                "900s, partial results recorded past it)."),
         },
     }
     # Full detail (sf1 sweep, per-query sqlbench, notes) goes to a FILE —
@@ -427,19 +477,22 @@ def main() -> int:
         "scan_count_rows_per_sec_core", "scan_sum_rows_per_sec_core",
         "seg_count_rows_per_sec_core", "seg_sum_rows_per_sec_core",
         "skew_join_sec", "skew_join_no_aqe_sec", "skew_join_aqe_split",
-        "sqlbench_total_sec", "sf1_total_sec")}
+        "sqlbench_total_sec", "sf1_total_sec", "sf10_total_sec")}
     compact["detail_file"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     return 0
 
 
 def _build_sf1(spark, src_dir: str, dst_dir: str) -> None:
-    """Materialize the 10x-replicated bench dataset (idempotent)."""
+    _build_replica(spark, src_dir, dst_dir, factor=10)
+
+
+def _build_replica(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    """Materialize a factor-replicated bench dataset (idempotent)."""
     from pyspark.sql import functions as F
     if os.path.exists(os.path.join(dst_dir, "_DONE")):
         return
     os.makedirs(dst_dir, exist_ok=True)
-    factor = 10
     shift = 1_000_000_000
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
