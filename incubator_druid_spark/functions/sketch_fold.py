@@ -208,7 +208,10 @@ class _CentroidState:
             self.mn = mn if self.mn is None else min(self.mn, mn)
             mx = raw["mx"]
             self.mx = mx if self.mx is None else max(self.mx, mx)
-            for b in (raw["bins"] or []):
+            bins = raw["bins"]
+            if bins is None:  # Arrow delivers list-of-struct as ndarray
+                bins = []
+            for b in bins:
                 # histogram_numeric state: struct<x position, y weight>
                 self.xs.append(float(b["x"]))
                 self.ws.append(float(b["y"]))

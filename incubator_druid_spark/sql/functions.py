@@ -256,15 +256,29 @@ def register_druid_sql(spark: SparkSession) -> None:
     st = _FN_STATE.get(spark)
     if st == ver:
         return
-    if st is None:  # static pieces: once per session
-        for stmt in _FUNCTIONS:
-            try:
-                spark.sql(stmt)
-            except AnalysisException as e:
-                if "CANNOT_REPLACE_NON_SQL_UDF" not in str(e):
-                    raise
-        _register_bloom_test_fn(spark)
-    _register_lookup_fn(spark)
+    # Spark resolves a SQL temp function's body ONCE, with the session
+    # timezone at CREATE baked into its date/cast expressions — a function
+    # registered while a sqlTimeZone query had the session pinned to LA
+    # would keep LA semantics for every later query.  Pin UTC for the
+    # CREATEs: Druid's TIME_* functions default to UTC when no tz argument
+    # is given (TimeExtractOperatorConversion et al.), and the tz-argument
+    # forms are inline rewrites that follow the live session zone.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    if prev_tz != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if st is None:  # static pieces: once per session
+            for stmt in _FUNCTIONS:
+                try:
+                    spark.sql(stmt)
+                except AnalysisException as e:
+                    if "CANNOT_REPLACE_NON_SQL_UDF" not in str(e):
+                        raise
+            _register_bloom_test_fn(spark)
+        _register_lookup_fn(spark)
+    finally:
+        if prev_tz != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     _FN_STATE[spark] = ver
 
 

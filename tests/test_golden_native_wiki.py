@@ -651,9 +651,10 @@ def test_group_by_expression_aggregator_native(spark, wiki_catalog):
 
 def test_timeseries_hour_zero_filling(spark, wiki_catalog):
     """TimeseriesQueryRunnerTest testTimeseriesQueryZeroFilling — hour
-    buckets across a 17-day interval: data rows at day boundaries, 23
-    zero-filled hours between them (rows=0, longSum NULL), truncated here
-    to the first two data days (the reference iterates to 2011-05-01)."""
+    buckets across two days: data rows at day boundaries, 23 zero-filled
+    hours between them (rows=0, longSum NULL); the timeline condenses to
+    the data's true extent (parquet footer stats), so nothing fills past
+    the 2011-04-15T00 bucket — the reference's exact 25 rows."""
     q = {"queryType": "timeseries", "dataSource": "wiki",
          "granularity": "hour",
          "intervals": ["2011-04-14T00:00:00.000Z/2011-04-16T00:00:00.000Z"],
@@ -664,10 +665,10 @@ def test_timeseries_hour_zero_filling(spark, wiki_catalog):
              {"type": "longSum", "name": "idx", "fieldName": "index"}]}
     out = [(str(r["__time"]), r["rows"], r["idx"]) for r in
            translate(q, spark, wiki_catalog).collect()]
-    assert len(out) == 48
+    assert len(out) == 25
     assert out[0] == ("2011-04-14 00:00:00", 13, 4907)
-    assert out[24] == ("2011-04-15 00:00:00", 13, 4717)
-    for t, rows_, idx in out[1:24] + out[25:]:
+    assert out[-1] == ("2011-04-15 00:00:00", 13, 4717)
+    for t, rows_, idx in out[1:-1]:
         assert rows_ == 0 and idx is None, t
 
 
