@@ -150,7 +150,10 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
 
     sql = body["query"]
     params = body.get("parameters") or []
-    if params:
+    if params or "?" in sql:
+        # bind even with an empty list so an unbound '?' raises Druid's
+        # "Parameter: [?N] is not bound" instead of a parse error ('?'
+        # inside string literals/comments is left alone by the binder)
         sql = _bind_parameters(sql, params)
 
     ctx = body.get("context") or {}
@@ -196,12 +199,24 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
                             df.columns, body)
 
 
+def _millis_to_wall(millis: int) -> str:
+    """Epoch millis → UTC wall-clock string (TimestampString
+    .fromMillisSinceEpoch semantics); fractional seconds kept only when
+    non-zero."""
+    import datetime as _dt
+    t = _dt.datetime.fromtimestamp(millis / 1000.0, _dt.timezone.utc)
+    base = t.strftime("%Y-%m-%d %H:%M:%S")
+    ms = millis % 1000
+    return base + (".%03d" % ms if ms else "")
+
+
 def _bind_parameters(sql: str, params: list) -> str:
     """Positional '?' binding (SqlParameter / SqlQuery.getParameterList) —
     quote- and comment-aware so a '?' inside a string literal is data, not a
     placeholder; string values have embedded quotes doubled."""
     out: list[str] = []
     it = iter(params)
+    bound = 0  # index of the next '?' (for the unbound-parameter message)
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
@@ -231,10 +246,31 @@ def _bind_parameters(sql: str, params: list) -> str:
             try:
                 p = next(it)
             except StopIteration:
-                raise ValueError("too few parameters for '?' placeholders")
+                # DruidPlanner's unbound-dynamic-param message
+                # (SqlParameterizerShuttle leaves the param in place and
+                # validation fails with this text)
+                raise ValueError(f"Parameter: [?{bound}] is not bound")
+            bound += 1
             v = p.get("value") if isinstance(p, dict) else p
+            ptype = (p.get("type") or "").upper() if isinstance(p, dict) \
+                else ""
             if v is None:
                 out.append("NULL")
+            elif ptype == "TIMESTAMP":
+                # SqlParameterizerShuttle.java:61-66 — a Long is epoch
+                # millis rendered as the UTC wall clock; a string is used
+                # verbatim as the TIMESTAMP literal body
+                if isinstance(v, bool):
+                    raise ValueError("invalid TIMESTAMP parameter")
+                if isinstance(v, (int, float)):
+                    out.append("TIMESTAMP '%s'" % _millis_to_wall(int(v)))
+                else:
+                    out.append("TIMESTAMP '%s'" % str(v).replace("'", "''"))
+            elif ptype == "DATE":
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    out.append("DATE '%s'" % _millis_to_wall(int(v))[:10])
+                else:
+                    out.append("DATE '%s'" % str(v).replace("'", "''"))
             elif isinstance(v, bool):
                 out.append("TRUE" if v else "FALSE")
             elif isinstance(v, str):

@@ -1521,6 +1521,11 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         # coalesce — Druid ValueMatchers have no three-valued NULL.
         def _mvd_cmp_repl(m):
             col, op, lit = m.group("col"), m.group("op"), m.group("lit")
+            if not lit.startswith("'"):
+                # numeric literal (e.g. a bound INTEGER parameter):
+                # Druid plans a numericSelector over the VARCHAR column —
+                # compare against the literal's string rendering
+                lit = f"CAST({lit} AS STRING)"
             base = f"coalesce(array_contains({col}, {lit}), false)"
             return base if op == "=" else f"(NOT {base})"
         # A projection alias that shadows the MVD name (`dim2[0] AS dim2`)
@@ -1535,11 +1540,12 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             sql = _matcher_sub(
                 sql,
                 rf"(?P<col>\b(?:\w+\.)?{_c})\s*(?P<op>=|<>|!=)\s*"
-                rf"(?P<lit>'(?:[^']|'')*')",
+                rf"(?P<lit>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
                 _mvd_cmp_repl)
             sql = _matcher_sub(
                 sql,
-                rf"(?P<lit>'(?:[^']|'')*')\s*(?P<op>=|<>|!=)\s*"
+                rf"(?P<lit>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*"
+                rf"(?P<op>=|<>|!=)\s*"
                 rf"(?P<col>\b(?:\w+\.)?{_c})\b",
                 _mvd_cmp_repl)
 

@@ -94,7 +94,9 @@ def test_fast_path_value_parity_with_fold(spark, catalog):
                    .collect()}
     got = run("__acc + value", "0.0", ["value"])
     for k, v in exact_sum.items():
-        assert abs(got[k] - v) < 1e-6, k
+        # relative tolerance: both sides are FP sums whose partial order
+        # varies run-to-run with partition scheduling
+        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v)), k
     exact_max = {r["event_type"]: r["x"] for r in
                  ev.groupBy("event_type").agg(F.max("value").alias("x"))
                    .collect()}
