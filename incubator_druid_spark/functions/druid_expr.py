@@ -376,6 +376,14 @@ class _Lambda:
 # Function registry
 # ---------------------------------------------------------------------------
 
+def _null_as_1(a: Column) -> Column:
+    """A null array operand becomes the one-element [null] array (Druid's
+    scalar-to-array promotion applied to the null MVD read).  element_at on
+    the (null) array gives a null of the element type, so the promotion is
+    type-correct for any element type."""
+    return F.coalesce(a, F.array(F.element_at(a, F.lit(1))))
+
+
 def _cols(f):
     """Wrap fn expecting all-Column args."""
     return lambda p, *args: f(*[_c(a) for a in args])
@@ -689,9 +697,14 @@ def _registry() -> dict:
             F.nullif(F.array_position(a, v), F.lit(0)) - 1).cast("long")),
         "array_ordinal_of": _cols(lambda a, v: F.nullif(
             F.array_position(a, v), F.lit(0)).cast("long")),
-        "array_append": _cols(F.array_append),
-        "array_prepend": _cols(lambda v, a: F.array_prepend(a, v)),
-        "array_concat": _cols(lambda a, b: F.concat(a, b)),
+        # append/prepend/concat promote a null scalar operand to [null]
+        # (ArrayAppendFunction scalar-to-array promotion; the null-MVD row
+        # yields [null, 'foo'] in testMultiValueStringAppend).  element_at
+        # on the null array is a type-correct null element.
+        "array_append": _cols(lambda a, v: F.array_append(_null_as_1(a), v)),
+        "array_prepend": _cols(lambda v, a: F.array_prepend(_null_as_1(a), v)),
+        "array_concat": _cols(lambda a, b: F.concat(_null_as_1(a),
+                                                    _null_as_1(b))),
         "array_set_add": _cols(lambda a, v: F.array_sort(F.array_distinct(F.array_append(a, v)))),
         "array_set_add_all": _cols(lambda a, b: F.array_sort(F.array_union(a, b))),
         # ArrayContainsFunction: array 2nd argument = contains-all, scalar =
@@ -805,13 +818,21 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
     """compile_expr + Druid's single-MVD scalar mapping: when
     ``mvd_map_target`` finds a mapped column, the expression compiles inside
     ``transform(mvd, x -> expr[mvd := x])`` and the result is an MVD."""
+    def _mvd_read(n):
+        # Druid's dimension selector reads an EMPTY multi-value row as null
+        # (no values), not as an empty array — array functions then see a
+        # null scalar (CalciteMultiValueStringQueryTest: the [] row groups
+        # with the null row in every MV_* expected result)
+        c = resolver(n)
+        return F.when(F.size(c) > 0, c) if n in array_cols else c
+
     target = mvd_map_target(expression, array_cols)
     if target is None:
-        return compile_expr(expression, resolver, string_cols)
+        return compile_expr(expression, _mvd_read, string_cols)
     # MVD elements are strings — the mapped lambda variable is string-typed
     sc = (string_cols or set()) | {target}
     return F.transform(
-        resolver(target),
+        _mvd_read(target),
         lambda x: _c(compile_expr(
             expression,
-            lambda n, _x=x: _x if n == target else resolver(n), sc)))
+            lambda n, _x=x: _x if n == target else _mvd_read(n), sc)))

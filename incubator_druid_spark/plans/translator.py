@@ -74,11 +74,14 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
         from incubator_druid_spark.functions.lookups import flush_lookup_joins
         df = flush_lookup_joins(df)  # large-lookup refs inside the expr
         ot = vc.get("outputType")
-        # an auto-mapped expression yields an MVD — Druid types it STRING
-        # (multi-value); don't stringify the array
+        # an MVD-valued result — whether from the auto-mapped scalar path
+        # or an array function like array_append — is Druid's multi-value
+        # STRING; don't stringify the array (grouping explodes it instead)
         if (ot and ot.upper() in ("LONG", "FLOAT", "DOUBLE", "STRING")
                 and mvd_map_target(vc["expression"], arr_cols) is None):
-            col = col.cast(ot.lower())
+            rtype = df.select(col.alias("__vc")).schema[0].dataType
+            if not isinstance(rtype, T.ArrayType):
+                col = col.cast(ot.lower())
         df = df.withColumn(vc["name"], col)
 
     ivs = parse_intervals(query.get("intervals"))

@@ -188,3 +188,105 @@ def test_mvd_self_concat_scan_native(spark, numfoo_catalog):
     assert out["10.1"] == ("b-lol-b", "c-lol-c")
     assert out["2"] == ("d-lol-d",)
     assert out["abc"] is None
+
+
+def _mv_group(spark, cat, expr, outtype="STRING"):
+    """The shared shape of the MV_* group-by goldens: a native groupBy on an
+    expression virtual column over dim3 with SUM(cnt)
+    (CalciteMultiValueStringQueryTest's expected native query)."""
+    from incubator_druid_spark import translate
+    q = {"queryType": "groupBy", "dataSource": "numfoo",
+         "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": expr, "outputType": outtype}],
+         "dimensions": [{"type": "default", "dimension": "v0",
+                         "outputName": "v0", "outputType": outtype}],
+         "aggregations": [{"type": "longSum", "name": "a0",
+                           "fieldName": "cnt"}]}
+    return {r["v0"]: r["a0"] for r in
+            translate(q, spark, cat).collect()}
+
+
+def test_mv_append_group_native(spark, numfoo_catalog):
+    """testMultiValueStringAppend (sql null mode) — the grouped MVD
+    explodes per element; the null and [] rows both read null and promote
+    to [null, 'foo']."""
+    got = _mv_group(spark, numfoo_catalog, "array_append(dim3,'foo')")
+    assert got == {"foo": 6, None: 2, "b": 2, "": 1, "a": 1, "c": 1, "d": 1}
+
+
+def test_mv_prepend_group_native(spark, numfoo_catalog):
+    """testMultiValueStringPrepend — same element groups as append."""
+    got = _mv_group(spark, numfoo_catalog, "array_prepend('foo',dim3)")
+    assert got == {"foo": 6, None: 2, "b": 2, "": 1, "a": 1, "c": 1, "d": 1}
+
+
+def test_mv_concat_group_native(spark, numfoo_catalog):
+    """testMultiValueStringConcat — self-concat doubles every element;
+    null/[] rows yield [null, null]."""
+    got = _mv_group(spark, numfoo_catalog, "array_concat(dim3,dim3)")
+    assert got == {None: 4, "b": 4, "": 2, "a": 2, "c": 2, "d": 2}
+
+
+def test_mv_ordinal_group_native(spark, numfoo_catalog):
+    """testMultiValueStringOrdinal — 1-based element; short/empty/null rows
+    group under null."""
+    got = _mv_group(spark, numfoo_catalog, "array_ordinal(dim3,2)")
+    assert got == {None: 4, "b": 1, "c": 1}
+
+
+def test_mv_ordinal_of_group_native(spark, numfoo_catalog):
+    """testMultiValueStringOrdinalOf — 1-based position of 'b'; miss is
+    null (sql mode)."""
+    got = _mv_group(spark, numfoo_catalog, "array_ordinal_of(dim3,'b')",
+                    "LONG")
+    assert got == {None: 4, 1: 1, 2: 1}
+
+
+def test_mv_to_string_group_native(spark, numfoo_catalog):
+    """testMultiValueStringToString — [''] renders '', but the []/null rows
+    read null and stay null."""
+    got = _mv_group(spark, numfoo_catalog, "array_to_string(dim3,',')")
+    assert got == {None: 2, "": 1, "a,b": 1, "b,c": 1, "d": 1}
+
+
+def test_mv_works_like_string_group_by_native(spark, numfoo_catalog):
+    """testMultiValueStringWorksLikeStringGroupBy — concat maps per element
+    (NEEDS_APPLIED), then the grouped MVD explodes."""
+    got = _mv_group(spark, numfoo_catalog, "concat(dim3,'foo')")
+    assert got == {None: 2, "bfoo": 2, "afoo": 1, "cfoo": 1, "dfoo": 1,
+                   "foo": 1}
+
+
+def test_mv_works_like_string_scan_native(spark, numfoo_catalog):
+    """testMultiValueStringWorksLikeStringScan — the mapped MVD scans as an
+    array; null/[] rows scan as null."""
+    from incubator_druid_spark import translate
+    q = {"queryType": "scan", "dataSource": "numfoo",
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "concat(dim3, 'foo')",
+                             "outputType": "STRING"}],
+         "columns": ["dim1", "v0"]}
+    out = {r["dim1"]: (tuple(r["v0"]) if r["v0"] is not None else None)
+           for r in translate(q, spark, numfoo_catalog).collect()}
+    assert out[""] == ("afoo", "bfoo")
+    assert out["10.1"] == ("bfoo", "cfoo")
+    assert out["2"] == ("dfoo",)
+    assert out["1"] == ("foo",)
+    assert out["def"] is None   # [] row reads null
+    assert out["abc"] is None   # null row
+
+
+def test_mv_works_like_string_scan_with_filter_native(spark, numfoo_catalog):
+    """testMultiValueStringWorksLikeStringScanWithFilter — the virtual
+    column filters by ANY-element match before the scan."""
+    from incubator_druid_spark import translate
+    q = {"queryType": "scan", "dataSource": "numfoo",
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "concat(dim3, 'foo')",
+                             "outputType": "STRING"}],
+         "filter": {"type": "selector", "dimension": "v0", "value": "bfoo"},
+         "columns": ["v0"]}
+    out = sorted(tuple(r["v0"]) for r in
+                 translate(q, spark, numfoo_catalog).collect())
+    assert out == [("afoo", "bfoo"), ("bfoo", "cfoo")]
