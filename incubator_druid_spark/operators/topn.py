@@ -83,13 +83,12 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     order = _metric_order(query["metric"], dim, invert=False)
     k = int(query["threshold"])
 
-    # numeric metric specs OMIT null-metric entries (TopNNumericResultBuilder
-    # never ranks a null metric value — test_topN_orderByLongNumericColumn
-    # WithNulls expects 10 of 13 groups); dimension/lexicographic specs keep
-    # every dimension value
-    nmetric = _numeric_metric_name(query["metric"])
-    if nmetric is not None and nmetric in out.columns:
-        out = out.filter(qcol(nmetric).isNotNull())
+    # null metric values RANK (smallest) rather than being omitted: the
+    # numeric spec's comparator is the aggregator factory's nullsFirst
+    # ordering (LongSumAggregator.COMPARATOR via NumericTopNMetricSpec
+    # .getComparator), so test_topN_orderBy*NumericColumnWithNulls expects
+    # all 13 groups with the null-metric rows last in descending order —
+    # which is Spark's desc default (desc_nulls_last)
 
     if per_bucket:
         # top-K within each time bucket → window rank (single shuffle on the
@@ -102,19 +101,6 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
                   .withColumnRenamed("__bucket", TIME_COLUMN))
         return out
     return out.orderBy(*order).limit(k)
-
-
-def _numeric_metric_name(metric_spec) -> str | None:
-    """The metric column name when the (possibly inverted) spec ranks
-    numerically; None for dimension/lexicographic orderings."""
-    if isinstance(metric_spec, str):
-        return metric_spec
-    t = metric_spec.get("type")
-    if t == "numeric":
-        return metric_spec["metric"]
-    if t == "inverted":
-        return _numeric_metric_name(metric_spec["metric"])
-    return None
 
 
 def _metric_order(metric_spec, dim: str, invert: bool):

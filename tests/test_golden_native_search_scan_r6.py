@@ -288,3 +288,82 @@ def test_segment_metadata_no_analysis_types(spark, wiki_catalog):
     assert cols["placement"]["type"] == "STRING"
     assert cols["placement"]["cardinality"] is None
     assert cols["placement"]["minValue"] is None
+
+
+def test_full_on_select_all_columns(spark, wiki_catalog):
+    """ScanQueryRunnerTest.testFullOnSelect — a scan with NO columns list
+    returns every segment column plus the virtual column (EXPR_COLUMN =
+    index * 2, LONG); 26 rows over 2011-01-12/14 (V_0112_0114)."""
+    q = {"queryType": "scan", "dataSource": "wiki",
+         "intervals": ["2011-01-12T00:00:00.000Z/2011-01-14T00:00:00.000Z"],
+         "virtualColumns": [{"type": "expression", "name": "expr",
+                             "expression": "index * 2",
+                             "outputType": "LONG"}]}
+    out = translate(q, spark, wiki_catalog)
+    for c in ("__time", "expr", "market", "quality", "qualityLong",
+              "placement", "placementish", "index", "partial_null_column"):
+        assert c in out.columns, c
+    rows_ = out.collect()
+    assert len(rows_) == 26
+    for r in rows_:
+        assert r["expr"] == int(r["index"] * 2)
+
+
+def test_full_on_select_as_compacted_list(spark, wiki_catalog):
+    """ScanQueryRunnerTest.testFullOnSelectAsCompactedList — the
+    compactedList result format carries the same rows as value arrays in
+    column order (and testSelectWithDimsAndMetsAsCompactedList: a projected
+    scan compacts the same way)."""
+    from incubator_druid_spark.api import native_query
+    base = {"queryType": "scan", "dataSource": "wiki",
+            "intervals":
+                ["2011-01-12T00:00:00.000Z/2011-01-14T00:00:00.000Z"],
+            "virtualColumns": [{"type": "expression", "name": "expr",
+                                "expression": "index * 2",
+                                "outputType": "LONG"}]}
+    listed = native_query(base, spark, wiki_catalog)
+    compacted = native_query({**base, "resultFormat": "compactedList"},
+                             spark, wiki_catalog)
+    cols = listed[0]["columns"]
+    assert compacted[0]["columns"] == cols
+    assert len(compacted[0]["events"]) == len(listed[0]["events"]) == 26
+    for ev_list, ev_arr in zip(listed[0]["events"], compacted[0]["events"]):
+        assert [ev_list.get(c) for c in cols] == ev_arr
+    # the projected variant (testSelectWithDimsAndMetsAsCompactedList)
+    proj = native_query(
+        {"queryType": "scan", "dataSource": "wiki", "limit": 3,
+         "order": "ascending",
+         "intervals":
+             ["2011-01-12T00:00:00.000Z/2011-01-14T00:00:00.000Z"],
+         "columns": ["market", "index"],
+         "resultFormat": "compactedList"},
+        spark, wiki_catalog)
+    assert proj[0]["columns"] == ["market", "index"]
+    assert len(proj[0]["events"]) == 3
+    assert all(len(ev) == 2 for ev in proj[0]["events"])
+
+
+def test_full_on_select_asc_desc_list_and_compacted_parity(
+        spark, wiki_catalog):
+    """testFullOnSelectWithFilterLimitAnd{Asc,Desc}endingTimeOrdering
+    {List,CompactedList}Format — both formats return identical rows for
+    both time orders (the reference runs the same query through each
+    format and verifies the same expected rows)."""
+    from incubator_druid_spark.api import native_query
+    for order, day in (("ascending", "2011-01-12"),
+                       ("descending", "2011-04-15")):
+        base = {"queryType": "scan", "dataSource": "wiki", "limit": 3,
+                "order": order,
+                "intervals":
+                    ["2011-01-12T00:00:00.000Z/2011-04-16T00:00:00.000Z"],
+                "filter": {"type": "selector", "dimension": "market",
+                           "value": "spot"},
+                "columns": ["__time", "quality", "index"]}
+        listed = native_query(base, spark, wiki_catalog)
+        compacted = native_query({**base, "resultFormat": "compactedList"},
+                                 spark, wiki_catalog)
+        cols = listed[0]["columns"]
+        assert [str(ev["__time"])[:10] for ev in listed[0]["events"]] \
+            == [day] * 3
+        assert [[ev.get(c) for c in cols] for ev in listed[0]["events"]] \
+            == compacted[0]["events"]

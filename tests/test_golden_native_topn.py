@@ -342,9 +342,9 @@ def test_topn_with_non_bitmap_filter(spark, wiki_catalog):
                                  "doubleNumericNull"])
 def test_topn_order_by_numeric_column_with_nulls(col, spark, wiki_catalog):
     """test_topN_orderBy{Long,Float,Double}NumericColumnWithNulls_returns-
-    DescendingResults — numeric metric ordering OMITS null-metric groups
-    (TopNNumericResultBuilder never ranks a null metric value: 10 of day
-    2's 13 index groups); ties keep dimension order."""
+    DescendingResults — null metric values rank smallest (the aggregator
+    factory's nullsFirst comparator), so descending order puts day 2's 3
+    null-metric index groups LAST of 13; ties keep dimension order."""
     q = {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
          "intervals": SECOND,
          "dimension": {"type": "default", "dimension": "index",
@@ -355,7 +355,8 @@ def test_topn_order_by_numeric_column_with_nulls(col, spark, wiki_catalog):
     out = [(r["index_alias"], r[col])
            for r in translate(q, spark, wiki_catalog).collect()]
     exp = [(97, 80), (135, 70), (1049, 70), (1321, 70), (110, 50),
-           (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10)]
+           (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10),
+           (114, None), (126, None), (166, None)]
     assert out == exp
 
 

@@ -145,9 +145,9 @@ def test_topn_over_first_last_float_aggregator_using_double_column(
 def test_topn_order_by_numeric_column_with_nulls_descending(
         spark, wiki_catalog, col, agg_type):
     """test_topN_orderBy{Long,Double,Float}NumericColumnWithNulls_returns-
-    DescendingResults — numeric-metric topN over a nullable column OMITS
-    null-metric groups (TopNNumericResultBuilder never ranks a null metric
-    value); ties break by the LONG-typed dimension ascending."""
+    DescendingResults — null metric values rank smallest (nullsFirst
+    aggregator comparator), landing LAST in descending order; ties break
+    by the LONG-typed dimension ascending."""
     out = translate(
         {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
          "intervals": SECOND_ONLY, "threshold": 10000,
@@ -158,5 +158,8 @@ def test_topn_order_by_numeric_column_with_nulls_descending(
                            "fieldName": col}]},
         spark, wiki_catalog).collect()
     exp = [(97, 80), (135, 70), (1049, 70), (1321, 70), (110, 50),
-           (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10)]
-    assert [(r["index_alias"], r[col]) for r in out] == exp
+           (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10),
+           (114, None), (126, None), (166, None)]
+    assert [(r["index_alias"],
+             (None if r[col] is None else int(r[col])))
+            for r in out] == exp

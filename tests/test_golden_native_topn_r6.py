@@ -132,5 +132,6 @@ def test_topn_dim_extraction_to_one(spark, wiki_catalog):
 
 
 # test_topN_orderBy{Long,Float,Double}NumericColumnWithNulls live in
-# test_golden_native_topn.py / _r4e.py — updated there to the reference's
-# 10-row expected now that numeric specs omit null-metric groups.
+# test_golden_native_topn.py / _r4e.py / _r6b.py — the reference's 13-row
+# expected lists: null metrics rank smallest (nullsFirst comparator) and
+# land last in descending order, not omitted.
