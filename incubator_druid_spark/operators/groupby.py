@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
 from incubator_druid_spark.filters.filters import (FilterContext,
@@ -107,6 +108,8 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     if having is not None:
         out = out.filter(_having_predicate(having, out))
 
+    out = _apply_resource_limits(out, query.get("context") or {}, dim_names)
+
     out = _apply_limit_spec(
         out, query.get("limitSpec"), dim_names,
         sort_dims_first=bool(
@@ -139,6 +142,73 @@ def _subtotals(df: DataFrame, keys, dim_names, subtotals, agg_specs,
             aggs.append(compile_aggregator(spec, ctx))
     grouped = df.groupingSets(sets, *[qcol(k) for k in keys])
     return grouped.agg(*aggs)
+
+
+# -- resource-limit context (QueryContexts / GroupByQueryConfig) ------------
+
+def _apply_resource_limits(out: DataFrame, ctx: dict, dim_names: list[str]):
+    """Druid's per-query resource guardrails as RUNTIME guards
+    (GroupByQueryRunnerTest context-override family):
+
+    - maxResults (v1 broker cap) and bufferGrouperMaxSize-with-spill-
+      disabled (v2 buffer grouper): more result groups than allowed raises
+      ResourceLimitExceededException.
+    - maxMergingDictionarySize: the merge dictionary holds the grouping
+      key strings; when their total bytes exceed the cap the overflow
+      spills — with maxOnDiskStorage=0 that raises 'Not enough dictionary
+      space', with a too-small positive maxOnDiskStorage 'Not enough disk
+      space' (GroupByQueryRunnerTest:2022,2084).
+
+    The guard columns are added ONLY when the context sets these keys, so
+    ordinary queries keep their shuffle-free plans; the guarded count runs
+    over the already-aggregated (small) frame.  In this engine the limits
+    are honored as contracts — Tungsten manages actual memory/spill."""
+    max_results = ctx.get("maxResults")
+    buffer_max = ctx.get("bufferGrouperMaxSize")
+    dict_max = ctx.get("maxMergingDictionarySize")
+    disk_max = ctx.get("maxOnDiskStorage")
+    spill_off = disk_max is not None and int(disk_max) == 0
+
+    cap = None
+    msg = None
+    if max_results is not None and int(max_results) >= 0:
+        cap = int(max_results)
+        msg = (f"Resource limit exceeded: maxResults[{cap}] — "
+               "not enough resources to execute this query")
+    if buffer_max is not None and spill_off:
+        c2 = int(buffer_max)
+        if cap is None or c2 < cap:
+            cap = c2
+            msg = "Not enough aggregation buffer space to execute this query"
+    from pyspark.sql import Window
+    if cap is not None:
+        # a filter (not a dropped projection — Catalyst would prune that)
+        # keeps the guard in the executed plan
+        w = Window.orderBy(F.lit(1))
+        out = (out.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.when(F.col("__rn") > F.lit(cap),
+                                 F.raise_error(F.lit(msg)).cast("boolean"))
+                          .otherwise(F.lit(True)))
+                  .drop("__rn"))
+
+    if dict_max is not None:
+        str_dims = [f.name for f in out.schema.fields
+                    if f.name in dim_names
+                    and isinstance(f.dataType, T.StringType)]
+        est = F.lit(8 * max(1, len(dim_names)))
+        for n in str_dims:
+            est = est + F.coalesce(F.length(qcol(n)) * 2, F.lit(0))
+        w = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        dmsg = ("Not enough disk space to execute this query"
+                if (disk_max is not None and int(disk_max) > 0)
+                else "Not enough dictionary space to execute this query")
+        out = (out.withColumn("__dictsz", F.sum(est).over(w))
+                  .filter(F.when(F.col("__dictsz") > F.lit(int(dict_max)),
+                                 F.raise_error(F.lit(dmsg)).cast("boolean"))
+                          .otherwise(F.lit(True)))
+                  .drop("__dictsz"))
+    return out
 
 
 # -- having ------------------------------------------------------------------

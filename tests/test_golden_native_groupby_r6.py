@@ -358,3 +358,133 @@ def test_merge_results_across_days_order_by_math_expression(spark,
         ("2011-04-02", "entertainment", 1, 348),
         ("2011-04-02", "automotive", 1, 309),
         ("2011-04-02", "travel", 1, 265)]
+
+
+def test_group_by_subtotals_spec_general(spark, wiki_catalog):
+    """testGroupByWithSubtotalsSpecGeneral — subtotal lists over a 3-dim
+    query (one a virtual alias of quality) that are NOT prefixes, plus a
+    fieldAccess post-agg carried into every subtotal row; day granularity.
+    Expected values are the reference's per-day quality/market totals."""
+    out = translate(
+        {"queryType": "groupBy", "dataSource": "wiki", "granularity": "day",
+         "intervals": F2T,
+         "virtualColumns": [{"type": "expression", "name": "alias",
+                             "expression": "quality",
+                             "outputType": "STRING"}],
+         "dimensions": [
+             {"type": "default", "dimension": "quality",
+              "outputName": "quality2"},
+             {"type": "default", "dimension": "market",
+              "outputName": "market2"},
+             {"type": "default", "dimension": "alias",
+              "outputName": "alias2"}],
+         "subtotalsSpec": [["alias2"], ["market2"], []],
+         "aggregations": [{"type": "count", "name": "rows"},
+                          {"type": "longSum", "name": "idx",
+                           "fieldName": "index"}],
+         "postAggregations": [{"type": "fieldAccess", "name": "idxPostAgg",
+                               "fieldName": "idx"}]},
+        spark, wiki_catalog).collect()
+    got = {(str(r["__time"])[:10], r["quality2"], r["market2"], r["alias2"],
+            r["rows"], r["idx"]) for r in out}
+    day1 = {"automotive": (1, 135), "business": (1, 118),
+            "entertainment": (1, 158), "health": (1, 120),
+            "mezzanine": (3, 2870), "news": (1, 121),
+            "premium": (3, 2900), "technology": (1, 78),
+            "travel": (1, 119)}
+    day2 = {"automotive": (1, 147), "business": (1, 112),
+            "entertainment": (1, 166), "health": (1, 113),
+            "mezzanine": (3, 2447), "news": (1, 114),
+            "premium": (3, 2505), "technology": (1, 97),
+            "travel": (1, 126)}
+    exp = set()
+    for d, vals in (("2011-04-01", day1), ("2011-04-02", day2)):
+        for q, (rows_, idx) in vals.items():
+            exp.add((d, None, None, q, rows_, idx))
+    exp |= {("2011-04-01", None, "spot", None, 9, 1102),
+            ("2011-04-01", None, "total_market", None, 2, 2836),
+            ("2011-04-01", None, "upfront", None, 2, 2681),
+            ("2011-04-02", None, "spot", None, 9, 1120),
+            ("2011-04-02", None, "total_market", None, 2, 2514),
+            ("2011-04-02", None, "upfront", None, 2, 2193),
+            ("2011-04-01", None, None, None, 13, 6619),
+            ("2011-04-02", None, None, None, 13, 5827)}
+    assert got == exp
+    # the post-agg mirrors idx on every subtotal row
+    assert all(r["idxPostAgg"] == r["idx"] for r in out)
+
+
+# -- resource-limit context overrides (QueryContexts / GroupByQueryConfig) --
+
+def _quality_day_query(**ctx):
+    return {"queryType": "groupBy", "dataSource": "wiki",
+            "granularity": "day", "intervals": F2T,
+            "dimensions": [{"type": "default", "dimension": "quality",
+                            "outputName": "alias"}],
+            "aggregations": [{"type": "count", "name": "rows"},
+                             {"type": "longSum", "name": "idx",
+                              "fieldName": "index"}],
+            "context": ctx}
+
+
+def test_group_by_max_results_context_override(spark, wiki_catalog):
+    """testGroupByMaxRowsLimitContextOverride — maxResults=1 with 18
+    result groups raises ResourceLimitExceededException (runtime guard;
+    the limit only enters the plan when the context sets it)."""
+    with pytest.raises(Exception, match="maxResults"):
+        translate(_quality_day_query(maxResults=1),
+                  spark, wiki_catalog).collect()
+
+
+def test_group_by_timeout_context_override(spark, wiki_catalog):
+    """testGroupByTimeoutContextOverride — a generous timeout changes
+    nothing; full expected day-1/day-2 quality rows."""
+    out = translate(_quality_day_query(timeout=60000),
+                    spark, wiki_catalog).collect()
+    got = {(str(r["__time"])[:10], r["alias"]): (r["rows"], r["idx"])
+           for r in out}
+    assert len(got) == 18
+    assert got[("2011-04-01", "automotive")] == (1, 135)
+    assert got[("2011-04-02", "mezzanine")] == (3, 2447)
+
+
+def test_group_by_max_on_disk_storage_context_override(spark, wiki_catalog):
+    """testGroupByMaxOnDiskStorageContextOverride — spill disabled
+    (maxOnDiskStorage=0) with a 1-entry buffer grouper: 'Not enough
+    aggregation buffer space to execute this query'."""
+    with pytest.raises(Exception,
+                       match="Not enough aggregation buffer space"):
+        translate(_quality_day_query(maxOnDiskStorage=0,
+                                     bufferGrouperMaxSize=1),
+                  spark, wiki_catalog).collect()
+
+
+def test_not_enough_dictionary_space_context_override(spark, wiki_catalog):
+    """testNotEnoughDictionarySpaceThroughContextOverride — the merge
+    dictionary (grouping-key strings) capped at 1 byte with spill
+    disabled: 'Not enough dictionary space to execute this query'."""
+    with pytest.raises(Exception, match="Not enough dictionary space"):
+        translate(_quality_day_query(maxOnDiskStorage=0,
+                                     maxMergingDictionarySize=1),
+                  spark, wiki_catalog).collect()
+
+
+def test_not_enough_disk_space_context_override(spark, wiki_catalog):
+    """testNotEnoughDiskSpaceThroughContextOverride — dictionary overflow
+    spills, but maxOnDiskStorage=1 byte can't hold it: 'Not enough disk
+    space to execute this query'."""
+    with pytest.raises(Exception, match="Not enough disk space"):
+        translate(_quality_day_query(maxOnDiskStorage=1,
+                                     maxMergingDictionarySize=1),
+                  spark, wiki_catalog).collect()
+
+
+def test_group_by_generous_limits_pass(spark, wiki_catalog):
+    """The same knobs at realistic values are honored without tripping
+    (GroupByQueryConfig defaults: 100MB dictionary, 1G disk)."""
+    out = translate(
+        _quality_day_query(maxOnDiskStorage=1 << 30,
+                           maxMergingDictionarySize=100_000_000,
+                           maxResults=500_000, bufferGrouperMaxSize=100_000),
+        spark, wiki_catalog).collect()
+    assert len(out) == 18

@@ -367,3 +367,50 @@ def test_full_on_select_asc_desc_list_and_compacted_parity(
             == [day] * 3
         assert [[ev.get(c) for c in cols] for ev in listed[0]["events"]] \
             == compacted[0]["events"]
+
+
+def test_search_on_long_column_with_extraction(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchOnLongColumnWithExFn — the reference
+    prefixes the millis rendering with 'super-' via a javascript
+    extraction; this engine refuses javascript (JavaScriptConfig-disabled
+    stance) and the stringFormat extraction fn is the supported twin with
+    the identical expected hit (super-1297123200000, 13 rows)."""
+    base = {"queryType": "search", "dataSource": "wiki",
+            "granularity": "all",
+            "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+            "query": {"type": "contains", "value": "1297123200000"}}
+    with pytest.raises(Exception, match="(?i)javascript"):
+        translate({**base, "searchDimensions": [
+            {"type": "extraction", "dimension": "__time",
+             "outputName": "__time",
+             "extractionFn": {"type": "javascript",
+                              "function":
+                                  "function(str){return 'super-'+str;}"}}]},
+                  spark, wiki_catalog).collect()
+    out = {(r["dimension"], r["value"]): r["count"] for r in translate(
+        {**base, "searchDimensions": [
+            {"type": "extraction", "dimension": "__time",
+             "outputName": "__time",
+             "extractionFn": {"type": "stringFormat",
+                              "format": "super-%s"}}]},
+        spark, wiki_catalog).collect()}
+    assert out == {("__time", "super-1297123200000"): 13}
+
+
+def test_search_on_float_column_with_extraction(spark, wiki_catalog):
+    """SearchQueryRunnerTest.testSearchOnFloatColumnWithExFn — same
+    stringFormat twin over the DOUBLE index column: two distinct 100.7*
+    renderings, one row each."""
+    out = {r["value"]: r["count"] for r in translate(
+        {"queryType": "search", "dataSource": "wiki", "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+         "searchDimensions": [
+             {"type": "extraction", "dimension": "index",
+              "outputName": "index",
+              "extractionFn": {"type": "stringFormat",
+                               "format": "super-%s"}}],
+         "query": {"type": "contains", "value": "100.7"}},
+        spark, wiki_catalog).collect()}
+    assert len(out) == 2
+    assert all(v.startswith("super-100.7") for v in out)
+    assert all(c == 1 for c in out.values())

@@ -227,3 +227,22 @@ def test_ts_cardinality_agg_on_multi_string_expression(spark, wiki_catalog):
                             "fields": ["v0"], "byRow": False}])
     r = out[0]
     assert (r["rows"], round(r["numVals"])) == (26, 13)
+
+
+def test_ts_expression_aggregator_too_big(spark, wiki_catalog):
+    """testTimeseriesWithExpressionAggregatorTooBig — an expressionLambda
+    whose array accumulator outgrows maxSizeBytes=10 fails cleanly (the
+    reference raises 'Unable to serialize [STRING_ARRAY]' from
+    ExprEval.estimateAndCheckMaxBytes; this engine's bound raises its
+    maxSizeBytes message instead of ballooning executor memory)."""
+    q = {"queryType": "timeseries", "dataSource": "wiki",
+         "granularity": "day", "intervals": F2T,
+         "aggregations": [{
+             "type": "expressionLambda", "name": "array_agg_distinct",
+             "fields": ["market"], "accumulatorIdentifier": "acc",
+             "initialValue": "[]",
+             "fold": "array_set_add(acc, market)",
+             "combine": "array_set_add_all(acc, array_agg_distinct)",
+             "maxSizeBytes": 10}]}
+    with pytest.raises(Exception, match="maxSizeBytes"):
+        translate(q, spark, wiki_catalog).collect()
