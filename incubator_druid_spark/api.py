@@ -183,6 +183,8 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
         spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             df = druid_sql(spark, sql, catalog)
+            if ctx.get("requireTimeCondition"):
+                _require_time_condition(df)
             if outer_limit is not None:
                 df = df.limit(int(outer_limit))
             rows_early = _rows_timed(df, ctx.get("timeout"))  # under the tz
@@ -191,12 +193,51 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
         return _format_sql_rows(rows_early, df.columns, body)
 
     df = druid_sql(spark, sql, catalog)
+    if ctx.get("requireTimeCondition"):
+        _require_time_condition(df)
     if outer_limit is not None:
         # PlannerContext.CTX_SQL_OUTER_LIMIT — wrap the whole result in a
         # limit (the broker applies it outside any query-level LIMIT)
         df = df.limit(int(outer_limit))
     return _format_sql_rows(_rows_timed(df, ctx.get("timeout")),
                             df.columns, body)
+
+
+def _require_time_condition(df) -> None:
+    """PlannerConfig.requireTimeCondition (DruidQuery.java's
+    CannotBuildQueryException: 'requireTimeCondition is enabled, all
+    queries must include a filter condition on the __time column') as a
+    plan guardrail: every file-relation scan must sit below a Filter that
+    references __time.  Checked on BOTH the analyzed plan (where the
+    filter still names __time even when the table derives it from a raw
+    source column) and the optimized plan (where the optimizer has pushed
+    a predicate on an ALIAS of __time down to the column itself); either
+    satisfies.  At 100 TB this is the guard against accidental
+    full-table scans."""
+
+    def plan_ok(jplan) -> bool:
+        ok = [True]
+
+        def walk(node, seen_time):
+            cls = node.getClass().getSimpleName()
+            if cls == "Filter" and "__time" in node.condition().toString():
+                seen_time = True
+            n = node.children().size()
+            if n == 0:
+                if cls == "LogicalRelation" and not seen_time:
+                    ok[0] = False
+                return
+            for i in range(n):
+                walk(node.children().apply(i), seen_time)
+
+        walk(jplan, False)
+        return ok[0]
+
+    qe = df._jdf.queryExecution()
+    if not (plan_ok(qe.analyzed()) or plan_ok(qe.optimizedPlan())):
+        raise ValueError(
+            "requireTimeCondition is enabled, all queries must "
+            "include a filter condition on the __time column")
 
 
 def _millis_to_wall(millis: int) -> str:

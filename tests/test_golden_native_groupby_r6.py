@@ -488,3 +488,32 @@ def test_group_by_generous_limits_pass(spark, wiki_catalog):
                            maxResults=500_000, bufferGrouperMaxSize=100_000),
         spark, wiki_catalog).collect()
     assert len(out) == 18
+
+
+def test_group_by_join_as_native_query_with_unoptimized_filter(
+        spark, foo_catalog):
+    """CalciteQueryTest.testGroupByJoinAsNativeQueryWithUnoptimizedFilter —
+    a native groupBy over a join of two query datasources, with the
+    selector rewritten as a 1-element IN (the unoptimized form) and a
+    constant virtual dimension: one row, 'def'."""
+    scan = {"queryType": "scan", "dataSource": "foo",
+            "intervals": ["2001-01-02T00:00:00.000Z/3000-01-01T00:00:00Z"]}
+    q = {"queryType": "groupBy",
+         "dataSource": {
+             "type": "join",
+             "left": {"type": "query",
+                      "query": {**scan, "columns": ["dim1"]}},
+             "right": {"type": "query",
+                       "query": {**scan, "columns": ["dim1", "m2"]}},
+             "rightPrefix": "j0.",
+             "condition": '"dim1" == "j0.dim1"',
+             "joinType": "INNER"},
+         "granularity": "all",
+         "filter": {"type": "in", "dimension": "dim1", "values": ["def"]},
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "'def'",
+                             "outputType": "STRING"}],
+         "dimensions": [{"type": "default", "dimension": "v0",
+                         "outputName": "d0"}]}
+    out = translate(q, spark, foo_catalog).collect()
+    assert [r["d0"] for r in out] == ["def"]

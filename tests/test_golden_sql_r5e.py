@@ -195,3 +195,13 @@ def test_require_time_condition_positive(spark, full_catalog):
         FROM (SELECT dim2[0] AS dim2, SUM(cnt) AS cnt FROM druid.foo
               WHERE __time >= '2000-01-01' GROUP BY dim2[0])""").first())
     assert got2 == (6, 4)
+
+
+def test_filter_on_current_timestamp_los_angeles_on_view(spark, views):
+    """testFilterOnCurrentTimestampLosAngelesOnView — the query context
+    (sqlTimeZone) applies to view SQL too: the pinned now renders in LA
+    wall clock and the view's naive 2002 literal re-reads as 08:00Z, the
+    interval shifts but the count is still 5."""
+    got = sql_ctx(spark, views, "SELECT * FROM view.bview",
+                  {**PIN, "sqlTimeZone": "America/Los_Angeles"})
+    assert got == [(5,)]

@@ -276,3 +276,79 @@ def test_explain_information_schema_columns(spark, foo_catalog):
         SELECT COLUMN_NAME, DATA_TYPE FROM INFORMATION_SCHEMA.COLUMNS
         WHERE TABLE_SCHEMA = 'druid' AND TABLE_NAME = 'foo'""")
     assert plan and res == []
+
+
+# ---------------------------------------------------------------------------
+# requireTimeCondition (PlannerConfig) — implemented round 6 as an
+# optimized-plan guard in api._require_time_condition
+# ---------------------------------------------------------------------------
+
+def _rq(spark, cat, sql):
+    from incubator_druid_spark.api import sql_query
+    return sql_query({"query": sql,
+                      "context": {"requireTimeCondition": True}},
+                     spark, cat)
+
+
+def test_require_time_condition_simple_query_negative(spark, foo_catalog):
+    """CalciteQueryTest.testRequireTimeConditionSimpleQueryNegative — no
+    __time filter anywhere: CannotBuildQueryException mentioning the
+    __time column."""
+    with pytest.raises(ValueError, match="__time column"):
+        _rq(spark, foo_catalog, """
+            SELECT SUM(cnt), gran FROM (
+              SELECT __time as t, floor(__time TO month) AS gran, cnt
+              FROM druid.foo) AS x
+            GROUP BY gran ORDER BY gran""")
+
+
+def test_require_time_condition_subquery_negative(spark, foo_catalog):
+    """testRequireTimeConditionSubQueryNegative — the grouped subquery has
+    no time filter either."""
+    with pytest.raises(ValueError, match="__time column"):
+        _rq(spark, foo_catalog, """
+            SELECT SUM(cnt) AS s, COUNT(*) AS c
+            FROM (SELECT dim2[0] AS d2, SUM(cnt) AS cnt FROM druid.foo
+                  GROUP BY dim2[0])""")
+
+
+def test_require_time_condition_semi_join_negative(spark, foo_catalog):
+    """testRequireTimeConditionSemiJoinNegative — the inner IN-subquery
+    has a __time bound but the OUTER scan does not; still refused."""
+    with pytest.raises(ValueError, match="__time column"):
+        _rq(spark, foo_catalog, """
+            SELECT COUNT(*) AS c FROM druid.foo
+            WHERE SUBSTRING(dim2[0], 1, 1) IN (
+              SELECT SUBSTRING(dim1, 1, 1) FROM druid.foo
+              WHERE dim1 <> '' AND __time >= '2000-01-01')""")
+
+
+def test_require_time_condition_positive_still_answers(spark, foo_catalog):
+    """testRequireTimeConditionPositive under the flag — an aliased __time
+    bound (t >= …) survives the optimizer's alias resolution and planning
+    proceeds."""
+    out = _rq(spark, foo_catalog, """
+        SELECT SUM(cnt) AS s, gran FROM (
+          SELECT __time as t, floor(__time TO month) AS gran, cnt
+          FROM druid.foo) AS x
+        WHERE t >= '2000-01-01' and t < '2002-01-01'
+        GROUP BY gran ORDER BY gran""")
+    assert [(r["s"], str(r["gran"])[:10]) for r in out] == \
+        [(3, "2000-01-01"), (3, "2001-01-01")]
+
+
+def test_group_by_sort_on_post_aggregation_no_topn(spark, foo_catalog):
+    """CalciteQueryTest testGroupByWithSortOnPostAggregationNoTopNConfig /
+    ...NoTopNContext — with approximate topN disabled the query plans as a
+    grouped aggregate + ordered limit; identical results either way.  In
+    this engine Catalyst always picks the physical strategy
+    (TakeOrderedAndProject), so the config/context pair is one contract;
+    useApproximateTopN=false is accepted as a no-op context key."""
+    from incubator_druid_spark.api import sql_query
+    sql = ("SELECT dim1, MIN(m1) + MAX(m1) AS x FROM druid.foo "
+           "GROUP BY dim1 ORDER BY x LIMIT 3")
+    for ctx in ({}, {"useApproximateTopN": False}):
+        out = sql_query({"query": sql, "resultFormat": "array",
+                         "context": ctx}, spark, foo_catalog)
+        assert [tuple(r) for r in out] == \
+            [("", 2.0), ("10.1", 4.0), ("2", 6.0)]
