@@ -400,17 +400,25 @@ def _registry() -> dict:
             g.origin_millis = parse_iso_millis(o) if isinstance(o, str) else int(o)
         return g
 
+    def _ts_c(ts):
+        # a LONG literal fed to a timestamp macro is epoch millis
+        # (ExprEval.asLong feeds the macro's chronology directly —
+        # ExpressionsTest passes 949550706000 straight to timestamp_floor)
+        if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+            return F.timestamp_millis(F.lit(int(ts)))
+        return _c(ts)
+
     def timestamp_floor(p, ts, period, origin=None, tz=None):
         # query/expression/TimestampFloorExprMacro.java
-        return _gran(period, origin, tz).floor(_c(ts))
+        return _gran(period, origin, tz).floor(_ts_c(ts))
 
     def timestamp_ceil(p, ts, period, origin=None, tz=None):
         # query/expression/TimestampCeilExprMacro.java
-        return _gran(period, origin, tz).ceil(_c(ts))
+        return _gran(period, origin, tz).ceil(_ts_c(ts))
 
     def timestamp_shift(p, ts, period, step, tz=None):
         # query/expression/TimestampShiftExprMacro.java
-        return _gran(period, None, tz).shift(_c(ts), int(lit_val(step)))
+        return _gran(period, None, tz).shift(_ts_c(ts), int(lit_val(step)))
 
     _EXTRACT = {
         # TimestampExtractExprMacro.java:113-154 — EPOCH is seconds;
@@ -435,21 +443,28 @@ def _registry() -> dict:
 
     def timestamp_extract(p, ts, unit, tz=None):
         # query/expression/TimestampExtractExprMacro.java
-        c = _c(ts)
+        c = _ts_c(ts)
         z = lit_str(tz)
         if z and z != "UTC":
             c = F.from_utc_timestamp(c, z)
         return _EXTRACT[lit_str(unit).upper()](c)
 
     def timestamp_parse(p, s, fmt=None, tz=None):
-        # query/expression/TimestampParseExprMacro.java
+        # query/expression/TimestampParseExprMacro.java — the timeZone arg
+        # localizes a zoneless wall clock (joda withZone): parse as wall
+        # time, then reinterpret in tz
         if fmt is None or lit_val(fmt) is None:
-            return _c(s).cast("timestamp")
-        return F.to_timestamp(_c(s), _joda_to_spark(lit_str(fmt)))
+            out = _c(s).cast("timestamp")
+        else:
+            out = F.to_timestamp(_c(s), _joda_to_spark(lit_str(fmt)))
+        z = lit_str(tz) if tz is not None else None
+        if z and z != "UTC":
+            out = F.to_utc_timestamp(out, z)
+        return out
 
     def timestamp_format(p, ts, fmt=None, tz=None):
         # query/expression/TimestampFormatExprMacro.java
-        c = _c(ts)
+        c = _ts_c(ts)
         z = lit_str(tz)
         if z and z != "UTC":
             c = F.from_utc_timestamp(c, z)
@@ -506,11 +521,32 @@ def _registry() -> dict:
         return (start.cast("int") + 1) if isinstance(start, Column) else int(start) + 1
 
     def _round(p, x, scale=None):
-        return F.round(_c(x), int(lit_val(scale)) if scale is not None else 0)
+        # Function.java RoundFunction: NaN rounds to 0, +-Infinity clamps
+        # to +-Double.MAX_VALUE, non-numeric strings are null (sql mode).
+        # The clamp chain unifies the result as DOUBLE, matching the
+        # reference (its round always returns the input's own numeric
+        # type; doubles here since the guard only matters for floats).
+        c = _c(x)
+        cd = c.cast("double")
+        maxv = 1.7976931348623157e308
+        guarded = (F.when(F.isnan(cd), F.lit(0.0))
+                    .when(cd == F.lit(float("inf")), F.lit(maxv))
+                    .when(cd == F.lit(float("-inf")), F.lit(-maxv))
+                    .otherwise(c))
+        return F.round(guarded, int(lit_val(scale)) if scale is not None
+                       else 0)
 
     def _strpos(p, h, n, from_index=None):
-        # Function.java:2415 — 0-based, -1 when absent; Spark instr is 1-based/0
-        return (F.instr(_c(h), lit_str(n)) - 1).cast("long")
+        # Function.java:2415 — 0-based, -1 when absent; Spark instr is
+        # 1-based/0.  fromIndex starts the search at that 0-based offset
+        # and the returned position stays absolute.
+        if from_index is None:
+            return (F.instr(_c(h), lit_str(n)) - 1).cast("long")
+        fi = _c(from_index).cast("int")
+        rel = F.instr(F.substring(_c(h), fi + 1, F.lit(2 ** 31 - 1)),
+                      lit_str(n))
+        return (F.when(rel > 0, rel + fi - 1)
+                 .otherwise(F.lit(-1))).cast("long")
 
     def _lookup(p, col, name, replace_missing=None):
         from incubator_druid_spark.functions.lookups import lookup_column
@@ -582,7 +618,13 @@ def _registry() -> dict:
 
     def _parse_long(p, s, radix=None):
         if radix is not None and lit_val(radix) not in (None, 10):
-            return F.conv(_c(s), int(lit_val(radix)), 10).cast("long")
+            r = int(lit_val(radix))
+            c = _c(s)
+            if r == 16:
+                # ParseLongFunction strips an optional 0x/0X prefix at
+                # radix 16 (ExpressionsTest: parse_long('0xEF',16) = 239)
+                c = F.regexp_replace(c, "^0[xX]", "")
+            return F.conv(c, r, 10).cast("long")
         return _c(s).cast("long")
 
     def _human_readable(p, x, precision=None):
@@ -642,6 +684,21 @@ def _registry() -> dict:
         "bitwiseshiftright": lambda p, a, b: (
             F.shiftright(_c(a).cast("long"), int(lit_val(b))) if lit_val(b) is not None
             else F.floor(_c(a).cast("long") / F.pow(F.lit(2.0), _c(b))).cast("long")),
+        # IEEE-754 bit reinterpretation (BitwiseConvert*Function — float
+        # operands truncate to long first, strings are null; reflect gives
+        # the exact Java semantics JVM-side)
+        "bitwiseconvertlongbitstodouble": _cols(lambda x: F.when(
+            x.cast("long").isNotNull(), F.call_function(
+                "reflect", F.lit("java.lang.Double"),
+                F.lit("longBitsToDouble"),
+                F.coalesce(x.cast("long"), F.lit(0).cast("long")))
+            .cast("double"))),
+        "bitwiseconvertdoubletolongbits": _cols(lambda x: F.when(
+            x.cast("double").isNotNull(), F.call_function(
+                "reflect", F.lit("java.lang.Double"),
+                F.lit("doubleToLongBits"),
+                F.coalesce(x.cast("double"), F.lit(0.0)))
+            .cast("long"))),
         # -- conditionals / null (Function.java:2056-2247)
         "if": lambda p, c, a, b: F.when(_as_bool(c), _c(a)).otherwise(_c(b)),
         "case_searched": _case_searched, "case_simple": _case_simple,
@@ -652,11 +709,17 @@ def _registry() -> dict:
         "concat": _concat, "strlen": _cols(F.length), "length": _cols(F.length),
         "format": lambda p, fmt, *a: F.format_string(lit_str(fmt), *[_c(x) for x in a]),
         "strpos": _strpos, "substring": _substring,
-        "right": _cols(lambda s, n: F.right(s, n)),
-        "left": _cols(lambda s, n: F.left(s, n)),
+        # negative counts are invalid -> null (sql mode;
+        # testAbnormalRight/LeftWithNegativeNumber)
+        "right": _cols(lambda s, n: F.when(
+            n.cast("long") >= 0, F.right(s, n))),
+        "left": _cols(lambda s, n: F.when(
+            n.cast("long") >= 0, F.left(s, n))),
         "replace": _cols(lambda s, a, b: F.replace(s, a, b)),
         "lower": _cols(F.lower), "upper": _cols(F.upper),
-        "reverse": _cols(F.reverse), "repeat": _cols(lambda s, n: F.repeat(s, n.cast("int"))),
+        "reverse": _cols(F.reverse),
+        "repeat": _cols(lambda s, n: F.when(
+            n.cast("int") >= 0, F.repeat(s, n.cast("int")))),
         "lpad": lambda p, s, n, pad: F.lpad(_c(s), int(lit_val(n)), lit_str(pad)),
         "rpad": lambda p, s, n, pad: F.rpad(_c(s), int(lit_val(n)), lit_str(pad)),
         "trim": _cols(F.trim), "ltrim": _cols(F.ltrim), "rtrim": _cols(F.rtrim),
@@ -668,11 +731,18 @@ def _registry() -> dict:
             _c(s).rlike(lit_str(pat)),
             F.regexp_extract(_c(s), lit_str(pat),
                              int(lit_val(idx)) if idx is not None else 0)),
-        "regexp_like": lambda p, s, pat: _c(s).rlike(lit_str(pat)),
+        # null input matches nothing -> false, not null (RegexpLikeExpr)
+        # Druid native booleans ARE longs (ExprEval LONG 1/0) — returning
+        # LONG keeps them usable in arithmetic folds (`acc + regexp_like`)
+        # while filters cast back to boolean
+        "regexp_like": lambda p, s, pat: F.coalesce(
+            _c(s).rlike(lit_str(pat)), F.lit(False)).cast("long"),
         "regexp_replace": lambda p, s, pat, rep: F.regexp_replace(
             _c(s), lit_str(pat), lit_str(rep)),
-        "contains_string": lambda p, s, sub: F.instr(_c(s), lit_str(sub)) > 0,
-        "icontains_string": lambda p, s, sub: F.instr(F.lower(_c(s)), lit_str(sub).lower()) > 0,
+        "contains_string": lambda p, s, sub: (
+            F.instr(_c(s), lit_str(sub)) > 0).cast("long"),
+        "icontains_string": lambda p, s, sub: (
+            F.instr(F.lower(_c(s)), lit_str(sub).lower()) > 0).cast("long"),
         # -- time macros (processing/.../query/expression/)
         "timestamp_floor": timestamp_floor, "timestamp_ceil": timestamp_ceil,
         "timestamp_shift": timestamp_shift, "timestamp_extract": timestamp_extract,

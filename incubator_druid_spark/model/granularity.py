@@ -103,8 +103,24 @@ class Granularity:
 
     _EPOCH_MONDAY = -259_200_000  # 1969-12-29T00:00Z; epoch itself is a Thursday
 
+    def _origin_wall_millis(self) -> int | None:
+        """The origin as LOCAL wall-clock millis when a timeZone is set —
+        the phase of a period granularity anchors in the origin's wall time
+        (PeriodGranularity.java truncate() works in the local chronology;
+        QueryGranularityTest.testPeriodTruncateDays: origin
+        2012-01-02T05:00-08:00 floors LA times to 05:00 wall, not 13:00Z
+        phase)."""
+        if self.origin_millis is None or not self.tz:
+            return self.origin_millis
+        from datetime import datetime, timezone
+        from zoneinfo import ZoneInfo
+        d = datetime.fromtimestamp(self.origin_millis / 1000,
+                                   tz=timezone.utc) \
+            .astimezone(ZoneInfo(self.tz)).replace(tzinfo=timezone.utc)
+        return int(d.timestamp() * 1000)
+
     def _floor_millis(self, col: Column, width: int) -> Column:
-        origin = self.origin_millis
+        origin = self._origin_wall_millis()
         if origin is None:
             # Druid weeks are ISO weeks (Monday start) — but ONLY the exact
             # P1W spelling with no origin (PeriodGranularity.java:295-298
@@ -189,7 +205,8 @@ class Granularity:
                 naive = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
                 return int(naive.replace(tzinfo=z).timestamp() * 1000)
 
-            plain = Granularity(self.kind, self.period, self.origin_millis)
+            plain = Granularity(self.kind, self.period,
+                                self._origin_wall_millis())
             return [to_utc(t) for t in
                     plain.spine(to_local(start_ms), to_local(end_ms))]
         out = []

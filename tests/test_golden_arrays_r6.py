@@ -169,7 +169,8 @@ def test_array_agg_group_by_array_contains_subquery(spark, foo_catalog):
 
 def test_some_array_functions_with_scan_query(spark, numfoo_catalog):
     """CalciteArraysQueryTest.java:164 testSomeArrayFunctionsWithScanQuery
-    (and :286 NoStringify — results here are never stringified).  The
+    (and :313 testSomeArrayFunctionsWithScanQueryNoStringify — results
+    here are never stringified).  The
     reference's sql-null-mode expected row, with its two acknowledged
     constructor-coercion bugs fixed (ARRAY[1.9,2.2,4.3] keeps doubles,
     ARRAY_APPEND(ARRAY[1.2,2.2], d1) appends honestly)."""

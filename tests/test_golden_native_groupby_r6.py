@@ -427,6 +427,21 @@ def _quality_day_query(**ctx):
             "context": ctx}
 
 
+# Not ported, with reasons: testBySegmentResults,
+# testBySegmentResultsUnOptimizedDimextraction,
+# testBySegmentResultsOptimizedDimextraction and
+# testBySegmentResultsWithAllFiltersWithExtractionFns assert the
+# broker<->historical per-segment response envelope (bySegment context) — a
+# protocol wrapper with no analogue over a Catalyst plan; the inner result
+# rows are identical to the non-bySegment twins already ported.
+# testSubqueryWithOuterJavascriptAggregators /
+# testSubqueryWithOuterDimJavascriptAggregators hit the deliberate
+# javascript refusal (operators/aggregations.py).
+# testSubqueryWithOuterMaxOnDiskStorageContextOverride's expected failure
+# is an artifact of the reference's v2 harness (it trips on an order-clause
+# ISE before the storage limit); the storage guard itself is covered below.
+
+
 def test_group_by_max_results_context_override(spark, wiki_catalog):
     """testGroupByMaxRowsLimitContextOverride — maxResults=1 with 18
     result groups raises ResourceLimitExceededException (runtime guard;

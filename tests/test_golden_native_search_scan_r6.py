@@ -237,7 +237,8 @@ def test_filtered_time_boundary_no_matches(spark, wiki_catalog):
 # ---------------------------------------------------------------------------
 
 def test_segment_metadata_nullable_numeric_columns(spark, wiki_catalog):
-    """SegmentMetadataQueryTest.testLong/Float/DoubleNullableColumn — typed
+    """SegmentMetadataQueryTest testLongNullableColumn /
+    testFloatNullableColumn / testDoubleNullableColumn — typed
     numeric columns report their Druid type and non-zero null counts in
     SQL-compatible mode."""
     out = translate(
@@ -345,8 +346,11 @@ def test_full_on_select_as_compacted_list(spark, wiki_catalog):
 
 def test_full_on_select_asc_desc_list_and_compacted_parity(
         spark, wiki_catalog):
-    """testFullOnSelectWithFilterLimitAnd{Asc,Desc}endingTimeOrdering
-    {List,CompactedList}Format — both formats return identical rows for
+    """testFullOnSelectWithFilterLimitAndAscendingTimeOrderingListFormat,
+    testFullOnSelectWithFilterLimitAndAscendingTimeOrderingCompactedListFormat,
+    testFullOnSelectWithFilterLimitAndDescendingTimeOrderingListFormat,
+    testFullOnSelectWithFilterLimitAndDescendingTimeOrderingCompactedListFormat
+    — both formats return identical rows for
     both time orders (the reference runs the same query through each
     format and verifies the same expected rows)."""
     from incubator_druid_spark.api import native_query

@@ -347,7 +347,8 @@ def test_timeseries_with_expression_aggregator(spark, wiki_catalog):
 
 def test_timeseries_timestamp_result_field_response(spark, wiki_catalog):
     """testTimeseriesWithTimestampResultFieldContextForArrayResponse /
-    ...ForMapResponse — the timestampResultField context materializes the
+    testTimeseriesWithTimestampResultFieldContextForMapResponse — the
+    timestampResultField context materializes the
     bucket time as a LONG millis column placed right after __time in the
     result signature, equal to the __time value on every row."""
     import pyspark.sql.functions as F

@@ -5,7 +5,9 @@ over complex columns (processing/src/test/java/org/apache/druid/query/
 timeseries/TimeseriesQueryRunnerTest.java).
 
 The two javascript-aggregator methods
-(testTimeseriesWithMultiValueFilteringJavascriptAggregator*) are the
+(testTimeseriesWithMultiValueFilteringJavascriptAggregator and
+testTimeseriesWithMultiValueFilteringJavascriptAggregatorAndAlsoRegularFilters)
+are the
 engine's documented deliberate refusal (operators/aggregations.py raises
 with an expressionLambda rewrite hint) and are represented here by the
 raise assertion inside test_ts_time_column."""

@@ -724,8 +724,10 @@ def test_search_default_dimensions_include_mvd(spark, wiki_catalog):
 
 
 def test_search_same_value_in_multi_dims(spark, wiki_catalog):
-    """testSearchSameValueInMultiDims(+2) — 'preferred' appears in both
-    placement and placementish; strlen sort puts 'e' first."""
+    """testSearchSameValueInMultiDims / testSearchSameValueInMultiDims2 —
+    'preferred' appears in both placement and placementish; the second
+    method's strlen sort puts 'e' first (and placement before placementish
+    on the tie)."""
     got = set(search(spark, wiki_catalog,
                      q={"type": "insensitive_contains", "value": "e"},
                      dims=["placement", "placementish"]))

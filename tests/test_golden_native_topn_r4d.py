@@ -116,9 +116,9 @@ def test_topn_with_empty_string_producing_dim_extraction_fn(spark,
 
 @pytest.mark.parametrize("retain,replace,injective", [
     (True, None, True),      # testTopNDimExtractionFastTopNOptimal
-    (False, "MISSING", True),   # ...FastTopNOptimalWithReplaceMissing
-    (True, None, False),     # ...FastTopNUnOptimal
-    (False, "MISSING", False),  # ...FastTopNUnOptimalWithReplaceMissing
+    (False, "MISSING", True),   # testTopNDimExtractionFastTopNOptimalWithReplaceMissing
+    (True, None, False),     # testTopNDimExtractionFastTopNUnOptimal
+    (False, "MISSING", False),  # testTopNDimExtractionFastTopNUnOptimalWithReplaceMissing
 ])
 def test_topn_dim_extraction_fast_topn(spark, wiki_catalog, retain, replace,
                                        injective):
@@ -143,7 +143,8 @@ def test_topn_dim_extraction_fast_topn(spark, wiki_catalog, retain, replace,
 @pytest.mark.parametrize("injective", [True, False])
 def test_topn_lexicographic_dim_extraction_namespace(spark, wiki_catalog,
                                                      injective):
-    """testTopNLexicographicDimExtraction{Optimal,UnOptimal}Namespace — a
+    """testTopNLexicographicDimExtractionOptimalNamespace /
+    testTopNLexicographicDimExtractionUnOptimalNamespace — a
     re-prefixing lookup under a bare lexicographic DimensionTopNMetricSpec
     sorts by the EXTRACTED value."""
     out = topn(spark, wiki_catalog,

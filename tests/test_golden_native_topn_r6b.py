@@ -101,8 +101,10 @@ _NULLS_EXPECT = [
 ])
 def test_topn_order_by_numeric_column_with_nulls_descending(
         spark, wiki_catalog, agg_type, col):
-    """test_topN_orderBy{Long,Float,Double}NumericColumnWithNulls_returns-
-    DescendingResults — a LONG-typed index dimension ordered by a nullable
+    """test_topN_orderByLongNumericColumnWithNulls_returnsDescendingResults,
+    test_topN_orderByFloatNumericColumnWithNulls_returnsDescendingResults,
+    test_topN_orderByDoubleNumericColumnWithNulls_returnsDescendingResults
+    — a LONG-typed index dimension ordered by a nullable
     numeric metric named after its source column: descending values, ties
     broken by ascending dimension, null metrics last (sql null mode)."""
     out = translate(

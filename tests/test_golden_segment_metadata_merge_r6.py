@@ -4,16 +4,24 @@ segment sink), matching the reference's broker-side SegmentAnalysis merge
 (processing/src/test/java/org/apache/druid/query/metadata/
 SegmentMetadataQueryTest.java):
 
-  * testSegmentMetadataQueryWithDefaultAnalysisMerge(2,3) — numRows sums
+  * testSegmentMetadataQueryWithDefaultAnalysisMerge /
+    testSegmentMetadataQueryWithDefaultAnalysisMerge2 /
+    testSegmentMetadataQueryWithDefaultAnalysisMerge3 /
+    testSegmentMetadataQueryWithHasMultipleValuesMerge — numRows sums
     across segments, min/max and cardinality merge, hasMultipleValues ORs.
   * testDefaultIntervalAndFiltering — segmentMetadata's DEFAULT interval
     is eternity (unlike other query types), and an explicit interval
     restricts the analysis to covered segments only.
 
 Not ported, with reasons: testSerde/testSerdeWithDefaultInterval and
-testCacheKeyWithListColumnIncluderator are Jackson/cache-key wire tests;
-testSegmentMetadataQueryWith{TimestampSpec,QueryGranularity,Aggregators,
-Rollup}Merge assert the lenient null-merge of ingest-spec SIDECARS across
+testCacheKeyWithListColumnIncluderator are Jackson/cache-key wire tests
+(testAnanlysisTypesBeingSet — the reference's own typo — is a serde shape
+check too); testSegmentMetadataQueryWithTimestampSpecMerge,
+testSegmentMetadataQueryWithQueryGranularityMerge,
+testSegmentMetadataQueryWithAggregatorsMerge,
+testSegmentMetadataQueryWithRollupMerge and
+testSegmentMetadataQueryWithComplexColumnMerge assert the lenient
+null-merge of ingest-spec SIDECARS across
 mismatched segments — this engine's rollup sidecar is per-table (one
 ingest spec), so there is no mismatched-sidecar state to merge."""
 

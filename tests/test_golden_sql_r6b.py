@@ -3,9 +3,15 @@ join/inline/union/EXPLAIN methods (reference sql/src/test/.../calcite/
 CalciteQueryTest.java), SQL-compatible null mode, adaptations per
 test_golden_joins.py's header.
 
-The reference's *_withLeftDirectAccess variants re-run identical SQL under
-a different physical access flag; each port covers the pair (the result
-contract, which is what this engine can assert, is the same).
+The reference's *_withLeftDirectAccess variants
+(testInnerJoinOnTwoInlineDataSources_withLeftDirectAccess,
+testInnerJoinOnTwoInlineDataSourcesWithOuterWhere_withLeftDirectAccess,
+testLeftJoinOnTwoInlineDataSources_withLeftDirectAccess,
+testLeftJoinOnTwoInlineDataSourcesWithOuterWhere_withLeftDirectAccess,
+testLeftJoinOnTwoInlineDataSourcesWithTimeFilter_withLeftDirectAccess)
+re-run identical SQL under a different physical access flag; each port
+covers the pair (the result contract, which is what this engine can
+assert, is the same).
 
 Deliberately NOT ported, with reasons:
   * testSelectStarOnForbiddenTable/View, testSelectStarOnRestrictedView,
@@ -14,8 +20,10 @@ Deliberately NOT ported, with reasons:
     this engine has no ACL model to enforce.
   * testRequireTimeCondition*Negative — PlannerConfig.requireTimeCondition
     is a planner guard-rail config with no engine equivalent yet.
-  * testSelectLimitWrappingAgainAka… — needs the lotsocolumns benchmark
-    fixture, which no tranche has materialized.
+  * testSelectLimitWrappingAgainAkaIDontReallyQuiteUnderstandCalciteQueryPlanning
+    — needs the lotsocolumns benchmark fixture, which no tranche has
+    materialized (testSelectStarOnForbiddenView is in the authorizer
+    group above).
 """
 
 import datetime
@@ -132,7 +140,8 @@ def test_join_outer_group_by_and_subquery_has_limit(spark, foo_catalog):
 
 
 def test_topn_filter_join(spark, foo_catalog):
-    """CalciteQueryTest.java testTopNFilterJoin(+WithProjection) — rows
+    """CalciteQueryTest.java testTopNFilterJoin /
+    testTopNFilterJoinWithProjection — rows
     whose dim2 lands in the top-SUM(cnt) groups.  LIMIT 1 instead of the
     reference's 2: with honest arrays the second slot is a four-way
     sum=1 tie, and the reference's own pick (its null group) relies on MVD
@@ -202,8 +211,8 @@ def test_inner_join_on_multi_value_column_refuses(spark, full_catalog):
 
 @pytest.mark.parametrize("tables", [
     ("numfoo", "foo", "foo"),   # testUnionAllThreeTablesColumnCountMismatch1
-    ("foo", "numfoo", "foo"),   # ...Mismatch2
-    ("foo", "foo", "numfoo"),   # ...Mismatch3
+    ("foo", "numfoo", "foo"),   # testUnionAllThreeTablesColumnCountMismatch2
+    ("foo", "foo", "numfoo"),   # testUnionAllThreeTablesColumnCountMismatch3
 ])
 def test_union_all_three_tables_column_count_mismatch(spark, full_catalog,
                                                       tables):
@@ -339,7 +348,8 @@ def test_require_time_condition_positive_still_answers(spark, foo_catalog):
 
 def test_group_by_sort_on_post_aggregation_no_topn(spark, foo_catalog):
     """CalciteQueryTest testGroupByWithSortOnPostAggregationNoTopNConfig /
-    ...NoTopNContext — with approximate topN disabled the query plans as a
+    testGroupByWithSortOnPostAggregationNoTopNContext — with approximate
+    topN disabled the query plans as a
     grouped aggregate + ordered limit; identical results either way.  In
     this engine Catalyst always picks the physical strategy
     (TakeOrderedAndProject), so the config/context pair is one contract;
