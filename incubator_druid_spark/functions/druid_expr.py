@@ -795,6 +795,21 @@ def _registry() -> dict:
         # -- higher-order fns (ApplyFunction.java: map:195, filter:471, any:609, all:632, fold:350)
         "map": _map, "filter": _hof("filter"), "any": _hof("exists"),
         "all": _hof("forall"), "fold": _fold,
+        # cartesian_map((x,y) -> e, a1, a2): e over the cross product
+        # (ApplyFunction.java CartesianMapFunction) — nested transforms
+        # flattened, null arrays propagate null
+        "cartesian_map": lambda p, lam, a1, a2: F.flatten(F.transform(
+            _c(a1), lambda x: F.transform(_c(a2),
+                                          lambda y: _c(lam(x, y))))),
+        # cartesian_fold((x,y,acc) -> e, a1, a2, init): fold over the
+        # cross product (CartesianFoldFunction)
+        "cartesian_fold": lambda p, lam, a1, a2, acc: F.aggregate(
+            F.flatten(F.transform(
+                _c(a1), lambda x: F.transform(
+                    _c(a2), lambda y: F.struct(x.alias("x"),
+                                               y.alias("y"))))),
+            _c(acc),
+            lambda a, s: _c(lam(s["x"], s["y"], a))),
         # -- ip (query/expression/IPv4Address*ExprMacro.java)
         "ipv4_parse": _ipv4_parse, "ipv4_stringify": _ipv4_stringify,
         "ipv4_match": _ipv4_match,
