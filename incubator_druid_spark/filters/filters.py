@@ -128,27 +128,51 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
 
     def leaf(value_col: Column) -> Column:
         c = value_col
-        if (extraction is not None and dim is not None
+        if (dim is not None
                 and isinstance(ctx.data_type(dim), T.TimestampType)
-                and extraction.get("type") != "timeFormat"):
-            # __time's selector serves epoch millis — string-shaped
-            # extraction fns in filters see '1301616000000', same rule as
-            # dimension specs (operators/dimensions.py)
+                and (extraction is None
+                     or extraction.get("type") != "timeFormat")):
+            # __time's dimension selector serves epoch millis — value
+            # filters (selector/bound/in) and string-shaped extraction fns
+            # see '1301616000000', same rule as dimension specs
+            # (operators/dimensions.py); timeFormat is the one fn that
+            # interprets the value AS a time, and the interval filter has
+            # its own branch above
             c = F.unix_millis(c)
+        num_type = None
+        if (extraction is None and dim is not None
+                and isinstance(ctx.data_type(dim), T.NumericType)):
+            # numeric columns match via typed predicates — the filter value
+            # parses into the column's type instead of the column rendering
+            # to string (DimensionHandlerUtils.makeVectorProcessor long/
+            # float/double predicate branches; an unparseable value is
+            # ALWAYS_FALSE).  f0 = '0' must match 0.0f, which stringifies
+            # as '0.0'.
+            num_type = ctx.data_type(dim)
         c = compile_extraction(extraction, c)
-        return _leaf_predicate(spec, t, c, ctx)
+        return _leaf_predicate(spec, t, c, ctx, num_type)
 
-    if dim is not None and ctx.is_array(dim) and extraction is None:
-        # MVD rule: ANY element matching satisfies the filter.  A null or
-        # empty array row carries "no value" and matches only the null
-        # selector (DimensionSelector contract: missing MVD ≡ null).
+    if dim is not None and ctx.is_array(dim):
+        # MVD rule: ANY element matching satisfies the filter; extraction
+        # fns apply per element.  A null or empty array row carries "no
+        # value" (DimensionSelector contract: missing MVD ≡ null) and the
+        # SCALAR predicate decides whether null matches — e.g. a bound
+        # with no lower bound accepts null
+        # (BoundFilter.doesMatch's null branch;
+        # BoundFilterTest.testLexicographicMatchEverything expects the
+        # []/null rows under dim2 < 'z').
         arr = ctx.resolve(dim)
         if t in ("selector", "equals") and spec.get(
-                "value" if t == "selector" else "matchValue") is None:
+                "value" if t == "selector" else "matchValue") is None                 and extraction is None:
             return arr.isNull() | (F.size(arr) == 0)
-        return F.coalesce(
-            F.exists(arr, lambda v: _leaf_predicate(spec, t, v, ctx)),
-            F.lit(False))
+
+        def _elem_pred(v):
+            cv = compile_extraction(extraction, v)                 if extraction is not None else v
+            return _leaf_predicate(spec, t, cv, ctx)
+
+        null_pred = F.coalesce(
+            _elem_pred(F.lit(None).cast("string")), F.lit(False))
+        return F.when(arr.isNull() | (F.size(arr) == 0), null_pred)             .otherwise(F.coalesce(F.exists(arr, _elem_pred), F.lit(False)))
 
     if dim is not None and ctx.is_binary(dim) and extraction is None:
         # COMPLEX (binary sketch) columns have no dimension selector —
@@ -162,12 +186,17 @@ def _dim_col(spec: dict, ctx: FilterContext) -> Column:
     return ctx.resolve(spec.get("dimension", "__time"))
 
 
-def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext) -> Column:
+def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext,
+                    num_type=None) -> Column:
     if t == "selector":
         # SelectorDimFilter.java — null-aware equality
         v = spec.get("value")
         if v is None:
             return c.isNull()
+        if num_type is not None:
+            # typed predicate: parse the value into the column type; an
+            # unparseable value (cast → null) never matches
+            return F.coalesce(c == F.lit(str(v)).cast(num_type), F.lit(False))
         return c.cast("string") == F.lit(str(v))
     if t == "equals":
         # (Druid 24+ shape; accept for forward compat)
@@ -176,7 +205,14 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext) -> Column
         # InDimFilter.java
         values = spec["values"]
         non_null = [str(v) for v in values if v is not None]
-        pred = c.cast("string").isin(non_null) if non_null else F.lit(False)
+        if num_type is not None and non_null:
+            # typed predicates, same rule as the selector branch above
+            pred = F.lit(False)
+            for v in non_null:
+                pred = pred | F.coalesce(
+                    c == F.lit(v).cast(num_type), F.lit(False))
+        else:
+            pred = c.cast("string").isin(non_null) if non_null else F.lit(False)
         if any(v is None for v in values):
             pred = pred | c.isNull()
         return pred
@@ -189,7 +225,22 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext) -> Column
         esc = spec.get("escape")
         s = c.cast("string")
         if esc:
-            return s.like(spec["pattern"], esc)
+            # Druid's LikeMatcher lets the escape precede ANY character
+            # ('@bar' escape '@' ≡ 'bar'); Spark's LIKE ... ESCAPE rejects
+            # escapes of non-wildcards, so compile the matcher's regex
+            # (LikeDimFilter.LikeMatcher.from) instead
+            import re as _re
+            out, i, p = [], 0, spec["pattern"]
+            while i < len(p):
+                ch = p[i]
+                if ch == esc and i + 1 < len(p):
+                    out.append(_re.escape(p[i + 1]))
+                    i += 2
+                    continue
+                out.append(".*" if ch == "%" else
+                           "." if ch == "_" else _re.escape(ch))
+                i += 1
+            return s.rlike("(?s)^" + "".join(out) + "$")
         return s.like(spec["pattern"])
     if t == "regex":
         # RegexDimFilter.java — java find() semantics = rlike
@@ -252,18 +303,33 @@ def _dimspec_name(d) -> str:
 
 # -- bound / range with StringComparators -----------------------------------
 
+def _numeric_cmp_key(c: Column) -> Column:
+    """StringComparators.NumericComparator as a comparable struct: both
+    parse → numeric compare; one parses → unparseable first; neither →
+    plain string compare (the s field is blanked for parseable values so
+    numerically-equal renderings like '1' and '01' compare equal)."""
+    s = c.cast("string")
+    n = s.cast("double")
+    return F.struct(
+        n.isNotNull().cast("int").alias("p"),
+        F.coalesce(n, F.lit(0.0)).alias("n"),
+        F.when(n.isNotNull(), F.lit("")).otherwise(s).alias("s"))
+
+
 def _ordering_key(c: Column, ordering: str) -> Column:
     """Sortable expression per query/ordering/StringComparators.java."""
     if ordering in ("lexicographic", None):
         return c.cast("string")
     if ordering == "numeric":
-        return c.cast("double")
+        return _numeric_cmp_key(c)
     if ordering == "strlen":
         # StringComparators.StrlenComparator: by length, then lexicographic;
         # struct comparison gives the composite ordering
         s = c.cast("string")
         return F.struct(F.length(s).alias("l"), s.alias("s"))
-    if ordering in ("alphanumeric", "version"):
+    if ordering == "alphanumeric":
+        return _alphanum_key(c, digit_sentinel=True)
+    if ordering == "version":
         return _alphanum_key(c)
     raise ValueError(f"unknown ordering {ordering!r}")
 
@@ -285,17 +351,28 @@ def _ordering_sort_key(c: Column, ordering: str) -> Column:
     return _ordering_key(c, ordering)
 
 
-def _alphanum_key(c: Column) -> Column:
+def _alphanum_key(c: Column, digit_sentinel: bool = False) -> Column:
     """Pad every digit run to 20 chars so plain string compare equals the
     numeric-aware compare (bounded approximation of
     StringComparators.ALPHANUMERIC / .VERSION).  Spark regexp_replace can't pad
     in the replacement, so: mark digit-run boundaries, split, pad digit tokens,
-    re-join — all builtin HOFs, stays in codegen."""
+    re-join — all builtin HOFs, stays in codegen.
+
+    digit_sentinel (the ALPHANUMERIC comparator) prefixes each digit run
+    with \x01 so a DIGIT chunk sorts before any non-digit chunk, and
+    lowercases non-digit chunks (compareNonNumeric uses
+    CASE_INSENSITIVE_ORDER) — StringComparators.java:122-257;
+    BoundFilterTest.testAlphaNumericMatchWithNegatives ('-1000' above '3')
+    and NoLowerLimit ('abc' below 'ZZZZZ').  VERSION keeps plain padding
+    and case (maven-style character compare)."""
     s = c.cast("string")
     parts = F.split(F.regexp_replace(s, r"(\d+)", "\x01$1\x01"), "\x01")
+    pre = "\x01" if digit_sentinel else ""
     padded = F.transform(
         parts,
-        lambda p: F.when(p.rlike(r"^\d+$"), F.lpad(p, 20, "0")).otherwise(p))
+        lambda p: F.when(p.rlike(r"^\d+$"),
+                         F.concat(F.lit(pre), F.lpad(p, 20, "0")))
+        .otherwise(F.lower(p) if digit_sentinel else p))
     return F.array_join(padded, "")
 
 
@@ -315,7 +392,11 @@ def _bound_predicate(spec: dict, c: Column) -> Column:
     out = preds[0]
     for p in preds[1:]:
         out = out & p
-    return out
+    # BoundFilter.doesMatch's null branch (sql mode: isNullOrEquivalent ==
+    # isNull, so the upper clause is always satisfied): a null input
+    # matches exactly when there is NO lower bound
+    # (BoundFilterTest.testLexicographicMatchMissingColumn).
+    return F.when(c.isNull(), F.lit(spec.get("lower") is None))         .otherwise(F.coalesce(out, F.lit(False)))
 
 
 def _range_predicate(spec: dict, c: Column) -> Column:
@@ -335,10 +416,16 @@ def _range_predicate(spec: dict, c: Column) -> Column:
 
 def _bound_literal(v: str, ordering: str):
     if ordering == "numeric":
-        return F.lit(float(v))
+        return _numeric_cmp_key(F.lit(str(v)))
     if ordering == "strlen":
         return F.struct(F.lit(len(str(v))).alias("l"), F.lit(str(v)).alias("s"))
-    if ordering in ("alphanumeric", "version"):
+    if ordering == "alphanumeric":
+        import re as _re
+        parts = _re.split(r"(\d+)", str(v))
+        return F.lit("".join(
+            "\x01" + p.zfill(20) if p.isdigit() else p.lower()
+            for p in parts))
+    if ordering == "version":
         import re as _re
         return F.lit(_re.sub(r"\d+", lambda m: m.group().zfill(20), str(v)))
     return F.lit(str(v))

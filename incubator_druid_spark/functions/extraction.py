@@ -71,10 +71,14 @@ def compile_extraction(spec: dict | None, col: Column,
             return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
         return F.date_format(c, _joda_to_spark(fmt))
     if t == "time":
-        # TimeDimExtractionFn — parse with timeFormat, reformat with resultFormat
+        # TimeDimExtractionFn — parse with timeFormat, reformat with
+        # resultFormat; an unparseable non-null value passes through
+        # UNCHANGED (TimeDimExtractionFn.java:73-81 returns the input on
+        # parse failure), while null stays null
         from incubator_druid_spark.functions.druid_expr import _joda_to_spark
-        parsed = F.to_timestamp(col.cast("string"), _joda_to_spark(spec["timeFormat"]))
-        return F.date_format(parsed, _joda_to_spark(spec["resultFormat"]))
+        s = col.cast("string")
+        parsed = F.to_timestamp(s, _joda_to_spark(spec["timeFormat"]))
+        return F.coalesce(F.date_format(parsed, _joda_to_spark(spec["resultFormat"])), s)
     if t == "stringFormat":
         # StringFormatExtractionFn — String.format with the dim as only arg
         return F.format_string(spec["format"], col)

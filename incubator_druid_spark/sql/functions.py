@@ -1540,11 +1540,13 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             sql = _matcher_sub(
                 sql,
                 rf"(?P<col>\b(?:\w+\.)?{_c})\s*(?P<op>=|<>|!=)\s*"
-                rf"(?P<lit>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
+                rf"(?P<lit>'(?:[^']|'')*'|"
+                rf"(?<![\w.])-?\d+(?:\.\d+)?(?![\w.]))",
                 _mvd_cmp_repl)
             sql = _matcher_sub(
                 sql,
-                rf"(?P<lit>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*"
+                rf"(?P<lit>'(?:[^']|'')*'|"
+                rf"(?<![\w.])-?\d+(?:\.\d+)?(?![\w.]))\s*"
                 rf"(?P<op>=|<>|!=)\s*"
                 rf"(?P<col>\b(?:\w+\.)?{_c})\b",
                 _mvd_cmp_repl)
