@@ -249,11 +249,42 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext,
         # SearchQueryDimFilter.java
         return compile_search_spec(spec["query"], c)
     if t == "columnComparison":
-        # ColumnComparisonDimFilter.java — dimensions list, all equal
-        dims = [ctx.resolve(_dimspec_name(d)) for d in spec["dimensions"]]
-        out = dims[0].cast("string").eqNullSafe(dims[1].cast("string"))
-        for d in dims[2:]:
-            out = out & dims[0].cast("string").eqNullSafe(d.cast("string"))
+        # ColumnComparisonDimFilter.java — every side reads as a value SET
+        # (a null/empty/missing row reads as {null},
+        # ColumnComparisonFilter.java:189,200-212 NULL_VALUE) and the
+        # filter matches when every PAIR of sets overlaps — any common
+        # element, with null == null (overlap(), :115-134).  Dimension
+        # specs may carry extraction fns (applied per element).
+        sides = []
+        for d in spec["dimensions"]:
+            if isinstance(d, str):
+                name, fn = d, None
+            else:
+                name, fn = d.get("dimension"), d.get("extractionFn")
+            col = ctx.resolve(name)
+            if ctx.is_array(name):
+                arr = F.when(col.isNull() | (F.size(col) == 0),
+                             F.array(F.lit(None).cast("string"))) \
+                    .otherwise(col)
+            else:
+                arr = F.array(col.cast("string"))
+            if fn is not None:
+                # HOF lambdas must be unary — PySpark passes an index arg
+                # to higher-arity callables — so bind fn via a factory
+                def _mapper(_fn):
+                    return lambda x: compile_extraction(_fn, x)
+                arr = F.transform(arr, _mapper(fn))
+            sides.append(arr)
+
+        def _overlap(a, b):
+            return F.exists(a, lambda x: F.exists(
+                b, lambda y: x.eqNullSafe(y)))
+
+        out = F.lit(True)
+        for i in range(len(sides)):
+            for j in range(i):
+                out = out & F.coalesce(
+                    _overlap(sides[i], sides[j]), F.lit(False))
         return out
     if t == "extraction":
         # ExtractionDimFilter.java (deprecated) — fn(dim) == value
