@@ -186,6 +186,33 @@ def _dim_col(spec: dict, ctx: FilterContext) -> Column:
     return ctx.resolve(spec.get("dimension", "__time"))
 
 
+def _typed_value_literal(v: str, num_type):
+    """Parse a filter value into a numeric column's type, Druid-style
+    (DimensionHandlerUtils long/float/double predicates): integral types
+    accept only exactly-integral decimals ('3.0' matches 3L,
+    '3.000...01' and out-of-range values match nothing); float/double
+    accept any parseable number.  Returns None (= ALWAYS_FALSE) when the
+    value doesn't parse."""
+    from decimal import Decimal, InvalidOperation
+    if isinstance(num_type, (T.LongType, T.IntegerType, T.ShortType,
+                             T.ByteType)):
+        try:
+            d = Decimal(v.strip())
+        except (InvalidOperation, ValueError):
+            return None
+        if d != d.to_integral_value():
+            return None
+        i = int(d)
+        if not -(2 ** 63) <= i < 2 ** 63:
+            return None
+        return F.lit(i).cast(num_type)
+    try:
+        f = float(v)
+    except ValueError:
+        return None
+    return F.lit(f).cast(num_type)
+
+
 def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext,
                     num_type=None) -> Column:
     if t == "selector":
@@ -195,8 +222,11 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext,
             return c.isNull()
         if num_type is not None:
             # typed predicate: parse the value into the column type; an
-            # unparseable value (cast → null) never matches
-            return F.coalesce(c == F.lit(str(v)).cast(num_type), F.lit(False))
+            # unparseable value never matches
+            lit = _typed_value_literal(str(v), num_type)
+            if lit is None:
+                return F.lit(False)
+            return F.coalesce(c == lit, F.lit(False))
         return c.cast("string") == F.lit(str(v))
     if t == "equals":
         # (Druid 24+ shape; accept for forward compat)
@@ -209,8 +239,10 @@ def _leaf_predicate(spec: dict, t: str, c: Column, ctx: FilterContext,
             # typed predicates, same rule as the selector branch above
             pred = F.lit(False)
             for v in non_null:
-                pred = pred | F.coalesce(
-                    c == F.lit(v).cast(num_type), F.lit(False))
+                lit = _typed_value_literal(v, num_type)
+                if lit is None:
+                    continue
+                pred = pred | F.coalesce(c == lit, F.lit(False))
         else:
             pred = c.cast("string").isin(non_null) if non_null else F.lit(False)
         if any(v is None for v in values):
