@@ -118,7 +118,26 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
     if t == "interval":  # IntervalDimFilter.java — __time ∈ intervals
         col = _dim_col(spec, ctx)
         ivs = parse_intervals(spec["intervals"])
-        return interval_predicate(ivs, col)
+        fn = spec.get("extractionFn")
+        dtype = ctx.data_type(spec.get("dimension", "__time"))
+        if isinstance(dtype, T.TimestampType) and fn is None:
+            return interval_predicate(ivs, col)
+        # non-time column (or an extraction output): the VALUE parses as
+        # epoch millis — unparseable values never match
+        # (IntervalDimFilter.java's long-predicate path;
+        # TimeFilteringTest.testIntervalFilterOnStringDimension)
+        if isinstance(dtype, T.TimestampType):
+            col = F.unix_millis(col)
+        if fn is not None:
+            col = compile_extraction(fn, col)
+        s = col.cast("string")
+        millis = F.when(s.rlike(r"^-?\d+$"), s.cast("long"))
+        preds = [(millis >= F.lit(a)) & (millis < F.lit(b))
+                 for a, b in ivs]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return F.coalesce(out, F.lit(False))
     if t == "javascript":
         raise NotImplementedError("javascript filter: rewrite as `expression` filter")
 
