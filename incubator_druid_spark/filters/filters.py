@@ -104,17 +104,29 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
             compile_expr, mvd_map_target)
         arr_cols = {n for n, ty in ctx._types.items()
                     if isinstance(ty, T.ArrayType)}
+        str_cols = {n for n, ty in ctx._types.items()
+                    if isinstance(ty, T.StringType)}
         target = mvd_map_target(spec["expression"], arr_cols)
         if target is not None:
+            # MVD elements are strings — tag the mapped variable too
             return F.exists(
                 ctx.resolve(target),
                 lambda x: compile_expr(
                     spec["expression"],
                     lambda n, _x=x: _x if n == target
-                    else ctx.resolve(n)).cast("boolean"))
+                    else ctx.resolve(n),
+                    str_cols | {target},
+                    arr_cols - {target}).cast("boolean"))
     if t == "expression":  # ExpressionDimFilter.java
         from incubator_druid_spark.functions.druid_expr import compile_expr
-        return compile_expr(spec["expression"], ctx.resolve).cast("boolean")
+        str_cols = arr_cols = None
+        if isinstance(ctx, FilterContext):
+            str_cols = {n for n, ty in ctx._types.items()
+                        if isinstance(ty, T.StringType)}
+            arr_cols = {n for n, ty in ctx._types.items()
+                        if isinstance(ty, T.ArrayType)}
+        return compile_expr(spec["expression"], ctx.resolve,
+                            str_cols, arr_cols).cast("boolean")
     if t == "interval":  # IntervalDimFilter.java — __time ∈ intervals
         col = _dim_col(spec, ctx)
         ivs = parse_intervals(spec["intervals"])

@@ -158,6 +158,22 @@ class _Parser:
             op = self.next()[1]
             right = self.parse_add()
             l, r = left, right
+            # BinaryBooleanOpExprBase: STRING vs STRING compares as
+            # strings; a MIXED string/numeric comparison evaluates as
+            # DOUBLES (the string side parses, unparseable → null) —
+            # never as Spark's truncating string→int cast ('1.234' == 1
+            # is false, ExpressionFilterTest).  Applied only when one
+            # side is KNOWN string (literal or tagged column) and the
+            # other is a numeric literal; column-vs-column comparisons
+            # already promote to double under Spark's coercion.
+            l_str = isinstance(l, str) or self._is_string_col(l)
+            r_str = isinstance(r, str) or self._is_string_col(r)
+            l_num = isinstance(l, (int, float)) and not isinstance(l, bool)
+            r_num = isinstance(r, (int, float)) and not isinstance(r, bool)
+            if l_str and r_num:
+                l = _c(l).cast("double")
+            elif r_str and l_num:
+                r = _c(r).cast("double")
             if not isinstance(l, Column) and not isinstance(r, Column):
                 l = _c(l)
             left = {"<": lambda: _c(l) < r, "<=": lambda: _c(l) <= r,
@@ -637,6 +653,17 @@ def _registry() -> dict:
             return F.slice(_c(a), st + 1, 2**31 - 1)
         return F.slice(_c(a), st + 1, int(lit_val(e)) - st)
 
+    def _arr_lift(p, a):
+        """Implicit scalar→array coercion for array-function arguments
+        (Function.java ArrayContainsFunction over a scalar selector): a
+        KNOWN scalar (non-Column literal or string-tagged column) wraps
+        into a 1-element array; anything else passes through as-is."""
+        if not isinstance(a, Column):
+            return F.array(_c(a))
+        if id(a) in p.string_ids and id(a) not in p.array_ids:
+            return F.array(a)
+        return _c(a)
+
     def _string_to_array(p, s, sep):
         sv = lit_str(sep)
         return F.split(_c(s), re.escape(sv) if sv is not None else sep)
@@ -786,10 +813,13 @@ def _registry() -> dict:
         # column REFERENCE of array type as the 2nd argument still falls to
         # the membership branch and surfaces as an analysis-time type error,
         # never a wrong answer.
+        # A known-SCALAR 1st argument (literal, or a string-tagged column)
+        # lifts to a single-element array — array_contains(dim3, '1') over
+        # a string column is equality (ExpressionFilterTest).
         "array_contains": lambda p, a, v: (
-            F.forall(_c(v), lambda x: F.array_contains(_c(a), x))
+            F.forall(_c(v), lambda x: F.array_contains(_arr_lift(p, a), x))
             if isinstance(v, Column) and id(v) in p.array_ids
-            else F.array_contains(_c(a), _c(v))),
+            else F.array_contains(_arr_lift(p, a), _c(v))),
         "array_overlap": _cols(F.arrays_overlap),
         "array_slice": _array_slice,
         # -- higher-order fns (ApplyFunction.java: map:195, filter:471, any:609, all:632, fold:350)
@@ -840,23 +870,31 @@ def registry() -> dict:
 
 
 def compile_expr(expression: str, resolver,
-                 string_cols: set[str] | None = None) -> Column:
+                 string_cols: set[str] | None = None,
+                 array_cols: set[str] | None = None) -> Column:
     """Compile a Druid native expression string to a Spark Column.
 
     ``resolver(name)`` maps identifiers to Columns (typically ``F.col``; the
     caller decides how ``__time`` resolves).  ``string_cols`` tags the named
     identifiers string-typed, so `col_a + col_b` concatenates when either
     side is a known string column (BinPlusExpr.evalString) — without it only
-    literal-involving `+` chains concatenate.
+    literal-involving `+` chains concatenate.  ``array_cols`` tags MVD
+    identifiers so array-vs-scalar dispatchers (array_contains) can lift
+    known-scalar arguments to single-element arrays (Function.java's
+    implicit scalar→array coercion).
     """
     p = _Parser(_lex(expression), resolver, registry())
-    if string_cols:
+    if string_cols or array_cols:
         orig_ident = p._ident
 
-        def tagged_ident(name, _orig=orig_ident, _p=p, _sc=string_cols):
+        def tagged_ident(name, _orig=orig_ident, _p=p,
+                         _sc=string_cols or set(), _ac=array_cols or set()):
             col = _orig(name)
-            if name in _sc and isinstance(col, Column):
-                _p.tag_string(col)
+            if isinstance(col, Column):
+                if name in _sc:
+                    _p.tag_string(col)
+                if name in _ac:
+                    _p.tag_array(col)
             return col
         p._ident = tagged_ident
     out = p.parse()
