@@ -249,6 +249,13 @@ def wiki_catalog(spark, tmp_path_factory):
         "placement",
         F.split("placementish", "\x01").alias("placementish"),
         F.col("index").cast("double").alias("index"),
+        # TestIndex.java:136-153 METRIC_AGGS at NONE rollup — each derived
+        # metric equals (a cast of) the row's index value
+        F.col("index").cast("float").alias("indexFloat"),
+        F.col("index").cast("double").alias("indexMin"),
+        F.col("index").cast("float").alias("indexMinFloat"),
+        F.col("index").cast("float").alias("indexMaxFloat"),
+        (F.col("index").cast("double") + 10).alias("indexMaxPlusTen"),
         "partial_null_column")
     path = str(tmp_path_factory.mktemp("wiki_ds") / "wiki.parquet")
     df.write.mode("overwrite").parquet(path)
