@@ -119,3 +119,50 @@ def test_topn_order_by_numeric_column_with_nulls_descending(
     got = [(r["index_alias"], (None if r[col] is None else int(r[col])))
            for r in out]
     assert got == _NULLS_EXPECT
+
+
+def test_full_on_topn_numeric_string_with_decoration(spark, wiki_catalog):
+    """testFullOnTopNNumericStringColumnWithDecoration — listFiltered
+    whitelist over the numeric-string column retyped LONG; the excluded
+    values' rows fold into a null group that maxIndex ordering drops
+    below the whitelist (threshold 4 returns the 3 whitelisted + null
+    group in the reference; the reference keeps only non-null rows in
+    its expectation)."""
+    out = translate(
+        {"queryType": "topN", "dataSource": "wiki", "granularity": "all",
+         "dimension": {"type": "listFiltered",
+                       "delegate": {"type": "default",
+                                    "dimension": "qualityNumericString",
+                                    "outputName": "qns_alias",
+                                    "outputType": "LONG"},
+                       "values": ["120000", "140000", "160000"],
+                       "isWhitelist": True},
+         "metric": "maxIndex", "threshold": 4, "intervals": FULL,
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "doubleSum", "name": "index", "fieldName": "index"},
+             {"type": "hyperUnique", "name": "uniques",
+              "fieldName": "quality"},
+             {"type": "doubleMax", "name": "maxIndex",
+              "fieldName": "index"},
+             {"type": "doubleMin", "name": "minIndex",
+              "fieldName": "index"}],
+         "postAggregations": [
+             {"type": "arithmetic", "name": "addRowsIndexConstant",
+              "fn": "+", "fields": [
+                  {"type": "fieldAccess", "fieldName": "index"},
+                  {"type": "arithmetic", "fn": "+", "fields": [
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "constant", "value": 1}]}]}]},
+        spark, wiki_catalog).collect()
+    got = [(r["qns_alias"], r["rows"], round(r["index"], 5),
+            round(r["addRowsIndexConstant"], 5), int(r["uniques"]),
+            round(r["maxIndex"], 6), round(r["minIndex"], 6))
+           for r in out if r["qns_alias"] is not None]
+    assert got == [
+        (140000, 279, round(217725.41940800005, 5),
+         round(218005.41940800005, 5), 1, 1870.061029, 91.270553),
+        (160000, 279, round(210865.67977600006, 5),
+         round(211145.67977600006, 5), 1, 1862.737933, 99.284525),
+        (120000, 93, 12086.47279, 12180.47279, 1, 193.787574, 84.710523),
+    ]
