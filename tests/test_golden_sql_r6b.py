@@ -362,3 +362,18 @@ def test_group_by_sort_on_post_aggregation_no_topn(spark, foo_catalog):
                          "context": ctx}, spark, foo_catalog)
         assert [tuple(r) for r in out] == \
             [("", 2.0), ("10.1", 4.0), ("2", 6.0)]
+
+
+def test_timestampadd_zero_periods(spark, foo_catalog):
+    """CalciteQueryTest testTimeStampAddZeroDayPeriod /
+    testTimeStampAddZeroMonthPeriod / testTimeStampAddZeroYearPeriod —
+    adding a zero period of any unit returns the original timestamps."""
+    expected = sorted([
+        "2000-01-01 00:00:00", "2000-01-02 00:00:00",
+        "2000-01-03 00:00:00", "2001-01-01 00:00:00",
+        "2001-01-02 00:00:00", "2001-01-03 00:00:00"])
+    for unit in ("DAY", "MONTH", "YEAR"):
+        out = rows(q(spark, foo_catalog,
+                     f'SELECT TIMESTAMPADD({unit}, 0, "__time") '
+                     f"FROM druid.foo"))
+        assert sorted(str(r[0]) for r in out) == expected
