@@ -221,3 +221,17 @@ def test_select_nonconstant_array_expression_multival_superset(spark, foo_catalo
     assert len(out) == 2
     for r in out:
         assert len(r["arr"]) == 2 and r["arr"][1] == "up"
+
+
+def test_array_prepend_group_by(spark, numfoo_catalog):
+    """CalciteArraysQueryTest.java testArrayPrepend — whole-array groups
+    (the reference explodes to per-element rows: foo:6, null:2, b:2, ...),
+    the mirror of testArrayAppend above."""
+    out = q(spark, numfoo_catalog, """
+        SELECT ARRAY_PREPEND('foo', dim3) AS a, SUM(cnt) AS c
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC""").collect()
+    got = {(tuple(r["a"]) if r["a"] is not None else None, r["c"])
+           for r in out}
+    assert got == {(("foo", "a", "b"), 1), (("foo", "b", "c"), 1),
+                   (("foo", "d"), 1), (("foo", ""), 1), (("foo",), 1),
+                   (None, 1)}
