@@ -100,3 +100,20 @@ def test_segment_metadata_default_interval_and_filtering(spark, tmp_path):
     assert cols["d"]["cardinality"] == 3
     assert cols["d"]["minValue"] == "alpha"
     assert cols["d"]["maxValue"] == "gamma"
+
+
+def test_segment_metadata_no_analysis_types_merge(spark, tmp_path):
+    """testSegmentMetadataQueryWithNoAnalysisTypesMerge — empty
+    analysisTypes yields types-only columns while numRows still sums
+    across segments and the size/cardinality analyses stay unset."""
+    cat = _two_segment_table(spark, tmp_path)
+    out = translate(
+        {"queryType": "segmentMetadata", "dataSource": "twoseg",
+         "analysisTypes": []},
+        spark, cat).collect()
+    cols = {r["column"]: r for r in out}
+    assert cols["d"]["type"] == "STRING"
+    assert cols["d"]["numRows"] == 5
+    assert cols["d"]["cardinality"] is None
+    assert cols["d"]["minValue"] is None
+    assert cols["d"]["maxValue"] is None
