@@ -359,6 +359,36 @@ def _scan_in_bound(spark, sf):
     return translate(q, spark, _cat(spark, sf))
 
 
+def _gb_column_comparison(spark, sf):
+    """columnComparison filter (ColumnComparisonFilter.java overlap
+    semantics): keep rows whose l_partkey and l_suppkey render to the
+    same string, grouped by returnflag."""
+    q = {"queryType": "groupBy", "dataSource": "lineitem",
+         "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00Z/2030-01-01T00:00:00Z"],
+         "dimensions": [{"type": "default", "dimension": "l_returnflag",
+                         "outputName": "l_returnflag"}],
+         "filter": {"type": "columnComparison",
+                    "dimensions": ["l_partkey", "l_suppkey"]},
+         "aggregations": [
+             {"type": "count", "name": "cnt"},
+             {"type": "longSum", "name": "qty",
+              "fieldName": "l_quantity"}]}
+    return translate(q, spark, _cat(spark, sf))
+
+
+def _scan_interval_dim(spark, sf):
+    """interval filter on a NON-time dimension (IntervalDimFilter.java's
+    long-predicate path): user_id parses as epoch millis, matched against
+    [0.1s, 0.4s)."""
+    q = {"queryType": "scan", "dataSource": "events",
+         "columns": ["event_id", "user_id"],
+         "filter": {"type": "interval", "dimension": "user_id",
+                    "intervals": ["1970-01-01T00:00:00.100Z/"
+                                  "1970-01-01T00:00:00.400Z"]}}
+    return translate(q, spark, _cat(spark, sf))
+
+
 def _search_types(spark, sf):
     q = {"queryType": "search", "dataSource": "events",
          "searchDimensions": ["event_type"],
@@ -1492,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_purchases": _scan_purchases,
         "scan_offset": _scan_offset,
         "scan_in_bound": _scan_in_bound,
+        "gb_column_comparison": _gb_column_comparison,
+        "scan_interval_dim": _scan_interval_dim,
         "search_types": _search_types,
         "search_daily": _search_daily,
         "topn_event_type": _topn_event_type,
@@ -1891,6 +1923,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value
             FROM events
             WHERE event_type IN ('click', 'view') AND value >= 495
+        """,
+        "gb_column_comparison": """
+            SELECT l_returnflag, count(*) AS cnt,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE CAST(l_partkey AS VARCHAR) = CAST(l_suppkey AS VARCHAR)
+            GROUP BY l_returnflag
+        """,
+        "scan_interval_dim": """
+            SELECT event_id, user_id
+            FROM events
+            WHERE user_id >= 100 AND user_id < 400
         """,
         "spatial_rect": """
             SELECT count(*) AS cnt, round(sum(value), 2) AS total
