@@ -24,14 +24,22 @@ def compile_extraction(spec: dict | None, col: Column,
         return col
     t = spec["type"]
     if t == "regex":
-        # query/extraction/RegexDimExtractionFn.java — group 1 (or `index`),
-        # replaceMissingValue semantics
+        # query/extraction/RegexDimExtractionFn.java — group 1 (or
+        # `index`) when the pattern FINDS a match (an empty captured group
+        # stays '' in sql mode); a NON-matching value returns the input
+        # unchanged unless replaceMissingValue swaps in
+        # replaceMissingValueWith (null input is always "missing")
+        # (RegexDimExtractionFnTest.testNullAndEmpty /
+        # testMissingValueReplacementWhenPatternMatchesNull)
         idx = spec.get("index", 1)
-        out = F.regexp_extract(col.cast("string"), spec["expr"], idx)
-        out = F.when(out == "", F.lit(None)).otherwise(out)
+        s = col.cast("string")
+        extracted = F.regexp_extract(s, spec["expr"], idx)
+        matched = s.rlike(spec["expr"])
         if spec.get("replaceMissingValue"):
-            out = F.coalesce(out, F.lit(spec.get("replaceMissingValueWith")))
-        return out
+            replacement = F.lit(spec.get("replaceMissingValueWith"))
+            return F.when(s.isNull(), replacement) \
+                .when(matched, extracted).otherwise(replacement)
+        return F.when(matched, extracted).otherwise(s)
     if t == "substring":
         # query/extraction/SubstringDimExtractionFn.java — 0-based index
         start = int(spec.get("index", 0))
@@ -40,7 +48,13 @@ def compile_extraction(spec: dict | None, col: Column,
         out = F.substring(s, start + 1, int(length) if length is not None else 2**31 - 1)
         return F.when(F.length(s) > start, out).otherwise(F.lit(None))
     if t == "strlen":
-        return F.length(col.cast("string")).cast("string")
+        # StrlenExtractionFn.java renders String.length() — Java UTF-16
+        # units, so supplementary codepoints count 2 (the emoji surrogate
+        # pair is "2"); Spark's length() counts codepoints, so widen them
+        s = col.cast("string")
+        return F.length(
+            F.regexp_replace(s, "[\\x{10000}-\\x{10FFFF}]", "aa")
+        ).cast("string")
     if t == "upper":
         return F.upper(col.cast("string"))
     if t == "lower":
@@ -80,8 +94,16 @@ def compile_extraction(spec: dict | None, col: Column,
         parsed = F.to_timestamp(s, _joda_to_spark(spec["timeFormat"]))
         return F.coalesce(F.date_format(parsed, _joda_to_spark(spec["resultFormat"])), s)
     if t == "stringFormat":
-        # StringFormatExtractionFn — String.format with the dim as only arg
-        return F.format_string(spec["format"], col)
+        # StringFormatExtractionFn — String.format with the dim as only
+        # arg; nullHandling: NULLSTRING (default) formats null as the
+        # literal 'null', EMPTYSTRING as '', RETURNNULL skips formatting
+        nh = str(spec.get("nullHandling", "nullString")).lower()
+        s = col.cast("string")
+        if nh == "returnnull":
+            return F.when(s.isNotNull(),
+                          F.format_string(spec["format"], s))
+        filler = "" if nh == "emptystring" else "null"
+        return F.format_string(spec["format"], F.coalesce(s, F.lit(filler)))
     if t == "cascade":
         # CascadeExtractionFn — apply extractionFns in order
         out = col
@@ -89,11 +111,14 @@ def compile_extraction(spec: dict | None, col: Column,
             out = compile_extraction(sub, out)
         return out
     if t == "bucket":
-        # BucketExtractionFn — floor((x - offset)/size)*size + offset
+        # BucketExtractionFn — floor((x - offset)/size)*size + offset,
+        # rendered with trailing zeros stripped ('2' not '2.0', '1200.5'
+        # stays; unparseable input → null — BucketExtractionFnTest)
         size = float(spec.get("size", 1))
         offset = float(spec.get("offset", 0))
         x = col.cast("double")
-        return (F.floor((x - offset) / size) * size + offset)
+        b = F.floor((x - offset) / size) * size + offset
+        return F.regexp_replace(b.cast("string"), r"\.0$", "")
     if t == "lookup":
         # query/lookup/LookupExtractionFn.java — inline map
         m = spec["lookup"].get("map", {})
