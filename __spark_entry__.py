@@ -1361,10 +1361,43 @@ def _multimodal_decode(spark, sf):
                 content.append(encode_png(arr))
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
+    def gen_gifs(batches):
+        # solid fills GIF-encoded: the LZW bitstream decode, palette
+        # mapping and logical-screen compositing are on the exact hash
+        # path (pipeline/gif.py); odd ids interlace so the 4-pass row
+        # reorder is exercised too
+        import numpy as np
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline.gif import encode_gif
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 6 + d % 5, 5 + d % 6
+                rgb = np.array([(d * 37) % 256, (d * 41) % 256,
+                                (d * 43) % 256], np.uint8)
+                arr = np.tile(rgb, (h, w, 1))
+                content.append(encode_gif(arr, interlace=bool(d % 2)))
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
     img_src = ids.mapInPandas(gen_images, schema="id long, content binary")
     wav_src = ids.mapInPandas(gen_wavs, schema="id long, content binary")
     jpg_src = ids.mapInPandas(gen_jpegs, schema="id long, content binary")
     png_src = ids.mapInPandas(gen_pngs, schema="id long, content binary")
+    gif_src = ids.mapInPandas(gen_gifs, schema="id long, content binary")
+    gif = (decode_image_features(gif_src, fake=False)
+           .select("id",
+                   F.col("width").cast("long").alias("gif_w"),
+                   F.col("height").cast("long").alias("gif_h"),
+                   F.round(F.element_at("feat", 1) * 255).cast("long")
+                    .alias("gif_r"),
+                   F.round(F.element_at("feat", 2) * 255).cast("long")
+                    .alias("gif_g"),
+                   F.round(F.element_at("feat", 3) * 255).cast("long")
+                    .alias("gif_b"),
+                   F.round(F.element_at("feat", 4) * 1000).cast("long")
+                    .alias("gif_std_x1000")))
     png = (decode_image_features(png_src, fake=False)
            .select("id",
                    F.col("width").cast("long").alias("png_w"),
@@ -1399,6 +1432,7 @@ def _multimodal_decode(spark, sf):
                    F.col("sample_rate").cast("long").alias("sample_rate"),
                    F.round(F.col("loudness") * 32768).cast("long").alias("amp")))
     return (img.join(wav, "id").join(jpg, "id").join(png, "id")
+               .join(gif, "id")
                .withColumnRenamed("id", "doc_id")
                .orderBy("doc_id"))
 
@@ -2174,7 +2208,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 19) % 256 AS BIGINT) AS png_r,
                    CAST((doc_id * 23) % 256 AS BIGINT) AS png_g,
                    CAST((doc_id * 31) % 256 AS BIGINT) AS png_b,
-                   CAST(0 AS BIGINT) AS png_std_x1000
+                   CAST(0 AS BIGINT) AS png_std_x1000,
+                   CAST(6 + doc_id % 5 AS BIGINT) AS gif_w,
+                   CAST(5 + doc_id % 6 AS BIGINT) AS gif_h,
+                   CAST((doc_id * 37) % 256 AS BIGINT) AS gif_r,
+                   CAST((doc_id * 41) % 256 AS BIGINT) AS gif_g,
+                   CAST((doc_id * 43) % 256 AS BIGINT) AS gif_b,
+                   CAST(0 AS BIGINT) AS gif_std_x1000
             FROM documents WHERE doc_id < 48 ORDER BY doc_id
         """,
         # same containment-oracle shape as ann_ivf_topk: the emitted frame

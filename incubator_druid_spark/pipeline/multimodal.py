@@ -142,11 +142,17 @@ def _decode_image(data: bytes):
         # 8-bit grey/RGB/GA/RGBA + 1/2/4/8-bit palette, Adam7 included
         from incubator_druid_spark.pipeline.png import decode_png_rgb
         return decode_png_rgb(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        # pure-Python LZW decoder (pipeline/gif.py): first frame composited
+        # onto the logical screen, interlace + transparency honored
+        from incubator_druid_spark.pipeline.gif import decode_gif
+        return decode_gif(bytes(data))
     head = bytes(data[:4])
     raise NotImplementedError(
         f"image codec for magic {head!r} not available in this environment "
-        "(pure-Python decoders cover P6 PPM, 24-bit BMP, baseline JPEG and "
-        "PNG; progressive-JPEG/WEBP/GIF need PIL — plug it in at this line)")
+        "(pure-Python decoders cover P6 PPM, 24-bit BMP, baseline JPEG, "
+        "PNG and GIF; progressive-JPEG/WEBP need PIL — plug it in at this "
+        "line)")
 
 
 def _image_feature(arr, target: tuple[int, int]) -> tuple[list[float], int, int]:
