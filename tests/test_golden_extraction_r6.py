@@ -254,3 +254,32 @@ def test_lower_upper(spark):
     assert apply_fn(spark, {"type": "upper"},
                     ["uPpER 1 String", "", None, "1"]) == \
         ["UPPER 1 STRING", "", None, "1"]
+
+
+def test_lookup_extraction_expectations(spark):
+    """LookupExtractionFnExpectationsTest sql branches — a null input is
+    always a miss (the '' key maps only the '' input), misses replace or
+    retain per the flags, and mapped-to-'' stays '' in sql mode."""
+    fn_retain = {"type": "lookup",
+                 "lookup": {"type": "map", "map": {"foo": "bar"}},
+                 "retainMissingValue": True, "injective": False}
+    assert apply_fn(spark, fn_retain, [None, "foo", "baz"]) == \
+        [None, "bar", "baz"]
+    fn_replace = {"type": "lookup",
+                  "lookup": {"type": "map", "map": {"foo": "bar"}},
+                  "retainMissingValue": False,
+                  "replaceMissingValueWith": "REPLACE", "injective": False}
+    assert apply_fn(spark, fn_replace, [None, "foo", "baz"]) == \
+        ["REPLACE", "bar", "REPLACE"]
+    fn_empty_key = {"type": "lookup",
+                    "lookup": {"type": "map", "map": {"": "bar"}},
+                    "retainMissingValue": False,
+                    "replaceMissingValueWith": "REPLACE",
+                    "injective": False}
+    assert apply_fn(spark, fn_empty_key, [None, ""]) == ["REPLACE", "bar"]
+    fn_empty_val = {"type": "lookup",
+                    "lookup": {"type": "map", "map": {"foo": ""}},
+                    "retainMissingValue": False,
+                    "replaceMissingValueWith": "REPLACE",
+                    "injective": False}
+    assert apply_fn(spark, fn_empty_val, [None, "foo"]) == ["REPLACE", ""]
