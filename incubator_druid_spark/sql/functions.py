@@ -242,19 +242,44 @@ import weakref
 _FN_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _VIEW_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# name → CREATE statement; the ~45 CREATEs cost ~2.4 s of py4j roundtrips
+# together (Spark resolves each body at CREATE), so registration is lazy:
+# a query registers only the names its final SQL text references.
+_FN_BY_NAME: dict[str, str] = {
+    re.search(r"TEMPORARY FUNCTION (\w+)\s*\(", stmt).group(1): stmt
+    for stmt in _FUNCTIONS
+}
 
-def register_druid_sql(spark: SparkSession) -> None:
-    """Register every Druid-specific SQL function name (idempotent, cached
-    per session).  Names that Spark already ships as builtins with
-    compatible semantics (REGEXP_LIKE, DIV, …) are skipped — the builtin
-    wins.  The LOOKUP function body inlines the registered lookup maps, so
-    it re-registers whenever the lookup registry changes."""
+
+def register_druid_sql(spark: SparkSession, sql: str | None = None) -> None:
+    """Register the Druid-specific SQL function names that ``sql``
+    references (every name when ``sql`` is None) — idempotent, cached per
+    session.  Names that Spark already ships as builtins with compatible
+    semantics (REGEXP_LIKE, DIV, …) are skipped — the builtin wins.  The
+    LOOKUP function body inlines the registered lookup maps, so it
+    re-registers whenever the lookup registry changes."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from incubator_druid_spark.functions.lookups import lookup_version
     ver = lookup_version()
     st = _FN_STATE.get(spark)
-    if st == ver:
+    if st is None:
+        st = {"names": set(), "bloom": False, "lookup_ver": None}
+    if sql is None:
+        needed = set(_FN_BY_NAME)
+        bloom_needed = lookup_needed = True
+    else:
+        # word-boundary scan of the final SQL; a hit inside a string
+        # literal over-registers harmlessly
+        needed = {n for n in _FN_BY_NAME
+                  if re.search(rf"(?i)\b{n}\s*\(", sql)}
+        bloom_needed = bool(re.search(r"(?i)\bBLOOM_FILTER_TEST\s*\(", sql))
+        lookup_needed = bool(re.search(r"(?i)\bLOOKUP\b", sql))
+    missing = needed - st["names"]
+    bloom_missing = bloom_needed and not st["bloom"]
+    lookup_missing = lookup_needed and st["lookup_ver"] != ver
+    if not missing and not bloom_missing and not lookup_missing:
+        _FN_STATE[spark] = st
         return
     # Spark resolves a SQL temp function's body ONCE, with the session
     # timezone at CREATE baked into its date/cast expressions — a function
@@ -267,19 +292,23 @@ def register_druid_sql(spark: SparkSession) -> None:
     if prev_tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        if st is None:  # static pieces: once per session
-            for stmt in _FUNCTIONS:
-                try:
-                    spark.sql(stmt)
-                except AnalysisException as e:
-                    if "CANNOT_REPLACE_NON_SQL_UDF" not in str(e):
-                        raise
+        for name in missing:
+            try:
+                spark.sql(_FN_BY_NAME[name])
+            except AnalysisException as e:
+                if "CANNOT_REPLACE_NON_SQL_UDF" not in str(e):
+                    raise
+            st["names"].add(name)
+        if bloom_missing:
             _register_bloom_test_fn(spark)
-        _register_lookup_fn(spark)
+            st["bloom"] = True
+        if lookup_missing:
+            _register_lookup_fn(spark)
+            st["lookup_ver"] = ver
     finally:
         if prev_tz != "UTC":
             spark.conf.set("spark.sql.session.timeZone", prev_tz)
-    _FN_STATE[spark] = ver
+    _FN_STATE[spark] = st
 
 
 def _register_bloom_test_fn(spark: SparkSession) -> None:
@@ -1327,7 +1356,6 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         res = _json.dumps([{"name": t, "type": "DATASOURCE"} for t in tables])
         return spark.createDataFrame([(plan, res)], "PLAN string, RESOURCES string")
     sql = _apply_current_timestamp(sql)
-    register_druid_sql(spark)
     if catalog is not None:
         register_views(catalog)
         if re.search(r"(?i)\bINFORMATION_SCHEMA\s*\.|\bsys\s*\.", sql):
@@ -1709,4 +1737,9 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                          lambda a: "NULLIF(substring("
                                    + ", ".join(a) + "), '')")
     sql = _rewrite_aggregate_names(sql)
+    # lazy function registration against the FINAL text: rewrites above may
+    # inject macro names (EXTRACT→TIME_EXTRACT, FLOOR..TO→TIME_CEIL, …) and
+    # inline away literal-period calls — scanning the executed SQL catches
+    # both directions
+    register_druid_sql(spark, sql)
     return spark.sql(sql)
