@@ -60,6 +60,13 @@ class Catalog:
         self._serial = next(Catalog._SERIAL)
         self._version = 0
         self._schema_cache: dict[str, object] = {}
+        # resolved-DataFrame cache: a DataFrame is an immutable plan handle,
+        # but resolving one costs a ~90 ms reader/footer JVM roundtrip —
+        # register_views + the SQL rewriters' schema scans touch every
+        # table, so an uncached catalog pays ~2 s on the first druid_sql.
+        # Managed (session-catalog) tables stay uncached: spark.table must
+        # re-bind after a saveAsTable overwrite.
+        self._df_cache: dict[str, DataFrame] = {}
 
     def version(self) -> tuple[int, int]:
         """(identity, mutation-count) — changes whenever datasources do."""
@@ -71,6 +78,7 @@ class Catalog:
         self._specs[name] = DatasourceSpec(name, path, fmt, time_column, options)
         self._version += 1
         self._schema_cache.pop(name, None)
+        self._df_cache.pop(name, None)
 
     def register_dir(self, sf_dir: str) -> "Catalog":
         """Register every ``<table>.parquet`` under a testdata dir."""
@@ -87,6 +95,7 @@ class Catalog:
         self._specs[name] = DatasourceSpec(name, path="", fmt="managed")
         self._version += 1
         self._schema_cache.pop(name, None)
+        self._df_cache.pop(name, None)
 
     def table(self, name: str) -> DataFrame:
         if name not in self._specs:
@@ -94,10 +103,17 @@ class Catalog:
         spec = self._specs[name]
         if spec.fmt == "managed":
             return self.spark.table(name)
-        reader = self.spark.read.format(spec.fmt)
-        for k, v in spec.options.items():
-            reader = reader.option(k, v)
-        df = reader.load(spec.path)
+        token = self._path_token(spec.path)
+        cached = self._df_cache.get(name)
+        if cached is not None and token is not None and cached[0] == token:
+            return cached[1]
+        if spec.options.get("schemaEvolution"):
+            df = self._read_evolving(spec)
+        else:
+            reader = self.spark.read.format(spec.fmt)
+            for k, v in spec.options.items():
+                reader = reader.option(k, v)
+            df = reader.load(spec.path)
         if spec.time_column and spec.time_column in df.columns and TIME_COLUMN not in df.columns:
             # Alias (not rename): queries may address either name; Catalyst
             # prunes whichever is unused so the scan reads it once.
@@ -109,7 +125,92 @@ class Catalog:
             else:
                 tc = tc.cast("timestamp")
             df = df.withColumn(TIME_COLUMN, tc)
+        if token is not None:
+            self._df_cache[name] = (token, df)
         return df
+
+    def _read_evolving(self, spec: "DatasourceSpec") -> DataFrame:
+        """Heterogeneous-segment read: Druid datasources evolve — a column
+        can be a string in old segments, a long in newer ones, absent in
+        others — and every segment is queried at its own local schema
+        (SchemaEvolutionTest.java:137-147, the c1 string->long->float->
+        absent matrix).  A flat parquet read can't express that (mergeSchema
+        refuses conflicting types), so an opt-in ``schemaEvolution`` read
+        groups data files by their individual schema, reads each epoch with
+        one scan, promotes conflicting column types (integral pairs -> long,
+        any-float numeric pairs -> double, numeric/string -> string —
+        per-row casts reproduce Druid's per-segment aggregator reads:
+        cast('10.1' as long) = 10 = (long) 10.1 — single/multi-value string
+        -> array<string>, anything else -> string), and unions the epochs
+        by name with missing columns null.  Scale shape: one scan per schema
+        EPOCH (a handful in real evolution histories), not per file."""
+        from pyspark.sql import types as T
+        files: list[str] = []
+        for root, _dirs, fns in os.walk(spec.path):
+            for fn in fns:
+                if not fn.startswith(("_", ".")) and not fn.endswith(".crc"):
+                    files.append(os.path.join(root, fn))
+        opts = {k: v for k, v in spec.options.items()
+                if k != "schemaEvolution"}
+
+        def read(paths):
+            reader = self.spark.read.format(spec.fmt)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            # basePath keeps directory-partition columns (__bucket) intact
+            # when loading leaf files directly
+            return reader.option("basePath", spec.path).load(paths)
+
+        groups: dict[str, list[str]] = {}
+        schemas: dict[str, T.StructType] = {}
+        for p in sorted(files):
+            sch = read(p).schema
+            key = sch.json()
+            groups.setdefault(key, []).append(p)
+            schemas[key] = sch
+        if len(groups) <= 1:
+            reader = self.spark.read.format(spec.fmt)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            return reader.load(spec.path)
+        target: dict[str, T.DataType] = {}
+        order: list[str] = []
+        for sch in schemas.values():
+            for fld in sch.fields:
+                if fld.name not in target:
+                    target[fld.name] = fld.dataType
+                    order.append(fld.name)
+                else:
+                    target[fld.name] = _promote(target[fld.name],
+                                                fld.dataType)
+        out = None
+        for key, paths in groups.items():
+            df = read(paths)
+            src = {fld.name: fld.dataType for fld in schemas[key].fields}
+            cols = [_evolve_cast(F.col(n), src[n], target[n]).alias(n)
+                    for n in order if n in src]
+            df = df.select(*cols)
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True)
+        return out
+
+    @staticmethod
+    def _path_token(path: str):
+        """Cheap staleness token for a local source path: a resolved
+        DataFrame pins its file listing, so a rewrite of the same path must
+        invalidate the cache.  Spark refreshes the top-level ``_SUCCESS``
+        marker on every write job (including dynamic partition overwrite,
+        whose leaf-dir changes leave the root mtime alone), and appends/
+        deletes touch the root mtime; non-local URIs skip caching."""
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None  # remote URI or vanished path — never cache
+        try:
+            success = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+        except OSError:
+            success = None
+        return (st.st_mtime_ns, success)
 
     def schema(self, name: str):
         """Cached schema of a datasource — metadata-only callers (SQL
@@ -139,6 +240,45 @@ class Catalog:
     def lookup_df(self, name: str) -> DataFrame:
         m = self.lookup_map(name)
         return self.spark.createDataFrame(list(m.items()), schema="k string, v string")
+
+
+def _promote(a, b):
+    """Common supertype for a column that changed type across segments.
+    Integral pairs widen to long, any float/double involvement widens to
+    double, numeric<->string falls back to STRING (the faithful carrier:
+    per-row casts then reproduce Druid's per-segment typed reads), a
+    single-value string beside a multi-value one becomes array<string>,
+    and anything else (e.g. a COMPLEX binary beside a string) degrades to
+    string — such columns are only scanned when a query actually selects
+    them, and Catalyst prunes them otherwise."""
+    from pyspark.sql import types as T
+    if a == b:
+        return a
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    numeric = integral + (T.FloatType, T.DoubleType, T.DecimalType)
+    if isinstance(a, integral) and isinstance(b, integral):
+        return T.LongType()
+    if isinstance(a, numeric) and isinstance(b, numeric):
+        return T.DoubleType()
+    if isinstance(a, T.TimestampType) or isinstance(b, T.TimestampType):
+        return T.TimestampType()
+    if isinstance(a, T.ArrayType) or isinstance(b, T.ArrayType):
+        ea = a.elementType if isinstance(a, T.ArrayType) else a
+        eb = b.elementType if isinstance(b, T.ArrayType) else b
+        return T.ArrayType(_promote(ea, eb))
+    return T.StringType()
+
+
+def _evolve_cast(col: "F.Column", src, dst) -> "F.Column":
+    from pyspark.sql import types as T
+    if src == dst:
+        return col
+    if isinstance(dst, T.ArrayType) and not isinstance(src, T.ArrayType):
+        # single-value segment of a column that is multi-value elsewhere:
+        # a scalar row becomes a one-element array, null stays null
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.array(col.cast(dst.elementType)))
+    return col.cast(dst)
 
 
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:

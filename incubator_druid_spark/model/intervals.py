@@ -10,6 +10,7 @@ tables — the same role, one layer lower.
 
 from __future__ import annotations
 
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql import Column
@@ -17,11 +18,24 @@ from pyspark.sql import functions as F
 
 ETERNITY = (-62135596800000, 253402300799999)  # Druid's JodaUtils MIN/MAX-ish bound
 
+_BARE_YEAR = re.compile(r"[+-]?\d{1,6}")
+
 
 def parse_iso_millis(s: str) -> int:
     s = s.strip()
     if s.endswith("Z"):
         s = s[:-1] + "+00:00"
+    if _BARE_YEAR.fullmatch(s):
+        # Joda accepts bare-year instants ("1000/3000",
+        # SchemaEvolutionTest.java:235 intervals("1000/3000")); Python
+        # datetime only spans years 1-9999, so clamp outside years to the
+        # eternity bounds — no real timestamp lies beyond either.
+        y = int(s)
+        if y < 1:
+            return ETERNITY[0]
+        if y > 9999:
+            return ETERNITY[1]
+        s = f"{y:04d}-01-01"
     dt = datetime.fromisoformat(s)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
