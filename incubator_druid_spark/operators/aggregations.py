@@ -431,17 +431,51 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.unix_millis(ctx.resolve(fname))
         return f()
 
+    fname = spec.get("fieldName")
+    mv = (fname is not None and spec.get("expression") is None
+          and hasattr(ctx, "is_array") and ctx.is_array(fname))
+
+    def fmv(typ):
+        # numeric agg over a multi-value string dimension aggregates EVERY
+        # element of each row; elements that don't parse as numbers (and
+        # null elements, in SQL null mode) are skipped
+        # (StringColumnAggregationTest.java:120-128: multiValueSum counts
+        # each of the row's two copies, the null element contributes none).
+        col = ctx.resolve(fname)
+        return F.filter(F.transform(col, lambda x: x.cast(typ)),
+                        lambda x: x.isNotNull())
+
     if t == "count":
         # CountAggregatorFactory.java — counts ROWS (not non-null values)
         return F.count(F.lit(1))
     if t in ("longSum", "doubleSum", "floatSum"):
+        if mv:
+            el = fmv(_num(t))
+            return F.sum(F.when(F.size(el) > 0, F.aggregate(
+                el, F.lit(0).cast(_num(t)), lambda a, x: a + x)))
         return F.sum(fnum().cast(_num(t)))
     if t in ("longMin", "doubleMin", "floatMin"):
+        if mv:
+            return F.min(F.array_min(fmv(_num(t))))
         return F.min(fnum().cast(_num(t)))
     if t in ("longMax", "doubleMax", "floatMax"):
+        if mv:
+            return F.max(F.array_max(fmv(_num(t))))
         return F.max(fnum().cast(_num(t)))
     if t == "doubleMean":
         # mean/DoubleMeanAggregatorFactory.java
+        if mv:
+            # DoubleMeanAggregator.java:48-51 — a List row updates the
+            # holder once per ELEMENT, null/unparseable elements counting
+            # as 0 (Numbers.tryParseDouble(o, 0)); a null row follows the
+            # scalar branch: one update of 0.
+            col = ctx.resolve(fname)
+            s_row = F.when(col.isNull(), F.lit(0.0)).otherwise(F.aggregate(
+                F.transform(col, lambda x: F.coalesce(x.cast("double"),
+                                                      F.lit(0.0))),
+                F.lit(0.0), lambda a, x: a + x))
+            n_row = F.when(col.isNull(), F.lit(1)).otherwise(F.size(col))
+            return F.sum(s_row) / F.sum(n_row)
         return F.avg(fnum().cast("double"))
     if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst",
              "stringFirstFold"):
