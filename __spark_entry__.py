@@ -1381,11 +1381,38 @@ def _multimodal_decode(spark, sf):
                 content.append(encode_gif(arr, interlace=bool(d % 2)))
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
+    def gen_pjpegs(batches):
+        # progressive (SOF2) solid gray fills: the successive-approximation
+        # DC-first + DC-refine scans and all-EOB AC bands are on the exact
+        # hash path here; AC-coefficient exactness is pinned by the codec
+        # unit tests (deep-ladder progressive == baseline)
+        import numpy as np
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline.jpeg import encode_progressive_jpeg
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                v, w, h = (d * 23 + 5) % 256, 8 + d % 6, 8 + d % 8
+                arr = np.full((h, w, 3), v, np.uint8)
+                content.append(encode_progressive_jpeg(arr, quant=1))
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
     img_src = ids.mapInPandas(gen_images, schema="id long, content binary")
     wav_src = ids.mapInPandas(gen_wavs, schema="id long, content binary")
     jpg_src = ids.mapInPandas(gen_jpegs, schema="id long, content binary")
     png_src = ids.mapInPandas(gen_pngs, schema="id long, content binary")
     gif_src = ids.mapInPandas(gen_gifs, schema="id long, content binary")
+    pjp_src = ids.mapInPandas(gen_pjpegs, schema="id long, content binary")
+    pjp = (decode_image_features(pjp_src, fake=False)
+           .select("id",
+                   F.col("width").cast("long").alias("pjpeg_w"),
+                   F.col("height").cast("long").alias("pjpeg_h"),
+                   F.round(F.element_at("feat", 1) * 255).cast("long")
+                    .alias("pjpeg_gray"),
+                   F.round(F.element_at("feat", 4) * 1000).cast("long")
+                    .alias("pjpeg_std_x1000")))
     gif = (decode_image_features(gif_src, fake=False)
            .select("id",
                    F.col("width").cast("long").alias("gif_w"),
@@ -1432,7 +1459,7 @@ def _multimodal_decode(spark, sf):
                    F.col("sample_rate").cast("long").alias("sample_rate"),
                    F.round(F.col("loudness") * 32768).cast("long").alias("amp")))
     return (img.join(wav, "id").join(jpg, "id").join(png, "id")
-               .join(gif, "id")
+               .join(gif, "id").join(pjp, "id")
                .withColumnRenamed("id", "doc_id")
                .orderBy("doc_id"))
 
@@ -2214,7 +2241,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 37) % 256 AS BIGINT) AS gif_r,
                    CAST((doc_id * 41) % 256 AS BIGINT) AS gif_g,
                    CAST((doc_id * 43) % 256 AS BIGINT) AS gif_b,
-                   CAST(0 AS BIGINT) AS gif_std_x1000
+                   CAST(0 AS BIGINT) AS gif_std_x1000,
+                   CAST(8 + doc_id % 6 AS BIGINT) AS pjpeg_w,
+                   CAST(8 + doc_id % 8 AS BIGINT) AS pjpeg_h,
+                   CAST((doc_id * 23 + 5) % 256 AS BIGINT) AS pjpeg_gray,
+                   CAST(0 AS BIGINT) AS pjpeg_std_x1000
             FROM documents WHERE doc_id < 48 ORDER BY doc_id
         """,
         # same containment-oracle shape as ann_ivf_topk: the emitted frame

@@ -1,18 +1,24 @@
-"""Pure-Python baseline JPEG codec (stdlib + numpy only).
+"""Pure-Python JPEG codec (stdlib + numpy only).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, any
-h/v subsampling factors in {1, 2}, DQT (8/16-bit), multiple DHT segments,
-DRI/RSTn restart markers, APPn/COM skip.  This covers the dominant
-real-corpus image format for the multimodal pipeline
-(pipeline/multimodal.py) without a codec library in the environment.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+Decoder: baseline sequential (SOF0/1) AND progressive (SOF2) DCT, 8-bit,
+1 or 3 components, any h/v subsampling factors in {1, 2}, DQT (8/16-bit),
+multiple DHT segments, DRI/RSTn restart markers, APPn/COM skip.
+Progressive covers the full T.81 surface: spectral selection (multi-band
+AC scans with EOB runs), successive approximation (DC/AC first +
+refinement scans, G.1.2.2-3), interleaved DC and non-interleaved AC
+block orders.  Every scan accumulates into per-component coefficient
+arrays; dequant + IDCT run once at EOI as one batched einsum.  Baseline +
+progressive together cover essentially the whole real-world JPEG corpus;
+arithmetic coding, hierarchical mode, and 12-bit precision raise
 NotImplementedError naming the feature.
 
-Encoder: minimal baseline writer (4:4:4 or 4:2:0, custom flat Huffman
-tables embedded in the stream, configurable quant tables) — used by tests
-and fixture generators; decode(encode(x)) round-trips bound the whole
-pipeline (Huffman, stuffing, zigzag, dequant, IDCT, upsample, color
-transform) without a reference library.
+Encoder: baseline writer (4:4:4 or 4:2:0) plus a progressive writer with
+a parameterizable scan script (default mirrors libjpeg's: approximated DC
+first, per-component banded AC at Al>=1, then refinement scans to Al=0).
+Flat Huffman tables are embedded in the stream, so ANY spec-compliant
+decoder reads them back; decode(encode(x)) round-trips bound the whole
+pipeline without a reference library, and progressive-vs-baseline decode
+equality pins the scan machinery coefficient-exactly.
 
 Reference semantics: ITU-T T.81 (the JPEG spec); the fake-decode fallback
 and feature pooling live in pipeline/multimodal.py.
@@ -138,11 +144,15 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 3) uint8 RGB (grayscale replicates)."""
+    """JPEG (baseline or progressive) → (h, w, 3) uint8 RGB (grayscale
+    replicates).  The name predates progressive support; kept for callers."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated or corrupt JPEG stream: {e}") from e
+
+
+decode_jpeg = decode_baseline_jpeg
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -154,13 +164,20 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     ac_tables: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    scanned = False
     while True:
+        if pos + 1 >= len(data):
+            if scanned:
+                break  # EOI-less but complete-enough stream
+            raise ValueError("ran out of data before any scan")
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("EOI before SOS")
+            if not scanned:
+                raise ValueError("EOI before SOS")
+            break
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -187,7 +204,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 (dc_tables if tc == 0 else ac_tables)[th] = \
                     _huff_table(counts, symbols)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -196,66 +213,219 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = _init_frame(h, w, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) — only baseline sequential (SOF0/1) supported")
+                f"JPEG SOF marker 0xFF{marker:02X} (arithmetic/hierarchical/"
+                "lossless) — baseline (SOF0/1) and progressive (SOF2) "
+                "supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 0x0F})
-            return _decode_scan(data, pos + seglen, frame, scan, qt,
-                                dc_tables, ac_tables, restart_interval)
+                scan.append({"id": cs, "dc": tables >> 4,
+                             "ac": tables & 0x0F})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _run_scan(data, pos + seglen, frame, scan, ss, se,
+                            ahal >> 4, ahal & 0x0F, dc_tables, ac_tables,
+                            restart_interval)
+            scanned = True
+            if not frame["progressive"] and _scan_complete(frame):
+                break  # sequential single/multi-scan done; tolerate no EOI
+            continue
         # APPn / COM / others: skip
         pos += seglen
+    return _reconstruct(frame, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, dc_tables, ac_tables,
-                 restart_interval) -> np.ndarray:
-    if frame is None:
-        raise ValueError("SOS before SOF")
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _init_frame(h, w, comps, progressive):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        c["coef"] = np.zeros((bh, bw, 64), np.int32)
+        # non-interleaved (single-component scan) block grid: the
+        # component's own dimensions, NOT MCU-padded (T.81 A.2.2)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch // 8)
+        c["done"] = False
+    return {"h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+            "mcus_x": mcus_x, "mcus_y": mcus_y, "progressive": progressive}
+
+
+def _scan_complete(frame):
+    return all(c["done"] for c in frame["comps"])
+
+
+def _run_scan(data, pos, frame, scan, ss, se, ah, al, dc_tables, ac_tables,
+              restart_interval) -> int:
+    """Decode one entropy-coded scan into the frame's coefficient arrays;
+    returns the position of the next marker."""
+    by_id = {c["id"]: c for c in frame["comps"]}
     order = [by_id[s["id"]] for s in scan]
+    prog = frame["progressive"]
     for c, s in zip(order, scan):
-        c["dct"] = dc_tables[s["dc"]]
-        c["act"] = ac_tables[s["ac"]]
-        c["q"] = qt[c["tq"]]
-        cw, ch = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
-        c["plane"] = np.zeros((ch, cw), np.float64)
+        c["dct"] = dc_tables.get(s["dc"])
+        c["act"] = ac_tables.get(s["ac"])
         c["pred"] = 0
-
+        if not prog:
+            c["done"] = True
     br = _BitReader(data, pos)
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.restart()
-                for c in order:
-                    c["pred"] = 0
-            for c in order:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(br, c)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = blk
-            mcu += 1
+    state = {"eobrun": 0}
 
+    def restart():
+        br.restart()
+        state["eobrun"] = 0
+        for c in order:
+            c["pred"] = 0
+
+    if len(order) == 1:
+        c = order[0]
+        n = c["nbw"] * c["nbh"]
+        for i in range(n):
+            if restart_interval and i and i % restart_interval == 0:
+                restart()
+            by, bx = divmod(i, c["nbw"])
+            _decode_unit(br, c, by, bx, ss, se, ah, al, prog, state)
+    else:
+        mcu = 0
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    restart()
+                for c in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _decode_unit(br, c, my * c["v"] + by,
+                                         mx * c["h"] + bx, ss, se, ah, al,
+                                         prog, state)
+                mcu += 1
+    p = br.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF
+                                     and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _decode_unit(br, c, by, bx, ss, se, ah, al, prog, state):
+    coef = c["coef"][by, bx]
+    if not prog:
+        # sequential: full DC + AC block
+        s = _huff_decode(br, c["dct"])
+        c["pred"] += _extend(br.read_bits(s), s)
+        coef[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, c["act"])
+            r, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            coef[ZIGZAG[k]] = _extend(br.read_bits(size), size)
+            k += 1
+        return
+    if ss == 0:  # DC band (progressive DC scans carry only coefficient 0)
+        if ah == 0:
+            s = _huff_decode(br, c["dct"])
+            c["pred"] += _extend(br.read_bits(s), s)
+            coef[0] = c["pred"] << al
+        elif br.read_bit():
+            coef[0] |= 1 << al
+        return
+    if ah == 0:  # AC first scan for this band (G.1.2.2)
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, c["act"])
+            r, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if r < 15:  # EOBn: run of (1<<r)+bits blocks incl. this one
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                coef[ZIGZAG[k]] = _extend(br.read_bits(size), size) << al
+                k += 1
+        return
+    # AC refinement scan (G.1.2.3): newly-significant coefficients arrive
+    # as ±1<<al; already-nonzero coefficients crossed by any run consume
+    # one correction bit each (1 -> add 1<<al toward larger magnitude)
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(br, c["act"])
+            r, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # ZRL: cross 16 zero-history positions
+            else:  # size must be 1 in a refinement scan
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    if br.read_bit() and (abs(int(coef[z])) & p1) == 0:
+                        coef[z] += p1 if coef[z] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # inside an EOB run the block's remaining nonzero coefficients
+        # still receive correction bits
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if br.read_bit() and (abs(int(coef[z])) & p1) == 0:
+                    coef[z] += p1 if coef[z] > 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, qt) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for c in order:
-        p = c["plane"]
-        # upsample to full MCU-grid resolution, then crop to (h, w)
+    for c in frame["comps"]:
+        q = qt[c["tq"]].reshape(64).astype(np.float64)
+        bh, bw = c["coef"].shape[:2]
+        blk = (c["coef"].astype(np.float64) * q).reshape(bh, bw, 8, 8)
+        # batched IDCT: A.T @ B @ A over every block at once
+        spat = np.einsum("ux,mnuv,vy->mxny", _A, blk, _A,
+                         optimize=True) + 128.0
+        p = spat.reshape(bh * 8, bw * 8)
         if c["h"] < hmax:
             p = np.repeat(p, hmax // c["h"], axis=1)
         if c["v"] < vmax:
@@ -270,30 +440,6 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tables, ac_tables,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-
-def _decode_block(br: _BitReader, c) -> np.ndarray:
-    coef = np.zeros(64, np.float64)
-    s = _huff_decode(br, c["dct"])
-    diff = _extend(br.read_bits(s), s)
-    c["pred"] += diff
-    coef[0] = c["pred"]
-    k = 1
-    while k < 64:
-        rs = _huff_decode(br, c["act"])
-        r, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        coef[ZIGZAG[k]] = _extend(br.read_bits(size), size)
-        k += 1
-    blk = coef.reshape(8, 8) * c["q"]
-    return _A.T @ blk @ _A + 128.0
 
 
 # ---------------------------------------------------------------------------
@@ -389,12 +535,8 @@ def _encode_plane_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
     return int(zz[0])
 
 
-def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
-                         subsample: bool = False) -> bytes:
-    """(h, w, 3) uint8 → baseline JFIF bytes.  quant = uniform quant value
-    for every coefficient (1 = near-lossless); subsample=True emits 4:2:0
-    with box-averaged chroma."""
-    h, w = rgb.shape[:2]
+def _rgb_to_planes(rgb: np.ndarray, subsample: bool):
+    """RGB → padded (Y, Cb, Cr) planes + sampling factors."""
     r = rgb[..., 0].astype(np.float64)
     g = rgb[..., 1].astype(np.float64)
     b = rgb[..., 2].astype(np.float64)
@@ -404,7 +546,6 @@ def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
     y, cb, cr = (np.clip(p, 0, 255) for p in (y, cb, cr))
 
     sh, sv = (2, 2) if subsample else (1, 1)
-    qtbl = np.full((8, 8), quant, np.int32)
 
     def pad(p, mult):
         ph = -(-p.shape[0] // mult) * mult
@@ -412,8 +553,7 @@ def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
         return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
                       mode="edge")
 
-    ymcu = 8 * sv
-    yp = pad(y, ymcu)
+    yp = pad(y, 8 * sv)
     if subsample:
         che = pad(cb, 16), pad(cr, 16)
         cbp = che[0].reshape(che[0].shape[0] // 2, 2, -1, 2).mean((1, 3))
@@ -421,6 +561,18 @@ def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
         cbp, crp = np.round(cbp), np.round(crp)
     else:
         cbp, crp = pad(cb, 8), pad(cr, 8)
+    return yp, cbp, crp, sh, sv
+
+
+def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
+                         subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 → baseline JFIF bytes.  quant = uniform quant value
+    for every coefficient (1 = near-lossless); subsample=True emits 4:2:0
+    with box-averaged chroma."""
+    h, w = rgb.shape[:2]
+    qtbl = np.full((8, 8), quant, np.int32)
+    yp, cbp, crp, sh, sv = _rgb_to_planes(rgb, subsample)
+    ymcu = 8 * sv
 
     out = bytearray(b"\xFF\xD8")  # SOI
     # DQT (table 0, 8-bit)
@@ -457,3 +609,242 @@ def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
     out += bw.out
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (tests / fixture generation)
+# ---------------------------------------------------------------------------
+
+# progressive AC alphabet adds the EOBn symbols (r<<4, r = 0..14) to the
+# baseline run/size set; flat 8-bit canonical (176 of 256 codes)
+_ACP_SYMS = bytes([r << 4 for r in range(15)] + [0xF0]
+                  + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_ACP_COUNTS = [0] * 7 + [len(_ACP_SYMS)] + [0] * 8
+_ACP_ENC = _enc_table(_ACP_COUNTS, _ACP_SYMS)
+
+# default scan script (libjpeg-shaped): approximated DC for all components,
+# banded luma AC + full chroma AC at Al=1, then refinement scans to Al=0
+_DEFAULT_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 1),
+    ((0,), 6, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+def _plane_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Padded plane → (bh, bw, 64) quantized DCT coefficients (raster)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    b4 = plane.reshape(bh, 8, bw, 8)
+    f = np.einsum("ux,mxny,vy->mnuv", _A, b4 - 128.0, _A, optimize=True)
+    return np.round(f / q).astype(np.int64).reshape(bh, bw, 64)
+
+
+def encode_progressive_jpeg(rgb: np.ndarray, quant: int = 1,
+                            subsample: bool = False,
+                            scans=_DEFAULT_SCANS) -> bytes:
+    """(h, w, 3) uint8 → progressive (SOF2) JFIF bytes.  `scans` is a
+    T.81 scan script of (component_indices, Ss, Se, Ah, Al) tuples; the
+    default mirrors libjpeg's successive-approximation script.  Every
+    band must reach Al=0 for a lossless-to-baseline coefficient stream."""
+    h, w = rgb.shape[:2]
+    qtbl = np.full((8, 8), quant, np.int32)
+    yp, cbp, crp, sh, sv = _rgb_to_planes(rgb, subsample)
+    comps = []
+    for plane, (ch_, cv) in zip((yp, cbp, crp), ((sh, sv), (1, 1), (1, 1))):
+        coefs = _plane_coefs(plane, qtbl)
+        comps.append({"h": ch_, "v": cv, "coef": coefs})
+    mcus_x = comps[0]["coef"].shape[1] // sh
+    mcus_y = comps[0]["coef"].shape[0] // sv
+    for c in comps:
+        cw = -(-w * c["h"] // sh)
+        ch2 = -(-h * c["v"] // sv)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch2 // 8)
+
+    out = bytearray(b"\xFF\xD8")
+    zz = qtbl.flatten()[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + zz
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += bytes([1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0])
+    for tc, counts, syms in ((0, _DC_COUNTS, _DC_SYMS),
+                             (1, _ACP_COUNTS, _ACP_SYMS)):
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(syms))
+        out += bytes([tc << 4]) + bytes(counts[:16]) + syms
+
+    for members, ss, se, ah, al in scans:
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(members),
+                                         len(members))
+        for ci in members:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(bw, comps, members, ah, al, mcus_x, mcus_y)
+        elif ah == 0:
+            _enc_ac_first(bw, comps[members[0]], ss, se, al)
+        else:
+            _enc_ac_refine(bw, comps[members[0]], ss, se, al)
+        bw.flush()
+        out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _scan_blocks(comps, members, mcus_x, mcus_y):
+    """Yield (comp, by, bx) in scan order: MCU-interleaved for multi-
+    component scans, the component's own raster grid otherwise."""
+    if len(members) == 1:
+        c = comps[members[0]]
+        for i in range(c["nbh"] * c["nbw"]):
+            yield c, *divmod(i, c["nbw"])
+        return
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in members:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield c, my * c["v"] + by, mx * c["h"] + bx
+
+
+def _enc_dc_scan(bw, comps, members, ah, al, mcus_x, mcus_y):
+    preds = {id(comps[ci]): 0 for ci in members}
+    for c, by, bx in _scan_blocks(comps, members, mcus_x, mcus_y):
+        v = int(c["coef"][by, bx, 0]) >> al  # arithmetic shift (T.81 A.4.1)
+        if ah == 0:
+            s, bits = _mag_bits(v - preds[id(c)])
+            preds[id(c)] = v
+            code, ln = _DC_ENC[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(bits, s)
+        else:
+            bw.put(v & 1, 1)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 A.4.1)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(bw, c, ss, se, al):
+    band = ZIGZAG[ss:se + 1]
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = _ACP_ENC[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for i in range(c["nbh"] * c["nbw"]):
+        by, bx = divmod(i, c["nbw"])
+        vals = [_pt(int(c["coef"][by, bx, z]), al) for z in band]
+        nz = [j for j, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(nz[-1] + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _ACP_ENC[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s, bits = _mag_bits(v)
+            code, ln = _ACP_ENC[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(bits, s)
+            run = 0
+        if nz[-1] < len(vals) - 1:
+            eobrun += 1
+    flush_eob()
+
+
+def _enc_ac_refine(bw, c, ss, se, al):
+    """G.1.2.3 encode: newly-significant coefficients as (run, 1) symbols
+    with sign bits; correction bits for already-significant coefficients
+    interleave exactly where the decoder's walk reads them."""
+    band = ZIGZAG[ss:se + 1]
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = _ACP_ENC[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        for bit in eob_bits:
+            bw.put(bit, 1)
+        eob_bits.clear()
+        eobrun = 0
+
+    for i in range(c["nbh"] * c["nbw"]):
+        by, bx = divmod(i, c["nbw"])
+        raw = [int(c["coef"][by, bx, z]) for z in band]
+        absnow = [abs(v) >> al for v in raw]
+        newpos = [j for j, a in enumerate(absnow) if a == 1]
+        if not newpos:
+            eobrun += 1
+            eob_bits.extend(a & 1 for a in absnow if a >= 2)
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        pending: list[int] = []
+        k = 0
+        for kn in newpos:
+            run = sum(1 for j in range(k, kn) if absnow[j] == 0)
+            while run > 15:
+                code, ln = _ACP_ENC[0xF0]
+                bw.put(code, ln)
+                cnt = 0  # decoder's ZRL walk: cross exactly 16 zeros
+                while cnt < 16:
+                    a = absnow[k]
+                    if a == 0:
+                        cnt += 1
+                    elif a >= 2:
+                        pending.append(a & 1)
+                    k += 1
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending.clear()
+                run -= 16
+            code, ln = _ACP_ENC[(run << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if raw[kn] > 0 else 0, 1)
+            while k < kn:
+                a = absnow[k]
+                if a >= 2:
+                    pending.append(a & 1)
+                k += 1
+            k = kn + 1
+            for bit in pending:
+                bw.put(bit, 1)
+            pending.clear()
+        if k < len(band):
+            eobrun += 1
+            eob_bits.extend(absnow[j] & 1 for j in range(k, len(band))
+                            if absnow[j] >= 2)
+    flush_eob()

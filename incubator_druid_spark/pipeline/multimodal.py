@@ -133,8 +133,9 @@ def _decode_image(data: bytes):
     if data[:2] == b"BM":
         return _parse_bmp(data)
     if data[:2] == b"\xFF\xD8":
-        # baseline sequential JPEG — pure-Python Huffman+IDCT decoder
-        # (pipeline/jpeg.py); progressive/arithmetic raise there by name
+        # baseline (SOF0/1) + progressive (SOF2) JPEG — pure-Python
+        # Huffman+IDCT decoder (pipeline/jpeg.py); arithmetic coding
+        # raises there by name
         from incubator_druid_spark.pipeline.jpeg import decode_baseline_jpeg
         return decode_baseline_jpeg(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
@@ -150,9 +151,9 @@ def _decode_image(data: bytes):
     head = bytes(data[:4])
     raise NotImplementedError(
         f"image codec for magic {head!r} not available in this environment "
-        "(pure-Python decoders cover P6 PPM, 24-bit BMP, baseline JPEG, "
-        "PNG and GIF; progressive-JPEG/WEBP need PIL — plug it in at this "
-        "line)")
+        "(pure-Python decoders cover P6 PPM, 24-bit BMP, baseline + "
+        "progressive JPEG, PNG and GIF; WEBP/AVIF need PIL — plug it in "
+        "at this line)")
 
 
 def _image_feature(arr, target: tuple[int, int]) -> tuple[list[float], int, int]:

@@ -83,12 +83,59 @@ def test_byte_stuffing_exercised():
     assert hit, "no stream exercised stuffing — widen the seed range"
 
 
-def test_progressive_raises_by_name():
+def test_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) decode must be coefficient-identical to the
+    baseline decode of the same image: every band reaches Al=0, so the
+    accumulated successive-approximation stream carries the same
+    quantized coefficients (T.81 G)."""
+    from incubator_druid_spark.pipeline.jpeg import encode_progressive_jpeg
+    for shape, seed in (((8, 8), 1), ((17, 23), 2), ((40, 56), 3)):
+        for sub in (False, True):
+            img = _img(*shape, seed=seed)
+            base = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, quant=1, subsample=sub))
+            prog = decode_baseline_jpeg(
+                encode_progressive_jpeg(img, quant=1, subsample=sub))
+            assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_deep_approximation_ladder():
+    """A 3-level successive-approximation script (Al=2 -> 1 -> 0 for DC
+    and every AC band) exercises EOB runs, ZRL-in-refinement, and
+    correction-bit interleaving; still bit-exact vs baseline."""
+    from incubator_druid_spark.pipeline.jpeg import encode_progressive_jpeg
+    deep = (
+        ((0, 1, 2), 0, 0, 0, 2),
+        ((0,), 1, 2, 0, 2), ((0,), 3, 63, 0, 2),
+        ((1,), 1, 63, 0, 2), ((2,), 1, 63, 0, 2),
+        ((0, 1, 2), 0, 0, 2, 1),
+        ((0,), 1, 2, 2, 1), ((0,), 3, 63, 2, 1),
+        ((1,), 1, 63, 2, 1), ((2,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 2, 1, 0), ((0,), 3, 63, 1, 0),
+        ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+    )
+    rng = np.random.default_rng(11)
+    imgs = [
+        _img(33, 41, seed=4),
+        np.full((24, 24, 3), 130, np.uint8),  # all-EOB AC scans
+        np.kron(rng.integers(0, 256, (4, 5, 3), dtype=np.uint8),
+                np.ones((8, 8, 1), np.uint8)),  # hard edges, long runs
+    ]
+    for img in imgs:
+        for q in (1, 4):
+            base = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=q))
+            prog = decode_baseline_jpeg(encode_progressive_jpeg(
+                img, quant=q, scans=deep))
+            assert np.array_equal(base, prog)
+
+
+def test_arithmetic_coding_raises_by_name():
     img = _img(8, 8)
     data = bytearray(encode_baseline_jpeg(img))
     i = data.find(b"\xFF\xC0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_baseline_jpeg(bytes(data))
 
 
