@@ -1489,6 +1489,62 @@ def _tuple_keyed_stats(spark, sf):
                       F.round("med", 6).alias("med_value"), "est")
 
 
+def _schema_evolution_sum(spark, sf):
+    """Heterogeneous-segment schema evolution end-to-end (catalog.py
+    _read_evolving; SchemaEvolutionTest.java:137-147 semantics): an events
+    slice written as two schema EPOCHS — value DOUBLE before 2024-01-15,
+    value STRING (plus a user_id column only the second epoch carries)
+    after — queried as ONE datasource via register(schemaEvolution=true).
+    The promoted string column's per-row casts must reproduce Druid's
+    per-segment typed reads (longSum truncates each rendered value,
+    doubleSum round-trips it exactly); user_id sums only epoch-2 rows
+    (missing column -> null).  The oracle replays the arithmetic from the
+    SOURCE table, so an epoch-grouping / type-promotion / union bug breaks
+    the hash."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    cat = _cat(spark, sf)
+    ev = cat.table("events").select("__time", "event_type", "value",
+                                    "user_id")
+    split = "2024-01-15"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_evo_{abs(hash(sf)) % 10**8}")
+    e1 = ev.filter(F.col("__time") < split) \
+           .select("__time", "event_type", "value")
+    e2 = (ev.filter(F.col("__time") >= split)
+            .select("__time", "event_type",
+                    F.col("value").cast("string").alias("value"),
+                    "user_id"))
+    e1.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "epoch1"))
+    e2.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "epoch2"))
+    combo = os.path.join(base, "combo")
+    shutil.rmtree(combo, ignore_errors=True)
+    os.makedirs(combo)
+    for i, src in enumerate(("epoch1", "epoch2")):
+        for fn in glob.glob(os.path.join(base, src, "*.parquet")):
+            shutil.copy(fn, os.path.join(combo,
+                                         f"e{i}-{os.path.basename(fn)}"))
+    cat.register("events_evolved", combo, schemaEvolution="true")
+    q = {"queryType": "groupBy", "dataSource": "events_evolved",
+         "granularity": "all", "intervals": ["2020-01-01/2030-01-01"],
+         "dimensions": [{"type": "default", "dimension": "event_type"}],
+         "aggregations": [
+             {"type": "longSum", "name": "sum_long", "fieldName": "value"},
+             {"type": "doubleSum", "name": "sum_double",
+              "fieldName": "value"},
+             {"type": "count", "name": "n_rows"},
+             {"type": "longSum", "name": "sum_uid2",
+              "fieldName": "user_id"}]}
+    out = translate(q, spark, cat)
+    return out.select("event_type", "sum_long",
+                      F.round("sum_double", 6).alias("sum_double"),
+                      "n_rows", "sum_uid2").orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver hard-gates the FIRST 50 entries
     # (rows + schema + value hash vs the DuckDB oracle).  Round 6 rotates in
@@ -1597,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stats": _sessionize_stats,
         "timewarp_ts": _timewarp_ts,
         "ts_day_tz": _ts_day_tz,
+        "schema_evolution_sum": _schema_evolution_sum,
     }
 
 
@@ -2543,4 +2600,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        # replays the epoch arithmetic from the SOURCE table: the engine
+        # side must group segment files by schema epoch, promote the
+        # double/string value column to string and union by name for the
+        # same sums to come out (longSum truncates toward zero per row,
+        # user_id exists only in the post-split epoch)
+        "schema_evolution_sum": """
+            SELECT event_type,
+                   CAST(SUM(CAST(trunc(value) AS BIGINT)) AS BIGINT)
+                       AS sum_long,
+                   round(SUM(value), 6) AS sum_double,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                                 THEN user_id END) AS BIGINT) AS sum_uid2
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
     }
