@@ -161,13 +161,22 @@ class Catalog:
             # when loading leaf files directly
             return reader.option("basePath", spec.path).load(paths)
 
+        # group files by schema epoch.  The sniff must stay cheap at scale
+        # (thousands of segment files): parquet footers read via pyarrow in
+        # ~1 ms each, no JVM roundtrip; only ONE Spark reader resolution is
+        # paid per epoch (a handful in real evolution histories).  Non-
+        # parquet formats fall back to per-file Spark resolution.
         groups: dict[str, list[str]] = {}
-        schemas: dict[str, T.StructType] = {}
-        for p in sorted(files):
-            sch = read(p).schema
-            key = sch.json()
-            groups.setdefault(key, []).append(p)
-            schemas[key] = sch
+        if spec.fmt == "parquet":
+            import pyarrow.parquet as pq
+            for p in sorted(files):
+                key = pq.read_schema(p).to_string()
+                groups.setdefault(key, []).append(p)
+        else:
+            for p in sorted(files):
+                groups.setdefault(read(p).schema.json(), []).append(p)
+        schemas: dict[str, T.StructType] = {
+            key: read(paths[0]).schema for key, paths in groups.items()}
         if len(groups) <= 1:
             reader = self.spark.read.format(spec.fmt)
             for k, v in opts.items():
