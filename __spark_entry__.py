@@ -1399,12 +1399,39 @@ def _multimodal_decode(spark, sf):
                 content.append(encode_progressive_jpeg(arr, quant=1))
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
+    def gen_flacs(batches):
+        # constant-amplitude FLAC (pipeline/flac.py): lossless codec, so
+        # the decoded RMS recovers the amplitude EXACTLY — rice residuals,
+        # fixed prediction and STREAMINFO parsing are all on the hash path
+        import numpy as np
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline.flac import encode_flac
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                n, amp = 960 + 320 * (d % 5), (d * 577) % 32768
+                x = np.full((n, 1), amp, np.int64)
+                content.append(encode_flac(x, sample_rate=16000,
+                                           subframe="fixed"))
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
     img_src = ids.mapInPandas(gen_images, schema="id long, content binary")
     wav_src = ids.mapInPandas(gen_wavs, schema="id long, content binary")
     jpg_src = ids.mapInPandas(gen_jpegs, schema="id long, content binary")
     png_src = ids.mapInPandas(gen_pngs, schema="id long, content binary")
     gif_src = ids.mapInPandas(gen_gifs, schema="id long, content binary")
     pjp_src = ids.mapInPandas(gen_pjpegs, schema="id long, content binary")
+    flac_src = ids.mapInPandas(gen_flacs, schema="id long, content binary")
+    flac = (extract_audio_features(flac_src, fake=False)
+            .select("id",
+                    F.col("duration_ms").cast("long")
+                     .alias("flac_duration_ms"),
+                    F.col("sample_rate").cast("long")
+                     .alias("flac_sample_rate"),
+                    F.round(F.col("loudness") * 32768).cast("long")
+                     .alias("flac_amp")))
     pjp = (decode_image_features(pjp_src, fake=False)
            .select("id",
                    F.col("width").cast("long").alias("pjpeg_w"),
@@ -1459,7 +1486,7 @@ def _multimodal_decode(spark, sf):
                    F.col("sample_rate").cast("long").alias("sample_rate"),
                    F.round(F.col("loudness") * 32768).cast("long").alias("amp")))
     return (img.join(wav, "id").join(jpg, "id").join(png, "id")
-               .join(gif, "id").join(pjp, "id")
+               .join(gif, "id").join(pjp, "id").join(flac, "id")
                .withColumnRenamed("id", "doc_id")
                .orderBy("doc_id"))
 
@@ -2302,7 +2329,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + doc_id % 6 AS BIGINT) AS pjpeg_w,
                    CAST(8 + doc_id % 8 AS BIGINT) AS pjpeg_h,
                    CAST((doc_id * 23 + 5) % 256 AS BIGINT) AS pjpeg_gray,
-                   CAST(0 AS BIGINT) AS pjpeg_std_x1000
+                   CAST(0 AS BIGINT) AS pjpeg_std_x1000,
+                   CAST(60 + 20 * (doc_id % 5) AS BIGINT)
+                       AS flac_duration_ms,
+                   CAST(16000 AS BIGINT) AS flac_sample_rate,
+                   CAST((doc_id * 577) % 32768 AS BIGINT) AS flac_amp
             FROM documents WHERE doc_id < 48 ORDER BY doc_id
         """,
         # same containment-oracle shape as ann_ivf_topk: the emitted frame

@@ -52,6 +52,8 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content",
     sniffed = (F.when(F.hex(F.substring(c, 1, 3)) == "FFD8FF", "image/jpeg")
                 .when(F.hex(F.substring(c, 1, 4)) == "89504E47", "image/png")
                 .when(F.substring(c, 1, 4).cast("string") == "RIFF", "audio/wav")
+                .when(F.substring(c, 1, 4).cast("string") == "fLaC",
+                      "audio/flac")
                 .otherwise(mime))
     return df.withColumn("media", F.struct(
         sniffed.alias("mime"),
@@ -174,6 +176,28 @@ def _image_feature(arr, target: tuple[int, int]) -> tuple[list[float], int, int]
     return feat, w, h
 
 
+def _decode_audio(data: bytes) -> tuple[int, int, float]:
+    """Audio bytes → (duration_ms, sample_rate, RMS loudness in [0, 1]);
+    dispatches by magic: RIFF/WAV PCM (stdlib wave) or FLAC (the
+    pure-Python pipeline/flac.py codec — the dominant open speech-corpus
+    container).  MP3/OGG still raise by name."""
+    data = bytes(data)
+    if data[:4] == b"fLaC":
+        import numpy as np
+
+        from incubator_druid_spark.pipeline.flac import decode_flac
+        samples, sr, bps = decode_flac(data)
+        x = samples.astype(np.float64) / float(1 << (bps - 1))
+        if x.shape[1] > 1:
+            x = x.mean(axis=1)
+        else:
+            x = x[:, 0]
+        dur = int(round(len(x) * 1000 / sr)) if sr else 0
+        loud = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+        return dur, sr, loud
+    return _decode_wav(data)
+
+
 def _decode_wav(data: bytes) -> tuple[int, int, float]:
     """RIFF/WAV PCM via stdlib ``wave`` → (duration_ms, sample_rate,
     RMS loudness in [0, 1])."""
@@ -188,8 +212,8 @@ def _decode_wav(data: bytes) -> tuple[int, int, float]:
             raw = wf.readframes(n)
     except wave.Error as e:
         raise NotImplementedError(
-            f"audio codec: not a PCM WAV ({e}); MP3/OGG need soundfile — "
-            "plug it in at this line")
+            f"audio codec: not a PCM WAV or FLAC ({e}); MP3/OGG need "
+            "soundfile — plug it in at this line")
     if sw == 2:
         x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
     elif sw == 1:
@@ -312,11 +336,12 @@ def extract_audio_features(df: DataFrame, id_col: str = "id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                # pure-Python decode: RIFF/WAV PCM via stdlib wave; MP3/OGG
-                # raise NotImplementedError inside _decode_wav
+                # pure-Python decode: RIFF/WAV PCM (stdlib wave) + FLAC
+                # (pipeline/flac.py); MP3/OGG raise NotImplementedError
+                # inside _decode_audio
                 durs, srs, louds = [], [], []
                 for b in pdf[content_col]:
-                    d, sr, ld = _decode_wav(bytes(b or b""))
+                    d, sr, ld = _decode_audio(bytes(b or b""))
                     durs.append(d)
                     srs.append(sr)
                     louds.append(ld)
