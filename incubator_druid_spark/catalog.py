@@ -247,6 +247,13 @@ class Catalog:
         return self._lookups[name]
 
     def lookup_df(self, name: str) -> DataFrame:
+        if name not in self._lookups:
+            # DataFrame-backed (URI) lookups live in the functions registry
+            # only — the map never lands on the driver
+            from incubator_druid_spark.functions.lookups import (
+                _lookup_frame, is_df_lookup)
+            if is_df_lookup(name):
+                return _lookup_frame(self.spark, name)
         m = self.lookup_map(name)
         return self.spark.createDataFrame(list(m.items()), schema="k string, v string")
 

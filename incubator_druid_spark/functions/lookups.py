@@ -67,26 +67,122 @@ def lookup_version() -> int:
     return _VERSION
 
 
+#: lookups too large to hold as a driver dict — backed directly by a
+#: cached (k, v) DataFrame; always served through the join regime
+_DF_LOOKUPS: dict[str, DataFrame] = {}
+
+
 def register_lookup(name: str, mapping: dict[str, str]) -> None:
     global _VERSION
     _LOOKUPS[name] = dict(mapping)
     _LOOKUP_DFS.pop(name, None)
+    _DF_LOOKUPS.pop(name, None)
     _VERSION += 1
 
 
+def register_lookup_df(name: str, df: DataFrame) -> None:
+    """Register a DataFrame-backed lookup: (k, v) string columns, served
+    exclusively through the broadcast-join regime — the map never lands on
+    the driver.  The scale path for lookups-cached-global-sized maps."""
+    global _VERSION
+    kv = (df.select(F.col("k").cast("string").alias("k"),
+                    F.col("v").cast("string").alias("v"))
+            .filter(F.col("k").isNotNull())
+            .dropDuplicates(["k"])
+            .localCheckpoint(eager=False))
+    _LOOKUPS.pop(name, None)
+    _LOOKUP_DFS.pop(name, None)
+    _DF_LOOKUPS[name] = kv
+    _VERSION += 1
+
+
+def register_lookup_uri(spark, name: str, uri: str, fmt: str = "csv",
+                        key_column: str | None = None,
+                        value_column: str | None = None,
+                        columns: list[str] | None = None,
+                        delimiter: str | None = None,
+                        collect_threshold: int | None = None) -> int:
+    """The lookups-cached-global URI namespace
+    (extensions-core/lookups-cached-global/.../UriExtractionNamespace.java):
+    load a key→value map from a file/directory URI.
+
+    - ``csv`` / ``tsv``: ``columns`` names header-less files (Druid's
+      namespaceParseSpec.columns); otherwise the first row is the header.
+      keyColumn/valueColumn default to the first two columns.
+    - ``simpleJson``: one ``{"key": "value"}`` object per line.
+    - ``customJson``: JSON lines with keyFieldName/valueFieldName.
+
+    Maps at or under ``collect_threshold`` keys (default: the literal-map
+    gate, so small files behave exactly like inline lookups) collect to a
+    driver dict; larger ones stay DataFrame-backed (register_lookup_df) and
+    are served via broadcast join.  Returns the key count."""
+    if fmt in ("csv", "tsv"):
+        sep = delimiter or ("\t" if fmt == "tsv" else ",")
+        reader = spark.read.option("sep", sep)
+        if columns:
+            df = reader.schema(" ".join(f"`{c}` STRING," for c in columns)
+                               .rstrip(",")).csv(uri)
+        else:
+            df = reader.option("header", "true").csv(uri)
+        cols = df.columns
+        kc = key_column or cols[0]
+        vc = value_column or cols[1]
+        kv = df.select(F.col(kc).alias("k"), F.col(vc).alias("v"))
+    elif fmt == "simpleJson":
+        kv = (spark.read.text(uri)
+              .select(F.explode(F.map_entries(
+                  F.from_json("value", "map<string,string>"))).alias("p"))
+              .select(F.col("p.key").alias("k"), F.col("p.value").alias("v")))
+    elif fmt == "customJson":
+        if not (key_column and value_column):
+            raise ValueError("customJson needs key_column and value_column "
+                             "(keyFieldName/valueFieldName)")
+        df = spark.read.json(uri)
+        kv = df.select(F.col(key_column).cast("string").alias("k"),
+                       F.col(value_column).cast("string").alias("v"))
+    else:
+        raise ValueError(f"unknown lookup URI format {fmt!r} "
+                         "(csv, tsv, simpleJson, customJson)")
+    kv = kv.filter(F.col("k").isNotNull())
+    n = kv.count()
+    gate = LOOKUP_JOIN_THRESHOLD if collect_threshold is None \
+        else collect_threshold
+    if n <= gate:
+        register_lookup(name, {r["k"]: r["v"] for r in kv.collect()})
+    else:
+        register_lookup_df(name, kv)
+    return n
+
+
 def get_lookup(name: str) -> dict[str, str]:
+    if name in _DF_LOOKUPS:
+        raise ValueError(
+            f"lookup {name!r} is DataFrame-backed (too large for a driver "
+            "map); it is served via broadcast join — use lookup_frame()")
     if name not in _LOOKUPS:
-        raise KeyError(f"unknown lookup {name!r}; registered: {sorted(_LOOKUPS)}")
+        raise KeyError(f"unknown lookup {name!r}; registered: "
+                       f"{sorted([*_LOOKUPS, *_DF_LOOKUPS])}")
     return _LOOKUPS[name]
 
 
+def is_df_lookup(name: str) -> bool:
+    return name in _DF_LOOKUPS
+
+
 def lookup_names() -> list[str]:
-    return sorted(_LOOKUPS)
+    return sorted([*_LOOKUPS, *_DF_LOOKUPS])
 
 
 def lookup_column(name: str, col: Column, replace_missing: str | None = None) -> Column:
     """lookup(col, name) → element_at(map<lit...>, col) below the size gate,
     else a deferred broadcast-join column (see module docstring)."""
+    if name in _DF_LOOKUPS:
+        out_name = f"__lkp{next(_SEQ)}"
+        _pending()[out_name] = (name, col.cast("string"))
+        out = F.col(out_name)
+        if replace_missing is not None:
+            out = F.coalesce(out, F.lit(replace_missing))
+        return out
     m = get_lookup(name)
     if not m:
         return F.lit(replace_missing)
@@ -107,6 +203,8 @@ def lookup_column(name: str, col: Column, replace_missing: str | None = None) ->
 
 def _lookup_frame(spark, name: str) -> DataFrame:
     """The lookup as a cached two-column (k, v) DataFrame."""
+    if name in _DF_LOOKUPS:
+        return _DF_LOOKUPS[name]
     df = _LOOKUP_DFS.get(name)
     if df is None:
         import pandas as pd

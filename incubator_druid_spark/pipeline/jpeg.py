@@ -169,7 +169,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         if pos + 1 >= len(data):
             if scanned:
                 break  # EOI-less but complete-enough stream
-            raise ValueError("ran out of data before any scan")
+            raise ValueError("truncated JPEG stream: no scan data")
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]

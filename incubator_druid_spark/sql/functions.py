@@ -340,13 +340,20 @@ def _register_lookup_fn(spark: SparkSession) -> None:
     """LOOKUP(expr, name) over the registered lookup maps, inlined as a CASE
     over map literals (QueryLookupOperatorConversion.java).  Re-run after
     registering new lookups."""
-    from incubator_druid_spark.functions.lookups import (_LOOKUPS,
+    from incubator_druid_spark.functions.lookups import (_DF_LOOKUPS,
+                                                         _LOOKUPS,
                                                          LOOKUP_JOIN_THRESHOLD,
                                                          _lookup_frame)
-    if not _LOOKUPS:
+    if not _LOOKUPS and not _DF_LOOKUPS:
         body = "CAST(NULL AS STRING)"
     else:
         branches = []
+        for name in _DF_LOOKUPS:
+            view = f"__lookup_{name}"
+            _lookup_frame(spark, name).createOrReplaceTempView(view)
+            branches.append(
+                f"WHEN '{name}' THEN (SELECT v FROM {view} "
+                f"WHERE {view}.k = LOOKUP.k)")
         for name, m in _LOOKUPS.items():
             if not m:
                 continue
@@ -1418,7 +1425,16 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                                    " ".join(outside_segments)))
     for lk in set(re.findall(r"(?i)\blookup\s*\.\s*(\w+)",
                              " ".join(outside_segments))):
-        from incubator_druid_spark.functions.lookups import get_lookup
+        from incubator_druid_spark.functions.lookups import (_lookup_frame,
+                                                             get_lookup,
+                                                             is_df_lookup)
+        if is_df_lookup(lk):
+            # DataFrame-backed (URI) lookup: the (k, v) frame IS the table;
+            # a synthetic __time (EARLIEST/LATEST order) would require a
+            # total order a file-based map doesn't have — the two-column
+            # contract applies
+            _lookup_frame(spark, lk).createOrReplaceTempView(f"lookup_{lk}")
+            continue
         mapping = get_lookup(lk)  # KeyError on unknown lookup = clear error
         if lk in _from_lookups and re.search(
                 r"(?i)\b(?:EARLIEST|LATEST)(?:_BY)?\s*\(",
