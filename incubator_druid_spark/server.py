@@ -54,6 +54,9 @@ def make_handler(spark, catalog):
                     self._send(200, get_lookup(path.rsplit("/", 1)[1]))
                 except KeyError as e:
                     self._send(404, {"error": str(e)})
+                except ValueError as e:
+                    # DataFrame-backed (URI) lookup: too large to serialize
+                    self._send(400, {"error": str(e)})
             else:
                 self._send(404, {"error": "not found"})
 
