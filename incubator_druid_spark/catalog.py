@@ -107,7 +107,8 @@ class Catalog:
         cached = self._df_cache.get(name)
         if cached is not None and token is not None and cached[0] == token:
             return cached[1]
-        if spec.options.get("schemaEvolution"):
+        if str(spec.options.get("schemaEvolution", "")).lower() in (
+                "1", "true", "yes"):
             df = self._read_evolving(spec)
         else:
             reader = self.spark.read.format(spec.fmt)
@@ -167,6 +168,7 @@ class Catalog:
         # paid per epoch (a handful in real evolution histories).  Non-
         # parquet formats fall back to per-file Spark resolution.
         groups: dict[str, list[str]] = {}
+        resolved: dict[str, T.StructType] = {}
         if spec.fmt == "parquet":
             import pyarrow.parquet as pq
             for p in sorted(files):
@@ -174,14 +176,18 @@ class Catalog:
                 groups.setdefault(key, []).append(p)
         else:
             for p in sorted(files):
-                groups.setdefault(read(p).schema.json(), []).append(p)
-        schemas: dict[str, T.StructType] = {
-            key: read(paths[0]).schema for key, paths in groups.items()}
+                sch = read(p).schema
+                key = sch.json()
+                groups.setdefault(key, []).append(p)
+                resolved[key] = sch
         if len(groups) <= 1:
             reader = self.spark.read.format(spec.fmt)
             for k, v in opts.items():
                 reader = reader.option(k, v)
             return reader.load(spec.path)
+        schemas: dict[str, T.StructType] = {
+            key: resolved.get(key) or read(paths[0]).schema
+            for key, paths in groups.items()}
         target: dict[str, T.DataType] = {}
         order: list[str] = []
         for sch in schemas.values():
@@ -276,7 +282,16 @@ def _promote(a, b):
         return T.LongType()
     if isinstance(a, numeric) and isinstance(b, numeric):
         return T.DoubleType()
-    if isinstance(a, T.TimestampType) or isinstance(b, T.TimestampType):
+    ts = (T.TimestampType,)
+    if (isinstance(a, ts) and isinstance(b, integral)) or \
+            (isinstance(b, ts) and isinstance(a, integral)):
+        # the engine convention for numeric time columns is epoch MILLIS
+        # (catalog time_column handling, fnum()'s unix_millis) —
+        # _evolve_cast converts via timestamp_millis, never Spark's
+        # seconds-interpreting long→timestamp cast
+        return T.TimestampType()
+    if (isinstance(a, ts) and isinstance(b, T.StringType)) or \
+            (isinstance(b, ts) and isinstance(a, T.StringType)):
         return T.TimestampType()
     if isinstance(a, T.ArrayType) or isinstance(b, T.ArrayType):
         ea = a.elementType if isinstance(a, T.ArrayType) else a
@@ -294,6 +309,11 @@ def _evolve_cast(col: "F.Column", src, dst) -> "F.Column":
         # a scalar row becomes a one-element array, null stays null
         return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
             F.array(col.cast(dst.elementType)))
+    if isinstance(dst, T.TimestampType) and isinstance(
+            src, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # integral epochs are MILLIS by engine convention; a plain cast
+        # would read them as seconds
+        return F.timestamp_millis(col.cast("long"))
     return col.cast(dst)
 
 

@@ -125,6 +125,11 @@ def register_lookup_uri(spark, name: str, uri: str, fmt: str = "csv",
         else:
             df = reader.option("header", "true").csv(uri)
         cols = df.columns
+        if not key_column and not value_column and len(cols) < 2:
+            raise ValueError(
+                f"lookup file {uri!r} parsed to {len(cols)} column(s) "
+                f"({cols}); a k/v lookup needs two — check the delimiter, "
+                "header, or pass columns=/key_column=/value_column=")
         kc = key_column or cols[0]
         vc = value_column or cols[1]
         kv = df.select(F.col(kc).alias("k"), F.col(vc).alias("v"))
@@ -143,8 +148,16 @@ def register_lookup_uri(spark, name: str, uri: str, fmt: str = "csv",
     else:
         raise ValueError(f"unknown lookup URI format {fmt!r} "
                          "(csv, tsv, simpleJson, customJson)")
-    kv = kv.filter(F.col("k").isNotNull())
-    n = kv.count()
+    # duplicate keys: LAST occurrence wins, matching the file-order map
+    # build of UriExtractionNamespace — monotonically_increasing_id is
+    # within-partition increasing with partitions in file/split order,
+    # so max_by picks the later row deterministically
+    kv = (kv.filter(F.col("k").isNotNull())
+            .select(F.col("k").cast("string").alias("k"),
+                    F.col("v").cast("string").alias("v"),
+                    F.monotonically_increasing_id().alias("__ord"))
+            .groupBy("k").agg(F.max_by("v", "__ord").alias("v")))
+    n = kv.count()  # DISTINCT key count
     gate = LOOKUP_JOIN_THRESHOLD if collect_threshold is None \
         else collect_threshold
     if n <= gate:

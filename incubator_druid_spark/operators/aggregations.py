@@ -463,11 +463,16 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.max(F.array_max(fmv(_num(t))))
         return F.max(fnum().cast(_num(t)))
     if t == "doubleMean":
-        # mean/DoubleMeanAggregatorFactory.java
+        # mean/DoubleMeanAggregatorFactory.java — factorize() has NO
+        # nullable wrapper, so EVERY unfiltered row updates the holder:
+        # null/unparseable values count as 0 (Numbers.tryParseDouble(x, 0),
+        # DoubleMeanAggregator.java:52-54).  Rows masked by a filtered
+        # wrapper must NOT count (FilteredAggregator never calls
+        # aggregate()), so the filter predicate guards the 0-coalescing.
+        pred = getattr(ctx, "_pred", None)  # set by _WhenContext
         if mv:
-            # DoubleMeanAggregator.java:48-51 — a List row updates the
-            # holder once per ELEMENT, null/unparseable elements counting
-            # as 0 (Numbers.tryParseDouble(o, 0)); a null row follows the
+            # DoubleMeanAggregator.java:48-51 — a List row updates once
+            # per ELEMENT (null elements as 0); a null row follows the
             # scalar branch: one update of 0.
             col = ctx.resolve(fname)
             s_row = F.when(col.isNull(), F.lit(0.0)).otherwise(F.aggregate(
@@ -475,8 +480,14 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                                                       F.lit(0.0))),
                 F.lit(0.0), lambda a, x: a + x))
             n_row = F.when(col.isNull(), F.lit(1)).otherwise(F.size(col))
+            if pred is not None:
+                s_row = F.when(pred, s_row)
+                n_row = F.when(pred, n_row)
             return F.sum(s_row) / F.sum(n_row)
-        return F.avg(fnum().cast("double"))
+        base = F.coalesce(fnum().cast("double"), F.lit(0.0))
+        if pred is not None:
+            base = F.when(pred, base)
+        return F.avg(base)
     if t in ("longFirst", "doubleFirst", "floatFirst", "stringFirst",
              "stringFirstFold"):
         # first/*AggregatorFactory.java — value at min __time; over a

@@ -270,11 +270,14 @@ def register_druid_sql(spark: SparkSession, sql: str | None = None) -> None:
         bloom_needed = lookup_needed = True
     else:
         # word-boundary scan of the final SQL; a hit inside a string
-        # literal over-registers harmlessly
+        # literal over-registers harmlessly.  Scan a backtick-stripped
+        # copy too: Calcite-quoted calls arrive as `TIME_FLOOR`(...) after
+        # the quoted-identifier rewrite, which \b{name}\s*\( won't match.
+        scan = sql + " " + sql.replace("`", "")
         needed = {n for n in _FN_BY_NAME
-                  if re.search(rf"(?i)\b{n}\s*\(", sql)}
-        bloom_needed = bool(re.search(r"(?i)\bBLOOM_FILTER_TEST\s*\(", sql))
-        lookup_needed = bool(re.search(r"(?i)\bLOOKUP\b", sql))
+                  if re.search(rf"(?i)\b{n}\s*\(", scan)}
+        bloom_needed = bool(re.search(r"(?i)\bBLOOM_FILTER_TEST\s*\(", scan))
+        lookup_needed = bool(re.search(r"(?i)\bLOOKUP\b", scan))
     missing = needed - st["names"]
     bloom_missing = bloom_needed and not st["bloom"]
     lookup_missing = lookup_needed and st["lookup_ver"] != ver
@@ -348,28 +351,24 @@ def _register_lookup_fn(spark: SparkSession) -> None:
         body = "CAST(NULL AS STRING)"
     else:
         branches = []
-        for name in _DF_LOOKUPS:
+        # join-regime lookups: a map literal would put every pair in the
+        # UDF body; expose the cached lookup frame as a temp view and
+        # probe via a correlated scalar subquery — Catalyst rewrites it
+        # into a (broadcastable) LeftSingle join, O(1) SQL size
+        joined = [*_DF_LOOKUPS,
+                  *(n for n, m in _LOOKUPS.items()
+                    if len(m) > LOOKUP_JOIN_THRESHOLD)]
+        for name in joined:
             view = f"__lookup_{name}"
             _lookup_frame(spark, name).createOrReplaceTempView(view)
             branches.append(
                 f"WHEN '{name}' THEN (SELECT v FROM {view} "
                 f"WHERE {view}.k = LOOKUP.k)")
         for name, m in _LOOKUPS.items():
-            if not m:
+            if not m or len(m) > LOOKUP_JOIN_THRESHOLD:
                 continue
-            if len(m) > LOOKUP_JOIN_THRESHOLD:
-                # large lookup: a map literal would put every pair in the UDF
-                # body; expose the cached lookup frame as a temp view and
-                # probe via a correlated scalar subquery — Catalyst rewrites
-                # it into a (broadcastable) LeftSingle join, O(1) SQL size
-                view = f"__lookup_{name}"
-                _lookup_frame(spark, name).createOrReplaceTempView(view)
-                branches.append(
-                    f"WHEN '{name}' THEN (SELECT v FROM {view} "
-                    f"WHERE {view}.k = LOOKUP.k)")
-            else:
-                kv = ", ".join(f"'{k}', '{v}'" for k, v in m.items())
-                branches.append(f"WHEN '{name}' THEN element_at(map({kv}), k)")
+            kv = ", ".join(f"'{k}', '{v}'" for k, v in m.items())
+            branches.append(f"WHEN '{name}' THEN element_at(map({kv}), k)")
         body = f"CASE name {' '.join(branches)} ELSE CAST(NULL AS STRING) END" \
             if branches else "CAST(NULL AS STRING)"
     spark.sql(f"""CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(k STRING, name STRING)
