@@ -260,14 +260,18 @@ def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
         out = np.array([br.sread(bps) for _ in range(n)], np.int64)
     elif 8 <= t <= 12:  # fixed, order t-8
         order = t - 8
-        warm = [br.sread(bps) for _ in range(order)]
+        warm = np.array([br.sread(bps) for _ in range(order)], np.int64)
         resid = _decode_residual(br, n, order)
         out = np.empty(n, np.int64)
         out[:order] = warm
-        coefs = _FIXED[order]
-        for i in range(order, n):
-            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
-            out[i] = resid[i - order] + pred
+        # order-k fixed prediction residual IS the k-th difference, so the
+        # inverse is k cumulative sums seeded from the warmup's own
+        # difference pyramid — vectorized, no per-sample Python loop
+        cur = resid
+        for j in range(order - 1, -1, -1):
+            seed = np.diff(warm, j)[-1]  # Δ^j x at the last warmup slot
+            cur = seed + np.cumsum(cur)
+        out[order:] = cur
     elif t >= 32:  # LPC, order t-31
         order = t - 31
         warm = [br.sread(bps) for _ in range(order)]
@@ -275,13 +279,16 @@ def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
         shift = br.sread(5)
         coefs = [br.sread(prec) for _ in range(order)]
         resid = _decode_residual(br, n, order)
-        out = np.empty(n, np.int64)
-        out[:order] = warm
-        for i in range(order, n):
+        # true IIR — but over Python ints in a list, not per-element numpy
+        # indexing (~4x faster); resid.tolist() avoids np scalar boxing
+        hist = list(warm)
+        rs = resid.tolist()
+        for r in rs:
             acc = 0
-            for j, c in enumerate(coefs):
-                acc += c * int(out[i - 1 - j])
-            out[i] = resid[i - order] + (acc >> shift)
+            for j in range(order):
+                acc += coefs[j] * hist[-1 - j]
+            hist.append(r + (acc >> shift))
+        out = np.array(hist, np.int64)
     else:
         raise ValueError(f"reserved subframe type {t}")
     return out << wasted if wasted else out
