@@ -1417,6 +1417,23 @@ def _multimodal_decode(spark, sf):
                                            subframe="fixed"))
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
+    def gen_avis(batches):
+        # 3-frame solid-gray MJPEG-AVI (pipeline/avi.py): container parse,
+        # DHT-less frame extraction, K.3 default-table JPEG decode and the
+        # frame-sampling path are all on the exact hash path
+        import numpy as np
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline.avi import encode_mjpeg_avi
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                v = (d * 41 + 7) % 256
+                frames = [np.full((16, 16, 3), v, np.uint8)] * 3
+                content.append(encode_mjpeg_avi(frames, fps=10.0))
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
     img_src = ids.mapInPandas(gen_images, schema="id long, content binary")
     wav_src = ids.mapInPandas(gen_wavs, schema="id long, content binary")
     jpg_src = ids.mapInPandas(gen_jpegs, schema="id long, content binary")
@@ -1424,6 +1441,14 @@ def _multimodal_decode(spark, sf):
     gif_src = ids.mapInPandas(gen_gifs, schema="id long, content binary")
     pjp_src = ids.mapInPandas(gen_pjpegs, schema="id long, content binary")
     flac_src = ids.mapInPandas(gen_flacs, schema="id long, content binary")
+    avi_src = ids.mapInPandas(gen_avis, schema="id long, content binary")
+    from incubator_druid_spark.pipeline.multimodal import sample_video_frames
+    avi = (sample_video_frames(avi_src, every_n=1, max_frames=1,
+                               fake=False)
+           .select("id",
+                   F.col("frame_idx").cast("long").alias("avi_frame_idx"),
+                   F.round(F.element_at("frame_feat", 1) * 255)
+                    .cast("long").alias("avi_gray")))
     flac = (extract_audio_features(flac_src, fake=False)
             .select("id",
                     F.col("duration_ms").cast("long")
@@ -1487,6 +1512,7 @@ def _multimodal_decode(spark, sf):
                    F.round(F.col("loudness") * 32768).cast("long").alias("amp")))
     return (img.join(wav, "id").join(jpg, "id").join(png, "id")
                .join(gif, "id").join(pjp, "id").join(flac, "id")
+               .join(avi, "id")
                .withColumnRenamed("id", "doc_id")
                .orderBy("doc_id"))
 
@@ -2333,7 +2359,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(60 + 20 * (doc_id % 5) AS BIGINT)
                        AS flac_duration_ms,
                    CAST(16000 AS BIGINT) AS flac_sample_rate,
-                   CAST((doc_id * 577) % 32768 AS BIGINT) AS flac_amp
+                   CAST((doc_id * 577) % 32768 AS BIGINT) AS flac_amp,
+                   CAST(0 AS BIGINT) AS avi_frame_idx,
+                   CAST((doc_id * 41 + 7) % 256 AS BIGINT) AS avi_gray
             FROM documents WHERE doc_id < 48 ORDER BY doc_id
         """,
         # same containment-oracle shape as ann_ivf_topk: the emitted frame

@@ -53,6 +53,56 @@ _A = _dct_matrix()
 
 
 # ---------------------------------------------------------------------------
+# ITU-T T.81 Annex K.3 "typical" Huffman tables.  MJPEG frames inside AVI
+# containers conventionally OMIT their DHT segments and assume these; the
+# decoder installs them when a scan references an undefined table
+# (pipeline/avi.py).  The encoder can also emit streams coded with them
+# (tables="standard") to generate DHT-less test vectors.
+# ---------------------------------------------------------------------------
+
+_STD_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                bytes(range(12)))
+_STD_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  bytes(range(12)))
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+
+
+# ---------------------------------------------------------------------------
 # bit I/O over the entropy-coded segment
 # ---------------------------------------------------------------------------
 
@@ -278,6 +328,16 @@ def _run_scan(data, pos, frame, scan, ss, se, ah, al, dc_tables, ac_tables,
     for c, s in zip(order, scan):
         c["dct"] = dc_tables.get(s["dc"])
         c["act"] = ac_tables.get(s["ac"])
+        if c["dct"] is None:
+            # DHT-less stream (MJPEG convention): fall back to the T.81
+            # Annex K.3 typical tables — id 0 luma, id 1 chroma
+            cnts, syms = _STD_DC_LUMA if s["dc"] == 0 else _STD_DC_CHROMA
+            c["dct"] = dc_tables.setdefault(s["dc"],
+                                            _huff_table(cnts, syms))
+        if c["act"] is None:
+            cnts, syms = _STD_AC_LUMA if s["ac"] == 0 else _STD_AC_CHROMA
+            c["act"] = ac_tables.setdefault(s["ac"],
+                                            _huff_table(cnts, syms))
         c["pred"] = 0
         if not prog:
             c["done"] = True
@@ -506,11 +566,13 @@ def _mag_bits(v: int) -> tuple[int, int]:
 
 
 def _encode_plane_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
-                        pred: int) -> int:
+                        pred: int, dc_enc=None, ac_enc=None) -> int:
+    dc_enc = dc_enc or _DC_ENC
+    ac_enc = ac_enc or _AC_ENC
     coef = np.round((_A @ (block - 128.0) @ _A.T) / q).astype(np.int64)
     zz = coef.flatten()[ZIGZAG]
     s, bits = _mag_bits(int(zz[0]) - pred)
-    code, ln = _DC_ENC[s]
+    code, ln = dc_enc[s]
     bw.put(code, ln)
     if s:
         bw.put(bits, s)
@@ -521,16 +583,16 @@ def _encode_plane_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
             run += 1
             continue
         while run > 15:
-            code, ln = _AC_ENC[0xF0]
+            code, ln = ac_enc[0xF0]
             bw.put(code, ln)
             run -= 16
         s, bits = _mag_bits(v)
-        code, ln = _AC_ENC[(run << 4) | s]
+        code, ln = ac_enc[(run << 4) | s]
         bw.put(code, ln)
         bw.put(bits, s)
         run = 0
     if run:
-        code, ln = _AC_ENC[0x00]
+        code, ln = ac_enc[0x00]
         bw.put(code, ln)
     return int(zz[0])
 
@@ -565,14 +627,36 @@ def _rgb_to_planes(rgb: np.ndarray, subsample: bool):
 
 
 def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
-                         subsample: bool = False) -> bytes:
+                         subsample: bool = False,
+                         tables: str = "flat",
+                         omit_dht: bool = False) -> bytes:
     """(h, w, 3) uint8 → baseline JFIF bytes.  quant = uniform quant value
     for every coefficient (1 = near-lossless); subsample=True emits 4:2:0
-    with box-averaged chroma."""
+    with box-averaged chroma.  tables="standard" codes with the T.81
+    Annex K.3 typical tables (luma id 0, chroma id 1); omit_dht then drops
+    the DHT segments entirely — the MJPEG-in-AVI convention, decodable
+    only by decoders that install the K.3 defaults."""
     h, w = rgb.shape[:2]
     qtbl = np.full((8, 8), quant, np.int32)
     yp, cbp, crp, sh, sv = _rgb_to_planes(rgb, subsample)
     ymcu = 8 * sv
+
+    if tables == "standard":
+        dc0 = _enc_table(*_STD_DC_LUMA)
+        ac0 = _enc_table(*_STD_AC_LUMA)
+        dc1 = _enc_table(*_STD_DC_CHROMA)
+        ac1 = _enc_table(*_STD_AC_CHROMA)
+        dhts = ((0x00, *_STD_DC_LUMA), (0x10, *_STD_AC_LUMA),
+                (0x01, *_STD_DC_CHROMA), (0x11, *_STD_AC_CHROMA))
+        sos_tbl = [0x00, 0x11, 0x11]
+    else:
+        if omit_dht:
+            raise ValueError("omit_dht needs tables='standard' — only the "
+                             "K.3 tables are implied by convention")
+        dc0 = dc1 = _DC_ENC
+        ac0 = ac1 = _AC_ENC
+        dhts = ((0x00, _DC_COUNTS, _DC_SYMS), (0x10, _AC_COUNTS, _AC_SYMS))
+        sos_tbl = [0x00, 0x00, 0x00]
 
     out = bytearray(b"\xFF\xD8")  # SOI
     # DQT (table 0, 8-bit)
@@ -581,14 +665,13 @@ def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
     # SOF0: 3 components, y uses (sh, sv)
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     out += bytes([1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0])
-    # DHT: DC class 0 id 0, AC class 1 id 0 (shared by all components)
-    for tc, counts, syms in ((0, _DC_COUNTS, _DC_SYMS),
-                             (1, _AC_COUNTS, _AC_SYMS)):
-        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(syms))
-        out += bytes([tc << 4]) + bytes(counts[:16]) + syms
+    if not omit_dht:
+        for tcth, counts, syms in dhts:
+            out += b"\xFF\xC4" + struct.pack(">H", 19 + len(syms))
+            out += bytes([tcth]) + bytes(counts[:16]) + syms
     # SOS
     out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
-    out += bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += bytes([1, sos_tbl[0], 2, sos_tbl[1], 3, sos_tbl[2], 0, 63, 0])
 
     bw = _BitWriter()
     mcus_y = yp.shape[0] // ymcu
@@ -600,11 +683,13 @@ def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
                 for bx in range(sh):
                     y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
                     preds[0] = _encode_plane_block(
-                        bw, yp[y0:y0 + 8, x0:x0 + 8], qtbl, preds[0])
+                        bw, yp[y0:y0 + 8, x0:x0 + 8], qtbl, preds[0],
+                        dc0, ac0)
             for ci, p in ((1, cbp), (2, crp)):
                 y0, x0 = my * 8, mx * 8
                 preds[ci] = _encode_plane_block(
-                    bw, p[y0:y0 + 8, x0:x0 + 8], qtbl, preds[ci])
+                    bw, p[y0:y0 + 8, x0:x0 + 8], qtbl, preds[ci],
+                    dc1, ac1)
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"  # EOI

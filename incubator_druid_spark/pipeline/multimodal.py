@@ -51,6 +51,9 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content",
     c = F.col(content_col)
     sniffed = (F.when(F.hex(F.substring(c, 1, 3)) == "FFD8FF", "image/jpeg")
                 .when(F.hex(F.substring(c, 1, 4)) == "89504E47", "image/png")
+                .when((F.substring(c, 1, 4).cast("string") == "RIFF")
+                      & (F.substring(c, 9, 4).cast("string") == "AVI "),
+                      "video/x-msvideo")
                 .when(F.substring(c, 1, 4).cast("string") == "RIFF", "audio/wav")
                 .when(F.substring(c, 1, 4).cast("string") == "fLaC",
                       "audio/flac")
@@ -286,17 +289,32 @@ def sample_video_frames(df: DataFrame, id_col: str = "id",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                # pure-Python video: a concatenated-P6-PPM stream (one PPM
-                # per frame); sample every ``every_n``-th frame up to
-                # ``max_frames``, 8-dim feature per sampled frame.  MP4/
-                # H.264 need ffmpeg/av — plug it in at this marked line.
+                # pure-Python video: MJPEG-in-AVI (pipeline/avi.py —
+                # intra-only frames, so unsampled frames are never JPEG-
+                # decoded) or a concatenated-P6-PPM stream (one PPM per
+                # frame); sample every ``every_n``-th frame up to
+                # ``max_frames``, 8-dim feature per sampled frame.
+                # MP4/H.264+ need ffmpeg/av — plug it in at this line.
                 ids, idxs, feats = [], [], []
                 for rid, b in zip(pdf[id_col], pdf[content_col]):
                     b = bytes(b or b"")
+                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        from incubator_druid_spark.pipeline.avi import \
+                            decode_avi_frames
+                        for i, arr in decode_avi_frames(
+                                b, every_n=max(every_n, 1),
+                                max_frames=max_frames):
+                            f, _, _ = _image_feature(arr,
+                                                     arr.shape[1::-1])
+                            ids.append(rid)
+                            idxs.append(i)
+                            feats.append(f)
+                        continue
                     if b[:2] != b"P6":
                         raise NotImplementedError(
-                            "video codec: only concatenated-PPM streams "
-                            "decodable without ffmpeg/av")
+                            "video codec: MJPEG-AVI and concatenated-PPM "
+                            "streams decode pure-Python; MP4/H.264+ need "
+                            "ffmpeg/av")
                     frames, pos = [], 0
                     while pos < len(b) and b[pos:pos + 2] == b"P6":
                         arr, pos = _parse_ppm(b, pos)
