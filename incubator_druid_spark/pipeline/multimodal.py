@@ -46,8 +46,32 @@ MEDIA_STRUCT = T.StructType([
 
 
 def attach_media_metadata(df: DataFrame, content_col: str = "content",
-                          mime: str = "application/octet-stream") -> DataFrame:
-    """Add a typed `media` struct (mime sniffed from magic bytes JVM-side)."""
+                          mime: str = "application/octet-stream",
+                          probe: bool = False) -> DataFrame:
+    """Add a typed `media` struct.
+
+    Default: mime sniffed from magic bytes JVM-side (codegen, no Python).
+    probe=True: an Arrow-batched header probe (pipeline/probe.py) FILLS
+    width/height/duration_ms/sample_rate/n_frames from container headers
+    without decoding — incl. probe-only formats (MP4 boxes, MP3 frame
+    headers + Xing, Ogg Opus/Vorbis) whose decode raises."""
+    if probe:
+        from incubator_druid_spark.pipeline.probe import probe_media
+        fields = ("mime", "width", "height", "duration_ms", "sample_rate",
+                  "n_frames")
+        out_schema = T.StructType(list(df.schema.fields)
+                                  + [T.StructField("media", MEDIA_STRUCT)])
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["media"] = [
+                    {k: m[k] for k in fields}
+                    for m in (probe_media(b, mime)
+                              for b in pdf[content_col])]
+                yield pdf
+
+        return df.mapInPandas(kernel, schema=out_schema)
     c = F.col(content_col)
     sniffed = (F.when(F.hex(F.substring(c, 1, 3)) == "FFD8FF", "image/jpeg")
                 .when(F.hex(F.substring(c, 1, 4)) == "89504E47", "image/png")

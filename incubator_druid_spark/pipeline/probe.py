@@ -1,0 +1,270 @@
+"""Header-only media probing: width/height/duration/sample-rate/frames
+from container headers WITHOUT decoding any pixels or samples.
+
+At corpus scale the first pass over raw media is a FILTER (drop tiny
+images, clips over N minutes, non-target sample rates) — paying a full
+decode there is wasted work, and for MP4/H.264 or MP3 this engine has no
+decoder at all.  Probing is cheap byte inspection, so formats split into
+two tiers:
+
+- decodable here (JPEG/PNG/GIF/BMP/PPM/WAV/FLAC/MJPEG-AVI): probe reads
+  the same headers the codecs parse;
+- probe-only (MP4/MOV boxes, MP3 frame headers + Xing, Ogg
+  Opus/Vorbis): metadata extraction works even though decode raises.
+
+Returns plain dicts; pipeline/multimodal.py maps them into the `media`
+struct via mapInPandas (attach_media_metadata(probe=True)).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_EMPTY = {"mime": None, "width": None, "height": None, "duration_ms": None,
+          "sample_rate": None, "n_frames": None}
+
+
+def probe_media(data: bytes, default_mime: str = "application/octet-stream"
+                ) -> dict:
+    """Sniff + header-parse → {mime, width, height, duration_ms,
+    sample_rate, n_frames} (fields None when the format doesn't carry
+    them).  Never raises on malformed input — a corpus probe must not die
+    on one truncated blob; unparseable files degrade to mime-only."""
+    data = bytes(data or b"")
+    out = dict(_EMPTY)
+    out["mime"] = default_mime
+    try:
+        if data[:3] == b"\xFF\xD8\xFF":
+            out["mime"] = "image/jpeg"
+            out.update(_probe_jpeg(data))
+        elif data[:8] == b"\x89PNG\r\n\x1a\n":
+            out["mime"] = "image/png"
+            w, h = struct.unpack(">II", data[16:24])
+            out.update(width=w, height=h)
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            out["mime"] = "image/gif"
+            out.update(_probe_gif(data))
+        elif data[:2] == b"BM":
+            out["mime"] = "image/bmp"
+            w, h = struct.unpack("<ii", data[18:26])
+            out.update(width=abs(w), height=abs(h))
+        elif data[:2] == b"P6":
+            out["mime"] = "image/x-portable-pixmap"
+            parts = data[2:64].split()
+            out.update(width=int(parts[0]), height=int(parts[1]))
+        elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from incubator_druid_spark.pipeline.avi import avi_info
+            info = avi_info(data)
+            out["mime"] = "video/x-msvideo"
+            out.update(width=info["width"], height=info["height"],
+                       n_frames=info["n_frames"])
+            if info["fps"]:
+                out["duration_ms"] = int(round(
+                    info["n_frames"] * 1000 / info["fps"]))
+        elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            out["mime"] = "audio/wav"
+            out.update(_probe_wav(data))
+        elif data[:4] == b"fLaC":
+            out["mime"] = "audio/flac"
+            out.update(_probe_flac(data))
+        elif len(data) > 8 and data[4:8] == b"ftyp":
+            out["mime"] = "video/mp4"
+            out.update(_probe_mp4(data))
+        elif data[:4] == b"OggS":
+            out.update(_probe_ogg(data))
+        elif data[:3] == b"ID3" or data[:2] in (b"\xFF\xFB", b"\xFF\xFA",
+                                                b"\xFF\xF3", b"\xFF\xF2"):
+            out["mime"] = "audio/mpeg"
+            out.update(_probe_mp3(data))
+    except Exception:  # noqa: BLE001 — malformed input degrades to sniff
+        pass
+    return out
+
+
+def _probe_jpeg(data: bytes) -> dict:
+    pos = 2
+    while pos + 4 < len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                      0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+            return {"width": w, "height": h}
+        pos += 2 + seglen
+    return {}
+
+
+def _probe_gif(data: bytes) -> dict:
+    w, h = struct.unpack("<HH", data[6:10])
+    # count image descriptors (0x2C introducers at block boundaries)
+    n, pos = 0, 13 + (3 << ((data[10] & 7) + 1) if data[10] & 0x80 else 0)
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x2C:  # image descriptor
+            n += 1
+            pos += 10
+            if pos < len(data) and data[pos - 1] & 0x80:  # local palette
+                pos += 3 << ((data[pos - 1] & 7) + 1)
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x21:  # extension
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x3B:
+            break
+        else:
+            break
+    return {"width": w, "height": h, "n_frames": n or None}
+
+
+def _probe_wav(data: bytes) -> dict:
+    pos, sr, bits, ch, dlen = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            _fmt, ch, sr = struct.unpack("<HHI", data[pos + 8:pos + 16])
+            bits = struct.unpack("<H", data[pos + 22:pos + 24])[0]
+        elif cid == b"data":
+            dlen = size
+        pos += 8 + size + (size & 1)
+    out = {"sample_rate": sr}
+    if sr and bits and ch and dlen is not None:
+        n = dlen // max(1, (bits // 8) * ch)
+        out["n_frames"] = n
+        out["duration_ms"] = int(round(n * 1000 / sr))
+    return out
+
+
+def _probe_flac(data: bytes) -> dict:
+    body = data[8:8 + 34]  # STREAMINFO is always the first block
+    bits = int.from_bytes(body[10:18], "big")
+    sr = bits >> 44
+    total = bits & ((1 << 36) - 1)
+    out = {"sample_rate": sr or None}
+    if sr and total:
+        out["n_frames"] = total if total < 2**31 else None
+        out["duration_ms"] = int(round(total * 1000 / sr))
+    return out
+
+
+def _probe_mp4(data: bytes) -> dict:
+    """Walk the ISO-BMFF box tree: mvhd → duration, tkhd → dimensions."""
+    out: dict = {}
+
+    def walk(pos, end):
+        while pos + 8 <= end:
+            size = struct.unpack(">I", data[pos:pos + 4])[0]
+            box = data[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                body = pos + 16
+            if size == 0:
+                size = end - pos
+            if box in (b"moov", b"trak", b"mdia"):
+                walk(body, pos + size)
+            elif box == b"mvhd":
+                ver = data[body]
+                if ver == 1:
+                    scale, dur = struct.unpack(">IQ",
+                                               data[body + 20:body + 32])
+                else:
+                    scale, dur = struct.unpack(">II",
+                                               data[body + 12:body + 20])
+                if scale:
+                    out["duration_ms"] = int(round(dur * 1000 / scale))
+            elif box == b"tkhd":
+                ver = data[body]
+                # v0: 4 (ver+flags) + 20 times/ids + 16 reserved + 36 matrix
+                off = body + (92 if ver == 1 else 80)
+                w16, h16 = struct.unpack(">II", data[off:off + 8])
+                if w16 and h16:
+                    out["width"] = w16 >> 16
+                    out["height"] = h16 >> 16
+            elif box == b"mdhd" and "sample_rate" not in out:
+                ver = data[body]
+                if ver == 1:
+                    scale = struct.unpack(">I", data[body + 20:body + 24])[0]
+                else:
+                    scale = struct.unpack(">I", data[body + 12:body + 16])[0]
+                # audio tracks use the sample rate as the mdhd timescale
+                if 8000 <= scale <= 192000:
+                    out["sample_rate"] = scale
+            pos += size
+    walk(0, len(data))
+    return out
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320, 0]  # MPEG1 Layer III, kbit/s
+_MP3_RATES = [44100, 48000, 32000, 0]
+
+
+def _probe_mp3(data: bytes) -> dict:
+    pos = 0
+    if data[:3] == b"ID3":
+        sz = data[6:10]
+        pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+    while pos + 4 <= len(data) and not (
+            data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+        pos += 1
+    if pos + 4 > len(data):
+        return {}
+    h = data[pos:pos + 4]
+    version = (h[1] >> 3) & 3   # 3 = MPEG1
+    layer = (h[1] >> 1) & 3     # 1 = Layer III
+    if version != 3 or layer != 1:
+        return {}
+    bitrate = _MP3_BITRATES[h[2] >> 4] * 1000
+    sr = _MP3_RATES[(h[2] >> 2) & 3]
+    if not bitrate or not sr:
+        return {}
+    out = {"sample_rate": sr}
+    # Xing/Info VBR header carries the exact frame count; offset depends
+    # on channel mode (mono: 21, else 36, after the 4-byte header)
+    mono = ((h[3] >> 6) & 3) == 3
+    xing_off = pos + 4 + (17 if mono else 32)
+    if data[xing_off:xing_off + 4] in (b"Xing", b"Info") and \
+            data[xing_off + 7] & 1:
+        frames = struct.unpack(">I", data[xing_off + 8:xing_off + 12])[0]
+        out["n_frames"] = frames
+        out["duration_ms"] = int(round(frames * 1152 * 1000 / sr))
+    else:  # CBR estimate from stream length
+        out["duration_ms"] = int(round((len(data) - pos) * 8000 / bitrate))
+    return out
+
+
+def _probe_ogg(data: bytes) -> dict:
+    """Opus/Vorbis in Ogg: id header gives the rate; the LAST page's
+    granule position gives the PCM length."""
+    out: dict = {}
+    seg0 = 27 + data[26]  # first page: 27-byte header + segment table
+    pkt = data[seg0:seg0 + 64]
+    sr = None
+    if pkt[:8] == b"OpusHead":
+        out["mime"] = "audio/ogg"
+        sr = 48000  # Opus granules are ALWAYS 48 kHz
+        out["sample_rate"] = struct.unpack("<I", pkt[12:16])[0]
+    elif pkt[:7] == b"\x01vorbis":
+        out["mime"] = "audio/ogg"
+        sr = struct.unpack("<I", pkt[12:16])[0]
+        out["sample_rate"] = sr
+    else:
+        out["mime"] = "application/ogg"
+        return out
+    last = data.rfind(b"OggS")
+    if last >= 0 and sr:
+        granule = struct.unpack("<q", data[last + 6:last + 14])[0]
+        if granule > 0:
+            out["duration_ms"] = int(round(granule * 1000 / sr))
+    return out

@@ -1,0 +1,159 @@
+"""Header-only media probing (pipeline/probe.py): dimensions/duration/
+rates from container headers with ZERO decode — including the probe-only
+tier (MP4 boxes, MP3 frame headers + Xing, Ogg Opus/Vorbis) whose decode
+raises.  Vectors come from this repo's own encoders where they exist and
+hand-built minimal containers where they don't."""
+
+import struct
+
+import numpy as np
+
+from incubator_druid_spark.pipeline.probe import probe_media
+
+
+def test_image_formats():
+    from incubator_druid_spark.pipeline.gif import encode_gif
+    from incubator_druid_spark.pipeline.jpeg import (encode_baseline_jpeg,
+                                                     encode_progressive_jpeg)
+    from incubator_druid_spark.pipeline.png import encode_png
+    # small palette so the GIF encoder (<=256 colors) accepts it; the
+    # probe reads headers only, pixel content is irrelevant
+    img = (np.random.default_rng(0).integers(0, 4, (17, 29, 3))
+           * 60).astype(np.uint8)
+    for data, mime in (
+            (encode_baseline_jpeg(img), "image/jpeg"),
+            (encode_progressive_jpeg(img), "image/jpeg"),
+            (encode_png(img), "image/png"),
+            (encode_gif(img), "image/gif"),
+            (b"P6\n29 17\n255\n" + bytes(29 * 17 * 3),
+             "image/x-portable-pixmap")):
+        m = probe_media(data)
+        assert (m["mime"], m["width"], m["height"]) == (mime, 29, 17), mime
+
+
+def test_wav_and_flac():
+    import io
+    import wave
+
+    from incubator_druid_spark.pipeline.flac import encode_flac
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"\x00\x00" * 8000)  # 0.5 s
+    m = probe_media(buf.getvalue())
+    assert (m["mime"], m["sample_rate"], m["duration_ms"],
+            m["n_frames"]) == ("audio/wav", 16000, 500, 8000)
+
+    x = np.zeros((24000, 1), np.int64)
+    m = probe_media(encode_flac(x, sample_rate=48000))
+    assert (m["mime"], m["sample_rate"], m["duration_ms"],
+            m["n_frames"]) == ("audio/flac", 48000, 500, 24000)
+
+
+def test_avi():
+    from incubator_druid_spark.pipeline.avi import encode_mjpeg_avi
+    frames = [np.zeros((16, 24, 3), np.uint8)] * 10
+    m = probe_media(encode_mjpeg_avi(frames, fps=20.0))
+    assert (m["mime"], m["width"], m["height"], m["n_frames"],
+            m["duration_ms"]) == ("video/x-msvideo", 24, 16, 10, 500)
+
+
+def _box(fourcc, body):
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def test_mp4_boxes():
+    mvhd = b"\x00" + b"\x00" * 3 + b"\x00" * 8 + \
+        struct.pack(">II", 1000, 5500) + b"\x00" * 80
+    tkhd = b"\x00" + b"\x00" * 3 + b"\x00" * 76 + \
+        struct.pack(">II", 640 << 16, 360 << 16)
+    mdhd = b"\x00" + b"\x00" * 3 + b"\x00" * 8 + \
+        struct.pack(">I", 44100) + b"\x00" * 8
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + _box(b"trak", _box(b"tkhd", tkhd)
+                       + _box(b"mdia", _box(b"mdhd", mdhd))))
+    data = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    m = probe_media(data)
+    assert m["mime"] == "video/mp4"
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["duration_ms"] == 5500
+    assert m["sample_rate"] == 44100
+
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, pad=0):
+    # MPEG1 Layer III header: sync, version 3, layer 1, no CRC
+    h = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2) | (pad << 1),
+               0x00])  # stereo
+    length = 144 * [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                    256, 320][bitrate_idx] * 1000 // 44100 + pad
+    return h + bytes(length - 4)
+
+
+def test_mp3_cbr_and_xing():
+    frames = b"".join(_mp3_frame() for _ in range(20))
+    m = probe_media(frames)
+    assert (m["mime"], m["sample_rate"]) == ("audio/mpeg", 44100)
+    # CBR estimate: bytes * 8 / bitrate
+    assert abs(m["duration_ms"] - len(frames) * 8000 // 128000) <= 1
+
+    # Xing header in the first frame → exact frame count
+    first = bytearray(_mp3_frame())
+    off = 4 + 32  # stereo side-info offset
+    first[off:off + 4] = b"Xing"
+    first[off + 4:off + 8] = struct.pack(">I", 1)  # flags: FRAMES
+    first[off + 8:off + 12] = struct.pack(">I", 1000)
+    data = b"ID3" + b"\x04\x00\x00" + b"\x00\x00\x00\x0a" + bytes(10) + \
+        bytes(first) + frames
+    m = probe_media(data)
+    assert m["n_frames"] == 1000
+    assert m["duration_ms"] == int(round(1000 * 1152 * 1000 / 44100))
+
+
+def _ogg_page(body, granule=0, header_type=2, seq=0):
+    segs = [255] * (len(body) // 255) + [len(body) % 255]
+    return (b"OggS\x00" + bytes([header_type])
+            + struct.pack("<q", granule) + struct.pack("<I", 7)
+            + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs) + body)
+
+
+def test_ogg_opus_and_vorbis():
+    opus_head = b"OpusHead\x01\x02\x38\x01" + struct.pack("<I", 24000) + \
+        b"\x00\x00\x00"
+    data = _ogg_page(opus_head) + _ogg_page(b"\x00" * 10, granule=96000,
+                                            header_type=4, seq=1)
+    m = probe_media(data)
+    assert m["mime"] == "audio/ogg"
+    assert m["sample_rate"] == 24000   # original rate from OpusHead
+    assert m["duration_ms"] == 2000    # granules are always 48 kHz
+
+    vorbis_id = b"\x01vorbis" + b"\x00\x00\x00\x00" + b"\x02" + \
+        struct.pack("<I", 22050) + bytes(16)
+    data = _ogg_page(vorbis_id) + _ogg_page(b"\x00" * 10, granule=44100,
+                                            header_type=4, seq=1)
+    m = probe_media(data)
+    assert (m["sample_rate"], m["duration_ms"]) == (22050, 2000)
+
+
+def test_malformed_never_raises():
+    for junk in (b"", b"\xFF\xD8\xFF", b"RIFF1234AVI ", b"ID3garbage",
+                 b"OggSgarbage", b"\x00\x00\x00\x08ftyp"):
+        m = probe_media(junk)
+        assert isinstance(m, dict) and "mime" in m
+
+
+def test_attach_media_metadata_probe_mode(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_druid_spark.pipeline.multimodal import \
+        attach_media_metadata
+    from incubator_druid_spark.pipeline.png import encode_png
+    img = np.zeros((5, 9, 3), np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_png(img)))],
+                               "id long, content binary")
+    row = attach_media_metadata(df, probe=True).select("media").collect()[0]
+    media = row["media"]
+    assert media["mime"] == "image/png"
+    assert (media["width"], media["height"]) == (9, 5)
