@@ -1517,6 +1517,91 @@ def _multimodal_decode(spark, sf):
                .orderBy("doc_id"))
 
 
+def _media_probe(spark, sf):
+    """Header-only media probe tier (pipeline/probe.py via
+    attach_media_metadata(probe=True)): per doc_id, synthesize one of six
+    container formats — including the probe-only tier (MP4 box tree, MP3
+    Xing frame, Ogg Opus) whose DECODE raises — and recover
+    mime/dimensions/duration/rate/frames from container headers alone,
+    with zero pixel or sample decode.  The DuckDB oracle replays the
+    generation arithmetic; any header-offset or rounding bug breaks the
+    exact hash."""
+    from incubator_druid_spark.pipeline.multimodal import \
+        attach_media_metadata
+    ids = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 60) \
+                         .select(F.col("doc_id").alias("id"))
+
+    def gen(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline.gif import encode_gif
+        from incubator_druid_spark.pipeline.jpeg import encode_baseline_jpeg
+        from incubator_druid_spark.pipeline.png import encode_png
+
+        def box(fourcc, body):
+            return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                kind = d % 6
+                if kind == 0:      # PNG: IHDR width/height
+                    content.append(encode_png(
+                        np.zeros((3 + d % 11, 4 + d % 13, 3), np.uint8)))
+                elif kind == 1:    # JPEG: SOF0 dims
+                    content.append(encode_baseline_jpeg(
+                        np.zeros((8 + d % 7, 8 + d % 9, 3), np.uint8)))
+                elif kind == 2:    # GIF: logical screen + descriptor count
+                    content.append(encode_gif(
+                        np.zeros((2 + d % 5, 2 + d % 6, 3), np.uint8)))
+                elif kind == 3:    # MP4 box tree: mvhd/tkhd/mdhd (no decode)
+                    mvhd = bytes(12) + struct.pack(
+                        ">II", 1000, 1000 + 7 * d) + bytes(80)
+                    tkhd = bytes(80) + struct.pack(
+                        ">II", (100 + d) << 16, (50 + d) << 16)
+                    mdhd = bytes(12) + struct.pack(
+                        ">I", 8000 + 10 * d) + bytes(8)
+                    moov = box(b"moov", box(b"mvhd", mvhd)
+                               + box(b"trak", box(b"tkhd", tkhd)
+                                     + box(b"mdia", box(b"mdhd", mdhd))))
+                    content.append(box(b"ftyp", b"isom" + bytes(12)) + moov)
+                elif kind == 4:    # MP3: Xing frame count (no decode)
+                    # 0xFFFB 0x90: MPEG1 L3 128k 44100 stereo, 417-byte frame
+                    frame = bytearray(b"\xFF\xFB\x90\x00" + bytes(413))
+                    off = 4 + 32
+                    frame[off:off + 4] = b"Xing"
+                    frame[off + 4:off + 8] = struct.pack(">I", 1)
+                    frame[off + 8:off + 12] = struct.pack(">I", 100 + d)
+                    content.append(bytes(frame))
+                else:              # Ogg Opus: id header + last-page granule
+                    opus = (b"OpusHead\x01\x02\x38\x01"
+                            + struct.pack("<I", 8000 + 100 * d) + bytes(3))
+                    page0 = (b"OggS\x00\x02" + struct.pack("<q", 0)
+                             + struct.pack("<II", 7, 0) + bytes(4)
+                             + bytes([1, len(opus)]) + opus)
+                    page1 = (b"OggS\x00\x04"
+                             + struct.pack("<q", 48 * (500 + d))
+                             + struct.pack("<II", 7, 1) + bytes(4)
+                             + bytes([1, 10]) + bytes(10))
+                    content.append(page0 + page1)
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
+    src = ids.mapInPandas(gen, schema="id long, content binary")
+    out = attach_media_metadata(src, probe=True)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("media.mime").alias("mime"),
+        F.col("media.width").cast("long").alias("width"),
+        F.col("media.height").cast("long").alias("height"),
+        F.col("media.duration_ms").cast("long").alias("duration_ms"),
+        F.col("media.sample_rate").cast("long").alias("sample_rate"),
+        F.col("media.n_frames").cast("long").alias("n_frames"),
+    ).orderBy("doc_id")
+
+
 def _tuple_keyed_stats(spark, sf):
     """Keyed tuple-sketch post-aggs (ArrayOfDoublesSketchToVariancesPost
     Aggregator.java, ArrayOfDoublesSketchToQuantilesSketchPostAggregator.java)
@@ -1601,11 +1686,12 @@ def _schema_evolution_sum(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver hard-gates the FIRST 50 entries
     # (rows + schema + value hash vs the DuckDB oracle).  Round 6 rotates in
-    # the four entries no driver window had gated yet
-    # (theta_sketch_column_estimate + the three signature families that
-    # turned hash-exact in round 5) — with them, the union of the r1–r6
-    # windows covers ALL 81 oracle entries.  Rotated-out entries stay
-    # verified by scripts/check_correctness.py, which runs the FULL board.
+    # the six entries no driver window had gated yet: the four from the
+    # round-5 backlog (theta_sketch_column_estimate + the three signature
+    # families that turned hash-exact in round 5) plus the two born this
+    # round (schema_evolution_sum, media_probe) — with them, the union of
+    # the r1–r6 windows covers ALL oracle entries.  Rotated-out entries
+    # stay verified by scripts/check_correctness.py (the FULL board).
     return {
         # --- window slots 1-24: long-green entries kept under the gate
         "ts_day_zerofill": _ts_day_zerofill,
@@ -1646,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "ann_ivf_topk_indexed": _ann_ivf_topk_indexed,
         "multimodal_decode": _multimodal_decode,
+        # --- born in round 6, gated in round 6
+        "media_probe": _media_probe,
+        "schema_evolution_sum": _schema_evolution_sum,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -1657,14 +1746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _dedup_groups,
         "text_stats": _text_stats,
         "text_quality": _text_quality,
-        "text_top_terms": _text_top_terms,
         "stratified_sample_docs": _stratified_sample_docs,
         "sql_window_rank": _sql_window_rank,
         "sql_grouping_sets": _sql_grouping_sets,
         "sql_correlated_dau": _sql_correlated_dau,
         "sql_array_functions": _sql_array_functions,
         "sql_array_agg_stats": _sql_array_agg_stats,
-        "sql_view_datasource": _sql_view_datasource,
         "multimodal_features": _multimodal_features,
         "json_props": _json_props,
         "cosine_near_dup": _cosine_near_dup,
@@ -1673,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (every oracle-backed entry has now passed the driver gate in at
         # least one round; scripts/check_correctness.py keeps them green)
         # + the rows-only-by-design hash-seeded entries
+        "text_top_terms": _text_top_terms,
+        "sql_view_datasource": _sql_view_datasource,
         "legacy_null_mode": _legacy_null_mode,
         "gb_extraction_substr": _gb_extraction_substr,
         "gb_in_not_filter": _gb_in_not_filter,
@@ -1706,7 +1795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stats": _sessionize_stats,
         "timewarp_ts": _timewarp_ts,
         "ts_day_tz": _ts_day_tz,
-        "schema_evolution_sum": _schema_evolution_sum,
     }
 
 
@@ -2324,6 +2412,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # replays only the blob GENERATION arithmetic — the engine side must
         # actually parse PPM headers, decode pixels and scale PCM to match
+        "media_probe": """
+            SELECT doc_id,
+                   CASE doc_id % 6 WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'image/jpeg' WHEN 2 THEN 'image/gif'
+                        WHEN 3 THEN 'video/mp4' WHEN 4 THEN 'audio/mpeg'
+                        ELSE 'audio/ogg' END AS mime,
+                   CAST(CASE doc_id % 6 WHEN 0 THEN 4 + doc_id % 13
+                        WHEN 1 THEN 8 + doc_id % 9
+                        WHEN 2 THEN 2 + doc_id % 6
+                        WHEN 3 THEN 100 + doc_id END AS BIGINT) AS width,
+                   CAST(CASE doc_id % 6 WHEN 0 THEN 3 + doc_id % 11
+                        WHEN 1 THEN 8 + doc_id % 7
+                        WHEN 2 THEN 2 + doc_id % 5
+                        WHEN 3 THEN 50 + doc_id END AS BIGINT) AS height,
+                   CAST(CASE doc_id % 6 WHEN 3 THEN 1000 + 7 * doc_id
+                        WHEN 4 THEN CAST(round((100 + doc_id) * 1152
+                                               * 1000.0 / 44100) AS BIGINT)
+                        WHEN 5 THEN 500 + doc_id END AS BIGINT)
+                       AS duration_ms,
+                   CAST(CASE doc_id % 6 WHEN 3 THEN 8000 + 10 * doc_id
+                        WHEN 4 THEN 44100
+                        WHEN 5 THEN 8000 + 100 * doc_id END AS BIGINT)
+                       AS sample_rate,
+                   CAST(CASE doc_id % 6 WHEN 2 THEN 1
+                        WHEN 4 THEN 100 + doc_id END AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id < 60 ORDER BY doc_id
+        """,
         "multimodal_decode": """
             SELECT doc_id,
                    CAST(4 + doc_id % 8 AS BIGINT) AS width,
