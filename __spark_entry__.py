@@ -1558,16 +1558,19 @@ def _media_probe(spark, sf):
                 elif kind == 2:    # GIF: logical screen + descriptor count
                     content.append(encode_gif(
                         np.zeros((2 + d % 5, 2 + d % 6, 3), np.uint8)))
-                elif kind == 3:    # MP4 box tree: mvhd/tkhd/mdhd (no decode)
+                elif kind == 3:    # MP4 box tree: mvhd/tkhd/mdhd/hdlr
                     mvhd = bytes(12) + struct.pack(
                         ">II", 1000, 1000 + 7 * d) + bytes(80)
-                    tkhd = bytes(80) + struct.pack(
+                    # tkhd v0: 76 bytes precede the 16.16 width/height
+                    tkhd = bytes(76) + struct.pack(
                         ">II", (100 + d) << 16, (50 + d) << 16)
                     mdhd = bytes(12) + struct.pack(
                         ">I", 8000 + 10 * d) + bytes(8)
+                    hdlr = bytes(8) + b"soun" + bytes(12)
                     moov = box(b"moov", box(b"mvhd", mvhd)
                                + box(b"trak", box(b"tkhd", tkhd)
-                                     + box(b"mdia", box(b"mdhd", mdhd))))
+                                     + box(b"mdia", box(b"mdhd", mdhd)
+                                           + box(b"hdlr", hdlr))))
                     content.append(box(b"ftyp", b"isom" + bytes(12)) + moov)
                 elif kind == 4:    # MP3: Xing frame count (no decode)
                     # 0xFFFB 0x90: MPEG1 L3 128k 44100 stereo, 417-byte frame

@@ -249,6 +249,11 @@ class Catalog:
 
     def lookup_map(self, name: str) -> dict[str, str]:
         if name not in self._lookups:
+            # URI-registered small lookups land in the functions registry
+            # only; a lookup datasource must still reach them
+            from incubator_druid_spark.functions import lookups as _fl
+            if name in _fl._LOOKUPS:
+                return _fl._LOOKUPS[name]
             raise KeyError(f"unknown lookup: {name!r}")
         return self._lookups[name]
 

@@ -125,7 +125,7 @@ def register_lookup_uri(spark, name: str, uri: str, fmt: str = "csv",
         else:
             df = reader.option("header", "true").csv(uri)
         cols = df.columns
-        if not key_column and not value_column and len(cols) < 2:
+        if (not key_column or not value_column) and len(cols) < 2:
             raise ValueError(
                 f"lookup file {uri!r} parsed to {len(cols)} column(s) "
                 f"({cols}); a k/v lookup needs two — check the delimiter, "
@@ -157,14 +157,17 @@ def register_lookup_uri(spark, name: str, uri: str, fmt: str = "csv",
                     F.col("v").cast("string").alias("v"),
                     F.monotonically_increasing_id().alias("__ord"))
             .groupBy("k").agg(F.max_by("v", "__ord").alias("v")))
-    n = kv.count()  # DISTINCT key count
     gate = LOOKUP_JOIN_THRESHOLD if collect_threshold is None \
         else collect_threshold
-    if n <= gate:
-        register_lookup(name, {r["k"]: r["v"] for r in kv.collect()})
-    else:
-        register_lookup_df(name, kv)
-    return n
+    # one job decides the regime AND feeds the small path: collect at most
+    # gate+1 rows — only when the file exceeds the gate do we pay a second
+    # pass (count for the return value; the frame itself stays lazy)
+    head = kv.limit(gate + 1).collect()
+    if len(head) <= gate:
+        register_lookup(name, {r["k"]: r["v"] for r in head})
+        return len(head)
+    register_lookup_df(name, kv)
+    return kv.count()  # DISTINCT key count
 
 
 def get_lookup(name: str) -> dict[str, str]:

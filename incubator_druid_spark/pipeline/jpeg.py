@@ -530,6 +530,17 @@ def _enc_table(counts, symbols):
 
 _DC_ENC = _enc_table(_DC_COUNTS, _DC_SYMS)
 _AC_ENC = _enc_table(_AC_COUNTS, _AC_SYMS)
+_STD_ENC_CACHE: list = []
+
+
+def _std_enc_tables():
+    """K.3 encoder tables, built once — encode_mjpeg_avi codes every frame
+    with tables="standard", so per-call construction is per-frame cost."""
+    if not _STD_ENC_CACHE:
+        _STD_ENC_CACHE.append(tuple(
+            _enc_table(*t) for t in (_STD_DC_LUMA, _STD_AC_LUMA,
+                                     _STD_DC_CHROMA, _STD_AC_CHROMA)))
+    return _STD_ENC_CACHE[0]
 
 
 class _BitWriter:
@@ -642,10 +653,7 @@ def encode_baseline_jpeg(rgb: np.ndarray, quant: int = 1,
     ymcu = 8 * sv
 
     if tables == "standard":
-        dc0 = _enc_table(*_STD_DC_LUMA)
-        ac0 = _enc_table(*_STD_AC_LUMA)
-        dc1 = _enc_table(*_STD_DC_CHROMA)
-        ac1 = _enc_table(*_STD_AC_CHROMA)
+        dc0, ac0, dc1, ac1 = _std_enc_tables()
         dhts = ((0x00, *_STD_DC_LUMA), (0x10, *_STD_AC_LUMA),
                 (0x01, *_STD_DC_CHROMA), (0x11, *_STD_AC_CHROMA))
         sos_tbl = [0x00, 0x11, 0x11]

@@ -320,11 +320,11 @@ def sample_video_frames(df: DataFrame, id_col: str = "id",
                 # ``max_frames``, 8-dim feature per sampled frame.
                 # MP4/H.264+ need ffmpeg/av — plug it in at this line.
                 ids, idxs, feats = [], [], []
+                from incubator_druid_spark.pipeline.avi import (
+                    decode_avi_frames, is_avi)
                 for rid, b in zip(pdf[id_col], pdf[content_col]):
                     b = bytes(b or b"")
-                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                        from incubator_druid_spark.pipeline.avi import \
-                            decode_avi_frames
+                    if is_avi(b):
                         for i, arr in decode_avi_frames(
                                 b, every_n=max(every_n, 1),
                                 max_frames=max_frames):

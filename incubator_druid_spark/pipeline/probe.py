@@ -78,6 +78,16 @@ def probe_media(data: bytes, default_mime: str = "application/octet-stream"
             out.update(_probe_mp3(data))
     except Exception:  # noqa: BLE001 — malformed input degrades to sniff
         pass
+    # never-raises contract extends through the Arrow boundary: the media
+    # struct's int32 fields crash mapInPandas on malformed-header garbage
+    # (e.g. a WAV data-chunk size of 0xFFFFFFFF) unless clamped here
+    for k in ("width", "height", "sample_rate", "n_frames"):
+        v = out[k]
+        if v is not None and not 0 <= v < 2**31:
+            out[k] = None
+    v = out["duration_ms"]
+    if v is not None and not 0 <= v < 2**63:
+        out["duration_ms"] = None
     return out
 
 
@@ -158,10 +168,14 @@ def _probe_flac(data: bytes) -> dict:
 
 
 def _probe_mp4(data: bytes) -> dict:
-    """Walk the ISO-BMFF box tree: mvhd → duration, tkhd → dimensions."""
+    """Walk the ISO-BMFF box tree: mvhd → duration, tkhd → dimensions,
+    and — only for a trak whose hdlr handler_type is 'soun' — the mdhd
+    timescale → audio sample rate (ISO/IEC 14496-12 §8.4.2: audio tracks
+    conventionally use the sample rate as the media timescale; video
+    tracks use 90000/15360/etc., which must NOT be reported as a rate)."""
     out: dict = {}
 
-    def walk(pos, end):
+    def walk(pos, end, trak=None):
         while pos + 8 <= end:
             size = struct.unpack(">I", data[pos:pos + 4])[0]
             box = data[pos + 4:pos + 8]
@@ -171,8 +185,19 @@ def _probe_mp4(data: bytes) -> dict:
                 body = pos + 16
             if size == 0:
                 size = end - pos
-            if box in (b"moov", b"trak", b"mdia"):
+            if box == b"moov":
                 walk(body, pos + size)
+            elif box == b"trak":
+                # buffer per-trak facts: box order within mdia is not
+                # fixed (mdhd usually precedes hdlr), so decide after
+                # the whole subtree is walked
+                t: dict = {}
+                walk(body, pos + size, trak=t)
+                if t.get("hdlr") == b"soun" and "sample_rate" not in out \
+                        and t.get("mdhd_scale"):
+                    out["sample_rate"] = t["mdhd_scale"]
+            elif box == b"mdia":
+                walk(body, pos + size, trak=trak)
             elif box == b"mvhd":
                 ver = data[body]
                 if ver == 1:
@@ -185,21 +210,23 @@ def _probe_mp4(data: bytes) -> dict:
                     out["duration_ms"] = int(round(dur * 1000 / scale))
             elif box == b"tkhd":
                 ver = data[body]
-                # v0: 4 (ver+flags) + 20 times/ids + 16 reserved + 36 matrix
-                off = body + (92 if ver == 1 else 80)
+                # v0: 4 ver+flags + 20 times/ids/duration + 16 reserved/
+                # layer/volume + 36 matrix = 76 (v1: 64-bit times → 88)
+                off = body + (88 if ver == 1 else 76)
                 w16, h16 = struct.unpack(">II", data[off:off + 8])
                 if w16 and h16:
                     out["width"] = w16 >> 16
                     out["height"] = h16 >> 16
-            elif box == b"mdhd" and "sample_rate" not in out:
+            elif box == b"mdhd" and trak is not None:
                 ver = data[body]
                 if ver == 1:
                     scale = struct.unpack(">I", data[body + 20:body + 24])[0]
                 else:
                     scale = struct.unpack(">I", data[body + 12:body + 16])[0]
-                # audio tracks use the sample rate as the mdhd timescale
-                if 8000 <= scale <= 192000:
-                    out["sample_rate"] = scale
+                trak["mdhd_scale"] = scale
+            elif box == b"hdlr" and trak is not None:
+                # ver+flags(4) + pre_defined(4) + handler_type(4)
+                trak["hdlr"] = data[body + 8:body + 12]
             pos += size
     walk(0, len(data))
     return out

@@ -111,3 +111,28 @@ def test_duplicate_keys_deduped(spark, tmp_path):
     vcol = lk.lookup_column("uri_dup", F.col("d")).alias("v")
     out = lk.flush_lookup_joins(df).select(vcol)
     assert out.count() == 1  # unique-key contract: no row multiplication
+
+
+def test_small_uri_lookup_native_datasource(spark, catalog, tmp_path):
+    # the SMALL (collected) regime must also be reachable through the
+    # native lookup datasource — it registers in the functions registry
+    # only, and Catalog.lookup_map must fall back to it
+    from incubator_druid_spark import translate
+    from incubator_druid_spark.functions import lookups as lk
+    p = tmp_path / "small.csv"
+    p.write_text("key,val\na,apple\nb,banana\n")
+    lk.register_lookup_uri(spark, "uri_small_native", str(p))
+    q = {"queryType": "scan", "dataSource": {"type": "lookup",
+                                             "lookup": "uri_small_native"},
+         "intervals": [], "columns": ["k", "v"]}
+    rows = {r["k"]: r["v"] for r in translate(q, spark, catalog).collect()}
+    assert rows == {"a": "apple", "b": "banana"}
+
+
+def test_one_column_file_with_key_column_raises_clearly(spark, tmp_path):
+    from incubator_druid_spark.functions import lookups as lk
+    p = tmp_path / "one.csv"
+    p.write_text("key\x01val\na\x01apple\n")  # wrong delimiter → 1 column
+    with pytest.raises(ValueError, match="check the delimiter"):
+        lk.register_lookup_uri(spark, "uri_one", str(p), fmt="csv",
+                               key_column="key")

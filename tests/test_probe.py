@@ -64,22 +64,54 @@ def _box(fourcc, body):
     return struct.pack(">I", 8 + len(body)) + fourcc + body
 
 
+def _tkhd(w, h):
+    # v0: 4 ver+flags + 20 times/ids/duration + 16 reserved/layer/volume
+    # + 36 matrix = 76 bytes before the 16.16 fixed-point width/height
+    return bytes(76) + struct.pack(">II", w << 16, h << 16)
+
+
+def _mdhd(timescale):
+    return bytes(12) + struct.pack(">I", timescale) + bytes(8)
+
+
+def _hdlr(handler):
+    return bytes(8) + handler + bytes(12)
+
+
 def test_mp4_boxes():
-    mvhd = b"\x00" + b"\x00" * 3 + b"\x00" * 8 + \
-        struct.pack(">II", 1000, 5500) + b"\x00" * 80
-    tkhd = b"\x00" + b"\x00" * 3 + b"\x00" * 76 + \
-        struct.pack(">II", 640 << 16, 360 << 16)
-    mdhd = b"\x00" + b"\x00" * 3 + b"\x00" * 8 + \
-        struct.pack(">I", 44100) + b"\x00" * 8
+    mvhd = bytes(12) + struct.pack(">II", 1000, 5500) + bytes(80)
     moov = _box(b"moov", _box(b"mvhd", mvhd)
-                + _box(b"trak", _box(b"tkhd", tkhd)
-                       + _box(b"mdia", _box(b"mdhd", mdhd))))
+                + _box(b"trak", _box(b"tkhd", _tkhd(640, 360))
+                       + _box(b"mdia", _box(b"mdhd", _mdhd(44100))
+                              + _box(b"hdlr", _hdlr(b"soun")))))
     data = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
     m = probe_media(data)
     assert m["mime"] == "video/mp4"
     assert (m["width"], m["height"]) == (640, 360)
     assert m["duration_ms"] == 5500
     assert m["sample_rate"] == 44100
+
+
+def test_mp4_video_track_timescale_is_not_a_sample_rate():
+    # typical mux order: video trak (timescale 90000, mdhd before hdlr)
+    # first, audio trak second — the rate must come from the 'soun' trak
+    video = _box(b"trak", _box(b"tkhd", _tkhd(1920, 1080))
+                 + _box(b"mdia", _box(b"mdhd", _mdhd(90000))
+                        + _box(b"hdlr", _hdlr(b"vide"))))
+    audio = _box(b"trak", _box(b"tkhd", _tkhd(0, 0))
+                 + _box(b"mdia", _box(b"mdhd", _mdhd(48000))
+                        + _box(b"hdlr", _hdlr(b"soun"))))
+    mvhd = bytes(12) + struct.pack(">II", 90000, 90000 * 3) + bytes(80)
+    data = _box(b"ftyp", b"isom" + bytes(12)) + \
+        _box(b"moov", _box(b"mvhd", mvhd) + video + audio)
+    m = probe_media(data)
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["sample_rate"] == 48000
+    assert m["duration_ms"] == 3000
+    # video-only file: no sample_rate at all
+    data = _box(b"moov", _box(b"mvhd", mvhd) + video)
+    m = probe_media(_box(b"ftyp", b"isom" + bytes(12)) + data)
+    assert m["sample_rate"] is None
 
 
 def _mp3_frame(bitrate_idx=9, sr_idx=0, pad=0):
@@ -142,6 +174,25 @@ def test_malformed_never_raises():
                  b"OggSgarbage", b"\x00\x00\x00\x08ftyp"):
         m = probe_media(junk)
         assert isinstance(m, dict) and "mime" in m
+
+
+def test_malformed_header_values_clamped_to_int32():
+    # a WAV whose data-chunk size claims 0xFFFFFFFF bytes: n_frames would
+    # be 2^32-1 and overflow the media struct's int32 field at the Arrow
+    # boundary — the probe must clamp it to None, not crash the scan
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+           + b"data" + struct.pack("<I", 0xFFFFFFFF) + bytes(16))
+    m = probe_media(wav)
+    assert m["mime"] == "audio/wav"
+    assert m["sample_rate"] == 8000
+    assert m["n_frames"] is None
+    # a PNG claiming 4-billion-pixel width clamps too
+    png = b"\x89PNG\r\n\x1a\n" + bytes(8) + \
+        struct.pack(">II", 0xFFFFFFFF, 10)
+    m = probe_media(png)
+    assert m["width"] is None and m["height"] == 10
 
 
 def test_attach_media_metadata_probe_mode(spark):
