@@ -261,21 +261,47 @@ _IMAGE_FEATURE_SCHEMA = ("id long, mime string, feat array<double>, "
 def decode_image_features(df: DataFrame, id_col: str = "id",
                           content_col: str = "content",
                           target: tuple[int, int] = (224, 224),
-                          fake: bool = True) -> DataFrame:
+                          fake: bool = True,
+                          min_width: int | None = None,
+                          min_height: int | None = None,
+                          max_pixels: int | None = None) -> DataFrame:
     """decode → resize(target) → 8-dim pooled feature, via mapInPandas.
 
     Batch shape: Arrow record batches; per-row the kernel sees raw bytes.
+
+    min_width / min_height / max_pixels gate rows on a header-only probe
+    (pipeline/probe.py) BEFORE any pixel decode — the filter-before-decode
+    pattern a corpus-scale pass needs: a 100 TB sweep dropping thumbnails
+    or poster-size scans must not pay a full decode to discard them.
+    Non-qualifying rows (including blobs whose headers don't parse) are
+    filtered out of the result.
     """
     tw, th = target
+    gated = (min_width, min_height, max_pixels) != (None, None, None)
+
+    def _probe_ok(b: bytes) -> bool:
+        from incubator_druid_spark.pipeline.probe import probe_media
+        m = probe_media(b)
+        w, h = m["width"], m["height"]
+        if w is None or h is None:
+            return False
+        if min_width is not None and w < min_width:
+            return False
+        if min_height is not None and h < min_height:
+            return False
+        return not (max_pixels is not None and w * h > max_pixels)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
                 # pure-Python decode: P6 PPM / 24-bit BMP; other formats
                 # raise NotImplementedError inside _decode_image
-                feats, ws, hs, mimes = [], [], [], []
-                for b in pdf[content_col]:
+                feats, ws, hs, mimes, ids = [], [], [], [], []
+                for rid, b in zip(pdf[id_col], pdf[content_col]):
                     b = bytes(b or b"")
+                    if gated and not _probe_ok(b):
+                        continue
+                    ids.append(int(rid))
                     arr = _decode_image(b)
                     f, w, h = _image_feature(arr, (tw, th))
                     feats.append(f)
@@ -286,13 +312,21 @@ def decode_image_features(df: DataFrame, id_col: str = "id",
                         else "image/jpeg" if b[:2] == b"\xFF\xD8"
                         else "image/png" if b[:4] == b"\x89PNG"
                         else "image/bmp")
-                yield pd.DataFrame({"id": pdf[id_col], "mime": mimes,
+                if not ids:
+                    # an all-filtered batch: an empty list column comes out
+                    # float64, which Arrow can't convert to list<double>
+                    continue
+                yield pd.DataFrame({"id": ids, "mime": mimes,
                                     "feat": feats, "width": ws, "height": hs})
                 continue
+            keep = pdf if not gated else pdf[
+                [_probe_ok(bytes(b or b"")) for b in pdf[content_col]]]
+            if gated and keep.empty:
+                continue
             out = pd.DataFrame({
-                "id": pdf[id_col],
+                "id": keep[id_col],
                 "mime": "image/fake",
-                "feat": [_fake_pixels(b, tw, th) for b in pdf[content_col]],
+                "feat": [_fake_pixels(b, tw, th) for b in keep[content_col]],
                 "width": tw,
                 "height": th,
             })
@@ -374,9 +408,33 @@ _AUDIO_SCHEMA = "id long, duration_ms long, sample_rate int, loudness double"
 
 def extract_audio_features(df: DataFrame, id_col: str = "id",
                            content_col: str = "content",
-                           fake: bool = True) -> DataFrame:
+                           fake: bool = True,
+                           max_duration_ms: int | None = None,
+                           min_sample_rate: int | None = None) -> DataFrame:
+    """max_duration_ms / min_sample_rate gate rows on a header-only probe
+    BEFORE any sample decode (filter-before-decode: dropping an hour-long
+    recording from a corpus pass must not cost decoding it).  Gated rows
+    whose headers don't parse are filtered out too."""
+    gated = (max_duration_ms, min_sample_rate) != (None, None)
+
+    def _probe_ok(b: bytes) -> bool:
+        from incubator_druid_spark.pipeline.probe import probe_media
+        m = probe_media(b)
+        if max_duration_ms is not None and (
+                m["duration_ms"] is None
+                or m["duration_ms"] > max_duration_ms):
+            return False
+        return not (min_sample_rate is not None and (
+            m["sample_rate"] is None
+            or m["sample_rate"] < min_sample_rate))
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if gated:
+                pdf = pdf[[_probe_ok(bytes(b or b""))
+                           for b in pdf[content_col]]]
+                if pdf.empty:
+                    continue
             if not fake:
                 # pure-Python decode: RIFF/WAV PCM (stdlib wave) + FLAC
                 # (pipeline/flac.py); MP3/OGG raise NotImplementedError

@@ -208,3 +208,67 @@ def test_attach_media_metadata_probe_mode(spark):
     media = row["media"]
     assert media["mime"] == "image/png"
     assert (media["width"], media["height"]) == (9, 5)
+
+
+def test_filter_before_decode_image_gate(spark):
+    from incubator_druid_spark.pipeline.multimodal import \
+        decode_image_features
+    from incubator_druid_spark.pipeline.png import encode_png
+    ok = encode_png(np.zeros((20, 32, 3), np.uint8))
+    small = encode_png(np.zeros((4, 5, 3), np.uint8))
+    # valid IHDR claiming 6x6 but truncated body: decoding it would raise,
+    # so surviving the query proves the probe gate runs BEFORE decode
+    broken = encode_png(np.zeros((6, 6, 3), np.uint8))[:40]
+    df = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytearray(small)), (3, bytearray(broken))],
+        "id long, content binary")
+    out = decode_image_features(df, fake=False, min_width=10).collect()
+    assert [r["id"] for r in out] == [1]
+    assert (out[0]["width"], out[0]["height"]) == (32, 20)
+    # max_pixels drops the large one instead
+    out = decode_image_features(df, fake=False, min_width=None,
+                                max_pixels=30).collect()
+    assert [r["id"] for r in out] == [2]
+
+
+def test_filter_before_decode_audio_gate(spark):
+    import io
+    import wave
+
+    from incubator_druid_spark.pipeline.multimodal import \
+        extract_audio_features
+
+    def wav(n, sr=16000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(b"\x00\x00" * n)
+        return buf.getvalue()
+
+    # an MP3 would raise NotImplementedError in decode; the probe gate
+    # (no parseable duration ≤ limit ⇒ dropped... here: 1000-frame Xing
+    # MP3 = ~26 s) must drop it BEFORE decode is attempted
+    mp3 = bytearray(b"\xFF\xFB\x90\x00" + bytes(413))
+    mp3[36:40] = b"Xing"
+    mp3[40:44] = struct.pack(">I", 1)
+    mp3[44:48] = struct.pack(">I", 1000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(8000))), (2, bytearray(wav(80000))),
+         (3, bytes(mp3))],
+        "id long, content binary")
+    out = extract_audio_features(df, fake=False,
+                                 max_duration_ms=1000).collect()
+    assert [r["id"] for r in out] == [1]
+    assert out[0]["duration_ms"] == 500
+    # rate + duration gates compose: the 8 kHz wav fails the rate gate,
+    # the ~26 s MP3 fails the duration gate (dropped BEFORE its decode
+    # would raise NotImplementedError), both wav 16 kHz rows pass
+    df2 = spark.createDataFrame(
+        [(1, bytearray(wav(8000))), (2, bytearray(wav(80000))),
+         (3, bytearray(wav(1000, sr=8000))), (4, bytes(mp3))],
+        "id long, content binary")
+    out = extract_audio_features(df2, fake=False, min_sample_rate=16000,
+                                 max_duration_ms=10000).collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
