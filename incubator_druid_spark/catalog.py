@@ -225,7 +225,24 @@ class Catalog:
             success = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
         except OSError:
             success = None
-        return (st.st_mtime_ns, success)
+        # one-level child scan: an external writer (no _SUCCESS refresh)
+        # dropping files into an EXISTING partition dir bumps that dir's
+        # mtime but neither the root's nor _SUCCESS — fold immediate
+        # children (count + max mtime) in so such writes invalidate too.
+        # O(#partition dirs), not a recursive walk.
+        n_children, child_mtime = 0, 0
+        try:
+            with os.scandir(path) as it:
+                for e in it:
+                    n_children += 1
+                    try:
+                        m = e.stat().st_mtime_ns
+                    except OSError:
+                        continue
+                    child_mtime = max(child_mtime, m)
+        except OSError:
+            pass
+        return (st.st_mtime_ns, success, n_children, child_mtime)
 
     def schema(self, name: str):
         """Cached schema of a datasource — metadata-only callers (SQL

@@ -139,7 +139,14 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
         # (IntervalDimFilter.java's long-predicate path;
         # TimeFilteringTest.testIntervalFilterOnStringDimension)
         if isinstance(dtype, T.TimestampType):
-            col = F.unix_millis(col)
+            if fn is not None and fn.get("type") == "timeFormat":
+                # timeFormat interprets the value AS a time (same exemption
+                # as leaf() below) — feed it the timestamp, then parse its
+                # string output as epoch millis
+                col = compile_extraction(fn, col)
+                fn = None
+            else:
+                col = F.unix_millis(col)
         if fn is not None:
             col = compile_extraction(fn, col)
         s = col.cast("string")
@@ -397,6 +404,18 @@ def _dimspec_name(d) -> str:
 
 # -- bound / range with StringComparators -----------------------------------
 
+def _dec_refine(s: Column, n: Column) -> Column:
+    """decimal(38,18) tie-refiner: the reference compares numeric-ordering
+    values as BigDecimal (StringComparators.NUMERIC via
+    convertStringToBigDecimal), so distinct longs beyond 2^53 must not
+    collapse to the same double.  Compared AFTER the double field, it only
+    decides double-ties; values outside the decimal range (|x| > ~1e20,
+    beyond any long) stay ties at double precision."""
+    d = s.cast("decimal(38,18)")
+    zero = F.lit(0).cast("decimal(38,18)")
+    return F.coalesce(F.when(n.isNotNull(), d), zero)
+
+
 def _numeric_cmp_key(c: Column) -> Column:
     """StringComparators.NumericComparator as a comparable struct: both
     parse → numeric compare; one parses → unparseable first; neither →
@@ -407,6 +426,7 @@ def _numeric_cmp_key(c: Column) -> Column:
     return F.struct(
         n.isNotNull().cast("int").alias("p"),
         F.coalesce(n, F.lit(0.0)).alias("n"),
+        _dec_refine(s, n).alias("d"),
         F.when(n.isNotNull(), F.lit("")).otherwise(s).alias("s"))
 
 
@@ -441,7 +461,8 @@ def _ordering_sort_key(c: Column, ordering: str) -> Column:
         s = c.cast("string")
         num = s.cast("double")
         return F.struct(num.isNotNull().cast("int").alias("p"),
-                        num.alias("n"), s.alias("s"))
+                        num.alias("n"),
+                        _dec_refine(s, num).alias("d"), s.alias("s"))
     return _ordering_key(c, ordering)
 
 

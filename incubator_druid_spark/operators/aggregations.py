@@ -1311,7 +1311,8 @@ def compile_rollup_aggregations(specs: list[dict] | None,
                 out.append(F.hll_sketch_agg(tup).alias(name))
                 continue
             sketches = [
-                F.hll_union_agg(ctx.resolve(fn)) if ctx.is_binary(fn)
+                F.hll_union_agg(ctx.resolve(fn), F.lit(True))
+                if ctx.is_binary(fn)
                 else F.hll_sketch_agg(_hll_input(ctx.resolve(fn)))
                 for fn in fields]
             col = sketches[0]

@@ -97,6 +97,10 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         else:
             out = grouped_agg(df, [qcol(k) for k in keys], aggs, folds)
 
+    # resource guards apply to the INTERMEDIATE grouped rows — Druid's
+    # grouper raises while building groups, before having prunes them
+    out = _apply_resource_limits(out, query.get("context") or {}, dim_names)
+
     post = compile_post_aggregations(
         keyed["remaining_posts"] if keyed is not None
         else query.get("postAggregations"))
@@ -107,8 +111,6 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
     having = query.get("having")
     if having is not None:
         out = out.filter(_having_predicate(having, out))
-
-    out = _apply_resource_limits(out, query.get("context") or {}, dim_names)
 
     out = _apply_limit_spec(
         out, query.get("limitSpec"), dim_names,
@@ -180,16 +182,18 @@ def _apply_resource_limits(out: DataFrame, ctx: dict, dim_names: list[str]):
         if cap is None or c2 < cap:
             cap = c2
             msg = "Not enough aggregation buffer space to execute this query"
-    from pyspark.sql import Window
     if cap is not None:
-        # a filter (not a dropped projection — Catalyst would prune that)
-        # keeps the guard in the executed plan
-        w = Window.orderBy(F.lit(1))
-        out = (out.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.when(F.col("__rn") > F.lit(cap),
+        # a broadcast one-row probe carrying the (cap-bounded) group count,
+        # joined back as a filter so the guard stays in the executed plan —
+        # NOT a global Window.orderBy row_number, which would funnel every
+        # result group through a single sorted partition at scale
+        probe = (out.select(F.lit(1).alias("__one")).limit(cap + 1)
+                    .groupBy().agg(F.count("*").alias("__n")))
+        out = (out.join(F.broadcast(probe))
+                  .filter(F.when(F.col("__n") > F.lit(cap),
                                  F.raise_error(F.lit(msg)).cast("boolean"))
                           .otherwise(F.lit(True)))
-                  .drop("__rn"))
+                  .drop("__n"))
 
     if dict_max is not None:
         str_dims = [f.name for f in out.schema.fields
@@ -198,12 +202,16 @@ def _apply_resource_limits(out: DataFrame, ctx: dict, dim_names: list[str]):
         est = F.lit(8 * max(1, len(dim_names)))
         for n in str_dims:
             est = est + F.coalesce(F.length(qcol(n)) * 2, F.lit(0))
-        w = Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)
         dmsg = ("Not enough disk space to execute this query"
                 if (disk_max is not None and int(disk_max) > 0)
                 else "Not enough dictionary space to execute this query")
-        out = (out.withColumn("__dictsz", F.sum(est).over(w))
+        # distributed partial-aggregated total, broadcast back as a one-row
+        # probe (the previous global running-sum window single-partitioned
+        # the whole result); total > cap ⟺ some prefix exceeds, so the
+        # raise condition is identical
+        probe = (out.select(est.alias("__sz")).groupBy()
+                    .agg(F.sum("__sz").alias("__dictsz")))
+        out = (out.join(F.broadcast(probe))
                   .filter(F.when(F.col("__dictsz") > F.lit(int(dict_max)),
                                  F.raise_error(F.lit(dmsg)).cast("boolean"))
                           .otherwise(F.lit(True)))

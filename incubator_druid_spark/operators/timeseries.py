@@ -260,40 +260,57 @@ def _footer_time_extent(src: DataFrame) -> tuple[int, int] | None:
         return None
     if not files or len(files) > 4096 or "__time" not in src.columns:
         return None
+    # memoize per file LIST: segment files are immutable (writes create
+    # new files / new versions), so the extent of a fixed set of paths is
+    # stable — without this every granular timeseries query re-reads every
+    # footer on the driver (~ms × #files before the job starts)
+    key = tuple(sorted(files))
+    if key in _EXTENT_CACHE:
+        return _EXTENT_CACHE[key]
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover
         return None
-    utc = datetime.timezone.utc
-    mn = mx = None
-    for uri in files:
-        if not uri.startswith("file:"):
-            return None
-        path = uri[5:]
-        while path.startswith("//"):
-            path = path[1:]
-        try:
-            md = pq.ParquetFile(path).metadata
-        except Exception:
-            return None
-        idx = next((i for i in range(md.num_columns)
-                    if md.schema.column(i).name == "__time"), None)
-        if idx is None:
-            return None
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(idx).statistics
-            if st is None or not st.has_min_max:
+    def compute():
+        utc = datetime.timezone.utc
+        mn = mx = None
+        for uri in files:
+            if not uri.startswith("file:"):
                 return None
-            lo, hi = st.min, st.max
-            if not isinstance(lo, datetime.datetime):
-                return None  # e.g. raw TIMESTAMP(NANOS)-as-long storage
-            lo = lo.replace(tzinfo=lo.tzinfo or utc).timestamp() * 1000
-            hi = hi.replace(tzinfo=hi.tzinfo or utc).timestamp() * 1000
-            mn = lo if mn is None else min(mn, lo)
-            mx = hi if mx is None else max(mx, hi)
-    if mn is None:
-        return None
-    return int(mn), int(mx)
+            path = uri[5:]
+            while path.startswith("//"):
+                path = path[1:]
+            try:
+                md = pq.ParquetFile(path).metadata
+            except Exception:
+                return None
+            idx = next((i for i in range(md.num_columns)
+                        if md.schema.column(i).name == "__time"), None)
+            if idx is None:
+                return None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo, hi = st.min, st.max
+                if not isinstance(lo, datetime.datetime):
+                    return None  # e.g. raw TIMESTAMP(NANOS)-as-long storage
+                lo = lo.replace(tzinfo=lo.tzinfo or utc).timestamp() * 1000
+                hi = hi.replace(tzinfo=hi.tzinfo or utc).timestamp() * 1000
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+        if mn is None:
+            return None
+        return int(mn), int(mx)
+
+    res = compute()
+    if len(_EXTENT_CACHE) > 256:  # bound driver memory on churny catalogs
+        _EXTENT_CACHE.clear()
+    _EXTENT_CACHE[key] = res
+    return res
+
+
+_EXTENT_CACHE: dict = {}
 
 
 def _bucket_partition_days(src: DataFrame, ivs, spark) -> DataFrame | None:

@@ -511,24 +511,9 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
         .createOrReplaceTempView("sys_tasks")
 
 
-def _literal_spans(sql: str):
-    """[(start, end)) spans of single-quoted string literals ('' escapes)."""
-    spans, i, n = [], 0, len(sql)
-    while i < n:
-        if sql[i] == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            spans.append((i, min(j, n - 1) + 1))
-            i = j + 1
-        else:
-            i += 1
-    return spans
+# (the canonical _literal_spans definition lives below, after
+# _apply_current_timestamp — a duplicate that used to sit here shadowed it
+# with drifted unterminated-literal clamping)
 
 
 # Nearest-preceding-keyword context classes for boolean matcher rewrites:
@@ -719,6 +704,10 @@ def _apply_current_timestamp(sql: str) -> str:
         return sql
     import datetime as _dt
     ts = _dt.datetime.fromisoformat(str(iso).replace("Z", "+00:00"))
+    if ts.tzinfo is None:
+        # Druid parses a zone-less sqlCurrentTimestamp as a UTC instant
+        # (DateTimes.of); localNow then renders it in the sql timezone
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
     tz_name = getattr(_SQL_CTX, "current_ts_tz", None)
     if tz_name and ts.tzinfo is not None:
         tzinfo = _resolve_tz(str(tz_name))
@@ -1157,9 +1146,47 @@ def _rewrite_time_periods(sql: str) -> str:
                        "year": ("YEAR", 1)}[unit]
                 return (f"(CASE WHEN {fl} = {args[0]} THEN {args[0]} ELSE "
                         f"timestampadd({add[0]}, {add[1]}, {fl}) END)")
-            if norm in _FIXED or norm in _CAL:
-                # fixed periods are pure epoch-millis arithmetic (no tz
-                # sensitivity) — the registered UDF handles them
+            if norm in _FIXED:
+                # TimeFloorOperatorConversion defaults the zone to the
+                # PLANNER timezone, and PeriodGranularity truncates via the
+                # zone's chronology — so day/week floors land on LOCAL
+                # midnights/Mondays and shifts of calendar days are
+                # DST-aware.  Inline session-zone expressions (analyzed per
+                # query, so a scoped sqlTimeZone is honored); only sub-day
+                # SHIFTs are pure millis arithmetic and keep the UDF.
+                ts = args[0]
+                if kind == "shift":
+                    unit = {"P1D": "DAY", "P1W": "WEEK"}.get(norm)
+                    if unit is None:
+                        return None  # fixed duration: chronology add == +ms
+                    return f"timestampadd({unit}, {args[2]}, {ts})"
+                unit = {"PT1S": "second", "PT1M": "minute", "PT1H": "hour",
+                        "P1D": "day", "P1W": "week"}.get(norm)
+                ms = _FIXED[norm]
+                if unit:
+                    fl = f"date_trunc('{unit}', {ts})"
+                    nxt = f"timestampadd({unit.upper()}, 1, {fl})"
+                else:
+                    # sub-day multiples (PT5M … PT12H): Druid rounds the
+                    # LOCAL field to a multiple, i.e. floor in wall-clock
+                    # millis space (local midnight ≡ 0 mod 1 day there)
+                    loc = (f"unix_millis(from_utc_timestamp({ts}, "
+                           f"current_timezone()))")
+                    base = f"cast(floor({loc} / {ms}) * {ms} AS BIGINT)"
+                    fl = (f"to_utc_timestamp(timestamp_millis({base}), "
+                          f"current_timezone())")
+                    nxt = (f"to_utc_timestamp(timestamp_millis({base} "
+                           f"+ {ms}), current_timezone())")
+                if kind == "floor":
+                    return fl
+                return f"(CASE WHEN {fl} = {ts} THEN {ts} ELSE {nxt} END)"
+            if norm in _CAL:
+                if kind == "shift":
+                    # inline so the add resolves under the QUERY's session
+                    # zone (the UDF body bakes in the registration zone)
+                    unit = {"P1M": "MONTH", "P3M": "QUARTER",
+                            "P1Y": "YEAR"}[norm]
+                    return f"timestampadd({unit}, {args[2]}, {args[0]})"
                 return None
             per = parse_period(lit)  # malformed period raises loudly here
             ts = args[0]
@@ -1310,30 +1337,42 @@ def _rewrite_floor_ceil_to(sql: str) -> str:
 _ARRAY_COLS_CACHE: dict[int, frozenset] = {}
 
 
-def _catalog_array_cols(catalog) -> frozenset:
-    """Array-typed column names across the catalog's tables — lets the
-    string-level ARRAY_CONTAINS/ARRAY_OVERLAP rewrites dispatch non-literal
-    second arguments by TYPE like Druid's runtime does.  Memoized per
-    catalog instance (schemas are immutable once registered)."""
+def _catalog_array_cols(catalog, sql: str | None = None) -> frozenset:
+    """Array-typed column names for the tables ``sql`` references (all
+    tables when sql is None) — lets the string-level ARRAY_CONTAINS/
+    ARRAY_OVERLAP rewrites dispatch non-literal second arguments by TYPE
+    like Druid's runtime does.  Scoping to referenced tables keeps a
+    scalar column in the queried table from picking up array rewrites
+    because an UNRELATED table has an array column of the same name.
+    The per-table scan is memoized per catalog instance (schemas are
+    immutable once registered)."""
     if catalog is None:
         return frozenset()
     key = id(catalog)
     cached = _ARRAY_COLS_CACHE.get(key)
     names = catalog.names()
     if cached is not None and cached[0] == names:
-        return cached[1]
-    from pyspark.sql import types as _T
-    cols = set()
-    for t in names:
-        try:
-            for f in catalog.schema(t).fields:
-                if isinstance(f.dataType, _T.ArrayType):
-                    cols.add(f.name)
-        except Exception:  # pragma: no cover — unreadable source
-            continue
-    out = frozenset(cols)
-    _ARRAY_COLS_CACHE[key] = (names, out)
-    return out
+        per_table = cached[1]
+    else:
+        from pyspark.sql import types as _T
+        per_table = {}
+        for t in names:
+            try:
+                per_table[t] = frozenset(
+                    f.name for f in catalog.schema(t).fields
+                    if isinstance(f.dataType, _T.ArrayType))
+            except Exception:  # pragma: no cover — unreadable source
+                per_table[t] = frozenset()
+        _ARRAY_COLS_CACHE[key] = (names, per_table)
+    if sql is not None:
+        _nonlit = []
+        _outside_literals(sql, lambda s: (_nonlit.append(s), s)[1])
+        nonlit_sql = " ".join(_nonlit)
+        return frozenset().union(*(
+            cols for t, cols in per_table.items()
+            if re.search(rf"(?i)\b{re.escape(t)}\b", nonlit_sql)),
+            frozenset())
+    return frozenset().union(*per_table.values(), frozenset())
 
 
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
@@ -1472,7 +1511,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     sql = _rewrite_time_tz(sql)
     sql = _rewrite_time_periods(sql)
     sql = _rewrite_regexp_extract(sql)
-    sql = _rewrite_array_functions(sql, _catalog_array_cols(catalog))
+    sql = _rewrite_array_functions(sql, _catalog_array_cols(catalog, sql))
 
     # MVD-aware COUNT(DISTINCT col): Calcite exposes an MVD as VARCHAR and
     # plans a cardinality agg over its VALUES (CalciteQueryTest
@@ -1551,8 +1590,10 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                 # COMPLEX hyperUnique column (rollup-stored HLL state):
                 # union the stored sketches like the native hyperUnique
                 # binary path (operators/aggregations.py)
+                # allowDifferentLgConfigK=true, matching the native binary
+                # path — segments may be written with mixed lgK settings
                 return ("CAST(round(hll_sketch_estimate("
-                        f"hll_union_agg({m.group(1)}))) AS BIGINT)")
+                        f"hll_union_agg({m.group(1)}, true))) AS BIGINT)")
             return None
         sql = _rewrite_calls(sql, "APPROX_COUNT_DISTINCT", _acd_mvd_repl)
 
