@@ -1231,6 +1231,29 @@ def _rewrite_time_tz(sql: str) -> str:
             origin = None if _null_arg(args[2]) else args[2]
             tz = None if len(args) < 4 or _null_arg(args[3]) else args[3]
             if origin is None:
+                lit0 = _lit_period(p)
+                if tz and lit0 is not None:
+                    from incubator_druid_spark.model.granularity import \
+                        parse_period
+                    per0 = parse_period(lit0)
+                    if not per0.is_calendar:
+                        # fixed period in an EXPLICIT zone: inline the
+                        # epoch arithmetic in the wrapped local space — the
+                        # 2-arg forms now floor in the SESSION zone, which
+                        # would double-apply a zone here
+                        ms0 = per0.millis
+                        anchor = (_WEEK_ORIGIN
+                                  if per0.weeks and ms0 == 604_800_000
+                                  else 0)
+                        tl0 = wrap(ts, tz)
+                        b0 = (f"cast(floor((unix_millis({tl0}) - {anchor}) "
+                              f"/ {ms0}) * {ms0} + {anchor} AS BIGINT)")
+                        flo0 = f"timestamp_millis({b0})"
+                        if fname == "TIME_CEIL":
+                            flo0 = (f"(CASE WHEN {flo0} = {tl0} THEN {tl0} "
+                                    f"ELSE timestamp_millis({b0} + {ms0}) "
+                                    f"END)")
+                        return f"to_utc_timestamp({flo0}, {tz})"
                 inner = f"{fname}({wrap(ts, tz)}, {p})"
                 return (f"to_utc_timestamp({inner}, {tz})" if tz else inner)
             tl, ol = wrap(ts, tz), wrap(origin, tz)
@@ -1273,11 +1296,23 @@ def _rewrite_time_tz(sql: str) -> str:
 
     sql = _rewrite_calls(sql, "TIME_FLOOR", floor_ceil("TIME_FLOOR"))
     sql = _rewrite_calls(sql, "TIME_CEIL", floor_ceil("TIME_CEIL"))
-    sql = _rewrite_calls(
-        sql, "TIME_SHIFT",
-        lambda a: None if len(a) <= 3 or _null_arg(a[3]) else
-        f"to_utc_timestamp(TIME_SHIFT({wrap(a[0], a[3])}, {a[1]}, {a[2]}), "
-        f"{a[3]})")
+    def shift_tz(a):
+        if len(a) <= 3 or _null_arg(a[3]):
+            return None
+        lit0 = _lit_period(a[1])
+        if lit0 is not None:
+            from incubator_druid_spark.model.granularity import parse_period
+            per0 = parse_period(lit0)
+            if not per0.is_calendar:
+                # fixed period: millis add in the wrapped space (the 2-arg
+                # TIME_SHIFT now adds calendar days in the SESSION zone)
+                return (f"to_utc_timestamp(timestamp_millis(unix_millis("
+                        f"{wrap(a[0], a[3])}) + ({a[2]}) * {per0.millis}), "
+                        f"{a[3]})")
+        return (f"to_utc_timestamp(TIME_SHIFT({wrap(a[0], a[3])}, {a[1]}, "
+                f"{a[2]}), {a[3]})")
+
+    sql = _rewrite_calls(sql, "TIME_SHIFT", shift_tz)
     for fn in ("TIME_EXTRACT", "TIME_FORMAT"):
         sql = _rewrite_calls(
             sql, fn,

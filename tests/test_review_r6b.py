@@ -246,3 +246,19 @@ def test_path_token_sees_nested_partition_writes(spark, tmp_path):
     shutil.copy(part, sub / "b.parquet")  # root mtime unchanged
     t2 = Catalog._path_token(str(base))
     assert t1 != t2
+
+
+def test_time_floor_explicit_tz_with_session_tz(spark, full_catalog):
+    # explicit zone argument composes with sqlTimeZone: the literal is LA
+    # wall clock (18:00Z), floored to TOKYO midnight (Jan-16 00:00 +09 =
+    # Jan-15 15:00Z), rendered back in LA (07:00) — the fixed-period
+    # arithmetic must not double-apply either zone
+    rows = _sql(spark, full_catalog,
+                "SELECT CAST(TIME_FLOOR(TIMESTAMP '2024-01-15 10:00:00', "
+                "'P1D', NULL, 'Asia/Tokyo') AS VARCHAR) AS s", LA)
+    assert rows[0][0].startswith("2024-01-15 07:00:00")
+    # and a fixed-period TIME_SHIFT with an explicit zone stays millis-add
+    rows = _sql(spark, full_catalog,
+                "SELECT CAST(TIME_SHIFT(TIMESTAMP '2024-01-15 10:00:00', "
+                "'PT1H', 2, 'Asia/Tokyo') AS VARCHAR) AS s", LA)
+    assert rows[0][0].startswith("2024-01-15 12:00:00")
