@@ -218,19 +218,63 @@ def _require_time_condition(df) -> None:
     def plan_ok(jplan) -> bool:
         ok = [True]
 
-        def walk(node, seen_time):
+        def time_ids(cond) -> set:
+            # exprIds of AttributeReferences literally NAMED __time — a
+            # substring scan of condition.toString() would also accept
+            # string literals containing '__time'
+            ids = set()
+            try:
+                refs = cond.references().toSeq()
+                for i in range(refs.size()):
+                    a = refs.apply(i)
+                    if a.name() == "__time":
+                        ids.add(a.exprId().id())
+            except Exception:  # pragma: no cover — defensive py4j
+                pass
+            return ids
+
+        def out_ids(node) -> set:
+            ids = set()
+            try:
+                s = node.outputSet().toSeq()
+                for i in range(s.size()):
+                    ids.add(s.apply(i).exprId().id())
+            except Exception:  # pragma: no cover
+                pass
+            return ids
+
+        def walk(node, ids, seen):
             cls = node.getClass().getSimpleName()
-            if cls == "Filter" and "__time" in node.condition().toString():
-                seen_time = True
+            if cls == "Filter":
+                t = time_ids(node.condition())
+                if t:
+                    ids = ids | t
+                    seen = True
+            try:  # scans inside scalar/IN subqueries must be guarded too
+                subs = node.subqueries()
+                for i in range(subs.size()):
+                    walk(subs.apply(i), set(), False)
+            except Exception:  # pragma: no cover
+                pass
             n = node.children().size()
             if n == 0:
-                if cls == "LogicalRelation" and not seen_time:
+                if cls == "LogicalRelation" and not seen:
                     ok[0] = False
                 return
-            for i in range(n):
-                walk(node.children().apply(i), seen_time)
+            if cls == "Join":
+                # a filter on a.__time does NOT cover the other join
+                # input: each branch keeps only the __time attributes ITS
+                # subtree produces (a Filter above a Union covers every
+                # branch, so only Join intersects)
+                for i in range(n):
+                    ch = node.children().apply(i)
+                    c_ids = ids & out_ids(ch)
+                    walk(ch, c_ids, bool(c_ids))
+            else:
+                for i in range(n):
+                    walk(node.children().apply(i), ids, seen)
 
-        walk(jplan, False)
+        walk(jplan, set(), False)
         return ok[0]
 
     qe = df._jdf.queryExecution()

@@ -119,14 +119,17 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
                     arr_cols - {target}).cast("boolean"))
     if t == "expression":  # ExpressionDimFilter.java
         from incubator_druid_spark.functions.druid_expr import compile_expr
-        str_cols = arr_cols = None
+        str_cols = arr_cols = int_cols = None
         if isinstance(ctx, FilterContext):
             str_cols = {n for n, ty in ctx._types.items()
                         if isinstance(ty, T.StringType)}
             arr_cols = {n for n, ty in ctx._types.items()
                         if isinstance(ty, T.ArrayType)}
+            int_cols = {n for n, ty in ctx._types.items()
+                        if isinstance(ty, (T.LongType, T.IntegerType,
+                                           T.ShortType, T.ByteType))}
         return compile_expr(spec["expression"], ctx.resolve,
-                            str_cols, arr_cols).cast("boolean")
+                            str_cols, arr_cols, int_cols).cast("boolean")
     if t == "interval":  # IntervalDimFilter.java — __time ∈ intervals
         col = _dim_col(spec, ctx)
         ivs = parse_intervals(spec["intervals"])

@@ -102,6 +102,9 @@ class _Parser:
         self.array_ids: set[int] = set()
         # ids of Columns known string-typed (concat chains via binary `+`)
         self.string_ids: set[int] = set()
+        # ids of Columns known integral (long/int) — lets round() keep the
+        # exact LONG path instead of the double NaN/Inf guard
+        self.integral_ids: set[int] = set()
         # Strong references to every tagged Column: id() is only unique among
         # LIVE objects, and CPython recycles a freed Column's id for the next
         # same-type allocation — an untagged Column could alias a freed tagged
@@ -116,6 +119,11 @@ class _Parser:
 
     def tag_string(self, col: Column) -> Column:
         self.string_ids.add(id(col))
+        self._pinned.append(col)
+        return col
+
+    def tag_integral(self, col: Column) -> Column:
+        self.integral_ids.add(id(col))
         self._pinned.append(col)
         return col
 
@@ -198,11 +206,20 @@ class _Parser:
                 left = self.tag_string(F.concat(_c(left).cast("string"),
                                                 _c(right).cast("string")))
             else:
-                left = _c(left) + right if op == "+" else _c(left) - right
+                res = _c(left) + right if op == "+" else _c(left) - right
+                if self._is_integral(left) and self._is_integral(right):
+                    res = self.tag_integral(res)
+                left = res
         return left
 
     def _is_string_col(self, x) -> bool:
         return isinstance(x, Column) and id(x) in self.string_ids
+
+    def _is_integral(self, x) -> bool:
+        """Python int literal or a Column tagged long/int — propagated
+        through + - * % so round() can keep exact LONG arithmetic."""
+        return ((isinstance(x, int) and not isinstance(x, bool))
+                or (isinstance(x, Column) and id(x) in self.integral_ids))
 
     def parse_mul(self):
         left = self.parse_pow()
@@ -212,8 +229,12 @@ class _Parser:
             if not isinstance(left, Column) and not isinstance(right, Column):
                 left = {"*": left * right, "/": left / right, "%": left % right}[op]
             else:
-                left = {"*": _c(left) * right, "/": _c(left) / right,
-                        "%": _c(left) % right}[op]
+                res = {"*": _c(left) * right, "/": _c(left) / right,
+                       "%": _c(left) % right}[op]
+                if op in ("*", "%") and self._is_integral(left) \
+                        and self._is_integral(right):
+                    res = self.tag_integral(res)
+                left = res
         return left
 
     def parse_pow(self):
@@ -231,7 +252,10 @@ class _Parser:
         if v == "-":
             self.next()
             e = self.parse_unary()
-            return -e if not isinstance(e, Column) else -e
+            if isinstance(e, Column):
+                return (self.tag_integral(-e) if self._is_integral(e)
+                        else -e)
+            return -e
         if v == "!":
             self.next()
             return ~_as_bool(self.parse_unary())
@@ -468,13 +492,25 @@ def _registry() -> dict:
     def timestamp_parse(p, s, fmt=None, tz=None):
         # query/expression/TimestampParseExprMacro.java — the timeZone arg
         # localizes a zoneless wall clock (joda withZone): parse as wall
-        # time, then reinterpret in tz
-        if fmt is None or lit_val(fmt) is None:
-            out = _c(s).cast("timestamp")
-        else:
-            out = F.to_timestamp(_c(s), _joda_to_spark(lit_str(fmt)))
+        # time, then reinterpret in tz — but a string carrying an EXPLICIT
+        # offset ('Z', '+05:30') already pins the instant; joda's parsed
+        # offset overrides withZone (TimestampParseExprMacro
+        # createDefaultParser appends an optional offset element), so those
+        # rows must not be re-shifted
+        sc = _c(s).cast("string")
         z = lit_str(tz) if tz is not None else None
-        if z and z != "UTC":
+        if fmt is None or lit_val(fmt) is None:
+            out = sc.cast("timestamp")
+            if z and z != "UTC":
+                has_off = sc.rlike(
+                    r"\d{2}:\d{2}(:\d{2}(\.\d+)?)?\s*(Z|[+-]\d{2}(:?\d{2})?)$")
+                out = F.when(has_off, out) \
+                       .otherwise(F.to_utc_timestamp(out, z))
+            return out
+        fmt_s = lit_str(fmt)
+        out = F.to_timestamp(sc, _joda_to_spark(fmt_s))
+        if z and z != "UTC" and "Z" not in fmt_s:
+            # a pattern that parses an offset (joda Z/ZZ) pins the instant
             out = F.to_utc_timestamp(out, z)
         return out
 
@@ -539,18 +575,22 @@ def _registry() -> dict:
     def _round(p, x, scale=None):
         # Function.java RoundFunction: NaN rounds to 0, +-Infinity clamps
         # to +-Double.MAX_VALUE, non-numeric strings are null (sql mode).
-        # The clamp chain unifies the result as DOUBLE, matching the
-        # reference (its round always returns the input's own numeric
-        # type; doubles here since the guard only matters for floats).
+        # The reference returns the input's OWN numeric type (exact
+        # BigDecimal for longs), so a known-integral column skips the
+        # double guard entirely — longs can't be NaN/Inf, and the guard's
+        # double literals would unify the CaseWhen to DOUBLE, corrupting
+        # values beyond 2^53 and changing the output type.
         c = _c(x)
+        sc = int(lit_val(scale)) if scale is not None else 0
+        if p._is_integral(x):
+            return F.round(c, sc)
         cd = c.cast("double")
         maxv = 1.7976931348623157e308
         guarded = (F.when(F.isnan(cd), F.lit(0.0))
                     .when(cd == F.lit(float("inf")), F.lit(maxv))
                     .when(cd == F.lit(float("-inf")), F.lit(-maxv))
                     .otherwise(c))
-        return F.round(guarded, int(lit_val(scale)) if scale is not None
-                       else 0)
+        return F.round(guarded, sc)
 
     def _strpos(p, h, n, from_index=None):
         # Function.java:2415 — 0-based, -1 when absent; Spark instr is
@@ -558,7 +598,11 @@ def _registry() -> dict:
         # and the returned position stays absolute.
         if from_index is None:
             return (F.instr(_c(h), lit_str(n)) - 1).cast("long")
-        fi = _c(from_index).cast("int")
+        # Java indexOf clamps a negative (or missing) fromIndex to 0; a
+        # raw negative position would make Spark substring count from the
+        # string's END instead
+        fi = F.greatest(F.coalesce(_c(from_index).cast("int"), F.lit(0)),
+                        F.lit(0))
         rel = F.instr(F.substring(_c(h), fi + 1, F.lit(2 ** 31 - 1)),
                       lit_str(n))
         return (F.when(rel > 0, rel + fi - 1)
@@ -871,7 +915,8 @@ def registry() -> dict:
 
 def compile_expr(expression: str, resolver,
                  string_cols: set[str] | None = None,
-                 array_cols: set[str] | None = None) -> Column:
+                 array_cols: set[str] | None = None,
+                 integral_cols: set[str] | None = None) -> Column:
     """Compile a Druid native expression string to a Spark Column.
 
     ``resolver(name)`` maps identifiers to Columns (typically ``F.col``; the
@@ -884,17 +929,20 @@ def compile_expr(expression: str, resolver,
     implicit scalar→array coercion).
     """
     p = _Parser(_lex(expression), resolver, registry())
-    if string_cols or array_cols:
+    if string_cols or array_cols or integral_cols:
         orig_ident = p._ident
 
         def tagged_ident(name, _orig=orig_ident, _p=p,
-                         _sc=string_cols or set(), _ac=array_cols or set()):
+                         _sc=string_cols or set(), _ac=array_cols or set(),
+                         _ic=integral_cols or set()):
             col = _orig(name)
             if isinstance(col, Column):
                 if name in _sc:
                     _p.tag_string(col)
                 if name in _ac:
                     _p.tag_array(col)
+                if name in _ic:
+                    _p.tag_integral(col)
             return col
         p._ident = tagged_ident
     out = p.parse()
@@ -937,7 +985,8 @@ def mvd_map_target(expression: str, array_cols: set[str]) -> str | None:
 
 
 def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
-                     string_cols: set[str] | None = None):
+                     string_cols: set[str] | None = None,
+                     integral_cols: set[str] | None = None):
     """compile_expr + Druid's single-MVD scalar mapping: when
     ``mvd_map_target`` finds a mapped column, the expression compiles inside
     ``transform(mvd, x -> expr[mvd := x])`` and the result is an MVD."""
@@ -951,11 +1000,13 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
 
     target = mvd_map_target(expression, array_cols)
     if target is None:
-        return compile_expr(expression, _mvd_read, string_cols)
+        return compile_expr(expression, _mvd_read, string_cols,
+                            integral_cols=integral_cols)
     # MVD elements are strings — the mapped lambda variable is string-typed
     sc = (string_cols or set()) | {target}
     return F.transform(
         _mvd_read(target),
         lambda x: _c(compile_expr(
             expression,
-            lambda n, _x=x: _x if n == target else _mvd_read(n), sc)))
+            lambda n, _x=x: _x if n == target else _mvd_read(n), sc,
+            integral_cols=integral_cols)))

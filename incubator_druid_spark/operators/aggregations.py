@@ -67,8 +67,14 @@ def _field(spec: dict, ctx: FilterContext) -> Column:
     if spec.get("fieldName") is not None:
         return ctx.resolve(spec["fieldName"])
     if spec.get("expression") is not None:
+        from pyspark.sql import types as T
+
         from incubator_druid_spark.functions.druid_expr import compile_expr
-        return compile_expr(spec["expression"], ctx.resolve)
+        int_cols = {n for n, ty in getattr(ctx, "_types", {}).items()
+                    if isinstance(ty, (T.LongType, T.IntegerType,
+                                       T.ShortType, T.ByteType))}
+        return compile_expr(spec["expression"], ctx.resolve,
+                            integral_cols=int_cols)
     raise ValueError(f"aggregator {spec.get('name')!r} needs fieldName or expression")
 
 

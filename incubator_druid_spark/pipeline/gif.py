@@ -122,12 +122,15 @@ def decode_gif(data: bytes) -> np.ndarray:
             if table is None:
                 raise ValueError("GIF frame without a color table")
             frame = table[np.minimum(idx, len(table) - 1)].reshape(ih, iw, 3)
-            if transparent is not None:
-                mask = (idx == transparent).reshape(ih, iw)
-                frame = frame.copy()
-                frame[mask] = 0  # composite transparent pixels over black
             canvas_color = (gct[bg_index] if gct is not None
                             and bg_index < len(gct) else np.zeros(3, np.uint8))
+            if transparent is not None:
+                # transparent pixels show the canvas — compositing them to
+                # black while the uncovered border renders the background
+                # color would skew the decoded values inconsistently
+                mask = (idx == transparent).reshape(ih, iw)
+                frame = frame.copy()
+                frame[mask] = canvas_color.astype(np.uint8)
             canvas = np.broadcast_to(
                 canvas_color.astype(np.uint8), (sh, sw, 3)).copy()
             canvas[top:top + ih, left:left + iw] = frame[

@@ -212,8 +212,10 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
         sub = row.astype(np.int16)
         sub[ch:] -= row[:-ch]
         sub = (sub & 0xFF).astype(np.uint8)
-        none_cost = int(np.abs(row.astype(np.int8)).sum())
-        sub_cost = int(np.abs(sub.astype(np.int8)).sum())
+        # widen BEFORE abs: np.abs(int8 -128) overflows back to -128,
+        # driving costs negative on mid-grey-heavy rows
+        none_cost = int(np.abs(row.astype(np.int8).astype(np.int64)).sum())
+        sub_cost = int(np.abs(sub.astype(np.int8).astype(np.int64)).sum())
         if sub_cost < none_cost:
             lines.append(b"\x01" + sub.tobytes())
         else:

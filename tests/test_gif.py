@@ -78,7 +78,10 @@ def test_hand_assembled_minimal_gif():
 
 
 def test_transparency_and_frame_count():
-    """A GCE transparent index renders as black; frame counting sees both
+    """A GCE transparent index renders as the DECLARED background color
+    (the same color an uncovered canvas border shows — compositing
+    transparent pixels to black while the border gets the background
+    would skew decoded values inconsistently); frame counting sees both
     descriptors of an animation."""
     img = np.full((3, 3, 3), 200, np.uint8)
     img[1, 1] = (10, 20, 30)
@@ -91,7 +94,11 @@ def test_transparency_and_frame_count():
     gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, t_idx, 0])
     data = bytes(base[:desc]) + gce + bytes(base[desc:])
     out = decode_gif(data)
-    assert tuple(out[1, 1]) == (0, 0, 0)
+    # background = gct[bg_index]; bg_index is byte 11 of the header and the
+    # global color table starts at byte 13
+    bg_index = data[11]
+    bg = tuple(data[13 + 3 * bg_index:13 + 3 * bg_index + 3])
+    assert tuple(out[1, 1]) == bg
     assert tuple(out[0, 0]) == (200, 200, 200)
     assert gif_frame_count(data) == 1
 

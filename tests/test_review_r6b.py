@@ -262,3 +262,81 @@ def test_time_floor_explicit_tz_with_session_tz(spark, full_catalog):
                 "SELECT CAST(TIME_SHIFT(TIMESTAMP '2024-01-15 10:00:00', "
                 "'PT1H', 2, 'Asia/Tokyo') AS VARCHAR) AS s", LA)
     assert rows[0][0].startswith("2024-01-15 12:00:00")
+
+
+# -- pass-3 findings ---------------------------------------------------------
+
+def test_round_long_exact_beyond_2_53(spark, catalog):
+    # RoundFunction returns the input's own type; a long must not pass
+    # through the double NaN/Inf guard (2^53+1 would come back off by one
+    # and typed double)
+    q = {"queryType": "scan", "dataSource": "events", "intervals": [],
+         "virtualColumns": [{"type": "expression", "name": "r",
+                             "expression": "round(user_id * 0 + "
+                                           "9007199254740993)",
+                             "outputType": "LONG"},
+                            {"type": "expression", "name": "r2",
+                             "expression": "round(user_id)",
+                             "outputType": "LONG"}],
+         "columns": ["user_id", "r", "r2"], "limit": 1}
+    df = translate(q, spark, catalog)
+    row = df.collect()[0]
+    assert row["r"] == 9007199254740993
+    assert row["r2"] == row["user_id"]
+    assert dict(df.dtypes)["r2"] == "bigint"
+
+
+def test_timestamp_parse_explicit_offset_not_reshifted(spark, catalog):
+    q = {"queryType": "scan", "dataSource": "events", "intervals": [],
+         "virtualColumns": [
+             {"type": "expression", "name": "t1",
+              "expression": "timestamp_parse('2000-01-01T00:00:00Z', null, "
+                            "'America/Los_Angeles')"},
+             {"type": "expression", "name": "t2",
+              "expression": "timestamp_parse('2000-01-01 00:00:00', null, "
+                            "'America/Los_Angeles')"}],
+         "columns": ["t1", "t2"], "limit": 1}
+    row = translate(q, spark, catalog).collect()[0]
+    # explicit Z pins the instant: 2000-01-01T00:00Z
+    assert row["t1"].strftime("%Y-%m-%d %H:%M") == "2000-01-01 00:00"
+    # zone-less wall clock localizes to LA: 2000-01-01T08:00Z
+    assert row["t2"].strftime("%Y-%m-%d %H:%M") == "2000-01-01 08:00"
+
+
+def test_strpos_negative_from_index_clamps(spark, catalog):
+    q = {"queryType": "scan", "dataSource": "events", "intervals": [],
+         "virtualColumns": [
+             {"type": "expression", "name": "a",
+              "expression": "strpos('abc', 'a', -1)"},
+             {"type": "expression", "name": "b",
+              "expression": "strpos('abc', 'c', -2)"}],
+         "columns": ["a", "b"], "limit": 1}
+    row = translate(q, spark, catalog).collect()[0]
+    assert (row["a"], row["b"]) == (0, 2)  # Java indexOf clamps to 0
+
+
+def test_require_time_condition_join_branch_not_leaked(spark, catalog):
+    from incubator_druid_spark.api import sql_query
+    ctx = {"requireTimeCondition": True}
+    # a time filter on ONE join input must not excuse a full scan of the
+    # other
+    with pytest.raises(ValueError, match="requireTimeCondition"):
+        sql_query({"query": """
+            SELECT count(*) AS n FROM events e JOIN events o
+              ON e.user_id = o.user_id
+            WHERE e.__time >= TIMESTAMP '2024-01-01'""",
+                   "resultFormat": "array", "context": ctx}, spark, catalog)
+    # ...and a literal containing '__time' is not a time condition
+    with pytest.raises(ValueError, match="requireTimeCondition"):
+        sql_query({"query": "SELECT count(*) AS n FROM events "
+                            "WHERE event_type <> '__time'",
+                   "resultFormat": "array", "context": ctx}, spark, catalog)
+    # both inputs filtered: passes
+    out = sql_query({"query": """
+        SELECT count(*) AS n FROM events e JOIN events o
+          ON e.user_id = o.user_id
+        WHERE e.__time >= TIMESTAMP '2024-01-01'
+          AND o.__time >= TIMESTAMP '2024-01-01'""",
+                     "resultFormat": "array", "context": ctx},
+                    spark, catalog)
+    assert out[0][0] > 0
