@@ -80,7 +80,23 @@ def compile_extraction(spec: dict | None, col: Column,
             return F.unix_millis(c).cast("string")
         tz = spec.get("timeZone")
         if tz and tz != "UTC":
-            c = F.from_utc_timestamp(c, tz)
+            local = F.from_utc_timestamp(c, tz)
+            if fmt is None:
+                # ISODateTimeFormat prints the REAL zone offset
+                # ('2010-12-31T16:00:00.000-08:00'), not 'Z'; the offset is
+                # per-row (DST) — derive it from the local/UTC delta
+                off_min = ((F.unix_millis(local) - F.unix_millis(c))
+                           / F.lit(60000)).cast("long")
+                sign = F.when(off_min < 0, "-").otherwise("+")
+                a = F.abs(off_min)
+                off = F.concat(sign,
+                               F.lpad((a / 60).cast("long").cast("string"),
+                                      2, "0"),
+                               F.lit(":"),
+                               F.lpad(F.pmod(a, 60).cast("string"), 2, "0"))
+                return F.concat(
+                    F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss.SSS"), off)
+            return F.date_format(local, _joda_to_spark(fmt))
         if fmt is None:
             return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
         return F.date_format(c, _joda_to_spark(fmt))

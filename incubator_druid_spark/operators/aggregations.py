@@ -89,7 +89,10 @@ def compile_aggregator(spec: dict, ctx: FilterContext) -> Column:
         pred = compile_filter(spec["filter"], ctx)
         inner = spec["aggregator"]
         col = _filtered_inner(inner, pred, ctx)
-        return col.alias(inner.get("name", name))
+        # the WRAPPER's name wins; only a null/empty wrapper name falls
+        # back to the delegate (FilteredAggregatorFactory.java:159-166)
+        outer = spec.get("name")
+        return col.alias(outer if outer else inner.get("name", name))
 
     return _agg_column(t, spec, ctx).alias(name)
 

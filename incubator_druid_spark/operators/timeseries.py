@@ -210,8 +210,10 @@ def _zero_fill(out: DataFrame, query: dict, gran, spark: SparkSession,
     fills = []
     for spec in query.get("aggregations") or []:
         if spec["type"] == "filtered":
-            # FilteredAggregatorFactory carries name/type on the inner agg
-            name = spec["aggregator"].get("name")
+            # wrapper name wins, delegate only as fallback
+            # (FilteredAggregatorFactory.getName); the TYPE is always the
+            # delegate's
+            name = spec.get("name") or spec["aggregator"].get("name")
             atype = spec["aggregator"]["type"]
         else:
             name = spec.get("name")
@@ -366,6 +368,10 @@ def _bucket_partition_days(src: DataFrame, ivs, spark) -> DataFrame | None:
     for h in sorted(hours):
         ms = int(h.timestamp() * 1000)
         if any(s < ms + span_ms and ms < e for s, e in ivs):
-            days.add(datetime.datetime(h.year, h.month, h.day))
+            # tz-AWARE: a naive datetime would be converted through the
+            # OS-local zone by createDataFrame (time.mktime), shifting the
+            # seg-day spine off UTC on non-UTC hosts and emptying the
+            # semi-join
+            days.add(datetime.datetime(h.year, h.month, h.day, tzinfo=utc))
     pruned = [(d,) for d in sorted(days)]
     return spark.createDataFrame(pruned, "__seg_day timestamp")

@@ -33,8 +33,12 @@ def sessionize(df: DataFrame, user_col: str = "user_id",
     w = Window.partitionBy(user_col).orderBy(time_col, *(tiebreak_cols or []))
     gap_ms = int(gap_minutes * 60_000)
     prev = F.lag(F.col(time_col)).over(w)
+    # strict >: an event at EXACTLY last+gap extends the session — verified
+    # to match Spark's session_window boundary behavior
+    # (test_review_r6c.py::test_sessionize_boundary_matches_session_window)
     new_session = (prev.isNull() |
-                   ((F.unix_millis(F.col(time_col)) - F.unix_millis(prev)) > gap_ms))
+                   ((F.unix_millis(F.col(time_col)) - F.unix_millis(prev))
+                    > gap_ms))
     return df.withColumn(
         "session_id",
         F.sum(new_session.cast("long")).over(

@@ -229,7 +229,14 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
       collides in a rarer band with high probability.
     """
     rng = np.random.default_rng(seed)
-    dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    head = df.select(F.size(F.col(vec_col))).first()
+    if head is None or head[0] is None:
+        # empty input (or an all-null vector head): no pairs — an
+        # unguarded first()[0] would TypeError instead
+        id_t = dict(df.dtypes).get(id_col, "bigint")
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cosine double")
+    dim = int(head[0])
     planes = rng.standard_normal((num_planes, dim))
     rows = num_planes // bands
 

@@ -74,9 +74,39 @@ def resolve_datasource(spec, spark, catalog: Catalog) -> DataFrame:
         # query/LookupDataSource.java — columns named k, v
         return F.broadcast(catalog.lookup_df(spec["lookup"]))
     if t == "inline":
-        # query/InlineDataSource.java — literal rows
+        # query/InlineDataSource.java — literal rows.  columnTypes (when
+        # given) define the schema: type inference would crash on an
+        # all-null column and read declared DOUBLEs as long.
         cols = spec["columnNames"]
         rows = [tuple(r) for r in spec["rows"]]
+        types = spec.get("columnTypes")
+        if types:
+            mapping = {"STRING": "string", "LONG": "long",
+                       "DOUBLE": "double", "FLOAT": "float"}
+            fields = []
+            for n, ty in zip(cols, types):
+                sty = mapping.get(str(ty).upper())
+                if sty is None:  # COMPLEX<...> / ARRAY<...> — infer
+                    fields = None
+                    break
+                fields.append(f"`{n}` {sty}")
+            if fields is not None:
+                # floats arrive as Python floats even for LONG columns in
+                # JSON — coerce row values to the declared type
+                import pyspark.sql.types as T
+                schema = T._parse_datatype_string(", ".join(fields))
+                conv = []
+                for r in rows:
+                    conv.append(tuple(
+                        None if v is None
+                        else int(v) if isinstance(f.dataType, T.LongType)
+                        and not isinstance(v, bool)
+                        else float(v) if isinstance(
+                            f.dataType, (T.DoubleType, T.FloatType))
+                        else str(v) if isinstance(f.dataType, T.StringType)
+                        else v
+                        for v, f in zip(r, schema.fields)))
+                return spark.createDataFrame(conv, schema=schema)
         return spark.createDataFrame(rows, schema=cols)
     if t == "globalTable":
         # query/GlobalTableDataSource.java — broadcast-replicated table

@@ -185,9 +185,33 @@ def apply_data_schema(df: DataFrame, data_schema: dict) -> DataFrame:
         df = rollup(df, dims, metrics, gran_spec.get("queryGranularity", "none"))
     elif dims:
         names = [_dim_name(d) for d in dims]
+        # rollup disabled but metrics declared: Druid still stores ROW-LEVEL
+        # metric columns (each row is its own group) — the aggregator's
+        # input value under its OUTPUT name, count → 1 per row.  Dropping
+        # them would make later queries over the metric read nothing.
+        casts = {"longSum": "long", "longMin": "long", "longMax": "long",
+                 "doubleSum": "double", "doubleMin": "double",
+                 "doubleMax": "double", "floatSum": "float",
+                 "floatMin": "float", "floatMax": "float"}
+        mcols = []
+        for m in metrics:
+            mname = m.get("name")
+            if not mname or mname in names or mname == TIME_COLUMN:
+                continue
+            if m.get("type") == "count":
+                mcols.append(F.lit(1).cast("long").alias(mname))
+                continue
+            src = m.get("fieldName")
+            if src is None or src not in df.columns:
+                continue
+            typ = casts.get(m.get("type"))
+            col = F.col(src).cast(typ) if typ else F.col(src)
+            mcols.append(col.alias(mname))
         df = df.select(TIME_COLUMN, *[n for n in names if n in df.columns],
                        *[c for c in df.columns
-                         if c not in names and c != TIME_COLUMN and metrics == []])
+                         if c not in names and c != TIME_COLUMN
+                         and metrics == []],
+                       *mcols)
     return df
 
 
@@ -205,8 +229,17 @@ def _apply_timestamp(df: DataFrame, ts_spec: dict) -> DataFrame:
         t = F.timestamp_seconds(c.cast("long"))
     elif fmt in ("micro",):
         t = F.timestamp_micros(c.cast("long"))
-    elif fmt in ("iso", "auto"):
+    elif fmt == "iso":
         t = c.cast("timestamp")
+    elif fmt == "auto":
+        # TimestampParser.java 'auto': NUMERIC input is epoch MILLIS
+        # (Long.parseLong → DateTimes.utc), otherwise ISO/SQL string parse.
+        # Spark's long→timestamp cast reads SECONDS and a digit string
+        # casts to null — both silently wrong here.
+        s = c.cast("string")
+        t = (F.when(s.rlike(r"^-?\d+$"),
+                    F.timestamp_millis(s.cast("long")))
+              .otherwise(c.cast("timestamp")))
     else:  # joda pattern
         from incubator_druid_spark.functions.druid_expr import _joda_to_spark
         t = F.to_timestamp(c, _joda_to_spark(fmt))

@@ -102,11 +102,20 @@ def build_streaming_ingest(spark: SparkSession, spec: dict, sink_dir: str,
         out = _apply_timestamp(stream, ts_spec)
         if delay:
             out = out.withWatermark(TIME_COLUMN, delay)
-        gran = parse_granularity(gran_spec.get("queryGranularity", "hour"))
+        qg = gran_spec.get("queryGranularity", "hour")
+        gran = parse_granularity(qg)
         dims = [(d if isinstance(d, str) else d["name"])
                 for d in (ds.get("dimensionsSpec") or {}).get("dimensions") or []]
-        width = gran.period.millis if gran.period and not gran.period.is_calendar \
-            else 3_600_000
+        if gran.period is None or gran.period.is_calendar:
+            # Structured Streaming windows are fixed durations — silently
+            # rolling a month spec up to 1-hour buckets would store wrong
+            # __time values; refuse loudly (compaction can re-roll hourly
+            # output to calendar grain offline)
+            raise ValueError(
+                f"streaming rollup needs a fixed queryGranularity, got "
+                f"{qg!r} (calendar periods have no fixed width; ingest at "
+                "a fixed grain and compact to calendar grain offline)")
+        width = gran.period.millis
         # group on the window() column itself — extracting .start inside the
         # key hides the event-time column and defeats watermark propagation
         keys = [F.window(F.col(TIME_COLUMN), f"{width // 1000} seconds")] + \
