@@ -377,25 +377,34 @@ def _format_sql_rows(rows: list[dict], cols: list[str], body: dict):
     header = bool(body.get("header"))
 
     if fmt == "object":
-        return rows
+        # ObjectWriter.writeHeader: header=true prepends a {col: null} row
+        return ([{c: None for c in cols}] + rows) if header else rows
     if fmt == "array":
         out = [[r[c] for c in cols] for r in rows]
         return ([cols] + out) if header else out
     if fmt == "objectLines":
-        return "\n".join(json.dumps(r) for r in rows) + "\n"
+        # ObjectLinesWriter: optional header row, then one JSON object per
+        # line, terminated by a BLANK line (writeResponseEnd emits '\n\n' —
+        # the marker streaming clients use to detect truncation)
+        lines = [json.dumps(r) for r in rows]
+        if header:
+            lines.insert(0, json.dumps({c: None for c in cols}))
+        return "\n".join(lines) + "\n\n"
     if fmt == "arrayLines":
         lines = [json.dumps([r[c] for c in cols]) for r in rows]
         if header:
             lines.insert(0, json.dumps(cols))
-        return "\n".join(lines) + "\n"
+        return "\n".join(lines) + "\n\n"
     if fmt == "csv":
+        # CsvWriter: '\n' line endings (not Python csv's default '\r\n'),
+        # trailing blank-line terminator like the lines formats
         buf = io.StringIO()
-        w = csv.writer(buf)
+        w = csv.writer(buf, lineterminator="\n")
         if header:
             w.writerow(cols)
         for r in rows:
             w.writerow([r[c] for c in cols])
-        return buf.getvalue()
+        return buf.getvalue() + "\n"
     raise ValueError(f"unknown resultFormat {fmt!r}")
 
 

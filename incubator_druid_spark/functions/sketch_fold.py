@@ -368,42 +368,92 @@ def prefold_partials(sub: DataFrame, key_names: list[str],
 def grouped_agg(df: DataFrame, key_cols: list[Column], aggs: list[Column],
                 folds: list[SketchFold]) -> DataFrame:
     """groupBy(key_cols).agg(aggs + fold merges) with the fold merges routed
-    through prefold_partials so no group ever materializes its raw sketch
-    list.  With no folds this is exactly the plain groupBy/agg."""
+    through side aggregations joined back on the group keys:
+
+    - "theta"/"doubles"/"centroid" folds run through prefold_partials so no
+      group ever materializes its raw sketch list;
+    - "mvd_explode" folds (cardinality byValue over a multi-value dim) run
+      the fold's agg over an EXPLODED (keys, element) sub-frame -- per-
+      element HLL inserts, matching the reference's hashValues, without
+      multiplying rows for the other aggregators.
+
+    With no folds this is exactly the plain groupBy/agg."""
     if not folds:
         if not key_cols:
             return df.agg(*aggs)
         return df.groupBy(*key_cols).agg(*aggs)
 
-    sub = df.select(*key_cols, *[f.expr.alias(f.src) for f in folds])
-    key_names = sub.columns[:len(key_cols)]
-    folded = prefold_partials(sub, key_names, folds)
-    subagg = folded.groupBy(*key_names).agg(*[f.agg for f in folds])
+    sk = [f for f in folds if f.kind != "mvd_explode"]
+    mvd = [f for f in folds if f.kind == "mvd_explode"]
 
-    if not aggs:
-        out, main_names = subagg, key_names
+    def _grp(frame, key_names, agg_cols):
+        return (frame.groupBy(*key_names).agg(*agg_cols) if key_names
+                else frame.agg(*agg_cols))
+
+    sides = []  # (aggregated frame, [out_name], fill_zero)
+    key_names: list[str] = []
+    if sk:
+        sub = df.select(*key_cols, *[f.expr.alias(f.src) for f in sk])
+        key_names = sub.columns[:len(key_cols)]
+        folded = prefold_partials(sub, key_names, sk)
+        sides.append((_grp(folded, key_names, [f.agg for f in sk]),
+                      [f.out_name for f in sk], False))
+    for f in mvd:
+        sub = df.select(*key_cols, F.explode(f.expr).alias(f.src))
+        if not key_names:
+            key_names = sub.columns[:len(key_cols)]
+        # a group whose arrays are all empty vanishes from the exploded
+        # frame -- its estimate is 0.0 (empty HLL), not null
+        sides.append((_grp(sub, key_names, [f.agg]), [f.out_name], True))
+
+    if aggs:
+        main = _grp(df, key_cols, aggs)
     else:
-        main = df.groupBy(*key_cols).agg(*aggs) if key_cols else df.agg(*aggs)
-        main_names = main.columns
+        main = sides[0][0]
+        if sides[0][2]:
+            main = main.select(*key_names,
+                               *[F.coalesce(F.col(n), F.lit(0.0)).alias(n)
+                                 for n in sides[0][1]])
+        sides = sides[1:]
+    main_names = main.columns
+
+    out = main
+    for frame, names, fill in sides:
+        picked = [F.coalesce(frame[n], F.lit(0.0)).alias(n) if fill
+                  else frame[n].alias(n) for n in names]
         if key_names:
             cond = reduce(Column.__and__,
-                          [main[k].eqNullSafe(subagg[k]) for k in key_names])
-            out = main.join(subagg, cond, "left")
+                          [out[k].eqNullSafe(frame[k]) for k in key_names])
+            out = (out.join(frame, cond, "left")
+                      .select(*[out[c] for c in out.columns], *picked))
         else:
-            # two single-row global aggregates; a literal key avoids a bare
+            # single-row global aggregates; a literal key avoids a bare
             # cross join while staying a broadcast-able 1x1 combine
-            main = main.withColumn("__sfj", F.lit(1))
-            subagg = subagg.withColumn("__sfj", F.lit(1))
-            out = main.join(subagg, "__sfj", "left").drop("__sfj")
-        out = out.select(*[main[c] for c in main_names],
-                         *[subagg[f.out_name] for f in folds])
+            left = out.withColumn("__sfj", F.lit(1))
+            right = frame.withColumn("__sfj", F.lit(1))
+            out = (left.join(right, "__sfj", "left")
+                       .select(*[left[c] for c in out.columns], *picked))
 
     # restore the query's aggregator order: keys, then specs in order
     n_keys = len(key_names) if (not aggs or key_names) else 0
     keys_out = list(main_names[:n_keys]) if aggs else key_names
     agg_names = [c for c in main_names[n_keys:]] if aggs else []
+    if not aggs:
+        agg_names = [c for c in main_names if c not in key_names]
     ordered, it = [], iter(agg_names)
     by_pos = {f.pos: f.out_name for f in folds}
+    seen = set()
+    ordered = []
     for i in range(len(agg_names) + len(folds)):
-        ordered.append(by_pos[i] if i in by_pos else next(it))
-    return out.select(*keys_out, *ordered)
+        if i in by_pos:
+            ordered.append(by_pos[i])
+            seen.add(by_pos[i])
+        else:
+            ordered.append(next(it))
+    # out_names already present in main (the aggs-empty case) must not
+    # duplicate
+    final = []
+    for n in ordered:
+        if n not in final:
+            final.append(n)
+    return out.select(*keys_out, *final)

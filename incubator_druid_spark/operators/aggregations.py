@@ -406,9 +406,18 @@ def _firstlast_order(ctx) -> Column:
     tie-break; without it ties are arbitrary, same as a Druid segment
     written from unordered input."""
     tcol = F.col(TIME_COLUMN)
-    if hasattr(ctx, "data_type") and ctx.data_type("__rowid") is not None:
-        return F.struct(tcol.alias("t"), ctx.resolve("__rowid").alias("r"))
-    return tcol
+    base = ctx._ctx if isinstance(ctx, _WhenContext) else ctx
+    if hasattr(base, "data_type") and base.data_type("__rowid") is not None:
+        order = F.struct(tcol.alias("t"), base.resolve("__rowid").alias("r"))
+    else:
+        order = tcol
+    if isinstance(ctx, _WhenContext):
+        # FILTERED first/last: min_by/max_by skip rows whose ORDERING is
+        # null, so masking the order restricts the pick to matching rows —
+        # an unmasked order would select the globally-first row and return
+        # its masked-NULL value (FilteredAggregator only sees matches)
+        order = F.when(ctx._pred, order)
+    return order
 
 
 def _firstlast_cast(t: str, val: Column) -> Column:
@@ -527,7 +536,14 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # ANY_VALUE over a column whose first row is null returns null);
         # timestamp fields read as epoch-millis longs (fnum), like
         # first/last above
-        return F.any_value(_firstlast_cast(t, fnum()), ignoreNulls=False)
+        val = _firstlast_cast(t, fnum())
+        if isinstance(ctx, _WhenContext):
+            # FILTERED any: pick some MATCHING row (whose own value may
+            # legitimately be null) — struct-wrapping keeps match rows
+            # non-null for the ignoreNulls pick while preserving a null v
+            return F.any_value(F.when(ctx._pred, F.struct(val.alias("v"))),
+                               ignoreNulls=True)["v"]
+        return F.any_value(val, ignoreNulls=False)
     if t == "cardinality":
         # cardinality/CardinalityAggregatorFactory.java — HLL over dims.
         # byRow=true counts distinct tuples; false counts union of value sets.
@@ -550,15 +566,52 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         def _is_complex(d):
             name = d if isinstance(d, str) else d.get("dimension")
             return name is not None and ctx.is_binary(name)
+        def _is_mvd(d):
+            # array only when no extraction fn (fns flatten to scalar text)
+            if isinstance(d, dict) and d.get("extractionFn") is not None:
+                return False
+            name = d if isinstance(d, str) else d.get("dimension")
+            return name is not None and ctx.is_array(name)
         specs_in = [d for d in spec["fields"] if not _is_complex(d)]
         if not specs_in:
             return F.lit(0.0)
         fields = [_spec_col(d) for d in specs_in]
+        mvd_flags = [_is_mvd(d) for d in specs_in]
         if spec.get("byRow"):
+            # an MVD row hashes as its SORTED u0001-joined tuple (nulls
+            # render u0000), and an empty row adds nothing
+            # (StringCardinalityAggregatorColumnSelectorStrategy.hashRow)
+            fields = [
+                F.when(F.size(fld) > 0,
+                       F.array_join(F.sort_array(fld), "\u0001",
+                                    null_replacement="\u0000"))
+                if mv else fld
+                for fld, mv in zip(fields, mvd_flags)]
             if len(fields) == 1:
                 return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(fields[0])))
             return F.hll_sketch_estimate(
                 F.hll_sketch_agg(F.to_json(F.struct(*fields))))
+        if any(mvd_flags):
+            # byValue over an MVD hashes EACH ELEMENT (hashValues) — a
+            # whole-array rendering would count distinct arrays.  Routed as
+            # an exploded side-aggregation through the fold machinery; one
+            # MVD field per cardinality agg is supported (Druid queries
+            # mixing an MVD with other fields in one cardinality agg are
+            # rare — refuse loudly rather than answer wrong).
+            if len(fields) != 1:
+                raise NotImplementedError(
+                    "cardinality byValue over an MVD mixed with other "
+                    "fields: split into separate cardinality aggregators")
+            from incubator_druid_spark.functions.sketch_fold import SketchFold
+            folds = getattr(_FOLD_TL, "folds", None)
+            if folds is None:
+                raise NotImplementedError(
+                    "cardinality byValue over an MVD needs the fold-enabled "
+                    "compile path (groupBy/timeseries/topN operators)")
+            fold = SketchFold(f"__sfold{len(folds)}", fields[0], "mvd_explode")
+            folds.append(fold)
+            return F.hll_sketch_estimate(
+                F.hll_sketch_agg(_hll_input(F.col(fold.src))))
         if len(fields) == 1:
             return F.hll_sketch_estimate(F.hll_sketch_agg(_hll_input(fields[0])))
         # byValue over multiple fields counts distinct values in the UNION of
@@ -745,20 +798,39 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return F.stddev_pop(f().cast("double"))
         return F.stddev_samp(f().cast("double"))
     if t == "histogram":
-        # HistogramAggregatorFactory.java — fixed breaks → counts per bucket
-        breaks = spec["breaks"]
-        conds = []
-        for i in range(len(breaks) - 1):
-            x = _field(spec, ctx).cast("double")
-            conds.append(F.count(F.when((x >= breaks[i]) & (x < breaks[i + 1]), 1)))
-        return F.array(*conds)
+        # HistogramAggregatorFactory.java finalizes to Histogram.asVisual()
+        # (Histogram.java:181-188): {breaks, counts (inner bins), quantiles
+        # [min, max] of the DATA incl. values outside the breaks}
+        breaks = [float(b) for b in spec["breaks"]]
+        x = _field(spec, ctx).cast("double")
+        conds = [
+            F.count(F.when((x >= breaks[i]) & (x < breaks[i + 1]), 1))
+             .cast("double")
+            for i in range(len(breaks) - 1)]
+        return F.struct(
+            F.array(*[F.lit(b) for b in breaks]).alias("breaks"),
+            F.array(*conds).alias("counts"),
+            F.array(F.min(x), F.max(x)).alias("quantiles"))
     if t == "fixedBucketsHistogram":
-        # histogram/FixedBucketsHistogramAggregatorFactory.java
+        # histogram/FixedBucketsHistogramAggregatorFactory.java; counts
+        # array per outlierHandlingMode (FixedBucketsHistogram.java):
+        # ignore drops outliers, clip counts them in the edge buckets,
+        # overflow keeps them out of the buckets (the separate outlier
+        # counters aren't represented in this engine's counts shape)
         lo, hi, n = float(spec["lowerLimit"]), float(spec["upperLimit"]), int(spec["numBuckets"])
+        mode = str(spec.get("outlierHandlingMode", "ignore")).lower()
         x = _field(spec, ctx).cast("double")
         w = (hi - lo) / n
-        conds = [F.count(F.when((x >= lo + i * w) & (x < lo + (i + 1) * w), 1))
-                 for i in range(n)]
+        conds = []
+        for i in range(n):
+            lo_ok = (x >= lo + i * w)
+            hi_ok = (x < lo + (i + 1) * w)
+            if mode == "clip":
+                if i == 0:
+                    lo_ok = x.isNotNull()  # anything below clips into 0
+                if i == n - 1:
+                    hi_ok = x.isNotNull()  # anything above clips into n-1
+            conds.append(F.count(F.when(lo_ok & hi_ok, 1)))
         return F.array(*conds)
     if t == "approxHistogramFold" or t == "approxHistogram":
         # histogram/ApproximateHistogramAggregatorFactory.java:258-263 —
@@ -800,6 +872,10 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         for i, g in enumerate(gs):
             out = out + F.grouping(F.col(g)).cast("long") * F.lit(1 << (n - 1 - i))
         return out
+    if t == "__grouping_const":
+        # grouping agg in a plain (no grouping sets) aggregation — see
+        # compile_aggregations' rewrite
+        return F.max(F.lit(0).cast("long"))
     if t in ("expressionLambda", "expression"):
         # AggregatorsModule.java:125 registers ExpressionLambdaAggregatorFactory
         # under the JSON name "expression" (the Druid docs call it the
@@ -1029,7 +1105,74 @@ def rewrite_sketch_query(query: dict) -> dict:
             by_name[a.get("name")] = a
     new_posts, extra_aggs, consumed = [], [], set()
     changed = False
+    _QFAM = ("quantilesDoublesSketchToQuantile",
+             "quantilesDoublesSketchToQuantiles",
+             "quantilesDoublesSketchToRank", "quantilesDoublesSketchToCDF",
+             "quantilesDoublesSketchToHistogram")
+
+    def _q_rewrite(node, top):
+        """Rewrite quantile-family reads ANYWHERE in a post-agg tree (a
+        node nested in an arithmetic post-agg must not silently fall back
+        to the sketch agg's p50 column) into synthesized percentile aggs;
+        a FILTERED quantilesDoublesSketch base unwraps and the synthesized
+        agg keeps the filter."""
+        nonlocal changed
+        if isinstance(node, list):
+            return [_q_rewrite(v, False) for v in node]
+        if not isinstance(node, dict):
+            return node
+        t0 = node.get("type")
+        if t0 in _QFAM:
+            ref = node.get("field", {}).get("fieldName")
+            base = by_name.get(ref)
+            inner = (base["aggregator"]
+                     if base and base.get("type") == "filtered" else base)
+            if inner and inner.get("type") == "quantilesDoublesSketch":
+                name = (node.get("name") if top
+                        else f"__qnode{len(extra_aggs)}")
+                extra = {"name": name, "fieldName": inner.get("fieldName"),
+                         "expression": inner.get("expression")}
+                if t0.endswith("ToQuantile"):
+                    extra.update(type="__percentile",
+                                 fractions=[node["fraction"]],
+                                 k=inner.get("k", 10000))
+                elif t0.endswith("ToQuantiles"):
+                    extra.update(type="__percentile",
+                                 fractions=node["fractions"],
+                                 k=inner.get("k", 10000))
+                elif t0.endswith("ToRank"):
+                    extra.update(type="__rank", value=node["value"])
+                elif t0.endswith("ToCDF"):
+                    extra.update(type="__cdf",
+                                 splitPoints=node["splitPoints"])
+                else:
+                    if node.get("splitPoints") is not None \
+                            and node.get("numBins") is not None:
+                        raise ValueError(
+                            "quantilesDoublesSketchToHistogram: cannot "
+                            "accept both 'splitPoints' and 'numBins'")
+                    extra.update(type="__pmf_histogram",
+                                 splitPoints=node.get("splitPoints"),
+                                 numBins=node.get("numBins"))
+                if base.get("type") == "filtered":
+                    extra = {"type": "filtered", "name": name,
+                             "filter": base["filter"], "aggregator": extra}
+                extra_aggs.append(extra)
+                consumed.add(ref)
+                changed = True
+                if top:
+                    return None  # the synthesized agg IS the result column
+                return {"type": "fieldAccess", "fieldName": name}
+        out_node = dict(node)
+        for k, v in node.items():
+            if isinstance(v, (dict, list)):
+                out_node[k] = _q_rewrite(v, False)
+        return out_node
+
     for p in posts:
+        p = _q_rewrite(p, top=True)
+        if p is None:
+            continue
         t = p.get("type")
         if t == "thetaSketchEstimate" and \
                 p.get("field", {}).get("type") == "thetaSketchSetOp":
@@ -1037,42 +1180,6 @@ def rewrite_sketch_query(query: dict) -> dict:
             if rewritten is not None:
                 new_posts.append(rewritten)
                 consumed.update(_setop_refs(p["field"]))
-                changed = True
-                continue
-        if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles"):
-            ref = p.get("field", {}).get("fieldName")
-            base = by_name.get(ref)
-            if base and base.get("type") == "quantilesDoublesSketch":
-                fracs = [p["fraction"]] if t.endswith("ToQuantile") else p["fractions"]
-                extra_aggs.append({"type": "__percentile", "name": p["name"],
-                                   "fieldName": base.get("fieldName"),
-                                   "expression": base.get("expression"),
-                                   "fractions": fracs,
-                                   "k": base.get("k", 10000)})
-                consumed.add(ref)
-                changed = True
-                continue
-        if t in ("quantilesDoublesSketchToRank", "quantilesDoublesSketchToCDF",
-                 "quantilesDoublesSketchToHistogram"):
-            ref = p.get("field", {}).get("fieldName")
-            base = by_name.get(ref)
-            if base and base.get("type") == "quantilesDoublesSketch":
-                extra = {"name": p["name"], "fieldName": base.get("fieldName"),
-                         "expression": base.get("expression")}
-                if t.endswith("ToRank"):
-                    extra.update(type="__rank", value=p["value"])
-                elif t.endswith("ToCDF"):
-                    extra.update(type="__cdf", splitPoints=p["splitPoints"])
-                else:
-                    if p.get("splitPoints") is not None and p.get("numBins") is not None:
-                        raise ValueError(
-                            "quantilesDoublesSketchToHistogram: cannot accept "
-                            "both 'splitPoints' and 'numBins'")
-                    extra.update(type="__pmf_histogram",
-                                 splitPoints=p.get("splitPoints"),
-                                 numBins=p.get("numBins"))
-                extra_aggs.append(extra)
-                consumed.add(ref)
                 changed = True
                 continue
         if t in ("arrayOfDoublesSketchToEstimate",
@@ -1142,6 +1249,25 @@ def rewrite_sketch_query(query: dict) -> dict:
     still_needed = set()
     for p in new_posts:
         _refs(p, still_needed)
+
+    # having specs ({"aggregation": name} / dim-filter forms) and limitSpec
+    # columns may also reference a consumed sketch agg — dropping it would
+    # unresolve their columns
+    def _having_refs(node, acc):
+        if isinstance(node, dict):
+            for k in ("aggregation", "dimension", "fieldName"):
+                v = node.get(k)
+                if isinstance(v, str):
+                    acc.add(v)
+            for v in node.values():
+                _having_refs(v, acc)
+        elif isinstance(node, list):
+            for v in node:
+                _having_refs(v, acc)
+
+    _having_refs(query.get("having"), still_needed)
+    for c in (query.get("limitSpec") or {}).get("columns") or []:
+        still_needed.add(c if isinstance(c, str) else c.get("dimension"))
     aggs = [a for a in aggs
             if _agg_name(a) not in consumed or _agg_name(a) in still_needed]
     out = dict(query)
@@ -1274,6 +1400,13 @@ def compile_aggregations(specs: list[dict] | None, ctx: FilterContext,
     if query is not None and (query.get("context") or {}) \
             .get("finalize") is False:
         return compile_rollup_aggregations(specs, ctx)
+    if query is not None and query.get("subtotalsSpec") is None:
+        # grouping agg OUTSIDE grouping sets: keyDimensions is null, so
+        # every listed dimension counts as included → constant 0
+        # (GroupingAggregatorFactory.java:69 'with keyDimensions as null');
+        # Spark's grouping() would refuse outside GroupingSets/Cube/Rollup
+        specs = [{"type": "__grouping_const", "name": s.get("name")}
+                 if s.get("type") == "grouping" else s for s in specs]
     prev = getattr(_FOLD_TL, "folds", None)
     _FOLD_TL.folds = folds
     try:

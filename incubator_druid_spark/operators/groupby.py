@@ -135,13 +135,13 @@ def _subtotals(df: DataFrame, keys, dim_names, subtotals, agg_specs,
     sets = [[qcol(d) for d in dim_names if d in subset] for subset in subtotals]
     if time_keys:
         sets = [[qcol(t) for t in time_keys] + s for s in sets]
-    aggs = []
-    for spec in agg_specs:
-        if spec.get("type") == "grouping":
-            aggs.append(F.grouping_id(*[qcol(g) for g in spec["groupings"]])
-                        .alias(spec.get("name", "grouping")))
-        else:
-            aggs.append(compile_aggregator(spec, ctx))
+    # grouping aggs compile to the order-independent composed F.grouping
+    # bits (aggregations.py) — F.grouping_id would demand its argument list
+    # match ALL grouping columns (incl. time keys) exactly, crashing valid
+    # subset/reordered `groupings` lists
+    from incubator_druid_spark.functions.lookups import flush_lookup_joins
+    aggs = [compile_aggregator(spec, ctx) for spec in agg_specs]
+    df = flush_lookup_joins(df)  # large-lookup refs inside the aggregators
     grouped = df.groupingSets(sets, *[qcol(k) for k in keys])
     return grouped.agg(*aggs)
 

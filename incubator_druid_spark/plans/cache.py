@@ -20,18 +20,26 @@ one-query-per-request execution model.
 from __future__ import annotations
 
 import json
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MAX_ENTRIES = 64
 _CACHE: OrderedDict[str, DataFrame] = OrderedDict()
+# ThreadingHTTPServer serves concurrent requests: the OrderedDict's
+# move_to_end/pop/popitem must not interleave
+_LOCK = threading.Lock()
 
 
 def cache_key(query: dict) -> str:
     """Canonical cache key: the query JSON minus cache/priority context flags
     (two queries differing only in cache directives share results — same rule
-    as CacheKey generation skipping context)."""
+    as CacheKey generation skipping context).  The registered-lookup version
+    is folded in: Druid refuses to cache lookup-dependent queries
+    (CacheStrategy), since a lookup re-registration would serve stale
+    results — versioning the key achieves the same safety while still
+    caching between lookup updates."""
     q = dict(query)
     ctx = dict(q.pop("context", None) or {})
     for k in ("useCache", "populateCache", "priority", "lane", "timeout",
@@ -39,7 +47,9 @@ def cache_key(query: dict) -> str:
         ctx.pop(k, None)
     if ctx:
         q["context"] = ctx
-    return json.dumps(q, sort_keys=True, default=str)
+    from incubator_druid_spark.functions.lookups import lookup_version
+    return json.dumps(q, sort_keys=True, default=str) + \
+        f"#lkv{lookup_version()}"
 
 
 def lookup(query: dict) -> DataFrame | None:
@@ -47,9 +57,10 @@ def lookup(query: dict) -> DataFrame | None:
     if not ctx.get("useCache"):
         return None
     key = cache_key(query)
-    df = _CACHE.get(key)
-    if df is not None:
-        _CACHE.move_to_end(key)
+    with _LOCK:
+        df = _CACHE.get(key)
+        if df is not None:
+            _CACHE.move_to_end(key)
     return df
 
 
@@ -58,20 +69,26 @@ def populate(query: dict, df: DataFrame) -> DataFrame:
     if not ctx.get("populateCache"):
         return df
     key = cache_key(query)
-    old = _CACHE.pop(key, None)
-    if old is not None:
-        old.unpersist()
     df = df.persist()
-    _CACHE[key] = df
-    while len(_CACHE) > _MAX_ENTRIES:
-        _, evicted = _CACHE.popitem(last=False)
-        evicted.unpersist()
+    evicted = []
+    with _LOCK:
+        old = _CACHE.pop(key, None)
+        if old is not None:
+            evicted.append(old)
+        _CACHE[key] = df
+        while len(_CACHE) > _MAX_ENTRIES:
+            _, e = _CACHE.popitem(last=False)
+            evicted.append(e)
+    for e in evicted:  # unpersist outside the lock (py4j roundtrip)
+        e.unpersist()
     return df
 
 
 def clear() -> None:
-    while _CACHE:
-        _, df = _CACHE.popitem()
+    with _LOCK:
+        entries = list(_CACHE.values())
+        _CACHE.clear()
+    for df in entries:
         df.unpersist()
 
 
