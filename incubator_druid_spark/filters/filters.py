@@ -108,18 +108,21 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
                     if isinstance(ty, T.StringType)}
         target = mvd_map_target(spec["expression"], arr_cols)
         if target is not None:
+            from incubator_druid_spark.functions.druid_expr import \
+                druid_truthy
             # MVD elements are strings — tag the mapped variable too
             return F.exists(
                 ctx.resolve(target),
-                lambda x: compile_expr(
+                lambda x: druid_truthy(compile_expr(
                     spec["expression"],
                     lambda n, _x=x: _x if n == target
                     else ctx.resolve(n),
                     str_cols | {target},
-                    arr_cols - {target}).cast("boolean"))
+                    arr_cols - {target})))
     if t == "expression":  # ExpressionDimFilter.java
-        from incubator_druid_spark.functions.druid_expr import compile_expr
-        str_cols = arr_cols = int_cols = None
+        from incubator_druid_spark.functions.druid_expr import (compile_expr,
+                                                                druid_truthy)
+        str_cols = arr_cols = int_cols = num_cols = None
         if isinstance(ctx, FilterContext):
             str_cols = {n for n, ty in ctx._types.items()
                         if isinstance(ty, T.StringType)}
@@ -128,8 +131,14 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
             int_cols = {n for n, ty in ctx._types.items()
                         if isinstance(ty, (T.LongType, T.IntegerType,
                                            T.ShortType, T.ByteType))}
-        return compile_expr(spec["expression"], ctx.resolve,
-                            str_cols, arr_cols, int_cols).cast("boolean")
+            num_cols = {n for n, ty in ctx._types.items()
+                        if isinstance(ty, (T.DoubleType, T.FloatType,
+                                           T.DecimalType))}
+        # ExpressionFilter applies Evals.asBoolean to the VALUE: a number
+        # matches iff > 0 (a boolean cast would match any non-zero)
+        return druid_truthy(compile_expr(spec["expression"], ctx.resolve,
+                                         str_cols, arr_cols, int_cols,
+                                         num_cols))
     if t == "interval":  # IntervalDimFilter.java — __time ∈ intervals
         col = _dim_col(spec, ctx)
         ivs = parse_intervals(spec["intervals"])
@@ -152,8 +161,12 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
                 col = F.unix_millis(col)
         if fn is not None:
             col = compile_extraction(fn, col)
+        # IntervalDimFilter.makeBoundDimFilters converts to NUMERIC-ordering
+        # bound filters (BigDecimal comparison): ANY parseable number
+        # matches, not just strictly-integral strings — a double column's
+        # '1.301616E12' rendering or '...000.5' must compare numerically
         s = col.cast("string")
-        millis = F.when(s.rlike(r"^-?\d+$"), s.cast("long"))
+        millis = s.cast("decimal(38,6)")
         preds = [(millis >= F.lit(a)) & (millis < F.lit(b))
                  for a, b in ivs]
         out = preds[0]

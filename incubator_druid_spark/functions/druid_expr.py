@@ -59,8 +59,33 @@ def _lex(s: str) -> list[tuple[str, str]]:
     return out
 
 
+_JAVA_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+                 "\\": "\\", "'": "'", '"': '"', "/": "/", "0": "\0"}
+
+
 def _unquote(s: str) -> str:
-    return re.sub(r"\\(.)", r"\1", s[1:-1])
+    """Java-unescape a quoted literal (ExprListenerImpl.escapeStringLiteral
+    → StringEscapeUtils.unescapeJava): '\\t' is a TAB, '\\uXXXX' a code
+    point — merely stripping the backslash would turn '\\t' into 't'."""
+    body, out, i = s[1:-1], [], 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt == "u" and i + 5 < n:
+                try:
+                    out.append(chr(int(body[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            out.append(_JAVA_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _c(x) -> Column:
@@ -68,8 +93,29 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.lit(x)
 
 
-def _as_bool(x) -> Column:
-    return _c(x).cast("boolean")
+def _as_bool(x, is_string: bool = False) -> Column:
+    """Druid truthiness (Evals.asBoolean): numbers are true iff > 0 —
+    Spark's boolean cast would make every non-zero (incl. negatives) true —
+    and strings via Boolean.parseBoolean (only 'true', case-insensitive).
+    null is falsy (a null predicate never matches)."""
+    if isinstance(x, bool):
+        return F.lit(x)
+    if isinstance(x, (int, float)):
+        return F.lit(x > 0)
+    if isinstance(x, str):
+        return F.lit(x.lower() == "true")
+    if is_string:
+        return F.lower(x.cast("string")) == "true"
+    d = x.cast("double")  # bool → 1.0/0.0; unparseable string → null
+    return (F.when(d.isNotNull(), d > F.lit(0.0))
+             .otherwise(F.lower(x.cast("string")) == "true"))
+
+
+def druid_truthy(col: Column) -> Column:
+    """Public truthiness wrapper for expression FILTER contexts
+    (ExpressionFilter applies Evals.asBoolean to the expression value —
+    a plain boolean cast wrongly matches negative numbers)."""
+    return _as_bool(col)
 
 
 def lit_val(x):
@@ -105,6 +151,9 @@ class _Parser:
         # ids of Columns known integral (long/int) — lets round() keep the
         # exact LONG path instead of the double NaN/Inf guard
         self.integral_ids: set[int] = set()
+        # ids of Columns known numeric-but-not-integral (float/double) —
+        # with integral_ids, drives the mixed string/number `+` dispatch
+        self.numeric_ids: set[int] = set()
         # Strong references to every tagged Column: id() is only unique among
         # LIVE objects, and CPython recycles a freed Column's id for the next
         # same-type allocation — an untagged Column could alias a freed tagged
@@ -127,6 +176,11 @@ class _Parser:
         self._pinned.append(col)
         return col
 
+    def tag_numeric(self, col: Column) -> Column:
+        self.numeric_ids.add(id(col))
+        self._pinned.append(col)
+        return col
+
     def peek(self):
         return self.toks[self.i]
 
@@ -146,18 +200,28 @@ class _Parser:
             raise ValueError(f"trailing input at {self.peek()!r}")
         return e
 
+    def truthy(self, x) -> Column:
+        return _as_bool(x, isinstance(x, Column)
+                        and id(x) in self.string_ids)
+
     def parse_or(self):
+        # Druid TRUTHINESS on each operand (Evals.asBoolean: numbers > 0,
+        # strings parseBoolean) — a plain boolean cast would make negative
+        # numbers truthy.  The result is boolean (in Druid's LONG-based
+        # type system BinOrExpr passes the operand VALUE through, but its
+        # comparisons are longs 1/0, so the distinction only shows on
+        # non-boolean operands; Spark's typed CaseWhen can't mix those).
         left = self.parse_and()
         while self.peek()[1] == "||":
             self.next()
-            left = _as_bool(left) | _as_bool(self.parse_and())
+            left = self.truthy(left) | self.truthy(self.parse_and())
         return left
 
     def parse_and(self):
         left = self.parse_cmp()
         while self.peek()[1] == "&&":
             self.next()
-            left = _as_bool(left) & _as_bool(self.parse_cmp())
+            left = self.truthy(left) & self.truthy(self.parse_cmp())
         return left
 
     def parse_cmp(self):
@@ -196,13 +260,30 @@ class _Parser:
             right = self.parse_mul()
             if not isinstance(left, Column) and not isinstance(right, Column):
                 left = left + right if op == "+" else left - right
-            elif op == "+" and (isinstance(left, str) or isinstance(right, str)
-                                or self._is_string_col(left)
-                                or self._is_string_col(right)):
-                # BinPlusExpr.evalString: `+` with a STRING operand
-                # concatenates (`quality + 'x'` → 'automotivex').  A concat
-                # RESULT is itself string-typed, so the chain
+                continue
+            l_str = isinstance(left, str) or self._is_string_col(left)
+            r_str = isinstance(right, str) or self._is_string_col(right)
+            l_num = self._is_numeric(left)
+            r_num = self._is_numeric(right)
+            if op == "+" and l_str and r_str:
+                # ExprTypeConversion.autoDetect: STRING only when BOTH
+                # sides are STRING → BinPlusExpr.evalString concatenates.
+                # A concat RESULT is itself string-typed, so the chain
                 # `market + ' ' + market` keeps concatenating (tag below).
+                left = self.tag_string(F.concat(_c(left).cast("string"),
+                                                _c(right).cast("string")))
+            elif (l_str and r_num) or (r_str and l_num):
+                # MIXED string/numeric: numeric(STRING, LONG/DOUBLE) =
+                # DOUBLE — the string side parses (unparseable → null),
+                # it does NOT concatenate ('5' + 1 is 6.0 in Druid)
+                left = (_c(left).cast("double") + _c(right).cast("double")
+                        if op == "+"
+                        else _c(left).cast("double")
+                        - _c(right).cast("double"))
+            elif op == "+" and (l_str or r_str):
+                # one side KNOWN string, other an untyped column: presume
+                # string (the common `'prefix' + dim` shape in untyped
+                # resolver contexts)
                 left = self.tag_string(F.concat(_c(left).cast("string"),
                                                 _c(right).cast("string")))
             else:
@@ -217,9 +298,17 @@ class _Parser:
 
     def _is_integral(self, x) -> bool:
         """Python int literal or a Column tagged long/int — propagated
-        through + - * % so round() can keep exact LONG arithmetic."""
+        through + - * / % so round() can keep exact LONG arithmetic and
+        `/` keeps Java long-division semantics."""
         return ((isinstance(x, int) and not isinstance(x, bool))
                 or (isinstance(x, Column) and id(x) in self.integral_ids))
+
+    def _is_numeric(self, x) -> bool:
+        """Python number or a Column tagged any-numeric (superset of
+        integral) — drives the mixed string/number `+` dispatch."""
+        return ((isinstance(x, (int, float)) and not isinstance(x, bool))
+                or (isinstance(x, Column) and (id(x) in self.numeric_ids
+                                               or id(x) in self.integral_ids)))
 
     def parse_mul(self):
         left = self.parse_pow()
@@ -227,14 +316,31 @@ class _Parser:
             op = self.next()[1]
             right = self.parse_pow()
             if not isinstance(left, Column) and not isinstance(right, Column):
-                left = {"*": left * right, "/": left / right, "%": left % right}[op]
-            else:
-                res = {"*": _c(left) * right, "/": _c(left) / right,
-                       "%": _c(left) % right}[op]
-                if op in ("*", "%") and self._is_integral(left) \
-                        and self._is_integral(right):
-                    res = self.tag_integral(res)
-                left = res
+                if op == "/" and isinstance(left, int) \
+                        and isinstance(right, int) \
+                        and not isinstance(left, bool) \
+                        and not isinstance(right, bool) and right != 0:
+                    # Java long division truncates TOWARD ZERO
+                    q = abs(left) // abs(right)
+                    left = q if (left < 0) == (right < 0) else -q
+                else:
+                    left = {"*": left * right, "/": left / right,
+                            "%": left % right}[op]
+                continue
+            if op == "/" and self._is_integral(left) \
+                    and self._is_integral(right):
+                # BinDivExpr LONG/LONG is Java long division (truncating)
+                # — Spark `/` is always double.  Spark's `div` function
+                # has the exact semantics, JVM-side on longs.
+                left = self.tag_integral(F.call_function(
+                    "div", _c(left).cast("long"), _c(right).cast("long")))
+                continue
+            res = {"*": _c(left) * right, "/": _c(left) / right,
+                   "%": _c(left) % right}[op]
+            if op in ("*", "%") and self._is_integral(left) \
+                    and self._is_integral(right):
+                res = self.tag_integral(res)
+            left = res
         return left
 
     def parse_pow(self):
@@ -462,8 +568,11 @@ def _registry() -> dict:
 
     _EXTRACT = {
         # TimestampExtractExprMacro.java:113-154 — EPOCH is seconds;
-        # MILLISECOND is millis-of-second
+        # MILLISECOND is millis-of-second.  EPOCH/MICROSECOND are handled
+        # tz-INDEPENDENTLY in timestamp_extract (getMillis() ignores the
+        # chronology zone) — listed here only for unit validation.
         "EPOCH": F.unix_timestamp,
+        "MICROSECOND": lambda c: (F.unix_timestamp(c) / 1000).cast("long"),
         # pmod, not %: Joda millisOfSecond().get() is always 0..999, but
         # Spark's % keeps the sign for pre-1970 timestamps
         "MILLISECOND": lambda c: F.pmod(F.unix_millis(c), F.lit(1000)),
@@ -484,10 +593,15 @@ def _registry() -> dict:
     def timestamp_extract(p, ts, unit, tz=None):
         # query/expression/TimestampExtractExprMacro.java
         c = _ts_c(ts)
+        u = lit_str(unit).upper()
         z = lit_str(tz)
+        if u in ("EPOCH", "MICROSECOND"):
+            # dateTime.getMillis()/1000 — the INSTANT, regardless of the
+            # chronology's zone; shifting first would skew by the offset
+            return _EXTRACT[u](c)
         if z and z != "UTC":
             c = F.from_utc_timestamp(c, z)
-        return _EXTRACT[lit_str(unit).upper()](c)
+        return _EXTRACT[u](c)
 
     def timestamp_parse(p, s, fmt=None, tz=None):
         # query/expression/TimestampParseExprMacro.java — the timeZone arg
@@ -651,17 +765,39 @@ def _registry() -> dict:
         b = _c(b)
         return F.when(b == 0, F.lit(None)).otherwise(_c(a) / b)
 
+    _IPV4_RE = (r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+                r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$")
+
+    def _ipv4_long(p, x):
+        """Uint32 value of an address operand, null when invalid — the
+        reference's macros dispatch LONG inputs numerically (validated to
+        the uint32 range) and STRING inputs as dotted-quad (invalid →
+        null); a LONG column stringifies to bare digits here, so the
+        runtime branch recovers the numeric path."""
+        if isinstance(x, int) and not isinstance(x, bool):
+            return F.lit(x if 0 <= x <= 0xFFFFFFFF else None).cast("long")
+        c = _c(x)
+        if isinstance(x, Column) and id(x) in p.integral_ids:
+            return F.when((c >= 0) & (c <= 0xFFFFFFFF), c.cast("long"))
+        s = c.cast("string")
+        o = F.split(s, r"\.")
+        dotted = (F.get(o, 0).cast("long") * 16777216
+                  + F.get(o, 1).cast("long") * 65536
+                  + F.get(o, 2).cast("long") * 256 + F.get(o, 3).cast("long"))
+        num = s.cast("long")
+        return (F.when(s.rlike(_IPV4_RE), dotted)
+                 .when(s.rlike(r"^\d+$") & (num <= 0xFFFFFFFF), num))
+
     def _ipv4_parse(p, s):
-        o = F.split(_c(s), r"\.")
-        return (F.get(o, 0).cast("long") * 16777216 + F.get(o, 1).cast("long") * 65536
-                + F.get(o, 2).cast("long") * 256 + F.get(o, 3).cast("long"))
+        return _ipv4_long(p, s)
 
     def _ipv4_stringify(p, n):
-        n = _c(n).cast("long")
-        return F.concat_ws(".", ((n / 16777216).cast("long") % 256).cast("string"),
-                           ((n / 65536).cast("long") % 256).cast("string"),
-                           ((n / 256).cast("long") % 256).cast("string"),
-                           (n % 256).cast("string"))
+        v = _ipv4_long(p, n)
+        return F.when(v.isNotNull(), F.concat_ws(
+            ".", ((v / 16777216).cast("long") % 256).cast("string"),
+            ((v / 65536).cast("long") % 256).cast("string"),
+            ((v / 256).cast("long") % 256).cast("string"),
+            (v % 256).cast("string")))
 
     def _ipv4_match(p, addr, subnet):
         s = lit_str(subnet)
@@ -670,11 +806,9 @@ def _registry() -> dict:
         ip = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
         mask = (0xFFFFFFFF << (32 - int(bits))) & 0xFFFFFFFF if bits else 0xFFFFFFFF
         lo, hi = ip & mask, (ip & mask) | (~mask & 0xFFFFFFFF)
-        a = _ipv4_parse(p, addr) if _maybe_string(addr) else _c(addr)
-        return (a >= lo) & (a <= hi)
-
-    def _maybe_string(x):
-        return True
+        a = _ipv4_long(p, addr)
+        # invalid address never matches (macro returns false, not null)
+        return F.coalesce((a >= lo) & (a <= hi), F.lit(False))
 
     def _parse_long(p, s, radix=None):
         if radix is not None and lit_val(radix) not in (None, 10):
@@ -687,9 +821,28 @@ def _registry() -> dict:
             return F.conv(c, r, 10).cast("long")
         return _c(s).cast("long")
 
-    def _human_readable(p, x, precision=None):
-        prec = int(lit_val(precision)) if precision is not None else 2
-        return F.format_number(_c(x).cast("double"), prec)
+    def _human_readable(units, base):
+        # HumanReadableBytes-style unit scaling (these functions postdate
+        # the 0.22 reference; implemented to the documented contract):
+        # divide by base until < base, suffix the unit, default precision 2
+        def fn(p, x, precision=None):
+            prec = int(lit_val(precision)) if precision is not None else 2
+            v = _c(x).cast("double")
+            a = F.abs(v)
+
+            def fmt(col):
+                return F.format_string(f"%.{prec}f", col)
+
+            out = F.concat(fmt(v), F.lit(units[0]))
+            for i, u in enumerate(units[1:], start=1):
+                lo = float(base) ** i
+                hi = float(base) ** (i + 1)
+                cond = (a >= lo) & (a < hi) if i < len(units) - 1 \
+                    else (a >= lo)
+                out = F.when(cond, F.concat(fmt(v / F.lit(lo)), F.lit(u))) \
+                       .otherwise(out)
+            return F.when(v.isNotNull(), out)
+        return fn
 
     def _array_slice(p, a, s, e=None):
         st = int(lit_val(s))
@@ -709,8 +862,20 @@ def _registry() -> dict:
         return _c(a)
 
     def _string_to_array(p, s, sep):
-        sv = lit_str(sep)
-        return F.split(_c(s), re.escape(sv) if sv is not None else sep)
+        # StringToArrayFunction uses Java String.split: the separator is a
+        # REGEX and trailing empty strings are dropped (limit 0).  Emulate
+        # the trailing-drop by stripping trailing separator runs first; a
+        # separators-only string splits to the EMPTY array.
+        pat = lit_str(sep)
+        if pat is None:
+            return F.split(_c(s), sep)
+        sc = _c(s).cast("string")
+        trimmed = F.regexp_replace(sc, f"(?:{pat})+$", "")
+        # Java quirks: "".split(x) is [""], but a separators-only string
+        # drops every trailing empty and yields []
+        return (F.when(sc == "", F.array(F.lit("")))
+                 .when(trimmed == "", F.array().cast("array<string>"))
+                 .otherwise(F.split(trimmed, pat)))
 
     r: dict = {
         # -- math (Function.java:798-1929; class line numbers in SURVEY §2.9)
@@ -737,7 +902,13 @@ def _registry() -> dict:
         "copysign": _cols(lambda a, b: F.abs(a) * F.when(F.signum(b) == 0, 1).otherwise(F.signum(b))),
         "hypot": _cols(F.hypot),
         "remainder": _cols(lambda a, b: a - F.rint(a / b) * b),
-        "max": _cols(F.greatest), "min": _cols(F.least),
+        # BivariateMathFunction: null when EITHER operand is null (greatest/
+        # least would skip the null); greatest/least keep the skipping
+        # ReduceFunction semantics below
+        "max": _cols(lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
+                                         F.greatest(a, b))),
+        "min": _cols(lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
+                                         F.least(a, b))),
         "greatest": _cols(F.greatest), "least": _cols(F.least),
         "scalb": _cols(lambda a, b: a * F.pow(F.lit(2.0), b.cast("double"))),
         "safe_divide": _safe_divide,
@@ -890,9 +1061,12 @@ def _registry() -> dict:
         # -- lookup (query/expression/LookupExprMacro.java)
         "lookup": _lookup,
         # -- human readable (Function.java HumanReadableByteFormat classes)
-        "human_readable_binary_byte_format": _human_readable,
-        "human_readable_decimal_byte_format": _human_readable,
-        "human_readable_decimal_format": _human_readable,
+        "human_readable_binary_byte_format": _human_readable(
+            [" B", " KiB", " MiB", " GiB", " TiB", " PiB"], 1024),
+        "human_readable_decimal_byte_format": _human_readable(
+            [" B", " KB", " MB", " GB", " TB", " PB"], 1000),
+        "human_readable_decimal_format": _human_readable(
+            ["", " K", " M", " G", " T", " P"], 1000),
     }
     return r
 
@@ -916,7 +1090,8 @@ def registry() -> dict:
 def compile_expr(expression: str, resolver,
                  string_cols: set[str] | None = None,
                  array_cols: set[str] | None = None,
-                 integral_cols: set[str] | None = None) -> Column:
+                 integral_cols: set[str] | None = None,
+                 numeric_cols: set[str] | None = None) -> Column:
     """Compile a Druid native expression string to a Spark Column.
 
     ``resolver(name)`` maps identifiers to Columns (typically ``F.col``; the
@@ -929,12 +1104,13 @@ def compile_expr(expression: str, resolver,
     implicit scalar→array coercion).
     """
     p = _Parser(_lex(expression), resolver, registry())
-    if string_cols or array_cols or integral_cols:
+    if string_cols or array_cols or integral_cols or numeric_cols:
         orig_ident = p._ident
 
         def tagged_ident(name, _orig=orig_ident, _p=p,
                          _sc=string_cols or set(), _ac=array_cols or set(),
-                         _ic=integral_cols or set()):
+                         _ic=integral_cols or set(),
+                         _nc=numeric_cols or set()):
             col = _orig(name)
             if isinstance(col, Column):
                 if name in _sc:
@@ -943,6 +1119,8 @@ def compile_expr(expression: str, resolver,
                     _p.tag_array(col)
                 if name in _ic:
                     _p.tag_integral(col)
+                if name in _nc:
+                    _p.tag_numeric(col)
             return col
         p._ident = tagged_ident
     out = p.parse()
@@ -986,7 +1164,8 @@ def mvd_map_target(expression: str, array_cols: set[str]) -> str | None:
 
 def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
                      string_cols: set[str] | None = None,
-                     integral_cols: set[str] | None = None):
+                     integral_cols: set[str] | None = None,
+                     numeric_cols: set[str] | None = None):
     """compile_expr + Druid's single-MVD scalar mapping: when
     ``mvd_map_target`` finds a mapped column, the expression compiles inside
     ``transform(mvd, x -> expr[mvd := x])`` and the result is an MVD."""
@@ -1001,7 +1180,8 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
     target = mvd_map_target(expression, array_cols)
     if target is None:
         return compile_expr(expression, _mvd_read, string_cols,
-                            integral_cols=integral_cols)
+                            integral_cols=integral_cols,
+                            numeric_cols=numeric_cols)
     # MVD elements are strings — the mapped lambda variable is string-typed
     sc = (string_cols or set()) | {target}
     return F.transform(
@@ -1009,4 +1189,4 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
         lambda x: _c(compile_expr(
             expression,
             lambda n, _x=x: _x if n == target else _mvd_read(n), sc,
-            integral_cols=integral_cols)))
+            integral_cols=integral_cols, numeric_cols=numeric_cols)))

@@ -163,4 +163,5 @@ def _join_condition(expression: str, left: DataFrame, right: DataFrame, prefix: 
     def resolver(name: str):
         return qcol(name)
 
-    return compile_expr(expression, resolver).cast("boolean")
+    from incubator_druid_spark.functions.druid_expr import druid_truthy
+    return druid_truthy(compile_expr(expression, resolver))

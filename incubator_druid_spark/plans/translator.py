@@ -73,8 +73,11 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
         int_cols = {f.name for f in df.schema.fields
                     if isinstance(f.dataType, (T.LongType, T.IntegerType,
                                                T.ShortType, T.ByteType))}
+        num_cols = {f.name for f in df.schema.fields
+                    if isinstance(f.dataType, (T.DoubleType, T.FloatType,
+                                               T.DecimalType))}
         col = compile_expr_mvd(vc["expression"], F.col, arr_cols, str_cols,
-                               int_cols)
+                               int_cols, num_cols)
         from incubator_druid_spark.functions.lookups import flush_lookup_joins
         df = flush_lookup_joins(df)  # large-lookup refs inside the expr
         ot = vc.get("outputType")

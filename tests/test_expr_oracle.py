@@ -90,9 +90,14 @@ PAIRS = [
     ("array_contains(string_to_array(s, ' '), 'ab')",
      "list_contains(string_split(s, ' '), 'ab')"),
     ("array_to_string(string_to_array(s, ' '), '|')",
-     "list_aggregate(string_split(s, ' '), 'string_agg', '|')"),
+     # String.join over an EMPTY array is '' (DuckDB string_agg gives NULL)
+     "CASE WHEN s IS NULL THEN NULL ELSE coalesce("
+     "list_aggregate(string_split(s, ' '), 'string_agg', '|'), '') END"),
     ("fold((v, acc) -> acc + strlen(v), string_to_array(s, ' '), 0)",
-     "list_sum(list_transform(string_split(s, ' '), v -> length(v)))"),
+     # fold over an EMPTY array returns the accumulator (0); list_sum NULL
+     "CASE WHEN s IS NULL THEN NULL ELSE coalesce(CAST(list_sum("
+     "list_transform(string_split(s, ' '), v -> length(v))) AS BIGINT), 0) "
+     "END"),
     ("map((v) -> upper(v), string_to_array(s, ' '))",
      "list_transform(string_split(s, ' '), v -> upper(v))"),
     ("filter((v) -> strlen(v) > 1, string_to_array(s, ' '))",
@@ -121,6 +126,14 @@ PAIRS = [
      "((n & 4294967295) // 65536) % 256, '.', "
      "((n & 4294967295) // 256) % 256, '.', (n & 4294967295) % 256)"),
 ]
+
+# string_to_array follows Java String.split (regex separator, trailing
+# empties dropped; "" splits to [""]), not DuckDB string_split — replicate
+# Java's semantics on the oracle side
+_JSPLIT = ("(CASE WHEN s = '' THEN [''] "
+           "WHEN regexp_replace(s, ' +$', '') = '' THEN CAST([] AS VARCHAR[]) "
+           "ELSE string_split(regexp_replace(s, ' +$', ''), ' ') END)")
+PAIRS = [(d, k.replace("string_split(s, ' ')", _JSPLIT)) for d, k in PAIRS]
 
 
 def test_expr_compiler_matches_duckdb(spark):
