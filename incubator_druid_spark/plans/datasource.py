@@ -163,5 +163,8 @@ def _join_condition(expression: str, left: DataFrame, right: DataFrame, prefix: 
     def resolver(name: str):
         return qcol(name)
 
-    from incubator_druid_spark.functions.druid_expr import druid_truthy
-    return druid_truthy(compile_expr(expression, resolver))
+    # JoinConditionAnalysis restricts conditions to ANDed EQUALITIES, which
+    # compile to boolean Columns already — wrapping them in the generic
+    # truthiness CASE would hide the equi-join shape from Catalyst and
+    # forfeit BroadcastHashJoin
+    return compile_expr(expression, resolver).cast("boolean")
