@@ -135,10 +135,22 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
                         if isinstance(ty, (T.DoubleType, T.FloatType,
                                            T.DecimalType))}
         # ExpressionFilter applies Evals.asBoolean to the VALUE: a number
-        # matches iff > 0 (a boolean cast would match any non-zero)
-        return druid_truthy(compile_expr(spec["expression"], ctx.resolve,
-                                         str_cols, arr_cols, int_cols,
-                                         num_cols))
+        # matches iff > 0 (a boolean cast would match any non-zero).  An
+        # already-BOOLEAN expression (comparisons — the common case) skips
+        # the truthiness CASE so the predicate stays recognizable to
+        # Catalyst's pushdown (truthy(bool) ≡ bool for filtering: null is
+        # non-matching either way).
+        col = compile_expr(spec["expression"], ctx.resolve,
+                           str_cols, arr_cols, int_cols, num_cols)
+        if isinstance(ctx, FilterContext):
+            from pyspark.sql import types as _T
+            try:
+                rt = ctx.df.select(col.alias("__e")).schema[0].dataType
+                if isinstance(rt, _T.BooleanType):
+                    return col
+            except Exception:  # unresolvable here — let the caller surface
+                pass
+        return druid_truthy(col)
     if t == "interval":  # IntervalDimFilter.java — __time ∈ intervals
         col = _dim_col(spec, ctx)
         ivs = parse_intervals(spec["intervals"])
