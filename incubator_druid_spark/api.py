@@ -187,10 +187,10 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
                 _require_time_condition(df)
             if outer_limit is not None:
                 df = df.limit(int(outer_limit))
-            rows_early = _rows_timed(df, ctx.get("timeout"))  # under the tz
+            formatted = _collect_formatted(df, body, ctx)  # under the tz
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev)
-        return _format_sql_rows(rows_early, df.columns, body)
+        return formatted
 
     df = druid_sql(spark, sql, catalog)
     if ctx.get("requireTimeCondition"):
@@ -199,8 +199,7 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
         # PlannerContext.CTX_SQL_OUTER_LIMIT — wrap the whole result in a
         # limit (the broker applies it outside any query-level LIMIT)
         df = df.limit(int(outer_limit))
-    return _format_sql_rows(_rows_timed(df, ctx.get("timeout")),
-                            df.columns, body)
+    return _collect_formatted(df, body, ctx)
 
 
 def _require_time_condition(df) -> None:
@@ -372,28 +371,48 @@ def _bind_parameters(sql: str, params: list) -> str:
     return "".join(out)
 
 
-def _format_sql_rows(rows: list[dict], cols: list[str], body: dict):
+def _collect_formatted(df, body: dict, ctx: dict):
+    """Collect + format; DUPLICATE output column names (two joined tables
+    both exposing 'k') are collected under positional aliases so row
+    dicts don't collapse them (Row.asDict keeps only the last), and the
+    original names are restored for headers/object keys."""
+    cols = df.columns
+    if len(set(cols)) != len(cols):
+        safe = [f"__c{i}" for i in range(len(cols))]
+        rows = _rows_timed(df.toDF(*safe), ctx.get("timeout"))
+        return _format_sql_rows(rows, safe, body, display=cols)
+    return _format_sql_rows(_rows_timed(df, ctx.get("timeout")), cols, body)
+
+
+def _format_sql_rows(rows: list[dict], cols: list[str], body: dict,
+                     display: list[str] | None = None):
     fmt = body.get("resultFormat", "object")
     header = bool(body.get("header"))
+    names = display or cols
+    if display is not None and fmt in ("object", "objectLines"):
+        # JSON objects can't carry duplicate keys — last wins, same as the
+        # dict collapse; array formats below stay positional-exact
+        rows = [{d: r[c] for c, d in zip(cols, display)} for r in rows]
+        cols = names
 
     if fmt == "object":
         # ObjectWriter.writeHeader: header=true prepends a {col: null} row
-        return ([{c: None for c in cols}] + rows) if header else rows
+        return ([{c: None for c in names}] + rows) if header else rows
     if fmt == "array":
         out = [[r[c] for c in cols] for r in rows]
-        return ([cols] + out) if header else out
+        return ([names] + out) if header else out
     if fmt == "objectLines":
         # ObjectLinesWriter: optional header row, then one JSON object per
         # line, terminated by a BLANK line (writeResponseEnd emits '\n\n' —
         # the marker streaming clients use to detect truncation)
         lines = [json.dumps(r) for r in rows]
         if header:
-            lines.insert(0, json.dumps({c: None for c in cols}))
+            lines.insert(0, json.dumps({c: None for c in names}))
         return "\n".join(lines) + "\n\n"
     if fmt == "arrayLines":
         lines = [json.dumps([r[c] for c in cols]) for r in rows]
         if header:
-            lines.insert(0, json.dumps(cols))
+            lines.insert(0, json.dumps(names))
         return "\n".join(lines) + "\n\n"
     if fmt == "csv":
         # CsvWriter: '\n' line endings (not Python csv's default '\r\n'),
@@ -401,7 +420,7 @@ def _format_sql_rows(rows: list[dict], cols: list[str], body: dict):
         buf = io.StringIO()
         w = csv.writer(buf, lineterminator="\n")
         if header:
-            w.writerow(cols)
+            w.writerow(names)
         for r in rows:
             w.writerow([r[c] for c in cols])
         return buf.getvalue() + "\n"

@@ -1072,9 +1072,38 @@ def _registry() -> dict:
 
 
 def _joda_to_spark(fmt: str) -> str:
-    """Joda-time patterns → Spark (JDK DateTimeFormatter) — the common fields
-    agree; fix the divergent ones."""
-    return fmt.replace("YYYY", "yyyy").replace("ZZ", "XXX")
+    """Joda-time patterns → Spark (JDK DateTimeFormatter).  The divergent
+    letters, translated outside quoted sections:
+    - Joda Y = year-of-era, but java.time Y = WEEK-based year ('YYYY-MM-dd'
+      would print 2026 for 2025-12-29) → y
+    - Joda x = weekyear → java.time Y
+    - Joda Z = +0800 offset → xx; ZZ = +08:00 → XXX; ZZZ = zone id → VV
+    """
+    out, i, n = [], 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and fmt[j] != "'":
+                j += 1
+            out.append(fmt[i:j + 1])
+            i = j + 1
+        elif ch == "Y":
+            out.append("y")
+            i += 1
+        elif ch == "x":
+            out.append("Y")
+            i += 1
+        elif ch == "Z":
+            run = 1
+            while i + run < n and fmt[i + run] == "Z":
+                run += 1
+            out.append({1: "xx", 2: "XXX"}.get(run, "VV"))
+            i += run
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 _REGISTRY: dict | None = None

@@ -146,7 +146,7 @@ _FUNCTIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_SLICE(a ARRAY<STRING>, s INT, e INT)
        RETURNS ARRAY<STRING> RETURN slice(a, s + 1, e - s)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_TO_STRING(a ARRAY<STRING>, sep STRING)
-       RETURNS STRING RETURN array_join(a, sep)""",
+       RETURNS STRING RETURN array_join(a, sep, 'null')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION STRING_TO_MV(s STRING, sep STRING)
        RETURNS ARRAY<STRING> RETURN split(s, sep)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_FILTER_ONLY(a ARRAY<STRING>, keep ARRAY<STRING>)
@@ -355,20 +355,30 @@ def _register_lookup_fn(spark: SparkSession) -> None:
         # UDF body; expose the cached lookup frame as a temp view and
         # probe via a correlated scalar subquery — Catalyst rewrites it
         # into a (broadcastable) LeftSingle join, O(1) SQL size
+        def q(v):  # SQL-escape: quotes in keys/values/names must not
+            return str(v).replace("'", "''")  # inject extra map entries
+
+        def ident(name):  # lookup names aren't identifier-safe (hyphens)
+            import hashlib
+            if re.fullmatch(r"\w+", name):
+                return name
+            return "h" + hashlib.sha1(name.encode()).hexdigest()[:16]
+
         joined = [*_DF_LOOKUPS,
                   *(n for n, m in _LOOKUPS.items()
                     if len(m) > LOOKUP_JOIN_THRESHOLD)]
         for name in joined:
-            view = f"__lookup_{name}"
+            view = f"__lookup_{ident(name)}"
             _lookup_frame(spark, name).createOrReplaceTempView(view)
             branches.append(
-                f"WHEN '{name}' THEN (SELECT v FROM {view} "
+                f"WHEN '{q(name)}' THEN (SELECT v FROM {view} "
                 f"WHERE {view}.k = LOOKUP.k)")
         for name, m in _LOOKUPS.items():
             if not m or len(m) > LOOKUP_JOIN_THRESHOLD:
                 continue
-            kv = ", ".join(f"'{k}', '{v}'" for k, v in m.items())
-            branches.append(f"WHEN '{name}' THEN element_at(map({kv}), k)")
+            kv = ", ".join(f"'{q(k)}', '{q(v)}'" for k, v in m.items())
+            branches.append(
+                f"WHEN '{q(name)}' THEN element_at(map({kv}), k)")
         body = f"CASE name {' '.join(branches)} ELSE CAST(NULL AS STRING) END" \
             if branches else "CAST(NULL AS STRING)"
     spark.sql(f"""CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(k STRING, name STRING)
@@ -424,7 +434,23 @@ def register_metadata_views(spark: SparkSession, catalog: Catalog) -> None:
     SystemSchema.java): INFORMATION_SCHEMA.TABLES / .COLUMNS and
     sys.segments.  Spark temp views can't be namespaced with a dot, so the
     views register under information_schema_* / sys_* and ``druid_sql``
-    rewrites the dotted names — client SQL runs verbatim."""
+    rewrites the dotted names — client SQL runs verbatim.
+
+    Re-entrancy guarded: resolving a registered SQL view's schema below
+    calls druid_sql, and a view that itself references sys.* /
+    INFORMATION_SCHEMA.* would otherwise recurse unboundedly."""
+    import os as _os
+    if getattr(_SQL_CTX, "in_metadata_views", False):
+        return
+    _SQL_CTX.in_metadata_views = True
+    try:
+        _register_metadata_views_inner(spark, catalog)
+    finally:
+        _SQL_CTX.in_metadata_views = False
+
+
+def _register_metadata_views_inner(spark: SparkSession,
+                                   catalog: Catalog) -> None:
     import os as _os
 
     tables = [("druid", "druid", n, "TABLE") for n in catalog.names()]
@@ -735,10 +761,14 @@ def drop_sql_view(name: str) -> None:
 
 
 def _literal_spans(sql: str) -> list[tuple[int, int]]:
-    """[start, end) spans of single-quoted string literals ('' escapes)."""
+    """[start, end) spans of single-quoted string literals ('' escapes)
+    AND of -- / /* */ comments: an apostrophe inside a comment must not
+    open a phantom literal that swallows real SQL from the rewrites, and
+    comment contents themselves are not rewritable text."""
     spans, i, n = [], 0, len(sql)
     while i < n:
-        if sql[i] == "'":
+        ch = sql[i]
+        if ch == "'":
             j = i + 1
             while j < n:
                 if sql[j] == "'":
@@ -749,6 +779,16 @@ def _literal_spans(sql: str) -> list[tuple[int, int]]:
                 j += 1
             spans.append((i, j + 1))
             i = j + 1
+        elif ch == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif ch == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
         else:
             i += 1
     return spans
@@ -1356,17 +1396,54 @@ def _rewrite_floor_ceil_to(sql: str) -> str:
             raise ValueError(f"CEIL … TO {m.group(2)}: unknown time unit")
         return f"TIME_CEIL({m.group(1)}, '{period}')"
 
+    def flo(m):
+        unit = m.group(2).upper()
+        if unit not in _UNIT_PERIOD:
+            # TimeUnits.java maps only SECOND..YEAR; an unknown unit must
+            # raise like the reference's plan error, not date_trunc to an
+            # all-NULL column
+            raise ValueError(f"FLOOR … TO {m.group(2)}: unknown time unit")
+        return f"date_trunc('{unit.lower()}', {m.group(1)})"
+
     # guard by match START position: a FLOOR( inside a string literal is
     # data; an operand that merely CONTAINS a literal still rewrites
     spans = _literal_spans(sql)
     sql = re.sub(rf"(?i)\bFLOOR\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)",
                  lambda m: m.group(0) if _in_spans(m.start(), spans) else
-                 f"date_trunc('{m.group(2).lower()}', {m.group(1)})",
+                 flo(m),
                  sql)
     spans = _literal_spans(sql)
     return re.sub(rf"(?i)\bCEIL\s*\(\s*{operand}\s+TO\s+(\w+)\s*\)",
                   lambda m: m.group(0) if _in_spans(m.start(), spans)
                   else cei(m), sql)
+
+
+def _rewrite_date_trunc(sql: str) -> str:
+    """DATE_TRUNC's documented 'decade'/'century'/'millennium' units
+    (sql.md) are unknown to Spark's date_trunc, which returns an all-NULL
+    column silently — rewrite them to year arithmetic (Postgres-style
+    truncation: century 2019 → 2001)."""
+    import re
+    operand = r"((?:[^()]|\([^()]*\))+?)"
+    exprs = {
+        "decade": "make_timestamp(CAST(year({x}) - pmod(year({x}), 10) "
+                  "AS INT), 1, 1, 0, 0, 0)",
+        "century": "make_timestamp(CAST(year({x}) - pmod(year({x}) - 1, "
+                   "100) AS INT), 1, 1, 0, 0, 0)",
+        "millennium": "make_timestamp(CAST(year({x}) - pmod(year({x}) - 1, "
+                      "1000) AS INT), 1, 1, 0, 0, 0)",
+    }
+    spans = _literal_spans(sql)
+
+    def repl(m):
+        if _in_spans(m.start(), spans):
+            return m.group(0)
+        tmpl = exprs.get(m.group(1).lower())
+        return m.group(0) if tmpl is None else tmpl.format(x=m.group(2))
+
+    return re.sub(
+        rf"(?i)\bDATE_TRUNC\s*\(\s*'(\w+)'\s*,\s*{operand}\s*\)",
+        repl, sql)
 
 
 _ARRAY_COLS_CACHE: dict[int, frozenset] = {}
@@ -1543,6 +1620,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         druid_sql(spark, vsql, catalog).createOrReplaceTempView(f"view_{vw}")
     sql = _outside_literals(sql, _dotted_names)
     sql = _rewrite_floor_ceil_to(sql)
+    sql = _rewrite_date_trunc(sql)
     sql = _rewrite_time_tz(sql)
     sql = _rewrite_time_periods(sql)
     sql = _rewrite_regexp_extract(sql)
@@ -1554,6 +1632,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # bare Spark count-distinct over the array column would count distinct
     # ARRAYS.  collect_set bounds state by distinct arrays, then
     # flatten+distinct counts the value universe; null elements drop.
+    ts_cols: set[str] = {"__time"}
     if catalog is not None:
         from pyspark.sql import types as _T
         mvd_cols: set[str] = set()
@@ -1575,8 +1654,51 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                         mvd_cols.add(_f.name)
                     elif isinstance(_f.dataType, _T.BinaryType):
                         bin_cols.add(_f.name)
+                    elif isinstance(_f.dataType, _T.TimestampType):
+                        ts_cols.add(_f.name)
             except Exception:  # pragma: no cover - unreadable table
                 pass
+
+        def _mvd_filter_form(s, fname):
+            """COUNT(DISTINCT <mvd>) FILTER (WHERE p) — the plain rewrite
+            replaces the call with a non-aggregate expression that a
+            trailing FILTER clause can't attach to; fold the predicate
+            into the collect_set instead (non-matching rows contribute no
+            arrays)."""
+            pat = re.compile(
+                rf"(?is)\b{fname}\s*\(\s*(?:DISTINCT\s+)?([A-Za-z_]\w*)"
+                rf"\s*\)\s*FILTER\s*\(\s*WHERE\b")
+            out, pos = [], 0
+            spans0 = _literal_spans(s)
+            while True:
+                m0 = pat.search(s, pos)
+                if m0 is None:
+                    out.append(s[pos:])
+                    break
+                if _in_spans(m0.start(), spans0) \
+                        or m0.group(1) not in mvd_cols:
+                    out.append(s[pos:m0.end()])
+                    pos = m0.end()
+                    continue
+                depth, j = 1, m0.end()
+                while j < len(s) and depth:
+                    if s[j] == "(" and not _in_spans(j, spans0):
+                        depth += 1
+                    elif s[j] == ")" and not _in_spans(j, spans0):
+                        depth -= 1
+                    j += 1
+                pred = s[m0.end():j - 1]
+                c = m0.group(1)
+                out.append(s[pos:m0.start()])
+                out.append(
+                    f"CAST(size(filter(array_distinct(flatten(collect_set("
+                    f"CASE WHEN ({pred}) THEN {c} END))), "
+                    f"x -> x IS NOT NULL)) AS BIGINT)")
+                pos = j
+            return "".join(out)
+
+        sql = _mvd_filter_form(sql, "COUNT")
+        sql = _mvd_filter_form(sql, "APPROX_COUNT_DISTINCT")
 
         def _cd_mvd_repl(a):
             if len(a) != 1:
@@ -1684,6 +1806,15 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             return None
         expr, t = m.group(1), m.group(2).upper()
         t = "BIGINT" if t == "LONG" else t
+        # Druid's TIMESTAMP runtime type IS epoch MILLIS (sql.md type
+        # table), so CAST(<timestamp> AS BIGINT) returns millis — Spark's
+        # cast reads SECONDS.  Recognized shapes: a timestamp column of a
+        # referenced table, or MIN/MAX over one.
+        ts_m = re.match(
+            r'(?is)^\s*(?:(?:MIN|MAX)\s*\(\s*)?"?([A-Za-z_][\w.]*)"?\s*\)?\s*$',
+            expr)
+        if ts_m and ts_m.group(1).split(".")[-1] in ts_cols:
+            return f"CAST(unix_millis(CAST({expr} AS TIMESTAMP)) AS {t})"
         return (f"COALESCE(TRY_CAST({expr} AS {t}), "
                 f"CAST(TRY_CAST({expr} AS DOUBLE) AS {t}))")
     sql = _rewrite_calls(sql, "CAST", _int_cast_repl)
@@ -1765,17 +1896,35 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     # TIME_PARSE(s, pattern[, tz]) (TimeParseOperatorConversion) — the 1-arg
     # ISO form stays on the SQL macro; patterned forms parse via
     # to_timestamp (these Joda pattern letters coincide with java.time's)
+    def _joda_lit(arg: str) -> str:
+        """Translate a LITERAL Joda pattern argument to java.time letters
+        (Joda Y is year-of-era; java.time Y is week-based year — Spark
+        even rejects 'YYYY' outright under the corrected parser)."""
+        m0 = re.match(r"(?s)^\s*'(.*)'\s*$", arg)
+        if not m0:
+            return arg
+        from incubator_druid_spark.functions.druid_expr import _joda_to_spark
+        translated = _joda_to_spark(m0.group(1).replace("''", "'"))
+        return "'" + translated.replace("'", "''") + "'"
+
     def _time_parse_repl(a):
         if len(a) not in (2, 3):
             return None
         # a NULL pattern means default ISO parsing
         # (testGroupAndFilterOnTimeFloorWithTimeZone passes NULL + tz)
         parsed = (f"CAST({a[0]} AS TIMESTAMP)" if _null_arg(a[1])
-                  else f"to_timestamp({a[0]}, {a[1]})")
+                  else f"to_timestamp({a[0]}, {_joda_lit(a[1])})")
         if len(a) == 2:
             return parsed
         return f"to_utc_timestamp({parsed}, {a[2]})"
     sql = _rewrite_calls(sql, "TIME_PARSE", _time_parse_repl)
+
+    def _time_format_repl(a):
+        # 3-arg tz forms were reduced to 2-arg by _rewrite_time_tz earlier
+        if len(a) != 2 or _null_arg(a[1]):
+            return None
+        return f"date_format({a[0]}, {_joda_lit(a[1])})"
+    sql = _rewrite_calls(sql, "TIME_FORMAT", _time_format_repl)
     # Calcite dialect forms Spark's parser rejects:
     #   CAST(x AS VARCHAR) with no length  → STRING
     #   GROUP BY ()                        → global aggregate (drop clause)
