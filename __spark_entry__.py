@@ -2604,16 +2604,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47
         """,
-        "ann_brute_topk": """
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4)
-                       AS cosine
-            FROM embeddings WHERE vec_id != 0
-            ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC,
-                     vec_id
-            LIMIT 10
-        """,
+        # (ann_brute_topk's oracle is defined once above, with explicit
+        # ::DOUBLE[] casts — a duplicate cast-free dict key used to shadow
+        # it, computing the similarity in float32)
         "segment_metadata": _segmeta_oracle(),
         "sql_window_rank": """
             SELECT event_type, user_id, total, rnk FROM (

@@ -68,9 +68,18 @@ def compile_extraction(spec: dict | None, col: Column,
         c = col
         if input_type is not None and not isinstance(input_type,
                                                      T.TimestampType):
-            # a LONG (epoch millis) input — e.g. the inner query's
-            # asMillis output refloored by the outer query
-            c = F.timestamp_millis(c.cast("long"))
+            if isinstance(input_type, T.StringType):
+                # TimeFormatExtractionFn.apply(Object) parses non-numeric
+                # STRINGS as ISO datetimes (DateTimes.of) — a blind long
+                # cast would null out every ISO-string value
+                s = c.cast("string")
+                c = (F.when(s.rlike(r"^-?\d+$"),
+                            F.timestamp_millis(s.cast("long")))
+                      .otherwise(s.cast("timestamp")))
+            else:
+                # a LONG (epoch millis) input — e.g. the inner query's
+                # asMillis output refloored by the outer query
+                c = F.timestamp_millis(c.cast("long"))
         if spec.get("granularity"):
             c = parse_granularity(spec["granularity"]).floor(c)
         fmt = spec.get("format")
@@ -134,7 +143,12 @@ def compile_extraction(spec: dict | None, col: Column,
         offset = float(spec.get("offset", 0))
         x = col.cast("double")
         b = F.floor((x - offset) / size) * size + offset
-        return F.regexp_replace(b.cast("string"), r"\.0$", "")
+        # integer-valued results print via the LONG rendering
+        # (String.valueOf((long) ret) in BucketExtractionFn.apply) — a
+        # double→string cast would give '1.0E7' scientific notation for
+        # boundaries >= 1e7 and '-0' for negative zero
+        return F.when(b == F.floor(b), b.cast("long").cast("string")) \
+                .otherwise(b.cast("string"))
     if t == "lookup":
         # query/lookup/LookupExtractionFn.java — inline map
         m = spec["lookup"].get("map", {})

@@ -138,18 +138,41 @@ class Granularity:
         return F.timestamp_millis(bucket.cast("long"))
 
     def _floor_months(self, col: Column, months: int) -> Column:
+        ow = self._origin_wall_millis()
+        if ow is not None:
+            # PeriodGranularity.truncate months-with-origin branch
+            # (:265-278): whole month-periods are counted FROM THE ORIGIN,
+            # keeping its day-of-month and time — NOT truncated to month
+            # starts.  Candidate month-difference clamps down when the
+            # origin's day/time hasn't been reached yet (Joda month-end
+            # clamping matches Spark's timestampadd).
+            o = F.timestamp_millis(F.lit(int(ow)))
+
+            def add_months_ts(ts, k):
+                # interval month arithmetic keeps the time-of-day and
+                # clamps month-end days, like Joda's months().add
+                return ts + F.make_interval(F.lit(0), k.cast("int"))
+
+            diff = ((F.year(col) * 12 + F.month(col))
+                    - (F.year(o) * 12 + F.month(o)))
+            whole = (diff - F.when(add_months_ts(o, diff) > col,
+                                   F.lit(1)).otherwise(F.lit(0)))
+            k = F.floor(whole / months) * months
+            return add_months_ts(o, k)
         if months == 1:
             return F.date_trunc("month", col)
-        if months == 12 and self.origin_millis is None:
+        if months == 12:
             return F.date_trunc("year", col)
-        if months == 3 and self.origin_millis is None:
+        if months == 3:
             return F.date_trunc("quarter", col)
-        # generic: month index since epoch, floored to the period
+        # generic: month index since epoch, floored to the period; pmod
+        # keeps pre-epoch (negative-index) months in 0..11 — a sign-
+        # following % would make make_timestamp yield NULL for 1969 rows
         mi = (F.year(col) - 1970) * 12 + F.month(col) - 1
         floored = F.floor(mi / months) * months
         return F.make_timestamp(
             (F.floor(floored / 12) + 1970).cast("int"),
-            (floored % 12 + 1).cast("int"),
+            (F.pmod(floored, 12) + 1).cast("int"),
             F.lit(1), F.lit(0), F.lit(0), F.lit(0),
         )
 
@@ -212,8 +235,36 @@ class Granularity:
         out = []
         p = self.period
         if p.is_calendar:
-            # walk months from the floored start
+            # walk months from the floored start; mirror _floor_months'
+            # origin alignment so spine and agg bucket keys agree
+            import calendar
             from datetime import datetime, timezone
+            ow = self._origin_wall_millis()
+
+            def add_m(dt, k):  # Joda-style month add with day clamping
+                mi0 = dt.year * 12 + dt.month - 1 + k
+                y0, mo0 = divmod(mi0, 12)
+                day = min(dt.day, calendar.monthrange(y0, mo0 + 1)[1])
+                return dt.replace(year=y0, month=mo0 + 1, day=day)
+
+            if ow is not None:
+                odt = datetime.fromtimestamp(ow / 1000, tz=timezone.utc)
+                sdt = datetime.fromtimestamp(start_ms / 1000,
+                                             tz=timezone.utc)
+                diff = (sdt.year * 12 + sdt.month) \
+                    - (odt.year * 12 + odt.month)
+                if add_m(odt, diff) > sdt:
+                    diff -= 1
+                k = diff // p.months * p.months
+                while True:
+                    t = int(add_m(odt, k).timestamp() * 1000)
+                    if t >= end_ms:
+                        break
+                    out.append(t)
+                    k += p.months
+                    if len(out) > 100_000:
+                        raise ValueError("time spine too large")
+                return out
             dt = datetime.fromtimestamp(start_ms / 1000, tz=timezone.utc)
             mi = (dt.year - 1970) * 12 + dt.month - 1
             mi = mi // p.months * p.months
@@ -222,8 +273,10 @@ class Granularity:
                 t = int(datetime(1970 + y, mo + 1, 1, tzinfo=timezone.utc).timestamp() * 1000)
                 if t >= end_ms:
                     break
-                if t >= start_ms or True:
-                    out.append(max(t, 0))
+                # pre-epoch buckets keep their true (negative-millis) keys —
+                # clamping to 0 would duplicate the epoch bucket and drop
+                # the 1969 ones, disagreeing with floor()'s keys
+                out.append(t)
                 mi += p.months
                 if len(out) > 100_000:
                     raise ValueError("time spine too large")

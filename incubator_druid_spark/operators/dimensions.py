@@ -47,7 +47,13 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
     col = _col(dim)
     if t == "default":
         ot = spec.get("outputType")
-        if ot and ot.upper() in _OUT_TYPES and not is_arr:
+        if ot and ot.upper() in _OUT_TYPES and is_arr:
+            # a typed MVD dimension coerces PER ELEMENT (the dimension
+            # selector reads each value at the declared type): ['7','007']
+            # under LONG groups as one key 7, not two string keys
+            col = F.transform(col,
+                              lambda x: x.cast(_OUT_TYPES[ot.upper()]))
+        elif ot and ot.upper() in _OUT_TYPES:
             if (ot.upper() == "LONG"
                     and isinstance(types.get(dim), T.TimestampType)):
                 # a timestamp read as LONG is epoch MILLIS in Druid (__time's

@@ -25,8 +25,13 @@ def run(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         # absent columns read as NULL string (Druid's schema-free segments;
         # ScanQueryRunnerTest testFullSelectNoDimensionAndMetric)
         present = set(df.columns)
+        from incubator_druid_spark.model.columns import qcol
+        # qcol, not F.col: join-datasource outputs carry the dotted
+        # rightPrefix ('j0.n_name'), which a bare F.col parses as struct
+        # access
         df = df.select(*[
-            F.col(c) if c in present else F.lit(None).cast("string").alias(c)
+            qcol(c).alias(c) if c in present
+            else F.lit(None).cast("string").alias(c)
             for c in cols])
 
     order = (query.get("order") or "none").lower()

@@ -67,6 +67,12 @@ def make_handler(spark, catalog):
             except json.JSONDecodeError as e:
                 self._send(400, {"error": f"bad json: {e}"})
                 return
+            if not isinstance(body, dict):
+                # valid JSON but not an object ('"SELECT 1"', an array):
+                # a structured 400, not an AttributeError-shaped 500
+                self._send(400, {"error": "request body must be a JSON "
+                                          f"object, got {type(body).__name__}"})
+                return
             try:
                 path = self.path.rstrip("/")
                 if path.startswith("/druid/v1/lookups/"):
