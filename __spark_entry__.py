@@ -1519,9 +1519,9 @@ def _multimodal_decode(spark, sf):
 
 def _media_probe(spark, sf):
     """Header-only media probe tier (pipeline/probe.py via
-    attach_media_metadata(probe=True)): per doc_id, synthesize one of six
-    container formats — including the probe-only tier (MP4 box tree, MP3
-    Xing frame, Ogg Opus) whose DECODE raises — and recover
+    attach_media_metadata(probe=True)): per doc_id, synthesize one of
+    EIGHT container formats — including the probe-only tier (MP4 box tree,
+    MP3 Xing frame, Ogg Opus, WEBP VP8L, FLAC-in-Ogg) whose DECODE raises — and recover
     mime/dimensions/duration/rate/frames from container headers alone,
     with zero pixel or sample decode.  The DuckDB oracle replays the
     generation arithmetic; any header-offset or rounding bug breaks the
@@ -1548,7 +1548,7 @@ def _media_probe(spark, sf):
             content = []
             for d in pdf["id"]:
                 d = int(d)
-                kind = d % 6
+                kind = d % 8
                 if kind == 0:      # PNG: IHDR width/height
                     content.append(encode_png(
                         np.zeros((3 + d % 11, 4 + d % 13, 3), np.uint8)))
@@ -1580,7 +1580,7 @@ def _media_probe(spark, sf):
                     frame[off + 4:off + 8] = struct.pack(">I", 1)
                     frame[off + 8:off + 12] = struct.pack(">I", 100 + d)
                     content.append(bytes(frame))
-                else:              # Ogg Opus: id header + last-page granule
+                elif kind == 5:    # Ogg Opus: id header + last-page granule
                     opus = (b"OpusHead\x01\x02\x38\x01"
                             + struct.pack("<I", 8000 + 100 * d) + bytes(3))
                     page0 = (b"OggS\x00\x02" + struct.pack("<q", 0)
@@ -1591,6 +1591,27 @@ def _media_probe(spark, sf):
                              + struct.pack("<II", 7, 1) + bytes(4)
                              + bytes([1, 10]) + bytes(10))
                     content.append(page0 + page1)
+                elif kind == 6:    # WEBP VP8L: 14-bit dims, no decode
+                    w, h = 5 + d % 12, 4 + d % 10
+                    bits = (w - 1) | ((h - 1) << 14)
+                    body = b"\x2f" + struct.pack("<I", bits)
+                    chunk = b"VP8L" + struct.pack("<I", len(body)) \
+                        + body + b"\x00"  # odd size -> even pad
+                    content.append(b"RIFF"
+                                   + struct.pack("<I", 4 + len(chunk))
+                                   + b"WEBP" + chunk)
+                else:              # FLAC-in-Ogg: 0x7F'FLAC' + STREAMINFO
+                    sr = 16000 + 10 * d
+                    total = 16 * (1000 + d)
+                    si = (bytes(10)
+                          + ((sr << 44) | total).to_bytes(8, "big")
+                          + bytes(16))
+                    pkt = (b"\x7fFLAC\x01\x00" + struct.pack(">H", 1)
+                           + b"fLaC" + b"\x80" + (34).to_bytes(3, "big")
+                           + si)
+                    content.append(b"OggS\x00\x02" + struct.pack("<q", 0)
+                                   + struct.pack("<II", 9, 0) + bytes(4)
+                                   + bytes([1, len(pkt)]) + pkt)
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
     src = ids.mapInPandas(gen, schema="id long, content binary")
@@ -2417,29 +2438,38 @@ def oracle_sql() -> dict[str, str]:
         # actually parse PPM headers, decode pixels and scale PCM to match
         "media_probe": """
             SELECT doc_id,
-                   CASE doc_id % 6 WHEN 0 THEN 'image/png'
+                   CASE doc_id % 8 WHEN 0 THEN 'image/png'
                         WHEN 1 THEN 'image/jpeg' WHEN 2 THEN 'image/gif'
                         WHEN 3 THEN 'video/mp4' WHEN 4 THEN 'audio/mpeg'
+                        WHEN 6 THEN 'image/webp'
                         ELSE 'audio/ogg' END AS mime,
-                   CAST(CASE doc_id % 6 WHEN 0 THEN 4 + doc_id % 13
+                   CAST(CASE doc_id % 8 WHEN 0 THEN 4 + doc_id % 13
                         WHEN 1 THEN 8 + doc_id % 9
                         WHEN 2 THEN 2 + doc_id % 6
-                        WHEN 3 THEN 100 + doc_id END AS BIGINT) AS width,
-                   CAST(CASE doc_id % 6 WHEN 0 THEN 3 + doc_id % 11
+                        WHEN 3 THEN 100 + doc_id
+                        WHEN 6 THEN 5 + doc_id % 12 END AS BIGINT) AS width,
+                   CAST(CASE doc_id % 8 WHEN 0 THEN 3 + doc_id % 11
                         WHEN 1 THEN 8 + doc_id % 7
                         WHEN 2 THEN 2 + doc_id % 5
-                        WHEN 3 THEN 50 + doc_id END AS BIGINT) AS height,
-                   CAST(CASE doc_id % 6 WHEN 3 THEN 1000 + 7 * doc_id
+                        WHEN 3 THEN 50 + doc_id
+                        WHEN 6 THEN 4 + doc_id % 10 END AS BIGINT) AS height,
+                   CAST(CASE doc_id % 8 WHEN 3 THEN 1000 + 7 * doc_id
                         WHEN 4 THEN CAST(round((100 + doc_id) * 1152
                                                * 1000.0 / 44100) AS BIGINT)
-                        WHEN 5 THEN 500 + doc_id END AS BIGINT)
+                        WHEN 5 THEN 500 + doc_id
+                        WHEN 7 THEN CAST(round(16 * (1000 + doc_id) * 1000.0
+                                               / (16000 + 10 * doc_id))
+                                         AS BIGINT) END AS BIGINT)
                        AS duration_ms,
-                   CAST(CASE doc_id % 6 WHEN 3 THEN 8000 + 10 * doc_id
+                   CAST(CASE doc_id % 8 WHEN 3 THEN 8000 + 10 * doc_id
                         WHEN 4 THEN 44100
-                        WHEN 5 THEN 8000 + 100 * doc_id END AS BIGINT)
+                        WHEN 5 THEN 8000 + 100 * doc_id
+                        WHEN 7 THEN 16000 + 10 * doc_id END AS BIGINT)
                        AS sample_rate,
-                   CAST(CASE doc_id % 6 WHEN 2 THEN 1
-                        WHEN 4 THEN 100 + doc_id END AS BIGINT) AS n_frames
+                   CAST(CASE doc_id % 8 WHEN 2 THEN 1
+                        WHEN 4 THEN 100 + doc_id
+                        WHEN 7 THEN 16 * (1000 + doc_id) END AS BIGINT)
+                       AS n_frames
             FROM documents WHERE doc_id < 60 ORDER BY doc_id
         """,
         "multimodal_decode": """

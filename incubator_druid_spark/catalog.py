@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.lenient import lenient_cast as _lcast
+
 TIME_COLUMN = "__time"
 
 # Known time columns for the driver-generated test tables.
@@ -330,13 +332,13 @@ def _evolve_cast(col: "F.Column", src, dst) -> "F.Column":
         # single-value segment of a column that is multi-value elsewhere:
         # a scalar row becomes a one-element array, null stays null
         return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
-            F.array(col.cast(dst.elementType)))
+            F.array(_lcast(col, dst.elementType.simpleString())))
     if isinstance(dst, T.TimestampType) and isinstance(
             src, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         # integral epochs are MILLIS by engine convention; a plain cast
         # would read them as seconds
         return F.timestamp_millis(col.cast("long"))
-    return col.cast(dst)
+    return _lcast(col, dst.simpleString())
 
 
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:

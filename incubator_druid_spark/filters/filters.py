@@ -178,7 +178,7 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
         # matches, not just strictly-integral strings — a double column's
         # '1.301616E12' rendering or '...000.5' must compare numerically
         s = col.cast("string")
-        millis = s.cast("decimal(38,6)")
+        millis = s.try_cast("decimal(38,6)")
         preds = [(millis >= F.lit(a)) & (millis < F.lit(b))
                  for a, b in ivs]
         out = preds[0]
@@ -439,7 +439,7 @@ def _dec_refine(s: Column, n: Column) -> Column:
     collapse to the same double.  Compared AFTER the double field, it only
     decides double-ties; values outside the decimal range (|x| > ~1e20,
     beyond any long) stay ties at double precision."""
-    d = s.cast("decimal(38,18)")
+    d = s.try_cast("decimal(38,18)")
     zero = F.lit(0).cast("decimal(38,18)")
     return F.coalesce(F.when(n.isNotNull(), d), zero)
 
@@ -450,7 +450,7 @@ def _numeric_cmp_key(c: Column) -> Column:
     plain string compare (the s field is blanked for parseable values so
     numerically-equal renderings like '1' and '01' compare equal)."""
     s = c.cast("string")
-    n = s.cast("double")
+    n = s.try_cast("double")
     return F.struct(
         n.isNotNull().cast("int").alias("p"),
         F.coalesce(n, F.lit(0.0)).alias("n"),
@@ -487,7 +487,7 @@ def _ordering_sort_key(c: Column, ordering: str) -> Column:
     reference's failed parse."""
     if ordering == "numeric":
         s = c.cast("string")
-        num = s.cast("double")
+        num = s.try_cast("double")
         return F.struct(num.isNotNull().cast("int").alias("p"),
                         num.alias("n"),
                         _dec_refine(s, num).alias("d"), s.alias("s"))
@@ -613,8 +613,8 @@ def _spatial_predicate(spec: dict, c: Column) -> Column:
     polygon.  Compiled to numeric predicates on the split coordinates."""
     bound = spec["bound"]
     coords = F.split(c.cast("string"), ",")
-    x = F.get(coords, 0).cast("double")
-    y = F.get(coords, 1).cast("double")
+    x = F.get(coords, 0).try_cast("double")
+    y = F.get(coords, 1).try_cast("double")
     bt = bound["type"]
     if bt == "rectangular":
         mins, maxs = bound["minCoords"], bound["maxCoords"]

@@ -332,11 +332,15 @@ class _Parser:
                 # BinDivExpr LONG/LONG is Java long division (truncating)
                 # — Spark `/` is always double.  Spark's `div` function
                 # has the exact semantics, JVM-side on longs.
-                left = self.tag_integral(F.call_function(
-                    "div", _c(left).cast("long"), _c(right).cast("long")))
+                rl = _c(right).cast("long")
+                left = self.tag_integral(
+                    F.when(rl == 0, F.lit(None).cast("long"))
+                    .otherwise(F.call_function("div", _c(left).cast("long"),
+                                               rl)))
                 continue
-            res = {"*": _c(left) * right, "/": _c(left) / right,
-                   "%": _c(left) % right}[op]
+            res = {"*": _c(left) * right,
+                   "/": F.try_divide(_c(left), _c(right)),
+                   "%": F.try_mod(_c(left), _c(right))}[op]
             if op in ("*", "%") and self._is_integral(left) \
                     and self._is_integral(right):
                 res = self.tag_integral(res)
@@ -614,7 +618,7 @@ def _registry() -> dict:
         sc = _c(s).cast("string")
         z = lit_str(tz) if tz is not None else None
         if fmt is None or lit_val(fmt) is None:
-            out = sc.cast("timestamp")
+            out = sc.try_cast("timestamp")
             if z and z != "UTC":
                 has_off = sc.rlike(
                     r"\d{2}:\d{2}(:\d{2}(\.\d+)?)?\s*(Z|[+-]\d{2}(:?\d{2})?)$")
@@ -622,7 +626,7 @@ def _registry() -> dict:
                        .otherwise(F.to_utc_timestamp(out, z))
             return out
         fmt_s = lit_str(fmt)
-        out = F.to_timestamp(sc, _joda_to_spark(fmt_s))
+        out = F.try_to_timestamp(sc, F.lit(_joda_to_spark(fmt_s)))
         if z and z != "UTC" and "Z" not in fmt_s:
             # a pattern that parses an offset (joda Z/ZZ) pins the instant
             out = F.to_utc_timestamp(out, z)
@@ -667,8 +671,9 @@ def _registry() -> dict:
             # ExprEval.computeNumber:565-580 — tryParseLong, else parse as
             # double and truncate ('10.1' → 10, not NULL)
             return F.coalesce(c.try_cast(spark_t),
-                              c.try_cast("double").cast(spark_t))
-        out = c.cast(spark_t)
+                              c.try_cast("double").try_cast(spark_t))
+        out = (c.try_cast(spark_t) if spark_t in ("double", "float")
+               else c.cast(spark_t))
         if tt.endswith("_ARRAY"):
             # a cast to an array type is an array-returning construct for
             # downstream array-vs-scalar dispatch (array_contains)
@@ -763,7 +768,7 @@ def _registry() -> dict:
 
     def _safe_divide(p, a, b):
         b = _c(b)
-        return F.when(b == 0, F.lit(None)).otherwise(_c(a) / b)
+        return F.when(b == 0, F.lit(None)).otherwise(F.try_divide(_c(a), b))
 
     _IPV4_RE = (r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
                 r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$")
@@ -882,14 +887,15 @@ def _registry() -> dict:
         "abs": _cols(F.abs), "acos": _cols(F.acos), "asin": _cols(F.asin),
         "atan": _cols(F.atan), "atan2": _cols(F.atan2), "cbrt": _cols(F.cbrt),
         "ceil": _cols(F.ceil), "cos": _cols(F.cos), "cosh": _cols(F.cosh),
-        "cot": _cols(lambda x: F.cos(x) / F.sin(x)),
+        "cot": _cols(lambda x: F.try_divide(F.cos(x), F.sin(x))),
         # Function.java Div: Java long division — truncates toward zero
         # (floor() would be off by one for negative quotients); Spark's div
         # function has the same semantics, exact on longs.  Non-integral
         # double operands are truncated first (Druid's double overload does
         # (long)(x/y) — differs only when operands are fractional).
-        "div": _cols(lambda a, b: F.call_function(
-            "div", a.cast("long"), b.cast("long"))),
+        "div": _cols(lambda a, b: F.when(
+            b.cast("long") == 0, F.lit(None).cast("long")).otherwise(
+            F.call_function("div", a.cast("long"), b.cast("long")))),
         "exp": _cols(F.exp), "expm1": _cols(F.expm1), "floor": _cols(F.floor),
         "log": _cols(F.log), "log10": _cols(F.log10), "log1p": _cols(F.log1p),
         "log2": _cols(F.log2),
@@ -901,7 +907,7 @@ def _registry() -> dict:
         "todegrees": _cols(F.degrees), "toradians": _cols(F.radians),
         "copysign": _cols(lambda a, b: F.abs(a) * F.when(F.signum(b) == 0, 1).otherwise(F.signum(b))),
         "hypot": _cols(F.hypot),
-        "remainder": _cols(lambda a, b: a - F.rint(a / b) * b),
+        "remainder": _cols(lambda a, b: a - F.rint(F.try_divide(a, b)) * b),
         # BivariateMathFunction: null when EITHER operand is null (greatest/
         # least would skip the null); greatest/least keep the skipping
         # ReduceFunction semantics below
@@ -922,10 +928,12 @@ def _registry() -> dict:
         # arithmetic (×/÷ by 2^b) for column-valued shift amounts
         "bitwiseshiftleft": lambda p, a, b: (
             F.shiftleft(_c(a).cast("long"), int(lit_val(b))) if lit_val(b) is not None
-            else (_c(a).cast("long") * F.pow(F.lit(2.0), _c(b)).cast("long")).cast("long")),
+            else (_c(a).cast("long") * F.pow(F.lit(2.0), _c(b))
+                  .try_cast("long")).try_cast("long")),
         "bitwiseshiftright": lambda p, a, b: (
             F.shiftright(_c(a).cast("long"), int(lit_val(b))) if lit_val(b) is not None
-            else F.floor(_c(a).cast("long") / F.pow(F.lit(2.0), _c(b))).cast("long")),
+            else F.floor(F.try_divide(_c(a).cast("long"),
+                             F.pow(F.lit(2.0), _c(b)))).try_cast("long")),
         # IEEE-754 bit reinterpretation (BitwiseConvert*Function — float
         # operands truncate to long first, strings are null; reflect gives
         # the exact Java semantics JVM-side)
@@ -1001,7 +1009,7 @@ def _registry() -> dict:
         "array_to_string": lambda p, a, sep: F.array_join(
             _c(a), lit_str(sep), "null"),
         "array_offset": lambda p, a, i: F.get(_c(a), i if isinstance(i, Column) else int(i)),
-        "array_ordinal": lambda p, a, i: F.element_at(
+        "array_ordinal": lambda p, a, i: F.try_element_at(
             _c(a), i if isinstance(i, Column) else int(i)),
         # miss → NULL (ArrayOffsetOfFunction:3258 — -1/0 only under
         # replaceWithDefault; Spark's array_position returns 0 on miss)

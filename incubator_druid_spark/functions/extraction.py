@@ -75,7 +75,7 @@ def compile_extraction(spec: dict | None, col: Column,
                 s = c.cast("string")
                 c = (F.when(s.rlike(r"^-?\d+$"),
                             F.timestamp_millis(s.cast("long")))
-                      .otherwise(s.cast("timestamp")))
+                      .otherwise(s.try_cast("timestamp")))
             else:
                 # a LONG (epoch millis) input — e.g. the inner query's
                 # asMillis output refloored by the outer query
@@ -116,7 +116,7 @@ def compile_extraction(spec: dict | None, col: Column,
         # parse failure), while null stays null
         from incubator_druid_spark.functions.druid_expr import _joda_to_spark
         s = col.cast("string")
-        parsed = F.to_timestamp(s, _joda_to_spark(spec["timeFormat"]))
+        parsed = F.try_to_timestamp(s, F.lit(_joda_to_spark(spec["timeFormat"])))
         return F.coalesce(F.date_format(parsed, _joda_to_spark(spec["resultFormat"])), s)
     if t == "stringFormat":
         # StringFormatExtractionFn — String.format with the dim as only
@@ -141,13 +141,13 @@ def compile_extraction(spec: dict | None, col: Column,
         # stays; unparseable input → null — BucketExtractionFnTest)
         size = float(spec.get("size", 1))
         offset = float(spec.get("offset", 0))
-        x = col.cast("double")
+        x = col.try_cast("double")
         b = F.floor((x - offset) / size) * size + offset
         # integer-valued results print via the LONG rendering
         # (String.valueOf((long) ret) in BucketExtractionFn.apply) — a
         # double→string cast would give '1.0E7' scientific notation for
         # boundaries >= 1e7 and '-0' for negative zero
-        return F.when(b == F.floor(b), b.cast("long").cast("string")) \
+        return F.when(b == F.floor(b), b.try_cast("long").cast("string")) \
                 .otherwise(b.cast("string"))
     if t == "lookup":
         # query/lookup/LookupExtractionFn.java — inline map

@@ -23,6 +23,8 @@ import threading
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.lenient import lenient_cast as _lcast
+
 from incubator_druid_spark.catalog import TIME_COLUMN
 from incubator_druid_spark.filters.filters import FilterContext, compile_filter
 
@@ -425,11 +427,11 @@ def _firstlast_cast(t: str, val: Column) -> Column:
     over a double column truncates (ColumnValueSelector.getLong), stringFirst
     renders the value as a string (first/*AggregatorFactory.java)."""
     if t.startswith("long"):
-        return val.cast("long")
+        return _lcast(val, "long")
     if t.startswith("double"):
-        return val.cast("double")
+        return _lcast(val, "double")
     if t.startswith("float"):
-        return val.cast("float")
+        return _lcast(val, "float")
     return val.cast("string")
 
 
@@ -460,7 +462,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # (StringColumnAggregationTest.java:120-128: multiValueSum counts
         # each of the row's two copies, the null element contributes none).
         col = ctx.resolve(fname)
-        return F.filter(F.transform(col, lambda x: x.cast(typ)),
+        return F.filter(F.transform(col, lambda x: _lcast(x, typ)),
                         lambda x: x.isNotNull())
 
     if t == "count":
@@ -471,15 +473,15 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             el = fmv(_num(t))
             return F.sum(F.when(F.size(el) > 0, F.aggregate(
                 el, F.lit(0).cast(_num(t)), lambda a, x: a + x)))
-        return F.sum(fnum().cast(_num(t)))
+        return F.sum(_lcast(fnum(), _num(t)))
     if t in ("longMin", "doubleMin", "floatMin"):
         if mv:
             return F.min(F.array_min(fmv(_num(t))))
-        return F.min(fnum().cast(_num(t)))
+        return F.min(_lcast(fnum(), _num(t)))
     if t in ("longMax", "doubleMax", "floatMax"):
         if mv:
             return F.max(F.array_max(fmv(_num(t))))
-        return F.max(fnum().cast(_num(t)))
+        return F.max(_lcast(fnum(), _num(t)))
     if t == "doubleMean":
         # mean/DoubleMeanAggregatorFactory.java — factorize() has NO
         # nullable wrapper, so EVERY unfiltered row updates the holder:
@@ -494,7 +496,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             # scalar branch: one update of 0.
             col = ctx.resolve(fname)
             s_row = F.when(col.isNull(), F.lit(0.0)).otherwise(F.aggregate(
-                F.transform(col, lambda x: F.coalesce(x.cast("double"),
+                F.transform(col, lambda x: F.coalesce(_lcast(x, "double"),
                                                       F.lit(0.0))),
                 F.lit(0.0), lambda a, x: a + x))
             n_row = F.when(col.isNull(), F.lit(1)).otherwise(F.size(col))
@@ -502,7 +504,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                 s_row = F.when(pred, s_row)
                 n_row = F.when(pred, n_row)
             return F.sum(s_row) / F.sum(n_row)
-        base = F.coalesce(fnum().cast("double"), F.lit(0.0))
+        base = F.coalesce(_lcast(fnum(), "double"), F.lit(0.0))
         if pred is not None:
             base = F.when(pred, base)
         return F.avg(base)
@@ -651,7 +653,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # so metric sums are filtered to non-null keys.
         key = ctx.resolve(spec["fieldName"])
         metrics = spec.get("metricColumns") or []
-        sums = [F.sum(F.when(key.isNotNull(), ctx.resolve(m).cast("double")))
+        sums = [F.sum(F.when(key.isNotNull(), _lcast(ctx.resolve(m), "double")))
                 .alias(f"s{i}") for i, m in enumerate(metrics)]
         return F.struct(F.count_distinct(key).alias("estimate"),
                         F.array(*sums).alias("sums") if sums
@@ -662,7 +664,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         key = ctx.resolve(spec["fieldName"])
         cd = F.count_distinct(key).cast("double")
         return F.array(*[
-            F.sum(F.when(key.isNotNull(), ctx.resolve(m).cast("double"))) / cd
+            F.sum(F.when(key.isNotNull(), _lcast(ctx.resolve(m), "double"))) / cd
             for m in spec["metricColumns"]])
     if t in ("thetaSketch", "sketchMerge"):
         # datasketches theta/SketchMergeAggregatorFactory.java.  Two storage
@@ -700,8 +702,8 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                                      "doubles", read, rt)
         acc = min(int(spec.get("k", 10000)), 10000)
         if len(fracs) == 1:
-            return F.percentile_approx(f().cast("double"), float(fracs[0]), acc)
-        return F.percentile_approx(f().cast("double"),
+            return F.percentile_approx(_lcast(f(), "double"), float(fracs[0]), acc)
+        return F.percentile_approx(_lcast(f(), "double"),
                                    F.array(*[F.lit(float(x)) for x in fracs]), acc)
     if t == "__rank":
         # synthesized from quantilesDoublesSketchToRank — getRank(value) =
@@ -718,7 +720,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                 ctx.resolve(spec["fieldName"]), "doubles",
                 lambda view: ds.rank_of(view, v, inclusive=False),
                 T.DoubleType())
-        x = f().cast("double")
+        x = _lcast(f(), "double")
         return F.avg(F.when(x < v, 1.0).when(x.isNotNull(), 0.0))
     if t == "__cdf":
         # synthesized from quantilesDoublesSketchToCDF — cumulative fraction
@@ -734,7 +736,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                 ctx.resolve(spec["fieldName"]), "doubles",
                 lambda view: ds.cdf(view, splits, inclusive=False),
                 T.ArrayType(T.DoubleType()))
-        x = f().cast("double")
+        x = _lcast(f(), "double")
         cells = [F.avg(F.when(x < s, 1.0).when(x.isNotNull(), 0.0))
                  for s in splits]
         return F.array(*cells, F.max(F.when(x.isNotNull(), F.lit(1.0))))
@@ -755,7 +757,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                 T.ArrayType(T.DoubleType()))
         if splits is not None and not _is_quantile_state(ctx, fname):
             ss = [float(s) for s in splits]
-            x = f().cast("double")
+            x = _lcast(f(), "double")
             cells = [F.count(F.when(x < ss[0], 1)).cast("double")]
             for lo, hi in zip(ss, ss[1:]):
                 cells.append(F.count(F.when((x >= lo) & (x < hi), 1)).cast("double"))
@@ -765,7 +767,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return _centroid_state_agg(
                 ctx, fname, _centroid_pmf_finalize(splits,
                                                    spec.get("numBins")))
-        x = f().cast("double")
+        x = _lcast(f(), "double")
         raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
                        F.histogram_numeric(x, F.lit(128)).alias("bins"))
         return _centroid_pmf_finalize(splits, spec.get("numBins"))(raw)
@@ -786,23 +788,23 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             return _binary_merge_agg(ctx.resolve(fname), "doubles",
                                      lambda view: ds.quantile(view, 0.5),
                                      T.DoubleType())
-        return F.percentile_approx(f().cast("double"), 0.5, 10000)
+        return F.percentile_approx(_lcast(f(), "double"), 0.5, 10000)
     if t in ("variance", "varianceFold"):
         # stats/variance/VarianceAggregatorFactory.java (population by default
         # per estimator="population"? Druid default is sample)
         if spec.get("estimator") == "population":
-            return F.var_pop(f().cast("double"))
-        return F.var_samp(f().cast("double"))
+            return F.var_pop(_lcast(f(), "double"))
+        return F.var_samp(_lcast(f(), "double"))
     if t == "stddev":
         if spec.get("estimator") == "population":
-            return F.stddev_pop(f().cast("double"))
-        return F.stddev_samp(f().cast("double"))
+            return F.stddev_pop(_lcast(f(), "double"))
+        return F.stddev_samp(_lcast(f(), "double"))
     if t == "histogram":
         # HistogramAggregatorFactory.java finalizes to Histogram.asVisual()
         # (Histogram.java:181-188): {breaks, counts (inner bins), quantiles
         # [min, max] of the DATA incl. values outside the breaks}
         breaks = [float(b) for b in spec["breaks"]]
-        x = _field(spec, ctx).cast("double")
+        x = _lcast(_field(spec, ctx), "double")
         conds = [
             F.count(F.when((x >= breaks[i]) & (x < breaks[i + 1]), 1))
              .cast("double")
@@ -819,7 +821,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # counters aren't represented in this engine's counts shape)
         lo, hi, n = float(spec["lowerLimit"]), float(spec["upperLimit"]), int(spec["numBuckets"])
         mode = str(spec.get("outlierHandlingMode", "ignore")).lower()
-        x = _field(spec, ctx).cast("double")
+        x = _lcast(_field(spec, ctx), "double")
         w = (hi - lo) / n
         conds = []
         for i in range(n):
@@ -847,7 +849,7 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         if _is_quantile_state(ctx, fname):          # approxHistogramFold over
             return _centroid_state_agg(ctx, fname,  # stored state
                                        _approx_histogram_finalize(nb))
-        x = f().cast("double")
+        x = _lcast(f(), "double")
         raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
                        F.histogram_numeric(x, F.lit(res)).alias("bins"))
         return _approx_histogram_finalize(nb)(raw)
@@ -984,7 +986,7 @@ def _expression_lambda(spec: dict, ctx) -> Column:
         ident = _re.escape(acc_id)
         if fields:
             fld = _re.escape(fields[0])
-            x = ctx.resolve(fields[0]).cast(acc_type)
+            x = _lcast(ctx.resolve(fields[0]), acc_type)
             if _re.fullmatch(rf"{ident}\s*\+\s*{fld}|{fld}\s*\+\s*{ident}", fe):
                 return (init_col
                         + F.coalesce(F.sum(x), F.lit(0).cast(acc_type))) \
@@ -1488,7 +1490,7 @@ def compile_rollup_aggregations(specs: list[dict] | None,
             if _is_quantile_state(ctx, fn):           # compaction re-merge
                 out.append(_merged_quantile_state(ctx.resolve(fn)).alias(name))
             else:
-                x = ctx.resolve(fn).cast("double")
+                x = _lcast(ctx.resolve(fn), "double")
                 res = int(spec.get("resolution", spec.get("k", 128)))
                 out.append(F.struct(
                     F.min(x).alias("mn"), F.max(x).alias("mx"),

@@ -300,7 +300,7 @@ def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names,
         if comparator != "lexicographic" and name in dim_names:
             col = _ordering_sort_key(col, comparator)
         elif comparator == "numeric" and name in dim_names:
-            col = col.cast("double")
+            col = col.try_cast("double")
         order_exprs.append(col.desc() if str(direction).lower().startswith("desc")
                            else col.asc())
     if not order_exprs and (spec.get("limit") is not None

@@ -61,6 +61,9 @@ def probe_media(data: bytes, default_mime: str = "application/octet-stream"
             if info["fps"]:
                 out["duration_ms"] = int(round(
                     info["n_frames"] * 1000 / info["fps"]))
+        elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            out["mime"] = "image/webp"
+            out.update(_probe_webp(data))
         elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             out["mime"] = "audio/wav"
             out.update(_probe_wav(data))
@@ -271,6 +274,33 @@ def _probe_mp3(data: bytes) -> dict:
     return out
 
 
+def _probe_webp(data: bytes) -> dict:
+    """WEBP header tier (RFC 9649): dimensions from the first of VP8X
+    (extended canvas), VP8L (lossless) or 'VP8 ' (lossy key frame) —
+    no bitstream decode.  Full decode stays a named library-class format
+    (pipeline/multimodal.py raises by name)."""
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8X" and len(body) >= 10:
+            # 1 flags byte + 3 reserved, then 24-bit LE canvas dims minus 1
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"width": w, "height": h}
+        if fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            return {"width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1}
+        if fourcc == b"VP8 " and len(body) >= 10 \
+                and body[3:6] == b"\x9d\x01\x2a":
+            w, h = struct.unpack("<HH", body[6:10])
+            return {"width": w & 0x3FFF, "height": h & 0x3FFF}
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    return {}
+
+
 def _probe_ogg(data: bytes) -> dict:
     """Opus/Vorbis in Ogg: id header gives the rate; the LAST page's
     granule position gives the PCM length."""
@@ -286,6 +316,17 @@ def _probe_ogg(data: bytes) -> dict:
         out["mime"] = "audio/ogg"
         sr = struct.unpack("<I", pkt[12:16])[0]
         out["sample_rate"] = sr
+    elif pkt[:5] == b"\x7fFLAC":
+        # Ogg FLAC mapping: 0x7F 'FLAC' maj min n_headers(2), then the
+        # native 'fLaC' + STREAMINFO — reuse the native header parser
+        out["mime"] = "audio/ogg"
+        idx = data.find(b"fLaC", seg0, seg0 + 128)
+        if idx >= 0:
+            info = _probe_flac(data[idx:])
+            out.update(info)
+            sr = info.get("sample_rate")
+            if out.get("duration_ms") is not None:
+                return out
     else:
         out["mime"] = "application/ogg"
         return out

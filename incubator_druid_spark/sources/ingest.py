@@ -239,10 +239,10 @@ def _apply_timestamp(df: DataFrame, ts_spec: dict) -> DataFrame:
         s = c.cast("string")
         t = (F.when(s.rlike(r"^-?\d+$"),
                     F.timestamp_millis(s.cast("long")))
-              .otherwise(c.cast("timestamp")))
+              .otherwise(c.try_cast("timestamp")))
     else:  # joda pattern
         from incubator_druid_spark.functions.druid_expr import _joda_to_spark
-        t = F.to_timestamp(c, _joda_to_spark(fmt))
+        t = F.try_to_timestamp(c, F.lit(_joda_to_spark(fmt)))
     return df.withColumn(TIME_COLUMN, t)
 
 

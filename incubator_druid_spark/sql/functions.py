@@ -88,7 +88,7 @@ _FUNCTIONS: list[str] = [
             ELSE timestamp_millis(unix_millis(ts) + step * {_period_millis_strict('period', 'TIME_SHIFT')})
         END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_PARSE(s STRING)
-       RETURNS TIMESTAMP RETURN cast(s AS TIMESTAMP)""",
+       RETURNS TIMESTAMP RETURN try_cast(s AS TIMESTAMP)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_FORMAT(ts TIMESTAMP, fmt STRING)
        RETURNS STRING RETURN date_format(ts, fmt)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MILLIS_TO_TIMESTAMP(ms BIGINT)
@@ -129,7 +129,7 @@ _FUNCTIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_OFFSET(a ARRAY<STRING>, i INT)
        RETURNS STRING RETURN get(a, i)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_ORDINAL(a ARRAY<STRING>, i INT)
-       RETURNS STRING RETURN element_at(a, i)""",
+       RETURNS STRING RETURN try_element_at(a, i)""",
     # miss → NULL in SQL-compatible mode (Function.java ArrayOffsetOfFunction
     # :3258 — -1/0 only under replaceWithDefault); Spark's array_position
     # returns 0 on miss, so nullif first
@@ -196,24 +196,24 @@ _FUNCTIONS: list[str] = [
     #    name-compatible ones below suffice for scalar call sites)
     """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_PARSE(s STRING)
        RETURNS BIGINT RETURN
-       cast(split(s, '\\\\.')[0] AS BIGINT) * 16777216 +
-       cast(split(s, '\\\\.')[1] AS BIGINT) * 65536 +
-       cast(split(s, '\\\\.')[2] AS BIGINT) * 256 +
-       cast(split(s, '\\\\.')[3] AS BIGINT)""",
+       TRY_CAST(get(split(s, '\\\\.'), 0) AS BIGINT) * 16777216 +
+       TRY_CAST(get(split(s, '\\\\.'), 1) AS BIGINT) * 65536 +
+       TRY_CAST(get(split(s, '\\\\.'), 2) AS BIGINT) * 256 +
+       TRY_CAST(get(split(s, '\\\\.'), 3) AS BIGINT)""",
     # IPv4AddressMatchExprMacro.java: address ∈ CIDR subnet — compare the
     # network prefixes after shifting out the host bits
     """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_MATCH(s STRING, subnet STRING)
        RETURNS BOOLEAN RETURN
-       shiftright(cast(split(s, '\\\\.')[0] AS BIGINT) * 16777216 +
-                  cast(split(s, '\\\\.')[1] AS BIGINT) * 65536 +
-                  cast(split(s, '\\\\.')[2] AS BIGINT) * 256 +
-                  cast(split(s, '\\\\.')[3] AS BIGINT),
-                  32 - cast(split(subnet, '/')[1] AS INT)) =
-       shiftright(cast(split(split(subnet, '/')[0], '\\\\.')[0] AS BIGINT) * 16777216 +
-                  cast(split(split(subnet, '/')[0], '\\\\.')[1] AS BIGINT) * 65536 +
-                  cast(split(split(subnet, '/')[0], '\\\\.')[2] AS BIGINT) * 256 +
-                  cast(split(split(subnet, '/')[0], '\\\\.')[3] AS BIGINT),
-                  32 - cast(split(subnet, '/')[1] AS INT))""",
+       shiftright(TRY_CAST(get(split(s, '\\\\.'), 0) AS BIGINT) * 16777216 +
+                  TRY_CAST(get(split(s, '\\\\.'), 1) AS BIGINT) * 65536 +
+                  TRY_CAST(get(split(s, '\\\\.'), 2) AS BIGINT) * 256 +
+                  TRY_CAST(get(split(s, '\\\\.'), 3) AS BIGINT),
+                  32 - TRY_CAST(get(split(subnet, '/'), 1) AS INT)) =
+       shiftright(TRY_CAST(get(split(get(split(subnet, '/'), 0), '\\\\.'), 0) AS BIGINT) * 16777216 +
+                  TRY_CAST(get(split(get(split(subnet, '/'), 0), '\\\\.'), 1) AS BIGINT) * 65536 +
+                  TRY_CAST(get(split(get(split(subnet, '/'), 0), '\\\\.'), 2) AS BIGINT) * 256 +
+                  TRY_CAST(get(split(get(split(subnet, '/'), 0), '\\\\.'), 3) AS BIGINT),
+                  32 - TRY_CAST(get(split(subnet, '/'), 1) AS INT))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_STRINGIFY(n BIGINT)
        RETURNS STRING RETURN concat_ws('.',
        cast(cast(n / 16777216 AS BIGINT) % 256 AS STRING),
@@ -222,9 +222,10 @@ _FUNCTIONS: list[str] = [
        cast(n % 256 AS STRING))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT)
        RETURNS DOUBLE RETURN
-       CAST(CAST(x * power(10, d) AS BIGINT) AS DOUBLE) / power(10, d)""",
+       CAST(TRY_CAST(x * power(10, d) AS BIGINT) AS DOUBLE) / power(10, d)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION PARSE_LONG(s STRING)
-       RETURNS BIGINT RETURN CAST(s AS BIGINT)""",
+       RETURNS BIGINT RETURN COALESCE(TRY_CAST(s AS BIGINT),
+       TRY_CAST(TRY_CAST(s AS DOUBLE) AS BIGINT))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION HUMAN_READABLE_BINARY_BYTE_FORMAT(n BIGINT)
        RETURNS STRING RETURN
        CASE WHEN abs(n) >= 1073741824 THEN concat(format_number(n / 1073741824, 2), ' GiB')
@@ -1816,7 +1817,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
         if ts_m and ts_m.group(1).split(".")[-1] in ts_cols:
             return f"CAST(unix_millis(CAST({expr} AS TIMESTAMP)) AS {t})"
         return (f"COALESCE(TRY_CAST({expr} AS {t}), "
-                f"CAST(TRY_CAST({expr} AS DOUBLE) AS {t}))")
+                f"TRY_CAST(TRY_CAST({expr} AS DOUBLE) AS {t}))")
     sql = _rewrite_calls(sql, "CAST", _int_cast_repl)
 
     # EXTRACT(unit FROM ts): route the units Spark's EXTRACT rejects
@@ -1912,8 +1913,8 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             return None
         # a NULL pattern means default ISO parsing
         # (testGroupAndFilterOnTimeFloorWithTimeZone passes NULL + tz)
-        parsed = (f"CAST({a[0]} AS TIMESTAMP)" if _null_arg(a[1])
-                  else f"to_timestamp({a[0]}, {_joda_lit(a[1])})")
+        parsed = (f"TRY_CAST({a[0]} AS TIMESTAMP)" if _null_arg(a[1])
+                  else f"try_to_timestamp({a[0]}, {_joda_lit(a[1])})")
         if len(a) == 2:
             return parsed
         return f"to_utc_timestamp({parsed}, {a[2]})"

@@ -4,6 +4,12 @@ Runs every ``queries()`` entry at sf0.01 and compares against ``oracle_sql()``
 via DuckDB: row count, column-name set, and order-insensitive value comparison
 (sorted columns, sorted rows).
 Usage:  python scripts/check_correctness.py [sf_dir] [--only name1,name2]
+                                            [--ansi]
+
+``--ansi`` runs the board the way the DRIVER does: a host-owned session with
+``spark.sql.ansi.enabled=true`` (the PySpark 4 default) that the engine did
+NOT create.  The engine must be correct under the session it is given —
+every semantics-bearing cast/division/parse has to go through try_* routes.
 """
 
 from __future__ import annotations
@@ -41,12 +47,27 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
+    ansi = "--ansi" in args
+    if ansi:
+        args.remove("--ansi")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     import __spark_entry__ as entrymod
-    from incubator_druid_spark import get_spark
 
-    spark = get_spark()
+    if ansi:
+        # Emulate the driver: a session the engine did not create, with the
+        # PySpark-4 defaults (ANSI on).  Timezone stays UTC like the driver's.
+        from pyspark.sql import SparkSession
+        cpus = os.environ["SPARK_GRAFT_CPUS"]
+        spark = (SparkSession.builder.appName("hostile-host")
+                 .master(f"local[{cpus}]")
+                 .config("spark.sql.ansi.enabled", "true")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+                 .getOrCreate())
+    else:
+        from incubator_druid_spark import get_spark
+        spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -24,6 +24,13 @@ def spark():
     from incubator_druid_spark import get_spark
     s = get_spark("tests")
     s.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_ANSI=1 runs the whole suite under a HOSTILE host session
+    # (spark.sql.ansi.enabled=true, the PySpark-4 default).  The engine's
+    # results must be identical in both modes — every semantics-bearing
+    # cast/division/parse goes through try_* routes, so this flip must not
+    # change a single assertion.
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        s.conf.set("spark.sql.ansi.enabled", "true")
     yield s
 
 

@@ -272,3 +272,55 @@ def test_filter_before_decode_audio_gate(spark):
     out = extract_audio_features(df2, fake=False, min_sample_rate=16000,
                                  max_duration_ms=10000).collect()
     assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_probe_webp_variants():
+    """WEBP header tier (RFC 9649): VP8L lossless bit-packed dims, lossy
+    'VP8 ' key-frame dims behind the 9D 01 2A start code, and VP8X
+    extended canvas (24-bit minus-one) — all without decode."""
+    import struct
+
+    def riff(chunk):
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    # VP8L: width=17, height=9
+    bits = (17 - 1) | ((9 - 1) << 14)
+    m = probe_media(riff(chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits))))
+    assert (m["mime"], m["width"], m["height"]) == ("image/webp", 17, 9)
+
+    # VP8 lossy: 3-byte frame tag, start code, 14-bit LE dims
+    body = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    m = probe_media(riff(chunk(b"VP8 ", body)))
+    assert (m["mime"], m["width"], m["height"]) == ("image/webp", 640, 480)
+
+    # VP8X: flags + reserved, then 24-bit canvas dims minus one
+    body = bytes(4) + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+    m = probe_media(riff(chunk(b"VP8X", body)))
+    assert (m["mime"], m["width"], m["height"]) == ("image/webp", 1920, 1080)
+
+    # truncated/garbage chunk degrades to mime-only, never raises
+    m = probe_media(riff(b"VP8L" + struct.pack("<I", 99)))
+    assert m["mime"] == "image/webp" and m["width"] is None
+
+
+def test_probe_ogg_flac():
+    """FLAC-in-Ogg mapping: the first packet is 0x7F'FLAC' wrapping the
+    native fLaC STREAMINFO — rate, total samples and duration come from
+    the embedded header, no Ogg demux or FLAC decode."""
+    import struct
+    sr, total = 22050, 44100  # exactly 2 s
+    si = bytes(10) + ((sr << 44) | total).to_bytes(8, "big") + bytes(16)
+    pkt = (b"\x7fFLAC\x01\x00" + struct.pack(">H", 1)
+           + b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si)
+    page = (b"OggS\x00\x02" + struct.pack("<q", 0)
+            + struct.pack("<II", 9, 0) + bytes(4)
+            + bytes([1, len(pkt)]) + pkt)
+    m = probe_media(page)
+    assert m["mime"] == "audio/ogg"
+    assert m["sample_rate"] == sr
+    assert m["n_frames"] == total
+    assert m["duration_ms"] == 2000
