@@ -72,7 +72,22 @@ class Catalog:
 
     def version(self) -> tuple[int, int]:
         """(identity, mutation-count) — changes whenever datasources do."""
-        return (self._serial, self._version)
+        src = getattr(self, "_parent", None) or self
+        return (self._serial, src._version)
+
+    def for_session(self, spark: SparkSession) -> "Catalog":
+        """A read view of this catalog bound to ANOTHER SparkSession —
+        same datasource specs and lookups (shared by reference, so later
+        registrations on the parent are visible), but session-local
+        DataFrame/schema caches since DataFrames bind to their session.
+        Used by the SQL layer to execute the Druid dialect in a non-ANSI
+        session clone while the host session stays untouched."""
+        view = Catalog(spark)
+        view._specs = self._specs
+        view._lookups = self._lookups
+        view._serial = self._serial
+        view._parent = getattr(self, "_parent", None) or self
+        return view
 
     # -- datasources -------------------------------------------------------
     def register(self, name: str, path: str, fmt: str = "parquet",

@@ -63,6 +63,29 @@ _JAVA_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
                  "\\": "\\", "'": "'", '"': '"', "/": "/", "0": "\0"}
 
 
+
+def _lenient_long(c: Column) -> Column:
+    """ExprEval.asLong operand read: exact long parse, else double-truncate,
+    else null — identical under ANSI on and off."""
+    return F.coalesce(c.try_cast("long"), c.try_cast("double").try_cast("long"))
+
+
+def _array_ctor(p, *items):
+    """ArrayConstructorFunction literal typing: mixed numeric/string
+    literal elements resolve the array to the NUMERIC type with
+    non-parsing strings as null (FunctionTest testArrayConstructor:
+    array(1, 2, 3, 'bar') is LONG[1,2,3,null]) — Spark's F.array would
+    instead coerce everything to string."""
+    lits = [x for x in items if not isinstance(x, Column)]
+    has_num = any(isinstance(x, (int, float)) and not isinstance(x, bool)
+                  for x in lits)
+    has_str = any(isinstance(x, str) for x in lits)
+    if has_num and has_str and len(lits) == len(items):
+        t = "double" if any(isinstance(x, float) for x in lits) else "long"
+        cols = [_c(x).try_cast(t) for x in items]
+        return p.tag_array(F.array(*cols))
+    return p.tag_array(F.array(*[_c(x) for x in items]))
+
 def _unquote(s: str) -> str:
     """Java-unescape a quoted literal (ExprListenerImpl.escapeStringLiteral
     → StringEscapeUtils.unescapeJava): '\\t' is a TAB, '\\uXXXX' a code
@@ -106,7 +129,7 @@ def _as_bool(x, is_string: bool = False) -> Column:
         return F.lit(x.lower() == "true")
     if is_string:
         return F.lower(x.cast("string")) == "true"
-    d = x.cast("double")  # bool → 1.0/0.0; unparseable string → null
+    d = x.try_cast("double")  # bool -> 1.0/0.0; unparseable string -> null
     return (F.when(d.isNotNull(), d > F.lit(0.0))
              .otherwise(F.lower(x.cast("string")) == "true"))
 
@@ -127,6 +150,19 @@ def lit_str(x) -> str | None:
     v = lit_val(x)
     return None if v is None else str(v)
 
+
+
+def _req_lit_str(x, fname: str, what: str = "pattern") -> str:
+    """SQL-null-mode macro contract: the pattern/substring argument must be
+    a non-null string LITERAL (RegexpExtractExprMacro/ContainsExprMacro
+    'must be a string literal' — null and non-literal args are planner
+    errors, not row-level nulls)."""
+    v = lit_val(x)
+    if not isinstance(v, str):
+        # null, non-literal (Column) and numeric literals all refuse
+        raise ValueError(
+            f"Function[{fname}] {what} must be a string literal")
+    return v
 
 # ---------------------------------------------------------------------------
 # Parser
@@ -240,12 +276,14 @@ class _Parser:
             # already promote to double under Spark's coercion.
             l_str = isinstance(l, str) or self._is_string_col(l)
             r_str = isinstance(r, str) or self._is_string_col(r)
-            l_num = isinstance(l, (int, float)) and not isinstance(l, bool)
-            r_num = isinstance(r, (int, float)) and not isinstance(r, bool)
+            l_num = self._is_numeric(l)
+            r_num = self._is_numeric(r)
             if l_str and r_num:
-                l = _c(l).cast("double")
-            elif r_str and l_num:
+                l = _c(l).try_cast("double")
                 r = _c(r).cast("double")
+            elif r_str and l_num:
+                r = _c(r).try_cast("double")
+                l = _c(l).cast("double")
             if not isinstance(l, Column) and not isinstance(r, Column):
                 l = _c(l)
             left = {"<": lambda: _c(l) < r, "<=": lambda: _c(l) <= r,
@@ -276,10 +314,11 @@ class _Parser:
                 # MIXED string/numeric: numeric(STRING, LONG/DOUBLE) =
                 # DOUBLE — the string side parses (unparseable → null),
                 # it does NOT concatenate ('5' + 1 is 6.0 in Druid)
-                left = (_c(left).cast("double") + _c(right).cast("double")
+                left = (_c(left).try_cast("double")
+                        + _c(right).try_cast("double")
                         if op == "+"
-                        else _c(left).cast("double")
-                        - _c(right).cast("double"))
+                        else _c(left).try_cast("double")
+                        - _c(right).try_cast("double"))
             elif op == "+" and (l_str or r_str):
                 # one side KNOWN string, other an untyped column: presume
                 # string (the common `'prefix' + dim` shape in untyped
@@ -338,9 +377,21 @@ class _Parser:
                     .otherwise(F.call_function("div", _c(left).cast("long"),
                                                rl)))
                 continue
-            res = {"*": _c(left) * right,
-                   "/": F.try_divide(_c(left), _c(right)),
-                   "%": F.try_mod(_c(left), _c(right))}[op]
+            l_mixed = ((isinstance(left, str) or self._is_string_col(left))
+                       and self._is_numeric(right))
+            r_mixed = ((isinstance(right, str)
+                        or self._is_string_col(right))
+                       and self._is_numeric(left))
+            if l_mixed or r_mixed:
+                # numeric(STRING, NUMBER) = DOUBLE: the string side parses
+                # leniently (BinaryEvalOpExprBase via ExprEval.asDouble)
+                lc = _c(left).try_cast("double") if l_mixed else _c(left)
+                rc = _c(right).try_cast("double") if r_mixed else _c(right)
+            else:
+                lc, rc = _c(left), _c(right)
+            res = {"*": lc * rc,
+                   "/": F.try_divide(lc, rc),
+                   "%": F.try_mod(lc, rc)}[op]
             if op in ("*", "%") and self._is_integral(left) \
                     and self._is_integral(right):
                 res = self.tag_integral(res)
@@ -402,7 +453,7 @@ class _Parser:
                     self.next()
                     items.append(self.parse_or())
             self.expect("]")
-            return self.tag_array(F.array(*[_c(x) for x in items]))
+            return _array_ctor(self, *items)
         if k == "ident":
             if self.peek()[1] == "(":
                 return self._call(v)
@@ -691,6 +742,43 @@ def _registry() -> dict:
     def _plus1(start):
         return (start.cast("int") + 1) if isinstance(start, Column) else int(start) + 1
 
+
+    def _reduce_extreme(spark_fn):
+        """greatest/least (Function.java ReduceFunction): null operands are
+        SKIPPED, any STRING operand widens the whole reduction to string
+        comparison ('A' > '9' lexicographically), no operands -> null."""
+        def impl(p, *args):
+            if not args:
+                return F.lit(None).cast("string")
+            any_str = any(isinstance(a, str) or p._is_string_col(a)
+                          for a in args)
+            cols = [_c(a) for a in args]
+            if any_str:
+                out = spark_fn(*[c.cast("string") for c in cols]) \
+                    if len(cols) > 1 else cols[0].cast("string")
+                return p.tag_string(out)
+            return spark_fn(*cols) if len(cols) > 1 else cols[0]
+        return impl
+
+
+    def _bitwise_bin(fn):
+        """FunctionTest testBitwise: bitwiseAnd('2','1') is null (two
+        strings never widen) but bitwiseAnd(3,'1') forgives the one
+        string; doubles truncate via the lenient long read."""
+        def impl(p, a, b):
+            a_str = isinstance(a, str) or p._is_string_col(a)
+            b_str = isinstance(b, str) or p._is_string_col(b)
+            if a_str and b_str:
+                return F.lit(None).cast("long")
+            return fn(_lenient_long(_c(a)), _lenient_long(_c(b)))
+        return impl
+
+    def _bitwise_unary(p, x):
+        """bitwiseComplement accepts no string slop — '1' is null."""
+        if isinstance(x, str) or p._is_string_col(x):
+            return F.lit(None).cast("long")
+        return F.bitwise_not(_lenient_long(_c(x)))
+
     def _round(p, x, scale=None):
         # Function.java RoundFunction: NaN rounds to 0, +-Infinity clamps
         # to +-Double.MAX_VALUE, non-numeric strings are null (sql mode).
@@ -700,15 +788,39 @@ def _registry() -> dict:
         # double literals would unify the CaseWhen to DOUBLE, corrupting
         # values beyond 2^53 and changing the output type.
         c = _c(x)
-        sc = int(lit_val(scale)) if scale is not None else 0
+        if isinstance(x, Column) and id(x) in p.array_ids:
+            # round of an array is null in SQL mode (RoundFunction's type
+            # check; FunctionTest testRoundWithNullValueOrInvalid)
+            return F.lit(None).cast("double")
+        sc = 0
+        sc_col = None
+        if scale is not None:
+            sv = lit_val(scale)
+            if sv is None:
+                sc_col = _c(scale)  # non-literal scale (a column)
+            elif isinstance(sv, bool) or isinstance(sv, str) or (
+                    isinstance(sv, float) and not float(sv).is_integer()):
+                # RoundFunction: "second argument ... should be integer
+                # type" (testRoundWithInvalidSecondArgument)
+                raise ValueError(
+                    "The second argument to the function[round] should be "
+                    "integer type")
+            else:
+                sc = int(sv)
+        if sc_col is not None:
+            # non-literal scale: Spark round() needs a foldable scale, so
+            # scale arithmetically (HALF_UP either way)
+            pw = F.pow(F.lit(10.0), sc_col.cast("int"))
+            base = c if p._is_integral(x) else c.try_cast("double")
+            return F.round(base * pw, 0) / pw
         if p._is_integral(x):
             return F.round(c, sc)
-        cd = c.cast("double")
+        cd = c.try_cast("double")
         maxv = 1.7976931348623157e308
         guarded = (F.when(F.isnan(cd), F.lit(0.0))
                     .when(cd == F.lit(float("inf")), F.lit(maxv))
                     .when(cd == F.lit(float("-inf")), F.lit(-maxv))
-                    .otherwise(c))
+                    .otherwise(cd))
         return F.round(guarded, sc)
 
     def _strpos(p, h, n, from_index=None):
@@ -776,9 +888,12 @@ def _registry() -> dict:
     def _ipv4_long(p, x):
         """Uint32 value of an address operand, null when invalid — the
         reference's macros dispatch LONG inputs numerically (validated to
-        the uint32 range) and STRING inputs as dotted-quad (invalid →
-        null); a LONG column stringifies to bare digits here, so the
-        runtime branch recovers the numeric path."""
+        the uint32 range) and STRING inputs STRICTLY as dotted-quad
+        (IPv4AddressParseExprMacroTest testValidStringArgUnsignedInt: the
+        string '3232235521' is NULL, only the LONG form parses).  An
+        UNTAGGED column keeps a bare-digits fallback: a LONG column read
+        through an untyped resolver stringifies to digits, and dropping
+        them would break numeric columns in untyped contexts."""
         if isinstance(x, int) and not isinstance(x, bool):
             return F.lit(x if 0 <= x <= 0xFFFFFFFF else None).cast("long")
         c = _c(x)
@@ -789,9 +904,12 @@ def _registry() -> dict:
         dotted = (F.get(o, 0).cast("long") * 16777216
                   + F.get(o, 1).cast("long") * 65536
                   + F.get(o, 2).cast("long") * 256 + F.get(o, 3).cast("long"))
-        num = s.cast("long")
-        return (F.when(s.rlike(_IPV4_RE), dotted)
-                 .when(s.rlike(r"^\d+$") & (num <= 0xFFFFFFFF), num))
+        out = F.when(s.rlike(_IPV4_RE), dotted)
+        if isinstance(x, str) or p._is_string_col(x):
+            return out  # known-string input: dotted-quad only
+        num = s.try_cast("long")
+        return out.when(s.rlike(r"^\d+$")
+                        & num.isNotNull() & (num <= 0xFFFFFFFF), num)
 
     def _ipv4_parse(p, s):
         return _ipv4_long(p, s)
@@ -823,8 +941,10 @@ def _registry() -> dict:
                 # ParseLongFunction strips an optional 0x/0X prefix at
                 # radix 16 (ExpressionsTest: parse_long('0xEF',16) = 239)
                 c = F.regexp_replace(c, "^0[xX]", "")
-            return F.conv(c, r, 10).cast("long")
-        return _c(s).cast("long")
+            return F.conv(c, r, 10).try_cast("long")
+        c = _c(s)
+        return F.coalesce(c.try_cast("long"),
+                          c.try_cast("double").try_cast("long"))
 
     def _human_readable(units, base):
         # HumanReadableBytes-style unit scaling (these functions postdate
@@ -915,39 +1035,42 @@ def _registry() -> dict:
                                          F.greatest(a, b))),
         "min": _cols(lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
                                          F.least(a, b))),
-        "greatest": _cols(F.greatest), "least": _cols(F.least),
-        "scalb": _cols(lambda a, b: a * F.pow(F.lit(2.0), b.cast("double"))),
+        "greatest": _reduce_extreme(F.greatest),
+        "least": _reduce_extreme(F.least),
+        "scalb": _cols(lambda a, b: a * F.pow(F.lit(2.0), b.try_cast("double"))),
         "safe_divide": _safe_divide,
         "parse_long": _parse_long,
         # -- bitwise (Function.java:888-1064)
-        "bitwisecomplement": _cols(lambda x: F.bitwise_not(x.cast("long"))),
-        "bitwiseand": _cols(lambda a, b: a.cast("long").bitwiseAND(b.cast("long"))),
-        "bitwiseor": _cols(lambda a, b: a.cast("long").bitwiseOR(b.cast("long"))),
-        "bitwisexor": _cols(lambda a, b: a.cast("long").bitwiseXOR(b.cast("long"))),
+        "bitwisecomplement": _bitwise_unary,
+        "bitwiseand": _bitwise_bin(lambda x, y: x.bitwiseAND(y)),
+        "bitwiseor": _bitwise_bin(lambda x, y: x.bitwiseOR(y)),
+        "bitwisexor": _bitwise_bin(lambda x, y: x.bitwiseXOR(y)),
         # shiftleft/right take a literal shift count in Spark; fall back to
         # arithmetic (×/÷ by 2^b) for column-valued shift amounts
         "bitwiseshiftleft": lambda p, a, b: (
-            F.shiftleft(_c(a).cast("long"), int(lit_val(b))) if lit_val(b) is not None
-            else (_c(a).cast("long") * F.pow(F.lit(2.0), _c(b))
+            F.shiftleft(_lenient_long(_c(a)), int(lit_val(b)))
+            if lit_val(b) is not None
+            else (_lenient_long(_c(a)) * F.pow(F.lit(2.0), _c(b))
                   .try_cast("long")).try_cast("long")),
         "bitwiseshiftright": lambda p, a, b: (
-            F.shiftright(_c(a).cast("long"), int(lit_val(b))) if lit_val(b) is not None
-            else F.floor(F.try_divide(_c(a).cast("long"),
+            F.shiftright(_lenient_long(_c(a)), int(lit_val(b)))
+            if lit_val(b) is not None
+            else F.floor(F.try_divide(_lenient_long(_c(a)),
                              F.pow(F.lit(2.0), _c(b)))).try_cast("long")),
         # IEEE-754 bit reinterpretation (BitwiseConvert*Function — float
         # operands truncate to long first, strings are null; reflect gives
         # the exact Java semantics JVM-side)
         "bitwiseconvertlongbitstodouble": _cols(lambda x: F.when(
-            x.cast("long").isNotNull(), F.call_function(
+            _lenient_long(x).isNotNull(), F.call_function(
                 "reflect", F.lit("java.lang.Double"),
                 F.lit("longBitsToDouble"),
-                F.coalesce(x.cast("long"), F.lit(0).cast("long")))
+                F.coalesce(_lenient_long(x), F.lit(0).cast("long")))
             .cast("double"))),
         "bitwiseconvertdoubletolongbits": _cols(lambda x: F.when(
-            x.cast("double").isNotNull(), F.call_function(
+            x.try_cast("double").isNotNull(), F.call_function(
                 "reflect", F.lit("java.lang.Double"),
                 F.lit("doubleToLongBits"),
-                F.coalesce(x.cast("double"), F.lit(0.0)))
+                F.coalesce(x.try_cast("double"), F.lit(0.0)))
             .cast("long"))),
         # -- conditionals / null (Function.java:2056-2247)
         "if": lambda p, c, a, b: F.when(_as_bool(c), _c(a)).otherwise(_c(b)),
@@ -977,22 +1100,30 @@ def _registry() -> dict:
         "like": lambda p, s, pat, esc=None: _c(s).like(lit_str(pat)),
         # RegexpExtractExprMacro.java: matcher.find() ? group(idx) : NULL —
         # Spark's regexp_extract returns '' on no-match, so guard with rlike
-        "regexp_extract": lambda p, s, pat, idx=None: F.when(
-            _c(s).rlike(lit_str(pat)),
-            F.regexp_extract(_c(s), lit_str(pat),
+        # an empty extracted group is NULL in SQL null mode
+        # (RegexpExtractExprMacroTest testEmptyStringPattern asserts
+        # NullHandling.emptyToNullIfNeeded(""))
+        "regexp_extract": lambda p, s, pat, idx=None: F.nullif(F.when(
+            _c(s).rlike(_req_lit_str(pat, "regexp_extract")),
+            F.regexp_extract(_c(s), _req_lit_str(pat, "regexp_extract"),
                              int(lit_val(idx)) if idx is not None else 0)),
+            F.lit("")),
         # null input matches nothing -> false, not null (RegexpLikeExpr)
         # Druid native booleans ARE longs (ExprEval LONG 1/0) — returning
         # LONG keeps them usable in arithmetic folds (`acc + regexp_like`)
         # while filters cast back to boolean
         "regexp_like": lambda p, s, pat: F.coalesce(
-            _c(s).rlike(lit_str(pat)), F.lit(False)).cast("long"),
+            _c(s).rlike(_req_lit_str(pat, "regexp_like")),
+            F.lit(False)).cast("long"),
         "regexp_replace": lambda p, s, pat, rep: F.regexp_replace(
             _c(s), lit_str(pat), lit_str(rep)),
         "contains_string": lambda p, s, sub: (
-            F.instr(_c(s), lit_str(sub)) > 0).cast("long"),
+            F.instr(_c(s), _req_lit_str(sub, "contains_string",
+                                        "substring")) > 0).cast("long"),
         "icontains_string": lambda p, s, sub: (
-            F.instr(F.lower(_c(s)), lit_str(sub).lower()) > 0).cast("long"),
+            F.instr(F.lower(_c(s)),
+                    _req_lit_str(sub, "icontains_string",
+                                 "substring").lower()) > 0).cast("long"),
         # -- time macros (processing/.../query/expression/)
         "timestamp_floor": timestamp_floor, "timestamp_ceil": timestamp_ceil,
         "timestamp_shift": timestamp_shift, "timestamp_extract": timestamp_extract,
@@ -1002,7 +1133,7 @@ def _registry() -> dict:
         "millis_to_timestamp": _cols(lambda n: F.timestamp_millis(n.cast("long"))),
         "timestamp_to_millis": _cols(F.unix_millis),
         # -- arrays (Function.java:2918-3457)
-        "array": _cols(F.array), "array_length": _cols(F.size),
+        "array": _array_ctor, "array_length": _cols(F.size),
         "string_to_array": _string_to_array,
         # null elements print as 'null' (ArrayToStringFunction joins with
         # String.valueOf)
@@ -1010,7 +1141,7 @@ def _registry() -> dict:
             _c(a), lit_str(sep), "null"),
         "array_offset": lambda p, a, i: F.get(_c(a), i if isinstance(i, Column) else int(i)),
         "array_ordinal": lambda p, a, i: F.try_element_at(
-            _c(a), i if isinstance(i, Column) else int(i)),
+            _c(a), i if isinstance(i, Column) else F.lit(int(i))),
         # miss → NULL (ArrayOffsetOfFunction:3258 — -1/0 only under
         # replaceWithDefault; Spark's array_position returns 0 on miss)
         "array_offset_of": _cols(lambda a, v: (

@@ -72,11 +72,22 @@ def _field(spec: dict, ctx: FilterContext) -> Column:
         from pyspark.sql import types as T
 
         from incubator_druid_spark.functions.druid_expr import compile_expr
-        int_cols = {n for n, ty in getattr(ctx, "_types", {}).items()
+        types = getattr(ctx, "_types", {})
+        int_cols = {n for n, ty in types.items()
                     if isinstance(ty, (T.LongType, T.IntegerType,
                                        T.ShortType, T.ByteType))}
+        # string/numeric tags drive the compiler's mixed-type dispatch —
+        # numeric(STRING, NUMBER) evaluates as DOUBLES via a lenient parse
+        # (never Spark's implicit strict string→bigint coercion, which
+        # throws on '10.1' under an ANSI host session)
+        str_cols = {n for n, ty in types.items()
+                    if isinstance(ty, T.StringType)}
+        num_cols = {n for n, ty in types.items()
+                    if isinstance(ty, (T.DoubleType, T.FloatType,
+                                       T.DecimalType))}
         return compile_expr(spec["expression"], ctx.resolve,
-                            integral_cols=int_cols)
+                            string_cols=str_cols, integral_cols=int_cols,
+                            numeric_cols=num_cols)
     raise ValueError(f"aggregator {spec.get('name')!r} needs fieldName or expression")
 
 

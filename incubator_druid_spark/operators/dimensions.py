@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.lenient import lenient_cast as _lcast
 from pyspark.sql import types as T
 
 from incubator_druid_spark.functions.extraction import compile_extraction
@@ -52,7 +54,7 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
             # selector reads each value at the declared type): ['7','007']
             # under LONG groups as one key 7, not two string keys
             col = F.transform(col,
-                              lambda x: x.cast(_OUT_TYPES[ot.upper()]))
+                              lambda x: _lcast(x, _OUT_TYPES[ot.upper()]))
         elif ot and ot.upper() in _OUT_TYPES:
             if (ot.upper() == "LONG"
                     and isinstance(types.get(dim), T.TimestampType)):
@@ -60,7 +62,7 @@ def dimension_column(spec, df: DataFrame) -> tuple[str, Column, bool]:
                 # storage type), not Spark's cast-to-seconds
                 col = F.unix_millis(col)
             else:
-                col = col.cast(_OUT_TYPES[ot.upper()])
+                col = _lcast(col, _OUT_TYPES[ot.upper()])
         elif not ot and isinstance(types.get(dim), T.NumericType):
             # DefaultDimensionSpec.getOutputType defaults to STRING: a dict-
             # form spec with no outputType renders a NUMERIC column as its

@@ -1488,6 +1488,25 @@ def _catalog_array_cols(catalog, sql: str | None = None) -> frozenset:
     return frozenset().union(*per_table.values(), frozenset())
 
 
+_NON_ANSI_CLONES: "weakref.WeakKeyDictionary" = None
+
+
+def _non_ansi_clone(spark: SparkSession) -> SparkSession:
+    """One non-ANSI session clone per host session (same SparkContext,
+    copied SQLConf + temp views at clone time, independent thereafter)."""
+    global _NON_ANSI_CLONES
+    if _NON_ANSI_CLONES is None:
+        import weakref
+        _NON_ANSI_CLONES = weakref.WeakKeyDictionary()
+    clone = _NON_ANSI_CLONES.get(spark)
+    if clone is None:
+        clone = SparkSession(spark.sparkContext,
+                             spark._jsparkSession.cloneSession())
+        clone.conf.set("spark.sql.ansi.enabled", "false")
+        _NON_ANSI_CLONES[spark] = clone
+    return clone
+
+
 def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
     """One-call Druid-flavored SQL entry: functions + views + execute."""
     import re
@@ -1513,6 +1532,18 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                          if t in referenced})
         res = _json.dumps([{"name": t, "type": "DATASOURCE"} for t in tables])
         return spark.createDataFrame([(plan, res)], "PLAN string, RESOURCES string")
+    # Druid SQL is a NON-ANSI dialect by definition (CAST('x' AS BIGINT) is
+    # null, x/0 is null, MVD element reads never throw — PlannerContext
+    # fixes the planner behavior regardless of server config).  When the
+    # HOST session runs ANSI-on (the PySpark-4 default), execute the
+    # dialect in a per-host session CLONE with ANSI off: cloneSession()
+    # copies the host's SQLConf and temp-view state, the flip applies only
+    # to the clone, and the host session is never mutated.
+    if (spark.conf.get("spark.sql.ansi.enabled", "false") or "").lower() \
+            == "true":
+        spark = _non_ansi_clone(spark)
+        if catalog is not None:
+            catalog = catalog.for_session(spark)
     sql = _apply_current_timestamp(sql)
     if catalog is not None:
         register_views(catalog)
@@ -1770,6 +1801,17 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
                 lit = f"CAST({lit} AS STRING)"
             base = f"coalesce(array_contains({col}, {lit}), false)"
             return base if op == "=" else f"(NOT {base})"
+        # Array indexing on an MVD (`dim2[0]`) is the dialect's scalar read
+        # of a multi-value column.  Druid's VARCHAR read of an MVD never
+        # throws on empty/short rows, and Spark's `[i]` accessor errors on
+        # out-of-bounds under ANSI — rewrite to the null-safe `get()`,
+        # whose semantics equal non-ANSI `[i]` in BOTH session modes.
+        for _c in mvd_cols:
+            sql = _matcher_sub(
+                sql,
+                rf"(?P<col>\b(?:\w+\.)?{_c})\s*\[\s*(?P<idx>\d+)\s*\]",
+                lambda m: f"get({m.group('col')}, {m.group('idx')})")
+
         # A projection alias that shadows the MVD name (`dim2[0] AS dim2`)
         # binds the comparison to a SCALAR in its scope — rewriting it to
         # array_contains would be a type error (testExactCountDistinct-
