@@ -122,7 +122,7 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
     if t == "expression":  # ExpressionDimFilter.java
         from incubator_druid_spark.functions.druid_expr import (compile_expr,
                                                                 druid_truthy)
-        str_cols = arr_cols = int_cols = num_cols = None
+        str_cols = arr_cols = int_cols = num_cols = ts_cols = None
         if isinstance(ctx, FilterContext):
             str_cols = {n for n, ty in ctx._types.items()
                         if isinstance(ty, T.StringType)}
@@ -134,6 +134,11 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
             num_cols = {n for n, ty in ctx._types.items()
                         if isinstance(ty, (T.DoubleType, T.FloatType,
                                            T.DecimalType))}
+            # __time (and any timestamp column) reads as LONG millis in
+            # expression filters: `__time >= 949550706000` is numeric
+            ts_cols = {n for n, ty in ctx._types.items()
+                       if isinstance(ty, T.TimestampType)
+                       and n not in ctx.virtual}
         # ExpressionFilter applies Evals.asBoolean to the VALUE: a number
         # matches iff > 0 (a boolean cast would match any non-zero).  An
         # already-BOOLEAN expression (comparisons — the common case) skips
@@ -141,7 +146,8 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
         # Catalyst's pushdown (truthy(bool) ≡ bool for filtering: null is
         # non-matching either way).
         col = compile_expr(spec["expression"], ctx.resolve,
-                           str_cols, arr_cols, int_cols, num_cols)
+                           str_cols, arr_cols, int_cols, num_cols,
+                           timestamp_cols=ts_cols)
         if isinstance(ctx, FilterContext):
             from pyspark.sql import types as _T
             try:

@@ -601,25 +601,30 @@ def _registry() -> dict:
             g.origin_millis = parse_iso_millis(o) if isinstance(o, str) else int(o)
         return g
 
-    def _ts_c(ts):
+    def _ts_c(ts, p=None):
         # a LONG literal fed to a timestamp macro is epoch millis
         # (ExprEval.asLong feeds the macro's chronology directly —
-        # ExpressionsTest passes 949550706000 straight to timestamp_floor)
+        # ExpressionsTest passes 949550706000 straight to timestamp_floor);
+        # a KNOWN-integral column likewise — in Druid's type system every
+        # long handed to a time macro IS epoch millis (__time resolves to
+        # its LONG storage when timestamp_cols tagging is on)
         if isinstance(ts, (int, float)) and not isinstance(ts, bool):
             return F.timestamp_millis(F.lit(int(ts)))
+        if p is not None and p._is_integral(ts):
+            return F.timestamp_millis(_c(ts))
         return _c(ts)
 
     def timestamp_floor(p, ts, period, origin=None, tz=None):
         # query/expression/TimestampFloorExprMacro.java
-        return _gran(period, origin, tz).floor(_ts_c(ts))
+        return _gran(period, origin, tz).floor(_ts_c(ts, p))
 
     def timestamp_ceil(p, ts, period, origin=None, tz=None):
         # query/expression/TimestampCeilExprMacro.java
-        return _gran(period, origin, tz).ceil(_ts_c(ts))
+        return _gran(period, origin, tz).ceil(_ts_c(ts, p))
 
     def timestamp_shift(p, ts, period, step, tz=None):
         # query/expression/TimestampShiftExprMacro.java
-        return _gran(period, None, tz).shift(_ts_c(ts), int(lit_val(step)))
+        return _gran(period, None, tz).shift(_ts_c(ts, p), int(lit_val(step)))
 
     _EXTRACT = {
         # TimestampExtractExprMacro.java:113-154 — EPOCH is seconds;
@@ -647,7 +652,7 @@ def _registry() -> dict:
 
     def timestamp_extract(p, ts, unit, tz=None):
         # query/expression/TimestampExtractExprMacro.java
-        c = _ts_c(ts)
+        c = _ts_c(ts, p)
         u = lit_str(unit).upper()
         z = lit_str(tz)
         if u in ("EPOCH", "MICROSECOND"):
@@ -685,7 +690,7 @@ def _registry() -> dict:
 
     def timestamp_format(p, ts, fmt=None, tz=None):
         # query/expression/TimestampFormatExprMacro.java
-        c = _ts_c(ts)
+        c = _ts_c(ts, p)
         z = lit_str(tz)
         if z and z != "UTC":
             c = F.from_utc_timestamp(c, z)
@@ -1259,7 +1264,8 @@ def compile_expr(expression: str, resolver,
                  string_cols: set[str] | None = None,
                  array_cols: set[str] | None = None,
                  integral_cols: set[str] | None = None,
-                 numeric_cols: set[str] | None = None) -> Column:
+                 numeric_cols: set[str] | None = None,
+                 timestamp_cols: set[str] | None = None) -> Column:
     """Compile a Druid native expression string to a Spark Column.
 
     ``resolver(name)`` maps identifiers to Columns (typically ``F.col``; the
@@ -1272,15 +1278,27 @@ def compile_expr(expression: str, resolver,
     implicit scalar→array coercion).
     """
     p = _Parser(_lex(expression), resolver, registry())
-    if string_cols or array_cols or integral_cols or numeric_cols:
+    if (string_cols or array_cols or integral_cols or numeric_cols
+            or timestamp_cols):
         orig_ident = p._ident
 
         def tagged_ident(name, _orig=orig_ident, _p=p,
                          _sc=string_cols or set(), _ac=array_cols or set(),
                          _ic=integral_cols or set(),
-                         _nc=numeric_cols or set()):
+                         _nc=numeric_cols or set(),
+                         _tc=timestamp_cols or set()):
             col = _orig(name)
             if isinstance(col, Column):
+                if name in _tc:
+                    # Druid's expression layer reads a time column at its
+                    # LONG storage (epoch millis): `__time + 86400000` is
+                    # plain arithmetic and casting to LONG/STRING renders
+                    # millis, never Spark's seconds (Expr.java bindings via
+                    # ColumnValueSelector.getLong; ExpressionsTest
+                    # testTimePlusDayTimeInterval).  Time macros convert
+                    # back via _ts_c's integral branch.
+                    col = F.unix_millis(col)
+                    _p.tag_integral(col)
                 if name in _sc:
                     _p.tag_string(col)
                 if name in _ac:
@@ -1333,7 +1351,8 @@ def mvd_map_target(expression: str, array_cols: set[str]) -> str | None:
 def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
                      string_cols: set[str] | None = None,
                      integral_cols: set[str] | None = None,
-                     numeric_cols: set[str] | None = None):
+                     numeric_cols: set[str] | None = None,
+                     timestamp_cols: set[str] | None = None):
     """compile_expr + Druid's single-MVD scalar mapping: when
     ``mvd_map_target`` finds a mapped column, the expression compiles inside
     ``transform(mvd, x -> expr[mvd := x])`` and the result is an MVD."""
@@ -1349,7 +1368,8 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
     if target is None:
         return compile_expr(expression, _mvd_read, string_cols,
                             integral_cols=integral_cols,
-                            numeric_cols=numeric_cols)
+                            numeric_cols=numeric_cols,
+                            timestamp_cols=timestamp_cols)
     # MVD elements are strings — the mapped lambda variable is string-typed
     sc = (string_cols or set()) | {target}
     return F.transform(
@@ -1357,4 +1377,5 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
         lambda x: _c(compile_expr(
             expression,
             lambda n, _x=x: _x if n == target else _mvd_read(n), sc,
-            integral_cols=integral_cols, numeric_cols=numeric_cols)))
+            integral_cols=integral_cols, numeric_cols=numeric_cols,
+            timestamp_cols=timestamp_cols)))

@@ -85,9 +85,14 @@ def _field(spec: dict, ctx: FilterContext) -> Column:
         num_cols = {n for n, ty in types.items()
                     if isinstance(ty, (T.DoubleType, T.FloatType,
                                        T.DecimalType))}
+        # timestamp columns (__time) read as LONG millis inside aggregator
+        # expressions (ColumnValueSelector.getLong)
+        ts_cols = {n for n, ty in types.items()
+                   if isinstance(ty, T.TimestampType)
+                   and n not in getattr(ctx, "virtual", {})}
         return compile_expr(spec["expression"], ctx.resolve,
                             string_cols=str_cols, integral_cols=int_cols,
-                            numeric_cols=num_cols)
+                            numeric_cols=num_cols, timestamp_cols=ts_cols)
     raise ValueError(f"aggregator {spec.get('name')!r} needs fieldName or expression")
 
 

@@ -76,8 +76,15 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
         num_cols = {f.name for f in df.schema.fields
                     if isinstance(f.dataType, (T.DoubleType, T.FloatType,
                                                T.DecimalType))}
+        # time columns read at their LONG storage (epoch millis) inside
+        # expressions — `__time + 86400000` is plain arithmetic and an
+        # outputType LONG/STRING cast renders millis, never Spark's
+        # timestamp→seconds cast (Expr bindings via
+        # ColumnValueSelector.getLong)
+        ts_cols = {f.name for f in df.schema.fields
+                   if isinstance(f.dataType, T.TimestampType)}
         col = compile_expr_mvd(vc["expression"], F.col, arr_cols, str_cols,
-                               int_cols, num_cols)
+                               int_cols, num_cols, timestamp_cols=ts_cols)
         from incubator_druid_spark.functions.lookups import flush_lookup_joins
         df = flush_lookup_joins(df)  # large-lookup refs inside the expr
         ot = vc.get("outputType")
@@ -87,8 +94,21 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
         if (ot and ot.upper() in ("LONG", "FLOAT", "DOUBLE", "STRING")
                 and mvd_map_target(vc["expression"], arr_cols) is None):
             rtype = df.select(col.alias("__vc")).schema[0].dataType
+            if isinstance(rtype, T.TimestampType):
+                # time-macro results are LONG millis in Druid's type system
+                # (timestamp_floor returns ExprType.LONG): outputType LONG
+                # must be millis and STRING the millis digits — never
+                # Spark's timestamp→seconds / rendered-datetime casts
+                col = F.unix_millis(col)
             if not isinstance(rtype, T.ArrayType):
                 col = col.cast(ot.lower())
+        if vc["name"] == TIME_COLUMN:
+            # a virtual column REPLACING __time must stay the engine's
+            # timestamp type (granularity bucketing floors it); expression
+            # results carrying time are epoch millis
+            rtype = df.select(col.alias("__vc")).schema[0].dataType
+            if not isinstance(rtype, T.TimestampType):
+                col = F.timestamp_millis(col.cast("long"))
         df = df.withColumn(vc["name"], col)
 
     ivs = parse_intervals(query.get("intervals"))

@@ -60,6 +60,14 @@ def get_spark(app_name: str = "incubator-druid-spark", master: str | None = None
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
                 str(64 * 1024 * 1024))
+        # DynamicJoinSelection demotes a broadcast when the build side's
+        # post-shuffle partitions are mostly EMPTY (<20% non-empty) — which
+        # is precisely the profile of a tiny dimension (a 5-row region table
+        # lands in 1 of 32 partitions), so the smallest tables were the ones
+        # kept as sort-merge joins.  Disable demotion; the exact-size 64 MB
+        # AQE threshold above remains the sole (and scale-safe) gate.
+        .config("spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin",
+                "0.0")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
