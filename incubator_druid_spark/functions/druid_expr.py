@@ -594,6 +594,15 @@ def _registry() -> dict:
     from incubator_druid_spark.model.granularity import parse_period, Granularity
 
     def _gran(period, origin=None, tz=None) -> Granularity:
+        if isinstance(tz, Column):
+            # the reference evaluates a non-literal timezone from row
+            # bindings (ExprMacroTest timestamp_shift(t,'P1D',2,
+            # CityOfAngels)); this engine compiles the chronology into the
+            # plan, so a dynamic zone must refuse loudly rather than
+            # silently compute UTC
+            raise ValueError(
+                "timestamp macro timezone must be a literal string "
+                "(dynamic per-row timezones are not supported)")
         g = Granularity("period", parse_period(lit_str(period)), None, lit_str(tz))
         o = lit_val(origin) if origin is not None else None
         if o is not None:
