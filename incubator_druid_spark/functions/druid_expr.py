@@ -519,6 +519,13 @@ class _Parser:
                 self.i = j
                 return _Lambda(params, self)
             self.i = save
+        # bare single-param lambda `x -> expr` (Expr.g4 lambda alternative
+        # without parens — ExpressionVirtualColumnTest map(b -> b * 2, b))
+        if (self.peek()[0] == "ident"
+                and self.toks[self.i + 1][0] == "arrow"):
+            param = self.next()[1]
+            self.next()  # arrow
+            return _Lambda([param], self)
         return self.parse_or()
 
     def _try_lambda_params(self):
@@ -1111,7 +1118,11 @@ def _registry() -> dict:
         "rpad": lambda p, s, n, pad: F.rpad(_c(s), int(lit_val(n)), lit_str(pad)),
         "trim": _cols(F.trim), "ltrim": _cols(F.ltrim), "rtrim": _cols(F.rtrim),
         "btrim": _cols(F.trim),
-        "like": lambda p, s, pat, esc=None: _c(s).like(lit_str(pat)),
+        # LikeExprMacro → LikeMatcher.matches(null) is FALSE, never null
+        # (LikeDimFilter.java:291-295 `val != null && matches`):
+        # like(null, 'f%') evaluates 0, unlike Spark's null-propagating LIKE
+        "like": lambda p, s, pat, esc=None: F.coalesce(
+            _c(s).like(lit_str(pat)), F.lit(False)),
         # RegexpExtractExprMacro.java: matcher.find() ? group(idx) : NULL —
         # Spark's regexp_extract returns '' on no-match, so guard with rlike
         # an empty extracted group is NULL in SQL null mode

@@ -65,7 +65,7 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
             raise ValueError(f"unsupported virtualColumn type {vc.get('type')!r}")
         from pyspark.sql import types as T
         from incubator_druid_spark.functions.druid_expr import (
-            compile_expr_mvd, mvd_map_target)
+            compile_expr_mvd)
         arr_cols = {f.name for f in df.schema.fields
                     if isinstance(f.dataType, T.ArrayType)}
         str_cols = {f.name for f in df.schema.fields
@@ -83,24 +83,45 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
         # ColumnValueSelector.getLong)
         ts_cols = {f.name for f in df.schema.fields
                    if isinstance(f.dataType, T.TimestampType)}
-        col = compile_expr_mvd(vc["expression"], F.col, arr_cols, str_cols,
-                               int_cols, num_cols, timestamp_cols=ts_cols)
+
+        # segments are schema-free in the reference: an expression over a
+        # column absent from the segment reads null, not an analysis error
+        # (ExpressionVirtualColumnTest testDimensionSelectorUsing
+        # NonexistentColumn; same rule as FilterContext.resolve)
+        _known = set(df.columns)
+
+        def _vc_resolve(name):
+            if name not in _known:
+                return F.lit(None).cast("string")
+            return F.col(name)
+
+        col = compile_expr_mvd(vc["expression"], _vc_resolve, arr_cols,
+                               str_cols, int_cols, num_cols,
+                               timestamp_cols=ts_cols)
         from incubator_druid_spark.functions.lookups import flush_lookup_joins
         df = flush_lookup_joins(df)  # large-lookup refs inside the expr
         ot = vc.get("outputType")
-        # an MVD-valued result — whether from the auto-mapped scalar path
-        # or an array function like array_append — is Druid's multi-value
-        # STRING; don't stringify the array (grouping explodes it instead)
-        if (ot and ot.upper() in ("LONG", "FLOAT", "DOUBLE", "STRING")
-                and mvd_map_target(vc["expression"], arr_cols) is None):
+        if ot and ot.upper() in ("LONG", "FLOAT", "DOUBLE", "STRING"):
             rtype = df.select(col.alias("__vc")).schema[0].dataType
-            if isinstance(rtype, T.TimestampType):
-                # time-macro results are LONG millis in Druid's type system
-                # (timestamp_floor returns ExprType.LONG): outputType LONG
-                # must be millis and STRING the millis digits — never
-                # Spark's timestamp→seconds / rendered-datetime casts
-                col = F.unix_millis(col)
-            if not isinstance(rtype, T.ArrayType):
+            if isinstance(rtype, T.ArrayType):
+                # an MVD-valued result — the auto-mapped scalar path, an
+                # explicit map(), or an array function — is Druid's
+                # multi-value STRING: never collapse the array to one
+                # string (grouping explodes it instead); a STRING
+                # outputType renders each ELEMENT as its Java string
+                # (ExpressionVirtualColumnTest testMultiObjectSelector:
+                # b * 2 over MVD b is ['2.0','4.0','6.0'])
+                if ot.upper() == "STRING" \
+                        and not isinstance(rtype.elementType, T.StringType):
+                    col = F.transform(col, lambda x: x.cast("string"))
+            else:
+                if isinstance(rtype, T.TimestampType):
+                    # time-macro results are LONG millis in Druid's type
+                    # system (timestamp_floor returns ExprType.LONG):
+                    # outputType LONG must be millis and STRING the millis
+                    # digits — never Spark's timestamp→seconds /
+                    # rendered-datetime casts
+                    col = F.unix_millis(col)
                 col = col.cast(ot.lower())
         if vc["name"] == TIME_COLUMN:
             # a virtual column REPLACING __time must stay the engine's
