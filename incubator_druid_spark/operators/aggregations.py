@@ -193,9 +193,10 @@ def _merged_quantile_state(col: Column) -> Column:
 
 
 def _state_row_is_null(raw) -> bool:
-    """Null-state check for a centroid-state row delivered by Arrow (a null
-    struct arrives as a row whose fields are None/NaN)."""
-    v = raw["mn"]
+    """Null-state check for a state-struct row delivered by Arrow (a null
+    struct arrives as a row whose fields are None/NaN).  Centroid states
+    carry 'mn'; fixedBucketsHistogram states carry 'lowerLimit'."""
+    v = raw["mn"] if "mn" in raw.index else raw["lowerLimit"]
     return v is None or (isinstance(v, float) and v != v)
 
 
@@ -362,6 +363,119 @@ def _approx_histogram_finalize(num_buckets: int):
         return (breaks, [sums[i + 1] - sums[i] for i in range(size)])
 
     return _state_pandas_udf(fin, schema, struct_fields=("breaks", "counts"))
+
+
+def _fbh_quantile_finalize(pcts: list[float], single: bool):
+    """FixedBucketsHistogram.percentilesFloat
+    (histogram/FixedBucketsHistogram.java:737-772) over the aggregator's
+    struct state: linear interpolation of cumulative bucket counts;
+    percentages must be ascending (same contract as the reference)."""
+    from pyspark.sql import types as T
+
+    def fin(raw):
+        import numpy as np
+        lo, hi = float(raw["lowerLimit"]), float(raw["upperLimit"])
+        n = int(raw["numBuckets"])
+        hist = list(raw["histogram"])
+        total = int(raw["count"])
+        if total <= 0:
+            return None
+        bucket = (hi - lo) / n
+        out, idx = [], 0
+        prev, prev_p, prev_b = 0, 0.0, lo
+        for i in range(n):
+            nxt = prev + int(hist[i])
+            nxt_p = 100.0 * nxt / total
+            nxt_b = (i + 1) * bucket + lo
+            while idx < len(pcts) and nxt_p >= pcts[idx]:
+                f = ((pcts[idx] - prev_p) / (nxt_p - prev_p)
+                     if nxt_p != prev_p else 0.0)
+                # the reference computes in float32 (percentilesFloat)
+                out.append(float(np.float32(f * (nxt_b - prev_b) + prev_b)))
+                idx += 1
+            if idx >= len(pcts):
+                break
+            prev, prev_p, prev_b = nxt, nxt_p, nxt_b
+        while len(out) < len(pcts):
+            out.append(0.0)  # unreached cells stay 0 in the reference
+        return out[0] if single else out
+
+    rt = T.DoubleType() if single else T.ArrayType(T.DoubleType())
+    return _state_pandas_udf(fin, rt)
+
+
+_BREAKS_COUNTS_SCHEMA = None
+
+
+def _breaks_counts_schema():
+    global _BREAKS_COUNTS_SCHEMA
+    if _BREAKS_COUNTS_SCHEMA is None:
+        from pyspark.sql import types as T
+        _BREAKS_COUNTS_SCHEMA = T.StructType([
+            T.StructField("breaks", T.ArrayType(T.DoubleType())),
+            T.StructField("counts", T.ArrayType(T.DoubleType())),
+        ])
+    return _BREAKS_COUNTS_SCHEMA
+
+
+def _ah_custom_breaks_finalize(breaks: list[float]):
+    """ApproximateHistogram.toHistogram(float[] breaks)
+    (ApproximateHistogram.java:1607-1619): per-bin counts are CDF diffs at
+    the caller's breakpoints."""
+    def fin(raw):
+        mn, mx, pos, wts = _state_centroids(raw)
+        cdf, _total = _trapezoid_cdf(mn, mx, pos, wts)
+        bs = [float(b) for b in breaks]
+        sums = [cdf(b) for b in bs]
+        return (bs, [sums[i + 1] - sums[i] for i in range(len(bs) - 1)])
+    return _state_pandas_udf(fin, _breaks_counts_schema(),
+                             struct_fields=("breaks", "counts"))
+
+
+def _ah_bucket_size_finalize(bucket_size: float, offset: float,
+                             lower: float, upper: float):
+    """ApproximateHistogram.toHistogram(bucketSize, offset)
+    (ApproximateHistogram.java:1650-1695): offset-aligned breaks covering
+    [max(minFloor, lowerLimitFloor), min(maxCeil, upperLimitCeil)], with
+    near-empty (≤0.1-count) edge buckets trimmed."""
+    import math
+
+    def fin(raw):
+        mn, mx, pos, wts = _state_centroids(raw)
+        cdf, _total = _trapezoid_cdf(mn, mx, pos, wts)
+        bs = float(bucket_size)
+        min_floor = math.floor((mn - offset) / bs) * bs + offset
+        lower_floor = (math.floor((lower - offset) / bs) * bs + offset
+                       if lower != float("-inf") else float("-inf"))
+        first = max(min_floor, lower_floor)
+        max_ceil = math.ceil((mx - offset) / bs) * bs + offset
+        upper_ceil = (math.ceil((upper - offset) / bs) * bs + offset
+                      if upper != float("inf") else float("inf"))
+        last = min(max_ceil, upper_ceil)
+        cutoff = 0.1
+        breaks: list[float] = []
+        bottom = min_floor - bs
+        if bottom != first and (cdf(first) - cdf(bottom)) > cutoff:
+            breaks.append(bottom)
+        left, left_set = first, False
+        while left + bs <= last + bs / 10:
+            right = left + bs
+            if cdf(right) - cdf(left) > cutoff:
+                if not left_set:
+                    breaks.append(left)
+                breaks.append(right)
+                left_set = True
+            else:
+                left_set = False
+            left = right
+        if breaks and breaks[-1] != max_ceil \
+                and (cdf(max_ceil) - cdf(breaks[-1])) > cutoff:
+            breaks.append(max_ceil)
+        sums = [cdf(b) for b in breaks]
+        return (breaks,
+                [sums[i + 1] - sums[i] for i in range(len(breaks) - 1)])
+    return _state_pandas_udf(fin, _breaks_counts_schema(),
+                             struct_fields=("breaks", "counts"))
 
 
 def _centroid_rank_finalize(value: float):
@@ -830,11 +944,15 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             F.array(*conds).alias("counts"),
             F.array(F.min(x), F.max(x)).alias("quantiles"))
     if t == "fixedBucketsHistogram":
-        # histogram/FixedBucketsHistogramAggregatorFactory.java; counts
-        # array per outlierHandlingMode (FixedBucketsHistogram.java):
-        # ignore drops outliers, clip counts them in the edge buckets,
-        # overflow keeps them out of the buckets (the separate outlier
-        # counters aren't represented in this engine's counts shape)
+        # histogram/FixedBucketsHistogramAggregatorFactory.java finalizes
+        # to FixedBucketsHistogram.toString()'s full state
+        # (FixedBucketsHistogram.java:314-329): the struct mirrors every
+        # field.  add() semantics (:384-415 + the per-mode OutlierHandlers
+        # :1160-1290): value < lower / >= upper is an outlier — ignore
+        # drops it, clip counts it into the edge bucket (and into count),
+        # overflow counts it in the lower/upperOutlierCount counters only;
+        # min/max track IN-RANGE values only; null inputs increment
+        # missingValueCount (SQL null mode combine(null)).
         lo, hi, n = float(spec["lowerLimit"]), float(spec["upperLimit"]), int(spec["numBuckets"])
         mode = str(spec.get("outlierHandlingMode", "ignore")).lower()
         x = _lcast(_field(spec, ctx), "double")
@@ -849,7 +967,68 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
                 if i == n - 1:
                     hi_ok = x.isNotNull()  # anything above clips into n-1
             conds.append(F.count(F.when(lo_ok & hi_ok, 1)))
-        return F.array(*conds)
+        in_range = (x >= lo) & (x < hi)
+        counted = x.isNotNull() if mode == "clip" else in_range
+        zero = F.lit(0).cast("long")
+        low_out = (F.count(F.when(x < lo, 1))
+                   if mode == "overflow" else zero)
+        up_out = (F.count(F.when(x >= hi, 1))
+                  if mode == "overflow" else zero)
+        # missing = matched-but-null rows; under a FILTERED aggregator the
+        # masked column is null for non-matching rows too, so read the raw
+        # column and the mask separately (FilteredAggregator only sees
+        # matching rows)
+        if isinstance(ctx, _WhenContext):
+            raw = _lcast(ctx._ctx.resolve(spec["fieldName"]), "double") \
+                if spec.get("fieldName") else x
+            missing = F.count(F.when(ctx._pred & raw.isNull(), 1))
+        else:
+            missing = F.count(F.when(x.isNull(), 1))
+        return F.struct(
+            F.lit(lo).alias("lowerLimit"),
+            F.lit(hi).alias("upperLimit"),
+            F.lit(n).cast("long").alias("numBuckets"),
+            up_out.alias("upperOutlierCount"),
+            low_out.alias("lowerOutlierCount"),
+            missing.alias("missingValueCount"),
+            F.array(*conds).alias("histogram"),
+            F.lit(mode).alias("outlierHandlingMode"),
+            F.count(F.when(counted, 1)).alias("count"),
+            # clip updates min/max with the CLIPPED value (the limit
+            # itself — testOutlierClip expects min=lower, max=upper);
+            # ignore/overflow track in-range values only
+            F.max(F.when(counted,
+                         F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
+                         if mode == "clip" else x)).alias("max"),
+            F.min(F.when(counted,
+                         F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
+                         if mode == "clip" else x)).alias("min"))
+    if t == "__ah_histogram":
+        # synthesized by rewrite_sketch_query from the histogram
+        # extension's buckets / equalBuckets / customBuckets post-aggs
+        # (BucketsPostAggregator.java:66-70, EqualBucketsPostAggregator
+        # .java:63-67, CustomBucketsPostAggregator) — re-finalize the
+        # centroid sketch with the post-agg's bucket spec
+        kind = spec["kind"]
+        if kind == "equal":
+            finz = _approx_histogram_finalize(int(spec["numBuckets"]))
+        elif kind == "custom":
+            finz = _ah_custom_breaks_finalize(spec["breaks"])
+        else:
+            finz = _ah_bucket_size_finalize(
+                float(spec["bucketSize"]), float(spec.get("offset") or 0.0),
+                float(spec["lowerLimit"]) if spec.get("lowerLimit")
+                is not None else float("-inf"),
+                float(spec["upperLimit"]) if spec.get("upperLimit")
+                is not None else float("inf"))
+        fname = spec.get("fieldName")
+        if _is_quantile_state(ctx, fname):
+            return _centroid_state_agg(ctx, fname, finz)
+        res = int(spec.get("resolution", 50))
+        x = _lcast(f(), "double")
+        raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                       F.histogram_numeric(x, F.lit(res)).alias("bins"))
+        return finz(raw)
     if t == "approxHistogramFold" or t == "approxHistogram":
         # histogram/ApproximateHistogramAggregatorFactory.java:258-263 —
         # finalize = toHistogram(numBuckets): equal-width breaks over
@@ -1192,6 +1371,80 @@ def rewrite_sketch_query(query: dict) -> dict:
         if p is None:
             continue
         t = p.get("type")
+        if t in ("quantile", "quantiles", "min", "max",
+                 "buckets", "equalBuckets", "customBuckets"):
+            # histogram extension post-aggs (Quantile/Quantiles/Min/Max/
+            # Buckets/EqualBuckets/CustomBucketsPostAggregator.java) —
+            # dispatch on the referenced agg's type the way compute() does
+            ref = p.get("fieldName")
+            base = by_name.get(ref)
+            inner = (base["aggregator"]
+                     if base and base.get("type") == "filtered" else base)
+            btype = inner.get("type") if inner else None
+            if btype == "fixedBucketsHistogram":
+                # the agg column carries the full histogram struct — post
+                # reads stay post-stage (filtering already applied)
+                if t == "quantile":
+                    new_posts.append(
+                        {"type": "__fbh_quantile", "name": p["name"],
+                         "fieldName": ref, "single": True,
+                         "percentiles": [float(p["probability"]) * 100.0]})
+                    changed = True
+                    continue
+                if t == "quantiles":
+                    new_posts.append(
+                        {"type": "__fbh_quantile", "name": p["name"],
+                         "fieldName": ref, "single": False,
+                         "percentiles": [float(x) * 100.0
+                                         for x in p["probabilities"]]})
+                    changed = True
+                    continue
+                if t in ("min", "max"):
+                    new_posts.append(
+                        {"type": "__struct_read", "name": p["name"],
+                         "fieldName": ref, "field": t})
+                    changed = True
+                    continue
+            if btype in ("approxHistogram", "approxHistogramFold"):
+                extra = None
+                if t in ("min", "max"):
+                    # ApproximateHistogram tracks the EXACT data min/max —
+                    # a plain min/max agg over the base column is faithful
+                    extra = {"type": f"double{t.capitalize()}",
+                             "name": p["name"],
+                             "fieldName": inner.get("fieldName"),
+                             "expression": inner.get("expression")}
+                elif t in ("quantile", "quantiles"):
+                    # getQuantiles over centroids ≈ percentile read; both
+                    # are approximations of the same distribution
+                    fr = ([float(p["probability"])] if t == "quantile"
+                          else [float(x) for x in p["probabilities"]])
+                    extra = {"type": "__percentile", "name": p["name"],
+                             "fieldName": inner.get("fieldName"),
+                             "expression": inner.get("expression"),
+                             "fractions": fr, "k": 10000}
+                else:
+                    extra = {"type": "__ah_histogram", "name": p["name"],
+                             "fieldName": inner.get("fieldName"),
+                             "expression": inner.get("expression"),
+                             "resolution": inner.get("resolution", 50)}
+                    if t == "equalBuckets":
+                        extra.update(kind="equal",
+                                     numBuckets=p["numBuckets"])
+                    elif t == "customBuckets":
+                        extra.update(kind="custom", breaks=p["breaks"])
+                    else:
+                        extra.update(kind="size",
+                                     bucketSize=p["bucketSize"],
+                                     offset=p.get("offset", 0.0),
+                                     lowerLimit=inner.get("lowerLimit"),
+                                     upperLimit=inner.get("upperLimit"))
+                if base.get("type") == "filtered":
+                    extra = {"type": "filtered", "name": p["name"],
+                             "filter": base["filter"], "aggregator": extra}
+                extra_aggs.append(extra)
+                changed = True
+                continue
         if t == "thetaSketchEstimate" and \
                 p.get("field", {}).get("type") == "thetaSketchSetOp":
             rewritten = _theta_setop(p, by_name, extra_aggs)
@@ -1576,6 +1829,18 @@ def _post_col(spec: dict) -> Column:
         # hyperloglog/HyperUniqueFinalizingPostAggregator.java — our hyperUnique
         # agg already finalizes to a count.
         return F.col(spec["fieldName"])
+    if t == "__struct_read":
+        # synthesized from the histogram extension's min/max post-aggs over
+        # a fixedBucketsHistogram agg (Min/MaxPostAggregator.java — reads
+        # h.getMin()/getMax())
+        return F.col(spec["fieldName"]).getField(spec["field"]).cast("double")
+    if t == "__fbh_quantile":
+        # synthesized from quantile/quantiles post-aggs over a
+        # fixedBucketsHistogram agg (QuantilePostAggregator.java:74-85 —
+        # percentilesFloat over the histogram state)
+        return _fbh_quantile_finalize(
+            [float(x) for x in spec["percentiles"]],
+            spec["single"])(F.col(spec["fieldName"]))
     if t in ("quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles",
              "quantilesDoublesSketchToRank", "quantilesDoublesSketchToCDF",
              "quantilesDoublesSketchToHistogram"):

@@ -104,7 +104,7 @@ def test_histogram_fixed_buckets(spark, foo_catalog):
                 {"type": "fixedBucketsHistogram", "name": "h",
                  "fieldName": "m2", "lowerLimit": 0, "upperLimit": 6,
                  "numBuckets": 3})
-    assert list(r["h"]) == [1, 2, 2]  # [0,2):1  [2,4):2,3  [4,6):4,5
+    assert list(r["h"]["histogram"]) == [1, 2, 2]  # [0,2):1  [2,4):2,3  [4,6):4,5
 
 
 def test_approx_histogram_breaks_counts(spark, foo_catalog):

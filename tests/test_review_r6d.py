@@ -163,11 +163,11 @@ def test_fixed_buckets_histogram_clip(spark, mm_catalog):
          "lowerLimit": 15, "upperLimit": 35, "numBuckets": 2,
          "outlierHandlingMode": "clip"}])
     # 10 clips into bucket 0 with 20; 40 clips into bucket 1 with 30
-    assert list(rows[0]["h"]) == [2, 2]
+    assert list(rows[0]["h"]["histogram"]) == [2, 2]
     rows = _one(spark, mm_catalog, [
         {"type": "fixedBucketsHistogram", "name": "h", "fieldName": "price",
          "lowerLimit": 15, "upperLimit": 35, "numBuckets": 2}])
-    assert list(rows[0]["h"]) == [1, 1]  # default ignore drops 10 and 40
+    assert list(rows[0]["h"]["histogram"]) == [1, 1]  # default ignore drops 10 and 40
 
 
 def test_histogram_as_visual(spark, mm_catalog):
