@@ -1309,6 +1309,10 @@ def compile_expr(expression: str, resolver,
                          _tc=timestamp_cols or set()):
             col = _orig(name)
             if isinstance(col, Column):
+                if name in _p.lambda_params:
+                    # a lambda parameter SHADOWS the column of the same
+                    # name — never apply column-type tags to it
+                    return col
                 if name in _tc:
                     # Druid's expression layer reads a time column at its
                     # LONG storage (epoch millis): `__time + 86400000` is
