@@ -122,7 +122,7 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
     if t == "expression":  # ExpressionDimFilter.java
         from incubator_druid_spark.functions.druid_expr import (compile_expr,
                                                                 druid_truthy)
-        str_cols = arr_cols = int_cols = num_cols = ts_cols = None
+        str_cols = arr_cols = int_cols = num_cols = ts_cols = sac = None
         if isinstance(ctx, FilterContext):
             str_cols = {n for n, ty in ctx._types.items()
                         if isinstance(ty, T.StringType)}
@@ -139,6 +139,9 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
             ts_cols = {n for n, ty in ctx._types.items()
                        if isinstance(ty, T.TimestampType)
                        and n not in ctx.virtual}
+            sac = {n for n, ty in ctx._types.items()
+                   if isinstance(ty, T.ArrayType)
+                   and isinstance(ty.elementType, T.StringType)}
         # ExpressionFilter applies Evals.asBoolean to the VALUE: a number
         # matches iff > 0 (a boolean cast would match any non-zero).  An
         # already-BOOLEAN expression (comparisons — the common case) skips
@@ -147,7 +150,9 @@ def compile_filter(spec: dict | None, ctx: FilterContext) -> Column | None:
         # non-matching either way).
         col = compile_expr(spec["expression"], ctx.resolve,
                            str_cols, arr_cols, int_cols, num_cols,
-                           timestamp_cols=ts_cols)
+                           timestamp_cols=ts_cols,
+                           string_array_cols=(sac if isinstance(
+                               ctx, FilterContext) else None))
         if isinstance(ctx, FilterContext):
             from pyspark.sql import types as _T
             try:

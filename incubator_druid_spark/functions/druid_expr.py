@@ -66,8 +66,10 @@ _JAVA_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
 
 def _lenient_long(c: Column) -> Column:
     """ExprEval.asLong operand read: exact long parse, else double-truncate,
-    else null — identical under ANSI on and off."""
-    return F.coalesce(c.try_cast("long"), c.try_cast("double").try_cast("long"))
+    else null — identical under ANSI on and off (the canonical route lives
+    in functions/lenient.py; keep exactly one implementation)."""
+    from incubator_druid_spark.functions.lenient import lenient_cast
+    return lenient_cast(c, "long")
 
 
 def _array_ctor(p, *items):
@@ -84,7 +86,11 @@ def _array_ctor(p, *items):
         t = "double" if any(isinstance(x, float) for x in lits) else "long"
         cols = [_c(x).try_cast(t) for x in items]
         return p.tag_array(F.array(*cols))
-    return p.tag_array(F.array(*[_c(x) for x in items]))
+    out = p.tag_array(F.array(*[_c(x) for x in items]))
+    if items and all(isinstance(x, str) or p._is_string_col(x)
+                     for x in items):
+        p.tag_string_elems(out)
+    return out
 
 def _unquote(s: str) -> str:
     """Java-unescape a quoted literal (ExprListenerImpl.escapeStringLiteral
@@ -187,6 +193,10 @@ class _Parser:
         # ids of Columns known integral (long/int) — lets round() keep the
         # exact LONG path instead of the double NaN/Inf guard
         self.integral_ids: set[int] = set()
+        # ids of ARRAY Columns whose ELEMENTS are strings (MVDs) — lets
+        # HOF lambda variables inherit the element type, so `x + 1` inside
+        # map() takes the lenient string→double route mode-independently
+        self.string_elem_ids: set[int] = set()
         # ids of Columns known numeric-but-not-integral (float/double) —
         # with integral_ids, drives the mixed string/number `+` dispatch
         self.numeric_ids: set[int] = set()
@@ -205,6 +215,10 @@ class _Parser:
     def tag_string(self, col: Column) -> Column:
         self.string_ids.add(id(col))
         self._pinned.append(col)
+        return col
+
+    def tag_string_elems(self, col: Column) -> Column:
+        self.string_elem_ids.add(id(col))
         return col
 
     def tag_integral(self, col: Column) -> Column:
@@ -377,14 +391,15 @@ class _Parser:
                     .otherwise(F.call_function("div", _c(left).cast("long"),
                                                rl)))
                 continue
-            l_mixed = ((isinstance(left, str) or self._is_string_col(left))
-                       and self._is_numeric(right))
-            r_mixed = ((isinstance(right, str)
-                        or self._is_string_col(right))
-                       and self._is_numeric(left))
+            l_str = isinstance(left, str) or self._is_string_col(left)
+            r_str = isinstance(right, str) or self._is_string_col(right)
+            l_mixed = l_str and (self._is_numeric(right) or r_str)
+            r_mixed = r_str and (self._is_numeric(left) or l_str)
             if l_mixed or r_mixed:
                 # numeric(STRING, NUMBER) = DOUBLE: the string side parses
-                # leniently (BinaryEvalOpExprBase via ExprEval.asDouble)
+                # leniently (BinaryEvalOpExprBase via ExprEval.asDouble);
+                # unlike `+` (which concatenates), * / % over TWO strings
+                # also parse both sides numerically
                 lc = _c(left).try_cast("double") if l_mixed else _c(left)
                 rc = _c(right).try_cast("double") if r_mixed else _c(right)
             else:
@@ -577,6 +592,23 @@ class _Lambda:
                       self.parser.resolver, self.parser.registry)
         sub.lambda_params = dict(self.parser.lambda_params)
         sub.lambda_params.update(dict(zip(self.params, cols)))
+        # SHARE the parent's type-tag sets and its (possibly tagging)
+        # identifier resolution, so a column referenced inside the lambda
+        # BODY keeps its string/integral/numeric/timestamp tags — the
+        # parameters themselves resolve from sub.lambda_params first and
+        # are never tagged (they shadow same-named columns)
+        sub.array_ids = self.parser.array_ids
+        sub.string_ids = self.parser.string_ids
+        sub.integral_ids = self.parser.integral_ids
+        sub.numeric_ids = self.parser.numeric_ids
+        sub.string_elem_ids = self.parser.string_elem_ids
+        parent_ident = self.parser._ident
+
+        def _sub_ident(name, _sub=sub, _parent=parent_ident):
+            if name in _sub.lambda_params:
+                return _sub.lambda_params[name]
+            return _parent(name)
+        sub._ident = _sub_ident
         return _c(sub.parse_or())
 
 
@@ -744,13 +776,26 @@ def _registry() -> dict:
             # double and truncate ('10.1' → 10, not NULL)
             return F.coalesce(c.try_cast(spark_t),
                               c.try_cast("double").try_cast(spark_t))
-        out = (c.try_cast(spark_t) if spark_t in ("double", "float")
-               else c.cast(spark_t))
-        if tt.endswith("_ARRAY"):
+        if spark_t.startswith("array<"):
+            # per-ELEMENT lenient casts: cast(['1.0'], 'LONG_ARRAY') is
+            # [1], not a CAST_INVALID_INPUT under an ANSI host (ExprEval
+            # castTo applies computeNumber element-wise)
+            elem = spark_t[6:-1]
+            if elem in ("long", "int"):
+                out = F.transform(c, lambda x: F.coalesce(
+                    x.try_cast(elem), x.try_cast("double").try_cast(elem)))
+            elif elem in ("double", "float"):
+                out = F.transform(c, lambda x: x.try_cast(elem))
+            else:
+                out = F.transform(c, lambda x: x.cast(elem))
             # a cast to an array type is an array-returning construct for
             # downstream array-vs-scalar dispatch (array_contains)
             p.tag_array(out)
-        return out
+            if elem == "string":
+                p.tag_string_elems(out)
+            return out
+        return (c.try_cast(spark_t) if spark_t in ("double", "float")
+                else c.cast(spark_t))
 
     def _substring(p, s, start, length):
         # Function.java:2460 — 0-based start; negative length = to end
@@ -830,10 +875,19 @@ def _registry() -> dict:
                 sc = int(sv)
         if sc_col is not None:
             # non-literal scale: Spark round() needs a foldable scale, so
-            # scale arithmetically (HALF_UP either way)
-            pw = F.pow(F.lit(10.0), sc_col.cast("int"))
-            base = c if p._is_integral(x) else c.try_cast("double")
-            return F.round(base * pw, 0) / pw
+            # scale arithmetically (HALF_UP either way).  The scale read is
+            # lenient (try_cast — a garbage scale nulls, never throws under
+            # an ANSI host).  A known-integral input with scale >= 0 is the
+            # IDENTITY (rounding an integer to decimal places) — returning
+            # it directly keeps exact LONG values beyond 2^53; only the
+            # negative-scale leg pays the double round-trip.
+            sci = _lenient_long(sc_col).cast("int")
+            pw = F.pow(F.lit(10.0), sci)
+            if p._is_integral(x):
+                return F.when(sci >= 0, c) \
+                        .otherwise((F.round(c.cast("double") * pw, 0) / pw)
+                                   .try_cast("long"))
+            return F.round(c.try_cast("double") * pw, 0) / pw
         if p._is_integral(x):
             return F.round(c, sc)
         cd = c.try_cast("double")
@@ -865,18 +919,27 @@ def _registry() -> dict:
         return lookup_column(lit_str(name), _c(col),
                              lit_str(replace_missing) if replace_missing is not None else None)
 
+    def _elem_bind(p, arr):
+        # the lambda variable inherits the array's ELEMENT type: MVD
+        # elements are strings, so `x + 1` inside map() must take the
+        # lenient string→double route in any session mode
+        se = isinstance(arr, Column) and id(arr) in p.string_elem_ids
+        return (lambda x: p.tag_string(x)) if se else (lambda x: x)
+
     def _hof(fname):
         # PySpark HOFs introspect the Python callable's signature, so wrap the
         # deferred _Lambda in a plain single-arg lambda
         def apply(p, lam, arr):
             if not isinstance(lam, _Lambda):
                 raise ValueError(f"{fname} expects a lambda")
-            return getattr(F, fname)(_c(arr), lambda x: lam(x))
+            bind = _elem_bind(p, arr)
+            return getattr(F, fname)(_c(arr), lambda x: lam(bind(x)))
         return apply
 
     def _map(p, lam, arr):
         # ApplyFunction.java:195
-        return F.transform(_c(arr), lambda x: lam(x))
+        bind = _elem_bind(p, arr)
+        return F.transform(_c(arr), lambda x: lam(bind(x)))
 
     def _fold(p, lam, arr, acc):
         # ApplyFunction.java:350 — fold((x, acc) -> ..., arr, init).
@@ -963,9 +1026,7 @@ def _registry() -> dict:
                 # radix 16 (ExpressionsTest: parse_long('0xEF',16) = 239)
                 c = F.regexp_replace(c, "^0[xX]", "")
             return F.conv(c, r, 10).try_cast("long")
-        c = _c(s)
-        return F.coalesce(c.try_cast("long"),
-                          c.try_cast("double").try_cast("long"))
+        return _lenient_long(_c(s))
 
     def _human_readable(units, base):
         # HumanReadableBytes-style unit scaling (these functions postdate
@@ -1106,14 +1167,14 @@ def _registry() -> dict:
         # negative counts are invalid -> null (sql mode;
         # testAbnormalRight/LeftWithNegativeNumber)
         "right": _cols(lambda s, n: F.when(
-            n.cast("long") >= 0, F.right(s, n))),
+            n.try_cast("long") >= 0, F.right(s, n.try_cast("int")))),
         "left": _cols(lambda s, n: F.when(
-            n.cast("long") >= 0, F.left(s, n))),
+            n.try_cast("long") >= 0, F.left(s, n.try_cast("int")))),
         "replace": _cols(lambda s, a, b: F.replace(s, a, b)),
         "lower": _cols(F.lower), "upper": _cols(F.upper),
         "reverse": _cols(F.reverse),
         "repeat": _cols(lambda s, n: F.when(
-            n.cast("int") >= 0, F.repeat(s, n.cast("int")))),
+            n.try_cast("int") >= 0, F.repeat(s, n.try_cast("int")))),
         "lpad": lambda p, s, n, pad: F.lpad(_c(s), int(lit_val(n)), lit_str(pad)),
         "rpad": lambda p, s, n, pad: F.rpad(_c(s), int(lit_val(n)), lit_str(pad)),
         "trim": _cols(F.trim), "ltrim": _cols(F.ltrim), "rtrim": _cols(F.rtrim),
@@ -1285,7 +1346,8 @@ def compile_expr(expression: str, resolver,
                  array_cols: set[str] | None = None,
                  integral_cols: set[str] | None = None,
                  numeric_cols: set[str] | None = None,
-                 timestamp_cols: set[str] | None = None) -> Column:
+                 timestamp_cols: set[str] | None = None,
+                 string_array_cols: set[str] | None = None) -> Column:
     """Compile a Druid native expression string to a Spark Column.
 
     ``resolver(name)`` maps identifiers to Columns (typically ``F.col``; the
@@ -1299,14 +1361,15 @@ def compile_expr(expression: str, resolver,
     """
     p = _Parser(_lex(expression), resolver, registry())
     if (string_cols or array_cols or integral_cols or numeric_cols
-            or timestamp_cols):
+            or timestamp_cols or string_array_cols):
         orig_ident = p._ident
 
         def tagged_ident(name, _orig=orig_ident, _p=p,
                          _sc=string_cols or set(), _ac=array_cols or set(),
                          _ic=integral_cols or set(),
                          _nc=numeric_cols or set(),
-                         _tc=timestamp_cols or set()):
+                         _tc=timestamp_cols or set(),
+                         _sac=string_array_cols or set()):
             col = _orig(name)
             if isinstance(col, Column):
                 if name in _p.lambda_params:
@@ -1327,6 +1390,8 @@ def compile_expr(expression: str, resolver,
                     _p.tag_string(col)
                 if name in _ac:
                     _p.tag_array(col)
+                if name in _sac:
+                    _p.tag_string_elems(col)
                 if name in _ic:
                     _p.tag_integral(col)
                 if name in _nc:
@@ -1376,7 +1441,8 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
                      string_cols: set[str] | None = None,
                      integral_cols: set[str] | None = None,
                      numeric_cols: set[str] | None = None,
-                     timestamp_cols: set[str] | None = None):
+                     timestamp_cols: set[str] | None = None,
+                     string_array_cols: set[str] | None = None):
     """compile_expr + Druid's single-MVD scalar mapping: when
     ``mvd_map_target`` finds a mapped column, the expression compiles inside
     ``transform(mvd, x -> expr[mvd := x])`` and the result is an MVD."""
@@ -1393,7 +1459,8 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
         return compile_expr(expression, _mvd_read, string_cols,
                             integral_cols=integral_cols,
                             numeric_cols=numeric_cols,
-                            timestamp_cols=timestamp_cols)
+                            timestamp_cols=timestamp_cols,
+                            string_array_cols=string_array_cols)
     # MVD elements are strings — the mapped lambda variable is string-typed
     sc = (string_cols or set()) | {target}
     return F.transform(
@@ -1402,4 +1469,5 @@ def compile_expr_mvd(expression: str, resolver, array_cols: set[str],
             expression,
             lambda n, _x=x: _x if n == target else _mvd_read(n), sc,
             integral_cols=integral_cols, numeric_cols=numeric_cols,
-            timestamp_cols=timestamp_cols)))
+            timestamp_cols=timestamp_cols,
+            string_array_cols=string_array_cols)))

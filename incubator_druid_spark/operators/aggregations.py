@@ -90,9 +90,13 @@ def _field(spec: dict, ctx: FilterContext) -> Column:
         ts_cols = {n for n, ty in types.items()
                    if isinstance(ty, T.TimestampType)
                    and n not in getattr(ctx, "virtual", {})}
+        sac = {n for n, ty in types.items()
+               if isinstance(ty, T.ArrayType)
+               and isinstance(ty.elementType, T.StringType)}
         return compile_expr(spec["expression"], ctx.resolve,
                             string_cols=str_cols, integral_cols=int_cols,
-                            numeric_cols=num_cols, timestamp_cols=ts_cols)
+                            numeric_cols=num_cols, timestamp_cols=ts_cols,
+                            string_array_cols=sac)
     raise ValueError(f"aggregator {spec.get('name')!r} needs fieldName or expression")
 
 
@@ -130,6 +134,19 @@ class _WhenContext:
     def __init__(self, ctx: FilterContext, pred: Column):
         self._ctx = ctx
         self._pred = pred
+
+    @property
+    def _types(self):
+        # expression compilation reads the schema through the mask: a
+        # FILTERED expression aggregator must get the same string/integral/
+        # numeric/timestamp tags as its unfiltered twin (otherwise `dim * 2`
+        # over a string column takes the strict branch and throws under an
+        # ANSI host session)
+        return getattr(self._ctx, "_types", {})
+
+    @property
+    def virtual(self):
+        return getattr(self._ctx, "virtual", {})
 
     def resolve(self, name: str) -> Column:
         return F.when(self._pred, self._ctx.resolve(name))

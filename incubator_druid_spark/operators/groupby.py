@@ -296,11 +296,10 @@ def _apply_limit_spec(out: DataFrame, spec: dict | None, dim_names,
         direction = c.get("direction", "ascending")
         comparator = c.get("dimensionOrder", "lexicographic")
         col = qcol(name)
-        # comparator applies to string dims; numeric agg columns sort natively
+        # comparator applies to string dims (numeric included —
+        # _ordering_sort_key handles it); numeric agg columns sort natively
         if comparator != "lexicographic" and name in dim_names:
             col = _ordering_sort_key(col, comparator)
-        elif comparator == "numeric" and name in dim_names:
-            col = col.try_cast("double")
         order_exprs.append(col.desc() if str(direction).lower().startswith("desc")
                            else col.asc())
     if not order_exprs and (spec.get("limit") is not None

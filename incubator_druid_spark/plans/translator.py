@@ -68,6 +68,9 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
             compile_expr_mvd)
         arr_cols = {f.name for f in df.schema.fields
                     if isinstance(f.dataType, T.ArrayType)}
+        str_arr_cols = {f.name for f in df.schema.fields
+                        if isinstance(f.dataType, T.ArrayType)
+                        and isinstance(f.dataType.elementType, T.StringType)}
         str_cols = {f.name for f in df.schema.fields
                     if isinstance(f.dataType, T.StringType)}
         int_cols = {f.name for f in df.schema.fields
@@ -97,7 +100,8 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
 
         col = compile_expr_mvd(vc["expression"], _vc_resolve, arr_cols,
                                str_cols, int_cols, num_cols,
-                               timestamp_cols=ts_cols)
+                               timestamp_cols=ts_cols,
+                               string_array_cols=str_arr_cols)
         from incubator_druid_spark.functions.lookups import flush_lookup_joins
         df = flush_lookup_joins(df)  # large-lookup refs inside the expr
         ot = vc.get("outputType")
@@ -122,14 +126,22 @@ def prepare_frame(query: dict, spark: SparkSession, catalog: Catalog) -> DataFra
                     # digits — never Spark's timestamp→seconds /
                     # rendered-datetime casts
                     col = F.unix_millis(col)
-                col = col.cast(ot.lower())
+                # lenient (try-semantics) cast: a string-valued expression
+                # under outputType LONG truncates '10.1' → 10 and nulls
+                # garbage, identically under ANSI on/off (Druid's
+                # DimensionHandlerUtils.convertObjectToLong never throws)
+                from incubator_druid_spark.functions.lenient import \
+                    lenient_cast
+                col = lenient_cast(col, ot.lower())
         if vc["name"] == TIME_COLUMN:
             # a virtual column REPLACING __time must stay the engine's
             # timestamp type (granularity bucketing floors it); expression
             # results carrying time are epoch millis
             rtype = df.select(col.alias("__vc")).schema[0].dataType
             if not isinstance(rtype, T.TimestampType):
-                col = F.timestamp_millis(col.cast("long"))
+                from incubator_druid_spark.functions.lenient import \
+                    lenient_cast
+                col = F.timestamp_millis(lenient_cast(col, "long"))
         df = df.withColumn(vc["name"], col)
 
     ivs = parse_intervals(query.get("intervals"))

@@ -1491,19 +1491,47 @@ def _catalog_array_cols(catalog, sql: str | None = None) -> frozenset:
 _NON_ANSI_CLONES: "weakref.WeakKeyDictionary" = None
 
 
+def _host_state_token(spark: SparkSession):
+    """Staleness token for the host session's state the clone copies at
+    cloneSession() time: temp-view names + their analyzed-plan semantic
+    hashes (detects createOrReplaceTempView over an existing name) and the
+    session timezone.  Catalog datasources are re-registered per call and
+    don't need to be in the token."""
+    parts = [spark.conf.get("spark.sql.session.timeZone", "")]
+    try:
+        for t in spark.catalog.listTables():
+            if not t.isTemporary:
+                continue
+            try:
+                h = spark.table(t.name)._jdf.queryExecution() \
+                         .analyzed().semanticHash()
+            except Exception:
+                h = 0
+            parts.append((t.name, h))
+    except Exception:
+        pass
+    return tuple(sorted(parts[1:], key=str)) + (parts[0],)
+
+
 def _non_ansi_clone(spark: SparkSession) -> SparkSession:
-    """One non-ANSI session clone per host session (same SparkContext,
-    copied SQLConf + temp views at clone time, independent thereafter)."""
+    """Non-ANSI session clone per host session (same SparkContext, copied
+    SQLConf + temp views at clone time).  The clone is cached, but a host
+    that REPLACES a temp view, adds one, or changes its session timezone
+    after the first druid_sql call must not keep getting the stale
+    snapshot — the cache key includes a host-state token and the clone is
+    rebuilt when it drifts."""
     global _NON_ANSI_CLONES
     if _NON_ANSI_CLONES is None:
         import weakref
         _NON_ANSI_CLONES = weakref.WeakKeyDictionary()
-    clone = _NON_ANSI_CLONES.get(spark)
-    if clone is None:
-        clone = SparkSession(spark.sparkContext,
-                             spark._jsparkSession.cloneSession())
-        clone.conf.set("spark.sql.ansi.enabled", "false")
-        _NON_ANSI_CLONES[spark] = clone
+    token = _host_state_token(spark)
+    cached = _NON_ANSI_CLONES.get(spark)
+    if cached is not None and cached[1] == token:
+        return cached[0]
+    clone = SparkSession(spark.sparkContext,
+                         spark._jsparkSession.cloneSession())
+    clone.conf.set("spark.sql.ansi.enabled", "false")
+    _NON_ANSI_CLONES[spark] = (clone, token)
     return clone
 
 
