@@ -311,13 +311,32 @@ def _centroid_quantile_finalize(fractions: list[float]):
     return _state_pandas_udf(fin, rt)
 
 
-def _trapezoid_cdf(mn: float, mx: float, positions: list, weights: list):
-    """Interpolated cumulative-sum reader over centroid-sketch state — the
-    ApproximateHistogram.sum() trapezoid interpolation
+def _trapezoid_cdf(mn: float, mx: float, positions: list, weights: list,
+                   exact: bool = False):
+    """Cumulative-sum reader over centroid-sketch state — the
+    ApproximateHistogram.sum() interpolation
     (histogram/ApproximateHistogram.java:1460-1514), shared by the
     toHistogram finalizer and the ToCDF/ToRank/ToHistogram post-agg reads.
-    Returns cdf(b) = estimated COUNT of values <= b."""
+    Returns cdf(b) = estimated COUNT of values <= b.
+
+    ``exact=True`` is the reference's EXACT-bin branch (:1485-1513): a bin
+    never produced by a merge contributes its FULL mass once b reaches its
+    position — no trapezoid spreading.  The caller decides exactness
+    (an uncompressed sketch: fewer centroids than the resolution)."""
     import bisect
+
+    if exact:
+        total_e = sum(weights)
+
+        def cdf_exact(b: float) -> float:
+            if b < mn:
+                return 0.0
+            if b >= mx:
+                return total_e
+            i = bisect.bisect_right(positions, b)
+            return float(sum(weights[:i]))
+
+        return cdf_exact, total_e
 
     total = sum(weights)
 
@@ -354,7 +373,15 @@ def _state_centroids(raw):
     return mn, mx, pos, [cents[p] for p in pos]
 
 
-def _approx_histogram_finalize(num_buckets: int):
+def _bins_all_exact(positions: list, res) -> bool:
+    """True iff the centroid sketch never merged: Spark's histogram_numeric
+    (Hive NumericHistogram) only merges once the bin count would EXCEED the
+    resolution, so fewer centroids than resolution ⟹ every bin is an exact
+    value (the reference's APPROX_FLAG_BIT stays unset until a merge)."""
+    return res is not None and len(positions) < int(res)
+
+
+def _approx_histogram_finalize(num_buckets: int, resolution=None):
     """ApproximateHistogram.toHistogram(int) over histogram_numeric centroids.
 
     Mirrors ApproximateHistogram.java:1628-1640 (equal-width breaks:
@@ -372,7 +399,9 @@ def _approx_histogram_finalize(num_buckets: int):
 
     def fin(raw):
         mn, mx, positions, weights = _state_centroids(raw)
-        cdf, _total = _trapezoid_cdf(mn, mx, positions, weights)
+        cdf, _total = _trapezoid_cdf(mn, mx, positions, weights,
+                                     exact=_bins_all_exact(positions,
+                                                           resolution))
         size = max(num_buckets, 2)
         delta = (mx - mn) / (size - 1)
         breaks = [mn - delta + i * delta for i in range(size)] + [mx]
@@ -380,6 +409,50 @@ def _approx_histogram_finalize(num_buckets: int):
         return (breaks, [sums[i + 1] - sums[i] for i in range(size)])
 
     return _state_pandas_udf(fin, schema, struct_fields=("breaks", "counts"))
+
+
+def _ah_getquantiles_finalize(fractions: list[float]):
+    """ApproximateHistogram.getQuantiles (ApproximateHistogram.java:
+    1527-1597) — Ben-Haim/Tom-Tov Algorithm 4 "Uniform Procedure": find
+    the bin whose cumulative count first exceeds s = q·count, then solve
+    the quadratic for the within-bin position; i == 0 reads min, and the
+    result clamps at max."""
+    from pyspark.sql import types as T
+
+    single = len(fractions) == 1
+    rt = T.DoubleType() if single else T.ArrayType(T.DoubleType())
+
+    def fin(raw):
+        mn, mx, pos, wts = _state_centroids(raw)
+        total = sum(wts)
+        if total <= 0:
+            return None if single else [None] * len(fractions)
+
+        def one(q):
+            s = q * total
+            acc, i, found = 0.0, 0, False
+            for k in range(len(wts)):
+                if acc + wts[k] > s:
+                    i, found = k, True
+                    break
+                acc += wts[k]
+            if not found:
+                return mx
+            if i == 0:
+                return mn
+            d = s - acc
+            c = -2.0 * d
+            a = wts[i] - wts[i - 1]
+            b = 2.0 * wts[i - 1]
+            z = (-c / b) if a == 0 else \
+                (-b + (b * b - 4.0 * a * c) ** 0.5) / (2.0 * a)
+            uj = pos[i - 1] + (pos[i] - pos[i - 1]) * z
+            return uj if uj < mx else mx
+
+        vals = [one(float(q)) for q in fractions]
+        return vals[0] if single else vals
+
+    return _state_pandas_udf(fin, rt)
 
 
 def _fbh_quantile_finalize(pcts: list[float], single: bool):
@@ -435,13 +508,14 @@ def _breaks_counts_schema():
     return _BREAKS_COUNTS_SCHEMA
 
 
-def _ah_custom_breaks_finalize(breaks: list[float]):
+def _ah_custom_breaks_finalize(breaks: list[float], resolution=None):
     """ApproximateHistogram.toHistogram(float[] breaks)
     (ApproximateHistogram.java:1607-1619): per-bin counts are CDF diffs at
     the caller's breakpoints."""
     def fin(raw):
         mn, mx, pos, wts = _state_centroids(raw)
-        cdf, _total = _trapezoid_cdf(mn, mx, pos, wts)
+        cdf, _total = _trapezoid_cdf(mn, mx, pos, wts,
+                                     exact=_bins_all_exact(pos, resolution))
         bs = [float(b) for b in breaks]
         sums = [cdf(b) for b in bs]
         return (bs, [sums[i + 1] - sums[i] for i in range(len(bs) - 1)])
@@ -450,7 +524,7 @@ def _ah_custom_breaks_finalize(breaks: list[float]):
 
 
 def _ah_bucket_size_finalize(bucket_size: float, offset: float,
-                             lower: float, upper: float):
+                             lower: float, upper: float, resolution=None):
     """ApproximateHistogram.toHistogram(bucketSize, offset)
     (ApproximateHistogram.java:1650-1695): offset-aligned breaks covering
     [max(minFloor, lowerLimitFloor), min(maxCeil, upperLimitCeil)], with
@@ -459,7 +533,8 @@ def _ah_bucket_size_finalize(bucket_size: float, offset: float,
 
     def fin(raw):
         mn, mx, pos, wts = _state_centroids(raw)
-        cdf, _total = _trapezoid_cdf(mn, mx, pos, wts)
+        cdf, _total = _trapezoid_cdf(mn, mx, pos, wts,
+                                     exact=_bins_all_exact(pos, resolution))
         bs = float(bucket_size)
         min_floor = math.floor((mn - offset) / bs) * bs + offset
         lower_floor = (math.floor((lower - offset) / bs) * bs + offset
@@ -1020,6 +1095,21 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             F.min(F.when(counted,
                          F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
                          if mode == "clip" else x)).alias("min"))
+    if t == "__ah_quantile":
+        # synthesized from quantile/quantiles post-aggs over an
+        # approxHistogram agg (QuantilePostAggregator.java:74-85 →
+        # ApproximateHistogram.getQuantiles) — inverse-CDF interpolation
+        # over the centroid sketch, clamped to [min, max]
+        fracs = [float(x) for x in spec["fractions"]]
+        fname = spec.get("fieldName")
+        finz = _ah_getquantiles_finalize(fracs)
+        if _is_quantile_state(ctx, fname):
+            return _centroid_state_agg(ctx, fname, finz)
+        res = int(spec.get("resolution", 50))
+        x = _lcast(f(), "double")
+        raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                       F.histogram_numeric(x, F.lit(res)).alias("bins"))
+        return finz(raw)
     if t == "__ah_histogram":
         # synthesized by rewrite_sketch_query from the histogram
         # extension's buckets / equalBuckets / customBuckets post-aggs
@@ -1027,17 +1117,18 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         # .java:63-67, CustomBucketsPostAggregator) — re-finalize the
         # centroid sketch with the post-agg's bucket spec
         kind = spec["kind"]
+        res0 = int(spec.get("resolution", 50))
         if kind == "equal":
-            finz = _approx_histogram_finalize(int(spec["numBuckets"]))
+            finz = _approx_histogram_finalize(int(spec["numBuckets"]), res0)
         elif kind == "custom":
-            finz = _ah_custom_breaks_finalize(spec["breaks"])
+            finz = _ah_custom_breaks_finalize(spec["breaks"], res0)
         else:
             finz = _ah_bucket_size_finalize(
                 float(spec["bucketSize"]), float(spec.get("offset") or 0.0),
                 float(spec["lowerLimit"]) if spec.get("lowerLimit")
                 is not None else float("-inf"),
                 float(spec["upperLimit"]) if spec.get("upperLimit")
-                is not None else float("inf"))
+                is not None else float("inf"), res0)
         fname = spec.get("fieldName")
         if _is_quantile_state(ctx, fname):
             return _centroid_state_agg(ctx, fname, finz)
@@ -1060,11 +1151,11 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
         fname = spec.get("fieldName")
         if _is_quantile_state(ctx, fname):          # approxHistogramFold over
             return _centroid_state_agg(ctx, fname,  # stored state
-                                       _approx_histogram_finalize(nb))
+                                       _approx_histogram_finalize(nb, res))
         x = _lcast(f(), "double")
         raw = F.struct(F.min(x).alias("mn"), F.max(x).alias("mx"),
                        F.histogram_numeric(x, F.lit(res)).alias("bins"))
-        return _approx_histogram_finalize(nb)(raw)
+        return _approx_histogram_finalize(nb, res)(raw)
     if t == "bloom":
         # druid-bloom-filter/.../BloomFilterAggregatorFactory.java — builds
         # the engine's sparse-position-set bloom format (functions/bloom.py)
@@ -1432,14 +1523,17 @@ def rewrite_sketch_query(query: dict) -> dict:
                              "fieldName": inner.get("fieldName"),
                              "expression": inner.get("expression")}
                 elif t in ("quantile", "quantiles"):
-                    # getQuantiles over centroids ≈ percentile read; both
-                    # are approximations of the same distribution
+                    # ApproximateHistogram.getQuantiles — inverse-CDF
+                    # interpolation over the centroid sketch (NOT
+                    # percentile_approx, which snaps to data values and
+                    # misses interpolated quantiles like 3.33 over 1..10)
                     fr = ([float(p["probability"])] if t == "quantile"
                           else [float(x) for x in p["probabilities"]])
-                    extra = {"type": "__percentile", "name": p["name"],
+                    extra = {"type": "__ah_quantile", "name": p["name"],
                              "fieldName": inner.get("fieldName"),
                              "expression": inner.get("expression"),
-                             "fractions": fr, "k": 10000}
+                             "resolution": inner.get("resolution", 50),
+                             "fractions": fr}
                 else:
                     extra = {"type": "__ah_histogram", "name": p["name"],
                              "fieldName": inner.get("fieldName"),
