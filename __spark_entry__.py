@@ -230,6 +230,34 @@ def _approx_histogram(spark, sf):
                       F.round("tot", 1).alias("total_cnt"))
 
 
+
+def _fixed_buckets_hist(spark, sf):
+    """fixedBucketsHistogram finalized to the reference's full state
+    (FixedBucketsHistogram.java:314-329 toString fields): per-bucket
+    counts, OVERFLOW-mode outlier counters, missing count, in-range
+    count and min/max — all exactly SQL-expressible, so the oracle
+    checks every field."""
+    q = {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all", "dimensions": ["event_type"],
+         "aggregations": [
+             {"type": "fixedBucketsHistogram", "name": "h",
+              "fieldName": "value", "lowerLimit": 10, "upperLimit": 200,
+              "numBuckets": 4, "outlierHandlingMode": "overflow"}]}
+    out = translate(q, spark, _cat(spark, sf))
+    h = F.col("h")
+    return out.select(
+        "event_type",
+        h.getField("histogram")[0].alias("b0"),
+        h.getField("histogram")[1].alias("b1"),
+        h.getField("histogram")[2].alias("b2"),
+        h.getField("histogram")[3].alias("b3"),
+        h.getField("upperOutlierCount").alias("upper_out"),
+        h.getField("lowerOutlierCount").alias("lower_out"),
+        h.getField("missingValueCount").alias("missing_cnt"),
+        h.getField("count").alias("in_cnt"),
+        F.round(h.getField("min"), 3).alias("mn"),
+        F.round(h.getField("max"), 3).alias("mx"))
+
 def _gb_event_type(spark, sf):
     q = {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
          "dimensions": ["event_type"],
@@ -1713,7 +1741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window (_WINDOW_R7) leads with the only two entries no driver window
     # ever gated (gb_column_comparison, scan_interval_dim — the round-6
     # judge's set-difference finding), then the round-6 red now fixed
-    # (schema_evolution_sum — ANSI-proof casts), the extended media_probe
+    # (schema_evolution_sum — ANSI-proof casts), the NEW
+    # fixed_buckets_hist (full outlier/missing state), the extended
+    # media_probe
     # (8 container formats), the 33 entries last gated in an r1–r5 window
     # (re-certified on current code), and 13 keystone r6 entries.
     # Rotated-out entries stay verified by scripts/check_correctness.py
@@ -1723,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_day_zerofill": _ts_day_zerofill,
         "card_by_value": _card_by_value,
         "approx_histogram": _approx_histogram,
+        "fixed_buckets_hist": _fixed_buckets_hist,
         "sketch_rank_cdf_hist": _sketch_rank_cdf_hist,
         "hll_union_estimate": _hll_union_estimate_q,
         "gb_having": _gb_having,
@@ -1829,10 +1860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WINDOW_R7 = [
     "gb_column_comparison", "scan_interval_dim", "schema_evolution_sum",
-    "media_probe", "text_top_terms", "sql_view_datasource",
+    "fixed_buckets_hist", "media_probe", "text_top_terms",
+    "sql_view_datasource",
     "legacy_null_mode", "gb_extraction_substr", "gb_in_not_filter",
     "gb_case_expression", "search_fragment", "ts_day", "ts_hour_filtered",
-    "ts_all", "gb_event_type", "gb_day_type", "gb_first_last",
+    "ts_all", "gb_event_type", "gb_first_last",
     "gb_expression_dim", "gb_union", "gb_variance", "gb_quantile",
     "ts_week", "scan_purchases", "scan_offset", "scan_in_bound",
     "search_types", "search_daily", "topn_event_type", "topn_users",
@@ -2096,6 +2128,20 @@ def oracle_sql() -> dict[str, str]:
                              AS maybe_null
                   FROM events GROUP BY event_type)
             GROUP BY event_type
+        """,
+        "fixed_buckets_hist": """
+            SELECT event_type,
+                   count(*) FILTER (WHERE value >= 10 AND value < 57.5) AS b0,
+                   count(*) FILTER (WHERE value >= 57.5 AND value < 105) AS b1,
+                   count(*) FILTER (WHERE value >= 105 AND value < 152.5) AS b2,
+                   count(*) FILTER (WHERE value >= 152.5 AND value < 200) AS b3,
+                   count(*) FILTER (WHERE value >= 200) AS upper_out,
+                   count(*) FILTER (WHERE value < 10) AS lower_out,
+                   count(*) FILTER (WHERE value IS NULL) AS missing_cnt,
+                   count(*) FILTER (WHERE value >= 10 AND value < 200) AS in_cnt,
+                   round(min(value) FILTER (WHERE value >= 10 AND value < 200), 3) AS mn,
+                   round(max(value) FILTER (WHERE value >= 10 AND value < 200), 3) AS mx
+            FROM events GROUP BY event_type
         """,
         "approx_histogram": """
             WITH g AS (
