@@ -1,0 +1,135 @@
+"""VP8L (lossless WebP) decoder tests — RFC 9649 §3.
+
+Round-trips against the module's test-vector encoder (literal pixels,
+subtract-green, color-indexing with every bundling width), plus
+hand-crafted bitstreams for the paths the encoder doesn't emit: LZ77
+backward references (2D distance map + direct distances) and the color
+cache.  The lossy-VP8 refusal and the multimodal dispatch are asserted
+at the container level."""
+
+import numpy as np
+import pytest
+
+from incubator_druid_spark.pipeline import webp as W
+
+
+def _rand(h, w, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3),
+                                                dtype=np.uint8)
+
+
+def test_literal_roundtrip():
+    img = _rand(9, 13, 7)
+    assert np.array_equal(W.decode_vp8l(W.encode_vp8l(img)), img)
+
+
+def test_single_pixel_and_row():
+    one = _rand(1, 1, 1)
+    assert np.array_equal(W.decode_vp8l(W.encode_vp8l(one)), one)
+    row = _rand(1, 17, 2)
+    assert np.array_equal(W.decode_vp8l(W.encode_vp8l(row)), row)
+
+
+def test_subtract_green_roundtrip():
+    img = _rand(6, 8, 3)
+    data = W.encode_vp8l(img, subtract_green=True)
+    assert np.array_equal(W.decode_vp8l(data), img)
+
+
+@pytest.mark.parametrize("ncolors", [2, 4, 16, 40])
+def test_palette_roundtrip_all_bundlings(ncolors):
+    """Color-indexing inverse at every packing width: 2 colors → 8
+    pixels/byte, 4 → 4, 16 → 2, >16 → plain index."""
+    rng = np.random.RandomState(ncolors)
+    palette = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rng.randint(0, ncolors, (7, 11))
+    img = palette[idx]
+    assert np.array_equal(W.decode_vp8l(W._encode_palette(img)), img)
+
+
+def _header(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+
+
+def test_lz77_backward_reference():
+    """Hand-crafted stream: literal green-10 pixel, literal green-20,
+    then a length-2 distance-1 copy (plane code 1 → (1,0)) — decodes to
+    [A, B, B, B]."""
+    bw = W._BitWriter()
+    _header(bw, 4, 1)
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    codes = W._canonical_codes({10: 2, 20: 2, 257: 1})
+    W._write_sparse_code(bw, {10: 2, 20: 2, 257: 1}, 256 + 24)
+    for _ in range(3):  # red, blue, alpha: constant 0
+        W._write_simple_single(bw, 0)
+    W._write_simple_single(bw, 1)  # distance code: symbol 1 → v=2 → pc=1
+    def emit(sym):
+        ln, code = codes[sym]
+        W._write_code_msb(bw, code, ln)
+    emit(10)   # literal A (green 10)
+    emit(20)   # literal B (green 20)
+    emit(257)  # length code 1 → length 2; distance symbol read: 0 bits
+    data = W._riff_wrap(bytes([0x2F]) + bytes(bw.out))
+    out = W.decode_vp8l(data)
+    assert out[0, :, 1].tolist() == [10, 20, 20, 20]
+
+
+def test_color_cache_hit():
+    """Hand-crafted stream with a 4-bit color cache: a literal pixel then
+    a cache reference to it."""
+    cache_bits = 4
+    px = (0xFF << 24) | (7 << 16) | (10 << 8) | 200
+    h = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    alphabet = 256 + 24 + (1 << cache_bits)
+    bw = W._BitWriter()
+    _header(bw, 2, 1)
+    bw.write(1, 1)               # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)               # no meta prefix
+    glens = {10: 1, 256 + 24 + h: 1}
+    codes = W._canonical_codes(glens)
+    W._write_sparse_code(bw, glens, alphabet)
+    W._write_simple_single(bw, 7)    # red
+    W._write_simple_single(bw, 200)  # blue
+    W._write_simple_single(bw, 0xFF)  # alpha
+    W._write_simple_single(bw, 0)    # distance (unused)
+    ln, code = codes[10]
+    W._write_code_msb(bw, code, ln)        # literal → fills cache slot h
+    ln, code = codes[256 + 24 + h]
+    W._write_code_msb(bw, code, ln)        # cache hit
+    out = W.decode_vp8l(W._riff_wrap(bytes([0x2F]) + bytes(bw.out)))
+    assert out[0, 0].tolist() == [7, 10, 200]
+    assert out[0, 1].tolist() == [7, 10, 200]
+
+
+def test_lossy_vp8_refuses_by_name():
+    data = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (0).to_bytes(4, "little"))
+    with pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_vp8l(data)
+
+
+def test_multimodal_dispatch(spark):
+    """The image feature kernel decodes VP8L WEBP blobs end-to-end."""
+    from incubator_druid_spark.pipeline.multimodal import (
+        decode_image_features)
+    img = _rand(8, 8, 5)
+    df = spark.createDataFrame(
+        [(1, bytearray(W.encode_vp8l(img)))], "id long, content binary")
+    out = decode_image_features(df, fake=False).collect()
+    assert len(out) == 1
+    assert out[0]["width"] == 8 and out[0]["height"] == 8
+
+
+def test_probe_reads_vp8l_dimensions():
+    """The header probe tier reports VP8L dimensions without decode."""
+    from incubator_druid_spark.pipeline.probe import probe_media
+    img = _rand(23, 41, 9)
+    meta = probe_media(W.encode_vp8l(img))
+    assert meta.get("mime") == "image/webp"
+    assert (meta.get("width"), meta.get("height")) == (41, 23)
