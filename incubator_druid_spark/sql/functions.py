@@ -370,10 +370,15 @@ def _register_lookup_fn(spark: SparkSession) -> None:
                     if len(m) > LOOKUP_JOIN_THRESHOLD)]
         for name in joined:
             view = f"__lookup_{ident(name)}"
-            _lookup_frame(spark, name).createOrReplaceTempView(view)
+            # GLOBAL temp view: the cached lookup frame is bound to the
+            # session that first built it, and createOrReplaceTempView
+            # registers in the FRAME's session — a rebuilt non-ANSI clone
+            # would not see it.  global_temp views are visible from every
+            # session sharing the SparkContext.
+            _lookup_frame(spark, name).createOrReplaceGlobalTempView(view)
             branches.append(
-                f"WHEN '{q(name)}' THEN (SELECT v FROM {view} "
-                f"WHERE {view}.k = LOOKUP.k)")
+                f"WHEN '{q(name)}' THEN (SELECT v FROM global_temp.{view} "
+                f"AS {view} WHERE {view}.k = LOOKUP.k)")
         for name, m in _LOOKUPS.items():
             if not m or len(m) > LOOKUP_JOIN_THRESHOLD:
                 continue
@@ -1643,7 +1648,15 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None):
             # a synthetic __time (EARLIEST/LATEST order) would require a
             # total order a file-based map doesn't have — the two-column
             # contract applies
-            _lookup_frame(spark, lk).createOrReplaceTempView(f"lookup_{lk}")
+            # the cached frame is bound to the session that built it, so a
+            # plain createOrReplaceTempView would register the view THERE —
+            # invisible to a (re)built non-ANSI clone.  Route through a
+            # global temp view (visible from every session) plus a
+            # session-local alias so references stay `lookup_<name>`.
+            gview = f"__lookup_src_{lk}"
+            _lookup_frame(spark, lk).createOrReplaceGlobalTempView(gview)
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW lookup_{lk} AS "
+                      f"SELECT * FROM global_temp.{gview}")
             continue
         mapping = get_lookup(lk)  # KeyError on unknown lookup = clear error
         if lk in _from_lookups and re.search(
