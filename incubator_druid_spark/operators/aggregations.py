@@ -377,7 +377,13 @@ def _bins_all_exact(positions: list, res) -> bool:
     """True iff the centroid sketch never merged: Spark's histogram_numeric
     (Hive NumericHistogram) only merges once the bin count would EXCEED the
     resolution, so fewer centroids than resolution ⟹ every bin is an exact
-    value (the reference's APPROX_FLAG_BIT stays unset until a merge)."""
+    value (the reference's APPROX_FLAG_BIT stays unset until a merge).
+
+    len(positions) == resolution is AMBIGUOUS (exactly-res distinct values
+    never merged, or a larger set compressed down to res) — treated as
+    approximate, the conservative choice: misreading a merged sketch as
+    exact would fabricate step counts, while the trapezoid read of an
+    actually-exact boundary sketch stays a valid approximation."""
     return res is not None and len(positions) < int(res)
 
 

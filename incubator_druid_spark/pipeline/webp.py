@@ -11,9 +11,9 @@ bundling).
 Lossy VP8 (the 'VP8 ' chunk) remains a named refusal — it is a full
 video-intra codec; the header probe tier (pipeline/probe.py) covers its
 metadata.  ``encode_vp8l`` writes a valid uncompressed-literal VP8L
-stream (complete 8-bit prefix codes, optional subtract-green /
-palette / horizontal-predictor transforms) used by the round-trip
-tests; it is a test vector generator, not a compressor.
+stream (complete 8-bit prefix codes; optional subtract-green, with the
+color-indexing path in _encode_palette) used by the round-trip tests;
+it is a test vector generator, not a compressor.
 """
 
 from __future__ import annotations
@@ -117,9 +117,12 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         if num_symbols == 1:
             lengths[symbols[0]] = 1  # 0-bit read via `single`
             return _PrefixCode(lengths)
-        lengths[symbols[0]] = 1
-        lengths[symbols[1]] = 1
-        return _PrefixCode(lengths)
+        # TRANSMISSION order assigns the codewords (bit 0 -> first symbol),
+        # not canonical symbol order — a stream may send them descending
+        code = _PrefixCode.__new__(_PrefixCode)
+        code.single = None
+        code.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+        return code
     # normal: code lengths transported through a code-length code
     num_code_lengths = 4 + br.read(4)
     cl_lengths = [0] * 19
@@ -295,7 +298,8 @@ def _select(l, t, tl):  # noqa: E741
         abs((((l >> 16) & 0xFF) - ((tl >> 16) & 0xFF))) + \
         abs((((l >> 8) & 0xFF) - ((tl >> 8) & 0xFF))) + \
         abs(((l & 0xFF) - (tl & 0xFF)))
-    return l if p_a <= p_b else t
+    # RFC 9649 Select: L wins only when STRICTLY closer; ties take T
+    return l if p_a < p_b else t
 
 
 def _cas_full(l, t, tl):  # noqa: E741
@@ -310,7 +314,9 @@ def _cas_half(ave, tl):
     out = 0
     for sh in (24, 16, 8, 0):
         a = (ave >> sh) & 0xFF
-        out |= _clamp(a + (a - ((tl >> sh) & 0xFF)) // 2) << sh
+        d = a - ((tl >> sh) & 0xFF)
+        half = -((-d) // 2) if d < 0 else d // 2  # C division: toward zero
+        out |= _clamp(a + half) << sh
     return out
 
 
@@ -368,17 +374,10 @@ def _inv_predictor(pixels, xsize, ysize, bits, modes, mw):
                 l = pixels[i - 1]             # noqa: E741
                 t = pixels[i - xsize]
                 tl = pixels[i - xsize - 1]
-                tr = pixels[i - xsize + 1] if x + 1 < xsize \
-                    else pixels[i - xsize]    # spec: TR of last col reads T? no — wraps
-                if x + 1 >= xsize:
-                    # top-right of the last column is the FIRST pixel of
-                    # the same row (spec: the row above is contiguous in
-                    # scan order, so TR wraps to the next row's... the
-                    # reference uses the leftmost pixel of the current row
-                    # sequence — pixels[i - xsize + 1] is exactly that in
-                    # flat scan order
-                    tr = pixels[i - xsize + 1] if i - xsize + 1 < len(pixels) \
-                        else t
+                # TR of the last column wraps to the CURRENT row's first
+                # pixel — in flat scan order that is exactly i - xsize + 1,
+                # the same expression as the in-bounds case (spec §4.4.1)
+                tr = pixels[i - xsize + 1]
                 pred = _predict(mode, l, t, tr, tl)
             pixels[i] = _add_px(pixels[i], pred)
 
@@ -476,13 +475,16 @@ def decode_vp8l(data: bytes):
             mw = (cur_w + (1 << bits) - 1) >> bits
             mh = (ysize + (1 << bits) - 1) >> bits
             modes = _decode_image_stream(br, mw, mh, False)
-            transforms.append(("predictor", bits, modes, mw))
+            # record the width CURRENT AT DECLARATION: a transform declared
+            # after a bundling color-indexing transform operates on the
+            # packed-width image during the reversed inverse pass
+            transforms.append(("predictor", bits, modes, mw, cur_w))
         elif ttype == 1:  # color transform
             bits = br.read(3) + 2
             mw = (cur_w + (1 << bits) - 1) >> bits
             mh = (ysize + (1 << bits) - 1) >> bits
             elems = _decode_image_stream(br, mw, mh, False)
-            transforms.append(("color", bits, elems, mw))
+            transforms.append(("color", bits, elems, mw, cur_w))
         elif ttype == 2:  # subtract green
             transforms.append(("subtract_green",))
         else:  # color indexing
@@ -497,8 +499,6 @@ def decode_vp8l(data: bytes):
             transforms.append(("palette", palette, width_bits))
             if width_bits:
                 cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
-            else:
-                cur_w = cur_w
 
     pixels = _decode_image_stream(br, cur_w, ysize, True)
 
@@ -509,18 +509,13 @@ def decode_vp8l(data: bytes):
         elif tr[0] == "subtract_green":
             _inv_subtract_green(pixels)
         elif tr[0] == "color":
-            _inv_color_transform(pixels, xsize, ysize, tr[1], tr[2], tr[3])
+            _inv_color_transform(pixels, tr[4], ysize, tr[1], tr[2], tr[3])
         else:
-            _inv_predictor(pixels, xsize, ysize, tr[1], tr[2], tr[3])
+            _inv_predictor(pixels, tr[4], ysize, tr[1], tr[2], tr[3])
 
-    arr = np.zeros((ysize, xsize, 3), dtype=np.uint8)
-    for y in range(ysize):
-        row = pixels[y * xsize:(y + 1) * xsize]
-        for x, px in enumerate(row):
-            arr[y, x, 0] = (px >> 16) & 0xFF
-            arr[y, x, 1] = (px >> 8) & 0xFF
-            arr[y, x, 2] = px & 0xFF
-    return arr
+    a = np.array(pixels, dtype=np.uint32).reshape(ysize, xsize)
+    return np.stack([(a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF],
+                    axis=-1).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

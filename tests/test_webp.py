@@ -133,3 +133,79 @@ def test_probe_reads_vp8l_dimensions():
     meta = probe_media(W.encode_vp8l(img))
     assert meta.get("mime") == "image/webp"
     assert (meta.get("width"), meta.get("height")) == (41, 23)
+
+
+def test_select_tie_prefers_top():
+    """RFC 9649 Select: on a Manhattan-distance tie the prediction is T,
+    not L (review fix)."""
+    l = 0xFF020000  # noqa: E741
+    t = 0xFF000002
+    tl = 0xFF000000
+    assert W._select(l, t, tl) == t
+
+
+def test_cas_half_truncates_toward_zero():
+    """ClampAddSubtractHalf uses C division (toward zero): ave 10, TL 13
+    per channel → 10 + (-3)/2 = 9, not Python floor's 8."""
+    ave = 0xFF0A0A0A
+    tl = 0xFF0D0D0D
+    out = W._cas_half(ave, tl)
+    assert [(out >> s) & 0xFF for s in (16, 8, 0)] == [9, 9, 9]
+
+
+def test_simple_two_symbol_descending_order():
+    """A simple 2-symbol prefix code assigns bit 0 to the FIRST
+    transmitted symbol even when symbols arrive descending."""
+    bw = W._BitWriter()
+    bw.write(1, 1)   # simple
+    bw.write(1, 1)   # two symbols
+    bw.write(1, 1)   # 8-bit first
+    bw.write(200, 8)
+    bw.write(3, 8)
+    code = W._read_prefix_code(W._BitReader(bytes(bw.out)), 256)
+    r = W._BitReader(bytes([0b10]))  # bits: 0 then 1
+    assert code.read(r) == 200
+    assert code.read(r) == 3
+
+
+def test_predictor_transform_end_to_end():
+    """Hand-built stream with a predictor transform (all blocks mode 2 =
+    T): residuals forward-computed per spec edge rules, decode restores
+    the original."""
+    img = _rand(5, 6, 11)
+    h, w = img.shape[:2]
+    pixels = [(0xFF << 24) | (int(img[y, x, 0]) << 16)
+              | (int(img[y, x, 1]) << 8) | int(img[y, x, 2])
+              for y in range(h) for x in range(w)]
+    # forward: residual = pixel - predicted (mod 256 per channel)
+    res = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                pred = pixels[i - w]  # mode 2 = T
+            res.append(W._sub_px(pixels[i], pred))
+    bw = W._BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # a transform
+    bw.write(0, 2)  # predictor
+    bw.write(2, 3)  # size_bits = 4 → one 16x16 block covers the image
+    # mode subimage (1x1): mode 2 carried in the green channel
+    bw.write(0, 1)  # no color cache (subimage)
+    W._write_simple_single(bw, 2)     # green = mode 2
+    for _ in range(3):
+        W._write_simple_single(bw, 0)  # red, blue, alpha
+    W._write_simple_single(bw, 0)      # distance
+    bw.write(0, 1)  # end of transforms
+    W._emit_literal_stream(bw, res, level0=True)
+    out = W.decode_vp8l(W._riff_wrap(bytes([0x2F]) + bytes(bw.out)))
+    assert np.array_equal(out, img)
