@@ -20,6 +20,14 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _median3(fn) -> float:
+    """Median of 3 runs — one noisy run (GC pause, page-cache miss,
+    co-tenant burst) can no longer swing a headline number 4× (r7's
+    phantom ts_hour_filtered regression)."""
+    runs = sorted(_timed(fn) for _ in range(3))
+    return runs[1]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
@@ -107,13 +115,25 @@ def main() -> int:
     entrymod._IVF_CENTROIDS[(sf_dir, 8, 42)] = train_ivf_centroids(
         _emb.filter(_F.col("vec_id") != 0), n_clusters=8, seed=42)
 
+    # ambient-drift CONTROL (r7 task 3): a fixed, unchanged-code measurement
+    # — sum over the replicated segment table — taken FIRST (here, before
+    # the headline suite) and again LAST (after the sf10 sweep).  If the
+    # control itself drifts between the two readings, that drift is the
+    # box, not the code; the judge reads the pair next to any headline
+    # delta.  The segment table is built before the suite for this reason.
+    from pyspark.sql import functions as F
+    seg_path, seg_f, big_rows = _seg_table(spark, cat, sf_dir, cpus,
+                                           lineitem_rows)
+    for _ in range(3):
+        seg_f.agg(F.sum("m")).collect()  # page-cache + codegen warm
+    control_first_sec = min(_timed(
+        lambda: seg_f.agg(F.sum("m")).collect()) for _ in range(3))
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
+        # median of 3 full executions (r7 showed single-run noise up to 4×)
+        timings[name] = round(_median3(lambda: fn(spark, sf_dir).count()), 3)
 
     # whitepaper scan-rate metrics (BASELINE.md): count(*) and sum(float)
     # over a time interval, rows/sec/core.  Best-of-3 and normalized by the
@@ -130,44 +150,10 @@ def main() -> int:
         lambda: filtered.agg(F.sum("l_extendedprice")).collect())
         for _ in range(3))
 
-    # steady-state segment-scan rate: the whitepaper's scan numbers are over
-    # mmap'd LZ4 float segments (druid.tex:880-882), so the comparable here
-    # is this engine's own storage layout — a time-partitioned parquet table
-    # (year buckets, the ingest sink's format) resident in the OS page cache,
-    # scanned by the vectorized parquet reader with every core busy.  The
-    # table is lineitem replicated to ~200M rows with the metric jittered to
-    # distinct float32 values (PLAIN-encoded — replication would otherwise
-    # leave an RLE/dictionary column that scans unrealistically fast).  The
-    # interval predicate lands on the partition column, so pruning replaces
-    # per-row time comparisons — exactly how the engine executes interval
-    # scans at 100 TB.  Built once and reused across bench runs.
-    from pyspark.sql import functions as FF
-    rep = max(1, (200_000_000 // max(lineitem_rows, 1)))
-    seg_path = (f"/tmp/spark_graft_bench_segments_v2_sf"
-                f"{sf_dir.rstrip('/').split('sf')[-1]}_{rep}")
-    if not os.path.exists(os.path.join(seg_path, "_SUCCESS")):
-        slim = cat.table("lineitem").select(
-            "__time", F.col("l_extendedprice").cast("float").alias("m"))
-        # range-partition on (bucket, time) so each writer task lands in one
-        # year dir → ~cpus files of ~30 MB: one scan wave with every core on
-        # its own file (tiny files pay per-file open cost; one big file per
-        # bucket serializes on 128 MB row-group granularity)
-        (slim.repartition(cpus)
-             .withColumn("__r", FF.explode(FF.sequence(FF.lit(1), FF.lit(rep))))
-             .withColumn("m", (F.col("m") + F.col("__r") * F.lit(0.0017)).cast("float"))
-             .drop("__r")
-             .withColumn("__bucket", F.date_trunc("year", F.col("__time")))
-             .repartitionByRange(cpus, F.col("__bucket"), F.col("__time"))
-             .write.mode("overwrite").option("compression", "uncompressed")
-             .partitionBy("__bucket").parquet(seg_path))
     # drop persisted frames left by the headline queries (minhash/IVF persist
     # intermediates; the query cache pins frames) — executor-memory pressure
     # and the GC churn it causes otherwise pollute the steady-state scan metric
     spark.catalog.clearCache()
-    seg = spark.read.parquet(seg_path)
-    seg_f = seg.filter((F.col("__bucket") >= "1995-01-01")
-                       & (F.col("__bucket") < "2002-01-01"))
-    big_rows = seg_f.count()
     # steady-state: untimed warmup rounds first (C2-compile the codegen'd
     # scan→agg loop + fault the files into page cache — the loop crosses the
     # JIT threshold only after several full scans), then best-of-9 — the
@@ -195,6 +181,7 @@ def main() -> int:
     skew_saved = {k: spark.conf.get(k) for k in skew_tuned}
     for k, v in skew_tuned.items():
         spark.conf.set(k, v)
+    from pyspark.sql import functions as FF
     try:
         # 12M-row fact, 90% of rows on one key, values jittered so the hot
         # shuffle partition can't compress away (a constant-ish payload
@@ -406,6 +393,38 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - fail-soft by design
             sf10_queries["__error__"] = str(e)[:200]
 
+    # ANSI-host druid_sql per-call latency (r7 task 2's visibility ask):
+    # a host session the engine did not create, ANSI on, 6 temp views —
+    # vs the same call on the engine session.  The ratio shows the clone
+    # machinery's per-call overhead (token + cache hit), which r7 measured
+    # at ~8× before the semanticHash re-analysis was removed.
+    from incubator_druid_spark.catalog import Catalog as _Catalog
+    ansi_host = spark.newSession()
+    ansi_host.conf.set("spark.sql.ansi.enabled", "true")
+    for i in range(6):
+        ansi_host.range(100).selectExpr("id", f"id*{i+1} AS v") \
+            .createOrReplaceTempView(f"benchview{i}")
+    ansi_cat = _Catalog(ansi_host)
+    ansi_cat.register("events", os.path.join(sf_dir, "events.parquet"))
+    probe_sql = "SELECT COUNT(*) AS c FROM druid.events"
+    druid_sql(ansi_host, probe_sql, ansi_cat).collect()  # warm
+    ansi_host_sql_ms = round(1000 * sorted(
+        _timed(lambda: druid_sql(ansi_host, probe_sql, ansi_cat).collect())
+        for _ in range(7))[3], 1)
+    engine_cat = _Catalog(spark)
+    engine_cat.register("events", os.path.join(sf_dir, "events.parquet"))
+    druid_sql(spark, probe_sql, engine_cat).collect()  # warm
+    engine_sql_ms = round(1000 * sorted(
+        _timed(lambda: druid_sql(spark, probe_sql, engine_cat).collect())
+        for _ in range(7))[3], 1)
+
+    # ambient-drift control, LAST reading (pair with control_first above)
+    spark.catalog.clearCache()
+    for _ in range(3):
+        seg_f.agg(F.sum("m")).collect()
+    control_last_sec = min(_timed(
+        lambda: seg_f.agg(F.sum("m")).collect()) for _ in range(3))
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
@@ -426,6 +445,17 @@ def main() -> int:
         "skew_join_sec": round(skew_sec, 3),
         "skew_join_no_aqe_sec": round(skew_off_sec, 3),
         "skew_join_aqe_split": skew_split,
+        "control_seg_sum_first_rps_core": int(
+            big_rows / control_first_sec / cpus),
+        "control_seg_sum_last_rps_core": int(
+            big_rows / control_last_sec / cpus),
+        "control_drift_pct": round(
+            100.0 * (control_last_sec - control_first_sec)
+            / control_first_sec, 1),
+        "ansi_host_sql_call_ms": ansi_host_sql_ms,
+        "engine_sql_call_ms": engine_sql_ms,
+        "ansi_host_sql_ratio": round(
+            ansi_host_sql_ms / max(engine_sql_ms, 0.001), 2),
         "sqlbench_rows": 5_000_000,
         "sqlbench_total_sec": round(sum(sqlbench_timings.values()), 3),
         "sqlbench": sqlbench_timings,
@@ -477,10 +507,49 @@ def main() -> int:
         "scan_count_rows_per_sec_core", "scan_sum_rows_per_sec_core",
         "seg_count_rows_per_sec_core", "seg_sum_rows_per_sec_core",
         "skew_join_sec", "skew_join_no_aqe_sec", "skew_join_aqe_split",
+        "control_seg_sum_first_rps_core", "control_seg_sum_last_rps_core",
+        "control_drift_pct", "ansi_host_sql_call_ms", "ansi_host_sql_ratio",
         "sqlbench_total_sec", "sf1_total_sec", "sf10_total_sec")}
     compact["detail_file"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     return 0
+
+
+def _seg_table(spark, cat, sf_dir: str, cpus: int, lineitem_rows: int):
+    """Steady-state segment-scan table: the whitepaper's scan numbers are
+    over mmap'd LZ4 float segments (druid.tex:880-882), so the comparable
+    here is this engine's own storage layout — a time-partitioned parquet
+    table (year buckets, the ingest sink's format) resident in the OS page
+    cache, scanned by the vectorized parquet reader with every core busy.
+    The table is lineitem replicated to ~200M rows with the metric
+    jittered to distinct float32 values (PLAIN-encoded — replication would
+    otherwise leave an RLE/dictionary column that scans unrealistically
+    fast).  The interval predicate lands on the partition column, so
+    pruning replaces per-row time comparisons — exactly how the engine
+    executes interval scans at 100 TB.  Built once, reused across runs."""
+    from pyspark.sql import functions as F
+    rep = max(1, (200_000_000 // max(lineitem_rows, 1)))
+    seg_path = (f"/tmp/spark_graft_bench_segments_v2_sf"
+                f"{sf_dir.rstrip('/').split('sf')[-1]}_{rep}")
+    if not os.path.exists(os.path.join(seg_path, "_SUCCESS")):
+        slim = cat.table("lineitem").select(
+            "__time", F.col("l_extendedprice").cast("float").alias("m"))
+        # range-partition on (bucket, time) so each writer task lands in one
+        # year dir → ~cpus files of ~30 MB: one scan wave with every core on
+        # its own file (tiny files pay per-file open cost; one big file per
+        # bucket serializes on 128 MB row-group granularity)
+        (slim.repartition(cpus)
+             .withColumn("__r", F.explode(F.sequence(F.lit(1), F.lit(rep))))
+             .withColumn("m", (F.col("m") + F.col("__r") * F.lit(0.0017)).cast("float"))
+             .drop("__r")
+             .withColumn("__bucket", F.date_trunc("year", F.col("__time")))
+             .repartitionByRange(cpus, F.col("__bucket"), F.col("__time"))
+             .write.mode("overwrite").option("compression", "uncompressed")
+             .partitionBy("__bucket").parquet(seg_path))
+    seg = spark.read.parquet(seg_path)
+    seg_f = seg.filter((F.col("__bucket") >= "1995-01-01")
+                       & (F.col("__bucket") < "2002-01-01"))
+    return seg_path, seg_f, seg_f.count()
 
 
 def _build_sf1(spark, src_dir: str, dst_dir: str) -> None:

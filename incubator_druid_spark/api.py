@@ -162,10 +162,11 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
         from incubator_druid_spark.sql.functions import \
             set_sql_current_timestamp
         # render the pinned instant in the zone the query will execute
-        # under (sqlTimeZone, else the session zone) so the naive literal
-        # re-reads as the same instant — PlannerContext.java localNow
-        eff_tz = ctx.get("sqlTimeZone") or \
-            spark.conf.get("spark.sql.session.timeZone")
+        # under (sqlTimeZone, else the dialect's UTC default — NOT the
+        # host session zone; druid_sql pins the execution session) so the
+        # naive literal re-reads as the same instant —
+        # PlannerContext.java localNow
+        eff_tz = ctx.get("sqlTimeZone") or "UTC"
         set_sql_current_timestamp(ctx["sqlCurrentTimestamp"], eff_tz)
         try:
             body2 = dict(body)
@@ -174,25 +175,12 @@ def sql_query(body: dict, spark: SparkSession, catalog: Catalog) -> str | list:
             return sql_query(body2, spark, catalog)
         finally:
             set_sql_current_timestamp(None)
-    tz = ctx.get("sqlTimeZone")
-    if tz:
-        # sqlTimeZone (PlannerContext.CTX_SQL_TIME_ZONE): FLOOR-to-unit /
-        # EXTRACT / result rendering interpret timestamps in this zone —
-        # Spark's session timezone is the same knob.
-        prev = spark.conf.get("spark.sql.session.timeZone")
-        spark.conf.set("spark.sql.session.timeZone", tz)
-        try:
-            df = druid_sql(spark, sql, catalog)
-            if ctx.get("requireTimeCondition"):
-                _require_time_condition(df)
-            if outer_limit is not None:
-                df = df.limit(int(outer_limit))
-            formatted = _collect_formatted(df, body, ctx)  # under the tz
-        finally:
-            spark.conf.set("spark.sql.session.timeZone", prev)
-        return formatted
-
-    df = druid_sql(spark, sql, catalog)
+    # sqlTimeZone (PlannerContext.CTX_SQL_TIME_ZONE): FLOOR-to-unit /
+    # EXTRACT / result rendering interpret timestamps in this zone —
+    # druid_sql pins the EXECUTION session's timezone to it (default UTC)
+    # so the host session is never mutated, and the returned DataFrame is
+    # bound to that session: collect/toPandas render under the same zone.
+    df = druid_sql(spark, sql, catalog, ctx.get("sqlTimeZone"))
     if ctx.get("requireTimeCondition"):
         _require_time_condition(df)
     if outer_limit is not None:

@@ -81,12 +81,25 @@ class Catalog:
         registrations on the parent are visible), but session-local
         DataFrame/schema caches since DataFrames bind to their session.
         Used by the SQL layer to execute the Druid dialect in a non-ANSI
-        session clone while the host session stays untouched."""
-        view = Catalog(spark)
-        view._specs = self._specs
-        view._lookups = self._lookups
-        view._serial = self._serial
-        view._parent = getattr(self, "_parent", None) or self
+        session clone while the host session stays untouched.
+
+        Memoized per target session (on the parent): druid_sql calls this
+        once per query, and a fresh view object per call would start with
+        cold DataFrame/schema caches — re-resolving every table's reader
+        footer (~90 ms each) on every query."""
+        parent = getattr(self, "_parent", None) or self
+        cache = getattr(parent, "_session_views", None)
+        if cache is None:
+            import weakref
+            cache = parent._session_views = weakref.WeakKeyDictionary()
+        view = cache.get(spark)
+        if view is None:
+            view = Catalog(spark)
+            view._specs = self._specs
+            view._lookups = self._lookups
+            view._serial = self._serial
+            view._parent = parent
+            cache[spark] = view
         return view
 
     # -- datasources -------------------------------------------------------

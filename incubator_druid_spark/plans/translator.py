@@ -246,6 +246,18 @@ def translate(query: dict, spark: SparkSession, catalog: Catalog) -> DataFrame:
         raise ValueError("'select' query was removed in Druid 0.17; use 'scan'")
     if qt not in dispatch:
         raise ValueError(f"unknown queryType {qt!r}")
+    # Native Druid queries compute in UTC unless a granularity carries its
+    # own timeZone (Granularities.nullToUtc — the server's machine zone is
+    # never consulted).  A host session on a non-UTC zone would leak into
+    # date_trunc floors, string→timestamp casts and toPandas rendering, so
+    # execute under a UTC-pinned session clone (cached per host; the
+    # engine's own sessions and the driver's are UTC already → no clone).
+    # ANSI-on UTC hosts stay on the host session: the operator tree is
+    # ANSI-independent by construction (lenient try_* routes).
+    from incubator_druid_spark.sql.functions import _exec_session, _UTC_ALIASES
+    if spark.conf.get("spark.sql.session.timeZone") not in _UTC_ALIASES:
+        spark = _exec_session(spark, "UTC")
+        catalog = catalog.for_session(spark)
     from incubator_druid_spark.functions.lookups import clear_lookup_joins
     clear_lookup_joins()  # drop leftovers from any abandoned prior compile
     from incubator_druid_spark.plans import cache

@@ -4,12 +4,20 @@ Runs every ``queries()`` entry at sf0.01 and compares against ``oracle_sql()``
 via DuckDB: row count, column-name set, and order-insensitive value comparison
 (sorted columns, sorted rows).
 Usage:  python scripts/check_correctness.py [sf_dir] [--only name1,name2]
-                                            [--ansi]
+                                            [--ansi] [--bare] [--case]
+                                            [--tz ZONE] [--hostile]
 
-``--ansi`` runs the board the way the DRIVER does: a host-owned session with
-``spark.sql.ansi.enabled=true`` (the PySpark 4 default) that the engine did
-NOT create.  The engine must be correct under the session it is given —
-every semantics-bearing cast/division/parse has to go through try_* routes.
+Host modes — the engine must be correct under ANY session it is given:
+  --ansi     the DRIVER's session: ansi.enabled=true, timezone pinned UTC.
+  --bare     a vanilla PySpark-4 host: ANSI on, NO pinned timezone (the
+             first session a real embedding user hands us — r7 VERDICT
+             crack #1 crashed here).
+  --case     spark.sql.caseSensitive=true on top of the driver session.
+  --tz ZONE  a non-UTC host zone (e.g. America/Los_Angeles); Druid
+             semantics stay UTC, so results must not shift.
+  --hostile  the whole matrix: ansi, bare, case, tz:America/Los_Angeles —
+             one session, confs flipped between boards (all four are
+             runtime confs).
 """
 
 from __future__ import annotations
@@ -40,6 +48,45 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+# Conf deltas per hostile mode, applied to one shared host session between
+# boards (all runtime-settable).  None = unset (fall back to the JVM zone).
+HOSTILE_MODES = {
+    "ansi": {"spark.sql.ansi.enabled": "true",
+             "spark.sql.session.timeZone": "UTC"},
+    "bare": {"spark.sql.ansi.enabled": "true",
+             "spark.sql.session.timeZone": None},
+    "case": {"spark.sql.ansi.enabled": "true",
+             "spark.sql.session.timeZone": "UTC",
+             "spark.sql.caseSensitive": "true"},
+    "tz":   {"spark.sql.ansi.enabled": "true",
+             "spark.sql.session.timeZone": "America/Los_Angeles"},
+}
+
+
+def _hostile_session():
+    """A session the engine did NOT create, PySpark-4 defaults (ANSI on)."""
+    from pyspark.sql import SparkSession
+    cpus = os.environ["SPARK_GRAFT_CPUS"]
+    return (SparkSession.builder.appName("hostile-host")
+            .master(f"local[{cpus}]")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .getOrCreate())
+
+
+def _apply_mode(spark, mode: str, tz: str | None = None):
+    deltas = dict(HOSTILE_MODES[mode])
+    if mode == "tz" and tz:
+        deltas["spark.sql.session.timeZone"] = tz
+    # reset the knobs other modes may have touched
+    defaults = {"spark.sql.caseSensitive": "false"}
+    for k, v in {**defaults, **deltas}.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 def main() -> int:
     args = sys.argv[1:]
     only: set[str] | None = None
@@ -47,24 +94,26 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
-    ansi = "--ansi" in args
-    if ansi:
-        args.remove("--ansi")
+    modes: list[str] = []
+    for flag in ("--ansi", "--bare", "--case"):
+        if flag in args:
+            modes.append(flag[2:])
+            args.remove(flag)
+    tz_zone = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz_zone = args[i + 1]
+        modes.append("tz")
+        args = args[:i] + args[i + 2:]
+    if "--hostile" in args:
+        args.remove("--hostile")
+        modes = ["ansi", "bare", "case", "tz"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     import __spark_entry__ as entrymod
 
-    if ansi:
-        # Emulate the driver: a session the engine did not create, with the
-        # PySpark-4 defaults (ANSI on).  Timezone stays UTC like the driver's.
-        from pyspark.sql import SparkSession
-        cpus = os.environ["SPARK_GRAFT_CPUS"]
-        spark = (SparkSession.builder.appName("hostile-host")
-                 .master(f"local[{cpus}]")
-                 .config("spark.sql.ansi.enabled", "true")
-                 .config("spark.sql.session.timeZone", "UTC")
-                 .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-                 .getOrCreate())
+    if modes:
+        spark = _hostile_session()
     else:
         from incubator_druid_spark import get_spark
         spark = get_spark()
@@ -76,6 +125,19 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    total_fail = 0
+    for mode in (modes or [None]):
+        if mode is not None:
+            _apply_mode(spark, mode, tz_zone)
+            print(f"=== host mode: {mode} "
+                  f"(tz={spark.conf.get('spark.sql.session.timeZone')}, "
+                  f"caseSensitive="
+                  f"{spark.conf.get('spark.sql.caseSensitive')}) ===")
+        total_fail += run_board(spark, con, entrymod, sf_dir, only)
+    return 1 if total_fail else 0
+
+
+def run_board(spark, con, entrymod, sf_dir, only) -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
@@ -143,7 +205,7 @@ def main() -> int:
                 print(merged.head(5))
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
-    return 1 if n_fail else 0
+    return n_fail
 
 
 if __name__ == "__main__":
