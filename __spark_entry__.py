@@ -1006,7 +1006,11 @@ def _theta_sketch_column_estimate(spark, sf):
     import tempfile
 
     ev = _cat(spark, sf).table("events")
-    keyed = (ev.withColumn("day", F.to_date("__time"))
+    # UTC day via epoch arithmetic — to_date() reads the SESSION zone and
+    # would group into shifted days on a non-UTC host session
+    utc_day = F.date_from_unix_date(
+        F.floor(F.unix_millis(F.col("__time")) / 86_400_000).cast("int"))
+    keyed = (ev.withColumn("day", utc_day)
                .groupBy("event_type", "day")
                .agg(F.sort_array(F.collect_set(F.col("user_id").cast("string")))
                      .alias("ks")))
@@ -1019,9 +1023,13 @@ def _theta_sketch_column_estimate(spark, sf):
             sk.update(v)
         seg_rows.append((r["event_type"], r["day"],
                          bytearray(sk.compact().toByteArray())))
+    # date→timestamp via epoch days (CAST reads the session zone; the
+    # fixture must carry UTC midnights on any host)
+    _day_ts = F.timestamp_millis(
+        F.unix_date(F.col("day")).cast("long") * 86_400_000)
     seg = (spark.createDataFrame(seg_rows,
                                  "event_type string, day date, tsk binary")
-                .withColumn("__time", F.col("day").cast("timestamp")))
+                .withColumn("__time", _day_ts))
     path = tempfile.mkdtemp(prefix="theta_seg_") + "/seg.parquet"
     seg.write.mode("overwrite").parquet(path)
     cat = Catalog(spark)
@@ -1031,7 +1039,8 @@ def _theta_sketch_column_estimate(spark, sf):
          "aggregations": [{"type": "sketchMerge", "name": "users",
                            "fieldName": "tsk"}]}
     out = translate(q, spark, cat)
-    return out.withColumn("day", F.col("day").cast("timestamp"))
+    return out.withColumn("day", F.timestamp_millis(
+        F.unix_date(F.col("day")).cast("long") * 86_400_000))
 
 
 def _ngram_jaccard_pairs(spark, sf):
@@ -1698,7 +1707,10 @@ def _schema_evolution_sum(spark, sf):
     cat = _cat(spark, sf)
     ev = cat.table("events").select("__time", "event_type", "value",
                                     "user_id")
-    split = "2024-01-15"
+    # epoch boundary as an explicit UTC instant — a bare '2024-01-15'
+    # string literal casts to timestamp in the SESSION zone and would
+    # shift the epoch split by the host offset on a non-UTC host
+    split = F.timestamp_millis(F.lit(1_705_276_800_000))  # 2024-01-15T00Z
     base = os.path.join(tempfile.gettempdir(),
                         f"spark_graft_evo_{abs(hash(sf)) % 10**8}")
     e1 = ev.filter(F.col("__time") < split) \

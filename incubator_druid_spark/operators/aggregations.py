@@ -425,6 +425,11 @@ def _ah_getquantiles_finalize(fractions: list[float]):
     result clamps at max."""
     from pyspark.sql import types as T
 
+    for q in fractions:
+        if not (0.0 < float(q) < 1.0):
+            # ApproximateHistogram.java:1530 Preconditions.checkArgument
+            raise ValueError(
+                "quantile probabilities must be strictly between 0 and 1")
     single = len(fractions) == 1
     rt = T.DoubleType() if single else T.ArrayType(T.DoubleType())
 
@@ -450,8 +455,15 @@ def _ah_getquantiles_finalize(fractions: list[float]):
             c = -2.0 * d
             a = wts[i] - wts[i - 1]
             b = 2.0 * wts[i - 1]
-            z = (-c / b) if a == 0 else \
-                (-b + (b * b - 4.0 * a * c) ** 0.5) / (2.0 * a)
+            if a == 0:
+                # Java double division when two adjacent bins are both
+                # empty (b == 0): 0/0 → NaN, +x/0 → +Inf — either way
+                # `(float) uj < max` is false and the max clamp applies;
+                # Python's `/` would raise ZeroDivisionError instead
+                z = (-c / b) if b != 0 else (
+                    float("nan") if c == 0 else float("inf"))
+            else:
+                z = (-b + (b * b - 4.0 * a * c) ** 0.5) / (2.0 * a)
             uj = pos[i - 1] + (pos[i] - pos[i - 1]) * z
             return uj if uj < mx else mx
 
@@ -1094,13 +1106,21 @@ def _agg_column(t: str, spec: dict, ctx) -> Column:
             F.count(F.when(counted, 1)).alias("count"),
             # clip updates min/max with the CLIPPED value (the limit
             # itself — testOutlierClip expects min=lower, max=upper);
-            # ignore/overflow track in-range values only
-            F.max(F.when(counted,
-                         F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
-                         if mode == "clip" else x)).alias("max"),
-            F.min(F.when(counted,
-                         F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
-                         if mode == "clip" else x)).alias("min"))
+            # ignore/overflow track in-range values only.  With NO counted
+            # values the reference's finalized state carries the initial
+            # -Infinity/+Infinity sentinels (FixedBucketsHistogram.java
+            # constructor: max = NEGATIVE_INFINITY, min = POSITIVE_INFINITY)
+            # — coalesce so empty histograms compare equal to it.
+            F.coalesce(
+                F.max(F.when(counted,
+                             F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
+                             if mode == "clip" else x)),
+                F.lit(float("-inf"))).alias("max"),
+            F.coalesce(
+                F.min(F.when(counted,
+                             F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
+                             if mode == "clip" else x)),
+                F.lit(float("inf"))).alias("min"))
     if t == "__ah_quantile":
         # synthesized from quantile/quantiles post-aggs over an
         # approxHistogram agg (QuantilePostAggregator.java:74-85 →

@@ -33,8 +33,12 @@ class _BitReader:
     def read(self, n: int) -> int:
         v = 0
         for i in range(n):
-            byte = self.data[self.pos >> 3]
-            v |= ((byte >> (self.pos & 7)) & 1) << i
+            idx = self.pos >> 3
+            if idx >= len(self.data):
+                # truncated stream: surface a clean decode error, not a
+                # raw IndexError from deep inside the entropy loop
+                raise ValueError("VP8L: bitstream truncated")
+            v |= ((self.data[idx] >> (self.pos & 7)) & 1) << i
             self.pos += 1
         return v
 
@@ -257,6 +261,12 @@ def _decode_image_stream(br: _BitReader, xsize: int, ysize: int,
             length = _lz77_value(s - 256, br)
             dist_code = g[4].read(br)
             dist = _plane_to_distance(_lz77_value(dist_code, br) - 1, xsize)
+            if dist > pos or dist < 1:
+                # a corrupt/malicious stream must fail cleanly, not read
+                # garbage via Python negative indexing
+                raise ValueError(
+                    f"VP8L: LZ77 distance {dist} exceeds decoded prefix "
+                    f"{pos}")
             for _ in range(length):
                 if pos >= n:
                     break
