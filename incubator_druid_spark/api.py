@@ -31,27 +31,46 @@ from incubator_druid_spark.catalog import Catalog, TIME_COLUMN
 from incubator_druid_spark.plans.translator import translate
 
 
-def _jsonable(v: Any) -> Any:
+def _jsonable(v: Any, tz=None) -> Any:
+    """Druid's JSON rendering: instants with exactly 3 fractional digits
+    (ISODateTimeFormat.dateTime), suffixed 'Z' in UTC or with the query
+    timezone's offset under sqlTimeZone ('1999-12-31T16:00:00.000-08:00'
+    — SqlResourceTest testTimestampsInResponseLosAngelesTimeZone); DATEs
+    as the midnight instant of that calendar day in the query zone."""
     import datetime
 
     if isinstance(v, datetime.datetime):
-        return v.isoformat() + ("Z" if v.tzinfo is None else "")
+        if tz is not None:
+            # collect() returns naive machine-local wall time; pin the
+            # instant explicitly, then render in the query zone
+            aware = v.astimezone() if v.tzinfo is None else v
+            s = aware.astimezone(tz).isoformat(timespec="milliseconds")
+            return s[:-6] + "Z" if s.endswith("+00:00") else s
+        return v.isoformat(timespec="milliseconds") \
+            + ("Z" if v.tzinfo is None else "")
+    if isinstance(v, datetime.date):
+        if tz is None:
+            return v.isoformat()
+        s = datetime.datetime.combine(v, datetime.time(), tzinfo=tz) \
+            .isoformat(timespec="milliseconds")
+        return s[:-6] + "Z" if s.endswith("+00:00") else s
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None
     if isinstance(v, list):
-        return [_jsonable(x) for x in v]
+        return [_jsonable(x, tz) for x in v]
     if isinstance(v, dict):
-        return {k: _jsonable(x) for k, x in v.items()}
+        return {k: _jsonable(x, tz) for k, x in v.items()}
     return v
 
 
-def _rows(df: DataFrame, limit: int | None = None) -> list[dict]:
+def _rows(df: DataFrame, limit: int | None = None, tz=None) -> list[dict]:
     it = df.toLocalIterator() if limit is None else iter(df.limit(limit).collect())
     out = []
     for r in it:
-        out.append({k: _jsonable(v) for k, v in r.asDict(recursive=True).items()})
+        out.append({k: _jsonable(v, tz)
+                    for k, v in r.asDict(recursive=True).items()})
     return out
 
 
@@ -61,13 +80,13 @@ class QueryTimeoutError(TimeoutError):
     Spark job group is cancelled, interrupting running tasks)."""
 
 
-def _rows_timed(df: DataFrame, timeout_ms) -> list[dict]:
+def _rows_timed(df: DataFrame, timeout_ms, tz=None) -> list[dict]:
     """Collect with an optional wall-clock budget.  The collect runs in a
     worker thread under a dedicated Spark job group (a thread-local property,
     so it must be set inside that thread); on expiry the group is cancelled —
     executors interrupt the tasks — and QueryTimeoutError surfaces."""
     if not timeout_ms:
-        return _rows(df)
+        return _rows(df, tz=tz)
     import threading
     import uuid
 
@@ -80,7 +99,7 @@ def _rows_timed(df: DataFrame, timeout_ms) -> list[dict]:
         sc.setJobGroup(group, "query with context.timeout",
                        interruptOnCancel=True)
         try:
-            result.append(_rows(df))
+            result.append(_rows(df, tz=tz))
         except Exception as ex:  # noqa: BLE001 — re-raised on the caller thread
             error.append(ex)
         finally:
@@ -363,13 +382,17 @@ def _collect_formatted(df, body: dict, ctx: dict):
     """Collect + format; DUPLICATE output column names (two joined tables
     both exposing 'k') are collected under positional aliases so row
     dicts don't collapse them (Row.asDict keeps only the last), and the
-    original names are restored for headers/object keys."""
+    original names are restored for headers/object keys.  Timestamps and
+    dates render in the query's sqlTimeZone (default UTC → 'Z' suffix)."""
+    from zoneinfo import ZoneInfo
+    tz = ZoneInfo(ctx.get("sqlTimeZone") or "UTC")
     cols = df.columns
     if len(set(cols)) != len(cols):
         safe = [f"__c{i}" for i in range(len(cols))]
-        rows = _rows_timed(df.toDF(*safe), ctx.get("timeout"))
+        rows = _rows_timed(df.toDF(*safe), ctx.get("timeout"), tz=tz)
         return _format_sql_rows(rows, safe, body, display=cols)
-    return _format_sql_rows(_rows_timed(df, ctx.get("timeout")), cols, body)
+    return _format_sql_rows(_rows_timed(df, ctx.get("timeout"), tz=tz),
+                            cols, body)
 
 
 def _format_sql_rows(rows: list[dict], cols: list[str], body: dict,

@@ -114,12 +114,24 @@ def _unquote(s: str) -> str:
             continue
         out.append(ch)
         i += 1
-    return "".join(out)
+    joined = "".join(out)
+    # Java string semantics: '🤘' is a UTF-16 surrogate PAIR
+    # forming one code point; chr() above produced two lone surrogates,
+    # which py4j cannot UTF-8-encode — re-pair them
+    if any("\ud800" <= c <= "\udfff" for c in joined):
+        joined = joined.encode("utf-16", "surrogatepass").decode("utf-16")
+    return joined
 
 
 def _c(x) -> Column:
-    """Coerce a parse result (python literal | Column) to a Column."""
-    return x if isinstance(x, Column) else F.lit(x)
+    """Coerce a parse result (python literal | Column) to a Column.
+    Druid integers are LONG (64-bit) — F.lit on a small Python int would
+    otherwise type as 32-bit int (OutputTypeTest constants)."""
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, int) and not isinstance(x, bool):
+        return F.lit(x).cast("long")
+    return F.lit(x)
 
 
 def _as_bool(x, is_string: bool = False) -> Column:
@@ -150,6 +162,71 @@ def druid_truthy(col: Column) -> Column:
 def lit_val(x):
     """Python value of a constant arg, or None-ish passthrough for Columns."""
     return None if isinstance(x, Column) else x
+
+
+def _is_null_lit(x) -> bool:
+    """True for the Column the parser produced for the `null` keyword —
+    array LITERALS need to see it as the literal None for their typing
+    rules, not as a non-literal element."""
+    return isinstance(x, Column) and str(x) == "Column<'NULL'>"
+
+
+def _typed_array_literal(p, etype: str | None, items):
+    """Array LITERAL typing (Expr.g4 / ExprListenerImpl — ParserTest's
+    literal-array matrix).  Unlike the array() FUNCTION (coercive,
+    _array_ctor), literals are strict:
+
+    * implicit: all-null/empty → STRING; first non-null sets the type;
+      a non-string under STRING, or a string under numeric, is a parse
+      ERROR (the reference's RE messages reproduced);
+      mixed long/double → DOUBLE.
+    * explicit <LONG>/<DOUBLE>: numeric-or-null only, coerced; a string
+      element is an error.  <STRING>: any literal, rendered as text.
+    """
+    vals = [None if _is_null_lit(x) else x for x in items]
+    if etype is None:
+        first = next((v for v in vals if v is not None), None)
+        if first is None:
+            etype = "STRING"
+        elif isinstance(first, str):
+            for v in vals:
+                if v is not None and not isinstance(v, str):
+                    raise ValueError(
+                        f"Failed to parse array: element {_render(v)} "
+                        f"is not a string")
+            etype = "STRING"
+        else:
+            bad = next((v for v in vals if isinstance(v, str)), None)
+            kind = ("double" if any(isinstance(v, float) for v in vals
+                                    if not isinstance(v, str)) else "long")
+            if bad is not None:
+                raise ValueError(
+                    f"Failed to parse array element '{bad}' as a {kind}")
+            etype = "DOUBLE" if kind == "double" else "LONG"
+    conv: list = []
+    for v in vals:
+        if v is None:
+            conv.append(None)
+        elif etype == "STRING":
+            conv.append(v if isinstance(v, str) else _render(v))
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            conv.append(int(v) if etype == "LONG" else float(v))
+        else:
+            raise ValueError(
+                f"Failed to parse array element '{v}' as a {etype.lower()}")
+    elem = {"STRING": "string", "LONG": "long", "DOUBLE": "double"}[etype]
+    out = F.array(*[F.lit(v) for v in conv]).cast(f"array<{elem}>")
+    p.tag_array(out)
+    if etype == "STRING":
+        p.tag_string_elems(out)
+    return out
+
+
+def _render(v) -> str:
+    """Java toString rendering of a literal (2000 → '2000', 1.1 → '1.1')."""
+    if isinstance(v, float) and v.is_integer():
+        return f"{v:.1f}"
+    return str(v)
 
 
 def lit_str(x) -> str | None:
@@ -420,7 +497,14 @@ class _Parser:
             right = self.parse_pow()  # right-assoc
             if not isinstance(left, Column) and not isinstance(right, Column):
                 return left ** right
-            return F.pow(_c(left), _c(right))
+            res = F.pow(_c(left), _c(right))
+            if self._is_integral(left) and self._is_integral(right):
+                # BinPowExpr long path (LongMath.pow) — LONG output.  The
+                # literal/literal branch above is exact; the column route
+                # goes through double pow, so magnitudes beyond 2^53 may
+                # round (documented divergence).
+                return self.tag_integral(res.cast("long"))
+            return res
         return left
 
     def parse_unary(self):
@@ -436,6 +520,17 @@ class _Parser:
             self.next()
             return ~_as_bool(self.parse_unary())
         return self.parse_postfix()
+
+    def _parse_array_items(self):
+        """Elements of an array literal; the opening '[' is consumed."""
+        items = []
+        if self.peek()[1] != "]":
+            items.append(self.parse_or())
+            while self.peek()[1] == ",":
+                self.next()
+                items.append(self.parse_or())
+        self.expect("]")
+        return items
 
     def parse_postfix(self):
         e = self.parse_atom()
@@ -461,14 +556,32 @@ class _Parser:
             self.expect(")")
             return e
         if v == "[":
-            items = []
-            if self.peek()[1] != "]":
-                items.append(self.parse_or())
-                while self.peek()[1] == ",":
+            items = self._parse_array_items()
+            if any(isinstance(x, Column) and not _is_null_lit(x)
+                   for x in items):
+                # non-literal elements: the array() function's coercive
+                # typing applies (the grammar only produces literals here,
+                # but identifiers inside lambdas parse through this path)
+                return _array_ctor(self, *items)
+            return _typed_array_literal(self, None, items)
+        if v == "<":
+            # explicit typed array literal <LONG>[...] / <DOUBLE>[...] /
+            # <STRING>[...] (Expr.g4 explicit-array alternative;
+            # ParserTest testLiteralArraysExplicitTypes)
+            save = self.i
+            k2, tname = self.peek()
+            if k2 == "ident" and tname.upper() in ("LONG", "DOUBLE",
+                                                   "STRING"):
+                self.next()
+                if self.peek()[1] == ">":
                     self.next()
-                    items.append(self.parse_or())
-            self.expect("]")
-            return _array_ctor(self, *items)
+                    if self.peek()[1] == "[":
+                        self.next()
+                        items = self._parse_array_items()
+                        return _typed_array_literal(self, tname.upper(),
+                                                    items)
+            self.i = save
+            raise ValueError("unexpected token '<'")
         if k == "ident":
             if self.peek()[1] == "(":
                 return self._call(v)
@@ -478,6 +591,12 @@ class _Parser:
                 return True
             if v == "false":
                 return False
+            # Expr.g4 DOUBLE literal alternatives (ParserTest
+            # testParseConstants) — exact case, like the grammar
+            if v == "Infinity":
+                return float("inf")
+            if v == "NaN":
+                return float("nan")
             if v.startswith("__") and v not in ("__time",):
                 pass
             return self._ident(v)
@@ -722,6 +841,11 @@ def _registry() -> dict:
         sc = _c(s).cast("string")
         z = lit_str(tz) if tz is not None else None
         if fmt is None or lit_val(fmt) is None:
+            # joda ISO_DATE_OPTIONAL_TIME accepts a date, a bare 'T', then
+            # an offset ('2010-04-12T+09:00') — Spark's cast needs the
+            # time element spelled out
+            sc = F.regexp_replace(
+                sc, r"^(\d{4}-\d{2}-\d{2})T(?=(Z|[+-]|$))", r"$1T00:00:00")
             out = sc.try_cast("timestamp")
             if z and z != "UTC":
                 has_off = sc.rlike(
@@ -925,6 +1049,22 @@ def _registry() -> dict:
         # lenient string→double route in any session mode
         se = isinstance(arr, Column) and id(arr) in p.string_elem_ids
         return (lambda x: p.tag_string(x)) if se else (lambda x: x)
+
+    def _cartesian_map(p, lam, *arrs):
+        if not isinstance(lam, _Lambda) or not arrs:
+            raise ValueError("cartesian_map expects a lambda and ≥1 array")
+        binds = [_elem_bind(p, a) for a in arrs]
+
+        def build(prefix, i):
+            if i == len(arrs) - 1:
+                return F.transform(
+                    _c(arrs[i]),
+                    lambda v: _c(lam(*prefix, binds[i](v))))
+            return F.flatten(F.transform(
+                _c(arrs[i]),
+                lambda v: build(prefix + [binds[i](v)], i + 1)))
+
+        return build([], 0)
 
     def _hof(fname):
         # PySpark HOFs introspect the Python callable's signature, so wrap the
@@ -1214,8 +1354,16 @@ def _registry() -> dict:
         "timestamp_floor": timestamp_floor, "timestamp_ceil": timestamp_ceil,
         "timestamp_shift": timestamp_shift, "timestamp_extract": timestamp_extract,
         "timestamp_parse": timestamp_parse, "timestamp_format": timestamp_format,
-        "timestamp": timestamp_parse,
-        "unix_timestamp": _cols(F.unix_timestamp),
+        # core timestamp()/unix_timestamp() (Function.java
+        # TimestampFromEpochFunc:2807/UnixTimestampFunc:2862) return LONG
+        # millis/seconds — unlike the timestamp_parse MACRO, whose
+        # TimestampType representation this engine keeps for ergonomic
+        # downstream reads.  Seconds divide like Java long division
+        # (truncation toward zero).
+        "timestamp": lambda p, *a: F.unix_millis(_c(timestamp_parse(p, *a))),
+        "unix_timestamp": lambda p, *a: (
+            F.unix_millis(_c(timestamp_parse(p, *a))) / F.lit(1000)
+        ).cast("long"),
         "millis_to_timestamp": _cols(lambda n: F.timestamp_millis(n.cast("long"))),
         "timestamp_to_millis": _cols(F.unix_millis),
         # -- arrays (Function.java:2918-3457)
@@ -1265,12 +1413,12 @@ def _registry() -> dict:
         # -- higher-order fns (ApplyFunction.java: map:195, filter:471, any:609, all:632, fold:350)
         "map": _map, "filter": _hof("filter"), "any": _hof("exists"),
         "all": _hof("forall"), "fold": _fold,
-        # cartesian_map((x,y) -> e, a1, a2): e over the cross product
-        # (ApplyFunction.java CartesianMapFunction) — nested transforms
-        # flattened, null arrays propagate null
-        "cartesian_map": lambda p, lam, a1, a2: F.flatten(F.transform(
-            _c(a1), lambda x: F.transform(_c(a2),
-                                          lambda y: _c(lam(x, y))))),
+        # cartesian_map((x,...) -> e, a1, ..., aN): e over the N-way cross
+        # product (ApplyFunction.java CartesianMapFunction) — nested
+        # transforms flattened a1-major, null arrays propagate null.  The
+        # lambda may declare fewer params than arrays (`() -> 1` maps every
+        # combination to the constant, like the reference).
+        "cartesian_map": _cartesian_map,
         # cartesian_fold((x,y,acc) -> e, a1, a2, init): fold over the
         # cross product (CartesianFoldFunction)
         "cartesian_fold": lambda p, lam, a1, a2, acc: F.aggregate(
