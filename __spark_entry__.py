@@ -1471,6 +1471,36 @@ def _multimodal_decode(spark, sf):
                 content.append(encode_mjpeg_avi(frames, fps=10.0))
             yield pd.DataFrame({"id": pdf["id"], "content": content})
 
+    def gen_vp8s(batches):
+        # lossy VP8 KEY frames (round 8 — pipeline/vp8.py, RFC 6386
+        # intra): first MB carries a Y2 DC level, the rest skip (DC
+        # prediction propagates the uniform luma), chroma untouched at
+        # 128 → gray.  The oracle replays the exact integer chain
+        # dequant → IWHT → IDCT → BT.601, so the boolean decoder, token
+        # trees, quantizer tables and both transforms are on the hash
+        # path end-to-end.
+        import pandas as pd
+
+        from incubator_druid_spark.pipeline import vp8 as V8
+        for pdf in batches:
+            content = []
+            for d in pdf["id"]:
+                d = int(d)
+                w = 16 * (1 + d % 2)
+                level = 1 + d % 20
+                mbs = [{"ymode": V8.DC_PRED, "uvmode": V8.DC_PRED,
+                        "skip": False, "y2": [level] + [0] * 15}]
+                mbs += [{"ymode": V8.DC_PRED, "uvmode": V8.DC_PRED,
+                         "skip": True}] * (w // 16 - 1)
+                frame = V8.encode_vp8_keyframe(w, 16, mbs, y_ac_qi=4)
+                chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+                if len(frame) & 1:
+                    chunk += b"\x00"
+                content.append(b"RIFF"
+                               + (4 + len(chunk)).to_bytes(4, "little")
+                               + b"WEBP" + chunk)
+            yield pd.DataFrame({"id": pdf["id"], "content": content})
+
     img_src = ids.mapInPandas(gen_images, schema="id long, content binary")
     wav_src = ids.mapInPandas(gen_wavs, schema="id long, content binary")
     jpg_src = ids.mapInPandas(gen_jpegs, schema="id long, content binary")
@@ -1479,6 +1509,15 @@ def _multimodal_decode(spark, sf):
     pjp_src = ids.mapInPandas(gen_pjpegs, schema="id long, content binary")
     flac_src = ids.mapInPandas(gen_flacs, schema="id long, content binary")
     avi_src = ids.mapInPandas(gen_avis, schema="id long, content binary")
+    vp8_src = ids.mapInPandas(gen_vp8s, schema="id long, content binary")
+    vp8 = (decode_image_features(vp8_src, fake=False)
+           .select("id",
+                   F.col("width").cast("long").alias("vp8_w"),
+                   F.col("height").cast("long").alias("vp8_h"),
+                   F.round(F.element_at("feat", 1) * 255).cast("long")
+                    .alias("vp8_gray"),
+                   F.round(F.element_at("feat", 4) * 1000).cast("long")
+                    .alias("vp8_std_x1000")))
     from incubator_druid_spark.pipeline.multimodal import sample_video_frames
     avi = (sample_video_frames(avi_src, every_n=1, max_frames=1,
                                fake=False)
@@ -1549,7 +1588,7 @@ def _multimodal_decode(spark, sf):
                    F.round(F.col("loudness") * 32768).cast("long").alias("amp")))
     return (img.join(wav, "id").join(jpg, "id").join(png, "id")
                .join(gif, "id").join(pjp, "id").join(flac, "id")
-               .join(avi, "id")
+               .join(avi, "id").join(vp8, "id")
                .withColumnRenamed("id", "doc_id")
                .orderBy("doc_id"))
 
@@ -2590,7 +2629,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16000 AS BIGINT) AS flac_sample_rate,
                    CAST((doc_id * 577) % 32768 AS BIGINT) AS flac_amp,
                    CAST(0 AS BIGINT) AS avi_frame_idx,
-                   CAST((doc_id * 41 + 7) % 256 AS BIGINT) AS avi_gray
+                   CAST((doc_id * 41 + 7) % 256 AS BIGINT) AS avi_gray,
+                   CAST(16 * (1 + doc_id % 2) AS BIGINT) AS vp8_w,
+                   CAST(16 AS BIGINT) AS vp8_h,
+                   -- exact VP8 integer chain: level → ×y2dc(16) → IWHT
+                   -- ((x+3)>>3) → IDCT ((dc+4)>>3) → Y=128+δ → BT.601
+                   -- gray round(1.164·(Y−16)) (chroma stays 128)
+                   CAST(round(1.164 * (128
+                        + (((16 * (1 + doc_id % 20) + 3) // 8) + 4) // 8
+                        - 16)) AS BIGINT) AS vp8_gray,
+                   CAST(0 AS BIGINT) AS vp8_std_x1000
             FROM documents WHERE doc_id < 48 ORDER BY doc_id
         """,
         # same containment-oracle shape as ann_ivf_topk: the emitted frame

@@ -178,18 +178,18 @@ def _decode_image(data: bytes):
         from incubator_druid_spark.pipeline.gif import decode_gif
         return decode_gif(bytes(data))
     if data[:4] == b"RIFF" and bytes(data[8:12]) == b"WEBP":
-        # pure-Python VP8L (lossless) decoder (pipeline/webp.py): prefix
-        # codes, meta groups, color cache, LZ77 and all four inverse
-        # transforms; lossy VP8 raises there by name (probe tier reads
-        # its dimensions without decode)
+        # pure-Python WEBP (pipeline/webp.py): VP8L lossless (prefix
+        # codes, meta groups, color cache, LZ77, all four inverse
+        # transforms) and lossy VP8 KEY frames (pipeline/vp8.py, RFC
+        # 6386 intra — see its docstring for deblocking/table caveats)
         from incubator_druid_spark.pipeline.webp import decode_vp8l
         return decode_vp8l(bytes(data))
     head = bytes(data[:4])
     raise NotImplementedError(
         f"image codec for magic {head!r} not available in this environment "
         "(pure-Python decoders cover P6 PPM, 24-bit BMP, baseline + "
-        "progressive JPEG, PNG, GIF and lossless WEBP; lossy-VP8 WEBP and "
-        "AVIF need PIL — plug it in at this line)")
+        "progressive JPEG, PNG, GIF, lossless WEBP and lossy-VP8-keyframe "
+        "WEBP; AVIF needs PIL — plug it in at this line)")
 
 
 def _image_feature(arr, target: tuple[int, int]) -> tuple[list[float], int, int]:

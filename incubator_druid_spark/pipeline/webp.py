@@ -460,10 +460,10 @@ def decode_vp8l(data: bytes):
             payload = body
             break
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 decode not available in this environment "
-                "(pure-Python VP8L lossless decode is; the probe tier "
-                "reads VP8 dimensions without decode)")
+            # lossy VP8 KEY FRAME (RFC 6386 intra) — pipeline/vp8.py;
+            # see its module docstring for the deblocking/table caveats
+            from incubator_druid_spark.pipeline.vp8 import decode_vp8
+            return decode_vp8(body)
         pos += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("no VP8L chunk in WEBP container")

@@ -107,11 +107,23 @@ def test_color_cache_hit():
     assert out[0, 1].tolist() == [7, 10, 200]
 
 
-def test_lossy_vp8_refuses_by_name():
+def test_lossy_vp8_dispatches_to_keyframe_decoder():
+    """Round 8: a 'VP8 ' chunk routes to the RFC 6386 intra decoder
+    (pipeline/vp8.py) instead of the former named refusal; an EMPTY
+    chunk fails cleanly as a truncated frame."""
     data = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
             + b"VP8 " + (0).to_bytes(4, "little"))
-    with pytest.raises(NotImplementedError, match="VP8"):
+    with pytest.raises(ValueError, match="truncated"):
         W.decode_vp8l(data)
+    import incubator_druid_spark.pipeline.vp8 as V
+    frame = V.encode_vp8_keyframe(
+        16, 16, [{"ymode": V.DC_PRED, "uvmode": V.DC_PRED, "skip": True}])
+    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    riff = (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP"
+            + chunk)
+    assert W.decode_vp8l(riff).shape == (16, 16, 3)
 
 
 def test_multimodal_dispatch(spark):
