@@ -1,14 +1,12 @@
 """Pure-Python VP8 (lossy WebP) KEY-FRAME intra decoder — RFC 6386.
 
 Scope (the intra-only subset the r7 judge prescribed): key frames,
-profile/version 0-3, segmentation + per-segment quantizers, all intra
-prediction modes (16x16 DC/V/H/TM, full 4x4 B_PRED set, chroma 8x8),
-boolean arithmetic decoding, coefficient token trees with probability
-updates, the exact integer inverse DCT/WHT, and reconstruction to
-RGB (BT.601).  Inter frames raise.  The in-loop deblocking filter is
-parsed but NOT applied (documented divergence: it is a smoothing
-post-pass; pixel-exactness against libwebp holds only for streams with
-filter_level 0, which the hand-crafted vectors use).
+profile/version 0-3, segmentation + per-segment quantizers and filter
+levels, all intra prediction modes (16x16 DC/V/H/TM, full 4x4 B_PRED
+set, chroma 8x8), boolean arithmetic decoding, coefficient token trees
+with probability updates, the exact integer inverse DCT/WHT, BOTH
+in-loop deblocking filters (§15 normal with hev/mb-edge taps, simple),
+and reconstruction to RGB (BT.601).  Inter frames raise.
 
 Provenance note: the algorithms follow RFC 6386's normative decoder
 (sections 7-14); the static probability/quantizer tables below are
@@ -681,6 +679,7 @@ def decode_vp8(data: bytes):
     seg_enabled = bd.get_bool(128)
     seg_abs = False
     seg_quant = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
     seg_tree_probs = [255, 255, 255]
     seg_update_map = False
     if seg_enabled:
@@ -691,22 +690,28 @@ def decode_vp8(data: bytes):
             for i in range(4):
                 if bd.get_bool(128):
                     seg_quant[i] = bd.get_signed(7)
-            for _ in range(4):  # per-segment loop-filter levels (unused)
+            for i in range(4):  # per-segment loop-filter levels
                 if bd.get_bool(128):
-                    bd.get_signed(6)
+                    seg_lf[i] = bd.get_signed(6)
         if seg_update_map:
             for i in range(3):
                 if bd.get_bool(128):
                     seg_tree_probs[i] = bd.get_literal(8)
 
-    bd.get_bool(128)      # filter_type
-    bd.get_literal(6)     # loop_filter_level (deblocking not applied)
-    bd.get_literal(3)     # sharpness
-    if bd.get_bool(128):  # loop_filter_adj_enable
+    filter_type = bd.get_bool(128)      # 0 = normal, 1 = simple
+    filter_level = bd.get_literal(6)
+    sharpness = bd.get_literal(3)
+    ref_lf_deltas = [0, 0, 0, 0]
+    mode_lf_deltas = [0, 0, 0, 0]
+    lf_adj = bd.get_bool(128)
+    if lf_adj:
         if bd.get_bool(128):
-            for _ in range(8):
+            for i in range(4):
                 if bd.get_bool(128):
-                    bd.get_signed(6)
+                    ref_lf_deltas[i] = bd.get_signed(6)
+            for i in range(4):
+                if bd.get_bool(128):
+                    mode_lf_deltas[i] = bd.get_signed(6)
 
     nparts = 1 << bd.get_literal(2)
     quant = _parse_quant(bd)
@@ -776,6 +781,7 @@ def decode_vp8(data: bytes):
 
     derived_b = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED,
                  H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}
+    mb_info: list = []  # (seg_id, skip, ymode) per MB for the loop filter
 
     for mby in range(mb_h):
         bdt = parts[mby % nparts]
@@ -815,6 +821,7 @@ def decode_vp8(data: bytes):
             a_bmodes[mbx] = bmodes[12:16]
             l_bmodes = [bmodes[3], bmodes[7], bmodes[11], bmodes[15]]
             uvmode = bd.read_tree(UV_MODE_TREE, KF_UV_MODE_PROB)
+            mb_info.append((seg_id, skip, ymode))
 
             # -- residue (token partition) --
             has_y2 = ymode != B_PRED
@@ -944,6 +951,11 @@ def decode_vp8(data: bytes):
                                 v += res[4 * r + c]
                             plane[cy0 + by + r][cx0 + bx + c] = _clamp(v)
 
+    if filter_level:
+        _loop_filter_frame(Y, U, V, mb_w, mb_h, mb_info, filter_type,
+                           filter_level, sharpness, seg_enabled, seg_abs,
+                           seg_lf, lf_adj, ref_lf_deltas, mode_lf_deltas)
+
     decode_vp8._last_planes = (Y, U, V, width, height)
 
     # -- YUV 4:2:0 → RGB (BT.601, nearest-neighbor chroma upsampling;
@@ -1025,7 +1037,8 @@ def _encode_block(be: BoolEncoder, probs_type, first_coeff: int, ctx: int,
 
 
 def encode_vp8_keyframe(width: int, height: int, mbs, y_ac_qi: int = 4,
-                        prob_skip: int = 200) -> bytes:
+                        prob_skip: int = 200, filter_level: int = 0,
+                        sharpness: int = 0, filter_type: int = 0) -> bytes:
     """Build a decodable key frame.  ``mbs`` is a raster list of per-MB
     dicts: {"ymode", "uvmode", "skip": bool, "bmodes": [16] (B_PRED),
     "y2": [16 levels], "y": [16 x [16 levels]], "u"/"v": [4 x [16]]}
@@ -1040,9 +1053,9 @@ def encode_vp8_keyframe(width: int, height: int, mbs, y_ac_qi: int = 4,
     be.put_bool(128, 0)      # color_space
     be.put_bool(128, 0)      # clamping
     be.put_bool(128, 0)      # segmentation_enabled
-    be.put_bool(128, 0)      # filter_type
-    be.put_literal(0, 6)     # loop_filter_level = 0
-    be.put_literal(0, 3)     # sharpness
+    be.put_bool(128, filter_type)
+    be.put_literal(filter_level, 6)
+    be.put_literal(sharpness, 3)
     be.put_bool(128, 0)      # loop_filter_adj_enable
     be.put_literal(0, 2)     # log2(nparts) = 0 → 1 partition
     be.put_literal(y_ac_qi, 7)
@@ -1135,3 +1148,181 @@ def encode_vp8_keyframe(width: int, height: int, mbs, y_ac_qi: int = 4,
                   width & 0xFF, (width >> 8) & 0x3F,
                   height & 0xFF, (height >> 8) & 0x3F))
     return head + part1 + tokens
+
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (RFC 6386 §15) — applied as the frame post-pass
+# (intra prediction within the frame reads UNFILTERED reconstruction; the
+# reference likewise loop-filters after the full-frame decode)
+# ---------------------------------------------------------------------------
+
+
+def _c128(x: int) -> int:
+    return -128 if x < -128 else 127 if x > 127 else x
+
+
+def _common_adjust(use_outer: int, px, i_p1, i_p0, i_q0, i_q1) -> int:
+    """§15.2 common_adjust over SIGNED values stored in px (list view);
+    returns the F1 used (feeds the subblock filter's outer-tap step)."""
+    p1, p0, q0, q1 = px[i_p1], px[i_p0], px[i_q0], px[i_q1]
+    a = _c128((_c128(p1 - q1) if use_outer else 0) + 3 * (q0 - p0))
+    f1 = _c128(a + 4) >> 3
+    f2 = _c128(a + 3) >> 3
+    px[i_q0] = _c128(q0 - f1)
+    px[i_p0] = _c128(p0 + f2)
+    return f1
+
+
+def _filter_mask(I, E, px) -> bool:
+    """§15.3 normal-filter activation over the 8-pixel window
+    px = [p3 p2 p1 p0 q0 q1 q2 q3] (signed)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = px
+    return (abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= E
+            and abs(p3 - p2) <= I and abs(p2 - p1) <= I
+            and abs(p1 - p0) <= I and abs(q1 - q0) <= I
+            and abs(q2 - q1) <= I and abs(q3 - q2) <= I)
+
+
+def _hev(thresh, px) -> bool:
+    return abs(px[2] - px[3]) > thresh or abs(px[5] - px[4]) > thresh
+
+
+def _subblock_filter(hev_t, I, E, px) -> None:
+    if not _filter_mask(I, E, px):
+        return
+    hv = _hev(hev_t, px)
+    f1 = _common_adjust(hv, px, 2, 3, 4, 5)
+    if not hv:
+        a = (f1 + 1) >> 1
+        px[5] = _c128(px[5] - a)
+        px[2] = _c128(px[2] + a)
+
+
+def _mb_filter(hev_t, I, E, px) -> None:
+    if not _filter_mask(I, E, px):
+        return
+    if _hev(hev_t, px):
+        _common_adjust(1, px, 2, 3, 4, 5)
+        return
+    p2, p1, p0, q0, q1, q2 = px[1], px[2], px[3], px[4], px[5], px[6]
+    w = _c128(_c128(p1 - q1) + 3 * (q0 - p0))
+    a = _c128((27 * w + 63) >> 7)
+    px[4] = _c128(q0 - a)
+    px[3] = _c128(p0 + a)
+    a = _c128((18 * w + 63) >> 7)
+    px[5] = _c128(q1 - a)
+    px[2] = _c128(p1 + a)
+    a = _c128((9 * w + 63) >> 7)
+    px[6] = _c128(q2 - a)
+    px[1] = _c128(p2 + a)
+
+
+def _simple_filter(E, px) -> None:
+    """§15.4 simple filter: activation on the inner taps only."""
+    if abs(px[3] - px[4]) * 2 + abs(px[2] - px[5]) // 2 <= E:
+        _common_adjust(1, px, 2, 3, 4, 5)
+
+
+def _edge_px(plane, y, x, dy, dx):
+    """Signed 8-pixel window centered on the edge between (y,x)-1step and
+    (y,x): [p3..p0, q0..q3] walking along (dy,dx)."""
+    return [plane[y + dy * k][x + dx * k] - 128 for k in range(-4, 4)]
+
+
+def _write_px(plane, y, x, dy, dx, px) -> None:
+    for k in range(-4, 4):
+        plane[y + dy * k][x + dx * k] = px[k + 4] + 128
+
+
+def _loop_filter_frame(Y, U, V, mb_w, mb_h, mb_info, filter_type,
+                       filter_level, sharpness, seg_enabled, seg_abs,
+                       seg_lf, lf_adj, ref_lf_deltas, mode_lf_deltas):
+    YH, YW = mb_h * 16, mb_w * 16
+    CH, CW = mb_h * 8, mb_w * 8
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            seg_id, skip, ymode = mb_info[mby * mb_w + mbx]
+            level = filter_level
+            if seg_enabled:
+                level = seg_lf[seg_id] if seg_abs \
+                    else filter_level + seg_lf[seg_id]
+            if lf_adj:
+                level += ref_lf_deltas[0]  # keyframe: INTRA_FRAME ref
+                if ymode == B_PRED:
+                    level += mode_lf_deltas[0]
+            level = 0 if level < 0 else 63 if level > 63 else level
+            if level == 0:
+                continue
+            # §15.1/15.2 limit derivation
+            ilim = level
+            if sharpness:
+                ilim >>= 2 if sharpness > 4 else 1
+                if ilim > 9 - sharpness:
+                    ilim = 9 - sharpness
+            if ilim < 1:
+                ilim = 1
+            hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+            mb_e = (level + 2) * 2 + ilim
+            sb_e = level * 2 + ilim
+            inner = (not skip) or ymode == B_PRED
+
+            y0, x0 = mby * 16, mbx * 16
+            cy0, cx0 = mby * 8, mbx * 8
+            if filter_type:  # simple: luma only
+                if mbx > 0:
+                    for r in range(16):
+                        px = _edge_px(Y, y0 + r, x0, 0, 1)
+                        _simple_filter(mb_e, px)
+                        _write_px(Y, y0 + r, x0, 0, 1, px)
+                if inner:
+                    for dx in (4, 8, 12):
+                        for r in range(16):
+                            px = _edge_px(Y, y0 + r, x0 + dx, 0, 1)
+                            _simple_filter(sb_e, px)
+                            _write_px(Y, y0 + r, x0 + dx, 0, 1, px)
+                if mby > 0:
+                    for c in range(16):
+                        px = _edge_px(Y, y0, x0 + c, 1, 0)
+                        _simple_filter(mb_e, px)
+                        _write_px(Y, y0, x0 + c, 1, 0, px)
+                if inner:
+                    for dy in (4, 8, 12):
+                        for c in range(16):
+                            px = _edge_px(Y, y0 + dy, x0 + c, 1, 0)
+                            _simple_filter(sb_e, px)
+                            _write_px(Y, y0 + dy, x0 + c, 1, 0, px)
+                continue
+
+            def run(plane, y, x, dy, dx, fn):
+                px = _edge_px(plane, y, x, dy, dx)
+                fn(hev_t, ilim, mb_e if fn is _mb_filter else sb_e, px)
+                _write_px(plane, y, x, dy, dx, px)
+
+            if mbx > 0:  # left MB edges
+                for r in range(16):
+                    run(Y, y0 + r, x0, 0, 1, _mb_filter)
+                for plane in (U, V):
+                    for r in range(8):
+                        run(plane, cy0 + r, cx0, 0, 1, _mb_filter)
+            if inner:    # interior vertical edges
+                for dx in (4, 8, 12):
+                    for r in range(16):
+                        run(Y, y0 + r, x0 + dx, 0, 1, _subblock_filter)
+                for plane in (U, V):
+                    for r in range(8):
+                        run(plane, cy0 + r, cx0 + 4, 0, 1,
+                            _subblock_filter)
+            if mby > 0:  # top MB edges
+                for c in range(16):
+                    run(Y, y0, x0 + c, 1, 0, _mb_filter)
+                for plane in (U, V):
+                    for c in range(8):
+                        run(plane, cy0, cx0 + c, 1, 0, _mb_filter)
+            if inner:    # interior horizontal edges
+                for dy in (4, 8, 12):
+                    for c in range(16):
+                        run(Y, y0 + dy, x0 + c, 1, 0, _subblock_filter)
+                for plane in (U, V):
+                    for c in range(8):
+                        run(plane, cy0 + 4, cx0 + c, 1, 0,
+                            _subblock_filter)

@@ -397,3 +397,80 @@ def test_truncated_raises():
     data = V.encode_vp8_keyframe(16, 16, [_flat_mb()])
     with pytest.raises(ValueError):
         V.decode_vp8(data[:8])
+
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (RFC 6386 §15)
+# ---------------------------------------------------------------------------
+
+def test_common_adjust_known_values():
+    """Hand-computed §15.2 vector: a 60|100 step → 70|90 (a=80, F=10)."""
+    px = [-68, -68, -68, -68, -28, -28, -28, -28]  # signed 60s | 100s
+    f1 = V._common_adjust(1, px, 2, 3, 4, 5)
+    assert f1 == 10
+    assert px[3] + 128 == 70 and px[4] + 128 == 90
+
+
+def test_filter_mask_blocks_busy_edges():
+    """A steep interior gradient (> interior limit) disables filtering."""
+    px = [0, 40, -40, 40, -40, 40, -40, 0]
+    assert not V._filter_mask(9, 255, px)
+    assert V._filter_mask(81, 255, [0, 0, 0, 0, 1, 1, 1, 1])
+
+
+def test_loop_filter_smooths_mb_boundary():
+    """Two flat MBs at different luma with filter_level on: the boundary
+    pixels move toward each other; far-interior pixels stay; the same
+    stream with filter_level 0 reproduces the unfiltered step."""
+    mb0 = _flat_mb(skip=False, y2=[3] + [0] * 15)    # → 129
+    mb1 = _flat_mb(skip=False, y2=[40] + [0] * 15)   # → much brighter
+    raw = V.encode_vp8_keyframe(32, 16, [mb0, mb1], y_ac_qi=4,
+                                filter_level=0)
+    Y0, *_ = V.decode_vp8_yuv(raw)
+    filt = V.encode_vp8_keyframe(32, 16, [mb0, mb1], y_ac_qi=4,
+                                 filter_level=30)
+    Y1, *_ = V.decode_vp8_yuv(filt)
+    left0, right0 = Y0[8][15], Y0[8][16]
+    left1, right1 = Y1[8][15], Y1[8][16]
+    assert right0 > left0                     # unfiltered step exists
+    assert abs(right1 - left1) < abs(right0 - left0)  # smoothed
+    assert left1 > left0 and right1 < right0  # moved toward each other
+    assert Y1[8][0] == Y0[8][0]               # far interior untouched
+    assert Y1[8][31] == Y0[8][31]
+
+
+def test_loop_filter_level_zero_is_identity():
+    mb0 = _flat_mb(skip=False, y2=[3] + [0] * 15)
+    mb1 = _flat_mb(skip=False, y2=[25] + [0] * 15)
+    a = V.decode_vp8_yuv(V.encode_vp8_keyframe(32, 16, [mb0, mb1],
+                                               filter_level=0))[0]
+    b = V.decode_vp8_yuv(V.encode_vp8_keyframe(32, 16, [mb0, mb1],
+                                               filter_level=0))[0]
+    assert a == b
+
+
+def test_simple_filter_luma_only():
+    """filter_type=1 (simple): luma boundary smoothed, chroma untouched."""
+    mb0 = _flat_mb(skip=False, y2=[3] + [0] * 15,
+                   u=[[6] + [0] * 15] * 4)
+    mb1 = _flat_mb(skip=False, y2=[40] + [0] * 15)
+    raw = V.encode_vp8_keyframe(32, 16, [mb0, mb1], y_ac_qi=4,
+                                filter_level=0)
+    Y0, U0, *_ = V.decode_vp8_yuv(raw)
+    simp = V.encode_vp8_keyframe(32, 16, [mb0, mb1], y_ac_qi=4,
+                                 filter_level=30, filter_type=1)
+    Y1, U1, *_ = V.decode_vp8_yuv(simp)
+    assert abs(Y1[8][16] - Y1[8][15]) < abs(Y0[8][16] - Y0[8][15])
+    assert U1 == U0  # simple filter never touches chroma
+
+
+def test_loop_filter_interior_skipped_mb():
+    """A skipped non-B_PRED MB gets NO interior-edge filtering (only its
+    MB edges) — craft a lone skipped MB: its interior must be identical
+    with and without the filter."""
+    mb = _flat_mb()  # skip=True
+    a = V.decode_vp8_yuv(V.encode_vp8_keyframe(16, 16, [mb],
+                                               filter_level=40))[0]
+    b = V.decode_vp8_yuv(V.encode_vp8_keyframe(16, 16, [mb],
+                                               filter_level=0))[0]
+    assert a == b  # single MB, no edges to filter, interior skipped
