@@ -102,13 +102,25 @@ class Catalog:
             cache[spark] = view
         return view
 
+    def _invalidate(self, name: str) -> None:
+        """Drop per-session caches for a (re-)registered datasource — on
+        this catalog, its parent, and every memoized session view (they
+        share _specs by reference, so their DataFrame/schema caches must
+        not outlive the spec they were resolved from)."""
+        parent = getattr(self, "_parent", None) or self
+        parent._version += 1
+        peers = [self, parent]
+        peers.extend(getattr(parent, "_session_views",
+                             {}).values())
+        for cat in peers:
+            cat._schema_cache.pop(name, None)
+            cat._df_cache.pop(name, None)
+
     # -- datasources -------------------------------------------------------
     def register(self, name: str, path: str, fmt: str = "parquet",
                  time_column: str | None = None, **options: str) -> None:
         self._specs[name] = DatasourceSpec(name, path, fmt, time_column, options)
-        self._version += 1
-        self._schema_cache.pop(name, None)
-        self._df_cache.pop(name, None)
+        self._invalidate(name)
 
     def register_dir(self, sf_dir: str) -> "Catalog":
         """Register every ``<table>.parquet`` under a testdata dir."""
@@ -123,9 +135,7 @@ class Catalog:
         path for bucketed layouts, whose bucketing metadata only survives
         through spark.table()."""
         self._specs[name] = DatasourceSpec(name, path="", fmt="managed")
-        self._version += 1
-        self._schema_cache.pop(name, None)
-        self._df_cache.pop(name, None)
+        self._invalidate(name)
 
     def table(self, name: str) -> DataFrame:
         if name not in self._specs:

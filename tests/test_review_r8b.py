@@ -154,3 +154,28 @@ def test_board_slice_case_sensitive_host(spark, hostile_case, name):
     base = _norm(fn(spark, sf).collect())
     hostile = _norm(fn(hostile_case, sf).collect())
     assert hostile == base, name
+
+
+def test_for_session_view_sees_reregistered_datasource(spark):
+    """Round-8 self-review: Catalog.for_session is memoized per target
+    session, so a RE-registered datasource (new path/schema) must
+    invalidate the memoized views' DataFrame/schema caches too."""
+    import tempfile
+
+    from incubator_druid_spark.catalog import Catalog
+    d1 = tempfile.mkdtemp(prefix="cat_v1_")
+    d2 = tempfile.mkdtemp(prefix="cat_v2_")
+    spark.createDataFrame([(1, "a")], "id long, s string") \
+        .write.mode("overwrite").parquet(d1)
+    spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string") \
+        .write.mode("overwrite").parquet(d2)
+    cat = Catalog(spark)
+    cat.register("rv8", d1)
+    clone = spark.newSession()
+    view = cat.for_session(clone)
+    assert view is cat.for_session(clone)  # memoized
+    assert view.table("rv8").count() == 1
+    _ = view.schema("rv8")
+    cat.register("rv8", d2)  # re-register on the PARENT
+    assert view.table("rv8").count() == 2
+    assert cat.version() == view.version()
