@@ -441,10 +441,6 @@ def _avg2(a, b):
 # ---------------------------------------------------------------------------
 
 
-class _Header:
-    pass
-
-
 def _parse_quant(bd: BoolDecoder) -> dict:
     q = {"y_ac_qi": bd.get_literal(7)}
     for name in ("y_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"):
