@@ -174,9 +174,11 @@ def test_select_current_time_and_date_pinned(spark, full_catalog):
     verbatim."""
     got = sql_ctx(spark, full_catalog,
                   "SELECT CURRENT_TIMESTAMP AS t, CURRENT_DATE AS d", PIN)
-    # the SQL endpoint serializes timestamps as ISO-8601 Z strings
+    # the SQL endpoint serializes instants with exactly 3 fractional
+    # digits and DATEs as the midnight instant (round 8, matching
+    # SqlResourceTest testTimestampsInResponse)
     assert [tuple(str(x) for x in r) for r in got] \
-        == [("2000-01-01T00:00:00Z", "2000-01-01")]
+        == [("2000-01-01T00:00:00.000Z", "2000-01-01T00:00:00.000Z")]
 
 
 def test_require_time_condition_positive(spark, full_catalog):
