@@ -62,6 +62,15 @@ def main() -> int:
     lineitem_rows = lineitem.count()
     events_rows = cat.table("events").count()
 
+    # Build the 200M-row segment table FIRST and sync the page cache: on a
+    # fresh box the build writes ~1.6 GB, and measuring anything while that
+    # writeback drains poisons minutes of timings (r8 observed the control
+    # reading 6× low and ts_day 10× high right after an in-run build).
+    from pyspark.sql import functions as F
+    seg_path, seg_f, big_rows = _seg_table(spark, cat, sf_dir, cpus,
+                                           lineitem_rows)
+    os.sync()
+
     # warm the Python workers + Arrow serialization path: the first pandas-UDF
     # stage otherwise pays ~2s of worker fork/import that belongs to session
     # bootstrap, not to whichever UDF query happens to run first
@@ -120,12 +129,12 @@ def main() -> int:
     # the headline suite) and again LAST (after the sf10 sweep).  If the
     # control itself drifts between the two readings, that drift is the
     # box, not the code; the judge reads the pair next to any headline
-    # delta.  The segment table is built before the suite for this reason.
-    from pyspark.sql import functions as F
-    seg_path, seg_f, big_rows = _seg_table(spark, cat, sf_dir, cpus,
-                                           lineitem_rows)
-    for _ in range(3):
-        seg_f.agg(F.sum("m")).collect()  # page-cache + codegen warm
+    # delta.  (The table itself was built and synced at the top.)
+    # 8 warm rounds like the steady-state block — the codegen'd scan loop
+    # crosses the C2 JIT threshold only after several full scans, and a
+    # half-compiled first reading would masquerade as ambient drift
+    for _ in range(8):
+        seg_f.agg(F.sum("m")).collect()
     control_first_sec = min(_timed(
         lambda: seg_f.agg(F.sum("m")).collect()) for _ in range(3))
 
@@ -248,6 +257,7 @@ def main() -> int:
             (ident % 100_000).cast("string").alias("hyper"),
         )
         gen.write.mode("overwrite").parquet(sqlbench_path)
+        os.sync()  # drain writeback before timing (see the seg-table note)
 
     from incubator_druid_spark.catalog import Catalog
     from incubator_druid_spark.sql.functions import druid_sql
@@ -477,6 +487,14 @@ def main() -> int:
                 "one exchange across differing branch filters; its higher "
                 "per-query time is the query's shape, not an engine "
                 "regression."),
+            "control": (
+                "control_seg_sum_first/last bracket the run with the same "
+                "unchanged-code scan.  A negative drift_pct is mostly JVM "
+                "LIFETIME RAMP (C2 tiering, buffer pools warm over the "
+                "~50 scans between the readings), not box noise: headline "
+                "medians run under conditions close to the FIRST reading, "
+                "so compare rounds via the first reading and treat the "
+                "last as the best-case ceiling."),
             "sf1": (
                 "sf1_* keys run the same headline suite on sf0.1 replicated "
                 "x10 (shifted keys, per-copy text/vector perturbation) to "
@@ -591,6 +609,7 @@ def _build_replica(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             df.write.mode("overwrite").parquet(dst)
     with open(os.path.join(dst_dir, "_DONE"), "w") as fh:
         fh.write("ok")
+    os.sync()  # drain writeback before the sweep that follows times queries
 
 
 if __name__ == "__main__":
