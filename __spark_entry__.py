@@ -1043,6 +1043,19 @@ def _theta_sketch_column_estimate(spark, sf):
         F.unix_date(F.col("day")).cast("long") * 86_400_000))
 
 
+def _repeated_ngram_stats(spark, sf):
+    """ExactSubstr-style repeated-span detection (pipeline/dedup.py
+    repeated_ngram_spans — the Lee et al. 2022 "dedup repeated
+    substrings" step as word-8-gram corpus spans).  The DuckDB oracle
+    replays normalization, 8-gram positions, the corpus-wide repeat
+    filter and the per-doc rollup with string_split + unnest(range) —
+    any tokenization / position / join bug breaks the exact hash."""
+    from incubator_druid_spark.pipeline.dedup import repeated_ngram_spans
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 300)
+    return repeated_ngram_spans(docs, "doc_id", "text", n=8,
+                                min_repeats=2).orderBy("doc_id")
+
+
 def _ngram_jaccard_pairs(spark, sf):
     """Exact word-3-gram Jaccard for every pair of the first 12 documents —
     the brute-force verifier behind the MinHash pipeline, fully replayable in
@@ -1837,6 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- born in round 6, gated in round 6
         "media_probe": _media_probe,
         "schema_evolution_sum": _schema_evolution_sum,
+        # --- born in round 8
+        "repeated_ngram_stats": _repeated_ngram_stats,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -1917,7 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # legacy_null_mode — all still on the full local board, green in all
 # four hostile host modes).
 _WINDOW_R8 = [
-    "multimodal_decode", "theta_sketch_column_estimate",
+    "multimodal_decode", "repeated_ngram_stats",
+    "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
     "ts_day_tz", "timewarp_ts", "sql_view_datasource",
     "sql_druid_functions", "sql_floor_to_day", "sql_grouping_sets",
@@ -1929,7 +1945,7 @@ _WINDOW_R8 = [
     "ts_hour_filtered", "gb_event_type", "gb_first_last",
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
     "scan_purchases", "scan_offset", "search_types", "topn_event_type",
-    "topn_users", "time_boundary", "tuple_keyed_stats",
+    "topn_users", "time_boundary",
     "sessionize_stats", "minhash_pairs", "dedup_exact",
     "ann_ivf_topk_indexed", "gb_having", "bloom_filtered_count",
     "theta_intersect", "hll_union_estimate",
@@ -2669,6 +2685,37 @@ def oracle_sql() -> dict[str, str]:
         # stored DoublesSketch segments are exact here (every value
         # retained), so INCLUSIVE quantiles == the order statistic at
         # ceil(q*n) — computed via window functions
+        "repeated_ngram_stats": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id < 300),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS w
+              FROM docs),
+            pos AS (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 6, 1))) AS i
+                    FROM toks),
+            grams AS (SELECT doc_id,
+                             array_to_string(w[i:i+7], ' ') AS g FROM pos),
+            rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            hits AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS repeated_starts,
+                            CAST(count(DISTINCT g) AS BIGINT)
+                                AS distinct_repeated
+                     FROM grams JOIN rep USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(tk.w) AS BIGINT) AS n_tokens,
+                   COALESCE(h.repeated_starts, 0) AS repeated_starts,
+                   COALESCE(h.distinct_repeated, 0) AS distinct_repeated
+            FROM docs d
+            JOIN toks tk USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "ngram_jaccard_pairs": r"""
             WITH docs AS (
               SELECT doc_id,

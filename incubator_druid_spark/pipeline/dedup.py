@@ -450,3 +450,54 @@ def dedup_by_groups(df: DataFrame, groups: DataFrame, id_col: str) -> DataFrame:
     text column never shuffles: the anti-join and semi-join carry only ids."""
     losers = groups.filter(F.col("id") != F.col("group_id")).select("id")
     return df.join(losers.withColumnRenamed("id", id_col), id_col, "anti")
+
+
+def repeated_ngram_spans(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 8,
+                         min_repeats: int = 2) -> DataFrame:
+    """ExactSubstr-style repeated-span detection — the suffix-array
+    "dedup repeated substrings" step of training-data pipelines (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") re-expressed Spark-first over word n-grams: every n-gram
+    occurring >= min_repeats times ACROSS THE CORPUS marks the token
+    positions it starts, and each document reports how much of it is
+    covered by corpus-repeated material.
+
+    Returns (id, n_tokens, repeated_starts, distinct_repeated) — one row
+    per input document, zeros for documents with no repeated spans.
+
+    Scale shape (100 TB): one posexplode (the canonical ×tokens row
+    multiplication every substring-dedup pays), one partially-aggregated
+    groupBy(gram) for corpus counts (map-side combine keeps the shuffle
+    at distinct-gram cardinality), one shuffle join back on the gram key
+    (boilerplate-heavy grams are exactly the AQE skew-join case — the
+    session enables it), one per-doc aggregate.  No driver-side state;
+    no Python in the plan."""
+    from incubator_druid_spark.pipeline.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")) \
+             .withColumn("__n_tokens", F.size("__toks"))
+    count = F.col("__n_tokens") - (n - 1)
+    grams = (base
+             .withColumn("__grams", F.when(count >= 1, F.transform(
+                 F.sequence(F.lit(1), count),
+                 lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
+                 .otherwise(F.array().cast("array<string>")))
+             .select("__id", F.explode("__grams").alias("__g")))
+    repeated = (grams.groupBy("__g")
+                     .agg(F.count(F.lit(1)).alias("__total"))
+                     .filter(F.col("__total") >= min_repeats)
+                     .select("__g"))
+    hits = (grams.join(repeated, "__g")
+                 .groupBy("__id")
+                 .agg(F.count(F.lit(1)).alias("repeated_starts"),
+                      F.countDistinct("__g").alias("distinct_repeated")))
+    return (base.select("__id", "__n_tokens")
+                .join(hits, "__id", "left")
+                .select(F.col("__id").alias(id_col),
+                        F.col("__n_tokens").cast("long").alias("n_tokens"),
+                        F.coalesce("repeated_starts", F.lit(0))
+                         .cast("long").alias("repeated_starts"),
+                        F.coalesce("distinct_repeated", F.lit(0))
+                         .cast("long").alias("distinct_repeated")))

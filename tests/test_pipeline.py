@@ -476,3 +476,55 @@ def test_real_codec_formats_still_raise(spark):
                                 "id long, content binary")
     with _pytest.raises(Exception, match="audio codec"):
         extract_audio_features(df2, fake=False).collect()
+
+
+def test_repeated_ngram_spans(spark):
+    """ExactSubstr-style repeated-span detection (round 8): an 8-gram
+    shared by two documents marks its start positions in both; a unique
+    document reports zeros; sub-n documents report zero grams."""
+    from incubator_druid_spark.pipeline.dedup import repeated_ngram_spans
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, shared + " alpha beta"),
+        (2, "intro words here " + shared),
+        (3, "completely unique text with no repeated spans at all ok"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repeated_ngram_spans(df, "doc_id", "text", n=8,
+                                min_repeats=2).collect()}
+    # doc1: 12 tokens → 5 8-gram starts; the 3 grams inside `shared`
+    # (10 tokens → 3 grams) also occur in doc2 → 3 repeated starts
+    assert out[1]["n_tokens"] == 12
+    assert out[1]["repeated_starts"] == 3
+    assert out[1]["distinct_repeated"] == 3
+    assert out[2]["repeated_starts"] == 3
+    assert out[3]["repeated_starts"] == 0
+    assert out[3]["distinct_repeated"] == 0
+    assert out[4]["n_tokens"] == 2 and out[4]["repeated_starts"] == 0
+
+
+def test_repeated_ngram_spans_within_doc(spark):
+    """min_repeats counts CORPUS occurrences: a doc repeating its own
+    8-gram twice crosses the threshold without any second document."""
+    from incubator_druid_spark.pipeline.dedup import repeated_ngram_spans
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(7, span + " filler " + span)], "doc_id long, text string")
+    out = repeated_ngram_spans(df, "doc_id", "text", n=8,
+                               min_repeats=2).collect()[0]
+    assert out["repeated_starts"] >= 2
+    assert out["distinct_repeated"] >= 1
+
+
+def test_repeated_ngram_spans_plan_is_aggregated(spark):
+    """Plan shape: the corpus-count groupBy is a partial→final
+    HashAggregate (map-side combine) and no Python appears."""
+    from incubator_druid_spark.pipeline.dedup import repeated_ngram_spans
+    df = spark.createDataFrame([(1, "a b c d e f g h i")],
+                               "doc_id long, text string")
+    plan = repeated_ngram_spans(df, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
