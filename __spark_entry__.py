@@ -1056,6 +1056,19 @@ def _repeated_ngram_stats(spark, sf):
                                 min_repeats=2).orderBy("doc_id")
 
 
+def _strip_repeated_stats(spark, sf):
+    """Cleaning half of ExactSubstr dedup (pipeline/dedup.py
+    strip_repeated_spans): duplicate occurrences of corpus-repeated
+    8-grams are removed, the globally-first copy survives.  The DuckDB
+    oracle replays the occurrence ranking (row_number over the gram),
+    span coverage and ordered reassembly — clean_text itself is on the
+    hash, so a single off-by-one in positions breaks it."""
+    from incubator_druid_spark.pipeline.dedup import strip_repeated_spans
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 200)
+    return strip_repeated_spans(docs, "doc_id", "text", n=8,
+                                min_repeats=2).orderBy("doc_id")
+
+
 def _ngram_jaccard_pairs(spark, sf):
     """Exact word-3-gram Jaccard for every pair of the first 12 documents —
     the brute-force verifier behind the MinHash pipeline, fully replayable in
@@ -1852,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_sum": _schema_evolution_sum,
         # --- born in round 8
         "repeated_ngram_stats": _repeated_ngram_stats,
+        "strip_repeated_stats": _strip_repeated_stats,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -2714,6 +2728,57 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d
             JOIN toks tk USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "strip_repeated_stats": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id < 200),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS w
+              FROM docs),
+            pos AS (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 6, 1))) AS i
+                    FROM toks),
+            grams AS (SELECT doc_id, i,
+                             array_to_string(w[i:i+7], ' ') AS g FROM pos),
+            ranked AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY g) AS total,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY doc_id, i) AS rk
+              FROM grams),
+            covered AS (
+              SELECT DISTINCT doc_id,
+                     unnest(range(i, i + 8)) AS tok
+              FROM ranked WHERE total >= 2 AND rk >= 2),
+            tok_rows AS (
+              SELECT doc_id,
+                     unnest(w) AS word,
+                     unnest(range(1, len(w) + 1)) AS tok
+              FROM toks),
+            kept AS (
+              SELECT tr.doc_id,
+                     string_agg(tr.word, ' ' ORDER BY tr.tok)
+                         AS clean_text,
+                     CAST(count(*) AS BIGINT) AS kept
+              FROM tok_rows tr
+              LEFT JOIN covered c
+                ON c.doc_id = tr.doc_id AND c.tok = tr.tok
+              WHERE c.tok IS NULL
+              GROUP BY tr.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(k.clean_text, '') AS clean_text,
+                   CAST(len(tk.w) AS BIGINT) AS n_tokens,
+                   CAST(len(tk.w) - COALESCE(k.kept, 0) AS BIGINT)
+                       AS removed_tokens
+            FROM docs d
+            JOIN toks tk USING (doc_id)
+            LEFT JOIN kept k ON k.doc_id = d.doc_id
             ORDER BY d.doc_id
         """,
         "ngram_jaccard_pairs": r"""

@@ -501,3 +501,71 @@ def repeated_ngram_spans(df: DataFrame, id_col: str = "doc_id",
                          .cast("long").alias("repeated_starts"),
                         F.coalesce("distinct_repeated", F.lit(0))
                          .cast("long").alias("distinct_repeated")))
+
+
+def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 8,
+                         min_repeats: int = 2) -> DataFrame:
+    """The CLEANING half of ExactSubstr dedup (Lee et al. 2022 remove
+    every duplicate of a repeated span, keeping one copy): tokens covered
+    by a NON-FIRST occurrence of a corpus-repeated word n-gram are
+    dropped from the normalized text; the globally first occurrence
+    (lowest (doc id, position)) survives.  A token covered by both a
+    kept and a duplicate span is dropped (removal wins — documented,
+    deterministic).
+
+    Returns (id, clean_text, n_tokens, removed_tokens).
+
+    Scale shape: the gram→occurrence ranking is one window over the gram
+    key (same shuffle key as the corpus count), span coverage is a
+    bounded explode (n rows per duplicate start), and reassembly is a
+    per-doc sort-aggregate — no Python, no driver state."""
+    from pyspark.sql import Window
+
+    from incubator_druid_spark.pipeline.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")) \
+             .withColumn("__n_tokens", F.size("__toks"))
+    count = F.col("__n_tokens") - (n - 1)
+    grams = (base
+             .withColumn("__grams", F.when(count >= 1, F.transform(
+                 F.sequence(F.lit(1), count),
+                 lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
+                 .otherwise(F.array().cast("array<string>")))
+             .select("__id", F.posexplode("__grams")
+                     .alias("__pos0", "__g"))
+             .withColumn("__pos", F.col("__pos0") + 1).drop("__pos0"))
+    w = Window.partitionBy("__g")
+    worder = Window.partitionBy("__g").orderBy("__id", "__pos")
+    dup_starts = (grams
+                  .withColumn("__total", F.count(F.lit(1)).over(w))
+                  .withColumn("__rk", F.row_number().over(worder))
+                  .filter((F.col("__total") >= min_repeats)
+                          & (F.col("__rk") >= 2))
+                  .select("__id", "__pos"))
+    covered = (dup_starts
+               .select("__id", F.explode(F.sequence(
+                   F.col("__pos"), F.col("__pos") + (n - 1)))
+                   .alias("__tok"))
+               .distinct())
+    tok_rows = base.select(
+        "__id", "__n_tokens",
+        F.posexplode("__toks").alias("__tok0", "__word")) \
+        .withColumn("__tok", F.col("__tok0") + 1).drop("__tok0")
+    kept = (tok_rows.join(covered, ["__id", "__tok"], "left_anti")
+            .groupBy("__id")
+            .agg(F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__tok"), F.col("__word")))),
+                    lambda s: s["__word"])).alias("clean_text"),
+                 F.count(F.lit(1)).alias("__kept")))
+    return (base.select("__id", "__n_tokens")
+                .join(kept, "__id", "left")
+                .select(F.col("__id").alias(id_col),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text"),
+                        F.col("__n_tokens").cast("long").alias("n_tokens"),
+                        (F.col("__n_tokens") - F.coalesce("__kept",
+                                                          F.lit(0)))
+                        .cast("long").alias("removed_tokens")))

@@ -528,3 +528,39 @@ def test_repeated_ngram_spans_plan_is_aggregated(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_strip_repeated_spans(spark):
+    """Cleaning variant: the SECOND occurrence of a corpus-repeated
+    8-gram is removed; the first (lowest doc id, position) survives."""
+    from incubator_druid_spark.pipeline.dedup import strip_repeated_spans
+    span = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    df = spark.createDataFrame(
+        [(1, span + " alpha beta"),
+         (2, "intro words here " + span),
+         (3, "unique text only nothing shared between documents here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           strip_repeated_spans(df, "doc_id", "text", n=8,
+                                min_repeats=2).collect()}
+    # doc1 holds the first occurrences → untouched
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["clean_text"].startswith("the quick brown fox")
+    # doc2's copy of the span is the duplicate: its 3 repeated 8-gram
+    # starts cover tokens 4..13 (the whole 10-token span) → removed
+    assert out[2]["removed_tokens"] == 10
+    assert out[2]["clean_text"] == "intro words here"
+    assert out[3]["removed_tokens"] == 0
+
+
+def test_strip_repeated_spans_self_repeat(spark):
+    """Within-document duplicate: the second copy of the span drops,
+    the first stays."""
+    from incubator_druid_spark.pipeline.dedup import strip_repeated_spans
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(7, span + " x " + span)], "doc_id long, text string")
+    out = strip_repeated_spans(df, "doc_id", "text", n=8,
+                               min_repeats=2).collect()[0]
+    assert out["clean_text"] == span + " x"
+    assert out["removed_tokens"] == 8
