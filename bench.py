@@ -228,6 +228,15 @@ def main() -> int:
         for k, v in skew_saved.items():
             spark.conf.set(k, v)
 
+    # ExactSubstr scale line (round 8): repeated-span detection over the
+    # FULL documents table at this sf — the oracle entry caps at 300 docs
+    # for the gate; this line tracks the real corpus cost of the
+    # explode → gram-count → join-back chain as sf grows.
+    from incubator_druid_spark.pipeline.dedup import repeated_ngram_spans
+    exactsubstr_sec = round(_median3(lambda: repeated_ngram_spans(
+        cat.table("documents"), "doc_id", "text", n=8,
+        min_repeats=2).count()), 3)
+
     # ------------------------------------------------------------------
     # the reference's OWN benchmark suite: SqlBenchmark.java:85-260 run
     # verbatim through the Druid SQL surface over a 5M-row realization of
@@ -462,6 +471,7 @@ def main() -> int:
         "control_drift_pct": round(
             100.0 * (control_last_sec - control_first_sec)
             / control_first_sec, 1),
+        "exactsubstr_docs_sec": exactsubstr_sec,
         "ansi_host_sql_call_ms": ansi_host_sql_ms,
         "engine_sql_call_ms": engine_sql_ms,
         "ansi_host_sql_ratio": round(
