@@ -233,9 +233,12 @@ def main() -> int:
     # for the gate; this line tracks the real corpus cost of the
     # explode → gram-count → join-back chain as sf grows.
     from incubator_druid_spark.pipeline.dedup import repeated_ngram_spans
+    # sum() of a result column, NOT count(): count() of the final frame
+    # lets Catalyst ELIMINATE the left join (unique join key ⇒ cardinality
+    # preserved) and would time an empty shell of the operator
     exactsubstr_sec = round(_median3(lambda: repeated_ngram_spans(
-        cat.table("documents"), "doc_id", "text", n=8,
-        min_repeats=2).count()), 3)
+        cat.table("documents"), "doc_id", "text", n=8, min_repeats=2)
+        .agg(F.sum("repeated_starts")).collect()), 3)
 
     # ------------------------------------------------------------------
     # the reference's OWN benchmark suite: SqlBenchmark.java:85-260 run

@@ -452,6 +452,50 @@ def dedup_by_groups(df: DataFrame, groups: DataFrame, id_col: str) -> DataFrame:
     return df.join(losers.withColumnRenamed("id", id_col), id_col, "anti")
 
 
+def _positioned_grams(df, id_col, text_col, n):
+    """(base, grams): base = (id, n_tokens); grams = (id, pos, gram) with
+    1-based positions.  Built as posexplode + window lead() rather than
+    transform(slice(tokens, i, n)) because Catalyst's CollapseProject
+    inlines the tokenize pipeline INTO a higher-order lambda (HOFs are
+    CodegenFallback), re-running the regex normalization per GRAM in
+    interpreted eval — measured minutes instead of seconds on a 500k-doc
+    corpus.  The explode evaluates tokenization exactly once per
+    document; the lead() window shuffles by document id (documents are
+    small, so per-doc partitions are safe at any corpus size) and
+    everything stays inside whole-stage codegen."""
+    from pyspark.sql import Window
+
+    from incubator_druid_spark.pipeline.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")) \
+             .withColumn("__n_tokens", F.size("__toks"))
+    tok_rows = base.select(
+        "__id", "__n_tokens",
+        F.posexplode("__toks").alias("__pos0", "__word"))
+    w = Window.partitionBy("__id").orderBy("__pos0")
+    gram = F.concat_ws(" ", F.col("__word"),
+                       *[F.lead("__word", k).over(w) for k in range(1, n)])
+    grams = (tok_rows
+             .withColumn("__g", gram)
+             .filter(F.col("__pos0") + n <= F.col("__n_tokens"))
+             .select("__id", (F.col("__pos0") + 1).alias("__pos"), "__g"))
+    return base.select("__id", "__n_tokens"), grams
+
+
+def _widen_for_explode(df: DataFrame) -> DataFrame:
+    """Explode-heavy operators multiply rows x tokens, so they must not
+    inherit a NARROW input layout (a compactly-written corpus can arrive
+    as a handful of parquet splits — measured: a 500k-doc replica in 3
+    partitions ran its gram explode on 3 tasks).  Widen to the cluster's
+    parallelism only when the input is narrower — a well-partitioned
+    100 TB corpus passes through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def repeated_ngram_spans(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 8,
                          min_repeats: int = 2) -> DataFrame:
@@ -466,25 +510,16 @@ def repeated_ngram_spans(df: DataFrame, id_col: str = "doc_id",
     Returns (id, n_tokens, repeated_starts, distinct_repeated) — one row
     per input document, zeros for documents with no repeated spans.
 
-    Scale shape (100 TB): one posexplode (the canonical ×tokens row
-    multiplication every substring-dedup pays), one partially-aggregated
-    groupBy(gram) for corpus counts (map-side combine keeps the shuffle
-    at distinct-gram cardinality), one shuffle join back on the gram key
-    (boilerplate-heavy grams are exactly the AQE skew-join case — the
-    session enables it), one per-doc aggregate.  No driver-side state;
-    no Python in the plan."""
-    from incubator_druid_spark.pipeline.text import normalize_text, tokens
-
-    toks = tokens(normalize_text(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")) \
-             .withColumn("__n_tokens", F.size("__toks"))
-    count = F.col("__n_tokens") - (n - 1)
-    grams = (base
-             .withColumn("__grams", F.when(count >= 1, F.transform(
-                 F.sequence(F.lit(1), count),
-                 lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
-                 .otherwise(F.array().cast("array<string>")))
-             .select("__id", F.explode("__grams").alias("__g")))
+    Scale shape (100 TB): one posexplode (the canonical x-tokens row
+    multiplication every substring-dedup pays) + a per-document lead()
+    window (see _positioned_grams for why not transform/slice), one
+    partially-aggregated groupBy(gram) for corpus counts (map-side
+    combine keeps the shuffle at distinct-gram cardinality), one shuffle
+    join back on the gram key (boilerplate-heavy grams are exactly the
+    AQE skew-join case — the session enables it), one per-doc aggregate.
+    No driver-side state; no Python in the plan."""
+    df = _widen_for_explode(df)
+    base, grams = _positioned_grams(df, id_col, text_col, n)
     repeated = (grams.groupBy("__g")
                      .agg(F.count(F.lit(1)).alias("__total"))
                      .filter(F.col("__total") >= min_repeats)
@@ -493,14 +528,14 @@ def repeated_ngram_spans(df: DataFrame, id_col: str = "doc_id",
                  .groupBy("__id")
                  .agg(F.count(F.lit(1)).alias("repeated_starts"),
                       F.countDistinct("__g").alias("distinct_repeated")))
-    return (base.select("__id", "__n_tokens")
-                .join(hits, "__id", "left")
-                .select(F.col("__id").alias(id_col),
-                        F.col("__n_tokens").cast("long").alias("n_tokens"),
-                        F.coalesce("repeated_starts", F.lit(0))
-                         .cast("long").alias("repeated_starts"),
-                        F.coalesce("distinct_repeated", F.lit(0))
-                         .cast("long").alias("distinct_repeated")))
+    return (base
+            .join(hits, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("__n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("repeated_starts", F.lit(0))
+                     .cast("long").alias("repeated_starts"),
+                    F.coalesce("distinct_repeated", F.lit(0))
+                     .cast("long").alias("distinct_repeated")))
 
 
 def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
@@ -516,26 +551,17 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id, clean_text, n_tokens, removed_tokens).
 
-    Scale shape: the gram→occurrence ranking is one window over the gram
-    key (same shuffle key as the corpus count), span coverage is a
-    bounded explode (n rows per duplicate start), and reassembly is a
-    per-doc sort-aggregate — no Python, no driver state."""
+    Scale shape: grams via _positioned_grams (posexplode + lead window),
+    the gram-occurrence ranking is one window over the gram key (same
+    shuffle key as the corpus count), span coverage is a bounded explode
+    (n rows per duplicate start), and reassembly is a per-doc
+    sort-aggregate — no Python, no driver state."""
     from pyspark.sql import Window
 
     from incubator_druid_spark.pipeline.text import normalize_text, tokens
 
-    toks = tokens(normalize_text(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")) \
-             .withColumn("__n_tokens", F.size("__toks"))
-    count = F.col("__n_tokens") - (n - 1)
-    grams = (base
-             .withColumn("__grams", F.when(count >= 1, F.transform(
-                 F.sequence(F.lit(1), count),
-                 lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
-                 .otherwise(F.array().cast("array<string>")))
-             .select("__id", F.posexplode("__grams")
-                     .alias("__pos0", "__g"))
-             .withColumn("__pos", F.col("__pos0") + 1).drop("__pos0"))
+    df = _widen_for_explode(df)
+    base, grams = _positioned_grams(df, id_col, text_col, n)
     w = Window.partitionBy("__g")
     worder = Window.partitionBy("__g").orderBy("__id", "__pos")
     dup_starts = (grams
@@ -549,10 +575,10 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
                    F.col("__pos"), F.col("__pos") + (n - 1)))
                    .alias("__tok"))
                .distinct())
-    tok_rows = base.select(
-        "__id", "__n_tokens",
-        F.posexplode("__toks").alias("__tok0", "__word")) \
-        .withColumn("__tok", F.col("__tok0") + 1).drop("__tok0")
+    toks = tokens(normalize_text(F.col(text_col)))
+    tok_rows = (df.select(F.col(id_col).alias("__id"),
+                          F.posexplode(toks).alias("__tok0", "__word"))
+                  .withColumn("__tok", F.col("__tok0") + 1).drop("__tok0"))
     kept = (tok_rows.join(covered, ["__id", "__tok"], "left_anti")
             .groupBy("__id")
             .agg(F.concat_ws(" ", F.transform(
@@ -560,12 +586,11 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
                         F.struct(F.col("__tok"), F.col("__word")))),
                     lambda s: s["__word"])).alias("clean_text"),
                  F.count(F.lit(1)).alias("__kept")))
-    return (base.select("__id", "__n_tokens")
-                .join(kept, "__id", "left")
-                .select(F.col("__id").alias(id_col),
-                        F.coalesce("clean_text", F.lit(""))
-                         .alias("clean_text"),
-                        F.col("__n_tokens").cast("long").alias("n_tokens"),
-                        (F.col("__n_tokens") - F.coalesce("__kept",
-                                                          F.lit(0)))
-                        .cast("long").alias("removed_tokens")))
+    return (base
+            .join(kept, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("clean_text", F.lit(""))
+                     .alias("clean_text"),
+                    F.col("__n_tokens").cast("long").alias("n_tokens"),
+                    (F.col("__n_tokens") - F.coalesce("__kept", F.lit(0)))
+                    .cast("long").alias("removed_tokens")))
