@@ -1069,6 +1069,90 @@ def _strip_repeated_stats(spark, sf):
                                 min_repeats=2).orderBy("doc_id")
 
 
+def _decontam_overlap(spark, sf):
+    """Benchmark decontamination (pipeline/decontaminate.py — the GPT-3
+    appendix-C exact n-gram collision rule): docs 0-39 stand in for the
+    benchmark corpus, docs 40-239 for training data; each training doc
+    reports its distinct 8-gram count and how many also occur in the
+    eval set.  The DuckDB oracle rebuilds both gram sets with the same
+    normalization and replays the distinct-join-rollup exactly."""
+    from incubator_druid_spark.pipeline.decontaminate import decontaminate
+    docs = _cat(spark, sf).table("documents")
+    train = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 240))
+    ev = docs.filter(F.col("doc_id") < 40)
+    return decontaminate(train, ev, n=8).orderBy("doc_id")
+
+
+def _chunk_fixed(spark, sf):
+    """Fixed-token sliding-window chunking (pipeline/packing.py
+    chunk_documents): 20-token windows, 5-token overlap, over the first
+    100 docs.  chunk_text itself is on the hash, so any off-by-one in
+    window starts or slice bounds breaks the exact compare."""
+    from incubator_druid_spark.pipeline.packing import chunk_documents
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(docs, chunk_tokens=20,
+                           overlap=5).orderBy("doc_id", "chunk_id")
+
+
+def _pack_concat_spans(spark, sf):
+    """Concat-and-cut sequence packing (pipeline/packing.py pack_concat):
+    4 shards, 100-token sequences; each doc reports the [first_seq,
+    last_seq] range its tokens span.  Oracle: one cumulative-sum window
+    per shard in DuckDB."""
+    from incubator_druid_spark.pipeline.packing import pack_concat
+    docs = _cat(spark, sf).table("documents")
+    return pack_concat(docs, seq_len=100, shards=4).orderBy("doc_id")
+
+
+def _pack_greedy_nextfit(spark, sf):
+    """Next-fit bin packing that never splits documents (pipeline/
+    packing.py pack_greedy, applyInPandas per shard).  The DuckDB oracle
+    replays the sequential fold with a recursive CTE stepping row-by-row
+    per shard — the one oracle in the board that exercises an inherently
+    order-sequential operator end-to-end."""
+    from incubator_druid_spark.pipeline.packing import pack_greedy
+    docs = _cat(spark, sf).table("documents")
+    return pack_greedy(docs, seq_len=100, shards=4).orderBy("doc_id")
+
+
+def _pii_text(spark, sf):
+    """Deterministic PII-bearing text: the raw document text with a
+    synthesized contact line (email / IP / SSN-shaped / phone-shaped
+    values derived from doc_id) so the PII operators have real hits to
+    find; both engines build the same string."""
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 150)
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com or 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 ssn 123-45-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(" call +1 555-01"),
+                 F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                 F.lit(".")).alias("text"))
+
+
+def _pii_stats(spark, sf):
+    """Per-document PII hit counts (pipeline/text.py pii_counts) over
+    deterministic PII-bearing text; the patterns live in the
+    Java-regex ∩ RE2 subset so DuckDB counts with the same pattern
+    strings."""
+    from incubator_druid_spark.pipeline.text import pii_counts
+    return (pii_counts(_pii_text(spark, sf))
+            .select("doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone")
+            .orderBy("doc_id"))
+
+
+def _pii_redact(spark, sf):
+    """PII redaction (pipeline/text.py redact_pii): every PII span
+    replaced by its typed placeholder in precedence order; the redacted
+    text itself is on the hash."""
+    from incubator_druid_spark.pipeline.text import redact_pii
+    return (redact_pii(_pii_text(spark, sf))
+            .select("doc_id", "redacted_text").orderBy("doc_id"))
+
+
 def _ngram_jaccard_pairs(spark, sf):
     """Exact word-3-gram Jaccard for every pair of the first 12 documents —
     the brute-force verifier behind the MinHash pipeline, fully replayable in
@@ -1866,6 +1950,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- born in round 8
         "repeated_ngram_stats": _repeated_ngram_stats,
         "strip_repeated_stats": _strip_repeated_stats,
+        "decontam_overlap": _decontam_overlap,
+        "chunk_fixed": _chunk_fixed,
+        "pack_concat_spans": _pack_concat_spans,
+        "pack_greedy_nextfit": _pack_greedy_nextfit,
+        "pii_stats": _pii_stats,
+        "pii_redact": _pii_redact,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -1932,21 +2022,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-8 window: lead with the entries whose CODE or FIXTURE changed
-# this round — multimodal_decode (new VP8 key-frame fixture),
-# theta_sketch_column_estimate + schema_evolution_sum (fixtures made
-# timezone-independent), approx_histogram (quantile-finalize corner fix),
-# ts_day_tz / timewarp_ts / the sql_* entries (the sqlTimeZone execution
-# moved onto per-(host, tz) session clones) — then rotate in the entries
-# last gated in an r1–r5 window (ts_day_zerofill, card_by_value,
-# sketch_rank_cdf_hist, ann_ivf_topk, scan_lookup, sql_earliest_latest,
-# gb_nested_query) in place of ten long-green single-feature natives
-# (ts_all, gb_union, scan_in_bound, search_daily, search_fragment,
-# tuple_sketch, spatial_rect, gb_case_expression, gb_extraction_substr,
-# legacy_null_mode — all still on the full local board, green in all
-# four hostile host modes).
+# Round-8 window: lead with the entries whose CODE is NEW this round —
+# the six new-never-gated pipeline entries (decontam_overlap,
+# chunk_fixed, pack_concat_spans, pack_greedy_nextfit, pii_stats,
+# pii_redact) and the two repeated-span entries — then the entries whose
+# code or fixture changed this round: multimodal_decode (new VP8
+# key-frame fixture), theta_sketch_column_estimate + schema_evolution_sum
+# (fixtures made timezone-independent), approx_histogram
+# (quantile-finalize corner fix), ts_day_tz / timewarp_ts / the sql_*
+# entries (the sqlTimeZone execution moved onto per-(host, tz) session
+# clones) — then the entries last gated in an r1–r5 window
+# (ts_day_zerofill, card_by_value, sketch_rank_cdf_hist, ann_ivf_topk,
+# scan_lookup, sql_earliest_latest, gb_nested_query).  Displaced to
+# below-window (all long-green on the full local board and in all four
+# hostile host modes): ts_all, gb_union, scan_in_bound, search_daily,
+# search_fragment, tuple_sketch, spatial_rect, gb_case_expression,
+# gb_extraction_substr, legacy_null_mode, ts_day, gb_event_type,
+# scan_purchases, search_types, topn_event_type, time_boundary.
 _WINDOW_R8 = [
-    "multimodal_decode", "repeated_ngram_stats",
+    "decontam_overlap", "chunk_fixed", "pack_concat_spans",
+    "pack_greedy_nextfit", "pii_stats", "pii_redact",
+    "multimodal_decode", "repeated_ngram_stats", "strip_repeated_stats",
     "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
     "ts_day_tz", "timewarp_ts", "sql_view_datasource",
@@ -1955,14 +2051,13 @@ _WINDOW_R8 = [
     "sql_q5ish", "ts_day_zerofill", "card_by_value",
     "sketch_rank_cdf_hist", "ann_ivf_topk", "scan_lookup",
     "gb_nested_query", "gb_column_comparison", "scan_interval_dim",
-    "media_probe", "text_top_terms", "gb_in_not_filter", "ts_day",
-    "ts_hour_filtered", "gb_event_type", "gb_first_last",
+    "media_probe", "text_top_terms", "gb_in_not_filter",
+    "ts_hour_filtered", "gb_first_last",
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
-    "scan_purchases", "scan_offset", "search_types", "topn_event_type",
-    "topn_users", "time_boundary",
+    "scan_offset", "topn_users",
     "sessionize_stats", "minhash_pairs", "dedup_exact",
     "ann_ivf_topk_indexed", "gb_having", "bloom_filtered_count",
-    "theta_intersect", "hll_union_estimate",
+    "theta_intersect",
 ]
 
 
@@ -2780,6 +2875,151 @@ def oracle_sql() -> dict[str, str]:
             JOIN toks tk USING (doc_id)
             LEFT JOIN kept k ON k.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "decontam_overlap": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+              FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS w
+              FROM norm),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 6, 1))) AS i
+                    FROM toks)),
+            tg AS (SELECT DISTINCT doc_id, g FROM grams
+                   WHERE doc_id >= 40 AND doc_id < 240),
+            eg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 40),
+            counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                       FROM tg GROUP BY doc_id),
+            hits AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS contaminated_grams
+                     FROM tg JOIN eg USING (g) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(c.n_grams, 0) AS n_grams,
+                   COALESCE(h.contaminated_grams, 0) AS contaminated_grams
+            FROM documents d
+            LEFT JOIN counts c USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id >= 40 AND d.doc_id < 240
+            ORDER BY d.doc_id
+        """,
+        # chunking/packing tokenize the RAW text (whitespace split, no
+        # normalization — chunk_text must preserve the original words)
+        "chunk_fixed": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id < 100),
+            nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+            ch AS (SELECT doc_id, w, n,
+                          unnest(range(0, CAST(ceil(n / 15.0) AS BIGINT)))
+                              AS cid
+                   FROM nz)
+            SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+                   array_to_string(w[cid*15+1:cid*15+20], ' ') AS chunk_text,
+                   CAST(len(w[cid*15+1:cid*15+20]) AS BIGINT)
+                       AS chunk_n_tokens
+            FROM ch
+            ORDER BY doc_id, chunk_id
+        """,
+        "pack_concat_spans": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS BIGINT) AS tok,
+                     CAST(doc_id % 4 AS BIGINT) AS shard
+              FROM documents),
+            c AS (SELECT doc_id, shard, tok,
+                         sum(tok) OVER (PARTITION BY shard
+                                        ORDER BY doc_id) AS e
+                  FROM t)
+            SELECT doc_id, shard, tok AS n_tokens,
+                   CAST(floor((e - tok) / 100) AS BIGINT) AS first_seq,
+                   CAST(floor(greatest(e - 1, e - tok) / 100) AS BIGINT)
+                       AS last_seq
+            FROM c ORDER BY doc_id
+        """,
+        # the one recursive oracle on the board: next-fit packing is an
+        # order-sequential fold, replayed row-by-row per shard
+        "pack_greedy_nextfit": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     least(CAST(len(list_filter(
+                          string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS BIGINT), 100) AS tok,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS BIGINT) AS rawtok,
+                     CAST(doc_id % 4 AS BIGINT) AS shard
+              FROM documents),
+            o AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                               ORDER BY doc_id) AS rn
+                  FROM t),
+            state AS (
+              SELECT shard, rn, doc_id, tok, rawtok,
+                     CAST(0 AS BIGINT) AS seq_id, tok AS fill
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.rn, d.doc_id, d.tok, d.rawtok,
+                     CASE WHEN s.fill + d.tok > 100 THEN s.seq_id + 1
+                          ELSE s.seq_id END,
+                     CASE WHEN s.fill + d.tok > 100 THEN d.tok
+                          ELSE s.fill + d.tok END
+              FROM state s JOIN o d ON d.shard = s.shard AND d.rn = s.rn + 1
+            )
+            SELECT doc_id, shard, seq_id, tok AS n_tokens,
+                   rawtok > 100 AS truncated
+            FROM state ORDER BY doc_id
+        """,
+        "pii_stats": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com or 10.0.' || (doc_id % 256) ||
+                     '.7 ssn 123-45-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     ' call +1 555-01' ||
+                     lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.'
+                         AS text
+              FROM documents WHERE doc_id < 150)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+              CAST(len(regexp_extract_all(text,
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(text,
+                '\+?\b\d[\d() -]{6,12}\d\b')) AS BIGINT) AS n_phone
+            FROM src ORDER BY doc_id
+        """,
+        "pii_redact": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com or 10.0.' || (doc_id % 256) ||
+                     '.7 ssn 123-45-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     ' call +1 555-01' ||
+                     lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.'
+                         AS text
+              FROM documents WHERE doc_id < 150)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '[EMAIL]', 'g'),
+                '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+                '\+?\b\d[\d() -]{6,12}\d\b', '[PHONE]', 'g')
+                AS redacted_text
+            FROM src ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": r"""
             WITH docs AS (

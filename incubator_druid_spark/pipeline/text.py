@@ -137,6 +137,46 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint", fingerprint(t)))
 
 
+# PII patterns, deliberately in the Java-regex ∩ RE2 subset (no lookaround,
+# no backreferences) so the same pattern text runs verbatim in Spark and in
+# SQL oracles.  Redaction order matters: emails first (their local parts can
+# contain digit runs a phone pattern would eat), then SSNs, then IPv4 (dots
+# disambiguate), then the broad phone pattern last.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\b\d[\d() -]{6,12}\d\b", "[PHONE]"),
+]
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (n_email, n_ssn, n_ipv4, n_phone), each
+    counted independently over the ORIGINAL text (overlapping categories —
+    an SSN also matching the phone shape — count in both; redact_pii is
+    the one that resolves precedence).  Pure regexp_count projections —
+    scan-speed, no shuffle."""
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"))
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted_text") -> DataFrame:
+    """Replace PII spans with typed placeholder tokens, applying the
+    PII_PATTERNS precedence order (email → ssn → ipv4 → phone) so the
+    broad phone pattern never eats the structured forms.  Placeholders
+    contain no digits or '@', so later passes cannot re-match earlier
+    redactions.  One chained regexp_replace projection — scan-speed."""
+    t = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, token)
+    return df.withColumn(out_col, t)
+
+
 def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
               k: int = 10, min_len: int = 3) -> DataFrame:
     """Top-k terms per group by document frequency-weighted count.

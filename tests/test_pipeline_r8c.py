@@ -1,0 +1,232 @@
+"""Round-8c pipeline operators: benchmark decontamination, PII
+counting/redaction, fixed-token chunking, and sequence packing (concat
+and next-fit).  Each operator's oracle entry in __spark_entry__.py is
+hash-checked against DuckDB; these tests pin the semantic corners the
+oracle's real-data replay can't isolate (empty docs, exact-fit bins,
+truncation, overlap precedence, plan shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from incubator_druid_spark.pipeline.decontaminate import decontaminate
+from incubator_druid_spark.pipeline.packing import (chunk_documents,
+                                                    pack_concat, pack_greedy)
+from incubator_druid_spark.pipeline.text import pii_counts, redact_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# ---------------------------------------------------------------- decontam
+
+class TestDecontaminate:
+    def test_exact_overlap_counts(self, spark):
+        train = _docs(spark, [
+            (1, "the quick brown fox jumps over the lazy dog"),  # 9 toks
+            (2, "completely novel content nothing shared here at all ok"),
+            (3, "short"),  # < n tokens -> 0 grams
+        ])
+        ev = _docs(spark, [
+            (100, "we saw the quick brown fox jumps over the lazy dog too"),
+        ])
+        out = {r["doc_id"]: r for r in
+               decontaminate(train, ev, n=8).collect()}
+        # doc 1: 2 distinct 8-grams, both present in the eval doc
+        assert out[1]["n_grams"] == 2
+        assert out[1]["contaminated_grams"] == 2
+        assert out[2]["n_grams"] == 2
+        assert out[2]["contaminated_grams"] == 0
+        assert out[3]["n_grams"] == 0
+        assert out[3]["contaminated_grams"] == 0
+
+    def test_normalization_matches_dedup_family(self, spark):
+        # punctuation/case differences must not defeat the collision
+        train = _docs(spark, [(1, "The QUICK, brown fox! jumps over the "
+                                  "lazy dog")])
+        ev = _docs(spark, [(2, "the quick brown fox jumps over the lazy "
+                               "dog")])
+        r = decontaminate(train, ev, n=8).collect()[0]
+        assert r["contaminated_grams"] == r["n_grams"] == 2
+
+    def test_duplicate_grams_count_once(self, spark):
+        # repeated gram inside one train doc counts once (DISTINCT grams)
+        text = "a b c d e f g h " * 3  # gram "a b c d e f g h" repeats
+        train = _docs(spark, [(1, text.strip())])
+        ev = _docs(spark, [(2, "a b c d e f g h")])
+        r = decontaminate(train, ev, n=8).collect()[0]
+        # 24 tokens -> 17 positions, but the text is periodic so the
+        # distinct grams are the 8 cyclic rotations
+        assert r["n_grams"] == 8
+        assert r["contaminated_grams"] == 1
+
+    def test_eval_side_broadcast(self, spark):
+        train = _docs(spark, [(1, "one two three four five six seven "
+                                  "eight nine")])
+        ev = _docs(spark, [(2, "one two three four five six seven eight")])
+        plan = decontaminate(train, ev, n=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_no_broadcast_fallback(self, spark):
+        train = _docs(spark, [(1, "one two three four five six seven "
+                                  "eight nine")])
+        ev = _docs(spark, [(2, "one two three four five six seven eight")])
+        out = decontaminate(train, ev, n=8, broadcast_eval=False).collect()
+        # the 8-token eval doc has exactly one gram, matching the train
+        # doc's first position
+        assert out[0]["n_grams"] == 2
+        assert out[0]["contaminated_grams"] == 1
+
+
+# ---------------------------------------------------------------- chunking
+
+class TestChunkDocuments:
+    def test_non_overlapping(self, spark):
+        df = _docs(spark, [(1, "a b c d e f g")])
+        rows = sorted(chunk_documents(df, chunk_tokens=3).collect(),
+                      key=lambda r: r["chunk_id"])
+        assert [r["chunk_text"] for r in rows] == ["a b c", "d e f", "g"]
+        assert [r["chunk_n_tokens"] for r in rows] == [3, 3, 1]
+
+    def test_overlap(self, spark):
+        df = _docs(spark, [(1, "a b c d e f g")])
+        rows = sorted(chunk_documents(df, chunk_tokens=4, overlap=2)
+                      .collect(), key=lambda r: r["chunk_id"])
+        # stride 2: starts 0,2,4,6
+        assert [r["chunk_text"] for r in rows] == \
+            ["a b c d", "c d e f", "e f g", "g"]
+
+    def test_empty_and_whitespace_doc(self, spark):
+        df = _docs(spark, [(1, ""), (2, "   "), (3, "x")])
+        rows = chunk_documents(df, chunk_tokens=5).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 3
+
+    def test_bad_overlap_raises(self, spark):
+        df = _docs(spark, [(1, "a")])
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+
+    def test_exact_multiple(self, spark):
+        df = _docs(spark, [(1, "a b c d")])
+        rows = chunk_documents(df, chunk_tokens=2).collect()
+        assert len(rows) == 2
+
+
+# ------------------------------------------------------------ pack_concat
+
+class TestPackConcat:
+    def test_boundary_spanning_doc(self, spark):
+        # shard 0 only (ids multiples of `shards`); seq_len 5
+        df = _docs(spark, [(0, "a b c"), (4, "d e f g"), (8, "h")])
+        out = {r["doc_id"]: r for r in
+               pack_concat(df, seq_len=5, shards=4).collect()}
+        # doc 0: tokens [0,3) -> seq 0; doc 4: [3,7) spans seqs 0-1;
+        # doc 8: [7,8) -> seq 1
+        assert (out[0]["first_seq"], out[0]["last_seq"]) == (0, 0)
+        assert (out[4]["first_seq"], out[4]["last_seq"]) == (0, 1)
+        assert (out[8]["first_seq"], out[8]["last_seq"]) == (1, 1)
+
+    def test_zero_token_doc_on_boundary(self, spark):
+        df = _docs(spark, [(0, "a b c d e"), (4, ""), (8, "f")])
+        out = {r["doc_id"]: r for r in
+               pack_concat(df, seq_len=5, shards=4).collect()}
+        # doc 4 sits exactly on the seq 0/1 boundary with 0 tokens
+        assert out[4]["n_tokens"] == 0
+        assert (out[4]["first_seq"], out[4]["last_seq"]) == (1, 1)
+
+    def test_sharding(self, spark):
+        df = _docs(spark, [(i, "w") for i in range(8)])
+        out = pack_concat(df, seq_len=10, shards=4).collect()
+        assert {r["shard"] for r in out} == {0, 1, 2, 3}
+
+
+# ------------------------------------------------------------ pack_greedy
+
+class TestPackGreedy:
+    def test_next_fit(self, spark):
+        # one shard; docs in id order with token counts 3,3,3 at seq_len 7:
+        # [3,3] fills 6, third opens seq 1
+        df = _docs(spark, [(0, "a b c"), (4, "d e f"), (8, "g h i")])
+        out = {r["doc_id"]: r["seq_id"] for r in
+               pack_greedy(df, seq_len=7, shards=4).collect()}
+        assert out == {0: 0, 4: 0, 8: 1}
+
+    def test_exact_fit_stays(self, spark):
+        df = _docs(spark, [(0, "a b c d"), (4, "e f g")])
+        out = {r["doc_id"]: r["seq_id"] for r in
+               pack_greedy(df, seq_len=7, shards=4).collect()}
+        assert out == {0: 0, 4: 0}
+
+    def test_truncation(self, spark):
+        df = _docs(spark, [(0, "a b c d e f g h i j")])
+        r = pack_greedy(df, seq_len=4, shards=1).collect()[0]
+        assert r["truncated"] is True
+        assert r["n_tokens"] == 4 and r["seq_id"] == 0
+
+    def test_zero_token_doc(self, spark):
+        df = _docs(spark, [(0, ""), (1, "a b")])
+        out = {r["doc_id"]: r for r in
+               pack_greedy(df, seq_len=4, shards=1).collect()}
+        assert out[0]["n_tokens"] == 0 and out[0]["truncated"] is False
+
+    def test_deterministic_across_partitioning(self, spark):
+        rows = [(i, "w " * (i % 7 + 1)) for i in range(64)]
+        a = pack_greedy(_docs(spark, rows).repartition(13),
+                        seq_len=10, shards=4).collect()
+        b = pack_greedy(_docs(spark, rows).coalesce(1),
+                        seq_len=10, shards=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------------- PII
+
+class TestPII:
+    def test_counts(self, spark):
+        df = _docs(spark, [
+            (1, "mail a.b+c@ex-ample.org and 192.168.0.1 ssn 123-45-6789 "
+                "call +1 555-0100 now"),
+            (2, "no pii here"),
+        ])
+        out = {r["doc_id"]: r for r in pii_counts(df).collect()}
+        r = out[1]
+        assert r["n_email"] == 1 and r["n_ipv4"] == 1
+        # the SSN shape also matches the broad phone pattern — counts are
+        # independent over the original text (redaction resolves precedence)
+        assert r["n_ssn"] == 1
+        assert r["n_phone"] == 2
+        z = out[2]
+        assert (z["n_email"], z["n_ssn"], z["n_ipv4"], z["n_phone"]) \
+            == (0, 0, 0, 0)
+
+    def test_redaction_precedence(self, spark):
+        df = _docs(spark, [
+            (1, "mail bob99@example.com ssn 123-45-6789 ip 10.0.0.1 "
+                "tel 555-123-4567 end"),
+        ])
+        t = redact_pii(df).collect()[0]["redacted_text"]
+        assert "[EMAIL]" in t and "[SSN]" in t and "[IP]" in t \
+            and "[PHONE]" in t
+        assert "bob99" not in t and "123-45-6789" not in t \
+            and "10.0.0.1" not in t and "555-123-4567" not in t
+
+    def test_redaction_does_not_eat_structured_forms(self, spark):
+        # the broad phone pattern must not consume the SSN or IP (they are
+        # redacted first)
+        df = _docs(spark, [(1, "a 123-45-6789 b 10.0.0.1 c")])
+        t = redact_pii(df).collect()[0]["redacted_text"]
+        assert t == "a [SSN] b [IP] c"
+
+    def test_email_digits_not_phone(self, spark):
+        # digits inside an email local part disappear with the email pass
+        df = _docs(spark, [(1, "reach 123456789@example.com ok")])
+        t = redact_pii(df).collect()[0]["redacted_text"]
+        assert t == "reach [EMAIL] ok"
+
+    def test_plain_text_untouched(self, spark):
+        df = _docs(spark, [(1, "version 1.2 of the doc, page 3")])
+        t = redact_pii(df).collect()[0]["redacted_text"]
+        assert t == "version 1.2 of the doc, page 3"
