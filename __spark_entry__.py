@@ -1153,6 +1153,53 @@ def _pii_redact(spark, sf):
             .select("doc_id", "redacted_text").orderBy("doc_id"))
 
 
+def _gopher_text(spark, sf):
+    """Deterministic multi-line text for the Gopher-rule operators: the
+    raw document text with sentence breaks turned into newlines plus a
+    bullet/ellipsis tail, so line-level rules have real lines to
+    measure; both engines build the same string."""
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 200)
+    t = F.replace(F.col("text"), F.lit(". "), F.lit(".\n"))
+    return docs.select(
+        "doc_id",
+        F.concat(t, F.lit("\n- item one\n- item two\nmore soon…"))
+         .alias("text"))
+
+
+def _gopher_stats(spark, sf):
+    """Gopher quality rules (pipeline/text.py gopher_quality — Rae et
+    al. 2021 §A1.1 signals + combined pass flag) over deterministic
+    multi-line text.  Every signal column and the boolean verdict are on
+    the hash; the DuckDB oracle recomputes each rule from the same
+    definitions."""
+    from incubator_druid_spark.pipeline.text import gopher_quality
+    return (gopher_quality(_gopher_text(spark, sf))
+            .select("doc_id", "n_words", "mean_word_len",
+                    "symbol_word_ratio", "bullet_line_frac",
+                    "ellipsis_line_frac", "alpha_word_frac", "stop_hits",
+                    "gopher_pass")
+            .orderBy("doc_id"))
+
+
+def _repetition_stats(spark, sf):
+    """Within-document repetition signals (pipeline/text.py
+    repetition_stats — duplicate-line fraction by count and char mass,
+    top-bigram char fraction) over text where every third document's
+    body is duplicated wholesale, so the duplicate-mass math has real
+    work to do."""
+    from incubator_druid_spark.pipeline.text import repetition_stats
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 200)
+    t = F.replace(F.col("text"), F.lit(". "), F.lit(".\n"))
+    src = docs.select(
+        "doc_id",
+        F.concat(t, F.lit("\n"),
+                 F.when(F.col("doc_id") % 3 == 0, t)
+                  .otherwise(F.concat(F.lit("unique tail "),
+                                      F.col("doc_id").cast("string"))))
+         .alias("text"))
+    return repetition_stats(src).orderBy("doc_id")
+
+
 def _ngram_jaccard_pairs(spark, sf):
     """Exact word-3-gram Jaccard for every pair of the first 12 documents —
     the brute-force verifier behind the MinHash pipeline, fully replayable in
@@ -1956,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy_nextfit": _pack_greedy_nextfit,
         "pii_stats": _pii_stats,
         "pii_redact": _pii_redact,
+        "gopher_stats": _gopher_stats,
+        "repetition_stats": _repetition_stats,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -2023,9 +2072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-8 window: lead with the entries whose CODE is NEW this round —
-# the six new-never-gated pipeline entries (decontam_overlap,
+# the eight new-never-gated pipeline entries (decontam_overlap,
 # chunk_fixed, pack_concat_spans, pack_greedy_nextfit, pii_stats,
-# pii_redact) and the two repeated-span entries — then the entries whose
+# pii_redact, gopher_stats, repetition_stats) and the two repeated-span
+# entries — then the entries whose
 # code or fixture changed this round: multimodal_decode (new VP8
 # key-frame fixture), theta_sketch_column_estimate + schema_evolution_sum
 # (fixtures made timezone-independent), approx_histogram
@@ -2038,10 +2088,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # hostile host modes): ts_all, gb_union, scan_in_bound, search_daily,
 # search_fragment, tuple_sketch, spatial_rect, gb_case_expression,
 # gb_extraction_substr, legacy_null_mode, ts_day, gb_event_type,
-# scan_purchases, search_types, topn_event_type, time_boundary.
+# scan_purchases, search_types, topn_event_type, time_boundary,
+# bloom_filtered_count, theta_intersect.
 _WINDOW_R8 = [
     "decontam_overlap", "chunk_fixed", "pack_concat_spans",
     "pack_greedy_nextfit", "pii_stats", "pii_redact",
+    "gopher_stats", "repetition_stats",
     "multimodal_decode", "repeated_ngram_stats", "strip_repeated_stats",
     "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
@@ -2056,8 +2108,7 @@ _WINDOW_R8 = [
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
     "scan_offset", "topn_users",
     "sessionize_stats", "minhash_pairs", "dedup_exact",
-    "ann_ivf_topk_indexed", "gb_having", "bloom_filtered_count",
-    "theta_intersect",
+    "ann_ivf_topk_indexed", "gb_having",
 ]
 
 
@@ -3020,6 +3071,123 @@ def oracle_sql() -> dict[str, str]:
                 '\+?\b\d[\d() -]{6,12}\d\b', '[PHONE]', 'g')
                 AS redacted_text
             FROM src ORDER BY doc_id
+        """,
+        "gopher_stats": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     replace(text, '. ', '.' || chr(10)) || chr(10) ||
+                     '- item one' || chr(10) || '- item two' || chr(10) ||
+                     'more soon…' AS text
+              FROM documents WHERE doc_id < 200),
+            tok AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM src),
+            lines AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS ls
+              FROM src),
+            m AS (
+              SELECT t.doc_id,
+                CAST(len(t.w) AS BIGINT) AS n_words,
+                CASE WHEN len(t.w) > 0 THEN
+                  list_sum(list_transform(t.w, x -> length(x))) * 1.0
+                    / len(t.w)
+                  ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(t.w) > 0 THEN
+                  (len(regexp_extract_all(t.text, '#')) +
+                   len(regexp_extract_all(t.text, '\.\.\.')) +
+                   len(regexp_extract_all(t.text, '…'))) * 1.0
+                    / len(t.w)
+                  ELSE 0.0 END AS symbol_word_ratio,
+                CASE WHEN len(l.ls) > 0 THEN
+                  len(list_filter(l.ls,
+                      x -> regexp_matches(x, '^(•|\*|-)\s')))
+                    * 1.0 / len(l.ls) ELSE 0.0 END AS bullet_line_frac,
+                CASE WHEN len(l.ls) > 0 THEN
+                  len(list_filter(l.ls,
+                      x -> regexp_matches(x, '(\.\.\.|…)$')))
+                    * 1.0 / len(l.ls) ELSE 0.0 END AS ellipsis_line_frac,
+                CASE WHEN len(t.w) > 0 THEN
+                  len(list_filter(t.w, x -> regexp_matches(x, '[A-Za-z]')))
+                    * 1.0 / len(t.w) ELSE 0.0 END AS alpha_word_frac,
+                CAST(len(list_filter(
+                    ['the','and','of','to','is','in','that','with',
+                     'for','was'],
+                    s -> list_contains(list_transform(t.w, x -> lower(x)),
+                                       s))) AS BIGINT) AS stop_hits
+              FROM tok t JOIN lines l USING (doc_id))
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND stop_hits >= 2) AS gopher_pass
+            FROM m ORDER BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     replace(text, '. ', '.' || chr(10)) || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN replace(text, '. ', '.' || chr(10))
+                          ELSE 'unique tail ' || doc_id END AS text
+              FROM documents WHERE doc_id < 200),
+            lines AS (
+              SELECT doc_id, unnest(list_filter(list_transform(
+                       string_split(text, chr(10)), x -> trim(x)),
+                       x -> x <> '')) AS l
+              FROM src),
+            pl AS (SELECT doc_id, l, count(*) AS c
+                   FROM lines GROUP BY doc_id, l),
+            ls AS (SELECT doc_id,
+                          CAST(sum(c) AS BIGINT) AS n_lines,
+                          CAST(count(*) AS BIGINT) AS n_distinct,
+                          sum(c * length(l)) AS line_chars,
+                          sum((c - 1) * length(l)) AS dup_chars
+                   FROM pl GROUP BY doc_id),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM src),
+            jl AS (SELECT doc_id,
+                          list_sum(list_transform(w, x -> length(x)))
+                          + greatest(len(w) - 1, 0) AS join_len
+                   FROM tok),
+            bi AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS c
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                    FROM tok WHERE len(w) >= 2)
+              GROUP BY doc_id, w1, w2),
+            tb AS (
+              SELECT doc_id, c * (length(w1) + length(w2) + 1) AS top_chars
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, w1, w2) AS rk FROM bi)
+              WHERE rk = 1)
+            SELECT s.doc_id,
+                   COALESCE(ls.n_lines, 0) AS n_lines,
+                   COALESCE(CASE WHEN ls.n_lines > 0 THEN
+                     (ls.n_lines - ls.n_distinct) * 1.0 / ls.n_lines END,
+                     0.0) AS dup_line_frac,
+                   COALESCE(CASE WHEN ls.line_chars > 0 THEN
+                     ls.dup_chars * 1.0 / ls.line_chars END, 0.0)
+                     AS dup_line_char_frac,
+                   COALESCE(CASE WHEN jl.join_len > 0 THEN
+                     tb.top_chars * 1.0 / jl.join_len END, 0.0)
+                     AS top_bigram_char_frac
+            FROM src s
+            LEFT JOIN ls ON ls.doc_id = s.doc_id
+            LEFT JOIN jl ON jl.doc_id = s.doc_id
+            LEFT JOIN tb ON tb.doc_id = s.doc_id
+            ORDER BY s.doc_id
         """,
         "ngram_jaccard_pairs": r"""
             WITH docs AS (

@@ -240,6 +240,16 @@ def main() -> int:
         cat.table("documents"), "doc_id", "text", n=8, min_repeats=2)
         .agg(F.sum("repeated_starts")).collect()), 3)
 
+    # decontamination scale line (round 8): the full documents table as
+    # the training side, every 100th doc standing in for the benchmark
+    # corpus.  sum() of the JOINED column (not count()) so the broadcast
+    # join back can't be eliminated.
+    from incubator_druid_spark.pipeline.decontaminate import decontaminate
+    _docs_all = cat.table("documents")
+    decontam_sec = round(_median3(lambda: decontaminate(
+        _docs_all, _docs_all.filter(F.col("doc_id") % 100 == 0), n=13)
+        .agg(F.sum("contaminated_grams")).collect()), 3)
+
     # ------------------------------------------------------------------
     # the reference's OWN benchmark suite: SqlBenchmark.java:85-260 run
     # verbatim through the Druid SQL surface over a 5M-row realization of
@@ -475,6 +485,7 @@ def main() -> int:
             100.0 * (control_last_sec - control_first_sec)
             / control_first_sec, 1),
         "exactsubstr_docs_sec": exactsubstr_sec,
+        "decontam_docs_sec": decontam_sec,
         "ansi_host_sql_call_ms": ansi_host_sql_ms,
         "engine_sql_call_ms": engine_sql_ms,
         "ansi_host_sql_ratio": round(

@@ -177,6 +177,155 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, t)
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_frac: float = 0.9,
+                   max_ellipsis_line_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021 §A1.1): word-count
+    bounds, mean word length bounds, symbol-to-word ratio (# and ...),
+    bullet-led / ellipsis-ended line fractions, fraction of words with an
+    alphabetic character, and a distinct-stopword floor — plus the
+    combined `gopher_pass` flag.  Pure Column expressions, scan-speed.
+
+    Line fractions are over non-empty lines; documents with no non-empty
+    lines score 0 on both (and can't fail those rules), matching the
+    convention that empty docs fail on word count alone."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    mean_len = mean_word_length(t)
+    n_symbols = (F.size(F.split(t, "#", -1)) - 1 +
+                 F.size(F.split(t, r"\.\.\.", -1)) - 1 +
+                 F.size(F.split(t, "…", -1)) - 1)
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words) \
+                    .otherwise(F.lit(0.0))
+    lines = F.filter(F.transform(F.split(t, "\n", -1),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^(•|\*|-)\s")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines > 0, bullet_lines / n_lines) \
+                   .otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, ellipsis_lines / n_lines) \
+                     .otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks,
+                                  lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words) \
+                  .otherwise(F.lit(0.0))
+    low = F.transform(toks, lambda w: F.lower(w))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]),
+        lambda s: F.array_contains(low, s)))
+    out = (df
+           .withColumn("n_words", n_words.cast("long"))
+           .withColumn("mean_word_len", mean_len)
+           .withColumn("symbol_word_ratio", symbol_ratio)
+           .withColumn("bullet_line_frac", bullet_frac)
+           .withColumn("ellipsis_line_frac", ellipsis_frac)
+           .withColumn("alpha_word_frac", alpha_frac)
+           .withColumn("stop_hits", stop_hits.cast("long")))
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words) &
+        (F.col("n_words") <= max_words) &
+        (F.col("mean_word_len") >= min_mean_word_len) &
+        (F.col("mean_word_len") <= max_mean_word_len) &
+        (F.col("symbol_word_ratio") <= max_symbol_word_ratio) &
+        (F.col("bullet_line_frac") <= max_bullet_line_frac) &
+        (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac) &
+        (F.col("alpha_word_frac") >= min_alpha_word_frac) &
+        (F.col("stop_hits") >= min_stop_hits))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher §A1.1): duplicate-line
+    fraction (by line count and by character mass) and the fraction of
+    characters covered by the most frequent word bigram.
+
+    Exact definitions (deterministic, replayable in SQL):
+      * lines = trimmed, non-empty '\\n' splits; a line's duplicate mass
+        is (count-1) copies — dup_line_frac = (n_lines - n_distinct) /
+        n_lines, dup_line_char_frac weights each line by its length.
+      * bigrams = adjacent whitespace-token pairs; the top bigram is the
+        max-count one (ties: lexicographically smallest); its char mass
+        is count * (len(w1) + len(w2) + 1) over the single-space-joined
+        token length.  Docs with < 2 tokens (or no lines) score 0.
+
+    Shape: two bounded explodes (lines, bigrams), partial-aggregated
+    counts, per-doc rollups — shuffle keys are the doc id, no Python."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col)
+                     .alias("__text"))
+    lines = (base.select(
+        "__id",
+        F.explode(F.filter(
+            F.transform(F.split(F.col("__text"), "\n", -1),
+                        lambda l: F.trim(l)),
+            lambda l: l != "")).alias("__line")))
+    per_line = (lines.groupBy("__id", "__line")
+                     .agg(F.count(F.lit(1)).alias("__c")))
+    line_stats = (per_line.groupBy("__id").agg(
+        F.sum("__c").alias("__n_lines"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+        F.sum(F.col("__c") * F.length("__line")).alias("__line_chars"),
+        F.sum((F.col("__c") - 1) * F.length("__line"))
+         .alias("__dup_chars")))
+    toks = tokens(F.col("__text"))
+    tok_base = base.select("__id", toks.alias("__toks")) \
+                   .withColumn("__n_toks", F.size("__toks"))
+    joined_len = (tok_base.select(
+        "__id", "__n_toks",
+        (F.aggregate("__toks", F.lit(0).cast("long"),
+                     lambda acc, w: acc + F.length(w)) +
+         F.greatest(F.col("__n_toks") - 1, F.lit(0))).alias("__join_len")))
+    bi = (tok_base.filter(F.col("__n_toks") >= 2)
+          .select("__id", F.posexplode("__toks").alias("__p", "__w"))
+          .withColumn("__w2", F.lead("__w", 1).over(
+              Window.partitionBy("__id").orderBy("__p")))
+          .filter(F.col("__w2").isNotNull())
+          .groupBy("__id", "__w", "__w2")
+          .agg(F.count(F.lit(1)).alias("__c")))
+    top_bi = (bi.withColumn(
+        "__rk", F.row_number().over(
+            Window.partitionBy("__id")
+                  .orderBy(F.col("__c").desc(), "__w", "__w2")))
+        .filter(F.col("__rk") == 1)
+        .select("__id",
+                (F.col("__c") * (F.length("__w") + F.length("__w2") + 1))
+                .alias("__top_chars")))
+    return (base.select("__id")
+            .join(line_stats, "__id", "left")
+            .join(joined_len, "__id", "left")
+            .join(top_bi, "__id", "left")
+            .select(
+                F.col("__id").alias(id_col),
+                F.coalesce(F.col("__n_lines"), F.lit(0))
+                 .cast("long").alias("n_lines"),
+                F.coalesce(
+                    F.when(F.col("__n_lines") > 0,
+                           (F.col("__n_lines") - F.col("__n_distinct"))
+                           / F.col("__n_lines")),
+                    F.lit(0.0)).alias("dup_line_frac"),
+                F.coalesce(
+                    F.when(F.col("__line_chars") > 0,
+                           F.col("__dup_chars") / F.col("__line_chars")),
+                    F.lit(0.0)).alias("dup_line_char_frac"),
+                F.coalesce(
+                    F.when(F.col("__join_len") > 0,
+                           F.col("__top_chars") / F.col("__join_len")),
+                    F.lit(0.0)).alias("top_bigram_char_frac")))
+
+
 def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
               k: int = 10, min_len: int = 3) -> DataFrame:
     """Top-k terms per group by document frequency-weighted count.

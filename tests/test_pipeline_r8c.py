@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from incubator_druid_spark.pipeline.decontaminate import decontaminate
 from incubator_druid_spark.pipeline.packing import (chunk_documents,
                                                     pack_concat, pack_greedy)
-from incubator_druid_spark.pipeline.text import pii_counts, redact_pii
+from incubator_druid_spark.pipeline.text import (gopher_quality, pii_counts,
+                                                 redact_pii,
+                                                 repetition_stats)
 
 
 def _docs(spark, rows):
@@ -230,3 +232,103 @@ class TestPII:
         df = _docs(spark, [(1, "version 1.2 of the doc, page 3")])
         t = redact_pii(df).collect()[0]["redacted_text"]
         assert t == "version 1.2 of the doc, page 3"
+
+
+# --------------------------------------------------------- gopher rules
+
+GOOD_DOC = ("the quick brown fox jumps over the lazy dog and keeps "
+            "going for a while because this document needs to clear "
+            "the fifty word floor with room to spare so here is more "
+            "plain prose that was written with that goal in mind and "
+            "a few linking words like of and to and in for padding")
+
+
+class TestGopherQuality:
+    def _row(self, spark, text, **kw):
+        return gopher_quality(_docs(spark, [(1, text)]), **kw).collect()[0]
+
+    def test_good_doc_passes(self, spark):
+        r = self._row(spark, GOOD_DOC)
+        assert bool(r["gopher_pass"]) is True
+        assert r["n_words"] >= 50 and r["stop_hits"] >= 2
+
+    def test_short_doc_fails_on_word_count(self, spark):
+        r = self._row(spark, "too short")
+        assert bool(r["gopher_pass"]) is False
+        assert r["n_words"] == 2
+
+    def test_symbol_heavy_fails(self, spark):
+        r = self._row(spark, GOOD_DOC + " " + "# " * 20)
+        assert r["symbol_word_ratio"] > 0.1
+        assert bool(r["gopher_pass"]) is False
+
+    def test_ellipsis_counts_both_forms(self, spark):
+        r = self._row(spark, "first line...\nsecond line…\nthird line")
+        assert abs(r["ellipsis_line_frac"] - 2 / 3) < 1e-12
+
+    def test_bullet_lines(self, spark):
+        r = self._row(spark, "- a bullet\n* another\n• third\nplain")
+        assert abs(r["bullet_line_frac"] - 0.75) < 1e-12
+
+    def test_non_alpha_words_fail_alpha_frac(self, spark):
+        r = self._row(spark, "1 2 3 4 5 6 7 8 9 10")
+        assert r["alpha_word_frac"] == 0.0
+        assert bool(r["gopher_pass"]) is False
+
+    def test_empty_doc(self, spark):
+        r = self._row(spark, "")
+        assert r["n_words"] == 0 and r["mean_word_len"] == 0.0
+        assert bool(r["gopher_pass"]) is False
+
+    def test_threshold_overrides(self, spark):
+        r = self._row(spark, "the cat sat on the mat", min_words=3,
+                      min_mean_word_len=2.0, min_alpha_word_frac=0.5,
+                      min_stop_hits=1)
+        assert bool(r["gopher_pass"]) is True
+
+
+# ------------------------------------------------------ repetition stats
+
+class TestRepetitionStats:
+    def _row(self, spark, text):
+        return repetition_stats(_docs(spark, [(1, text)])).collect()[0]
+
+    def test_no_repetition(self, spark):
+        r = self._row(spark, "alpha beta\ngamma delta\nepsilon zeta")
+        assert r["n_lines"] == 3
+        assert r["dup_line_frac"] == 0.0
+        assert r["dup_line_char_frac"] == 0.0
+        # every bigram unique: top bigram count 1
+        # "alpha beta" = 10 chars of 35 joined chars
+        assert abs(r["top_bigram_char_frac"] - 10 / 35) < 1e-12
+
+    def test_duplicate_lines(self, spark):
+        r = self._row(spark, "same line\nsame line\nother")
+        assert r["n_lines"] == 3
+        assert abs(r["dup_line_frac"] - 1 / 3) < 1e-12
+        # dup mass: one extra "same line" (9 chars) of 9+9+5=23
+        assert abs(r["dup_line_char_frac"] - 9 / 23) < 1e-12
+
+    def test_repeated_bigram_dominates(self, spark):
+        r = self._row(spark, "go go go go")
+        # bigram "go go" occurs 3 times, mass 3*5=15 over join_len 11;
+        # definition allows >1 for overlapping repeats — stays a pure
+        # repetition SIGNAL, thresholded by callers
+        assert abs(r["top_bigram_char_frac"] - 15 / 11) < 1e-12
+        assert r["dup_line_frac"] == 0.0
+
+    def test_single_token_doc(self, spark):
+        r = self._row(spark, "word")
+        assert r["top_bigram_char_frac"] == 0.0
+        assert r["n_lines"] == 1
+
+    def test_empty_doc(self, spark):
+        r = self._row(spark, "")
+        assert r["n_lines"] == 0
+        assert r["dup_line_frac"] == 0.0
+        assert r["top_bigram_char_frac"] == 0.0
+
+    def test_blank_lines_ignored(self, spark):
+        r = self._row(spark, "a b\n\n   \na b")
+        assert r["n_lines"] == 2
+        assert abs(r["dup_line_frac"] - 0.5) < 1e-12
