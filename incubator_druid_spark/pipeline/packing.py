@@ -36,6 +36,16 @@ def _tok_count(df: DataFrame, text_col: str,
     return token_count(F.col(text_col)).cast("long")
 
 
+def _shard_of(df: DataFrame, id_col: str, shards: int) -> F.Column:
+    """Deterministic shard key: numeric ids shard by value (modulo —
+    SQL-replayable), everything else by xxhash64 (a string id under an
+    ANSI host must not go through cast-to-long, which throws there)."""
+    dtype = dict(df.dtypes).get(id_col, "")
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return F.pmod(F.col(id_col).cast("long"), F.lit(shards))
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+
+
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", chunk_tokens: int = 128,
                     overlap: int = 0) -> DataFrame:
@@ -92,7 +102,7 @@ def pack_concat(df: DataFrame, id_col: str = "doc_id",
     t = _tok_count(df, text_col, token_count_col)
     base = df.select(
         F.col(id_col).alias("__id"), t.alias("__t"),
-        F.pmod(F.col(id_col).cast("long"), F.lit(shards)).alias("shard"))
+        _shard_of(df, id_col, shards).alias("shard"))
     w = Window.partitionBy("shard").orderBy("__id")
     cum = F.sum("__t").over(w)
     return (base
@@ -126,7 +136,7 @@ def pack_greedy(df: DataFrame, id_col: str = "doc_id",
     t = _tok_count(df, text_col, token_count_col)
     base = df.select(
         F.col(id_col).alias("__id"), t.alias("__t"),
-        F.pmod(F.col(id_col).cast("long"), F.lit(shards)).alias("shard"))
+        _shard_of(df, id_col, shards).alias("shard"))
 
     def pack_one(pdf):
         import pandas as pd
@@ -148,8 +158,9 @@ def pack_greedy(df: DataFrame, id_col: str = "doc_id",
             "truncated": (pdf["__t"] > seq_len),
         })
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out = base.groupBy("shard").applyInPandas(
         pack_one,
-        schema=("__id long, shard long, seq_id long, n_tokens long, "
+        schema=(f"__id {id_type}, shard long, seq_id long, n_tokens long, "
                 "truncated boolean"))
     return out.withColumnRenamed("__id", id_col)

@@ -175,6 +175,18 @@ class TestPackGreedy:
                pack_greedy(df, seq_len=4, shards=1).collect()}
         assert out[0]["n_tokens"] == 0 and out[0]["truncated"] is False
 
+    def test_string_ids_shard_by_hash(self, spark):
+        # a STRING id must not go through cast-to-long (throws on an ANSI
+        # host); it shards by hash and keeps its type in the output
+        df = spark.createDataFrame(
+            [Row(doc_id=f"doc-{i}", text="a b c") for i in range(12)])
+        out = pack_greedy(df, seq_len=4, shards=3).collect()
+        assert len(out) == 12
+        assert all(isinstance(r["doc_id"], str) for r in out)
+        assert {r["shard"] for r in out} <= {0, 1, 2}
+        outc = pack_concat(df, seq_len=4, shards=3).collect()
+        assert len(outc) == 12
+
     def test_deterministic_across_partitioning(self, spark):
         rows = [(i, "w " * (i % 7 + 1)) for i in range(64)]
         a = pack_greedy(_docs(spark, rows).repartition(13),
