@@ -1181,6 +1181,30 @@ def _gopher_stats(spark, sf):
             .orderBy("doc_id"))
 
 
+def _c4_stats(spark, sf):
+    """C4-style page cleaning (pipeline/text.py c4_clean — Raffel et al.
+    2019 §2.2 line rules + page flags) over deterministic multi-line
+    text seeded with short lines, unterminated lines, and per-id code /
+    lorem-ipsum markers; clean_text and every flag are on the hash."""
+    from incubator_druid_spark.pipeline.text import c4_clean
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 200)
+    t = F.replace(F.col("text"), F.lit(". "), F.lit(".\n"))
+    src = docs.select(
+        "doc_id",
+        F.concat(
+            t, F.lit("\nshort line\nno terminal punct here at all"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nsome {code} block."))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("\nclassic Lorem Ipsum filler text here."))
+             .otherwise(F.lit(""))).alias("text"))
+    return (c4_clean(src)
+            .select("doc_id", "clean_text", "n_lines_kept",
+                    "n_lines_dropped", "n_sentences", "has_curly_brace",
+                    "has_lorem_ipsum", "c4_keep")
+            .orderBy("doc_id"))
+
+
 def _repetition_stats(spark, sf):
     """Within-document repetition signals (pipeline/text.py
     repetition_stats — duplicate-line fraction by count and char mass,
@@ -2005,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _pii_redact,
         "gopher_stats": _gopher_stats,
         "repetition_stats": _repetition_stats,
+        "c4_stats": _c4_stats,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -2072,10 +2097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-8 window: lead with the entries whose CODE is NEW this round —
-# the eight new-never-gated pipeline entries (decontam_overlap,
+# the nine new-never-gated pipeline entries (decontam_overlap,
 # chunk_fixed, pack_concat_spans, pack_greedy_nextfit, pii_stats,
-# pii_redact, gopher_stats, repetition_stats) and the two repeated-span
-# entries — then the entries whose
+# pii_redact, gopher_stats, repetition_stats, c4_stats) and the two
+# repeated-span entries — then the entries whose
 # code or fixture changed this round: multimodal_decode (new VP8
 # key-frame fixture), theta_sketch_column_estimate + schema_evolution_sum
 # (fixtures made timezone-independent), approx_histogram
@@ -2089,11 +2114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # search_fragment, tuple_sketch, spatial_rect, gb_case_expression,
 # gb_extraction_substr, legacy_null_mode, ts_day, gb_event_type,
 # scan_purchases, search_types, topn_event_type, time_boundary,
-# bloom_filtered_count, theta_intersect.
+# bloom_filtered_count, theta_intersect, gb_having.
 _WINDOW_R8 = [
     "decontam_overlap", "chunk_fixed", "pack_concat_spans",
     "pack_greedy_nextfit", "pii_stats", "pii_redact",
-    "gopher_stats", "repetition_stats",
+    "gopher_stats", "repetition_stats", "c4_stats",
     "multimodal_decode", "repeated_ngram_stats", "strip_repeated_stats",
     "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
@@ -2108,7 +2133,7 @@ _WINDOW_R8 = [
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
     "scan_offset", "topn_users",
     "sessionize_stats", "minhash_pairs", "dedup_exact",
-    "ann_ivf_topk_indexed", "gb_having",
+    "ann_ivf_topk_indexed",
 ]
 
 
@@ -3130,6 +3155,55 @@ def oracle_sql() -> dict[str, str]:
                     AND ellipsis_line_frac <= 0.3
                     AND alpha_word_frac >= 0.8
                     AND stop_hits >= 2) AS gopher_pass
+            FROM m ORDER BY doc_id
+        """,
+        # NOTE: array_to_string of an EMPTY DuckDB list is NULL — the
+        # COALESCEs keep all-lines-dropped pages at '' like the engine
+        "c4_stats": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     replace(text, '. ', '.' || chr(10)) || chr(10) ||
+                     'short line' || chr(10) ||
+                     'no terminal punct here at all' ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || 'some {code} block.'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 11 = 0
+                          THEN chr(10) ||
+                               'classic Lorem Ipsum filler text here.'
+                          ELSE '' END AS text
+              FROM documents WHERE doc_id < 200),
+            l AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(
+                         string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS ls
+              FROM src),
+            k AS (
+              SELECT doc_id, text, ls,
+                     list_filter(ls,
+                         x -> regexp_matches(x, '[.!?"]$') AND
+                         len(list_filter(string_split_regex(x, '\s+'),
+                                         w -> w <> '')) >= 5) AS kept
+              FROM l),
+            m AS (
+              SELECT doc_id, text,
+                     COALESCE(array_to_string(kept, chr(10)), '')
+                         AS clean_text,
+                     CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                     CAST(len(ls) - len(kept) AS BIGINT)
+                         AS n_lines_dropped,
+                     CAST(len(string_split_regex(
+                          COALESCE(array_to_string(kept, chr(10)), ''),
+                          '[.!?]')) - 1 AS BIGINT) AS n_sentences,
+                     contains(text, '{') AS has_curly_brace,
+                     contains(lower(text), 'lorem ipsum')
+                         AS has_lorem_ipsum
+              FROM k)
+            SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped,
+                   n_sentences, has_curly_brace, has_lorem_ipsum,
+                   (n_sentences >= 3 AND NOT has_curly_brace
+                    AND NOT has_lorem_ipsum) AS c4_keep
             FROM m ORDER BY doc_id
         """,
         "repetition_stats": r"""

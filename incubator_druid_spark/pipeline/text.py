@@ -245,6 +245,46 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         (F.col("stop_hits") >= min_stop_hits))
 
 
+def c4_clean(df: DataFrame, text_col: str = "text",
+             min_words_per_line: int = 5,
+             min_sentences: int = 3) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2019 §2.2): keep only lines
+    that end in terminal punctuation (. ! ? or a closing double quote)
+    AND contain at least `min_words_per_line` words; flag pages
+    containing '{' (code) or the phrase 'lorem ipsum'
+    (case-insensitive); keep a page when its cleaned text still has at
+    least `min_sentences` sentences (terminal-punctuation marks) and
+    neither flag fired.
+
+    Adds: clean_text (kept lines joined by newlines), n_lines_kept,
+    n_lines_dropped, n_sentences, has_curly_brace, has_lorem_ipsum,
+    c4_keep.  Pure Column expressions — scan-speed, no shuffle."""
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, "\n", -1),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != "")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$') &
+        (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+         >= min_words_per_line))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.split(clean, r"[.!?]", -1)) - 1
+    out = (df
+           .withColumn("clean_text", clean)
+           .withColumn("n_lines_kept", F.size(kept).cast("long"))
+           .withColumn("n_lines_dropped",
+                       (F.size(lines) - F.size(kept)).cast("long"))
+           .withColumn("n_sentences", n_sent.cast("long"))
+           .withColumn("has_curly_brace", t.contains("{"))
+           .withColumn("has_lorem_ipsum",
+                       F.lower(t).contains("lorem ipsum")))
+    return out.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= min_sentences) &
+        ~F.col("has_curly_brace") & ~F.col("has_lorem_ipsum"))
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Within-document repetition signals (Gopher §A1.1): duplicate-line

@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 from incubator_druid_spark.pipeline.decontaminate import decontaminate
 from incubator_druid_spark.pipeline.packing import (chunk_documents,
                                                     pack_concat, pack_greedy)
-from incubator_druid_spark.pipeline.text import (gopher_quality, pii_counts,
-                                                 redact_pii,
+from incubator_druid_spark.pipeline.text import (c4_clean, gopher_quality,
+                                                 pii_counts, redact_pii,
                                                  repetition_stats)
 
 
@@ -297,6 +297,51 @@ class TestGopherQuality:
                       min_mean_word_len=2.0, min_alpha_word_frac=0.5,
                       min_stop_hits=1)
         assert bool(r["gopher_pass"]) is True
+
+
+# ------------------------------------------------------------ C4 rules
+
+class TestC4Clean:
+    def _row(self, spark, text, **kw):
+        return c4_clean(_docs(spark, [(1, text)]), **kw).collect()[0]
+
+    def test_line_rules(self, spark):
+        r = self._row(spark,
+                      "this line has five good words.\n"
+                      "short one.\n"                       # < 5 words
+                      "this one has no terminal punct\n"   # no terminal
+                      'he said "this is a quote line."\n'
+                      "is this a question with enough words?")
+        assert r["n_lines_kept"] == 3 and r["n_lines_dropped"] == 2
+        assert "short one." not in r["clean_text"]
+        assert "question" in r["clean_text"]
+
+    def test_keep_verdict(self, spark):
+        good = ("one full sentence with enough words here.\n"
+                "two full sentences with enough words here.\n"
+                "three full sentences with enough words here.")
+        assert bool(self._row(spark, good)["c4_keep"]) is True
+        assert bool(self._row(spark, good + "\nvar x = { y }")
+                    ["has_curly_brace"]) is True
+        assert bool(self._row(spark, good + "\nsee Lorem IPSUM text")
+                    ["has_lorem_ipsum"]) is True
+        assert bool(self._row(spark, good + "\nuses { braces }")
+                    ["c4_keep"]) is False
+
+    def test_too_few_sentences(self, spark):
+        r = self._row(spark, "only one kept sentence lives here.")
+        assert r["n_sentences"] == 1
+        assert bool(r["c4_keep"]) is False
+
+    def test_all_dropped_yields_empty(self, spark):
+        r = self._row(spark, "no punct\nstill none")
+        assert r["clean_text"] == "" and r["n_sentences"] == 0
+
+    def test_threshold_overrides(self, spark):
+        r = self._row(spark, "tiny line.\nsecond tiny.", min_words_per_line=2,
+                      min_sentences=2)
+        assert r["n_lines_kept"] == 2
+        assert bool(r["c4_keep"]) is True
 
 
 # ------------------------------------------------------ repetition stats
