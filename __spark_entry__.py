@@ -1074,12 +1074,21 @@ def _decontam_overlap(spark, sf):
     appendix-C exact n-gram collision rule): docs 0-39 stand in for the
     benchmark corpus, docs 40-239 for training data; each training doc
     reports its distinct 8-gram count and how many also occur in the
-    eval set.  The DuckDB oracle rebuilds both gram sets with the same
-    normalization and replays the distinct-join-rollup exactly."""
+    eval set.  Every fifth doc on both sides carries a shared slogan so
+    the hit path has real collisions to count (the raw synthetic
+    corpora share no 8-grams).  The DuckDB oracle rebuilds
+    both gram sets with the same normalization and replays the
+    tagged-join rollup exactly."""
     from incubator_druid_spark.pipeline.decontaminate import decontaminate
     docs = _cat(spark, sf).table("documents")
-    train = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 240))
-    ev = docs.filter(F.col("doc_id") < 40)
+    slogan = " the quick brown fox jumps over the lazy dog today"
+    spiked = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 5 == 0, F.lit(slogan))
+                  .otherwise(F.lit(""))).alias("text"))
+    train = spiked.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 240))
+    ev = spiked.filter(F.col("doc_id") < 40)
     return decontaminate(train, ev, n=8).orderBy("doc_id")
 
 
@@ -2953,11 +2962,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "decontam_overlap": r"""
-            WITH norm AS (
+            WITH spiked AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                       THEN ' the quick brown fox jumps over the lazy '
+                            || 'dog today'
+                       ELSE '' END AS text
+              FROM documents),
+            norm AS (
               SELECT doc_id,
                      trim(regexp_replace(regexp_replace(lower(text),
                           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-              FROM documents),
+              FROM spiked),
             toks AS (
               SELECT doc_id,
                      CASE WHEN t = '' THEN CAST([] AS VARCHAR[])

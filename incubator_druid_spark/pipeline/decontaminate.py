@@ -21,14 +21,12 @@ from incubator_druid_spark.pipeline.dedup import (_positioned_grams,
 
 
 def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int):
-    """(base, grams): base = (__id, __n_grams distinct); grams = distinct
+    """(base, grams): base = (__id, __n_tokens); grams = distinct
     (__id, __g).  Tokenization matches the dedup family (normalize_text +
     whitespace tokens) so decontamination and ExactSubstr agree on what a
     "word" is."""
     base, grams = _positioned_grams(df, id_col, text_col, n)
-    dg = grams.select("__id", "__g").distinct()
-    counts = dg.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_grams"))
-    return base.join(counts, "__id", "left"), dg
+    return base, grams.select("__id", "__g").distinct()
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame,
@@ -53,11 +51,17 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     )[1].select("__g").distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    hits = (train_grams.join(eval_grams, "__g")
-                       .groupBy("__id")
-                       .agg(F.count(F.lit(1)).alias("contaminated_grams")))
+    # one pass over the train grams: tag each with an eval hit via the
+    # broadcast left join, then fold totals and hits in a single
+    # aggregate (two separate groupBys would re-run the scan + explode +
+    # distinct chain — a second full pass over the training text)
+    per_doc = (train_grams
+               .join(eval_grams.withColumn("__hit", F.lit(1)), "__g", "left")
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("__n_grams"),
+                    F.count("__hit").alias("contaminated_grams")))
     return (base
-            .join(hits, "__id", "left")
+            .join(per_doc, "__id", "left")
             .select(F.col("__id").alias(id_col),
                     F.coalesce("__n_grams", F.lit(0))
                      .cast("long").alias("n_grams"),
