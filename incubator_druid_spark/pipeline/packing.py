@@ -31,9 +31,11 @@ from incubator_druid_spark.pipeline.text import token_count, tokens
 
 def _tok_count(df: DataFrame, text_col: str,
                token_count_col: str | None) -> F.Column:
+    # null text (or a null precomputed count) reads as 0 tokens — a NaN
+    # reaching pack_greedy's Arrow batch would crash the int64 cast
     if token_count_col is not None:
-        return F.col(token_count_col).cast("long")
-    return token_count(F.col(text_col)).cast("long")
+        return F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
+    return F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0))
 
 
 def _shard_of(df: DataFrame, id_col: str, shards: int) -> F.Column:

@@ -30,7 +30,10 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    # greatest(_, 0) normalizes the null-text reading across session
+    # modes: size(null) is -1 with ANSI off and null with ANSI on — a
+    # null document counts 0 tokens either way
+    return F.greatest(F.size(tokens(text)), F.lit(0))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -160,7 +163,8 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind, pat, _ in PII_PATTERNS:
         out = out.withColumn(
             f"n_{kind}",
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"))
+            F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)),
+                       F.lit(0)).cast("long"))
     return out
 
 
@@ -197,7 +201,10 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     convention that empty docs fail on word count alone."""
     t = F.col(text_col)
     toks = tokens(t)
-    n_words = F.size(toks)
+    # null text reads as the empty document (0 words, every rate 0.0,
+    # pass=false) in BOTH session modes — size(null) is -1 ANSI-off /
+    # null ANSI-on
+    n_words = F.greatest(F.size(toks), F.lit(0))
     mean_len = mean_word_length(t)
     n_symbols = (F.size(F.split(t, "#", -1)) - 1 +
                  F.size(F.split(t, r"\.\.\.", -1)) - 1 +
@@ -260,9 +267,11 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     n_lines_dropped, n_sentences, has_curly_brace, has_lorem_ipsum,
     c4_keep.  Pure Column expressions — scan-speed, no shuffle."""
     t = F.col(text_col)
-    lines = F.filter(F.transform(F.split(t, "\n", -1),
-                                 lambda l: F.trim(l)),
-                     lambda l: l != "")
+    # null text reads as the empty page (no lines, keep=false)
+    lines = F.coalesce(
+        F.filter(F.transform(F.split(t, "\n", -1), lambda l: F.trim(l)),
+                 lambda l: l != ""),
+        F.array().cast("array<string>"))
     kept = F.filter(
         lines,
         lambda l: l.rlike(r'[.!?"]$') &
@@ -276,9 +285,11 @@ def c4_clean(df: DataFrame, text_col: str = "text",
            .withColumn("n_lines_dropped",
                        (F.size(lines) - F.size(kept)).cast("long"))
            .withColumn("n_sentences", n_sent.cast("long"))
-           .withColumn("has_curly_brace", t.contains("{"))
+           .withColumn("has_curly_brace",
+                       F.coalesce(t.contains("{"), F.lit(False)))
            .withColumn("has_lorem_ipsum",
-                       F.lower(t).contains("lorem ipsum")))
+                       F.coalesce(F.lower(t).contains("lorem ipsum"),
+                                  F.lit(False))))
     return out.withColumn(
         "c4_keep",
         (F.col("n_sentences") >= min_sentences) &

@@ -344,6 +344,61 @@ class TestC4Clean:
         assert bool(r["c4_keep"]) is True
 
 
+# ------------------------------------------------------- null-text safety
+
+class TestNullText:
+    """A null text column must read as the empty document everywhere —
+    no crashes, no null-poisoned verdict columns."""
+
+    def _null_docs(self, spark):
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+        return spark.createDataFrame([(1, None), (2, "real text here.")],
+                                     schema)
+
+    def test_gopher(self, spark):
+        r = {x["doc_id"]: x for x in
+             gopher_quality(self._null_docs(spark)).collect()}
+        assert r[1]["n_words"] == 0 and bool(r[1]["gopher_pass"]) is False
+
+    def test_c4(self, spark):
+        r = {x["doc_id"]: x for x in
+             c4_clean(self._null_docs(spark)).collect()}
+        assert r[1]["clean_text"] == "" and r[1]["n_lines_kept"] == 0
+        assert bool(r[1]["c4_keep"]) is False
+        assert r[1]["has_curly_brace"] is False
+
+    def test_repetition(self, spark):
+        r = {x["doc_id"]: x for x in
+             repetition_stats(self._null_docs(spark)).collect()}
+        assert r[1]["n_lines"] == 0 and r[1]["dup_line_frac"] == 0.0
+
+    def test_pii(self, spark):
+        r = {x["doc_id"]: x for x in
+             pii_counts(self._null_docs(spark)).collect()}
+        assert r[1]["n_email"] == 0
+
+    def test_packing(self, spark):
+        r = {x["doc_id"]: x for x in
+             pack_greedy(self._null_docs(spark), seq_len=4, shards=1)
+             .collect()}
+        assert r[1]["n_tokens"] == 0 and r[1]["truncated"] is False
+        rc = {x["doc_id"]: x for x in
+              pack_concat(self._null_docs(spark), seq_len=4, shards=1)
+              .collect()}
+        assert rc[1]["n_tokens"] == 0
+
+    def test_chunk_and_decontam(self, spark):
+        rows = chunk_documents(self._null_docs(spark),
+                               chunk_tokens=2).collect()
+        assert [r["doc_id"] for r in rows] == [2, 2]
+        out = {x["doc_id"]: x for x in decontaminate(
+            self._null_docs(spark), self._null_docs(spark), n=2).collect()}
+        assert out[1]["n_grams"] == 0
+
+
 # ------------------------------------------------------ repetition stats
 
 class TestRepetitionStats:
