@@ -86,6 +86,55 @@ def main():
     from incubator_druid_spark.pipeline.text import top_terms
     top_terms(docs, "source", k=3).orderBy("source", "rank").show(9)
 
+    print("== 10. rule-based curation: Gopher flags + C4 cleaning + "
+          "repetition")
+    from incubator_druid_spark.pipeline.text import (c4_clean,
+                                                     gopher_quality,
+                                                     repetition_stats)
+    gq = gopher_quality(docs)
+    print("gopher-pass:",
+          gq.filter("gopher_pass").count(), "/", gq.count())
+    c4 = c4_clean(docs)
+    c4.select("doc_id", "n_lines_kept", "n_lines_dropped", "c4_keep") \
+      .show(5)
+    repetition_stats(docs).orderBy(
+        F.col("top_bigram_char_frac").desc()).show(5)
+
+    print("== 11. PII scrub (counts, then precedence-ordered redaction)")
+    from incubator_druid_spark.pipeline.text import pii_counts, redact_pii
+    flagged = pii_counts(docs).filter(
+        "n_email + n_ssn + n_ipv4 + n_phone > 0")
+    print("docs with PII hits:", flagged.count())
+    redact_pii(docs).select("doc_id", "redacted_text").show(2, truncate=60)
+
+    print("== 12. repeated-substring (ExactSubstr) spans + cleaning")
+    from incubator_druid_spark.pipeline.dedup import (repeated_ngram_spans,
+                                                      strip_repeated_spans)
+    spans = repeated_ngram_spans(docs, "doc_id", "text", n=8)
+    spans.orderBy(F.col("repeated_starts").desc()).show(5)
+    cleaned = strip_repeated_spans(docs, "doc_id", "text", n=8)
+    cleaned.agg(F.sum("removed_tokens").alias("tokens_removed")).show()
+
+    print("== 13. benchmark decontamination (eval grams broadcast)")
+    from incubator_druid_spark.pipeline.decontaminate import decontaminate
+    ev = docs.filter(F.col("doc_id") % 50 == 0)   # stand-in benchmark set
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    dec = decontaminate(train, ev, n=8)
+    dec.filter("contaminated_grams > 0").show(5)
+
+    print("== 14. chunk + pack for the training loader")
+    from incubator_druid_spark.pipeline.packing import (chunk_documents,
+                                                        pack_concat,
+                                                        pack_greedy)
+    print("128-token chunks:",
+          chunk_documents(docs, chunk_tokens=128).count())
+    pack_concat(docs, seq_len=512, shards=4) \
+        .agg(F.max("last_seq").alias("sequences_per_shard_max")).show()
+    pg = pack_greedy(docs, seq_len=512, shards=4)
+    pg.groupBy("shard").agg(
+        F.max("seq_id").alias("seqs"),
+        F.sum("n_tokens").alias("tokens")).orderBy("shard").show()
+
     print("done.")
 
 
