@@ -552,23 +552,26 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
     Returns (id, clean_text, n_tokens, removed_tokens).
 
     Scale shape: grams via _positioned_grams (posexplode + lead window),
-    the gram-occurrence ranking is one window over the gram key (same
-    shuffle key as the corpus count), span coverage is a bounded explode
-    (n rows per duplicate start), and reassembly is a per-doc
-    sort-aggregate — no Python, no driver state."""
-    from pyspark.sql import Window
-
+    the globally-first occurrence per gram is a min(struct(id, pos))
+    AGGREGATE — not a row_number window: partial aggregation folds a
+    boilerplate gram's millions of occurrences map-side, where a window
+    would sort them all in one un-splittable partition — followed by a
+    join back on the gram key (AQE skew-splittable) that drops exactly
+    the first occurrence; span coverage is a bounded explode (n rows per
+    duplicate start), and reassembly is a per-doc sort-aggregate — no
+    Python, no driver state."""
     from incubator_druid_spark.pipeline.text import normalize_text, tokens
 
     df = _widen_for_explode(df)
     base, grams = _positioned_grams(df, id_col, text_col, n)
-    w = Window.partitionBy("__g")
-    worder = Window.partitionBy("__g").orderBy("__id", "__pos")
-    dup_starts = (grams
-                  .withColumn("__total", F.count(F.lit(1)).over(w))
-                  .withColumn("__rk", F.row_number().over(worder))
-                  .filter((F.col("__total") >= min_repeats)
-                          & (F.col("__rk") >= 2))
+    firsts = (grams.groupBy("__g")
+              .agg(F.count(F.lit(1)).alias("__total"),
+                   F.min(F.struct("__id", "__pos")).alias("__first"))
+              .filter(F.col("__total") >= min_repeats)
+              .select("__g", "__first"))
+    dup_starts = (grams.join(firsts, "__g")
+                  .filter(~((F.col("__id") == F.col("__first.__id"))
+                            & (F.col("__pos") == F.col("__first.__pos"))))
                   .select("__id", "__pos"))
     covered = (dup_starts
                .select("__id", F.explode(F.sequence(
