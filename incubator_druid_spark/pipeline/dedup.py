@@ -46,6 +46,37 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
               .withColumnRenamed("__fp", "fingerprint"))
 
 
+def dedup_stream(df: DataFrame, key_cols: list[str] | None = None,
+                 text_col: str | None = None, time_col: str = "__time",
+                 delay: str = "10 minutes") -> DataFrame:
+    """First-arrival-wins dedup for STREAMING ingest: rows whose key (or
+    normalized-text fingerprint when `text_col` is given) was already
+    seen within the watermark horizon are dropped.
+
+    Streaming shape: withWatermark + dropDuplicatesWithinWatermark —
+    per-key state is expired once the event time passes `delay` behind
+    the watermark, so state stays bounded at any stream volume (an
+    unbounded dropDuplicates would grow state forever on a 100 TB/day
+    stream).  A duplicate arriving AFTER its original expired is kept —
+    the within-horizon contract; run batch fingerprint_dedup over the
+    landed table for the global pass.  On a batch frame this degrades to
+    plain dropDuplicates over the same key for parity testing."""
+    if (key_cols is None) == (text_col is None):
+        raise ValueError("pass exactly one of key_cols / text_col")
+    if text_col is not None:
+        work = df.withColumn("__dedup_key",
+                             F.xxhash64(normalize_text(F.col(text_col))))
+    else:
+        work = df.withColumn("__dedup_key",
+                             F.xxhash64(*[F.col(c) for c in key_cols]))
+    if df.isStreaming:
+        out = (work.withWatermark(time_col, delay)
+                   .dropDuplicatesWithinWatermark(["__dedup_key"]))
+    else:
+        out = work.dropDuplicates(["__dedup_key"])
+    return out.drop("__dedup_key")
+
+
 # ---------------------------------------------------------------------------
 # shingles + minhash
 # ---------------------------------------------------------------------------
