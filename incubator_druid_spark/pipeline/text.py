@@ -383,9 +383,17 @@ def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
 
     Shape: tokenize scan-side (Column expressions, no UDF) → one explode →
     partial-aggregated (group, term) counts → per-group top-k via a rank
-    window over the already-aggregated (small) frame.  The explode output
+    window over the already-aggregated frame.  The explode output
     carries only (group, term) — the document text never shuffles.  Ties
-    break lexicographically so results are deterministic cross-engine."""
+    break lexicographically so results are deterministic cross-engine.
+
+    Top-k is TWO-PHASE: a per-(group, term-hash-salt) window prunes to k
+    candidates per salt — each salt partition holds only a slice of the
+    group's vocabulary, so no partition ever sorts the whole vocabulary
+    (a single-window top-k over a web corpus' ~10^8-term groups is a
+    straggler) — then the final window ranks the tiny candidate set.
+    Counts are final before phase 1, so any global top-k row is in its
+    salt's top-k and the result is identical to the one-window form."""
     toks = F.transform(tokens(F.lower(F.col(text_col))),
                        lambda t: F.regexp_replace(t, r"[^a-z0-9]", ""))
     terms = (df.select(F.col(group_col), F.explode(toks).alias("term"))
@@ -393,7 +401,15 @@ def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
                .groupBy(group_col, "term")
                .agg(F.count(F.lit(1)).alias("term_count")))
     from pyspark.sql import Window
-    w = (Window.partitionBy(group_col)
-         .orderBy(F.col("term_count").desc(), F.col("term")))
-    return (terms.withColumn("rank", F.row_number().over(w).cast("long"))
-                 .filter(F.col("rank") <= k))
+    n_salts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    order = (F.col("term_count").desc(), F.col("term"))
+    w_salt = (Window.partitionBy(group_col, "__salt").orderBy(*order))
+    cand = (terms
+            .withColumn("__salt", F.pmod(F.xxhash64("term"),
+                                         F.lit(n_salts)))
+            .withColumn("__r", F.row_number().over(w_salt))
+            .filter(F.col("__r") <= k)
+            .drop("__salt", "__r"))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k))
