@@ -1308,6 +1308,22 @@ def _ann_brute_topk(spark, sf):
               .orderBy(F.col("cosine").desc(), "vec_id")
 
 
+def _knn_join_topk(spark, sf):
+    """Set-to-set brute-force kNN join (pipeline/similarity.py knn_join):
+    top-5 corpus neighbors for each of the first 10 vectors via the
+    Arrow GEMM kernel with batch-local top-k pruning.  The DuckDB oracle
+    replays the full cross-product ranking — any pruning bug that drops
+    a true neighbor at a batch boundary breaks the exact compare."""
+    from incubator_druid_spark.pipeline.similarity import knn_join
+    emb = _cat(spark, sf).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return (knn_join(corpus, queries, k=5)
+            .select("q_id", "rank", "c_id",
+                    F.round("cosine", 4).alias("cosine"))
+            .orderBy("q_id", "rank"))
+
+
 def _cosine_near_dup(spark, sf):
     """Exact embedding-cosine near-dup pairs (the verifier for the LSH
     variant) — all (a<b) pairs with cosine >= 0.47."""
@@ -2039,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_stats": _gopher_stats,
         "repetition_stats": _repetition_stats,
         "c4_stats": _c4_stats,
+        "knn_join_topk": _knn_join_topk,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -2106,10 +2123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-8 window: lead with the entries whose CODE is NEW this round —
-# the nine new-never-gated pipeline entries (decontam_overlap,
+# the ten new-never-gated pipeline entries (decontam_overlap,
 # chunk_fixed, pack_concat_spans, pack_greedy_nextfit, pii_stats,
-# pii_redact, gopher_stats, repetition_stats, c4_stats) and the two
-# repeated-span entries — then the entries whose
+# pii_redact, gopher_stats, repetition_stats, c4_stats, knn_join_topk)
+# and the two repeated-span entries — then the entries whose
 # code or fixture changed this round: multimodal_decode (new VP8
 # key-frame fixture), theta_sketch_column_estimate + schema_evolution_sum
 # (fixtures made timezone-independent), approx_histogram
@@ -2123,11 +2140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # search_fragment, tuple_sketch, spatial_rect, gb_case_expression,
 # gb_extraction_substr, legacy_null_mode, ts_day, gb_event_type,
 # scan_purchases, search_types, topn_event_type, time_boundary,
-# bloom_filtered_count, theta_intersect, gb_having.
+# bloom_filtered_count, theta_intersect, gb_having, dedup_exact.
 _WINDOW_R8 = [
     "decontam_overlap", "chunk_fixed", "pack_concat_spans",
     "pack_greedy_nextfit", "pii_stats", "pii_redact",
-    "gopher_stats", "repetition_stats", "c4_stats",
+    "gopher_stats", "repetition_stats", "c4_stats", "knn_join_topk",
     "multimodal_decode", "repeated_ngram_stats", "strip_repeated_stats",
     "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
@@ -2141,7 +2158,7 @@ _WINDOW_R8 = [
     "ts_hour_filtered", "gb_first_last",
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
     "scan_offset", "topn_users",
-    "sessionize_stats", "minhash_pairs", "dedup_exact",
+    "sessionize_stats", "minhash_pairs",
     "ann_ivf_topk_indexed",
 ]
 
@@ -2734,6 +2751,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact brute-force top-k via DuckDB list ops; the ivf_in_top20
         # column asserts the IVF containment verdict (all k inside top-(k+m))
+        "knn_join_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id >= 10),
+            scored AS (
+              SELECT q.q_id, c.c_id,
+                     list_cosine_similarity(q.qv, c.cv) AS cos
+              FROM q CROSS JOIN c),
+            ranked AS (
+              SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rank
+              FROM scored)
+            SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+                   round(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+        """,
         "ann_brute_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id = 0)

@@ -51,6 +51,80 @@ def cosine_topk(df: DataFrame, query_vec, k: int = 10,
               .limit(k))
 
 
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str | None = None,
+             query_vec_col: str | None = None,
+             max_queries: int = 100_000) -> DataFrame:
+    """Brute-force k-nearest-neighbor JOIN by cosine: the top-k corpus
+    rows for EVERY query row.  Returns (q_id, rank, c_id, cosine), rank
+    1-based, ties broken by ascending corpus id.
+
+    Scale shape (100 TB corpus × bounded query set): the query matrix is
+    collected once (guarded by `max_queries` — queries are the SMALL
+    side by contract; refuse loudly rather than silently collect a
+    corpus) and shipped to executors inside an Arrow `mapInPandas`
+    kernel that runs one float64 GEMM per corpus batch and emits only
+    its batch-local top-k per query — the shuffle carries
+    |Q| × partitions × k candidate rows, never the |Q| × |C| cross
+    product a crossJoin+window would materialize.  The final per-query
+    rank is a window over that bounded candidate set.  (numpy GEMM here
+    for the same reason as the minhash kernel: element-wise Catalyst
+    HOFs are CodegenFallback and an order of magnitude slower than one
+    BLAS call per batch.)"""
+    import pandas as pd
+
+    qid_col = query_id_col or id_col
+    qvec_col = query_vec_col or vec_col
+    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join collected more than max_queries={max_queries} query "
+            "rows; the query side must be the small one — swap the inputs "
+            "or raise max_queries explicitly")
+    if not qrows:
+        raise ValueError("knn_join: empty query set")
+    q_ids = [r[0] for r in qrows]
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.where(qn > 0, qn, 1.0)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__cid"].to_numpy()
+            cm = np.array(list(pdf["__cvec"]), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.where(cn > 0, cn, 1.0)
+            sims = qm @ cm.T  # (|Q|, batch)
+            kk = min(k, sims.shape[1])
+            out_q, out_c, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                # exact (cosine desc, id asc) order incl. boundary ties
+                order = np.lexsort((ids, -row))[:kk]
+                out_q.extend([q_ids[qi]] * kk)
+                out_c.extend(ids[order])
+                out_s.extend(row[order])
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c,
+                                "cosine": out_s})
+
+    q_id_type = queries.schema[qid_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    cand = (corpus.select(F.col(id_col).alias("__cid"),
+                          F.col(vec_col).cast("array<double>")
+                           .alias("__cvec"))
+            .mapInPandas(kernel,
+                         schema=(f"q_id {q_id_type}, c_id {c_id_type}, "
+                                 "cosine double")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k)
+                .select("q_id", "rank", "c_id", "cosine"))
+
+
 def hyperplane_signature(vec_col: Column, planes: np.ndarray) -> Column:
     """LSH signature: one bit per hyperplane (sign of the dot product),
     packed into a long per 16-plane band below."""
