@@ -1308,6 +1308,19 @@ def _ann_brute_topk(spark, sf):
               .orderBy(F.col("cosine").desc(), "vec_id")
 
 
+def _mixture_epochs(spark, sf):
+    """Weighted corpus mixture (pipeline/sampling.py weighted_mixture):
+    src0 upsampled 2.5x (two full epochs + the md5-fraction), src1
+    downsampled to 0.5, src2 dropped, everything else 1.0.  The DuckDB
+    oracle replays the md5-uniform and the epoch explode exactly."""
+    from incubator_druid_spark.pipeline.sampling import weighted_mixture
+    docs = _cat(spark, sf).table("documents")
+    return (weighted_mixture(docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0},
+                             "source", "doc_id")
+            .select("doc_id", "source", "epoch")
+            .orderBy("doc_id", "epoch"))
+
+
 def _knn_join_topk(spark, sf):
     """Set-to-set brute-force kNN join (pipeline/similarity.py knn_join):
     top-5 corpus neighbors for each of the first 10 vectors via the
@@ -2056,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "c4_stats": _c4_stats,
         "knn_join_topk": _knn_join_topk,
+        "mixture_epochs": _mixture_epochs,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -2123,10 +2137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-8 window: lead with the entries whose CODE is NEW this round —
-# the ten new-never-gated pipeline entries (decontam_overlap,
+# the eleven new-never-gated pipeline entries (decontam_overlap,
 # chunk_fixed, pack_concat_spans, pack_greedy_nextfit, pii_stats,
-# pii_redact, gopher_stats, repetition_stats, c4_stats, knn_join_topk)
-# and the two repeated-span entries — then the entries whose
+# pii_redact, gopher_stats, repetition_stats, c4_stats, knn_join_topk,
+# mixture_epochs) and the two repeated-span entries — then the entries
+# whose
 # code or fixture changed this round: multimodal_decode (new VP8
 # key-frame fixture), theta_sketch_column_estimate + schema_evolution_sum
 # (fixtures made timezone-independent), approx_histogram
@@ -2140,11 +2155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # search_fragment, tuple_sketch, spatial_rect, gb_case_expression,
 # gb_extraction_substr, legacy_null_mode, ts_day, gb_event_type,
 # scan_purchases, search_types, topn_event_type, time_boundary,
-# bloom_filtered_count, theta_intersect, gb_having, dedup_exact.
+# bloom_filtered_count, theta_intersect, gb_having, dedup_exact,
+# sessionize_stats.
 _WINDOW_R8 = [
     "decontam_overlap", "chunk_fixed", "pack_concat_spans",
     "pack_greedy_nextfit", "pii_stats", "pii_redact",
     "gopher_stats", "repetition_stats", "c4_stats", "knn_join_topk",
+    "mixture_epochs",
     "multimodal_decode", "repeated_ngram_stats", "strip_repeated_stats",
     "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
@@ -2158,7 +2175,7 @@ _WINDOW_R8 = [
     "ts_hour_filtered", "gb_first_last",
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
     "scan_offset", "topn_users",
-    "sessionize_stats", "minhash_pairs",
+    "minhash_pairs",
     "ann_ivf_topk_indexed",
 ]
 
@@ -2751,6 +2768,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact brute-force top-k via DuckDB list ops; the ivf_in_top20
         # column asserts the IVF containment verdict (all k inside top-(k+m))
+        "mixture_epochs": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM documents),
+            n AS (SELECT doc_id, source,
+                         CAST(floor(wt) AS BIGINT)
+                         + CASE WHEN u < wt - floor(wt) THEN 1
+                                ELSE 0 END AS nc
+                  FROM w)
+            SELECT doc_id, source,
+                   CAST(unnest(range(0, nc)) AS BIGINT) AS epoch
+            FROM n WHERE nc > 0 ORDER BY doc_id, epoch
+        """,
         "knn_join_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 10),

@@ -57,6 +57,38 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
               .drop("__rk", "__salt"))
 
 
+def weighted_mixture(df: DataFrame, weights: dict[str, float],
+                     strata_col: str = "source", id_col: str = "doc_id",
+                     default_weight: float = 1.0) -> DataFrame:
+    """Corpus mixing by per-stratum sampling weight — the 'N epochs of
+    wikipedia, 0.5 of common-crawl' recipe training mixtures are built
+    from.  Weight w emits floor(w) full copies of every row plus one
+    extra copy for the deterministic md5-fraction of rows below the
+    fractional part; each copy carries an `epoch` column (0-based) so
+    the loader can vary shuffling/masking per repetition.
+
+    Deterministic (md5 of the id — same rows chosen on every engine and
+    every run) and closed-form: one weight projection + one bounded
+    explode, no shuffle, no driver state.  Weight 0 drops the stratum."""
+    if any(v < 0 for v in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(w)
+    full = F.floor(w).cast("long")
+    frac = w - full
+    # uniform [0,1): first 8 md5 hex chars of the id
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("double") / F.lit(float(16 ** 8)))
+    n_copies = full + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    return (df.withColumn("__n_copies", n_copies)
+              .filter(F.col("__n_copies") > 0)
+              .withColumn("epoch", F.explode(
+                  F.sequence(F.lit(0).cast("long"),
+                             F.col("__n_copies") - 1)))
+              .drop("__n_copies"))
+
+
 def proportional_sample(df: DataFrame, strata_col: str, id_col: str,
                         fraction: float, salts: int = 1) -> DataFrame:
     """ceil(fraction × |stratum|) rows per stratum, same ordering — every

@@ -344,6 +344,52 @@ class TestC4Clean:
         assert bool(r["c4_keep"]) is True
 
 
+# --------------------------------------------------------- weighted mixture
+
+class TestWeightedMixture:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [Row(doc_id=i, source=f"s{i % 3}", text="x") for i in range(30)])
+
+    def test_integer_weights_exact_copies(self, spark):
+        from incubator_druid_spark.pipeline.sampling import weighted_mixture
+        out = weighted_mixture(self._df(spark), {"s0": 3.0, "s1": 0.0},
+                               "source", "doc_id").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r["epoch"])
+        assert len(by_src["s0"]) == 30  # 10 docs x 3 epochs
+        assert sorted(set(by_src["s0"])) == [0, 1, 2]
+        assert "s1" not in by_src
+        assert len(by_src["s2"]) == 10  # default weight 1.0
+
+    def test_fractional_weight_is_deterministic_subset(self, spark):
+        from incubator_druid_spark.pipeline.sampling import weighted_mixture
+        a = sorted(r["doc_id"] for r in weighted_mixture(
+            self._df(spark), {"s0": 0.5, "s1": 0.0, "s2": 0.0},
+            "source", "doc_id").collect())
+        b = sorted(r["doc_id"] for r in weighted_mixture(
+            self._df(spark), {"s0": 0.5, "s1": 0.0, "s2": 0.0},
+            "source", "doc_id").collect())
+        assert a == b and 0 < len(a) < 10
+        # fractional selections nest: every 0.3-doc is also a 0.6-doc
+        lo = set(r["doc_id"] for r in weighted_mixture(
+            self._df(spark), {"s0": 0.3, "s1": 0.0, "s2": 0.0},
+            "source", "doc_id").collect())
+        hi = set(r["doc_id"] for r in weighted_mixture(
+            self._df(spark), {"s0": 0.6, "s1": 0.0, "s2": 0.0},
+            "source", "doc_id").collect())
+        assert lo <= hi
+
+    def test_negative_weight_raises(self, spark):
+        import pytest as _pytest
+
+        from incubator_druid_spark.pipeline.sampling import weighted_mixture
+        with _pytest.raises(ValueError):
+            weighted_mixture(self._df(spark), {"s0": -1.0},
+                             "source", "doc_id")
+
+
 # ------------------------------------------------------- null-text safety
 
 class TestNullText:
