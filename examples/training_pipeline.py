@@ -135,6 +135,18 @@ def main():
         F.max("seq_id").alias("seqs"),
         F.sum("n_tokens").alias("tokens")).orderBy("shard").show()
 
+    print("== 15. weighted mixture (2x one source, half another)")
+    from incubator_druid_spark.pipeline.sampling import weighted_mixture
+    mix = weighted_mixture(docs, {"src0": 2.0, "src1": 0.5},
+                           "source", "doc_id")
+    mix.groupBy("source").count().orderBy("source").show(5)
+
+    print("== 16. set-to-set kNN join (every query's top-3 neighbors)")
+    from incubator_druid_spark.pipeline.similarity import knn_join
+    knn = knn_join(emb.filter(F.col("vec_id") >= 5),
+                   emb.filter(F.col("vec_id") < 5), k=3)
+    knn.orderBy("q_id", "rank").show(9)
+
     print("done.")
 
 
