@@ -92,6 +92,38 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content",
     ))
 
 
+def mp4_sample_rows(df: DataFrame, content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Explode MP4 binaries into per-sample rows — the zero-decode
+    frame-scheduling surface (pipeline/probe.py mp4_sample_index): one
+    row per sample with (track, sample, dts_ms, offset, size, keyframe,
+    handler, codec).  A curation job filters this frame (keyframes only,
+    every Nth sample, dts ranges) and fetches just the selected BYTE
+    RANGES — no codec, no full-file decode.  Arrow mapInPandas; rows for
+    malformed blobs are simply absent (probe-tier contract)."""
+    from incubator_druid_spark.pipeline.probe import mp4_sample_index
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["track", "sample", "dts_ms", "offset", "size",
+                "keyframe", "handler", "codec"]
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                for s in mp4_sample_index(blob):
+                    out.append({id_col: rid, **{k: s[k] for k in cols}})
+            yield pd.DataFrame(
+                out, columns=[id_col] + cols) if out else pd.DataFrame(
+                {c: [] for c in [id_col] + cols})
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema=(f"{id_col} {id_type}, track int, sample long, dts_ms long, "
+                "offset long, size long, keyframe boolean, handler string, "
+                "codec string"))
+
+
 def _fake_pixels(data: bytes, w: int, h: int) -> list[float]:
     """Deterministic stand-in for a decoded+pooled image: hash-seeded floats."""
     h0 = hashlib.sha256(data or b"").digest()

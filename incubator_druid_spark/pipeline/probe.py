@@ -336,3 +336,141 @@ def _probe_ogg(data: bytes) -> dict:
         if granule > 0:
             out["duration_ms"] = int(round(granule * 1000 / sr))
     return out
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample index — zero-decode frame/sample scheduling
+# ---------------------------------------------------------------------------
+
+def mp4_sample_index(data: bytes) -> list[dict]:
+    """Per-sample index from the ISO-BMFF sample tables (ISO/IEC
+    14496-12 §8.5-8.7, same public spec as _probe_mp4's box walk): for
+    every track, each sample's 1-based index, decode timestamp in ms
+    (stts deltas over the track's mdhd timescale), byte offset and size
+    in the file (stsc sample-to-chunk × stco/co64 chunk offsets + stsz
+    sizes), keyframe flag (stss sync table — ABSENT means every sample
+    is a sync sample, §8.6.2), handler type and the first stsd entry's
+    codec fourcc.
+
+    This is the "frame-sample" scheduling primitive for multimodal
+    curation: pick keyframes or every-Nth-frame BYTE RANGES without
+    touching a codec.  Returns [] on malformed/truncated input — the
+    probe-tier contract (never raise on one bad blob)."""
+    data = bytes(data or b"")
+    traks: list[dict] = []
+
+    def walk(pos, end, trak=None):
+        while pos + 8 <= end:
+            size = struct.unpack(">I", data[pos:pos + 4])[0]
+            box = data[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                body = pos + 16
+            if size == 0:
+                size = end - pos
+            if size < 8 or pos + size > end:
+                return
+            if box == b"moov":
+                walk(body, pos + size)
+            elif box == b"trak":
+                t: dict = {"id": len(traks) + 1}
+                traks.append(t)
+                walk(body, pos + size, trak=t)
+            elif box in (b"mdia", b"minf", b"stbl"):
+                walk(body, pos + size, trak=trak)
+            elif trak is None:
+                pass
+            elif box == b"mdhd":
+                ver = data[body]
+                off = body + (20 if ver == 1 else 12)
+                trak["scale"] = struct.unpack(">I", data[off:off + 4])[0]
+            elif box == b"hdlr":
+                trak["hdlr"] = data[body + 8:body + 12].decode(
+                    "ascii", "replace")
+            elif box == b"stsd":
+                n = struct.unpack(">I", data[body + 4:body + 8])[0]
+                if n >= 1:
+                    trak["codec"] = data[body + 12:body + 16].decode(
+                        "ascii", "replace")
+            elif box == b"stts":
+                n = struct.unpack(">I", data[body + 4:body + 8])[0]
+                trak["stts"] = [struct.unpack(
+                    ">II", data[body + 8 + 8 * i:body + 16 + 8 * i])
+                    for i in range(n)]
+            elif box == b"stsz":
+                fixed, n = struct.unpack(">II", data[body + 4:body + 12])
+                trak["n_samples"] = n
+                trak["sizes"] = (None if fixed else [struct.unpack(
+                    ">I", data[body + 12 + 4 * i:body + 16 + 4 * i])[0]
+                    for i in range(n)])
+                trak["fixed_size"] = fixed or None
+            elif box == b"stsc":
+                n = struct.unpack(">I", data[body + 4:body + 8])[0]
+                trak["stsc"] = [struct.unpack(
+                    ">III", data[body + 8 + 12 * i:body + 20 + 12 * i])[:2]
+                    for i in range(n)]
+            elif box in (b"stco", b"co64"):
+                n = struct.unpack(">I", data[body + 4:body + 8])[0]
+                wd, fmt = (8, ">Q") if box == b"co64" else (4, ">I")
+                trak["chunks"] = [struct.unpack(
+                    fmt, data[body + 8 + wd * i:body + 8 + wd * (i + 1)])[0]
+                    for i in range(n)]
+            elif box == b"stss":
+                n = struct.unpack(">I", data[body + 4:body + 8])[0]
+                trak["sync"] = {struct.unpack(
+                    ">I", data[body + 8 + 4 * i:body + 12 + 4 * i])[0]
+                    for i in range(n)}
+            pos += size
+
+    try:
+        walk(0, len(data))
+        rows: list[dict] = []
+        for t in traks:
+            n = t.get("n_samples")
+            if not n or "stts" not in t or "stsc" not in t \
+                    or "chunks" not in t or not t.get("scale"):
+                continue
+            sizes = t["sizes"] if t.get("sizes") is not None \
+                else [t["fixed_size"]] * n
+            if len(sizes) < n:
+                continue
+            # stts deltas -> cumulative decode times
+            dts, acc = [], 0
+            for cnt, delta in t["stts"]:
+                for _ in range(cnt):
+                    if len(dts) >= n:
+                        break
+                    dts.append(acc)
+                    acc += delta
+            if len(dts) < n:
+                continue
+            # sample-to-chunk expansion: entry (first_chunk, spc) holds
+            # until the next entry's first_chunk (1-based)
+            stsc = t["stsc"]
+            chunk_spc = []
+            for ei, (first, spc) in enumerate(stsc):
+                last = (stsc[ei + 1][0] - 1 if ei + 1 < len(stsc)
+                        else len(t["chunks"]))
+                chunk_spc.extend((spc,) * max(0, last - first + 1))
+            sync = t.get("sync")
+            si = 0
+            for ci, coff in enumerate(t["chunks"]):
+                spc = chunk_spc[ci] if ci < len(chunk_spc) else 0
+                off = coff
+                for _ in range(spc):
+                    if si >= n:
+                        break
+                    rows.append({
+                        "track": t["id"], "sample": si + 1,
+                        "dts_ms": int(round(dts[si] * 1000 / t["scale"])),
+                        "offset": off, "size": sizes[si],
+                        "keyframe": (sync is None) or (si + 1 in sync),
+                        "handler": t.get("hdlr"),
+                        "codec": t.get("codec"),
+                    })
+                    off += sizes[si]
+                    si += 1
+        return rows
+    except (struct.error, IndexError, ValueError):
+        return []
