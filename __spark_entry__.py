@@ -1308,6 +1308,20 @@ def _ann_brute_topk(spark, sf):
               .orderBy(F.col("cosine").desc(), "vec_id")
 
 
+def _seq_materialize(spark, sf):
+    """Loader-ready sequence materialization (pipeline/packing.py
+    materialize_sequences over pack_greedy assignments): one row per
+    packed sequence with member texts concatenated in id order —
+    seq_text itself is on the hash, so the join, the per-sequence
+    ordering and the separator are all exact-checked."""
+    from incubator_druid_spark.pipeline.packing import (
+        materialize_sequences, pack_greedy)
+    docs = _cat(spark, sf).table("documents")
+    packed = pack_greedy(docs, seq_len=100, shards=4)
+    return (materialize_sequences(docs, packed)
+            .orderBy("shard", "seq_id"))
+
+
 def _mixture_epochs(spark, sf):
     """Weighted corpus mixture (pipeline/sampling.py weighted_mixture):
     src0 upsampled 2.5x (two full epochs + the md5-fraction), src1
@@ -2070,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_stats": _c4_stats,
         "knn_join_topk": _knn_join_topk,
         "mixture_epochs": _mixture_epochs,
+        "seq_materialize": _seq_materialize,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -2137,11 +2152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-8 window: lead with the entries whose CODE is NEW this round —
-# the eleven new-never-gated pipeline entries (decontam_overlap,
+# the twelve new-never-gated pipeline entries (decontam_overlap,
 # chunk_fixed, pack_concat_spans, pack_greedy_nextfit, pii_stats,
 # pii_redact, gopher_stats, repetition_stats, c4_stats, knn_join_topk,
-# mixture_epochs) and the two repeated-span entries — then the entries
-# whose
+# mixture_epochs, seq_materialize) and the two repeated-span entries —
+# then the entries whose
 # code or fixture changed this round: multimodal_decode (new VP8
 # key-frame fixture), theta_sketch_column_estimate + schema_evolution_sum
 # (fixtures made timezone-independent), approx_histogram
@@ -2156,12 +2171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # gb_extraction_substr, legacy_null_mode, ts_day, gb_event_type,
 # scan_purchases, search_types, topn_event_type, time_boundary,
 # bloom_filtered_count, theta_intersect, gb_having, dedup_exact,
-# sessionize_stats.
+# sessionize_stats, scan_offset.
 _WINDOW_R8 = [
     "decontam_overlap", "chunk_fixed", "pack_concat_spans",
     "pack_greedy_nextfit", "pii_stats", "pii_redact",
     "gopher_stats", "repetition_stats", "c4_stats", "knn_join_topk",
-    "mixture_epochs",
+    "mixture_epochs", "seq_materialize",
     "multimodal_decode", "repeated_ngram_stats", "strip_repeated_stats",
     "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
@@ -2174,7 +2189,7 @@ _WINDOW_R8 = [
     "media_probe", "text_top_terms", "gb_in_not_filter",
     "ts_hour_filtered", "gb_first_last",
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
-    "scan_offset", "topn_users",
+    "topn_users",
     "minhash_pairs",
     "ann_ivf_topk_indexed",
 ]
@@ -2768,6 +2783,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact brute-force top-k via DuckDB list ops; the ivf_in_top20
         # column asserts the IVF containment verdict (all k inside top-(k+m))
+        "seq_materialize": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     least(CAST(len(list_filter(
+                          string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS BIGINT), 100) AS tok,
+                     CAST(doc_id % 4 AS BIGINT) AS shard
+              FROM documents),
+            o AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                               ORDER BY doc_id) AS rn
+                  FROM t),
+            state AS (
+              SELECT shard, rn, doc_id, tok,
+                     CAST(0 AS BIGINT) AS seq_id, tok AS fill
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.rn, d.doc_id, d.tok,
+                     CASE WHEN s.fill + d.tok > 100 THEN s.seq_id + 1
+                          ELSE s.seq_id END,
+                     CASE WHEN s.fill + d.tok > 100 THEN d.tok
+                          ELSE s.fill + d.tok END
+              FROM state s JOIN o d ON d.shard = s.shard
+                                   AND d.rn = s.rn + 1),
+            seqs AS (
+              SELECT st.shard, st.seq_id,
+                     string_agg(d.text, e'\n\n' ORDER BY st.doc_id)
+                         AS seq_text,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM state st JOIN documents d USING (doc_id)
+              GROUP BY st.shard, st.seq_id)
+            SELECT shard, seq_id, seq_text, n_docs,
+                   CAST(len(list_filter(
+                        string_split_regex(seq_text, '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM seqs ORDER BY shard, seq_id
+        """,
         "mixture_epochs": r"""
             WITH w AS (
               SELECT doc_id, source,

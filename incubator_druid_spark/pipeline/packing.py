@@ -166,3 +166,35 @@ def pack_greedy(df: DataFrame, id_col: str = "doc_id",
         schema=(f"__id {id_type}, shard long, seq_id long, n_tokens long, "
                 "truncated boolean"))
     return out.withColumnRenamed("__id", id_col)
+
+
+def materialize_sequences(df: DataFrame, packed: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          separator: str = "\n\n") -> DataFrame:
+    """Turn packing ASSIGNMENTS into loader-ready sequence rows: join the
+    documents to a (id, shard, seq_id) assignment frame (pack_greedy
+    output — or anything with those columns) and emit one row per
+    sequence with the member texts concatenated in id order.
+
+    Returns (shard, seq_id, seq_text, n_docs, n_tokens).
+
+    Shape: one broadcast-or-shuffle join on the id + one per-(shard,
+    seq_id) sort-aggregate (collect_list of (id, text) structs,
+    array_sort, join) — sequence groups are bounded by seq_len, so the
+    collected list per group is small by construction no matter the
+    corpus size."""
+    from incubator_druid_spark.pipeline.text import token_count
+
+    asg = packed.select(F.col(id_col).alias("__id"), "shard", "seq_id")
+    docs = df.select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__text"))
+    joined = docs.join(asg, "__id")
+    return (joined
+            .groupBy("shard", "seq_id")
+            .agg(F.concat_ws(separator, F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("__id"), F.col("__text")))),
+                     lambda s: s["__text"])).alias("seq_text"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .withColumn("n_tokens",
+                        token_count(F.col("seq_text")).cast("long")))

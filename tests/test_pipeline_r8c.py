@@ -344,6 +344,40 @@ class TestC4Clean:
         assert bool(r["c4_keep"]) is True
 
 
+# ----------------------------------------------------- sequence materialize
+
+class TestMaterializeSequences:
+    def test_concat_in_id_order(self, spark):
+        from incubator_druid_spark.pipeline.packing import (
+            materialize_sequences, pack_greedy)
+        df = _docs(spark, [(8, "late words"), (0, "first words"),
+                           (4, "middle words")])
+        packed = pack_greedy(df, seq_len=10, shards=4)  # all shard 0, seq 0
+        out = materialize_sequences(df, packed).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["seq_text"] == "first words\n\nmiddle words\n\nlate words"
+        assert r["n_docs"] == 3 and r["n_tokens"] == 6
+
+    def test_sequence_split(self, spark):
+        from incubator_druid_spark.pipeline.packing import (
+            materialize_sequences, pack_greedy)
+        df = _docs(spark, [(0, "a b c"), (4, "d e f"), (8, "g h i")])
+        packed = pack_greedy(df, seq_len=7, shards=4)
+        out = {(r["shard"], r["seq_id"]): r["seq_text"] for r in
+               materialize_sequences(df, packed).collect()}
+        assert out == {(0, 0): "a b c\n\nd e f", (0, 1): "g h i"}
+
+    def test_custom_separator(self, spark):
+        from incubator_druid_spark.pipeline.packing import (
+            materialize_sequences, pack_greedy)
+        df = _docs(spark, [(0, "x"), (4, "y")])
+        packed = pack_greedy(df, seq_len=10, shards=4)
+        r = materialize_sequences(df, packed,
+                                  separator="<|eod|>").collect()[0]
+        assert r["seq_text"] == "x<|eod|>y"
+
+
 # --------------------------------------------------------- weighted mixture
 
 class TestWeightedMixture:
