@@ -10,6 +10,16 @@ Stages (each one scan/shuffle-disciplined — see module docstrings):
   4. MinHash-LSH near-dup pairs with exact-Jaccard verification
   5. embedding ANN: brute-force top-k baseline vs IVF (partition-pruned)
   6. near-dup pairs in embedding space (hyperplane LSH + cosine verify)
+  7. near-dup groups (connected components) → keep one per group
+  8. stratified sampling
+  9. per-source top terms
+  10. rule-based curation: Gopher flags, C4 cleaning, repetition signals
+  11. PII scrub (counts, then precedence-ordered redaction)
+  12. repeated-substring (ExactSubstr) spans + cleaning
+  13. benchmark decontamination (eval grams broadcast)
+  14. chunking + sequence packing for the training loader
+  15. weighted corpus mixture (per-source epochs)
+  16. set-to-set kNN join
 """
 
 import os
