@@ -76,7 +76,11 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     qid_col = query_id_col or id_col
     qvec_col = query_vec_col or vec_col
-    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    # null vectors would turn the numpy matrices into object arrays and
+    # crash the GEMM — rows without an embedding simply don't participate
+    qrows = (queries.select(qid_col, qvec_col)
+             .filter(F.col(qvec_col).isNotNull())
+             .limit(max_queries + 1).collect())
     if len(qrows) > max_queries:
         raise ValueError(
             f"knn_join collected more than max_queries={max_queries} query "
@@ -115,6 +119,7 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cand = (corpus.select(F.col(id_col).alias("__cid"),
                           F.col(vec_col).cast("array<double>")
                            .alias("__cvec"))
+            .filter(F.col("__cvec").isNotNull())
             .mapInPandas(kernel,
                          schema=(f"q_id {q_id_type}, c_id {c_id_type}, "
                                  "cosine double")))

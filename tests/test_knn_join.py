@@ -66,6 +66,18 @@ class TestKnnJoin:
         queries = _vecs(spark, [(1, [1.0, 0.0])])
         assert len(knn_join(corpus, queries, k=5).collect()) == 1
 
+    def test_null_embeddings_skipped(self, spark):
+        corpus = spark.createDataFrame(
+            [Row(vec_id=10, embedding=[1.0, 0.0]),
+             Row(vec_id=11, embedding=None)],
+            "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, 0.0]),
+             Row(vec_id=2, embedding=None)],
+            "vec_id long, embedding array<double>")
+        out = knn_join(corpus, queries, k=2).collect()
+        assert [(r["q_id"], r["c_id"]) for r in out] == [(1, 10)]
+
     def test_max_queries_guard(self, spark):
         df = _vecs(spark, [(i, [1.0, 0.0]) for i in range(5)])
         with pytest.raises(ValueError, match="max_queries"):
