@@ -1308,6 +1308,30 @@ def _ann_brute_topk(spark, sf):
               .orderBy(F.col("cosine").desc(), "vec_id")
 
 
+def _script_profile(spark, sf):
+    """Unicode script histogram + dominant script (pipeline/text.py
+    script_profile) over deterministic multilingual text — the script
+    ranges are EXPLICIT codepoint classes so the identical pattern
+    strings run in Spark (Java regex) and DuckDB (RE2); every count and
+    the dominant-script verdict are on the hash."""
+    from incubator_druid_spark.pipeline.text import script_profile
+    docs = _cat(spark, sf).table("documents").filter(F.col("doc_id") < 200)
+    suffix = (F.when(F.col("doc_id") % 4 == 0,
+                     F.lit(" привет мир это тест"))
+               .when(F.col("doc_id") % 4 == 1,
+                     F.lit(" مرحبا بالعالم هذا نص"))
+               .when(F.col("doc_id") % 4 == 2,
+                     F.lit(" 你好世界 これはテスト 안녕하세요"))
+               .otherwise(F.lit(" γεια σου κόσμε नमस्ते दुनिया")))
+    src = docs.select("doc_id", F.concat(F.col("text"), suffix)
+                      .alias("text"))
+    return (script_profile(src)
+            .select("doc_id", "n_latin", "n_cyrillic", "n_greek",
+                    "n_arabic", "n_hebrew", "n_devanagari", "n_cjk",
+                    "dominant_script")
+            .orderBy("doc_id"))
+
+
 def _seq_materialize(spark, sf):
     """Loader-ready sequence materialization (pipeline/packing.py
     materialize_sequences over pack_greedy assignments): one row per
@@ -2085,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_topk": _knn_join_topk,
         "mixture_epochs": _mixture_epochs,
         "seq_materialize": _seq_materialize,
+        "script_profile": _script_profile,
         # --- window slots 29-50: round-3 rotations kept under the gate
         "tpch_q1": _tpch_q1,
         "sql_q3ish": _sql_q3ish,
@@ -2152,11 +2177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-8 window: lead with the entries whose CODE is NEW this round —
-# the twelve new-never-gated pipeline entries (decontam_overlap,
+# the thirteen new-never-gated pipeline entries (decontam_overlap,
 # chunk_fixed, pack_concat_spans, pack_greedy_nextfit, pii_stats,
 # pii_redact, gopher_stats, repetition_stats, c4_stats, knn_join_topk,
-# mixture_epochs, seq_materialize) and the two repeated-span entries —
-# then the entries whose
+# mixture_epochs, seq_materialize, script_profile) and the two
+# repeated-span entries — then the entries whose
 # code or fixture changed this round: multimodal_decode (new VP8
 # key-frame fixture), theta_sketch_column_estimate + schema_evolution_sum
 # (fixtures made timezone-independent), approx_histogram
@@ -2171,12 +2196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # gb_extraction_substr, legacy_null_mode, ts_day, gb_event_type,
 # scan_purchases, search_types, topn_event_type, time_boundary,
 # bloom_filtered_count, theta_intersect, gb_having, dedup_exact,
-# sessionize_stats, scan_offset.
+# sessionize_stats, scan_offset, topn_users.
 _WINDOW_R8 = [
     "decontam_overlap", "chunk_fixed", "pack_concat_spans",
     "pack_greedy_nextfit", "pii_stats", "pii_redact",
     "gopher_stats", "repetition_stats", "c4_stats", "knn_join_topk",
-    "mixture_epochs", "seq_materialize",
+    "mixture_epochs", "seq_materialize", "script_profile",
     "multimodal_decode", "repeated_ngram_stats", "strip_repeated_stats",
     "theta_sketch_column_estimate",
     "schema_evolution_sum", "approx_histogram", "fixed_buckets_hist",
@@ -2189,7 +2214,6 @@ _WINDOW_R8 = [
     "media_probe", "text_top_terms", "gb_in_not_filter",
     "ts_hour_filtered", "gb_first_last",
     "gb_expression_dim", "gb_variance", "gb_quantile", "ts_week",
-    "topn_users",
     "minhash_pairs",
     "ann_ivf_topk_indexed",
 ]
@@ -2783,6 +2807,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact brute-force top-k via DuckDB list ops; the ivf_in_top20
         # column asserts the IVF containment verdict (all k inside top-(k+m))
+        "script_profile": r"""
+            WITH src AS (
+              SELECT doc_id, text ||
+                CASE doc_id % 4
+                  WHEN 0 THEN ' привет мир это тест'
+                  WHEN 1 THEN ' مرحبا بالعالم هذا نص'
+                  WHEN 2 THEN ' 你好世界 これはテスト 안녕하세요'
+                  ELSE ' γεια σου κόσμε नमस्ते दुनिया' END AS text
+              FROM documents WHERE doc_id < 200),
+            m AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]'))
+                     AS BIGINT) AS n_latin,
+                CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+                     AS BIGINT) AS n_cyrillic,
+                CAST(len(regexp_extract_all(text, '[Ͱ-Ͽ]'))
+                     AS BIGINT) AS n_greek,
+                CAST(len(regexp_extract_all(text, '[؀-ۿ]'))
+                     AS BIGINT) AS n_arabic,
+                CAST(len(regexp_extract_all(text, '[֐-׿]'))
+                     AS BIGINT) AS n_hebrew,
+                CAST(len(regexp_extract_all(text, '[ऀ-ॿ]'))
+                     AS BIGINT) AS n_devanagari,
+                CAST(len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]'))
+                     AS BIGINT) AS n_cjk
+              FROM src)
+            SELECT *,
+              CASE greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                            n_hebrew, n_devanagari, n_cjk)
+                WHEN 0 THEN 'none'
+                WHEN n_latin THEN 'latin'
+                WHEN n_cyrillic THEN 'cyrillic'
+                WHEN n_greek THEN 'greek'
+                WHEN n_arabic THEN 'arabic'
+                WHEN n_hebrew THEN 'hebrew'
+                WHEN n_devanagari THEN 'devanagari'
+                ELSE 'cjk' END AS dominant_script
+            FROM m ORDER BY doc_id
+        """,
         "seq_materialize": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id,

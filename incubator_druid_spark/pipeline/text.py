@@ -181,6 +181,45 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, t)
 
 
+# Unicode script ranges as EXPLICIT codepoint classes — identical pattern
+# text in Java regex and RE2 (named script classes spell differently per
+# engine: Java \p{IsCyrillic} vs RE2 \p{Cyrillic}), so the same strings run
+# in Spark and SQL oracles.  Coarse, deliberately: the major blocks only.
+SCRIPT_RANGES = [
+    ("latin", r"[A-Za-zÀ-ɏ]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("hebrew", r"[֐-׿]"),
+    ("devanagari", r"[ऀ-ॿ]"),
+    ("cjk", r"[一-鿿぀-ヿ가-힯]"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script histogram + dominant script — the
+    multilingual-curation complement to the stopword language-ID (which
+    only separates Latin-script languages).  Adds n_<script> counts and
+    `dominant_script` (highest count; ties resolve in SCRIPT_RANGES
+    order; 'none' when no script chars at all).  Pure regexp_count
+    projections — scan-speed, no shuffle."""
+    t = F.col(text_col)
+    out = df
+    for name, pat in SCRIPT_RANGES:
+        out = out.withColumn(
+            f"n_{name}",
+            F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+             .cast("long"))
+    dominant = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name, _ in SCRIPT_RANGES:
+        c = F.col(f"n_{name}")
+        better = c > best
+        dominant = F.when(better, F.lit(name)).otherwise(dominant)
+        best = F.when(better, c).otherwise(best)
+    return out.withColumn("dominant_script", dominant)
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text",
                    min_words: int = 50, max_words: int = 100_000,
                    min_mean_word_len: float = 3.0,

@@ -344,6 +344,42 @@ class TestC4Clean:
         assert bool(r["c4_keep"]) is True
 
 
+# ----------------------------------------------------------- script profile
+
+class TestScriptProfile:
+    def _row(self, spark, text):
+        from incubator_druid_spark.pipeline.text import script_profile
+        return script_profile(_docs(spark, [(1, text)])).collect()[0]
+
+    def test_counts_and_dominant(self, spark):
+        r = self._row(spark, "hello мир 你好")
+        assert r["n_latin"] == 5 and r["n_cyrillic"] == 3 \
+            and r["n_cjk"] == 2
+        assert r["dominant_script"] == "latin"
+
+    def test_cjk_dominant(self, spark):
+        r = self._row(spark, "ab 你好世界これは테스트다")
+        assert r["dominant_script"] == "cjk"
+
+    def test_tie_resolves_in_range_order(self, spark):
+        r = self._row(spark, "ab ыэ")  # 2 latin, 2 cyrillic
+        assert r["dominant_script"] == "latin"
+
+    def test_digits_only_is_none(self, spark):
+        r = self._row(spark, "123 456 !!!")
+        assert r["dominant_script"] == "none"
+
+    def test_null_text(self, spark):
+        from incubator_druid_spark.pipeline.text import script_profile
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+        df = spark.createDataFrame(
+            [(1, None)], StructType([StructField("doc_id", LongType()),
+                                     StructField("text", StringType())]))
+        r = script_profile(df).collect()[0]
+        assert r["n_latin"] == 0 and r["dominant_script"] == "none"
+
+
 # ----------------------------------------------------- sequence materialize
 
 class TestMaterializeSequences:
