@@ -475,12 +475,51 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("id"), F.col("comp").alias("group_id"))
 
 
-def dedup_by_groups(df: DataFrame, groups: DataFrame, id_col: str) -> DataFrame:
-    """Keep one representative row per near-dup group (the min-id member);
-    rows that appear in no group (singletons) are kept as-is.  The wide
-    text column never shuffles: the anti-join and semi-join carry only ids."""
-    losers = groups.filter(F.col("id") != F.col("group_id")).select("id")
+def dedup_by_groups(df: DataFrame, groups: DataFrame, id_col: str,
+                    keep_by: str | None = None) -> DataFrame:
+    """Keep one representative row per near-dup group; rows that appear
+    in no group (singletons) are kept as-is.
+
+    Default representative: the min-id member (id-only joins — the wide
+    text column never shuffles).  `keep_by=<column of df>` keeps the
+    member with the HIGHEST value of that column instead (ties: lowest
+    id — the tie-break negates the id, so keep_by requires a NUMERIC id
+    column) — the 'keep the best-quality copy' policy; that variant
+    joins the score column (still never the text) into the group frame
+    and picks with one max_by aggregate."""
+    if keep_by is None:
+        losers = groups.filter(F.col("id") != F.col("group_id")).select("id")
+        return df.join(losers.withColumnRenamed("id", id_col), id_col,
+                       "anti")
+    scored = (groups
+              .join(df.select(F.col(id_col).alias("id"),
+                              F.col(keep_by).alias("__score")), "id")
+              .groupBy("group_id")
+              .agg(F.max_by(
+                  "id",
+                  F.struct(F.col("__score"), -F.col("id"))).alias("__keep")))
+    losers = (groups.join(scored, "group_id")
+                    .filter(F.col("id") != F.col("__keep"))
+                    .select("id"))
     return df.join(losers.withColumnRenamed("id", id_col), id_col, "anti")
+
+
+def dedup_against(df: DataFrame, corpus_fingerprints: DataFrame,
+                  text_col: str = "text",
+                  fingerprint_col: str = "fingerprint") -> DataFrame:
+    """INCREMENTAL dedup: drop rows whose normalized-text fingerprint
+    already exists in a prior corpus (e.g. fingerprint_dedup's output
+    persisted as the corpus index, or any frame with a 64-bit
+    `fingerprint` column).  One anti-join on the fingerprint — the new
+    batch is typically small against a huge index, so this is the
+    shuffle-on-8-bytes shape, never the text."""
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    return (df.withColumn("__fp", fp)
+              .join(corpus_fingerprints
+                    .select(F.col(fingerprint_col).alias("__fp"))
+                    .distinct(),
+                    "__fp", "anti")
+              .drop("__fp"))
 
 
 def _positioned_grams(df, id_col, text_col, n):

@@ -344,6 +344,53 @@ class TestC4Clean:
         assert bool(r["c4_keep"]) is True
 
 
+# ---------------------------------------------------- group-dedup policies
+
+class TestDedupPolicies:
+    def _groups(self, spark):
+        # group 1: members 1,2,3; singleton 9 absent from groups
+        return spark.createDataFrame(
+            [Row(id=1, group_id=1), Row(id=2, group_id=1),
+             Row(id=3, group_id=1)])
+
+    def test_keep_best_quality(self, spark):
+        from incubator_druid_spark.pipeline.dedup import dedup_by_groups
+        df = spark.createDataFrame(
+            [Row(doc_id=1, quality=0.2), Row(doc_id=2, quality=0.9),
+             Row(doc_id=3, quality=0.5), Row(doc_id=9, quality=0.1)])
+        kept = sorted(r["doc_id"] for r in dedup_by_groups(
+            df, self._groups(spark), "doc_id", keep_by="quality").collect())
+        assert kept == [2, 9]  # best of the group + the singleton
+
+    def test_keep_best_tie_breaks_low_id(self, spark):
+        from incubator_druid_spark.pipeline.dedup import dedup_by_groups
+        df = spark.createDataFrame(
+            [Row(doc_id=1, quality=0.5), Row(doc_id=2, quality=0.5),
+             Row(doc_id=3, quality=0.1)])
+        kept = sorted(r["doc_id"] for r in dedup_by_groups(
+            df, self._groups(spark), "doc_id", keep_by="quality").collect())
+        assert kept == [1]
+
+    def test_default_keeps_min_id(self, spark):
+        from incubator_druid_spark.pipeline.dedup import dedup_by_groups
+        df = spark.createDataFrame(
+            [Row(doc_id=i, quality=0.0) for i in (1, 2, 3, 9)])
+        kept = sorted(r["doc_id"] for r in dedup_by_groups(
+            df, self._groups(spark), "doc_id").collect())
+        assert kept == [1, 9]
+
+    def test_dedup_against_prior_corpus(self, spark):
+        from incubator_druid_spark.pipeline.dedup import (dedup_against,
+                                                          fingerprint_dedup)
+        corpus = _docs(spark, [(1, "seen before text"),
+                               (2, "also already seen")])
+        index = fingerprint_dedup(corpus, "text", "doc_id")
+        batch = _docs(spark, [(10, "Seen BEFORE text!"),  # fp-dup of 1
+                              (11, "genuinely new content")])
+        kept = dedup_against(batch, index).collect()
+        assert [r["doc_id"] for r in kept] == [11]
+
+
 # ----------------------------------------------------------- script profile
 
 class TestScriptProfile:
