@@ -250,6 +250,21 @@ def main() -> int:
         _docs_all, _docs_all.filter(F.col("doc_id") % 100 == 0), n=13)
         .agg(F.sum("contaminated_grams")).collect()), 3)
 
+    # composed curation line (round 8c): quality-rule filter feeding
+    # fingerprint dedup — the canonical two-stage curation shape; the
+    # filter is scan-side Column exprs, so the dedup groupBy only sees
+    # survivors.  sum() of the agg column so nothing is elided.
+    from incubator_druid_spark.pipeline.dedup import fingerprint_dedup
+    from incubator_druid_spark.pipeline.text import gopher_quality
+    # min_stop_hits=0: the synthetic corpus is random word soup with few
+    # real English stopwords — the default floor would filter everything
+    # and the dedup stage would time an empty frame
+    curation_sec = round(_median3(lambda: fingerprint_dedup(
+        gopher_quality(cat.table("documents"), min_words=10,
+                       min_stop_hits=0)
+        .filter(F.col("gopher_pass")), "text", "doc_id")
+        .agg(F.sum("dup_count")).collect()), 3)
+
     # ------------------------------------------------------------------
     # the reference's OWN benchmark suite: SqlBenchmark.java:85-260 run
     # verbatim through the Druid SQL surface over a 5M-row realization of
@@ -486,6 +501,7 @@ def main() -> int:
             / control_first_sec, 1),
         "exactsubstr_docs_sec": exactsubstr_sec,
         "decontam_docs_sec": decontam_sec,
+        "curation_docs_sec": curation_sec,
         "ansi_host_sql_call_ms": ansi_host_sql_ms,
         "engine_sql_call_ms": engine_sql_ms,
         "ansi_host_sql_ratio": round(
