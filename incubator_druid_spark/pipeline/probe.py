@@ -474,3 +474,60 @@ def mp4_sample_index(data: bytes) -> list[dict]:
         return rows
     except (struct.error, IndexError, ValueError):
         return []
+
+
+def mp3_frame_index(data: bytes, max_frames: int | None = None
+                    ) -> list[dict]:
+    """Per-frame index for MPEG1 Layer III streams — the audio
+    counterpart of mp4_sample_index: each frame's 1-based number, byte
+    offset + size in the stream, start timestamp in ms (1152 samples per
+    MPEG1-LIII frame) and bitrate in kbit/s (varies per frame in VBR).
+    Walks the frame headers directly (ISO/IEC 11172-3 §2.4.1.3: size =
+    144 * bitrate / sample_rate + padding) — zero decode, so a curation
+    job can cut time ranges of audio by byte range without a codec.
+    Skips a leading ID3v2 tag; resynchronizes on garbage between frames;
+    stops at the first non-MPEG1-LIII header after sync (mixed-version
+    streams are out of probe scope).  Returns [] on malformed input."""
+    data = bytes(data or b"")
+    rows: list[dict] = []
+    try:
+        pos = 0
+        if data[:3] == b"ID3" and len(data) >= 10:
+            sz = data[6:10]
+            pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7)
+                        | sz[3])
+        samples = 0
+        sr0 = None
+        while pos + 4 <= len(data):
+            if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+                if rows:          # mid-stream garbage: stop, don't rescan
+                    break
+                pos += 1          # pre-first-frame junk: resync
+                continue
+            h = data[pos:pos + 4]
+            if (h[1] >> 3) & 3 != 3 or (h[1] >> 1) & 3 != 1:
+                if rows:
+                    break
+                pos += 1
+                continue
+            bitrate = _MP3_BITRATES[h[2] >> 4] * 1000
+            sr = _MP3_RATES[(h[2] >> 2) & 3]
+            if not bitrate or not sr or (sr0 is not None and sr != sr0):
+                break
+            sr0 = sr
+            padding = (h[2] >> 1) & 1
+            size = 144 * bitrate // sr + padding
+            if size < 4 or pos + size > len(data):
+                break             # truncated final frame: not emitted
+            rows.append({
+                "frame": len(rows) + 1, "offset": pos, "size": size,
+                "ts_ms": int(round(samples * 1000 / sr)),
+                "bitrate_kbps": bitrate // 1000,
+            })
+            samples += 1152
+            pos += size
+            if max_frames is not None and len(rows) >= max_frames:
+                break
+        return rows
+    except (struct.error, IndexError, ValueError):
+        return []
