@@ -124,6 +124,35 @@ def mp4_sample_rows(df: DataFrame, content_col: str = "content",
                 "codec string"))
 
 
+def mp3_frame_rows(df: DataFrame, content_col: str = "content",
+                   id_col: str = "doc_id",
+                   max_frames: int | None = None) -> DataFrame:
+    """Explode MP3 binaries into per-frame rows (pipeline/probe.py
+    mp3_frame_index) — the audio counterpart of mp4_sample_rows: one row
+    per frame with (frame, ts_ms, offset, size, bitrate_kbps), so time
+    ranges of audio cut by BYTE RANGE without a codec.  Arrow
+    mapInPandas; malformed blobs yield no rows."""
+    from incubator_druid_spark.pipeline.probe import mp3_frame_index
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["frame", "ts_ms", "offset", "size", "bitrate_kbps"]
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                for s in mp3_frame_index(blob, max_frames=max_frames):
+                    out.append({id_col: rid, **{k: s[k] for k in cols}})
+            yield pd.DataFrame(
+                out, columns=[id_col] + cols) if out else pd.DataFrame(
+                {c: [] for c in [id_col] + cols})
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema=(f"{id_col} {id_type}, frame long, ts_ms long, offset long, "
+                "size long, bitrate_kbps long"))
+
+
 def _fake_pixels(data: bytes, w: int, h: int) -> list[float]:
     """Deterministic stand-in for a decoded+pooled image: hash-seeded floats."""
     h0 = hashlib.sha256(data or b"").digest()

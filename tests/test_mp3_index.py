@@ -38,6 +38,17 @@ class TestMp3FrameIndex:
         frames = b"".join(_mp3_frame() for _ in range(10))
         assert len(mp3_frame_index(frames, max_frames=3)) == 3
 
+    def test_spark_surface(self, spark):
+        from incubator_druid_spark.pipeline.multimodal import mp3_frame_rows
+        good = b"".join(_mp3_frame() for _ in range(4))
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"not audio"))],
+            "doc_id long, content binary")
+        rows = mp3_frame_rows(df).collect()
+        assert sorted(r["frame"] for r in rows) == [1, 2, 3, 4]
+        assert all(r["doc_id"] == 1 and r["bitrate_kbps"] == 128
+                   for r in rows)
+
     def test_garbage_and_empty(self):
         assert mp3_frame_index(b"") == []
         assert mp3_frame_index(b"not audio at all") == []
