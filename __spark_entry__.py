@@ -2818,7 +2818,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id < 200),
             m AS (
               SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]'))
+                CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ɏ]'))
                      AS BIGINT) AS n_latin,
                 CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]'))
                      AS BIGINT) AS n_cyrillic,

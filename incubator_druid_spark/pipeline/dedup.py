@@ -482,22 +482,32 @@ def dedup_by_groups(df: DataFrame, groups: DataFrame, id_col: str,
 
     Default representative: the min-id member (id-only joins — the wide
     text column never shuffles).  `keep_by=<column of df>` keeps the
-    member with the HIGHEST value of that column instead (ties: lowest
-    id — the tie-break negates the id, so keep_by requires a NUMERIC id
-    column) — the 'keep the best-quality copy' policy; that variant
-    joins the score column (still never the text) into the group frame
-    and picks with one max_by aggregate."""
+    member with the HIGHEST value of that NUMERIC score column instead
+    (ties: lowest id, via min_by on a (negated-score, id) struct — the
+    id itself is never negated, so string/UUID ids work) — the 'keep
+    the best-quality copy' policy; that variant joins the score column
+    (still never the text) into the group frame and picks with one
+    min_by aggregate."""
     if keep_by is None:
         losers = groups.filter(F.col("id") != F.col("group_id")).select("id")
         return df.join(losers.withColumnRenamed("id", id_col), id_col,
                        "anti")
+    score_type = dict(df.dtypes).get(keep_by, "")
+    if score_type.split("(")[0] not in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal"):
+        raise ValueError(
+            f"dedup_by_groups: keep_by column {keep_by!r} has type "
+            f"{score_type or '<missing>'}; keep_by must be a numeric "
+            "score column (highest wins)")
     scored = (groups
               .join(df.select(F.col(id_col).alias("id"),
                               F.col(keep_by).alias("__score")), "id")
               .groupBy("group_id")
-              .agg(F.max_by(
+              .agg(F.min_by(
                   "id",
-                  F.struct(F.col("__score"), -F.col("id"))).alias("__keep")))
+                  F.struct((-F.col("__score")).alias("s"),
+                           F.col("id").alias("i"))).alias("__keep")))
     losers = (groups.join(scored, "group_id")
                     .filter(F.col("id") != F.col("__keep"))
                     .select("id"))

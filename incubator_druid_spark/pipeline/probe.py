@@ -485,9 +485,12 @@ def mp3_frame_index(data: bytes, max_frames: int | None = None
     Walks the frame headers directly (ISO/IEC 11172-3 §2.4.1.3: size =
     144 * bitrate / sample_rate + padding) — zero decode, so a curation
     job can cut time ranges of audio by byte range without a codec.
-    Skips a leading ID3v2 tag; resynchronizes on garbage between frames;
-    stops at the first non-MPEG1-LIII header after sync (mixed-version
-    streams are out of probe scope).  Returns [] on malformed input."""
+    Skips a leading ID3v2 tag; resynchronizes on junk BEFORE the first
+    frame only — after sync it stops at the first garbage byte or
+    non-MPEG1-LIII header (mixed-version streams and mid-stream
+    corruption are out of probe scope; a tool that needs to ride past
+    corruption should slice the stream and re-probe).  Returns [] on
+    malformed input."""
     data = bytes(data or b"")
     rows: list[dict] = []
     try:

@@ -89,6 +89,13 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if not qrows:
         raise ValueError("knn_join: empty query set")
     q_ids = [r[0] for r in qrows]
+    if len(set(q_ids)) != len(q_ids):
+        # the final rank window partitions by q_id alone, so duplicate
+        # query ids with different vectors would interleave into one
+        # meaningless top-k — refuse instead of silently merging
+        raise ValueError(
+            "knn_join: duplicate query ids in the query frame; each query "
+            "row must carry a distinct id (dedup the query side first)")
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
     qm = qm / np.where(qn > 0, qn, 1.0)

@@ -186,7 +186,10 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 # engine: Java \p{IsCyrillic} vs RE2 \p{Cyrillic}), so the same strings run
 # in Spark and SQL oracles.  Coarse, deliberately: the major blocks only.
 SCRIPT_RANGES = [
-    ("latin", r"[A-Za-zÀ-ɏ]"),
+    # À-Ö Ø-ö ø-ɏ skips U+00D7 (×) and U+00F7 (÷) — the two non-letter
+    # codepoints inside Latin-1 Supplement that would otherwise inflate
+    # n_latin on symbol-heavy text
+    ("latin", r"[A-Za-zÀ-ÖØ-öø-ɏ]"),
     ("cyrillic", r"[Ѐ-ӿ]"),
     ("greek", r"[Ͱ-Ͽ]"),
     ("arabic", r"[؀-ۿ]"),
