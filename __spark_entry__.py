@@ -1124,6 +1124,57 @@ def _pack_greedy_nextfit(spark, sf):
     return pack_greedy(docs, seq_len=100, shards=4).orderBy("doc_id")
 
 
+def _bpe_fixture_paths():
+    import incubator_druid_spark
+    import os
+    root = os.path.join(os.path.dirname(incubator_druid_spark.__file__),
+                        "resources", "bpe")
+    return (os.path.join(root, "merges_tiny.tsv"),
+            os.path.join(root, "vocab_tiny.json"))
+
+
+def _bpe_model():
+    from incubator_druid_spark.pipeline.bpe import load_bpe
+    merges, vocab = _bpe_fixture_paths()
+    return load_bpe(merges, vocab)
+
+
+def _bpe_encode_tokens(spark, sf):
+    """Real BPE tokenization (pipeline/bpe.py): GPT-2-style merge table
+    loaded from the shipped fixture, broadcast, applied per-word in an
+    Arrow mapInPandas kernel.  The token STRINGS are on the hash (joined
+    by U+001F), so any divergence in the pre-tokenizer or the merge loop
+    breaks the exact compare.  Oracle: the merge loop replayed as a
+    rank-ordered chain of non-overlapping string replaces over a
+    separator-wrapped character string (exact under BPEModel's validated
+    replay contract)."""
+    from incubator_druid_spark.pipeline.bpe import bpe_encode
+    docs = (_cat(spark, sf).table("documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id",
+                    F.regexp_replace("text", "\x1f", "").alias("text")))
+    enc = bpe_encode(docs, _bpe_model())
+    return (enc.select("doc_id", "n_bpe_tokens",
+                       F.array_join("bpe_tokens", "\x1f")
+                        .alias("bpe_tokens_joined"))
+               .orderBy("doc_id"))
+
+
+def _pack_concat_bpe(spark, sf):
+    """Concat-and-cut packing driven by TOKENIZER-FIDELITY counts: the
+    BPE count column from pipeline/bpe.py wired through pack_concat's
+    token_count_col hook — the composition a real training loader needs
+    (whitespace counts mis-size sequences 1.3-1.7x on web text)."""
+    from incubator_druid_spark.pipeline.bpe import bpe_token_count
+    from incubator_druid_spark.pipeline.packing import pack_concat
+    docs = (_cat(spark, sf).table("documents")
+            .select("doc_id",
+                    F.regexp_replace("text", "\x1f", "").alias("text")))
+    counted = bpe_token_count(docs, _bpe_model())
+    return pack_concat(counted, seq_len=100, shards=4,
+                       token_count_col="n_bpe_tokens").orderBy("doc_id")
+
+
 def _pii_text(spark, sf):
     """Deterministic PII-bearing text: the raw document text with a
     synthesized contact line (email / IP / SSN-shaped / phone-shaped
@@ -2094,6 +2145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- born in round 6, gated in round 6
         "media_probe": _media_probe,
         "schema_evolution_sum": _schema_evolution_sum,
+        # --- born in round 9
+        "bpe_encode_tokens": _bpe_encode_tokens,
+        "pack_concat_bpe": _pack_concat_bpe,
         # --- born in round 8
         "repeated_ngram_stats": _repeated_ngram_stats,
         "strip_repeated_stats": _strip_repeated_stats,
@@ -2249,6 +2303,70 @@ def _segmeta_oracle() -> str:
                    count(*) AS numRows
             FROM lineitem""")
     return " UNION ALL ".join(branches)
+
+
+def _bpe_words_cte(doc_filter: str = "") -> str:
+    """Shared CTE prefix replaying pipeline/bpe.py over `documents`:
+    strip the oracle separator, pre-tokenize with PRETOKEN_RE, and run
+    the rank-ordered replace chain per pre-token.  Exposes `src(doc_id,
+    text)` and `enc(doc_id, widx, state)`."""
+    from incubator_druid_spark.pipeline.bpe import (PRETOKEN_RE,
+                                                    oracle_replace_chain)
+    chain = oracle_replace_chain("w.word", _bpe_model())
+    return f"""
+        WITH src AS (
+          SELECT doc_id, replace(coalesce(text, ''), chr(31), '') AS text
+          FROM documents {doc_filter}),
+        words AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(regexp_extract_all(
+                     text, '{PRETOKEN_RE}')))) AS widx,
+                 regexp_extract_all(text, '{PRETOKEN_RE}') AS ws
+          FROM src),
+        w AS (SELECT doc_id, widx, ws[widx] AS word FROM words),
+        enc AS (SELECT doc_id, widx, {chain} AS state FROM w)"""
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of bpe_encode_tokens — both the per-doc token count
+    and the exact token strings (doubled-separator unwrap, words joined
+    in order)."""
+    return _bpe_words_cte("WHERE doc_id < 200") + """
+        SELECT s.doc_id,
+               COALESCE(CAST(sum((length(e.state) -
+                   length(replace(e.state, chr(31), ''))) / 2) AS BIGINT),
+                   0) AS n_bpe_tokens,
+               COALESCE(string_agg(
+                   replace(trim(e.state, chr(31)), chr(31) || chr(31),
+                           chr(31)),
+                   chr(31) ORDER BY e.widx), '') AS bpe_tokens_joined
+        FROM src s LEFT JOIN enc e USING (doc_id)
+        GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+
+def _pack_concat_bpe_oracle_sql() -> str:
+    """DuckDB replay of pack_concat_bpe: per-doc BPE counts (same chain
+    as _bpe_oracle_sql) folded into the concat-and-cut cumulative-sum
+    window."""
+    return _bpe_words_cte() + """,
+        cnt AS (
+          SELECT s.doc_id,
+                 COALESCE(CAST(sum((length(e.state) -
+                     length(replace(e.state, chr(31), ''))) / 2)
+                     AS BIGINT), 0) AS tok
+          FROM src s LEFT JOIN enc e USING (doc_id)
+          GROUP BY s.doc_id),
+        t AS (SELECT doc_id, tok, CAST(doc_id % 4 AS BIGINT) AS shard
+              FROM cnt),
+        c AS (SELECT doc_id, shard, tok,
+                     sum(tok) OVER (PARTITION BY shard
+                                    ORDER BY doc_id) AS e
+              FROM t)
+        SELECT doc_id, shard, tok AS n_tokens,
+               CAST(floor((e - tok) / 100) AS BIGINT) AS first_seq,
+               CAST(floor(greatest(e - 1, e - tok) / 100) AS BIGINT)
+                   AS last_seq
+        FROM c ORDER BY doc_id"""
 
 
 def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
@@ -3728,6 +3846,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_pairs / simhash_pairs: full DuckDB replays of the banded
         # candidate pipelines off the shared md5-derived hash families
+        "bpe_encode_tokens": _bpe_oracle_sql(),
+        "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
