@@ -1124,6 +1124,173 @@ def _pack_greedy_nextfit(spark, sf):
     return pack_greedy(docs, seq_len=100, shards=4).orderBy("doc_id")
 
 
+def _mp3_frame_index_q(spark, sf):
+    """Zero-decode MP3 frame index (pipeline/probe.py mp3_frame_index via
+    multimodal.mp3_frame_rows): synthesized VBR MPEG1-LIII streams — per
+    doc_id: an ID3v2 tag of varying size, 5-10 frames cycling through
+    five bitrates with alternating padding bits.  Every output column
+    (frame #, start-ts, byte offset, size, bitrate) is integer arithmetic
+    from the header fields (ISO/IEC 11172-3 §2.4.1.3), so the DuckDB
+    oracle replays the whole index from the same parameters — the entry
+    that gates byte-range audio scheduling."""
+    from incubator_druid_spark.pipeline.multimodal import mp3_frame_rows
+    docs = (_cat(spark, sf).table("documents")
+            .filter(F.col("doc_id") < 60).select("doc_id"))
+
+    def gen(batches):
+        import pandas as pd
+        kbps_cycle = [128, 160, 192, 224, 96]
+        bidx = {128: 9, 160: 10, 192: 11, 224: 12, 96: 7}
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                id3 = did % 32
+                blob = b"ID3\x03\x00\x00" + bytes([0, 0, 0, id3]) \
+                    + bytes(id3)
+                for i in range(5 + did % 6):
+                    kbps = kbps_cycle[(did + i) % 5]
+                    pad = (did + i) % 2
+                    size = 144 * kbps * 1000 // 44100 + pad
+                    b3 = (bidx[kbps] << 4) | pad << 1
+                    blob += bytes([0xFF, 0xFB, b3, 0x00]) + bytes(size - 4)
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    return mp3_frame_rows(media).orderBy("doc_id", "frame")
+
+
+def _mp4_sample_index_q(spark, sf):
+    """Zero-decode MP4 sample index (pipeline/probe.py mp4_sample_index
+    via multimodal.mp4_sample_rows): synthesized ISO-BMFF sample tables —
+    per doc_id: 6-10 samples, two stts runs, a two-entry stsc (3 samples
+    per chunk then 2), per-sample stsz sizes, stco vs co64 alternating by
+    parity, and an stss sync table present on two docs in three (absent
+    means all-keyframes, §8.6.2).  dts/offset/size/keyframe are all
+    integer arithmetic from those tables, replayed exactly by the DuckDB
+    oracle — the entry that gates byte-range frame scheduling."""
+    import struct
+    from incubator_druid_spark.pipeline.multimodal import mp4_sample_rows
+    docs = (_cat(spark, sf).table("documents")
+            .filter(F.col("doc_id") < 40).select("doc_id"))
+
+    def gen(batches):
+        import pandas as pd
+
+        def box(name, body):
+            return struct.pack(">I", 8 + len(body)) + name + body
+
+        def full(name, body):
+            return box(name, b"\x00\x00\x00\x00" + body)
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 6 + did % 5
+                scale = [1000, 1500, 3000][did % 3]
+                d1 = 100 + (did % 4) * 30
+                sizes = [100 + ((did + i * 7) % 50) for i in range(n)]
+                n_chunks = 2 + max(0, -(-(n - 6) // 2))
+                offs = [1000 + ci * 7777 + did * 13
+                        for ci in range(n_chunks)]
+                stts = full(b"stts", struct.pack(">I", 2)
+                            + struct.pack(">II", 3, d1)
+                            + struct.pack(">II", n - 3, 150))
+                stsz = full(b"stsz", struct.pack(">II", 0, n)
+                            + b"".join(struct.pack(">I", s)
+                                       for s in sizes))
+                stsc = full(b"stsc", struct.pack(">I", 2)
+                            + struct.pack(">III", 1, 3, 1)
+                            + struct.pack(">III", 3, 2, 1))
+                cfmt = (b"co64", ">Q") if did % 2 else (b"stco", ">I")
+                co = full(cfmt[0], struct.pack(">I", n_chunks)
+                          + b"".join(struct.pack(cfmt[1], o)
+                                     for o in offs))
+                stbl_kids = [
+                    full(b"stsd", struct.pack(">I", 1)
+                         + struct.pack(">I", 16) + b"avc1" + bytes(8)),
+                    stts, stsc, stsz, co]
+                if did % 3:
+                    syncs = [s for s in (1, 4, 7, 10) if s <= n]
+                    stbl_kids.append(full(b"stss",
+                                          struct.pack(">I", len(syncs))
+                                          + b"".join(struct.pack(">I", s)
+                                                     for s in syncs)))
+                stbl = box(b"stbl", b"".join(stbl_kids))
+                mdhd = full(b"mdhd", bytes(8) + struct.pack(">II", scale, 0))
+                hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12))
+                trak = box(b"trak", box(b"mdia", mdhd + hdlr
+                                        + box(b"minf", stbl)))
+                ids.append(did)
+                blobs.append(box(b"moov", trak))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    return mp4_sample_rows(media).orderBy("doc_id", "sample")
+
+
+_MP3_INDEX_ORACLE = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    f AS (SELECT doc_id,
+                 unnest(generate_series(1, 5 + doc_id % 6)) AS frame
+          FROM d),
+    p AS (SELECT doc_id, frame,
+                 CASE (doc_id + frame - 1) % 5
+                      WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+                      WHEN 3 THEN 224 ELSE 96 END AS kbps,
+                 (doc_id + frame - 1) % 2 AS pad
+          FROM f),
+    s AS (SELECT doc_id, frame, kbps,
+                 144 * kbps * 1000 // 44100 + pad AS size
+          FROM p)
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           CAST(round((frame - 1) * 1152 * 1000.0 / 44100) AS BIGINT)
+               AS ts_ms,
+           CAST(10 + doc_id % 32 + COALESCE(sum(size) OVER (
+                    PARTITION BY doc_id ORDER BY frame
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS offset,
+           CAST(size AS BIGINT) AS size,
+           CAST(kbps AS BIGINT) AS bitrate_kbps
+    FROM s ORDER BY doc_id, frame"""
+
+
+_MP4_INDEX_ORACLE = """
+    WITH d AS (SELECT doc_id, 6 + doc_id % 5 AS n,
+                      CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 1500
+                           ELSE 3000 END AS scale,
+                      100 + (doc_id % 4) * 30 AS d1
+               FROM documents WHERE doc_id < 40),
+    s AS (SELECT doc_id, n, scale, d1,
+                 unnest(generate_series(1, n)) AS i
+          FROM d),
+    x AS (SELECT doc_id, scale, i,
+                 CASE WHEN i <= 3 THEN (i - 1) * d1
+                      ELSE 3 * d1 + (i - 4) * 150 END AS dts,
+                 100 + ((doc_id + (i - 1) * 7) % 50) AS size,
+                 CASE WHEN i <= 6 THEN CAST(ceil(i / 3.0) AS BIGINT)
+                      ELSE 2 + CAST(ceil((i - 6) / 2.0) AS BIGINT)
+                      END AS chunk
+          FROM s),
+    y AS (SELECT doc_id, i, dts, size, scale,
+                 1000 + (chunk - 1) * 7777 + doc_id * 13
+                   + COALESCE(sum(size) OVER (
+                         PARTITION BY doc_id, chunk ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS off,
+                 CASE WHEN doc_id % 3 = 0 THEN TRUE
+                      ELSE (i - 1) % 3 = 0 END AS keyframe
+          FROM x)
+    SELECT doc_id, CAST(1 AS INTEGER) AS track, CAST(i AS BIGINT) AS sample,
+           CAST(round(dts * 1000.0 / scale) AS BIGINT) AS dts_ms,
+           CAST(off AS BIGINT) AS offset, CAST(size AS BIGINT) AS size,
+           keyframe, 'vide' AS handler, 'avc1' AS codec
+    FROM y ORDER BY doc_id, sample"""
+
+
 def _bpe_fixture_paths():
     import incubator_druid_spark
     import os
@@ -2148,6 +2315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- born in round 9
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
+        "mp3_frame_index": _mp3_frame_index_q,
+        "mp4_sample_index": _mp4_sample_index_q,
         # --- born in round 8
         "repeated_ngram_stats": _repeated_ngram_stats,
         "strip_repeated_stats": _strip_repeated_stats,
@@ -3848,6 +4017,8 @@ def oracle_sql() -> dict[str, str]:
         # candidate pipelines off the shared md5-derived hash families
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
+        "mp3_frame_index": _MP3_INDEX_ORACLE,
+        "mp4_sample_index": _MP4_INDEX_ORACLE,
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
