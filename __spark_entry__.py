@@ -1291,6 +1291,203 @@ _MP4_INDEX_ORACLE = """
     FROM y ORDER BY doc_id, sample"""
 
 
+def _phash_images(spark, sf, n_docs: int = 42):
+    """Synthesized image corpus for the perceptual-hash entries: per
+    doc_id a gradient texture keyed by group (doc_id // 3) with a small
+    member perturbation (doc_id % 3: global brightness shift + a
+    localized bump) so members of a group hash NEAR each other; PPM for
+    even ids, 24-bit BMP for odd ids, so both pure-Python decode paths
+    sit under the hash."""
+    docs = (_cat(spark, sf).table("documents")
+            .filter(F.col("doc_id") < n_docs).select("doc_id"))
+
+    def gen(batches):
+        import pandas as pd
+        import struct as st
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, m = did // 3, did % 3
+                w = 48 + (g % 3) * 8
+                h = 48 + (g % 2) * 16
+                rows = bytearray()
+                px = []
+                for y in range(h):
+                    rowpx = []
+                    for x in range(w):
+                        bump = m * 20 if 8 <= x < 16 and 8 <= y < 16 else 0
+                        r = min((x * 3 + y * 5 + g * 17) % 256
+                                + m * 3 + bump, 255)
+                        gc = min((x * 7 + y * 2 + g * 23) % 256
+                                 + m * 3 + bump, 255)
+                        b = min((x * 4 + y * 9 + g * 31) % 256
+                                + m * 3 + bump, 255)
+                        rowpx.append((r, gc, b))
+                    px.append(rowpx)
+                if did % 2 == 0:   # P6 PPM
+                    rows += b"P6\n%d %d\n255\n" % (w, h)
+                    for y in range(h):
+                        for r, gc, b in px[y]:
+                            rows += bytes((r, gc, b))
+                else:              # 24-bit bottom-up BI_RGB BMP
+                    stride = (w * 3 + 3) // 4 * 4
+                    img_size = stride * h
+                    rows += b"BM" + st.pack("<IHHI", 54 + img_size,
+                                            0, 0, 54)
+                    rows += st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                    img_size, 2835, 2835, 0, 0)
+                    for y in range(h - 1, -1, -1):
+                        line = bytearray()
+                        for r, gc, b in px[y]:
+                            line += bytes((b, gc, r))
+                        line += bytes(stride - w * 3)
+                        rows += line
+                ids.append(did)
+                blobs.append(bytes(rows))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    return docs.mapInPandas(gen, "doc_id long, content binary")
+
+
+def _image_phash(spark, sf):
+    """Perceptual image hashes (pipeline/phash.py): integer-exact dHash
+    (9x8 area grid, cross-multiplied neighbor compare) and pHash (32x32
+    area grid, fixed-point separable DCT-II, lower-median threshold) over
+    synthesized PPM/BMP images decoded by the pure-Python decoders.  The
+    64-char bit STRINGS are on the hash; the DuckDB oracle replays the
+    whole chain from the pixel formula."""
+    from incubator_druid_spark.pipeline.phash import image_hash_rows
+    return (image_hash_rows(_phash_images(spark, sf))
+            .orderBy("doc_id"))
+
+
+def _image_phash_pairs(spark, sf):
+    """Near-dup image pairs: banded-Hamming equi-join over the pHash
+    signatures (pipeline/phash.py phash_near_dup_pairs, sharing
+    pipeline/dedup.py banded_hamming_pairs) — Hamming <= 7 via 8-chunk
+    pigeonhole banding, so the oracle's brute-force all-pairs Hamming is
+    provably the same set."""
+    from incubator_druid_spark.pipeline.phash import (image_hash_rows,
+                                                      phash_near_dup_pairs)
+    hashes = image_hash_rows(_phash_images(spark, sf))
+    return (phash_near_dup_pairs(hashes, max_hamming=7)
+            .orderBy("id_a", "id_b"))
+
+
+def _phash_pixel_cte(n_docs: int = 42) -> str:
+    """Shared oracle prefix: the synthesized pixel formula -> integer
+    grayscale, exposed as pxg(doc_id, x, y, w, h, gray)."""
+    return f"""
+        WITH d AS (SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS m,
+                          48 + ((doc_id // 3) % 3) * 8 AS w,
+                          48 + ((doc_id // 3) % 2) * 16 AS h
+                   FROM documents WHERE doc_id < {n_docs}),
+        xs AS (SELECT doc_id, grp, m, w, h,
+                      unnest(generate_series(0, w - 1)) AS x
+               FROM d),
+        px AS (SELECT doc_id, grp, m, w, h, x,
+                      unnest(generate_series(0, h - 1)) AS y
+               FROM xs),
+        chan AS (SELECT doc_id, w, h, x, y,
+                        CASE WHEN x BETWEEN 8 AND 15 AND y BETWEEN 8 AND 15
+                             THEN m * 20 ELSE 0 END AS bump,
+                        (x * 3 + y * 5 + grp * 17) % 256 AS r0,
+                        (x * 7 + y * 2 + grp * 23) % 256 AS g0,
+                        (x * 4 + y * 9 + grp * 31) % 256 AS b0,
+                        m FROM px),
+        pxg AS (SELECT doc_id, w, h, x, y,
+                       (299 * least(r0 + m * 3 + bump, 255)
+                        + 587 * least(g0 + m * 3 + bump, 255)
+                        + 114 * least(b0 + m * 3 + bump, 255)) // 1000
+                           AS gray
+                FROM chan)"""
+
+
+def _phash_hash_ctes() -> str:
+    """Oracle CTE chain from pxg to hashes(doc_id, width, height,
+    dhash64, phash64) — integer replay of pipeline/phash.py."""
+    from incubator_druid_spark.pipeline.phash import dct_table
+    ctab = ", ".join(f"({u}, {x}, {v})"
+                     for u, row in enumerate(dct_table())
+                     for x, v in enumerate(row))
+    return f""",
+        -- dHash: 9x8 integer area boxes, cell index by the closed-form
+        -- inverse of [floor(i*size/cells), floor((i+1)*size/cells))
+        d9 AS (SELECT doc_id, w, h,
+                      (x * 9 + 9 - 1) // w AS ci,
+                      (y * 8 + 8 - 1) // h AS cj,
+                      gray
+               FROM pxg),
+        dbox AS (SELECT doc_id, ci, cj, sum(gray) AS s,
+                        count(*) AS n
+                 FROM d9 GROUP BY doc_id, ci, cj),
+        dbits AS (SELECT l.doc_id, l.cj, l.ci,
+                         CASE WHEN l.s * r.n > r.s * l.n
+                              THEN '1' ELSE '0' END AS bit
+                  FROM dbox l JOIN dbox r
+                    ON l.doc_id = r.doc_id AND l.cj = r.cj
+                   AND r.ci = l.ci + 1
+                  WHERE l.ci < 8),
+        dh AS (SELECT doc_id,
+                      string_agg(bit, '' ORDER BY cj, ci) AS dhash64
+               FROM dbits GROUP BY doc_id),
+        -- pHash: 32x32 integer means, fixed-point separable DCT-II
+        p32c AS (SELECT doc_id,
+                        (x * 32 + 31) // w AS cx,
+                        (y * 32 + 31) // h AS cy,
+                        gray
+                 FROM pxg),
+        p32 AS (SELECT doc_id, cx, cy,
+                       CAST(sum(gray) AS BIGINT) // count(*) AS v
+                FROM p32c GROUP BY doc_id, cx, cy),
+        ctab(u, x, cval) AS (VALUES {ctab}),
+        t AS (SELECT p.doc_id, c.u, p.cy,
+                     sum(c.cval * p.v) AS tv
+              FROM p32 p JOIN ctab c ON c.x = p.cx
+              GROUP BY p.doc_id, c.u, p.cy),
+        co AS (SELECT t.doc_id, t.u, c.u AS v,
+                      sum(c.cval * t.tv) AS coeff
+               FROM t JOIN ctab c ON c.x = t.cy
+               GROUP BY t.doc_id, t.u, c.u),
+        rk AS (SELECT doc_id, u, v, coeff,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY coeff, u, v) AS r
+               FROM co),
+        med AS (SELECT doc_id, max(coeff) FILTER (r <= 32) AS m
+                FROM rk GROUP BY doc_id),
+        ph AS (SELECT co.doc_id,
+                      string_agg(CASE WHEN co.coeff > med.m
+                                      THEN '1' ELSE '0' END,
+                                 '' ORDER BY co.u, co.v) AS phash64
+               FROM co JOIN med ON co.doc_id = med.doc_id
+               GROUP BY co.doc_id),
+        hashes AS (SELECT d2.doc_id,
+                          CAST(d2.w AS INTEGER) AS width,
+                          CAST(d2.h AS INTEGER) AS height,
+                          dh.dhash64, ph.phash64
+                   FROM (SELECT DISTINCT doc_id, w, h FROM pxg) d2
+                   JOIN dh USING (doc_id) JOIN ph USING (doc_id))"""
+
+
+def _image_phash_oracle_sql() -> str:
+    return (_phash_pixel_cte() + _phash_hash_ctes() + """
+        SELECT doc_id, width, height, dhash64, phash64
+        FROM hashes ORDER BY doc_id""")
+
+
+def _image_phash_pairs_oracle_sql() -> str:
+    return (_phash_pixel_cte() + _phash_hash_ctes() + """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(generate_series(1, 64),
+                        i -> a.phash64[i] <> b.phash64[i]))
+                   AS INTEGER) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(generate_series(1, 64),
+                  i -> a.phash64[i] <> b.phash64[i])) <= 7
+        ORDER BY id_a, id_b""")
+
+
 def _bpe_fixture_paths():
     import incubator_druid_spark
     import os
@@ -2317,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
         "mp4_sample_index": _mp4_sample_index_q,
+        "image_phash": _image_phash,
+        "image_phash_pairs": _image_phash_pairs,
         # --- born in round 8
         "repeated_ngram_stats": _repeated_ngram_stats,
         "strip_repeated_stats": _strip_repeated_stats,
@@ -4019,6 +4218,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,
         "mp4_sample_index": _MP4_INDEX_ORACLE,
+        "image_phash": _image_phash_oracle_sql(),
+        "image_phash_pairs": _image_phash_pairs_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),

@@ -397,21 +397,32 @@ def hamming_distance(sig_a: Column, sig_b: Column) -> Column:
     return F.aggregate(diff, F.lit(0), lambda acc, x: acc + x)
 
 
-def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates where Hamming(simhash) ≤ max_hamming: band the
-    64-bit signature into 4×16-bit chunks; ≤3 differing bits leave ≥1 chunk
-    equal (pigeonhole), so a single equi-join on (chunk, value) finds all."""
-    sig = simhash(F.col(text_col))
-    with_sig = df.select(F.col(id_col), sig.alias("__sim"))
+def banded_hamming_pairs(with_sig: DataFrame, id_col: str, sig_col: str,
+                         max_hamming: int = 3,
+                         bits: int = 64) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs with Hamming(bit-string signature)
+    <= max_hamming, WITHOUT an all-pairs product: band the signature into
+    max_hamming + 1 chunks — two signatures within the threshold must
+    agree on at least one whole chunk (pigeonhole), so one equi-join on
+    (chunk index, chunk value) generates a complete candidate set; the
+    exact Hamming filter then prunes it.  Shared by the text SimHash and
+    the image dHash/pHash surfaces (pipeline/phash.py)."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= bits:
+        raise ValueError("max_hamming must be in [0, bits - 1]")
+    # distribute bits as evenly as possible: chunk c covers
+    # [c*bits//n, (c+1)*bits//n)
+    bounds = [(c * bits // n_chunks, (c + 1) * bits // n_chunks)
+              for c in range(n_chunks)]
     chunks = with_sig.select(
-        id_col, "__sim",
+        id_col, sig_col,
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.substring(F.col("__sim"), c * 16 + 1, 16).alias("ck"))
-            for c in range(4)
+                     F.substring(F.col(sig_col), b0 + 1, b1 - b0)
+                      .alias("ck"))
+            for c, (b0, b1) in enumerate(bounds)
         ])).alias("cc"))
-    chunks = chunks.select(id_col, "__sim", "cc.chunk", "cc.ck")
+    chunks = chunks.select(id_col, sig_col, "cc.chunk", "cc.ck")
     pairs = (chunks.alias("l")
              .join(chunks.alias("r"),
                    (F.col("l.chunk") == F.col("r.chunk"))
@@ -419,12 +430,21 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"),
-                     F.col("l.__sim").alias("sim_a"),
-                     F.col("r.__sim").alias("sim_b"))
+                     F.col(f"l.{sig_col}").alias("sim_a"),
+                     F.col(f"r.{sig_col}").alias("sim_b"))
              .distinct())
     ham = hamming_distance(F.col("sim_a"), F.col("sim_b"))
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
                  .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates where Hamming(simhash) ≤ max_hamming — the
+    banded equi-join (banded_hamming_pairs) over the 64-bit SimHash."""
+    sig = simhash(F.col(text_col))
+    with_sig = df.select(F.col(id_col), sig.alias("__sim"))
+    return banded_hamming_pairs(with_sig, id_col, "__sim", max_hamming)
 
 
 # ---------------------------------------------------------------------------
