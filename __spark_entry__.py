@@ -1375,6 +1375,80 @@ def _image_phash_pairs(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def _semdedup_survivors(spark, sf):
+    """SemDeDup-style embedding-cluster dedup (pipeline/similarity.py
+    semdedup): 8 fixed centroids (the first 8 corpus vectors, normalized
+    driver-side with SEQUENTIAL arithmetic so DuckDB can reproduce the
+    exact doubles), ivf_assign -> within-cluster exact cosine pairs >=
+    0.47 -> connected components -> keep the min-id member.  The oracle
+    replays every float with the same left-fold order (list_reduce) the
+    engine's F.aggregate uses."""
+    import math
+    from incubator_druid_spark.pipeline.similarity import semdedup
+    emb = (_cat(spark, sf).table("embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    crows = (emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+             .select("embedding").collect())
+    cents = []
+    for r in crows:
+        v = list(r[0])
+        n = 0.0
+        for x in v:
+            n = n + x * x
+        n = math.sqrt(n)
+        cents.append([x / n for x in v])
+    import numpy as np
+    out = semdedup(emb, np.array(cents, dtype=np.float64), threshold=0.47)
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
+_SEMDEDUP_ORACLE = """
+    WITH RECURSIVE cent AS (
+      SELECT vec_id AS c,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x / sqrt(list_reduce(
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    y -> y * y),
+                     (a, b) -> a + b))) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+          FROM embeddings),
+    dots AS (SELECT e.vec_id, cent.c,
+                    list_reduce(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> e.v[i] * cent.cv[i]), (a, b) -> a + b) AS d
+             FROM e, cent),
+    asg AS (SELECT vec_id, c AS cl FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c) AS rk
+              FROM dots) WHERE rk = 1),
+    pe AS (SELECT e.vec_id, e.v,
+                  sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                                   (a, b) -> a + b)) AS nrm,
+                  a.cl
+           FROM e JOIN asg a USING (vec_id)),
+    pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM pe x JOIN pe y
+                ON x.cl = y.cl AND x.vec_id < y.vec_id
+              WHERE x.nrm * y.nrm > 0
+                AND list_reduce(list_transform(
+                        generate_series(1, len(x.v)),
+                        i -> x.v[i] * y.v[i]), (a, b) -> a + b)
+                    / (x.nrm * y.nrm) >= 0.47),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT g.src, r.comp FROM edges g JOIN reach r ON g.dst = r.id),
+    losers AS (SELECT id FROM (SELECT id, min(comp) AS g FROM reach
+                               GROUP BY id) WHERE id <> g)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM losers)
+    ORDER BY vec_id"""
+
+
 def _phash_pixel_cte(n_docs: int = 42) -> str:
     """Shared oracle prefix: the synthesized pixel formula -> integer
     grayscale, exposed as pxg(doc_id, x, y, w, h, gray)."""
@@ -2516,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_sample_index": _mp4_sample_index_q,
         "image_phash": _image_phash,
         "image_phash_pairs": _image_phash_pairs,
+        "semdedup_survivors": _semdedup_survivors,
         # --- born in round 8
         "repeated_ngram_stats": _repeated_ngram_stats,
         "strip_repeated_stats": _strip_repeated_stats,
@@ -4220,6 +4295,7 @@ def oracle_sql() -> dict[str, str]:
         "mp4_sample_index": _MP4_INDEX_ORACLE,
         "image_phash": _image_phash_oracle_sql(),
         "image_phash_pairs": _image_phash_pairs_oracle_sql(),
+        "semdedup_survivors": _SEMDEDUP_ORACLE,
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),

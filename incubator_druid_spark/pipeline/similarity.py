@@ -294,6 +294,60 @@ def cosine_near_dup_exact(df: DataFrame, threshold: float = 0.95,
              .filter(F.col("cosine") >= threshold))
 
 
+def semdedup(df: DataFrame, centroids: np.ndarray, threshold: float = 0.95,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             keep_by: str | None = None,
+             max_cluster: int = 100_000) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    arXiv:2303.09540): semantic duplicates are found WITHIN coarse
+    clusters only, so the pair space is Σ_c n_c² instead of n².
+
+    Composition of the existing primitives — nothing novel happens here,
+    which is the point:
+      1. `ivf_assign` each vector to its nearest centroid (scan-side
+         literal-vector projection; at ingest this is the partition
+         column).
+      2. Within each cluster, exact cosine pairs >= threshold (the
+         bounded use of the all-pairs shape — see max_cluster below).
+      3. `connected_components` over the pair graph.
+      4. `dedup_by_groups` keeps one representative per component
+         (min id, or the best `keep_by` score).
+
+    Returns the surviving rows of `df` (all original columns).
+
+    Scale contract: the within-cluster join is quadratic in the cluster
+    size, so the cap REFUSES clusters larger than `max_cluster` rather
+    than silently running an n² join — raise `n_clusters` when training
+    the centroids (SemDeDup uses k on the order of sqrt(n), keeping
+    E[n_c²] ~ n).  The cluster-size scan is one tiny aggregate
+    (n_clusters rows collected, not data)."""
+    from incubator_druid_spark.pipeline.dedup import (connected_components,
+                                                      dedup_by_groups)
+    assigned = ivf_assign(df, centroids, vec_col) \
+        .select(F.col(id_col), F.col(vec_col), F.col("__ivf"))
+    big = (assigned.groupBy("__ivf")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > max_cluster).collect())
+    if big:
+        worst = max(r["__n"] for r in big)
+        raise ValueError(
+            f"semdedup: {len(big)} cluster(s) exceed max_cluster="
+            f"{max_cluster} (largest: {worst} vectors); the within-cluster "
+            "pair join is quadratic — train more centroids (raise "
+            "n_clusters) or raise max_cluster explicitly")
+    a = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+    b = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    pairs = (a.join(b, ["__ivf"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", sim.alias("cosine"))
+              .filter(F.col("cosine") >= threshold))
+    groups = connected_components(pairs)
+    return dedup_by_groups(df, groups, id_col, keep_by)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              num_planes: int = 16, bands: int = 4,
                              seed: int = 42, vec_col: str = "embedding",
