@@ -453,17 +453,23 @@ def main() -> int:
             .createOrReplaceTempView(f"benchview{i}")
     ansi_cat = _Catalog(ansi_host)
     ansi_cat.register("events", os.path.join(sf_dir, "events.parquet"))
-    probe_sql = "SELECT COUNT(*) AS c FROM druid.events"
-    druid_sql(ansi_host, probe_sql, ansi_cat).collect()  # warm
-    ansi_host_sql_ms = round(1000 * sorted(
-        _timed(lambda: druid_sql(ansi_host, probe_sql, ansi_cat).collect())
-        for _ in range(7))[3], 1)
     engine_cat = _Catalog(spark)
     engine_cat.register("events", os.path.join(sf_dir, "events.parquet"))
-    druid_sql(spark, probe_sql, engine_cat).collect()  # warm
-    engine_sql_ms = round(1000 * sorted(
-        _timed(lambda: druid_sql(spark, probe_sql, engine_cat).collect())
-        for _ in range(7))[3], 1)
+    probe_sql = "SELECT COUNT(*) AS c FROM druid.events"
+    # three warm calls per path (one is not enough to JIT the fresh
+    # clone's codegen — r8 charged JVM ramp to the clone machinery), then
+    # INTERLEAVED samples so ambient box drift cancels out of the ratio
+    for _ in range(3):
+        druid_sql(ansi_host, probe_sql, ansi_cat).collect()
+        druid_sql(spark, probe_sql, engine_cat).collect()
+    _h_samples, _e_samples = [], []
+    for _ in range(7):
+        _h_samples.append(_timed(
+            lambda: druid_sql(ansi_host, probe_sql, ansi_cat).collect()))
+        _e_samples.append(_timed(
+            lambda: druid_sql(spark, probe_sql, engine_cat).collect()))
+    ansi_host_sql_ms = round(1000 * sorted(_h_samples)[3], 1)
+    engine_sql_ms = round(1000 * sorted(_e_samples)[3], 1)
 
     # ambient-drift control, LAST reading (pair with control_first above)
     spark.catalog.clearCache()

@@ -1570,6 +1570,52 @@ def _host_state_token(spark: SparkSession):
         + (spark.conf.get("spark.sql.session.timeZone"),)
 
 
+def _host_view_names(spark: SparkSession) -> list[str]:
+    """Current non-engine host temp-view names — ONE py4j round-trip
+    (listLocalTempViews(...).mkString), vs one per view."""
+    try:
+        jcat = spark._jsparkSession.sessionState().catalog()
+        s = jcat.listLocalTempViews("*").mkString("\n")
+        names = [n.strip("`") for n in s.split("\n") if n]
+    except Exception:  # pragma: no cover — unexpected catalog shape
+        try:
+            names = [t.name for t in spark.catalog.listTables()
+                     if t.isTemporary]
+        except Exception:
+            return []
+    return sorted(n for n in names if not _ENGINE_VIEW_RE.match(n))
+
+
+def _view_identity(spark: SparkSession, name: str) -> int:
+    """Identity hash of the view's stored TemporaryViewRelation object —
+    createOrReplaceTempView always installs a fresh object, so identity
+    change is a strict superset of semantic change.  0 when absent."""
+    try:
+        jcat = spark._jsparkSession.sessionState().catalog()
+        raw = jcat.getRawTempView(name)
+        if raw.isDefined():
+            return int(spark.sparkContext._jvm.java.lang.System
+                       .identityHashCode(raw.get()))
+    except Exception:  # pragma: no cover
+        pass
+    return 0
+
+
+def _referenced_views(names: list[str], sql: str | None) -> list[str]:
+    """The host temp views a query COULD reference: names appearing as a
+    word in the SQL's non-literal text (case-insensitive — the catalog
+    stores temp-view names lowercased).  Overmatching (a view name used
+    as a column alias) only costs an extra identity read; a table cannot
+    be referenced without its name appearing, so nothing is missed.
+    sql=None (defensive callers) checks everything."""
+    if sql is None or not names:
+        return list(names)
+    segs: list[str] = []
+    _outside_literals(sql, lambda s: (segs.append(s), s)[1])
+    text = " ".join(segs).lower()
+    return [n for n in names if re.search(rf"\b{re.escape(n)}\b", text)]
+
+
 # Spellings of the zero-offset zone Spark/JVM hosts commonly carry — a
 # host on any of these needs no tz clone for the dialect's UTC default.
 _UTC_ALIASES = frozenset({"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z",
@@ -1583,7 +1629,8 @@ def _same_tz(a: str, b: str) -> bool:
     return a == b or (a in _UTC_ALIASES and b in _UTC_ALIASES)
 
 
-def _exec_session(spark: SparkSession, tz: str) -> SparkSession:
+def _exec_session(spark: SparkSession, tz: str,
+                  sql: str | None = None) -> SparkSession:
     """The session the Druid dialect executes under.  Druid SQL fixes BOTH
     planner knobs regardless of host/server config (PlannerContext):
     non-ANSI semantics (CAST('x' AS BIGINT) is null, x/0 is null, MVD
@@ -1594,11 +1641,19 @@ def _exec_session(spark: SparkSession, tz: str) -> SparkSession:
     Returns the host itself when it already matches (ANSI off + same tz);
     otherwise a per-(host, tz) session CLONE: cloneSession() copies the
     host's SQLConf and temp-view state, the two knob flips apply only to
-    the clone, and the host session is never mutated.  The clone is
-    cached, but a host that REPLACES a temp view, adds one, or changes
-    its session timezone after the first druid_sql call must not keep
-    getting the stale snapshot — the cache key includes a host-state
-    token and the clone is rebuilt when it drifts."""
+    the clone, and the host session is never mutated.
+
+    Staleness (a host that replaces/adds/drops a temp view or changes its
+    timezone between calls must not get a stale snapshot) is validated in
+    two tiers, both O(1)-ish per call:
+    - GLOBAL: the full name list (one py4j mkString) + the host timezone
+      — catches add/drop/rename and tz drift.
+    - REFERENCED-ONLY identities: a same-name REPLACEMENT only changes
+      the result if the query actually references the view (temp views
+      store their analyzed plan, so even view-on-view chains resolve at
+      definition time), so the per-view identity reads — the O(#views)
+      py4j cost the r8 bench still charged on every call — run only for
+      the views the SQL text can reference (usually zero)."""
     ansi_on = (spark.conf.get("spark.sql.ansi.enabled", "false")
                or "").lower() == "true"
     if not ansi_on and _same_tz(spark.conf.get("spark.sql.session.timeZone"),
@@ -1608,16 +1663,25 @@ def _exec_session(spark: SparkSession, tz: str) -> SparkSession:
     if _NON_ANSI_CLONES is None:
         import weakref
         _NON_ANSI_CLONES = weakref.WeakKeyDictionary()
-    token = _host_state_token(spark)
+    names = _host_view_names(spark)
+    # the no-default read: the key always resolves (falls back to the JVM
+    # zone) and conf.get(key, default) VALIDATES the default on a vanilla
+    # PySpark-4 host (r7 crack #1)
+    global_token = (tuple(names),
+                    spark.conf.get("spark.sql.session.timeZone"))
     per_tz = _NON_ANSI_CLONES.setdefault(spark, {})
     cached = per_tz.get(tz)
-    if cached is not None and cached[1] == token:
-        return cached[0]
+    if cached is not None and cached[1] == global_token:
+        clone, _, ids = cached
+        if all(_view_identity(spark, n) == ids.get(n)
+               for n in _referenced_views(names, sql)):
+            return clone
     clone = SparkSession(spark.sparkContext,
                          spark._jsparkSession.cloneSession())
     clone.conf.set("spark.sql.ansi.enabled", "false")
     clone.conf.set("spark.sql.session.timeZone", tz)
-    per_tz[tz] = (clone, token)
+    ids = {n: _view_identity(spark, n) for n in names}
+    per_tz[tz] = (clone, global_token, ids)
     return clone
 
 
@@ -1656,7 +1720,7 @@ def druid_sql(spark: SparkSession, sql: str, catalog: Catalog | None = None,
     # Execute the dialect under its fixed knobs (non-ANSI + sqlTimeZone,
     # default UTC) — a clone only when the host session doesn't already
     # match; see _exec_session.
-    exec_spark = _exec_session(spark, tz or "UTC")
+    exec_spark = _exec_session(spark, tz or "UTC", sql)
     if exec_spark is not spark:
         spark = exec_spark
         if catalog is not None:

@@ -144,3 +144,37 @@ def test_case_sensitive_host(spark):
          "aggregations": [{"type": "count", "name": "c"}]}
     n_native = translate(q, host, cat).collect()[0]["c"]
     assert n_sql == n_native > 0
+
+
+def test_exec_session_referenced_only_staleness(bare_host):
+    """r9: same-name view REPLACEMENT invalidates the clone only when the
+    query references the view — the O(#views) identity reads no longer
+    run on every call (VERDICT r8 nit #1); adds/drops still invalidate
+    globally via the one-call name list."""
+    from incubator_druid_spark.sql import functions as sf
+    bare_host.range(5).selectExpr("id AS a") \
+        .createOrReplaceTempView("r9scope_x")
+    bare_host.range(5).selectExpr("id AS b") \
+        .createOrReplaceTempView("r9scope_y")
+    q_y = "SELECT COUNT(*) AS c FROM r9scope_y"
+    c1 = sf._exec_session(bare_host, "UTC", q_y)
+    # replacing an UNREFERENCED view keeps the cached clone
+    bare_host.range(9).selectExpr("id AS a") \
+        .createOrReplaceTempView("r9scope_x")
+    c2 = sf._exec_session(bare_host, "UTC", q_y)
+    assert c1 is c2
+    # replacing the REFERENCED view rebuilds
+    bare_host.range(9).selectExpr("id AS b") \
+        .createOrReplaceTempView("r9scope_y")
+    c3 = sf._exec_session(bare_host, "UTC", q_y)
+    assert c3 is not c2
+    assert c3.sql(q_y).collect()[0]["c"] == 9
+    # ADDING any view rebuilds (global name-list tier)
+    bare_host.range(2).selectExpr("id AS z") \
+        .createOrReplaceTempView("r9scope_new")
+    c4 = sf._exec_session(bare_host, "UTC", q_y)
+    assert c4 is not c3
+    # dropping one rebuilds too
+    bare_host.catalog.dropTempView("r9scope_new")
+    c5 = sf._exec_session(bare_host, "UTC", q_y)
+    assert c5 is not c4
