@@ -440,6 +440,34 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - fail-soft by design
             sf10_queries["__error__"] = str(e)[:200]
 
+    # --- sf100 spot line (VERDICT r8 #8): 1000× rows (~600M lineitem /
+    # 5M docs) for the three most DATA-BOUND headline queries only —
+    # pushes the near-linear claim one decade past the sf10 sweep.
+    # Cheapest first so a cap still records partial growth factors.
+    sf100_queries: dict[str, float] = {}
+    sf100_rows = 0
+    if os.environ.get("SPARK_GRAFT_SF100", "1") != "0":
+        try:
+            sf100_dir = "/tmp/spark_graft_x1000_v1_" + \
+                os.path.basename(sf_dir.rstrip("/"))
+            _build_replica(spark, sf_dir, sf100_dir, factor=1000)
+            entrymod._CATALOGS.clear()
+            sf100_rows = spark.read.parquet(
+                os.path.join(sf100_dir, "lineitem.parquet")).count()
+            cap = float(os.environ.get("SPARK_GRAFT_SF100_CAP_SEC", "480"))
+            spent = 0.0
+            for name in ("tpch_q1", "dedup_fingerprint", "minhash_pairs"):
+                if spent > cap:
+                    sf100_queries["__capped_after__"] = name
+                    break
+                t0 = time.time()
+                sf100_queries[name] = -1.0
+                entrymod.queries()[name](spark, sf100_dir).count()
+                sf100_queries[name] = round(time.time() - t0, 3)
+                spent += sf100_queries[name]
+        except Exception as e:  # pragma: no cover - fail-soft by design
+            sf100_queries["__error__"] = str(e)[:200]
+
     # ANSI-host druid_sql per-call latency (r7 task 2's visibility ask):
     # a host session the engine did not create, ANSI on, 6 temp views —
     # vs the same call on the engine session.  The ratio shows the clone
@@ -525,6 +553,15 @@ def main() -> int:
             v for v in sf10_queries.values()
             if isinstance(v, float) and v >= 0), 3),
         "sf10_queries": sf10_queries,
+        "sf100_rows": sf100_rows,
+        "sf100_queries": sf100_queries,
+        "sf100_growth_vs_sf10": {
+            q: round(sf100_queries[q] / sf10_queries[q], 2)
+            for q in sf100_queries
+            if isinstance(sf100_queries.get(q), float)
+            and sf100_queries[q] > 0
+            and isinstance(sf10_queries.get(q), float)
+            and sf10_queries.get(q, 0) > 0},
         "notes": {
             "sqlbench_q19": (
                 "q19 (union matrix) is the reference SqlBenchmark's own "
@@ -553,6 +590,15 @@ def main() -> int:
                 "scaling check; SPARK_GRAFT_SF10=0 skips, "
                 "SPARK_GRAFT_SF10_CAP_SEC bounds total wall (default "
                 "900s, partial results recorded past it)."),
+            "sf100": (
+                "sf100_* keys run the three most data-bound headline "
+                "queries on sf0.1 replicated x1000 (~600M lineitem rows, "
+                "~5M docs) — one decade past the sf10 sweep; "
+                "sf100_growth_vs_sf10 near 10x on each line is the "
+                "near-linear check.  SPARK_GRAFT_SF100=0 skips, "
+                "SPARK_GRAFT_SF100_CAP_SEC bounds total wall (default "
+                "480s, cheapest-first so a cap still records partial "
+                "growth)."),
         },
     }
     # Full detail (sf1 sweep, per-query sqlbench, notes) goes to a FILE —
@@ -650,7 +696,14 @@ def _build_replica(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             c = F.col("__copy")
             for colname, fn in fact_shifts[t].items():
                 big = big.withColumn(colname, fn(c, F.col(colname)))
-            big.drop("__copy").write.mode("overwrite").parquet(dst)
+            big = big.drop("__copy")
+            if factor >= 1000:
+                # the broadcast cross join inherits the tiny source's 1-2
+                # input partitions — at x1000 that is a single multi-GB
+                # write task and a 2-task scan for every timed query;
+                # spread it (round-robin on the copy boundary)
+                big = big.repartition(64)
+            big.write.mode("overwrite").parquet(dst)
         else:
             df.write.mode("overwrite").parquet(dst)
     with open(os.path.join(dst_dir, "_DONE"), "w") as fh:
