@@ -275,7 +275,26 @@ def _decode_audio(data: bytes) -> tuple[int, int, float]:
     """Audio bytes → (duration_ms, sample_rate, RMS loudness in [0, 1]);
     dispatches by magic: RIFF/WAV PCM (stdlib wave) or FLAC (the
     pure-Python pipeline/flac.py codec — the dominant open speech-corpus
-    container).  MP3/OGG still raise by name."""
+    container).  MP3/OGG still raise by name.
+
+    MP3 DECODE — PERMANENT REFUSAL (decided round 9, the VP8-ledger
+    treatment): MPEG-1 Layer III synthesis is bounded (~1k LoC:
+    scalefactors, Huffman, requantize, stereo, alias reduction, IMDCT,
+    polyphase), but its 34 Huffman code tables (ISO/IEC 11172-3 table
+    B.7) are ARBITRARY spec constants — not derivable, not available in
+    this offline container (no network; the reference repo is a Java
+    analytics engine with no codec tables).  Unlike the VP8 key-frame
+    decoder, whose two stand-in tables sit on rare adaptive paths and
+    left the common path verifiable by round-trip, Huffman tables ARE
+    the MP3 common path: stand-ins would decode nothing real, and a
+    decoder round-tripped only against its own invented tables would be
+    indistinguishable from correct while being wrong on every real
+    file.  That fails the honesty bar, so the refusal is permanent
+    until a driver can supply the B.7 tables verbatim.  What IS covered
+    zero-decode: header probe (duration/bitrate/sample-rate) and the
+    per-frame byte-range index (pipeline/probe.py mp3_frame_index,
+    oracle-gated round 9) — the curation/scheduling tier that matters
+    at 100 TB."""
     data = bytes(data)
     if data[:4] == b"fLaC":
         import numpy as np
