@@ -2534,11 +2534,11 @@ def _schema_evolution_sum(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver hard-gates the FIRST 50 entries
-    # (rows + schema + value hash vs the DuckDB oracle).  The round-8
-    # window (_WINDOW_R8, rationale at its definition) leads with the
-    # entries whose code or fixture changed this round.  Rotated-out
-    # entries stay verified by scripts/check_correctness.py (the FULL
-    # 86-entry board, green in all four hostile host modes).
+    # (rows + schema + value hash vs the DuckDB oracle).  The round-9
+    # window (_WINDOW_R9, rationale at its definition) leads with the
+    # entries born or changed this round.  Rotated-out entries stay
+    # verified by scripts/check_correctness.py (the FULL 108-entry
+    # board, green in all four hostile host modes).
     base = {
         # --- window slots 1-24: long-green entries kept under the gate
         "ts_day_zerofill": _ts_day_zerofill,
@@ -2668,9 +2668,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timewarp_ts": _timewarp_ts,
         "ts_day_tz": _ts_day_tz,
     }
-    ordered = {k: base.pop(k) for k in _WINDOW_R8}
+    ordered = {k: base.pop(k) for k in _WINDOW_R9}
     ordered.update(base)
     return ordered
+
+
+# Round-9 window: lead with the seven entries born this round (real BPE
+# tokenization + BPE-driven packing, the MP4/MP3 zero-decode indexes —
+# r8 task 2 — perceptual image hashes + banded pairs, SemDeDup), then
+# the entries whose CODE changed this round (script_profile's latin
+# range — ADVICE r8; dedup_groups' keep_by tie-break; simhash_pairs on
+# the factored banded_hamming_pairs; knn_join_topk's dup-id guard; the
+# packing/chunking family adjacent to the new token hook; the sql_*
+# family, whose every call now flows through the referenced-only
+# staleness validator), then the below-window entries least recently
+# driver-gated (displaced in r8).  Displaced to below-window this
+# round (all long-green on the full local board in all four hostile
+# host modes): the r8-gated pipeline tranche (decontam_overlap,
+# pii_stats/pii_redact, gopher/c4/repetition stats, mixture_epochs,
+# seq_materialize, repeated-span pair), the sketch/histogram family
+# and the timeseries/groupBy singles gated in r8.
+_WINDOW_R9 = [
+    # born in round 9
+    "bpe_encode_tokens", "pack_concat_bpe",
+    "mp3_frame_index", "mp4_sample_index",
+    "image_phash", "image_phash_pairs",
+    "semdedup_survivors",
+    # code changed in round 9
+    "script_profile", "dedup_groups", "simhash_pairs", "knn_join_topk",
+    "chunk_fixed", "pack_concat_spans", "pack_greedy_nextfit",
+    "sql_druid_functions", "sql_floor_to_day", "sql_earliest_latest",
+    "sql_view_datasource", "sql_window_rank", "sql_grouping_sets",
+    "sql_correlated_dau", "sql_array_functions", "sql_array_agg_stats",
+    # least recently gated (displaced in r8, rotated back under the gate)
+    "ts_all", "gb_union", "scan_in_bound", "search_daily",
+    "search_fragment", "tuple_sketch", "spatial_rect",
+    "gb_case_expression", "gb_extraction_substr", "legacy_null_mode",
+    "ts_day", "gb_event_type", "scan_purchases", "search_types",
+    "topn_event_type", "time_boundary", "bloom_filtered_count",
+    "theta_intersect", "gb_having", "dedup_exact", "sessionize_stats",
+    "scan_offset", "topn_users", "tuple_keyed_stats", "gb_day_type",
+    "text_stats", "json_props",
+]
 
 
 # Round-8 window: lead with the entries whose CODE is NEW this round —
