@@ -1375,6 +1375,137 @@ def _image_phash_pairs(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def _url_frame(spark, sf):
+    """Deterministic URL-bearing frame: seven per-doc_id patterns
+    covering mixed case, default/explicit ports, tracking params,
+    fragments, cc-second-level hosts, IPv4 hosts, shared-canonical
+    duplicates and unparseable strings; both engines build the same
+    strings."""
+    docs = _cat(spark, sf).table("documents").select("doc_id")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    k = (did % 5).cast("string")
+    g = did % 7
+    url = (F.when(g == 0, F.concat(
+               F.lit("https://WWW.Example"), k, F.lit(".com/Articles/"),
+               s, F.lit("?utm_source=x&b=2&a=1")))
+            .when(g == 1, F.concat(
+                F.lit("http://Blog.example"), k, F.lit(".com:80/post/"),
+                s, F.lit("#frag")))
+            .when(g == 2, F.concat(
+                F.lit("https://www.paper"), k, F.lit(".co.uk/news?z=9&y=8")))
+            .when(g == 3, F.concat(
+                F.lit("http://192.168.1."), (did % 250).cast("string"),
+                F.lit("/x")))
+            .when(g == 4, F.concat(
+                F.lit("https://www.example"), k,
+                F.lit(".com/Articles/shared?a=1&b=2&fbclid="), s))
+            .when(g == 5, F.concat(F.lit("not a url "), s))
+            .otherwise(F.concat(
+                F.lit("https://shop.example.com:443/items?id="),
+                (did % 40).cast("string"), F.lit("&gclid=zz"))))
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_FIXTURE_CTE = """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 0 THEN 'https://WWW.Example' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/Articles/' || CAST(doc_id AS VARCHAR)
+                    || '?utm_source=x&b=2&a=1'
+               WHEN 1 THEN 'http://Blog.example' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com:80/post/' || CAST(doc_id AS VARCHAR) || '#frag'
+               WHEN 2 THEN 'https://www.paper' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.co.uk/news?z=9&y=8'
+               WHEN 3 THEN 'http://192.168.1.' || CAST(doc_id % 250 AS VARCHAR)
+                    || '/x'
+               WHEN 4 THEN 'https://www.example' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/Articles/shared?a=1&b=2&fbclid='
+                    || CAST(doc_id AS VARCHAR)
+               WHEN 5 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+               ELSE 'https://shop.example.com:443/items?id='
+                    || CAST(doc_id % 40 AS VARCHAR) || '&gclid=zz'
+             END AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+             nullif(lower(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\\d+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 1)), '') AS scheme,
+             nullif(lower(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\\d+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 2)), '') AS host,
+             nullif(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\\d+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 3), '') AS port,
+             regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\\d+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 4) AS path,
+             regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\\d+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 5) AS query
+      FROM u),
+    d AS (
+      SELECT *,
+             CASE
+               WHEN host IS NULL THEN NULL
+               WHEN regexp_matches(host, '^(\\d{1,3}\\.){3}\\d{1,3}$')
+                 THEN host
+               WHEN regexp_matches(host,
+                   '[^.]\\.(co|com|net|org|ac|gov|edu)\\.[^.]+$')
+                 THEN regexp_extract(host,
+                   '([^.]+\\.(?:co|com|net|org|ac|gov|edu)\\.[^.]+)$', 1)
+               WHEN host NOT LIKE '%.%' THEN host
+               ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS domain,
+             CASE WHEN scheme IS NULL OR host IS NULL THEN NULL
+                  ELSE scheme || '://' || host ||
+                       (CASE WHEN port IS NULL
+                                  OR (scheme = 'http' AND port = '80')
+                                  OR (scheme = 'https' AND port = '443')
+                             THEN '' ELSE ':' || port END) ||
+                       (CASE WHEN path = '' OR path = '/' THEN ''
+                             ELSE path END) ||
+                       (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+             END AS canonical_url
+      FROM (SELECT *,
+                   -- COALESCE: array_to_string of the emptied list is
+                   -- NULL in DuckDB, which would null the whole concat
+                   COALESCE(array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)='))),
+                       '&'), '') AS q2
+            FROM p))"""
+
+
+def _url_canonical(spark, sf):
+    """URL parse + canonicalization (pipeline/urls.py parse_urls): the
+    full contract — lowercased scheme/host, default-port and fragment
+    strip, tracking-param removal, bytewise query-param sort, path
+    collapse, cc-second-level registrable domains, IPv4 pass-through,
+    null for unparseable — every column on the hash."""
+    from incubator_druid_spark.pipeline.urls import parse_urls
+    out = parse_urls(_url_frame(spark, sf))
+    return (out.select("doc_id", "scheme", "host", "domain", "path",
+                       "query", "canonical_url")
+               .orderBy("doc_id"))
+
+
+def _url_domain_stats(spark, sf):
+    """Per-registrable-domain doc counts + corpus share (pipeline/urls.py
+    domain_stats) — the head-domain report a curation run starts with."""
+    from incubator_druid_spark.pipeline.urls import domain_stats
+    out = domain_stats(_url_frame(spark, sf))
+    return (_round(out, {"domain": None, "n_docs": None, "share": 6})
+            .orderBy("domain"))
+
+
+def _url_dedup_survivors(spark, sf):
+    """Canonical-URL dedup (pipeline/urls.py url_dedup): one row per
+    canonical URL (min doc_id wins), unparseable rows kept — the
+    FineWeb-style first dedup pass."""
+    from incubator_druid_spark.pipeline.urls import url_dedup
+    out = url_dedup(_url_frame(spark, sf))
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def _semdedup_survivors(spark, sf):
     """SemDeDup-style embedding-cluster dedup (pipeline/similarity.py
     semdedup): 8 fixed centroids (the first 8 corpus vectors, normalized
@@ -2591,6 +2722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": _image_phash,
         "image_phash_pairs": _image_phash_pairs,
         "semdedup_survivors": _semdedup_survivors,
+        "url_canonical": _url_canonical,
+        "url_domain_stats": _url_domain_stats,
+        "url_dedup_survivors": _url_dedup_survivors,
         # --- born in round 8
         "repeated_ngram_stats": _repeated_ngram_stats,
         "strip_repeated_stats": _strip_repeated_stats,
@@ -2694,6 +2828,7 @@ _WINDOW_R9 = [
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
     "semdedup_survivors",
+    "url_canonical", "url_domain_stats", "url_dedup_survivors",
     # code changed in round 9
     "script_profile", "dedup_groups", "simhash_pairs", "knn_join_topk",
     "chunk_fixed", "pack_concat_spans", "pack_greedy_nextfit",
@@ -2707,8 +2842,7 @@ _WINDOW_R9 = [
     "ts_day", "gb_event_type", "scan_purchases", "search_types",
     "topn_event_type", "time_boundary", "bloom_filtered_count",
     "theta_intersect", "gb_having", "dedup_exact", "sessionize_stats",
-    "scan_offset", "topn_users", "tuple_keyed_stats", "gb_day_type",
-    "text_stats", "json_props",
+    "scan_offset", "topn_users", "tuple_keyed_stats",
 ]
 
 
@@ -4335,6 +4469,23 @@ def oracle_sql() -> dict[str, str]:
         "image_phash": _image_phash_oracle_sql(),
         "image_phash_pairs": _image_phash_pairs_oracle_sql(),
         "semdedup_survivors": _SEMDEDUP_ORACLE,
+        "url_canonical": _URL_FIXTURE_CTE + """
+            SELECT doc_id, scheme, host, domain,
+                   nullif(path, '') AS path, nullif(query, '') AS query,
+                   canonical_url
+            FROM d ORDER BY doc_id""",
+        "url_domain_stats": _URL_FIXTURE_CTE + """
+            SELECT domain, count(*) AS n_docs,
+                   round(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                     FROM u), 6) AS share
+            FROM d WHERE domain IS NOT NULL
+            GROUP BY domain ORDER BY domain""",
+        "url_dedup_survivors": _URL_FIXTURE_CTE + """
+            SELECT doc_id FROM d WHERE canonical_url IS NULL
+            UNION ALL
+            SELECT min(doc_id) FROM d WHERE canonical_url IS NOT NULL
+            GROUP BY canonical_url
+            ORDER BY doc_id""",
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
