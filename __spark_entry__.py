@@ -1506,6 +1506,145 @@ def _url_dedup_survivors(spark, sf):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def _html_frame(spark, sf):
+    """Deterministic HTML fixture over documents: six page shapes
+    (full page with head/style/script/comment/nav, uppercase tags +
+    double-escaped entities, a link-farm boilerplate page, bare text, a
+    list page with images and &#39;, and a malformed page with an
+    unclosed tag and a stray '<'); both engines build the same strings
+    from the same text slices."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    s1 = F.substring(F.col("text"), 1, 120)
+    s2 = F.substring(F.col("text"), 121, 160)
+    s3 = F.substring(F.col("text"), 1, 30)
+    g = did % 6
+    h = (F.when(g == 0, F.concat(
+            F.lit('<html><head><title>Doc &amp; '), s,
+            F.lit('</title><style>p {color:red}</style></head><body>'
+                  '<!-- nav --><p>'), s1,
+            F.lit('</p><script type="text/javascript">var p = '
+                  '"<p>hidden</p>";</script><div>'), s2,
+            F.lit('</div><nav><a href="/a">Home</a>'
+                  '<a href="/b">About</a></nav></body></html>')))
+         .when(g == 1, F.concat(
+            F.lit('<P>'), s1,
+            F.lit('</P><BR>tail&nbsp;line &amp;amp; more')))
+         .when(g == 2, F.concat(
+            F.lit('<div><a href="/1">'), s3,
+            F.lit('</a> <a href="/2">link two</a><p>x</p></div>')))
+         .when(g == 3, s1)
+         .when(g == 4, F.concat(
+            F.lit('<ul><li>one '), s3,
+            F.lit('</li><li>two &#39;q&#39;</li></ul>'
+                  '<img src="x.png"><img SRC="y.png">')))
+         .otherwise(F.concat(
+            F.lit('<b>unclosed '), s3, F.lit(' 3 < 4 stray'))))
+    docs = _cat(spark, sf).table("documents")
+    return docs.select("doc_id", h.alias("html"))
+
+
+def _html_extract_stats(spark, sf):
+    """HTML text extraction + boilerplate signals (pipeline/html.py
+    html_stats): the full documented chain — comment/script/style/head
+    removal, block tags to newlines, tag strip, the named-entity subset
+    (&amp; last), whitespace normalization — plus title, tag counts,
+    anchor-text mass and link density, extracted text itself on the
+    hash."""
+    from incubator_druid_spark.pipeline.html import html_stats
+    out = html_stats(_html_frame(spark, sf))
+    return (out.withColumn("anchor_chars", F.col("anchor_chars").cast("long"))
+               .withColumn("link_density", F.round("link_density", 6))
+               .select("doc_id", "title", "n_links", "n_paragraphs",
+                       "n_images", "has_script", "text", "text_chars",
+                       "anchor_chars", "link_density", "is_boilerplate")
+               .orderBy("doc_id"))
+
+
+def _sq(s: str) -> str:
+    """SQL-quote a literal (single-quote doubling) — used by the oracle
+    builders that inline the engine's pattern constants verbatim."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _html_oracle_sql() -> str:
+    """DuckDB replay of html_stats built FROM the engine's own pattern
+    constants (pipeline/html.py) so both sides stay in sync by
+    construction; regexp_replace carries the 'g' option (DuckDB replaces
+    first-match by default, Spark replaces globally)."""
+    from incubator_druid_spark.pipeline import html as H
+
+    def strip(e: str) -> str:
+        x = f"regexp_replace({e}, {_sq(H.COMMENT_RE)}, '', 'g')"
+        x = f"regexp_replace({x}, {_sq(H.SCRIPT_RE)}, '', 'g')"
+        x = f"regexp_replace({x}, {_sq(H.STYLE_RE)}, '', 'g')"
+        x = f"regexp_replace({x}, {_sq(H.HEAD_RE)}, '', 'g')"
+        x = f"regexp_replace({x}, {_sq(H.BLOCK_TAG_RE)}, chr(10), 'g')"
+        x = f"regexp_replace({x}, {_sq(H.ANY_TAG_RE)}, '', 'g')"
+        return _entities_ws(x)
+
+    def _entities_ws(x: str) -> str:
+        ws_run = _sq(r"[ \t\r]+")
+        nl_run = _sq(r"\n+")
+        nl_edge = _sq(r"^\n+|\n+$")
+        for ent, rep in H.ENTITIES:
+            x = f"replace({x}, {_sq(ent)}, {_sq(rep)})"
+        x = f"regexp_replace({x}, {ws_run}, ' ', 'g')"
+        x = f"regexp_replace({x}, '(?m)^ +| +$', '', 'g')"
+        x = f"regexp_replace({x}, {nl_run}, chr(10), 'g')"
+        x = f"regexp_replace({x}, {nl_edge}, '', 'g')"
+        return x
+
+    title_inner = "regexp_extract(html, " + _sq(H.TITLE_RE) + ", 1)"
+    title = "nullif(trim(" + _entities_ws(title_inner) + "), '')"
+    a_chars = (f"CAST(COALESCE(list_sum(list_transform("
+               f"regexp_extract_all(html, {_sq(H.ANCHOR_RE)}, 1), "
+               f"x -> length(regexp_replace(x, {_sq(H.ANY_TAG_RE)}, "
+               f"'', 'g')))), 0) AS BIGINT)")
+    dens = ("CASE WHEN length(text) > 0 THEN "
+            "CAST(ac AS DOUBLE) / length(text) ELSE 0.0 END")
+    pat_a = _sq(r"(?i)<a\b")
+    pat_p = _sq(r"(?i)<p\b")
+    pat_img = _sq(r"(?i)<img\b")
+    pat_script = _sq(r"(?i)<script\b")
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+            CASE doc_id % 6
+              WHEN 0 THEN '<html><head><title>Doc &amp; '
+                || CAST(doc_id AS VARCHAR)
+                || '</title><style>p {{color:red}}</style></head><body>'
+                || '<!-- nav --><p>' || substr(text,1,120)
+                || '</p><script type="text/javascript">var p = '
+                || '"<p>hidden</p>";</script><div>'
+                || substr(text,121,160)
+                || '</div><nav><a href="/a">Home</a>'
+                || '<a href="/b">About</a></nav></body></html>'
+              WHEN 1 THEN '<P>' || substr(text,1,120)
+                || '</P><BR>tail&nbsp;line &amp;amp; more'
+              WHEN 2 THEN '<div><a href="/1">' || substr(text,1,30)
+                || '</a> <a href="/2">link two</a><p>x</p></div>'
+              WHEN 3 THEN substr(text,1,120)
+              WHEN 4 THEN '<ul><li>one ' || substr(text,1,30)
+                || '</li><li>two &#39;q&#39;</li></ul>'
+                || '<img src="x.png"><img SRC="y.png">'
+              ELSE '<b>unclosed ' || substr(text,1,30) || ' 3 < 4 stray'
+            END AS html
+          FROM documents),
+        s AS (SELECT doc_id, html, {strip('html')} AS text,
+                     {a_chars} AS ac
+              FROM h)
+        SELECT doc_id, {title} AS title,
+          len(regexp_extract_all(html, {pat_a})) AS n_links,
+          len(regexp_extract_all(html, {pat_p})) AS n_paragraphs,
+          len(regexp_extract_all(html, {pat_img})) AS n_images,
+          len(regexp_extract_all(html, {pat_script})) > 0 AS has_script,
+          text, length(text) AS text_chars, ac AS anchor_chars,
+          round({dens}, 6) AS link_density,
+          {dens} > 0.5 AS is_boilerplate
+        FROM s ORDER BY doc_id"""
+
+
 def _semdedup_survivors(spark, sf):
     """SemDeDup-style embedding-cluster dedup (pipeline/similarity.py
     semdedup): 8 fixed centroids (the first 8 corpus vectors, normalized
@@ -2715,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": _media_probe,
         "schema_evolution_sum": _schema_evolution_sum,
         # --- born in round 9
+        "html_extract_stats": _html_extract_stats,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -2824,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and the timeseries/groupBy singles gated in r8.
 _WINDOW_R9 = [
     # born in round 9
+    "html_extract_stats",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -4462,6 +4603,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_pairs / simhash_pairs: full DuckDB replays of the banded
         # candidate pipelines off the shared md5-derived hash families
+        "html_extract_stats": _html_oracle_sql(),
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,
