@@ -1645,6 +1645,173 @@ def _html_oracle_sql() -> str:
         FROM s ORDER BY doc_id"""
 
 
+# WARC fixture: one blob per document holding three records (warcinfo,
+# request, response-with-HTTP-HTML payload), docs % 5 == 0 carrying
+# trailing junk.  Both engines build the IDENTICAL byte strings from a
+# single shared segment spec — ('lit', s) literals and ('col', name)
+# references — so the record offsets/lengths the parser reports are
+# replayable closed-form.
+_WARC_SEG_HTML = [
+    ("lit", "<html><head><title>Doc "), ("col", "ds"),
+    ("lit", "</title></head><body><p>"), ("col", "slice"),
+    ("lit", "</p></body></html>"),
+]
+_WARC_SEG_HTTP = [
+    ("lit", "HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+            "charset=utf-8\r\n\r\n"),
+] + _WARC_SEG_HTML
+_WARC_SEG_R1 = [
+    ("lit", "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: "
+            "<urn:uuid:"), ("col", "ds"),
+    ("lit", "-0>\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+            "Content-Length: 16\r\n\r\nsoftware: spark!\r\n\r\n"),
+]
+_WARC_SEG_R2 = [
+    ("lit", "WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: "
+            "<urn:uuid:"), ("col", "ds"),
+    ("lit", "-1>\r\nWARC-Target-URI: http://example.com/doc/"),
+    ("col", "ds"),
+    ("lit", "\r\nContent-Type: application/http;msgtype=request\r\n"
+            "Content-Length: 37\r\n\r\nGET / HTTP/1.1\r\n"
+            "Host: example.com\r\n\r\n\r\n\r\n"),
+]
+_WARC_SEG_R3 = [
+    ("lit", "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "
+            "<urn:uuid:"), ("col", "ds"),
+    ("lit", "-2>\r\nWARC-Target-URI: http://example.com/doc/"),
+    ("col", "ds"),
+    ("lit", "\r\nContent-Type: application/http;msgtype=response\r\n"
+            "Content-Length: "), ("col", "hlen"), ("lit", "\r\n\r\n"),
+] + _WARC_SEG_HTTP + [("lit", "\r\n\r\n")]
+
+
+def _warc_spark_concat(segs, cols):
+    parts = [F.lit(s) if kind == "lit" else cols[s] for kind, s in segs]
+    return F.concat(*parts)
+
+
+def _warc_sql_concat(segs, cols):
+    crlf = "chr(13) || chr(10)"
+    parts = []
+    for kind, s in segs:
+        if kind == "col":
+            parts.append(cols[s])
+            continue
+        for i, piece in enumerate(s.split("\r\n")):
+            if i:
+                parts.append(crlf)
+            if piece:
+                parts.append(_sq(piece))
+    return " || ".join(parts)
+
+
+def _warc_frame(spark, sf):
+    docs = _cat(spark, sf).table("documents")
+    ds = F.col("doc_id").cast("string")
+    sl = F.substring(F.col("text"), 1, 100)
+    html = _warc_spark_concat(_WARC_SEG_HTML, {"ds": ds, "slice": sl})
+    http = _warc_spark_concat(_WARC_SEG_HTTP, {"ds": ds, "slice": sl})
+    cols = {"ds": ds, "slice": sl,
+            "hlen": F.octet_length(http).cast("string")}
+    blob = F.concat(
+        _warc_spark_concat(_WARC_SEG_R1, cols),
+        _warc_spark_concat(_WARC_SEG_R2, cols),
+        _warc_spark_concat(_WARC_SEG_R3, cols),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("NOTAWARC trailing junk"))
+         .otherwise(F.lit("")))
+    return docs.select("doc_id", F.encode(blob, "utf-8").alias("content"))
+
+
+def _warc_records_q(spark, sf):
+    """WARC record explode (pipeline/warc.py warc_record_rows): per
+    record offset/length byte ranges, WARC headers, HTTP status/type
+    split and UTF-8 body — the Common Crawl front door; junk-tailed
+    blobs keep their valid prefix (stats entry carries the error)."""
+    from incubator_druid_spark.pipeline.warc import warc_record_rows
+    out = warc_record_rows(_warc_frame(spark, sf))
+    return out.orderBy("doc_id", "rec_index")
+
+
+def _warc_parse_stats(spark, sf):
+    """Per-blob WARC parse summary (pipeline/warc.py warc_stats):
+    record count, payload byte mass, offset-stamped parse_error for the
+    junk-tailed blobs, null for clean ones."""
+    from incubator_druid_spark.pipeline.warc import warc_stats
+    out = warc_stats(_warc_frame(spark, sf))
+    return out.orderBy("doc_id")
+
+
+def _warc_base_cte() -> str:
+    html = _warc_sql_concat(_WARC_SEG_HTML, {"ds": "ds", "slice": "sl"})
+    http = _warc_sql_concat(_WARC_SEG_HTTP, {"ds": "ds", "slice": "sl"})
+    r1 = _warc_sql_concat(_WARC_SEG_R1, {"ds": "ds"})
+    r2 = _warc_sql_concat(_WARC_SEG_R2, {"ds": "ds"})
+    r3 = _warc_sql_concat(
+        _WARC_SEG_R3, {"ds": "ds", "slice": "sl", "hlen": "hlen"})
+    return f"""
+        WITH b0 AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                 substr(text, 1, 100) AS sl
+          FROM documents),
+        b1 AS (
+          SELECT *, {html} AS html,
+                 CAST(strlen({http}) AS VARCHAR) AS hlen, {http} AS http
+          FROM b0),
+        r AS (
+          SELECT doc_id, ds, html, http,
+                 {r1} AS r1, {r2} AS r2, {r3} AS r3,
+                 doc_id % 5 = 0 AS junk
+          FROM b1)"""
+
+
+def _warc_records_oracle_sql() -> str:
+    return _warc_base_cte() + """
+        SELECT doc_id, rec_index, "offset", length, warc_type,
+               record_id, target_uri, warc_date, content_type,
+               content_length, http_status, http_content_type, body_text
+        FROM (
+          SELECT doc_id, 0 AS rec_index, CAST(0 AS BIGINT) AS "offset",
+                 CAST(strlen(r1) - 4 AS BIGINT) AS length,
+                 'warcinfo' AS warc_type,
+                 '<urn:uuid:' || ds || '-0>' AS record_id,
+                 CAST(NULL AS VARCHAR) AS target_uri,
+                 '2024-01-01T00:00:00Z' AS warc_date,
+                 CAST(NULL AS VARCHAR) AS content_type,
+                 CAST(16 AS BIGINT) AS content_length,
+                 CAST(NULL AS INTEGER) AS http_status,
+                 CAST(NULL AS VARCHAR) AS http_content_type,
+                 'software: spark!' AS body_text
+          FROM r
+          UNION ALL
+          SELECT doc_id, 1, CAST(strlen(r1) AS BIGINT),
+                 CAST(strlen(r2) - 4 AS BIGINT), 'request',
+                 '<urn:uuid:' || ds || '-1>',
+                 'http://example.com/doc/' || ds, NULL,
+                 'application/http;msgtype=request', CAST(37 AS BIGINT),
+                 NULL, NULL, ''
+          FROM r
+          UNION ALL
+          SELECT doc_id, 2, CAST(strlen(r1) + strlen(r2) AS BIGINT),
+                 CAST(strlen(r3) - 4 AS BIGINT), 'response',
+                 '<urn:uuid:' || ds || '-2>',
+                 'http://example.com/doc/' || ds, NULL,
+                 'application/http;msgtype=response',
+                 CAST(strlen(http) AS BIGINT), 200,
+                 'text/html; charset=utf-8', html
+          FROM r)
+        ORDER BY doc_id, rec_index"""
+
+
+def _warc_stats_oracle_sql() -> str:
+    return _warc_base_cte() + """
+        SELECT doc_id, 3 AS n_records,
+               CAST(16 + 37 + strlen(http) AS BIGINT) AS payload_bytes,
+               CASE WHEN junk THEN 'bad magic at offset ' ||
+                    CAST(strlen(r1) + strlen(r2) + strlen(r3) AS VARCHAR)
+                    ELSE NULL END AS parse_error
+        FROM r ORDER BY doc_id"""
+
+
 def _semdedup_survivors(spark, sf):
     """SemDeDup-style embedding-cluster dedup (pipeline/similarity.py
     semdedup): 8 fixed centroids (the first 8 corpus vectors, normalized
@@ -2855,6 +3022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_sum": _schema_evolution_sum,
         # --- born in round 9
         "html_extract_stats": _html_extract_stats,
+        "warc_records": _warc_records_q,
+        "warc_parse_stats": _warc_parse_stats,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -2964,7 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and the timeseries/groupBy singles gated in r8.
 _WINDOW_R9 = [
     # born in round 9
-    "html_extract_stats",
+    "html_extract_stats", "warc_records", "warc_parse_stats",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -4604,6 +4773,8 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash_pairs: full DuckDB replays of the banded
         # candidate pipelines off the shared md5-derived hash families
         "html_extract_stats": _html_oracle_sql(),
+        "warc_records": _warc_records_oracle_sql(),
+        "warc_parse_stats": _warc_stats_oracle_sql(),
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,
