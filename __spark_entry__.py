@@ -1567,6 +1567,41 @@ def _sq(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _dk_entities_ws(x: str) -> str:
+    """DuckDB expr: the entity-decode + whitespace-normalize tail of the
+    HTML chain, built from the engine's own constants."""
+    from incubator_druid_spark.pipeline import html as H
+    ws_run = _sq(r"[ \t\r]+")
+    nl_run = _sq(r"\n+")
+    nl_edge = _sq(r"^\n+|\n+$")
+    for ent, rep in H.ENTITIES:
+        x = f"replace({x}, {_sq(ent)}, {_sq(rep)})"
+    x = f"regexp_replace({x}, {ws_run}, ' ', 'g')"
+    x = f"regexp_replace({x}, '(?m)^ +| +$', '', 'g')"
+    x = f"regexp_replace({x}, {nl_run}, chr(10), 'g')"
+    x = f"regexp_replace({x}, {nl_edge}, '', 'g')"
+    return x
+
+
+def _dk_strip_html(e: str) -> str:
+    """DuckDB expr: the full strip_html_tags chain over expression
+    ``e`` (pipeline/html.py contract, same pattern constants)."""
+    from incubator_druid_spark.pipeline import html as H
+    x = f"regexp_replace({e}, {_sq(H.COMMENT_RE)}, '', 'g')"
+    x = f"regexp_replace({x}, {_sq(H.SCRIPT_RE)}, '', 'g')"
+    x = f"regexp_replace({x}, {_sq(H.STYLE_RE)}, '', 'g')"
+    x = f"regexp_replace({x}, {_sq(H.HEAD_RE)}, '', 'g')"
+    x = f"regexp_replace({x}, {_sq(H.BLOCK_TAG_RE)}, chr(10), 'g')"
+    x = f"regexp_replace({x}, {_sq(H.ANY_TAG_RE)}, '', 'g')"
+    return _dk_entities_ws(x)
+
+
+def _dk_html_title(e: str) -> str:
+    from incubator_druid_spark.pipeline import html as H
+    inner = f"regexp_extract({e}, " + _sq(H.TITLE_RE) + ", 1)"
+    return "nullif(trim(" + _dk_entities_ws(inner) + "), '')"
+
+
 def _html_oracle_sql() -> str:
     """DuckDB replay of html_stats built FROM the engine's own pattern
     constants (pipeline/html.py) so both sides stay in sync by
@@ -1574,29 +1609,8 @@ def _html_oracle_sql() -> str:
     first-match by default, Spark replaces globally)."""
     from incubator_druid_spark.pipeline import html as H
 
-    def strip(e: str) -> str:
-        x = f"regexp_replace({e}, {_sq(H.COMMENT_RE)}, '', 'g')"
-        x = f"regexp_replace({x}, {_sq(H.SCRIPT_RE)}, '', 'g')"
-        x = f"regexp_replace({x}, {_sq(H.STYLE_RE)}, '', 'g')"
-        x = f"regexp_replace({x}, {_sq(H.HEAD_RE)}, '', 'g')"
-        x = f"regexp_replace({x}, {_sq(H.BLOCK_TAG_RE)}, chr(10), 'g')"
-        x = f"regexp_replace({x}, {_sq(H.ANY_TAG_RE)}, '', 'g')"
-        return _entities_ws(x)
-
-    def _entities_ws(x: str) -> str:
-        ws_run = _sq(r"[ \t\r]+")
-        nl_run = _sq(r"\n+")
-        nl_edge = _sq(r"^\n+|\n+$")
-        for ent, rep in H.ENTITIES:
-            x = f"replace({x}, {_sq(ent)}, {_sq(rep)})"
-        x = f"regexp_replace({x}, {ws_run}, ' ', 'g')"
-        x = f"regexp_replace({x}, '(?m)^ +| +$', '', 'g')"
-        x = f"regexp_replace({x}, {nl_run}, chr(10), 'g')"
-        x = f"regexp_replace({x}, {nl_edge}, '', 'g')"
-        return x
-
-    title_inner = "regexp_extract(html, " + _sq(H.TITLE_RE) + ", 1)"
-    title = "nullif(trim(" + _entities_ws(title_inner) + "), '')"
+    strip = _dk_strip_html
+    title = _dk_html_title("html")
     a_chars = (f"CAST(COALESCE(list_sum(list_transform("
                f"regexp_extract_all(html, {_sq(H.ANCHOR_RE)}, 1), "
                f"x -> length(regexp_replace(x, {_sq(H.ANY_TAG_RE)}, "
@@ -1739,6 +1753,37 @@ def _warc_parse_stats(spark, sf):
     from incubator_druid_spark.pipeline.warc import warc_stats
     out = warc_stats(_warc_frame(spark, sf))
     return out.orderBy("doc_id")
+
+
+def _crawl_html_text(spark, sf):
+    """Composed crawl front door: WARC blobs -> record explode ->
+    response records with a text/html HTTP payload -> HTML title +
+    visible-text extraction (pipeline/warc.py + pipeline/html.py) —
+    the Common Crawl -> training-text pipeline head, end to end.  The
+    oracle replays the HTML chain over the same fixture pages."""
+    from incubator_druid_spark.pipeline.html import (
+        html_title, strip_html_tags)
+    from incubator_druid_spark.pipeline.warc import warc_record_rows
+    recs = warc_record_rows(_warc_frame(spark, sf))
+    h = F.col("body_text")
+    resp = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").startswith("text/html"))
+    out = resp.select(
+        "doc_id", "target_uri",
+        html_title(h).alias("title"),
+        strip_html_tags(h).alias("text"))
+    return out.withColumn("text_chars", F.length("text")).orderBy("doc_id")
+
+
+def _crawl_html_text_oracle_sql() -> str:
+    return _warc_base_cte() + f"""
+        SELECT doc_id, target_uri, {_dk_html_title('html')} AS title,
+               text, length(text) AS text_chars
+        FROM (SELECT doc_id, 'http://example.com/doc/' || ds AS target_uri,
+                     html, {_dk_strip_html('html')} AS text
+              FROM r)
+        ORDER BY doc_id"""
 
 
 def _warc_base_cte() -> str:
@@ -3024,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_stats": _html_extract_stats,
         "warc_records": _warc_records_q,
         "warc_parse_stats": _warc_parse_stats,
+        "crawl_html_text": _crawl_html_text,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3134,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW_R9 = [
     # born in round 9
     "html_extract_stats", "warc_records", "warc_parse_stats",
+    "crawl_html_text",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -4775,6 +4822,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_stats": _html_oracle_sql(),
         "warc_records": _warc_records_oracle_sql(),
         "warc_parse_stats": _warc_stats_oracle_sql(),
+        "crawl_html_text": _crawl_html_text_oracle_sql(),
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,
