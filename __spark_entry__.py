@@ -1786,6 +1786,51 @@ def _crawl_html_text_oracle_sql() -> str:
         ORDER BY doc_id"""
 
 
+_ZORDER_BITS = 8
+_ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
+                                              600000.0)]
+
+
+def _zorder_codes(spark, sf):
+    """Morton z-code layout cells (sources/layout.py): per-column
+    normalized grid cells + the interleaved code the segment sink's
+    'zorder' partitionsSpec range-partitions on — the multi-dimension
+    data-skipping layout.  Fixed literal bounds so both engines replay
+    the identical double arithmetic."""
+    from incubator_druid_spark.sources.layout import (
+        zorder_cell, zorder_code)
+    o = _cat(spark, sf).table("orders")
+    cells = [zorder_cell(F.col(c), lo, hi, _ZORDER_BITS)
+             for c, lo, hi in _ZORDER_COLS]
+    return (o.select("o_orderkey",
+                     cells[0].alias("cell_cust"),
+                     cells[1].alias("cell_price"),
+                     zorder_code(cells, _ZORDER_BITS).alias("zcode"))
+             .orderBy("o_orderkey"))
+
+
+def _zorder_oracle_sql() -> str:
+    m = (1 << _ZORDER_BITS) - 1
+    cells = []
+    for c, lo, hi in _ZORDER_COLS:
+        span = float(hi - lo)
+        cells.append(
+            f"CAST(coalesce(least(greatest(floor((CAST({c} AS DOUBLE) - "
+            f"{float(lo)!r}) / {span!r} * {float(m)!r}), 0), {m}), 0) "
+            f"AS BIGINT)")
+    n = len(cells)
+    terms = " | ".join(
+        f"(((cell{i} >> {b}) & 1) << {b * n + i})"
+        for i in range(n) for b in range(_ZORDER_BITS))
+    return f"""
+        WITH c AS (
+          SELECT o_orderkey, {cells[0]} AS cell0, {cells[1]} AS cell1
+          FROM orders)
+        SELECT o_orderkey, cell0 AS cell_cust, cell1 AS cell_price,
+               ({terms}) AS zcode
+        FROM c ORDER BY o_orderkey"""
+
+
 def _warc_base_cte() -> str:
     html = _warc_sql_concat(_WARC_SEG_HTML, {"ds": "ds", "slice": "sl"})
     http = _warc_sql_concat(_WARC_SEG_HTTP, {"ds": "ds", "slice": "sl"})
@@ -3070,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _warc_records_q,
         "warc_parse_stats": _warc_parse_stats,
         "crawl_html_text": _crawl_html_text,
+        "zorder_codes": _zorder_codes,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3180,7 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW_R9 = [
     # born in round 9
     "html_extract_stats", "warc_records", "warc_parse_stats",
-    "crawl_html_text",
+    "crawl_html_text", "zorder_codes",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -4823,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_records": _warc_records_oracle_sql(),
         "warc_parse_stats": _warc_stats_oracle_sql(),
         "crawl_html_text": _crawl_html_text_oracle_sql(),
+        "zorder_codes": _zorder_oracle_sql(),
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

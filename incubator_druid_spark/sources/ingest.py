@@ -340,6 +340,26 @@ def ingest(spark: SparkSession, spec: dict, catalog: Catalog,
             .partitionBy("__bucket")
             .parquet(path))
         catalog.register(name, path)
+    elif pspec.get("type") == "zorder":
+        # Superset of the reference's range specs (no Druid analogue):
+        # Morton-interleave several dimensions inside each time chunk so
+        # file min/max stats prune filters on ANY clustered dimension,
+        # not just the range chain's prefix (sources/layout.py).
+        from .layout import cluster_by_zorder
+        dims = list(pspec.get("partitionDimensions") or [])
+        if not dims:
+            raise ValueError("zorder partitionsSpec needs "
+                             "partitionDimensions")
+        shards = int(pspec.get("numShards")
+                     or spark.sparkContext.defaultParallelism)
+        (cluster_by_zorder(out, dims, bits=int(pspec.get("bits", 12)),
+                           num_partitions=shards,
+                           prefix_cols=["__bucket"])
+            .write.mode(mode)
+            .option("maxRecordsPerFile", max_rows)
+            .partitionBy("__bucket")
+            .parquet(path))
+        catalog.register(name, path)
     else:
         (out.write.mode(mode)
             .option("maxRecordsPerFile", max_rows)
