@@ -1786,6 +1786,126 @@ def _crawl_html_text_oracle_sql() -> str:
         ORDER BY doc_id"""
 
 
+def _chat_frame(spark, sf):
+    """Chat-transcript fixture over documents: four conversation shapes
+    (clean 4-turn user/assistant, system opener, an unparsed first
+    turn, broken alternation); both engines build the same strings."""
+    ds = F.col("doc_id").cast("string")
+    s1 = F.substring(F.col("text"), 1, 80)
+    s2 = F.substring(F.col("text"), 81, 80)
+    s3 = F.substring(F.col("text"), 1, 30)
+    g = F.col("doc_id") % 4
+    sep = "\n\n"
+    t = (F.when(g == 0, F.concat(
+            F.lit("user: "), s1, F.lit(sep),
+            F.lit("assistant: "), s2, F.lit(sep),
+            F.lit("user: follow up "), ds, F.lit(sep),
+            F.lit("assistant: done")))
+         .when(g == 1, F.concat(
+            F.lit("system: be concise" + sep + "user: "), s3,
+            F.lit(sep + "assistant: "), s3))
+         .when(g == 2, F.concat(
+            F.lit("no role here "), s3, F.lit(sep + "assistant: ok")))
+         .otherwise(F.concat(F.lit("user: a" + sep + "user: "), s3)))
+    docs = _cat(spark, sf).table("documents")
+    return docs.select("doc_id", t.alias("text"))
+
+
+def _chat_turns_spans(spark, sf):
+    """Chat turn parsing + loss-mask spans (pipeline/chat.py
+    chat_spans): role-tagged transcripts exploded to turns with
+    char_start/char_end in the reassembled training string and the
+    assistant-only train mask — every column on the hash."""
+    from incubator_druid_spark.pipeline.chat import chat_spans
+    out = chat_spans(_chat_frame(spark, sf))
+    return out.orderBy("doc_id", "turn_idx")
+
+
+def _chat_shape_stats(spark, sf):
+    """Per-conversation SFT shape report (pipeline/chat.py chat_stats):
+    role counts, unparsed turns, opener, strict alternation verdict,
+    assistant char mass."""
+    from incubator_druid_spark.pipeline.chat import chat_stats
+    out = chat_stats(_chat_frame(spark, sf))
+    return out.orderBy("doc_id")
+
+
+_CHAT_FIXTURE_CTE = """
+    WITH t AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'user: ' || substr(text,1,80) || nl2 ||
+            'assistant: ' || substr(text,81,80) || nl2 ||
+            'user: follow up ' || CAST(doc_id AS VARCHAR) || nl2 ||
+            'assistant: done'
+          WHEN 1 THEN 'system: be concise' || nl2 || 'user: ' ||
+            substr(text,1,30) || nl2 || 'assistant: ' ||
+            substr(text,1,30)
+          WHEN 2 THEN 'no role here ' || substr(text,1,30) || nl2 ||
+            'assistant: ok'
+          ELSE 'user: a' || nl2 || 'user: ' || substr(text,1,30)
+        END AS text
+      FROM documents, (SELECT chr(10) || chr(10) AS nl2)),
+    u AS (
+      SELECT doc_id, generate_subscripts(parts, 1) - 1 AS turn_idx,
+             unnest(parts) AS turn
+      FROM (SELECT doc_id,
+                   string_split(text, chr(10) || chr(10)) AS parts
+            FROM t)),
+    p AS (
+      SELECT doc_id, turn_idx,
+             CASE WHEN split_part(turn, ': ', 1) IN
+                       ('user', 'assistant', 'system', 'tool')
+                  THEN split_part(turn, ': ', 1) END AS role,
+             turn
+      FROM u),
+    q AS (
+      SELECT doc_id, CAST(turn_idx AS INTEGER) AS turn_idx, role,
+             CASE WHEN role IS NOT NULL
+                  THEN substr(turn, length(role) + 3) ELSE turn
+             END AS content
+      FROM p)"""
+
+
+_CHAT_SPANS_ORACLE = _CHAT_FIXTURE_CTE + """
+    SELECT doc_id, turn_idx, role, content,
+           CAST(coalesce(SUM(length(content) + 1) OVER (
+                PARTITION BY doc_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS char_start,
+           CAST(coalesce(SUM(length(content) + 1) OVER (
+                PARTITION BY doc_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + length(content) AS BIGINT) AS char_end,
+           coalesce(role = 'assistant', false) AS train_mask
+    FROM q ORDER BY doc_id, turn_idx"""
+
+
+_CHAT_STATS_ORACLE = _CHAT_FIXTURE_CTE + """,
+    f AS (
+      SELECT doc_id, turn_idx, role, content,
+             CASE WHEN lag(turn_idx) OVER w IS NULL THEN true
+                  ELSE coalesce(role IN ('user', 'assistant')
+                                AND role <> lag(role) OVER w, false)
+             END AS flip
+      FROM q
+      WINDOW w AS (PARTITION BY doc_id ORDER BY turn_idx))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT)
+               AS n_user,
+           CAST(count(CASE WHEN role = 'assistant' THEN 1 END)
+               AS BIGINT) AS n_assistant,
+           CAST(count(CASE WHEN role IS NULL THEN 1 END) AS BIGINT)
+               AS n_unparsed,
+           nullif(arg_min(coalesce(role, ''), turn_idx), '')
+               AS first_role,
+           CAST(min(CAST(flip AS INTEGER)) AS BOOLEAN) AS alternates_ua,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN length(content)
+                         ELSE 0 END) AS BIGINT) AS assistant_chars
+    FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3116,6 +3236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse_stats": _warc_parse_stats,
         "crawl_html_text": _crawl_html_text,
         "zorder_codes": _zorder_codes,
+        "chat_turns_spans": _chat_turns_spans,
+        "chat_shape_stats": _chat_shape_stats,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3227,6 +3349,7 @@ _WINDOW_R9 = [
     # born in round 9
     "html_extract_stats", "warc_records", "warc_parse_stats",
     "crawl_html_text", "zorder_codes",
+    "chat_turns_spans", "chat_shape_stats",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -4870,6 +4993,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_parse_stats": _warc_stats_oracle_sql(),
         "crawl_html_text": _crawl_html_text_oracle_sql(),
         "zorder_codes": _zorder_oracle_sql(),
+        "chat_turns_spans": _CHAT_SPANS_ORACLE,
+        "chat_shape_stats": _CHAT_STATS_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

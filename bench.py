@@ -265,6 +265,17 @@ def main() -> int:
         .filter(F.col("gopher_pass")), "text", "doc_id")
         .agg(F.sum("dup_count")).collect()), 3)
 
+    # crawl front door over the full corpus: WARC blob build -> record
+    # explode (Arrow kernel) -> text/html responses -> HTML visible-text
+    # extraction; sum of extracted lengths so the chain fully runs.
+    from incubator_druid_spark.pipeline.html import strip_html_tags
+    from incubator_druid_spark.pipeline.warc import warc_record_rows
+    crawl_sec = round(_median3(lambda: warc_record_rows(
+        entrymod._warc_frame(spark, sf_dir))
+        .filter(F.col("warc_type") == "response")
+        .select(F.length(strip_html_tags(F.col("body_text"))).alias("n"))
+        .agg(F.sum("n")).collect()), 3)
+
     # ------------------------------------------------------------------
     # the reference's OWN benchmark suite: SqlBenchmark.java:85-260 run
     # verbatim through the Druid SQL surface over a 5M-row realization of
@@ -536,6 +547,7 @@ def main() -> int:
         "exactsubstr_docs_sec": exactsubstr_sec,
         "decontam_docs_sec": decontam_sec,
         "curation_docs_sec": curation_sec,
+        "crawl_docs_sec": crawl_sec,
         "ansi_host_sql_call_ms": ansi_host_sql_ms,
         "engine_sql_call_ms": engine_sql_ms,
         "ansi_host_sql_ratio": round(
