@@ -1906,6 +1906,69 @@ _CHAT_STATS_ORACLE = _CHAT_FIXTURE_CTE + """,
     FROM f GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _quality_score_model(spark, sf):
+    """Model-based quality scoring (pipeline/score.py
+    linear_quality_score): hashed bag-of-words linear classifier —
+    md5-bucket tokens mod 64, broadcast a deterministic (bucket,
+    weight) table (weights are exact multiples of 1/32 so the weighted
+    sums are order-independent exact doubles), sigmoid + keep
+    threshold.  Buckets i % 5 == 0 are absent from the model, so
+    matched_tokens < n_tokens exercises the out-of-model path."""
+    from incubator_druid_spark.pipeline.score import linear_quality_score
+    docs = _cat(spark, sf).table("documents")
+    w = (spark.range(64)
+         .filter(F.col("id") % 5 != 0)
+         .select(F.col("id").alias("bucket"),
+                 ((F.col("id") * 37 % 21 - 10) / F.lit(32.0))
+                 .alias("weight")))
+    out = linear_quality_score(docs, w, dim=64, bias=0.125)
+    return (out.select("doc_id",
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       "matched_tokens",
+                       F.round("score_raw", 6).alias("score_raw"),
+                       F.round("score", 6).alias("score"), "keep")
+               .orderBy("doc_id"))
+
+
+_QUALITY_SCORE_ORACLE = r"""
+    WITH w AS (
+      SELECT i AS bucket, (i * 37 % 21 - 10) / 32.0 AS weight
+      FROM range(64) t(i) WHERE i % 5 <> 0),
+    tk AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64
+                 AS bucket
+      FROM tk),
+    c AS (SELECT doc_id, bucket, count(*) AS cnt
+          FROM b GROUP BY doc_id, bucket),
+    d AS (
+      SELECT c.doc_id,
+             SUM(c.cnt * coalesce(w.weight, 0)) AS dot,
+             SUM(CASE WHEN w.weight IS NOT NULL THEN c.cnt ELSE 0 END)
+                 AS matched
+      FROM c LEFT JOIN w USING (bucket) GROUP BY c.doc_id),
+    base AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n_toks
+      FROM documents)
+    SELECT base.doc_id,
+           CAST(base.n_toks AS BIGINT) AS n_tokens,
+           CAST(coalesce(d.matched, 0) AS BIGINT) AS matched_tokens,
+           round(coalesce(d.dot, 0) + 0.125, 6) AS score_raw,
+           round(1.0 / (1.0 + exp(-(coalesce(d.dot, 0) + 0.125))), 6)
+               AS score,
+           1.0 / (1.0 + exp(-(coalesce(d.dot, 0) + 0.125))) >= 0.5
+               AS keep
+    FROM base LEFT JOIN d ON base.doc_id = d.doc_id
+    ORDER BY base.doc_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3238,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_codes": _zorder_codes,
         "chat_turns_spans": _chat_turns_spans,
         "chat_shape_stats": _chat_shape_stats,
+        "quality_score_model": _quality_score_model,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3349,7 +3413,7 @@ _WINDOW_R9 = [
     # born in round 9
     "html_extract_stats", "warc_records", "warc_parse_stats",
     "crawl_html_text", "zorder_codes",
-    "chat_turns_spans", "chat_shape_stats",
+    "chat_turns_spans", "chat_shape_stats", "quality_score_model",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -4995,6 +5059,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_codes": _zorder_oracle_sql(),
         "chat_turns_spans": _CHAT_SPANS_ORACLE,
         "chat_shape_stats": _CHAT_STATS_ORACLE,
+        "quality_score_model": _QUALITY_SCORE_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,
