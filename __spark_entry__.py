@@ -1969,6 +1969,65 @@ _QUALITY_SCORE_ORACLE = r"""
     ORDER BY base.doc_id"""
 
 
+def _corpus_profile(spark, sf):
+    """Per-(source, lang) corpus report (pipeline/text.py
+    corpus_profile): doc counts, char/token mass, token mean and exact
+    interpolated p50/p95 — the first table a curation run prints."""
+    from incubator_druid_spark.pipeline.text import corpus_profile
+    out = corpus_profile(_cat(spark, sf).table("documents"))
+    return (_round(out, {"source": None, "lang": None, "n_docs": None,
+                         "total_chars": None, "total_tokens": None,
+                         "avg_tokens": 6, "p50_tokens": 6,
+                         "p95_tokens": 6})
+            .orderBy("source", "lang"))
+
+
+_CORPUS_PROFILE_ORACLE = r"""
+    WITH d AS (
+      SELECT source, lang, length(text) AS chars,
+             CAST(coalesce(len(list_filter(
+                 regexp_split_to_array(text, '\s+'), x -> x <> '')), 0)
+                 AS DOUBLE) AS toks
+      FROM documents)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           round(AVG(toks), 6) AS avg_tokens,
+           round(CAST(quantile_cont(toks, 0.5) AS DOUBLE), 6)
+               AS p50_tokens,
+           round(CAST(quantile_cont(toks, 0.95) AS DOUBLE), 6)
+               AS p95_tokens
+    FROM d GROUP BY source, lang ORDER BY source, lang"""
+
+
+def _truncate_tokens_stats(spark, sf):
+    """Token-budget truncation (pipeline/text.py truncate_to_tokens):
+    first-40-token cut with single-space rejoin, truncated text itself
+    on the hash plus the flag and the post-cut length."""
+    from incubator_druid_spark.pipeline.text import truncate_to_tokens
+    out = truncate_to_tokens(_cat(spark, sf).table("documents"), 40)
+    return (out.select("doc_id", "text_truncated", "was_truncated",
+                       F.length("text_truncated").alias("cut_chars"))
+               .orderBy("doc_id"))
+
+
+_TRUNCATE_TOKENS_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE array_to_string(list_filter(
+                      regexp_split_to_array(text, '\s+'),
+                      x -> x <> '')[1:40], ' ') END AS text_truncated,
+             coalesce(len(list_filter(
+                 regexp_split_to_array(text, '\s+'), x -> x <> '')) > 40,
+                 false) AS was_truncated
+      FROM documents)
+    SELECT doc_id, text_truncated, was_truncated,
+           length(text_truncated) AS cut_chars
+    FROM d ORDER BY doc_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3302,6 +3361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_turns_spans": _chat_turns_spans,
         "chat_shape_stats": _chat_shape_stats,
         "quality_score_model": _quality_score_model,
+        "corpus_profile": _corpus_profile,
+        "truncate_tokens_stats": _truncate_tokens_stats,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3414,6 +3475,7 @@ _WINDOW_R9 = [
     "html_extract_stats", "warc_records", "warc_parse_stats",
     "crawl_html_text", "zorder_codes",
     "chat_turns_spans", "chat_shape_stats", "quality_score_model",
+    "corpus_profile", "truncate_tokens_stats",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5060,6 +5122,8 @@ def oracle_sql() -> dict[str, str]:
         "chat_turns_spans": _CHAT_SPANS_ORACLE,
         "chat_shape_stats": _CHAT_STATS_ORACLE,
         "quality_score_model": _QUALITY_SCORE_ORACLE,
+        "corpus_profile": _CORPUS_PROFILE_ORACLE,
+        "truncate_tokens_stats": _TRUNCATE_TOKENS_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

@@ -455,3 +455,45 @@ def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
     w = Window.partitionBy(group_col).orderBy(*order)
     return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
                 .filter(F.col("rank") <= k))
+
+
+def truncate_to_tokens(df: DataFrame, max_tokens: int,
+                       text_col: str = "text",
+                       out_col: str = "text_truncated") -> DataFrame:
+    """Token-budget truncation: keep the first ``max_tokens`` whitespace
+    tokens, rejoined by single spaces (whitespace runs are normalized —
+    the same reading every tokenizer downstream of this cut sees).
+    Adds ``out_col`` and ``was_truncated``.  Closed-form slice/join —
+    scan-speed, no shuffle; the context-window prep step before
+    chunking/packing."""
+    if max_tokens < 0:
+        raise ValueError("max_tokens must be >= 0")
+    toks = tokens(F.col(text_col))
+    cut = F.array_join(F.slice(toks, 1, max_tokens), " ")
+    return df.select(
+        "*",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+         .otherwise(cut).alias(out_col),
+        F.coalesce(F.size(toks) > max_tokens, F.lit(False))
+         .alias("was_truncated"))
+
+
+def corpus_profile(df: DataFrame, group_cols: list[str] | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Per-(source, lang, ...) corpus report: doc count, char/token
+    mass, token-count mean and exact p50/p95 (linear interpolation) —
+    the first table a curation run prints.  One shuffle on the group
+    key; token counts are computed scan-side so the text itself never
+    shuffles."""
+    group_cols = ["source", "lang"] if group_cols is None else group_cols
+    per_doc = df.select(
+        *group_cols,
+        char_count(F.col(text_col)).alias("__chars"),
+        token_count(F.col(text_col)).cast("double").alias("__toks"))
+    return (per_doc.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__toks").cast("long").alias("total_tokens"),
+        F.avg("__toks").alias("avg_tokens"),
+        F.expr("percentile(__toks, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(__toks, 0.95)").alias("p95_tokens")))
