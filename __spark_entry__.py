@@ -2028,6 +2028,106 @@ _TRUNCATE_TOKENS_ORACLE = r"""
     FROM d ORDER BY doc_id"""
 
 
+def _decontam_fuzzy(spark, sf):
+    """Fuzzy (MinHash) decontamination (pipeline/decontaminate.py
+    decontaminate_fuzzy): eval corpus = every 17th document truncated
+    to its first 150 chars — a near-but-not-exact leak — flagged by
+    cross-corpus LSH banding + hashed-shingle Jaccard >= 0.4.  The
+    oracle replays the full md5 universal-hash family, banding, the
+    train-side bucket cap and the verify arithmetic."""
+    from incubator_druid_spark.pipeline.decontaminate import (
+        decontaminate_fuzzy)
+    docs = _cat(spark, sf).table("documents")
+    ev = (docs.filter(F.col("doc_id") % 17 == 0)
+              .select(F.col("doc_id").alias("eval_id"),
+                      F.substring("text", 1, 150).alias("text")))
+    out = decontaminate_fuzzy(docs, ev, eval_id_col="eval_id",
+                              threshold=0.4)
+    return (_round(out, {"doc_id": None, "n_candidates": None,
+                         "n_matches": None, "max_jaccard": 6})
+            .orderBy("doc_id"))
+
+
+def _fuzzy_decontam_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                               threshold: float = 0.4,
+                               max_bucket: int = 64) -> str:
+    from incubator_druid_spark.pipeline.dedup import (MINHASH_P,
+                                                      minhash_constants)
+    a, b = minhash_constants(num_hashes)
+    rows = num_hashes // bands
+    ab = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                   for i in range(num_hashes))
+
+    def side(name: str, src: str) -> str:
+        return rf"""
+        {name}norm AS (
+          SELECT id, trim(regexp_replace(regexp_replace(
+                 lower(COALESCE(text, '')),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+          FROM {src}),
+        {name}toks AS (SELECT id, string_split(t, ' ') AS w
+                       FROM {name}norm),
+        {name}idx AS (SELECT id, w,
+                             unnest(range(1, greatest(len(w) - 1, 1)))
+                                 AS i
+                      FROM {name}toks),
+        {name}base AS (
+          SELECT DISTINCT id,
+                 CAST(('0x' || substr(md5(array_to_string(w[i:i+2],
+                      ' ')), 1, 15)) AS BIGINT) AS h60
+          FROM {name}idx),
+        {name}sig AS (
+          SELECT id, i,
+                 min((a * (h60 % {MINHASH_P}) + b) % {MINHASH_P}) AS m
+          FROM {name}base CROSS JOIN consts GROUP BY 1, 2),
+        {name}bnd AS (
+          SELECT id, i // {rows} AS band,
+                 string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bh
+          FROM {name}sig GROUP BY 1, 2),
+        {name}sizes AS (SELECT id, count(*) AS n
+                        FROM {name}base GROUP BY 1)"""
+
+    return rf"""
+        WITH tdocs AS (SELECT doc_id AS id, text FROM documents),
+        edocs AS (SELECT doc_id AS id, substr(text, 1, 150) AS text
+                  FROM documents WHERE doc_id % 17 = 0),
+        consts(i, a, b) AS (VALUES {ab}),
+        {side('t', 'tdocs')},
+        {side('e', 'edocs')},
+        ok AS (SELECT band, bh FROM tbnd GROUP BY 1, 2
+               HAVING count(*) <= {max_bucket}),
+        cand AS (
+          SELECT DISTINCT t.id AS tid, e.id AS eid
+          FROM tbnd t JOIN ok USING (band, bh)
+          JOIN ebnd e ON t.band = e.band AND t.bh = e.bh),
+        inter AS (
+          SELECT c.tid, c.eid, count(*) AS x
+          FROM cand c
+          JOIN tbase tb ON tb.id = c.tid
+          JOIN ebase eb ON eb.id = c.eid AND eb.h60 = tb.h60
+          GROUP BY 1, 2),
+        jc AS (
+          SELECT c.tid,
+                 CAST(COALESCE(i.x, 0) AS DOUBLE)
+                 / (ts.n + es.n - COALESCE(i.x, 0)) AS j
+          FROM cand c
+          JOIN tsizes ts ON ts.id = c.tid
+          JOIN esizes es ON es.id = c.eid
+          LEFT JOIN inter i ON i.tid = c.tid AND i.eid = c.eid),
+        agg AS (
+          SELECT tid, CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(SUM(CASE WHEN j >= {threshold} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_matches,
+                 max(j) AS max_jaccard
+          FROM jc GROUP BY tid)
+        SELECT d.doc_id,
+               COALESCE(a.n_candidates, 0) AS n_candidates,
+               COALESCE(a.n_matches, 0) AS n_matches,
+               round(COALESCE(a.max_jaccard, 0.0), 6) AS max_jaccard
+        FROM documents d LEFT JOIN agg a ON a.tid = d.doc_id
+        ORDER BY d.doc_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3363,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_model": _quality_score_model,
         "corpus_profile": _corpus_profile,
         "truncate_tokens_stats": _truncate_tokens_stats,
+        "decontam_fuzzy": _decontam_fuzzy,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3475,7 +3576,7 @@ _WINDOW_R9 = [
     "html_extract_stats", "warc_records", "warc_parse_stats",
     "crawl_html_text", "zorder_codes",
     "chat_turns_spans", "chat_shape_stats", "quality_score_model",
-    "corpus_profile", "truncate_tokens_stats",
+    "corpus_profile", "truncate_tokens_stats", "decontam_fuzzy",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5124,6 +5225,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_model": _QUALITY_SCORE_ORACLE,
         "corpus_profile": _CORPUS_PROFILE_ORACLE,
         "truncate_tokens_stats": _TRUNCATE_TOKENS_ORACLE,
+        "decontam_fuzzy": _fuzzy_decontam_oracle_sql(),
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

@@ -67,3 +67,87 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                      .cast("long").alias("n_grams"),
                     F.coalesce("contaminated_grams", F.lit(0))
                      .cast("long").alias("contaminated_grams")))
+
+
+def decontaminate_fuzzy(train: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_id_col: str | None = None,
+                        eval_text_col: str | None = None,
+                        threshold: float = 0.5, num_hashes: int = 64,
+                        bands: int = 16, shingle_n: int = 3,
+                        max_bucket: int = 64,
+                        use_pandas: bool = True) -> DataFrame:
+    """NEAR-duplicate decontamination: flag training documents whose
+    shingle-set Jaccard against ANY eval document reaches ``threshold``
+    — the fuzzy complement of :func:`decontaminate`'s exact n-gram
+    rule (paraphrased/reformatted benchmark leaks survive exact
+    13-gram matching; MinHash catches them).
+
+    Shape (100 TB train, MB-scale eval): both sides run the SAME
+    Arrow signature kernel as minhash_dedup (one pass over each
+    corpus); the eval side's band buckets AND shingle-hash sets are
+    BROADCAST, so the train text never shuffles — candidates are a
+    broadcast band-key join, the verify stage is a broadcast
+    array-intersect, and the only shuffle is the final per-doc
+    aggregate on train ids.  Train-side hot buckets are capped at
+    ``max_bucket`` exactly like the self-join path.
+
+    Returns one row per train document:
+      (id, n_candidates, n_matches, max_jaccard) — candidates are LSH
+    band collisions, matches are candidates whose verified Jaccard >=
+    threshold; clean documents report (0, 0, 0.0).
+    """
+    from incubator_druid_spark.pipeline.dedup import (
+        _shingle_frame, _signature_frame_pandas, _widen_for_explode,
+        banded_buckets, minhash_signature, shingle_hash64)
+
+    eid = eval_id_col or id_col
+    etx = eval_text_col or text_col
+    par = train.sparkSession.sparkContext.defaultParallelism
+
+    def sig_frame(df, idc, txc):
+        if use_pandas:
+            return _signature_frame_pandas(
+                df.repartition(par, F.col(idc)), idc, txc,
+                num_hashes, shingle_n)
+        sh = _shingle_frame(df, idc, txc, shingle_n)
+        return (sh.select(
+            F.col(idc),
+            minhash_signature(F.col("__sh"), num_hashes).alias("__sig"),
+            F.transform(F.col("__sh"), shingle_hash64).alias("__sh"))
+            .filter(F.col("__sig")[0].isNotNull()))
+
+    t = sig_frame(_widen_for_explode(train), id_col, text_col).persist()
+    e = (sig_frame(eval_df, eid, etx)
+         .select(F.col(eid).alias("__eval_id"), "__sig", "__sh"))
+    tb = banded_buckets(t, id_col, num_hashes, bands)
+    eb = banded_buckets(e, "__eval_id", num_hashes, bands)
+    if max_bucket:
+        sizes = (tb.groupBy("band", "bh")
+                   .agg(F.count(F.lit(1)).alias("__n"))
+                   .filter(F.col("__n") <= max_bucket)
+                   .drop("__n"))
+        tb = tb.join(sizes, ["band", "bh"])
+    cand = (tb.join(F.broadcast(eb.select("band", "bh", "__eval_id")),
+                    ["band", "bh"])
+              .select(id_col, "__eval_id").distinct())
+    tsh = t.select(F.col(id_col), F.col("__sh").alias("__sh_t"))
+    esh = F.broadcast(e.select("__eval_id", F.col("__sh").alias("__sh_e")))
+    inter = F.size(F.array_intersect(F.col("__sh_t"), F.col("__sh_e")))
+    union = F.size(F.array_union(F.col("__sh_t"), F.col("__sh_e")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    per_pair = (cand.join(tsh, id_col).join(esh, "__eval_id")
+                    .select(id_col, jac.alias("__jaccard")))
+    agg = per_pair.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("__jaccard") >= threshold).cast("int"))
+         .alias("n_matches"),
+        F.max("__jaccard").alias("max_jaccard"))
+    return (train.select(id_col).join(agg, id_col, "left")
+                 .select(id_col,
+                         F.coalesce("n_candidates", F.lit(0))
+                          .cast("long").alias("n_candidates"),
+                         F.coalesce("n_matches", F.lit(0))
+                          .cast("long").alias("n_matches"),
+                         F.coalesce("max_jaccard", F.lit(0.0))
+                          .alias("max_jaccard")))

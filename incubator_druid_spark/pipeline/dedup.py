@@ -214,7 +214,12 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
                 offsets.append(offsets[-1] + len(grams))
                 ids.append(rid)
             if not ids:
-                yield pd.DataFrame({id_col: [], "__sig": [], "__sh": []})
+                # typed empties: default float64 columns break the
+                # Arrow conversion to array<long>
+                yield pd.DataFrame({
+                    id_col: pd.Series([], dtype="int64"),
+                    "__sig": pd.Series([], dtype="object"),
+                    "__sh": pd.Series([], dtype="object")})
                 continue
             # one universal-hash sweep per SEED over the batch's flat
             # shingle vector, per-doc segment minima via minimum.reduceat.
@@ -232,7 +237,10 @@ def _signature_frame_pandas(df: DataFrame, id_col: str, text_col: str,
                                 "__sig": [m.tolist() for m in mins],
                                 "__sh": [s.tolist() for s in bases]})
 
-    return (df.select(id_col, text_col)
+    # id cast to long BEFORE the kernel: the declared schema is long,
+    # and an int32 input otherwise breaks the pandas->Arrow conversion
+    # of the list columns (ArrowNotImplementedError in the cast path)
+    return (df.select(F.col(id_col).cast("long").alias(id_col), text_col)
               .mapInPandas(kernel,
                            schema=f"{id_col} long, __sig array<long>, __sh array<long>"))
 
@@ -249,6 +257,26 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str,
     sh = (df.repartition(parallelism, F.col(id_col))
             .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")))
     return sh.persist()
+
+
+def banded_buckets(with_sig: DataFrame, id_col: str, num_hashes: int,
+                   bands: int) -> DataFrame:
+    """(id, band, bh) LSH bucket keys from a (id, __sig) frame.  The
+    band key is the band's signature slice joined as a string —
+    equality-equivalent to hashing it, and replayable in any SQL
+    oracle.  Shared by the self-join candidates and the cross-corpus
+    fuzzy decontamination."""
+    rows = num_hashes // bands
+    banded = with_sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws(",", *[F.col("__sig")[b * rows + r]
+                                        .cast("string")
+                                        for r in range(rows)]).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"))
+    return banded.select(id_col, "bb.band", "bb.bh")
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -279,19 +307,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         with_sig = (sh_frame.select(F.col(id_col), sig.alias("__sig"))
                             .filter(F.col("__sig")[0].isNotNull())
                             .persist())
-    banded = with_sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     # band key = the band's signature slice joined as a
-                     # string — equality-equivalent to hashing it, and
-                     # replayable in any SQL oracle
-                     F.concat_ws(",", *[F.col("__sig")[b * rows + r]
-                                        .cast("string")
-                                        for r in range(rows)]).alias("bh"))
-            for b in range(bands)
-        ])).alias("bb"))
-    buckets = banded.select(id_col, "bb.band", "bb.bh")
+    buckets = banded_buckets(with_sig, id_col, num_hashes, bands)
     if max_bucket:
         sizes = (buckets.groupBy("band", "bh")
                  .agg(F.count(F.lit(1)).alias("__n"))
