@@ -3556,12 +3556,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-9 window: lead with the seven entries born this round (real BPE
-# tokenization + BPE-driven packing, the MP4/MP3 zero-decode indexes —
-# r8 task 2 — perceptual image hashes + banded pairs, SemDeDup), then
-# the entries whose CODE changed this round (script_profile's latin
-# range — ADVICE r8; dedup_groups' keep_by tie-break; simhash_pairs on
-# the factored banded_hamming_pairs; knn_join_topk's dup-id guard; the
+# Round-9 window: lead with the twenty-one entries born this round
+# (real BPE tokenization + BPE-driven packing, the MP4/MP3 zero-decode
+# indexes — r8 task 2 — perceptual image hashes + banded pairs,
+# SemDeDup, URL curation, WARC parsing + HTML extraction + the
+# composed crawl front door, z-order layout codes, chat turns/stats,
+# model-based quality scoring, corpus profile, token truncation, fuzzy
+# decontamination), then the entries whose CODE changed this round
+# (minhash_pairs — the signature kernel's int32-id/empty-batch fixes
+# and the banded_buckets factoring; script_profile's latin range —
+# ADVICE r8; dedup_groups' keep_by tie-break; simhash_pairs on the
+# factored banded_hamming_pairs; knn_join_topk's dup-id guard; the
 # packing/chunking family adjacent to the new token hook; the sql_*
 # family, whose every call now flows through the referenced-only
 # staleness validator), then the below-window entries least recently
@@ -3583,6 +3588,7 @@ _WINDOW_R9 = [
     "semdedup_survivors",
     "url_canonical", "url_domain_stats", "url_dedup_survivors",
     # code changed in round 9
+    "minhash_pairs",
     "script_profile", "dedup_groups", "simhash_pairs", "knn_join_topk",
     "chunk_fixed", "pack_concat_spans", "pack_greedy_nextfit",
     "sql_druid_functions", "sql_floor_to_day", "sql_earliest_latest",
