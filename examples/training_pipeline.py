@@ -20,6 +20,12 @@ Stages (each one scan/shuffle-disciplined — see module docstrings):
   14. chunking + sequence packing for the training loader
   15. weighted corpus mixture (per-source epochs)
   16. set-to-set kNN join
+  17. crawl front door: HTML extraction + link-density boilerplate flags
+  18. chat transcripts: turns, loss-mask spans, shape report
+  19. model-based quality scoring (hashed linear classifier)
+  20. fuzzy decontamination (MinHash vs the eval corpus)
+  21. corpus profile + token-budget truncation
+  22. z-order layout for multi-dimension file skipping
 """
 
 import os
@@ -156,6 +162,60 @@ def main():
     knn = knn_join(emb.filter(F.col("vec_id") >= 5),
                    emb.filter(F.col("vec_id") < 5), k=3)
     knn.orderBy("q_id", "rank").show(9)
+
+    print("== 17. crawl front door: HTML wrap -> extract text + "
+          "link-density boilerplate flags")
+    from incubator_druid_spark.pipeline.html import html_stats
+    pages = docs.select("doc_id", F.concat(
+        F.lit("<html><body><p>"), F.col("text"),
+        F.lit('</p><a href="/n">nav</a></body></html>')).alias("html"))
+    html_stats(pages).select("doc_id", "n_links", "text_chars",
+                             "link_density", "is_boilerplate").show(3)
+
+    print("== 18. chat transcripts: turns, loss-mask spans, shape report")
+    from incubator_druid_spark.pipeline.chat import chat_spans, chat_stats
+    convs = docs.limit(3).select("doc_id", F.concat(
+        F.lit("user: "), F.substring("text", 1, 40),
+        F.lit("\n\nassistant: "), F.substring("text", 41, 40))
+        .alias("text"))
+    chat_spans(convs).show(6)
+    chat_stats(convs).show(3)
+
+    print("== 19. model-based quality score (hashed linear classifier, "
+          "weights broadcast)")
+    from incubator_druid_spark.pipeline.score import linear_quality_score
+    w = spark.range(256).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 11 - 5) / F.lit(32.0)).alias("weight"))
+    linear_quality_score(docs, w, dim=256).orderBy("doc_id").show(3)
+
+    print("== 20. FUZZY decontamination (MinHash vs the eval corpus — "
+          "catches paraphrased leaks)")
+    from incubator_druid_spark.pipeline.decontaminate import (
+        decontaminate_fuzzy)
+    ev = (docs.filter(F.col("doc_id") % 17 == 0)
+              .select(F.col("doc_id").alias("eval_id"),
+                      F.substring("text", 1, 150).alias("text")))
+    fz = decontaminate_fuzzy(docs, ev, eval_id_col="eval_id",
+                             threshold=0.4)
+    fz.filter(F.col("n_matches") > 0).orderBy("doc_id").show(5)
+
+    print("== 21. corpus profile + token-budget truncation")
+    from incubator_druid_spark.pipeline.text import (corpus_profile,
+                                                     truncate_to_tokens)
+    corpus_profile(docs).orderBy("source", "lang").show(5)
+    truncate_to_tokens(docs, 32).select(
+        "doc_id", "was_truncated",
+        F.length("text_truncated").alias("cut_chars")).show(3)
+
+    print("== 22. z-order layout: cluster orders on (custkey, price) "
+          "for two-dimension file skipping")
+    from incubator_druid_spark.sources.layout import cluster_by_zorder
+    orders = cat.table("orders")
+    zed = cluster_by_zorder(orders, ["o_custkey", "o_totalprice"],
+                            bits=8, num_partitions=8)
+    print(f"   clustered into {zed.rdd.getNumPartitions()} "
+          "tight-bbox partitions")
 
     print("done.")
 
