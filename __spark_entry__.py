@@ -2128,6 +2128,50 @@ def _fuzzy_decontam_oracle_sql(num_hashes: int = 64, bands: int = 16,
         ORDER BY d.doc_id"""
 
 
+def _embed_text_vectors(spark, sf):
+    """Text embedding plumbing (pipeline/embed.py embed_text): the
+    deterministic hash-projection default model (md5 feature hashing
+    into 8 components, L2-normalized) over every document, exploded to
+    (doc_id, component, value) so the whole vector is on the hash.
+    Swapping model= for a learned encoder changes nothing Spark-side —
+    that contract is what this entry locks."""
+    from incubator_druid_spark.pipeline.embed import embed_text
+    docs = _cat(spark, sf).table("documents")
+    out = embed_text(docs, dim=8)
+    return (out.select("doc_id",
+                       F.posexplode("embedding").alias("i", "val"))
+               .select("doc_id", "i", F.round("val", 6).alias("val"))
+               .orderBy("doc_id", "i"))
+
+
+_EMBED_TEXT_ORACLE = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(
+                 COALESCE(text, ''), '\s+'), x -> x <> '')) AS t
+      FROM documents),
+    u AS (
+      SELECT doc_id, i,
+             (CAST(('0x' || substr(md5(t || '#' ||
+                  CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 2000001 - 1000000) / 1000000.0 AS v
+      FROM tk, range(8) r(i)),
+    s AS (SELECT doc_id, i, SUM(v) AS c FROM u GROUP BY doc_id, i),
+    n AS (SELECT doc_id, sqrt(SUM(c * c)) AS nrm FROM s GROUP BY doc_id),
+    e AS (
+      SELECT s.doc_id, s.i,
+             CASE WHEN n.nrm > 0 THEN s.c / n.nrm ELSE s.c END AS val
+      FROM s JOIN n USING (doc_id)
+      UNION ALL
+      SELECT d.doc_id, r.i, 0.0
+      FROM (SELECT doc_id FROM documents
+            WHERE coalesce(len(list_filter(regexp_split_to_array(
+                COALESCE(text, ''), '\s+'), x -> x <> '')), 0) = 0) d,
+           range(8) r(i))
+    SELECT doc_id, CAST(i AS INTEGER) AS i, round(val, 6) AS val
+    FROM e ORDER BY doc_id, i"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3464,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _corpus_profile,
         "truncate_tokens_stats": _truncate_tokens_stats,
         "decontam_fuzzy": _decontam_fuzzy,
+        "embed_text_vectors": _embed_text_vectors,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3582,6 +3627,7 @@ _WINDOW_R9 = [
     "crawl_html_text", "zorder_codes",
     "chat_turns_spans", "chat_shape_stats", "quality_score_model",
     "corpus_profile", "truncate_tokens_stats", "decontam_fuzzy",
+    "embed_text_vectors",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5232,6 +5278,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": _CORPUS_PROFILE_ORACLE,
         "truncate_tokens_stats": _TRUNCATE_TOKENS_ORACLE,
         "decontam_fuzzy": _fuzzy_decontam_oracle_sql(),
+        "embed_text_vectors": _EMBED_TEXT_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,
