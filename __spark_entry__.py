@@ -2172,6 +2172,117 @@ _EMBED_TEXT_ORACLE = r"""
     FROM e ORDER BY doc_id, i"""
 
 
+def _tar_frame(spark, sf):
+    """WebDataset tar-shard fixture: one ustar blob per document with
+    three members (txt slice, json, bin) written by the standard
+    library's tarfile in USTAR format (deterministic: mtime 0); the
+    oracle recomputes names/sizes/offsets from 512-block first
+    principles, so the parser is cross-checked against the spec
+    arithmetic, not against itself."""
+    docs = (_cat(spark, sf).table("documents")
+            .select("doc_id", F.substring("text", 1, 100).alias("t")))
+
+    def kernel(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+        for pdf in batches:
+            blobs = []
+            for d, t in zip(pdf["doc_id"], pdf["t"]):
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w",
+                                  format=tarfile.USTAR_FORMAT) as tf:
+                    for name, payload in (
+                            (f"{d:06d}.txt", (t or "").encode()),
+                            (f"{d:06d}.json", b'{"id": %d}' % d),
+                            (f"{d:06d}.bin", b"BINARYDATA-%d" % d)):
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(payload)
+                        tf.addfile(ti, io.BytesIO(payload))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    return docs.mapInPandas(kernel, "doc_id long, content binary")
+
+
+def _tar_member_index(spark, sf):
+    """Tar member explode (pipeline/webdataset.py tar_members): per
+    member name/typeflag/size and the header/data byte ranges a
+    shard scheduler Range-requests, plus the payload text itself."""
+    from incubator_druid_spark.pipeline.webdataset import tar_members
+    out = tar_members(_tar_frame(spark, sf))
+    return (out.select("doc_id", "member_idx", "name", "typeflag",
+                       "size", "offset", "data_offset",
+                       F.col("payload").cast("string")
+                        .alias("payload_text"))
+               .orderBy("doc_id", "member_idx"))
+
+
+_TAR_MEMBER_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k,
+             substr(COALESCE(text, ''), 1, 100) AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id, k, t,
+             strlen(t) AS s0,
+             strlen('{"id": ' || CAST(doc_id AS VARCHAR) || '}') AS s1,
+             strlen('BINARYDATA-' || CAST(doc_id AS VARCHAR)) AS s2
+      FROM d),
+    o AS (
+      SELECT *,
+             CAST(512 + ceil(s0 / 512.0) * 512 AS BIGINT) AS o1,
+             CAST(512 + ceil(s0 / 512.0) * 512
+                  + 512 + ceil(s1 / 512.0) * 512 AS BIGINT) AS o2
+      FROM s)
+    SELECT doc_id, member_idx, name, '0' AS typeflag, size,
+           "offset", data_offset, payload_text
+    FROM (
+      SELECT doc_id, 0 AS member_idx, k || '.txt' AS name,
+             CAST(s0 AS BIGINT) AS size, CAST(0 AS BIGINT) AS "offset",
+             CAST(512 AS BIGINT) AS data_offset, t AS payload_text
+      FROM o
+      UNION ALL
+      SELECT doc_id, 1, k || '.json', CAST(s1 AS BIGINT), o1, o1 + 512,
+             '{"id": ' || CAST(doc_id AS VARCHAR) || '}'
+      FROM o
+      UNION ALL
+      SELECT doc_id, 2, k || '.bin', CAST(s2 AS BIGINT), o2, o2 + 512,
+             'BINARYDATA-' || CAST(doc_id AS VARCHAR)
+      FROM o)
+    ORDER BY doc_id, member_idx"""
+
+
+def _webdataset_sample_rollup(spark, sf):
+    """WebDataset sample grouping (pipeline/webdataset.py
+    webdataset_samples): members keyed by basename-before-first-dot,
+    per-sample part count, sorted extension list and byte mass."""
+    from incubator_druid_spark.pipeline.webdataset import (
+        tar_members, webdataset_samples)
+    mem = tar_members(_tar_frame(spark, sf), with_payload=False)
+    out = webdataset_samples(mem)
+    return (out.select("doc_id", "sample_key", "n_parts",
+                       F.array_join("exts", ",").alias("exts"),
+                       "total_bytes")
+               .orderBy("doc_id", "sample_key"))
+
+
+_WEBDATASET_SAMPLE_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k,
+             substr(COALESCE(text, ''), 1, 100) AS t
+      FROM documents)
+    SELECT doc_id, k AS sample_key, CAST(3 AS BIGINT) AS n_parts,
+           'bin,json,txt' AS exts,
+           CAST(strlen(t)
+                + strlen('{"id": ' || CAST(doc_id AS VARCHAR) || '}')
+                + strlen('BINARYDATA-' || CAST(doc_id AS VARCHAR))
+                AS BIGINT) AS total_bytes
+    FROM d ORDER BY doc_id, sample_key"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3509,6 +3620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_tokens_stats": _truncate_tokens_stats,
         "decontam_fuzzy": _decontam_fuzzy,
         "embed_text_vectors": _embed_text_vectors,
+        "tar_member_index": _tar_member_index,
+        "webdataset_sample_rollup": _webdataset_sample_rollup,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3627,7 +3740,7 @@ _WINDOW_R9 = [
     "crawl_html_text", "zorder_codes",
     "chat_turns_spans", "chat_shape_stats", "quality_score_model",
     "corpus_profile", "truncate_tokens_stats", "decontam_fuzzy",
-    "embed_text_vectors",
+    "embed_text_vectors", "tar_member_index", "webdataset_sample_rollup",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5279,6 +5392,8 @@ def oracle_sql() -> dict[str, str]:
         "truncate_tokens_stats": _TRUNCATE_TOKENS_ORACLE,
         "decontam_fuzzy": _fuzzy_decontam_oracle_sql(),
         "embed_text_vectors": _EMBED_TEXT_ORACLE,
+        "tar_member_index": _TAR_MEMBER_ORACLE,
+        "webdataset_sample_rollup": _WEBDATASET_SAMPLE_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,
