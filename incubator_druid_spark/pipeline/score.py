@@ -70,27 +70,29 @@ def linear_quality_score(
     (bucket, weight) frame — broadcast, so the text never shuffles;
     documents with no tokens score sigmoid(bias).  ``keep`` applies the
     sigmoid threshold (FineWeb-Edu keeps score >= 0.5 by default)."""
-    from incubator_druid_spark.pipeline.text import tokens
     feats = token_buckets(df, text_col, id_col, dim)
     w = F.broadcast(weights.select(
         F.col("bucket").cast("long").alias("bucket"),
         F.col("weight").cast("double").alias("weight")))
+    # n_tokens = sum of the bucket counts, so the text column is read
+    # exactly ONCE (by the feature pass); the base side scans only the
+    # id column — at 100 TB that halves the I/O vs re-tokenizing
     dots = (feats.join(w, "bucket", "left")
                  .groupBy(id_col)
-                 .agg(F.sum(F.col("cnt") * F.coalesce(F.col("weight"),
+                 .agg(F.sum("cnt").alias("n_tokens"),
+                      F.sum(F.col("cnt") * F.coalesce(F.col("weight"),
                                                       F.lit(0.0)))
                        .alias("__dot"),
                       F.sum(F.when(F.col("weight").isNotNull(),
                                    F.col("cnt")).otherwise(F.lit(0)))
                        .alias("matched_tokens")))
-    base = df.select(
-        F.col(id_col),
-        F.greatest(F.size(tokens(F.col(text_col))), F.lit(0))
-         .alias("n_tokens"))
+    base = df.select(F.col(id_col))
     raw = F.coalesce(F.col("__dot"), F.lit(0.0)) + F.lit(float(bias))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
     return (base.join(dots, id_col, "left")
-                .select(id_col, "n_tokens",
+                .select(id_col,
+                        F.coalesce(F.col("n_tokens"), F.lit(0))
+                         .alias("n_tokens"),
                         F.coalesce(F.col("matched_tokens"), F.lit(0))
                          .alias("matched_tokens"),
                         raw.alias("score_raw"),
