@@ -2283,6 +2283,75 @@ _WEBDATASET_SAMPLE_ORACLE = r"""
     FROM d ORDER BY doc_id, sample_key"""
 
 
+def _masked_seq_materialize(spark, sf):
+    """SFT sequence materialization WITH loss masks (pipeline/chat.py
+    materialize_masked_sequences): conversations packed by a
+    deterministic assignment (shard = id % 4, seq = floor(id / 20)),
+    per-turn spans shifted into sequence coordinates — seq_text, the
+    span list and the train-char mass all on the hash."""
+    from incubator_druid_spark.pipeline.chat import (
+        chat_spans, materialize_masked_sequences)
+    turns = chat_spans(_chat_frame(spark, sf))
+    asg = (_cat(spark, sf).table("documents")
+           .select("doc_id", (F.col("doc_id") % 4).alias("shard"),
+                   F.floor(F.col("doc_id") / 20).cast("int")
+                    .alias("seq_id")))
+    out = materialize_masked_sequences(turns, asg)
+    spans_str = F.array_join(
+        F.transform("mask_spans", lambda s: F.concat_ws(
+            ":", s["start"].cast("string"), s["end"].cast("string"))),
+        ",")
+    return (out.select("shard", "seq_id", "seq_text", "n_convs",
+                       spans_str.alias("mask_spans"), "train_chars")
+               .orderBy("shard", "seq_id"))
+
+
+_MASKED_SEQ_ORACLE = _CHAT_FIXTURE_CTE + """,
+    sp AS (
+      SELECT doc_id, turn_idx, content,
+             CAST(coalesce(SUM(length(content) + 1) OVER (
+                  PARTITION BY doc_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s,
+             coalesce(role = 'assistant', false) AS tm
+      FROM q),
+    conv AS (
+      SELECT doc_id,
+             string_agg(content, chr(10) ORDER BY turn_idx)
+                 AS conv_text,
+             list(CASE WHEN tm THEN struct_pack(
+                      s := s, e := s + length(content)) END
+                  ORDER BY turn_idx) FILTER (WHERE tm) AS spans,
+             CAST(coalesce(SUM(CASE WHEN tm
+                  THEN length(content) END), 0) AS BIGINT) AS tchars
+      FROM sp GROUP BY doc_id),
+    withasg AS (
+      SELECT c.*, doc_id % 4 AS shard,
+             CAST(floor(doc_id / 20) AS INTEGER) AS seq_id
+      FROM conv c),
+    offs AS (
+      SELECT *, CAST(coalesce(SUM(length(conv_text) + 2) OVER (
+                 PARTITION BY shard, seq_id ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS off
+      FROM withasg),
+    shifted AS (
+      SELECT *, nullif(array_to_string(list_transform(spans,
+                 x -> CAST(x.s + off AS VARCHAR) || ':' ||
+                      CAST(x.e + off AS VARCHAR)), ','), '')
+                 AS span_str
+      FROM offs)
+    SELECT shard, seq_id,
+           string_agg(conv_text, chr(10) || chr(10) ORDER BY doc_id)
+               AS seq_text,
+           CAST(count(*) AS INTEGER) AS n_convs,
+           coalesce(string_agg(span_str, ',' ORDER BY doc_id), '')
+               AS mask_spans,
+           CAST(SUM(tchars) AS BIGINT) AS train_chars
+    FROM shifted GROUP BY shard, seq_id
+    ORDER BY shard, seq_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3622,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text_vectors": _embed_text_vectors,
         "tar_member_index": _tar_member_index,
         "webdataset_sample_rollup": _webdataset_sample_rollup,
+        "masked_seq_materialize": _masked_seq_materialize,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3741,6 +3811,7 @@ _WINDOW_R9 = [
     "chat_turns_spans", "chat_shape_stats", "quality_score_model",
     "corpus_profile", "truncate_tokens_stats", "decontam_fuzzy",
     "embed_text_vectors", "tar_member_index", "webdataset_sample_rollup",
+    "masked_seq_materialize",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5394,6 +5465,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_text_vectors": _EMBED_TEXT_ORACLE,
         "tar_member_index": _TAR_MEMBER_ORACLE,
         "webdataset_sample_rollup": _WEBDATASET_SAMPLE_ORACLE,
+        "masked_seq_materialize": _MASKED_SEQ_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

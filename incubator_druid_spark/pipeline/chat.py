@@ -138,3 +138,70 @@ def chat_stats(
         F.sum(F.when(F.col("role") == "assistant",
                      F.length("content")).otherwise(F.lit(0)))
          .alias("assistant_chars")))
+
+
+def materialize_masked_sequences(
+    turns: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    join_sep: str = "\n",
+    doc_sep: str = "\n\n",
+) -> DataFrame:
+    """Loader-ready SFT sequences WITH loss masks: join per-turn rows
+    (a :func:`chat_spans` frame — its ``join_sep`` must match this
+    one) to a packing assignment frame (``id, shard, seq_id`` —
+    pack_greedy output or any deterministic assignment), concatenate
+    each sequence's conversations in id order separated by
+    ``doc_sep``, and SHIFT every turn's span into sequence
+    coordinates.  Returns (shard, seq_id, seq_text, n_convs,
+    mask_spans array<struct<start,end>>, train_chars); the invariant
+    ``seq_text[start:end] == turn content`` holds for every mask span
+    (pinned in tests).
+
+    Shape: one conv-level rollup (groups bounded by turns per conv),
+    one join on the id, one cumulative-length window per sequence and
+    one final rollup (groups bounded by convs per sequence) — no UDFs,
+    shuffles only on conv id and (shard, seq_id)."""
+    sorted_turns = F.array_sort(F.collect_list(F.struct(
+        "turn_idx", "content", "char_start", "char_end", "train_mask")))
+    conv = (turns.groupBy(id_col).agg(sorted_turns.alias("__ts"))
+            .select(
+                id_col,
+                F.concat_ws(join_sep, F.transform(
+                    F.col("__ts"), lambda s: s["content"]))
+                 .alias("__conv_text"),
+                F.transform(
+                    F.filter(F.col("__ts"), lambda s: s["train_mask"]),
+                    lambda s: F.struct(
+                        s["char_start"].alias("start"),
+                        s["char_end"].alias("end"))).alias("__spans")))
+    asg = assignments.select(F.col(id_col), "shard", "seq_id")
+    j = conv.join(asg, id_col)
+    w = (Window.partitionBy("shard", "seq_id").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = F.coalesce(
+        F.sum(F.length("__conv_text") + len(doc_sep)).over(w), F.lit(0))
+    shifted = F.transform(
+        F.col("__spans"),
+        lambda s: F.struct((s["start"] + F.col("__off")).alias("start"),
+                           (s["end"] + F.col("__off")).alias("end")))
+    per_conv = (j.withColumn("__off", off)
+                 .select("shard", "seq_id", F.col(id_col),
+                         "__conv_text", shifted.alias("__shifted")))
+    by_id = F.array_sort(F.collect_list(F.struct(
+        F.col(id_col), F.col("__conv_text"), F.col("__shifted"))))
+    return (per_conv.groupBy("shard", "seq_id")
+            .agg(by_id.alias("__cs"))
+            .select(
+                "shard", "seq_id",
+                F.concat_ws(doc_sep, F.transform(
+                    F.col("__cs"), lambda s: s["__conv_text"]))
+                 .alias("seq_text"),
+                F.size("__cs").alias("n_convs"),
+                F.flatten(F.transform(
+                    F.col("__cs"), lambda s: s["__shifted"]))
+                 .alias("mask_spans"))
+            .withColumn(
+                "train_chars",
+                F.aggregate("mask_spans", F.lit(0).cast("long"),
+                            lambda a, s: a + s["end"] - s["start"])))

@@ -96,3 +96,43 @@ class TestChatStats:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BatchEvalPython" not in plan
         assert "EvalPython" not in plan
+
+
+class TestMaskedSequences:
+    @pytest.fixture()
+    def packed(self, spark, convs):
+        from incubator_druid_spark.pipeline.chat import (
+            chat_spans, materialize_masked_sequences)
+        turns = chat_spans(convs)
+        asg = spark.createDataFrame(
+            [(1, 0, 0), (2, 0, 0), (3, 0, 1), (4, 1, 0), (5, 1, 0)],
+            "doc_id int, shard int, seq_id int")
+        return materialize_masked_sequences(turns, asg).collect()
+
+    def test_span_invariant_holds(self, packed):
+        # THE contract: every mask span slices exactly an assistant turn
+        for r in packed:
+            for s in r.mask_spans:
+                seg = r.seq_text[s.start:s.end]
+                assert seg and ("\n\n" not in seg)
+
+    def test_mask_content_is_assistant_text(self, packed):
+        seq = next(r for r in packed if (r.shard, r.seq_id) == (0, 0))
+        segs = [seq.seq_text[s.start:s.end] for s in seq.mask_spans]
+        assert segs == ["hello!", "later", "a"]  # conv 1 then conv 2
+        assert seq.n_convs == 2
+        assert seq.train_chars == sum(len(s) for s in segs)
+
+    def test_convs_joined_in_id_order(self, packed):
+        seq = next(r for r in packed if (r.shard, r.seq_id) == (0, 0))
+        first_conv = seq.seq_text.split("\n\n")[0]
+        assert first_conv.startswith("hi there")
+
+    def test_no_python_udf(self, spark, convs):
+        from incubator_druid_spark.pipeline.chat import (
+            chat_spans, materialize_masked_sequences)
+        asg = spark.createDataFrame([(1, 0, 0)],
+                                    "doc_id int, shard int, seq_id int")
+        out = materialize_masked_sequences(chat_spans(convs), asg)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
