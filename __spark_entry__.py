@@ -2352,6 +2352,77 @@ _MASKED_SEQ_ORACLE = _CHAT_FIXTURE_CTE + """,
     ORDER BY shard, seq_id"""
 
 
+def _lm_perplexity_scores(spark, sf):
+    """CCNet-style bigram-LM perplexity filter (pipeline/lm.py): train
+    on every third document (the 'clean reference'), score the whole
+    corpus — add-0.5 smoothing over a top-300 vocabulary, <unk>
+    mapping, <s> histories; mean log2 prob and perplexity on the
+    hash.  The oracle replays normalization, the deterministic vocab
+    window, both count tables and the smoothing arithmetic."""
+    from incubator_druid_spark.pipeline.lm import (lm_perplexity,
+                                                   train_bigram_lm)
+    docs = _cat(spark, sf).table("documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 3 == 0),
+                         vocab_size=300, add_k=0.5)
+    out = lm_perplexity(docs, lm)
+    return (out.select("doc_id",
+                       F.col("n_pairs").cast("long").alias("n_pairs"),
+                       F.round("mean_log2p", 6).alias("mean_log2p"),
+                       F.round("perplexity", 6).alias("perplexity"))
+               .orderBy("doc_id"))
+
+
+_LM_PERPLEXITY_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(COALESCE(text, '')),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM (SELECT doc_id,
+                   list_filter(string_split(t, ' '), x -> x <> '') AS w
+            FROM norm)),
+    vocab AS (
+      SELECT word AS w FROM (
+        SELECT word, row_number() OVER (
+               ORDER BY count(*) DESC, word) AS r
+        FROM pos WHERE doc_id % 3 = 0 GROUP BY word)
+      WHERE r <= 300),
+    mapped AS (
+      SELECT p.doc_id, p.i,
+             CASE WHEN v.w IS NOT NULL THEN p.word
+                  ELSE '<unk>' END AS m
+      FROM pos p LEFT JOIN vocab v ON p.word = v.w),
+    pairs AS (
+      SELECT doc_id,
+             coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY i),
+                      '<s>') AS w1,
+             m AS w2
+      FROM mapped),
+    uni AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS cnt
+            FROM pairs WHERE doc_id % 3 = 0 GROUP BY w1),
+    bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+           FROM pairs WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+    vt AS (SELECT count(*) + 1 AS v FROM vocab),
+    scored AS (
+      SELECT p.doc_id, count(*) AS n_pairs,
+             AVG(log2((coalesce(b.cnt, 0) + 0.5)
+                      / (coalesce(u.cnt, 0) + 0.5 * vt.v)))
+                 AS mean_log2p
+      FROM pairs p
+      LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u ON u.w = p.w1
+      CROSS JOIN vt
+      GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+           round(s.mean_log2p, 6) AS mean_log2p,
+           round(power(2.0, -s.mean_log2p), 6) AS perplexity
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3692,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_member_index": _tar_member_index,
         "webdataset_sample_rollup": _webdataset_sample_rollup,
         "masked_seq_materialize": _masked_seq_materialize,
+        "lm_perplexity_scores": _lm_perplexity_scores,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3811,7 +3883,7 @@ _WINDOW_R9 = [
     "chat_turns_spans", "chat_shape_stats", "quality_score_model",
     "corpus_profile", "truncate_tokens_stats", "decontam_fuzzy",
     "embed_text_vectors", "tar_member_index", "webdataset_sample_rollup",
-    "masked_seq_materialize",
+    "masked_seq_materialize", "lm_perplexity_scores",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5466,6 +5538,7 @@ def oracle_sql() -> dict[str, str]:
         "tar_member_index": _TAR_MEMBER_ORACLE,
         "webdataset_sample_rollup": _WEBDATASET_SAMPLE_ORACLE,
         "masked_seq_materialize": _MASKED_SEQ_ORACLE,
+        "lm_perplexity_scores": _LM_PERPLEXITY_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

@@ -1,0 +1,139 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter, trained and applied as pure relational algebra.
+
+CCNet (Wenzek et al. 2019) and its descendants rank web documents by
+the perplexity of a language model trained on a clean reference corpus
+(Wikipedia) and keep the low-perplexity head.  The original uses a
+5-gram KenLM; the relational core is identical at any order and needs
+no external binary: counts are aggregates, smoothing is arithmetic,
+scoring is a join.  This module implements the bigram case:
+
+  TRAIN (one pass over the reference corpus):
+    * normalize + tokenize (the dedup family's normalize_text contract)
+    * vocabulary = top ``vocab_size`` words by count (ties broken by
+      word ascending — deterministic); everything else maps to <unk>
+    * unigram counts U(w) over the mapped stream, plus U(<s>) = one
+      sentence start per document; bigram counts B(w1, w2) over
+      (<s>, t0), (t0, t1), …
+
+  SCORE (scan + bounded explode + join per document):
+    * per-pair add-k probability  p = (B + k) / (U(w1) + k * V)
+      with V = |vocab| + 1 (the <unk> event; <s> never follows)
+    * doc score = mean log2 p over its pairs;  perplexity = 2^(-mean)
+    * empty documents score NULL (no pairs — nothing to judge)
+
+Scale shape: training is two groupBys over the (small, clean)
+reference corpus; the model is DATA — two (key, count) frames — and is
+broadcast into the scoring join by default (a bigram table from a
+reference corpus is millions of rows at most; pass
+``broadcast_model=False`` for the shuffle join if yours is bigger).
+The 100 TB score side explodes to (doc, w1, w2) triples — the text
+itself never shuffles — and aggregates back per doc.  No UDFs.
+
+No counterpart in the reference engine (training-data-pipeline tier,
+SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["train_bigram_lm", "lm_perplexity"]
+
+START = "<s>"
+UNK = "<unk>"
+
+
+def _positioned(df: DataFrame, text_col: str, id_col: str):
+    from incubator_druid_spark.pipeline.text import normalize_text, tokens
+    toks = tokens(normalize_text(F.col(text_col)))
+    return (df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+              .select("__id", F.posexplode("__t").alias("__pos", "__w")))
+
+
+def train_bigram_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    add_k: float = 0.5,
+) -> dict:
+    """Train on the reference corpus; returns the model as a dict of
+    {"unigrams": DF(w, cnt), "bigrams": DF(w1, w2, cnt), "vocab":
+    DF(w), "v_total": int, "add_k": float} — all data, no state.  The
+    vocabulary window runs over the AGGREGATED word-count table
+    (bounded by the reference corpus' vocabulary, not its size)."""
+    pos = _positioned(ref, text_col, id_col).persist()
+    counts = pos.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("__w"))
+    vocab = (counts.withColumn("__r", F.row_number().over(w_rank))
+                   .filter(F.col("__r") <= vocab_size)
+                   .select(F.col("__w").alias("w")))
+    v = F.broadcast(vocab)
+    mapped = (pos.join(v, pos["__w"] == v["w"], "left")
+                 .select("__id", "__pos",
+                         F.coalesce("w", F.lit(UNK)).alias("__m")))
+    prev = F.lag("__m", 1, START).over(
+        Window.partitionBy("__id").orderBy("__pos"))
+    pairs = mapped.select(prev.alias("w1"), F.col("__m").alias("w2"))
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    n_docs = ref.select(F.count(F.lit(1))).first()[0]
+    unigrams = (pairs.groupBy(F.col("w1").alias("w"))
+                     .agg(F.count(F.lit(1)).alias("cnt")))
+    # U(w) := times w appears as a HISTORY — exactly the denominator
+    # base the pair probabilities condition on (includes <s> = n_docs
+    # with >=1 token); v_total = vocab + <unk>
+    n_vocab = vocab.count()
+    pos.unpersist()
+    return {"unigrams": unigrams, "bigrams": bigrams, "vocab": vocab,
+            "v_total": n_vocab + 1, "add_k": float(add_k),
+            "n_train_docs": int(n_docs)}
+
+
+def lm_perplexity(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document: (id, n_pairs, mean_log2p, perplexity).
+    Lower perplexity = more reference-like; empty docs score NULL."""
+    k = model["add_k"]
+    v_total = model["v_total"]
+    uni = model["unigrams"].select(F.col("w").alias("__uw"),
+                                   F.col("cnt").alias("__ucnt"))
+    bi = model["bigrams"].select(F.col("w1").alias("__b1"),
+                                 F.col("w2").alias("__b2"),
+                                 F.col("cnt").alias("__bcnt"))
+    vocab = model["vocab"]
+    if broadcast_model:
+        uni, bi, vocab = F.broadcast(uni), F.broadcast(bi), \
+            F.broadcast(vocab)
+    pos = _positioned(df, text_col, id_col)
+    mapped = (pos.join(vocab, pos["__w"] == vocab["w"], "left")
+                 .select("__id", "__pos",
+                         F.coalesce("w", F.lit(UNK)).alias("__m")))
+    prev = F.lag("__m", 1, START).over(
+        Window.partitionBy("__id").orderBy("__pos"))
+    pairs = mapped.select("__id", prev.alias("w1"),
+                          F.col("__m").alias("w2"))
+    joined = (pairs
+              .join(bi, (F.col("w1") == F.col("__b1"))
+                    & (F.col("w2") == F.col("__b2")), "left")
+              .join(uni, F.col("w1") == F.col("__uw"), "left"))
+    logp = F.log2(
+        (F.coalesce(F.col("__bcnt"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("__ucnt"), F.lit(0)) + F.lit(k * v_total)))
+    scored = (joined.groupBy("__id")
+              .agg(F.count(F.lit(1)).alias("n_pairs"),
+                   F.avg(logp).alias("mean_log2p")))
+    base = df.select(F.col(id_col))
+    return (base.join(scored, base[id_col] == scored["__id"], "left")
+                .select(id_col,
+                        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                        F.col("mean_log2p"),
+                        F.pow(F.lit(2.0), -F.col("mean_log2p"))
+                         .alias("perplexity")))
