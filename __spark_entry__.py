@@ -3856,13 +3856,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-9 window: lead with the twenty-one entries born this round
-# (real BPE tokenization + BPE-driven packing, the MP4/MP3 zero-decode
-# indexes — r8 task 2 — perceptual image hashes + banded pairs,
-# SemDeDup, URL curation, WARC parsing + HTML extraction + the
-# composed crawl front door, z-order layout codes, chat turns/stats,
-# model-based quality scoring, corpus profile, token truncation, fuzzy
-# decontamination), then the entries whose CODE changed this round
+# Round-9 window: lead with the entries born this round (real BPE
+# tokenization + BPE-driven packing, the MP4/MP3 zero-decode indexes —
+# r8 task 2 — perceptual image hashes + banded pairs, SemDeDup, URL
+# curation, WARC parsing + HTML extraction + the composed crawl front
+# door, z-order layout codes, chat turns/stats + masked SFT sequences,
+# model-based quality scoring, the bigram-LM perplexity filter, corpus
+# profile, token truncation, fuzzy decontamination, text-embedding
+# plumbing, WebDataset tar indexes), then the entries whose CODE
+# changed this round
 # (minhash_pairs — the signature kernel's int32-id/empty-batch fixes
 # and the banded_buckets factoring; script_profile's latin range —
 # ADVICE r8; dedup_groups' keep_by tie-break; simhash_pairs on the

@@ -26,6 +26,9 @@ Stages (each one scan/shuffle-disciplined — see module docstrings):
   20. fuzzy decontamination (MinHash vs the eval corpus)
   21. corpus profile + token-budget truncation
   22. z-order layout for multi-dimension file skipping
+  23. bigram-LM perplexity filter (CCNet-style, trained in two groupBys)
+  24. text embedding (pluggable batch model) feeding the kNN join
+  25. masked SFT sequences (packed conversations + loss-mask spans)
 """
 
 import os
@@ -216,6 +219,32 @@ def main():
                             bits=8, num_partitions=8)
     print(f"   clustered into {zed.rdd.getNumPartitions()} "
           "tight-bbox partitions")
+
+    print("== 23. bigram-LM perplexity filter (CCNet-style)")
+    from incubator_druid_spark.pipeline.lm import (lm_perplexity,
+                                                   train_bigram_lm)
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 3 == 0),
+                         vocab_size=300)
+    lm_perplexity(docs, lm).orderBy("perplexity").show(3)
+
+    print("== 24. text embedding (hash-projection default model) "
+          "-> kNN join")
+    from incubator_druid_spark.pipeline.embed import embed_text
+    vecs = (embed_text(docs.limit(20), dim=16)
+            .withColumnRenamed("doc_id", "vec_id"))
+    knn_join(vecs, vecs.limit(3), k=2, id_col="vec_id") \
+        .orderBy("q_id", "rank").show(6)
+
+    print("== 25. masked SFT sequences: packed conversations with "
+          "loss-mask spans")
+    from incubator_druid_spark.pipeline.chat import (
+        chat_spans, materialize_masked_sequences)
+    asg = convs.select("doc_id",
+                       (F.col("doc_id") % 2).alias("shard"),
+                       F.lit(0).alias("seq_id"))
+    masked = materialize_masked_sequences(chat_spans(convs), asg)
+    masked.select("shard", "seq_id", "n_convs", "train_chars",
+                  F.size("mask_spans").alias("n_spans")).show()
 
     print("done.")
 
