@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["train_bigram_lm", "lm_perplexity"]
+__all__ = ["train_bigram_lm", "train_ngram_lm", "lm_perplexity"]
 
 START = "<s>"
 UNK = "<unk>"
@@ -52,18 +52,33 @@ def _positioned(df: DataFrame, text_col: str, id_col: str):
               .select("__id", F.posexplode("__t").alias("__pos", "__w")))
 
 
+def _history(order: int):
+    """History key for an order-n model: the space-joined (n-1)
+    previous mapped tokens, <s>-padded before the document start —
+    order=2 degenerates to the single previous token."""
+    lags = [F.lag("__m", i, START).over(
+        Window.partitionBy("__id").orderBy("__pos"))
+        for i in range(order - 1, 0, -1)]
+    return lags[0] if len(lags) == 1 else F.concat_ws(" ", *lags)
+
+
 def train_bigram_lm(
     ref: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab_size: int = 50_000,
     add_k: float = 0.5,
+    order: int = 2,
 ) -> dict:
-    """Train on the reference corpus; returns the model as a dict of
-    {"unigrams": DF(w, cnt), "bigrams": DF(w1, w2, cnt), "vocab":
-    DF(w), "v_total": int, "add_k": float} — all data, no state.  The
+    """Train an order-n model (default bigram; CCNet proper uses
+    order=5) on the reference corpus; returns the model as a dict of
+    {"unigrams": DF(w, cnt) — HISTORY counts, "bigrams": DF(w1, w2,
+    cnt) — (history, next) counts, "vocab": DF(w), "v_total": int,
+    "add_k": float, "order": int} — all data, no state.  The
     vocabulary window runs over the AGGREGATED word-count table
     (bounded by the reference corpus' vocabulary, not its size)."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
     pos = _positioned(ref, text_col, id_col).persist()
     counts = pos.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("__w"))
@@ -74,22 +89,25 @@ def train_bigram_lm(
     mapped = (pos.join(v, pos["__w"] == v["w"], "left")
                  .select("__id", "__pos",
                          F.coalesce("w", F.lit(UNK)).alias("__m")))
-    prev = F.lag("__m", 1, START).over(
-        Window.partitionBy("__id").orderBy("__pos"))
-    pairs = mapped.select(prev.alias("w1"), F.col("__m").alias("w2"))
+    pairs = mapped.select(_history(order).alias("w1"),
+                          F.col("__m").alias("w2"))
     bigrams = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("cnt"))
     n_docs = ref.select(F.count(F.lit(1))).first()[0]
     unigrams = (pairs.groupBy(F.col("w1").alias("w"))
                      .agg(F.count(F.lit(1)).alias("cnt")))
-    # U(w) := times w appears as a HISTORY — exactly the denominator
-    # base the pair probabilities condition on (includes <s> = n_docs
-    # with >=1 token); v_total = vocab + <unk>
+    # U(h) := times h appears as a HISTORY — exactly the denominator
+    # base the pair probabilities condition on (includes the all-<s>
+    # history = docs with >=1 token); v_total = vocab + <unk>
     n_vocab = vocab.count()
     pos.unpersist()
     return {"unigrams": unigrams, "bigrams": bigrams, "vocab": vocab,
             "v_total": n_vocab + 1, "add_k": float(add_k),
-            "n_train_docs": int(n_docs)}
+            "order": int(order), "n_train_docs": int(n_docs)}
+
+
+#: CCNet-shaped alias — same trainer at any order.
+train_ngram_lm = train_bigram_lm
 
 
 def lm_perplexity(
@@ -116,9 +134,8 @@ def lm_perplexity(
     mapped = (pos.join(vocab, pos["__w"] == vocab["w"], "left")
                  .select("__id", "__pos",
                          F.coalesce("w", F.lit(UNK)).alias("__m")))
-    prev = F.lag("__m", 1, START).over(
-        Window.partitionBy("__id").orderBy("__pos"))
-    pairs = mapped.select("__id", prev.alias("w1"),
+    pairs = mapped.select("__id",
+                          _history(model.get("order", 2)).alias("w1"),
                           F.col("__m").alias("w2"))
     joined = (pairs
               .join(bi, (F.col("w1") == F.col("__b1"))

@@ -89,3 +89,39 @@ class TestScore:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "EvalPython" not in plan
+
+
+class TestHigherOrder:
+    def test_trigram_history_counts(self, spark):
+        from incubator_druid_spark.pipeline.lm import train_ngram_lm
+        ref = spark.createDataFrame(
+            [(1, "a b c a b d")], "doc_id int, text string")
+        m = train_ngram_lm(ref, vocab_size=10, order=3)
+        bi = {(r.w1, r.w2): r.cnt for r in m["bigrams"].collect()}
+        # histories are space-joined previous-2 tokens, <s>-padded
+        assert bi[("<s> <s>", "a")] == 1
+        assert bi[("<s> a", "b")] == 1
+        assert bi[("a b", "c")] == 1 and bi[("a b", "d")] == 1
+        uni = {r.w: r.cnt for r in m["unigrams"].collect()}
+        assert uni[("a b")] == 2
+
+    def test_trigram_scores_in_domain_lower(self, spark):
+        from incubator_druid_spark.pipeline.lm import (
+            lm_perplexity, train_ngram_lm)
+        ref = spark.createDataFrame(
+            [(1, "the cat sat on the mat"),
+             (2, "the dog sat on the rug")],
+            "doc_id int, text string")
+        m = train_ngram_lm(ref, vocab_size=100, order=3)
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the rug"), (2, "rug the on cat")],
+            "doc_id int, text string")
+        out = {r.doc_id: r.perplexity
+               for r in lm_perplexity(df, m).collect()}
+        assert out[1] < out[2]
+
+    def test_order_one_rejected(self, spark):
+        from incubator_druid_spark.pipeline.lm import train_ngram_lm
+        ref = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        with pytest.raises(ValueError):
+            train_ngram_lm(ref, order=1)
