@@ -534,3 +534,21 @@ def mp3_frame_index(data: bytes, max_frames: int | None = None
         return rows
     except (struct.error, IndexError, ValueError):
         return []
+
+
+def fetch_ranges(df, blob_col: str = "content",
+                 offset_col: str = "offset", length_col: str = "size",
+                 out_col: str = "chunk"):
+    """Slice (offset, length) byte ranges out of a binary column —
+    the LOCAL closing step of every byte-range index in this package
+    (MP4 samples, MP3 frames, WARC records, tar members): join an
+    index frame back to its blobs and cut exactly the scheduled
+    bytes.  Against a remote store the same (offset, length) pairs
+    become HTTP Range requests; this Column form (substring on
+    binary, 1-based) is the in-cluster equivalent and is how the
+    tests prove each index's ranges really frame their records.  No
+    UDF — binary substring runs in codegen."""
+    from pyspark.sql import functions as F
+    return df.withColumn(
+        out_col,
+        F.expr(f"substring({blob_col}, {offset_col} + 1, {length_col})"))
