@@ -2423,6 +2423,81 @@ _LM_PERPLEXITY_ORACLE = r"""
     ORDER BY d.doc_id"""
 
 
+def _para_dedup_stats(spark, sf):
+    """Corpus-wide paragraph dedup (pipeline/dedup.py paragraph_dedup):
+    fixture wraps each document's text slices around boilerplate
+    paragraphs repeated across the corpus ('common boilerplate…' on
+    every doc, a newsletter plea on every 7th) — only the globally
+    first occurrence survives, docs reassemble without the repeats;
+    clean_text itself on the hash."""
+    from incubator_druid_spark.pipeline.dedup import paragraph_dedup
+    sep = "\n\n"
+    s1 = F.substring(F.col("text"), 1, 100)
+    s2 = F.substring(F.col("text"), 101, 100)
+    boiler = "common boilerplate paragraph"
+    news = "subscribe to our newsletter today"
+    t = (F.when(F.col("doc_id") % 2 == 0, F.concat(
+            s1, F.lit(sep + boiler + sep), s2))
+         .otherwise(F.concat(
+            F.substring(F.col("text"), 1, 80),
+            F.lit(sep + boiler))))
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit(sep + news))).otherwise(t)
+    docs = (_cat(spark, sf).table("documents")
+            .select("doc_id", t.alias("text")))
+    out = paragraph_dedup(docs)
+    return out.orderBy("doc_id")
+
+
+_PARA_DEDUP_ORACLE = r"""
+    WITH fx AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN substr(text, 1, 100) || nl2 ||
+                       'common boilerplate paragraph' || nl2 ||
+                       substr(text, 101, 100)
+                  ELSE substr(text, 1, 80) || nl2 ||
+                       'common boilerplate paragraph' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN nl2 || 'subscribe to our newsletter today'
+                     ELSE '' END AS text
+      FROM documents, (SELECT chr(10) || chr(10) AS nl2)),
+    p AS (
+      SELECT doc_id, generate_subscripts(a, 1) - 1 AS idx,
+             unnest(a) AS para
+      FROM (SELECT doc_id,
+                   string_split(text, chr(10) || chr(10)) AS a
+            FROM fx)),
+    n AS (
+      SELECT doc_id, idx, para,
+             trim(regexp_replace(regexp_replace(lower(para),
+                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS np
+      FROM p),
+    f1 AS (SELECT np, min(doc_id) AS fd FROM n WHERE np <> ''
+           GROUP BY np),
+    f2 AS (SELECT n.np, f1.fd, min(n.idx) AS fi
+           FROM n JOIN f1 ON n.np = f1.np AND n.doc_id = f1.fd
+           GROUP BY n.np, f1.fd),
+    k AS (
+      SELECT n.doc_id, n.idx, n.para,
+             (n.np = '' OR (n.doc_id = f2.fd AND n.idx = f2.fi))
+                 AS keep
+      FROM n LEFT JOIN f2 ON n.np = f2.np),
+    r AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY idx)
+                 FILTER (WHERE keep) AS clean,
+             CAST(count(*) AS BIGINT) AS n_paragraphs,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_dropped
+      FROM k GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.clean, '') AS clean_text,
+           coalesce(r.n_paragraphs, 0) AS n_paragraphs,
+           coalesce(r.n_dropped, 0) AS n_dropped
+    FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3764,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_sample_rollup": _webdataset_sample_rollup,
         "masked_seq_materialize": _masked_seq_materialize,
         "lm_perplexity_scores": _lm_perplexity_scores,
+        "para_dedup_stats": _para_dedup_stats,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3885,7 +3961,7 @@ _WINDOW_R9 = [
     "chat_turns_spans", "chat_shape_stats", "quality_score_model",
     "corpus_profile", "truncate_tokens_stats", "decontam_fuzzy",
     "embed_text_vectors", "tar_member_index", "webdataset_sample_rollup",
-    "masked_seq_materialize", "lm_perplexity_scores",
+    "masked_seq_materialize", "lm_perplexity_scores", "para_dedup_stats",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5541,6 +5617,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_sample_rollup": _WEBDATASET_SAMPLE_ORACLE,
         "masked_seq_materialize": _MASKED_SEQ_ORACLE,
         "lm_perplexity_scores": _LM_PERPLEXITY_ORACLE,
+        "para_dedup_stats": _PARA_DEDUP_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

@@ -713,3 +713,64 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
                     F.col("__n_tokens").cast("long").alias("n_tokens"),
                     (F.col("__n_tokens") - F.coalesce("__kept", F.lit(0)))
                     .cast("long").alias("removed_tokens")))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (the Gopher/MassiveText granularity
+    between whole-document fingerprint dedup and token-level
+    ExactSubstr): split every document on ``sep``, keep only the
+    globally-FIRST occurrence of each normalized paragraph (min
+    (doc_id, position) — deterministic), drop later repeats anywhere
+    in the corpus, and reassemble each document from its survivors.
+
+    Returns (id, clean_text, n_paragraphs, n_dropped); documents whose
+    every paragraph was dropped reassemble to ''; null text stays
+    null.  Paragraphs that normalize to '' (blank/whitespace) are
+    never deduped — they are structure, not content.
+
+    Scale shape: one bounded explode; first-occurrence selection is a
+    min(struct) PARTIAL AGGREGATE per fingerprint (map-side combined
+    — never a row_number window over a hot boilerplate fingerprint),
+    and the join back carries only the 8-byte fingerprint.  The text
+    shuffles once, on doc id, for reassembly.  Fingerprints are
+    xxhash64 (engine-side); the oracle compares by the normalized
+    paragraph itself, so a hash collision would surface as a mismatch
+    rather than hide."""
+    from incubator_druid_spark.pipeline.text import normalize_text
+
+    paras = (df.select(F.col(id_col), F.posexplode_outer(
+                F.split(F.col(text_col), sep))
+                .alias("__idx", "__para")))
+    norm = normalize_text(F.col("__para"))
+    with_fp = paras.withColumn(
+        "__fp", F.when(norm != "", F.xxhash64(norm)))
+    firsts = (with_fp.filter(F.col("__fp").isNotNull())
+              .groupBy("__fp")
+              .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("__idx").alias("x")))
+                    .alias("__first")))
+    kept_flag = (F.col("__fp").isNull()
+                 | ((F.col("__first.i") == F.col(id_col))
+                    & (F.col("__first.x") == F.col("__idx"))))
+    marked = (with_fp.join(firsts, "__fp", "left")
+              .withColumn("__keep", kept_flag))
+    rebuilt = (marked.groupBy(id_col).agg(
+        F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(F.when(F.col("__keep"),
+                F.struct(F.col("__idx"), F.col("__para"))))),
+            lambda s: s["__para"])).alias("clean_text"),
+        F.count("__idx").alias("n_paragraphs"),
+        F.sum((~F.col("__keep")).cast("long")).alias("n_dropped")))
+    base = df.select(F.col(id_col), F.col(text_col).isNull()
+                     .alias("__isnull"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.when(F.col("__isnull"), F.lit(None).cast("string"))
+                     .otherwise(F.coalesce("clean_text", F.lit("")))
+                     .alias("clean_text"),
+                    F.coalesce("n_paragraphs", F.lit(0))
+                     .alias("n_paragraphs"),
+                    F.coalesce("n_dropped", F.lit(0))
+                     .alias("n_dropped")))

@@ -607,3 +607,48 @@ class TestRepetitionStats:
         r = self._row(spark, "a b\n\n   \na b")
         assert r["n_lines"] == 2
         assert abs(r["dup_line_frac"] - 0.5) < 1e-12
+
+
+class TestParagraphDedup:
+    """Round-9: corpus-wide paragraph dedup with reassembly."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [
+            (1, "unique one\n\nshared boiler\n\nunique two"),
+            (2, "shared boiler\n\nother text"),
+            (3, "SHARED  boiler!\n\nmore"),   # normalizes identically
+            (4, ""),
+            (5, None),
+            (6, "a\n\n\n\nb"),                # blank paragraph kept
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_global_first_wins(self, docs):
+        from incubator_druid_spark.pipeline.dedup import paragraph_dedup
+        out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+        assert out[1].clean_text == \
+            "unique one\n\nshared boiler\n\nunique two"
+        assert out[1].n_dropped == 0
+        assert out[2].clean_text == "other text"
+        assert out[2].n_dropped == 1
+        # punctuation/case variant collapses onto the same fingerprint
+        assert out[3].clean_text == "more" and out[3].n_dropped == 1
+
+    def test_empty_null_blank(self, docs):
+        from incubator_druid_spark.pipeline.dedup import paragraph_dedup
+        out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+        assert out[4].clean_text == "" and out[4].n_paragraphs == 1
+        assert out[5].clean_text is None and out[5].n_paragraphs == 0
+        # doc 6: 'a', '', 'b' — the blank middle is structure, kept
+        assert out[6].clean_text == "a\n\n\n\nb"
+        assert out[6].n_dropped == 0
+
+    def test_min_struct_not_window(self, docs):
+        # scale guard: first-occurrence selection must be an aggregate,
+        # not a row_number window over the (hot) fingerprint
+        from incubator_druid_spark.pipeline.dedup import paragraph_dedup
+        plan = (paragraph_dedup(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Window" not in plan
+        assert "EvalPython" not in plan
