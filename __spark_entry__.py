@@ -2498,6 +2498,76 @@ _PARA_DEDUP_ORACLE = r"""
     ORDER BY d.doc_id"""
 
 
+def _strip_contaminated_stats(spark, sf):
+    """Surgical decontamination (pipeline/decontaminate.py
+    strip_contaminated_spans): eval = every 11th document's first 200
+    chars; every train token covered by an eval-overlapping 8-gram is
+    removed and the normalized text reassembled — clean_text itself on
+    the hash."""
+    from incubator_druid_spark.pipeline.decontaminate import (
+        strip_contaminated_spans)
+    docs = _cat(spark, sf).table("documents")
+    ev = (docs.filter(F.col("doc_id") % 11 == 0)
+              .select(F.col("doc_id").alias("eval_id"),
+                      F.substring("text", 1, 200).alias("text")))
+    out = strip_contaminated_spans(docs, ev, eval_id_col="eval_id", n=8)
+    return out.orderBy("doc_id")
+
+
+_STRIP_CONTAMINATED_ORACLE = r"""
+    WITH docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS w
+      FROM docs),
+    grams AS (
+      SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 6, 1))) AS i
+            FROM toks)),
+    edocs AS (
+      SELECT trim(regexp_replace(regexp_replace(lower(
+                 substr(text, 1, 200)),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id % 11 = 0),
+    eg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT w, unnest(range(1, greatest(len(w) - 6, 1))) AS i
+            FROM (SELECT CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                              ELSE string_split(t, ' ') END AS w
+                  FROM edocs))),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS tok
+      FROM grams JOIN eg USING (g)),
+    tok_rows AS (
+      SELECT doc_id, unnest(w) AS word,
+             unnest(range(1, len(w) + 1)) AS tok
+      FROM toks),
+    kept AS (
+      SELECT tr.doc_id,
+             string_agg(tr.word, ' ' ORDER BY tr.tok) AS clean_text,
+             CAST(count(*) AS BIGINT) AS kept
+      FROM tok_rows tr
+      LEFT JOIN covered c
+        ON c.doc_id = tr.doc_id AND c.tok = tr.tok
+      WHERE c.tok IS NULL
+      GROUP BY tr.doc_id)
+    SELECT d.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(len(tk.w) AS BIGINT) AS n_tokens,
+           CAST(len(tk.w) - COALESCE(k.kept, 0) AS BIGINT)
+               AS removed_tokens
+    FROM docs d
+    JOIN toks tk USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_COLS = [("o_custkey", 1.0, 15000.0), ("o_totalprice", 800.0,
                                               600000.0)]
@@ -3840,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_seq_materialize": _masked_seq_materialize,
         "lm_perplexity_scores": _lm_perplexity_scores,
         "para_dedup_stats": _para_dedup_stats,
+        "strip_contaminated_stats": _strip_contaminated_stats,
         "bpe_encode_tokens": _bpe_encode_tokens,
         "pack_concat_bpe": _pack_concat_bpe,
         "mp3_frame_index": _mp3_frame_index_q,
@@ -3962,6 +4033,7 @@ _WINDOW_R9 = [
     "corpus_profile", "truncate_tokens_stats", "decontam_fuzzy",
     "embed_text_vectors", "tar_member_index", "webdataset_sample_rollup",
     "masked_seq_materialize", "lm_perplexity_scores", "para_dedup_stats",
+    "strip_contaminated_stats",
     "bpe_encode_tokens", "pack_concat_bpe",
     "mp3_frame_index", "mp4_sample_index",
     "image_phash", "image_phash_pairs",
@@ -5618,6 +5690,7 @@ def oracle_sql() -> dict[str, str]:
         "masked_seq_materialize": _MASKED_SEQ_ORACLE,
         "lm_perplexity_scores": _LM_PERPLEXITY_ORACLE,
         "para_dedup_stats": _PARA_DEDUP_ORACLE,
+        "strip_contaminated_stats": _STRIP_CONTAMINATED_ORACLE,
         "bpe_encode_tokens": _bpe_oracle_sql(),
         "pack_concat_bpe": _pack_concat_bpe_oracle_sql(),
         "mp3_frame_index": _MP3_INDEX_ORACLE,

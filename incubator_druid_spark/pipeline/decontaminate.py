@@ -151,3 +151,37 @@ def decontaminate_fuzzy(train: DataFrame, eval_df: DataFrame,
                           .cast("long").alias("n_matches"),
                          F.coalesce("max_jaccard", F.lit(0.0))
                           .alias("max_jaccard")))
+
+
+def strip_contaminated_spans(train: DataFrame, eval_df: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             eval_id_col: str | None = None,
+                             eval_text_col: str | None = None,
+                             n: int = 13) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping a whole training
+    document that collides with the eval corpus (the strict GPT-3
+    rule :func:`decontaminate` supports), remove just the tokens
+    covered by any eval-overlapping word n-gram and reassemble the
+    rest — the middle-ground policy for long documents with one
+    quoted benchmark item.  ALL occurrences of a contaminated gram
+    are removed (contamination has no "first survives").
+
+    Returns (id, clean_text, n_tokens, removed_tokens) over the
+    NORMALIZED text (same contract as strip_repeated_spans).
+
+    Scale shape: eval grams collapse to a broadcast distinct set; the
+    train side is one positioned-gram pass, a broadcast join to find
+    contaminated starts, and the shared bounded-explode cleaning
+    tail — the training text shuffles once, for reassembly."""
+    from incubator_druid_spark.pipeline.dedup import (
+        _positioned_grams, _strip_covered_spans, _widen_for_explode)
+
+    df = _widen_for_explode(train)
+    base, grams = _positioned_grams(df, id_col, text_col, n)
+    eval_grams = _positioned_grams(
+        eval_df, eval_id_col or id_col, eval_text_col or text_col, n,
+    )[1].select("__g").distinct()
+    starts = (grams.join(F.broadcast(eval_grams), "__g")
+                   .select("__id", "__pos"))
+    return _strip_covered_spans(df, base, starts, n, id_col, text_col)

@@ -689,7 +689,18 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
                   .filter(~((F.col("__id") == F.col("__first.__id"))
                             & (F.col("__pos") == F.col("__first.__pos"))))
                   .select("__id", "__pos"))
-    covered = (dup_starts
+    return _strip_covered_spans(df, base, dup_starts, n, id_col,
+                                text_col)
+
+
+def _strip_covered_spans(df, base, starts, n, id_col, text_col):
+    """Shared cleaning tail: expand (id, gram-start) rows to covered
+    token positions, drop those tokens, reassemble the normalized text
+    per document — used by strip_repeated_spans (duplicate spans) and
+    strip_contaminated_spans (eval-overlap spans)."""
+    from incubator_druid_spark.pipeline.text import normalize_text, tokens
+
+    covered = (starts
                .select("__id", F.explode(F.sequence(
                    F.col("__pos"), F.col("__pos") + (n - 1)))
                    .alias("__tok"))

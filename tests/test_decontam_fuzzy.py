@@ -85,3 +85,36 @@ class TestFuzzyDecontam:
         plan = (decontaminate_fuzzy(train, ev, eval_id_col="eval_id")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestStripContaminated:
+    def test_removes_only_overlapping_spans(self, spark):
+        from incubator_druid_spark.pipeline.decontaminate import (
+            strip_contaminated_spans)
+        leak = "alpha beta gamma delta epsilon zeta eta theta"
+        train = spark.createDataFrame(
+            [(1, f"intro words here {leak} closing words here"),
+             (2, "totally unrelated text with many different words")],
+            "doc_id int, text string")
+        ev = spark.createDataFrame([(9, leak)],
+                                   "eval_id int, text string")
+        out = {r.doc_id: r for r in strip_contaminated_spans(
+            train, ev, eval_id_col="eval_id", n=8).collect()}
+        assert "gamma" not in out[1].clean_text
+        assert out[1].clean_text.startswith("intro words here")
+        assert out[1].removed_tokens == 8
+        assert out[2].removed_tokens == 0
+
+    def test_all_occurrences_removed(self, spark):
+        # unlike strip_repeated_spans, contamination has no survivor
+        from incubator_druid_spark.pipeline.decontaminate import (
+            strip_contaminated_spans)
+        leak = "one two three four five six seven eight"
+        train = spark.createDataFrame(
+            [(1, leak), (2, leak)], "doc_id int, text string")
+        ev = spark.createDataFrame([(9, leak)],
+                                   "eval_id int, text string")
+        out = strip_contaminated_spans(train, ev, eval_id_col="eval_id",
+                                       n=8).collect()
+        assert all(r.clean_text == "" and r.removed_tokens == 8
+                   for r in out)
