@@ -276,6 +276,28 @@ def main() -> int:
         .select(F.length(strip_html_tags(F.col("body_text"))).alias("n"))
         .agg(F.sum("n")).collect()), 3)
 
+    # model-based filters over the full corpus: hashed linear scorer
+    # (dim-4096 broadcast weights) and the bigram-LM perplexity pass
+    # (trained once on every 3rd doc, training time excluded like the
+    # IVF index build — the model is a reusable artifact)
+    from incubator_druid_spark.pipeline.lm import (lm_perplexity,
+                                                   train_bigram_lm)
+    from incubator_druid_spark.pipeline.score import linear_quality_score
+    _w = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37 % 21 - 10) / F.lit(32.0)).alias("weight"))
+    score_sec = round(_median3(lambda: linear_quality_score(
+        cat.table("documents"), _w, dim=4096)
+        .agg(F.sum("score")).collect()), 3)
+    _lm = train_bigram_lm(
+        cat.table("documents").filter(F.col("doc_id") % 3 == 0),
+        vocab_size=10_000)
+    _lm["bigrams"].persist().count()
+    _lm["unigrams"].persist().count()
+    lm_sec = round(_median3(lambda: lm_perplexity(
+        cat.table("documents"), _lm)
+        .agg(F.sum("perplexity")).collect()), 3)
+
     # ------------------------------------------------------------------
     # the reference's OWN benchmark suite: SqlBenchmark.java:85-260 run
     # verbatim through the Druid SQL surface over a 5M-row realization of
@@ -548,6 +570,8 @@ def main() -> int:
         "decontam_docs_sec": decontam_sec,
         "curation_docs_sec": curation_sec,
         "crawl_docs_sec": crawl_sec,
+        "score_docs_sec": score_sec,
+        "lm_ppl_docs_sec": lm_sec,
         "ansi_host_sql_call_ms": ansi_host_sql_ms,
         "engine_sql_call_ms": engine_sql_ms,
         "ansi_host_sql_ratio": round(
