@@ -14,6 +14,8 @@ Two paths, as a production ANN system would tier them:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -39,13 +41,91 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+# ---------------------------------------------------------------------------
+# Fixed-dimension unrolled variants.  Catalyst higher-order functions
+# (aggregate/zip_with/transform) are CodegenFallback: every element of every
+# row pays an interpreted lambda invocation, which made the dot product the
+# dominant cost of every cosine operator (a dim-64 cosine evaluates ~5 HOF
+# chains per row).  When the dimension is known — a literal query vector,
+# trained centroids, or a head-probed corpus — the same left-to-right fold
+# can be unrolled into a chain of codegen'd multiply/adds:
+#   aggregate(zip_with(a,b,x*y), 0.0, acc+x)  ==  (((0.0 + a0*b0) + a1*b1)...)
+# identical association order, so results are BIT-IDENTICAL to the HOF path
+# (IEEE-754 doubles on both sides; same float->double coercions).  Rows whose
+# array is not exactly `dim` long lazily fall back to the HOF expression, so
+# ragged/null inputs keep the exact old semantics (and the unrolled branch
+# can never index out of bounds — which would throw under ANSI hosts).
+# ---------------------------------------------------------------------------
+
+def _chain_sum(terms) -> Column:
+    acc = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def _py_norm(vec) -> float:
+    """Driver-side replica of norm(_lit_vec(vec)): same left fold over the
+    same float64 squares, so the literal it produces is bit-identical to
+    what the JVM would have computed per row."""
+    acc = 0.0
+    for v in vec:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    return _chain_sum([a[i] * b[i] for i in range(dim)])
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(_chain_sum([a[i] * a[i] for i in range(dim)]))
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """cosine() unrolled for arrays of exactly `dim` elements; other rows
+    fall back (lazily) to the HOF path."""
+    d = norm_fixed(a, dim) * norm_fixed(b, dim)
+    fast = F.when(d > 0, dot_fixed(a, b, dim) / d).otherwise(F.lit(0.0))
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), fast) \
+            .otherwise(cosine(a, b))
+
+
+def dot_lit(a: Column, vec) -> Column:
+    """dot(a, _lit_vec(vec)) unrolled (guarded by size(a) == len(vec))."""
+    dim = len(vec)
+    fast = _chain_sum([a[i] * F.lit(float(v)) for i, v in enumerate(vec)])
+    return F.when(F.size(a) == dim, fast).otherwise(dot(a, _lit_vec(vec)))
+
+
+def cosine_lit(a: Column, vec) -> Column:
+    """cosine(a, _lit_vec(vec)) unrolled: the query-side norm collapses to
+    a driver-computed literal (bit-identical fold, see _py_norm)."""
+    dim = len(vec)
+    d = norm_fixed(a, dim) * F.lit(_py_norm(vec))
+    dt = _chain_sum([a[i] * F.lit(float(v)) for i, v in enumerate(vec)])
+    fast = F.when(d > 0, dt / d).otherwise(F.lit(0.0))
+    return F.when(F.size(a) == dim, fast).otherwise(cosine(a, _lit_vec(vec)))
+
+
+def _cosine_probed(df: DataFrame, vec_col: str):
+    """A pairwise cosine builder for frames whose dimension is only known
+    at runtime: one head probe picks the unrolled width; the size guard in
+    cosine_fixed keeps rows of any other width on the exact HOF path."""
+    head = df.select(F.size(F.col(vec_col)).alias("d")) \
+             .filter(F.col("d") > 0).first()
+    if head is None:
+        return cosine
+    dim = int(head["d"])
+    return lambda a, b: cosine_fixed(a, b, dim)
+
+
 def cosine_topk(df: DataFrame, query_vec, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force top-k by cosine similarity to a literal query vector.
     Plan: scan → project(similarity) → TakeOrderedAndProject(k) — one pass,
     no shuffle of the vectors themselves."""
-    q = _lit_vec(query_vec)
-    sim = cosine(F.col(vec_col), q)
+    sim = cosine_lit(F.col(vec_col), query_vec)
     return (df.select(F.col(id_col), sim.alias("cosine"))
               .orderBy(F.col("cosine").desc(), F.col(id_col))
               .limit(k))
@@ -140,7 +220,7 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def hyperplane_signature(vec_col: Column, planes: np.ndarray) -> Column:
     """LSH signature: one bit per hyperplane (sign of the dot product),
     packed into a long per 16-plane band below."""
-    bits = [F.when(dot(vec_col, _lit_vec(p)) >= 0, 1).otherwise(0) for p in planes]
+    bits = [F.when(dot_lit(vec_col, p) >= 0, 1).otherwise(0) for p in planes]
     return F.array(*bits)
 
 
@@ -175,8 +255,7 @@ def ann_lsh_topk(df: DataFrame, query_vec, k: int = 10, num_planes: int = 16,
         band_match = eq if band_match is None else band_match | eq
 
     cands = with_sig.filter(band_match)
-    q = _lit_vec(query_vec)
-    sim = cosine(F.col(vec_col), q)
+    sim = cosine_lit(F.col(vec_col), query_vec)
     return (cands.select(F.col(id_col), sim.alias("cosine"))
                  .orderBy(F.col("cosine").desc(), F.col(id_col))
                  .limit(k))
@@ -188,7 +267,7 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     L2-normalized centroids ≈ max cosine).  The centroid dots are literal-
     vector expressions, so assignment is a scan-side projection — at ingest
     time this materializes the IVF cluster id as a partition/bucket column."""
-    dots = [dot(F.col(vec_col), _lit_vec(c)) for c in centroids]
+    dots = [dot_lit(F.col(vec_col), c) for c in centroids]
     scores = F.array(*dots)
     cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return df.withColumn("__ivf", cluster)
@@ -246,7 +325,7 @@ def ann_ivf_topk(df: DataFrame, query_vec, k: int = 10, n_clusters: int = 16,
 
     assigned = ivf_assign(df, centroids, vec_col)
     cands = assigned.filter(F.col("__ivf").isin(probe))
-    sim = cosine(F.col(vec_col), _lit_vec(query_vec))
+    sim = cosine_lit(F.col(vec_col), query_vec)
     return (cands.select(F.col(id_col), sim.alias("cosine"))
                  .orderBy(F.col("cosine").desc(), F.col(id_col))
                  .limit(k))
@@ -272,7 +351,7 @@ def ann_ivf_topk_indexed(spark, path: str, query_vec, centroids: np.ndarray,
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(centroids @ qn))[:nprobe]]
     df = spark.read.parquet(path).filter(F.col("__ivf").isin(probe))
-    sim = cosine(F.col(vec_col), _lit_vec(query_vec))
+    sim = cosine_lit(F.col(vec_col), query_vec)
     return (df.select(F.col(id_col), sim.alias("cosine"))
               .orderBy(F.col("cosine").desc(), F.col(id_col))
               .limit(k))
@@ -289,7 +368,7 @@ def cosine_near_dup_exact(df: DataFrame, threshold: float = 0.95,
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     j = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = _cosine_probed(df, vec_col)(F.col("va"), F.col("vb"))
     return (j.select("id_a", "id_b", sim.alias("cosine"))
              .filter(F.col("cosine") >= threshold))
 
@@ -339,7 +418,7 @@ def semdedup(df: DataFrame, centroids: np.ndarray, threshold: float = 0.95,
                         F.col(vec_col).alias("va"))
     b = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_b"),
                         F.col(vec_col).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = cosine_fixed(F.col("va"), F.col("vb"), centroids.shape[1])
     pairs = (a.join(b, ["__ivf"])
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b", sim.alias("cosine"))
@@ -412,6 +491,6 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                                F.col(vec_col).alias("va")), "id_a")
              .join(vecs.select(F.col(id_col).alias("id_b"),
                                F.col(vec_col).alias("vb")), "id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = cosine_fixed(F.col("va"), F.col("vb"), dim)
     return (withv.select("id_a", "id_b", sim.alias("cosine"))
                  .filter(F.col("cosine") >= threshold))
