@@ -309,11 +309,29 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                             .persist())
     buckets = banded_buckets(with_sig, id_col, num_hashes, bands)
     if max_bucket:
-        sizes = (buckets.groupBy("band", "bh")
-                 .agg(F.count(F.lit(1)).alias("__n"))
-                 .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-                 .drop("__n"))
-        buckets = buckets.join(sizes, on=["band", "bh"])
+        # Bucket-capped pair generation as ONE aggregation instead of the
+        # former sizes-groupBy + filter-join + self-join chain (guide §2.4:
+        # that shape re-derived the banded explode for each self-join side
+        # and paid 5 exchanges; this is 2 — the groupBy and the distinct).
+        # The cap bounds every collected list at max_bucket ids, so the
+        # in-bucket pair explode is O(max_bucket²) per group, driver-free,
+        # and emits the identical (id_a < id_b) pair set: one row per id
+        # per band means sort_array + strictly-later slice == the old
+        # l.id < r.id join condition.
+        grouped = (buckets.groupBy("band", "bh")
+                   .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+                   .filter((F.size("__ids") >= 2)
+                           & (F.size("__ids") <= max_bucket)))
+        pairs = (grouped
+                 .select(F.posexplode("__ids").alias("__i", "id_a"), "__ids")
+                 .select("id_a",
+                         F.explode(F.slice(
+                             F.col("__ids"), F.col("__i") + 2,
+                             F.size("__ids"))).alias("id_b"))
+                 .distinct())
+        return pairs
+    # Uncapped path (max_bucket falsy): keep the distributed self-join — a
+    # hot bucket would otherwise funnel into one collect_list row.
     pairs = (buckets.alias("l")
              .join(buckets.alias("r"),
                    (F.col("l.band") == F.col("r.band"))

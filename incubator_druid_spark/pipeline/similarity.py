@@ -51,18 +51,12 @@ def cosine(a: Column, b: Column) -> Column:
 # can be unrolled into a chain of codegen'd multiply/adds:
 #   aggregate(zip_with(a,b,x*y), 0.0, acc+x)  ==  (((0.0 + a0*b0) + a1*b1)...)
 # identical association order, so results are BIT-IDENTICAL to the HOF path
-# (IEEE-754 doubles on both sides; same float->double coercions).  Rows whose
-# array is not exactly `dim` long lazily fall back to the HOF expression, so
-# ragged/null inputs keep the exact old semantics (and the unrolled branch
-# can never index out of bounds — which would throw under ANSI hosts).
+# (IEEE-754 doubles on both sides; same float->double coercions).  Each
+# operator verifies dimension uniformity ONCE per call (_all_dim) and uses
+# the exact HOF expressions wholesale on ragged frames, so ragged/null
+# inputs keep the exact old semantics and the unrolled chain can never
+# index out of bounds (which would throw under ANSI hosts).
 # ---------------------------------------------------------------------------
-
-def _chain_sum(terms) -> Column:
-    acc = F.lit(0.0)
-    for t in terms:
-        acc = acc + t
-    return acc
-
 
 def _py_norm(vec) -> float:
     """Driver-side replica of norm(_lit_vec(vec)): same left fold over the
@@ -74,50 +68,164 @@ def _py_norm(vec) -> float:
     return math.sqrt(acc)
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    return _chain_sum([a[i] * b[i] for i in range(dim)])
+# The unrolled expressions are built as ONE SQL string handed to F.expr:
+# composing them as Python Column arithmetic costs one py4j round trip per
+# node (a dim-64 cosine is ~400 nodes; 16 LSH planes are ~2000), which put
+# 5-7 SECONDS of driver time into every query build.  A single parse of
+# the same tree on the JVM side is milliseconds.  Literals are embedded as
+# CAST('<repr>' AS DOUBLE): repr round-trips doubles exactly, the cast is
+# constant-folded once by the optimizer, and it is immune to SQL decimal-
+# literal parsing rules in either ANSI mode.  SQL `+` is left-associative,
+# so `0.0D + t0 + t1 + ...` reproduces the HOF fold's association order
+# exactly; `arr[i]` is 0-based GetArrayItem, same as the Column form.
+
+def _dlit(x: float) -> str:
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
-def norm_fixed(a: Column, dim: int) -> Column:
-    return F.sqrt(_chain_sum([a[i] * a[i] for i in range(dim)]))
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return "0.0D" + "".join(
+        f" + (`{a}`[{i}] * `{b}`[{i}])" for i in range(dim))
 
 
-def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
-    """cosine() unrolled for arrays of exactly `dim` elements; other rows
-    fall back (lazily) to the HOF path."""
+def _dot_lit_sql(a: str, vec) -> str:
+    return "0.0D" + "".join(
+        f" + (`{a}`[{i}] * {_dlit(float(v))})" for i, v in enumerate(vec))
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    return f"SQRT({_dot_sql(a, a, dim)})"
+
+
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    return F.expr(_dot_sql(a, b, dim))
+
+
+def norm_fixed(a: str, dim: int) -> Column:
+    return F.expr(_norm_sql(a, dim))
+
+
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    """cosine() unrolled for arrays of exactly `dim` elements, by COLUMN
+    NAME.  Callers must have verified the frame is dimension-uniform
+    (`_all_dim`) — on a uniform frame this is bit-identical to cosine();
+    null arrays/elements null-propagate identically (null sum → the
+    `otherwise` 0.0)."""
     d = norm_fixed(a, dim) * norm_fixed(b, dim)
-    fast = F.when(d > 0, dot_fixed(a, b, dim) / d).otherwise(F.lit(0.0))
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), fast) \
-            .otherwise(cosine(a, b))
+    return F.when(d > 0, dot_fixed(a, b, dim) / d).otherwise(F.lit(0.0))
 
 
-def dot_lit(a: Column, vec) -> Column:
-    """dot(a, _lit_vec(vec)) unrolled (guarded by size(a) == len(vec))."""
+def dot_lit(a: str, vec) -> Column:
+    """dot(col a, _lit_vec(vec)) unrolled (caller checks uniformity)."""
+    return F.expr(_dot_lit_sql(a, vec))
+
+
+def cosine_lit(a: str, vec) -> Column:
+    """cosine(col a, _lit_vec(vec)) unrolled: the query-side norm collapses
+    to a driver-computed literal (bit-identical fold, see _py_norm); caller
+    checks dimension uniformity."""
+    d = norm_fixed(a, len(vec)) * F.lit(_py_norm(vec))
+    dt = F.expr(_dot_lit_sql(a, vec))
+    return F.when(d > 0, dt / d).otherwise(F.lit(0.0))
+
+
+def _no_pushdown(col: Column) -> Column:
+    """Value-preserving pushdown barrier: monotonically_increasing_id() is
+    never negative, so the then-branch ALWAYS fires and the value is
+    exactly `col` for every row — but the id marks the expression
+    non-deterministic, which stops PushPredicateThroughNonJoin from
+    substituting the aliased expression into a downstream filter and
+    pushing it below the staging projection.  Without it the optimizer
+    inlines the full unrolled chains into the filter condition (it
+    substitutes aliases with no cost model — observed: a 7.6 MB generated
+    class) and the stage overflows the 64 KB codegen method limit,
+    silently dropping to interpreted eval after a failed compile per
+    action.  (rand() is unusable here: the optimizer folds comparisons
+    against rand's known [0,1) range.)"""
+    return F.when(F.monotonically_increasing_id() >= -1, col)
+
+
+def _all_dim(df: DataFrame, vec_col: str, dim: int) -> bool:
+    """True iff every non-null vector in the frame has exactly `dim`
+    elements — the gate for the unrolled expressions.  A per-ROW size
+    guard with an inline HOF fallback was measured 4.5× slower than the
+    bare unrolled chain (the tripled expression tree spills whole-stage
+    codegen), so uniformity is checked ONCE per operator call with an
+    early-exit limit(1) scan of size() and the plan then carries only the
+    lean chain; a genuinely ragged corpus falls back to the exact HOF
+    expressions wholesale."""
+    return (df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(F.col(vec_col)) != dim))
+              .limit(1).count()) == 0
+
+
+def _cosine_lit_for(df: DataFrame, vec_col: str, vec) -> Column:
+    """cosine against a literal query vector: unrolled when the frame is
+    dimension-uniform, exact HOF otherwise."""
+    if _all_dim(df, vec_col, len(vec)):
+        return cosine_lit(vec_col, vec)
+    return cosine(F.col(vec_col), _lit_vec(vec))
+
+
+def _project_cosine_lit(df: DataFrame, vec_col: str, id_col: str, vec,
+                        uniform: bool) -> DataFrame:
+    """(id, cosine-vs-literal-query) projection.  The unrolled path factors
+    each array element into a nanvl(x, x) column first (bit-exact identity,
+    not inlineable by CollapseProject), so the norm and dot chains reference
+    per-element locals: without the factoring the two dim-64 chains of raw
+    GetArrayItems overflow Janino's 64 KB method limit whenever anything
+    else fuses into the stage, and the stage silently drops to interpreted
+    eval after a multi-second failed compile PER ACTION."""
+    if not uniform:
+        sim = cosine(F.col(vec_col), _lit_vec(vec))
+        return df.select(F.col(id_col), sim.alias("cosine"))
     dim = len(vec)
-    fast = _chain_sum([a[i] * F.lit(float(v)) for i, v in enumerate(vec)])
-    return F.when(F.size(a) == dim, fast).otherwise(dot(a, _lit_vec(vec)))
+    enames = [f"__cl_e{i}" for i in range(dim)]
+    staged = df.select(
+        F.col(id_col),
+        *[F.expr(f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}])").alias(n)
+          for i, n in enumerate(enames)])
+    norm_chain = F.expr("SQRT(0.0D" + "".join(
+        f" + (`{n}` * `{n}`)" for n in enames) + ")")
+    dot_chain = F.expr("0.0D" + "".join(
+        f" + (`{n}` * {_dlit(float(v))})" for n, v in zip(enames, vec)))
+    # dot and norm as their OWN columns: a CASE over the raw chains would
+    # carry the norm chain twice (condition + divisor) and re-overflow the
+    # method limit; here the CASE is three ops over two attributes.  __nrm
+    # is referenced twice downstream, which also stops CollapseProject from
+    # inlining the chains back into one expression.
+    scored = staged.select(F.col(id_col), dot_chain.alias("__dot"),
+                           norm_chain.alias("__nrm"))
+    d = F.col("__nrm") * F.lit(_py_norm(vec))
+    sim = F.when(d > 0, F.col("__dot") / d).otherwise(F.lit(0.0))
+    return scored.select(F.col(id_col), sim.alias("cosine"))
 
 
-def cosine_lit(a: Column, vec) -> Column:
-    """cosine(a, _lit_vec(vec)) unrolled: the query-side norm collapses to
-    a driver-computed literal (bit-identical fold, see _py_norm)."""
-    dim = len(vec)
-    d = norm_fixed(a, dim) * F.lit(_py_norm(vec))
-    dt = _chain_sum([a[i] * F.lit(float(v)) for i, v in enumerate(vec)])
-    fast = F.when(d > 0, dt / d).otherwise(F.lit(0.0))
-    return F.when(F.size(a) == dim, fast).otherwise(cosine(a, _lit_vec(vec)))
-
-
-def _cosine_probed(df: DataFrame, vec_col: str):
-    """A pairwise cosine builder for frames whose dimension is only known
-    at runtime: one head probe picks the unrolled width; the size guard in
-    cosine_fixed keeps rows of any other width on the exact HOF path."""
+def _uniform_dim_of(df: DataFrame, vec_col: str) -> int | None:
+    """Head-probe the vector dimension and verify uniformity once; None on
+    an empty or ragged frame (callers then keep the exact HOF path)."""
     head = df.select(F.size(F.col(vec_col)).alias("d")) \
              .filter(F.col("d") > 0).first()
     if head is None:
-        return cosine
+        return None
     dim = int(head["d"])
-    return lambda a, b: cosine_fixed(a, b, dim)
+    return dim if _all_dim(df, vec_col, dim) else None
+
+
+def _paired_cosine(dim: int | None, va: str, vb: str,
+                   na: str = "__na", nb: str = "__nb") -> Column:
+    """Per-pair cosine for a join whose sides carry PRE-PROJECTED norms
+    (columns `na`/`nb`, hoisted to the scan side — computing the norms
+    inside the join stage tripled the expression and spilled whole-stage
+    codegen past Janino's method limit, dropping the stage to interpreted
+    eval).  Hoisting is pure common-subexpression factoring: the same
+    norm_fixed chain evaluated on the same rows, so values are
+    bit-identical to cosine().  `dim=None` = ragged frame → HOF path (no
+    norm columns needed)."""
+    if dim is None:
+        return cosine(F.col(va), F.col(vb))
+    d = F.col(na) * F.col(nb)
+    return F.when(d > 0, dot_fixed(va, vb, dim) / d).otherwise(F.lit(0.0))
 
 
 def cosine_topk(df: DataFrame, query_vec, k: int = 10,
@@ -125,10 +233,10 @@ def cosine_topk(df: DataFrame, query_vec, k: int = 10,
     """Exact brute-force top-k by cosine similarity to a literal query vector.
     Plan: scan → project(similarity) → TakeOrderedAndProject(k) — one pass,
     no shuffle of the vectors themselves."""
-    sim = cosine_lit(F.col(vec_col), query_vec)
-    return (df.select(F.col(id_col), sim.alias("cosine"))
-              .orderBy(F.col("cosine").desc(), F.col(id_col))
-              .limit(k))
+    uniform = _all_dim(df, vec_col, len(query_vec))
+    return (_project_cosine_lit(df, vec_col, id_col, query_vec, uniform)
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
 
 
 def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -217,10 +325,20 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .select("q_id", "rank", "c_id", "cosine"))
 
 
-def hyperplane_signature(vec_col: Column, planes: np.ndarray) -> Column:
+def hyperplane_signature(vec_col, planes: np.ndarray,
+                         unrolled: bool = False) -> Column:
     """LSH signature: one bit per hyperplane (sign of the dot product),
-    packed into a long per 16-plane band below."""
-    bits = [F.when(dot_lit(vec_col, p) >= 0, 1).otherwise(0) for p in planes]
+    packed into a long per 16-plane band below.  ``unrolled=True`` (column
+    NAME input; safe only on dimension-uniform frames — callers gate on
+    _all_dim) compiles each plane dot as one parsed codegen'd chain
+    instead of an interpreted HOF."""
+    if unrolled and isinstance(vec_col, str):
+        bits = [F.when(dot_lit(vec_col, p) >= 0, 1).otherwise(0)
+                for p in planes]
+    else:
+        col = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+        bits = [F.when(dot(col, _lit_vec(p)) >= 0, 1).otherwise(0)
+                for p in planes]
     return F.array(*bits)
 
 
@@ -240,37 +358,84 @@ def ann_lsh_topk(df: DataFrame, query_vec, k: int = 10, num_planes: int = 16,
     planes = rng.standard_normal((num_planes, dim))
     rows = num_planes // bands
 
-    sig = hyperplane_signature(F.col(vec_col), planes)
+    uniform = _all_dim(df, vec_col, dim)
     qbits = [1 if float(np.dot(query_vec, p)) >= 0 else 0 for p in planes]
 
-    with_sig = df.withColumn("__sig", sig)
-    band_match = None
-    for b in range(bands):
-        bits = [F.col("__sig")[b * rows + r] for r in range(rows)]
-        qband = qbits[b * rows:(b + 1) * rows]
-        eq = None
-        for bit, qb in zip(bits, qband):
-            e = bit == qb
-            eq = e if eq is None else eq & e
-        band_match = eq if band_match is None else band_match | eq
+    def band_match_of(bits):
+        band_match = None
+        for b in range(bands):
+            qband = qbits[b * rows:(b + 1) * rows]
+            eq = None
+            for r, qb in enumerate(qband):
+                e = bits[b * rows + r] == qb
+                eq = e if eq is None else eq & e
+            band_match = eq if band_match is None else band_match | eq
+        return band_match
 
-    cands = with_sig.filter(band_match)
-    sim = cosine_lit(F.col(vec_col), query_vec)
-    return (cands.select(F.col(id_col), sim.alias("cosine"))
-                 .orderBy(F.col("cosine").desc(), F.col(id_col))
-                 .limit(k))
+    # The signature FILTER stays on the HOF path deliberately: unrolling
+    # the num_planes × dim band chains makes the filter condition itself
+    # ~1 MB of generated code (predicate pushdown substitutes the staged
+    # attributes back into the condition with no cost model), overflowing
+    # the 64 KB codegen method limit so the whole stage drops to
+    # interpreted eval — strictly worse than the compact interpreted HOF
+    # tree.  The per-candidate exact RERANK is where the unrolled chains
+    # pay off (and compile), via _project_cosine_lit.
+    sig = hyperplane_signature(vec_col, planes)
+    with_sig = df.withColumn("__sig", sig)
+    cands = with_sig.filter(band_match_of(
+        [F.col("__sig")[i] for i in range(num_planes)]))
+    return (_project_cosine_lit(cands, vec_col, id_col, query_vec, uniform)
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
 
 
 def ivf_assign(df: DataFrame, centroids: np.ndarray,
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               _uniform: bool | None = None) -> DataFrame:
     """Assign each vector to its nearest centroid (max dot product against
     L2-normalized centroids ≈ max cosine).  The centroid dots are literal-
     vector expressions, so assignment is a scan-side projection — at ingest
-    time this materializes the IVF cluster id as a partition/bucket column."""
-    dots = [dot_lit(F.col(vec_col), c) for c in centroids]
-    scores = F.array(*dots)
-    cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return df.withColumn("__ivf", cluster)
+    time this materializes the IVF cluster id as a partition/bucket column.
+
+    The unrolled path first factors each array element into its own column
+    via nanvl(x, x) — a bit-exact identity the optimizer can neither fold
+    away nor inline (it is not "cheap" to CollapseProject), so the
+    n_clusters dot chains reference per-element LOCALS in the fused stage
+    instead of inlining n_clusters copies of the array loads.  Without the
+    factoring, 8 dim-64 chains plus a same-stage cosine overflow Janino's
+    64 KB method limit and the whole stage silently drops to interpreted
+    eval (observed: repeated multi-second compile failures per action)."""
+    if _uniform is None:
+        _uniform = _all_dim(df, vec_col, centroids.shape[1])
+    if not _uniform:
+        dots = [dot(F.col(vec_col), _lit_vec(c)) for c in centroids]
+        scores = F.array(*dots)
+        cluster = (F.array_position(scores, F.array_max(scores)) - 1) \
+            .cast("int")
+        return df.withColumn("__ivf", cluster)
+    dim = centroids.shape[1]
+    enames = [f"__ivf_e{i}" for i in range(dim)]
+    ecols = [F.expr(f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}])").alias(n)
+             for i, n in enumerate(enames)]
+
+    def chain(c):
+        return F.expr("0.0D" + "".join(
+            f" + (`{enames[i]}` * {_dlit(float(v))})"
+            for i, v in enumerate(c)))
+
+    # scores as their own materialized column: argmax references it twice
+    # (array_position + array_max), which would otherwise inline two full
+    # copies of the n_clusters chains; _no_pushdown additionally stops a
+    # downstream cluster filter (ann_ivf_topk's isin(probe)) from being
+    # substituted below this projection and re-inflating the stage.
+    scores = _no_pushdown(F.array(*[chain(c) for c in centroids]))
+    cluster = (F.array_position(F.col("__ivf_scores"),
+                                F.array_max(F.col("__ivf_scores"))) - 1) \
+        .cast("int")
+    return (df.select("*", *ecols)
+              .withColumn("__ivf_scores", scores)
+              .withColumn("__ivf", cluster)
+              .drop("__ivf_scores", *enames))
 
 
 def train_ivf_centroids(df: DataFrame, n_clusters: int = 16, sample: int = 2048,
@@ -323,12 +488,12 @@ def ann_ivf_topk(df: DataFrame, query_vec, k: int = 10, n_clusters: int = 16,
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
 
-    assigned = ivf_assign(df, centroids, vec_col)
+    uniform = _all_dim(df, vec_col, len(query_vec))
+    assigned = ivf_assign(df, centroids, vec_col, _uniform=uniform)
     cands = assigned.filter(F.col("__ivf").isin(probe))
-    sim = cosine_lit(F.col(vec_col), query_vec)
-    return (cands.select(F.col(id_col), sim.alias("cosine"))
-                 .orderBy(F.col("cosine").desc(), F.col(id_col))
-                 .limit(k))
+    return (_project_cosine_lit(cands, vec_col, id_col, query_vec, uniform)
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
 
 
 def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
@@ -351,10 +516,10 @@ def ann_ivf_topk_indexed(spark, path: str, query_vec, centroids: np.ndarray,
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(centroids @ qn))[:nprobe]]
     df = spark.read.parquet(path).filter(F.col("__ivf").isin(probe))
-    sim = cosine_lit(F.col(vec_col), query_vec)
-    return (df.select(F.col(id_col), sim.alias("cosine"))
-              .orderBy(F.col("cosine").desc(), F.col(id_col))
-              .limit(k))
+    uniform = _all_dim(df, vec_col, len(query_vec))
+    return (_project_cosine_lit(df, vec_col, id_col, query_vec, uniform)
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
 
 
 def cosine_near_dup_exact(df: DataFrame, threshold: float = 0.95,
@@ -365,10 +530,19 @@ def cosine_near_dup_exact(df: DataFrame, threshold: float = 0.95,
     LSH path (embedding_near_dup_pairs), and the right tool only for small
     or pre-bucketed slices; at corpus scale use the LSH variant whose
     bucket join prunes the pair space."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # spread the streamed side of the nested-loop join: a one-file input
+    # otherwise computes every one of the n²/2 cosines in a single task
+    dim = _uniform_dim_of(df, vec_col)
+    na = [norm_fixed(vec_col, dim).alias("__na")] if dim is not None else []
+    nb = [norm_fixed(vec_col, dim).alias("__nb")] if dim is not None else []
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = (df.repartition(par)
+           .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   *na))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  *nb)
     j = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = _cosine_probed(df, vec_col)(F.col("va"), F.col("vb"))
+    sim = _paired_cosine(dim, "va", "vb")
     return (j.select("id_a", "id_b", sim.alias("cosine"))
              .filter(F.col("cosine") >= threshold))
 
@@ -402,7 +576,10 @@ def semdedup(df: DataFrame, centroids: np.ndarray, threshold: float = 0.95,
     (n_clusters rows collected, not data)."""
     from incubator_druid_spark.pipeline.dedup import (connected_components,
                                                       dedup_by_groups)
-    assigned = ivf_assign(df, centroids, vec_col) \
+    dim = centroids.shape[1] if _all_dim(df, vec_col,
+                                         centroids.shape[1]) else None
+    assigned = ivf_assign(df, centroids, vec_col,
+                          _uniform=dim is not None) \
         .select(F.col(id_col), F.col(vec_col), F.col("__ivf"))
     big = (assigned.groupBy("__ivf")
            .agg(F.count(F.lit(1)).alias("__n"))
@@ -414,11 +591,13 @@ def semdedup(df: DataFrame, centroids: np.ndarray, threshold: float = 0.95,
             f"{max_cluster} (largest: {worst} vectors); the within-cluster "
             "pair join is quadratic — train more centroids (raise "
             "n_clusters) or raise max_cluster explicitly")
+    na = [norm_fixed(vec_col, dim).alias("__na")] if dim is not None else []
+    nb = [norm_fixed(vec_col, dim).alias("__nb")] if dim is not None else []
     a = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va"))
+                        F.col(vec_col).alias("va"), *na)
     b = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vb"))
-    sim = cosine_fixed(F.col("va"), F.col("vb"), centroids.shape[1])
+                        F.col(vec_col).alias("vb"), *nb)
+    sim = _paired_cosine(dim, "va", "vb")
     pairs = (a.join(b, ["__ivf"])
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b", sim.alias("cosine"))
@@ -459,7 +638,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     planes = rng.standard_normal((num_planes, dim))
     rows = num_planes // bands
 
-    sig = hyperplane_signature(F.col(vec_col), planes)
+    uniform = _all_dim(df, vec_col, dim)
+    # signature stays on the HOF path here: the banded explode references
+    # __sig as ONE array column, and an unrolled 16-chain array overflows
+    # the codegen method limit (interpreted either way, HOF is the leaner
+    # tree); the expensive per-pair VERIFY below is what got unrolled.
+    sig = hyperplane_signature(vec_col, planes)
     with_sig = df.select(F.col(id_col), sig.alias("__sig"))
     banded = with_sig.select(
         id_col,
@@ -485,12 +669,14 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"))
              .distinct())
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+    pdim = dim if uniform else None
+    na = [norm_fixed(vec_col, dim).alias("__na")] if uniform else []
+    nb = [norm_fixed(vec_col, dim).alias("__nb")] if uniform else []
     withv = (pairs
-             .join(vecs.select(F.col(id_col).alias("id_a"),
-                               F.col(vec_col).alias("va")), "id_a")
-             .join(vecs.select(F.col(id_col).alias("id_b"),
-                               F.col(vec_col).alias("vb")), "id_b"))
-    sim = cosine_fixed(F.col("va"), F.col("vb"), dim)
+             .join(df.select(F.col(id_col).alias("id_a"),
+                             F.col(vec_col).alias("va"), *na), "id_a")
+             .join(df.select(F.col(id_col).alias("id_b"),
+                             F.col(vec_col).alias("vb"), *nb), "id_b"))
+    sim = _paired_cosine(pdim, "va", "vb")
     return (withv.select("id_a", "id_b", sim.alias("cosine"))
                  .filter(F.col("cosine") >= threshold))
