@@ -415,7 +415,7 @@ def main() -> int:
     sf1_rows = 0
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
-            sf1_dir = "/tmp/spark_graft_x10_v1_" + \
+            sf1_dir = "/tmp/spark_graft_x10_v2_" + \
                 os.path.basename(sf_dir.rstrip("/"))
             _build_sf1(spark, sf_dir, sf1_dir)
             entrymod._CATALOGS.clear()  # force a fresh catalog for sf1_dir
@@ -446,7 +446,7 @@ def main() -> int:
     sf10_rows = 0
     if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
         try:
-            sf10_dir = "/tmp/spark_graft_x100_v1_" + \
+            sf10_dir = "/tmp/spark_graft_x100_v2_" + \
                 os.path.basename(sf_dir.rstrip("/"))
             _build_replica(spark, sf_dir, sf10_dir, factor=100)
             entrymod._CATALOGS.clear()
@@ -481,7 +481,7 @@ def main() -> int:
     sf100_rows = 0
     if os.environ.get("SPARK_GRAFT_SF100", "1") != "0":
         try:
-            sf100_dir = "/tmp/spark_graft_x1000_v1_" + \
+            sf100_dir = "/tmp/spark_graft_x1000_v2_" + \
                 os.path.basename(sf_dir.rstrip("/"))
             _build_replica(spark, sf_dir, sf100_dir, factor=1000)
             entrymod._CATALOGS.clear()
@@ -733,12 +733,17 @@ def _build_replica(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             for colname, fn in fact_shifts[t].items():
                 big = big.withColumn(colname, fn(c, F.col(colname)))
             big = big.drop("__copy")
-            if factor >= 1000:
-                # the broadcast cross join inherits the tiny source's 1-2
-                # input partitions — at x1000 that is a single multi-GB
-                # write task and a 2-task scan for every timed query;
-                # spread it (round-robin on the copy boundary)
-                big = big.repartition(64)
+            # The broadcast cross join inherits the tiny source's 1-2 input
+            # partitions, so an unrepartitioned write produces ONE file with
+            # ONE row group per fact table (measured at x100: 60M lineitem
+            # rows in 3 row groups, 15M orders / 10M events / 500k docs in
+            # one each).  A row group is the atomic scan-split unit, so every
+            # sweep query then runs its scan stage on 1-3 cores of 32 — the
+            # sweep was timing single-core decompression, not the engine
+            # (guide §2.5 "input skew: one huge unsplittable file", §6 file
+            # layout).  No 100 TB layout looks like that; spread every
+            # replica so scan parallelism matches a realistic file layout.
+            big = big.repartition(64)
             big.write.mode("overwrite").parquet(dst)
         else:
             df.write.mode("overwrite").parquet(dst)
