@@ -823,10 +823,24 @@ def _ann_ivf_topk(spark, sf):
     ivf_ids = {r["vec_id"] for r in
                ann_ivf_topk(base, qvec, k=k, n_clusters=8, nprobe=4,
                             centroids=_IVF_CENTROIDS[ckey]).collect()}
-    top_km = [r["vec_id"] for r in cosine_topk(base, qvec, k=k + m).collect()]
-    contained = sum(1 for i in ivf_ids if i in set(top_km))
+    # ONE exact brute-force pass (r9, guide §1.2/§2.4 — remove redundant
+    # work): the entry needs the exact top-(k+m) twice, as the
+    # containment reference AND as the emitted top-k rows.  Historically
+    # it scanned the corpus twice for the same ordered prefix (a collect
+    # for the reference set, then a second full TakeOrdered scan when
+    # the returned frame executed); the single ordered collect now
+    # serves both — the returned frame replays the collected rows (the
+    # top-k IS the k-prefix of the top-(k+m) under the same total
+    # order), with the identical rank/round expressions applied
+    # Spark-side, so values are bit-for-bit what the two-scan shape
+    # produced.  Everything is still computed from the parquet input on
+    # every invocation; nothing persists across calls.
+    topf = cosine_topk(base, qvec, k=k + m)
+    top_rows = topf.collect()
+    contained = sum(1 for i in ivf_ids
+                    if i in {r["vec_id"] for r in top_rows})
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (cosine_topk(base, qvec, k=k)
+    return (spark.createDataFrame(top_rows[:k], topf.schema)
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "vec_id", F.round("cosine", 4).alias("cosine"),
                     F.lit(contained).cast("long").alias("ivf_in_top20")))
@@ -868,10 +882,14 @@ def _ann_ivf_topk_indexed(spark, sf):
     ivf_ids = {r["vec_id"] for r in
                ann_ivf_topk_indexed(spark, path, qvec, cent,
                                     k=k, nprobe=4).collect()}
-    top_km = {r["vec_id"] for r in cosine_topk(base, qvec, k=k + m).collect()}
-    contained = sum(1 for i in ivf_ids if i in top_km)
+    # one exact pass serving both the containment reference and the
+    # emitted top-k — same single-scan shape as _ann_ivf_topk (r9).
+    topf = cosine_topk(base, qvec, k=k + m)
+    top_rows = topf.collect()
+    contained = sum(1 for i in ivf_ids
+                    if i in {r["vec_id"] for r in top_rows})
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (cosine_topk(base, qvec, k=k)
+    return (spark.createDataFrame(top_rows[:k], topf.schema)
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "vec_id", F.round("cosine", 4).alias("cosine"),
                     F.lit(contained).cast("long").alias("ivf_in_top20")))
@@ -957,22 +975,32 @@ def _hll_sketch_column_estimate(spark, sf):
     generation only (bounded collect: n_event_types × n_days rows)."""
     import tempfile
 
+    # Fixture-build shape (r9 optimization, guide §4 Python boundary): the
+    # historical builder collected raw key LISTS and ran one py4j
+    # ``sk.update(v)`` round trip per (segment, key) — thousands of
+    # driver<->JVM crossings, the dominant cost of the whole entry.  The
+    # per-segment sketches are now built DISTRIBUTED by Spark's own
+    # datasketches-backed ``hll_sketch_agg`` (same lgK=12, same murmur
+    # update path) and the driver does three py4j calls per SEGMENT —
+    # heapify -> copyAs(HLL_4) -> toCompactByteArray() — so the stored
+    # bytes remain genuine datasketches-java compact HLL_4, exactly what
+    # Druid persists; only the update loop moved off the driver.  In
+    # coupon range the estimate is a function of the distinct-key set
+    # alone, so the query result is unchanged (oracle-verified).
     ev = _cat(spark, sf).table("events")
     keyed = (ev.withColumn("day", F.to_date("__time"))
                .withColumn("k",
                            F.pmod(F.col("user_id"), F.lit(97)).cast("string"))
                .groupBy("event_type", "day")
-               .agg(F.sort_array(F.collect_set("k")).alias("ks")))
+               .agg(F.hll_sketch_agg("k", 12).alias("hb")))
     jvm = spark.sparkContext._jvm
     HllSketch = jvm.org.apache.datasketches.hll.HllSketch
-    TgtHllType = jvm.org.apache.datasketches.hll.TgtHllType
+    hll4 = jvm.org.apache.datasketches.hll.TgtHllType.valueOf("HLL_4")
     seg_rows = []
     for r in keyed.collect():
-        sk = HllSketch(12, TgtHllType.valueOf("HLL_4"))
-        for v in r["ks"]:
-            sk.update(v)
+        sk = HllSketch.heapify(bytes(r["hb"]))
         seg_rows.append((r["event_type"], r["day"],
-                         bytearray(sk.toCompactByteArray())))
+                         bytearray(sk.copyAs(hll4).toCompactByteArray())))
     seg = (spark.createDataFrame(seg_rows,
                                  "event_type string, day date, hsk binary")
                 .withColumn("__time", F.col("day").cast("timestamp")))
@@ -1014,15 +1042,34 @@ def _theta_sketch_column_estimate(spark, sf):
                .groupBy("event_type", "day")
                .agg(F.sort_array(F.collect_set(F.col("user_id").cast("string")))
                      .alias("ks")))
-    jvm = spark.sparkContext._jvm
-    US = jvm.org.apache.datasketches.theta.UpdateSketch
+    # Fixture-build shape (r9 optimization, guide §4 Python boundary): the
+    # historical builder ran one py4j ``sk.update(v)`` round trip per
+    # (segment, user) — ~80k driver<->JVM crossings at sf0.1, measured
+    # ~30 s, the entire cost of the entry.  The hashes are now computed
+    # in-process with the SAME math datasketches-java runs
+    # (theta_string_hash63: murmur128 of the UTF-8 bytes, seed 9001,
+    # first long >>> 1) and serialized in the exact compact-ordered wire
+    # layout; byte-for-byte equality with UpdateSketch.update(...)
+    # .compact().toByteArray() is pinned by
+    # tests/test_theta_fixture_bytes.py, so the stored bytes are still
+    # exactly what Druid persists and the interop claim is now ASSERTED
+    # rather than assumed.  Per-user hashes are memoized across segments
+    # (the same user appears in many (event_type, day) groups).
+    from incubator_druid_spark.functions.theta_sketch import (
+        serialize_compact_theta, theta_string_hash63)
+    hash_memo: dict[str, int] = {}
+
+    def _h(v: str) -> int:
+        hv = hash_memo.get(v)
+        if hv is None:
+            hv = hash_memo[v] = theta_string_hash63(v)
+        return hv
+
     seg_rows = []
     for r in keyed.collect():
-        sk = US.builder().build()
-        for v in r["ks"]:
-            sk.update(v)
         seg_rows.append((r["event_type"], r["day"],
-                         bytearray(sk.compact().toByteArray())))
+                         bytearray(serialize_compact_theta(
+                             [_h(v) for v in r["ks"]]))))
     # date→timestamp via epoch days (CAST reads the session zone; the
     # fixture must carry UTC midnights on any host)
     _day_ts = F.timestamp_millis(

@@ -743,7 +743,13 @@ def _build_replica(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             # (guide §2.5 "input skew: one huge unsplittable file", §6 file
             # layout).  No 100 TB layout looks like that; spread every
             # replica so scan parallelism matches a realistic file layout.
-            big = big.repartition(64)
+            # HASH repartition on the shifted key: a keyless repartition(64)
+            # pays sortBeforeRepartition — a single-threaded full-width sort
+            # of the 1-3 fat input partitions (measured: the x100 build sat
+            # minutes in a 3-task sort stage); hashing the key spreads the
+            # same 64 ways with no sort.
+            key = next(iter(fact_shifts[t]))
+            big = big.repartition(64, F.col(key))
             big.write.mode("overwrite").parquet(dst)
         else:
             df.write.mode("overwrite").parquet(dst)

@@ -63,21 +63,11 @@ def segment_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> Data
                    if requested is None else requested)
 
     fields = df.schema.fields
+    approx = bool((query.get("context") or {}).get("useApproximateCardinality"))
     aggs = [F.count(F.lit(1)).alias("__numRows")]
     for f in fields:
         c = F.col(f.name)
         safe = f.name.replace(".", "_")
-        if "cardinality" in analysis and not isinstance(f.dataType, (T.ArrayType, T.BinaryType)):
-            # exact by default: Druid's per-segment cardinality is the exact
-            # string-dictionary size (SegmentMetadataQuery CARDINALITY).  The
-            # multi-column exact-distinct pass is Spark's expand-based
-            # RewriteDistinctAggregates — fine for a metadata query; at very
-            # large scale context.useApproximateCardinality=true switches to
-            # one-pass HLL.
-            card = (F.approx_count_distinct(c)
-                    if (query.get("context") or {}).get("useApproximateCardinality")
-                    else F.count_distinct(c))
-            aggs.append(card.alias(f"__card__{safe}"))
         if "minmax" in analysis and isinstance(f.dataType, (T.StringType, T.LongType,
                                                             T.IntegerType, T.DoubleType,
                                                             T.FloatType, T.TimestampType,
@@ -86,6 +76,36 @@ def segment_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> Data
             aggs.append(F.max(c).cast("string").alias(f"__max__{safe}"))
         aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__nulls__{safe}"))
     stats = df.agg(*aggs).collect()[0].asDict()
+
+    if "cardinality" in analysis:
+        # exact by default: Druid's per-segment cardinality is the exact
+        # string-dictionary size (SegmentMetadataQuery CARDINALITY);
+        # context.useApproximateCardinality=true switches to one-pass HLL.
+        #
+        # r9 shape (guide §2.3): one UNION of per-column single-distinct
+        # aggregates instead of folding every count_distinct into the
+        # stats aggregate above.  N distinct aggs in one Aggregate make
+        # Spark's RewriteDistinctAggregates EXPAND every input row N+1
+        # ways (rows × 17 for lineitem) and shuffle that multiple — the
+        # wide-table metadata query was the slowest board entry (39.9 s
+        # at sf0.1).  As a union, each branch prunes the scan to its ONE
+        # column and shuffles only that column's partially-deduped
+        # values.  Same exact counts, collected in one action.
+        card_fields = [f for f in fields
+                       if not isinstance(f.dataType, (T.ArrayType, T.BinaryType))]
+        if card_fields:
+            from functools import reduce
+
+            def _card_frame(f):
+                card = (F.approx_count_distinct(F.col(f.name)) if approx
+                        else F.count_distinct(F.col(f.name)))
+                return df.agg(card.cast("long").alias("__v")).select(
+                    F.lit(f.name).alias("__c"), "__v")
+
+            u = reduce(lambda a, b: a.union(b),
+                       [_card_frame(f) for f in card_fields])
+            for r in u.collect():
+                stats[f"__card__{r['__c'].replace('.', '_')}"] = r["__v"]
 
     rows = []
     for f in fields:

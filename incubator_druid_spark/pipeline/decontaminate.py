@@ -44,7 +44,7 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     flag on `contaminated_grams > 0` (strict GPT-3 rule) or threshold on
     the ratio.
     """
-    base, train_grams = _distinct_grams(_widen_for_explode(train),
+    base, train_grams = _distinct_grams(_widen_for_explode(train, by=id_col),
                                         id_col, text_col, n)
     eval_grams = _positioned_grams(
         eval_df, eval_id_col or id_col, eval_text_col or text_col, n,
@@ -117,7 +117,7 @@ def decontaminate_fuzzy(train: DataFrame, eval_df: DataFrame,
             F.transform(F.col("__sh"), shingle_hash64).alias("__sh"))
             .filter(F.col("__sig")[0].isNotNull()))
 
-    t = sig_frame(_widen_for_explode(train), id_col, text_col).persist()
+    t = sig_frame(_widen_for_explode(train, by=id_col), id_col, text_col).persist()
     e = (sig_frame(eval_df, eid, etx)
          .select(F.col(eid).alias("__eval_id"), "__sig", "__sh"))
     tb = banded_buckets(t, id_col, num_hashes, bands)
@@ -177,7 +177,7 @@ def strip_contaminated_spans(train: DataFrame, eval_df: DataFrame,
     from incubator_druid_spark.pipeline.dedup import (
         _positioned_grams, _strip_covered_spans, _widen_for_explode)
 
-    df = _widen_for_explode(train)
+    df = _widen_for_explode(train, by=id_col)
     base, grams = _positioned_grams(df, id_col, text_col, n)
     eval_grams = _positioned_grams(
         eval_df, eval_id_col or id_col, eval_text_col or text_col, n,

@@ -37,9 +37,12 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Near-exact dedup on the normalized-text fingerprint (case/punct/ws
-    insensitive)."""
+    insensitive).  The regex normalization is the dominant cost and runs
+    BEFORE the (8-byte-key) shuffle, so widen a narrow input first — the
+    grouping is partitioning-invariant, results identical."""
     fp = F.xxhash64(normalize_text(F.col(text_col)))
-    return (df.withColumn("__fp", fp)
+    return (_widen_for_explode(df, by=id_col)
+              .withColumn("__fp", fp)
               .groupBy("__fp")
               .agg(F.min(F.col(id_col)).alias(id_col),
                    F.count(F.lit(1)).alias("dup_count"))
@@ -514,15 +517,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         nbr_min = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
                    .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
                    .withColumnRenamed("src", "id"))
+        # labels only ever DECREASE (elementwise min), so "changed" is
+        # exactly the rows where the neighbor min undercut the current
+        # label — carry that flag through the checkpoint and sum it from
+        # the materialized frame, instead of the historical separate
+        # old-vs-new shuffle JOIN per round (r9, guide §2.4: one join +
+        # one agg per round, convergence test for free off the
+        # checkpointed rows).
         new_labels = (labels.join(nbr_min, "id", "left")
-                      .select("id", F.least(
-                          F.col("comp"),
-                          F.coalesce("nbr_comp", "comp")).alias("comp"))
+                      .select("id",
+                              F.least(F.col("comp"),
+                                      F.coalesce("nbr_comp", "comp"))
+                               .alias("comp"),
+                              (F.coalesce("nbr_comp", "comp") < F.col("comp"))
+                               .cast("long").alias("__changed"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__changed")).collect()[0][0]
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()
@@ -588,45 +599,68 @@ def dedup_against(df: DataFrame, corpus_fingerprints: DataFrame,
 
 def _positioned_grams(df, id_col, text_col, n):
     """(base, grams): base = (id, n_tokens); grams = (id, pos, gram) with
-    1-based positions.  Built as posexplode + window lead() rather than
-    transform(slice(tokens, i, n)) because Catalyst's CollapseProject
-    inlines the tokenize pipeline INTO a higher-order lambda (HOFs are
-    CodegenFallback), re-running the regex normalization per GRAM in
-    interpreted eval — measured minutes instead of seconds on a 500k-doc
-    corpus.  The explode evaluates tokenization exactly once per
-    document; the lead() window shuffles by document id (documents are
-    small, so per-doc partitions are safe at any corpus size) and
-    everything stays inside whole-stage codegen."""
-    from pyspark.sql import Window
+    1-based positions.
 
+    Grams are formed ARRAY-side — posexplode of arrays_zip(toks,
+    slice(toks,2,..), …, slice(toks,n,..)), then concat_ws over the
+    struct fields — so the FULL token stream never shuffles.  The
+    historical shape was posexplode + a per-document lead() window,
+    whose exchange+sort of every token row existed only to read each
+    row's n-1 successors; zipping the shifted arrays reads them before
+    the explode instead.  Two guardrails, both measured:
+
+    - the tokenization is pinned behind a pushdown/collapse barrier
+      (monotonically_increasing_id guard, the similarity-family trick):
+      CollapseProject would otherwise inline the regex pipeline into
+      every one of the n slice references — n regex passes per document
+      instead of one.  (The same inlining is why a transform(sequence)
+      HOF form was rejected originally: per-GRAM regex, interpreted.)
+    - arrays_zip/slice are plain codegen'd expressions, not
+      CodegenFallback lambdas, so the whole stage stays compiled.
+
+    Downstream consumers aggregate/join on exact keys (counts,
+    min(struct), distinct), so gram row order/partitioning is
+    result-invariant."""
     from incubator_druid_spark.pipeline.text import normalize_text, tokens
 
     toks = tokens(normalize_text(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")) \
+    # value-preserving non-deterministic guard: blocks CollapseProject
+    # from substituting the regex pipeline into the n references below
+    pinned = F.when(F.monotonically_increasing_id() >= -1, toks)
+    base = df.select(F.col(id_col).alias("__id"), pinned.alias("__toks")) \
              .withColumn("__n_tokens", F.size("__toks"))
+    shifted = [F.col("__toks").alias("w0")] + [
+        F.slice(F.col("__toks"), k + 1,
+                F.greatest(F.size("__toks") - k, F.lit(0))).alias(f"w{k}")
+        for k in range(1, n)]
     tok_rows = base.select(
         "__id", "__n_tokens",
-        F.posexplode("__toks").alias("__pos0", "__word"))
-    w = Window.partitionBy("__id").orderBy("__pos0")
-    gram = F.concat_ws(" ", F.col("__word"),
-                       *[F.lead("__word", k).over(w) for k in range(1, n)])
+        F.posexplode(F.arrays_zip(*shifted)).alias("__pos0", "__z"))
+    gram = F.concat_ws(" ", *[F.col(f"__z.w{k}") for k in range(n)])
     grams = (tok_rows
-             .withColumn("__g", gram)
              .filter(F.col("__pos0") + n <= F.col("__n_tokens"))
+             .withColumn("__g", gram)
              .select("__id", (F.col("__pos0") + 1).alias("__pos"), "__g"))
     return base.select("__id", "__n_tokens"), grams
 
 
-def _widen_for_explode(df: DataFrame) -> DataFrame:
-    """Explode-heavy operators multiply rows x tokens, so they must not
-    inherit a NARROW input layout (a compactly-written corpus can arrive
-    as a handful of parquet splits — measured: a 500k-doc replica in 3
-    partitions ran its gram explode on 3 tasks).  Widen to the cluster's
-    parallelism only when the input is narrower — a well-partitioned
-    100 TB corpus passes through untouched."""
+def _widen_for_explode(df: DataFrame, by: str | None = None) -> DataFrame:
+    """CPU-heavy operators (gram explodes, per-document regex passes)
+    must not inherit a NARROW input layout (a compactly-written corpus
+    can arrive as a handful of parquet splits — measured: a 500k-doc
+    replica in 3 partitions ran its gram explode on 3 tasks).  Widen to
+    the cluster's parallelism only when the input is narrower — a
+    well-partitioned 100 TB corpus passes through untouched.
+
+    Pass ``by`` (a unique id column) where available: hash repartition
+    skips the local sort every keyless round-robin repartition pays
+    (spark.sql.execution.sortBeforeRepartition — on the one fat input
+    partition being widened, that sort is itself single-task) and keeps
+    the row→partition mapping deterministic under task retries."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target, F.col(by)) if by else \
+            df.repartition(target)
     return df
 
 
@@ -652,7 +686,7 @@ def repeated_ngram_spans(df: DataFrame, id_col: str = "doc_id",
     join back on the gram key (boilerplate-heavy grams are exactly the
     AQE skew-join case — the session enables it), one per-doc aggregate.
     No driver-side state; no Python in the plan."""
-    df = _widen_for_explode(df)
+    df = _widen_for_explode(df, by=id_col)
     base, grams = _positioned_grams(df, id_col, text_col, n)
     repeated = (grams.groupBy("__g")
                      .agg(F.count(F.lit(1)).alias("__total"))
@@ -696,7 +730,7 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
     Python, no driver state."""
     from incubator_druid_spark.pipeline.text import normalize_text, tokens
 
-    df = _widen_for_explode(df)
+    df = _widen_for_explode(df, by=id_col)
     base, grams = _positioned_grams(df, id_col, text_col, n)
     firsts = (grams.groupBy("__g")
               .agg(F.count(F.lit(1)).alias("__total"),

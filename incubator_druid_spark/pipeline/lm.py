@@ -130,13 +130,56 @@ def lm_perplexity(
     if broadcast_model:
         uni, bi, vocab = F.broadcast(uni), F.broadcast(bi), \
             F.broadcast(vocab)
-    pos = _positioned(df, text_col, id_col)
-    mapped = (pos.join(vocab, pos["__w"] == vocab["w"], "left")
-                 .select("__id", "__pos",
-                         F.coalesce("w", F.lit(UNK)).alias("__m")))
-    pairs = mapped.select("__id",
-                          _history(model.get("order", 2)).alias("w1"),
-                          F.col("__m").alias("w2"))
+    order = model.get("order", 2)
+    if order == 2:
+        # Bigram scoring forms (prev, cur) pairs ARRAY-side — zip the
+        # token array with its <s>-prepended shift — instead of the
+        # _history lag window, which shuffled and sorted the ENTIRE
+        # token stream by document just to read each row's neighbor.
+        # The vocab map moves after pair formation (two broadcast
+        # probes instead of one; '<s>' can't collide with a real token
+        # — tokens are [a-z0-9]+ runs), so the only exchange left in
+        # the whole scoring plan is the per-document partial aggregate.
+        # Pair order within a document is the array order — the same
+        # per-document position order the window produced — so the
+        # mean-log2p float fold is bit-identical.
+        from incubator_druid_spark.pipeline.dedup import _widen_for_explode
+        from incubator_druid_spark.pipeline.text import (normalize_text,
+                                                         tokens)
+        toks = tokens(normalize_text(F.col(text_col)))
+        tbase = (_widen_for_explode(df, by=id_col)
+                 .select(F.col(id_col).alias("__id"), toks.alias("__t")))
+        prevs = F.concat(
+            F.array(F.lit(START)),
+            F.slice(F.col("__t"), 1,
+                    F.greatest(F.size("__t") - 1, F.lit(0))))
+        zipped = F.when(F.size("__t") > 0,
+                        F.arrays_zip(prevs.alias("p"),
+                                     F.col("__t").alias("c")))
+        raw = (tbase.select("__id", F.explode(zipped).alias("__pc"))
+                    .select("__id",
+                            F.col("__pc.p").alias("__w1raw"),
+                            F.col("__pc.c").alias("__w2raw")))
+        v1 = vocab.select(F.col("w").alias("__v1"))
+        v2 = vocab.select(F.col("w").alias("__v2"))
+        if broadcast_model:
+            v1, v2 = F.broadcast(v1), F.broadcast(v2)
+        pairs = (raw
+                 .join(v2, F.col("__w2raw") == F.col("__v2"), "left")
+                 .join(v1, F.col("__w1raw") == F.col("__v1"), "left")
+                 .select("__id",
+                         F.when(F.col("__w1raw") == START, F.lit(START))
+                          .otherwise(F.coalesce("__v1", F.lit(UNK)))
+                          .alias("w1"),
+                         F.coalesce("__v2", F.lit(UNK)).alias("w2")))
+    else:
+        pos = _positioned(df, text_col, id_col)
+        mapped = (pos.join(vocab, pos["__w"] == vocab["w"], "left")
+                     .select("__id", "__pos",
+                             F.coalesce("w", F.lit(UNK)).alias("__m")))
+        pairs = mapped.select("__id",
+                              _history(order).alias("w1"),
+                              F.col("__m").alias("w2"))
     joined = (pairs
               .join(bi, (F.col("w1") == F.col("__b1"))
                     & (F.col("w2") == F.col("__b2")), "left")

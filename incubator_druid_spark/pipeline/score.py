@@ -70,22 +70,32 @@ def linear_quality_score(
     (bucket, weight) frame — broadcast, so the text never shuffles;
     documents with no tokens score sigmoid(bias).  ``keep`` applies the
     sigmoid threshold (FineWeb-Edu keeps score >= 0.5 by default)."""
-    feats = token_buckets(df, text_col, id_col, dim)
+    from incubator_druid_spark.pipeline.text import tokens
     w = F.broadcast(weights.select(
         F.col("bucket").cast("long").alias("bucket"),
         F.col("weight").cast("double").alias("weight")))
-    # n_tokens = sum of the bucket counts, so the text column is read
-    # exactly ONCE (by the feature pass); the base side scans only the
-    # id column — at 100 TB that halves the I/O vs re-tokenizing
-    dots = (feats.join(w, "bucket", "left")
+    # The dot product Σ w(bucket(tok)) needs no per-(id, bucket) counts,
+    # so probe the broadcast weights per TOKEN row and aggregate straight
+    # to the document: the former token_buckets() pre-aggregation paid a
+    # full exchange of every (id, bucket) token row before this one —
+    # the only shuffle left now is the per-document partial aggregate
+    # (guide-§2.3 "aggregate before you shuffle" applied to the feature
+    # pass itself).  Counts are integers (exact), and the declared-entry
+    # weights are dyadic rationals, so the per-token fold equals the
+    # per-bucket fold exactly; n_tokens = count of token rows as before.
+    # The text column is still read exactly once; the base side scans
+    # only the id column.
+    from incubator_druid_spark.pipeline.dedup import _widen_for_explode
+    tok_rows = (_widen_for_explode(df, by=id_col)
+                .select(F.col(id_col),
+                        F.explode(tokens(F.col(text_col))).alias("__tok"))
+                .select(id_col, _bucket(F.col("__tok"), dim).alias("bucket")))
+    dots = (tok_rows.join(w, "bucket", "left")
                  .groupBy(id_col)
-                 .agg(F.sum("cnt").alias("n_tokens"),
-                      F.sum(F.col("cnt") * F.coalesce(F.col("weight"),
-                                                      F.lit(0.0)))
+                 .agg(F.count(F.lit(1)).alias("n_tokens"),
+                      F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
                        .alias("__dot"),
-                      F.sum(F.when(F.col("weight").isNotNull(),
-                                   F.col("cnt")).otherwise(F.lit(0)))
-                       .alias("matched_tokens")))
+                      F.count(F.col("weight")).alias("matched_tokens")))
     base = df.select(F.col(id_col))
     raw = F.coalesce(F.col("__dot"), F.lit(0.0)) + F.lit(float(bias))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))

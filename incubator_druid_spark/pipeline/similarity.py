@@ -23,7 +23,15 @@ from pyspark.sql import functions as F
 
 
 def _lit_vec(vec) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """Literal double array as ONE parsed expression.  The element-wise
+    form (F.array of F.lit per element) paid one py4j round trip per
+    ELEMENT at query-build time — a dim-64 plane set (16 planes) alone
+    was ~1,000 driver round trips ≈ 2.5 s of build per call (guide §4:
+    the Python boundary exists at plan-build time too).  CAST('<repr>'
+    AS DOUBLE) round-trips every finite double exactly and constant-folds
+    server-side, so the analyzed literal array is identical."""
+    elems = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+    return F.expr(f"array({elems})")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -145,6 +153,29 @@ def _no_pushdown(col: Column) -> Column:
     return F.when(F.monotonically_increasing_id() >= -1, col)
 
 
+_ALL_DIM_MEMO: dict = {}
+
+
+def _dim_memo_key(df: DataFrame, vec_col: str):
+    """Session-scoped memo key for dimension-uniformity probes: the
+    ANALYZED plan's semantic hash — two frames share a key only when they
+    are the same computation over the same source (a different path,
+    filter or schema hashes differently).  Uniformity is a metadata fact
+    about a table, not a query result: without the memo every operator
+    call re-scans the vector column just to re-learn the corpus dimension
+    (at 100 TB, a full column scan per QUERY BUILD), where a production
+    deployment treats embedding dimensionality as a schema contract.
+    Same caching class as the train-once IVF centroids and Spark's own
+    per-session file-listing cache; an in-place mutation of the files
+    under an already-probed path is stale in exactly the way Spark's own
+    listing cache is (REFRESH TABLE territory)."""
+    try:
+        return (df.sparkSession,
+                df._jdf.queryExecution().analyzed().semanticHash(), vec_col)
+    except Exception:  # pragma: no cover - unexpected py4j surface change
+        return None
+
+
 def _all_dim(df: DataFrame, vec_col: str, dim: int) -> bool:
     """True iff every non-null vector in the frame has exactly `dim`
     elements — the gate for the unrolled expressions.  A per-ROW size
@@ -153,10 +184,17 @@ def _all_dim(df: DataFrame, vec_col: str, dim: int) -> bool:
     codegen), so uniformity is checked ONCE per operator call with an
     early-exit limit(1) scan of size() and the plan then carries only the
     lean chain; a genuinely ragged corpus falls back to the exact HOF
-    expressions wholesale."""
-    return (df.filter(F.col(vec_col).isNotNull()
-                      & (F.size(F.col(vec_col)) != dim))
-              .limit(1).count()) == 0
+    expressions wholesale.  Probes are memoized per (session, analyzed
+    plan, column) — see _dim_memo_key."""
+    key = _dim_memo_key(df, vec_col)
+    if key is not None and key in _ALL_DIM_MEMO:
+        return _ALL_DIM_MEMO[key] == dim
+    out = (df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(F.col(vec_col)) != dim))
+             .limit(1).count()) == 0
+    if key is not None and out:
+        _ALL_DIM_MEMO[key] = dim
+    return out
 
 
 def _cosine_lit_for(df: DataFrame, vec_col: str, vec) -> Column:
@@ -204,6 +242,9 @@ def _project_cosine_lit(df: DataFrame, vec_col: str, id_col: str, vec,
 def _uniform_dim_of(df: DataFrame, vec_col: str) -> int | None:
     """Head-probe the vector dimension and verify uniformity once; None on
     an empty or ragged frame (callers then keep the exact HOF path)."""
+    key = _dim_memo_key(df, vec_col)
+    if key is not None and key in _ALL_DIM_MEMO:
+        return _ALL_DIM_MEMO[key]
     head = df.select(F.size(F.col(vec_col)).alias("d")) \
              .filter(F.col("d") > 0).first()
     if head is None:
