@@ -490,7 +490,8 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         driver_edge_cap: int = 500_000) -> DataFrame:
     """Group near-duplicate pairs into components: (id, group_id) where
     group_id = the minimum member id of the component.
 
@@ -501,6 +502,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     others), so 2-4 rounds is typical regardless of corpus size; the cap is
     a safety net for adversarial chain topologies.
 
+    Small-graph fast path (r9, the broadcast-join adaptivity applied to
+    graph state): once the deduped edge list is materialized its exact
+    size is known, and when it is at most ``driver_edge_cap`` rows (the
+    default bounds the collect at ~8 MB of id pairs — the same order as
+    a broadcast relation) the components are computed in one driver-side
+    union-find pass instead of 3+ distributed rounds of (join + groupBy
+    + checkpoint + convergence action) whose per-round FIXED cost
+    dominates any small graph.  Identical output: union-find resolved to
+    the minimum member id per component is exactly the fixed point the
+    label loop converges to (and unlike the loop it cannot be truncated
+    by ``max_iterations``).  A 100 TB LSH edge set (billions of rows)
+    takes the distributed loop as before; set ``driver_edge_cap=0`` to
+    force it.
+
     Scale notes (100 TB): per round = one shuffle join on the 64-bit id +
     one groupBy min — both narrow.  Labels are localCheckpoint()ed every
     round so the lineage (and thus task-retry cost + plan size) stays O(1)
@@ -508,9 +523,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     count() on the changed set, one action per round.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint, not persist: persist caches the DATA but keeps the
+    # upstream LINEAGE in the plan, so every round's new join re-analyzes
+    # and re-optimizes the whole candidate-generation subtree (for the
+    # similarity family that subtree carries dim-wide unrolled vector
+    # chains — measured seconds of DRIVER plan work per round on a
+    # 17-edge graph).  The checkpoint materializes the narrow (src, dst)
+    # pairs once and every subsequent round plans against an O(1)-size
+    # scan of them (r9, guide §7.3 "very large plans spend minutes in
+    # the optimizer — truncate with localCheckpoint").
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
-             .distinct().persist())
+             .distinct().localCheckpoint())
+    n_edges = edges.count()
+    if n_edges <= driver_edge_cap:
+        return _driver_components(edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id")).localCheckpoint())
     for _ in range(max_iterations):
@@ -536,8 +563,45 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("group_id"))
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Bounded driver-side union-find over a materialized (src, dst) edge
+    frame (caller enforces the size cap).  Returns the same (id, group_id
+    = min member id) frame the distributed label loop converges to; ids
+    of any orderable type (Python's str comparison is code-point order =
+    Spark's UTF-8 binary order, int is int)."""
+    import pyspark.sql.types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType([T.StructField("id", id_type),
+                           T.StructField("group_id", id_type)])
+    rows = [(x, comp_min[r]) for x, r in roots.items()]
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def dedup_by_groups(df: DataFrame, groups: DataFrame, id_col: str,

@@ -619,9 +619,18 @@ def semdedup(df: DataFrame, centroids: np.ndarray, threshold: float = 0.95,
                                                       dedup_by_groups)
     dim = centroids.shape[1] if _all_dim(df, vec_col,
                                          centroids.shape[1]) else None
-    assigned = ivf_assign(df, centroids, vec_col,
-                          _uniform=dim is not None) \
-        .select(F.col(id_col), F.col(vec_col), F.col("__ivf"))
+    # localCheckpoint: the assignment subtree (k unrolled dim-wide dot
+    # chains) is otherwise re-analyzed by Catalyst AND re-executed over
+    # the corpus three times — once for the cluster-size guard below and
+    # once per side of the within-cluster self-join (r9, guide §1.2
+    # "don't compute things twice" / §5 localCheckpoint).  Materializing
+    # (id, vec, cluster) once turns the guard and both join sides into
+    # reads of the same narrow cached frame; measured: the giant-plan
+    # driver analysis alone was seconds per action.
+    assigned = (ivf_assign(df, centroids, vec_col,
+                           _uniform=dim is not None)
+                .select(F.col(id_col), F.col(vec_col), F.col("__ivf"))
+                .localCheckpoint())
     big = (assigned.groupBy("__ivf")
            .agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") > max_cluster).collect())
@@ -632,19 +641,95 @@ def semdedup(df: DataFrame, centroids: np.ndarray, threshold: float = 0.95,
             f"{max_cluster} (largest: {worst} vectors); the within-cluster "
             "pair join is quadratic — train more centroids (raise "
             "n_clusters) or raise max_cluster explicitly")
-    na = [norm_fixed(vec_col, dim).alias("__na")] if dim is not None else []
-    nb = [norm_fixed(vec_col, dim).alias("__nb")] if dim is not None else []
-    a = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va"), *na)
-    b = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vb"), *nb)
-    sim = _paired_cosine(dim, "va", "vb")
-    pairs = (a.join(b, ["__ivf"])
-              .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", sim.alias("cosine"))
-              .filter(F.col("cosine") >= threshold))
+    if dim is not None:
+        pairs = _cluster_pairs_arrow(assigned, id_col, vec_col, dim,
+                                     threshold)
+    else:
+        a = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("va"))
+        b = assigned.select(F.col("__ivf"), F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("vb"))
+        sim = _paired_cosine(None, "va", "vb")
+        pairs = (a.join(b, ["__ivf"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b", sim.alias("cosine"))
+                  .filter(F.col("cosine") >= threshold))
     groups = connected_components(pairs)
     return dedup_by_groups(df, groups, id_col, keep_by)
+
+
+def _cluster_pairs_arrow(assigned: DataFrame, id_col: str, vec_col: str,
+                         dim: int, threshold: float) -> DataFrame:
+    """Within-cluster pairs (id_a < id_b, cosine >= threshold) as one
+    Arrow `applyInPandas` kernel per cluster, replacing the historical
+    within-cluster self-JOIN.
+
+    Why (r9, guide §4.2 + §8): the join shape shuffles Σ n_c² joined
+    rows each carrying TWO dim-wide vectors, then evaluates the cosine
+    chain row-at-a-time — measured 15 µs/pair even whole-stage-compiled
+    (the dim-64 chain splits into dozens of tiny generated methods).
+    Here each cluster's vectors cross into Python ONCE (n_c rows, not
+    n_c² pairs) and the pair space is evaluated as `dim` vectorized
+    numpy passes over tiles; only surviving (id_a, id_b) pairs come
+    back — exactly the "decide with small rows, move big rows once"
+    shape of guide §8.
+
+    BIT-EXACT by construction, not by margin: the kernel folds
+    dimensions in the same left-to-right order as the SQL chain /
+    Catalyst HOF path — ``acc += V[:,i] * V[:,j]`` is one IEEE-754
+    float64 multiply + add per element per step, identical rounding to
+    ``(((0 + a0*b0) + a1*b1) + ...)`` — and the denominator/threshold
+    arithmetic is replicated operation-for-operation (norm = sqrt of
+    the same fold; cosine = dot/(na*nb) only where na*nb > 0 else 0.0;
+    NaN cosines fail `>=` in both engines).  Verified pairwise against
+    the join path in tests/test_similarity_unrolled.py."""
+    import pandas as pd
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+
+    def kernel(pdf: "pd.DataFrame"):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pdf[id_col][:0],
+                                 "id_b": pdf[id_col][:0]})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        V = np.array([v if v is not None else [np.nan] * dim
+                      for v in pdf[vec_col]], dtype=np.float64)
+        # norms via the same left fold as the SQL chain
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(dim):
+            acc += V[:, i] * V[:, i]
+        norms = np.sqrt(acc)
+        out_a, out_b = [], []
+        B = 2048
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            Vi, ni = V[i0:i1], norms[i0:i1]
+            for j0 in range(i0, n, B):
+                j1 = min(j0 + B, n)
+                Vj, nj = V[j0:j1], norms[j0:j1]
+                dot = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                for d in range(dim):
+                    dot += Vi[:, d, None] * Vj[None, :, d]
+                denom = ni[:, None] * nj[None, :]
+                safe = denom > 0
+                cos = np.where(
+                    safe, dot / np.where(safe, denom, 1.0), 0.0)
+                ai, bj = np.nonzero(cos >= threshold)
+                if i0 == j0:
+                    keep = ai < bj
+                    ai, bj = ai[keep], bj[keep]
+                if len(ai):
+                    ga, gb = ids[i0 + ai], ids[j0 + bj]
+                    keep = ga < gb  # duplicate ids: match the strict join
+                    out_a.extend(ga[keep])
+                    out_b.extend(gb[keep])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return (assigned.select("__ivf", id_col, vec_col)
+            .groupBy("__ivf")
+            .applyInPandas(kernel, schema=f"id_a {id_type}, id_b {id_type}"))
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,

@@ -564,3 +564,31 @@ def test_strip_repeated_spans_self_repeat(spark):
                                min_repeats=2).collect()[0]
     assert out["clean_text"] == span + " x"
     assert out["removed_tokens"] == 8
+
+
+def test_connected_components_driver_path_matches_loop(spark):
+    """The bounded driver union-find (small edge sets) must return exactly
+    what the distributed label loop returns — random graph + string ids."""
+    import random
+
+    from incubator_druid_spark.pipeline.dedup import connected_components
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["id"], r["group_id"])
+            for r in connected_components(pairs).collect()}
+    loop = {(r["id"], r["group_id"])
+            for r in connected_components(
+                pairs, driver_edge_cap=0).collect()}
+    assert fast == loop and len(fast) > 0
+
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string")
+    fast = {(r["id"], r["group_id"])
+            for r in connected_components(spairs).collect()}
+    assert fast == {("a", "a"), ("b", "a"), ("c", "a"),
+                    ("x", "x"), ("y", "x")}
+    out = connected_components(spairs)
+    assert [f.name for f in out.schema.fields] == ["id", "group_id"]
+    assert out.schema["id"].dataType.simpleString() == "string"

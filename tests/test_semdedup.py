@@ -66,3 +66,72 @@ def test_semdedup_pair_space_is_cluster_bounded(toy):
     out = semdedup(toy, CENTS, threshold=0.999)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def _join_path_pairs(spark, assigned_rows, dim, threshold):
+    """The historical within-cluster self-join, kept as the reference:
+    bit-for-bit what _cluster_pairs_arrow must reproduce."""
+    from pyspark.sql import functions as F
+
+    from incubator_druid_spark.pipeline.similarity import (_paired_cosine,
+                                                           norm_fixed)
+    assigned = spark.createDataFrame(
+        assigned_rows, "vec_id long, embedding array<double>, __ivf int")
+    a = assigned.select("__ivf", F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"),
+                        norm_fixed("embedding", dim).alias("__na"))
+    b = assigned.select("__ivf", F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"),
+                        norm_fixed("embedding", dim).alias("__nb"))
+    sim = _paired_cosine(dim, "va", "vb")
+    return (a.join(b, ["__ivf"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", sim.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+
+
+def test_cluster_pairs_arrow_matches_join_path(spark):
+    """The Arrow within-cluster kernel must emit EXACTLY the pair set the
+    join path emits — same left-fold float arithmetic, same strict
+    id_a < id_b, same null/NaN handling."""
+    from incubator_druid_spark.pipeline.similarity import \
+        _cluster_pairs_arrow
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    rows = []
+    for i in range(400):
+        v = rng.normal(size=dim)
+        if i % 97 == 0:
+            v = None            # null vector: must never pair
+        else:
+            v = v.tolist()
+        rows.append((i, v, int(i % 3)))
+    # duplicated near-identical vectors to guarantee pairs exist
+    base = rng.normal(size=dim)
+    for i in range(400, 420):
+        rows.append((i, (base + rng.normal(size=dim) * 1e-3).tolist(),
+                     int(i % 3)))
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, __ivf int")
+    got = sorted((r["id_a"], r["id_b"]) for r in _cluster_pairs_arrow(
+        assigned, "vec_id", "embedding", dim, 0.8).collect())
+    want = sorted((r["id_a"], r["id_b"]) for r in _join_path_pairs(
+        spark, rows, dim, 0.8).collect())
+    assert got == want and len(got) > 0
+
+
+def test_cluster_pairs_arrow_null_element(spark):
+    """A null ELEMENT inside a uniform-dim vector null-propagates in the
+    chain (pair dropped); the kernel must agree."""
+    from incubator_druid_spark.pipeline.similarity import \
+        _cluster_pairs_arrow
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, None], 0), (3, [1.0, 1e-9], 0),
+            (4, [1.0, 0.0], 0)]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, __ivf int")
+    got = sorted((r["id_a"], r["id_b"]) for r in _cluster_pairs_arrow(
+        assigned, "vec_id", "embedding", 2, 0.999).collect())
+    want = sorted((r["id_a"], r["id_b"]) for r in _join_path_pairs(
+        spark, rows, 2, 0.999).collect())
+    assert got == want
+    assert all(2 not in p for p in got)
