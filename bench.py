@@ -727,29 +727,27 @@ def _build_replica(spark, src_dir: str, dst_dir: str, factor: int) -> None:
         dst = os.path.join(dst_dir, f"{t}.parquet")
         df = spark.read.parquet(src)
         if t in fact_shifts:
+            # Widen the SOURCE before the broadcast cross join: the join
+            # output inherits the left side's partitioning, so with the
+            # source's native 1-3 parquet splits the ENTIRE ×factor row
+            # expansion (plus the per-element embedding perturbation, an
+            # interpreted HOF) ran on ≤3 cores — measured: the x1000
+            # lineitem build sat >5 min in a 3-task stage.  Hash
+            # repartitioning the small source on its key spreads the
+            # expansion across every core, and the output needs NO second
+            # repartition (the former post-expansion shuffle moved all
+            # factor×rows a second time just to fix the file layout —
+            # guide §2.4 "remove shuffles outright", §2.5 input skew):
+            # 64 well-spread writer tasks produce 64 files/row groups per
+            # fact table, so sweep scans parallelize exactly as before.
+            key = next(iter(fact_shifts[t]))
             cdf = spark.range(factor).withColumnRenamed("id", "__copy")
-            big = df.crossJoin(F.broadcast(cdf))
+            big = (df.repartition(64, F.col(key))
+                     .crossJoin(F.broadcast(cdf)))
             c = F.col("__copy")
             for colname, fn in fact_shifts[t].items():
                 big = big.withColumn(colname, fn(c, F.col(colname)))
             big = big.drop("__copy")
-            # The broadcast cross join inherits the tiny source's 1-2 input
-            # partitions, so an unrepartitioned write produces ONE file with
-            # ONE row group per fact table (measured at x100: 60M lineitem
-            # rows in 3 row groups, 15M orders / 10M events / 500k docs in
-            # one each).  A row group is the atomic scan-split unit, so every
-            # sweep query then runs its scan stage on 1-3 cores of 32 — the
-            # sweep was timing single-core decompression, not the engine
-            # (guide §2.5 "input skew: one huge unsplittable file", §6 file
-            # layout).  No 100 TB layout looks like that; spread every
-            # replica so scan parallelism matches a realistic file layout.
-            # HASH repartition on the shifted key: a keyless repartition(64)
-            # pays sortBeforeRepartition — a single-threaded full-width sort
-            # of the 1-3 fat input partitions (measured: the x100 build sat
-            # minutes in a 3-task sort stage); hashing the key spreads the
-            # same 64 ways with no sort.
-            key = next(iter(fact_shifts[t]))
-            big = big.repartition(64, F.col(key))
             big.write.mode("overwrite").parquet(dst)
         else:
             df.write.mode("overwrite").parquet(dst)

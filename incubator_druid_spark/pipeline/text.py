@@ -247,20 +247,48 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     lines score 0 on both (and can't fail those rules), matching the
     convention that empty docs fail on word count alone."""
     t = F.col(text_col)
-    toks = tokens(t)
+    # Tokenize and line-split ONCE per row, pinned behind a
+    # value-preserving pushdown barrier (monotonically_increasing_id() is
+    # never negative, so the branch always fires and the value is exactly
+    # the expression).  Two pathologies motivate the staging, both
+    # measured on the 5k-doc sf0.1 corpus (r9, guide §1.2 "don't compute
+    # things twice" — the same class as _positioned_grams' pinned
+    # tokenization):
+    # - interpreted HOFs have NO common-subexpression reuse, so every
+    #   signal that referenced the `tokens(t)` expression re-split the
+    #   document, and the stopword probe — a filter over the 10-marker
+    #   array whose lambda referenced the lowercased-tokens TREE —
+    #   re-tokenized the document once per marker (10×/row; that single
+    #   signal was 0.9 s of the 1.2 s projection);
+    # - PushPredicateThroughNonJoin substitutes aliased expressions into a
+    #   downstream filter(gopher_pass) with no cost model, re-deriving the
+    #   full chains per conjunct (measured 1.4 s vs 0.05 s for identical
+    #   math kept as a projection).
+    # With __toks/__lines as non-deterministic staging columns the signal
+    # projection references per-row ATTRIBUTES, and a caller's filter
+    # stays above the staging (it cannot push through non-determinism).
+    def _pin(col: Column) -> Column:
+        return F.when(F.monotonically_increasing_id() >= -1, col)
+
+    staged = (df
+              .withColumn("__toks", _pin(tokens(t)))
+              .withColumn("__lines", _pin(F.filter(
+                  F.transform(F.split(t, "\n", -1), lambda l: F.trim(l)),
+                  lambda l: l != ""))))
+    toks = F.col("__toks")
+    lines = F.col("__lines")
     # null text reads as the empty document (0 words, every rate 0.0,
     # pass=false) in BOTH session modes — size(null) is -1 ANSI-off /
     # null ANSI-on
     n_words = F.greatest(F.size(toks), F.lit(0))
-    mean_len = mean_word_length(t)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len = F.when(F.size(toks) > 0, total_len / F.size(toks)) \
+                .otherwise(F.lit(0.0))
     n_symbols = (F.size(F.split(t, "#", -1)) - 1 +
                  F.size(F.split(t, r"\.\.\.", -1)) - 1 +
                  F.size(F.split(t, "…", -1)) - 1)
     symbol_ratio = F.when(n_words > 0, n_symbols / n_words) \
                     .otherwise(F.lit(0.0))
-    lines = F.filter(F.transform(F.split(t, "\n", -1),
-                                 lambda l: F.trim(l)),
-                     lambda l: l != "")
     n_lines = F.size(lines)
     bullet_lines = F.size(F.filter(
         lines, lambda l: l.rlike(r"^(•|\*|-)\s")))
@@ -275,10 +303,22 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     alpha_frac = F.when(n_words > 0, alpha_words / n_words) \
                   .otherwise(F.lit(0.0))
     low = F.transform(toks, lambda w: F.lower(w))
-    stop_hits = F.size(F.filter(
-        F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]),
-        lambda s: F.array_contains(low, s)))
-    out = (df
+    # distinct-marker count as ONE intersection over the lowercased-token
+    # array instead of the historical filter(markers, array_contains(low))
+    # — which evaluated `low` (and thus the tokenization) once PER MARKER.
+    # The markers are distinct literals, so |array_intersect(markers, low)|
+    # counts exactly the markers present; null `low` (null text) maps to 0
+    # hits, the value the per-marker form produced via its null-excluding
+    # lambda.
+    stop_hits = F.when(
+        low.isNotNull(),
+        F.size(F.array_intersect(
+            F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]), low))) \
+        .otherwise(F.lit(0))
+    # The signal columns themselves stay deterministic: once they reference
+    # the staged attributes, a filter's substituted copy is cheap (an
+    # interleaved A/B of pinning them too measured no difference).
+    out = (staged
            .withColumn("n_words", n_words.cast("long"))
            .withColumn("mean_word_len", mean_len)
            .withColumn("symbol_word_ratio", symbol_ratio)
@@ -286,7 +326,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
            .withColumn("ellipsis_line_frac", ellipsis_frac)
            .withColumn("alpha_word_frac", alpha_frac)
            .withColumn("stop_hits", stop_hits.cast("long")))
-    return out.withColumn(
+    return (out.withColumn(
         "gopher_pass",
         (F.col("n_words") >= min_words) &
         (F.col("n_words") <= max_words) &
@@ -297,6 +337,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac) &
         (F.col("alpha_word_frac") >= min_alpha_word_frac) &
         (F.col("stop_hits") >= min_stop_hits))
+        .drop("__toks", "__lines"))
 
 
 def c4_clean(df: DataFrame, text_col: str = "text",
