@@ -219,9 +219,12 @@ def _project_cosine_lit(df: DataFrame, vec_col: str, id_col: str, vec,
         return df.select(F.col(id_col), sim.alias("cosine"))
     dim = len(vec)
     enames = [f"__cl_e{i}" for i in range(dim)]
-    staged = df.select(
-        F.col(id_col),
-        *[F.expr(f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}])").alias(n)
+    # ONE selectExpr call: dim separate F.expr().alias() Columns cost one
+    # py4j round trip each at query-BUILD time (~0.3 s per dim-64 staging
+    # on top of §2's chain fix); a single string list crosses once
+    staged = df.selectExpr(
+        f"`{id_col}`",
+        *[f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}]) AS {n}"
           for i, n in enumerate(enames)])
     norm_chain = F.expr("SQRT(0.0D" + "".join(
         f" + (`{n}` * `{n}`)" for n in enames) + ")")
@@ -374,12 +377,16 @@ def hyperplane_signature(vec_col, planes: np.ndarray,
     _all_dim) compiles each plane dot as one parsed codegen'd chain
     instead of an interpreted HOF."""
     if unrolled and isinstance(vec_col, str):
-        bits = [F.when(dot_lit(vec_col, p) >= 0, 1).otherwise(0)
-                for p in planes]
-    else:
-        col = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
-        bits = [F.when(dot(col, _lit_vec(p)) >= 0, 1).otherwise(0)
-                for p in planes]
+        # one parsed expression for the whole signature: per-plane
+        # F.when(dot_lit(...)) Columns paid ~3 py4j round trips per plane
+        # at build time; CASE WHEN parses to the identical CaseWhen tree
+        cases = ", ".join(
+            f"CASE WHEN ({_dot_lit_sql(vec_col, p)}) >= 0 "
+            "THEN 1 ELSE 0 END" for p in planes)
+        return F.expr(f"array({cases})")
+    col = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    bits = [F.when(dot(col, _lit_vec(p)) >= 0, 1).otherwise(0)
+            for p in planes]
     return F.array(*bits)
 
 
@@ -456,24 +463,28 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
         return df.withColumn("__ivf", cluster)
     dim = centroids.shape[1]
     enames = [f"__ivf_e{i}" for i in range(dim)]
-    ecols = [F.expr(f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}])").alias(n)
-             for i, n in enumerate(enames)]
 
-    def chain(c):
-        return F.expr("0.0D" + "".join(
+    def chain_sql(c):
+        return "0.0D" + "".join(
             f" + (`{enames[i]}` * {_dlit(float(v))})"
-            for i, v in enumerate(c)))
+            for i, v in enumerate(c))
 
     # scores as their own materialized column: argmax references it twice
     # (array_position + array_max), which would otherwise inline two full
     # copies of the n_clusters chains; _no_pushdown additionally stops a
     # downstream cluster filter (ann_ivf_topk's isin(probe)) from being
     # substituted below this projection and re-inflating the stage.
-    scores = _no_pushdown(F.array(*[chain(c) for c in centroids]))
+    # Both projections go through ONE selectExpr each — dim+n_clusters
+    # separate F.expr Columns cost a py4j round trip apiece at build time.
+    scores = _no_pushdown(F.expr(
+        "array(" + ", ".join(chain_sql(c) for c in centroids) + ")"))
     cluster = (F.array_position(F.col("__ivf_scores"),
                                 F.array_max(F.col("__ivf_scores"))) - 1) \
         .cast("int")
-    return (df.select("*", *ecols)
+    return (df.selectExpr(
+                "*",
+                *[f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}]) AS {n}"
+                  for i, n in enumerate(enames)])
               .withColumn("__ivf_scores", scores)
               .withColumn("__ivf", cluster)
               .drop("__ivf_scores", *enames))
