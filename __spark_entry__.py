@@ -820,9 +820,8 @@ def _ann_ivf_topk(spark, sf):
     ckey = (sf, 8, 42)
     if ckey not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[ckey] = train_ivf_centroids(base, n_clusters=8, seed=42)
-    ivf_ids = {r["vec_id"] for r in
-               ann_ivf_topk(base, qvec, k=k, n_clusters=8, nprobe=4,
-                            centroids=_IVF_CENTROIDS[ckey]).collect()}
+    ivf_q = ann_ivf_topk(base, qvec, k=k, n_clusters=8, nprobe=4,
+                         centroids=_IVF_CENTROIDS[ckey])
     # ONE exact brute-force pass (r9, guide §1.2/§2.4 — remove redundant
     # work): the entry needs the exact top-(k+m) twice, as the
     # containment reference AND as the emitted top-k rows.  Historically
@@ -836,7 +835,15 @@ def _ann_ivf_topk(spark, sf):
     # produced.  Everything is still computed from the parquet input on
     # every invocation; nothing persists across calls.
     topf = cosine_topk(base, qvec, k=k + m)
-    top_rows = topf.collect()
+    # The IVF collect and the exact collect are independent jobs over the
+    # same corpus — overlap them (guide §2.6) so the second job back-fills
+    # the first's scheduling/analysis tail; both result sets are exactly
+    # what the serial shape produced.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(ivf_q.collect)
+        top_rows = topf.collect()
+        ivf_ids = {r["vec_id"] for r in fut.result()}
     contained = sum(1 for i in ivf_ids
                     if i in {r["vec_id"] for r in top_rows})
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -879,13 +886,16 @@ def _ann_ivf_topk_indexed(spark, sf):
         path = f"/tmp/spark_graft_ivf_index_{tag}"
         write_ivf_index(base, path, cent)
         _IVF_INDEX_PATHS[ckey] = path
-    ivf_ids = {r["vec_id"] for r in
-               ann_ivf_topk_indexed(spark, path, qvec, cent,
-                                    k=k, nprobe=4).collect()}
+    ivf_q = ann_ivf_topk_indexed(spark, path, qvec, cent, k=k, nprobe=4)
     # one exact pass serving both the containment reference and the
-    # emitted top-k — same single-scan shape as _ann_ivf_topk (r9).
+    # emitted top-k — same single-scan shape as _ann_ivf_topk (r9);
+    # the two independent collect jobs overlap (guide §2.6).
     topf = cosine_topk(base, qvec, k=k + m)
-    top_rows = topf.collect()
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(ivf_q.collect)
+        top_rows = topf.collect()
+        ivf_ids = {r["vec_id"] for r in fut.result()}
     contained = sum(1 for i in ivf_ids
                     if i in {r["vec_id"] for r in top_rows})
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))

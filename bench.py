@@ -656,6 +656,10 @@ def main() -> int:
         "control_seg_sum_first_rps_core", "control_seg_sum_last_rps_core",
         "control_drift_pct", "ansi_host_sql_call_ms", "ansi_host_sql_ratio",
         "sqlbench_total_sec", "sf1_total_sec", "sf10_total_sec")}
+    # per-query sf10 timings in the parsed line too (additive, VERDICT r9
+    # #10): the scale story should be driver-visible per query, not only
+    # as a total
+    compact["sf10_queries"] = sf10_queries
     compact["detail_file"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     return 0

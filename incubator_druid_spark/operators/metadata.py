@@ -82,30 +82,39 @@ def segment_metadata(query: dict, spark: SparkSession, catalog: Catalog) -> Data
         # string-dictionary size (SegmentMetadataQuery CARDINALITY);
         # context.useApproximateCardinality=true switches to one-pass HLL.
         #
-        # r9 shape (guide §2.3): one UNION of per-column single-distinct
-        # aggregates instead of folding every count_distinct into the
-        # stats aggregate above.  N distinct aggs in one Aggregate make
+        # r9 shape (guide §2.3): per-column single-distinct aggregates
+        # instead of folding every count_distinct into the stats
+        # aggregate above.  N distinct aggs in one Aggregate make
         # Spark's RewriteDistinctAggregates EXPAND every input row N+1
         # ways (rows × 17 for lineitem) and shuffle that multiple — the
         # wide-table metadata query was the slowest board entry (39.9 s
-        # at sf0.1).  As a union, each branch prunes the scan to its ONE
-        # column and shuffles only that column's partially-deduped
-        # values.  Same exact counts, collected in one action.
+        # at sf0.1).  Each branch prunes the scan to its ONE column and
+        # shuffles only that column's partially-deduped values.
+        #
+        # r10 (guide §2.6): the per-column jobs are submitted from a
+        # small thread pool rather than as one UNION action — the r9
+        # union ran its 17 branches back-to-back (each branch is
+        # scan → partial-distinct → exchange → final, and the union
+        # glue serialized their tails), so the table-wide analysis was
+        # 17 sequential small jobs in one action.  Concurrent driver
+        # threads let each branch's scan back-fill the previous
+        # branch's exchange tail; counts are exact and per-column
+        # independent, so results are identical in any order.
         card_fields = [f for f in fields
                        if not isinstance(f.dataType, (T.ArrayType, T.BinaryType))]
         if card_fields:
-            from functools import reduce
+            from concurrent.futures import ThreadPoolExecutor
 
-            def _card_frame(f):
+            def _card_of(f):
                 card = (F.approx_count_distinct(F.col(f.name)) if approx
                         else F.count_distinct(F.col(f.name)))
-                return df.agg(card.cast("long").alias("__v")).select(
-                    F.lit(f.name).alias("__c"), "__v")
+                return f.name, df.agg(card.cast("long").alias("__v")) \
+                                 .first()["__v"]
 
-            u = reduce(lambda a, b: a.union(b),
-                       [_card_frame(f) for f in card_fields])
-            for r in u.collect():
-                stats[f"__card__{r['__c'].replace('.', '_')}"] = r["__v"]
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(card_fields))) as pool:
+                for name, v in pool.map(_card_of, card_fields):
+                    stats[f"__card__{name.replace('.', '_')}"] = v
 
     rows = []
     for f in fields:

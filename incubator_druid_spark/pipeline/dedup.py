@@ -314,19 +314,31 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                             .persist())
     buckets = banded_buckets(with_sig, id_col, num_hashes, bands)
     if max_bucket:
-        # Bucket-capped pair generation as ONE aggregation instead of the
+        # Bucket-capped pair generation as ONE shuffle instead of the
         # former sizes-groupBy + filter-join + self-join chain (guide §2.4:
         # that shape re-derived the banded explode for each self-join side
-        # and paid 5 exchanges; this is 2 — the groupBy and the distinct).
-        # The cap bounds every collected list at max_bucket ids, so the
-        # in-bucket pair explode is O(max_bucket²) per group, driver-free,
+        # and paid 5 exchanges; this is 2 — the window and the distinct).
+        # The bucket size is pre-counted with a window over (band, bh) and
+        # oversized buckets are dropped BEFORE collect_list sees them: the
+        # r9 shape filtered on size(__ids) AFTER the aggregation, so a hot
+        # bucket (stopword-born band hash on a boilerplate-heavy corpus)
+        # materialized its full id list in a single unspillable aggregation
+        # buffer first — one multi-GB ArrayBuffer on one reducer at 100 TB
+        # (guide §5).  The window buffers only narrow (id, band, bh) rows
+        # and spills to disk; the groupBy then reuses the window's
+        # (band, bh) hash partitioning (no second exchange) and every
+        # collected list is bounded by max_bucket.  The cap bounds the
+        # in-bucket pair explode at O(max_bucket²) per group, driver-free,
         # and emits the identical (id_a < id_b) pair set: one row per id
         # per band means sort_array + strictly-later slice == the old
         # l.id < r.id join condition.
-        grouped = (buckets.groupBy("band", "bh")
-                   .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
-                   .filter((F.size("__ids") >= 2)
-                           & (F.size("__ids") <= max_bucket)))
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bh")
+        sized = (buckets
+                 .withColumn("__n", F.count(F.lit(1)).over(w))
+                 .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)))
+        grouped = (sized.groupBy("band", "bh")
+                   .agg(F.sort_array(F.collect_list(id_col)).alias("__ids")))
         pairs = (grouped
                  .select(F.posexplode("__ids").alias("__i", "id_a"), "__ids")
                  .select("id_a",
@@ -731,16 +743,20 @@ def _widen_for_explode(df: DataFrame, by: str | None = None,
     time than the exchange's fixed cost (measured: fingerprint_dedup on
     a 584 KB corpus, 0.31 s unwidened vs 0.55 s widened; the win only
     appears once single-core scan time reaches seconds).  The estimate
-    is the optimizer's sizeInBytes — when statistics are unknown it
-    defaults to Long.MaxValue, so the failure mode is "widen anyway",
-    exactly the pre-floor behavior."""
+    is the optimizer's sizeInBytes — COMPRESSED on-disk bytes for a
+    parquet scan, so the floor can represent several-fold more raw text;
+    when statistics are unknown it defaults to Long.MaxValue, so the
+    failure mode is "widen anyway", exactly the pre-floor behavior."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     if min_bytes:
         try:
-            est = int(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes())
+            # int(str(...)): the scala BigInt proxy isn't auto-converted
+            # on every py4j/pyspark version, but its toString always is
+            # (r10, ADVICE r9)
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
         except Exception:  # pragma: no cover - py4j surface drift
             est = None
         if est is not None and est < min_bytes:

@@ -62,6 +62,34 @@ def _history(order: int):
     return lags[0] if len(lags) == 1 else F.concat_ws(" ", *lags)
 
 
+def _raw_bigram_pairs(df: DataFrame, text_col: str, id_col: str):
+    """(__id, __w1raw, __w2raw) UNMAPPED bigram pairs, formed ARRAY-side:
+    zip the token array with its <s>-prepended shift instead of a lag()
+    window — the window shape shuffled and sorted the ENTIRE token stream
+    by document just to read each row's neighbor (guide §2.4).  The pair
+    multiset is exactly the window form's: per document, position i
+    yields (token[i-1] | <s>, token[i]).  Also returns the (__id, __t)
+    token frame so trainers can persist it and derive word counts from
+    the same single tokenization pass."""
+    from incubator_druid_spark.pipeline.dedup import _widen_for_explode
+    from incubator_druid_spark.pipeline.text import normalize_text, tokens
+    toks = tokens(normalize_text(F.col(text_col)))
+    tbase = (_widen_for_explode(df, by=id_col)
+             .select(F.col(id_col).alias("__id"), toks.alias("__t")))
+    prevs = F.concat(
+        F.array(F.lit(START)),
+        F.slice(F.col("__t"), 1,
+                F.greatest(F.size("__t") - 1, F.lit(0))))
+    zipped = F.when(F.size("__t") > 0,
+                    F.arrays_zip(prevs.alias("p"),
+                                 F.col("__t").alias("c")))
+    raw = (tbase.select("__id", F.explode(zipped).alias("__pc"))
+                .select("__id",
+                        F.col("__pc.p").alias("__w1raw"),
+                        F.col("__pc.c").alias("__w2raw")))
+    return tbase, raw
+
+
 def train_bigram_lm(
     ref: DataFrame,
     text_col: str = "text",
@@ -79,18 +107,48 @@ def train_bigram_lm(
     (bounded by the reference corpus' vocabulary, not its size)."""
     if order < 2:
         raise ValueError("order must be >= 2")
-    pos = _positioned(ref, text_col, id_col).persist()
-    counts = pos.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
-    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("__w"))
-    vocab = (counts.withColumn("__r", F.row_number().over(w_rank))
-                   .filter(F.col("__r") <= vocab_size)
-                   .select(F.col("__w").alias("w")))
-    v = F.broadcast(vocab)
-    mapped = (pos.join(v, pos["__w"] == v["w"], "left")
-                 .select("__id", "__pos",
-                         F.coalesce("w", F.lit(UNK)).alias("__m")))
-    pairs = mapped.select(_history(order).alias("w1"),
-                          F.col("__m").alias("w2"))
+    if order == 2:
+        # Bigram training forms (prev, cur) pairs ARRAY-side — the same
+        # zip-with-shift the scoring path uses (_raw_bigram_pairs) —
+        # instead of the _history lag window, which shuffled and sorted
+        # the reference corpus' ENTIRE token stream by document just to
+        # read each row's neighbor (guide §2.4; at 100 TB the training
+        # pass over the reference corpus dominates).  The trained tables
+        # are pure COUNTS over the pair multiset, and the multiset is
+        # identical (position i → (token[i-1] | <s>, token[i])), so every
+        # count — and thus every downstream probability — is bit-exact.
+        # The vocab map moves after pair formation: '<s>' can't collide
+        # with a real token (tokens are [a-z0-9]+ runs).
+        tbase, raw = _raw_bigram_pairs(ref, text_col, id_col)
+        tbase.persist()
+        counts = (tbase.select(F.explode("__t").alias("__w"))
+                       .groupBy("__w").agg(F.count(F.lit(1)).alias("cnt")))
+        w_rank = Window.orderBy(F.col("cnt").desc(), F.col("__w"))
+        vocab = (counts.withColumn("__r", F.row_number().over(w_rank))
+                       .filter(F.col("__r") <= vocab_size)
+                       .select(F.col("__w").alias("w")))
+        v1 = F.broadcast(vocab.select(F.col("w").alias("__v1")))
+        v2 = F.broadcast(vocab.select(F.col("w").alias("__v2")))
+        pairs = (raw
+                 .join(v2, F.col("__w2raw") == F.col("__v2"), "left")
+                 .join(v1, F.col("__w1raw") == F.col("__v1"), "left")
+                 .select(F.when(F.col("__w1raw") == START, F.lit(START))
+                          .otherwise(F.coalesce("__v1", F.lit(UNK)))
+                          .alias("w1"),
+                         F.coalesce("__v2", F.lit(UNK)).alias("w2")))
+    else:
+        pos = _positioned(ref, text_col, id_col).persist()
+        counts = pos.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
+        w_rank = Window.orderBy(F.col("cnt").desc(), F.col("__w"))
+        vocab = (counts.withColumn("__r", F.row_number().over(w_rank))
+                       .filter(F.col("__r") <= vocab_size)
+                       .select(F.col("__w").alias("w")))
+        v = F.broadcast(vocab)
+        mapped = (pos.join(v, pos["__w"] == v["w"], "left")
+                     .select("__id", "__pos",
+                             F.coalesce("w", F.lit(UNK)).alias("__m")))
+        pairs = mapped.select(_history(order).alias("w1"),
+                              F.col("__m").alias("w2"))
     bigrams = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("cnt"))
     n_docs = ref.select(F.count(F.lit(1))).first()[0]
@@ -100,7 +158,7 @@ def train_bigram_lm(
     # base the pair probabilities condition on (includes the all-<s>
     # history = docs with >=1 token); v_total = vocab + <unk>
     n_vocab = vocab.count()
-    pos.unpersist()
+    (tbase if order == 2 else pos).unpersist()
     return {"unigrams": unigrams, "bigrams": bigrams, "vocab": vocab,
             "v_total": n_vocab + 1, "add_k": float(add_k),
             "order": int(order), "n_train_docs": int(n_docs)}
@@ -143,23 +201,7 @@ def lm_perplexity(
         # Pair order within a document is the array order — the same
         # per-document position order the window produced — so the
         # mean-log2p float fold is bit-identical.
-        from incubator_druid_spark.pipeline.dedup import _widen_for_explode
-        from incubator_druid_spark.pipeline.text import (normalize_text,
-                                                         tokens)
-        toks = tokens(normalize_text(F.col(text_col)))
-        tbase = (_widen_for_explode(df, by=id_col)
-                 .select(F.col(id_col).alias("__id"), toks.alias("__t")))
-        prevs = F.concat(
-            F.array(F.lit(START)),
-            F.slice(F.col("__t"), 1,
-                    F.greatest(F.size("__t") - 1, F.lit(0))))
-        zipped = F.when(F.size("__t") > 0,
-                        F.arrays_zip(prevs.alias("p"),
-                                     F.col("__t").alias("c")))
-        raw = (tbase.select("__id", F.explode(zipped).alias("__pc"))
-                    .select("__id",
-                            F.col("__pc.p").alias("__w1raw"),
-                            F.col("__pc.c").alias("__w2raw")))
+        raw = _raw_bigram_pairs(df, text_col, id_col)[1]
         v1 = vocab.select(F.col("w").alias("__v1"))
         v2 = vocab.select(F.col("w").alias("__v2"))
         if broadcast_model:

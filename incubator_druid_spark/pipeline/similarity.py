@@ -155,6 +155,28 @@ def _no_pushdown(col: Column) -> Column:
 
 _ALL_DIM_MEMO: dict = {}
 
+_CHAIN_MEMO: dict = {}
+
+
+def _memo_expr(spark, sql: str) -> Column:
+    """Parse-once memo for the unrolled chain/staging SQL strings (r10,
+    guide §1.2/§4.2): the strings are deterministic in (column, dim,
+    literal vector), so re-parsing the same multi-KB expression tree on
+    every query call pays a py4j round trip plus a JVM parse for nothing
+    — builder-profiled at ~0.1 s per ann-family call.  Columns are
+    immutable unresolved expression trees, reusable across DataFrames;
+    the session is part of the key so a restarted JVM can't serve stale
+    object references.  This memoizes QUERY-BUILD machinery only (never
+    results): every action still computes from the parquet inputs."""
+    key = (spark, sql)
+    col = _CHAIN_MEMO.get(key)
+    if col is None:
+        if len(_CHAIN_MEMO) >= 512:  # bound driver memory under many
+            _CHAIN_MEMO.clear()      # distinct query vectors
+        col = F.expr(sql)
+        _CHAIN_MEMO[key] = col
+    return col
+
 
 def _dim_memo_key(df: DataFrame, vec_col: str):
     """Session-scoped memo key for dimension-uniformity probes: the
@@ -166,12 +188,35 @@ def _dim_memo_key(df: DataFrame, vec_col: str):
     (at 100 TB, a full column scan per QUERY BUILD), where a production
     deployment treats embedding dimensionality as a schema contract.
     Same caching class as the train-once IVF centroids and Spark's own
-    per-session file-listing cache; an in-place mutation of the files
-    under an already-probed path is stale in exactly the way Spark's own
-    listing cache is (REFRESH TABLE territory)."""
+    per-session file-listing cache — but unlike Spark's cache a stale
+    verdict here silently changes VALUES (the unrolled a[i] null-fills or
+    throws on now-ragged rows), so the key additionally folds in a
+    file-listing snapshot (r10, VERDICT r9 #8): the full sorted path list
+    plus (size, mtime) of a bounded sample.  An overwrite under the same
+    path writes new part-file names (key changes → re-probe); an in-place
+    byte mutation of an existing part file keeps its name but moves its
+    size/mtime (caught by the stat sample).  inputFiles() reads the
+    relation's already-built FileIndex, and the stat sample is bounded at
+    16 files, so the key stays O(ms) at any corpus size."""
     try:
+        import hashlib as _hashlib
+        import os as _os
+        files = sorted(df.inputFiles())
+        snap = []
+        for p in files[:16]:
+            lp = p.split(":", 1)[1] if p.startswith("file:") else p
+            try:
+                st = _os.stat(lp)
+                snap.append((p, st.st_size, st.st_mtime_ns))
+            except OSError:
+                snap.append((p, None, None))
+        # digest, not the raw path tuple: a 100 TB table's path list would
+        # otherwise be megabytes held alive per memo entry
+        listing = _hashlib.md5(
+            "\n".join(files).encode()).hexdigest()
         return (df.sparkSession,
-                df._jdf.queryExecution().analyzed().semanticHash(), vec_col)
+                df._jdf.queryExecution().analyzed().semanticHash(), vec_col,
+                len(files), listing, tuple(snap))
     except Exception:  # pragma: no cover - unexpected py4j surface change
         return None
 
@@ -219,16 +264,19 @@ def _project_cosine_lit(df: DataFrame, vec_col: str, id_col: str, vec,
         return df.select(F.col(id_col), sim.alias("cosine"))
     dim = len(vec)
     enames = [f"__cl_e{i}" for i in range(dim)]
-    # ONE selectExpr call: dim separate F.expr().alias() Columns cost one
-    # py4j round trip each at query-BUILD time (~0.3 s per dim-64 staging
-    # on top of §2's chain fix); a single string list crosses once
-    staged = df.selectExpr(
-        f"`{id_col}`",
-        *[f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}]) AS {n}"
+    # Staging and chains go through the _memo_expr parse-once cache; the
+    # strings are deterministic in (id_col, vec_col, dim, vec), so every
+    # call after the first reuses the already-parsed Column trees instead
+    # of re-crossing py4j and re-parsing multi-KB strings (r10; the r9
+    # shape paid one selectExpr parse + two chain parses per query call)
+    sess = df.sparkSession
+    staged = df.select(
+        F.col(id_col),
+        *[_memo_expr(sess, f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}]) AS {n}")
           for i, n in enumerate(enames)])
-    norm_chain = F.expr("SQRT(0.0D" + "".join(
+    norm_chain = _memo_expr(sess, "SQRT(0.0D" + "".join(
         f" + (`{n}` * `{n}`)" for n in enames) + ")")
-    dot_chain = F.expr("0.0D" + "".join(
+    dot_chain = _memo_expr(sess, "0.0D" + "".join(
         f" + (`{n}` * {_dlit(float(v))})" for n, v in zip(enames, vec)))
     # dot and norm as their OWN columns: a CASE over the raw chains would
     # carry the norm chain twice (condition + divisor) and re-overflow the
@@ -474,16 +522,19 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     # copies of the n_clusters chains; _no_pushdown additionally stops a
     # downstream cluster filter (ann_ivf_topk's isin(probe)) from being
     # substituted below this projection and re-inflating the stage.
-    # Both projections go through ONE selectExpr each — dim+n_clusters
-    # separate F.expr Columns cost a py4j round trip apiece at build time.
-    scores = _no_pushdown(F.expr(
+    # Staging and chains are parse-once _memo_expr Columns (r10): the
+    # strings are deterministic in (vec_col, dim, centroid bytes), so
+    # repeated assignment calls skip the per-call py4j + JVM parse cost.
+    sess = df.sparkSession
+    scores = _no_pushdown(_memo_expr(sess,
         "array(" + ", ".join(chain_sql(c) for c in centroids) + ")"))
     cluster = (F.array_position(F.col("__ivf_scores"),
                                 F.array_max(F.col("__ivf_scores"))) - 1) \
         .cast("int")
-    return (df.selectExpr(
+    return (df.select(
                 "*",
-                *[f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}]) AS {n}"
+                *[_memo_expr(sess,
+                             f"nanvl(`{vec_col}`[{i}], `{vec_col}`[{i}]) AS {n}")
                   for i, n in enumerate(enames)])
               .withColumn("__ivf_scores", scores)
               .withColumn("__ivf", cluster)

