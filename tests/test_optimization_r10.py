@@ -1,0 +1,205 @@
+"""Pins for the r10 optimization internals (VERDICT r9 next-round list).
+
+Every test here asserts VALUE-equivalence of a rewritten path against the
+shape it replaced (or a plan property the rewrite is supposed to hold), on
+tiny in-memory corpora — fast tier."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# --- 1. minhash capped candidates: pre-count feeds collect_list -------------
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_capped_pairs_match_uncapped_join(spark):
+    """The windowed pre-count path must emit exactly the pair set the
+    distributed self-join emits (minus pairs from over-cap buckets, absent
+    here with a high cap) — including on a corpus WITH a hot bucket."""
+    from incubator_druid_spark.pipeline.dedup import minhash_lsh_candidates
+    rows = [(i, "the quick brown fox jumps over the lazy dog run " + str(i % 3))
+            for i in range(1, 25)]
+    # near-identical cluster → hot buckets in most bands
+    rows += [(100 + i, "common boilerplate header repeated everywhere exactly")
+             for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_candidates(df, "doc_id", "text", max_bucket=64)
+    uncapped = minhash_lsh_candidates(df, "doc_id", "text", max_bucket=0)
+    assert _pair_set(capped) == _pair_set(uncapped)
+    assert len(_pair_set(capped)) >= 15  # the boilerplate clique alone
+
+
+def test_minhash_capped_drops_hot_bucket_before_collect(spark):
+    """Plan shape: the bucket-size pre-count (a window count over
+    (band, bh)) must sit BELOW the collect_list aggregation, so a hot
+    bucket is dropped before its ids are ever buffered (guide §5)."""
+    from incubator_druid_spark.pipeline.dedup import minhash_lsh_candidates
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = minhash_lsh_candidates(df, "doc_id", "text", max_bucket=4) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan
+    # the bucket-size cap is a filter on the window pre-count (__n),
+    # below the collect_list aggregate — NOT a size(collect_list) filter
+    assert "(__n" in plan
+    w_pos = plan.index("windowspecdefinition(band")
+    c_pos = plan.index("collect_list")
+    # optimizedPlan prints top-down: the aggregate (collect_list) sits
+    # above the window pre-count
+    assert c_pos < w_pos
+
+
+def test_minhash_cap_still_drops_oversized_buckets(spark):
+    """A bucket above the cap contributes no pairs (the r9 contract)."""
+    from incubator_druid_spark.pipeline.dedup import minhash_lsh_candidates
+    rows = [(i, "common boilerplate header repeated everywhere exactly")
+            for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _pair_set(
+        minhash_lsh_candidates(df, "doc_id", "text", max_bucket=4)) == set()
+
+
+# --- 2. bigram LM training: array-side pairs == lag-window pairs ------------
+
+def test_train_bigram_lm_counts_match_window_form(spark):
+    """The r10 zip-with-shift trainer must produce bit-identical count
+    tables to the historical lag()-window form (re-derived inline here)."""
+    from incubator_druid_spark.pipeline.lm import (START, UNK,
+                                                   train_bigram_lm)
+    from incubator_druid_spark.pipeline.text import normalize_text, tokens
+    from pyspark.sql import Window
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, ""), (4, None),
+            (5, "a b a b a unseen-word the")]
+    ref = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bigram_lm(ref, vocab_size=4, add_k=0.5)
+
+    # legacy shape: posexplode + vocab map + lag window
+    toks = tokens(normalize_text(F.col("text")))
+    pos = (ref.select(F.col("doc_id").alias("__id"), toks.alias("__t"))
+              .select("__id", F.posexplode("__t").alias("__pos", "__w")))
+    counts = pos.groupBy("__w").agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("__w"))
+    vocab = (counts.withColumn("__r", F.row_number().over(w_rank))
+                   .filter(F.col("__r") <= 4).select(F.col("__w").alias("w")))
+    mapped = (pos.join(F.broadcast(vocab), pos["__w"] == vocab["w"], "left")
+                 .select("__id", "__pos",
+                         F.coalesce("w", F.lit(UNK)).alias("__m")))
+    hist = F.lag("__m", 1, START).over(
+        Window.partitionBy("__id").orderBy("__pos"))
+    pairs = mapped.select(hist.alias("w1"), F.col("__m").alias("w2"))
+    exp_bi = {(r["w1"], r["w2"]): r["cnt"] for r in
+              pairs.groupBy("w1", "w2").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    exp_uni = {r["w"]: r["cnt"] for r in
+               pairs.groupBy(F.col("w1").alias("w")).agg(
+                   F.count(F.lit(1)).alias("cnt")).collect()}
+
+    got_bi = {(r["w1"], r["w2"]): r["cnt"]
+              for r in model["bigrams"].collect()}
+    got_uni = {r["w"]: r["cnt"] for r in model["unigrams"].collect()}
+    assert got_bi == exp_bi
+    assert got_uni == exp_uni
+    assert model["v_total"] == 5  # 4 vocab + <unk>
+
+
+def test_lm_pipeline_has_no_token_stream_window(spark):
+    """VERDICT r9 #4 done-criterion: no Window over the token stream
+    anywhere in the lm plan (train + score)."""
+    from incubator_druid_spark.pipeline.lm import (lm_perplexity,
+                                                   train_bigram_lm)
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran")], "doc_id long, text string")
+    model = train_bigram_lm(ref, vocab_size=10)
+    scored = lm_perplexity(ref, model)
+    plan = scored._jdf.queryExecution().optimizedPlan().toString()
+    # the single remaining window is the vocab row_number over the
+    # AGGREGATED word-count table (bounded by vocabulary size, fine);
+    # no lag() over per-document token positions may remain
+    assert "lag(" not in plan
+
+
+# --- 3. analyze(): staged metrics == direct Column formulas -----------------
+
+def test_analyze_matches_column_formulas(spark):
+    from incubator_druid_spark.pipeline.text import (analyze, char_count,
+                                                     fingerprint,
+                                                     language_id,
+                                                     mean_word_length,
+                                                     punct_ratio,
+                                                     quality_score,
+                                                     stopword_ratio,
+                                                     token_count)
+    rows = [(1, "The cat sat on the mat, with the dog!"),
+            (2, "le chat est dans la maison pour le diner"),
+            (3, "der hund ist ein guter hund und das ist gut"),
+            (4, ""), (5, None),
+            (6, "el perro y el gato en la casa por la noche"),
+            (7, "zzz qqq xxx"),
+            (8, "a  b\t c\nd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = analyze(df).orderBy("doc_id").collect()
+    t = F.col("text")
+    exp = (df.withColumn("n_tokens", token_count(t))
+             .withColumn("punct_ratio", punct_ratio(t))
+             .withColumn("stopword_ratio", stopword_ratio(t))
+             .withColumn("mean_word_len", mean_word_length(t))
+             .withColumn("quality", quality_score(t))
+             .withColumn("lang_pred", language_id(t))
+             .withColumn("n_chars_measured", char_count(t))
+             .withColumn("fingerprint", fingerprint(t))
+             .orderBy("doc_id").collect())
+    for g, e in zip(got, exp):
+        for c in ("n_tokens", "punct_ratio", "stopword_ratio",
+                  "mean_word_len", "quality", "lang_pred",
+                  "n_chars_measured", "fingerprint"):
+            assert g[c] == e[c], (g["doc_id"], c, g[c], e[c])
+
+
+def test_analyze_single_tokenization_in_plan(spark):
+    """VERDICT r9 #6 done-criterion: ONE raw and ONE lowered tokenization
+    in the analyze plan (the split appears once per staging column), not
+    one per signal."""
+    from incubator_druid_spark.pipeline.text import analyze
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = analyze(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 2  # __rt + __lt, nothing else
+
+
+# --- 4. dim-memo staleness guard ---------------------------------------------
+
+def test_all_dim_memo_reprobes_on_inplace_mutation(spark, tmp_path):
+    """VERDICT r9 #8: overwriting the parquet under the SAME path must not
+    serve a stale uniformity verdict."""
+    from incubator_druid_spark.pipeline import similarity as S
+    p = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+                          "vec_id long, embedding array<double>") \
+         .write.mode("overwrite").parquet(p)
+    df1 = spark.read.parquet(p)
+    assert S._all_dim(df1, "embedding", 2) is True
+    # in-place replacement with a RAGGED corpus under the same path
+    spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [3.0, 4.0])],
+                          "vec_id long, embedding array<double>") \
+         .write.mode("overwrite").parquet(p)
+    df2 = spark.read.parquet(p)
+    assert S._all_dim(df2, "embedding", 2) is False
+
+
+# --- 5. chain-SQL parse memo --------------------------------------------------
+
+def test_memo_expr_reuses_parsed_column(spark):
+    from incubator_druid_spark.pipeline.similarity import (_CHAIN_MEMO,
+                                                           _memo_expr)
+    sql = "0.0D + (`x`[0] * `x`[0])"
+    c1 = _memo_expr(spark, sql)
+    c2 = _memo_expr(spark, sql)
+    assert c1 is c2
+    assert (spark, sql) in _CHAIN_MEMO
+    # the memoized Column is reusable across frames
+    df = spark.createDataFrame([([2.0],)], "x array<double>")
+    assert df.select(c1.alias("v")).first()["v"] == 4.0
