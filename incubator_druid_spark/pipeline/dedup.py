@@ -422,19 +422,31 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
     Bit extraction uses lpad(conv(hex, 16, 2)) because Spark's shiftright
     only accepts a literal shift amount inside HOF lambdas.  Everything
-    stays in codegen; one pass over tokens."""
+    stays in one pass over tokens.
+
+    The md5 bit string is BOUND once per token via a one-element
+    transform (r10, guide §1.2): HOF lambdas have no common-subexpression
+    reuse, so the historical form — which referenced the bstr expression
+    inside the 64-way bit transform — re-ran md5+conv+lpad once per BIT,
+    64× per token (measured: the signature projection dominated
+    simhash_pairs).  `transform(array(x), f)[0]` is exactly f(x), null
+    propagation included, so signatures are bit-identical."""
     toks = tokens(normalize_text(text))
     zeros = F.array_repeat(F.lit(0), bits)
 
     def vote(acc, t):
-        bstr = F.lpad(F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 2),
-                      bits, "0")
+        bstr_expr = F.lpad(F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 2),
+                           bits, "0")
 
-        def bit(i):
-            return F.when(F.substring(bstr, i, 1) == "1", 1).otherwise(-1)
+        def tally(bstr):
+            def bit(i):
+                return F.when(F.substring(bstr, i, 1) == "1", 1).otherwise(-1)
 
-        return F.zip_with(acc, F.transform(F.sequence(F.lit(1), F.lit(bits)), bit),
-                          lambda a, b: a + b)
+            return F.zip_with(
+                acc, F.transform(F.sequence(F.lit(1), F.lit(bits)), bit),
+                lambda a, b: a + b)
+
+        return F.transform(F.array(bstr_expr), tally)[0]
 
     votes = F.aggregate(toks, zeros, vote)
     return F.array_join(
