@@ -62,7 +62,8 @@ def _history(order: int):
     return lags[0] if len(lags) == 1 else F.concat_ws(" ", *lags)
 
 
-def _raw_bigram_pairs(df: DataFrame, text_col: str, id_col: str):
+def _raw_bigram_pairs(df: DataFrame, text_col: str, id_col: str,
+                      min_widen_bytes: int = 0):
     """(__id, __w1raw, __w2raw) UNMAPPED bigram pairs, formed ARRAY-side:
     zip the token array with its <s>-prepended shift instead of a lag()
     window — the window shape shuffled and sorted the ENTIRE token stream
@@ -70,11 +71,17 @@ def _raw_bigram_pairs(df: DataFrame, text_col: str, id_col: str):
     multiset is exactly the window form's: per document, position i
     yields (token[i-1] | <s>, token[i]).  Also returns the (__id, __t)
     token frame so trainers can persist it and derive word counts from
-    the same single tokenization pass."""
+    the same single tokenization pass.
+
+    ``min_widen_bytes`` is the _widen_for_explode size floor: the TRAIN
+    side passes 64 MB (a clean reference corpus is usually small and the
+    widening exchange costs more than the single-core pass); the SCORE
+    side keeps unconditional widening (the 100 TB corpus is the thing
+    being scored)."""
     from incubator_druid_spark.pipeline.dedup import _widen_for_explode
     from incubator_druid_spark.pipeline.text import normalize_text, tokens
     toks = tokens(normalize_text(F.col(text_col)))
-    tbase = (_widen_for_explode(df, by=id_col)
+    tbase = (_widen_for_explode(df, by=id_col, min_bytes=min_widen_bytes)
              .select(F.col(id_col).alias("__id"), toks.alias("__t")))
     prevs = F.concat(
         F.array(F.lit(START)),
@@ -119,7 +126,8 @@ def train_bigram_lm(
         # count — and thus every downstream probability — is bit-exact.
         # The vocab map moves after pair formation: '<s>' can't collide
         # with a real token (tokens are [a-z0-9]+ runs).
-        tbase, raw = _raw_bigram_pairs(ref, text_col, id_col)
+        tbase, raw = _raw_bigram_pairs(ref, text_col, id_col,
+                                       min_widen_bytes=64 * 1024 * 1024)
         tbase.persist()
         counts = (tbase.select(F.explode("__t").alias("__w"))
                        .groupBy("__w").agg(F.count(F.lit(1)).alias("cnt")))
