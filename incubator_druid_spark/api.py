@@ -84,7 +84,15 @@ def _rows_timed(df: DataFrame, timeout_ms, tz=None) -> list[dict]:
     """Collect with an optional wall-clock budget.  The collect runs in a
     worker thread under a dedicated Spark job group (a thread-local property,
     so it must be set inside that thread); on expiry the group is cancelled —
-    executors interrupt the tasks — and QueryTimeoutError surfaces."""
+    executors interrupt the tasks — and QueryTimeoutError surfaces.
+
+    Limitation: job-group cancellation reaches SUBMITTED jobs only.  Driver
+    -side work before submission — analysis, optimization, and especially
+    RDD partition-array materialization — is not interruptible, so a plan
+    whose partition count explodes (e.g. a deep cartesian of multi-file
+    scans multiplies partitions per level) keeps allocating on the
+    abandoned worker thread after the timeout fires.  That is a Spark-core
+    property, not something this wrapper can bound."""
     if not timeout_ms:
         return _rows(df, tz=tz)
     import threading
@@ -109,7 +117,30 @@ def _rows_timed(df: DataFrame, timeout_ms, tz=None) -> list[dict]:
     t.start()
     t.join(float(timeout_ms) / 1000.0)
     if t.is_alive():
-        sc.cancelJobGroup(group)
+        # One cancelJobGroup is NOT enough: it reaches ACTIVE jobs only, and
+        # when the budget expires while the worker thread is still planning
+        # (analysis/optimization can exceed a short timeout), the job it
+        # submits moments later would run to completion unopposed — measured:
+        # the cancelled query's task waves starved every follow-up query for
+        # minutes.  Prefer the JVM-side cancelJobGroupAndFutureJobs (Spark
+        # ≥3.5) which also rejects later submissions in the group; in either
+        # case a bounded reaper re-cancels until the worker thread exits.
+        try:
+            sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+        except Exception:  # noqa: BLE001 — older JVM surface
+            sc.cancelJobGroup(group)
+
+        def _reap():
+            import time as _time
+            deadline = _time.time() + 600
+            while t.is_alive() and _time.time() < deadline:
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001 — context shut down
+                    break
+                t.join(0.25)
+
+        threading.Thread(target=_reap, daemon=True).start()
         raise QueryTimeoutError(
             f"Query timeout of {timeout_ms} ms exceeded (context.timeout)")
     if error:

@@ -213,12 +213,23 @@ def test_query_timeout_cancels_job(spark, foo_catalog):
 
     from incubator_druid_spark.api import QueryTimeoutError, sql_query
 
-    # a cartesian blow-up that would take far longer than the budget
+    # a cartesian blow-up that would take far longer than the budget.
+    # Two constraints learned the hard way (r10):
+    # - the cost must live in EXECUTION, not planning: a deep self-cartesian
+    #   of the multi-file foo table multiplies SCAN PARTITIONS (6^12), and
+    #   the driver materializes that CartesianPartition array BELOW the
+    #   job-group cancellation surface — the abandoned worker thread kept
+    #   allocating until ~13 GB of partition objects poisoned the suite's
+    #   16g heap (observed twice);
+    # - tasks must be SMALL: cancellation reliably stops *scheduling* more
+    #   waves, but a codegen'd cartesian task ignores the interrupt until
+    #   it finishes, so 8 multi-minute tasks starve the follow-up query.
+    # range-side slicing gives 2000 × ~4M-row tasks (tens of ms each):
+    # uncancelled completion is >>1.5 s, post-cancel drain is one wave.
     slow = {"query": """
-        SELECT count(*) AS c FROM foo a, foo b, foo c, foo d, foo e, foo f,
-             foo g, foo h, foo i, foo j, foo k, foo l
-        WHERE a.m1 + b.m1 + c.m1 + d.m1 + e.m1 + f.m1
-            + g.m1 + h.m1 + i.m1 + j.m1 + k.m1 + l.m1 > 0""",
+        SELECT count(*) AS c
+        FROM range(0, 8000000000, 1, 2000) r, foo a
+        WHERE a.m1 + r.id > 0""",
             "context": {"timeout": 1500}}
     t0 = time.time()
     with pytest.raises(QueryTimeoutError):
