@@ -133,8 +133,11 @@ def decontaminate_fuzzy(train: DataFrame, eval_df: DataFrame,
               .select(id_col, "__eval_id").distinct())
     tsh = t.select(F.col(id_col), F.col("__sh").alias("__sh_t"))
     esh = F.broadcast(e.select("__eval_id", F.col("__sh").alias("__sh_e")))
+    # |A∪B| = |A|+|B|−|A∩B| over the distinct-gram hash sets — same
+    # union-arithmetic as minhash_dedup's verify (and the DuckDB oracle);
+    # drops the per-pair union-array materialization
     inter = F.size(F.array_intersect(F.col("__sh_t"), F.col("__sh_e")))
-    union = F.size(F.array_union(F.col("__sh_t"), F.col("__sh_e")))
+    union = F.size(F.col("__sh_t")) + F.size(F.col("__sh_e")) - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     per_pair = (cand.join(tsh, id_col).join(esh, "__eval_id")
                     .select(id_col, jac.alias("__jaccard")))

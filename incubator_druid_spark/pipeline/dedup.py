@@ -388,8 +388,14 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     j = (cands
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"))
+    # |A∪B| = |A|+|B|−|A∩B|: the __sh arrays are SETS (the kernel builds
+    # them from a distinct-gram set; the Column path array_distincts), so
+    # the arithmetic form is value-identical to size(array_union(...)) and
+    # skips materializing a union array per candidate pair — one hash-set
+    # build (the intersect) instead of two.  It is also term-for-term the
+    # formula the DuckDB oracle replays (x / (sa.n + sb.n − x)).
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (j.select("id_a", "id_b", jac.alias("jaccard"))
              .filter(F.col("jaccard") >= threshold))
@@ -404,8 +410,10 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, id_col: str, text_col: str,
     sb = df_b.select(F.col(id_col).alias("id_b"),
                      shingles(F.col(text_col), n).alias("sh_b"))
     j = sa.crossJoin(sb)
+    # arithmetic union size: sh_a/sh_b are distinct STRING arrays
+    # (shingles() ends in array_distinct), so |A|+|B|−|A∩B| is exact
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return j.select("id_a", "id_b",
                     F.when(union > 0, inter / union).otherwise(0.0).alias("jaccard"))
 

@@ -203,3 +203,60 @@ def test_memo_expr_reuses_parsed_column(spark):
     # the memoized Column is reusable across frames
     df = spark.createDataFrame([([2.0],)], "x array<double>")
     assert df.select(c1.alias("v")).first()["v"] == 4.0
+
+
+# --- 6. jaccard union arithmetic: |A∪B| = |A|+|B|−|A∩B| -----------------------
+
+def test_jaccard_union_arithmetic_matches_array_union(spark):
+    """The verify-stage jaccard now computes the union size arithmetically
+    (the __sh arrays are distinct-element sets, and the form matches the
+    DuckDB oracle's `x / (sa.n + sb.n - x)` term for term).  Re-derive the
+    replaced size(array_union(...)) denominator over the SAME pairs and
+    assert bit-equality — including zero-overlap and near-identical pairs."""
+    from incubator_druid_spark.pipeline.dedup import minhash_dedup, shingles
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+            (3, "totally different words with zero shared grams here"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta")]   # exact dup of 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_dedup(df, "doc_id", "text",
+                                  threshold=0.1).collect()}
+    assert got, "expected at least the near/exact dup pairs"
+
+    # legacy denominator, re-derived inline over the raw shingle-hash sets
+    from incubator_druid_spark.pipeline.dedup import shingle_hash64
+    sh = df.select(F.col("doc_id"),
+                   F.transform(shingles(F.col("text"), 3),
+                               shingle_hash64).alias("sh"))
+    legacy = (sh.alias("a").crossJoin(sh.alias("b"))
+              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      (F.size(F.array_intersect("a.sh", "b.sh"))
+                       / F.size(F.array_union("a.sh", "b.sh"))).alias("j")))
+    legacy_map = {(r["id_a"], r["id_b"]): r["j"] for r in legacy.collect()}
+    for pair, j in got.items():
+        assert legacy_map[pair] == j, (pair, legacy_map[pair], j)
+    # exact dup scores 1.0, zero-overlap pairs never pass the threshold
+    assert got[(1, 4)] == 1.0
+    assert all(3 not in pair for pair in got)
+
+
+def test_ngram_jaccard_union_arithmetic(spark):
+    """Same identity on the string-set brute-force path (exact: shingles()
+    ends in array_distinct, so the arrays are sets by construction)."""
+    from incubator_druid_spark.pipeline.dedup import ngram_jaccard
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u"),
+         (4, None), (5, "q r")],  # null text and under-n-token edge cases
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard(df, df, "doc_id", "text", n=3).collect()}
+    # doc 1 vs 2: grams {abc,bcd,cde,def} vs {abc,bcd,cde,deg} → 3/5
+    assert abs(out[(1, 2)] - 0.6) < 1e-12
+    assert out[(1, 3)] == 0.0          # disjoint
+    assert out[(4, 5)] == 0.0          # empty vs empty → guard, not NaN
+    assert out[(1, 1)] == 1.0          # self
