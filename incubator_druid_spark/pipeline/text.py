@@ -416,35 +416,52 @@ def c4_clean(df: DataFrame, text_col: str = "text",
 
     Adds: clean_text (kept lines joined by newlines), n_lines_kept,
     n_lines_dropped, n_sentences, has_curly_brace, has_lorem_ipsum,
-    c4_keep.  Pure Column expressions — scan-speed, no shuffle."""
+    c4_keep.  Pure Column expressions — scan-speed, no shuffle.
+
+    The line pipeline is staged ONCE per row (r10, the analyze()/gopher
+    treatment, guide §1.2): the historical form inlined the kept-lines
+    filter (per-line rlike + word count — CodegenFallback HOFs, no
+    subexpression reuse) into FOUR output columns, running it 4× per
+    row.  Values are bit-identical: pure common-subexpression factoring.
+    Like analyze(), the staging pin blocks downstream predicate pushdown
+    — apply scan-prunable filters BEFORE c4_clean."""
     t = F.col(text_col)
+
+    def _pin(col: Column) -> Column:
+        return F.when(F.monotonically_increasing_id() >= -1, col)
+
     # null text reads as the empty page (no lines, keep=false)
     lines = F.coalesce(
         F.filter(F.transform(F.split(t, "\n", -1), lambda l: F.trim(l)),
                  lambda l: l != ""),
         F.array().cast("array<string>"))
     kept = F.filter(
-        lines,
+        F.col("__c4_lines"),
         lambda l: l.rlike(r'[.!?"]$') &
         (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
          >= min_words_per_line))
-    clean = F.array_join(kept, "\n")
-    n_sent = F.size(F.split(clean, r"[.!?]", -1)) - 1
-    out = (df
-           .withColumn("clean_text", clean)
-           .withColumn("n_lines_kept", F.size(kept).cast("long"))
+    staged = (df
+              .withColumn("__c4_lines", _pin(lines))
+              .withColumn("__c4_kept", _pin(kept))
+              .withColumn("clean_text",
+                          _pin(F.array_join(F.col("__c4_kept"), "\n"))))
+    n_sent = F.size(F.split(F.col("clean_text"), r"[.!?]", -1)) - 1
+    out = (staged
+           .withColumn("n_lines_kept", F.size("__c4_kept").cast("long"))
            .withColumn("n_lines_dropped",
-                       (F.size(lines) - F.size(kept)).cast("long"))
+                       (F.size("__c4_lines") - F.size("__c4_kept"))
+                       .cast("long"))
            .withColumn("n_sentences", n_sent.cast("long"))
            .withColumn("has_curly_brace",
                        F.coalesce(t.contains("{"), F.lit(False)))
            .withColumn("has_lorem_ipsum",
                        F.coalesce(F.lower(t).contains("lorem ipsum"),
                                   F.lit(False))))
-    return out.withColumn(
+    return (out.withColumn(
         "c4_keep",
         (F.col("n_sentences") >= min_sentences) &
         ~F.col("has_curly_brace") & ~F.col("has_lorem_ipsum"))
+        .drop("__c4_lines", "__c4_kept"))
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",

@@ -260,3 +260,69 @@ def test_ngram_jaccard_union_arithmetic(spark):
     assert out[(1, 3)] == 0.0          # disjoint
     assert out[(4, 5)] == 0.0          # empty vs empty → guard, not NaN
     assert out[(1, 1)] == 1.0          # self
+
+
+# --- 7. c4_clean line-pipeline staging ----------------------------------------
+
+def test_c4_clean_matches_inline_form(spark):
+    """c4_clean's staged line pipeline must be value-identical to the
+    historical inline Column composition (re-derived here), including
+    null text, empty pages, and the flag/keep interactions."""
+    from incubator_druid_spark.pipeline.text import c4_clean
+
+    rows = [
+        (1, "A good sentence here today. Another fine line follows now.\n"
+            "short one.\nno terminal punctuation in this line at all\n"
+            "This closing line has plenty of words and ends properly!"),
+        (2, "some {code} block with enough words to pass the filter."),
+        (3, "lorem ipsum dolor sit amet consectetur adipiscing elit sed."),
+        (4, None),
+        (5, ""),
+        (6, 'A quoted ending line with enough words right here."'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id", "clean_text", "n_lines_kept", "n_lines_dropped",
+            "n_sentences", "has_curly_brace", "has_lorem_ipsum", "c4_keep"]
+    got = {r["doc_id"]: tuple(r[c] for c in cols)
+           for r in c4_clean(df).select(cols).collect()}
+
+    # legacy inline form (pre-r10 §16 shape), same formulas
+    t = F.col("text")
+    lines = F.coalesce(
+        F.filter(F.transform(F.split(t, "\n", -1), lambda l: F.trim(l)),
+                 lambda l: l != ""),
+        F.array().cast("array<string>"))
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$') &
+        (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= 5))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.split(clean, r"[.!?]", -1)) - 1
+    legacy = (df
+              .withColumn("clean_text", clean)
+              .withColumn("n_lines_kept", F.size(kept).cast("long"))
+              .withColumn("n_lines_dropped",
+                          (F.size(lines) - F.size(kept)).cast("long"))
+              .withColumn("n_sentences", n_sent.cast("long"))
+              .withColumn("has_curly_brace",
+                          F.coalesce(t.contains("{"), F.lit(False)))
+              .withColumn("has_lorem_ipsum",
+                          F.coalesce(F.lower(t).contains("lorem ipsum"),
+                                     F.lit(False)))
+              .withColumn("c4_keep",
+                          (F.col("n_sentences") >= 3)
+                          & ~F.col("has_curly_brace")
+                          & ~F.col("has_lorem_ipsum")))
+    want = {r["doc_id"]: tuple(r[c] for c in cols)
+            for r in legacy.select(cols).collect()}
+    assert got == want
+
+
+def test_c4_clean_single_line_filter_in_plan(spark):
+    """The kept-lines filter (the rlike) must appear ONCE in the optimized
+    plan — the pre-staging form inlined it into four output columns."""
+    from incubator_druid_spark.pipeline.text import c4_clean
+    df = spark.createDataFrame([(1, "a line that ends well today.")],
+                               "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("RLIKE") + plan.count("rlike") == 1, plan
