@@ -428,7 +428,10 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
 
     def _pin(col: Column) -> Column:
-        return F.when(F.monotonically_increasing_id() >= -1, col)
+        # rand() (not monotonically_increasing_id): the same always-true
+        # non-deterministic guard, but SUPPORTED on streaming frames —
+        # c4_clean is a pure projection and stays stream-capable
+        return F.when(F.rand() >= -1, col)
 
     # null text reads as the empty page (no lines, keep=false)
     lines = F.coalesce(

@@ -113,17 +113,38 @@ def url_dedup_key(url: Column) -> Column:
 
 def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Projection: adds scheme/host/domain/path/query/canonical_url/
-    url_key columns.  One scan, no shuffle."""
+    url_key columns.  One scan, no shuffle.
+
+    Output columns are staged ONCE per row (r10, the analyze()/c4_clean
+    treatment, guide §1.2): the historical composition inlined url_host
+    into registrable_domain and re-ran the WHOLE canonicalization inside
+    url_dedup_key — 45 regexp_extract full matches of URL_RE per row in
+    the optimized plan; staging cuts that to one match per component
+    (plan-asserted in tests).  Values are bit-identical: url_key is
+    xxhash64 of the same canonical string, domain reads the same host.
+    Like analyze(), the staging pin blocks downstream predicate pushdown
+    — apply scan-prunable filters BEFORE parse_urls."""
     u = F.col(url_col)
-    host = url_host(u)
-    return (df
-            .withColumn("scheme", url_scheme(u))
-            .withColumn("host", host)
-            .withColumn("domain", registrable_domain(host))
-            .withColumn("path", url_path(u))
-            .withColumn("query", url_query(u))
-            .withColumn("canonical_url", canonicalize_url(u))
-            .withColumn("url_key", url_dedup_key(u)))
+
+    def _pin(col: Column) -> Column:
+        # rand() (not monotonically_increasing_id): the same always-true
+        # non-deterministic guard, but SUPPORTED on streaming frames —
+        # parse_urls is part of the stateless streaming contract
+        # (tests/test_curation_streaming.py)
+        return F.when(F.rand() >= -1, col)
+
+    staged = (df
+              .withColumn("scheme", _pin(url_scheme(u)))
+              .withColumn("host", _pin(url_host(u)))
+              .withColumn("domain", _pin(registrable_domain(F.col("host"))))
+              .withColumn("path", _pin(url_path(u)))
+              .withColumn("query", _pin(url_query(u)))
+              .withColumn("canonical_url", _pin(canonicalize_url(u))))
+    canon = F.col("canonical_url")
+    return staged.withColumn(
+        "url_key",
+        F.when(canon.isNull(), F.lit(None).cast("long"))
+         .otherwise(F.xxhash64(canon)))
 
 
 def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:

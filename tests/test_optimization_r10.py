@@ -326,3 +326,85 @@ def test_c4_clean_single_line_filter_in_plan(spark):
                                "doc_id long, text string")
     plan = c4_clean(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("RLIKE") + plan.count("rlike") == 1, plan
+
+
+# --- 8. parse_urls output staging ----------------------------------------------
+
+def _legacy_parse_urls(df):
+    """The pre-r10 inline composition of parse_urls, re-derived."""
+    from incubator_druid_spark.pipeline.urls import (
+        canonicalize_url, registrable_domain, url_dedup_key, url_host,
+        url_path, url_query, url_scheme)
+    u = F.col("url")
+    host = url_host(u)
+    return (df
+            .withColumn("scheme", url_scheme(u))
+            .withColumn("host", host)
+            .withColumn("domain", registrable_domain(host))
+            .withColumn("path", url_path(u))
+            .withColumn("query", url_query(u))
+            .withColumn("canonical_url", canonicalize_url(u))
+            .withColumn("url_key", url_dedup_key(u)))
+
+
+def test_parse_urls_matches_inline_form(spark):
+    from incubator_druid_spark.pipeline.urls import parse_urls
+    rows = [
+        (1, "HTTP://Example.COM:80/a/b?utm_source=x&z=1&a=2#frag"),
+        (2, "https://sub.shop.co.uk:443/"),
+        (3, "https://192.168.0.1/x?fbclid=abc"),
+        (4, "not a url"),
+        (5, None),
+        (6, "ftp://files.example.org:21/pub?b=2&a=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    cols = ["doc_id", "scheme", "host", "domain", "path", "query",
+            "canonical_url", "url_key"]
+    got = {r["doc_id"]: tuple(r[c] for c in cols)
+           for r in parse_urls(df).select(cols).collect()}
+    want = {r["doc_id"]: tuple(r[c] for c in cols)
+            for r in _legacy_parse_urls(df).select(cols).collect()}
+    assert got == want
+    assert got[1][6] == "http://example.com/a/b?a=2&z=1"  # canonical contract
+    assert got[4][6] is None and got[4][7] is None        # unparseable
+
+
+def test_parse_urls_fewer_regex_matches_than_inline(spark):
+    """Staging must strictly reduce URL_RE evaluations in the optimized
+    plan (the legacy form re-ran the full canonicalization inside
+    url_key and re-derived host inside domain)."""
+    from incubator_druid_spark.pipeline.urls import parse_urls
+    df = spark.createDataFrame([(1, "https://a.example.com/x?b=1")],
+                               "doc_id long, url string")
+    new_plan = parse_urls(df)._jdf.queryExecution().optimizedPlan().toString()
+    old_plan = _legacy_parse_urls(df)._jdf.queryExecution() \
+                                     .optimizedPlan().toString()
+    assert new_plan.count("regexp_extract") < old_plan.count("regexp_extract")
+    # url_key must hash the staged attribute, not re-canonicalize
+    assert new_plan.count("xxhash64") == 1
+
+
+def test_staged_operators_run_on_streams(spark, tmp_path):
+    """parse_urls and c4_clean must stay stream-capable after staging:
+    the pin uses rand() (streaming-supported), not
+    monotonically_increasing_id (rejected by the streaming checker)."""
+    import json
+
+    from incubator_druid_spark.pipeline.text import c4_clean
+    from incubator_druid_spark.pipeline.urls import parse_urls
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps(
+        {"doc_id": 1, "url": "https://A.com/x?utm_a=1&b=2",
+         "text": "A full sentence with enough words to keep here."}) + "\n")
+    src = spark.readStream.schema(
+        "doc_id long, url string, text string").json(str(d))
+    for name, frame in [("urls_pin_stream", parse_urls(src)),
+                        ("c4_pin_stream", c4_clean(src))]:
+        q = (frame.writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    u = spark.sql("SELECT canonical_url FROM urls_pin_stream").first()
+    assert u["canonical_url"] == "https://a.com/x?b=2"
+    c = spark.sql("SELECT n_lines_kept FROM c4_pin_stream").first()
+    assert c["n_lines_kept"] == 1
