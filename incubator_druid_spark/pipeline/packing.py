@@ -65,9 +65,18 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
-    base = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-              .withColumn("__n", F.size("__toks"))
-              .filter(F.col("__n") > 0))
+    # Empty docs are dropped BEFORE tokenization with a cheap raw-text
+    # probe: text RLIKE '\S' ⟺ size(tokens(text)) > 0 (a token exists
+    # iff some non-whitespace char exists; null text fails both).  The
+    # historical `filter(size(__toks) > 0)` was pushed below the staging
+    # projection by the optimizer with the FULL split/filter pipeline
+    # substituted in — tokenizing every document twice (r10, guide §1.2).
+    # The staged __toks then survives as a single evaluation because
+    # CollapseProject never inlines a non-cheap alias referenced more
+    # than once (the chunk slice + __n).
+    base = (df.filter(F.col(text_col).rlike(r"\S"))
+              .select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+              .withColumn("__n", F.size("__toks")))
     # chunk starts: 0, stride, 2*stride, ... while start < n
     n_chunks = F.ceil(F.col("__n") / F.lit(stride)).cast("int")
     out = (base

@@ -418,21 +418,17 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     n_lines_dropped, n_sentences, has_curly_brace, has_lorem_ipsum,
     c4_keep.  Pure Column expressions — scan-speed, no shuffle.
 
-    The line pipeline is staged ONCE per row (r10, the analyze()/gopher
-    treatment, guide §1.2): the historical form inlined the kept-lines
-    filter (per-line rlike + word count — CodegenFallback HOFs, no
-    subexpression reuse) into FOUR output columns, running it 4× per
-    row.  Values are bit-identical: pure common-subexpression factoring.
-    Like analyze(), the staging pin blocks downstream predicate pushdown
-    — apply scan-prunable filters BEFORE c4_clean."""
+    The line pipeline is staged ONCE per row (r10, guide §1.2): the
+    historical form inlined the kept-lines filter (per-line rlike + word
+    count — CodegenFallback HOFs, no subexpression reuse) into FOUR
+    output columns, running it 4× per row.  Values are bit-identical:
+    pure common-subexpression factoring.  The staging needs no
+    non-determinism pin — CollapseProject never inlines a non-cheap
+    alias referenced more than once, and __c4_lines/__c4_kept/clean_text
+    are each read 2-3 times — so the operator stays a deterministic
+    projection and remains STREAM-capable (a mid-based pin is rejected
+    on streams; rand()-based guards are constant-folded away)."""
     t = F.col(text_col)
-
-    def _pin(col: Column) -> Column:
-        # rand() (not monotonically_increasing_id): the same always-true
-        # non-deterministic guard, but SUPPORTED on streaming frames —
-        # c4_clean is a pure projection and stays stream-capable
-        return F.when(F.rand() >= -1, col)
-
     # null text reads as the empty page (no lines, keep=false)
     lines = F.coalesce(
         F.filter(F.transform(F.split(t, "\n", -1), lambda l: F.trim(l)),
@@ -444,10 +440,10 @@ def c4_clean(df: DataFrame, text_col: str = "text",
         (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
          >= min_words_per_line))
     staged = (df
-              .withColumn("__c4_lines", _pin(lines))
-              .withColumn("__c4_kept", _pin(kept))
+              .withColumn("__c4_lines", lines)
+              .withColumn("__c4_kept", kept)
               .withColumn("clean_text",
-                          _pin(F.array_join(F.col("__c4_kept"), "\n"))))
+                          F.array_join(F.col("__c4_kept"), "\n")))
     n_sent = F.size(F.split(F.col("clean_text"), r"[.!?]", -1)) - 1
     out = (staged
            .withColumn("n_lines_kept", F.size("__c4_kept").cast("long"))
@@ -597,14 +593,20 @@ def truncate_to_tokens(df: DataFrame, max_tokens: int,
     chunking/packing."""
     if max_tokens < 0:
         raise ValueError("max_tokens must be >= 0")
-    toks = tokens(F.col(text_col))
-    cut = F.array_join(F.slice(toks, 1, max_tokens), " ")
-    return df.select(
+    # token array staged ONCE per row (r10, guide §1.2): out_col and
+    # was_truncated both read it, and the split/filter HOF pipeline is
+    # CodegenFallback with no subexpression reuse.  No pin needed —
+    # CollapseProject keeps a non-cheap alias referenced twice — so the
+    # operator stays deterministic and stream-capable.
+    staged = df.withColumn("__tt_toks", tokens(F.col(text_col)))
+    cut = F.array_join(F.slice(F.col("__tt_toks"), 1, max_tokens), " ")
+    return (staged.select(
         "*",
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
          .otherwise(cut).alias(out_col),
-        F.coalesce(F.size(toks) > max_tokens, F.lit(False))
+        F.coalesce(F.size("__tt_toks") > max_tokens, F.lit(False))
          .alias("was_truncated"))
+        .drop("__tt_toks"))
 
 
 def corpus_profile(df: DataFrame, group_cols: list[str] | None = None,

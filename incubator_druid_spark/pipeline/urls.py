@@ -115,31 +115,29 @@ def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Projection: adds scheme/host/domain/path/query/canonical_url/
     url_key columns.  One scan, no shuffle.
 
-    Output columns are staged ONCE per row (r10, the analyze()/c4_clean
-    treatment, guide §1.2): the historical composition inlined url_host
-    into registrable_domain and re-ran the WHOLE canonicalization inside
-    url_dedup_key — 45 regexp_extract full matches of URL_RE per row in
-    the optimized plan; staging cuts that to one match per component
-    (plan-asserted in tests).  Values are bit-identical: url_key is
-    xxhash64 of the same canonical string, domain reads the same host.
-    Like analyze(), the staging pin blocks downstream predicate pushdown
-    — apply scan-prunable filters BEFORE parse_urls."""
+    Output columns are staged ONCE per row (r10, guide §1.2): the
+    historical composition inlined url_host into registrable_domain and
+    re-ran the WHOLE canonicalization inside url_dedup_key — 45
+    regexp_extract full matches of URL_RE per row in the optimized plan;
+    staging cuts that to one match per component (plan-asserted in
+    tests).  Values are bit-identical: url_key is xxhash64 of the same
+    canonical string, domain reads the same host.  The staging holds
+    WITHOUT a non-determinism pin: CollapseProject never inlines a
+    non-cheap alias referenced more than once, and every multiply-read
+    column here (host, canonical_url) is non-cheap.  (A pin would also
+    break the streaming contract — monotonically_increasing_id is
+    rejected on streams, and rand()-based guards are constant-folded
+    away by the optimizer.)  Downstream filters still push through by
+    substituting the single component expression — scan pruning below
+    parse_urls keeps working."""
     u = F.col(url_col)
-
-    def _pin(col: Column) -> Column:
-        # rand() (not monotonically_increasing_id): the same always-true
-        # non-deterministic guard, but SUPPORTED on streaming frames —
-        # parse_urls is part of the stateless streaming contract
-        # (tests/test_curation_streaming.py)
-        return F.when(F.rand() >= -1, col)
-
     staged = (df
-              .withColumn("scheme", _pin(url_scheme(u)))
-              .withColumn("host", _pin(url_host(u)))
-              .withColumn("domain", _pin(registrable_domain(F.col("host"))))
-              .withColumn("path", _pin(url_path(u)))
-              .withColumn("query", _pin(url_query(u)))
-              .withColumn("canonical_url", _pin(canonicalize_url(u))))
+              .withColumn("scheme", url_scheme(u))
+              .withColumn("host", url_host(u))
+              .withColumn("domain", registrable_domain(F.col("host")))
+              .withColumn("path", url_path(u))
+              .withColumn("query", url_query(u))
+              .withColumn("canonical_url", canonicalize_url(u)))
     canon = F.col("canonical_url")
     return staged.withColumn(
         "url_key",

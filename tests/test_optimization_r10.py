@@ -386,8 +386,10 @@ def test_parse_urls_fewer_regex_matches_than_inline(spark):
 
 def test_staged_operators_run_on_streams(spark, tmp_path):
     """parse_urls and c4_clean must stay stream-capable after staging:
-    the pin uses rand() (streaming-supported), not
-    monotonically_increasing_id (rejected by the streaming checker)."""
+    the staged columns are plain deterministic aliases (kept from
+    inlining by CollapseProject's non-cheap multi-reference rule), NOT
+    monotonically_increasing_id pins (rejected by the streaming
+    checker)."""
     import json
 
     from incubator_druid_spark.pipeline.text import c4_clean
@@ -408,3 +410,28 @@ def test_staged_operators_run_on_streams(spark, tmp_path):
     assert u["canonical_url"] == "https://a.com/x?b=2"
     c = spark.sql("SELECT n_lines_kept FROM c4_pin_stream").first()
     assert c["n_lines_kept"] == 1
+
+
+def test_truncate_to_tokens_staged_matches_inline(spark):
+    from incubator_druid_spark.pipeline.text import tokens, truncate_to_tokens
+    df = spark.createDataFrame(
+        [(1, "one two  three   four five"), (2, "a b"), (3, None), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_truncated"], r["was_truncated"])
+           for r in truncate_to_tokens(df, 3).collect()}
+    toks = tokens(F.col("text"))
+    legacy = df.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.array_join(F.slice(toks, 1, 3), " "))
+         .alias("text_truncated"),
+        F.coalesce(F.size(toks) > 3, F.lit(False)).alias("was_truncated"))
+    want = {r["doc_id"]: (r["text_truncated"], r["was_truncated"])
+            for r in legacy.collect()}
+    assert got == want
+    assert got[1] == ("one two three", True)
+    assert got[3] == (None, False)
+    # the tokenizing split must appear ONCE in the optimized plan
+    plan = truncate_to_tokens(df, 3)._jdf.queryExecution() \
+                                    .optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
